@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-time windowing surface (SURVEY §2.7 streaming row): tumbling /
+  * sliding / session windows and stateful-dedup semantics, expressed
+  * over the `events` table with Spark's `window()` / `session_window()`
+  * — the exact expressions the Structured Streaming path
+  * (graft.streaming) reuses; batch execution makes them
+  * oracle-checkable.
+  *
+  * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet
+  * reader rejects by default; we read it via
+  * `spark.sql.legacy.parquet.nanosAsLong` and rebuild a µs timestamp
+  * (ns div 1000) — bit-identical to DuckDB 1.x, which truncates ns→µs
+  * on read. Window starts are emitted as epoch seconds (BIGINT) so no
+  * timestamp-precision skew can reach the hash compare.
+  */
+object Events extends QModule {
+
+  /** events with `ts_ns` (raw long nanos) and `ts` (µs timestamp). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+
+  override def queries: Seq[Q] =
+    Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst)
+
+  /** Tumbling 1-hour windows per event type. */
+  val q33Tumbling = Q(
+    "q33_tumbling_window",
+    (s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").cast("long").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+    Some("""SELECT CAST(floor(date_part('epoch', date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY hour_start, event_type"""),
+    headline = true)
+
+  /** Sliding windows: 1 hour long, every 30 minutes (each event lands
+    * in exactly two windows). Oracle expands the two covering windows
+    * with epoch arithmetic.
+    */
+  val q34Sliding = Q(
+    "q34_sliding_window",
+    (s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100").as("sum_value"))
+        .select(col("w.start").cast("long").as("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))
+    },
+    Some("""SELECT (epoch_ns(ts) // 1800000000000) * 1800 - off AS window_start,
+            count(*) AS n,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+            FROM events CROSS JOIN (VALUES (0), (1800)) o(off)
+            GROUP BY 1
+            ORDER BY window_start"""))
+
+  /** Session windows with a 15-minute inactivity gap, per user. Oracle
+    * is the gaps-and-islands formulation: a new session starts when
+    * the gap since the previous event is >= the timeout.
+    */
+  val q35Session = Q(
+    "q35_session_window",
+    (s, dir) => {
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "15 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH m AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts >= lag(ts) OVER w + INTERVAL 15 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            g AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id,
+                   CAST(floor(date_part('epoch', min(ts))) AS BIGINT) AS session_start,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM g GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** Deterministic "keep first" dedup on (user_id, event_type) — the
+    * batch shape of streaming dropDuplicates, made order-stable with
+    * (ts, event_id).
+    */
+  val q36DedupFirst = Q(
+    "q36_dedup_first",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_ns").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"),
+          expr("ts_ns div 1000000000").as("first_ts_sec"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id AS first_event_id,
+            epoch_ns(ts) // 1000000000 AS first_ts_sec
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts ASC, event_id ASC) AS rn
+                  FROM events) x
+            WHERE rn = 1
+            ORDER BY user_id, event_type"""))
+}

@@ -1,0 +1,699 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The declared relational surface of SURVEY.md §2.7: scans,
+  * projection/filter, every join shape, aggregation (incl. rollup /
+  * cube / grouping sets / deterministic mode), window functions,
+  * sort/limit/top-k, set ops, and scalar functions — all stock Spark
+  * primitives over the driver's TPC-H-ish tables, each paired with a
+  * DuckDB oracle.
+  *
+  * Determinism rules applied throughout:
+  *  - every query ends in a total ORDER BY with a unique-key tiebreak;
+  *  - computed doubles are rounded (2dp money, 6dp math) on BOTH sides;
+  *  - ROLLUP/CUBE null keys are coalesced to 'ALL' so null-ordering
+  *    differences between engines can't reorder rows.
+  */
+object Relational extends QModule {
+
+  override def queries: Seq[Q] = Seq(
+    q01Agg, q02Project, q03JoinAgg, q04LeftJoinNull, q05SemiJoin,
+    q06AntiJoin, q07FullJoin, q08RightJoin, q09CrossJoin, q10RangeJoin,
+    q11BroadcastJoin, q12AggDistinct, q13ApproxDistinct, q14Rollup,
+    q15Cube, q16GroupingSets, q17Having, q18Mode,
+    q19WindowRank, q20WindowLagLead, q21WindowRunning, q22WindowRange,
+    q23SortLimit, q24TopKPerGroup, q25Union, q26Intersect, q27Except,
+    q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json)
+
+  /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
+    *
+    * Money math runs in exact integer cents (inputs are 2dp / pct
+    * decimals), so the aggregates are bit-identical across engines
+    * regardless of summation order — a double `sum` can land exactly
+    * on a rounding boundary where Spark (binary-expansion HALF_UP)
+    * and DuckDB (shortest-decimal) disagree. Averages use integer
+    * floor-division for the same reason.
+    */
+  val q01Agg = Q(
+    "q01_agg_pricing",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+        .selectExpr("l_returnflag", "l_linestatus",
+          "CAST(round(l_quantity) AS BIGINT) AS qty",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+          "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct",
+          "CAST(round(l_tax * 100) AS BIGINT) AS tax_pct")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("qty")).as("sum_qty"),
+          expr("CAST(sum(price_c) AS DOUBLE) / 100").as("sum_base_price"),
+          expr("CAST(sum(price_c * (100 - disc_pct)) AS DOUBLE) / 10000").as("sum_disc_price"),
+          expr("CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS DOUBLE) / 1000000").as("sum_charge"),
+          expr("(sum(qty) * 1000) div count(*)").as("avg_qty_milli"),
+          expr("(sum(disc_pct) * 100) div count(*)").as("avg_disc_bp"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(sum(qty) AS BIGINT) AS sum_qty,
+            CAST(sum(price_c) AS DOUBLE) / 100 AS sum_base_price,
+            CAST(sum(price_c * (100 - disc_pct)) AS DOUBLE) / 10000 AS sum_disc_price,
+            CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS DOUBLE) / 1000000 AS sum_charge,
+            CAST((sum(qty) * 1000) // count(*) AS BIGINT) AS avg_qty_milli,
+            CAST((sum(disc_pct) * 100) // count(*) AS BIGINT) AS avg_disc_bp,
+            count(*) AS count_order
+            FROM (SELECT l_returnflag, l_linestatus,
+                    CAST(round(l_quantity) AS BIGINT) AS qty,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                    CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+                  FROM lineitem
+                  WHERE l_shipdate <= TIMESTAMP '1999-09-02') x
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  /** Projection with computed columns, CASE, BETWEEN, IN, LIKE. */
+  val q02Project = Q(
+    "q02_filter_project",
+    (s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_size").between(5, 30) &&
+          col("p_type").isin("ECONOMY", "PROMO") &&
+          col("p_name").like("%widget%"))
+        .select(
+          col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 25, "medium")
+            .otherwise("large").as("size_class"),
+          round(col("p_retailprice") * lit(1.1), 2).as("bumped_price"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_name, p_brand, p_size,
+            CASE WHEN p_size < 10 THEN 'small'
+                 WHEN p_size < 25 THEN 'medium'
+                 ELSE 'large' END AS size_class,
+            round(p_retailprice * 1.1, 2) AS bumped_price
+            FROM part
+            WHERE p_size BETWEEN 5 AND 30
+              AND p_type IN ('ECONOMY', 'PROMO')
+              AND p_name LIKE '%widget%'
+            ORDER BY p_partkey"""))
+
+  /** TPC-H Q3-shaped 3-way join + agg + top-k. */
+  val q03JoinAgg = Q(
+    "q03_join_topk_revenue",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      t("customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t("orders"), col("c_custkey") === col("o_custkey"))
+        .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000")
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10"""),
+    headline = true)
+
+  /** Left outer join + IS NULL: customers with no orders. */
+  val q04LeftJoinNull = Q(
+    "q04_left_join_null",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      t("customer")
+        .join(t("orders"), col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("o_orderkey").isNull)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            WHERE o_orderkey IS NULL
+            ORDER BY c_custkey"""))
+
+  /** Left-semi join (EXISTS): customers having a big order. */
+  val q05SemiJoin = Q(
+    "q05_semi_join",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      val big = t("orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      t("customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+            ORDER BY c_custkey"""))
+
+  /** Left-anti join (NOT EXISTS): parts never shipped. */
+  val q06AntiJoin = Q(
+    "q06_anti_join",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      t("part")
+        .join(t("lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+            ORDER BY p_partkey"""))
+
+  /** Full outer join of two per-nation aggregates. */
+  val q07FullJoin = Q(
+    "q07_full_join",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      val cust = t("customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = t("supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("nk") === col("nk2"), "full")
+        .select(
+          coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT COALESCE(c.nk, s.nk2) AS nationkey,
+            COALESCE(c.n_cust, 0) AS n_cust,
+            COALESCE(s.n_supp, 0) AS n_supp
+            FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+                  FROM customer GROUP BY c_nationkey) c
+            FULL OUTER JOIN (SELECT s_nationkey AS nk2, count(*) AS n_supp
+                             FROM supplier GROUP BY s_nationkey) s
+              ON c.nk = s.nk2
+            ORDER BY nationkey"""))
+
+  /** Right outer join: every nation keeps a row even with no customers. */
+  val q08RightJoin = Q(
+    "q08_right_join",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      t("customer")
+        .join(t("nation"), col("c_nationkey") === col("n_nationkey"), "right")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, count(c_custkey) AS n_cust
+            FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_nationkey, n_name
+            ORDER BY n_nationkey"""))
+
+  /** Cross join of two small dimensions. */
+  val q09CrossJoin = Q(
+    "q09_cross_join",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      val statuses = t("orders").select(col("o_orderstatus")).distinct()
+      t("region").crossJoin(statuses)
+        .select(col("r_name"), col("o_orderstatus"))
+        .orderBy(col("r_name"), col("o_orderstatus"))
+    },
+    Some("""SELECT r_name, o_orderstatus
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+            ORDER BY r_name, o_orderstatus"""))
+
+  /** Theta join: equi key + non-equi range residual. */
+  val q10RangeJoin = Q(
+    "q10_range_join",
+    (s, dir) => {
+      val p = Tables.load(s, dir, "part")
+      val p1 = p.select(col("p_brand").as("brand"), col("p_retailprice").as("price1"))
+      val p2 = p.select(col("p_brand").as("brand2"), col("p_retailprice").as("price2"))
+      p1.join(p2, col("brand") === col("brand2") && col("price1") < col("price2"))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(CAST(round((price2 - price1) * 100) AS BIGINT)) div count(*)").as("avg_gap_cents"))
+        .orderBy(col("brand"))
+    },
+    Some("""SELECT p1.p_brand AS brand, count(*) AS n_pairs,
+            CAST(sum(CAST(round((p2.p_retailprice - p1.p_retailprice) * 100) AS BIGINT)) // count(*) AS BIGINT) AS avg_gap_cents
+            FROM part p1 JOIN part p2
+              ON p1.p_brand = p2.p_brand AND p1.p_retailprice < p2.p_retailprice
+            GROUP BY p1.p_brand
+            ORDER BY brand"""))
+
+  /** TPC-H Q5-shaped star join with explicit broadcast of the small
+    * dimensions — at 100 TB the fact table shuffles once on o_orderkey
+    * while region/nation/customer broadcast.
+    */
+  val q11BroadcastJoin = Q(
+    "q11_broadcast_star_join",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      t("lineitem")
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000")
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+            count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name"""),
+    headline = true)
+
+  /** count(DISTINCT) + plain aggregates. */
+  val q12AggDistinct = Q(
+    "q12_count_distinct",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+            count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** approx_count_distinct (HLL++). No SQL oracle — DuckDB's approx
+    * sketch differs; driver records the rows-only check.
+    */
+  val q13ApproxDistinct = Q(
+    "q13_approx_count_distinct",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  /** ROLLUP with null keys coalesced to 'ALL'. */
+  val q14Rollup = Q(
+    "q14_rollup",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+            COALESCE(l_linestatus, 'ALL') AS lstatus,
+            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY rflag, lstatus"""))
+
+  /** CUBE with null keys coalesced. */
+  val q15Cube = Q(
+    "q15_cube",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+            COALESCE(o_orderpriority, 'ALL') AS priority,
+            count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority"""))
+
+  /** GROUPING SETS via SQL. */
+  val q16GroupingSets = Q(
+    "q16_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               round(sum(l_extendedprice), 2) AS sum_price
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY rflag, lstatus""")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+            COALESCE(l_linestatus, 'ALL') AS lstatus,
+            round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY rflag, lstatus"""))
+
+  /** HAVING: suppliers moving serious quantity. */
+  val q17Having = Q(
+    "q17_having",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 1000)
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_suppkey
+            HAVING round(sum(l_quantity), 2) > 1000
+            ORDER BY l_suppkey"""))
+
+  /** Deterministic mode (most frequent value, ties → smallest value) —
+    * the label-mode downsample aggregate of SURVEY A7 expressed
+    * relationally. Built-in `mode()` is tie-nondeterministic, so the
+    * window formulation keeps the oracle honest.
+    */
+  val q18Mode = Q(
+    "q18_mode",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt").as("mode_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count FROM (
+              SELECT l_returnflag, l_quantity, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY count(*) DESC, l_quantity ASC) AS rn
+              FROM lineitem GROUP BY l_returnflag, l_quantity) x
+            WHERE rn = 1 ORDER BY l_returnflag"""))
+
+  /** row_number / rank / dense_rank, top-3 per segment. */
+  val q19WindowRank = Q(
+    "q19_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+    Some("""SELECT * FROM (
+              SELECT c_mktsegment, c_custkey, c_acctbal,
+                     row_number() OVER w AS rn, rank() OVER w AS rk,
+                     dense_rank() OVER w AS drk
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey ASC)) x
+            WHERE rn <= 3 ORDER BY c_mktsegment, rn"""),
+    headline = true)
+
+  /** lag/lead over per-customer order history. */
+  val q20WindowLagLead = Q(
+    "q20_window_lag_lead",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+        .filter(col("o_custkey") < 20)
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+            round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+            round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+            FROM orders
+            WHERE o_custkey < 20
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** Running sum with an explicit ROWS frame. */
+  val q21WindowRunning = Q(
+    "q21_window_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+            round(sum(l_quantity) OVER (
+              PARTITION BY l_suppkey
+              ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+            FROM lineitem WHERE l_suppkey <= 3
+            ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** RANGE frame over a numeric ordering (value-based window). */
+  val q22WindowRange = Q(
+    "q22_window_range_frame",
+    (s, dir) => {
+      val w = Window.orderBy(col("p_size"))
+        .rangeBetween(-2, 0)
+      Tables.load(s, dir, "part")
+        .groupBy(col("p_size"))
+        .agg(round(sum(col("p_retailprice")), 2).as("size_price"))
+        .select(col("p_size"),
+          round(sum(col("size_price")).over(w), 2).as("rolling_price"))
+        .orderBy(col("p_size"))
+    },
+    Some("""SELECT p_size, round(sum(size_price) OVER (
+              ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+              AS rolling_price
+            FROM (SELECT p_size, round(sum(p_retailprice), 2) AS size_price
+                  FROM part GROUP BY p_size) x
+            ORDER BY p_size"""))
+
+  /** Multi-key sort with DESC + explicit NULLS LAST, then LIMIT. */
+  val q23SortLimit = Q(
+    "q23_sort_nulls_limit",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+          col("o_totalprice"))
+        .orderBy(col("status_np").desc_nulls_last, col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    Some("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_np, o_totalprice
+            FROM orders
+            ORDER BY status_np DESC NULLS LAST, o_totalprice DESC, o_orderkey
+            LIMIT 50"""))
+
+  /** Top-k per group via window + filter. */
+  val q24TopKPerGroup = Q(
+    "q24_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+    Some("""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+              SELECT o_orderstatus, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) x
+            WHERE rn <= 2 ORDER BY o_orderstatus, rn"""))
+
+  /** UNION ALL vs UNION DISTINCT. */
+  val q25Union = Q(
+    "q25_union",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      val c = t("customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t("supplier").select(col("s_nationkey").as("nationkey"))
+      val all = c.union(sup).groupBy(col("nationkey")).agg(count(lit(1)).as("n_all"))
+      val dist = c.union(sup).distinct().groupBy(col("nationkey")).agg(count(lit(1)).as("n_dist"))
+      all.join(dist, Seq("nationkey"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT a.nationkey, a.n_all, d.n_dist
+            FROM (SELECT nationkey, count(*) AS n_all FROM (
+                    SELECT c_nationkey AS nationkey FROM customer
+                    UNION ALL SELECT s_nationkey FROM supplier) u
+                  GROUP BY nationkey) a
+            JOIN (SELECT nationkey, count(*) AS n_dist FROM (
+                    SELECT c_nationkey AS nationkey FROM customer
+                    UNION SELECT s_nationkey FROM supplier) u
+                  GROUP BY nationkey) d
+              ON a.nationkey = d.nationkey
+            ORDER BY a.nationkey"""))
+
+  /** INTERSECT: nations having both customers and suppliers. */
+  val q26Intersect = Q(
+    "q26_intersect",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      t("customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t("supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  /** EXCEPT: nations with customers but no suppliers. */
+  val q27Except = Q(
+    "q27_except",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      t("customer").select(col("c_nationkey").as("nationkey"))
+        .except(t("supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  /** String functions: substr/concat/upper/lower/trim/regexp. */
+  val q28StringFns = Q(
+    "q28_string_fns",
+    (s, dir) => {
+      Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 40)
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          lower(col("c_name")).as("name_lower"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("seg_key"),
+          trim(lit("  x  ")).as("trimmed"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          length(col("c_name")).as("name_len"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+            upper(c_mktsegment) AS seg_upper,
+            lower(c_name) AS name_lower,
+            substring(c_name, 1, 8) AS name_prefix,
+            concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+            trim('  x  ') AS trimmed,
+            regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+            length(c_name) AS name_len
+            FROM customer WHERE c_custkey < 40
+            ORDER BY c_custkey"""))
+
+  /** Date/time functions: year/month/date_trunc/datediff. */
+  val q29DateFns = Q(
+    "q29_date_fns",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))).as("max_age_days"))
+        .orderBy(col("order_year"), col("order_month"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+            CAST(month(o_orderdate) AS INT) AS order_month,
+            count(*) AS n_orders, round(sum(o_totalprice), 2) AS total,
+            CAST(max(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS INT) AS max_age_days
+            FROM orders
+            GROUP BY 1, 2 ORDER BY order_year, order_month"""))
+
+  /** Math functions, rounded to 6dp to absorb libm ulp differences. */
+  val q30MathFns = Q(
+    "q30_math_fns",
+    (s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_partkey") < 50)
+        .select(
+          col("p_partkey"),
+          round(abs(col("p_retailprice") - 1000), 6).as("abs_diff"),
+          round(pow(col("p_size"), 2), 6).as("size_sq"),
+          round(log(col("p_retailprice")), 6).as("ln_price"),
+          round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+          ceil(col("p_retailprice")).as("ceil_price"),
+          floor(col("p_retailprice")).as("floor_price"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+            round(abs(p_retailprice - 1000), 6) AS abs_diff,
+            round(pow(p_size, 2), 6) AS size_sq,
+            round(ln(p_retailprice), 6) AS ln_price,
+            round(sqrt(p_retailprice), 6) AS sqrt_price,
+            CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+            CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+            p_partkey % 7 AS key_mod
+            FROM part WHERE p_partkey < 50
+            ORDER BY p_partkey"""))
+
+  /** Array functions: split + size + contains + explode word count. */
+  val q31ArrayFns = Q(
+    "q31_array_fns",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    },
+    Some("""SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+            WHERE length(word) > 0
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 20"""))
+
+  /** JSON extraction from the events.props payload. Oracle uses a
+    * regexp so it doesn't depend on DuckDB's json extension.
+    */
+  val q32Json = Q(
+    "q32_json_extract",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+            max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+}
