@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for large-scale training-data
+  * pipelines: exact (hash groupBy), word-shingle exact Jaccard,
+  * MinHash+LSH banding, and SimHash — all pure DataFrame transforms
+  * that shuffle on content-derived keys, so they scale horizontally:
+  * nothing is collected to the driver and every join key (hash,
+  * shingle, band bucket) is high-cardinality.
+  *
+  * Reference behavior surface: the engine's north-star LLM-pipeline
+  * extension (SURVEY.md §2.7 last row).
+  */
+object TextDedup {
+
+  /** Non-empty whitespace tokens of `text`. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Distinct word k-shingles ("w1 w2 w3") of `text`. Documents with
+    * fewer than k words produce an empty set.
+    */
+  def wordShingles(text: Column, k: Int = 3): Column = {
+    val ws = words(text)
+    array_distinct(
+      when(size(ws) >= k,
+        transform(sequence(lit(0), size(ws) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ws, (i + j + 1).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact dedup: group identical texts by md5, keep the smallest id
+    * as the canonical representative. One shuffle on the hash key.
+    *
+    * Output: (text_hash, n_copies, keeper_id).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** (doc_id, shingle) exploded pairs, distinct per doc. */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(wordShingles(col(textCol), k)).as("shingle"))
+
+  /** Exact pairwise Jaccard over word k-shingles, computed
+    * relationally: explode shingles, self-join on the shingle key,
+    * count intersections, then |A∪B| = |A|+|B|−|A∩B|. Only emits
+    * pairs sharing ≥1 shingle, so the join prunes the O(n²) space to
+    * co-occurring documents. For web-scale corpora use
+    * `minHashNearDups` instead — this is the verify/oracle kernel.
+    *
+    * Output: (doc_a, doc_b, inter, size_a, size_b, jaccard) with
+    * doc_a < doc_b.
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signatures: one row per doc, `sig` = array of `numHashes`
+    * minima over the doc's shingle hashes. Each slot uses an
+    * independent salted xxhash64 (a cheap-double-hash variant would
+    * correlate the slots: a perturbation term far smaller than the
+    * base hash range makes every slot pick the same min shingle).
+    * Single shuffle (groupBy doc) with map-side partial min — scales
+    * to any corpus size.
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, k)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(concat(col("shingle"), lit(s":$i")))).as(s"m$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding over MinHash signatures: hash each band of
+    * `rowsPerBand` signature slots, emit (band, bucket) keys, and
+    * self-join within buckets. Candidates ≪ n² and the join key is a
+    * 64-bit band hash, so bucket skew stays bounded at scale.
+    *
+    * Output: distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b.
+    */
+  def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => element_at(col("sig"), (b * lit(rowsPerBand) + r + 1).cast("int"))): _*))))
+        .as(Seq("band", "bucket")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection end-to-end: signatures → banded
+    * candidate pairs → exact-Jaccard verification on the candidates
+    * only (per-pair `array_intersect` on the two shingle sets — no
+    * quadratic stage anywhere).
+    *
+    * Output: (doc_a, doc_b, jaccard) for verified pairs.
+    */
+  def minHashNearDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, numHashes: Int = 64,
+      numBands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(minHashSignatures(docs, idCol, textCol, k, numHashes),
+      numBands, numHashes / numBands)
+    val sets = docs.select(col(idCol).as("doc_id"), wordShingles(col(textCol), k).as("sh"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 60-bit SimHash over whitespace tokens. Token hashes come from the
+    * md5 hex prefix (so any engine — including the DuckDB oracle — can
+    * reproduce them), bit votes are ±1 per occurrence, and the final
+    * fingerprint sets bit k iff the vote is positive.
+    *
+    * Output: (doc_id, simhash).
+    */
+  def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      bits: Int = 60): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    toks.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("k"))
+      .withColumn("bit", expr("(h div CAST(pow(2, k) AS BIGINT)) % 2"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, expr("CAST(pow(2, k) AS BIGINT)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

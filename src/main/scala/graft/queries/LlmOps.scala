@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Multimodal, Similarity, TextDedup, TextStats}
+
+/** LLM-training-data pipeline surface: deduplication (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding cosine), similarity
+  * search (brute-force + SRP-LSH ANN), text analysis (stats, lang-ID,
+  * token counts, fingerprints) and multimodal binary plumbing — the
+  * north-star extensions of SURVEY.md §2.7.
+  *
+  * Oracle parity notes: ratios are raw doubles from identical integer
+  * divisions (never rounded); cosine values round to 6dp because
+  * cross-engine summation order differs by ulps; SimHash token hashes
+  * derive from md5 hex so DuckDB reproduces them exactly.
+  */
+object LlmOps extends QModule {
+
+  override def queries: Seq[Q] = Seq(
+    d40DedupExact, d41JaccardPairs, d42MinHash, d43SimHash, d44SimHashPairs,
+    d45EmbNearDup, s46CosineTopK, s47AnnLsh, t48TextStats, t49LangId,
+    t50TokenCount, t51Fingerprint, m52Multimodal)
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+    .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+
+  /** Exact dedup via content hash. */
+  val d40DedupExact = Q(
+    "d40_dedup_exact",
+    (s, dir) => TextDedup.exact(docs(s, dir)).orderBy(col("text_hash")),
+    Some("""SELECT md5(text) AS text_hash, count(*) AS n_copies,
+            min(doc_id) AS keeper_id
+            FROM documents GROUP BY md5(text) ORDER BY text_hash"""),
+    headline = true)
+
+  /** Exact pairwise n-gram Jaccard (relational shingle self-join). */
+  val d41JaccardPairs = Q(
+    "d41_ngram_jaccard_pairs",
+    (s, dir) => TextDedup.exactJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 300), minJaccard = 0.05)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(200),
+    Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents WHERE doc_id < 300),
+            sh AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(len(ws) - 2),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS shingle
+                   FROM d WHERE len(ws) >= 3),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b,
+                   CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+            FROM it JOIN sz sa ON it.doc_a = sa.doc_id
+                    JOIN sz sb ON it.doc_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05
+            ORDER BY jaccard DESC, doc_a, doc_b
+            LIMIT 200"""))
+
+  /** MinHash+LSH near-dup pipeline (xxhash64-based — not reproducible
+    * in DuckDB SQL, so rows-only check; the ScalaTest spec verifies it
+    * against exact Jaccard).
+    */
+  val d42MinHash = Q(
+    "d42_minhash_lsh_neardup",
+    (s, dir) => TextDedup.minHashNearDups(docs(s, dir), minJaccard = 0.2)
+      .orderBy(col("doc_a"), col("doc_b")),
+    None,
+    headline = true)
+
+  /** 60-bit SimHash fingerprints (md5-derived token hashes). */
+  val d43SimHash = Q(
+    "d43_simhash",
+    (s, dir) => TextDedup.simHash(docs(s, dir).filter(col("doc_id") < 300))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS w
+                       FROM documents WHERE doc_id < 300),
+            h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM t),
+            bits AS (SELECT doc_id, k,
+                       sum(CASE WHEN (h // CAST(pow(2, k) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                     FROM h, range(60) r(k) GROUP BY doc_id, k)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, k) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** SimHash near-dup pairs by Hamming distance. */
+  val d44SimHashPairs = Q(
+    "d44_simhash_pairs",
+    (s, dir) => {
+      val sh = TextDedup.simHash(docs(s, dir).filter(col("doc_id") < 300))
+      sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
+          col("doc_a") < col("doc_b"))
+        .withColumn("hamming", TextDedup.hammingDistance(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 14)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS w
+                       FROM documents WHERE doc_id < 300),
+            h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM t),
+            bits AS (SELECT doc_id, k,
+                       sum(CASE WHEN (h // CAST(pow(2, k) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                     FROM h, range(60) r(k) GROUP BY doc_id, k),
+            f AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, k) AS BIGINT)
+                                  ELSE 0 END) AS BIGINT) AS simhash
+                  FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM f a JOIN f b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 14
+            ORDER BY doc_a, doc_b"""))
+
+  /** Embedding-cosine near-dup pairs (brute force on a slice). */
+  val d45EmbNearDup = Q(
+    "d45_embedding_neardup",
+    (s, dir) => Similarity.nearDupPairs(emb(s, dir).filter(col("id") < 300), 0.35)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings WHERE vec_id < 300),
+            x AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_sum(list_transform(range(64), i -> a.e[i+1] * b.e[i+1])) AS dot,
+                    sqrt(list_sum(list_transform(range(64), i -> a.e[i+1] * a.e[i+1]))) AS na,
+                    sqrt(list_sum(list_transform(range(64), i -> b.e[i+1] * b.e[i+1]))) AS nb
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos
+            FROM x WHERE round(dot / (na * nb), 6) >= 0.35
+            ORDER BY id_a, id_b"""))
+
+  /** Brute-force cosine top-k for 5 query vectors. */
+  val s46CosineTopK = Q(
+    "s46_cosine_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("id") < 5), e, 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            x AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                      6) AS cos
+                  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+            r AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM x)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+            FROM r WHERE rank <= 5
+            ORDER BY query_id, rank"""),
+    headline = true)
+
+  /** SRP-LSH bucketed ANN (xxhash64 planes — rows-only check; spec
+    * verifies recall against brute force).
+    */
+  val s47AnnLsh = Q(
+    "s47_ann_lsh",
+    (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("id") < 20), e, dim = 64, k = 5, numPlanes = 6)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  /** Per-document text statistics + quality score. */
+  val t48TextStats = Q(
+    "t48_text_stats",
+    (s, dir) => TextStats.stats(docs(s, dir)).orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+            CAST(len(ws) AS INT) AS n_words,
+            CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+            CAST(list_sum(list_transform(ws, w -> length(w))) AS INT) AS sum_word_len,
+            CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_word_len,
+            CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+            (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+              * (CAST(least(len(ws), 100) AS DOUBLE) / 100.0) AS quality_score
+            FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                  FROM documents) d
+            ORDER BY doc_id"""))
+
+  /** Heuristic language ID: confusion matrix actual × predicted. */
+  val t49LangId = Q(
+    "t49_lang_id",
+    (s, dir) => TextStats.langId(docs(s, dir))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted_lang")),
+    Some("""WITH sc AS (
+              SELECT lang,
+                len(list_filter(ws, x -> list_contains(['der','die','und','das','ist','nicht'], x))) AS s_de,
+                len(list_filter(ws, x -> list_contains(['the','of','and','to','in','is'], x))) AS s_en,
+                len(list_filter(ws, x -> list_contains(['el','la','de','que','y','los'], x))) AS s_es,
+                len(list_filter(ws, x -> list_contains(['le','la','de','et','les','des'], x))) AS s_fr,
+                len(list_filter(ws, x -> list_contains(['de5','shi4','le5','zai4','wo3','you3'], x))) AS s_zh
+              FROM (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents) d),
+            p AS (SELECT lang,
+                    CASE WHEN s_de = m AND m > 0 THEN 'de'
+                         WHEN s_en = m AND m > 0 THEN 'en'
+                         WHEN s_es = m AND m > 0 THEN 'es'
+                         WHEN s_fr = m AND m > 0 THEN 'fr'
+                         WHEN s_zh = m AND m > 0 THEN 'zh'
+                         ELSE 'und' END AS predicted_lang
+                  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc) x)
+            SELECT lang, predicted_lang, count(*) AS n
+            FROM p GROUP BY lang, predicted_lang
+            ORDER BY lang, predicted_lang"""))
+
+  /** Token counting (whitespace + BPE-ish regex) per source. */
+  val t50TokenCount = Q(
+    "t50_token_count",
+    (s, dir) => TextStats.tokenCounts(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source")),
+    Some("""SELECT source,
+            CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_ws_tokens,
+            CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))) AS BIGINT) AS total_re_tokens,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            count(*) AS n_docs
+            FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Bag-of-words fingerprint clusters per language. */
+  val t51Fingerprint = Q(
+    "t51_fingerprint",
+    (s, dir) => docs(s, dir)
+      .select(col("lang"), TextStats.fingerprint(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct_fp"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS n_docs,
+            count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+              list_filter(string_split(text, ' '), x -> x <> ''))), ' '))) AS n_distinct_fp
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Multimodal decode-stub kernel over binary payloads: the JVM
+    * mapPartitions path, oracle-checked against hex arithmetic on the
+    * same md5-derived bytes.
+    */
+  val m52Multimodal = Q(
+    "m52_multimodal_features",
+    (s, dir) => Multimodal.extractFeatures(s,
+        Multimodal.syntheticMedia(docs(s, dir).filter(col("doc_id") < 200)))
+      .toDF().orderBy(col("doc_id")),
+    Some("""SELECT doc_id, 16 AS n_bytes,
+            CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+            CAST(list_aggregate(bytes, 'max') AS INT) AS byte_max,
+            CAST(list_sum(bytes) AS DOUBLE) / 16 AS mean_byte
+            FROM (SELECT doc_id, list_transform(range(16),
+                    i -> CAST('0x' || substr(md5(text), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+                  FROM documents WHERE doc_id < 200) x
+            ORDER BY doc_id"""))
+}

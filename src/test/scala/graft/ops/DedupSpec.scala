@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("exact dedup partitions the corpus: sum of copies = row count") {
+    val total = docs.count()
+    val agg = TextDedup.exact(docs).agg(sum("n_copies")).head.getLong(0)
+    assert(agg == total)
+  }
+
+  test("exact jaccard: identical docs have jaccard 1.0, self-pairs excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("doc_id", "text")
+    val pairs = TextDedup.exactJaccardPairs(df, k = 3).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash+LSH finds every high-jaccard pair (recall at 0.7)") {
+    val exact = TextDedup.exactJaccardPairs(docs, minJaccard = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minHashNearDups(docs, minJaccard = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    // LSH output is verified against exact jaccard, so it can only miss
+    // (banding collision failure), never add false positives
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= (exact.size * 0.9).toInt, s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: near-identical docs land at small hamming distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "entirely different words compose this unrelated document here now")).toDF("doc_id", "text")
+    val sh = TextDedup.simHash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(ham(sh(1L), sh(2L)) <= 12)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+
+  test("cosine of a vector with itself is 1.0") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "vec")
+    val c = df.select(Similarity.cosine(col("vec"), col("vec"))).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val k = 5
+    val out = Similarity.bruteForceTopK(emb.filter(col("id") < 3), emb, k).collect()
+    assert(out.length == 3 * k)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to k))
+      // ranks follow descending rounded cosine
+      val cosines = sorted.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k neighbors are a subset of candidates with exact cosines") {
+    // every (query, neighbor, cos) from LSH must appear in the
+    // brute-force scored pairs with identical cosine (LSH only
+    // restricts the candidate set, never alters scores)
+    val brute = Similarity.bruteForceTopK(emb.filter(col("id") < 10), emb, 500)
+      .select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb.filter(col("id") < 10), emb, dim = 64, k = 5, numPlanes = 6)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute.contains(key) && brute(key) == r.getAs[Double]("cos"))
+    }
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb.filter(col("id") < 100), 0.3).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") >= 0.3)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+
+  test("stats on a known document") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb aa cccc")).toDF("doc_id", "text")
+    val r = TextStats.stats(df).head
+    assert(r.getAs[Int]("n_words") == 4)
+    assert(r.getAs[Int]("n_distinct") == 3)
+    assert(r.getAs[Int]("sum_word_len") == 10)
+    assert(r.getAs[Double]("avg_word_len") == 2.5)
+    assert(r.getAs[Double]("ttr") == 0.75)
+  }
+
+  test("langId picks the lexicon with most hits; tie → lexicon order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x", "the of and xyz"),      // en
+      (2L, "x", "der und la la"),        // de=2 vs fr(la,la)=2 tie → de
+      (3L, "x", "zz qq ww")).toDF("doc_id", "lang", "text") // none → und
+    val out = TextStats.langId(df).select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("token counts: regex tokenizer splits punctuation runs") {
+    import spark.implicits._
+    val df = Seq((1L, "ab,cd ef12 - gh")).toDF("doc_id", "text")
+    val r = TextStats.tokenCounts(df).head
+    assert(r.getAs[Int]("ws_tokens") == 4) // "ab,cd" "ef12" "-" "gh"
+    assert(r.getAs[Int]("re_tokens") == 5) // ab cd ef 12 gh
+  }
+
+  test("fingerprint collides for bag-of-words permutations only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b a c"), (2L, "c b a a a"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
