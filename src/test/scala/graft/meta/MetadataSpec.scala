@@ -1,0 +1,118 @@
+package graft.meta
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.meta.Model._
+
+class MetadataSpec extends AnyFunSuite {
+
+  private val axes = Seq(
+    Axis("y", "space", Some("micrometer")), Axis("x", "space", Some("micrometer")))
+  private val ms = MultiscalesMeta(
+    axes,
+    Seq(
+      DatasetMeta("scale0/image", Seq(ScaleT(Seq(1.0, 1.0)), TranslationT(Seq(0.0, 0.0)))),
+      DatasetMeta("scale1/image", Seq(ScaleT(Seq(2.0, 2.0)), TranslationT(Seq(0.5, 0.5))))),
+    version = "0.4", name = Some("image"),
+    `type` = Some("itkwasm_bin_shrink"),
+    metadata = Some(Method.ItkwasmBinShrink.metadata))
+
+  test("v0.4 root attrs JSON round-trips") {
+    val json = ZarrJson.rootAttrs(ms)
+    val parsed = ZarrJson.parseMultiscales(json)
+    assert(parsed.version == "0.4")
+    assert(parsed.axes == axes)
+    assert(parsed.datasets == ms.datasets)
+    assert(parsed.`type`.contains("itkwasm_bin_shrink"))
+    assert(parsed.metadata.map(_.method).contains("itkwasm_bin_shrink"))
+  }
+
+  test("v0.5 root attrs nest under ome key and round-trip") {
+    val v5 = ms.copy(version = "0.5")
+    val json = ZarrJson.rootAttrs(v5)
+    assert(json.contains("\"ome\""))
+    val parsed = ZarrJson.parseMultiscales(json)
+    assert(parsed.version == "0.5")
+    assert(parsed.datasets == ms.datasets)
+  }
+
+  test("version detection: bare multiscales with no version → 0.4") {
+    val json = """{"multiscales": [{"datasets": [{"path": "0"}]}]}"""
+    val parsed = ZarrJson.parseMultiscales(json)
+    assert(parsed.version == "0.4")
+    // v0.1-0.3 back-compat: fixed tczyx axes
+    assert(parsed.axes.map(_.name) == Seq("t", "c", "z", "y", "x"))
+    assert(parsed.datasets.head.coordinateTransformations
+      .collect { case ScaleT(s) => s }.head == Seq.fill(5)(1.0))
+  }
+
+  test("omero window back-compat: min/max only, start/end only, both") {
+    assert(Validation.normalizeOmeroWindow(Some(0), Some(255), None, None)
+      .contains(OmeroWindow(0, 255, 0, 255)))
+    assert(Validation.normalizeOmeroWindow(None, None, Some(10), Some(90))
+      .contains(OmeroWindow(10, 90, 10, 90)))
+    assert(Validation.normalizeOmeroWindow(None, None, None, None).isEmpty)
+    val json = """{"multiscales":[{"axes":[{"name":"y","type":"space"},{"name":"x","type":"space"}],
+      "datasets":[{"path":"0"}],"version":"0.4"}],
+      "omero":{"channels":[
+        {"color":"FF0000","window":{"start":0,"end":100}},
+        {"color":"00FF00","window":{}}]}}"""
+    val parsed = ZarrJson.parseMultiscales(json)
+    assert(parsed.omero.get.channels.length == 1) // invalid channel skipped
+    assert(parsed.omero.get.channels.head.window == OmeroWindow(0, 100, 0, 100))
+  }
+
+  test("structural validation catches bad axes/units/colors") {
+    val bad = ms.copy(
+      axes = Seq(Axis("q", "space"), Axis("x", "banana", Some("lightyear"))),
+      omero = Some(Omero(Seq(OmeroChannel("red!", OmeroWindow(0, 1, 0, 1))))))
+    val errs = Validation.validateMultiscales(bad)
+    assert(errs.exists(_.message.contains("unsupported dimension name 'q'")))
+    assert(errs.exists(_.message.contains("invalid axis type 'banana'")))
+    assert(errs.exists(_.message.contains("unsupported unit 'lightyear'")))
+    assert(errs.exists(_.message.contains("invalid hex color")))
+    assert(Validation.validateMultiscales(ms).isEmpty)
+  }
+
+  test("RFC 4 validation: all-or-none, enum membership, duplicates") {
+    val good = Seq(
+      Axis("y", "space", None, Some(LpsOrientation("y"))),
+      Axis("x", "space", None, Some(LpsOrientation("x"))))
+    assert(Validation.validateRfc4(good).isEmpty)
+    val partial = Seq(
+      Axis("y", "space", None, Some(LpsOrientation("y"))), Axis("x", "space"))
+    assert(Validation.validateRfc4(partial)
+      .exists(_.message.contains("all spatial axes or none")))
+    val dup = Seq(
+      Axis("y", "space", None, Some(AnatomicalOrientation("anatomical", "left-to-right"))),
+      Axis("x", "space", None, Some(AnatomicalOrientation("anatomical", "right-to-left"))))
+    assert(Validation.validateRfc4(dup).exists(_.message.contains("duplicate")))
+    val badVal = Seq(
+      Axis("y", "space", None, Some(AnatomicalOrientation("anatomical", "up-to-down"))),
+      Axis("x", "space", None, Some(AnatomicalOrientation("anatomical", "left-to-right"))))
+    assert(Validation.validateRfc4(badVal).exists(_.message.contains("invalid orientation value")))
+  }
+
+  test("writer params: sharding requires v0.5") {
+    assert(Validation.validateWriterParams("0.4", Some(Seq(2, 2)))
+      .exists(_.message.contains("sharding requires")))
+    assert(Validation.validateWriterParams("0.5", Some(Seq(2, 2))).isEmpty)
+    assert(Validation.validateWriterParams("0.3", None).nonEmpty)
+  }
+
+  test("dtype registry: normalization, sizes, spark mapping") {
+    assert(Dtypes.normalize("<u2") == "uint16")
+    assert(Dtypes.normalize(">f4") == "float32")
+    assert(Dtypes.itemSize("complex128") == 16)
+    assert(Dtypes.sparkType("uint16") == org.apache.spark.sql.types.IntegerType)
+    assertThrows[IllegalArgumentException](Dtypes.normalize("str"))
+  }
+
+  test("default dims and chunks follow the reference rules") {
+    assert(defaultDims(2) == Seq("y", "x"))
+    assert(defaultDims(4) == Seq("z", "y", "x", "c"))
+    assert(defaultDims(5) == Seq("t", "z", "y", "x", "c"))
+    assert(defaultChunks(Seq("t", "z", "y", "x"))("t") == 1)
+    assert(defaultChunks(Seq("t", "z", "y", "x"))("x") == 128)
+    assert(defaultChunks(Seq("y", "x"))("x") == 256)
+  }
+}

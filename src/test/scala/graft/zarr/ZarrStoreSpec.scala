@@ -1,0 +1,62 @@
+package graft.zarr
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class ZarrStoreSpec extends AnyFunSuite {
+
+  test("codecs round-trip gzip/zlib/zstd/raw") {
+    val data = Array.tabulate[Byte](10000)(i => (i * 31 % 251).toByte)
+    for (codec <- Seq(None, Some("gzip"), Some("zlib"), Some("zstd"))) {
+      val enc = Codecs.compress(codec, data)
+      assert(Codecs.decompress(codec, enc, data.length).toSeq == data.toSeq, s"codec $codec")
+      if (codec.isDefined) assert(enc.length < data.length)
+    }
+    assertThrows[UnsupportedOperationException](Codecs.compress(Some("blosc"), data))
+  }
+
+  test("chunk keys: v2 separators and v3 c-prefix") {
+    assert(ZarrStore.chunkKey(2, "scale0/image", Seq(0, 1), "/") == "scale0/image/0/1")
+    assert(ZarrStore.chunkKey(2, "scale0/image", Seq(0, 1), ".") == "scale0/image/0.1")
+    assert(ZarrStore.chunkKey(3, "scale0/image", Seq(2, 0)) == "scale0/image/c/2/0")
+  }
+
+  test("chunk grid math: counts, shapes at edges, origins") {
+    assert(ZarrStore.chunkGrid(Seq(100L, 65L), Seq(64, 64)) == Seq(2, 2))
+    assert(ZarrStore.gridPositions(Seq(2, 2)).toSeq ==
+      Seq(Seq(0, 0), Seq(0, 1), Seq(1, 0), Seq(1, 1)))
+    assert(ZarrStore.chunkShapeAt(Seq(100L, 65L), Seq(64, 64), Seq(1, 1)) == Seq(36, 1))
+    assert(ZarrStore.chunkOriginAt(Seq(64, 64), Seq(1, 0)) == Seq(64L, 0L))
+  }
+
+  test("element codec: dtype round-trips incl unsigned and float16") {
+    val vals = Array(0.0, 1.0, 127.0, 128.0, 255.0)
+    for (dt <- Seq("uint8", "int16", "uint16", "int32", "uint32", "float32", "float64")) {
+      val enc = ZarrStore.encodeFromDoubles(vals, dt)
+      assert(ZarrStore.decodeToDoubles(enc, dt).toSeq == vals.toSeq, s"dtype $dt")
+    }
+    // negative wraps correctly through unsigned decode
+    val u8 = ZarrStore.encodeFromDoubles(Array(255.0), "uint8")
+    assert(u8.head == -1.toByte && ZarrStore.decodeToDoubles(u8, "uint8").head == 255.0)
+    // float16 quantizes but preserves representable values
+    val f16 = ZarrStore.encodeFromDoubles(Array(0.5, 1.0, -2.0), "float16")
+    assert(ZarrStore.decodeToDoubles(f16, "float16").toSeq == Seq(0.5, 1.0, -2.0))
+    // big-endian normalization (P5)
+    val be = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putShort(258.toShort).putShort(1.toShort).array()
+    assert(ZarrStore.decodeToDoubles(be, "int16", bigEndian = true).toSeq == Seq(258.0, 1.0))
+  }
+
+  test("store read/write/list round-trip on local fs") {
+    val dir = Files.createTempDirectory("graft-zarr").toString
+    val store = new ZarrStore(dir)
+    store.writeString("a/.zarray", "{}")
+    store.writeBytes("a/0/0", Array[Byte](1, 2, 3))
+    assert(store.exists("a/0/0"))
+    assert(store.readBytes("a/0/0").toSeq == Seq[Byte](1, 2, 3))
+    assert(store.readString("a/.zarray") == "{}")
+    assert(store.list("a").toSet == Set("a/.zarray", "a/0/0"))
+    store.delete("a")
+    assert(!store.exists("a/0/0"))
+  }
+}
