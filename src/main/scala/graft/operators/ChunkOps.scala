@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.meta.Model.ImageMeta
+import graft.meta.Dtypes
+import graft.zarr.ZarrStore
+
+/** The chunk table: one row per Zarr chunk (SURVEY §7.1), the
+  * engine's primary physical representation of an image level.
+  * Payloads are raw dtype-encoded little-endian C-order bytes;
+  * compression exists only at the store boundary.
+  *
+  * All heavy operators are chunk-granular Dataset transforms:
+  *  - per-chunk kernels → `mapPartitions` (no shuffle);
+  *  - stencil kernels → halo exchange: `flatMap` pieces to target
+  *    chunks → `groupByKey(target)` → assemble + kernel (one shuffle
+  *    keyed by chunk index — the Spark form of dask's map_overlap);
+  *  - `rechunk` (P4) uses the same piece/assemble machinery.
+  */
+object ChunkOps {
+
+  final case class ChunkRow(chunkIdx: Seq[Int], origin: Seq[Long],
+      shape: Seq[Int], data: Array[Byte])
+
+  /** A slice of a source chunk destined for (the possibly
+    * halo-extended block of) a target chunk.
+    */
+  final case class Piece(targetKey: String, targetIdx: Seq[Int],
+      destPos: Seq[Int], shape: Seq[Int], values: Array[Double])
+
+  final case class VoxelRow(t: Long, c: Long, z: Long, y: Long, x: Long, value: Double)
+
+  // ---- construction / materialization (driver-side, tests & ingest) ----
+
+  /** Build a chunk table from an in-memory C-order array. */
+  def fromArray(spark: SparkSession, values: Array[Double], meta: ImageMeta): Dataset[ChunkRow] = {
+    import spark.implicits._
+    val grid = ZarrStore.chunkGrid(meta.shape, meta.chunks)
+    val shapeArr = meta.shape.toArray
+    val strides = NdKernels.strides(shapeArr.map(_.toInt))
+    val rows = ZarrStore.gridPositions(grid).map { idx =>
+      val cShape = ZarrStore.chunkShapeAt(meta.shape, meta.chunks, idx)
+      val cOrigin = ZarrStore.chunkOriginAt(meta.chunks, idx)
+      val block = new Array[Double](cShape.product)
+      var flat = 0
+      val pos = new Array[Int](cShape.length)
+      while (flat < block.length) {
+        var src = 0
+        var d = 0
+        while (d < pos.length) { src += (cOrigin(d).toInt + pos(d)) * strides(d); d += 1 }
+        block(flat) = values(src)
+        var dd = pos.length - 1
+        var carry = true
+        while (carry && dd >= 0) {
+          pos(dd) += 1
+          if (pos(dd) == cShape(dd)) { pos(dd) = 0; dd -= 1 } else carry = false
+        }
+        flat += 1
+      }
+      ChunkRow(idx, cOrigin, cShape, ZarrStore.encodeFromDoubles(block, meta.dtype))
+    }.toSeq
+    spark.createDataset(rows).repartition(math.max(1, math.min(rows.size, 32)))
+  }
+
+  /** Collect a chunk table back to one C-order array (tests only). */
+  def toArray(ds: Dataset[ChunkRow], meta: ImageMeta): Array[Double] = {
+    val out = new Array[Double](meta.shape.product.toInt)
+    val strides = NdKernels.strides(meta.shape.map(_.toInt).toArray)
+    ds.collect().foreach { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, meta.dtype)
+      val cShape = c.shape.toArray
+      var flat = 0
+      val pos = new Array[Int](cShape.length)
+      while (flat < vals.length) {
+        var dst = 0
+        var d = 0
+        while (d < pos.length) { dst += (c.origin(d).toInt + pos(d)) * strides(d); d += 1 }
+        out(dst) = vals(flat)
+        var dd = pos.length - 1
+        var carry = true
+        while (carry && dd >= 0) {
+          pos(dd) += 1
+          if (pos(dd) == cShape(dd)) { pos(dd) = 0; dd -= 1 } else carry = false
+        }
+        flat += 1
+      }
+    }
+    out
+  }
+
+  // ---- voxel view (P2/P6/P7 surface + oracle checks) ----
+
+  /** Explode chunks to the relational voxel view (t,c,z,y,x,value).
+    * Generated on demand — never materialized at full scale; Catalyst
+    * prunes it like any other DataFrame.
+    */
+  def voxelView(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta): DataFrame = {
+    import spark.implicits._
+    val dims = meta.dims
+    val dtype = meta.dtype
+    ds.flatMap { chunk =>
+      val vals = ZarrStore.decodeToDoubles(chunk.data, dtype)
+      val cShape = chunk.shape.toArray
+      val nd = cShape.length
+      val pos = new Array[Int](nd)
+      val coords = scala.collection.mutable.Map("t" -> 0L, "c" -> 0L, "z" -> 0L, "y" -> 0L, "x" -> 0L)
+      val it = Iterator.tabulate(vals.length) { flat =>
+        var d = 0
+        while (d < nd) { coords(dims(d)) = chunk.origin(d) + pos(d); d += 1 }
+        val row = VoxelRow(coords("t"), coords("c"), coords("z"), coords("y"), coords("x"), vals(flat))
+        var dd = nd - 1
+        var carry = true
+        while (carry && dd >= 0) {
+          pos(dd) += 1
+          if (pos(dd) == cShape(dd)) { pos(dd) = 0; dd -= 1 } else carry = false
+        }
+        row
+      }
+      it
+    }.toDF()
+  }
+
+  // ---- rechunk (P4) ----
+
+  /** Re-block the chunk table to a new chunk grid: split every chunk
+    * into pieces addressed to target chunks, shuffle on the target
+    * key, assemble. Metadata-only when the grid is unchanged.
+    */
+  def rechunk(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+      newChunks: Seq[Int]): (ImageMeta, Dataset[ChunkRow]) = {
+    import spark.implicits._
+    if (newChunks == meta.chunks) return (meta, ds)
+    val outMeta = meta.copy(chunks = newChunks)
+    val shape = meta.shape
+    val dtype = meta.dtype
+    val nd = shape.length
+    val pieces = ds.flatMap { chunk =>
+      val vals = ZarrStore.decodeToDoubles(chunk.data, dtype)
+      // target chunk index range intersecting this chunk, per dim
+      val lo = Array.tabulate(nd)(d => (chunk.origin(d) / newChunks(d)).toInt)
+      val hi = Array.tabulate(nd)(d =>
+        ((chunk.origin(d) + chunk.shape(d) - 1) / newChunks(d)).toInt)
+      ZarrStore.gridPositions(Array.tabulate(nd)(d => hi(d) - lo(d) + 1)).map { rel =>
+        val tIdx = Array.tabulate(nd)(d => lo(d) + rel(d))
+        // overlap region in global coords
+        val gLo = Array.tabulate(nd)(d => math.max(chunk.origin(d), tIdx(d).toLong * newChunks(d)))
+        val gHi = Array.tabulate(nd)(d => math.min(chunk.origin(d) + chunk.shape(d),
+          math.min(shape(d), (tIdx(d) + 1).toLong * newChunks(d))))
+        val pShape = Array.tabulate(nd)(d => (gHi(d) - gLo(d)).toInt)
+        val srcOff = Array.tabulate(nd)(d => (gLo(d) - chunk.origin(d)).toInt)
+        val destPos = Array.tabulate(nd)(d => (gLo(d) - tIdx(d).toLong * newChunks(d)).toInt)
+        val sub = sliceBlock(vals, chunk.shape.toArray, srcOff, pShape)
+        Piece(tIdx.mkString(","), tIdx.toSeq, destPos.toSeq, pShape.toSeq, sub)
+      }
+    }
+    val assembled = pieces.groupByKey(_.targetKey).mapGroups { (_, it) =>
+      val ps = it.toSeq
+      val tIdx = ps.head.targetIdx
+      val tShape = ZarrStore.chunkShapeAt(shape, newChunks, tIdx)
+      val tOrigin = ZarrStore.chunkOriginAt(newChunks, tIdx)
+      val block = new Array[Double](tShape.product)
+      ps.foreach(p => placeBlock(block, tShape.toArray, p.destPos.toArray, p.shape.toArray, p.values))
+      ChunkRow(tIdx, tOrigin, tShape, ZarrStore.encodeFromDoubles(block, dtype))
+    }
+    (outMeta, assembled)
+  }
+
+  /** Copy a sub-block out of a C-order array. */
+  def sliceBlock(in: Array[Double], shape: Array[Int], off: Array[Int],
+      outShape: Array[Int]): Array[Double] = {
+    val str = NdKernels.strides(shape)
+    val out = new Array[Double](outShape.product)
+    val pos = new Array[Int](shape.length)
+    var flat = 0
+    while (flat < out.length) {
+      var src = 0
+      var d = 0
+      while (d < pos.length) { src += (off(d) + pos(d)) * str(d); d += 1 }
+      out(flat) = in(src)
+      var dd = pos.length - 1
+      var carry = true
+      while (carry && dd >= 0) {
+        pos(dd) += 1
+        if (pos(dd) == outShape(dd)) { pos(dd) = 0; dd -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
+  /** Place a sub-block into a C-order array at `pos0`. */
+  def placeBlock(dst: Array[Double], dstShape: Array[Int], pos0: Array[Int],
+      blockShape: Array[Int], values: Array[Double]): Unit = {
+    val str = NdKernels.strides(dstShape)
+    val pos = new Array[Int](dstShape.length)
+    var flat = 0
+    while (flat < values.length) {
+      var di = 0
+      var d = 0
+      while (d < pos.length) { di += (pos0(d) + pos(d)) * str(d); d += 1 }
+      dst(di) = values(flat)
+      var dd = pos.length - 1
+      var carry = true
+      while (carry && dd >= 0) {
+        pos(dd) += 1
+        if (pos(dd) == blockShape(dd)) { pos(dd) = 0; dd -= 1 } else carry = false
+      }
+      flat += 1
+    }
+  }
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.meta.Model._
+import graft.meta.{Dtypes, ScalePlanner}
+import graft.zarr.ZarrStore
+import ChunkOps._
+
+/** Distributed downsample operators over the chunk table — the
+  * engine's computational core (SURVEY §2.3). One level-step:
+  * `(previousLevel, dimFactors) → nextLevel`.
+  *
+  * Execution shapes:
+  *  - bin-shrink / nearest: embarrassingly parallel `mapPartitions` —
+  *    chunk-aligned factors mean no window ever crosses a chunk
+  *    boundary (A10/A6/A13);
+  *  - gaussian / mode / label-gaussian: one halo-exchange shuffle
+  *    (`flatMap` halo pieces → `groupByKey(target)` → JVM kernel),
+  *    the Spark form of map_overlap with boundary="nearest"
+  *    (A5/A7/A9/A12).
+  *
+  * Inputs are rechunked first when a chunk edge isn't divisible by
+  * its factor (`_align_chunks` parity) — at scale this is the only
+  * extra shuffle, and it's skipped whenever factors divide chunks.
+  */
+object Downsample {
+
+  /** One downsample step. Returns the next level's metadata + chunks. */
+  def step(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+      dimFactors: Map[String, Int], method: Method): (ImageMeta, Dataset[ChunkRow]) = {
+
+    // 1. align chunks so every factor divides its chunk edge
+    val aligned = ScalePlanner.alignChunks(
+      meta.dims.zip(meta.chunks).toMap, meta.dims.zip(meta.chunks).toMap, dimFactors)
+    val alignedSeq = meta.dims.map(d => math.min(aligned(d).toLong, meta.shape(meta.dims.indexOf(d))).toInt)
+    val (m1, ds1) = rechunk(spark, ds, meta, alignedSeq)
+
+    val factors = m1.dims.map(d => dimFactors.getOrElse(d, 1)).toArray
+    val outShape = m1.shape.zip(factors).map { case (n, k) => n / k }
+    val outChunks = m1.chunks.zip(factors).map { case (c, k) => math.max(1, c / k) }
+    val (tr, sc) = ScalePlanner.nextScaleMetadata(m1, dimFactors)
+    val outMeta = m1.copy(shape = outShape, chunks = outChunks, scale = sc, translation = tr)
+
+    val out = method match {
+      case Method.ItkwasmBinShrink | Method.ItkBinShrink =>
+        perChunk(spark, ds1, m1, factors, outMeta)(NdKernels.binShrink(_, _, _,
+          roundInt = isIntDtype(m1.dtype)))
+      case Method.DaskImageNearest =>
+        perChunk(spark, ds1, m1, factors, outMeta)(NdKernels.nearest)
+      case Method.DaskImageMode =>
+        haloExchange(spark, ds1, m1, factors, outMeta,
+          radius = factors.map(identity)) { (ext, extShape, outBlockShape, centerOff) =>
+          NdKernels.modeCentered(ext, extShape, factors, outBlockShape, centerOff)
+        }
+      case Method.ItkwasmGaussian | Method.ItkGaussian | Method.DaskImageGaussian =>
+        val sigma = factors.map(k => ScalePlanner.computeSigma(Seq(k)).head)
+        val truncate = ScalePlanner.getTruncate(m1.shape, sigma.toSeq)
+        val radius = ScalePlanner.gaussianBorder(sigma.toSeq, truncate).toArray
+        haloExchange(spark, ds1, m1, factors, outMeta, radius) {
+          (ext, extShape, outBlockShape, centerOff) =>
+            NdKernels.gaussianDownsample(ext, extShape, factors, sigma, radius,
+              outBlockShape, centerOff, roundInt = isIntDtype(m1.dtype))
+        }
+      case Method.ItkwasmLabelImage =>
+        val sigma = factors.map(k => ScalePlanner.computeSigma(Seq(k)).head)
+        val radius = ScalePlanner.kernelRadius(sigma.toSeq).toArray
+        haloExchange(spark, ds1, m1, factors, outMeta, radius) {
+          (ext, extShape, outBlockShape, centerOff) =>
+            NdKernels.labelGaussianDownsample(ext, extShape, factors, sigma, radius,
+              outBlockShape, centerOff)
+        }
+    }
+    (outMeta, out)
+  }
+
+  def isIntDtype(dtype: String): Boolean =
+    !Set("float16", "float32", "float64", "complex64", "complex128")(Dtypes.normalize(dtype))
+
+  /** No-halo path: kernel maps each chunk independently. */
+  private def perChunk(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+      factors: Array[Int], outMeta: ImageMeta)(
+      kernel: (Array[Double], Array[Int], Array[Int]) => (Array[Double], Array[Int]))
+      : Dataset[ChunkRow] = {
+    import spark.implicits._
+    val dtype = meta.dtype
+    val nOut = outMeta.shape
+    ds.mapPartitions(_.flatMap { chunk =>
+      val vals = ZarrStore.decodeToDoubles(chunk.data, dtype)
+      // samples this chunk owns: from origin/k, clipped to global floor(n/k)
+      val outCount = chunk.shape.indices.map { d =>
+        val k = factors(d)
+        math.max(0L, math.min((chunk.origin(d) + chunk.shape(d)) / k, nOut(d)) - chunk.origin(d) / k).toInt
+      }
+      if (outCount.contains(0)) None
+      else {
+        val (block, blockShape0) = kernel(vals, chunk.shape.toArray, factors)
+        // clip kernel output (floor(cs/k)) to the globally-owned count
+        val clipped =
+          if (blockShape0.toSeq == outCount) block
+          else ChunkOps.sliceBlock(block, blockShape0, Array.fill(factors.length)(0), outCount.toArray)
+        Some(ChunkRow(
+          chunk.chunkIdx,
+          chunk.origin.zipWithIndex.map { case (o, d) => o / factors(d) },
+          outCount,
+          ZarrStore.encodeFromDoubles(clipped, dtype)))
+      }
+    })
+  }
+
+  /** Stencil path: every chunk ships at most `radius` voxels of halo
+    * to each adjacent neighbor (3^s targets max), the target
+    * assembles its extended block and runs the kernel on its own
+    * sample region. Radii are capped at the chunk edge so one hop of
+    * halo always suffices (the reference's truncate search enforces
+    * the same bound).
+    */
+  private def haloExchange(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+      factors: Array[Int], outMeta: ImageMeta, radius: Array[Int])(
+      kernel: (Array[Double], Array[Int], Array[Int], Array[Int]) => Array[Double])
+      : Dataset[ChunkRow] = {
+    import spark.implicits._
+    val dtype = meta.dtype
+    val shape = meta.shape
+    val chunks = meta.chunks
+    val nd = shape.length
+    val grid = ZarrStore.chunkGrid(shape, chunks)
+    // cap radius: one-hop halo must cover it (smallest chunk edge bounds it)
+    val cap = Array.tabulate(nd) { d =>
+      val lastChunk = (shape(d) - (grid(d) - 1).toLong * chunks(d)).toInt
+      math.max(0, math.min(radius(d), math.min(chunks(d), lastChunk)))
+    }
+    val nOut = outMeta.shape
+
+    val pieces = ds.flatMap { chunk =>
+      val vals = ZarrStore.decodeToDoubles(chunk.data, dtype)
+      val offsets = ZarrStore.gridPositions(Array.fill(nd)(3)).map(_.map(_ - 1))
+      offsets.flatMap { off =>
+        val tIdx = chunk.chunkIdx.zip(off).map { case (i, o) => i + o }
+        val valid = tIdx.zipWithIndex.forall { case (i, d) => i >= 0 && i < grid(d) } &&
+          off.zipWithIndex.forall { case (o, d) => o == 0 || cap(d) > 0 }
+        if (!valid) None
+        else {
+          // region of this chunk the target needs, in local coords
+          val lo = Array.tabulate(nd)(d => off(d) match {
+            case 1 => math.max(0, chunk.shape(d) - cap(d)) // we are target's left halo
+            case _ => 0
+          })
+          val hi = Array.tabulate(nd)(d => off(d) match {
+            case -1 => math.min(cap(d), chunk.shape(d)) // we are target's right halo
+            case _ => chunk.shape(d)
+          })
+          val pShape = Array.tabulate(nd)(d => hi(d) - lo(d))
+          if (pShape.exists(_ <= 0)) None
+          else {
+            // destination position in the target's extended block:
+            // target ext = [leftHalo | targetChunk | rightHalo]
+            val tShape = ZarrStore.chunkShapeAt(shape, chunks, tIdx)
+            val lh = Array.tabulate(nd)(d => if (tIdx(d) > 0) cap(d) else 0)
+            val destPos = Array.tabulate(nd)(d => off(d) match {
+              case 1 => 0 // our slice is the target's left halo... (we are at idx-1)
+              case 0 => lh(d)
+              case -1 => lh(d) + tShape(d)
+            })
+            // NOTE off is target - us; off=+1 means target right of us →
+            // our last rows are its LEFT halo (destPos 0 only if lh>0)
+            val sub = ChunkOps.sliceBlock(vals, chunk.shape.toArray, lo, pShape)
+            Some(Piece(tIdx.mkString(","), tIdx, destPos.toSeq, pShape.toSeq, sub))
+          }
+        }
+      }
+    }
+
+    pieces.groupByKey(_.targetKey).mapGroups { (_, it) =>
+      val ps = it.toSeq
+      val tIdx = ps.head.targetIdx
+      val tShape = ZarrStore.chunkShapeAt(shape, chunks, tIdx)
+      val tOrigin = ZarrStore.chunkOriginAt(chunks, tIdx)
+      val lh = Array.tabulate(nd)(d => if (tIdx(d) > 0) cap(d) else 0)
+      val rh = Array.tabulate(nd)(d => if (tIdx(d) < grid(d) - 1) cap(d) else 0)
+      val extShape = Array.tabulate(nd)(d => lh(d) + tShape(d) + rh(d))
+      val ext = new Array[Double](extShape.product)
+      ps.foreach(p => ChunkOps.placeBlock(ext, extShape, p.destPos.toArray, p.shape.toArray, p.values))
+      // samples owned by this chunk
+      val outCount = Array.tabulate(nd) { d =>
+        val k = factors(d)
+        math.max(0L, math.min((tOrigin(d) + tShape(d)) / k, nOut(d)) - tOrigin(d) / k).toInt
+      }
+      val centerOff = lh // sample j maps to ext position lh + j*k
+      val block = kernel(ext, extShape, outCount, centerOff)
+      ChunkRow(
+        tIdx,
+        tOrigin.zipWithIndex.map { case (o, d) => o / factors(d) },
+        outCount.toSeq,
+        ZarrStore.encodeFromDoubles(block, dtype))
+    }.filter(c => c.shape.forall(_ > 0))
+  }
+}

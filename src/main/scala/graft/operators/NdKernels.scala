@@ -1,0 +1,251 @@
+package graft.operators
+
+/** Pure JVM nD kernels over C-order flat double arrays. These run
+  * inside executor tasks (mapGroups / mapPartitions over the chunk
+  * table) — the Spark analogue of the reference's per-chunk
+  * map_blocks/map_overlap callables (SURVEY §2.8).
+  *
+  * Semantics mirror dask_image/ITK behavior:
+  *  - binShrink: mean over aligned k-blocks, output floor(n/k)
+  *    (`py/ngff_zarr/methods/_itkwasm.py:63-81`); integer dtypes
+  *    round half up like ITK's accumulate-and-cast.
+  *  - nearest: sample at exactly j·k (affine order=0,
+  *    `py/ngff_zarr/methods/_dask_image.py:167-168`).
+  *  - mode: most frequent value in the size-k window CENTERED at j·k
+  *    (generic_filter semantics: [c−k/2, c+(k−1)/2], nearest
+  *    boundary), ties → smallest value (np.unique order)
+  *    (`py/ngff_zarr/methods/_dask_image.py:153-166`).
+  *  - gaussian: separable sampled-Gaussian blur (nearest boundary)
+  *    then sample at j·k (affine order=1 lands on-grid)
+  *    (`py/ngff_zarr/methods/_dask_image.py:180-186`).
+  *  - labelGaussian: Gaussian-weighted label votes in the radius
+  *    window (itkwasm downsample_label_image's weighted mode,
+  *    `py/ngff_zarr/methods/_itkwasm.py:49-55`).
+  */
+object NdKernels {
+
+  /** C-order strides for a shape. */
+  def strides(shape: Array[Int]): Array[Int] = {
+    val s = new Array[Int](shape.length)
+    var acc = 1
+    var i = shape.length - 1
+    while (i >= 0) { s(i) = acc; acc *= shape(i); i -= 1 }
+    s
+  }
+
+  def size(shape: Array[Int]): Int = shape.product
+
+  /** Iterate all nD positions of `shape`, calling f(flatIndex, pos). */
+  private def foreachPos(shape: Array[Int])(f: (Int, Array[Int]) => Unit): Unit = {
+    val nd = shape.length
+    val pos = new Array[Int](nd)
+    val n = size(shape)
+    var flat = 0
+    while (flat < n) {
+      f(flat, pos)
+      var d = nd - 1
+      var carry = true
+      while (carry && d >= 0) {
+        pos(d) += 1
+        if (pos(d) == shape(d)) { pos(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+  }
+
+  /** Mean over aligned k-blocks. Output shape floor(in/k) per dim
+    * (factors of 1 on non-spatial dims pass through).
+    */
+  def binShrink(in: Array[Double], shape: Array[Int], factors: Array[Int],
+      roundInt: Boolean): (Array[Double], Array[Int]) = {
+    val nd = shape.length
+    val outShape = Array.tabulate(nd)(d => shape(d) / factors(d))
+    val inStr = strides(shape)
+    val out = new Array[Double](size(outShape))
+    val blockN = factors.product
+    val blockShape = factors
+    foreachPos(outShape) { (flat, pos) =>
+      var sum = 0.0
+      foreachPos(blockShape) { (_, off) =>
+        var idx = 0
+        var d = 0
+        while (d < nd) { idx += (pos(d) * factors(d) + off(d)) * inStr(d); d += 1 }
+        sum += in(idx)
+      }
+      val mean = sum / blockN
+      out(flat) = if (roundInt) math.floor(mean + 0.5) else mean
+    }
+    (out, outShape)
+  }
+
+  /** Strided pick at j·k per dim. */
+  def nearest(in: Array[Double], shape: Array[Int], factors: Array[Int])
+      : (Array[Double], Array[Int]) = {
+    val nd = shape.length
+    val outShape = Array.tabulate(nd)(d => shape(d) / factors(d))
+    val inStr = strides(shape)
+    val out = new Array[Double](size(outShape))
+    foreachPos(outShape) { (flat, pos) =>
+      var idx = 0
+      var d = 0
+      while (d < nd) { idx += pos(d) * factors(d) * inStr(d); d += 1 }
+      out(flat) = in(idx)
+    }
+    (out, outShape)
+  }
+
+  /** Centered-window mode with nearest boundary clamping inside the
+    * (possibly halo-extended) input. `centerOff` is the input-space
+    * position of output sample (0,…) — callers pass the halo width so
+    * sample j maps to input centerOff(d) + j·k.
+    */
+  def modeCentered(in: Array[Double], shape: Array[Int], factors: Array[Int],
+      outShape: Array[Int], centerOff: Array[Int]): Array[Double] = {
+    val nd = shape.length
+    val inStr = strides(shape)
+    val out = new Array[Double](size(outShape))
+    val winShape = factors.map(k => k)
+    foreachPos(outShape) { (flat, pos) =>
+      // collect window values
+      val vals = new scala.collection.mutable.ArrayBuffer[Double](winShape.product)
+      foreachPos(winShape) { (_, off) =>
+        var idx = 0
+        var d = 0
+        while (d < nd) {
+          val k = factors(d)
+          var p = centerOff(d) + pos(d) * k + off(d) - k / 2 // centered window
+          if (p < 0) p = 0
+          if (p >= shape(d)) p = shape(d) - 1
+          idx += p * inStr(d)
+          d += 1
+        }
+        vals += in(idx)
+      }
+      out(flat) = smallestMode(vals)
+    }
+    out
+  }
+
+  /** Most frequent value; ties → smallest (np.unique + argmax order). */
+  def smallestMode(vals: scala.collection.Seq[Double]): Double = {
+    val counts = scala.collection.mutable.HashMap.empty[Double, Int]
+    vals.foreach(v => counts.update(v, counts.getOrElse(v, 0) + 1))
+    var best = Double.NaN
+    var bestN = -1
+    counts.foreach { case (v, n) =>
+      if (n > bestN || (n == bestN && v < best)) { best = v; bestN = n }
+    }
+    best
+  }
+
+  /** Sampled, normalized 1-D Gaussian kernel of radius r. */
+  def gaussianKernel(sigma: Double, radius: Int): Array[Double] = {
+    if (radius == 0 || sigma <= 0) return Array(1.0)
+    val k = new Array[Double](2 * radius + 1)
+    var i = -radius
+    var sum = 0.0
+    while (i <= radius) {
+      val v = math.exp(-0.5 * i * i / (sigma * sigma))
+      k(i + radius) = v; sum += v; i += 1
+    }
+    var j = 0
+    while (j < k.length) { k(j) /= sum; j += 1 }
+    k
+  }
+
+  /** In-place-style separable convolution along `dim` with edge
+    * clamping; returns a new array of the same shape.
+    */
+  def convolve1d(in: Array[Double], shape: Array[Int], dim: Int,
+      kernel: Array[Double]): Array[Double] = {
+    val nd = shape.length
+    val str = strides(shape)
+    val r = (kernel.length - 1) / 2
+    val out = new Array[Double](in.length)
+    val n = shape(dim)
+    foreachPos(shape) { (flat, pos) =>
+      var acc = 0.0
+      var t = -r
+      val base = flat - pos(dim) * str(dim)
+      while (t <= r) {
+        var p = pos(dim) + t
+        if (p < 0) p = 0
+        if (p >= n) p = n - 1
+        acc += kernel(t + r) * in(base + p * str(dim))
+        t += 1
+      }
+      out(flat) = acc
+    }
+    out
+  }
+
+  /** Separable Gaussian blur (nearest boundary) then stride sampling:
+    * output j = blurred(centerOff + j·k).
+    */
+  def gaussianDownsample(in: Array[Double], shape: Array[Int], factors: Array[Int],
+      sigma: Array[Double], radius: Array[Int], outShape: Array[Int],
+      centerOff: Array[Int], roundInt: Boolean): Array[Double] = {
+    var cur = in
+    var d = 0
+    while (d < shape.length) {
+      if (radius(d) > 0 && sigma(d) > 0) {
+        cur = convolve1d(cur, shape, d, gaussianKernel(sigma(d), radius(d)))
+      }
+      d += 1
+    }
+    val inStr = strides(shape)
+    val out = new Array[Double](size(outShape))
+    foreachPos(outShape) { (flat, pos) =>
+      var idx = 0
+      var dd = 0
+      while (dd < shape.length) {
+        idx += (centerOff(dd) + pos(dd) * factors(dd)) * inStr(dd); dd += 1
+      }
+      out(flat) = if (roundInt) math.floor(cur(idx) + 0.5) else cur(idx)
+    }
+    out
+  }
+
+  /** Gaussian-weighted label mode: at each sample center, labels in
+    * the radius window vote with separable Gaussian weights; argmax
+    * wins, ties → smallest label.
+    */
+  def labelGaussianDownsample(in: Array[Double], shape: Array[Int], factors: Array[Int],
+      sigma: Array[Double], radius: Array[Int], outShape: Array[Int],
+      centerOff: Array[Int]): Array[Double] = {
+    val nd = shape.length
+    val inStr = strides(shape)
+    val kernels = Array.tabulate(nd)(d =>
+      if (radius(d) > 0 && sigma(d) > 0) gaussianKernel(sigma(d), radius(d)) else Array(1.0))
+    val winShape = Array.tabulate(nd)(d => kernels(d).length)
+    val out = new Array[Double](size(outShape))
+    foreachPos(outShape) { (flat, pos) =>
+      val votes = scala.collection.mutable.HashMap.empty[Double, Double]
+      foreachPos(winShape) { (_, off) =>
+        var idx = 0
+        var w = 1.0
+        var d = 0
+        while (d < nd) {
+          val r = (kernels(d).length - 1) / 2
+          var p = centerOff(d) + pos(d) * factors(d) + off(d) - r
+          if (p < 0) p = 0
+          if (p >= shape(d)) p = shape(d) - 1
+          idx += p * inStr(d)
+          w *= kernels(d)(off(d))
+          d += 1
+        }
+        val v = in(idx)
+        votes.update(v, votes.getOrElse(v, 0.0) + w)
+      }
+      var best = Double.NaN
+      var bestW = -1.0
+      votes.foreach { case (v, w) =>
+        if (w > bestW + 1e-12 || (math.abs(w - bestW) <= 1e-12 && v < best)) {
+          best = v; bestW = math.max(bestW, w)
+        }
+      }
+      out(flat) = best
+    }
+    out
+  }
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.meta.Model._
+import graft.meta.{Dtypes, Validation, ZarrJson}
+import graft.zarr.{Codecs, ZarrStore}
+import ChunkOps.ChunkRow
+
+/** OME-Zarr store read/write over the chunk table (SURVEY S1/S4):
+  *
+  * Write: executors encode+compress+put their chunk objects directly
+  * against the store (`foreachPartition` — the DataWriter half of a
+  * DSv2 BatchWrite), then the driver commits metadata: group docs,
+  * array docs, root attrs, consolidated metadata (S8). No pixel data
+  * ever moves through the driver.
+  *
+  * Read: the driver parses metadata only; chunk keys are listed
+  * combinatorially from the grid and fetched lazily by executors
+  * (`spark.range(nChunks).mapPartitions` — the PartitionReader half).
+  * `graft.sources.OmeZarrTableProvider` exposes the same path as
+  * `spark.read.format("omezarr")` with chunk-pruning pushdown.
+  */
+object OmeZarrIO {
+
+  /** Write a multiscale pyramid as OME-Zarr v0.4 (Zarr v2) or v0.5
+    * (Zarr v3). Returns the per-level chunk counts.
+    */
+  def writeMultiscales(spark: SparkSession, path: String,
+      ms: MultiscaleBuilder.Multiscale, name: String = "image",
+      version: String = "0.4", compressor: Option[String] = Some("zstd"),
+      overwrite: Boolean = true): Seq[Long] = {
+    val errs = Validation.validateWriterParams(version, None)
+    require(errs.isEmpty, errs.mkString("; "))
+    val store = new ZarrStore(path)
+    if (overwrite) store.delete("")
+    val zarrFormat = if (version == "0.5") 3 else 2
+    val meta = ms.metadata(name, version)
+
+    // driver: root group + attrs
+    if (zarrFormat == 3) {
+      store.writeString("zarr.json", ZarrJson.groupDoc(3,
+        Some(ZarrJson.mapper.readTree(ZarrJson.rootAttrs(meta)))))
+    } else {
+      store.writeString(".zgroup", ZarrJson.groupDoc(2))
+      store.writeString(".zattrs", ZarrJson.rootAttrs(meta))
+    }
+
+    val counts = ms.levels.zipWithIndex.map { case (lvl, i) =>
+      val arrayPath = s"scale$i/$name"
+      // per-scale parent group + array metadata (driver)
+      if (zarrFormat == 3) {
+        store.writeString(s"scale$i/zarr.json", ZarrJson.groupDoc(3))
+        store.writeString(s"$arrayPath/zarr.json", ZarrJson.zarrayV3(
+          lvl.meta.shape, lvl.meta.chunks, lvl.meta.dtype, compressor, lvl.meta.dims))
+      } else {
+        store.writeString(s"scale$i/.zgroup", ZarrJson.groupDoc(2))
+        store.writeString(s"$arrayPath/.zarray", ZarrJson.zarrayV2(
+          lvl.meta.shape, lvl.meta.chunks, lvl.meta.dtype, compressor))
+        // xarray-compatible dimension labels (`to_ngff_zarr.py:1079-1081`)
+        store.writeString(s"$arrayPath/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${lvl.meta.dims.map(d => "\"" + d + "\"").mkString(", ")}]}""")
+      }
+      // executors: chunk objects
+      val comp = compressor
+      val zf = zarrFormat
+      val fullChunks = lvl.meta.chunks
+      val dtype = lvl.meta.dtype
+      lvl.chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
+        val st = new ZarrStore(path)
+        it.foreach { c =>
+          val key = ZarrStore.chunkKey(zf, arrayPath, c.chunkIdx)
+          // zarr stores edge chunks padded to the full chunk shape
+          val payload =
+            if (c.shape == fullChunks) c.data
+            else {
+              val full = new Array[Double](fullChunks.product)
+              ChunkOps.placeBlock(full, fullChunks.toArray,
+                Array.fill(fullChunks.length)(0), c.shape.toArray,
+                ZarrStore.decodeToDoubles(c.data, dtype))
+              ZarrStore.encodeFromDoubles(full, dtype)
+            }
+          st.writeBytes(key, Codecs.compress(comp, payload))
+        }
+      }
+      lvl.chunks.count()
+    }
+
+    // driver: consolidated metadata (S8)
+    if (zarrFormat == 2) {
+      val mapper = ZarrJson.mapper
+      val consolidated = mapper.createObjectNode()
+      consolidated.put("zarr_consolidated_format", 1)
+      val m = consolidated.putObject("metadata")
+      (".zgroup" :: ".zattrs" ::
+        ms.levels.indices.flatMap(i => Seq(s"scale$i/.zgroup",
+          s"scale$i/$name/.zarray", s"scale$i/$name/.zattrs")).toList)
+        .foreach(k => m.set[com.fasterxml.jackson.databind.JsonNode](
+          k, mapper.readTree(store.readString(k))))
+      store.writeString(".zmetadata",
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(consolidated))
+    }
+    counts
+  }
+
+  /** Read an OME-Zarr store → multiscale levels with lazy chunk
+    * tables. `validate=true` runs structural + RFC4 validation (V1/V2).
+    */
+  def readMultiscales(spark: SparkSession, path: String,
+      validate: Boolean = false): MultiscaleBuilder.Multiscale = {
+    import spark.implicits._
+    val store = new ZarrStore(path)
+    val rootJson =
+      if (store.exists(".zattrs")) store.readString(".zattrs")
+      else if (store.exists("zarr.json")) {
+        val n = ZarrJson.mapper.readTree(store.readString("zarr.json"))
+        ZarrJson.mapper.writeValueAsString(n.path("attributes"))
+      } else throw new IllegalArgumentException(s"no OME-Zarr metadata at $path")
+    val meta = ZarrJson.parseMultiscales(rootJson)
+    if (validate) {
+      val errs = Validation.validateMultiscales(meta) ++ Validation.validateRfc4(meta.axes)
+      require(errs.isEmpty, s"validation failed: ${errs.mkString("; ")}")
+    }
+    val zarrFormat = if (store.exists(".zattrs")) 2 else 3
+    val dims = meta.axes.map(_.name)
+
+    val levels = meta.datasets.map { d =>
+      val (shape, chunks, dtypeRaw, comp, sepOrDims) =
+        if (zarrFormat == 2) {
+          val (s, c, dt, cp, sep) = ZarrJson.parseZarrayV2(store.readString(s"${d.path}/.zarray"))
+          (s, c, dt, cp, sep)
+        } else {
+          val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(store.readString(s"${d.path}/zarr.json"))
+          (s, c, dt, cp, "/")
+        }
+      val bigEndian = Dtypes.isBigEndian(dtypeRaw)
+      val dtype = Dtypes.normalize(dtypeRaw)
+      val scale = d.coordinateTransformations.collectFirst { case ScaleT(s) => s }
+        .getOrElse(Seq.fill(dims.length)(1.0))
+      val translation = d.coordinateTransformations.collectFirst { case TranslationT(t) => t }
+        .getOrElse(Seq.fill(dims.length)(0.0))
+      val imgMeta = ImageMeta(dims, shape, chunks, dtype,
+        dims.zip(scale).toMap, dims.zip(translation).toMap,
+        name = meta.name.getOrElse("image"),
+        axesUnits = meta.axes.flatMap(a => a.unit.map(a.name -> _)).toMap,
+        axesOrientations = meta.axes.flatMap(a => a.orientation.map(a.name -> _)).toMap)
+
+      // lazy chunk scan: enumerate the grid on the driver (metadata
+      // only), fetch+decode on executors
+      val grid = ZarrStore.chunkGrid(shape, chunks)
+      val positions = ZarrStore.gridPositions(grid).toSeq
+      val arrayPath = d.path
+      val sep = sepOrDims
+      val zf = zarrFormat
+      val shapeB = shape
+      val chunksB = chunks
+      val ds = spark.createDataset(positions)
+        .repartition(math.max(1, math.min(positions.size, 32)))
+        .mapPartitions { it =>
+          val st = new ZarrStore(path)
+          it.map { idx =>
+            val cShape = ZarrStore.chunkShapeAt(shapeB, chunksB, idx)
+            val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep)
+            val rawSize = cShape.product * Dtypes.itemSize(dtype)
+            // zarr chunks are stored at FULL chunk shape (edge chunks padded)
+            val fullSize = chunksB.product * Dtypes.itemSize(dtype)
+            val raw = Codecs.decompress(comp, st.readBytes(key), fullSize)
+            // clip padded edge chunks to the real shape
+            val full = ZarrStore.decodeToDoubles(raw, dtype, bigEndian)
+            val clipped =
+              if (cShape == chunksB) full
+              else ChunkOps.sliceBlock(full, chunksB.toArray,
+                Array.fill(chunksB.length)(0), cShape.toArray)
+            ChunkRow(idx, ZarrStore.chunkOriginAt(chunksB, idx), cShape,
+              ZarrStore.encodeFromDoubles(clipped, dtype))
+          }
+        }
+      MultiscaleBuilder.Level(imgMeta, ds)
+    }
+    MultiscaleBuilder.Multiscale(levels,
+      meta.`type`.flatMap(Method.fromValue).getOrElse(Method.ItkwasmGaussian))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.meta.Model._
+import graft.operators.{ChunkOps, Downsample, MultiscaleBuilder}
+
+/** Imaging kernels surfaced in the correctness gate: each query runs
+  * the REAL chunk-table operator (fromArray → Downsample.step →
+  * voxelView) on a deterministic synthetic image v(y,x) = (31y+17x)
+  * mod 256, and the DuckDB oracle reproduces the exact semantics
+  * relationally over range() — the "voxel view as relational query"
+  * contract of SURVEY §2.7.
+  *
+  * Gaussian has no SQL oracle (libm exp ulps differ across engines);
+  * its parity is covered by the ScalaTest invariants instead.
+  */
+object Imaging extends QModule {
+
+  private val H = 64
+  private val W = 64
+
+  private def baseImage(spark: SparkSession): (ImageMeta, org.apache.spark.sql.Dataset[ChunkOps.ChunkRow]) = {
+    val meta = ImageMeta(Seq("y", "x"), Seq(H, W), Seq(16, 16), "uint8",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val vals = Array.tabulate(H * W)(i => ((i / W * 31 + i % W * 17) % 256).toDouble)
+    (meta, ChunkOps.fromArray(spark, vals, meta))
+  }
+
+  private def run(spark: SparkSession, method: Method): DataFrame = {
+    val (meta, ds) = baseImage(spark)
+    val (om, ods) = Downsample.step(spark, ds, meta, Map("y" -> 2, "x" -> 2), method)
+    ChunkOps.voxelView(spark, ods, om)
+      .select(col("y"), col("x"), col("value"))
+      .orderBy(col("y"), col("x"))
+  }
+
+  private val gridSql =
+    s"""grid AS (SELECT i // $W AS y, i % $W AS x,
+       |  CAST(((i // $W) * 31 + (i % $W) * 17) % 256 AS DOUBLE) AS v
+       |  FROM range(${H * W}) r(i))""".stripMargin
+
+  override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid)
+
+  /** A10/A13 — bin-shrink = mean over aligned 2×2 blocks, integer
+    * round-half-up, via the distributed per-chunk kernel.
+    */
+  val i60BinShrink = Q(
+    "i60_binshrink",
+    (s, _) => run(s, Method.ItkwasmBinShrink),
+    Some(s"""WITH $gridSql
+            SELECT y // 2 AS y, x // 2 AS x,
+                   floor(sum(v) / 4.0 + 0.5) AS value
+            FROM grid GROUP BY y // 2, x // 2
+            ORDER BY y, x"""))
+
+  /** A6 — nearest picks v(2y, 2x). */
+  val i61Nearest = Q(
+    "i61_nearest",
+    (s, _) => run(s, Method.DaskImageNearest),
+    Some(s"""WITH $gridSql
+            SELECT y // 2 AS y, x // 2 AS x, v AS value
+            FROM grid WHERE y % 2 = 0 AND x % 2 = 0
+            ORDER BY y, x"""))
+
+  /** A7 — mode over the size-2 window CENTERED at (2y,2x) with
+    * nearest-boundary clamping (so border windows double-count the
+    * edge voxel), ties → smallest value.
+    */
+  val i62Mode = Q(
+    "i62_mode",
+    (s, _) => run(s, Method.DaskImageMode),
+    Some(s"""WITH $gridSql,
+            votes AS (
+              SELECT o.i // ${W / 2} AS oy, o.i % ${W / 2} AS ox, g.v
+              FROM range(${H * W / 4}) o(i)
+              CROSS JOIN (VALUES (-1), (0)) dy(dy)
+              CROSS JOIN (VALUES (-1), (0)) dx(dx)
+              JOIN grid g
+                ON g.y = least(greatest((o.i // ${W / 2}) * 2 + dy.dy, 0), ${H - 1})
+               AND g.x = least(greatest((o.i % ${W / 2}) * 2 + dx.dx, 0), ${W - 1})),
+            counted AS (
+              SELECT oy, ox, v, count(*) AS n FROM votes GROUP BY oy, ox, v),
+            ranked AS (
+              SELECT oy, ox, v,
+                row_number() OVER (PARTITION BY oy, ox ORDER BY n DESC, v ASC) AS rk
+              FROM counted)
+            SELECT oy AS y, ox AS x, v AS value
+            FROM ranked WHERE rk = 1
+            ORDER BY y, x"""))
+
+  /** A5/A9/A12 — gaussian downsample via halo exchange; rows-only
+    * (exp() ulps differ across engines), spec-verified invariants.
+    */
+  val i63Gaussian = Q(
+    "i63_gaussian",
+    (s, _) => run(s, Method.ItkwasmGaussian),
+    None)
+
+  /** A1+A14 — full pyramid cascade with planner-chosen factors:
+    * emits per-level metadata (shape + scale + translation). The
+    * oracle replays the planner arithmetic for a 64×64 image with
+    * 16-chunks: levels 32×32 (k=2) — then the 2×chunk stop rule ends
+    * the cascade.
+    */
+  val i64Pyramid = Q(
+    "i64_pyramid_metadata",
+    (s, _) => {
+      import s.implicits._
+      val (meta, ds) = baseImage(s)
+      val ms = MultiscaleBuilder.toMultiscales(s, MultiscaleBuilder.Level(meta, ds),
+        method = Method.ItkwasmBinShrink, cache = false)
+      ms.levels.zipWithIndex.map { case (lvl, i) =>
+        (i, lvl.meta.shape.head, lvl.meta.shape(1),
+          lvl.meta.scale("y"), lvl.meta.scale("x"),
+          lvl.meta.translation("y"), lvl.meta.translation("x"))
+      }.toDF("level", "shape_y", "shape_x", "scale_y", "scale_x", "tr_y", "tr_x")
+        .orderBy(col("level"))
+    },
+    Some("""SELECT * FROM (VALUES
+            (0, CAST(64 AS BIGINT), CAST(64 AS BIGINT), 1.0, 1.0, 0.0, 0.0),
+            (1, CAST(32 AS BIGINT), CAST(32 AS BIGINT), 2.0, 2.0, 0.5, 0.5))
+            t(level, shape_y, shape_x, scale_y, scale_x, tr_y, tr_x)
+            ORDER BY level"""))
+}

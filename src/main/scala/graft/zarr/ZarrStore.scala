@@ -16,7 +16,7 @@ final class ZarrStore(val root: String, @transient conf: Configuration = new Con
   @transient private lazy val fs: FileSystem =
     new Path(root).getFileSystem(Option(conf).getOrElse(new Configuration()))
 
-  private def p(key: String) = new Path(root, key)
+  private def p(key: String) = if (key.isEmpty) new Path(root) else new Path(root, key)
 
   def exists(key: String): Boolean = fs.exists(p(key))
 
