@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.hcs.Hcs
+import graft.meta.Model._
+import graft.operators.{ChunkOps, MultiscaleBuilder}
+
+/** Structured Streaming surface (SURVEY §2.9):
+  *
+  *  - event-time transforms over a stream with the SAME expressions
+  *    the batch gate verifies (graft.queries.Events) — watermarked
+  *    tumbling/session windows, stateful dedup;
+  *  - custom state via flatMapGroupsWithState (running per-user
+  *    counters with timeout);
+  *  - the HCS acquisition workflow: fields-of-view arriving on a
+  *    stream are upserted into the plate store per micro-batch via
+  *    foreachBatch (at-least-once idempotent — the well-attrs merge
+  *    is last-writer-wins, `py/ngff_zarr/hcs.py:538-765`).
+  */
+object Streams {
+
+  /** Watermarked tumbling-window aggregation (append mode capable). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Watermarked session windows per user. */
+  def sessionCounts(events: DataFrame, gap: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Stateful dedup on (user_id, event_type) bounded by watermark. */
+  def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type")
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom state: running per-user totals via flatMapGroupsWithState
+    * (the KeyValueGroupedDataset path). State lives in the state
+    * store across micro-batches; eviction policy belongs to the
+    * caller (watermark on the input or explicit state TTL config).
+    */
+  def runningTotals(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** One arriving field-of-view: which well, which image slot, and a
+    * flat payload (the acquisition instrument's output).
+    */
+  final case class ArrivingField(wellPath: String, imagePath: String,
+      height: Int, width: Int, values: Array[Double], acquisition: Option[Int])
+
+  /** HCS streaming ingest: drain a stream of arriving fields into the
+    * plate store, one idempotent upsert per field per micro-batch.
+    * Commit protocol: well attrs merge is last-writer-wins; replays
+    * rewrite identical chunk objects, so at-least-once delivery is
+    * safe (the reference's implicit semantics).
+    */
+  def hcsIngest(spark: SparkSession, fields: Dataset[ArrivingField], platePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    fields.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[ArrivingField], _: Long) =>
+        // driver-side per batch: fields are small; each upsert runs the
+        // distributed pyramid write underneath
+        batch.collect().foreach { f =>
+          val meta = ImageMeta(Seq("y", "x"), Seq(f.height, f.width),
+            Seq(math.min(256, f.height), math.min(256, f.width)), "uint16",
+            Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+          val level = MultiscaleBuilder.Level(meta,
+            ChunkOps.fromArray(spark, f.values, meta))
+          val ms = MultiscaleBuilder.toMultiscales(spark, level,
+            Some(Seq.empty), Method.ItkwasmBinShrink, cache = false)
+          Hcs.writeWellImage(spark, platePath, f.wellPath, f.imagePath, ms, f.acquisition)
+        }
+      }
+      .start()
+  }
+}

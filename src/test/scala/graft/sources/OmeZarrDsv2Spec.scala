@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.meta.Model._
+import graft.operators.{ChunkOps, MultiscaleBuilder, OmeZarrIO}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class OmeZarrDsv2Spec extends SparkSpec {
+
+  private lazy val storePath: String = {
+    val m = ImageMeta(Seq("y", "x"), Seq(64, 64), Seq(32, 32), "uint16",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val vals = Array.tabulate(64 * 64)(i => (i % 1000).toDouble)
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base,
+      Some(Seq(Map("y" -> 2, "x" -> 2))), Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("dsv2").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.4")
+    dir
+  }
+
+  test("spark.read.format(omezarr) scans the chunk table") {
+    val df = spark.read.format("omezarr").load(storePath)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("scale", "chunk_idx", "origin", "shape", "dtype", "data"))
+    assert(df.count() == 5) // 4 chunks scale0 + 1 chunk scale1
+    val r = df.filter(col("scale") === 1).head
+    assert(r.getAs[scala.collection.Seq[Int]]("shape").toSeq == Seq(32, 32))
+    assert(r.getAs[String]("dtype") == "uint16")
+    assert(r.getAs[Array[Byte]]("data").length == 32 * 32 * 2)
+  }
+
+  test("scale predicate prunes partitions (pushdown)") {
+    val df = spark.read.format("omezarr").load(storePath).filter(col("scale") === 0)
+    assert(df.count() == 4)
+    // the physical scan itself must plan only scale-0 partitions
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputRDD.getNumPartitions == 4,
+      s"expected 4 pruned partitions, got ${scan.inputRDD.getNumPartitions}")
+  }
+
+  test("column pruning skips payload fetch") {
+    val df = spark.read.format("omezarr").load(storePath)
+      .groupBy(col("scale")).agg(count(lit(1)).as("n_chunks"))
+    val schema = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema()
+    }.get
+    assert(!schema.fieldNames.contains("data"), s"payload not pruned: $schema")
+    assert(df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(0 -> 4L, 1 -> 1L))
+  }
+
+  test("voxel values through DSv2 match the direct reader") {
+    val viaDsv2 = spark.read.format("omezarr").load(storePath)
+      .filter(col("scale") === 0)
+      .select(sum(length(col("data"))))
+      .head.getLong(0) // total payload bytes
+    assert(viaDsv2 == 4 * 32 * 32 * 2)
+    val direct = OmeZarrIO.readMultiscales(spark, storePath)
+    val sumDirect = ChunkOps.toArray(direct.levels.head.chunks, direct.levels.head.meta).sum
+    // decode DSv2 payloads via the same element codec and compare checksums
+    val rows = spark.read.format("omezarr").load(storePath).filter(col("scale") === 0).collect()
+    val sumDsv2 = rows.map(r => graft.zarr.ZarrStore
+      .decodeToDoubles(r.getAs[Array[Byte]]("data"), r.getAs[String]("dtype")).sum).sum
+    assert(sumDsv2 == sumDirect)
+  }
+}

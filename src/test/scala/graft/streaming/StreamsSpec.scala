@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.hcs.Hcs
+import graft.meta.Model._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("watermarked tumbling windows aggregate a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.tumblingCounts(df, "10 minutes", "30 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling").start()
+    mem.addData((ts(0), "a", 1.0), (ts(5), "a", 2.0), (ts(12), "b", 3.0))
+    q.processAllAvailable()
+    val out = spark.table("tumbling").collect()
+    assert(out.length == 2)
+    val a = out.find(_.getAs[String]("event_type") == "a").get
+    assert(a.getAs[Long]("n") == 2 && a.getAs[Double]("sum_value") == 3.0)
+    q.stop()
+  }
+
+  test("stateful dedup keeps one row per (user, type)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.dedup(df).writeStream
+      .outputMode("append").format("memory").queryName("dedup").start()
+    mem.addData((ts(0), 1L, "x"), (ts(1), 1L, "x"), (ts(2), 1L, "y"), (ts(3), 2L, "x"))
+    q.processAllAvailable()
+    assert(spark.table("dedup").count() == 3)
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningTotals(spark, mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("running").start()
+    mem.addData(Streams.UserEvent(1, "a", 10.0), Streams.UserEvent(1, "b", 5.0))
+    q.processAllAvailable()
+    mem.addData(Streams.UserEvent(1, "c", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("running").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+    assert(rows.contains((1L, 3L, 16.0))) // state carried across batches
+    q.stop()
+  }
+
+  test("HCS plate: metadata round-trip, keyed lookup, streaming field upsert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("hcs").toString + "/plate.zarr"
+    val plate = Plate(
+      rows = Seq(PlateRow("A"), PlateRow("B")),
+      columns = Seq(PlateColumn("1"), PlateColumn("2")),
+      wells = Seq(PlateWellIndex("A/1", 0, 0), PlateWellIndex("B/2", 1, 1)),
+      acquisitions = Seq(PlateAcquisition(0, Some("acq0"))))
+    Hcs.toHcsZarr(dir, plate)
+
+    val mem = MemoryStream[Streams.ArrivingField]
+    val ckpt = Files.createTempDirectory("hcs-ckpt").toString
+    val q = Streams.hcsIngest(spark, mem.toDS(), dir, ckpt)
+    val vals = Array.tabulate(64 * 64)(i => (i % 500).toDouble)
+    mem.addData(Streams.ArrivingField("A/1", "0", 64, 64, vals, Some(0)))
+    q.processAllAvailable()
+    // replay the same field (at-least-once) + a second field
+    mem.addData(Streams.ArrivingField("A/1", "0", 64, 64, vals, Some(0)))
+    mem.addData(Streams.ArrivingField("A/1", "1", 64, 64, vals, Some(0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val back = Hcs.fromHcsZarr(dir)
+    assert(back.plate.wells.map(_.path) == Seq("A/1", "B/2"))
+    val well = back.getWell("A/1").get
+    assert(well.images.map(_.path).sorted == Seq("0", "1")) // replay did not duplicate
+    assert(back.getWell(0, 0).isDefined && back.getWell(1, 0).isEmpty)
+    val img = back.getImage(spark, "A/1", "0")
+    assert(img.levels.head.meta.shape == Seq(64L, 64L))
+    assert(graft.operators.ChunkOps.toArray(
+      img.levels.head.chunks, img.levels.head.meta).toSeq == vals.toSeq)
+    val cat = back.imagesDf(spark)
+    assert(cat.count() == 2)
+    assert(back.wellsDf(spark).filter(col("row_name") === "A").count() == 1)
+  }
+}
