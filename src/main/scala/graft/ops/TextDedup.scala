@@ -74,21 +74,39 @@ object TextDedup {
   }
 
   /** MinHash signatures: one row per doc, `sig` = array of `numHashes`
-    * minima over the doc's shingle hashes. Each slot uses an
-    * independent salted xxhash64 (a cheap-double-hash variant would
-    * correlate the slots: a perturbation term far smaller than the
-    * base hash range makes every slot pick the same min shingle).
-    * Single shuffle (groupBy doc) with map-side partial min — scales
-    * to any corpus size.
+    * minima over the doc's shingle hashes. The hash family is
+    * Kirsch–Mitzenmacher double hashing h_i = h1 + i·h2 over the full
+    * 64-bit ring (wrap-around multiplication keeps every slot
+    * uniform; a range-bounded variant would correlate the slots).
+    * The per-shingle slot loop runs as a typed JVM kernel — 64 column
+    * expressions re-hashing the shingle string were ~50× slower —
+    * and `reduceGroups` gives map-side partial elementwise-min, so
+    * the single shuffle carries one signature per (partition, doc).
     */
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, k)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(concat(col("shingle"), lit(s":$i")))).as(s"m$i"))
-    sh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = numHashes
+    explodedShingles(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h1"),
+        xxhash64(concat(col("shingle"), lit("#2"))).as("h2"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(_.map { case (id, h1, h2) =>
+        val sig = new Array[Long](n)
+        var i = 0
+        while (i < n) { sig(i) = h1 + i.toLong * h2; i += 1 }
+        (id, sig)
+      })
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val m = new Array[Long](n)
+        var i = 0
+        while (i < n) { m(i) = math.min(a._2(i), b._2(i)); i += 1 }
+        (a._1, m)
+      }
+      .map { case (id, (_, sig)) => (id, sig) }
+      .toDF("doc_id", "sig")
   }
 
   /** LSH banding over MinHash signatures: hash each band of
@@ -147,13 +165,15 @@ object TextDedup {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(words(col(textCol))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    toks.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("k"))
-      .withColumn("bit", expr("(h div CAST(pow(2, k) AS BIGINT)) % 2"))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("CAST(pow(2, k) AS BIGINT)")).otherwise(0L)).as("simhash"))
+    // one codegen'd aggregation with a vote column per bit (exploding
+    // a 0..59 sequence per token costs a 60× row blowup instead)
+    val voteCols = (0 until bits).map(k =>
+      sum(when(expr(s"(h div ${1L << k}) % 2") === 1, 1).otherwise(-1)).as(s"v$k"))
+    toks.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two simhash fingerprints. */

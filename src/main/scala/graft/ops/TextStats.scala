@@ -20,12 +20,13 @@ object TextStats {
     * quality score combining them.
     */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    docs.select(
-        col(idCol).as("doc_id"),
-        size(ws).as("n_words"),
-        size(array_distinct(ws)).as("n_distinct"),
-        aggregate(ws, lit(0), (acc, w) => acc + length(w)).as("sum_word_len"))
+    // split once; the tokenization lambda is the expensive part
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        aggregate(col("ws"), lit(0), (acc, w) => acc + length(w)).as("sum_word_len"))
       .withColumn("avg_word_len", col("sum_word_len").cast("double") / col("n_words"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_words"))
       .withColumn("quality_score",
@@ -48,12 +49,14 @@ object TextStats {
 
   /** Heuristic language ID: per-language stopword-hit scores, argmax
     * with first-in-`lexicons`-order tiebreak, "und" (undetermined)
-    * when no lexicon hits at all.
+    * when no lexicon hits at all. The text splits once; each lexicon
+    * scores over the shared token array.
     */
   def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val scored = lexicons.foldLeft(docs) { case (d, (lang, lex)) =>
-      d.withColumn(s"score_$lang", lexiconHits(col(textCol), lex))
-    }
+    val withWs = docs.withColumn("_ws", words(col(textCol)))
+    val scored = lexicons.foldLeft(withWs) { case (d, (lang, lex)) =>
+      d.withColumn(s"score_$lang", size(filter(col("_ws"), w => w.isInCollection(lex))))
+    }.drop("_ws")
     val maxScore = greatest(lexicons.map { case (l, _) => col(s"score_$l") }: _*)
     val predicted = lexicons.foldRight(lit("und")) { case ((lang, _), els) =>
       when(col(s"score_$lang") === maxScore && maxScore > 0, lang).otherwise(els)
