@@ -269,7 +269,9 @@ object ZarrJson {
   }
 
   /** Parse a Zarr v3 array `zarr.json` document. Returns
-    * (shape, chunks, dtype, compressor, dimensionNames).
+    * (shape, chunks, dtype, compressor, dimensionNames). For sharded
+    * arrays `chunks` is the SHARD shape; `sharding` carries the inner
+    * chunk shape + inner compressor.
     */
   def parseZarrayV3(json: String): (Seq[Long], Seq[Int], String, Option[String], Seq[String]) = {
     val n = mapper.readTree(json)
@@ -281,5 +283,47 @@ object ZarrJson {
       .map(_.get("name").asText()).find(c => c == "gzip" || c == "zstd")
     val dimNames = n.path("dimension_names").elements().asScala.map(_.asText()).toSeq
     (shape, chunks, dtype, comp, dimNames)
+  }
+
+  /** Sharding info of a v3 array doc, if the sharding_indexed codec
+    * is present: (innerChunkShape, innerCompressor).
+    */
+  def parseShardingV3(json: String): Option[(Seq[Int], Option[String])] = {
+    val n = mapper.readTree(json)
+    n.path("codecs").elements().asScala
+      .find(_.get("name").asText() == "sharding_indexed")
+      .map { c =>
+        val cfg = c.get("configuration")
+        val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toSeq
+        val icomp = cfg.path("codecs").elements().asScala
+          .map(_.get("name").asText()).find(x => x == "gzip" || x == "zstd")
+        (inner, icomp)
+      }
+  }
+
+  /** Zarr v3 array doc with the sharding_indexed codec: the chunk
+    * grid advertises the SHARD shape; inner chunks live in the codec
+    * configuration.
+    */
+  def zarrayV3Sharded(shape: Seq[Long], shardShape: Seq[Int], innerChunks: Seq[Int],
+      dtype: String, compressor: Option[String], dimensionNames: Seq[String]): String = {
+    val n = mapper.createObjectNode()
+    n.put("zarr_format", 3)
+    n.put("node_type", "array")
+    val sh = n.putArray("shape"); shape.foreach(sh.add)
+    n.put("data_type", Dtypes.normalize(dtype))
+    val grid = n.putObject("chunk_grid")
+    grid.put("name", "regular")
+    val gc = grid.putObject("configuration").putArray("chunk_shape")
+    shardShape.foreach(x => gc.add(x))
+    val cke = n.putObject("chunk_key_encoding")
+    cke.put("name", "default")
+    cke.putObject("configuration").put("separator", "/")
+    n.put("fill_value", 0)
+    val codecs = n.putArray("codecs")
+    codecs.add(mapper.readTree(graft.zarr.Sharding.codecJson(innerChunks, compressor)))
+    val dn = n.putArray("dimension_names")
+    dimensionNames.foreach(dn.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 }

@@ -28,8 +28,8 @@ object OmeZarrIO {
   def writeMultiscales(spark: SparkSession, path: String,
       ms: MultiscaleBuilder.Multiscale, name: String = "image",
       version: String = "0.4", compressor: Option[String] = Some("zstd"),
-      overwrite: Boolean = true): Seq[Long] = {
-    val errs = Validation.validateWriterParams(version, None)
+      overwrite: Boolean = true, chunksPerShard: Option[Seq[Int]] = None): Seq[Long] = {
+    val errs = Validation.validateWriterParams(version, chunksPerShard)
     require(errs.isEmpty, errs.mkString("; "))
     val store = new ZarrStore(path)
     if (overwrite) store.delete("")
@@ -48,41 +48,42 @@ object OmeZarrIO {
     val counts = ms.levels.zipWithIndex.map { case (lvl, i) =>
       val arrayPath = s"scale$i/$name"
       // per-scale parent group + array metadata (driver)
-      if (zarrFormat == 3) {
+      if (zarrFormat == 3 && chunksPerShard.isDefined) {
+        val cps = chunksPerShard.get
+        val shardShape = lvl.meta.chunks.zip(cps).map { case (c, n) => c * n }
         store.writeString(s"scale$i/zarr.json", ZarrJson.groupDoc(3))
-        store.writeString(s"$arrayPath/zarr.json", ZarrJson.zarrayV3(
-          lvl.meta.shape, lvl.meta.chunks, lvl.meta.dtype, compressor, lvl.meta.dims))
+        store.writeString(s"$arrayPath/zarr.json", ZarrJson.zarrayV3Sharded(
+          lvl.meta.shape, shardShape, lvl.meta.chunks, lvl.meta.dtype,
+          compressor, lvl.meta.dims))
+        writeSharded(spark, path, arrayPath, lvl, cps, compressor)
+        lvl.chunks.count()
       } else {
-        store.writeString(s"scale$i/.zgroup", ZarrJson.groupDoc(2))
-        store.writeString(s"$arrayPath/.zarray", ZarrJson.zarrayV2(
-          lvl.meta.shape, lvl.meta.chunks, lvl.meta.dtype, compressor))
-        // xarray-compatible dimension labels (`to_ngff_zarr.py:1079-1081`)
-        store.writeString(s"$arrayPath/.zattrs",
-          s"""{"_ARRAY_DIMENSIONS": [${lvl.meta.dims.map(d => "\"" + d + "\"").mkString(", ")}]}""")
-      }
-      // executors: chunk objects
-      val comp = compressor
-      val zf = zarrFormat
-      val fullChunks = lvl.meta.chunks
-      val dtype = lvl.meta.dtype
-      lvl.chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
-        val st = new ZarrStore(path)
-        it.foreach { c =>
-          val key = ZarrStore.chunkKey(zf, arrayPath, c.chunkIdx)
-          // zarr stores edge chunks padded to the full chunk shape
-          val payload =
-            if (c.shape == fullChunks) c.data
-            else {
-              val full = new Array[Double](fullChunks.product)
-              ChunkOps.placeBlock(full, fullChunks.toArray,
-                Array.fill(fullChunks.length)(0), c.shape.toArray,
-                ZarrStore.decodeToDoubles(c.data, dtype))
-              ZarrStore.encodeFromDoubles(full, dtype)
-            }
-          st.writeBytes(key, Codecs.compress(comp, payload))
+        if (zarrFormat == 3) {
+          store.writeString(s"scale$i/zarr.json", ZarrJson.groupDoc(3))
+          store.writeString(s"$arrayPath/zarr.json", ZarrJson.zarrayV3(
+            lvl.meta.shape, lvl.meta.chunks, lvl.meta.dtype, compressor, lvl.meta.dims))
+        } else {
+          store.writeString(s"scale$i/.zgroup", ZarrJson.groupDoc(2))
+          store.writeString(s"$arrayPath/.zarray", ZarrJson.zarrayV2(
+            lvl.meta.shape, lvl.meta.chunks, lvl.meta.dtype, compressor))
+          // xarray-compatible dimension labels (`to_ngff_zarr.py:1079-1081`)
+          store.writeString(s"$arrayPath/.zattrs",
+            s"""{"_ARRAY_DIMENSIONS": [${lvl.meta.dims.map(d => "\"" + d + "\"").mkString(", ")}]}""")
         }
+        // executors: one object per chunk
+        val comp = compressor
+        val zf = zarrFormat
+        val fullChunks = lvl.meta.chunks
+        val dtype = lvl.meta.dtype
+        lvl.chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
+          val st = new ZarrStore(path)
+          it.foreach { c =>
+            val key = ZarrStore.chunkKey(zf, arrayPath, c.chunkIdx)
+            st.writeBytes(key, Codecs.compress(comp, padToFull(c, fullChunks, dtype)))
+          }
+        }
+        lvl.chunks.count()
       }
-      lvl.chunks.count()
     }
 
     // driver: consolidated metadata (S8)
@@ -100,6 +101,47 @@ object OmeZarrIO {
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(consolidated))
     }
     counts
+  }
+
+  /** Zarr stores edge chunks padded to the full chunk shape. */
+  private def padToFull(c: ChunkRow, fullChunks: Seq[Int], dtype: String): Array[Byte] =
+    if (c.shape == fullChunks) c.data
+    else {
+      val full = new Array[Double](fullChunks.product)
+      ChunkOps.placeBlock(full, fullChunks.toArray,
+        Array.fill(fullChunks.length)(0), c.shape.toArray,
+        ZarrStore.decodeToDoubles(c.data, dtype))
+      ZarrStore.encodeFromDoubles(full, dtype)
+    }
+
+  /** S6 — sharded write: group inner chunks by their shard, each task
+    * packs + writes whole shard objects (inner chunks individually
+    * compressed, row-major index + crc32c footer).
+    */
+  private def writeSharded(spark: SparkSession, path: String, arrayPath: String,
+      lvl: MultiscaleBuilder.Level, cps: Seq[Int], compressor: Option[String]): Unit = {
+    import spark.implicits._
+    import graft.zarr.Sharding
+    val fullChunks = lvl.meta.chunks
+    val dtype = lvl.meta.dtype
+    val nInner = cps.product
+    lvl.chunks
+      .groupByKey(c => c.chunkIdx.zip(cps).map { case (i, n) => i / n }.mkString(","))
+      .mapGroups { (key, it) =>
+        val shardIdx = key.split(",").map(_.toInt).toSeq
+        val encoded = it.map { c =>
+          val rel = c.chunkIdx.zip(shardIdx).zip(cps).map { case ((i, s), n) => i - s * n }
+          Sharding.innerFlatIndex(rel, cps) ->
+            Codecs.compress(compressor, padToFull(c, fullChunks, dtype))
+        }.toMap
+        (shardIdx, Sharding.buildShard(nInner, encoded))
+      }
+      .foreachPartition { (it: Iterator[(Seq[Int], Array[Byte])]) =>
+        val st = new ZarrStore(path)
+        it.foreach { case (shardIdx, bytes) =>
+          st.writeBytes(ZarrStore.chunkKey(3, arrayPath, shardIdx), bytes)
+        }
+      }
   }
 
   /** Read an OME-Zarr store → multiscale levels with lazy chunk
@@ -134,11 +176,16 @@ object OmeZarrIO {
         }
       val bigEndian = Dtypes.isBigEndian(dtypeRaw)
       val dtype = Dtypes.normalize(dtypeRaw)
+      // sharded arrays: grid chunks = shard shape; the chunk table
+      // exposes the INNER chunks
+      val sharding = if (zarrFormat == 3)
+        ZarrJson.parseShardingV3(store.readString(s"${d.path}/zarr.json")) else None
+      val innerChunks = sharding.map(_._1).getOrElse(chunks)
       val scale = d.coordinateTransformations.collectFirst { case ScaleT(s) => s }
         .getOrElse(Seq.fill(dims.length)(1.0))
       val translation = d.coordinateTransformations.collectFirst { case TranslationT(t) => t }
         .getOrElse(Seq.fill(dims.length)(0.0))
-      val imgMeta = ImageMeta(dims, shape, chunks, dtype,
+      val imgMeta = ImageMeta(dims, shape, innerChunks, dtype,
         dims.zip(scale).toMap, dims.zip(translation).toMap,
         name = meta.name.getOrElse("image"),
         axesUnits = meta.axes.flatMap(a => a.unit.map(a.name -> _)).toMap,
@@ -153,25 +200,41 @@ object OmeZarrIO {
       val zf = zarrFormat
       val shapeB = shape
       val chunksB = chunks
+      val shardingB = sharding
+      val innerB = innerChunks
       val ds = spark.createDataset(positions)
         .repartition(math.max(1, math.min(positions.size, 32)))
         .mapPartitions { it =>
+          import graft.zarr.Sharding
           val st = new ZarrStore(path)
-          it.map { idx =>
-            val cShape = ZarrStore.chunkShapeAt(shapeB, chunksB, idx)
-            val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep)
-            val rawSize = cShape.product * Dtypes.itemSize(dtype)
-            // zarr chunks are stored at FULL chunk shape (edge chunks padded)
-            val fullSize = chunksB.product * Dtypes.itemSize(dtype)
-            val raw = Codecs.decompress(comp, st.readBytes(key), fullSize)
-            // clip padded edge chunks to the real shape
+          def decodeChunk(raw: Array[Byte], idx: Seq[Int]): ChunkRow = {
+            val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
+            // zarr stores chunks at FULL chunk shape (edge chunks padded)
             val full = ZarrStore.decodeToDoubles(raw, dtype, bigEndian)
             val clipped =
-              if (cShape == chunksB) full
-              else ChunkOps.sliceBlock(full, chunksB.toArray,
-                Array.fill(chunksB.length)(0), cShape.toArray)
-            ChunkRow(idx, ZarrStore.chunkOriginAt(chunksB, idx), cShape,
+              if (cShape == innerB) full
+              else ChunkOps.sliceBlock(full, innerB.toArray,
+                Array.fill(innerB.length)(0), cShape.toArray)
+            ChunkRow(idx, ZarrStore.chunkOriginAt(innerB, idx), cShape,
               ZarrStore.encodeFromDoubles(clipped, dtype))
+          }
+          val fullSize = innerB.product * Dtypes.itemSize(dtype)
+          shardingB match {
+            case None => it.map { idx =>
+              val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep)
+              decodeChunk(Codecs.decompress(comp, st.readBytes(key), fullSize), idx)
+            }
+            case Some((inner, icomp)) => it.flatMap { shardIdx =>
+              // positions enumerate the SHARD grid here
+              val cps = chunksB.zip(inner).map { case (s, c) => s / c }
+              val key = ZarrStore.chunkKey(3, arrayPath, shardIdx)
+              Sharding.parseShard(st.readBytes(key), cps.product).iterator.map {
+                case (flat, enc) =>
+                  val rel = Sharding.innerPosition(flat, cps)
+                  val idx = shardIdx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
+                  decodeChunk(Codecs.decompress(icomp, enc, fullSize), idx)
+              }
+            }
           }
         }
       MultiscaleBuilder.Level(imgMeta, ds)

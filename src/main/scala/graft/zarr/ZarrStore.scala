@@ -13,8 +13,13 @@ import graft.meta.Dtypes
 final class ZarrStore(val root: String, @transient conf: Configuration = new Configuration())
     extends Serializable {
 
-  @transient private lazy val fs: FileSystem =
-    new Path(root).getFileSystem(Option(conf).getOrElse(new Configuration()))
+  @transient private lazy val fs: FileSystem = {
+    val f = new Path(root).getFileSystem(Option(conf).getOrElse(new Configuration()))
+    // no .crc sidecars — they are not part of the Zarr layout
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
+  }
 
   private def p(key: String) = if (key.isEmpty) new Path(root) else new Path(root, key)
 
