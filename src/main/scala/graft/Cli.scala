@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.meta.Model._
+import graft.meta.Converters
+import graft.operators.{MultiscaleBuilder, OmeZarrIO}
+
+/** S14 — the conversion pipeline driver app (the reference's CLI,
+  * `py/ngff_zarr/cli.py:164-450`, re-expressed as a spark-submit
+  * main): detect input backend → read → plan scales → downsample
+  * cascade → write OME-Zarr.
+  *
+  * Usage:
+  *   Cli <input.ome.zarr> <output.ome.zarr> [--method=itkwasm_gaussian]
+  *       [--version=0.4] [--compressor=zstd] [--chunks-per-shard=2,2]
+  *
+  * Only the OME-Zarr input backend decodes pixels in this
+  * environment (Converters documents the native-codec boundary).
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Cli <input> <output> [--method=..] [--version=..]")
+    val input = args(0)
+    val output = args(1)
+    val opts = args.drop(2).flatMap { a =>
+      a.stripPrefix("--").split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val backend = Converters.detectBackend(Seq(input),
+      isZarrArrayDir = p => new java.io.File(p, ".zarray").exists())
+    require(backend == Converters.ConversionBackend.NgffZarr ||
+      backend == Converters.ConversionBackend.ZarrArray,
+      s"backend $backend needs native image codecs not present here; " +
+        "convert to OME-Zarr upstream")
+
+    val in = OmeZarrIO.readMultiscales(spark, input,
+      validate = opts.get("validate").contains("true"))
+    val method = opts.get("method").flatMap(Method.fromValue)
+      .getOrElse(Method.ItkwasmGaussian)
+    val ms = MultiscaleBuilder.toMultiscales(spark, in.levels.head, method = method)
+    val counts = OmeZarrIO.writeMultiscales(spark, output, ms,
+      version = opts.getOrElse("version", "0.4"),
+      compressor = Some(opts.getOrElse("compressor", "zstd")),
+      chunksPerShard = opts.get("chunks-per-shard").map(_.split(",").map(_.toInt).toSeq))
+    println(s"wrote ${counts.length} scales (${counts.sum} chunks) to $output")
+    spark.stop()
+  }
+}
