@@ -84,11 +84,17 @@ object TextDedup {
     * the single shuffle carries one signature per (partition, doc).
     */
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 3, numHashes: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
+      textCol: String = "text", k: Int = 3, numHashes: Int = 64): DataFrame =
+    signaturesFromShingles(explodedShingles(docs, idCol, textCol, k), numHashes)
+
+  /** Signatures from a pre-exploded (doc_id, shingle) table — lets
+    * callers tokenize once and reuse the shingles downstream.
+    */
+  def signaturesFromShingles(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val spark = shingles.sparkSession
     import spark.implicits._
     val n = numHashes
-    explodedShingles(docs, idCol, textCol, k)
+    shingles
       .select(col("doc_id"), xxhash64(col("shingle")).as("h1"),
         xxhash64(concat(col("shingle"), lit("#2"))).as("h2"))
       .as[(Long, Long, Long)]
@@ -140,9 +146,13 @@ object TextDedup {
   def minHashNearDups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64,
       numBands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(minHashSignatures(docs, idCol, textCol, k, numHashes),
-      numBands, numHashes / numBands)
+    // tokenize once: shingle sets persist, signatures derive from the
+    // exploded view instead of re-running the shingling lambda
     val sets = docs.select(col(idCol).as("doc_id"), wordShingles(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cands = lshCandidates(signaturesFromShingles(exploded, numHashes),
+      numBands, numHashes / numBands)
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
