@@ -20,8 +20,8 @@ object LlmOps extends QModule {
 
   override def queries: Seq[Q] = Seq(
     d40DedupExact, d41JaccardPairs, d42MinHash, d43SimHash, d44SimHashPairs,
-    d45EmbNearDup, s46CosineTopK, s47AnnLsh, t48TextStats, t49LangId,
-    t50TokenCount, t51Fingerprint, m52Multimodal)
+    d45EmbNearDup, s46CosineTopK, s47AnnLsh, s48CosineExpr, t48TextStats,
+    t49LangId, t50TokenCount, t51Fingerprint, m52Multimodal)
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
@@ -173,6 +173,33 @@ object LlmOps extends QModule {
         .orderBy(col("query_id"), col("rank"))
     },
     None)
+
+  /** The native codegen'd Catalyst expression
+    * (org.apache.spark.sql.graftext.CosineSimilarity) in a relational
+    * plan: pairwise similarity matrix of a vector slice, fused into
+    * whole-stage codegen — oracle-checked against DuckDB list math.
+    */
+  val s48CosineExpr = Q(
+    "s48_cosine_native_expr",
+    (s, dir) => {
+      val e = emb(s, dir).filter(col("id") < 60)
+      val a = e.select(col("id").as("id_a"), col("vec").as("va"))
+      val b = e.select(col("id").as("id_b"), col("vec").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(org.apache.spark.sql.graftext.CosineSimilarity
+            .cosineSimilarity(col("va"), col("vb")), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings WHERE vec_id < 60)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_sum(list_transform(range(64), i -> a.e[i+1] * b.e[i+1]))
+                / (sqrt(list_sum(list_transform(range(64), i -> a.e[i+1] * a.e[i+1])))
+                 * sqrt(list_sum(list_transform(range(64), i -> b.e[i+1] * b.e[i+1])))),
+                6) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            ORDER BY id_a, id_b"""))
 
   /** Per-document text statistics + quality score. */
   val t48TextStats = Q(
