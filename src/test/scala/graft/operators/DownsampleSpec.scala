@@ -91,6 +91,36 @@ class DownsampleSpec extends SparkSpec {
     }
   }
 
+  test("edge chunks: non-divisible shape, multi-chunk equals single-chunk (all methods)") {
+    // 50×70 with 32-chunks → ragged edge chunks (18 and 6 wide); the
+    // halo machinery must clip and still match the one-chunk result
+    val vals = randArray(50 * 70, seed = 13)
+    for (method <- Seq(Method.ItkwasmBinShrink, Method.DaskImageNearest,
+        Method.DaskImageMode, Method.ItkwasmGaussian, Method.ItkwasmLabelImage)) {
+      val mOne = meta(Seq(50, 70), Seq("y", "x"), Seq(50, 70), "uint8")
+      val mMany = meta(Seq(50, 70), Seq("y", "x"), Seq(32, 32), "uint8")
+      val (omS, dsS) = Downsample.step(spark,
+        ChunkOps.fromArray(spark, vals, mOne), mOne, Map("y" -> 2, "x" -> 2), method)
+      val (omM, dsM) = Downsample.step(spark,
+        ChunkOps.fromArray(spark, vals, mMany), mMany, Map("y" -> 2, "x" -> 2), method)
+      assert(omS.shape == Seq(25L, 35L) && omM.shape == Seq(25L, 35L))
+      assert(ChunkOps.toArray(dsS, omS).toSeq == ChunkOps.toArray(dsM, omM).toSeq,
+        s"edge-chunk divergence for $method")
+    }
+  }
+
+  test("3D multi-chunk gaussian equals single-chunk (corner halos)") {
+    val vals = randArray(24 * 24 * 24, seed = 17)
+    val mOne = meta(Seq(24, 24, 24), Seq("z", "y", "x"), Seq(24, 24, 24), "uint8")
+    val mMany = meta(Seq(24, 24, 24), Seq("z", "y", "x"), Seq(8, 8, 8), "uint8")
+    val f = Map("z" -> 2, "y" -> 2, "x" -> 2)
+    val (omS, dsS) = Downsample.step(spark,
+      ChunkOps.fromArray(spark, vals, mOne), mOne, f, Method.ItkwasmGaussian)
+    val (omM, dsM) = Downsample.step(spark,
+      ChunkOps.fromArray(spark, vals, mMany), mMany, f, Method.ItkwasmGaussian)
+    assert(ChunkOps.toArray(dsS, omS).toSeq == ChunkOps.toArray(dsM, omM).toSeq)
+  }
+
   test("gaussian preserves constant fields exactly and stays in range") {
     val m = meta(Seq(32, 32), Seq("y", "x"), Seq(16, 16))
     val ds = ChunkOps.fromArray(spark, Array.fill(32 * 32)(7.0), m)

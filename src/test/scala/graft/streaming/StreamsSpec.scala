@@ -57,6 +57,36 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("file-source stream over the real events table matches batch counts") {
+    import spark.implicits._
+    // stream the driver's events parquet as files arrive (one batch),
+    // through the same windowing expressions the batch gate verifies
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchDf = graft.queries.Events.events(spark, sfDir)
+    val expected = batchDf
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the file source needs a directory to watch
+    val streamDir = Files.createTempDirectory("events-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val q = Streams.tumblingCounts(stream, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("filestream").start()
+    q.processAllAvailable()
+    val got = spark.table("filestream").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    q.stop()
+    assert(got == expected)
+  }
+
   test("HCS plate: metadata round-trip, keyed lookup, streaming field upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
