@@ -60,7 +60,9 @@ object ChunkOps {
       }
       ChunkRow(idx, cOrigin, cShape, ZarrStore.encodeFromDoubles(block, meta.dtype))
     }.toSeq
-    spark.createDataset(rows).repartition(math.max(1, math.min(rows.size, 32)))
+    // a few chunks per partition: tiny test images shouldn't pay for
+    // 32-task stages
+    spark.createDataset(rows).repartition(math.max(1, math.min((rows.size + 3) / 4, 32)))
   }
 
   /** Collect a chunk table back to one C-order array (tests only). */

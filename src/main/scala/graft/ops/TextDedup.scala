@@ -40,10 +40,29 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** (doc_id, distinct-shingle-array) computed in a typed JVM kernel —
+    * identical semantics to [[wordShingles]] (single-space split, drop
+    * empties, k-grams joined by one space, distinct) but without the
+    * per-position interpreted lambda chain.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val ws = text.split(' ').filter(_.nonEmpty)
+        val sh =
+          if (ws.length < k) Array.empty[String]
+          else ws.sliding(k).map(_.mkString(" ")).toArray.distinct
+        (id, sh)
+      })
+      .toDF("doc_id", "sh")
+  }
+
   /** (doc_id, shingle) exploded pairs, distinct per doc. */
   def explodedShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(wordShingles(col(textCol), k)).as("shingle"))
+    shingleSets(docs, idCol, textCol, k)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** Exact pairwise Jaccard over word k-shingles, computed
     * relationally: explode shingles, self-join on the shingle key,
@@ -147,8 +166,8 @@ object TextDedup {
       textCol: String = "text", k: Int = 3, numHashes: Int = 64,
       numBands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
     // tokenize once: shingle sets persist, signatures derive from the
-    // exploded view instead of re-running the shingling lambda
-    val sets = docs.select(col(idCol).as("doc_id"), wordShingles(col(textCol), k).as("sh"))
+    // exploded view instead of re-running the shingling kernel
+    val sets = shingleSets(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val cands = lshCandidates(signaturesFromShingles(exploded, numHashes),
