@@ -41,7 +41,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val headlineNames = SparkEntry.headline.map(_.name).toSet
+    val headlineTotal = results.collect { case (k, v) if headlineNames(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","headline_sec":$headlineTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

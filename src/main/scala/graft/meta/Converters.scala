@@ -125,8 +125,10 @@ object Converters {
     val spatial = dims.filter(SpatialDims.contains)
     val scale = spatial.reverse.zip(spacingXyz).map { case (d, s) => d -> s }.toMap
     val translation = spatial.reverse.zip(originXyz).map { case (d, t) => d -> t }.toMap
-    ImageMeta(dims, shapeZyx, defaultChunks(dims).values.toSeq.take(nd).zip(shapeZyx)
-      .map { case (c, s) => math.min(c.toLong, s).toInt },
+    ImageMeta(dims, shapeZyx,
+      dims.zip(shapeZyx).map { case (d, s) =>
+        math.min(defaultChunks(dims)(d).toLong, s).toInt
+      },
       dtype,
       dims.map(d => d -> scale.getOrElse(d, 1.0)).toMap,
       dims.map(d => d -> translation.getOrElse(d, 0.0)).toMap)

@@ -130,9 +130,11 @@ object ChunkOps {
     * key, assemble. Metadata-only when the grid is unchanged.
     */
   def rechunk(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
-      newChunks: Seq[Int]): (ImageMeta, Dataset[ChunkRow]) = {
+      newChunks: Seq[Int], force: Boolean = false): (ImageMeta, Dataset[ChunkRow]) = {
     import spark.implicits._
-    if (newChunks == meta.chunks) return (meta, ds)
+    // `force` re-blocks even when sizes match — used to restore the
+    // regular grid after ops that rebase origins (slice)
+    if (newChunks == meta.chunks && !force) return (meta, ds)
     val outMeta = meta.copy(chunks = newChunks)
     val shape = meta.shape
     val dtype = meta.dtype

@@ -25,15 +25,45 @@ import ChunkOps._
   */
 object Downsample {
 
+  /** Chunk edge for one dim: a multiple of the factor (alignment),
+    * and for stencil methods large enough that EVERY chunk — the
+    * ragged last one included — spans at least the kernel radius, so
+    * a one-hop halo always carries true neighbor data instead of a
+    * silently truncated kernel. Grows in factor steps; collapses to
+    * a single chunk when the shape itself is small.
+    */
+  private def planChunk(shape: Long, chunk: Int, k: Int, radius: Int): Int = {
+    var c = if (chunk % k == 0) chunk else chunk * k // _align_chunks rule
+    if (c >= shape) return shape.toInt
+    def ok(c: Int): Boolean = {
+      val last = shape % c
+      c >= radius && (last == 0 || last >= radius)
+    }
+    while (c < shape && !ok(c)) c += k
+    math.min(c.toLong, shape).toInt
+  }
+
   /** One downsample step. Returns the next level's metadata + chunks. */
   def step(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
       dimFactors: Map[String, Int], method: Method): (ImageMeta, Dataset[ChunkRow]) = {
 
-    // 1. align chunks so every factor divides its chunk edge
-    val aligned = ScalePlanner.alignChunks(
-      meta.dims.zip(meta.chunks).toMap, meta.dims.zip(meta.chunks).toMap, dimFactors)
-    val alignedSeq = meta.dims.map(d => math.min(aligned(d).toLong, meta.shape(meta.dims.indexOf(d))).toInt)
-    val (m1, ds1) = rechunk(spark, ds, meta, alignedSeq)
+    val factors0 = meta.dims.map(d => dimFactors.getOrElse(d, 1)).toArray
+    // kernel radius per dim (0 for the shuffle-free methods)
+    val radius0: Array[Int] = method match {
+      case Method.ItkwasmGaussian | Method.ItkGaussian | Method.DaskImageGaussian =>
+        val sigma = factors0.map(k => ScalePlanner.computeSigma(Seq(k)).head)
+        val truncate = ScalePlanner.getTruncate(meta.shape, sigma.toSeq)
+        ScalePlanner.gaussianBorder(sigma.toSeq, truncate).toArray
+      case Method.DaskImageMode => factors0
+      case Method.ItkwasmLabelImage =>
+        val sigma = factors0.map(k => ScalePlanner.computeSigma(Seq(k)).head)
+        ScalePlanner.kernelRadius(sigma.toSeq).toArray
+      case _ => Array.fill(factors0.length)(0)
+    }
+    // 1. re-block so factors divide chunk edges and halos fit
+    val targetChunks = meta.dims.indices.map(d =>
+      planChunk(meta.shape(d), meta.chunks(d), factors0(d), radius0(d)))
+    val (m1, ds1) = rechunk(spark, ds, meta, targetChunks)
 
     val factors = m1.dims.map(d => dimFactors.getOrElse(d, 1)).toArray
     val outShape = m1.shape.zip(factors).map { case (n, k) => n / k }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.meta.Model._
 import graft.meta.{Dtypes, Validation, ZarrJson}
-import graft.zarr.{Codecs, ZarrStore}
+import graft.zarr.{Codecs, SerializableHadoopConf, ZarrStore}
 import ChunkOps.ChunkRow
 
 /** OME-Zarr store read/write over the chunk table (SURVEY S1/S4):
@@ -31,7 +31,8 @@ object OmeZarrIO {
       overwrite: Boolean = true, chunksPerShard: Option[Seq[Int]] = None): Seq[Long] = {
     val errs = Validation.validateWriterParams(version, chunksPerShard)
     require(errs.isEmpty, errs.mkString("; "))
-    val store = new ZarrStore(path)
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    val store = new ZarrStore(path, hconf)
     if (overwrite) store.delete("")
     val zarrFormat = if (version == "0.5") 3 else 2
     val meta = ms.metadata(name, version)
@@ -55,8 +56,7 @@ object OmeZarrIO {
         store.writeString(s"$arrayPath/zarr.json", ZarrJson.zarrayV3Sharded(
           lvl.meta.shape, shardShape, lvl.meta.chunks, lvl.meta.dtype,
           compressor, lvl.meta.dims))
-        writeSharded(spark, path, arrayPath, lvl, cps, compressor)
-        lvl.chunks.count()
+        writeSharded(spark, path, arrayPath, lvl, cps, compressor, hconf)
       } else {
         if (zarrFormat == 3) {
           store.writeString(s"scale$i/zarr.json", ZarrJson.groupDoc(3))
@@ -70,19 +70,22 @@ object OmeZarrIO {
           store.writeString(s"$arrayPath/.zattrs",
             s"""{"_ARRAY_DIMENSIONS": [${lvl.meta.dims.map(d => "\"" + d + "\"").mkString(", ")}]}""")
         }
-        // executors: one object per chunk
+        // executors: one object per chunk; count rides an accumulator
+        // so the (possibly uncached) pipeline executes exactly once
         val comp = compressor
         val zf = zarrFormat
         val fullChunks = lvl.meta.chunks
         val dtype = lvl.meta.dtype
+        val acc = spark.sparkContext.longAccumulator(s"chunks:$arrayPath")
         lvl.chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
-          val st = new ZarrStore(path)
+          val st = new ZarrStore(path, hconf)
           it.foreach { c =>
             val key = ZarrStore.chunkKey(zf, arrayPath, c.chunkIdx)
             st.writeBytes(key, Codecs.compress(comp, padToFull(c, fullChunks, dtype)))
+            acc.add(1)
           }
         }
-        lvl.chunks.count()
+        acc.value.longValue()
       }
     }
 
@@ -119,12 +122,14 @@ object OmeZarrIO {
     * compressed, row-major index + crc32c footer).
     */
   private def writeSharded(spark: SparkSession, path: String, arrayPath: String,
-      lvl: MultiscaleBuilder.Level, cps: Seq[Int], compressor: Option[String]): Unit = {
+      lvl: MultiscaleBuilder.Level, cps: Seq[Int], compressor: Option[String],
+      hconf: Option[SerializableHadoopConf]): Long = {
     import spark.implicits._
     import graft.zarr.Sharding
     val fullChunks = lvl.meta.chunks
     val dtype = lvl.meta.dtype
     val nInner = cps.product
+    val acc = spark.sparkContext.longAccumulator(s"chunks:$arrayPath")
     lvl.chunks
       .groupByKey(c => c.chunkIdx.zip(cps).map { case (i, n) => i / n }.mkString(","))
       .mapGroups { (key, it) =>
@@ -134,14 +139,16 @@ object OmeZarrIO {
           Sharding.innerFlatIndex(rel, cps) ->
             Codecs.compress(compressor, padToFull(c, fullChunks, dtype))
         }.toMap
+        acc.add(encoded.size)
         (shardIdx, Sharding.buildShard(nInner, encoded))
       }
       .foreachPartition { (it: Iterator[(Seq[Int], Array[Byte])]) =>
-        val st = new ZarrStore(path)
+        val st = new ZarrStore(path, hconf)
         it.foreach { case (shardIdx, bytes) =>
           st.writeBytes(ZarrStore.chunkKey(3, arrayPath, shardIdx), bytes)
         }
       }
+    acc.value.longValue()
   }
 
   /** Read an OME-Zarr store → multiscale levels with lazy chunk
@@ -150,7 +157,8 @@ object OmeZarrIO {
   def readMultiscales(spark: SparkSession, path: String,
       validate: Boolean = false): MultiscaleBuilder.Multiscale = {
     import spark.implicits._
-    val store = new ZarrStore(path)
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    val store = new ZarrStore(path, hconf)
     val rootJson =
       if (store.exists(".zattrs")) store.readString(".zattrs")
       else if (store.exists("zarr.json")) {
@@ -206,7 +214,7 @@ object OmeZarrIO {
         .repartition(math.max(1, math.min(positions.size, 32)))
         .mapPartitions { it =>
           import graft.zarr.Sharding
-          val st = new ZarrStore(path)
+          val st = new ZarrStore(path, hconf)
           def decodeChunk(raw: Array[Byte], idx: Seq[Int]): ChunkRow = {
             val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
             // zarr stores chunks at FULL chunk shape (edge chunks padded)

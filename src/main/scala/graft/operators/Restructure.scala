@@ -100,15 +100,19 @@ object Restructure {
   }
 
   /** P2 — region slice: restrict to a half-open voxel box. Chunks
-    * outside prune away; edge chunks clip locally.
+    * outside prune away; edge chunks clip locally; a rechunk pass
+    * restores the regular chunk grid (rebased origins no longer sit
+    * at chunkIdx·chunks, which every downstream consumer — the
+    * writer, halo exchange — relies on).
     */
   def slice(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
       lo: Seq[Long], hi: Seq[Long]): (ImageMeta, Dataset[ChunkRow]) = {
     import spark.implicits._
     val nd = meta.dims.length
-    val outMeta = meta.copy(shape = lo.zip(hi).map { case (l, h) => h - l })
+    val outShape = lo.zip(hi).map { case (l, h) => h - l }
+    val outChunks = meta.chunks.zip(outShape).map { case (c, s) => math.min(c.toLong, s).toInt }
     val dtype = meta.dtype
-    val out = ds
+    val clipped = ds
       .filter { c =>
         (0 until nd).forall(d => c.origin(d) < hi(d) && c.origin(d) + c.shape(d) > lo(d))
       }
@@ -122,7 +126,11 @@ object Restructure {
         ChunkRow(c.chunkIdx, Array.tabulate(nd)(d => cl(d) - lo(d)).toSeq,
           pShape.toSeq, ZarrStore.encodeFromDoubles(sliced, dtype))
       })
-    (outMeta, out)
+    // rechunk groups purely by origin, so the stale chunkIdx on the
+    // intermediate rows never escapes
+    ChunkOps.rechunk(spark, clipped,
+      meta.copy(shape = outShape, chunks = outChunks.map(identity)), outChunks,
+      force = true)
   }
 
   /** P3 — numpy-style array_split into n sections along `dim`

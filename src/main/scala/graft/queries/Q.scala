@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * two sides; computed doubles are rounded on both sides so IEEE
   * summation-order differences can't flip the hash compare.
   *
-  * `headline = true` marks queries included in the Bench run.
+  * `headline = true` marks the flagship subset — Bench times every
+  * query but also reports the headline total separately, and the
+  * driver smoke path (`SparkEntry.entry`) draws from it.
   */
 final case class Q(
     name: String,

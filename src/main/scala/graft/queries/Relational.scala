@@ -687,7 +687,10 @@ object Relational extends QModule {
   val q32Json = Q(
     "q32_json_extract",
     (s, dir) => {
-      Tables.load(s, dir, "events")
+      // events must load through the nanos-normalizing helper — query
+      // execution order is a map iteration, so no other query can be
+      // relied on to have set the conf first
+      Events.events(s, dir)
         .select(col("event_type"),
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
             .getField("k").as("k"))

@@ -62,10 +62,16 @@ class OmeZarrTable(path: String) extends Table with SupportsRead {
     new OmeZarrScanBuilder(path)
 }
 
+/** One unit of scan work: a plain chunk, or — when `sharding` is set —
+  * a whole shard whose reader emits one row per present inner chunk.
+  * `chunks` is the grid chunk shape (= shard shape when sharded);
+  * `sharding` carries (innerChunkShape, innerCompressor).
+  */
 final case class OmeZarrInputPartition(scale: Int, idx: Seq[Int], arrayPath: String,
     shape: Seq[Long], chunks: Seq[Int], dtype: String, bigEndian: Boolean,
     compressor: Option[String], separator: String, zarrFormat: Int,
-    path: String) extends InputPartition
+    path: String, sharding: Option[(Seq[Int], Option[String])],
+    hconf: graft.zarr.SerializableHadoopConf) extends InputPartition
 
 class OmeZarrScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -111,7 +117,8 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val store = new ZarrStore(path)
+    val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+    val store = new ZarrStore(path, Some(hconf))
     val zarrFormat = if (store.exists(".zattrs")) 2 else 3
     val rootJson =
       if (zarrFormat == 2) store.readString(".zattrs")
@@ -121,16 +128,20 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
     meta.datasets.zipWithIndex
       .filter { case (_, i) => scalePred.forall(_(i)) }
       .flatMap { case (d, i) =>
-        val (shape, chunks, dtypeRaw, comp, sep) =
-          if (zarrFormat == 2) ZarrJson.parseZarrayV2(store.readString(s"${d.path}/.zarray"))
-          else {
-            val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(store.readString(s"${d.path}/zarr.json"))
-            (s, c, dt, cp, "/")
+        val (shape, chunks, dtypeRaw, comp, sep, sharding) =
+          if (zarrFormat == 2) {
+            val (s, c, dt, cp, sp) = ZarrJson.parseZarrayV2(store.readString(s"${d.path}/.zarray"))
+            (s, c, dt, cp, sp, None)
+          } else {
+            val doc = store.readString(s"${d.path}/zarr.json")
+            val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(doc)
+            (s, c, dt, cp, "/", ZarrJson.parseShardingV3(doc))
           }
+        // one partition per grid object: a chunk, or a whole shard
         ZarrStore.gridPositions(ZarrStore.chunkGrid(shape, chunks)).map { idx =>
           OmeZarrInputPartition(i, idx, d.path, shape, chunks,
             Dtypes.normalize(dtypeRaw), Dtypes.isBigEndian(dtypeRaw), comp, sep,
-            zarrFormat, path)
+            zarrFormat, path, sharding, hconf)
         }
       }.toArray
   }
@@ -143,38 +154,77 @@ class OmeZarrReaderFactory(required: StructType) extends PartitionReaderFactory 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OmeZarrInputPartition]
     new PartitionReader[InternalRow] {
-      private var done = false
+      import graft.zarr.Sharding
       private val needData = required.fieldNames.contains("data")
+      private lazy val st = new ZarrStore(p.path, Some(p.hconf))
 
-      override def next(): Boolean = !done
+      /** (innerIdx, preloaded-encoded-bytes-or-null) rows this
+        * partition emits: one for a plain chunk; one per present
+        * inner chunk for a shard. Shards fetch eagerly (the payload
+        * and index live in one object); plain chunks fetch lazily so
+        * column pruning skips the read entirely.
+        */
+      private val rows: Iterator[(Seq[Int], Option[Array[Byte]])] = p.sharding match {
+        case None => Iterator((p.idx, None))
+        case Some((inner, icomp)) =>
+          val cps = p.chunks.zip(inner).map { case (s, c) => s / c }
+          if (!needData) {
+            // metadata-only: enumerate the inner grid positions that
+            // exist within the image bounds, no shard fetch
+            val innerGrid = ZarrStore.chunkGrid(p.shape, inner)
+            ZarrStore.gridPositions(cps).flatMap { rel =>
+              val idx = p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
+              if (idx.zip(innerGrid).forall { case (i, g) => i < g }) Some((idx, None))
+              else None
+            }
+          } else {
+            val key = ZarrStore.chunkKey(3, p.arrayPath, p.idx)
+            Sharding.parseShard(st.readBytes(key), cps.product).iterator.map {
+              case (flat, enc) =>
+                val rel = Sharding.innerPosition(flat, cps)
+                val idx = p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
+                (idx, Some(Codecs.decompress(icomp, enc,
+                  inner.product * Dtypes.itemSize(p.dtype))))
+            }
+          }
+      }
+
+      private val innerChunks: Seq[Int] = p.sharding.map(_._1).getOrElse(p.chunks)
+      private var current: (Seq[Int], Option[Array[Byte]]) = _
+
+      override def next(): Boolean = {
+        if (rows.hasNext) { current = rows.next(); true } else false
+      }
 
       override def get(): InternalRow = {
-        done = true
-        val cShape = ZarrStore.chunkShapeAt(p.shape, p.chunks, p.idx)
-        val origin = ZarrStore.chunkOriginAt(p.chunks, p.idx)
+        val (idx, preloaded) = current
+        val cShape = ZarrStore.chunkShapeAt(p.shape, innerChunks, idx)
+        val origin = ZarrStore.chunkOriginAt(innerChunks, idx)
         val values: Map[String, Any] = Map(
           "scale" -> p.scale,
-          "chunk_idx" -> ArrayData.toArrayData(p.idx.toArray),
+          "chunk_idx" -> ArrayData.toArrayData(idx.toArray),
           "origin" -> ArrayData.toArrayData(origin.toArray),
           "shape" -> ArrayData.toArrayData(cShape.toArray),
           "dtype" -> UTF8String.fromString(p.dtype)) ++
-          (if (needData) Map("data" -> readPayload(cShape)) else Map.empty)
+          (if (needData) Map("data" -> payload(idx, cShape, preloaded)) else Map.empty)
         new GenericInternalRow(required.fieldNames.map(values(_)).toArray[Any])
       }
 
-      /** Fetch + decompress + clip the chunk payload — only invoked
-        * when the `data` column survives pruning.
+      /** Decompress + clip a chunk payload — only invoked when the
+        * `data` column survives pruning.
         */
-      private def readPayload(cShape: Seq[Int]): Array[Byte] = {
-        val st = new ZarrStore(p.path)
-        val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, p.idx, p.separator)
-        val fullSize = p.chunks.product * Dtypes.itemSize(p.dtype)
-        val raw = Codecs.decompress(p.compressor, st.readBytes(key), fullSize)
+      private def payload(idx: Seq[Int], cShape: Seq[Int],
+          preloaded: Option[Array[Byte]]): Array[Byte] = {
+        val fullSize = innerChunks.product * Dtypes.itemSize(p.dtype)
+        val raw = preloaded.getOrElse {
+          val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, idx, p.separator)
+          Codecs.decompress(p.compressor, st.readBytes(key), fullSize)
+        }
         val full = ZarrStore.decodeToDoubles(raw, p.dtype, p.bigEndian)
         val clipped =
-          if (cShape == p.chunks) full
-          else ChunkOps.sliceBlock(full, p.chunks.toArray,
-            Array.fill(p.chunks.length)(0), cShape.toArray)
+          if (cShape == innerChunks) full
+          else ChunkOps.sliceBlock(full, innerChunks.toArray,
+            Array.fill(innerChunks.length)(0), cShape.toArray)
         ZarrStore.encodeFromDoubles(clipped, p.dtype)
       }
 

@@ -23,6 +23,9 @@ object Sharding {
   def buildShard(nInner: Int, encoded: Map[Int, Array[Byte]]): Array[Byte] = {
     val payloadSize = encoded.values.map(_.length.toLong).sum
     val indexSize = nInner * 16 + 4
+    require(payloadSize + indexSize <= Int.MaxValue,
+      s"shard of ${payloadSize + indexSize} bytes exceeds the 2 GiB single-object " +
+        "limit of this writer — reduce chunks_per_shard or the chunk size")
     val out = ByteBuffer.allocate((payloadSize + indexSize).toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     val offsets = new Array[Long](nInner)

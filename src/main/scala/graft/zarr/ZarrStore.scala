@@ -5,16 +5,45 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import java.nio.{ByteBuffer, ByteOrder}
 import graft.meta.Dtypes
 
+/** Hadoop Configuration that survives Java serialization, so the
+  * driver's `spark.hadoop.*` settings (s3a credentials, endpoints)
+  * reach executor-side stores instead of being rebuilt from the bare
+  * classpath defaults.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+object SerializableHadoopConf {
+  /** The active session's hadoop conf when on the driver, else defaults. */
+  def fromActiveSession(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new Configuration()))
+}
+
 /** Key-value Zarr store over the Hadoop FileSystem API — the same
   * code path works for `file://`, `s3a://`, `gs://`, `abfs://`
   * (SURVEY S3): executors open the store independently, so chunk I/O
   * scales with the cluster, and the driver only touches metadata keys.
+  * Pass the driver's conf (`SerializableHadoopConf.fromActiveSession()`)
+  * through task closures so object-store credentials propagate.
   */
-final class ZarrStore(val root: String, @transient conf: Configuration = new Configuration())
+final class ZarrStore(val root: String, hconf: Option[SerializableHadoopConf] = None)
     extends Serializable {
 
   @transient private lazy val fs: FileSystem = {
-    val f = new Path(root).getFileSystem(Option(conf).getOrElse(new Configuration()))
+    val f = new Path(root).getFileSystem(
+      hconf.map(_.value).getOrElse(new Configuration()))
     // no .crc sidecars — they are not part of the Zarr layout
     f.setWriteChecksum(false)
     f.setVerifyChecksum(false)
@@ -28,8 +57,10 @@ final class ZarrStore(val root: String, @transient conf: Configuration = new Con
   def readBytes(key: String): Array[Byte] = {
     val in = fs.open(p(key))
     try {
-      val len = fs.getFileStatus(p(key)).getLen.toInt
-      val buf = new Array[Byte](len)
+      val len = fs.getFileStatus(p(key)).getLen
+      require(len <= Int.MaxValue,
+        s"object $key is $len bytes — beyond the 2 GiB single-buffer limit")
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()

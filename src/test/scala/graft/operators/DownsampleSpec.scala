@@ -109,6 +109,22 @@ class DownsampleSpec extends SparkSpec {
     }
   }
 
+  test("tiny ragged edge chunk (65x65, 64-chunks): halo still exact") {
+    // last chunk is 1 voxel wide — smaller than the gaussian radius;
+    // the chunk plan must fold it in rather than truncate the kernel
+    val vals = randArray(65 * 65, seed = 23)
+    val mOne = meta(Seq(65, 65), Seq("y", "x"), Seq(65, 65), "uint8")
+    val mMany = meta(Seq(65, 65), Seq("y", "x"), Seq(64, 64), "uint8")
+    for (method <- Seq(Method.ItkwasmGaussian, Method.DaskImageMode)) {
+      val (omS, dsS) = Downsample.step(spark,
+        ChunkOps.fromArray(spark, vals, mOne), mOne, Map("y" -> 2, "x" -> 2), method)
+      val (omM, dsM) = Downsample.step(spark,
+        ChunkOps.fromArray(spark, vals, mMany), mMany, Map("y" -> 2, "x" -> 2), method)
+      assert(ChunkOps.toArray(dsS, omS).toSeq == ChunkOps.toArray(dsM, omM).toSeq,
+        s"ragged-edge divergence for $method")
+    }
+  }
+
   test("3D multi-chunk gaussian equals single-chunk (corner halos)") {
     val vals = randArray(24 * 24 * 24, seed = 17)
     val mOne = meta(Seq(24, 24, 24), Seq("z", "y", "x"), Seq(24, 24, 24), "uint8")

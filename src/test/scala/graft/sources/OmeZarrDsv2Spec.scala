@@ -53,6 +53,27 @@ class OmeZarrDsv2Spec extends SparkSpec {
     assert(df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(0 -> 4L, 1 -> 1L))
   }
 
+  test("DSv2 reads sharded v0.5 stores: inner chunks, exact payloads") {
+    val m = ImageMeta(Seq("y", "x"), Seq(128, 128), Seq(32, 32), "uint16",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val vals = Array.tabulate(128 * 128)(i => (i % 5000).toDouble)
+    val ms = MultiscaleBuilder.Multiscale(Seq(
+      MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))), Method.ItkwasmBinShrink)
+    val dir = Files.createTempDirectory("dsv2shard").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5",
+      chunksPerShard = Some(Seq(2, 2)))
+    val df = spark.read.format("omezarr").load(dir)
+    // 4x4 inner chunk grid exposed, not the 2x2 shard grid
+    assert(df.count() == 16)
+    val r = df.orderBy(col("chunk_idx")).head
+    assert(r.getAs[scala.collection.Seq[Int]]("shape").toSeq == Seq(32, 32))
+    val sumDsv2 = df.collect().map(row => graft.zarr.ZarrStore
+      .decodeToDoubles(row.getAs[Array[Byte]]("data"), row.getAs[String]("dtype")).sum).sum
+    assert(sumDsv2 == vals.sum)
+    // metadata-only scans skip the shard fetch but still enumerate rows
+    assert(df.groupBy().count().head.getLong(0) == 16)
+  }
+
   test("voxel values through DSv2 match the direct reader") {
     val viaDsv2 = spark.read.format("omezarr").load(storePath)
       .filter(col("scale") === 0)
