@@ -123,6 +123,47 @@ object ChunkOps {
     }.toDF()
   }
 
+  /** Inverse of [[voxelView]]: materialize a relational voxel frame
+    * `(t,c,z,y,x,value)` back into a chunk table — the path that lets
+    * a pure SQL/DataFrame computation over voxels become an image
+    * again (and then an OME-Zarr store). One shuffle keyed by the
+    * owning chunk; absent dims are ignored.
+    */
+  def fromVoxelView(spark: SparkSession, voxels: org.apache.spark.sql.DataFrame,
+      meta: ImageMeta): Dataset[ChunkRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dims = meta.dims
+    val chunks = meta.chunks
+    val shape = meta.shape
+    val dtype = meta.dtype
+    val nd = dims.length
+    val typed = voxels
+      .select((dims.map(d => col(d).cast("long")) :+ col("value").cast("double")): _*)
+      .rdd.map { row =>
+        val coords = Array.tabulate(nd)(d => row.getLong(d))
+        val v = row.getDouble(nd)
+        val idx = Array.tabulate(nd)(d => (coords(d) / chunks(d)).toInt)
+        (idx.toSeq, (coords.toSeq, v))
+      }
+    val assembled = typed.groupByKey(math.max(1, math.min(
+      ZarrStore.chunkGrid(shape, chunks).map(_.toLong).product, 32L)).toInt)
+      .map { case (idx, vs) =>
+        val cShape = ZarrStore.chunkShapeAt(shape, chunks, idx)
+        val cOrigin = ZarrStore.chunkOriginAt(chunks, idx)
+        val str = NdKernels.strides(cShape.toArray)
+        val block = new Array[Double](cShape.product)
+        vs.foreach { case (coords, v) =>
+          var flat = 0
+          var d = 0
+          while (d < coords.length) { flat += (coords(d) - cOrigin(d)).toInt * str(d); d += 1 }
+          block(flat) = v
+        }
+        ChunkRow(idx, cOrigin, cShape, ZarrStore.encodeFromDoubles(block, dtype))
+      }
+    spark.createDataset(assembled)
+  }
+
   // ---- rechunk (P4) ----
 
   /** Re-block the chunk table to a new chunk grid: split every chunk

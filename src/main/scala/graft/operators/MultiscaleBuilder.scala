@@ -15,7 +15,8 @@ import ChunkOps.ChunkRow
 object MultiscaleBuilder {
 
   final case class Level(meta: ImageMeta, chunks: Dataset[ChunkRow])
-  final case class Multiscale(levels: Seq[Level], method: Method) {
+  final case class Multiscale(levels: Seq[Level], method: Method,
+      omero: Option[Omero] = None) {
     def metadata(name: String = "image", version: String = "0.4"): MultiscalesMeta = {
       val axes = levels.head.meta.dims.map { d =>
         Axis(d, axisType(d), levels.head.meta.axesUnits.get(d),
@@ -27,7 +28,7 @@ object MultiscaleBuilder {
           TranslationT(lvl.meta.dims.map(lvl.meta.translation))))
       }
       MultiscalesMeta(axes, datasets, version, Some(name),
-        Some(method.value), Some(method.metadata))
+        Some(method.value), Some(method.metadata), omero)
     }
   }
 

@@ -248,6 +248,7 @@ object OmeZarrIO {
       MultiscaleBuilder.Level(imgMeta, ds)
     }
     MultiscaleBuilder.Multiscale(levels,
-      meta.`type`.flatMap(Method.fromValue).getOrElse(Method.ItkwasmGaussian))
+      meta.`type`.flatMap(Method.fromValue).getOrElse(Method.ItkwasmGaussian),
+      meta.omero)
   }
 }
