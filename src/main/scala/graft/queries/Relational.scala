@@ -27,7 +27,8 @@ object Relational extends QModule {
     q15Cube, q16GroupingSets, q17Having, q18Mode,
     q19WindowRank, q20WindowLagLead, q21WindowRunning, q22WindowRange,
     q23SortLimit, q24TopKPerGroup, q25Union, q26Intersect, q27Except,
-    q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json)
+    q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
+    q37CsvScan, q38JsonScan)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -702,4 +703,45 @@ object Relational extends QModule {
             CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
             max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** CSV source (§2.7 scans row): round the region table through a
+    * CSV file with an explicit schema and aggregate — the oracle runs
+    * on the original table, proving the format hop is lossless.
+    */
+  val q37CsvScan = Q(
+    "q37_csv_scan",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "nation")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(tmp)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy(col("n_regionkey"))
+    },
+    Some("""SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  /** JSON-lines source (§2.7 scans row): same round-trip through
+    * spark.read.json.
+    */
+  val q38JsonScan = Q(
+    "q38_json_scan",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "supplier")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(tmp)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 2).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, count(*) AS n_suppliers,
+            round(sum(s_acctbal), 2) AS total_bal
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
 }
