@@ -172,7 +172,7 @@ class DownsampleSpec extends SparkSpec {
     val m = ImageMeta(Seq("y", "x"), Seq(512, 512), Seq(128, 128), "float32",
       Map("y" -> 0.25, "x" -> 0.25), Map("y" -> 0.0, "x" -> 0.0))
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, new Array[Double](512 * 512), m))
-    for (method <- Seq(Method.ItkwasmBinShrink, Method.DaskImageNearest, Method.ItkwasmGaussian)) {
+    for (method <- Method.all) { // all 8 registered methods (test_pyramid_integrity parity)
       val ms = MultiscaleBuilder.toMultiscales(spark, base,
         Some(Seq(2, 4, 8, 16, 32).map(k => Map("y" -> k, "x" -> k))), method, cache = false)
       assert(ms.levels.length == 6)
