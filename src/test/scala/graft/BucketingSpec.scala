@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import java.nio.file.Files
 
 /** The co-located join strategy for repeated big joins at scale
   * (SURVEY §2.7 / the 100 TB posture): bucket both fact tables on the
@@ -13,16 +12,23 @@ import java.nio.file.Files
 class BucketingSpec extends SparkSpec {
 
   test("bucketed-by-key join plans without a shuffle exchange") {
-    val wh = Files.createTempDirectory("graft-wh").toString
-    val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-bucketing")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = spark // getOrCreate would return this session anyway
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     try {
+      // drop any leftovers (managed-table locations survive crashes)
+      Seq("li_bucketed", "o_bucketed").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(loc)
+        }
+      }
       val li = Tables.load(s, sfDir, "lineitem")
       val o = Tables.load(s, sfDir, "orders")
       li.write.mode("overwrite").bucketBy(8, "l_orderkey")
@@ -48,6 +54,9 @@ class BucketingSpec extends SparkSpec {
       val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
       assert(exchanges.size <= 1,
         s"bucketed join should not shuffle its inputs:\n$plan")
-    } finally s.stop()
+    } finally {
+      Seq("li_bucketed", "o_bucketed").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 }
