@@ -123,6 +123,38 @@ object ChunkOps {
     }.toDF()
   }
 
+  final case class ComplexVoxelRow(t: Long, c: Long, z: Long, y: Long, x: Long,
+      re: Double, im: Double)
+
+  /** Voxel view for complex64/128 payloads: one row per voxel with
+    * struct-style (re, im) columns (SURVEY §1.2 complex mapping).
+    */
+  def complexVoxelView(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta): DataFrame = {
+    import spark.implicits._
+    val dims = meta.dims
+    val dtype = meta.dtype
+    ds.flatMap { chunk =>
+      val vals = ZarrStore.decodeComplex(chunk.data, dtype)
+      val cShape = chunk.shape.toArray
+      val nd = cShape.length
+      val pos = new Array[Int](nd)
+      val coords = scala.collection.mutable.Map("t" -> 0L, "c" -> 0L, "z" -> 0L, "y" -> 0L, "x" -> 0L)
+      Iterator.tabulate(vals.length / 2) { flat =>
+        var d = 0
+        while (d < nd) { coords(dims(d)) = chunk.origin(d) + pos(d); d += 1 }
+        val row = ComplexVoxelRow(coords("t"), coords("c"), coords("z"), coords("y"), coords("x"),
+          vals(2 * flat), vals(2 * flat + 1))
+        var dd = nd - 1
+        var carry = true
+        while (carry && dd >= 0) {
+          pos(dd) += 1
+          if (pos(dd) == cShape(dd)) { pos(dd) = 0; dd -= 1 } else carry = false
+        }
+        row
+      }
+    }.toDF()
+  }
+
   /** Inverse of [[voxelView]]: materialize a relational voxel frame
     * `(t,c,z,y,x,value)` back into a chunk table — the path that lets
     * a pure SQL/DataFrame computation over voxels become an image

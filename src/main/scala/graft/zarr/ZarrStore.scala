@@ -192,6 +192,35 @@ object ZarrStore {
     bb.array()
   }
 
+  /** Decode complex64/128 chunks into interleaved doubles
+    * [re0, im0, re1, im1, …] — the struct(re, im) mapping of
+    * SURVEY §1.2 (complex values have no scalar voxel view; the
+    * relational surface exposes them as two columns).
+    */
+  def decodeComplex(raw: Array[Byte], dtype: String, bigEndian: Boolean = false): Array[Double] = {
+    val dt = Dtypes.normalize(dtype)
+    require(dt == "complex64" || dt == "complex128", s"not a complex dtype: $dtype")
+    val bb = ByteBuffer.wrap(raw).order(
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val n = raw.length / (Dtypes.itemSize(dt) / 2)
+    val out = new Array[Double](n)
+    var i = 0
+    if (dt == "complex64") while (i < n) { out(i) = bb.getFloat().toDouble; i += 1 }
+    else while (i < n) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  def encodeComplex(interleaved: Array[Double], dtype: String): Array[Byte] = {
+    val dt = Dtypes.normalize(dtype)
+    require(dt == "complex64" || dt == "complex128", s"not a complex dtype: $dtype")
+    val bb = ByteBuffer.allocate(interleaved.length * (Dtypes.itemSize(dt) / 2))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    if (dt == "complex64") while (i < interleaved.length) { bb.putFloat(interleaved(i).toFloat); i += 1 }
+    else while (i < interleaved.length) { bb.putDouble(interleaved(i)); i += 1 }
+    bb.array()
+  }
+
   /** IEEE 754 half-precision decode (sign/exp/mantissa manual). */
   def float16ToFloat(h: Short): Float = {
     val sign = (h >> 15) & 1

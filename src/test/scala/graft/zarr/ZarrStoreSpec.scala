@@ -59,4 +59,17 @@ class ZarrStoreSpec extends AnyFunSuite {
     store.delete("a")
     assert(!store.exists("a/0/0"))
   }
+
+  test("complex dtype decode/encode round-trips interleaved (re, im)") {
+    val vals = Array(1.5, -2.0, 3.25, 4.0) // (1.5-2i), (3.25+4i)
+    for (dt <- Seq("complex64", "complex128")) {
+      val enc = ZarrStore.encodeComplex(vals, dt)
+      assert(enc.length == vals.length * (graft.meta.Dtypes.itemSize(dt) / 2))
+      assert(ZarrStore.decodeComplex(enc, dt).toSeq == vals.toSeq, dt)
+    }
+    // big-endian complex64 normalizes on read
+    val be = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putFloat(1.0f).putFloat(-1.0f).array()
+    assert(ZarrStore.decodeComplex(be, "complex64", bigEndian = true).toSeq == Seq(1.0, -1.0))
+  }
 }
