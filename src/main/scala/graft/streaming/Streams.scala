@@ -44,6 +44,24 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Watermarked stream-stream interval join: match each event on
+    * stream A to events on stream B for the same user within
+    * `within` AFTER it. State on both sides is bounded by the
+    * watermarks + the join time bound.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame, within: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val aw = a.withWatermark("ts", watermark).alias("a")
+    val bw = b.withWatermark("ts", watermark).alias("b")
+    aw.join(bw, expr(
+      s"""a.user_id = b.user_id AND
+          b.ts >= a.ts AND b.ts <= a.ts + interval $within"""))
+      .select(col("a.user_id").as("user_id"),
+        col("a.ts").as("ts_a"), col("b.ts").as("ts_b"),
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -57,6 +57,25 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches within-window pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Timestamp, Long, String)]
+    val memB = MemoryStream[(Timestamp, Long, String)]
+    val a = memA.toDF().toDF("ts", "user_id", "event_type")
+    val b = memB.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.intervalJoin(a, b, "30 minutes", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("ijoin").start()
+    memA.addData((ts(0), 1L, "click"), (ts(0), 2L, "click"))
+    memB.addData((ts(10), 1L, "buy"), (ts(50), 1L, "buy"), (ts(5), 3L, "buy"))
+    q.processAllAvailable()
+    val rows = spark.table("ijoin").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("type_b")))
+    // only user 1's buy at +10min is within 30min; +50min and user 3 excluded
+    assert(rows.toSeq == Seq((1L, "buy")))
+    q.stop()
+  }
+
   test("file-source stream over the real events table matches batch counts") {
     import spark.implicits._
     // stream the driver's events parquet as files arrive (one batch),
