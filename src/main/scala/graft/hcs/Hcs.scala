@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import graft.meta.Model._
 import graft.meta.ZarrJson
 import graft.operators.{MultiscaleBuilder, OmeZarrIO}
-import graft.zarr.ZarrStore
+import graft.zarr.{SerializableHadoopConf, ZarrStore}
 import scala.jdk.CollectionConverters._
 
 /** High-Content-Screening plate/well relational structure
@@ -20,6 +20,14 @@ import scala.jdk.CollectionConverters._
   * streaming ingest path (graft.streaming.HcsIngest) drives per batch.
   */
 object Hcs {
+
+  /** Driver-side store handle carrying the session's hadoop conf so
+    * spark.hadoop.* object-store settings apply to HCS metadata I/O
+    * exactly as they do to pixel I/O.
+    */
+  def openStore(path: String): ZarrStore =
+    new ZarrStore(path, Some(SerializableHadoopConf.fromActiveSession()))
+
 
   final case class HCSPlate(store: String, plate: Plate) {
 
@@ -44,7 +52,7 @@ object Hcs {
     /** Image catalog: one row per (well, field image). */
     def imagesDf(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      val store = new ZarrStore(this.store)
+      val store = Hcs.openStore(this.store)
       plate.wells.flatMap { w =>
         val well = readWellMeta(store, w.path)
         well.toSeq.flatMap(_.images.map(img =>
@@ -56,7 +64,7 @@ object Hcs {
     /** Keyed lookup by well path ("A/1"). */
     def getWell(path: String): Option[Well] =
       if (!plate.wells.exists(_.path == path)) None
-      else readWellMeta(new ZarrStore(store), path)
+      else readWellMeta(Hcs.openStore(store), path)
 
     /** Keyed lookup by (rowIndex, columnIndex). */
     def getWell(rowIndex: Int, columnIndex: Int): Option[Well] =
@@ -155,7 +163,7 @@ object Hcs {
 
   /** Write the plate metadata tree (S13, `to_hcs_zarr`). */
   def toHcsZarr(path: String, plate: Plate): Unit = {
-    val store = new ZarrStore(path)
+    val store = openStore(path)
     store.writeString(".zgroup", ZarrJson.groupDoc(2))
     store.writeString(".zattrs", plateAttrs(plate))
   }
@@ -169,7 +177,7 @@ object Hcs {
   def writeWellImage(spark: SparkSession, path: String, wellPath: String,
       imagePath: String, ms: MultiscaleBuilder.Multiscale,
       acquisition: Option[Int] = None): Unit = {
-    val store = new ZarrStore(path)
+    val store = openStore(path)
     // ensure row + well group docs
     val rowGroup = wellPath.split("/").head
     store.writeString(s"$rowGroup/.zgroup", ZarrJson.groupDoc(2))
@@ -186,7 +194,7 @@ object Hcs {
 
   /** Read a plate store (S12, `from_hcs_zarr`). */
   def fromHcsZarr(path: String): HCSPlate = {
-    val store = new ZarrStore(path)
+    val store = openStore(path)
     HCSPlate(path, parsePlate(store.readString(".zattrs")))
   }
 }

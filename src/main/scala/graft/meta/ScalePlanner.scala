@@ -131,6 +131,9 @@ object ScalePlanner {
   /** Chunk alignment (`methods/_support.py:137-156`): if the chunk
     * edge isn't divisible by the shrink factor, grow it to
     * chunk·factor so per-chunk downsampling stays exact.
+    * Reference-parity form; the execution pipeline uses
+    * `Downsample.planChunk`, which applies this rule and additionally
+    * guarantees ragged edge chunks span the stencil radius.
     */
   def alignChunks(chunks: Map[String, Int], defaultChunks: Map[String, Int],
       dimFactors: Map[String, Int]): Map[String, Int] =

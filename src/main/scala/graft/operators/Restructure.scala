@@ -109,7 +109,11 @@ object Restructure {
       lo: Seq[Long], hi: Seq[Long]): (ImageMeta, Dataset[ChunkRow]) = {
     import spark.implicits._
     val nd = meta.dims.length
-    val outShape = lo.zip(hi).map { case (l, h) => h - l }
+    val outShape = lo.zip(hi).map { case (l, h) => math.max(0L, h - l) }
+    val outMetaEmpty = meta.copy(shape = outShape,
+      chunks = outShape.map(s => math.max(1L, s).toInt))
+    if (outShape.contains(0L))
+      return (outMetaEmpty, spark.emptyDataset[ChunkRow])
     val outChunks = meta.chunks.zip(outShape).map { case (c, s) => math.min(c.toLong, s).toInt }
     val dtype = meta.dtype
     val clipped = ds
@@ -129,8 +133,7 @@ object Restructure {
     // rechunk groups purely by origin, so the stale chunkIdx on the
     // intermediate rows never escapes
     ChunkOps.rechunk(spark, clipped,
-      meta.copy(shape = outShape, chunks = outChunks.map(identity)), outChunks,
-      force = true)
+      meta.copy(shape = outShape, chunks = outChunks), outChunks, force = true)
   }
 
   /** P3 — numpy-style array_split into n sections along `dim`

@@ -48,6 +48,12 @@ object TextDedup {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the typed kernel encodes ids as long — a silent cast would null
+    // out string keys and collapse every doc into one
+    val idType = docs.schema(idCol).dataType
+    require(Set("byte", "short", "integer", "long").contains(idType.typeName),
+      s"$idCol must be an integral id column, got $idType " +
+        "(hash or zip string ids to longs first)")
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val ws = text.split(' ').filter(_.nonEmpty)

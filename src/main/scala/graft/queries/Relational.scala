@@ -711,7 +711,9 @@ object Relational extends QModule {
   val q37CsvScan = Q(
     "q37_csv_scan",
     (s, dir) => {
-      val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // per-application scratch path: concurrent gate/bench runs on
+      // one host must not race on overwrite
+      val tmp = s"/tmp/graft_csv_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       Tables.load(s, dir, "nation")
         .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true")
@@ -731,7 +733,7 @@ object Relational extends QModule {
   val q38JsonScan = Q(
     "q38_json_scan",
     (s, dir) => {
-      val tmp = s"/tmp/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = s"/tmp/graft_json_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       Tables.load(s, dir, "supplier")
         .write.mode("overwrite").json(tmp)
       s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")

@@ -70,8 +70,7 @@ class OmeZarrTable(path: String) extends Table with SupportsRead {
 final case class OmeZarrInputPartition(scale: Int, idx: Seq[Int], arrayPath: String,
     shape: Seq[Long], chunks: Seq[Int], dtype: String, bigEndian: Boolean,
     compressor: Option[String], separator: String, zarrFormat: Int,
-    path: String, sharding: Option[(Seq[Int], Option[String])],
-    hconf: graft.zarr.SerializableHadoopConf) extends InputPartition
+    path: String, sharding: Option[(Seq[Int], Option[String])]) extends InputPartition
 
 class OmeZarrScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -141,22 +140,26 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
         ZarrStore.gridPositions(ZarrStore.chunkGrid(shape, chunks)).map { idx =>
           OmeZarrInputPartition(i, idx, d.path, shape, chunks,
             Dtypes.normalize(dtypeRaw), Dtypes.isBigEndian(dtypeRaw), comp, sep,
-            zarrFormat, path, sharding, hconf)
+            zarrFormat, path, sharding)
         }
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OmeZarrReaderFactory(required)
+    // the factory is serialized once per scan — the Hadoop conf rides
+    // here instead of bloating every InputPartition
+    new OmeZarrReaderFactory(required,
+      graft.zarr.SerializableHadoopConf.fromActiveSession())
 }
 
-class OmeZarrReaderFactory(required: StructType) extends PartitionReaderFactory {
+class OmeZarrReaderFactory(required: StructType,
+    hconf: graft.zarr.SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OmeZarrInputPartition]
     new PartitionReader[InternalRow] {
       import graft.zarr.Sharding
       private val needData = required.fieldNames.contains("data")
-      private lazy val st = new ZarrStore(p.path, Some(p.hconf))
+      private lazy val st = new ZarrStore(p.path, Some(hconf))
 
       /** (innerIdx, preloaded-encoded-bytes-or-null) rows this
         * partition emits: one for a plain chunk; one per present
@@ -169,13 +172,13 @@ class OmeZarrReaderFactory(required: StructType) extends PartitionReaderFactory 
         case Some((inner, icomp)) =>
           val cps = p.chunks.zip(inner).map { case (s, c) => s / c }
           if (!needData) {
-            // metadata-only: enumerate the inner grid positions that
-            // exist within the image bounds, no shard fetch
-            val innerGrid = ZarrStore.chunkGrid(p.shape, inner)
-            ZarrStore.gridPositions(cps).flatMap { rel =>
-              val idx = p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
-              if (idx.zip(innerGrid).forall { case (i, g) => i < g }) Some((idx, None))
-              else None
+            // metadata-only: read ONLY the shard index footer so the
+            // row set (chunks actually present) matches the data path
+            val footer = st.readTail(ZarrStore.chunkKey(3, p.arrayPath, p.idx),
+              graft.zarr.Sharding.indexSize(cps.product))
+            Sharding.presentPositions(footer, cps.product).iterator.map { flat =>
+              val rel = Sharding.innerPosition(flat, cps)
+              (p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }, None)
             }
           } else {
             val key = ZarrStore.chunkKey(3, p.arrayPath, p.idx)

@@ -50,6 +50,22 @@ object Sharding {
     out.array()
   }
 
+  /** Byte length of a shard index (+crc32c footer). */
+  def indexSize(nInner: Int): Int = nInner * 16 + 4
+
+  /** Parse just a shard index footer (as returned by
+    * `ZarrStore.readTail(key, indexSize(n))`): the flat positions of
+    * PRESENT inner chunks, without touching payload bytes.
+    */
+  def presentPositions(footer: Array[Byte], nInner: Int): Seq[Int] = {
+    require(footer.length == indexSize(nInner), s"bad footer size ${footer.length}")
+    val bb = ByteBuffer.wrap(footer, 0, nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until nInner).flatMap { i =>
+      val off = bb.getLong(); bb.getLong()
+      if (off == Missing) None else Some(i)
+    }
+  }
+
   /** Parse a shard: returns innerPosition → encoded bytes. Verifies
     * the index checksum.
     */

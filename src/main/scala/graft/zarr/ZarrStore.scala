@@ -66,6 +66,21 @@ final class ZarrStore(val root: String, hconf: Option[SerializableHadoopConf] = 
     } finally in.close()
   }
 
+  /** Read the trailing `length` bytes of an object (seek + readFully)
+    * — shard indexes live in the footer, so metadata-only scans never
+    * pull chunk payloads.
+    */
+  def readTail(key: String, length: Int): Array[Byte] = {
+    val status = fs.getFileStatus(p(key))
+    val in = fs.open(p(key))
+    try {
+      val off = math.max(0L, status.getLen - length)
+      val buf = new Array[Byte](math.min(length.toLong, status.getLen).toInt)
+      in.readFully(off, buf)
+      buf
+    } finally in.close()
+  }
+
   def writeBytes(key: String, data: Array[Byte]): Unit = {
     val out = fs.create(p(key), true)
     try out.write(data) finally out.close()

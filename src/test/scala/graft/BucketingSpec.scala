@@ -14,7 +14,11 @@ class BucketingSpec extends SparkSpec {
   test("bucketed-by-key join plans without a shuffle exchange") {
     val s = spark // getOrCreate would return this session anyway
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    // AQE wraps the plan in AdaptiveSparkPlanExec, hiding exchanges
+    // from plan.collect — disable it so the no-shuffle assertion bites
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // drop any leftovers (managed-table locations survive crashes)
       Seq("li_bucketed", "o_bucketed").foreach { t =>
@@ -57,6 +61,7 @@ class BucketingSpec extends SparkSpec {
     } finally {
       Seq("li_bucketed", "o_bucketed").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 }

@@ -79,8 +79,10 @@ class StreamsSpec extends SparkSpec {
   test("file-source stream over the real events table matches batch counts") {
     import spark.implicits._
     // stream the driver's events parquet as files arrive (one batch),
-    // through the same windowing expressions the batch gate verifies
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // through the same windowing expressions the batch gate verifies.
+    // (Events.events sets nanosAsLong; restored below so other suites
+    // sharing this session see default parquet semantics.)
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     val batchDf = graft.queries.Events.events(spark, sfDir)
     val expected = batchDf
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -103,6 +105,10 @@ class StreamsSpec extends SparkSpec {
     val got = spark.table("filestream").collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
     q.stop()
+    prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
     assert(got == expected)
   }
 
