@@ -52,14 +52,20 @@ object OmeZarrTable {
     StructField("data", BinaryType, nullable = false)))
 }
 
-class OmeZarrTable(path: String) extends Table with SupportsRead {
+class OmeZarrTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "omezarr requires a path")
   override def name(): String = s"omezarr:$path"
   override def schema(): StructType = OmeZarrTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OmeZarrScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new OmeZarrWriteBuilder(path, info.options.asScala.toMap)
 }
 
 /** One unit of scan work: a plain chunk, or — when `sharding` is set —

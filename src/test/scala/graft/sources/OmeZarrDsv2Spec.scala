@@ -74,6 +74,32 @@ class OmeZarrDsv2Spec extends SparkSpec {
     assert(df.groupBy().count().head.getLong(0) == 16)
   }
 
+  test("df.write.format(omezarr) round-trips a two-level pyramid") {
+    val m0 = ImageMeta(Seq("y", "x"), Seq(64, 96), Seq(32, 32), "uint16",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val vals = Array.tabulate(64 * 96)(i => (i % 7919).toDouble)
+    val ds0 = ChunkOps.fromArray(spark, vals, m0)
+    val (m1, ds1) = graft.operators.Downsample.step(spark, ds0, m0,
+      Map("y" -> 2, "x" -> 2), Method.ItkwasmBinShrink)
+    import spark.implicits._
+    val chunkDf = ds0.map(c => (0, c.chunkIdx, c.origin, c.shape, "uint16", c.data))
+      .union(ds1.map(c => (1, c.chunkIdx, c.origin, c.shape, "uint16", c.data)))
+      .toDF("scale", "chunk_idx", "origin", "shape", "dtype", "data")
+    val dir = Files.createTempDirectory("dsv2w").toString + "/img.zarr"
+    chunkDf.write.format("omezarr")
+      .option("levels", OmeZarrWriteMeta.levelsJson(Seq(m0, m1)))
+      .option("dims", "y,x").option("dtype", "uint16")
+      .option("compressor", "gzip")
+      .mode("overwrite").save(dir)
+    // re-read through the function reader and compare both levels
+    val back = graft.operators.OmeZarrIO.readMultiscales(spark, dir, validate = true)
+    assert(back.levels.map(_.meta.shape) == Seq(Seq(64L, 96L), Seq(32L, 48L)))
+    assert(back.levels(1).meta.scale == Map("y" -> 2.0, "x" -> 2.0))
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq == vals.toSeq)
+    assert(ChunkOps.toArray(back.levels(1).chunks, back.levels(1).meta).toSeq ==
+      ChunkOps.toArray(ds1, m1).toSeq)
+  }
+
   test("voxel values through DSv2 match the direct reader") {
     val viaDsv2 = spark.read.format("omezarr").load(storePath)
       .filter(col("scale") === 0)
