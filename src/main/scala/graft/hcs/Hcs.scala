@@ -28,6 +28,13 @@ object Hcs {
   def openStore(path: String): ZarrStore =
     new ZarrStore(path, Some(SerializableHadoopConf.fromActiveSession()))
 
+  /** Prefer this overload when a session is in hand — the active
+    * session may differ (multi-session apps, background threads).
+    */
+  def openStore(path: String, spark: SparkSession): ZarrStore =
+    new ZarrStore(path,
+      Some(new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)))
+
 
   final case class HCSPlate(store: String, plate: Plate) {
 
@@ -52,7 +59,7 @@ object Hcs {
     /** Image catalog: one row per (well, field image). */
     def imagesDf(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      val store = Hcs.openStore(this.store)
+      val store = Hcs.openStore(this.store, spark)
       plate.wells.flatMap { w =>
         val well = readWellMeta(store, w.path)
         well.toSeq.flatMap(_.images.map(img =>

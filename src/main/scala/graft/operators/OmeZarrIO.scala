@@ -90,24 +90,12 @@ object OmeZarrIO {
     }
 
     // driver: consolidated metadata (S8)
-    if (zarrFormat == 2) {
-      val mapper = ZarrJson.mapper
-      val consolidated = mapper.createObjectNode()
-      consolidated.put("zarr_consolidated_format", 1)
-      val m = consolidated.putObject("metadata")
-      (".zgroup" :: ".zattrs" ::
-        ms.levels.indices.flatMap(i => Seq(s"scale$i/.zgroup",
-          s"scale$i/$name/.zarray", s"scale$i/$name/.zattrs")).toList)
-        .foreach(k => m.set[com.fasterxml.jackson.databind.JsonNode](
-          k, mapper.readTree(store.readString(k))))
-      store.writeString(".zmetadata",
-        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(consolidated))
-    }
+    if (zarrFormat == 2) writeConsolidated(store, ms.levels.indices, name)
     counts
   }
 
   /** Zarr stores edge chunks padded to the full chunk shape. */
-  private def padToFull(c: ChunkRow, fullChunks: Seq[Int], dtype: String): Array[Byte] =
+  private[graft] def padToFull(c: ChunkRow, fullChunks: Seq[Int], dtype: String): Array[Byte] =
     if (c.shape == fullChunks) c.data
     else {
       val full = new Array[Double](fullChunks.product)
@@ -149,6 +137,25 @@ object OmeZarrIO {
         }
       }
     acc.value.longValue()
+  }
+
+  /** S8 — consolidated metadata for Zarr v2 stores: every metadata
+    * document inlined into one `.zmetadata` key. Shared by the
+    * function writer and the DSv2 commit path.
+    */
+  private[graft] def writeConsolidated(store: ZarrStore, levelIndices: Seq[Int],
+      name: String): Unit = {
+    val mapper = ZarrJson.mapper
+    val consolidated = mapper.createObjectNode()
+    consolidated.put("zarr_consolidated_format", 1)
+    val m = consolidated.putObject("metadata")
+    (".zgroup" :: ".zattrs" ::
+      levelIndices.flatMap(i => Seq(s"scale$i/.zgroup",
+        s"scale$i/$name/.zarray", s"scale$i/$name/.zattrs")).toList)
+      .foreach(k => m.set[com.fasterxml.jackson.databind.JsonNode](
+        k, mapper.readTree(store.readString(k))))
+    store.writeString(".zmetadata",
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(consolidated))
   }
 
   /** Read an OME-Zarr store → multiscale levels with lazy chunk

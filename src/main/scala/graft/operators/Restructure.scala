@@ -110,10 +110,12 @@ object Restructure {
     import spark.implicits._
     val nd = meta.dims.length
     val outShape = lo.zip(hi).map { case (l, h) => math.max(0L, h - l) }
-    val outMetaEmpty = meta.copy(shape = outShape,
-      chunks = outShape.map(s => math.max(1L, s).toInt))
-    if (outShape.contains(0L))
-      return (outMetaEmpty, spark.emptyDataset[ChunkRow])
+    if (outShape.contains(0L)) {
+      val emptyChunks = meta.chunks.zip(outShape)
+        .map { case (c, s) => math.max(1L, math.min(c.toLong, s)).toInt }
+      return (meta.copy(shape = outShape, chunks = emptyChunks),
+        spark.emptyDataset[ChunkRow])
+    }
     val outChunks = meta.chunks.zip(outShape).map { case (c, s) => math.min(c.toLong, s).toInt }
     val dtype = meta.dtype
     val clipped = ds

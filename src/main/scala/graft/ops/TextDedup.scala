@@ -51,8 +51,8 @@ object TextDedup {
     // the typed kernel encodes ids as long — a silent cast would null
     // out string keys and collapse every doc into one
     val idType = docs.schema(idCol).dataType
-    require(Set("byte", "short", "integer", "long").contains(idType.typeName),
-      s"$idCol must be an integral id column, got $idType " +
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be a numeric id column, got $idType " +
         "(hash or zip string ids to longs first)")
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>

@@ -177,17 +177,17 @@ class OmeZarrReaderFactory(required: StructType,
         case None => Iterator((p.idx, None))
         case Some((inner, icomp)) =>
           val cps = p.chunks.zip(inner).map { case (s, c) => s / c }
-          if (!needData) {
+          val key = ZarrStore.chunkKey(3, p.arrayPath, p.idx)
+          if (!st.exists(key)) Iterator.empty // all-fill-value shard: legal, no object
+          else if (!needData) {
             // metadata-only: read ONLY the shard index footer so the
             // row set (chunks actually present) matches the data path
-            val footer = st.readTail(ZarrStore.chunkKey(3, p.arrayPath, p.idx),
-              graft.zarr.Sharding.indexSize(cps.product))
+            val footer = st.readTail(key, graft.zarr.Sharding.indexSize(cps.product))
             Sharding.presentPositions(footer, cps.product).iterator.map { flat =>
               val rel = Sharding.innerPosition(flat, cps)
               (p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }, None)
             }
           } else {
-            val key = ZarrStore.chunkKey(3, p.arrayPath, p.idx)
             Sharding.parseShard(st.readBytes(key), cps.product).iterator.map {
               case (flat, enc) =>
                 val rel = Sharding.innerPosition(flat, cps)

@@ -55,13 +55,15 @@ object OmeZarrWriteMeta {
 
 class OmeZarrWriteBuilder(path: String, options: Map[String, String])
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = this // overwrite == rewrite the store
-  override def build(): Write = new OmeZarrWrite(path, options)
+  private var truncated = false
+  override def truncate(): WriteBuilder = { truncated = true; this }
+  override def build(): Write = new OmeZarrWrite(path, options, truncated)
 }
 
 final case class ChunkCount(n: Long) extends WriterCommitMessage
 
-class OmeZarrWrite(path: String, options: Map[String, String]) extends Write with BatchWrite {
+class OmeZarrWrite(path: String, options: Map[String, String],
+    truncate: Boolean) extends Write with BatchWrite {
 
   private val dims = options.getOrElse("dims",
     throw new IllegalArgumentException("omezarr write requires option 'dims'")).split(",").toSeq
@@ -69,7 +71,7 @@ class OmeZarrWrite(path: String, options: Map[String, String]) extends Write wit
   private val name = options.getOrElse("name", "image")
   private val version = options.getOrElse("version", "0.4")
   private val compressor: Option[String] =
-    options.get("compressor").filter(_ != "none").orElse(Some("zstd"))
+    options.get("compressor").orElse(Some("zstd")).filter(_ != "none")
   private val levels = OmeZarrWriteMeta.parseLevels(
     options.getOrElse("levels",
       throw new IllegalArgumentException("omezarr write requires option 'levels'")),
@@ -78,9 +80,12 @@ class OmeZarrWrite(path: String, options: Map[String, String]) extends Write wit
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // clean target before tasks start (overwrite semantics)
     val store = new ZarrStore(path, Some(SerializableHadoopConf.fromActiveSession()))
-    store.delete("")
+    if (truncate) store.delete("") // mode("overwrite") → Spark called truncate()
+    else if (store.exists(".zattrs") || store.exists("zarr.json"))
+      throw new UnsupportedOperationException(
+        s"omezarr target $path already exists — appending to a pyramid is not " +
+          "defined; use mode(\"overwrite\")")
     new OmeZarrDataWriterFactory(path, name, version, compressor,
       levels.map(m => (m.chunks, m.shape)),
       dtype, SerializableHadoopConf.fromActiveSession())
@@ -117,6 +122,8 @@ class OmeZarrWrite(path: String, options: Map[String, String]) extends Write wit
           s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => "\"" + d + "\"").mkString(", ")}]}""")
       }
     }
+    if (zarrFormat == 2)
+      graft.operators.OmeZarrIO.writeConsolidated(store, levels.indices, name)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -141,15 +148,8 @@ class OmeZarrDataWriterFactory(path: String, name: String, version: String,
         val cShape = row.getArray(3).toIntArray().toSeq
         val data = row.getBinary(5)
         val (fullChunks, _) = levelChunks(scale)
-        val payload =
-          if (cShape == fullChunks) data
-          else {
-            val full = new Array[Double](fullChunks.product)
-            ChunkOps.placeBlock(full, fullChunks.toArray,
-              Array.fill(fullChunks.length)(0), cShape.toArray,
-              ZarrStore.decodeToDoubles(data, dtype))
-            ZarrStore.encodeFromDoubles(full, dtype)
-          }
+        val payload = graft.operators.OmeZarrIO.padToFull(
+          ChunkOps.ChunkRow(idx, Seq.empty, cShape, data), fullChunks, dtype)
         st.writeBytes(ZarrStore.chunkKey(zarrFormat, s"scale$scale/$name", idx),
           Codecs.compress(compressor, payload))
         n += 1

@@ -59,6 +59,13 @@ object Sharding {
     */
   def presentPositions(footer: Array[Byte], nInner: Int): Seq[Int] = {
     require(footer.length == indexSize(nInner), s"bad footer size ${footer.length}")
+    // same integrity bar as parseShard: a corrupt index must fail the
+    // metadata path too, not silently yield a wrong row set
+    val crc = new CRC32C
+    crc.update(footer, 0, nInner * 16)
+    val stored = ByteBuffer.wrap(footer, nInner * 16, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(crc.getValue.toInt == stored, "shard index crc32c mismatch")
     val bb = ByteBuffer.wrap(footer, 0, nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
     (0 until nInner).flatMap { i =>
       val off = bb.getLong(); bb.getLong()

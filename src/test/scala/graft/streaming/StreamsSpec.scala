@@ -83,6 +83,7 @@ class StreamsSpec extends SparkSpec {
     // (Events.events sets nanosAsLong; restored below so other suites
     // sharing this session see default parquet semantics.)
     val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    try {
     val batchDf = graft.queries.Events.events(spark, sfDir)
     val expected = batchDf
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -105,11 +106,11 @@ class StreamsSpec extends SparkSpec {
     val got = spark.table("filestream").collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
     q.stop()
-    prevNanos match {
+    assert(got == expected)
+    } finally prevNanos match {
       case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
       case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
-    assert(got == expected)
   }
 
   test("HCS plate: metadata round-trip, keyed lookup, streaming field upsert") {
