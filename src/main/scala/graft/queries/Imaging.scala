@@ -21,7 +21,9 @@ object Imaging extends QModule {
   private val W = 64
 
   private def baseImage(spark: SparkSession): (ImageMeta, org.apache.spark.sql.Dataset[ChunkOps.ChunkRow]) = {
-    val meta = ImageMeta(Seq("y", "x"), Seq(H, W), Seq(16, 16), "uint8",
+    // 2×2 chunk grid: enough to exercise distribution + halo exchange
+    // without paying 16-task stage latency per fixed-size gate query
+    val meta = ImageMeta(Seq("y", "x"), Seq(H, W), Seq(32, 32), "uint8",
       Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
     val vals = Array.tabulate(H * W)(i => ((i / W * 31 + i % W * 17) % 256).toDouble)
     (meta, ChunkOps.fromArray(spark, vals, meta))
@@ -107,7 +109,13 @@ object Imaging extends QModule {
     "i64_pyramid_metadata",
     (s, _) => {
       import s.implicits._
-      val (meta, ds) = baseImage(s)
+      // 16-chunks here: the A1 planner's stop rule (≤ 2×chunk) is part
+      // of what the oracle checks, so this query keeps the grid that
+      // yields exactly one extra level for a 64² image
+      val meta = ImageMeta(Seq("y", "x"), Seq(H, W), Seq(16, 16), "uint8",
+        Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+      val vals = Array.tabulate(H * W)(i => ((i / W * 31 + i % W * 17) % 256).toDouble)
+      val ds = ChunkOps.fromArray(s, vals, meta)
       val ms = MultiscaleBuilder.toMultiscales(s, MultiscaleBuilder.Level(meta, ds),
         method = Method.ItkwasmBinShrink, cache = false)
       ms.levels.zipWithIndex.map { case (lvl, i) =>
