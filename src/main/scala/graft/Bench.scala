@@ -6,11 +6,28 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Queries execute
   * end-to-end into the noop sink so sorts/limits aren't optimized
   * away the way a bare count() would allow.
+  *
+  * Reporting hygiene: each query runs SPARK_GRAFT_BENCH_RUNS times
+  * (default 3) and reports the per-query MEDIAN — this host shows
+  * >2× run-to-run variance on identical binaries, so single-shot
+  * totals are noise. The JVM writes nothing but the JSON line to
+  * stdout (Spark logs to stderr); set SPARK_GRAFT_BENCH_OUT to also
+  * write the line to a file so wrappers that interleave their own
+  * stdout (sbt) can still parse it.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -27,23 +44,34 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
     val results = SparkEntry.all.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query persisted state so runs don't pay for each
+        // other's cached blocks
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query persisted state so queries don't pay for each
-      // other's cached blocks
-      spark.catalog.clearCache()
-      q.name -> dt
+      q.name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val headlineNames = SparkEntry.headline.map(_.name).toSet
     val headlineTotal = results.collect { case (k, v) if headlineNames(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","headline_sec":$headlineTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_sec":$headlineTotal,"runs_per_query":$runs,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

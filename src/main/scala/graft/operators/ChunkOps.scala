@@ -33,13 +33,15 @@ object ChunkOps {
 
   // ---- construction / materialization (driver-side, tests & ingest) ----
 
-  /** Build a chunk table from an in-memory C-order array. */
-  def fromArray(spark: SparkSession, values: Array[Double], meta: ImageMeta): Dataset[ChunkRow] = {
-    import spark.implicits._
+  /** Decompose a C-order array into its chunk rows — pure, so it runs
+    * on the driver (tests) or inside an executor task (streaming
+    * ingest of whole-field payloads without driver materialization).
+    */
+  def decompose(values: Array[Double], meta: ImageMeta): Seq[ChunkRow] = {
     val grid = ZarrStore.chunkGrid(meta.shape, meta.chunks)
     val shapeArr = meta.shape.toArray
     val strides = NdKernels.strides(shapeArr.map(_.toInt))
-    val rows = ZarrStore.gridPositions(grid).map { idx =>
+    ZarrStore.gridPositions(grid).map { idx =>
       val cShape = ZarrStore.chunkShapeAt(meta.shape, meta.chunks, idx)
       val cOrigin = ZarrStore.chunkOriginAt(meta.chunks, idx)
       val block = new Array[Double](cShape.product)
@@ -60,6 +62,12 @@ object ChunkOps {
       }
       ChunkRow(idx, cOrigin, cShape, ZarrStore.encodeFromDoubles(block, meta.dtype))
     }.toSeq
+  }
+
+  /** Build a chunk table from an in-memory C-order array. */
+  def fromArray(spark: SparkSession, values: Array[Double], meta: ImageMeta): Dataset[ChunkRow] = {
+    import spark.implicits._
+    val rows = decompose(values, meta)
     // a few chunks per partition: tiny test images shouldn't pay for
     // 32-task stages
     spark.createDataset(rows).repartition(math.max(1, math.min((rows.size + 3) / 4, 32)))
@@ -178,8 +186,15 @@ object ChunkOps {
         val idx = Array.tabulate(nd)(d => (coords(d) / chunks(d)).toInt)
         (idx.toSeq, (coords.toSeq, v))
       }
-    val assembled = typed.groupByKey(math.max(1, math.min(
-      ZarrStore.chunkGrid(shape, chunks).map(_.toLong).product, 32L)).toInt)
+    // partitions ∝ assembled volume (≈128 MB each), floored at the
+    // cluster parallelism and capped at one per chunk — a fixed cap
+    // would serialize a large assembly onto a handful of tasks
+    val gridSize = ZarrStore.chunkGrid(shape, chunks).map(_.toLong).product
+    val chunkBytes = chunks.map(_.toLong).product * Dtypes.itemSize(dtype)
+    val targetParts = math.max(spark.sparkContext.defaultParallelism.toLong,
+      gridSize * chunkBytes / (128L << 20) + 1)
+    val assembled = typed.groupByKey(
+      math.max(1L, math.min(gridSize, targetParts)).toInt)
       .map { case (idx, vs) =>
         val cShape = ZarrStore.chunkShapeAt(shape, chunks, idx)
         val cOrigin = ZarrStore.chunkOriginAt(chunks, idx)

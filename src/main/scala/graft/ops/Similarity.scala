@@ -81,14 +81,21 @@ object Similarity {
   }
 
   /** Deterministic SRP hyperplane matrix (numPlanes × dim) in
-    * [-0.5, 0.5): every executor regenerates the same planes from a
-    * fixed string hash, no broadcast state needed.
+    * [-0.5, 0.5): every executor regenerates the same planes from the
+    * md5 digest of "plane{j}:{i}" (no broadcast state needed), and an
+    * SQL oracle reproduces the exact same doubles via
+    * `('0x' || substr(md5(...), 1, 14))::BIGINT % 1000000 / 1e6 - 0.5`.
     */
-  def srpPlanes(dim: Int, numPlanes: Int): Array[Array[Double]] =
+  def srpPlanes(dim: Int, numPlanes: Int): Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(numPlanes, dim) { (j, i) =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(s"plane$j:$i")
-      ((h & Int.MaxValue) % 1000000) / 1000000.0 - 0.5
+      digest.reset()
+      val hex = digest.digest(s"plane$j:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 14), 16)
+      (h % 1000000L) / 1000000.0 - 0.5
     }
+  }
 
   def srpBucketJvm(vec: Array[Double], planes: Array[Array[Double]]): Long = {
     var bucket = 0L
@@ -131,23 +138,73 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup dedup):
-    * the id_a side broadcasts, each partition emits its rows' pairs.
-    * Brute-force form for oracle checking; bucket with `srpBucketJvm`
-    * first at corpus scale.
+  /** All pairs with cosine ≥ threshold (embedding near-dup dedup),
+    * brute-force form: a relational self theta-join — Spark broadcasts
+    * the smaller build side itself (bounded by
+    * autoBroadcastJoinThreshold), nothing is hand-collected to the
+    * driver. Inherently O(n²) in pair count; it is the oracle /
+    * verify kernel. Use [[nearDupPairsBucketed]] at corpus scale.
     */
-  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame =
+    scorePairs(
+      vectors.select(col("id").as("id_a"), col("vec").as("va"))
+        .join(vectors.select(col("id").as("id_b"), col("vec").as("vb")),
+          col("id_a") < col("id_b")),
+      threshold)
+
+  /** SRP-bucketed embedding near-dup — the scale path for
+    * [[nearDupPairs]]: `numTables` independent SRP tables of
+    * `numPlanes` hyperplanes each; vectors colliding in any table
+    * become candidate pairs via a relational (table, bucket)
+    * self-join — nothing is collected to the driver — and candidates
+    * are verified with the exact cosine, so precision is always 1.
+    * A pair at cosine t collides in one table with
+    * p = (1 − acos(t)/π)^numPlanes, giving recall ≥
+    * 1 − (1 − p)^numTables: size numPlanes to the threshold (tight
+    * thresholds afford more planes → finer buckets → stronger
+    * pruning) and numTables to the recall target. The defaults give
+    * expected recall > 1 − 1e-4 at t = 0.35.
+    */
+  def nearDupPairsBucketed(vectors: DataFrame, threshold: Double,
+      numPlanes: Int = 2, numTables: Int = 24): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(collectVecs(vectors))
-    vectors.select("id", "vec").as[(Long, Array[Double])]
+    val m = numPlanes
+    val L = numTables
+    val bucketed = vectors.select("id", "vec").as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val all = bc.value
-        it.flatMap { case (idB, vb) =>
-          all.iterator.collect { case (idA, va) if idA < idB =>
-            (idA, idB, round6(cosineJvm(va, vb)))
-          }.filter(_._3 >= threshold)
+        var tables: Array[Array[Array[Double]]] = null
+        it.flatMap { case (id, v) =>
+          if (tables == null) {
+            val planes = srpPlanes(v.length, m * L)
+            tables = Array.tabulate(L)(t => planes.slice(t * m, t * m + m))
+          }
+          (0 until L).iterator.map(t => (id, t, srpBucketJvm(v, tables(t))))
         }
-      }.toDF("id_a", "id_b", "cos")
+      }.toDF("id", "tbl", "bucket")
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    scorePairs(
+      cand
+        .join(vectors.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+        .join(vectors.select(col("id").as("id_b"), col("vec").as("vb")), "id_b"),
+      threshold)
+  }
+
+  /** Exact-cosine verification of (id_a, id_b, va, vb) pair rows in a
+    * typed JVM kernel; keeps only pairs at or above the threshold.
+    */
+  private def scorePairs(pairs: DataFrame, threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (a, b, va, vb) => (a, b, round6(cosineJvm(va, vb))) }
+      .toDF("id_a", "id_b", "cos")
+      .filter(col("cos") >= threshold)
   }
 }

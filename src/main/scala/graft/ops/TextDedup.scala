@@ -100,9 +100,13 @@ object TextDedup {
 
   /** MinHash signatures: one row per doc, `sig` = array of `numHashes`
     * minima over the doc's shingle hashes. The hash family is
-    * Kirsch–Mitzenmacher double hashing h_i = h1 + i·h2 over the full
-    * 64-bit ring (wrap-around multiplication keeps every slot
-    * uniform; a range-bounded variant would correlate the slots).
+    * Kirsch–Mitzenmacher double hashing h_i = h1 + i·h2 with h1, h2
+    * drawn as independent 56-bit values from the md5 hex digest —
+    * 56 bits so that h1 + 63·h2 < 2^63 stays exact in BIGINT on any
+    * engine (a DuckDB oracle replays the family verbatim; xxhash64
+    * wrap-around arithmetic could not be reproduced there). Each slot
+    * is a full-range-independent perturbation of the shingle hash, so
+    * slot minima stay uncorrelated.
     * The per-shingle slot loop runs as a typed JVM kernel — 64 column
     * expressions re-hashing the shingle string were ~50× slower —
     * and `reduceGroups` gives map-side partial elementwise-min, so
@@ -120,8 +124,9 @@ object TextDedup {
     import spark.implicits._
     val n = numHashes
     shingles
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h1"),
-        xxhash64(concat(col("shingle"), lit("#2"))).as("h2"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(concat(col("shingle"), lit("#2"))), 1, 14), 16, 10).cast("long").as("h2"))
       .as[(Long, Long, Long)]
       .mapPartitions(_.map { case (id, h1, h2) =>
         val sig = new Array[Long](n)

@@ -91,13 +91,45 @@ object Imaging extends QModule {
             FROM ranked WHERE rk = 1
             ORDER BY y, x"""))
 
-  /** A5/A9/A12 — gaussian downsample via halo exchange; rows-only
-    * (exp() ulps differ across engines), spec-verified invariants.
+  /** A5/A9/A12 — gaussian downsample via halo exchange. The oracle
+    * can't recompute exp() (libm ulps differ across engines), so the
+    * JVM's own normalized kernel weights are interpolated into the SQL
+    * as round-trip decimal literals, and the separable clamped
+    * convolution is replayed tap-by-tap in the same left-to-right
+    * accumulation order over ordered per-line lists — bit-identical
+    * doubles end to end.
     */
   val i63Gaussian = Q(
     "i63_gaussian",
     (s, _) => run(s, Method.ItkwasmGaussian),
-    None)
+    Some(gaussianOracleSql))
+
+  /** Replays gaussianDownsample(factor 2) for the gate image in SQL:
+    * y-blur then x-blur with the same 7-tap kernel, nearest-boundary
+    * clamp, sample at (2j, 2i), round half up (uint8).
+    */
+  private def gaussianOracleSql: String = {
+    val sigma = graft.meta.ScalePlanner.computeSigma(Seq(2)).head
+    val w = graft.operators.NdKernels.gaussianKernel(sigma, 3)
+    // Double.toString round-trips: DuckDB's strtod parses the literal
+    // back to the exact same double the JVM kernel multiplies with
+    def taps(listCol: String, idx: String, n: Int): String =
+      w.indices.map { j =>
+        val t = j - 3
+        val p = s"least(greatest($idx + ${t}, 0), ${n - 1}) + 1"
+        s"${w(j)} * $listCol[$p]"
+      }.mkString(" + ")
+    s"""WITH $gridSql,
+       |coly AS (SELECT x, list(v ORDER BY y) AS vy FROM grid GROUP BY x),
+       |by_ AS (SELECT x, ry.y AS y, ${taps("vy", "ry.y", H)} AS b
+       |        FROM coly CROSS JOIN range($H) ry(y)),
+       |rowx AS (SELECT y, list(b ORDER BY x) AS bx FROM by_ GROUP BY y)
+       |SELECT t.j AS y, s.i AS x,
+       |       floor(${taps("bx", "2 * s.i", W)} + 0.5) AS value
+       |FROM rowx r JOIN range(${H / 2}) t(j) ON r.y = 2 * t.j
+       |CROSS JOIN range(${W / 2}) s(i)
+       |ORDER BY y, x""".stripMargin
+  }
 
   /** A1+A14 — full pyramid cascade with planner-chosen factors:
     * emits per-level metadata (shape + scale + translation). The

@@ -61,15 +61,41 @@ object LlmOps extends QModule {
             ORDER BY jaccard DESC, doc_a, doc_b
             LIMIT 200"""))
 
-  /** MinHash+LSH near-dup pipeline (xxhash64-based — not reproducible
-    * in DuckDB SQL, so rows-only check; the ScalaTest spec verifies it
-    * against exact Jaccard).
+  /** MinHash+LSH near-dup pipeline. The md5-derived 56-bit double-
+    * hashing family lets the oracle replay signatures, banding, and
+    * exact-Jaccard verification verbatim in SQL.
     */
   val d42MinHash = Q(
     "d42_minhash_lsh_neardup",
     (s, dir) => TextDedup.minHashNearDups(docs(s, dir), minJaccard = 0.2)
       .orderBy(col("doc_a"), col("doc_b")),
-    None,
+    Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+                     FROM d WHERE len(ws) >= 3),
+            sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+            h AS (SELECT doc_id,
+                    CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h1,
+                    CAST('0x' || substr(md5(shingle || '#2'), 1, 14) AS BIGINT) AS h2
+                  FROM sh),
+            slots AS (SELECT doc_id, k, min(h1 + k * h2) AS slot
+                      FROM h, range(64) r(k) GROUP BY doc_id, k),
+            bands AS (SELECT doc_id, k // 4 AS band,
+                        string_agg(CAST(slot AS VARCHAR), ',' ORDER BY k) AS bucket
+                      FROM slots GROUP BY doc_id, k // 4),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            v AS (SELECT doc_a, doc_b,
+                    len(list_intersect(sa.sh, sb.sh)) AS inter,
+                    len(sa.sh) AS na, len(sb.sh) AS nb
+                  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                            JOIN sets sb ON cand.doc_b = sb.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+            FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+            ORDER BY doc_a, doc_b"""),
     headline = true)
 
   /** 60-bit SimHash fingerprints (md5-derived token hashes). */
@@ -121,10 +147,15 @@ object LlmOps extends QModule {
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 14
             ORDER BY doc_a, doc_b"""))
 
-  /** Embedding-cosine near-dup pairs (brute force on a slice). */
+  /** Embedding-cosine near-dup pairs via the SRP-bucketed scale path
+    * (candidates from 24 two-plane LSH tables, exact-cosine verify) —
+    * oracle-checked against the brute-force all-pairs SQL, which the
+    * bucketed form reproduces at recall ≈ 1 on the gate slice.
+    */
   val d45EmbNearDup = Q(
     "d45_embedding_neardup",
-    (s, dir) => Similarity.nearDupPairs(emb(s, dir).filter(col("id") < 300), 0.35)
+    (s, dir) => Similarity.nearDupPairsBucketed(
+        emb(s, dir).filter(col("id") < 300), 0.35)
       .orderBy(col("id_a"), col("id_b")),
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                        FROM embeddings WHERE vec_id < 300),
@@ -162,8 +193,9 @@ object LlmOps extends QModule {
             ORDER BY query_id, rank"""),
     headline = true)
 
-  /** SRP-LSH bucketed ANN (xxhash64 planes — rows-only check; spec
-    * verifies recall against brute force).
+  /** SRP-LSH bucketed ANN. Hyperplane components derive from md5
+    * digests, so the oracle regenerates the same planes, buckets, and
+    * ranking in SQL.
     */
   val s47AnnLsh = Q(
     "s47_ann_lsh",
@@ -172,7 +204,32 @@ object LlmOps extends QModule {
       Similarity.lshTopK(e.filter(col("id") < 20), e, dim = 64, k = 5, numPlanes = 6)
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            pl AS (SELECT j, list_transform(range(64), i ->
+                     (CAST('0x' || substr(md5('plane' || j || ':' || i), 1, 14) AS BIGINT)
+                        % 1000000) / 1000000.0 - 0.5) AS p
+                   FROM range(6) t(j)),
+            b AS (SELECT vec_id,
+                    CAST(sum(CASE WHEN list_sum(list_transform(range(64), i -> e[i+1] * p[i+1])) > 0
+                             THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                  FROM v, pl GROUP BY vec_id),
+            x AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                      6) AS cos
+                  FROM v q JOIN b qb ON q.vec_id = qb.vec_id
+                       JOIN b cb ON qb.bucket = cb.bucket
+                       JOIN v c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+                  WHERE q.vec_id < 20),
+            r AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM x)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+            FROM r WHERE rank <= 5
+            ORDER BY query_id, rank"""))
 
   /** The native codegen'd Catalyst expression
     * (org.apache.spark.sql.graftext.CosineSimilarity) in a relational

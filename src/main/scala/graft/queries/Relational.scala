@@ -234,17 +234,46 @@ object Relational extends QModule {
             FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
             ORDER BY r_name, o_orderstatus"""))
 
-  /** Theta join: equi key + non-equi range residual. */
+  /** Theta join: equi key + non-equi range residual.
+    *
+    * Semantically `part >< part ON same brand AND price1 < price2`,
+    * but NOT executed as a pair join: within-brand pair counts grow
+    * quadratically with scale (the brand key has only 25 values), so
+    * enumeration is a 100 TB scale-killer. Instead the pair count and
+    * the sum of gaps are computed in closed form from prefix sums over
+    * the *distinct* prices of each brand:
+    *   n_pairs    = Σ_v m(v)·lt(v)
+    *   Σ gaps     = Σ_v m(v)·c(v)·(lt(v) − gt(v))
+    * where m(v) is the multiplicity of price v, c(v) its cents value,
+    * and lt/gt the row counts strictly below/above v — one map-side
+    * combinable groupBy plus a window over distinct prices per brand.
+    * The oracle SQL keeps the literal pair-join formulation.
+    */
   val q10RangeJoin = Q(
     "q10_range_join",
     (s, dir) => {
       val p = Tables.load(s, dir, "part")
-      val p1 = p.select(col("p_brand").as("brand"), col("p_retailprice").as("price1"))
-      val p2 = p.select(col("p_brand").as("brand2"), col("p_retailprice").as("price2"))
-      p1.join(p2, col("brand") === col("brand2") && col("price1") < col("price2"))
+      // Prices are exact 2-decimal values: (p2-p1)*100 rounds to the
+      // integer cents difference, so Σ round((p2-p1)*100) = Σ (c2-c1).
+      val byPrice = p
+        .select(col("p_brand").as("brand"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("brand"), col("cents"))
+        .agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy(col("brand")).orderBy(col("cents"))
+      val lt = coalesce(
+        sum(col("m")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      val brandTotal = Window.partitionBy(col("brand"))
+      val gt = sum(col("m")).over(brandTotal) - col("m") - col("lt")
+      byPrice
+        .withColumn("lt", lt)
+        .withColumn("gt", gt)
         .groupBy(col("brand"))
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("sum(CAST(round((price2 - price1) * 100) AS BIGINT)) div count(*)").as("avg_gap_cents"))
+        .agg(sum(col("m") * col("lt")).as("n_pairs"),
+          sum(col("m") * col("cents") * (col("lt") - col("gt"))).as("gap_sum"))
+        .where(col("n_pairs") > 0)
+        .select(col("brand"), col("n_pairs"),
+          expr("gap_sum div n_pairs").as("avg_gap_cents"))
         .orderBy(col("brand"))
     },
     Some("""SELECT p1.p_brand AS brand, count(*) AS n_pairs,

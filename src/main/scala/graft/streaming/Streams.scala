@@ -90,32 +90,63 @@ object Streams {
     * flat payload (the acquisition instrument's output).
     */
   final case class ArrivingField(wellPath: String, imagePath: String,
-      height: Int, width: Int, values: Array[Double], acquisition: Option[Int])
+      height: Int, width: Int, values: Array[Double], acquisition: Option[Int]) {
+    def descriptor: FieldDescriptor =
+      FieldDescriptor(wellPath, imagePath, height, width, acquisition)
+  }
+
+  /** The pixel-free projection of an [[ArrivingField]]: everything the
+    * driver needs to plan one well-image upsert.
+    */
+  final case class FieldDescriptor(wellPath: String, imagePath: String,
+      height: Int, width: Int, acquisition: Option[Int]) {
+    def meta: ImageMeta = ImageMeta(Seq("y", "x"), Seq(height, width),
+      Seq(math.min(256, height), math.min(256, width)), "uint16",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+  }
 
   /** HCS streaming ingest: drain a stream of arriving fields into the
     * plate store, one idempotent upsert per field per micro-batch.
     * Commit protocol: well attrs merge is last-writer-wins; replays
     * rewrite identical chunk objects, so at-least-once delivery is
     * safe (the reference's implicit semantics).
+    *
+    * Only (wellPath, imagePath, shape, acquisition) descriptors ever
+    * reach the driver; pixel payloads stay distributed — each field's
+    * chunk table is cut from the batch by an executor-side
+    * [[ChunkOps.decompose]], so a field larger than
+    * `spark.driver.maxResultSize` ingests fine.
     */
   def hcsIngest(spark: SparkSession, fields: Dataset[ArrivingField], platePath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
     fields.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[ArrivingField], _: Long) =>
-        // driver-side per batch: fields are small; each upsert runs the
-        // distributed pyramid write underneath
-        batch.collect().foreach { f =>
-          val meta = ImageMeta(Seq("y", "x"), Seq(f.height, f.width),
-            Seq(math.min(256, f.height), math.min(256, f.width)), "uint16",
-            Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
-          val level = MultiscaleBuilder.Level(meta,
-            ChunkOps.fromArray(spark, f.values, meta))
-          val ms = MultiscaleBuilder.toMultiscales(spark, level,
-            Some(Seq.empty), Method.ItkwasmBinShrink, cache = false)
-          Hcs.writeWellImage(spark, platePath, f.wellPath, f.imagePath, ms, f.acquisition)
-        }
+        // at-least-once: replays within a batch collapse to one upsert
+        val uniq = batch.dropDuplicates("wellPath", "imagePath")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val descriptors = uniq
+            .select(col("wellPath"), col("imagePath"), col("height"), col("width"),
+              col("acquisition"))
+            .as[FieldDescriptor].collect()
+          descriptors.foreach { d =>
+            val meta = d.meta
+            val gridSize = graft.zarr.ZarrStore
+              .chunkGrid(meta.shape, meta.chunks).map(_.toLong).product
+            val chunkRows = uniq
+              .filter(col("wellPath") === d.wellPath && col("imagePath") === d.imagePath)
+              .flatMap(f => ChunkOps.decompose(f.values, f.descriptor.meta))
+              .repartition(math.max(1L, math.min(gridSize,
+                spark.sparkContext.defaultParallelism.toLong)).toInt)
+            val ms = MultiscaleBuilder.toMultiscales(spark,
+              MultiscaleBuilder.Level(meta, chunkRows),
+              Some(Seq.empty), Method.ItkwasmBinShrink, cache = false)
+            Hcs.writeWellImage(spark, platePath, d.wellPath, d.imagePath, ms, d.acquisition)
+          }
+        } finally uniq.unpersist()
       }
       .start()
   }

@@ -149,4 +149,46 @@ class StreamsSpec extends SparkSpec {
     assert(cat.count() == 2)
     assert(back.wellsDf(spark).filter(col("row_name") === "A").count() == 1)
   }
+
+  test("HCS ingest never materializes pixel payloads on the driver") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("hcs-big").toString + "/plate.zarr"
+    Hcs.toHcsZarr(dir, Plate(
+      rows = Seq(PlateRow("A")), columns = Seq(PlateColumn("1")),
+      wells = Seq(PlateWellIndex("A/1", 0, 0)), acquisitions = Seq.empty))
+
+    // every task's serialized result is tracked; a driver collect of
+    // the field would ship the whole ~8 MB payload as a task result
+    val resultSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) resultSizes.add(te.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val mem = MemoryStream[Streams.ArrivingField]
+      val ckpt = Files.createTempDirectory("hcs-big-ckpt").toString
+      val q = Streams.hcsIngest(spark, mem.toDS(), dir, ckpt)
+      val h = 1024
+      val payloadBytes = h.toLong * h * 8
+      mem.addData(Streams.ArrivingField("A/1", "0", h, h,
+        Array.tabulate(h * h)(i => (i % 1000).toDouble), None))
+      q.processAllAvailable()
+      q.stop()
+      // listener bus is async; give queued task-end events a moment
+      Thread.sleep(1000)
+      val maxResult = resultSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong).max
+      assert(maxResult < payloadBytes / 4,
+        s"a task shipped $maxResult bytes to the driver (payload $payloadBytes)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    val img = Hcs.fromHcsZarr(dir).getImage(spark, "A/1", "0")
+    assert(img.levels.head.meta.shape == Seq(1024L, 1024L))
+    // spot-check content without a full driver materialization
+    val vv = graft.operators.ChunkOps.voxelView(spark, img.levels.head.chunks,
+      img.levels.head.meta)
+    assert(vv.filter(col("y") === 3 && col("x") === 7).select("value")
+      .head().getDouble(0) == ((3 * 1024 + 7) % 1000).toDouble)
+  }
 }
