@@ -112,6 +112,14 @@ object ZarrJson {
         val c = n.putObject("compressor"); c.put("id", "gzip"); c.put("level", 5)
       case Some("zstd") =>
         val c = n.putObject("compressor"); c.put("id", "zstd"); c.put("level", 3)
+      case Some(b) if b == "blosc" || b.startsWith("blosc:") =>
+        val parts = b.split(':')
+        val c = n.putObject("compressor")
+        c.put("id", "blosc")
+        c.put("cname", if (parts.length > 1) parts(1) else "lz4")
+        c.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
+        c.put("shuffle", 1) // byte-shuffle, the zarr-python default
+        c.put("blocksize", 0)
       case _ => n.putNull("compressor")
     }
     n.putNull("fill_value")
@@ -143,8 +151,19 @@ object ZarrJson {
     bytes.putObject("configuration").put("endian", "little")
     compressor.foreach { c =>
       val cn = codecs.addObject()
-      cn.put("name", c)
-      val cfg = cn.putObject("configuration")
+      val cfg = if (c == "blosc" || c.startsWith("blosc:")) {
+        cn.put("name", "blosc")
+        val parts = c.split(':')
+        val b = cn.putObject("configuration")
+        b.put("cname", if (parts.length > 1) parts(1) else "lz4")
+        b.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
+        b.put("shuffle", "shuffle")
+        b.put("typesize", Dtypes.itemSize(dtype))
+        b
+      } else {
+        cn.put("name", c)
+        cn.putObject("configuration")
+      }
       if (c == "gzip") cfg.put("level", 5)
       else if (c == "zstd") { cfg.put("level", 3); cfg.put("checksum", false) }
     }
@@ -280,7 +299,7 @@ object ZarrJson {
       .elements().asScala.map(_.asInt()).toSeq
     val dtype = n.get("data_type").asText()
     val comp = n.path("codecs").elements().asScala
-      .map(_.get("name").asText()).find(c => c == "gzip" || c == "zstd")
+      .map(_.get("name").asText()).find(c => c == "gzip" || c == "zstd" || c == "blosc")
     val dimNames = n.path("dimension_names").elements().asScala.map(_.asText()).toSeq
     (shape, chunks, dtype, comp, dimNames)
   }
@@ -296,7 +315,7 @@ object ZarrJson {
         val cfg = c.get("configuration")
         val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toSeq
         val icomp = cfg.path("codecs").elements().asScala
-          .map(_.get("name").asText()).find(x => x == "gzip" || x == "zstd")
+          .map(_.get("name").asText()).find(x => x == "gzip" || x == "zstd" || x == "blosc")
         (inner, icomp)
       }
   }

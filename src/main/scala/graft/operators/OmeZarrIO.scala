@@ -81,7 +81,8 @@ object OmeZarrIO {
           val st = new ZarrStore(path, hconf)
           it.foreach { c =>
             val key = ZarrStore.chunkKey(zf, arrayPath, c.chunkIdx)
-            st.writeBytes(key, Codecs.compress(comp, padToFull(c, fullChunks, dtype)))
+            st.writeBytes(key, Codecs.compress(comp, padToFull(c, fullChunks, dtype),
+              typesize = Dtypes.itemSize(dtype)))
             acc.add(1)
           }
         }
@@ -125,7 +126,8 @@ object OmeZarrIO {
         val encoded = it.map { c =>
           val rel = c.chunkIdx.zip(shardIdx).zip(cps).map { case ((i, s), n) => i - s * n }
           Sharding.innerFlatIndex(rel, cps) ->
-            Codecs.compress(compressor, padToFull(c, fullChunks, dtype))
+            Codecs.compress(compressor, padToFull(c, fullChunks, dtype),
+              typesize = Dtypes.itemSize(dtype))
         }.toMap
         acc.add(encoded.size)
         (shardIdx, Sharding.buildShard(nInner, encoded))

@@ -151,7 +151,7 @@ class OmeZarrDataWriterFactory(path: String, name: String, version: String,
         val payload = graft.operators.OmeZarrIO.padToFull(
           ChunkOps.ChunkRow(idx, Seq.empty, cShape, data), fullChunks, dtype)
         st.writeBytes(ZarrStore.chunkKey(zarrFormat, s"scale$scale/$name", idx),
-          Codecs.compress(compressor, payload))
+          Codecs.compress(compressor, payload, typesize = Dtypes.itemSize(dtype)))
         n += 1
       }
 

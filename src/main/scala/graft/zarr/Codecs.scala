@@ -3,18 +3,23 @@ package graft.zarr
 import java.io.ByteArrayOutputStream
 import java.util.zip.{Deflater, DeflaterOutputStream, GZIPInputStream, GZIPOutputStream, InflaterInputStream}
 
-/** Chunk compression codecs. The engine supports gzip + zstd first
-  * (SURVEY §4 "Compression codecs" decision); blosc would need JNI
-  * not present in this environment and is intentionally unsupported —
-  * stores written with blosc must be re-encoded upstream.
+/** Chunk compression codecs: gzip/zlib/zstd (SURVEY §4 "Compression
+  * codecs" decision) plus pure-JVM blosc1 (see [[Blosc]]) — the
+  * default zarr-python compressor, whose inner lz4/zstd/zlib/snappy
+  * blocks ride on libraries already on Spark's classpath. Only
+  * blosc's blosclz inner codec and bit-shuffle filter stay
+  * unsupported (no JVM implementation), with precise errors.
   *
-  * zstd rides on the zstd-jni that ships with Spark, gzip/zlib on
-  * java.util.zip. Codec name strings match Zarr v2 compressor ids and
-  * Zarr v3 codec names.
+  * Codec name strings match Zarr v2 compressor ids and Zarr v3 codec
+  * names. Blosc encode parameters ride in the id:
+  * `"blosc"` (cname lz4, clevel 5, byte-shuffle — zarr-python's
+  * defaults) or `"blosc:<cname>[:<clevel>]"`. `typesize` drives the
+  * byte-shuffle filter; pass the dtype's item size when writing.
   */
 object Codecs {
 
-  def compress(codec: Option[String], data: Array[Byte], level: Int = 5): Array[Byte] =
+  def compress(codec: Option[String], data: Array[Byte], level: Int = 5,
+      typesize: Int = 1): Array[Byte] =
     codec match {
       case None => data
       case Some("gzip") =>
@@ -28,8 +33,13 @@ object Codecs {
         d.write(data); d.close()
         bos.toByteArray
       case Some("zstd") => com.github.luben.zstd.Zstd.compress(data, 3)
+      case Some(b) if b == "blosc" || b.startsWith("blosc:") =>
+        val parts = b.split(':')
+        val cname = if (parts.length > 1) parts(1) else "lz4"
+        val clevel = if (parts.length > 2) parts(2).toInt else 5
+        Blosc.compress(data, typesize, cname, clevel)
       case Some(other) => throw new UnsupportedOperationException(
-        s"codec '$other' unsupported (gzip/zlib/zstd only; blosc needs JNI absent here)")
+        s"codec '$other' unsupported (gzip/zlib/zstd/blosc)")
     }
 
   def decompress(codec: Option[String], data: Array[Byte], expectedSize: Int): Array[Byte] =
@@ -41,8 +51,10 @@ object Codecs {
         readAll(new InflaterInputStream(new java.io.ByteArrayInputStream(data)), expectedSize)
       case Some("zstd") =>
         com.github.luben.zstd.Zstd.decompress(data, expectedSize)
+      case Some(b) if b == "blosc" || b.startsWith("blosc:") =>
+        Blosc.decompress(data) // frames are self-describing
       case Some(other) => throw new UnsupportedOperationException(
-        s"codec '$other' unsupported (gzip/zlib/zstd only)")
+        s"codec '$other' unsupported (gzip/zlib/zstd/blosc)")
     }
 
   private def readAll(in: java.io.InputStream, sizeHint: Int): Array[Byte] = {

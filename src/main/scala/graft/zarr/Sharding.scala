@@ -118,10 +118,21 @@ object Sharding {
     bytes.put("name", "bytes")
     bytes.putObject("configuration").put("endian", "little")
     innerCompressor.foreach { c =>
-      val cn = codecs.addObject(); cn.put("name", c)
-      val ccfg = cn.putObject("configuration")
-      if (c == "gzip") ccfg.put("level", 5)
-      else if (c == "zstd") { ccfg.put("level", 3); ccfg.put("checksum", false) }
+      val cn = codecs.addObject()
+      if (c == "blosc" || c.startsWith("blosc:")) {
+        cn.put("name", "blosc")
+        val parts = c.split(':')
+        val ccfg = cn.putObject("configuration")
+        ccfg.put("cname", if (parts.length > 1) parts(1) else "lz4")
+        ccfg.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
+        ccfg.put("shuffle", "shuffle")
+        ccfg.put("blocksize", 0)
+      } else {
+        cn.put("name", c)
+        val ccfg = cn.putObject("configuration")
+        if (c == "gzip") ccfg.put("level", 5)
+        else if (c == "zstd") { ccfg.put("level", 3); ccfg.put("checksum", false) }
+      }
     }
     val ic = cfg.putArray("index_codecs")
     val ib = ic.addObject(); ib.put("name", "bytes")

@@ -57,6 +57,27 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq == vals.toSeq)
   }
 
+  test("blosc compressor: v0.4 and v0.5 write/read round-trip") {
+    val (m, vals) = mkImage()
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base,
+      Some(Seq(Map("y" -> 2, "x" -> 2))), Method.ItkwasmBinShrink, cache = false)
+    for ((version, comp) <- Seq("0.4" -> "blosc", "0.5" -> "blosc:zstd:3")) {
+      val dir = Files.createTempDirectory("omezarr").toString + "/img.zarr"
+      OmeZarrIO.writeMultiscales(spark, dir, ms, version = version,
+        compressor = Some(comp))
+      // the store advertises blosc in its metadata, with zarr-python's shape
+      val metaDoc = if (version == "0.4")
+        new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "scale0/image/.zarray")))
+      else
+        new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "scale0/image/zarr.json")))
+      assert(metaDoc.contains("blosc") && metaDoc.contains("cname"))
+      val back = OmeZarrIO.readMultiscales(spark, dir)
+      assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+        == vals.toSeq, s"version $version")
+    }
+  }
+
   test("consolidated metadata written for v0.4 (S8)") {
     val (m, vals) = mkImage()
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))

@@ -5,14 +5,15 @@ import java.nio.file.Files
 
 class ZarrStoreSpec extends AnyFunSuite {
 
-  test("codecs round-trip gzip/zlib/zstd/raw") {
+  test("codecs round-trip gzip/zlib/zstd/blosc/raw") {
     val data = Array.tabulate[Byte](10000)(i => (i * 31 % 251).toByte)
-    for (codec <- Seq(None, Some("gzip"), Some("zlib"), Some("zstd"))) {
-      val enc = Codecs.compress(codec, data)
+    for (codec <- Seq(None, Some("gzip"), Some("zlib"), Some("zstd"),
+        Some("blosc"), Some("blosc:zstd:3"), Some("blosc:zlib"), Some("blosc:snappy"))) {
+      val enc = Codecs.compress(codec, data, typesize = 8)
       assert(Codecs.decompress(codec, enc, data.length).toSeq == data.toSeq, s"codec $codec")
       if (codec.isDefined) assert(enc.length < data.length)
     }
-    assertThrows[UnsupportedOperationException](Codecs.compress(Some("blosc"), data))
+    assertThrows[UnsupportedOperationException](Codecs.compress(Some("lzma"), data))
   }
 
   test("chunk keys: v2 separators and v3 c-prefix") {
