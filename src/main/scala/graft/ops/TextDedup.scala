@@ -124,9 +124,10 @@ object TextDedup {
     import spark.implicits._
     val n = numHashes
     shingles
+      .select(col("doc_id"), md5(col("shingle")).as("hx"))
       .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(concat(col("shingle"), lit("#2"))), 1, 14), 16, 10).cast("long").as("h2"))
+        conv(substring(col("hx"), 1, 14), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hx"), 15, 14), 16, 10).cast("long").as("h2"))
       .as[(Long, Long, Long)]
       .mapPartitions(_.map { case (id, h1, h2) =>
         val sig = new Array[Long](n)

@@ -77,7 +77,7 @@ object LlmOps extends QModule {
             sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
             h AS (SELECT doc_id,
                     CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h1,
-                    CAST('0x' || substr(md5(shingle || '#2'), 1, 14) AS BIGINT) AS h2
+                    CAST('0x' || substr(md5(shingle), 15, 14) AS BIGINT) AS h2
                   FROM sh),
             slots AS (SELECT doc_id, k, min(h1 + k * h2) AS slot
                       FROM h, range(64) r(k) GROUP BY doc_id, k),
