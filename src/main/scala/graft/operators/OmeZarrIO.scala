@@ -176,7 +176,12 @@ object OmeZarrIO {
       } else throw new IllegalArgumentException(s"no OME-Zarr metadata at $path")
     val meta = ZarrJson.parseMultiscales(rootJson)
     if (validate) {
-      val errs = Validation.validateMultiscales(meta) ++ Validation.validateRfc4(meta.axes)
+      val schemaErrs =
+        if (Validation.SchemaVersions.contains(meta.version))
+          Validation.validateSchema(rootJson, meta.version)
+        else Nil
+      val errs = schemaErrs ++
+        Validation.validateMultiscales(meta) ++ Validation.validateRfc4(meta.axes)
       require(errs.isEmpty, s"validation failed: ${errs.mkString("; ")}")
     }
     val zarrFormat = if (store.exists(".zattrs")) 2 else 3
