@@ -1,0 +1,351 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.meta.Model._
+import graft.meta.Converters
+import graft.zarr.{SerializableHadoopConf, ZarrStore}
+import ChunkOps.ChunkRow
+
+/** S10 — pure-JVM NIfTI-1 ingestion: the 348-byte header plus a raw
+  * Fortran-ordered voxel payload, optionally gzip-wrapped (.nii.gz).
+  * Mirrors the reference's nibabel path
+  * (`py/ngff_zarr/nibabel_image_to_ngff_image.py:93-238`):
+  *  - dims are named x,y,z(,t,c) in that order — NIfTI's i,j,k axes;
+  *  - scale/translation come from the affine decomposition
+  *    ([[Converters.decomposeAffine]]; sform preferred, then the
+  *    quaternion qform, then pixdim);
+  *  - scl_slope/scl_inter ≠ identity rescales voxels and the image
+  *    becomes float32, exactly nibabel's `get_fdata(dtype=float32)`
+  *    policy; slope 0/NaN means 1, inter NaN means 0;
+  *  - cal_min/cal_max ≠ (0,0) produce an OMERO window whose start/end
+  *    are the calibration bounds and min/max the data extrema
+  *    (`extract_omero_metadata_from_nibabel`, `:186-238`);
+  *  - RFC 4 anatomical orientations derive from the affine's dominant
+  *    directions against RAS+ ([[Converters.orientationToRfc4]]).
+  *
+  * Scale posture: an uncompressed .nii is chunk-range-readable, so
+  * executors fetch only their chunk's runs via positioned reads — the
+  * file never transits the driver. Gzip is not splittable: .nii.gz
+  * decodes in one streaming pass and is then scattered; convert large
+  * volumes to .nii (or zarr) for parallel ingest.
+  */
+object NiftiIO {
+
+  final case class NiftiHeader(
+      dims: Seq[Int],                  // dim[1..dim[0]]
+      datatype: Int, bitpix: Int,
+      pixdim: Seq[Float],              // pixdim[0..7]; [0] is qfac
+      voxOffset: Long,
+      sclSlope: Float, sclInter: Float,
+      calMin: Float, calMax: Float,
+      qformCode: Int, sformCode: Int,
+      quatern: (Float, Float, Float),  // b, c, d
+      qoffset: (Float, Float, Float),
+      srow: Array[Array[Float]],       // 3×4
+      littleEndian: Boolean) {
+
+    /** Effective slope/inter with nibabel's defaulting: slope of 0 or
+      * NaN → 1.0, inter of NaN → 0.0.
+      */
+    def effectiveScaling: (Double, Double) = {
+      val s = if (sclSlope == 0f || sclSlope.isNaN) 1.0 else sclSlope.toDouble
+      val i = if (sclInter.isNaN) 0.0 else sclInter.toDouble
+      (s, i)
+    }
+    def needsScaling: Boolean = effectiveScaling != ((1.0, 0.0))
+  }
+
+  final case class NiftiImage(
+      meta: ImageMeta,
+      chunks: Dataset[ChunkRow],
+      orientations: Map[String, AnatomicalOrientation],
+      omero: Option[Omero])
+
+  /** NIfTI-1 datatype codes → engine dtype names. */
+  def dtypeName(datatype: Int): String = datatype match {
+    case 2 => "uint8"
+    case 4 => "int16"
+    case 8 => "int32"
+    case 16 => "float32"
+    case 64 => "float64"
+    case 256 => "int8"
+    case 512 => "uint16"
+    case 768 => "uint32"
+    case 1024 => "int64"
+    case other => throw new UnsupportedOperationException(
+      s"NIfTI datatype code $other unsupported")
+  }
+
+  /** Parse the 348-byte header; endianness is probed via sizeof_hdr
+    * (== 348 in the file's own byte order).
+    */
+  def parseHeader(raw: Array[Byte]): NiftiHeader = {
+    require(raw.length >= 348, s"NIfTI header needs 348 bytes, got ${raw.length}")
+    val le = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getInt(0) == 348
+    val bb = ByteBuffer.wrap(raw).order(
+      if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    require(bb.getInt(0) == 348, s"not a NIfTI-1 header (sizeof_hdr ${bb.getInt(0)})")
+    val magic = new String(raw.slice(344, 347), "US-ASCII")
+    require(magic == "n+1" || magic == "ni1", s"bad NIfTI magic '$magic'")
+    val ndim = bb.getShort(40).toInt
+    require(ndim >= 1 && ndim <= 7, s"NIfTI dim[0] out of range: $ndim")
+    val dims = (1 to ndim).map(i => bb.getShort(40 + 2 * i).toInt)
+    NiftiHeader(
+      dims = dims,
+      datatype = bb.getShort(70).toInt,
+      bitpix = bb.getShort(72).toInt,
+      pixdim = (0 to 7).map(i => bb.getFloat(76 + 4 * i)),
+      voxOffset = bb.getFloat(108).toLong,
+      sclSlope = bb.getFloat(112), sclInter = bb.getFloat(116),
+      calMin = bb.getFloat(128), calMax = bb.getFloat(124),
+      qformCode = bb.getShort(252).toInt, sformCode = bb.getShort(254).toInt,
+      quatern = (bb.getFloat(256), bb.getFloat(260), bb.getFloat(264)),
+      qoffset = (bb.getFloat(268), bb.getFloat(272), bb.getFloat(276)),
+      srow = Array.tabulate(3, 4)((r, c) => bb.getFloat(280 + 16 * r + 4 * c)),
+      littleEndian = le)
+  }
+
+  /** The voxel→RAS affine: sform rows when sform_code > 0, else the
+    * quaternion qform (NIfTI-1 method 2: R from (b,c,d), columns
+    * scaled by pixdim, k column by qfac), else pixdim diagonal.
+    */
+  def affine(h: NiftiHeader): Array[Array[Double]] = {
+    if (h.sformCode > 0) {
+      Array.tabulate(4, 4)((r, c) =>
+        if (r < 3) h.srow(r)(c).toDouble else if (c == 3) 1.0 else 0.0)
+    } else if (h.qformCode > 0) {
+      val (b, c, d) = (h.quatern._1.toDouble, h.quatern._2.toDouble, h.quatern._3.toDouble)
+      val a = math.sqrt(math.max(0.0, 1.0 - b * b - c * c - d * d))
+      val qfac = if (h.pixdim.head < 0f) -1.0 else 1.0
+      val p = (1 to 3).map(i => h.pixdim.lift(i).map(_.toDouble).getOrElse(1.0))
+      val r = Array(
+        Array(a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)),
+        Array(2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)),
+        Array(2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c))
+      val off = Seq(h.qoffset._1.toDouble, h.qoffset._2.toDouble, h.qoffset._3.toDouble)
+      Array.tabulate(4, 4)((i, j) =>
+        if (i == 3) { if (j == 3) 1.0 else 0.0 }
+        else if (j == 3) off(i)
+        else r(i)(j) * p(j) * (if (j == 2) qfac else 1.0))
+    } else {
+      val p = (1 to 3).map(i => h.pixdim.lift(i).map(_.toDouble).getOrElse(1.0))
+      Array.tabulate(4, 4)((i, j) =>
+        if (i == j && i < 3) p(i) else if (i == 3 && j == 3) 1.0 else 0.0)
+    }
+  }
+
+  /** Dimension names by rank, the reference's mapping: 3D → x,y,z;
+    * 4D adds t; 5D adds c.
+    */
+  def dimNames(rank: Int): Seq[String] = rank match {
+    case 3 => Seq("x", "y", "z")
+    case 4 => Seq("x", "y", "z", "t")
+    case 5 => Seq("x", "y", "z", "t", "c")
+    case n => throw new IllegalArgumentException(s"NIfTI rank $n unsupported (3-5)")
+  }
+
+  /** Read a .nii / .nii.gz into a chunked image. `chunkShape` defaults
+    * to 64 per spatial dim, 1 for t/c (capped by the image shape).
+    */
+  def read(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]] = None): NiftiImage = {
+    import spark.implicits._
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    val store = new ZarrStore(path, hconf)
+    val gz = path.toLowerCase.endsWith(".gz")
+
+    val headerBytes =
+      if (gz) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(store.readBytes("")))
+        val buf = new Array[Byte](348)
+        var got = 0
+        while (got < 348) {
+          val n = in.read(buf, got, 348 - got)
+          require(n > 0, "truncated .nii.gz header")
+          got += n
+        }
+        in.close()
+        buf
+      } else store.readRange("", 0L, 348)
+    val h = parseHeader(headerBytes)
+
+    val dims = dimNames(h.dims.length)
+    val srcDtype = dtypeName(h.datatype)
+    val (slope, inter) = h.effectiveScaling
+    val outDtype = if (h.needsScaling) "float32" else srcDtype
+    val dec = Converters.decomposeAffine(affine(h))
+    val spatial = Seq("x", "y", "z")
+    val scale = dims.map(d => d ->
+      (if (spatial.contains(d)) dec.scale(spatial.indexOf(d)) else 1.0)).toMap
+    val translation = dims.map(d => d ->
+      (if (spatial.contains(d)) dec.translation(spatial.indexOf(d)) else 0.0)).toMap
+
+    val shape = h.dims.map(_.toLong)
+    val chunks = chunkShape.getOrElse(
+      dims.zip(shape).map { case (d, s) =>
+        if (spatial.contains(d)) math.min(64L, s).toInt else 1 })
+    val meta = ImageMeta(dims, shape, chunks, outDtype, scale, translation)
+
+    val itemSize = h.bitpix / 8
+    val chunkRows: Dataset[ChunkRow] =
+      if (gz) scatterDecoded(spark, decodeGz(store, h, srcDtype, itemSize), meta, slope, inter)
+      else readDistributed(spark, path, hconf, h, meta, srcDtype, itemSize, slope, inter)
+
+    val orientations = Converters.orientationToRfc4(dec.orientation)
+    val omero = omeroFromCal(h, chunkRows, meta)
+    NiftiImage(meta, chunkRows, orientations, omero)
+  }
+
+  /** Uncompressed path: one Spark task per chunk; each task positioned-
+    * reads only its chunk's x-runs (file layout is Fortran-ordered, so
+    * a chunk is contiguous runs of `chunkShape(0)` voxels).
+    */
+  private def readDistributed(spark: SparkSession, path: String,
+      hconf: Option[SerializableHadoopConf], h: NiftiHeader, meta: ImageMeta,
+      srcDtype: String, itemSize: Int, slope: Double, inter: Double): Dataset[ChunkRow] = {
+    import spark.implicits._
+    val grid = ZarrStore.chunkGrid(meta.shape, meta.chunks)
+    val idxs = ZarrStore.gridPositions(grid).toSeq
+    val shape = meta.shape
+    val chunks = meta.chunks
+    val voxOffset = h.voxOffset
+    val bigEndian = !h.littleEndian
+    val outDtype = meta.dtype
+    val rescale = (slope, inter) != ((1.0, 0.0))
+    // Fortran strides: dim 0 fastest
+    val fstride = shape.scanLeft(1L)(_ * _).init
+    spark.createDataset(idxs)
+      .repartition(math.min(idxs.length, spark.sparkContext.defaultParallelism))
+      .map { idx =>
+        val st = new ZarrStore(path, hconf)
+        val cShape = ZarrStore.chunkShapeAt(shape, chunks, idx)
+        val origin = ZarrStore.chunkOriginAt(chunks, idx)
+        val n = cShape.product
+        val out = new Array[Double](n)
+        // iterate non-x local coordinates in C order of the chunk
+        val rest = cShape.drop(1)
+        val runLen = cShape.head
+        val restCount = rest.product
+        val li = new Array[Int](rest.length)
+        var r = 0
+        while (r < restCount) {
+          var fileIdx = origin.head * fstride.head
+          var cBase = 0L // C-order base: strides over dims 1..n-1
+          var cstride = 1L
+          var d = rest.length - 1
+          while (d >= 0) {
+            fileIdx += (origin(d + 1) + li(d)) * fstride(d + 1)
+            cBase += li(d) * cstride
+            cstride *= rest(d)
+            d += -1
+          }
+          val raw = st.readRange("", voxOffset + fileIdx * itemSize, runLen * itemSize)
+          val vals = ZarrStore.decodeToDoubles(raw, srcDtype, bigEndian)
+          // x varies fastest in the file run; in C order (x first dim)
+          // consecutive x are `restCount` apart
+          var i = 0
+          while (i < runLen) {
+            val v = if (rescale) (vals(i) * slope + inter).toFloat.toDouble else vals(i)
+            out((i.toLong * restCount + cBase).toInt) = v
+            i += 1
+          }
+          // increment odometer over rest dims (last fastest)
+          var k = rest.length - 1
+          var carry = true
+          while (k >= 0 && carry) {
+            li(k) += 1
+            if (li(k) == rest(k)) { li(k) = 0; k -= 1 } else carry = false
+          }
+          r += 1
+        }
+        ChunkRow(idx, origin, cShape, ZarrStore.encodeFromDoubles(out, outDtype))
+      }
+  }
+
+  /** Stream-decode a .nii.gz payload to doubles in file (Fortran)
+    * order — gzip is not splittable, so this is a single pass.
+    */
+  private def decodeGz(store: ZarrStore, h: NiftiHeader, srcDtype: String,
+      itemSize: Int): Array[Double] = {
+    val total = h.dims.map(_.toLong).product
+    require(total * itemSize < Int.MaxValue,
+      s".nii.gz payload is ${total * itemSize} bytes — gzip is not " +
+        "splittable; convert to .nii or zarr for volumes this large")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(store.readBytes("")))
+    try {
+      var toSkip = h.voxOffset
+      while (toSkip > 0) toSkip -= in.skip(toSkip)
+      val buf = new Array[Byte]((total * itemSize).toInt)
+      var got = 0
+      while (got < buf.length) {
+        val n = in.read(buf, got, buf.length - got)
+        require(n > 0, s"truncated .nii.gz payload at $got of ${buf.length}")
+        got += n
+      }
+      ZarrStore.decodeToDoubles(buf, srcDtype, !h.littleEndian)
+    } finally in.close()
+  }
+
+  /** Scatter a decoded Fortran-order payload into C-order chunk rows
+    * (with optional scl rescale), distributing the per-chunk encode.
+    */
+  private def scatterDecoded(spark: SparkSession, fvals: Array[Double],
+      meta: ImageMeta, slope: Double, inter: Double): Dataset[ChunkRow] = {
+    import spark.implicits._
+    val shape = meta.shape
+    val rescale = (slope, inter) != ((1.0, 0.0))
+    val fstride = shape.scanLeft(1L)(_ * _).init
+    // C-order global array, then reuse the existing scatter machinery
+    val n = shape.product.toInt
+    val cvals = new Array[Double](n)
+    val cstrideArr = shape.scanRight(1L)(_ * _).tail
+    val idx = new Array[Long](shape.length)
+    var f = 0
+    var done = false
+    while (!done) {
+      var fi = 0L; var ci = 0L
+      var d = 0
+      while (d < shape.length) {
+        fi += idx(d) * fstride(d); ci += idx(d) * cstrideArr(d); d += 1
+      }
+      val v = fvals(fi.toInt)
+      cvals(ci.toInt) = if (rescale) (v * slope + inter).toFloat.toDouble else v
+      // odometer: first dim fastest (any order covers all cells)
+      var k = 0
+      var carry = true
+      while (k < shape.length && carry) {
+        idx(k) += 1
+        if (idx(k) == shape(k)) { idx(k) = 0; k += 1 } else carry = false
+      }
+      done = carry
+      f += 1
+    }
+    ChunkOps.fromArray(spark, cvals, meta)
+  }
+
+  /** OMERO window from cal_min/cal_max: start/end are the calibration
+    * bounds, min/max the data extrema (a distributed agg over the
+    * chunk table).
+    */
+  private def omeroFromCal(h: NiftiHeader, chunks: Dataset[ChunkRow],
+      meta: ImageMeta): Option[Omero] = {
+    val calMin = if (h.calMin.isNaN) Float.NaN else h.calMin
+    val calMax = if (h.calMax.isNaN) Float.NaN else h.calMax
+    if ((calMin == 0f && calMax == 0f) || calMin.isNaN || calMax.isNaN) None
+    else {
+      val dtype = meta.dtype
+      val (dataMin, dataMax) = chunks
+        .map { c =>
+          val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+          (vals.min, vals.max)
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble))
+        .reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+      Some(Omero(Seq(OmeroChannel("FFFFFF",
+        OmeroWindow(dataMin, dataMax, calMin.toDouble, calMax.toDouble), Some("")))))
+    }
+  }
+}

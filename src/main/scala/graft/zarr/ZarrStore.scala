@@ -66,6 +66,19 @@ final class ZarrStore(val root: String, hconf: Option[SerializableHadoopConf] = 
     } finally in.close()
   }
 
+  /** Positioned range read — executors pull just their slice of a
+    * large object (NIfTI chunk ingest, shard interiors) instead of the
+    * whole file.
+    */
+  def readRange(key: String, offset: Long, length: Int): Array[Byte] = {
+    val in = fs.open(p(key))
+    try {
+      val buf = new Array[Byte](length)
+      in.readFully(offset, buf)
+      buf
+    } finally in.close()
+  }
+
   /** Read the trailing `length` bytes of an object (seek + readFully)
     * — shard indexes live in the footer, so metadata-only scans never
     * pull chunk payloads.
