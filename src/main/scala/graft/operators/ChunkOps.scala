@@ -24,10 +24,12 @@ object ChunkOps {
       shape: Seq[Int], data: Array[Byte])
 
   /** A slice of a source chunk destined for (the possibly
-    * halo-extended block of) a target chunk.
+    * halo-extended block of) a target chunk. `data` is dtype-encoded
+    * (NOT doubles): pieces transit shuffles, and uint8/uint16 imaging
+    * payloads would inflate 8×/4× as double arrays.
     */
   final case class Piece(targetKey: String, targetIdx: Seq[Int],
-      destPos: Seq[Int], shape: Seq[Int], values: Array[Double])
+      destPos: Seq[Int], shape: Seq[Int], data: Array[Byte])
 
   final case class VoxelRow(t: Long, c: Long, z: Long, y: Long, x: Long, value: Double)
 
@@ -243,7 +245,8 @@ object ChunkOps {
         val srcOff = Array.tabulate(nd)(d => (gLo(d) - chunk.origin(d)).toInt)
         val destPos = Array.tabulate(nd)(d => (gLo(d) - tIdx(d).toLong * newChunks(d)).toInt)
         val sub = sliceBlock(vals, chunk.shape.toArray, srcOff, pShape)
-        Piece(tIdx.mkString(","), tIdx.toSeq, destPos.toSeq, pShape.toSeq, sub)
+        Piece(tIdx.mkString(","), tIdx.toSeq, destPos.toSeq, pShape.toSeq,
+          ZarrStore.encodeFromDoubles(sub, dtype))
       }
     }
     val assembled = pieces.groupByKey(_.targetKey).mapGroups { (_, it) =>
@@ -252,7 +255,56 @@ object ChunkOps {
       val tShape = ZarrStore.chunkShapeAt(shape, newChunks, tIdx)
       val tOrigin = ZarrStore.chunkOriginAt(newChunks, tIdx)
       val block = new Array[Double](tShape.product)
-      ps.foreach(p => placeBlock(block, tShape.toArray, p.destPos.toArray, p.shape.toArray, p.values))
+      ps.foreach(p => placeBlock(block, tShape.toArray, p.destPos.toArray, p.shape.toArray,
+        ZarrStore.decodeToDoubles(p.data, dtype)))
+      ChunkRow(tIdx, tOrigin, tShape, ZarrStore.encodeFromDoubles(block, dtype))
+    }
+    (outMeta, assembled)
+  }
+
+  /** Re-block directly into a key-partitioned RDD — the stencil path's
+    * entry: one volume shuffle does both the re-block and the pinning
+    * of chunks onto their key's partition, so the subsequent halo
+    * exchange only moves halo bytes ([[Downsample]]). `mapValues`
+    * after `groupByKey(part)` keeps the partitioner; when the grid is
+    * already right the pin is a single `partitionBy`.
+    */
+  def rechunkPinned(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+      newChunks: Seq[Int], part: org.apache.spark.Partitioner)
+      : (ImageMeta, org.apache.spark.rdd.RDD[(String, ChunkRow)]) = {
+    val outMeta = meta.copy(chunks = newChunks)
+    if (newChunks == meta.chunks)
+      return (outMeta, ds.rdd.map(c => (c.chunkIdx.mkString(","), c)).partitionBy(part))
+    val shape = meta.shape
+    val dtype = meta.dtype
+    val nd = shape.length
+    val pieces = ds.rdd.flatMap { chunk =>
+      val vals = ZarrStore.decodeToDoubles(chunk.data, dtype)
+      val lo = Array.tabulate(nd)(d => (chunk.origin(d) / newChunks(d)).toInt)
+      val hi = Array.tabulate(nd)(d =>
+        ((chunk.origin(d) + chunk.shape(d) - 1) / newChunks(d)).toInt)
+      ZarrStore.gridPositions(Array.tabulate(nd)(d => hi(d) - lo(d) + 1)).map { rel =>
+        val tIdx = Array.tabulate(nd)(d => lo(d) + rel(d))
+        val gLo = Array.tabulate(nd)(d => math.max(chunk.origin(d), tIdx(d).toLong * newChunks(d)))
+        val gHi = Array.tabulate(nd)(d => math.min(chunk.origin(d) + chunk.shape(d),
+          math.min(shape(d), (tIdx(d) + 1).toLong * newChunks(d))))
+        val pShape = Array.tabulate(nd)(d => (gHi(d) - gLo(d)).toInt)
+        val srcOff = Array.tabulate(nd)(d => (gLo(d) - chunk.origin(d)).toInt)
+        val destPos = Array.tabulate(nd)(d => (gLo(d) - tIdx(d).toLong * newChunks(d)).toInt)
+        val sub = sliceBlock(vals, chunk.shape.toArray, srcOff, pShape)
+        val key = tIdx.mkString(",")
+        key -> Piece(key, tIdx.toSeq, destPos.toSeq, pShape.toSeq,
+          ZarrStore.encodeFromDoubles(sub, dtype))
+      }
+    }
+    val assembled = pieces.groupByKey(part).mapValues { ps0 =>
+      val ps = ps0.toSeq
+      val tIdx = ps.head.targetIdx
+      val tShape = ZarrStore.chunkShapeAt(shape, newChunks, tIdx)
+      val tOrigin = ZarrStore.chunkOriginAt(newChunks, tIdx)
+      val block = new Array[Double](tShape.product)
+      ps.foreach(p => placeBlock(block, tShape.toArray, p.destPos.toArray, p.shape.toArray,
+        ZarrStore.decodeToDoubles(p.data, dtype)))
       ChunkRow(tIdx, tOrigin, tShape, ZarrStore.encodeFromDoubles(block, dtype))
     }
     (outMeta, assembled)

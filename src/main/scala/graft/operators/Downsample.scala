@@ -63,44 +63,72 @@ object Downsample {
     // 1. re-block so factors divide chunk edges and halos fit
     val targetChunks = meta.dims.indices.map(d =>
       planChunk(meta.shape(d), meta.chunks(d), factors0(d), radius0(d)))
-    val (m1, ds1) = rechunk(spark, ds, meta, targetChunks)
-
-    val factors = m1.dims.map(d => dimFactors.getOrElse(d, 1)).toArray
-    val outShape = m1.shape.zip(factors).map { case (n, k) => n / k }
-    val outChunks = m1.chunks.zip(factors).map { case (c, k) => math.max(1, c / k) }
-    val (tr, sc) = ScalePlanner.nextScaleMetadata(m1, dimFactors)
-    val outMeta = m1.copy(shape = outShape, chunks = outChunks, scale = sc, translation = tr)
-
-    val out = method match {
-      case Method.ItkwasmBinShrink | Method.ItkBinShrink =>
-        perChunk(spark, ds1, m1, factors, outMeta)(NdKernels.binShrink(_, _, _,
-          roundInt = isIntDtype(m1.dtype)))
-      case Method.DaskImageNearest =>
-        perChunk(spark, ds1, m1, factors, outMeta)(NdKernels.nearest)
-      case Method.DaskImageMode =>
-        haloExchange(spark, ds1, m1, factors, outMeta,
-          radius = factors.map(identity)) { (ext, extShape, outBlockShape, centerOff) =>
-          NdKernels.modeCentered(ext, extShape, factors, outBlockShape, centerOff)
-        }
-      case Method.ItkwasmGaussian | Method.ItkGaussian | Method.DaskImageGaussian =>
-        val sigma = factors.map(k => ScalePlanner.computeSigma(Seq(k)).head)
-        val truncate = ScalePlanner.getTruncate(m1.shape, sigma.toSeq)
-        val radius = ScalePlanner.gaussianBorder(sigma.toSeq, truncate).toArray
-        haloExchange(spark, ds1, m1, factors, outMeta, radius) {
-          (ext, extShape, outBlockShape, centerOff) =>
-            NdKernels.gaussianDownsample(ext, extShape, factors, sigma, radius,
-              outBlockShape, centerOff, roundInt = isIntDtype(m1.dtype))
-        }
-      case Method.ItkwasmLabelImage =>
-        val sigma = factors.map(k => ScalePlanner.computeSigma(Seq(k)).head)
-        val radius = ScalePlanner.kernelRadius(sigma.toSeq).toArray
-        haloExchange(spark, ds1, m1, factors, outMeta, radius) {
-          (ext, extShape, outBlockShape, centerOff) =>
-            NdKernels.labelGaussianDownsample(ext, extShape, factors, sigma, radius,
-              outBlockShape, centerOff)
-        }
+    val stencil = method match {
+      case Method.ItkwasmBinShrink | Method.ItkBinShrink | Method.DaskImageNearest => false
+      case _ => true // radius may still be 0 (factor 1) — halos just stay empty
     }
-    (outMeta, out)
+
+    def outMetaFor(m1: ImageMeta): ImageMeta = {
+      val factors = m1.dims.map(d => dimFactors.getOrElse(d, 1)).toArray
+      val outShape = m1.shape.zip(factors).map { case (n, k) => n / k }
+      val outChunks = m1.chunks.zip(factors).map { case (c, k) => math.max(1, c / k) }
+      val (tr, sc) = ScalePlanner.nextScaleMetadata(m1, dimFactors)
+      m1.copy(shape = outShape, chunks = outChunks, scale = sc, translation = tr)
+    }
+
+    if (!stencil) {
+      val (m1, ds1) = rechunk(spark, ds, meta, targetChunks)
+      val factors = m1.dims.map(d => dimFactors.getOrElse(d, 1)).toArray
+      val outMeta = outMetaFor(m1)
+      val out = method match {
+        case Method.ItkwasmBinShrink | Method.ItkBinShrink =>
+          perChunk(spark, ds1, m1, factors, outMeta)(NdKernels.binShrink(_, _, _,
+            roundInt = isIntDtype(m1.dtype)))
+        case Method.DaskImageNearest =>
+          perChunk(spark, ds1, m1, factors, outMeta)(NdKernels.nearest)
+        case other => throw new IllegalStateException(s"non-stencil method $other")
+      }
+      (outMeta, out)
+    } else {
+      // stencil path: ONE volume shuffle re-blocks AND pins chunks on
+      // their key's partition; the halo exchange then moves only halo
+      // bytes against the pinned side
+      val grid = ZarrStore.chunkGrid(meta.shape, targetChunks)
+      val totalChunks = grid.map(_.toLong).product
+      val numParts = math.max(1, math.min(totalChunks,
+        math.max(ds.rdd.getNumPartitions,
+          spark.sparkContext.defaultParallelism).toLong).toInt)
+      val part = new org.apache.spark.HashPartitioner(numParts)
+      val (m1, pinned) = ChunkOps.rechunkPinned(spark, ds, meta, targetChunks, part)
+      val factors = m1.dims.map(d => dimFactors.getOrElse(d, 1)).toArray
+      val outMeta = outMetaFor(m1)
+      val out = method match {
+        case Method.DaskImageMode =>
+          haloExchange(spark, pinned, part, m1, factors, outMeta,
+            radius = factors.map(identity)) { (ext, extShape, outBlockShape, centerOff) =>
+            NdKernels.modeCentered(ext, extShape, factors, outBlockShape, centerOff)
+          }
+        case Method.ItkwasmGaussian | Method.ItkGaussian | Method.DaskImageGaussian =>
+          val sigma = factors.map(k => ScalePlanner.computeSigma(Seq(k)).head)
+          val truncate = ScalePlanner.getTruncate(m1.shape, sigma.toSeq)
+          val radius = ScalePlanner.gaussianBorder(sigma.toSeq, truncate).toArray
+          haloExchange(spark, pinned, part, m1, factors, outMeta, radius) {
+            (ext, extShape, outBlockShape, centerOff) =>
+              NdKernels.gaussianDownsample(ext, extShape, factors, sigma, radius,
+                outBlockShape, centerOff, roundInt = isIntDtype(m1.dtype))
+          }
+        case Method.ItkwasmLabelImage =>
+          val sigma = factors.map(k => ScalePlanner.computeSigma(Seq(k)).head)
+          val radius = ScalePlanner.kernelRadius(sigma.toSeq).toArray
+          haloExchange(spark, pinned, part, m1, factors, outMeta, radius) {
+            (ext, extShape, outBlockShape, centerOff) =>
+              NdKernels.labelGaussianDownsample(ext, extShape, factors, sigma, radius,
+                outBlockShape, centerOff)
+          }
+        case other => throw new IllegalStateException(s"non-stencil method $other")
+      }
+      (outMeta, out)
+    }
   }
 
   def isIntDtype(dtype: String): Boolean =
@@ -137,14 +165,21 @@ object Downsample {
     })
   }
 
-  /** Stencil path: every chunk ships at most `radius` voxels of halo
-    * to each adjacent neighbor (3^s targets max), the target
-    * assembles its extended block and runs the kernel on its own
-    * sample region. Radii are capped at the chunk edge so one hop of
-    * halo always suffices (the reference's truncate search enforces
-    * the same bound).
+  /** Stencil path with a halo-only shuffle. The chunk table is pinned
+    * by hash-partitioning on its own chunk key; each chunk then ships
+    * at most `radius` voxels to each adjacent neighbor (3^s − 1
+    * targets max) through a second hash partition on the SAME
+    * partitioner, and `zipPartitions` aligns the two sides without
+    * moving the chunks again. Shuffle volume is therefore ∝ halo
+    * surface, not image volume: the old `groupByKey(target)` form
+    * shipped every chunk's full payload (volume + halo per level).
+    * Radii are capped at the chunk edge so one hop of halo always
+    * suffices (the reference's truncate search enforces the same
+    * bound).
     */
-  private def haloExchange(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+  private def haloExchange(spark: SparkSession,
+      pinned0: org.apache.spark.rdd.RDD[(String, ChunkRow)],
+      part: org.apache.spark.Partitioner, meta: ImageMeta,
       factors: Array[Int], outMeta: ImageMeta, radius: Array[Int])(
       kernel: (Array[Double], Array[Int], Array[Int], Array[Int]) => Array[Double])
       : Dataset[ChunkRow] = {
@@ -161,12 +196,20 @@ object Downsample {
     }
     val nOut = outMeta.shape
 
-    val pieces = ds.flatMap { chunk =>
+    // persist the pinned volume so the halo flatMap below re-reads it
+    // narrowly instead of recomputing (or re-shuffling) upstream
+    val pinned = pinned0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // halo pieces only (off != 0) — the bytes that actually cross
+    // chunk boundaries
+    val halos = pinned.values.flatMap { chunk =>
       val vals = ZarrStore.decodeToDoubles(chunk.data, dtype)
       val offsets = ZarrStore.gridPositions(Array.fill(nd)(3)).map(_.map(_ - 1))
       offsets.flatMap { off =>
         val tIdx = chunk.chunkIdx.zip(off).map { case (i, o) => i + o }
-        val valid = tIdx.zipWithIndex.forall { case (i, d) => i >= 0 && i < grid(d) } &&
+        val valid = off.exists(_ != 0) &&
+          tIdx.zipWithIndex.forall { case (i, d) => i >= 0 && i < grid(d) } &&
           off.zipWithIndex.forall { case (o, d) => o == 0 || cap(d) > 0 }
         if (!valid) None
         else {
@@ -183,45 +226,61 @@ object Downsample {
           if (pShape.exists(_ <= 0)) None
           else {
             // destination position in the target's extended block:
-            // target ext = [leftHalo | targetChunk | rightHalo]
+            // target ext = [leftHalo | targetChunk | rightHalo];
+            // off is target − us, so off=+1 means the target sits
+            // right of us and our last rows are its LEFT halo
             val tShape = ZarrStore.chunkShapeAt(shape, chunks, tIdx)
             val lh = Array.tabulate(nd)(d => if (tIdx(d) > 0) cap(d) else 0)
             val destPos = Array.tabulate(nd)(d => off(d) match {
-              case 1 => 0 // our slice is the target's left halo... (we are at idx-1)
+              case 1 => 0
               case 0 => lh(d)
               case -1 => lh(d) + tShape(d)
             })
-            // NOTE off is target - us; off=+1 means target right of us →
-            // our last rows are its LEFT halo (destPos 0 only if lh>0)
             val sub = ChunkOps.sliceBlock(vals, chunk.shape.toArray, lo, pShape)
-            Some(Piece(tIdx.mkString(","), tIdx, destPos.toSeq, pShape.toSeq, sub))
+            Some(Piece(tIdx.mkString(","), tIdx, destPos.toSeq, pShape.toSeq,
+              ZarrStore.encodeFromDoubles(sub, dtype)))
           }
         }
       }
-    }
+    }.map(p => (p.targetKey, p)).partitionBy(part)
 
-    pieces.groupByKey(_.targetKey).mapGroups { (_, it) =>
-      val ps = it.toSeq
-      val tIdx = ps.head.targetIdx
-      val tShape = ZarrStore.chunkShapeAt(shape, chunks, tIdx)
-      val tOrigin = ZarrStore.chunkOriginAt(chunks, tIdx)
-      val lh = Array.tabulate(nd)(d => if (tIdx(d) > 0) cap(d) else 0)
-      val rh = Array.tabulate(nd)(d => if (tIdx(d) < grid(d) - 1) cap(d) else 0)
-      val extShape = Array.tabulate(nd)(d => lh(d) + tShape(d) + rh(d))
-      val ext = new Array[Double](extShape.product)
-      ps.foreach(p => ChunkOps.placeBlock(ext, extShape, p.destPos.toArray, p.shape.toArray, p.values))
-      // samples owned by this chunk
-      val outCount = Array.tabulate(nd) { d =>
-        val k = factors(d)
-        math.max(0L, math.min((tOrigin(d) + tShape(d)) / k, nOut(d)) - tOrigin(d) / k).toInt
+    // same partitioner both sides → partition i holds chunk AND halos
+    // for the same keys; the volume side does not move again
+    val out = pinned.zipPartitions(halos, preservesPartitioning = false) { (chunkIt, haloIt) =>
+      val halosByKey = scala.collection.mutable.HashMap.empty[String, List[Piece]]
+      haloIt.foreach { case (k, p) =>
+        halosByKey.update(k, p :: halosByKey.getOrElse(k, Nil))
       }
-      val centerOff = lh // sample j maps to ext position lh + j*k
-      val block = kernel(ext, extShape, outCount, centerOff)
-      ChunkRow(
-        tIdx,
-        tOrigin.zipWithIndex.map { case (o, d) => o / factors(d) },
-        outCount.toSeq,
-        ZarrStore.encodeFromDoubles(block, dtype))
-    }.filter(c => c.shape.forall(_ > 0))
+      chunkIt.flatMap { case (key, chunk) =>
+        val tIdx = chunk.chunkIdx
+        val tShape = ZarrStore.chunkShapeAt(shape, chunks, tIdx)
+        val tOrigin = ZarrStore.chunkOriginAt(chunks, tIdx)
+        val lh = Array.tabulate(nd)(d => if (tIdx(d) > 0) cap(d) else 0)
+        val rh = Array.tabulate(nd)(d => if (tIdx(d) < grid(d) - 1) cap(d) else 0)
+        val extShape = Array.tabulate(nd)(d => lh(d) + tShape(d) + rh(d))
+        val ext = new Array[Double](extShape.product)
+        ChunkOps.placeBlock(ext, extShape, lh, tShape.toArray,
+          ZarrStore.decodeToDoubles(chunk.data, dtype))
+        halosByKey.getOrElse(key, Nil).foreach(p =>
+          ChunkOps.placeBlock(ext, extShape, p.destPos.toArray, p.shape.toArray,
+            ZarrStore.decodeToDoubles(p.data, dtype)))
+        // samples owned by this chunk
+        val outCount = Array.tabulate(nd) { d =>
+          val k = factors(d)
+          math.max(0L, math.min((tOrigin(d) + tShape(d)) / k, nOut(d)) - tOrigin(d) / k).toInt
+        }
+        if (outCount.contains(0)) None
+        else {
+          val centerOff = lh // sample j maps to ext position lh + j*k
+          val block = kernel(ext, extShape, outCount, centerOff)
+          Some(ChunkRow(
+            tIdx,
+            tOrigin.zipWithIndex.map { case (o, d) => o / factors(d) },
+            outCount.toSeq,
+            ZarrStore.encodeFromDoubles(block, dtype)))
+        }
+      }
+    }
+    spark.createDataset(out)
   }
 }

@@ -184,6 +184,50 @@ class DownsampleSpec extends SparkSpec {
     }
   }
 
+  test("stencil shuffle moves halo bytes, not the volume as doubles") {
+    // 256x256 uint8, 64-chunks: volume is 64 KiB encoded / 512 KiB as
+    // doubles. The old groupByKey halo exchange shipped every chunk's
+    // full payload as a double-array Piece (> 512 KiB + halos); the
+    // pinned form moves the uint8-encoded volume once plus
+    // dtype-encoded halo strips (~80 KiB total). Assert the whole
+    // gaussian step (incl. the pin) shuffles less than half the
+    // volume-as-doubles bound, which the old plan always exceeded.
+    val m = meta(Seq(256, 256), Seq("y", "x"), Seq(64, 64), "uint8")
+    val vals = randArray(256 * 256)
+    val ds = ChunkOps.fromArray(spark, vals, m)
+    ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (om, ods) = Downsample.step(spark, ds, m, Map("y" -> 2, "x" -> 2),
+        Method.ItkwasmGaussian)
+      val n = ods.count()
+      assert(n > 0 && om.shape == Seq(128L, 128L))
+      // listener events are async: poll until the byte count stabilizes
+      var last = -1L
+      var waited = 0
+      while (bytes.get() != last && waited < 10000) {
+        last = bytes.get(); Thread.sleep(300); waited += 300
+      }
+      val shuffled = bytes.get()
+      val volumeAsDoubles = 256L * 256 * 8
+      info(s"stencil step shuffled $shuffled bytes (volume-as-doubles bound $volumeAsDoubles)")
+      assert(shuffled > 0, "expected a shuffle to have happened")
+      assert(shuffled < volumeAsDoubles / 2,
+        s"stencil step shuffled $shuffled bytes — halo-only exchange should stay " +
+          s"far below the $volumeAsDoubles-byte volume-as-doubles bound")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      ds.unpersist()
+    }
+  }
+
   test("voxel view explodes chunks to coordinates") {
     import org.apache.spark.sql.functions._
     val m = meta(Seq(4, 4), Seq("y", "x"), Seq(2, 2), "uint8")
