@@ -14,8 +14,9 @@ import graft.operators.{MultiscaleBuilder, OmeZarrIO}
   *   Cli <input.ome.zarr> <output.ome.zarr> [--method=itkwasm_gaussian]
   *       [--version=0.4] [--compressor=zstd] [--chunks-per-shard=2,2]
   *
-  * Only the OME-Zarr input backend decodes pixels in this
-  * environment (Converters documents the native-codec boundary).
+  * The OME-Zarr and NIfTI input backends decode pixels in pure JVM;
+  * the remaining formats need native codecs absent here (Converters
+  * documents the boundary).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -40,16 +41,20 @@ object Cli {
 
     val backend = Converters.detectBackend(Seq(input),
       isZarrArrayDir = p => new java.io.File(p, ".zarray").exists())
-    require(backend == Converters.ConversionBackend.NgffZarr ||
-      backend == Converters.ConversionBackend.ZarrArray,
-      s"backend $backend needs native image codecs not present here; " +
-        "convert to OME-Zarr upstream")
-
-    val in = OmeZarrIO.readMultiscales(spark, input,
-      validate = opts.get("validate").contains("true"))
+    val base: MultiscaleBuilder.Level = backend match {
+      case Converters.ConversionBackend.NgffZarr | Converters.ConversionBackend.ZarrArray =>
+        OmeZarrIO.readMultiscales(spark, input,
+          validate = opts.get("validate").contains("true")).levels.head
+      case Converters.ConversionBackend.Nibabel =>
+        val img = graft.operators.NiftiIO.read(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case other => throw new UnsupportedOperationException(
+        s"backend $other needs native image codecs not present here; " +
+          "convert to OME-Zarr or NIfTI upstream")
+    }
     val method = opts.get("method").flatMap(Method.fromValue)
       .getOrElse(Method.ItkwasmGaussian)
-    val ms = MultiscaleBuilder.toMultiscales(spark, in.levels.head, method = method)
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, method = method)
     val counts = OmeZarrIO.writeMultiscales(spark, output, ms,
       version = opts.getOrElse("version", "0.4"),
       compressor = Some(opts.getOrElse("compressor", "zstd")),

@@ -20,8 +20,8 @@ object LlmOps extends QModule {
 
   override def queries: Seq[Q] = Seq(
     d40DedupExact, d41JaccardPairs, d42MinHash, d43SimHash, d44SimHashPairs,
-    d45EmbNearDup, s46CosineTopK, s47AnnLsh, s48CosineExpr, t48TextStats,
-    t49LangId, t50TokenCount, t51Fingerprint, m52Multimodal)
+    d45EmbNearDup, d46SimHashBanded, s46CosineTopK, s47AnnLsh, s48CosineExpr,
+    t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, m52Multimodal)
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
@@ -145,6 +145,38 @@ object LlmOps extends QModule {
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM f a JOIN f b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 14
+            ORDER BY doc_a, doc_b"""))
+
+  /** Banded SimHash near-dup over the FULL table — the corpus-scale
+    * pigeonhole path (exact by construction; the oracle replays the
+    * band arithmetic and candidate join verbatim).
+    */
+  val d46SimHashBanded = Q(
+    "d46_simhash_banded",
+    (s, dir) => TextDedup.simHashNearDups(docs(s, dir), maxDist = 3)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS w
+                       FROM documents),
+            h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM t),
+            bits AS (SELECT doc_id, k,
+                       sum(CASE WHEN (h // CAST(pow(2, k) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                     FROM h, range(60) r(k) GROUP BY doc_id, k),
+            f AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, k) AS BIGINT)
+                                  ELSE 0 END) AS BIGINT) AS simhash
+                  FROM bits GROUP BY doc_id),
+            banded AS (SELECT doc_id, simhash, b.b AS band,
+                         (simhash // CAST(pow(2, 15 * b.b) AS BIGINT)) % 32768 AS key
+                       FROM f, range(4) b(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sh_a, b.simhash AS sh_b
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
             ORDER BY doc_a, doc_b"""))
 
   /** Embedding-cosine near-dup pairs via the SRP-bucketed scale path

@@ -36,6 +36,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("banded simhash pairs == all-pairs at the same distance (pigeonhole exactness)") {
+    import spark.implicits._
+    val sh = TextDedup.simHash(docs)
+    val allPairs = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("hamming", TextDedup.hammingDistance(col("sh_a"), col("sh_b")).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = TextDedup.simHashNearDups(docs, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(allPairs.nonEmpty, "test corpus should contain planted near-dups")
+    // band join is exact: any pair at distance <= maxDist shares a band
+    assert(banded == allPairs)
+  }
+
   test("simhash: near-identical docs land at small hamming distance") {
     import spark.implicits._
     val df = Seq(
