@@ -14,9 +14,9 @@ import graft.operators.{MultiscaleBuilder, OmeZarrIO}
   *   Cli <input.ome.zarr> <output.ome.zarr> [--method=itkwasm_gaussian]
   *       [--version=0.4] [--compressor=zstd] [--chunks-per-shard=2,2]
   *
-  * The OME-Zarr and NIfTI input backends decode pixels in pure JVM;
-  * the remaining formats need native codecs absent here (Converters
-  * documents the boundary).
+  * The OME-Zarr, NIfTI, and baseline-TIFF input backends decode
+  * pixels in pure JVM; the remaining formats need native codecs
+  * absent here (Converters documents the boundary).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -48,9 +48,12 @@ object Cli {
       case Converters.ConversionBackend.Nibabel =>
         val img = graft.operators.NiftiIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Tifffile =>
+        val img = graft.operators.TiffIO.read(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
       case other => throw new UnsupportedOperationException(
         s"backend $other needs native image codecs not present here; " +
-          "convert to OME-Zarr or NIfTI upstream")
+          "convert to OME-Zarr, NIfTI, or TIFF upstream")
     }
     val method = opts.get("method").flatMap(Method.fromValue)
       .getOrElse(Method.ItkwasmGaussian)

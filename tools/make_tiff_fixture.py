@@ -1,0 +1,294 @@
+#!/usr/bin/env python3
+"""Generate committed TIFF fixtures for TiffIOSpec with only the
+stdlib, per the public TIFF 6.0 / BigTIFF specs.
+
+Fixtures:
+  gray8_strips.tif    21x17 uint8, rowsPerStrip 5, uncompressed, II
+  gray16_deflate.tif  16x12 uint16, deflate + predictor 2, MM (big-endian)
+  rgb_packbits.tif    9x7 RGB uint8, PackBits
+  gray8_lzw.tif       33x9 uint8, TIFF-LZW (early change)
+  tiled_f32.tif       40x30 float32, 16x16 tiles, deflate
+  multipage.tif       3 pages 8x6 uint8 -> z stack
+  big.tif             BigTIFF (version 43) 10x5 uint8 uncompressed
+"""
+import struct
+import sys
+import zlib
+from pathlib import Path
+
+OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/fixtures")
+
+
+def pix_gray(w, h, fn):
+    return [[fn(x, y) for x in range(w)] for y in range(h)]
+
+
+def pack_samples(rows, fmt, endian):
+    flat = [s for row in rows for px in row for s in (px if isinstance(px, tuple) else (px,))]
+    return struct.pack(f"{endian}{len(flat)}{fmt}", *flat)
+
+
+def packbits_encode(data):
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1
+            out.append(256 - (j - i))  # -(j-i) as unsigned byte
+            out.append(data[i])
+            i = j + 1
+        else:
+            # literal run
+            j = i
+            while j < n - 1 and data[j] != data[j + 1] and j - i < 127:
+                j += 1
+            if j == n - 1:
+                j = n - 1 if j - i < 127 else j
+            out.append(j - i)
+            out.extend(data[i:j + 1])
+            i = j + 1
+    return bytes(out)
+
+
+class BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code, width):
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self):
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.buf)
+
+
+def lzw_encode(data):
+    CLEAR, EOI = 256, 257
+    bw = BitWriter()
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bw.write(CLEAR, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        bw.write(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # TIFF early change: widen when the NEXT emitted code could be
+        # 2^width - 1 (decoder mirrors at table sizes 511/1023/2047)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code > 4093:
+            bw.write(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        bw.write(table[w], width)
+    bw.write(EOI, width)
+    return bw.done()
+
+
+def predict2(raw, width, spp, bps, endian):
+    """Apply horizontal differencing (per row of width*spp samples)."""
+    fmt = {1: "B", 2: "H"}[bps]
+    row_samples = width * spp
+    n = len(raw) // bps
+    vals = list(struct.unpack(f"{endian}{n}{fmt}", raw))
+    mask = (1 << (8 * bps)) - 1
+    out = vals[:]
+    for r in range(n // row_samples):
+        base = r * row_samples
+        for x in range(row_samples - 1, spp - 1, -1):
+            out[base + x] = (vals[base + x] - vals[base + x - spp]) & mask
+    return struct.pack(f"{endian}{n}{fmt}", *out)
+
+
+def write_tiff(path, pages, endian="<", bigtiff=False):
+    """pages: list of dicts with keys width,height,spp,bits,fmt(sample
+    format),regions(list of compressed bytes),tags(extra {tag:(type,
+    [values])}).
+    """
+    e = endian
+    out = bytearray()
+    if bigtiff:
+        out += (b"II" if e == "<" else b"MM") + struct.pack(f"{e}HHHQ", 43, 8, 0, 0)
+        ifd_ptr_pos = 8
+    else:
+        out += (b"II" if e == "<" else b"MM") + struct.pack(f"{e}HI", 42, 0)
+        ifd_ptr_pos = 4
+
+    def patch(pos, value):
+        fmt = f"{e}Q" if bigtiff else f"{e}I"
+        out[pos:pos + (8 if bigtiff else 4)] = struct.pack(fmt, value)
+
+    prev_next_ptr = ifd_ptr_pos
+    for page in pages:
+        # write region data first
+        offsets = []
+        counts = []
+        for rdata in page["regions"]:
+            offsets.append(len(out))
+            counts.append(len(rdata))
+            out.extend(rdata)
+            if len(out) % 2:
+                out.append(0)
+
+        tags = {
+            256: (4, [page["width"]]),
+            257: (4, [page["height"]]),
+            258: (3, [page["bits"]] * page["spp"]),
+            259: (3, [page.get("compression", 1)]),
+            262: (3, [2 if page["spp"] == 3 else 1]),
+            277: (3, [page["spp"]]),
+            339: (3, [page.get("fmt", 1)] * page["spp"]),
+        }
+        if "tile_w" in page:
+            tags[322] = (4, [page["tile_w"]])
+            tags[323] = (4, [page["tile_h"]])
+            tags[324] = (16 if bigtiff else 4, offsets)
+            tags[325] = (4, counts)
+        else:
+            tags[273] = (16 if bigtiff else 4, offsets)
+            tags[278] = (4, [page["rows_per_strip"]])
+            tags[279] = (4, counts)
+        if page.get("predictor"):
+            tags[317] = (3, [page["predictor"]])
+        tags.update(page.get("tags", {}))
+
+        type_size = {3: 2, 4: 4, 16: 8}
+        inline = 8 if bigtiff else 4
+        # out-of-line value areas
+        extra = bytearray()
+        entries = []
+        ifd_pos_est = None  # patched later
+        for tag in sorted(tags):
+            typ, vals = tags[tag]
+            vfmt = {3: "H", 4: "I", 16: "Q"}[typ]
+            payload = struct.pack(f"{e}{len(vals)}{vfmt}", *vals)
+            entries.append((tag, typ, len(vals), payload))
+
+        # IFD layout: [count][entries][next_ptr][extra values]
+        entry_size = 20 if bigtiff else 12
+        count_size = 8 if bigtiff else 2
+        ptr_size = 8 if bigtiff else 4
+        ifd_pos = len(out)
+        ifd_size = count_size + len(entries) * entry_size + ptr_size
+        extra_pos = ifd_pos + ifd_size
+
+        ifd = bytearray()
+        ifd += struct.pack(f"{e}Q" if bigtiff else f"{e}H", len(entries))
+        for tag, typ, cnt, payload in entries:
+            ifd += struct.pack(f"{e}HH", tag, typ)
+            ifd += struct.pack(f"{e}Q" if bigtiff else f"{e}I", cnt)
+            if len(payload) <= inline:
+                ifd += payload + b"\x00" * (inline - len(payload))
+            else:
+                ifd += struct.pack(f"{e}Q" if bigtiff else f"{e}I",
+                                   extra_pos + len(extra))
+                extra += payload
+                if len(extra) % 2:
+                    extra += b"\x00"
+        ifd += struct.pack(f"{e}Q" if bigtiff else f"{e}I", 0)  # next ptr
+
+        patch(prev_next_ptr, ifd_pos)
+        prev_next_ptr = ifd_pos + count_size + len(entries) * entry_size
+        out.extend(ifd)
+        out.extend(extra)
+
+    Path(path).write_bytes(bytes(out))
+
+
+def main():
+    OUT.mkdir(parents=True, exist_ok=True)
+
+    # 1. gray8 strips, uncompressed, little-endian
+    w, h, rps = 21, 17, 5
+    rows = pix_gray(w, h, lambda x, y: (3 * x + 7 * y) % 256)
+    regions = []
+    for s in range((h + rps - 1) // rps):
+        chunk = rows[s * rps:(s + 1) * rps]
+        regions.append(pack_samples(chunk, "B", "<"))
+    write_tiff(OUT / "gray8_strips.tif", [dict(
+        width=w, height=h, spp=1, bits=8, rows_per_strip=rps, regions=regions)])
+
+    # 2. gray16 deflate + predictor 2, BIG-endian
+    w, h, rps = 16, 12, 4
+    rows = pix_gray(w, h, lambda x, y: (x * 801 + y * 1203) % 65536)
+    regions = []
+    for s in range(h // rps):
+        raw = pack_samples(rows[s * rps:(s + 1) * rps], "H", ">")
+        regions.append(zlib.compress(predict2(raw, w, 1, 2, ">"), 6))
+    write_tiff(OUT / "gray16_deflate.tif", [dict(
+        width=w, height=h, spp=1, bits=16, rows_per_strip=rps,
+        compression=8, predictor=2, regions=regions)], endian=">")
+
+    # 3. RGB packbits (one strip)
+    w, h = 9, 7
+    rows = [[((x * 20) % 256, (y * 30) % 256, ((x + y) * 15) % 256)
+             for x in range(w)] for y in range(h)]
+    raw = pack_samples(rows, "B", "<")
+    write_tiff(OUT / "rgb_packbits.tif", [dict(
+        width=w, height=h, spp=3, bits=8, rows_per_strip=h,
+        compression=32773, regions=[packbits_encode(raw)])])
+
+    # 4. gray8 LZW (one strip, content with repeats to exercise the dict)
+    w, h = 33, 9
+    rows = pix_gray(w, h, lambda x, y: (x // 3 + y) % 7)
+    raw = pack_samples(rows, "B", "<")
+    write_tiff(OUT / "gray8_lzw.tif", [dict(
+        width=w, height=h, spp=1, bits=8, rows_per_strip=h,
+        compression=5, regions=[lzw_encode(raw)])])
+
+    # 5. tiled float32, deflate, tiles padded at edges
+    w, h, tw, th = 40, 30, 16, 16
+    vals = pix_gray(w, h, lambda x, y: float(x) * 0.5 - float(y) * 0.25)
+    regions = []
+    for ty in range((h + th - 1) // th):
+        for tx in range((w + tw - 1) // tw):
+            tile = [[vals[min(ty * th + yy, h - 1)][min(tx * tw + xx, w - 1)]
+                     if (ty * th + yy < h and tx * tw + xx < w) else 0.0
+                     for xx in range(tw)] for yy in range(th)]
+            regions.append(zlib.compress(pack_samples(tile, "f", "<"), 6))
+    write_tiff(OUT / "tiled_f32.tif", [dict(
+        width=w, height=h, spp=1, bits=32, fmt=3, tile_w=tw, tile_h=th,
+        compression=8, regions=regions)])
+
+    # 6. multipage -> z stack
+    w, h = 8, 6
+    pages = []
+    for z in range(3):
+        rows = pix_gray(w, h, lambda x, y: (x + 2 * y + 10 * z) % 256)
+        pages.append(dict(width=w, height=h, spp=1, bits=8, rows_per_strip=h,
+                          regions=[pack_samples(rows, "B", "<")]))
+    write_tiff(OUT / "multipage.tif", pages)
+
+    # 7. BigTIFF
+    w, h = 10, 5
+    rows = pix_gray(w, h, lambda x, y: (5 * x + y) % 256)
+    write_tiff(OUT / "big.tif", [dict(
+        width=w, height=h, spp=1, bits=8, rows_per_strip=h,
+        regions=[pack_samples(rows, "B", "<")])], bigtiff=True)
+
+    print("wrote", sorted(p.name for p in OUT.glob("*.tif")))
+
+
+if __name__ == "__main__":
+    main()
