@@ -22,8 +22,11 @@ object Similarity {
 
   /** Elementwise float→double cast so downstream arithmetic is
     * double-precision everywhere (and matches any SQL oracle).
+    * A native array cast — codegen'd elementwise, unlike
+    * `transform(arr, _.cast(...))` whose lambda is interpreted per
+    * element (measured ~2× on the ANN queries' scan stage).
     */
-  def asDouble(arr: Column): Column = transform(arr, _.cast("double"))
+  def asDouble(arr: Column): Column = arr.cast("array<double>")
 
   /** Spark-`round`-compatible rounding of a double (Round expression
     * semantics: full binary expansion, HALF_UP).

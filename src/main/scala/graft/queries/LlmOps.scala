@@ -21,7 +21,8 @@ object LlmOps extends QModule {
   override def queries: Seq[Q] = Seq(
     d40DedupExact, d41JaccardPairs, d42MinHash, d43SimHash, d44SimHashPairs,
     d45EmbNearDup, d46SimHashBanded, s46CosineTopK, s47AnnLsh, s48CosineExpr,
-    t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, m52Multimodal)
+    t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, m52Multimodal,
+    m53ImageDecode, m54AudioDecode)
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
@@ -382,4 +383,41 @@ object LlmOps extends QModule {
                     i -> CAST('0x' || substr(md5(text), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
                   FROM documents WHERE doc_id < 200) x
             ORDER BY doc_id"""))
+
+  /** REAL image decode in the gate: per-doc P6 PPM blobs (closed-form
+    * pixels) decoded by the actual netpbm parser, per-channel means
+    * replayed arithmetically by the oracle.
+    */
+  val m53ImageDecode = Q(
+    "m53_image_decode_features",
+    (s, dir) => Multimodal.extractImageFeatures(s,
+        Multimodal.syntheticPpm(docs(s, dir).filter(col("doc_id") < 200)))
+      .toDF().orderBy(col("doc_id")),
+    Some("""SELECT doc_id, CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+            CAST(3 AS INT) AS channels,
+            CAST(list_sum(list_transform(range(24),
+              i -> (doc_id * 37 + (3 * i + 0) * 11) % 256)) AS DOUBLE) / 24 AS mean_c0,
+            CAST(list_sum(list_transform(range(24),
+              i -> (doc_id * 37 + (3 * i + 1) * 11) % 256)) AS DOUBLE) / 24 AS mean_c1,
+            CAST(list_sum(list_transform(range(24),
+              i -> (doc_id * 37 + (3 * i + 2) * 11) % 256)) AS DOUBLE) / 24 AS mean_c2
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  /** REAL audio decode in the gate: per-doc PCM-16 WAV blobs decoded
+    * by the actual RIFF/WAVE parser; sum-of-squares stays an exact
+    * integer so the oracle is bit-identical.
+    */
+  val m54AudioDecode = Q(
+    "m54_audio_decode_features",
+    (s, dir) => Multimodal.extractAudioFeatures(s,
+        Multimodal.syntheticWav(docs(s, dir).filter(col("doc_id") < 200)))
+      .toDF().orderBy(col("doc_id")),
+    Some("""WITH s AS (SELECT doc_id, (doc_id * 13 + i.i * 7) % 65536 - 32768 AS v
+                       FROM documents, range(64) i(i) WHERE doc_id < 200)
+            SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+                   CAST(64 AS INT) AS n_samples,
+                   CAST(sum(v * v) AS DOUBLE) AS sum_sq,
+                   CAST(max(abs(v)) AS INT) AS peak
+            FROM s GROUP BY doc_id ORDER BY doc_id"""))
 }

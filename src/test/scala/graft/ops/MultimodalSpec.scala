@@ -27,4 +27,62 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Array[Byte]]("sampled").length == 8)
     }
   }
+
+  test("PPM decode: P6 header with comments, pixel parity") {
+    val header = "P6\n# a comment\n3 2\n255\n".getBytes("US-ASCII")
+    val body = Array.tabulate[Byte](18)(i => (i * 10).toByte)
+    val img = Multimodal.decodePpm(header ++ body)
+    assert(img.width == 3 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.toSeq == body.toSeq)
+    val gray = Multimodal.decodePpm("P5\n2 2\n255\n".getBytes ++ Array[Byte](1, 2, 3, 4))
+    assert(gray.channels == 1 && gray.pixels.toSeq == Seq[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException](Multimodal.decodePpm("P3\n".getBytes))
+  }
+
+  test("BMP decode: bottom-up BGR to top-down RGB with row padding") {
+    // 2x2 24-bit BMP: rows padded to 8 bytes
+    val bb = java.nio.ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24).putInt(0)
+    bb.putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    // bottom row first: pixel (0,1)=BGR(1,2,3) -> RGB(3,2,1); (1,1)=BGR(4,5,6)
+    bb.put(Array[Byte](1, 2, 3, 4, 5, 6, 0, 0))
+    // top row: (0,0)=BGR(7,8,9); (1,0)=BGR(10,11,12)
+    bb.put(Array[Byte](7, 8, 9, 10, 11, 12, 0, 0))
+    val img = Multimodal.decodeBmp(bb.array())
+    assert(img.width == 2 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.toSeq == Seq[Byte](9, 8, 7, 12, 11, 10, 3, 2, 1, 6, 5, 4))
+  }
+
+  test("WAV decode: PCM-16 chunks, features exact") {
+    import spark.implicits._
+    val media = Multimodal.syntheticWav(Seq(5L).toDF("doc_id"))
+    val payload = media.collect().head.getAs[Array[Byte]]("media")
+    val a = Multimodal.decodeWav(payload)
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.samples.length == 64)
+    assert(a.samples(0) == ((5 * 13) % 65536 - 32768).toShort)
+    val f = Multimodal.audioFeature(5L, a)
+    val expectSq = (0 until 64).map { i =>
+      val v = (5L * 13 + i * 7) % 65536 - 32768; v * v
+    }.sum.toDouble
+    assert(f.sum_sq == expectSq && f.n_samples == 64)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(Array[Byte](1, 2, 3)))
+  }
+
+  test("image features + thumbnail resize run distributed over PPM blobs") {
+    import spark.implicits._
+    val media = Multimodal.syntheticPpm(Seq(1L, 2L, 3L).toDF("doc_id"))
+    val feats = Multimodal.extractImageFeatures(spark, media).collect()
+    assert(feats.length == 3)
+    val f1 = feats.find(_.doc_id == 1L).get
+    val expMean0 = (0 until 24).map(i => (1 * 37 + (3 * i) * 11) % 256).sum / 24.0
+    assert(f1.width == 6 && f1.height == 4 && f1.channels == 3 && f1.mean_c0 == expMean0)
+    // thumbnail: constant image stays constant through the box filter
+    val const = Multimodal.DecodedImage(8, 8, 3, Array.fill[Byte](192)(50))
+    val th = Multimodal.thumbnail(const, 4, 2)
+    assert(th.width == 4 && th.height == 2 && th.pixels.forall(_ == 50))
+    // JPEG magic gets a precise error, not a garbage decode
+    intercept[UnsupportedOperationException](
+      Multimodal.decodeImage(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)))
+  }
 }
