@@ -62,11 +62,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a query whose runs all failed carries the -1 sentinel: keep it
+    // per-query as the failure marker, but never let it subtract from
+    // the totals — list the failures explicitly instead
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val headlineNames = SparkEntry.headline.map(_.name).toSet
-    val headlineTotal = results.collect { case (k, v) if headlineNames(k) => v }.sum
+    val headlineTotal = results.collect { case (k, v) if headlineNames(k) && v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_sec":$headlineTotal,"runs_per_query":$runs,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_sec":$headlineTotal,"runs_per_query":$runs,"stat":"median","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -196,10 +196,12 @@ object Downsample {
     }
     val nOut = outMeta.shape
 
-    // persist the pinned volume so the halo flatMap below re-reads it
-    // narrowly instead of recomputing (or re-shuffling) upstream
+    // no persist: `pinned0` ends in a shuffle (rechunkPinned), and both
+    // consumers below — the halo flatMap and zipPartitions — read the
+    // SAME shuffle output, so upstream computes exactly once and the
+    // shuffle files are the materialization (persisting would leak one
+    // cached volume per pyramid level for the application lifetime)
     val pinned = pinned0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // halo pieces only (off != 0) — the bytes that actually cross
     // chunk boundaries

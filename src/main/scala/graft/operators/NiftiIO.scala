@@ -277,7 +277,14 @@ object NiftiIO {
       new java.io.ByteArrayInputStream(store.readBytes("")))
     try {
       var toSkip = h.voxOffset
-      while (toSkip > 0) toSkip -= in.skip(toSkip)
+      while (toSkip > 0) {
+        val n = in.skip(toSkip)
+        if (n <= 0) {
+          // skip returns 0 at EOF — probe with read to distinguish
+          require(in.read() >= 0, s"truncated .nii.gz: EOF before vox_offset ${h.voxOffset}")
+          toSkip -= 1
+        } else toSkip -= n
+      }
       val buf = new Array[Byte]((total * itemSize).toInt)
       var got = 0
       while (got < buf.length) {

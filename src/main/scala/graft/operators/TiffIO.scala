@@ -52,26 +52,76 @@ object TiffIO {
 
   // ---- IFD parsing ----
 
-  private final class Reader(buf: Array[Byte], val le: Boolean) {
-    val bb: ByteBuffer = ByteBuffer.wrap(buf).order(
-      if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-    def u16(off: Long): Int = bb.getShort(off.toInt) & 0xffff
-    def u32(off: Long): Long = bb.getInt(off.toInt) & 0xffffffffL
-    def u64(off: Long): Long = bb.getLong(off.toInt)
+  /** Random-access byte source for IFD parsing. TIFF metadata can sit
+    * anywhere in the file — libtiff-family writers put IFDs AFTER the
+    * pixel data on close — so parsing must not assume a head window.
+    */
+  private[operators] trait TiffSource {
+    def length: Long
+    def get(off: Long, len: Int): Array[Byte]
   }
 
-  /** Parse header + all IFDs from the file's leading bytes. TIFF
-    * metadata is tiny; `headBytes` must cover the IFD chain (they sit
-    * at the front for every mainstream writer — we read the whole
-    * file when it's small, else the first 16 MiB and the parser
-    * demands containment).
+  private[operators] final class ArraySource(a: Array[Byte]) extends TiffSource {
+    def length: Long = a.length
+    def get(off: Long, len: Int): Array[Byte] = {
+      require(off >= 0 && off + len <= a.length,
+        s"TIFF read [$off, ${off + len}) beyond file length ${a.length}")
+      java.util.Arrays.copyOfRange(a, off.toInt, off.toInt + len)
+    }
+  }
+
+  /** Driver-side page cache over positioned reads: IFD walking does
+    * many tiny reads at arbitrary offsets; 256 KiB pages keep it to a
+    * handful of store round-trips however the writer laid the file
+    * out, without pulling pixel data.
     */
-  def parseInfo(raw: Array[Byte]): TiffInfo = {
-    require(raw.length >= 8, "not a TIFF: too short")
-    val le = raw(0) == 'I'.toByte && raw(1) == 'I'.toByte
-    val be = raw(0) == 'M'.toByte && raw(1) == 'M'.toByte
+  private[operators] final class PagedSource(store: ZarrStore, val length: Long,
+      pageSize: Int = 256 << 10) extends TiffSource {
+    private val pages = scala.collection.mutable.HashMap.empty[Long, Array[Byte]]
+    private def page(i: Long): Array[Byte] = pages.getOrElseUpdate(i, {
+      val off = i * pageSize
+      store.readRange("", off, math.min(pageSize.toLong, length - off).toInt)
+    })
+    def get(off: Long, len: Int): Array[Byte] = {
+      require(off >= 0 && off + len <= length,
+        s"TIFF read [$off, ${off + len}) beyond file length $length")
+      val out = new Array[Byte](len)
+      var copied = 0
+      while (copied < len) {
+        val pos = off + copied
+        val p = page(pos / pageSize)
+        val inPage = (pos % pageSize).toInt
+        val n = math.min(len - copied, p.length - inPage)
+        System.arraycopy(p, inPage, out, copied, n)
+        copied += n
+      }
+      out
+    }
+  }
+
+  private final class Reader(src: TiffSource, val le: Boolean) {
+    private def order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    def u16(off: Long): Int =
+      ByteBuffer.wrap(src.get(off, 2)).order(order).getShort(0) & 0xffff
+    def u32(off: Long): Long =
+      ByteBuffer.wrap(src.get(off, 4)).order(order).getInt(0) & 0xffffffffL
+    def u64(off: Long): Long =
+      ByteBuffer.wrap(src.get(off, 8)).order(order).getLong(0)
+    def i16(off: Long): Short = ByteBuffer.wrap(src.get(off, 2)).order(order).getShort(0)
+    def i32(off: Long): Int = ByteBuffer.wrap(src.get(off, 4)).order(order).getInt(0)
+    def u8(off: Long): Int = src.get(off, 1)(0) & 0xff
+  }
+
+  /** Parse header + all IFDs from an in-memory TIFF. */
+  def parseInfo(raw: Array[Byte]): TiffInfo = parseInfo(new ArraySource(raw))
+
+  private[operators] def parseInfo(src: TiffSource): TiffInfo = {
+    require(src.length >= 8, "not a TIFF: too short")
+    val bom = src.get(0, 4)
+    val le = bom(0) == 'I'.toByte && bom(1) == 'I'.toByte
+    val be = bom(0) == 'M'.toByte && bom(1) == 'M'.toByte
     require(le || be, "not a TIFF: bad byte-order mark")
-    val r = new Reader(raw, le)
+    val r = new Reader(src, le)
     val version = r.u16(2)
     require(version == 42 || version == 43, s"not a TIFF: version $version")
     val big = version == 43
@@ -81,8 +131,8 @@ object TiffIO {
     var ifdOff = if (big) r.u64(8) else r.u32(4)
     var guard = 0
     while (ifdOff != 0 && guard < 65536) {
-      require(ifdOff + 8 <= raw.length,
-        s"IFD at $ifdOff beyond parsed header bytes (${raw.length})")
+      require(ifdOff + 8 <= src.length,
+        s"IFD at $ifdOff beyond file length ${src.length}")
       val nEntries = if (big) r.u64(ifdOff).toInt else r.u16(ifdOff)
       val entrySize = if (big) 20 else 12
       val base = ifdOff + (if (big) 8 else 2)
@@ -116,9 +166,9 @@ object TiffIO {
           case 3 => r.u16(dataOff + 2 * i)
           case 4 => r.u32(dataOff + 4 * i)
           case 16 => r.u64(dataOff + 8 * i)
-          case 1 => raw((dataOff + i).toInt) & 0xff
-          case 8 => r.bb.getShort((dataOff + 2 * i).toInt).toLong
-          case 9 => r.bb.getInt((dataOff + 4 * i).toInt).toLong
+          case 1 => r.u8(dataOff + i)
+          case 8 => r.i16(dataOff + 2 * i).toLong
+          case 9 => r.i32(dataOff + 4 * i).toLong
           case _ => throw new UnsupportedOperationException(
             s"TIFF tag $tag has unsupported field type $typ")
         }
@@ -149,10 +199,22 @@ object TiffIO {
       val tiled = tw > 0
       if (tiled) require(tl > 0 && tileOff.nonEmpty, "malformed tiled TIFF")
       else require(stripOff.nonEmpty, "TIFF page has neither strips nor tiles")
+      val effRps = if (tiled) 0 else math.min(rps, height)
+      val offs = if (tiled) tileOff else stripOff
+      var cnts = if (tiled) tileCnt else stripCnt
+      if (cnts.isEmpty && comp == 1 && !tiled) {
+        // old writers omit StripByteCounts for uncompressed strips —
+        // the counts are implied by the geometry
+        val rowBytes = width.toLong * spp * (bits / 8)
+        cnts = offs.indices.map { s =>
+          math.min(effRps.toLong, height - s.toLong * effRps) * rowBytes
+        }
+      }
+      require(cnts.length == offs.length,
+        s"TIFF page has ${offs.length} ${if (tiled) "tiles" else "strips"} " +
+          s"but ${cnts.length} byte counts")
       pages += TiffPage(width, height, spp, bits, fmt, comp, pred,
-        if (tiled) 0 else math.min(rps, height), tw, tl,
-        if (tiled) tileOff else stripOff,
-        if (tiled) tileCnt else stripCnt)
+        effRps, tw, tl, offs, cnts)
       ifdOff = if (big) r.u64(base + nEntries.toLong * entrySize)
         else r.u32(base + nEntries.toLong * entrySize)
       guard += 1
@@ -239,8 +301,10 @@ object TiffIO {
     while (code != Eoi && o < expect) {
       if (code == Clear) {
         reset()
-        code = nextCode()
+        // consecutive Clear codes are legal — keep resetting
+        while ({ code = nextCode(); code == Clear }) ()
         if (code == Eoi) return finishLzw(out, o, expect)
+        require(code < 256, s"LZW code $code directly after Clear must be a literal")
         out(o) = code.toByte; o += 1
         prev = Array(code.toByte)
       } else {
@@ -319,20 +383,19 @@ object TiffIO {
     import spark.implicits._
     val hconf = Some(SerializableHadoopConf.fromActiveSession())
     val store = new ZarrStore(path, hconf)
-    val fileLen = {
-      // ZarrStore has no stat-on-root helper; a 16 MiB head covers the
-      // IFD chain of any mainstream writer, and small files read whole
-      val head = try store.readRange("", 0L, 16 << 20) catch {
-        case _: Exception => store.readBytes("")
-      }
-      head
-    }
-    val info = parseInfo(fileLen)
+    val totalLen = store.size("")
+    // small files parse in memory; larger ones go through the paged
+    // random-access source so trailing IFDs (libtiff writes them after
+    // the pixel data) resolve without pulling the payload
+    val info =
+      if (totalLen <= (16 << 20)) parseInfo(store.readBytes(""))
+      else parseInfo(new PagedSource(store, totalLen))
     val p0 = info.pages.head
     require(info.pages.forall(p => p.width == p0.width && p.height == p0.height &&
       p.samplesPerPixel == p0.samplesPerPixel && p.bitsPerSample == p0.bitsPerSample &&
-      p.sampleFormat == p0.sampleFormat),
-      "multi-page TIFF with heterogeneous pages unsupported")
+      p.sampleFormat == p0.sampleFormat && p.rowsPerStrip == p0.rowsPerStrip &&
+      p.tileWidth == p0.tileWidth && p.tileLength == p0.tileLength),
+      "multi-page TIFF with heterogeneous page shapes or strip/tile layouts unsupported")
     require(info.pages.forall(_.samplesPerPixel >= 1), "bad samplesPerPixel")
 
     val nPages = info.pages.length

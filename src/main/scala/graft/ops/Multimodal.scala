@@ -124,6 +124,7 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val id = new String(payload, pos, 4, "US-ASCII")
       val size = bb.getInt(pos + 4)
+      require(size >= 0, s"corrupt WAVE chunk '$id' with negative size $size")
       if (id == "fmt ") {
         val fmt = bb.getShort(pos + 8).toInt
         require(fmt == 1, s"WAVE format $fmt unsupported (PCM only)")

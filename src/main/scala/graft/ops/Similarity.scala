@@ -165,11 +165,17 @@ object Similarity {
     * p = (1 − acos(t)/π)^numPlanes, giving recall ≥
     * 1 − (1 − p)^numTables: size numPlanes to the threshold (tight
     * thresholds afford more planes → finer buckets → stronger
-    * pruning) and numTables to the recall target. The defaults give
-    * expected recall > 1 − 1e-4 at t = 0.35.
+    * pruning) and numTables to the recall target. The DEFAULTS are
+    * sized for real dedup thresholds (t ≥ 0.8): recall ≈ 0.996 at
+    * t = 0.8 while an uncorrelated pair collides anywhere with only
+    * ≈ 6% probability, so the candidate set stays ≪ n². Loose
+    * thresholds (t ≈ 0.35) carry little angular signal — there
+    * EVERY parameterization prunes weakly (e.g. 2 planes × 24
+    * tables reaches recall ≈ 1 but admits most pairs); prefer the
+    * brute-force form or a higher threshold at that operating point.
     */
   def nearDupPairsBucketed(vectors: DataFrame, threshold: Double,
-      numPlanes: Int = 2, numTables: Int = 24): DataFrame = {
+      numPlanes: Int = 8, numTables: Int = 16): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val m = numPlanes

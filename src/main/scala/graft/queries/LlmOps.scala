@@ -187,8 +187,11 @@ object LlmOps extends QModule {
     */
   val d45EmbNearDup = Q(
     "d45_embedding_neardup",
+    // explicit loose-threshold parameterization: 0.35 carries little
+    // angular signal, so recall needs few planes and many tables (the
+    // defaults are sized for real dedup thresholds >= 0.8)
     (s, dir) => Similarity.nearDupPairsBucketed(
-        emb(s, dir).filter(col("id") < 300), 0.35)
+        emb(s, dir).filter(col("id") < 300), 0.35, numPlanes = 2, numTables = 24)
       .orderBy(col("id_a"), col("id_b")),
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                        FROM embeddings WHERE vec_id < 300),

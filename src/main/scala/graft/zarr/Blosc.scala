@@ -231,7 +231,7 @@ object Blosc {
       h.putInt(0).putInt(0).putInt(16)
       return h.array()
     }
-    val nblocks = (data.length.toLong + blocksize - 1).toInt / blocksize
+    val nblocks = ((data.length.toLong + blocksize - 1) / blocksize).toInt
     val streams = new Array[Array[Byte]](nblocks)
     val stored = new Array[Boolean](nblocks)
     var j = 0

@@ -54,6 +54,8 @@ final class ZarrStore(val root: String, hconf: Option[SerializableHadoopConf] = 
 
   def exists(key: String): Boolean = fs.exists(p(key))
 
+  def size(key: String): Long = fs.getFileStatus(p(key)).getLen
+
   def readBytes(key: String): Array[Byte] = {
     val in = fs.open(p(key))
     try {

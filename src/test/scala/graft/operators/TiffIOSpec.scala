@@ -100,6 +100,20 @@ class TiffIOSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("LZW tolerates consecutive Clear codes") {
+    // stream: Clear, Clear, 'A', EOI at 9-bit width
+    var acc = 0L; var nbits = 0
+    val out = new java.io.ByteArrayOutputStream()
+    def w(code: Int): Unit = {
+      acc = (acc << 9) | code; nbits += 9
+      while (nbits >= 8) { out.write(((acc >> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+      acc &= (1L << nbits) - 1
+    }
+    w(256); w(256); w(65); w(257)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    assert(TiffIO.lzwDecode(out.toByteArray, 1).toSeq == Seq(65.toByte))
+  }
+
   test("tiled float32: padded edge tiles crop to image bounds") {
     val img = TiffIO.read(spark, s"$fx/tiled_f32.tif")
     assert(img.meta.dtype == "float32")
