@@ -221,6 +221,67 @@ object TextDedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-dup pairs — the clustering step
+    * that turns pairwise matches into dedup groups with a canonical
+    * (minimum-id) representative. Min-label propagation with pointer
+    * jumping: each round every vertex takes the minimum of its own
+    * label, its neighbors' labels, and its LABEL'S label
+    * (`l(l(v))` — the path-halving step that makes chains converge in
+    * O(log n) rounds instead of O(diameter)). Labels only decrease,
+    * so the fixpoint is exactly the component minimum; the loop exits
+    * when a round changes nothing. Edges stay static (no growing
+    * intermediate edge sets), each round is three shuffles of the
+    * label table, and no adjacency list is ever collected, so hub
+    * vertices can't blow a task.
+    *
+    * Returns (doc_id, cluster_id) for every vertex in `vertices`,
+    * cluster_id = min doc_id of the component (singletons map to
+    * themselves).
+    */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+      maxRounds: Int = 60): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .persist(lvl)
+
+    var labels = vertices.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .persist(lvl)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // min over neighbors' labels
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "vlabel"), "v")
+        .groupBy("u").agg(min("vlabel").as("nmin"))
+        .withColumnRenamed("u", "id")
+      // pointer jumping: the label of my label
+      val jump = labels
+        .join(labels.select(col("id").as("label"), col("label").as("jlabel")), "label")
+        .select(col("id"), col("jlabel"))
+      // localCheckpoint truncates the logical plan — without it each
+      // round's plan nests the last round's, and Catalyst re-analysis
+      // goes superlinear (then overflows) after a few iterations
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
+        .select(col("id"), least(
+          col("label"),
+          coalesce(col("nmin"), col("label")),
+          coalesce(col("jlabel"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    edges.unpersist()
+    out
+  }
+
   /** SimHash near-dup pairs at corpus scale: the pigeonhole band
     * join. Split the `bits`-bit fingerprint into `maxDist + 1`
     * equal-width bands — any pair within Hamming distance `maxDist`

@@ -20,7 +20,8 @@ object LlmOps extends QModule {
 
   override def queries: Seq[Q] = Seq(
     d40DedupExact, d41JaccardPairs, d42MinHash, d43SimHash, d44SimHashPairs,
-    d45EmbNearDup, d46SimHashBanded, s46CosineTopK, s47AnnLsh, s48CosineExpr,
+    d45EmbNearDup, d46SimHashBanded, d47DupClusters, s46CosineTopK, s47AnnLsh,
+    s48CosineExpr,
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, m52Multimodal,
     m53ImageDecode, m54AudioDecode)
 
@@ -179,6 +180,61 @@ object LlmOps extends QModule {
                    CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
             ORDER BY doc_a, doc_b"""))
+
+  /** Dedup clustering: connected components over the banded-SimHash
+    * pair graph (alternating large-star/small-star), every doc labeled
+    * with its component's minimum id + component size. The oracle
+    * computes the same components by recursive transitive closure.
+    */
+  val d47DupClusters = Q(
+    "d47_dup_clusters",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = TextDedup.simHashNearDups(d, maxDist = 3)
+      val cc = TextDedup.connectedComponents(pairs, d.select("doc_id"))
+      cc.withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+            t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS w FROM documents),
+            h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM t),
+            bits AS (SELECT doc_id, k,
+                       sum(CASE WHEN (h // CAST(pow(2, k) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                     FROM h, range(60) r(k) GROUP BY doc_id, k),
+            f AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, k) AS BIGINT)
+                                  ELSE 0 END) AS BIGINT) AS simhash
+                  FROM bits GROUP BY doc_id),
+            banded AS (SELECT doc_id, simhash, b.b AS band,
+                         (simhash // CAST(pow(2, 15 * b.b) AS BIGINT)) % 32768 AS key
+                       FROM f, range(4) b(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+                      JOIN f fa ON c.doc_a = fa.doc_id
+                      JOIN f fb ON c.doc_b = fb.doc_id
+                      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT u AS a, v AS b FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            ),
+            lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                    FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+                   CAST(count(*) OVER (
+                     PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS BIGINT)
+                     AS cluster_size
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+            ORDER BY d.doc_id"""))
 
   /** Embedding-cosine near-dup pairs via the SRP-bucketed scale path
     * (candidates from 24 two-plane LSH tables, exact-cosine verify) —

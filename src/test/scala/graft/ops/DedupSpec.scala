@@ -53,6 +53,41 @@ class DedupSpec extends SparkSpec {
     assert(banded == allPairs)
   }
 
+  test("connected components match a local union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 200
+    // random sparse graph + a long chain (stresses the O(log n) rounds
+    // claim — label propagation would need ~60 rounds on the chain)
+    val chain = (300L until 360L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val randomEdges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val edges = (randomEdges ++ chain).distinct
+    val vertices = ((0L until n.toLong) ++ (300L until 360L)).toDF("doc_id")
+    val pairs = edges.toDF("doc_a", "doc_b")
+
+    // local union-find oracle
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val expected = vertices.as[Long].collect()
+      .map(v => v -> find(v)).toMap
+
+    val got = TextDedup.connectedComponents(pairs, vertices)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == expected.size)
+    // same partition into components with min-id representatives
+    assert(got == expected)
+  }
+
   test("simhash: near-identical docs land at small hamming distance") {
     import spark.implicits._
     val df = Seq(
