@@ -78,6 +78,23 @@ object TextStats {
     * token list — documents that are permutations/repetitions of the
     * same vocabulary collide, giving cheap near-dup clusters.
     */
+  /** PII scrub: redact emails and phone-shaped tokens with typed
+    * placeholders and count what was removed. Patterns stay in the
+    * common Java-regex/RE2 subset (no backrefs, no lookaround) so a
+    * SQL oracle replays them verbatim; all codegen'd built-ins.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
+      regexp_count(col(textCol), lit(PhonePattern)).as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), lit(EmailPattern), lit("<EMAIL>")),
+        lit(PhonePattern), lit("<PHONE>")).as("redacted"))
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 }

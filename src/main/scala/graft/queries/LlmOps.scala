@@ -22,8 +22,8 @@ object LlmOps extends QModule {
     d40DedupExact, d41JaccardPairs, d42MinHash, d43SimHash, d44SimHashPairs,
     d45EmbNearDup, d46SimHashBanded, d47DupClusters, s46CosineTopK, s47AnnLsh,
     s48CosineExpr,
-    t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, m52Multimodal,
-    m53ImageDecode, m54AudioDecode)
+    t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
+    m52Multimodal, m53ImageDecode, m54AudioDecode)
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
@@ -424,6 +424,39 @@ object LlmOps extends QModule {
             count(DISTINCT md5(array_to_string(list_sort(list_distinct(
               list_filter(string_split(text, ' '), x -> x <> ''))), ' '))) AS n_distinct_fp
             FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** PII redaction over synthetically injected emails/phones (the
+    * corpus itself is clean, so both sides plant the same PII first);
+    * patterns live in the Java-regex/RE2 common subset.
+    */
+  val t52Redact = Q(
+    "t52_redact_pii",
+    (s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-0"), lpad(col("doc_id") % 1000, 3, "0"),
+          lit(" now")).as("text"))
+      TextStats.redactPii(withPii)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).as("red_len"), md5(col("redacted")).as("red_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or 555-0'
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now' AS text
+               FROM documents),
+            r AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+                 regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+               FROM p)
+            SELECT doc_id, n_emails, n_phones,
+                   CAST(length(redacted) AS INT) AS red_len,
+                   md5(redacted) AS red_hash
+            FROM r ORDER BY doc_id"""))
 
   /** Multimodal decode-stub kernel over binary payloads: the JVM
     * mapPartitions path, oracle-checked against hex arithmetic on the

@@ -16,6 +16,21 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("ttr") == 0.75)
   }
 
+  test("redactPii replaces emails/phones with typed placeholders and counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.org or x@y.io call 555-1234 not 55-123"),
+      (2L, "clean text only")).toDF("doc_id", "text")
+    val out = TextStats.redactPii(df).collect().map(r =>
+      r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") == 2)
+    assert(out(1L).getAs[Int]("n_phones") == 1)
+    assert(out(1L).getAs[String]("redacted") ==
+      "mail <EMAIL> or <EMAIL> call <PHONE> not 55-123")
+    assert(out(2L).getAs[Int]("n_emails") == 0)
+    assert(out(2L).getAs[String]("redacted") == "clean text only")
+  }
+
   test("langId picks the lexicon with most hits; tie → lexicon order") {
     import spark.implicits._
     val df = Seq(
