@@ -43,7 +43,11 @@ object Bench {
     // queries, not first-touch class loading
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
-    val results = SparkEntry.all.map { q =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run for local iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.all)(names => SparkEntry.all.filter(q => names(q.name)))
+    val results = selected.map { q =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -60,7 +64,12 @@ object Bench {
       }
       q.name -> median(times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the line short: wrappers that
+    // tail-capture stdout (the driver keeps only the last few KB)
+    // must see the WHOLE line or their JSON parse fails
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // a query whose runs all failed carries the -1 sentinel: keep it
     // per-query as the failure marker, but never let it subtract from
@@ -71,7 +80,7 @@ object Bench {
     val headlineTotal = results.collect { case (k, v) if headlineNames(k) && v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_sec":$headlineTotal,"runs_per_query":$runs,"stat":"median","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

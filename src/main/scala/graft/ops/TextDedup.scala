@@ -239,15 +239,66 @@ object TextDedup {
     * themselves).
     */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
-      maxRounds: Int = 60): DataFrame = {
+      maxRounds: Int = 60, localThreshold: Long = 5000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .persist(lvl)
 
-    var labels = vertices.select(col("doc_id").as("id"), col("doc_id").as("label"))
-      .persist(lvl)
+    val edgeCount = edges.count()
+    val labels =
+      if (edgeCount <= localThreshold) ccUnionFind(edges)
+      else ccPropagate(edges, maxRounds)
+    val out = vertices.select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    edges.unpersist()
+    out
+  }
+
+  /** Small-graph fast path: one executor-side union-find task. The
+    * near-dup edge set is orders of magnitude smaller than the corpus
+    * (only docs with a band collision appear), so up to `localThreshold`
+    * edges a single task finishes in milliseconds where the iterative
+    * form pays several shuffle rounds. Runs on an executor via
+    * mapPartitions — nothing is collected to the driver. Min-root
+    * union keeps every root at its component's minimum id.
+    */
+  private def ccUnionFind(edges: DataFrame): DataFrame = {
+    val sess = edges.sparkSession
+    import sess.implicits._
+    edges.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        val ks = parent.keys.toArray
+        ks.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "label")
+  }
+
+  /** Big-graph path: min-label propagation with pointer jumping,
+    * O(log n) rounds, three bounded shuffles per round. Only vertices
+    * that touch an edge participate.
+    */
+  private def ccPropagate(edges: DataFrame, maxRounds: Int): DataFrame = {
+    var labels = edges.select(col("u").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(eager = true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -262,24 +313,23 @@ object TextDedup {
         .select(col("id"), col("jlabel"))
       // localCheckpoint truncates the logical plan — without it each
       // round's plan nests the last round's, and Catalyst re-analysis
-      // goes superlinear (then overflows) after a few iterations
+      // goes superlinear (then overflows) after a few iterations.
+      // The previous label rides along so the convergence check is a
+      // filter over the checkpointed result, not another join+shuffle.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, Seq("id"), "left")
         .select(col("id"), least(
           col("label"),
           coalesce(col("nmin"), col("label")),
-          coalesce(col("jlabel"), col("label"))).as("label"))
+          coalesce(col("jlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint(eager = true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select("id", "label")
       round += 1
     }
-    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    edges.unpersist()
-    out
+    labels
   }
 
   /** SimHash near-dup pairs at corpus scale: the pigeonhole band
