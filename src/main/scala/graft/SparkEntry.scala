@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   /** Every registered query module. */
-  def modules: Seq[QModule] = Seq(Relational, Events, LlmOps, Imaging)
+  def modules: Seq[QModule] = Seq(Relational, Events, LlmOps, Pipeline, Imaging)
 
   def all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -141,6 +141,50 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor: a coarse
+    * quantizer of `nlist` centroids partitions the corpus into
+    * inverted lists; each query probes only its `nprobe` nearest
+    * lists, so the scored candidate set shrinks by ~nlist/nprobe
+    * versus brute force. Centroids here are the `nlist` lowest-id
+    * vectors — deterministic and reproducible by a SQL oracle; at
+    * scale the seed set would come from a k-means sample pass and
+    * the plumbing (tiny broadcast centroid table, partition-local
+    * assignment, per-query top-k) is identical. Assignment and
+    * probing rank by the 6dp-rounded cosine with lowest-centroid-id
+    * tiebreak so every engine agrees; final ranking matches
+    * [[bruteForceTopK]] (rounded cosine desc, neighbor id asc).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // nlist rows: executors each get a copy; nothing large is collected
+    val cents = collectVecs(candidates.filter(col("id") < nlist)).sortBy(_._1)
+    val centsBc = spark.sparkContext.broadcast(cents)
+    def nearestLists(v: Array[Double], m: Int): Array[Long] =
+      centsBc.value
+        .map { case (cid, cv) => (cid, round6(cosineJvm(v, cv))) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(m).map(_._1)
+    val qs = collectVecs(queries).map { case (id, v) => (id, v, nearestLists(v, nprobe).toSet) }
+    val qsBc = spark.sparkContext.broadcast(qs)
+    val scored = candidates.select("id", "vec").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (cid, cv) =>
+          val list = nearestLists(cv, 1)(0)
+          qsBc.value.iterator.collect {
+            case (qid, qv, probes) if qid != cid && probes(list) =>
+              (qid, cid, round6(cosineJvm(qv, cv)))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup),
     * brute-force form: a relational self theta-join — Spark broadcasts
     * the smaller build side itself (bounded by

@@ -366,4 +366,80 @@ object TextDedup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Sub-document (chunk-level) exact dedup: split each document into
+    * consecutive `chunkWords`-word chunks, find chunks that recur in
+    * two or more distinct documents, and report each document's
+    * duplicated-chunk fraction — the pass a training pipeline runs
+    * before doc-level dedup to catch boilerplate shared across
+    * otherwise-distinct pages. One shuffle on the chunk text (a
+    * high-cardinality key), group-side counting; no pair enumeration
+    * anywhere, so it scales linearly in corpus size.
+    *
+    * Documents shorter than one chunk are excluded (they have no
+    * chunk to test). Output: (doc_id, n_chunks, n_dup_chunks,
+    * dup_frac) — dup_frac a raw double from the exact integer counts.
+    */
+  def chunkDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkWords: Int = 10): DataFrame = {
+    val ws = words(col(textCol))
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= chunkWords)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor(size(col("ws")) / chunkWords).cast("int") - 1),
+          i => array_join(slice(col("ws"), (i * chunkWords + 1).cast("int"), lit(chunkWords)), " ")))
+          .as("chunk"))
+    val dup = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("chunk")
+    val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val hits = chunks.join(dup, "chunk")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_chunks"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        (coalesce(col("n_dup_chunks"), lit(0L)).cast("double") / col("n_chunks"))
+          .as("dup_frac"))
+  }
+
+  /** Benchmark-contamination detection: for every corpus document,
+    * the fraction of its distinct word n-grams that also occur in a
+    * benchmark (held-out test) document set — the screen run before
+    * training so evaluation data doesn't leak into the corpus. The
+    * benchmark n-gram set is deduplicated and joined on the n-gram
+    * text (Spark broadcasts it when small, hash-shuffles otherwise);
+    * per-doc totals come from a map-side-combinable count, so the
+    * whole operator is two linear aggregations and one key join — no
+    * cross product at any scale.
+    *
+    * Documents with fewer than `n` words have no n-gram to test and
+    * are excluded. Output: (doc_id, n_ngrams, n_contaminated,
+    * contaminated_frac) for every corpus doc.
+    */
+  def benchmarkOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val ws = words(col(textCol))
+      df.select(col(idCol).as("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(0), size(col("ws")) - n),
+            i => array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " "))))
+            .as("ng"))
+    }
+    val corpusGrams = grams(corpus)
+    val benchGrams = grams(benchmark).select("ng").distinct()
+    val totals = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val hits = corpusGrams.join(benchGrams, "ng")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_ngrams"))
+          .as("contaminated_frac"))
+  }
 }

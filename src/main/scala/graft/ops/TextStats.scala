@@ -97,4 +97,61 @@ object TextStats {
 
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** Stopword list for the quality gate's stopword-fraction rule
+    * (order-independent membership test, distinct from the lang-ID
+    * lexicons above).
+    */
+  val qualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "in", "is", "and", "for", "on", "with")
+
+  /** Gopher-style document quality gate (Rae et al. 2021 §A1.1
+    * heuristics, re-expressed relationally): per-document word count,
+    * mean word length, symbol-character ratio, stopword fraction and
+    * top-bigram repetition fraction, plus the combined pass/fail
+    * flag. Everything except the bigram mode is a single codegen'd
+    * projection; the bigram mode is one explode + two map-side
+    * combinable aggregations joined back on doc_id — linear at any
+    * corpus size. Ratios are raw doubles of exact integer counts so
+    * any SQL engine reproduces them bit-identically.
+    *
+    * Output: (doc_id, n_words, mean_word_len, symbol_ratio,
+    * stopword_frac, top_bigram_frac, quality_pass:int).
+    */
+  def qualityRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"), words(col(textCol)).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        aggregate(col("ws"), lit(0), (acc, w) => acc + length(w)).as("sum_word_len"),
+        length(col("text")).as("n_chars"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_symbol_chars"),
+        size(filter(col("ws"), w => w.isInCollection(qualityStopwords))).as("n_stopwords"))
+    val bigrams = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), (i + 1).cast("int")),
+            element_at(col("ws"), (i + 2).cast("int"))))).as("bg"))
+    val topBigram = bigrams.groupBy(col("doc_id"), col("bg")).count()
+      .groupBy(col("doc_id")).agg(max(col("count")).as("top_bigram_n"))
+    val m = base.join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("sum_word_len").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("n_symbol_chars").cast("double") / col("n_chars")).as("symbol_ratio"),
+        (col("n_stopwords").cast("double") / col("n_words")).as("stopword_frac"),
+        when(col("n_words") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("n_words") - 1))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+    m.withColumn("quality_pass",
+      (col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 &&
+        col("stopword_frac") > 0.02 &&
+        col("top_bigram_frac") < 0.2).cast("int"))
+  }
 }

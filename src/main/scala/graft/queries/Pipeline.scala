@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.{AsofJoin, Similarity, TextDedup, TextStats}
+
+/** Pipeline-operator surface beyond the core relational/dedup sets:
+  * as-of (point-in-time) join, exact stratified sampling, the Gopher
+  * quality gate, benchmark-contamination screening, sub-document
+  * chunk dedup, and IVF approximate nearest neighbor — each the
+  * operator a 100 TB training-data build actually runs, expressed as
+  * one or two shuffles with no pair enumeration.
+  *
+  * Oracle parity follows the house rules: identical aliases both
+  * sides, total ORDER BY, timestamps compared as epoch micros
+  * (BIGINT), ratios as raw doubles of identical integer divisions,
+  * cosines rounded to 6dp before any ranking.
+  */
+object Pipeline extends QModule {
+
+  override def queries: Seq[Q] = Seq(
+    q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
+    d48ChunkDedup, s49AnnIvf)
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+
+  /** As-of join: attribute each purchase event to the same user's
+    * most recent view at or before it (union-sort-window form — one
+    * shuffle, no per-key pair enumeration). Oracle replays the
+    * semantics with a LATERAL top-1 lookup.
+    */
+  val q39AsofJoin = Q(
+    "q39_asof_join",
+    (s, dir) => {
+      val e = Events.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_us").as("view_ts_us"))
+      AsofJoin.asofBackward(purchases, views, key = "user_id",
+          leftTime = "ts_us", rightTime = "view_ts_us", rightTie = "view_id",
+          rightPrefix = "last_")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("last_view_id"), col("last_view_ts_us"),
+          (col("ts_us") - col("last_view_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts_us
+                  FROM events WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   l.view_id AS last_view_id, l.view_ts_us AS last_view_ts_us,
+                   p.ts_us - l.view_ts_us AS gap_us
+            FROM p LEFT JOIN LATERAL (
+              SELECT view_id, view_ts_us FROM v
+              WHERE v.user_id = p.user_id AND v.view_ts_us <= p.ts_us
+              ORDER BY view_ts_us DESC, view_id DESC LIMIT 1) l ON TRUE
+            ORDER BY event_id"""),
+    headline = true)
+
+  /** Exact stratified sample: 10% per order-priority stratum, chosen
+    * by deterministic md5 order so every engine draws the same rows.
+    * Two windows over one shuffle on the stratum key; at corpus scale
+    * the same shape holds (count + row_number share the partition).
+    */
+  val q40StratifiedSample = Q(
+    "q40_stratified_sample",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      val wCnt = Window.partitionBy(col("o_orderpriority"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wCnt))
+        .filter(col("rn") <= ceil(col("cnt") * 0.1))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""WITH t AS (SELECT o_orderkey, o_orderpriority,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                FROM orders)
+            SELECT o_orderkey, o_orderpriority, CAST(rn AS INT) AS rn,
+                   CAST(cnt AS BIGINT) AS cnt
+            FROM t WHERE rn <= ceil(cnt * 0.1)
+            ORDER BY o_orderpriority, rn"""))
+
+  /** Gopher-style quality gate over the full corpus. */
+  val t53QualityRules = Q(
+    "t53_quality_rules",
+    (s, dir) => TextStats.qualityRules(docs(s, dir)).orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            base AS (SELECT doc_id,
+                  CAST(len(ws) AS INT) AS n_words,
+                  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_word_len,
+                  len(text) AS n_chars,
+                  len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_symbol_chars,
+                  CAST(len(list_filter(ws, w -> list_contains(
+                    ['the','a','of','to','in','is','and','for','on','with'], w))) AS INT)
+                    AS n_stopwords
+                FROM d),
+            bg AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+                     i -> ws[i+1] || ' ' || ws[i+2])) AS b
+                   FROM d WHERE len(ws) >= 2),
+            top2 AS (SELECT doc_id, max(n) AS top_bigram_n
+                     FROM (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2) t
+                     GROUP BY doc_id),
+            m AS (SELECT b.doc_id, n_words,
+                  CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+                  CAST(n_symbol_chars AS DOUBLE) / n_chars AS symbol_ratio,
+                  CAST(n_stopwords AS DOUBLE) / n_words AS stopword_frac,
+                  CASE WHEN n_words > 1
+                    THEN CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / (n_words - 1)
+                    ELSE 0.0 END AS top_bigram_frac
+                FROM base b LEFT JOIN top2 USING (doc_id))
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, stopword_frac,
+                   top_bigram_frac,
+                   CAST(n_words BETWEEN 50 AND 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_ratio < 0.1
+                        AND stopword_frac > 0.02
+                        AND top_bigram_frac < 0.2 AS INT) AS quality_pass
+            FROM m ORDER BY doc_id"""))
+
+  /** Contamination screen: 8-gram overlap of every non-benchmark doc
+    * against the src0 slice standing in as the held-out benchmark.
+    */
+  val t54Contamination = Q(
+    "t54_contamination",
+    (s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.benchmarkOverlap(
+          d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            g AS (SELECT doc_id, source,
+                    unnest(list_distinct(list_transform(range(len(ws) - 7),
+                      i -> array_to_string(ws[i+1:i+8], ' ')))) AS ng
+                  FROM d WHERE len(ws) >= 8),
+            bench AS (SELECT DISTINCT ng FROM g WHERE source = 'src0'),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+                    FROM g WHERE source <> 'src0' GROUP BY doc_id),
+            hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+                    FROM g JOIN bench USING (ng)
+                    WHERE source <> 'src0' GROUP BY doc_id)
+            SELECT t.doc_id, n_ngrams,
+                   COALESCE(n_contaminated, 0) AS n_contaminated,
+                   CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams
+                     AS contaminated_frac
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id"""))
+
+  /** Sub-document chunk dedup over 10-word chunks. */
+  val d48ChunkDedup = Q(
+    "d48_chunk_dedup",
+    (s, dir) => TextDedup.chunkDups(docs(s, dir)).orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            ch AS (SELECT doc_id,
+                     unnest(list_transform(range(len(ws) // 10),
+                       i -> array_to_string(ws[i*10+1:i*10+10], ' '))) AS chunk
+                   FROM d WHERE len(ws) >= 10),
+            dup AS (SELECT chunk FROM ch
+                    GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                    FROM ch GROUP BY doc_id),
+            hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
+                    FROM ch JOIN dup USING (chunk) GROUP BY doc_id)
+            SELECT t.doc_id, n_chunks,
+                   COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+                   CAST(COALESCE(n_dup_chunks, 0) AS DOUBLE) / n_chunks AS dup_frac
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id"""))
+
+  /** IVF ANN: 8 deterministic seed centroids, 2 probes, top-5. */
+  val s49AnnIvf = Q(
+    "s49_ann_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("id") % 100 === 0), e, k = 5,
+          nlist = 8, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+            ac AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c),
+            asn AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac) t
+                    WHERE rn = 1),
+            probe AS (SELECT vec_id AS query_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn
+                      FROM ac WHERE vec_id % 100 = 0) t
+                    WHERE rn <= 2),
+            x AS (SELECT q.vec_id AS query_id, cand.vec_id AS neighbor_id,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * cand.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> cand.e[i+1] * cand.e[i+1])))),
+                      6) AS cos
+                  FROM v q JOIN probe p ON q.vec_id = p.query_id
+                       JOIN asn a ON a.cid = p.cid
+                       JOIN v cand ON cand.vec_id = a.vec_id AND cand.vec_id <> q.vec_id),
+            r AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank FROM x)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+            FROM r WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+}

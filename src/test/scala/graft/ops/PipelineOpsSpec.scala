@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the pipeline-operator surface (as-of join,
+  * quality gate, chunk dedup, contamination, IVF ANN): each operator
+  * is checked against an independently-computed naive form on small
+  * in-memory data, not against the gate oracle (which exercises the
+  * same operators at sf scale).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asofBackward matches the naive join+argmax form") {
+    val left = Seq(
+      (1L, 100L, 10L), (2L, 100L, 20L), (3L, 200L, 15L), (4L, 300L, 5L))
+      .toDF("l_id", "k", "t")
+    val right = Seq(
+      (11L, 100L, 5L), (12L, 100L, 10L), (13L, 100L, 18L),
+      (14L, 200L, 15L), (15L, 200L, 16L), (16L, 400L, 1L))
+      .toDF("r_id", "k", "rt")
+
+    val got = AsofJoin.asofBackward(left, right, key = "k",
+        leftTime = "t", rightTime = "rt", rightTie = "r_id")
+      .select("l_id", "asof_r_id", "asof_rt")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    // naive: enumerate all (left, right-history) pairs, take max (rt, r_id)
+    val naive = left.join(right, Seq("k"), "left")
+      .filter(col("rt").isNull || col("rt") <= col("t"))
+      .groupBy(col("l_id"))
+      .agg(max_by(struct(col("rt"), col("r_id")), struct(col("rt"), col("r_id"))).as("m"))
+    val naiveRows = left.select("l_id").join(naive, Seq("l_id"), "left")
+      .select(col("l_id"), col("m.r_id"), col("m.rt"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    assert(got == naiveRows)
+    // inclusive semantics: left t=15 at k=200 picks the rt=15 row
+    assert(got.contains((3L, 14L, 15L)))
+    // no right history at all -> nulls
+    assert(got.contains((4L, -1L, -1L)))
+  }
+
+  test("asofBackward equal-timestamp ties resolve to the greatest tie value") {
+    val left = Seq((1L, 7L, 10L)).toDF("l_id", "k", "t")
+    val right = Seq((21L, 7L, 10L), (22L, 7L, 10L), (20L, 7L, 9L))
+      .toDF("r_id", "k", "rt")
+    val row = AsofJoin.asofBackward(left, right, "k", "t", "rt", "r_id")
+      .select("asof_r_id").head()
+    assert(row.getLong(0) == 22L)
+  }
+
+  test("qualityRules counts and flags are self-consistent") {
+    val docs = Seq(
+      (1L, Array.fill(60)("the word is of to in goodly finely texting quality").mkString(" ")),
+      (2L, "tiny doc"),
+      (3L, ("spam spam " * 100).trim),
+      (4L, "a b c ### $$$ %% !!"))
+      .toDF("doc_id", "text")
+    val out = TextStats.qualityRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // doc 1: long, varied, stopword-rich -> passes
+    assert(out(1L).getAs[Int]("quality_pass") == 1)
+    // doc 2: under the 50-word floor
+    assert(out(2L).getAs[Int]("n_words") == 2)
+    assert(out(2L).getAs[Int]("quality_pass") == 0)
+    // doc 3: one repeated bigram dominates -> repetition rule fails it
+    assert(out(3L).getAs[Double]("top_bigram_frac") > 0.2)
+    assert(out(3L).getAs[Int]("quality_pass") == 0)
+    // doc 4: symbol-heavy
+    assert(out(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(out(4L).getAs[Int]("quality_pass") == 0)
+  }
+
+  test("chunkDups finds cross-doc duplicate chunks only") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (11 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (11 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (21 to 40).map(i => s"c$i").mkString(" ")),
+      (4L, "too short"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.chunkDups(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 1L))) // 2 chunks, the shared one duplicated
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((2L, 0L))) // unique chunks
+    assert(!out.contains(4L))     // under one chunk length -> excluded
+  }
+
+  test("benchmarkOverlap flags only docs sharing n-grams with the benchmark") {
+    val leak = (1 to 8).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, leak + " extra words here to pad it out"),
+      (2L, (11 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, leak + " trailing benchmark context"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.benchmarkOverlap(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) >= 1L)
+    assert(out(2L) == 0L)
+  }
+
+  test("ivfTopK neighbors are a subset of brute-force candidates with correct ranking") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val queries = emb.filter(col("id") < 3)
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.bruteForceTopK(queries, emb, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // every IVF hit carries the exact cosine brute force computed
+    ivf.foreach { case (q, _, n, c) => assert(brute((q, n)) == c) }
+    // ranks are 1..k and strictly ordered by (cos desc, id asc) per query
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+    }
+  }
+}
