@@ -46,6 +46,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.all.map(_.name).toSet
+      // a typo'd name silently selecting nothing would report a bogus
+      // 0-second "perfect" run — fail loudly instead
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not registered: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.all)(names => SparkEntry.all.filter(q => names(q.name)))
     val results = selected.map { q =>
       val times = (1 to runs).flatMap { _ =>

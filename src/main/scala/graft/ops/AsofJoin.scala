@@ -37,10 +37,17 @@ object AsofJoin {
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       lit(null).cast(tieType).as("__tie"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val rNorm = right.select(
-      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-      col(rightTie).as("__tie"),
-      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    // join semantics for NULLs: a right row with a null key or null
+    // time can never satisfy `r.key = l.key AND r.t <= l.t`, so it is
+    // dropped here — otherwise the null-key window partition would
+    // hand null-key left rows a match no equivalent join produces
+    // (left rows always survive; unmatched ones carry null payloads)
+    val rNorm = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightTie).as("__tie"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"))
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)

@@ -58,6 +58,19 @@ object Similarity {
     df.select("id", "vec").as[(Long, Array[Double])].collect()
   }
 
+  /** Shared deterministic top-k ranking over (query_id, neighbor_id,
+    * cos) scores: 6dp-rounded cosine desc, neighbor id asc — the one
+    * definition all ANN variants (brute force, SRP-LSH, IVF) must
+    * agree on for cross-engine parity.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Brute-force cosine top-k: queries (small) broadcast, candidates
     * scanned partition-local — the only shuffle is the final
     * per-query top-k (k rows per query). Ranking is deterministic:
@@ -76,11 +89,7 @@ object Similarity {
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, k)
   }
 
   /** Deterministic SRP hyperplane matrix (numPlanes × dim) in
@@ -134,11 +143,7 @@ object Similarity {
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate nearest neighbor: a coarse
@@ -178,11 +183,7 @@ object Similarity {
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, k)
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup),

@@ -247,9 +247,19 @@ object TextDedup {
       .persist(lvl)
 
     val edgeCount = edges.count()
-    val labels =
-      if (edgeCount <= localThreshold) ccUnionFind(edges)
+    // the union-find fast path narrows ids to long; non-numeric ids
+    // (string keys) take the propagation path, which only compares
+    val idsAreNumeric = edges.schema("u").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // labels materialize (eager checkpoint) BEFORE edges unpersists —
+    // otherwise the cached edge set built by count() is dropped while
+    // the label pipeline is still lazy and the whole pair derivation
+    // recomputes at the caller's action
+    val rawLabels =
+      if (edgeCount <= localThreshold && idsAreNumeric) ccUnionFind(edges)
       else ccPropagate(edges, maxRounds)
+    val labels = rawLabels.localCheckpoint(eager = true)
+    dropCheckpoint(rawLabels) // propagate path: free its final-round blocks
     val out = vertices.select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -294,6 +304,19 @@ object TextDedup {
     * O(log n) rounds, three bounded shuffles per round. Only vertices
     * that touch an edge participate.
     */
+  /** Free the executor blocks behind an eagerly localCheckpointed
+    * DataFrame (Dataset.unpersist does not reach them — they live on
+    * the wrapped RDD, not in the cache manager). Best-effort: if the
+    * plan shape ever changes, stale blocks fall back to the
+    * ContextCleaner as references drop.
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def ccPropagate(edges: DataFrame, maxRounds: Int): DataFrame = {
     var labels = edges.select(col("u").as("id"))
       .distinct()
@@ -326,6 +349,10 @@ object TextDedup {
           col("label").as("prev"))
         .localCheckpoint(eager = true)
       changed = next.filter(col("label") < col("prev")).count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` materializes — free them instead of letting up to
+      // maxRounds copies of the label table pile up on executors
+      dropCheckpoint(labels)
       labels = next.select("id", "label")
       round += 1
     }
@@ -383,6 +410,8 @@ object TextDedup {
   def chunkDups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", chunkWords: Int = 10): DataFrame = {
     val ws = words(col(textCol))
+    // three consumers (dup set, totals, hits) read the chunk table —
+    // persist so the corpus is tokenized once, not three times
     val chunks = docs
       .select(col(idCol).as("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= chunkWords)
@@ -391,6 +420,7 @@ object TextDedup {
           sequence(lit(0), floor(size(col("ws")) / chunkWords).cast("int") - 1),
           i => array_join(slice(col("ws"), (i * chunkWords + 1).cast("int"), lit(chunkWords)), " ")))
           .as("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -431,7 +461,9 @@ object TextDedup {
             i => array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " "))))
             .as("ng"))
     }
+    // totals and hits both read the corpus grams — tokenize once
     val corpusGrams = grams(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchGrams = grams(benchmark).select("ng").distinct()
     val totals = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
     val hits = corpusGrams.join(benchGrams, "ng")

@@ -120,8 +120,12 @@ object TextStats {
     */
   def qualityRules(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs
+    // both the metrics projection and the bigram mode read the token
+    // array — tokenize the corpus once
+    val tok = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"), words(col(textCol)).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = tok
       .select(
         col("doc_id"),
         size(col("ws")).as("n_words"),
@@ -129,8 +133,7 @@ object TextStats {
         length(col("text")).as("n_chars"),
         length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_symbol_chars"),
         size(filter(col("ws"), w => w.isInCollection(qualityStopwords))).as("n_stopwords"))
-    val bigrams = docs
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+    val bigrams = tok
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("ws")) - 2),

@@ -25,9 +25,7 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     m52Multimodal, m53ImageDecode, m54AudioDecode)
 
-  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
-    .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+  import QTables.{docs, emb}
 
   /** Exact dedup via content hash. */
   val d40DedupExact = Q(

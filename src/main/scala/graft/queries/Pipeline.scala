@@ -23,11 +23,7 @@ object Pipeline extends QModule {
     q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
     d48ChunkDedup, s49AnnIvf)
 
-  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "documents")
-  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+  import QTables.{docs, emb}
 
   /** As-of join: attribute each purchase event to the same user's
     * most recent view at or before it (union-sort-window form — one

@@ -21,3 +21,19 @@ final case class Q(
 trait QModule {
   def queries: Seq[Q]
 }
+
+/** Table-loading helpers shared by the query modules (one definition
+  * of the documents/embeddings normalization so modules can't drift).
+  */
+private[queries] object QTables {
+  import org.apache.spark.sql.functions.col
+
+  def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "documents")
+
+  /** embeddings normalized to (id, vec: array<double>). */
+  def emb(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        graft.ops.Similarity.asDouble(col("embedding")).as("vec"))
+}

@@ -56,6 +56,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getLong(0) == 22L)
   }
 
+  test("asofBackward never matches through NULL keys or NULL right times") {
+    val left = Seq((1L, Option(7L), 10L), (2L, Option.empty[Long], 10L))
+      .toDF("l_id", "k", "t")
+    val right = Seq(
+      (21L, Option.empty[Long], 5L),           // null key: matches nothing
+      (22L, Option(7L), 5L),
+      (23L, Option(8L), 5L))
+      .toDF("r_id", "k", "rt")
+      .withColumn("rt", when(col("r_id") === 23L, lit(null)).otherwise(col("rt")))
+    val out = AsofJoin.asofBackward(left, right, "k", "t", "rt", "r_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1L) == 22L)  // normal match unaffected
+    assert(out(2L) == -1L)  // null-key left row survives, unmatched
+    assert(out.size == 2)   // every left row is present exactly once
+  }
+
   test("qualityRules counts and flags are self-consistent") {
     val docs = Seq(
       (1L, Array.fill(60)("the word is of to in goodly finely texting quality").mkString(" ")),
@@ -115,7 +132,11 @@ class PipelineOpsSpec extends SparkSpec {
     val queries = emb.filter(col("id") < 3)
     val ivf = Similarity.ivfTopK(queries, emb, k = 5).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    val brute = Similarity.bruteForceTopK(queries, emb, 50).collect()
+    // k = full candidate count so every possible IVF hit has a
+    // brute-force cosine to compare against (IVF's rank-5 neighbor
+    // can legitimately sit outside any smaller brute-force top-k)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(queries, emb, n).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     // every IVF hit carries the exact cosine brute force computed
     ivf.foreach { case (q, _, n, c) => assert(brute((q, n)) == c) }
