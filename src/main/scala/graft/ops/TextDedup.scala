@@ -114,35 +114,50 @@ object TextDedup {
     */
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64): DataFrame =
-    signaturesFromShingles(explodedShingles(docs, idCol, textCol, k), numHashes)
+    signaturesFromSets(shingleSets(docs, idCol, textCol, k), numHashes)
 
-  /** Signatures from a pre-exploded (doc_id, shingle) table — lets
-    * callers tokenize once and reuse the shingles downstream.
+  /** Signatures straight from per-doc shingle sets: MinHash is
+    * per-document state, so one typed pass over (doc_id, shingles)
+    * computes every signature with ZERO shuffle — the exploded
+    * relational form pays a full token-row shuffle into reduceGroups
+    * for the same result. Hash family identical to
+    * [[signaturesFromShingles]] (md5 hex prefix split into two 56-bit
+    * halves, Kirsch–Mitzenmacher slots), so oracles are unaffected.
     */
-  def signaturesFromShingles(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val spark = shingles.sparkSession
+  def signaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    val spark = sets.sparkSession
     import spark.implicits._
     val n = numHashes
-    shingles
-      .select(col("doc_id"), md5(col("shingle")).as("hx"))
-      .select(col("doc_id"),
-        conv(substring(col("hx"), 1, 14), 16, 10).cast("long").as("h1"),
-        conv(substring(col("hx"), 15, 14), 16, 10).cast("long").as("h2"))
-      .as[(Long, Long, Long)]
-      .mapPartitions(_.map { case (id, h1, h2) =>
-        val sig = new Array[Long](n)
-        var i = 0
-        while (i < n) { sig(i) = h1 + i.toLong * h2; i += 1 }
-        (id, sig)
-      })
-      .groupByKey(_._1)
-      .reduceGroups { (a, b) =>
-        val m = new Array[Long](n)
-        var i = 0
-        while (i < n) { m(i) = math.min(a._2(i), b._2(i)); i += 1 }
-        (a._1, m)
+    // shingle-less docs had no exploded rows (hence no signature) in
+    // the relational form; keep them out here too, or their all-MaxValue
+    // signatures would band-collide with each other
+    sets.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh")).as[(Long, Array[String])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, shingles) =>
+          val sig = Array.fill(n)(Long.MaxValue)
+          var si = 0
+          while (si < shingles.length) {
+            val d = digest.digest(shingles(si).getBytes("UTF-8"))
+            // h1 = first 14 hex chars (bytes 0-6), h2 = next 14
+            // (bytes 7-13): same values conv(substring(md5,...),16,10)
+            // produces, exact in BIGINT up to h1 + 63·h2
+            var h1 = 0L; var h2 = 0L
+            var bi = 0
+            while (bi < 7) { h1 = (h1 << 8) | (d(bi) & 0xffL); bi += 1 }
+            while (bi < 14) { h2 = (h2 << 8) | (d(bi) & 0xffL); bi += 1 }
+            var i = 0
+            while (i < n) {
+              val h = h1 + i.toLong * h2
+              if (h < sig(i)) sig(i) = h
+              i += 1
+            }
+            si += 1
+          }
+          (id, sig)
+        }
       }
-      .map { case (id, (_, sig)) => (id, sig) }
       .toDF("doc_id", "sig")
   }
 
@@ -177,12 +192,11 @@ object TextDedup {
   def minHashNearDups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64,
       numBands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
-    // tokenize once: shingle sets persist, signatures derive from the
-    // exploded view instead of re-running the shingling kernel
+    // tokenize once: shingle sets persist; signatures, candidates and
+    // the verify join all reuse them
     val sets = shingleSets(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val cands = lshCandidates(signaturesFromShingles(exploded, numHashes),
+    val cands = lshCandidates(signaturesFromSets(sets, numHashes),
       numBands, numHashes / numBands)
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -203,18 +217,49 @@ object TextDedup {
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       bits: Int = 60): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(words(col(textCol))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    // one codegen'd aggregation with a vote column per bit (exploding
-    // a 0..59 sequence per token costs a 60× row blowup instead)
-    val voteCols = (0 until bits).map(k =>
-      sum(when(expr(s"(h div ${1L << k}) % 2") === 1, 1).otherwise(-1)).as(s"v$k"))
-    toks.groupBy(col("doc_id"))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    require(bits <= 60, s"simHash carries at most 60 md5-derived bits, got $bits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idType = docs.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be a numeric id column, got $idType")
+    // SimHash is per-document state: one typed pass computes every
+    // fingerprint with ZERO shuffle, where the relational form
+    // (explode tokens → groupBy doc → 60 vote columns) shuffles every
+    // token row. The token hash is the first 15 md5 hex chars as a
+    // 60-bit integer — byte-identical to
+    // conv(substring(md5(w),1,15),16,10), so SQL oracles replay it.
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val votes = new Array[Int](bits)
+          val ws = text.split(' ')
+          var wi = 0
+          while (wi < ws.length) {
+            val w = ws(wi)
+            if (w.nonEmpty) {
+              val d = digest.digest(w.getBytes("UTF-8"))
+              // big-endian first 8 bytes >>> 4 == first 15 hex chars
+              var h = 0L
+              var bi = 0
+              while (bi < 8) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
+              h = h >>> 4
+              var k = 0
+              while (k < bits) {
+                if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+                k += 1
+              }
+            }
+            wi += 1
+          }
+          var sh = 0L
+          var k = 0
+          while (k < bits) { if (votes(k) > 0) sh |= (1L << k); k += 1 }
+          (id, sh)
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** Hamming distance between two simhash fingerprints. */
