@@ -28,7 +28,8 @@ object Relational extends QModule {
     q19WindowRank, q20WindowLagLead, q21WindowRunning, q22WindowRange,
     q23SortLimit, q24TopKPerGroup, q25Union, q26Intersect, q27Except,
     q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
-    q37CsvScan, q38JsonScan)
+    q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
+    q43QuantityStats)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -775,4 +776,97 @@ object Relational extends QModule {
     Some("""SELECT s_nationkey, count(*) AS n_suppliers,
             round(sum(s_acctbal), 2) AS total_bal
             FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** Width-bucket histogram of extended price ($5000 buckets) — the
+    * binned-aggregation shape of dashboarding/profiling workloads.
+    * Buckets come from exact integer-cent division, counts and sums
+    * are map-side combinable: one shuffle of (bucket → partial) rows
+    * at any scale.
+    */
+  val q41Histogram = Q(
+    "q41_histogram",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c")
+        .selectExpr("price_c div 500000 AS bucket", "price_c")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(price_c) AS DOUBLE) / 100").as("sum_price"),
+          expr("CAST(min(price_c) AS DOUBLE) / 100").as("min_price"),
+          expr("CAST(max(price_c) AS DOUBLE) / 100").as("max_price"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH x AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+                       FROM lineitem)
+            SELECT price_c // 500000 AS bucket, count(*) AS n,
+                   CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / 100 AS sum_price,
+                   CAST(min(price_c) AS DOUBLE) / 100 AS min_price,
+                   CAST(max(price_c) AS DOUBLE) / 100 AS max_price
+            FROM x GROUP BY 1 ORDER BY bucket"""))
+
+  /** Discrete percentiles (p50/p90/p99) of extended price per return
+    * flag: the value AT position ceil(q·n) in sort order — an actual
+    * data value, no interpolation, so parity is exact by
+    * construction. One window over one shuffle on the group key;
+    * at scale this is the sort-based exact-percentile plan (the
+    * approximate path is q13's sketch family).
+    */
+  val q42PercentileDisc = Q(
+    "q42_percentile_disc",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
+      val wc = Window.partitionBy(col("l_returnflag"))
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("CAST(max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p50"),
+          expr("CAST(max(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p90"),
+          expr("CAST(max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p99"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH x AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS cnt
+                FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p50,
+                   CAST(max(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p90,
+                   CAST(max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p99
+            FROM x GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Sample variance / stddev of quantity per (flag, status), derived
+    * from exact BIGINT power sums — n·Σq² and (Σq)² stay under 2^63
+    * for integer quantities at any realistic scale, so the single
+    * final double division and sqrt are bit-identical across engines
+    * (no dependence on partial-aggregation merge order, unlike a
+    * naive stddev_samp over doubles).
+    */
+  val q43QuantityStats = Q(
+    "q43_quantity_stats",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("l_returnflag", "l_linestatus",
+          "CAST(round(l_quantity) AS BIGINT) AS q")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+          sum(expr("q * q")).as("sumsq_q"))
+        .selectExpr("l_returnflag", "l_linestatus", "n", "sum_q",
+          "CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE) / (n * (n - 1)) AS var_q",
+          "sqrt(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE) / (n * (n - 1))) AS stddev_q")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""WITH x AS (SELECT l_returnflag, l_linestatus,
+                  count(*) AS n,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sumsq_q
+                FROM lineitem GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus, n, sum_q,
+                   CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE) / (n * (n - 1)) AS var_q,
+                   sqrt(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE) / (n * (n - 1))) AS stddev_q
+            FROM x ORDER BY l_returnflag, l_linestatus"""))
 }

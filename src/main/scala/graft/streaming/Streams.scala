@@ -86,6 +86,53 @@ object Streams {
       }
   }
 
+  final case class TypedEvent(user_id: Long, event_id: Long,
+      event_type: String, ts_us: Long)
+  final case class LastView(view_id: Long, ts_us: Long)
+  final case class Attribution(user_id: Long, purchase_id: Long,
+      purchase_ts_us: Long, last_view_id: Option[Long],
+      last_view_ts_us: Option[Long])
+
+  /** Streaming as-of attribution — the streaming twin of
+    * `graft.ops.AsofJoin.asofBackward` (batch gate q39): every
+    * purchase is attributed to the same user's most recent view at or
+    * before it. Per-user state is ONE (view_id, ts) pair — constant
+    * size per key regardless of history length, the property that
+    * makes this run forever on an unbounded stream. Rows inside a
+    * micro-batch are folded in (ts, event_id) order so batch
+    * composition doesn't change results; views arriving in a LATER
+    * batch than a purchase they precede in event time cannot
+    * retro-attribute (append mode emits each purchase exactly once) —
+    * the standard streaming-attribution trade, stated rather than
+    * hidden.
+    */
+  def asofAttribution(spark: SparkSession,
+      events: Dataset[TypedEvent]): Dataset[Attribution] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastView, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[LastView]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var last = state.getOption.orNull
+          val out = Vector.newBuilder[Attribution]
+          sorted.foreach { e =>
+            if (e.event_type == "view") {
+              // equal-timestamp views resolve to the greatest id,
+              // matching the batch operator's tie rule
+              if (last == null || e.ts_us > last.ts_us ||
+                (e.ts_us == last.ts_us && e.event_id > last.view_id))
+                last = LastView(e.event_id, e.ts_us)
+            } else if (e.event_type == "purchase") {
+              out += Attribution(user, e.event_id, e.ts_us,
+                Option(last).map(_.view_id), Option(last).map(_.ts_us))
+            }
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** One arriving field-of-view: which well, which image slot, and a
     * flat payload (the acquisition instrument's output).
     */

@@ -57,6 +57,44 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming as-of attribution matches the batch operator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.TypedEvent
+    val mem = MemoryStream[TypedEvent]
+    val q = Streams.asofAttribution(spark, mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("asof_attr").start()
+    // batch 1: out-of-order inside the batch (purchase row first)
+    mem.addData(
+      TypedEvent(1L, 102L, "purchase", 50L),
+      TypedEvent(1L, 100L, "view", 10L),
+      TypedEvent(1L, 101L, "view", 10L),   // tie on ts: greater id wins
+      TypedEvent(2L, 200L, "purchase", 5L)) // no view history -> null
+    q.processAllAvailable()
+    // batch 2: state (user 1's last view @10) carries over
+    mem.addData(
+      TypedEvent(1L, 103L, "view", 60L),
+      TypedEvent(1L, 104L, "purchase", 70L))
+    q.processAllAvailable()
+    val rows = spark.table("asof_attr").collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("last_view_id"))).toMap
+    assert(rows == Map(102L -> 101L, 200L -> -1L, 104L -> 103L))
+
+    // the batch operator agrees on the event-time-ordered whole
+    val all = Seq(
+      (102L, 1L, 50L), (104L, 1L, 70L), (200L, 2L, 5L)).toDF("event_id", "user_id", "ts_us")
+    val views = Seq(
+      (100L, 1L, 10L), (101L, 1L, 10L), (103L, 1L, 60L))
+      .toDF("view_id", "k", "view_ts_us").withColumnRenamed("k", "user_id")
+    val batch = graft.ops.AsofJoin.asofBackward(all, views, "user_id",
+        "ts_us", "view_ts_us", "view_id", "last_")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("last_view_id"))).toMap
+    assert(batch == rows)
+    q.stop()
+  }
+
   test("stream-stream interval join matches within-window pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
