@@ -98,6 +98,37 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
+  /** Corpus word-frequency profile per document — the cheap
+    * perplexity proxy: a doc made of corpus-common words scores high
+    * median/mean token frequency, rare-gibberish docs score low.
+    * Two map-side-combinable aggregations (corpus term frequencies,
+    * then per-doc stats over the joined frequencies) and one join on
+    * the token — no driver state, no pair enumeration. All outputs
+    * are exact integers (discrete median at position ceil(n/2),
+    * floor-division milli mean), so parity is exact by construction.
+    *
+    * Output: (doc_id, n_tokens, median_wf, max_wf, mean_wf_milli).
+    */
+  def wordFreqStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wf"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    toks.join(freq, "w")
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("cnt")).as("n_tokens"),
+        expr("max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN wf END)").as("median_wf"),
+        max(col("wf")).as("max_wf"),
+        expr("(sum(wf) * 1000) div max(cnt)").as("mean_wf_milli"))
+  }
+
   /** Stopword list for the quality gate's stopword-fraction rule
     * (order-independent membership test, distinct from the lang-ID
     * lexicons above).

@@ -21,7 +21,7 @@ object Pipeline extends QModule {
 
   override def queries: Seq[Q] = Seq(
     q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
-    d48ChunkDedup, s49AnnIvf)
+    t55WordFreq, d48ChunkDedup, s49AnnIvf)
 
   import QTables.{docs, emb}
 
@@ -158,6 +158,27 @@ object Pipeline extends QModule {
                      AS contaminated_frac
             FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
             ORDER BY t.doc_id"""))
+
+  /** Corpus word-frequency profile (perplexity proxy) per doc. */
+  val t55WordFreq = Q(
+    "t55_word_freq",
+    (s, dir) => graft.ops.TextStats.wordFreqStats(docs(s, dir)).orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS w
+                       FROM documents),
+            f AS (SELECT w, count(*) AS wf FROM t GROUP BY w),
+            j AS (SELECT doc_id, wf,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY wf) AS rn,
+                    count(*) OVER (PARTITION BY doc_id) AS cnt
+                  FROM t JOIN f USING (w))
+            SELECT doc_id,
+                   CAST(max(cnt) AS BIGINT) AS n_tokens,
+                   CAST(max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                            THEN wf END) AS BIGINT) AS median_wf,
+                   CAST(max(wf) AS BIGINT) AS max_wf,
+                   CAST((CAST(sum(wf) AS BIGINT) * 1000) // max(cnt) AS BIGINT)
+                     AS mean_wf_milli
+            FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Sub-document chunk dedup over 10-word chunks. */
   val d48ChunkDedup = Q(

@@ -126,6 +126,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == 0L)
   }
 
+  test("wordFreqStats computes discrete median/max/mean of corpus term frequencies") {
+    val docs = Seq(
+      (1L, "common common rare"),   // freqs: common=4 (2 here + 2 in doc 2), rare=1
+      (2L, "common common unique"))
+      .toDF("doc_id", "text")
+    val out = TextStats.wordFreqStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1 freqs sorted: [1, 4, 4] -> median at ceil(1.5)=2nd = 4
+    assert(out(1L) == ((3L, 4L, 4L, 3000L))) // mean = 9/3 = 3.000
+    // doc 2 freqs sorted: [1, 4, 4] -> same shape
+    assert(out(2L) == ((3L, 4L, 4L, 3000L)))
+  }
+
   test("ivfTopK neighbors are a subset of brute-force candidates with correct ranking") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
