@@ -106,11 +106,8 @@ object TextDedup {
     * engine (a DuckDB oracle replays the family verbatim; xxhash64
     * wrap-around arithmetic could not be reproduced there). Each slot
     * is a full-range-independent perturbation of the shingle hash, so
-    * slot minima stay uncorrelated.
-    * The per-shingle slot loop runs as a typed JVM kernel — 64 column
-    * expressions re-hashing the shingle string were ~50× slower —
-    * and `reduceGroups` gives map-side partial elementwise-min, so
-    * the single shuffle carries one signature per (partition, doc).
+    * slot minima stay uncorrelated. Computation is the zero-shuffle
+    * per-doc kernel of [[signaturesFromSets]].
     */
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64): DataFrame =
@@ -119,10 +116,10 @@ object TextDedup {
   /** Signatures straight from per-doc shingle sets: MinHash is
     * per-document state, so one typed pass over (doc_id, shingles)
     * computes every signature with ZERO shuffle — the exploded
-    * relational form pays a full token-row shuffle into reduceGroups
-    * for the same result. Hash family identical to
-    * [[signaturesFromShingles]] (md5 hex prefix split into two 56-bit
-    * halves, Kirsch–Mitzenmacher slots), so oracles are unaffected.
+    * relational form paid a full shingle-row shuffle into
+    * reduceGroups for the same result. The hash family (md5 hex
+    * prefix split into two 56-bit halves, Kirsch–Mitzenmacher slots)
+    * is what the d42 oracle replays in SQL.
     */
   def signaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
     val spark = sets.sparkSession
@@ -198,7 +195,7 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(signaturesFromSets(sets, numHashes),
       numBands, numHashes / numBands)
-    cands
+    val out = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -206,6 +203,10 @@ object TextDedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+      // verified pairs only — tiny next to the shingle cache it frees
+      .localCheckpoint(eager = true)
+    sets.unpersist()
+    out
   }
 
   /** 60-bit SimHash over whitespace tokens. Token hashes come from the
@@ -232,31 +233,43 @@ object TextDedup {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
-          val votes = new Array[Int](bits)
-          val ws = text.split(' ')
-          var wi = 0
-          while (wi < ws.length) {
-            val w = ws(wi)
-            if (w.nonEmpty) {
-              val d = digest.digest(w.getBytes("UTF-8"))
-              // big-endian first 8 bytes >>> 4 == first 15 hex chars
-              var h = 0L
-              var bi = 0
-              while (bi < 8) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
-              h = h >>> 4
-              var k = 0
-              while (k < bits) {
-                if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
-                k += 1
+        // token-less (or null-text) docs emit NO row — the relational
+        // explode form produced no token rows for them, and the SQL
+        // oracles' unnest CTE does the same; an all-zero fingerprint
+        // would band-collide every empty doc with every other
+        it.flatMap { case (id, text) =>
+          if (text == null) None
+          else {
+            val votes = new Array[Int](bits)
+            val ws = text.split(' ')
+            var nTokens = 0
+            var wi = 0
+            while (wi < ws.length) {
+              val w = ws(wi)
+              if (w.nonEmpty) {
+                nTokens += 1
+                val d = digest.digest(w.getBytes("UTF-8"))
+                // big-endian first 8 bytes >>> 4 == first 15 hex chars
+                var h = 0L
+                var bi = 0
+                while (bi < 8) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
+                h = h >>> 4
+                var k = 0
+                while (k < bits) {
+                  if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+                  k += 1
+                }
               }
+              wi += 1
             }
-            wi += 1
+            if (nTokens == 0) None
+            else {
+              var sh = 0L
+              var k = 0
+              while (k < bits) { if (votes(k) > 0) sh |= (1L << k); k += 1 }
+              Some((id, sh))
+            }
           }
-          var sh = 0L
-          var k = 0
-          while (k < bits) { if (votes(k) > 0) sh |= (1L << k); k += 1 }
-          (id, sh)
         }
       }
       .toDF("doc_id", "simhash")
@@ -473,11 +486,15 @@ object TextDedup {
     val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
     val hits = chunks.join(dup, "chunk")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_chunks"))
-    totals.join(hits, Seq("doc_id"), "left")
+    val out = totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
         (coalesce(col("n_dup_chunks"), lit(0L)).cast("double") / col("n_chunks"))
           .as("dup_frac"))
+      // per-doc rows; materialize so the chunk cache can be freed now
+      .localCheckpoint(eager = true)
+    chunks.unpersist()
+    out
   }
 
   /** Benchmark-contamination detection: for every corpus document,
@@ -513,10 +530,14 @@ object TextDedup {
     val totals = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
     val hits = corpusGrams.join(benchGrams, "ng")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq("doc_id"), "left")
+    val out = totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_ngrams"))
           .as("contaminated_frac"))
+      // per-doc rows; materialize so the n-gram cache can be freed now
+      .localCheckpoint(eager = true)
+    corpusGrams.unpersist()
+    out
   }
 }

@@ -118,7 +118,7 @@ object TextStats {
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("wf"))
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    toks.join(freq, "w")
+    val out = toks.join(freq, "w")
       .withColumn("rn", row_number().over(w1))
       .withColumn("cnt", count(lit(1)).over(wc))
       .groupBy(col("doc_id"))
@@ -127,6 +127,12 @@ object TextStats {
         expr("max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN wf END)").as("median_wf"),
         max(col("wf")).as("max_wf"),
         expr("(sum(wf) * 1000) div max(cnt)").as("mean_wf_milli"))
+      // one row per doc — orders smaller than the token explosion, so
+      // materialize it eagerly (disk-backed) and free the token cache
+      // now instead of leaking it into the session
+      .localCheckpoint(eager = true)
+    toks.unpersist()
+    out
   }
 
   /** Stopword list for the quality gate's stopword-fraction rule
@@ -172,7 +178,10 @@ object TextStats {
             element_at(col("ws"), (i + 2).cast("int"))))).as("bg"))
     val topBigram = bigrams.groupBy(col("doc_id"), col("bg")).count()
       .groupBy(col("doc_id")).agg(max(col("count")).as("top_bigram_n"))
-    val m = base.join(topBigram, Seq("doc_id"), "left")
+    val joined = base.join(topBigram, Seq("doc_id"), "left")
+      .localCheckpoint(eager = true) // per-doc rows; frees the token cache
+    tok.unpersist()
+    val m = joined
       .select(
         col("doc_id"), col("n_words"),
         (col("sum_word_len").cast("double") / col("n_words")).as("mean_word_len"),

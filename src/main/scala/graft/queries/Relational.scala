@@ -840,11 +840,15 @@ object Relational extends QModule {
             FROM x GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Sample variance / stddev of quantity per (flag, status), derived
-    * from exact BIGINT power sums — n·Σq² and (Σq)² stay under 2^63
-    * for integer quantities at any realistic scale, so the single
-    * final double division and sqrt are bit-identical across engines
-    * (no dependence on partial-aggregation merge order, unlike a
-    * naive stddev_samp over doubles).
+    * from exact wide-integer power sums: Spark carries them in
+    * DECIMAL(38,0), DuckDB in HUGEINT (its native sum(BIGINT)
+    * result) — n·Σq² stays exact to ~10¹² rows per group for
+    * quantities ≤ 50, far past a 100 TB lineitem. The numerator and
+    * the n·(n−1) denominator convert to double only once at the end
+    * (at gate scale both are < 2^53, so the conversions are exact),
+    * making the single division + sqrt bit-identical across engines —
+    * no dependence on partial-aggregation merge order, unlike a
+    * naive stddev_samp over doubles.
     */
   val q43QuantityStats = Q(
     "q43_quantity_stats",
@@ -854,19 +858,23 @@ object Relational extends QModule {
           "CAST(round(l_quantity) AS BIGINT) AS q")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
-          sum(expr("q * q")).as("sumsq_q"))
+          sum(expr("CAST(q * q AS DECIMAL(38,0))")).as("sumsq_q"))
         .selectExpr("l_returnflag", "l_linestatus", "n", "sum_q",
-          "CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE) / (n * (n - 1)) AS var_q",
-          "sqrt(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE) / (n * (n - 1))) AS stddev_q")
+          """CAST(CAST(n AS DECIMAL(38,0)) * sumsq_q
+             - CAST(sum_q AS DECIMAL(38,0)) * CAST(sum_q AS DECIMAL(38,0)) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (n - 1)) AS var_q""")
+        .withColumn("stddev_q", sqrt(col("var_q")))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""WITH x AS (SELECT l_returnflag, l_linestatus,
                   count(*) AS n,
-                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q,
-                  CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sumsq_q
+                  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_q,
+                  sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sumsq_q
                 FROM lineitem GROUP BY l_returnflag, l_linestatus)
-            SELECT l_returnflag, l_linestatus, n, sum_q,
-                   CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE) / (n * (n - 1)) AS var_q,
-                   sqrt(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE) / (n * (n - 1))) AS stddev_q
+            SELECT l_returnflag, l_linestatus, n, CAST(sum_q AS BIGINT) AS sum_q,
+                   CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (n - 1)) AS var_q,
+                   sqrt(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_q
             FROM x ORDER BY l_returnflag, l_linestatus"""))
 }

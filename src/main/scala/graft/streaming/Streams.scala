@@ -113,7 +113,10 @@ object Streams {
       .flatMapGroupsWithState[LastView, Attribution](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[TypedEvent], state: GroupState[LastView]) =>
-          val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+          // views sort BEFORE purchases at equal ts (the batch
+          // operator's inclusive r.t <= l.t puts right rows first)
+          val sorted = rows.toArray.sortBy(e =>
+            (e.ts_us, if (e.event_type == "view") 0 else 1, e.event_id))
           var last = state.getOption.orNull
           val out = Vector.newBuilder[Attribution]
           sorted.foreach { e =>
@@ -124,8 +127,12 @@ object Streams {
                 (e.ts_us == last.ts_us && e.event_id > last.view_id))
                 last = LastView(e.event_id, e.ts_us)
             } else if (e.event_type == "purchase") {
+              // a late purchase that precedes the stored view in event
+              // time must NOT claim it (`view.ts <= purchase.ts` is
+              // the contract); it goes out unattributed
+              val m = Option(last).filter(_.ts_us <= e.ts_us)
               out += Attribution(user, e.event_id, e.ts_us,
-                Option(last).map(_.view_id), Option(last).map(_.ts_us))
+                m.map(_.view_id), m.map(_.ts_us))
             }
           }
           if (last != null) state.update(last)

@@ -99,4 +99,16 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
     assert(ham(sh(1L), sh(2L)) <= 12)
   }
+
+  test("simhash drops token-less and null-text docs (no zero-fingerprint collisions)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("real words here")),
+      (2L, Option("")),        // empty
+      (3L, Option("   ")),     // whitespace only
+      (4L, Option.empty[String])) // null text
+      .toDF("doc_id", "text")
+    val sh = TextDedup.simHash(df).collect().map(_.getLong(0)).toSet
+    assert(sh == Set(1L)) // oracle's unnest CTE produces no row for 2-4
+  }
 }

@@ -95,6 +95,28 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("as-of attribution: late purchases and same-ts view/purchase ties match batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.TypedEvent
+    val mem = MemoryStream[TypedEvent]
+    val q = Streams.asofAttribution(spark, mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("asof_attr2").start()
+    // same-ts tie: view id 9 > purchase id 5 — view must win (inclusive)
+    mem.addData(
+      TypedEvent(1L, 5L, "purchase", 100L),
+      TypedEvent(1L, 9L, "view", 100L),
+      TypedEvent(2L, 20L, "view", 100L))
+    q.processAllAvailable()
+    // late purchase: event-time 60 < stored view ts 100 -> unattributed
+    mem.addData(TypedEvent(2L, 21L, "purchase", 60L))
+    q.processAllAvailable()
+    val rows = spark.table("asof_attr2").collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("last_view_id"))).toMap
+    assert(rows == Map(5L -> 9L, 21L -> -1L))
+  }
+
   test("stream-stream interval join matches within-window pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
