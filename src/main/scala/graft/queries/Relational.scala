@@ -29,7 +29,7 @@ object Relational extends QModule {
     q23SortLimit, q24TopKPerGroup, q25Union, q26Intersect, q27Except,
     q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
-    q43QuantityStats)
+    q43QuantityStats, q44Pivot, q45GapFill)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -877,4 +877,66 @@ object Relational extends QModule {
                    sqrt(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE)
                      / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_q
             FROM x ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Pivot (long→wide): quantity and count per return flag, one
+    * column pair per line status. Spark's `pivot` with explicit
+    * values compiles to the same conditional aggregation the oracle
+    * writes out — one two-phase hash agg, no extra shuffle over the
+    * plain groupBy.
+    */
+  val q44Pivot = Q(
+    "q44_pivot",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("l_returnflag", "l_linestatus",
+          "CAST(round(l_quantity) AS BIGINT) AS q")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("q")).as("qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("F_qty").as("qty_f"), col("F_n").as("n_f"),
+          col("O_qty").as("qty_o"), col("O_n").as("n_o"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+            CAST(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(round(l_quantity) AS BIGINT) END) AS BIGINT) AS qty_f,
+            count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+            CAST(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(round(l_quantity) AS BIGINT) END) AS BIGINT) AS qty_o,
+            count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Time-series gap fill: a generated hourly calendar spine crossed
+    * with the event-type dimension, left-joined against hourly
+    * counts — missing (hour, type) cells surface as explicit zeros.
+    * The spine is generated, not scanned (sequence/range over the
+    * min-max bounds), so the only data shuffle is the hourly
+    * aggregation; the spine-side join broadcasts.
+    */
+  val q45GapFill = Q(
+    "q45_gap_fill",
+    (s, dir) => {
+      val e = Events.events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000 AS hr"), col("event_type"))
+      val bounds = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+        .crossJoin(e.select(col("event_type")).distinct())
+      val counts = e.groupBy(col("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hr"), col("event_type"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type
+                       FROM events),
+            b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+            spine AS (SELECT unnest(range(lo, hi + 1)) AS hr FROM b),
+            ty AS (SELECT DISTINCT event_type FROM e),
+            c AS (SELECT hr, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+            SELECT s.hr, t.event_type, COALESCE(n, 0) AS n
+            FROM spine s CROSS JOIN ty t
+            LEFT JOIN c ON c.hr = s.hr AND c.event_type = t.event_type
+            ORDER BY s.hr, t.event_type"""))
 }
