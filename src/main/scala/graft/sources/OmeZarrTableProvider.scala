@@ -117,11 +117,53 @@ class OmeZarrScanBuilder(path: String)
 }
 
 class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Metadata-only size/row estimate for the optimizer: row count is
+    * the planned chunk-row count (inner grid for sharded stores) and
+    * sizeInBytes charges the decoded payload ONLY when the `data`
+    * column survives pruning — so a scale-pruned, column-pruned
+    * metadata scan reports a few KB and Catalyst broadcasts it in
+    * joins instead of shuffling the fact side. Planning reads just
+    * the store's JSON docs (already fetched for partition planning);
+    * no chunk object is touched.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val parts = planned
+    val wantPayload = required.fieldNames.contains("data")
+    var rows = 0L
+    var bytes = 0L
+    parts.foreach { p0 =>
+      val p = p0.asInstanceOf[OmeZarrInputPartition]
+      val innerRows = p.sharding.fold(1L) { case (inner, _) =>
+        ZarrStore.chunkGrid(p.chunks.map(_.toLong), inner).map(_.toLong).product
+      }
+      val innerShape = p.sharding.fold(p.chunks) { case (inner, _) => inner }
+      val payloadBytes =
+        if (!wantPayload) 0L
+        else innerShape.map(_.toLong).product * Dtypes.itemSize(p.dtype)
+      rows += innerRows
+      // ~64 B of metadata columns per row (scale, idx, origin, shape,
+      // dtype) + the decoded payload when selected
+      bytes += innerRows * (64L + payloadBytes)
+    }
+    val rowsF = rows
+    val bytesF = math.max(1L, bytes)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytesF)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowsF)
+    }
+  }
+
+  private lazy val planned: Array[InputPartition] = planInputPartitions0()
+
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  private def planInputPartitions0(): Array[InputPartition] = {
     val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
     val store = new ZarrStore(path, Some(hconf))
     val zarrFormat = if (store.exists(".zattrs")) 2 else 3

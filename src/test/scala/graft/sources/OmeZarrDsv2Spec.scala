@@ -74,6 +74,29 @@ class OmeZarrDsv2Spec extends SparkSpec {
     assert(df.groupBy().count().head.getLong(0) == 16)
   }
 
+  test("scan statistics: payload pruning shrinks sizeInBytes; metadata join broadcasts") {
+    // metadata-only projection reports orders less than the payload scan
+    def stats(required: Seq[String]): Long = {
+      val b = new OmeZarrScanBuilder(storePath)
+      b.pruneColumns(org.apache.spark.sql.types.StructType(
+        OmeZarrTable.Schema.filter(f => required.contains(f.name))))
+      b.build().asInstanceOf[OmeZarrScan].estimateStatistics().sizeInBytes().getAsLong
+    }
+    val metaOnly = stats(Seq("scale", "chunk_idx"))
+    val withPayload = stats(Seq("scale", "chunk_idx", "data"))
+    assert(metaOnly < withPayload / 10,
+      s"metadata-only $metaOnly should be far under payload $withPayload")
+
+    // Catalyst uses the estimate: a join against the (small) omezarr
+    // scan picks a broadcast strategy instead of shuffling both sides
+    val dim = spark.read.format("omezarr").load(storePath)
+      .select(col("scale"), col("chunk_idx"))
+    val fact = spark.range(10000).select(
+      (col("id") % 2).cast("int").as("scale"), col("id"))
+    val plan = fact.join(dim, Seq("scale")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("df.write.format(omezarr) round-trips a two-level pyramid") {
     val m0 = ImageMeta(Seq("y", "x"), Seq(64, 96), Seq(32, 32), "uint16",
       Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
