@@ -29,7 +29,7 @@ object Relational extends QModule {
     q23SortLimit, q24TopKPerGroup, q25Union, q26Intersect, q27Except,
     q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
-    q43QuantityStats, q44Pivot, q45GapFill)
+    q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -939,4 +939,43 @@ object Relational extends QModule {
             FROM spine s CROSS JOIN ty t
             LEFT JOIN c ON c.hr = s.hr AND c.event_type = t.event_type
             ORDER BY s.hr, t.event_type"""))
+
+  /** KMV (k-minimum-values) distinct estimator — the
+    * oracle-checkable cousin of q13's HLL sketch: with hashes drawn
+    * from a 2^56 space, est = (k−1)·2^56 / h_(k), where h_(k) is the
+    * k-th smallest DISTINCT md5-derived hash. The k minima are a
+    * data-deterministic set (no engine-private sketch state), so any
+    * engine reproduces the estimate bit-for-bit. Spark plans the
+    * k-smallest as TakeOrderedAndProject over the distinct hashes —
+    * no full sort; the sketch state is k values per partition, then
+    * k merged, exactly how a sketch union would behave at scale.
+    */
+  val q46KmvDistinct = Q(
+    "q46_kmv_distinct",
+    (s, dir) => {
+      val k = 256
+      val li = Tables.load(s, dir, "lineitem")
+      val kth = li
+        .selectExpr("conv(substring(md5(CAST(l_partkey AS STRING)), 1, 14), 16, 10) AS hx")
+        .select(col("hx").cast("long").as("h"))
+        .distinct()
+        .orderBy(col("h"))
+        .limit(k)
+        .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k"))
+      val truth = li.agg(countDistinct(col("l_partkey")).as("true_distinct"))
+      kth.crossJoin(truth)
+        .selectExpr("k", "kth_min", "true_distinct",
+          "CAST(k - 1 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE) / kth_min AS est_distinct")
+    },
+    Some("""WITH h AS (SELECT DISTINCT
+                  CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 14) AS BIGINT) AS h
+                FROM lineitem),
+            kmin AS (SELECT max(h) AS kth_min, count(*) AS k
+                     FROM (SELECT h FROM h ORDER BY h LIMIT 256) t),
+            truth AS (SELECT count(DISTINCT l_partkey) AS true_distinct FROM lineitem)
+            SELECT CAST(k AS BIGINT) AS k, kth_min,
+                   CAST(true_distinct AS BIGINT) AS true_distinct,
+                   CAST(k - 1 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE)
+                     / kth_min AS est_distinct
+            FROM kmin CROSS JOIN truth"""))
 }
