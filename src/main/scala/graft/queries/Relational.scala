@@ -29,7 +29,7 @@ object Relational extends QModule {
     q23SortLimit, q24TopKPerGroup, q25Union, q26Intersect, q27Except,
     q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
-    q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct)
+    q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -978,4 +978,30 @@ object Relational extends QModule {
                    CAST(k - 1 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE)
                      / kth_min AS est_distinct
             FROM kmin CROSS JOIN truth"""))
+
+  /** Z-order (Morton) clustering key for multi-dimensional data
+    * skipping — rows near in BOTH part and supplier key sort near in
+    * one dimension, so a z-clustered layout prunes row groups for
+    * filters on either column. The interleave is a pure shift/mask
+    * fold, whole-stage-codegen'd, replayed bit-for-bit by the oracle.
+    */
+  val q47ZOrder = Q(
+    "q47_zorder",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .distinct()
+        .orderBy(col("z"), col("l_partkey"), col("l_suppkey"))
+        .limit(200)
+    },
+    Some("""WITH x AS (SELECT DISTINCT l_partkey, l_suppkey,
+                  CAST(list_sum(list_transform(range(16), i ->
+                    ((l_partkey // CAST(pow(2, i) AS BIGINT)) % 2)
+                      * CAST(pow(2, 2 * i) AS BIGINT)
+                    + ((l_suppkey // CAST(pow(2, i) AS BIGINT)) % 2)
+                      * CAST(pow(2, 2 * i + 1) AS BIGINT))) AS BIGINT) AS z
+                FROM lineitem)
+            SELECT l_partkey, l_suppkey, z FROM x
+            ORDER BY z, l_partkey, l_suppkey LIMIT 200"""))
 }
