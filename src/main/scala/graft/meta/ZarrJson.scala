@@ -118,7 +118,12 @@ object ZarrJson {
         c.put("id", "blosc")
         c.put("cname", if (parts.length > 1) parts(1) else "lz4")
         c.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
-        c.put("shuffle", 1) // byte-shuffle, the zarr-python default
+        // numcodecs encoding: 0 none, 1 byte-shuffle (default), 2 bit-shuffle
+        c.put("shuffle", if (parts.length > 3) parts(3) match {
+          case "none" => 0
+          case "bit" => 2
+          case _ => 1
+        } else 1)
         c.put("blocksize", 0)
       case _ => n.putNull("compressor")
     }
@@ -157,7 +162,11 @@ object ZarrJson {
         val b = cn.putObject("configuration")
         b.put("cname", if (parts.length > 1) parts(1) else "lz4")
         b.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
-        b.put("shuffle", "shuffle")
+        b.put("shuffle", if (parts.length > 3) parts(3) match {
+          case "none" => "noshuffle"
+          case "bit" => "bitshuffle"
+          case _ => "shuffle"
+        } else "shuffle")
         b.put("typesize", Dtypes.itemSize(dtype))
         b
       } else {

@@ -22,17 +22,25 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Whether a block was split into typesize streams depends on the
   * writer's version-specific split policy (codec, blocksize and
-  * typesize thresholds changed across c-blosc releases). Rather than
-  * replicating every historical rule, the decoder PROBES: it parses
-  * the split layout first when the flags make it possible and falls
-  * back to the single-stream layout when the stream lengths or
+  * typesize thresholds changed across c-blosc releases; the default
+  * forward-compat mode even splits UNSHUFFLED blosclz blocks). Rather
+  * than replicating every historical rule, the decoder PROBES: it
+  * parses the split layout first when the flags make it possible and
+  * falls back to the single-stream layout when the stream lengths or
   * decompressed sizes don't validate — both layouts are
   * self-checking, so the probe cannot mis-decode.
   *
   * Inner codecs ride on what Spark already ships: lz4-java, zstd-jni,
-  * snappy-java, java.util.zip. blosclz (c-blosc's own LZ77) and the
-  * bit-shuffle filter have no JVM implementation here and are
-  * rejected with precise errors.
+  * snappy-java, java.util.zip — plus a pure-JVM implementation of
+  * blosclz, c-blosc's own FastLZ-derived LZ77 (see [[blosclzDecompress]]
+  * for the opcode layout). The bit-shuffle filter (bitshuffle library
+  * as vendored by c-blosc) is a pure bit transpose: a filtered block
+  * is typesize*8 bit-planes of nelem/8 bytes; plane p = 8*j + b holds
+  * bit b (LSB-first) of byte j of every element, element e's bit at
+  * byte e/8, bit e%8. c-blosc only applies it to blocks whose size is
+  * a multiple of typesize*8 (it sizes blocks accordingly and stores a
+  * non-conforming tail block unfiltered), and this codec mirrors that
+  * rule on both paths.
   */
 object Blosc {
 
@@ -48,13 +56,19 @@ object Blosc {
   private val CodecZstd = 4
 
   private def codecId(cname: String): Int = cname match {
+    case "blosclz" => CodecBloscLz
     case "lz4" | "lz4hc" => CodecLz4
     case "snappy" => CodecSnappy
     case "zlib" => CodecZlib
     case "zstd" => CodecZstd
     case other => throw new UnsupportedOperationException(
-      s"blosc cname '$other' unsupported for encode (lz4/zstd/zlib/snappy)")
+      s"blosc cname '$other' unsupported for encode (blosclz/lz4/zstd/zlib/snappy)")
   }
+
+  /** Shuffle filter selector for [[compress]]: none, byte, or bit. */
+  final val ShuffleNone = 0
+  final val ShuffleByte = 1
+  final val ShuffleBit = 2
 
   // ---- decode ----
 
@@ -75,13 +89,9 @@ object Blosc {
       require(frame.length >= 16 + nbytes, "blosc memcpy frame truncated")
       return java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
     }
-    if ((flags & BitShuffleFlag) != 0) throw new UnsupportedOperationException(
-      "blosc bit-shuffle filter unsupported (byte-shuffled and unfiltered frames decode)")
     val codec = (flags >>> 5) & 0x7
-    if (codec == CodecBloscLz) throw new UnsupportedOperationException(
-      "blosc inner codec 'blosclz' unsupported (lz4/zstd/zlib/snappy decode); " +
-        "re-encode the store with cname lz4 or zstd")
     val shuffled = (flags & ShuffleFlag) != 0 && typesize > 1
+    val bitShuffled = (flags & BitShuffleFlag) != 0 && typesize > 0
     require(blocksize > 0, s"blosc blocksize $blocksize")
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     val bstarts = Array.fill(nblocks)(bb.getInt())
@@ -91,7 +101,11 @@ object Blosc {
       val boff = j * blocksize
       val bsize = math.min(blocksize.toLong, nbytes.toLong - boff).toInt
       val dontSplit = (flags & DontSplitFlag) != 0
-      val canSplit = shuffled && bsize % typesize == 0 && bsize / typesize > 0
+      // c-blosc's split policy varies by version and applies to byte-
+      // shuffled, bit-shuffled AND (forward-compat blosclz) unshuffled
+      // blocks alike — the split operates on the filtered buffer, so
+      // concatenating the streams before unfiltering is always right.
+      val canSplit = typesize > 1 && bsize % typesize == 0 && bsize / typesize > 0
       val block =
         (if (canSplit && !dontSplit) tryStreams(frame, bstarts(j), bsize, typesize, codec)
          else None)
@@ -100,7 +114,9 @@ object Blosc {
             tryStreams(frame, bstarts(j), bsize, typesize, codec) else None)
           .getOrElse(throw new java.io.IOException(
             s"blosc block $j at ${bstarts(j)} does not parse as split or unsplit streams"))
-      if (shuffled) unshuffle(block, typesize, out, boff)
+      if (bitShuffled && typesize * 8 <= bsize && bsize % (typesize * 8) == 0)
+        bitUnshuffle(block, typesize, out, boff)
+      else if (shuffled) unshuffle(block, typesize, out, boff)
       else System.arraycopy(block, 0, out, boff, bsize)
       j += 1
     }
@@ -137,6 +153,7 @@ object Blosc {
   private def inflateStream(codec: Int, src: Array[Byte], off: Int, len: Int,
       dst: Array[Byte], dstOff: Int, expect: Int): Boolean =
     try codec match {
+      case CodecBloscLz => blosclzDecompress(src, off, len, dst, dstOff, expect)
       case CodecLz4 =>
         val n = lz4.decompress(src, off, len, dst, dstOff, expect)
         n == expect
@@ -207,6 +224,215 @@ object Blosc {
     out
   }
 
+  /** Inverse bit-shuffle of one filtered block into `out` at `outOff`.
+    * Input layout (bitshuffle library as used by c-blosc): typesize*8
+    * bit-planes of nelem/8 bytes each; plane p = 8*j + b, byte r, bit
+    * k (LSB-first) carries bit b of byte j of element 8*r + k. Caller
+    * guarantees block.length % (typesize*8) == 0 and that the target
+    * region of `out` is zeroed (freshly allocated).
+    */
+  private def bitUnshuffle(block: Array[Byte], typesize: Int,
+      out: Array[Byte], outOff: Int): Unit = {
+    val nelem = block.length / typesize
+    val nbr = nelem >>> 3 // bytes per bit-plane
+    var p = 0
+    while (p < typesize * 8) {
+      val j = p >>> 3
+      val b = p & 7
+      val planeOff = p * nbr
+      var r = 0
+      while (r < nbr) {
+        val v = block(planeOff + r) & 0xff
+        if (v != 0) {
+          val eBase = outOff + (r << 3) * typesize + j
+          var k = 0
+          while (k < 8) {
+            if (((v >>> k) & 1) != 0) {
+              val at = eBase + k * typesize
+              out(at) = (out(at) | (1 << b)).toByte
+            }
+            k += 1
+          }
+        }
+        r += 1
+      }
+      p += 1
+    }
+  }
+
+  /** Forward bit-shuffle of `len` bytes of `in` at `inOff` (len must
+    * be a multiple of typesize*8); exact inverse of [[bitUnshuffle]].
+    */
+  private def bitShuffleFwd(in: Array[Byte], inOff: Int, len: Int,
+      typesize: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    val nelem = len / typesize
+    val nbr = nelem >>> 3
+    var p = 0
+    while (p < typesize * 8) {
+      val j = p >>> 3
+      val b = p & 7
+      val planeOff = p * nbr
+      var r = 0
+      while (r < nbr) {
+        val eBase = inOff + (r << 3) * typesize + j
+        var v = 0
+        var k = 0
+        while (k < 8) {
+          if (((in(eBase + k * typesize) >>> b) & 1) != 0) v |= 1 << k
+          k += 1
+        }
+        out(planeOff + r) = v.toByte
+        r += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  // ---- blosclz (c-blosc's FastLZ-derived LZ77) ----
+
+  /** Decode one blosclz stream into `dst[dstOff, dstOff+expect)`;
+    * false when it doesn't decode to exactly `expect` bytes (probe
+    * failure, not an error). Opcode layout (public c-blosc
+    * `blosclz.c` format, shared with FastLZ level 2):
+    *  - the first control byte is masked `& 31` (a stream always
+    *    opens with a literal run);
+    *  - ctrl < 32: copy ctrl+1 literal bytes from the input;
+    *  - ctrl >= 32: a match. len = (ctrl>>5) - 1; when that is 6,
+    *    extension bytes each add their value, continuing while the
+    *    byte read was 255. Then one distance byte `code`:
+    *    distance = ((ctrl & 31) << 8) + code + 1, match length
+    *    len + 3, copied from already-produced output (overlapping
+    *    copies are byte-serial, so distance 1 is RLE).
+    *  - code == 255 with (ctrl & 31) == 31 escapes to a far match:
+    *    two big-endian bytes give ofs, distance = ofs + 8192
+    *    (MAX_DISTANCE 8191 + 1).
+    */
+  private[zarr] def blosclzDecompress(src: Array[Byte], off: Int, len: Int,
+      dst: Array[Byte], dstOff: Int, expect: Int): Boolean = {
+    if (len <= 0) return expect == 0
+    var ip = off
+    val ipEnd = off + len
+    var op = dstOff
+    val opEnd = dstOff + expect
+    var ctrl = src(ip) & 31
+    ip += 1
+    var loop = true
+    while (loop) {
+      if (ctrl >= 32) {
+        var mlen = (ctrl >>> 5) - 1
+        val ofsHigh = (ctrl & 31) << 8
+        if (mlen == 6) {
+          var ext = 0
+          do {
+            if (ip >= ipEnd) return false
+            ext = src(ip) & 0xff
+            ip += 1
+            mlen += ext
+          } while (ext == 255)
+        }
+        if (ip >= ipEnd) return false
+        val code = src(ip) & 0xff
+        ip += 1
+        mlen += 3
+        var ref = op - ofsHigh - code
+        if (code == 255 && ofsHigh == (31 << 8)) {
+          if (ip + 2 > ipEnd) return false
+          ref = op - (((src(ip) & 0xff) << 8) | (src(ip + 1) & 0xff)) - 8191
+          ip += 2
+        }
+        ref -= 1
+        if (op + mlen > opEnd || ref < dstOff) return false
+        var i = 0
+        while (i < mlen) { // byte-serial: overlap gives run semantics
+          dst(op + i) = dst(ref + i)
+          i += 1
+        }
+        op += mlen
+      } else {
+        val n = ctrl + 1
+        if (op + n > opEnd || ip + n > ipEnd) return false
+        System.arraycopy(src, ip, dst, op, n)
+        ip += n
+        op += n
+      }
+      if (ip < ipEnd) { ctrl = src(ip) & 0xff; ip += 1 }
+      else loop = false
+    }
+    op == opEnd
+  }
+
+  /** Greedy blosclz encoder (hash-chained 3-byte matches within the
+    * 8191-byte short-match window; the decoder additionally accepts
+    * far matches, which this encoder never needs to emit). Output is
+    * a valid stream for any input; callers drop it when it doesn't
+    * beat the raw size.
+    */
+  private[zarr] def blosclzCompress(in: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len + len / 32 + 64)
+    var op = 0
+    var ip = off
+    val end = off + len
+    var anchor = off
+    val htab = new Array[Int](1 << 14)
+    java.util.Arrays.fill(htab, -1)
+
+    def hash(p: Int): Int = {
+      val v = (in(p) & 0xff) | ((in(p + 1) & 0xff) << 8) | ((in(p + 2) & 0xff) << 16)
+      ((v * 2654435761L) >>> 18).toInt & 0x3fff
+    }
+    def flushLiterals(upTo: Int): Unit = {
+      var a = anchor
+      while (a < upTo) {
+        val n = math.min(32, upTo - a)
+        out(op) = (n - 1).toByte
+        op += 1
+        System.arraycopy(in, a, out, op, n)
+        op += n
+        a += n
+      }
+      anchor = upTo
+    }
+    def emitMatch(dist: Int, mlen: Int): Unit = {
+      // dist-1 <= 8190 never collides with the far-match escape
+      // (which needs code == 255 AND high bits == 31 → dist-1 == 8191)
+      val d = dist - 1
+      val lenField = mlen - 3
+      if (lenField < 6) {
+        out(op) = (((lenField + 1) << 5) | (d >>> 8)).toByte
+        op += 1
+      } else {
+        out(op) = ((7 << 5) | (d >>> 8)).toByte
+        op += 1
+        var e = lenField - 6
+        while (e >= 255) { out(op) = -1; op += 1; e -= 255 }
+        out(op) = e.toByte
+        op += 1
+      }
+      out(op) = (d & 0xff).toByte
+      op += 1
+    }
+
+    while (ip + 4 <= end) {
+      val h = hash(ip)
+      val cand = htab(h)
+      htab(h) = ip
+      if (cand >= 0 && ip - cand <= 8191 &&
+          in(cand) == in(ip) && in(cand + 1) == in(ip + 1) && in(cand + 2) == in(ip + 2)) {
+        var m = 3
+        while (ip + m < end && in(cand + m) == in(ip + m)) m += 1
+        flushLiterals(ip)
+        emitMatch(ip - cand, m)
+        ip += m
+        anchor = ip
+        if (ip + 3 <= end) htab(hash(ip - 1)) = ip - 1
+      } else ip += 1
+    }
+    flushLiterals(end)
+    java.util.Arrays.copyOf(out, op)
+  }
+
   // ---- encode ----
 
   /** Encode a blosc1 frame with the dont-split layout (one stream per
@@ -216,14 +442,26 @@ object Blosc {
     * so decompression stays cache-friendly.
     */
   def compress(data: Array[Byte], typesize: Int, cname: String = "lz4",
-      clevel: Int = 5, shuffle: Boolean = true): Array[Byte] = {
+      clevel: Int = 5, shuffle: Boolean = true): Array[Byte] =
+    compressFrame(data, typesize, cname, clevel,
+      if (shuffle) ShuffleByte else ShuffleNone)
+
+  /** [[compress]] with an explicit shuffle filter: [[ShuffleNone]],
+    * [[ShuffleByte]], or [[ShuffleBit]]. Bit-shuffle sizes blocks to a
+    * multiple of typesize*8 and stores a non-conforming tail block
+    * unfiltered, mirroring c-blosc (and the decode path).
+    */
+  def compressFrame(data: Array[Byte], typesize: Int, cname: String,
+      clevel: Int, shuffleMode: Int): Array[Byte] = {
     val codec = codecId(cname)
     val ts = if (typesize < 1 || typesize > 255) 1 else typesize
-    val doShuffle = shuffle && ts > 1 && data.length >= ts
+    val doBit = shuffleMode == ShuffleBit && data.length >= ts * 8
+    val doShuffle = shuffleMode == ShuffleByte && ts > 1 && data.length >= ts
+    val align = if (doBit) ts * 8 else ts
     val blocksize = {
       val cap = math.min(data.length, 1 << 20)
-      val aligned = cap - cap % ts
-      math.max(ts, if (aligned > 0) aligned else cap)
+      val aligned = cap - cap % align
+      math.max(align, if (aligned > 0) aligned else cap)
     }
     if (data.isEmpty) {
       val h = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
@@ -238,7 +476,10 @@ object Blosc {
     while (j < nblocks) {
       val boff = j * blocksize
       val bsize = math.min(blocksize.toLong, data.length.toLong - boff).toInt
-      val block = if (doShuffle) shuffleFwd(data, boff, bsize, ts)
+      val block =
+        if (doBit && ts * 8 <= bsize && bsize % (ts * 8) == 0)
+          bitShuffleFwd(data, boff, bsize, ts)
+        else if (doShuffle) shuffleFwd(data, boff, bsize, ts)
         else java.util.Arrays.copyOfRange(data, boff, boff + bsize)
       val packed = deflateStream(codec, block, clevel)
       if (packed != null && packed.length < bsize) { streams(j) = packed; stored(j) = false }
@@ -255,7 +496,8 @@ object Blosc {
       bb.put(data)
       return bb.array()
     }
-    val flags = (codec << 5) | DontSplitFlag | (if (doShuffle) ShuffleFlag else 0)
+    val flags = (codec << 5) | DontSplitFlag |
+      (if (doBit) BitShuffleFlag else 0) | (if (doShuffle) ShuffleFlag else 0)
     val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     bb.put(2.toByte).put(1.toByte).put(flags.toByte).put(ts.toByte)
     bb.putInt(data.length).putInt(blocksize).putInt(total)
@@ -277,6 +519,7 @@ object Blosc {
 
   private def deflateStream(codec: Int, block: Array[Byte], clevel: Int): Array[Byte] =
     try codec match {
+      case CodecBloscLz => blosclzCompress(block, 0, block.length)
       case CodecLz4 => lz4c.compress(block)
       case CodecZstd => com.github.luben.zstd.Zstd.compress(block, math.max(1, clevel))
       case CodecZlib =>

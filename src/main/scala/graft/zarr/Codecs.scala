@@ -5,16 +5,17 @@ import java.util.zip.{Deflater, DeflaterOutputStream, GZIPInputStream, GZIPOutpu
 
 /** Chunk compression codecs: gzip/zlib/zstd (SURVEY §4 "Compression
   * codecs" decision) plus pure-JVM blosc1 (see [[Blosc]]) — the
-  * default zarr-python compressor, whose inner lz4/zstd/zlib/snappy
-  * blocks ride on libraries already on Spark's classpath. Only
-  * blosc's blosclz inner codec and bit-shuffle filter stay
-  * unsupported (no JVM implementation), with precise errors.
+  * default zarr-python compressor. Inner lz4/zstd/zlib/snappy blocks
+  * ride on libraries already on Spark's classpath; blosclz (c-blosc's
+  * own LZ77) and both shuffle filters (byte and bit) are implemented
+  * in [[Blosc]] directly, so any blosc1 frame decodes.
   *
   * Codec name strings match Zarr v2 compressor ids and Zarr v3 codec
   * names. Blosc encode parameters ride in the id:
   * `"blosc"` (cname lz4, clevel 5, byte-shuffle — zarr-python's
-  * defaults) or `"blosc:<cname>[:<clevel>]"`. `typesize` drives the
-  * byte-shuffle filter; pass the dtype's item size when writing.
+  * defaults) or `"blosc:<cname>[:<clevel>[:<shuffle>]]"` with shuffle
+  * one of `byte`/`bit`/`none`. `typesize` drives the shuffle filters;
+  * pass the dtype's item size when writing.
   */
 object Codecs {
 
@@ -37,7 +38,14 @@ object Codecs {
         val parts = b.split(':')
         val cname = if (parts.length > 1) parts(1) else "lz4"
         val clevel = if (parts.length > 2) parts(2).toInt else 5
-        Blosc.compress(data, typesize, cname, clevel)
+        val mode = (if (parts.length > 3) parts(3) else "byte") match {
+          case "none" => Blosc.ShuffleNone
+          case "bit" => Blosc.ShuffleBit
+          case "byte" => Blosc.ShuffleByte
+          case other => throw new IllegalArgumentException(
+            s"blosc shuffle '$other' (byte/bit/none)")
+        }
+        Blosc.compressFrame(data, typesize, cname, clevel, mode)
       case Some(other) => throw new UnsupportedOperationException(
         s"codec '$other' unsupported (gzip/zlib/zstd/blosc)")
     }

@@ -62,7 +62,9 @@ class OmeZarrIOSpec extends SparkSpec {
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
     val ms = MultiscaleBuilder.toMultiscales(spark, base,
       Some(Seq(Map("y" -> 2, "x" -> 2))), Method.ItkwasmBinShrink, cache = false)
-    for ((version, comp) <- Seq("0.4" -> "blosc", "0.5" -> "blosc:zstd:3")) {
+    for ((version, comp) <- Seq("0.4" -> "blosc", "0.5" -> "blosc:zstd:3",
+        "0.4" -> "blosc:blosclz", "0.5" -> "blosc:blosclz:5:bit",
+        "0.4" -> "blosc:lz4:5:bit")) {
       val dir = Files.createTempDirectory("omezarr").toString + "/img.zarr"
       OmeZarrIO.writeMultiscales(spark, dir, ms, version = version,
         compressor = Some(comp))

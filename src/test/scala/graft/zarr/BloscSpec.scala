@@ -25,11 +25,25 @@ class BloscSpec extends AnyFunSuite {
       "text" -> Array.tabulate[Byte](30000)(i => ('a' + i % 7).toByte),
       "tiny" -> Array[Byte](1, 2, 3),
       "odd" -> Array.tabulate[Byte](10001)(i => (i % 13).toByte)) // not a typesize multiple
-    for ((label, data) <- payloads; cname <- Seq("lz4", "zstd", "zlib", "snappy");
+    for ((label, data) <- payloads; cname <- Seq("blosclz", "lz4", "zstd", "zlib", "snappy");
          ts <- Seq(1, 2, 4, 8); sh <- Seq(true, false)) {
       val enc = Blosc.compress(data, ts, cname, 5, sh)
       assert(Blosc.decompress(enc).toSeq == data.toSeq,
         s"$label cname=$cname ts=$ts shuffle=$sh")
+    }
+  }
+
+  test("round-trip with the bit-shuffle filter across cnames and typesizes") {
+    val payloads = Seq(
+      "f64" -> f64(4096),
+      "text" -> Array.tabulate[Byte](30000)(i => ('a' + i % 7).toByte),
+      "tiny" -> Array[Byte](1, 2, 3), // smaller than ts*8: filter skipped
+      "odd" -> Array.tabulate[Byte](10001)(i => (i % 13).toByte))
+    for ((label, data) <- payloads; cname <- Seq("blosclz", "lz4", "zstd");
+         ts <- Seq(1, 2, 4, 8)) {
+      val enc = Blosc.compressFrame(data, ts, cname, 5, Blosc.ShuffleBit)
+      assert(Blosc.decompress(enc).toSeq == data.toSeq,
+        s"$label cname=$cname ts=$ts bit-shuffle")
     }
   }
 
@@ -93,23 +107,107 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(bb.array()).toSeq == data.toSeq)
   }
 
-  test("precise errors: blosclz, bit-shuffle, truncation") {
+  test("precise errors: garbage streams, truncation") {
     val data = f64(64)
-    // blosclz frame: codec bits 0, not memcpy
+    // a "blosclz" frame whose payload is not a decodable stream
     val h1 = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
     h1.put(2.toByte).put(1.toByte).put(0x00.toByte).put(8.toByte)
     h1.putInt(512).putInt(512).putInt(20).putInt(20)
-    val e1 = intercept[UnsupportedOperationException](Blosc.decompress(h1.array()))
-    assert(e1.getMessage.contains("blosclz"))
-    // bit-shuffle flag
-    val h2 = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
-    h2.put(2.toByte).put(1.toByte).put((0x04 | (1 << 5)).toByte).put(8.toByte)
-    h2.putInt(512).putInt(512).putInt(20).putInt(20)
-    val e2 = intercept[UnsupportedOperationException](Blosc.decompress(h2.array()))
-    assert(e2.getMessage.contains("bit-shuffle"))
+    intercept[java.io.IOException](Blosc.decompress(h1.array()))
     intercept[IllegalArgumentException](Blosc.decompress(Array[Byte](1, 2, 3)))
     val enc = Blosc.compress(data, 8)
     intercept[Exception](Blosc.decompress(java.util.Arrays.copyOf(enc, enc.length - 5)))
+  }
+
+  /** Independent model of the bitshuffle transform (naive boolean
+    * matrix transpose), so the codec's fast kernel is checked against
+    * a second implementation, not itself.
+    */
+  private def bitShuffleRef(data: Array[Byte], ts: Int): Array[Byte] = {
+    val nelem = data.length / ts
+    val nbr = nelem / 8
+    val out = new Array[Byte](data.length)
+    for (p <- 0 until ts * 8; r <- 0 until nbr; k <- 0 until 8) {
+      val j = p / 8
+      val b = p % 8
+      if (((data((8 * r + k) * ts + j) >> b) & 1) != 0)
+        out(p * nbr + r) = (out(p * nbr + r) | (1 << k)).toByte
+    }
+    out
+  }
+
+  test("decodes foreign bit-shuffled frames (split and unsplit layouts)") {
+    for (ts <- Seq(1, 2, 4, 8); split <- Seq(true, false)) {
+      val data = f64(512 * ts).take(512 * ts * 8 / 8 * 8) // multiple of ts*8
+      val filtered = bitShuffleRef(data, ts)
+      val n = filtered.length
+      val nstreams = if (split && ts > 1) ts else 1
+      val neblock = n / nstreams
+      val streams = (0 until nstreams).map { s =>
+        val plane = java.util.Arrays.copyOfRange(filtered, s * neblock, (s + 1) * neblock)
+        val bos = new java.io.ByteArrayOutputStream()
+        val d = new java.util.zip.DeflaterOutputStream(bos, new java.util.zip.Deflater(6))
+        d.write(plane); d.close()
+        val c = bos.toByteArray
+        if (c.length < plane.length) c else plane
+      }
+      val total = 16 + 4 + streams.map(_.length + 4).sum
+      val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte).put(1.toByte).put(((3 << 5) | 0x04).toByte).put(ts.toByte)
+      bb.putInt(data.length).putInt(data.length).putInt(total)
+      bb.putInt(16 + 4)
+      streams.foreach { s => bb.putInt(s.length); bb.put(s) }
+      assert(Blosc.decompress(bb.array()).toSeq == data.toSeq, s"ts=$ts split=$split")
+    }
+  }
+
+  /** Opcode-level blosclz fixtures: hand-assembled streams per the
+    * public c-blosc format, decoded against independently constructed
+    * expected output — pins the format without trusting the encoder.
+    */
+  test("blosclz opcodes: literals, matches, RLE, length extension, far match") {
+    def dec(stream: Array[Byte], expect: Int): Array[Byte] = {
+      val out = new Array[Byte](expect)
+      assert(Blosc.blosclzDecompress(stream, 0, stream.length, out, 0, expect),
+        "stream must decode")
+      out
+    }
+    // pure literals: ctrl = n-1 then n bytes
+    assert(dec(Array[Byte](2, 'a', 'b', 'c'), 3).toSeq == "abc".getBytes.toSeq)
+    // short match, distance 3: "abc" then copy 3 from dist 3
+    assert(dec(Array[Byte](2, 'a', 'b', 'c', (1 << 5).toByte, 2), 6).toSeq
+      == "abcabc".getBytes.toSeq)
+    // RLE: distance 1 overlapping copy, mlen 4
+    assert(dec(Array[Byte](1, 'a', 'b', (2 << 5).toByte, 0), 6).toSeq
+      == "abbbbb".getBytes.toSeq)
+    // length extension: lenField 6+255+4 -> match of 268 'x's
+    assert(dec(Array[Byte](0, 'x', (7 << 5).toByte, 255.toByte, 4, 0), 269).toSeq
+      == Seq.fill[Byte](269)('x'))
+    // far match: 9000 bytes of history, then distance-9000 copy of "xyy"
+    val rle = Array[Byte]((7 << 5).toByte) ++ Array.fill[Byte](35)(255.toByte) ++
+      Array[Byte](64, 0) // RLE run of 6+35*255+64+3 = 8998 'y's
+    val far = Array[Byte](((1 << 5) | 31).toByte, 255.toByte, 3, 40) // ofs 808 -> dist 9000
+    val stream = Array[Byte](1, 'x', 'y') ++ rle ++ far
+    val out = dec(stream, 9003)
+    assert(out(0) == 'x' && out.slice(1, 9000).forall(_ == 'y'))
+    assert(out.slice(9000, 9003).toSeq == "xyy".getBytes.toSeq)
+  }
+
+  test("blosclz compressor emits decodable streams that shrink repetitive data") {
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq(
+      "text" -> Array.tabulate[Byte](50000)(i => ('a' + i % 7).toByte),
+      "runs" -> Array.tabulate[Byte](10000)(i => (i / 1000).toByte),
+      "noise" -> Array.fill[Byte](5000)(rnd.nextInt().toByte),
+      "short" -> "ab".getBytes)
+    for ((label, data) <- payloads) {
+      val c = Blosc.blosclzCompress(data, 0, data.length)
+      val out = new Array[Byte](data.length)
+      assert(Blosc.blosclzDecompress(c, 0, c.length, out, 0, data.length), label)
+      assert(out.toSeq == data.toSeq, label)
+      if (label != "noise" && label != "short")
+        assert(c.length < data.length / 2, s"$label compressed ${c.length}")
+    }
   }
 
   test("Codecs dispatch: blosc id strings with cname/clevel") {
