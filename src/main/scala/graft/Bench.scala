@@ -64,10 +64,21 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted state so runs don't pay for each
-        // other's cached blocks
+        // other's cached blocks. catalog.clearCache() misses eager
+        // localCheckpoint blocks (they live on persisted RDDs, not in
+        // the cache manager) — without the RDD-level drop those
+        // accumulate across the suite and distort later queries'
+        // timings via memory pressure (t48 read 9× its isolated time
+        // in round 3). The result DataFrames are discarded, so
+        // freeing their checkpoint backing is safe here.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (ok) Some(dt) else None
       }
+      // SPARK_GRAFT_BENCH_GC=1 adds a full GC between queries for
+      // maximum isolation (off by default: it costs ~0.1 s per query)
+      if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
       q.name -> median(times)
     }
     // millisecond precision keeps the line short: wrappers that

@@ -316,7 +316,7 @@ object TextDedup {
     val rawLabels =
       if (edgeCount <= localThreshold && idsAreNumeric) ccUnionFind(edges)
       else ccPropagate(edges, maxRounds)
-    val labels = rawLabels.localCheckpoint(eager = true)
+    val labels = rawLabels.select(col("id"), col("label")).localCheckpoint(eager = true)
     dropCheckpoint(rawLabels) // propagate path: free its final-round blocks
     val out = vertices.select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
@@ -325,64 +325,76 @@ object TextDedup {
     out
   }
 
-  /** Small-graph fast path: one executor-side union-find task. The
-    * near-dup edge set is orders of magnitude smaller than the corpus
-    * (only docs with a band collision appear), so up to `localThreshold`
-    * edges a single task finishes in milliseconds where the iterative
-    * form pays several shuffle rounds. Runs on an executor via
-    * mapPartitions — nothing is collected to the driver. Min-root
-    * union keeps every root at its component's minimum id.
+  /** Small-graph fast path: two-stage distributed union-find. Stage 1
+    * runs a union-find per input partition IN PARALLEL, reducing each
+    * partition's edges to at most |distinct vertices in partition|
+    * spanning (vertex, root) pairs. Stage 2 merges the spanning
+    * forests in one small task whose input is vertex-bounded, not
+    * edge-bounded — so an edge-heavy graph near `localThreshold` no
+    * longer serializes all the work into one straggler core. Both
+    * stages use a primitive-specialized map ([[LongUnionFind]],
+    * ~17 bytes/vertex), so even the 10M-vertex worst case at the 5M-
+    * edge threshold sits around 230 MB of task heap, not multiple GB
+    * of boxed entries. Runs on executors via mapPartitions — nothing
+    * is collected to the driver. Min-root union keeps every root at
+    * its component's minimum id.
     */
   private def ccUnionFind(edges: DataFrame): DataFrame = {
     val sess = edges.sparkSession
     import sess.implicits._
     edges.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+      .mapPartitions(unionFindPairs) // parallel per-partition reduction
       .coalesce(1)
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        it.foreach { case (u, v) =>
-          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
-          val ru = find(u); val rv = find(v)
-          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
-        }
-        val ks = parent.keys.toArray
-        ks.iterator.map(k => (k, find(k)))
-      }
+      .mapPartitions(unionFindPairs) // vertex-bounded forest merge
       .toDF("id", "label")
+  }
+
+  /** Union all (u, v) pairs, emit (vertex, component-min) for every
+    * vertex seen. Composable: feeding one pass's output into another
+    * merges the spanning forests.
+    */
+  private def unionFindPairs(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val uf = new LongUnionFind
+    it.foreach { case (u, v) => uf.union(u, v) }
+    uf.labels
   }
 
   /** Big-graph path: min-label propagation with pointer jumping,
     * O(log n) rounds, three bounded shuffles per round. Only vertices
     * that touch an edge participate.
     */
-  /** Free the executor blocks behind an eagerly localCheckpointed
-    * DataFrame (Dataset.unpersist does not reach them — they live on
-    * the wrapped RDD, not in the cache manager). Best-effort: if the
-    * plan shape ever changes, stale blocks fall back to the
-    * ContextCleaner as references drop.
+  /** Free the executor blocks behind a DataFrame that IS an eager
+    * localCheckpoint — i.e. whose analyzed plan is the bare
+    * `LogicalRDD` the checkpoint produced (Dataset.unpersist does not
+    * reach those blocks; they live on the wrapped RDD, not in the
+    * cache manager). Deliberately matches ONLY the top-level node and
+    * never walks into plan leaves: a derived plan's leaves can include
+    * checkpoints the CALLER owns (e.g. [[minHashNearDups]] output
+    * passed in as `pairs`), and localCheckpoint truncates lineage, so
+    * unpersisting a caller's checkpoint would make their DataFrame
+    * permanently unrecomputable. No-op on non-checkpoint plans.
     */
   private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
 
+  /** Returns the final round's eager checkpoint directly (columns id,
+    * label, prev) so the caller can [[dropCheckpoint]] it after
+    * re-materializing — every intermediate round's checkpoint is
+    * freed here as soon as the next round lands.
+    */
   private def ccPropagate(edges: DataFrame, maxRounds: Int): DataFrame = {
-    var labels = edges.select(col("u").as("id"))
+    var ck = edges.select(col("u").as("id"))
       .distinct()
-      .select(col("id"), col("id").as("label"))
+      .select(col("id"), col("id").as("label"), col("id").as("prev"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
+      val labels = ck.select(col("id"), col("label"))
       // min over neighbors' labels
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "vlabel"), "v")
@@ -410,11 +422,11 @@ object TextDedup {
       // the superseded round's checkpoint blocks are dead the moment
       // `next` materializes — free them instead of letting up to
       // maxRounds copies of the label table pile up on executors
-      dropCheckpoint(labels)
-      labels = next.select("id", "label")
+      dropCheckpoint(ck)
+      ck = next
       round += 1
     }
-    labels
+    ck
   }
 
   /** SimHash near-dup pairs at corpus scale: the pigeonhole band
@@ -501,9 +513,15 @@ object TextDedup {
     * the fraction of its distinct word n-grams that also occur in a
     * benchmark (held-out test) document set — the screen run before
     * training so evaluation data doesn't leak into the corpus. The
-    * benchmark n-gram set is deduplicated and joined on the n-gram
-    * text (Spark broadcasts it when small, hash-shuffles otherwise);
-    * per-doc totals come from a map-side-combinable count, so the
+    * benchmark n-gram set is deduplicated and joined against the
+    * corpus on `xxhash64` of the n-gram — an 8-byte shuffle key in
+    * place of ~50-60 bytes of raw 8-gram text (~7× less shuffle
+    * volume; Spark broadcasts the benchmark side when small,
+    * hash-shuffles otherwise). A 64-bit hash join can overcount only
+    * on a hash collision between a corpus and benchmark n-gram:
+    * ≈ n_corpus·n_bench / 2^64, i.e. < 1e-4 expected false positives
+    * even at 10^9 × 10^7 n-grams — far below the dedup noise floor.
+    * Per-doc totals come from a map-side-combinable count, so the
     * whole operator is two linear aggregations and one key join — no
     * cross product at any scale.
     *
@@ -523,12 +541,14 @@ object TextDedup {
             i => array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " "))))
             .as("ng"))
     }
-    // totals and hits both read the corpus grams — tokenize once
+    // totals and hits both read the corpus grams — tokenize once;
+    // only the 8-byte hash is kept (and shuffled), never the text
     val corpusGrams = grams(corpus)
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val benchGrams = grams(benchmark).select("ng").distinct()
+    val benchGrams = grams(benchmark).select(xxhash64(col("ng")).as("ngh")).distinct()
     val totals = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
-    val hits = corpusGrams.join(benchGrams, "ng")
+    val hits = corpusGrams.join(benchGrams, "ngh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     val out = totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),

@@ -88,6 +88,39 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("connected components on a skewed edge set (hub + chains) stay correct") {
+    import spark.implicits._
+    // one hub vertex touching half the graph (band-collision hot key),
+    // plus disjoint chains — exercises the per-partition union-find
+    // stage with very unbalanced component shapes
+    val hub = (1L to 5000L).map(v => (0L, v))
+    val chains = (0 until 50).flatMap { c =>
+      val base = 10000L + c * 100L
+      (base until base + 99L).map(v => (v, v + 1))
+    }
+    val pairs = (hub ++ chains).toDF("doc_a", "doc_b").repartition(16)
+    val vertices = ((0L to 5000L) ++ (10000L until 15000L)).toDF("doc_id")
+    val got = TextDedup.connectedComponents(pairs, vertices)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 5000L).forall(got(_) == 0L))
+    (0 until 50).foreach { c =>
+      val base = 10000L + c * 100L
+      assert((base to base + 99L).forall(got(_) == base), s"chain $c")
+    }
+  }
+
+  test("caller's checkpoint-backed pairs survive connectedComponents (no foreign unpersist)") {
+    import spark.implicits._
+    // minHashNearDups returns an eager localCheckpoint; clustering its
+    // output must not free the caller's blocks — the pairs DataFrame
+    // has no lineage to recompute from, so a foreign unpersist would
+    // make this second action throw or silently return nothing
+    val near = TextDedup.minHashNearDups(docs, minJaccard = 0.7)
+    val before = near.count()
+    TextDedup.connectedComponents(near, docs.select("doc_id")).count()
+    assert(near.count() == before && before > 0)
+  }
+
   test("simhash: near-identical docs land at small hamming distance") {
     import spark.implicits._
     val df = Seq(
