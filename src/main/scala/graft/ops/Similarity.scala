@@ -147,36 +147,75 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate nearest neighbor: a coarse
-    * quantizer of `nlist` centroids partitions the corpus into
-    * inverted lists; each query probes only its `nprobe` nearest
-    * lists, so the scored candidate set shrinks by ~nlist/nprobe
-    * versus brute force. Centroids here are the `nlist` lowest-id
-    * vectors — deterministic and reproducible by a SQL oracle; at
-    * scale the seed set would come from a k-means sample pass and
-    * the plumbing (tiny broadcast centroid table, partition-local
-    * assignment, per-query top-k) is identical. Assignment and
-    * probing rank by the 6dp-rounded cosine with lowest-centroid-id
-    * tiebreak so every engine agrees; final ranking matches
+    * quantizer of `nlist` k-means centroids partitions the corpus
+    * into inverted lists; each query probes only its `nprobe`
+    * nearest lists, so the scored candidate set shrinks by
+    * ~nlist/nprobe versus brute force.
+    *
+    * The quantizer is a DETERMINISTIC k-means: seeds are the `nlist`
+    * vectors with the smallest md5(id) — a uniform pseudo-random
+    * draw any engine replays, immune to id-order skew — followed by
+    * `lloydRounds` Lloyd iterations. Each iteration assigns every
+    * vector to its nearest centroid partition-locally (tiny
+    * broadcast centroid table) and recomputes centroids from EXACT
+    * integer micro-sums: values quantize to round6(v)·1e6 longs,
+    * per-partition partials add associatively, and the mean is one
+    * double division of exact integers — so the centroids are
+    * bit-identical regardless of partitioning, executor count, or
+    * engine (a SQL oracle replays them with BIGINT sums). The
+    * per-round driver reduce handles ≤ nlist·numPartitions tiny
+    * partial rows — the MLlib-style centroid update, not a data
+    * collect. Assignment and probing rank by the 6dp-rounded cosine
+    * with lowest-centroid-id tiebreak; final ranking matches
     * [[bruteForceTopK]] (rounded cosine desc, neighbor id asc).
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 2, lloydRounds: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    // nlist rows: executors each get a copy; nothing large is collected
-    val cents = collectVecs(candidates.filter(col("id") < nlist)).sortBy(_._1)
+    val seeds = candidates
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist)
+    var cents: Array[(Long, Array[Double])] = collectVecs(seeds).sortBy(_._1)
+    var round = 0
+    while (round < lloydRounds) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = candidates.select("id", "vec").as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          val sums = scala.collection.mutable.LinkedHashMap.empty[Long, (Array[Long], Long)]
+          it.foreach { case (_, v) =>
+            val cid = nearestCentroids(cs, v, 1)(0)
+            val (acc, n) = sums.getOrElseUpdate(cid, (new Array[Long](v.length), 0L))
+            var i = 0
+            while (i < v.length) { acc(i) += Math.round(round6(v(i)) * 1e6); i += 1 }
+            sums(cid) = (acc, n + 1)
+          }
+          sums.iterator.map { case (cid, (s, n)) => (cid, s, n) }
+        }
+        .collect() // ≤ nlist × numPartitions rows of micro-sum arrays
+      cents = partials.groupBy(_._1).map { case (cid, rows) =>
+        val dim = rows.head._2.length
+        val tot = new Array[Long](dim)
+        var n = 0L
+        rows.foreach { case (_, s, rn) =>
+          var i = 0
+          while (i < dim) { tot(i) += s(i); i += 1 }
+          n += rn
+        }
+        // one exact-integer division per dim: same double everywhere
+        (cid, Array.tabulate(dim)(i => tot(i).toDouble / (n * 1e6)))
+      }.toArray.sortBy(_._1)
+      round += 1
+    }
     val centsBc = spark.sparkContext.broadcast(cents)
-    def nearestLists(v: Array[Double], m: Int): Array[Long] =
-      centsBc.value
-        .map { case (cid, cv) => (cid, round6(cosineJvm(v, cv))) }
-        .sortBy { case (cid, c) => (-c, cid) }
-        .take(m).map(_._1)
-    val qs = collectVecs(queries).map { case (id, v) => (id, v, nearestLists(v, nprobe).toSet) }
+    val qs = collectVecs(queries)
+      .map { case (id, v) => (id, v, nearestCentroids(centsBc.value, v, nprobe).toSet) }
     val qsBc = spark.sparkContext.broadcast(qs)
     val scored = candidates.select("id", "vec").as[(Long, Array[Double])]
       .mapPartitions { it =>
         it.flatMap { case (cid, cv) =>
-          val list = nearestLists(cv, 1)(0)
+          val list = nearestCentroids(centsBc.value, cv, 1)(0)
           qsBc.value.iterator.collect {
             case (qid, qv, probes) if qid != cid && probes(list) =>
               (qid, cid, round6(cosineJvm(qv, cv)))
@@ -185,6 +224,17 @@ object Similarity {
       }.toDF("query_id", "neighbor_id", "cos")
     rankTopK(scored, k)
   }
+
+  /** Ids of the `m` centroids nearest to `v`: 6dp-rounded cosine
+    * desc, centroid id asc — the deterministic ranking every engine
+    * reproduces.
+    */
+  private def nearestCentroids(cents: Array[(Long, Array[Double])],
+      v: Array[Double], m: Int): Array[Long] =
+    cents
+      .map { case (cid, cv) => (cid, round6(cosineJvm(v, cv))) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(m).map(_._1)
 
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup),
     * brute-force form: a relational self theta-join — Spark broadcasts

@@ -203,32 +203,86 @@ object Pipeline extends QModule {
             FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
             ORDER BY t.doc_id"""))
 
-  /** IVF ANN: 8 deterministic seed centroids, 2 probes, top-5. */
+  /** IVF ANN: deterministic k-means quantizer (md5-sampled seeds + 3
+    * Lloyd rounds over exact integer micro-sums — see
+    * [[Similarity.ivfTopK]]), 2 probes, top-5. The oracle replays
+    * the k-means verbatim: BIGINT sums are order-independent, so the
+    * centroids match bit-for-bit across engines.
+    */
   val s49AnnIvf = Q(
     "s49_ann_ivf",
     (s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("id") % 100 === 0), e, k = 5,
-          nlist = 8, nprobe = 2)
+          nlist = 8, nprobe = 2, lloydRounds = 3)
         .orderBy(col("query_id"), col("rank"))
     },
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                        FROM embeddings),
-            c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
-            ac AS (SELECT v.vec_id, c.cid,
+            c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            ac0 AS (SELECT v.vec_id, c.cid,
                      round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
                        / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
                         * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
                        6) AS cos
-                   FROM v, c),
+                   FROM v, c0 c),
+            asn0 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac0) t
+                    WHERE rn = 1),
+            m1 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn0 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c1 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m1 GROUP BY cid),
+            ac1 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c1 c),
+            asn1 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac1) t
+                    WHERE rn = 1),
+            m2 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn1 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c2 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m2 GROUP BY cid),
+            ac2 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c2 c),
+            asn2 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac2) t
+                    WHERE rn = 1),
+            m3 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn2 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c3 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m3 GROUP BY cid),
+            ac3 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c3 c),
             asn AS (SELECT vec_id, cid FROM (
                       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                        ORDER BY cos DESC, cid ASC) AS rn FROM ac) t
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac3) t
                     WHERE rn = 1),
             probe AS (SELECT vec_id AS query_id, cid FROM (
                       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
                         ORDER BY cos DESC, cid ASC) AS rn
-                      FROM ac WHERE vec_id % 100 = 0) t
+                      FROM ac3 WHERE vec_id % 100 = 0) t
                     WHERE rn <= 2),
             x AS (SELECT q.vec_id AS query_id, cand.vec_id AS neighbor_id,
                     round(list_sum(list_transform(range(64), i -> q.e[i+1] * cand.e[i+1]))

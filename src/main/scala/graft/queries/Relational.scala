@@ -331,18 +331,33 @@ object Relational extends QModule {
             count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  /** approx_count_distinct (HLL++). No SQL oracle — DuckDB's approx
-    * sketch differs; driver records the rows-only check.
+  /** approx_count_distinct (HLL++) with an oracle-checkable
+    * bounded-error verdict. The raw HLL estimate has no cross-engine
+    * oracle (DuckDB's sketch differs), so the gate row asserts what
+    * the estimate GUARANTEES instead: each engine computes its own
+    * approx vs its own exact distinct count and reports whether the
+    * estimate lands within 5% — true on both sides for any sane
+    * sketch (Spark runs rsd 0.01 ≈ 1% error; DuckDB's HLL is ~0.4%),
+    * so the booleans hash-match while still failing loudly if either
+    * sketch ever degrades past its contract.
     */
   val q13ApproxDistinct = Q(
     "q13_approx_count_distinct",
     (s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+            abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+              <= count(DISTINCT l_orderkey) * 0.05 AS within_5pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** ROLLUP with null keys coalesced to 'ALL'. */
   val q14Rollup = Q(

@@ -45,6 +45,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF with k-means quantizer: deterministic across runs, recall@5 above floor") {
+    val queries = emb.filter(col("id") % 100 === 0)
+    def run() = Similarity.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val a = run()
+    assert(a == run(), "k-means centroids must be run-to-run deterministic")
+    // recall@5 vs brute force: nprobe=2 of nlist=8 scans ~1/4 of the
+    // corpus, and the synthetic embeddings are near-uniform (little
+    // cluster structure to exploit), so a degenerate quantizer would
+    // sit at the ~0.25 scan fraction. Lloyd-converged centroids
+    // measure 0.44 here; the floor splits the difference so seeding
+    // regressions (e.g. near-identical seeds) fail loudly without
+    // flaking on data refreshes
+    val brute = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = a.map { case (q, _, n, _) => (q, n) }
+    val recall = brute.count(got.contains).toDouble / brute.size
+    assert(recall >= 0.35, s"recall@5 $recall below floor")
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb.filter(col("id") < 100), 0.3).collect()
     pairs.foreach { r =>
