@@ -18,9 +18,11 @@ import ChunkOps.ChunkRow
   * strip and tile layouts, grayscale/RGB chunky pixels, 8/16/32-bit
   * unsigned/signed/float samples (64-bit float too), compressions
   * none/Deflate(8,32946)/PackBits(32773)/LZW(5) with the horizontal-
-  * differencing predictor (tag 317 = 2), multi-page stacks of equal
-  * shape as a z dimension. Rejected with precise errors: palette
-  * color, planar (non-chunky) configuration, JPEG and other codecs.
+  * differencing predictor (tag 317 = 2), new-style JPEG (7) via
+  * `javax.imageio` including shared JPEGTables (tag 347), and
+  * multi-page stacks of equal shape as a z dimension. Rejected with
+  * precise errors: palette color, planar (non-chunky) configuration,
+  * old-style JPEG (6) and movie codecs.
   */
 object TiffIO {
 
@@ -30,7 +32,10 @@ object TiffIO {
       compression: Int, predictor: Int,
       // strip layout: tileWidth == 0; tile layout otherwise
       rowsPerStrip: Int, tileWidth: Int, tileLength: Int,
-      offsets: Seq[Long], byteCounts: Seq[Long])
+      offsets: Seq[Long], byteCounts: Seq[Long],
+      // tag 347: shared quantization/Huffman tables for abbreviated
+      // JPEG (compression 7) regions
+      jpegTables: Option[Array[Byte]] = None)
 
   final case class TiffInfo(littleEndian: Boolean, pages: Seq[TiffPage])
 
@@ -143,6 +148,7 @@ object TiffIO {
       var stripOff: Seq[Long] = Nil; var stripCnt: Seq[Long] = Nil
       var tileOff: Seq[Long] = Nil; var tileCnt: Seq[Long] = Nil
       var photometric = 1
+      var jpegTables: Option[Array[Byte]] = None
 
       var e = 0
       while (e < nEntries) {
@@ -190,6 +196,7 @@ object TiffIO {
           case 324 => tileOff = values
           case 325 => tileCnt = values
           case 339 => fmt = valueAt(0).toInt
+          case 347 => jpegTables = Some(src.get(dataOff, count.toInt))
           case _ => () // resolution, description, etc. — not structural
         }
         e += 1
@@ -214,7 +221,7 @@ object TiffIO {
         s"TIFF page has ${offs.length} ${if (tiled) "tiles" else "strips"} " +
           s"but ${cnts.length} byte counts")
       pages += TiffPage(width, height, spp, bits, fmt, comp, pred,
-        effRps, tw, tl, offs, cnts)
+        effRps, tw, tl, offs, cnts, jpegTables)
       ifdOff = if (big) r.u64(base + nEntries.toLong * entrySize)
         else r.u32(base + nEntries.toLong * entrySize)
       guard += 1
@@ -227,7 +234,8 @@ object TiffIO {
   // ---- region codecs ----
 
   /** Decompress one strip/tile to exactly `expect` bytes. */
-  private[operators] def decodeRegion(comp: Int, data: Array[Byte], expect: Int): Array[Byte] =
+  private[operators] def decodeRegion(comp: Int, data: Array[Byte], expect: Int,
+      jpegTables: Option[Array[Byte]] = None): Array[Byte] =
     comp match {
       case 1 =>
         require(data.length >= expect, s"short uncompressed region: ${data.length} < $expect")
@@ -247,11 +255,45 @@ object TiffIO {
         out
       case 32773 => unpackBits(data, expect)
       case 5 => lzwDecode(data, expect)
-      case 7 | 6 => throw new UnsupportedOperationException(
-        "JPEG-compressed TIFF unsupported (needs native codecs)")
+      case 7 => jpegDecodeRegion(data, jpegTables, expect) // new-style JPEG
+      case 6 => throw new UnsupportedOperationException(
+        "old-style JPEG (compression 6) unsupported — rewrite with compression 7")
       case other => throw new UnsupportedOperationException(
-        s"TIFF compression $other unsupported (none/deflate/packbits/lzw)")
+        s"TIFF compression $other unsupported (none/deflate/packbits/lzw/jpeg)")
     }
+
+  /** New-style JPEG (compression 7) region decode via `javax.imageio`
+    * (JDK-only). A region is either a complete JFIF stream, or an
+    * abbreviated stream whose quantization/Huffman tables live in the
+    * page-level JPEGTables tag (347): per TIFF-EP the tables blob is
+    * SOI + table segments + EOI and each region starts with its own
+    * SOI, so splicing `tables minus EOI` with `region minus SOI`
+    * reconstitutes a complete stream.
+    */
+  private[operators] def jpegDecodeRegion(data: Array[Byte],
+      tables: Option[Array[Byte]], expect: Int): Array[Byte] = {
+    require(data.length >= 2, "empty JPEG region")
+    val stream = tables match {
+      case Some(t) if t.length > 4 =>
+        require((t(0) & 0xff) == 0xff && (t(1) & 0xff) == 0xd8,
+          "JPEGTables blob does not start with SOI")
+        t.dropRight(2) ++ data.drop(2)
+      case _ => data
+    }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+    require(img != null, "undecodable JPEG region")
+    val raster = img.getRaster
+    val nb = raster.getNumBands
+    val n = img.getWidth * img.getHeight * nb
+    require(n == expect,
+      s"JPEG region decodes to $n samples, layout expects $expect " +
+        s"(${img.getWidth}x${img.getHeight}x$nb)")
+    val px = raster.getPixels(0, 0, img.getWidth, img.getHeight, new Array[Int](n))
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = px(i).toByte; i += 1 }
+    out
+  }
 
   /** PackBits RLE (TIFF 6.0 spec): n in [0,127] → copy n+1 literal
     * bytes; n in [-127,-1] → repeat next byte 1-n times; -128 no-op.
@@ -445,7 +487,7 @@ object TiffIO {
         val storedH = if (p.tileWidth > 0) p.tileLength else rh0
         val storedW = rw0
         val expect = storedH * storedW * p.samplesPerPixel * bytesPerSample
-        val decoded = decodeRegion(p.compression, raw, expect)
+        val decoded = decodeRegion(p.compression, raw, expect, p.jpegTables)
         if (p.predictor == 2)
           undoPredictor(decoded, storedW, storedH, p.samplesPerPixel, bytesPerSample, le)
         // big-endian samples normalize to the engine's layout on decode

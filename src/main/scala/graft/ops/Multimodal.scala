@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   * runs where the payload rows live, so the path scales to a 100 TB
   * media column exactly like any other embarrassingly parallel map.
   *
-  * Decoders are REAL for the formats whose public spec needs no
-  * native codec: netpbm P5/P6 (PGM/PPM), uncompressed 24-bit BMP,
-  * and PCM-16 RIFF/WAVE. Codec-bound formats (JPEG/PNG/MP3/H.264)
-  * are rejected with precise errors — swapping in a native binding
-  * only changes `decodeImage`/`decodeAudio`, not the plumbing. The
-  * byte-statistics kernel is kept as the format-agnostic fallback.
+  * Decoders are REAL: netpbm P5/P6 (PGM/PPM), uncompressed 24-bit
+  * BMP and PCM-16 RIFF/WAVE are parsed directly from their public
+  * specs, and PNG/JPEG/GIF decode through `javax.imageio` — JDK-only,
+  * no native libraries. Still-codec-bound formats (MP3/H.264) are
+  * rejected with precise errors — swapping in a binding only changes
+  * `decodeImage`/`decodeAudio`, not the plumbing. The byte-statistics
+  * kernel is kept as the format-agnostic fallback.
   */
 object Multimodal {
 
@@ -217,6 +218,25 @@ object Multimodal {
     DecodedImage(tw, th, img.channels, out)
   }
 
+  /** PNG/JPEG/GIF decode via `javax.imageio` (ships with the JDK —
+    * no native codec). Channels mirror the decoded raster's bands
+    * (gray 1, RGB 3, RGBA 4), pixels interleaved row-major like every
+    * other decoder here.
+    */
+  def decodeJavax(payload: Array[Byte]): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "javax.imageio has no reader for this payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val nb = raster.getNumBands
+    val px = raster.getPixels(0, 0, w, h, new Array[Int](w * h * nb))
+    val out = new Array[Byte](px.length)
+    var i = 0
+    while (i < out.length) { out(i) = px(i).toByte; i += 1 }
+    DecodedImage(w, h, nb, out)
+  }
+
   /** Dispatch on magic bytes; precise error for codec-bound formats. */
   def decodeImage(payload: Array[Byte]): DecodedImage = {
     if (payload.length >= 2 && payload(0) == 'P'.toByte &&
@@ -224,9 +244,11 @@ object Multimodal {
     else if (payload.length >= 2 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
       decodeBmp(payload)
     else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
-      throw new UnsupportedOperationException("JPEG needs a native codec binding")
+      decodeJavax(payload) // JPEG
     else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte)
-      throw new UnsupportedOperationException("PNG needs a native codec binding")
+      decodeJavax(payload) // PNG
+    else if (payload.length >= 3 && new String(payload, 0, 3, "US-ASCII") == "GIF")
+      decodeJavax(payload)
     else throw new UnsupportedOperationException("unrecognized image payload")
   }
 
@@ -301,6 +323,70 @@ object Multimodal {
       val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
       val body = Array.tabulate[Byte](w * h * 3)(i => ((id * 37 + i * 11) % 256).toByte)
       (id, header ++ body)
+    }).toDF("doc_id", "media")
+  }
+
+  /** A real PNG blob per doc, encoded by `javax.imageio` on the
+    * executor: 6×4 RGB with the SAME closed-form pixels as
+    * [[syntheticPpm]] (byte i = (doc_id·37 + i·11) mod 256). PNG is
+    * lossless, so decoding through the real ImageIO path reproduces
+    * the closed form exactly and the PPM oracle arithmetic carries
+    * over unchanged.
+    */
+  def syntheticPng(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = 6; val h = 4
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var i = 0
+      while (i < w * h) {
+        def ch(c: Int) = ((id * 37 + (i * 3 + c) * 11) % 256).toInt
+        img.setRGB(i % w, i / w, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }).toDF("doc_id", "media")
+  }
+
+  /** A real JPEG blob per doc: 16×16 GRAYSCALE of four uniform 8×8
+    * blocks, block b = (doc_id·37 + b·29) mod 256, written at quality
+    * 0.95. Uniform blocks aligned to the JPEG MCU grid decode to
+    * within DC-quantization error (≤ ~2 levels) of the original, so a
+    * bounded-error verdict against the closed-form block means is
+    * robust while still exercising the REAL lossy decode path.
+    */
+  def syntheticJpeg(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val b = (y / 8) * 2 + (x / 8)
+          raster.setSample(x, y, 0, ((id * 37 + b * 29) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.95f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close()
+      writer.dispose()
+      (id, bos.toByteArray)
     }).toDF("doc_id", "media")
   }
 

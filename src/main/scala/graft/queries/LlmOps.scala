@@ -23,7 +23,7 @@ object LlmOps extends QModule {
     d45EmbNearDup, d46SimHashBanded, d47DupClusters, s46CosineTopK, s47AnnLsh,
     s48CosineExpr,
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
-    m52Multimodal, m53ImageDecode, m54AudioDecode)
+    m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode)
 
   import QTables.{docs, emb}
 
@@ -491,6 +491,56 @@ object LlmOps extends QModule {
               i -> (doc_id * 37 + (3 * i + 1) * 11) % 256)) AS DOUBLE) / 24 AS mean_c1,
             CAST(list_sum(list_transform(range(24),
               i -> (doc_id * 37 + (3 * i + 2) * 11) % 256)) AS DOUBLE) / 24 AS mean_c2
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  /** REAL PNG decode in the gate: per-doc PNG blobs (encoded AND
+    * decoded through javax.imageio on executors) carry the same
+    * closed-form pixels as m53's PPMs; PNG is lossless, so the same
+    * oracle arithmetic replays the per-channel means exactly.
+    */
+  val m55PngDecode = Q(
+    "m55_png_decode_features",
+    (s, dir) => Multimodal.extractImageFeatures(s,
+        Multimodal.syntheticPng(docs(s, dir).filter(col("doc_id") < 200)))
+      .toDF().orderBy(col("doc_id")),
+    Some("""SELECT doc_id, CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+            CAST(3 AS INT) AS channels,
+            CAST(list_sum(list_transform(range(24),
+              i -> (doc_id * 37 + (3 * i + 0) * 11) % 256)) AS DOUBLE) / 24 AS mean_c0,
+            CAST(list_sum(list_transform(range(24),
+              i -> (doc_id * 37 + (3 * i + 1) * 11) % 256)) AS DOUBLE) / 24 AS mean_c1,
+            CAST(list_sum(list_transform(range(24),
+              i -> (doc_id * 37 + (3 * i + 2) * 11) % 256)) AS DOUBLE) / 24 AS mean_c2
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  /** REAL (lossy) JPEG decode in the gate. Decoded pixels aren't
+    * bit-reproducible by a SQL engine, so — like q13 — the gate row
+    * asserts what the codec GUARANTEES: both engines compute the
+    * closed-form block means, and the Spark side additionally checks
+    * its real decode lands within ±4 levels (DC quantization error is
+    * ≤ ~2 at quality 0.95 on MCU-aligned uniform blocks).
+    */
+  val m56JpegDecode = Q(
+    "m56_jpeg_decode_features",
+    (s, dir) => {
+      val exp = (0 until 4).map(b => (col("doc_id") * 37 + b * 29) % 256)
+        .reduce(_ + _).cast("double") / 4.0
+      Multimodal.extractImageFeatures(s,
+          Multimodal.syntheticJpeg(docs(s, dir).filter(col("doc_id") < 200)))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          exp.as("exp_mean"),
+          (abs(col("mean_c0") - exp) <= 4.0).as("mean_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+            CAST(1 AS INT) AS channels,
+            CAST((doc_id * 37) % 256 + (doc_id * 37 + 29) % 256
+               + (doc_id * 37 + 58) % 256 + (doc_id * 37 + 87) % 256 AS DOUBLE) / 4
+              AS exp_mean,
+            true AS mean_ok
             FROM documents WHERE doc_id < 200
             ORDER BY doc_id"""))
 

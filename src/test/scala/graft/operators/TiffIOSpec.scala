@@ -153,12 +153,142 @@ class TiffIOSpec extends SparkSpec {
       == ChunkOps.toArray(img.chunks, img.meta).toSeq)
   }
 
-  test("precise errors: palette, JPEG, bad magic") {
+  test("precise errors: palette, old-style JPEG, bad magic") {
     val ok = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$fx/gray8_strips.tif"))
     intercept[IllegalArgumentException](TiffIO.parseInfo("NOPE".getBytes ++ ok.drop(4)))
     assert(TiffIO.dtypeFor(16, 1) == "uint16")
     intercept[UnsupportedOperationException](TiffIO.dtypeFor(1, 1)) // bilevel
-    intercept[UnsupportedOperationException](TiffIO.decodeRegion(7, Array[Byte](1), 4))
+    intercept[UnsupportedOperationException](TiffIO.decodeRegion(6, Array[Byte](1), 4))
+  }
+
+  // ---- JPEG compression (7) fixtures, assembled in-test ----
+
+  /** Expected gray value: four uniform 8×8 blocks (MCU-aligned, so
+    * JPEG reproduces them within DC-quantization error).
+    */
+  private def blockVal(x: Int, y: Int): Int = 40 + 50 * ((y / 8) * 2 + (x / 8))
+
+  private def jpegGray(w: Int, h: Int, value: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, value(x, y))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Split a complete JPEG into (JPEGTables blob, abbreviated stream)
+    * per TIFF-EP: DQT/DHT segments move to SOI+tables+EOI, everything
+    * else (APPn, SOF, SOS+entropy, EOI) keeps its own SOI.
+    */
+  private def splitJpeg(full: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val tables = new java.io.ByteArrayOutputStream()
+    val abbrev = new java.io.ByteArrayOutputStream()
+    def soi(o: java.io.ByteArrayOutputStream): Unit = { o.write(0xff); o.write(0xd8) }
+    soi(tables); soi(abbrev)
+    var i = 2
+    while (i < full.length) {
+      require((full(i) & 0xff) == 0xff, s"bad marker at $i")
+      val marker = full(i + 1) & 0xff
+      if (marker == 0xd9) { abbrev.write(full, i, 2); i = full.length } // EOI
+      else if (marker == 0xda) { // SOS: entropy data runs to EOI
+        abbrev.write(full, i, full.length - i); i = full.length
+      } else {
+        val len = ((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff)
+        val dst = if (marker == 0xdb || marker == 0xc4) tables else abbrev
+        dst.write(full, i, 2 + len)
+        i += 2 + len
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    (tables.toByteArray, abbrev.toByteArray)
+  }
+
+  /** Minimal little-endian classic TIFF: gray8, strip or single-tile
+    * layout, compression 7, optional JPEGTables.
+    */
+  private def buildJpegTiff(w: Int, h: Int, rps: Int, regions: Seq[Array[Byte]],
+      tiled: Boolean, tables: Option[Array[Byte]]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    val regionOffs = regions.map { r => val o = 8 + body.size; body.write(r); o.toLong }
+    val tablesOff = 8 + body.size
+    tables.foreach(body.write)
+    // external value arrays (offsets/counts when count > 1)
+    val ext = new java.io.ByteArrayOutputStream()
+    val extBase = 8 + body.size
+    def extLongs(vs: Seq[Long]): Long = {
+      val o = extBase + ext.size
+      vs.foreach { v =>
+        ext.write((v & 0xff).toInt); ext.write(((v >> 8) & 0xff).toInt)
+        ext.write(((v >> 16) & 0xff).toInt); ext.write(((v >> 24) & 0xff).toInt)
+      }
+      o.toLong
+    }
+    val n = regions.length
+    val offVal = if (n == 1) regionOffs.head else extLongs(regionOffs)
+    val cntVal = if (n == 1) regions.head.length.toLong
+      else extLongs(regions.map(_.length.toLong))
+    val ifdOff = extBase + ext.size
+    case class E(tag: Int, typ: Int, count: Int, v: Long)
+    val entries = (Seq(
+      E(256, 3, 1, w), E(257, 3, 1, h), E(258, 3, 1, 8), E(259, 3, 1, 7),
+      E(262, 3, 1, 1), E(277, 3, 1, 1), E(339, 3, 1, 1)) ++
+      (if (tiled) Seq(E(322, 3, 1, w), E(323, 3, 1, h),
+        E(324, 4, n, offVal), E(325, 4, n, cntVal))
+      else Seq(E(273, 4, n, offVal), E(278, 3, 1, rps), E(279, 4, n, cntVal))) ++
+      tables.map(t => E(347, 7, t.length, tablesOff.toLong)).toSeq)
+      .sortBy(_.tag)
+    val bb = java.nio.ByteBuffer.allocate(
+        8 + body.size + ext.size + 2 + entries.length * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    bb.put(body.toByteArray)
+    bb.put(ext.toByteArray)
+    bb.putShort(entries.length.toShort)
+    entries.foreach { e =>
+      bb.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count)
+      if (e.typ == 3 && e.count == 1) bb.putShort(e.v.toShort).putShort(0)
+      else bb.putInt(e.v.toInt)
+    }
+    bb.putInt(0) // no next IFD
+    bb.array()
+  }
+
+  private def assertBlocks(got: Array[Double], w: Int, h: Int, tol: Int): Unit =
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.abs(got(y * w + x) - blockVal(x, y)) <= tol,
+        s"($x,$y): ${got(y * w + x)} vs ${blockVal(x, y)}")
+
+  test("JPEG-compressed strips (compression 7) decode within quantization error") {
+    val strips = Seq(0, 8).map(y0 => jpegGray(16, 8, (x, y) => blockVal(x, y + y0)))
+    val path = java.nio.file.Files.createTempFile("jpegstrips", ".tif")
+    java.nio.file.Files.write(path, buildJpegTiff(16, 16, 8, strips,
+      tiled = false, tables = None))
+    val img = TiffIO.read(spark, path.toString)
+    assert(img.meta.shape == Seq(16L, 16L) && img.meta.dtype == "uint8")
+    assertBlocks(ChunkOps.toArray(img.chunks, img.meta), 16, 16, tol = 4)
+  }
+
+  test("JPEG tile with shared JPEGTables (tag 347) splices and decodes") {
+    val (tables, abbrev) = splitJpeg(jpegGray(16, 16, blockVal))
+    // the abbreviated stream must really be abbreviated (no DQT/DHT)…
+    assert(!abbrev.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xdb))
+    // …and the tables blob must carry at least one DQT and one DHT
+    assert(tables.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xdb))
+    assert(tables.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc4))
+    val path = java.nio.file.Files.createTempFile("jpegtile", ".tif")
+    java.nio.file.Files.write(path, buildJpegTiff(16, 16, 0, Seq(abbrev),
+      tiled = true, tables = Some(tables)))
+    val img = TiffIO.read(spark, path.toString)
+    assert(img.meta.shape == Seq(16L, 16L))
+    assertBlocks(ChunkOps.toArray(img.chunks, img.meta), 16, 16, tol = 4)
   }
 }

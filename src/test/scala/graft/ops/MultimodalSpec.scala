@@ -81,8 +81,35 @@ class MultimodalSpec extends SparkSpec {
     val const = Multimodal.DecodedImage(8, 8, 3, Array.fill[Byte](192)(50))
     val th = Multimodal.thumbnail(const, 4, 2)
     assert(th.width == 4 && th.height == 2 && th.pixels.forall(_ == 50))
-    // JPEG magic gets a precise error, not a garbage decode
-    intercept[UnsupportedOperationException](
+    // a truncated JPEG fails loudly in ImageIO, not a garbage decode
+    intercept[Exception](
       Multimodal.decodeImage(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)))
+  }
+
+  test("PNG round-trip through javax.imageio reproduces closed-form pixels exactly") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 7L).toDF("doc_id")
+    val feats = Multimodal.extractImageFeatures(spark,
+      Multimodal.syntheticPng(ids)).collect()
+    assert(feats.length == 3)
+    feats.foreach { f =>
+      def exp(c: Int) =
+        (0 until 24).map(i => (f.doc_id * 37 + (3 * i + c) * 11) % 256).sum / 24.0
+      assert(f.width == 6 && f.height == 4 && f.channels == 3)
+      assert(f.mean_c0 == exp(0) && f.mean_c1 == exp(1) && f.mean_c2 == exp(2),
+        s"doc ${f.doc_id}")
+    }
+  }
+
+  test("JPEG decode lands within DC-quantization error of the block pattern") {
+    import spark.implicits._
+    val ids = Seq(3L, 11L).toDF("doc_id")
+    val feats = Multimodal.extractImageFeatures(spark,
+      Multimodal.syntheticJpeg(ids)).collect()
+    feats.foreach { f =>
+      val exp = (0 until 4).map(b => (f.doc_id * 37 + b * 29) % 256).sum / 4.0
+      assert(f.width == 16 && f.height == 16 && f.channels == 1)
+      assert(math.abs(f.mean_c0 - exp) <= 4.0, s"doc ${f.doc_id}: ${f.mean_c0} vs $exp")
+    }
   }
 }
