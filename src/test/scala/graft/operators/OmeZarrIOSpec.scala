@@ -80,6 +80,25 @@ class OmeZarrIOSpec extends SparkSpec {
     }
   }
 
+  test("full pyramid write/read through a foreign-scheme FileSystem (S3 contract)") {
+    // executors resolve mockfs:// through the serialized hadoop conf,
+    // exactly the route s3a:// credentials take on a real cluster
+    spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl",
+      classOf[graft.zarr.MockRemoteFileSystem].getName)
+    val (m, vals) = mkImage()
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base,
+      Some(Seq(Map("y" -> 2, "x" -> 2))), Method.ItkwasmBinShrink, cache = false)
+    val local = Files.createTempDirectory("omezarr-remote").toString
+    val dir = s"mockfs://bucket$local/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.4",
+      compressor = Some("blosc"))
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(back.levels.map(_.meta.shape) == Seq(Seq(64L, 64L), Seq(32L, 32L)))
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+  }
+
   test("consolidated metadata written for v0.4 (S8)") {
     val (m, vals) = mkImage()
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))

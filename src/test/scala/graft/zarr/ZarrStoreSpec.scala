@@ -16,6 +16,40 @@ class ZarrStoreSpec extends AnyFunSuite {
     assertThrows[UnsupportedOperationException](Codecs.compress(Some("lzma"), data))
   }
 
+  test("store contract holds on a foreign-scheme Hadoop FileSystem (S3) ") {
+    // mockfs://bucket/... resolves through fs.<scheme>.impl exactly
+    // like s3a/gs/abfs would — this pins the claim that ZarrStore is
+    // remote-ready: every operation below goes through the FileSystem
+    // API of a non-default scheme carried in a SERIALIZED conf (the
+    // same route executor-side stores take)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.mockfs.impl", classOf[MockRemoteFileSystem].getName)
+    val hconf = new SerializableHadoopConf(conf)
+    // round-trip the conf through Java serialization first, as a task
+    // closure would
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(hconf); oos.close()
+    val wire = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[SerializableHadoopConf]
+    val local = Files.createTempDirectory("mockfs").toString
+    val st = new ZarrStore(s"mockfs://bucket$local/store.zarr", Some(wire))
+    st.writeString(".zgroup", """{"zarr_format": 2}""")
+    st.writeBytes("a/0/0", Array.tabulate[Byte](100)(_.toByte))
+    assert(st.exists(".zgroup") && st.exists("a/0/0") && !st.exists("a/0/1"))
+    assert(st.size("a/0/0") == 100)
+    assert(st.readBytes("a/0/0").toSeq == (0 until 100).map(_.toByte))
+    assert(st.readRange("a/0/0", 10, 5).toSeq == (10 until 15).map(_.toByte))
+    assert(st.readTail("a/0/0", 4).toSeq == (96 until 100).map(_.toByte))
+    assert(st.readString(".zgroup").contains("zarr_format"))
+    assert(st.list("").toSet == Set(".zgroup", "a/0/0"))
+    st.delete("a")
+    assert(!st.exists("a/0/0") && st.list("").toSet == Set(".zgroup"))
+    // the payload really landed under the local root the mock maps to
+    assert(new java.io.File(s"$local/store.zarr/.zgroup").exists())
+  }
+
   test("chunk keys: v2 separators and v3 c-prefix") {
     assert(ZarrStore.chunkKey(2, "scale0/image", Seq(0, 1), "/") == "scale0/image/0/1")
     assert(ZarrStore.chunkKey(2, "scale0/image", Seq(0, 1), ".") == "scale0/image/0.1")
