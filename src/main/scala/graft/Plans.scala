@@ -11,7 +11,8 @@ object Plans {
     "q01_agg_pricing", "q03_join_topk_revenue", "q10_range_join",
     "q11_broadcast_star_join", "d42_minhash_lsh_neardup",
     "d45_embedding_neardup", "d46_simhash_banded", "s46_cosine_topk",
-    "s47_ann_lsh", "t52_redact_pii")
+    "s47_ann_lsh", "t52_redact_pii",
+    "q39_asof_join", "t54_contamination", "d47_dup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -19,8 +19,16 @@ object ZOrder {
 
   /** Morton code of two non-negative ints using the low `bits` bits
     * of each: bit i of x lands at position 2i, bit i of y at 2i+1.
+    *
+    * Keys wider than `bits` are TRUNCATED to their low bits, which
+    * collapses distinct high-key values into one z bucket and
+    * degrades (never breaks) min/max pruning along that dimension.
+    * The default of 21 bits per dimension (42-bit z, exact in a
+    * LONG — and in a DOUBLE, for engines whose bit ops work there)
+    * covers keys to ~2.1M; size `bits` to ceil(log2(max key + 1))
+    * for wider domains.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+  def zValue(x: Column, y: Column, bits: Int = 21): Column =
     (0 until bits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
@@ -33,7 +41,7 @@ object ZOrder {
     * partition.
     */
   def clusterBy(df: DataFrame, xCol: String, yCol: String,
-      numPartitions: Int, bits: Int = 16): DataFrame = {
+      numPartitions: Int, bits: Int = 21): DataFrame = {
     val withZ = df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
     withZ
       .repartitionByRange(numPartitions, col("__z"))

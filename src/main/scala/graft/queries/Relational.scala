@@ -1011,7 +1011,7 @@ object Relational extends QModule {
         .limit(200)
     },
     Some("""WITH x AS (SELECT DISTINCT l_partkey, l_suppkey,
-                  CAST(list_sum(list_transform(range(16), i ->
+                  CAST(list_sum(list_transform(range(21), i ->
                     ((l_partkey // CAST(pow(2, i) AS BIGINT)) % 2)
                       * CAST(pow(2, 2 * i) AS BIGINT)
                     + ((l_suppkey // CAST(pow(2, i) AS BIGINT)) % 2)

@@ -100,11 +100,18 @@ object Streams {
     * size per key regardless of history length, the property that
     * makes this run forever on an unbounded stream. Rows inside a
     * micro-batch are folded in (ts, event_id) order so batch
-    * composition doesn't change results; views arriving in a LATER
-    * batch than a purchase they precede in event time cannot
-    * retro-attribute (append mode emits each purchase exactly once) —
-    * the standard streaming-attribution trade, stated rather than
-    * hidden.
+    * composition doesn't change results. Two documented divergences
+    * from the batch operator, both inherent to single-pair state +
+    * append mode (each purchase emits exactly once):
+    *  - late VIEWS cannot retro-attribute purchases emitted in an
+    *    earlier batch;
+    *  - a late PURCHASE whose event time precedes the stored
+    *    (newest) view goes out unattributed even when an OLDER view
+    *    — since superseded in state — would have matched under batch
+    *    semantics. Keeping a watermark-trimmed history of (view_id,
+    *    ts) pairs would close this for bounded lateness at O(history)
+    *    state per user; the single-pair form is the standard
+    *    streaming-attribution trade, stated rather than hidden.
     */
   def asofAttribution(spark: SparkSession,
       events: Dataset[TypedEvent]): Dataset[Attribution] = {

@@ -13,6 +13,20 @@ class PipelineOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("asofBackward plans exactly ONE shuffle (union-sort-window form)") {
+    // the whole point of the union-sort-window design: |L|+|R| rows
+    // shuffle once on the key, instead of a pair-enumerating join —
+    // a second Exchange appearing here is a scale regression
+    val left = Seq((1L, 100L, 10L)).toDF("l_id", "k", "t")
+    val right = Seq((11L, 100L, 5L)).toDF("r_id", "k", "rt")
+    val plan = AsofJoin.asofBackward(left, right, key = "k",
+        leftTime = "t", rightTime = "rt", rightTie = "r_id")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).size -
+      "BroadcastExchange".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, plan:\n$plan")
+  }
+
   test("asofBackward matches the naive join+argmax form") {
     val left = Seq(
       (1L, 100L, 10L), (2L, 100L, 20L), (3L, 200L, 15L), (4L, 300L, 5L))
