@@ -118,11 +118,16 @@ object ZarrJson {
         c.put("id", "blosc")
         c.put("cname", if (parts.length > 1) parts(1) else "lz4")
         c.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
-        // numcodecs encoding: 0 none, 1 byte-shuffle (default), 2 bit-shuffle
+        // numcodecs encoding: 0 none, 1 byte-shuffle (default), 2
+        // bit-shuffle; unknown tokens throw HERE so a typo'd id can't
+        // write metadata that Codecs.compress will then reject after
+        // the store is half-created
         c.put("shuffle", if (parts.length > 3) parts(3) match {
           case "none" => 0
+          case "byte" => 1
           case "bit" => 2
-          case _ => 1
+          case other => throw new IllegalArgumentException(
+            s"blosc shuffle '$other' (byte/bit/none)")
         } else 1)
         c.put("blocksize", 0)
       case _ => n.putNull("compressor")
@@ -164,8 +169,10 @@ object ZarrJson {
         b.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
         b.put("shuffle", if (parts.length > 3) parts(3) match {
           case "none" => "noshuffle"
+          case "byte" => "shuffle"
           case "bit" => "bitshuffle"
-          case _ => "shuffle"
+          case other => throw new IllegalArgumentException(
+            s"blosc shuffle '$other' (byte/bit/none)")
         } else "shuffle")
         b.put("typesize", Dtypes.itemSize(dtype))
         b

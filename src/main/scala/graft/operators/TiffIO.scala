@@ -282,6 +282,9 @@ object TiffIO {
     }
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
     require(img != null, "undecodable JPEG region")
+    if (img.getColorModel.getComponentSize.max > 8)
+      throw new UnsupportedOperationException(
+        "JPEG region with >8-bit components unsupported")
     val raster = img.getRaster
     val nb = raster.getNumBands
     val n = img.getWidth * img.getHeight * nb

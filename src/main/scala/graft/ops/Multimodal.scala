@@ -221,13 +221,37 @@ object Multimodal {
   /** PNG/JPEG/GIF decode via `javax.imageio` (ships with the JDK —
     * no native codec). Channels mirror the decoded raster's bands
     * (gray 1, RGB 3, RGBA 4), pixels interleaved row-major like every
-    * other decoder here.
+    * other decoder here. Palette images (all GIFs, indexed PNGs)
+    * expand through the color model to RGB — their raster bands are
+    * lookup-table INDICES, not colors. Components wider than 8 bits
+    * (16-bit PNG) are rejected rather than silently truncated to the
+    * low byte.
     */
   def decodeJavax(payload: Array[Byte]): DecodedImage = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "javax.imageio has no reader for this payload")
     val w = img.getWidth
     val h = img.getHeight
+    if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // palette lookup to sRGB
+          val base = (y * w + x) * 3
+          out(base) = ((rgb >> 16) & 0xff).toByte
+          out(base + 1) = ((rgb >> 8) & 0xff).toByte
+          out(base + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      return DecodedImage(w, h, 3, out)
+    }
+    val maxBits = img.getColorModel.getComponentSize.max
+    if (maxBits > 8) throw new UnsupportedOperationException(
+      s"$maxBits-bit-per-channel image unsupported (8-bit components only)")
     val raster = img.getRaster
     val nb = raster.getNumBands
     val px = raster.getPixels(0, 0, w, h, new Array[Int](w * h * nb))

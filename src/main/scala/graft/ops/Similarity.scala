@@ -194,6 +194,7 @@ object Similarity {
           sums.iterator.map { case (cid, (s, n)) => (cid, s, n) }
         }
         .collect() // ≤ nlist × numPartitions rows of micro-sum arrays
+      bc.destroy() // superseded round's centroids are provably dead
       cents = partials.groupBy(_._1).map { case (cid, rows) =>
         val dim = rows.head._2.length
         val tot = new Array[Long](dim)

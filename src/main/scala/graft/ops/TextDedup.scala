@@ -344,7 +344,11 @@ object TextDedup {
     import sess.implicits._
     edges.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
       .mapPartitions(unionFindPairs) // parallel per-partition reduction
-      .coalesce(1)
+      // repartition (a SHUFFLE), not coalesce: a narrow coalesce(1)
+      // would fuse stage 1 into the single merged task and run every
+      // partition's union-find serially on one core — the shuffle
+      // boundary is what makes the reduction actually parallel
+      .repartition(1)
       .mapPartitions(unionFindPairs) // vertex-bounded forest merge
       .toDF("id", "label")
   }

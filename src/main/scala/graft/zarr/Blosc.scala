@@ -35,12 +35,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * blosclz, c-blosc's own FastLZ-derived LZ77 (see [[blosclzDecompress]]
   * for the opcode layout). The bit-shuffle filter (bitshuffle library
   * as vendored by c-blosc) is a pure bit transpose: a filtered block
-  * is typesize*8 bit-planes of nelem/8 bytes; plane p = 8*j + b holds
-  * bit b (LSB-first) of byte j of every element, element e's bit at
-  * byte e/8, bit e%8. c-blosc only applies it to blocks whose size is
-  * a multiple of typesize*8 (it sizes blocks accordingly and stores a
-  * non-conforming tail block unfiltered), and this codec mirrors that
-  * rule on both paths.
+  * is typesize*8 bit-planes over the largest multiple-of-8-elements
+  * prefix; plane p = 8*j + b holds bit b (LSB-first) of byte j of
+  * each prefix element (element e's bit at byte e/8, bit e%8), and
+  * the leftover elements plus any sub-typesize remainder are stored
+  * unfiltered after the planes — c-blosc's exact leftover rule,
+  * mirrored on both paths here.
   */
 object Blosc {
 
@@ -114,8 +114,7 @@ object Blosc {
             tryStreams(frame, bstarts(j), bsize, typesize, codec) else None)
           .getOrElse(throw new java.io.IOException(
             s"blosc block $j at ${bstarts(j)} does not parse as split or unsplit streams"))
-      if (bitShuffled && typesize * 8 <= bsize && bsize % (typesize * 8) == 0)
-        bitUnshuffle(block, typesize, out, boff)
+      if (bitShuffled) bitUnshuffle(block, typesize, out, boff)
       else if (shuffled) unshuffle(block, typesize, out, boff)
       else System.arraycopy(block, 0, out, boff, bsize)
       j += 1
@@ -226,15 +225,22 @@ object Blosc {
 
   /** Inverse bit-shuffle of one filtered block into `out` at `outOff`.
     * Input layout (bitshuffle library as used by c-blosc): typesize*8
-    * bit-planes of nelem/8 bytes each; plane p = 8*j + b, byte r, bit
-    * k (LSB-first) carries bit b of byte j of element 8*r + k. Caller
-    * guarantees block.length % (typesize*8) == 0 and that the target
-    * region of `out` is zeroed (freshly allocated).
+    * bit-planes of floor(nelem/8)/8... precisely, c-blosc (PR #260
+    * onward) bit-transposes only the largest multiple-of-8-ELEMENTS
+    * prefix — floor(nelem/8)*8 elements — and memcpys the leftover
+    * elements plus any sub-typesize remainder unfiltered after the
+    * planes. Within the prefix: plane p = 8*j + b, byte r, bit k
+    * (LSB-first) carries bit b of byte j of element 8*r + k. Caller
+    * guarantees the target region of `out` is zeroed (freshly
+    * allocated).
     */
   private def bitUnshuffle(block: Array[Byte], typesize: Int,
       out: Array[Byte], outOff: Int): Unit = {
-    val nelem = block.length / typesize
-    val nbr = nelem >>> 3 // bytes per bit-plane
+    val nelem8 = (block.length / typesize) >>> 3 << 3 // shuffled prefix
+    val prefix = nelem8 * typesize
+    var t = prefix
+    while (t < block.length) { out(outOff + t) = block(t); t += 1 }
+    val nbr = nelem8 >>> 3 // bytes per bit-plane
     var p = 0
     while (p < typesize * 8) {
       val j = p >>> 3
@@ -260,14 +266,18 @@ object Blosc {
     }
   }
 
-  /** Forward bit-shuffle of `len` bytes of `in` at `inOff` (len must
-    * be a multiple of typesize*8); exact inverse of [[bitUnshuffle]].
+  /** Forward bit-shuffle of `len` bytes of `in` at `inOff` (prefix/
+    * leftover semantics per c-blosc); exact inverse of
+    * [[bitUnshuffle]].
     */
   private def bitShuffleFwd(in: Array[Byte], inOff: Int, len: Int,
       typesize: Int): Array[Byte] = {
     val out = new Array[Byte](len)
-    val nelem = len / typesize
-    val nbr = nelem >>> 3
+    val nelem8 = (len / typesize) >>> 3 << 3
+    val prefix = nelem8 * typesize
+    var t = prefix
+    while (t < len) { out(t) = in(inOff + t); t += 1 }
+    val nbr = nelem8 >>> 3
     var p = 0
     while (p < typesize * 8) {
       val j = p >>> 3
@@ -447,15 +457,16 @@ object Blosc {
       if (shuffle) ShuffleByte else ShuffleNone)
 
   /** [[compress]] with an explicit shuffle filter: [[ShuffleNone]],
-    * [[ShuffleByte]], or [[ShuffleBit]]. Bit-shuffle sizes blocks to a
-    * multiple of typesize*8 and stores a non-conforming tail block
+    * [[ShuffleByte]], or [[ShuffleBit]]. Bit-shuffle sizes blocks to
+    * a multiple of typesize*8; each block transposes its largest
+    * multiple-of-8-elements prefix and stores the leftover bytes
     * unfiltered, mirroring c-blosc (and the decode path).
     */
   def compressFrame(data: Array[Byte], typesize: Int, cname: String,
       clevel: Int, shuffleMode: Int): Array[Byte] = {
     val codec = codecId(cname)
     val ts = if (typesize < 1 || typesize > 255) 1 else typesize
-    val doBit = shuffleMode == ShuffleBit && data.length >= ts * 8
+    val doBit = shuffleMode == ShuffleBit
     val doShuffle = shuffleMode == ShuffleByte && ts > 1 && data.length >= ts
     val align = if (doBit) ts * 8 else ts
     val blocksize = {
@@ -477,8 +488,7 @@ object Blosc {
       val boff = j * blocksize
       val bsize = math.min(blocksize.toLong, data.length.toLong - boff).toInt
       val block =
-        if (doBit && ts * 8 <= bsize && bsize % (ts * 8) == 0)
-          bitShuffleFwd(data, boff, bsize, ts)
+        if (doBit) bitShuffleFwd(data, boff, bsize, ts)
         else if (doShuffle) shuffleFwd(data, boff, bsize, ts)
         else java.util.Arrays.copyOfRange(data, boff, boff + bsize)
       val packed = deflateStream(codec, block, clevel)

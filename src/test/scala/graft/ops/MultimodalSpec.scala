@@ -101,6 +101,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("palette GIF expands through the color model (indices are not colors)") {
+    // palette: index 0 -> pure red, index 1 -> pure blue; a decoder
+    // that returned raster bands would see means near 0.5, not 255/2
+    val cmap = new java.awt.image.IndexColorModel(1, 2,
+      Array[Byte](255.toByte, 0), Array[Byte](0, 0), Array[Byte](0, 255.toByte))
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, cmap)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, if (x < 4) 0 else 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val d = Multimodal.decodeImage(bos.toByteArray)
+    assert(d.channels == 3 && d.width == 8 && d.height == 8)
+    // left half red, right half blue, expanded to real RGB bytes
+    assert((d.pixels(0) & 0xff) == 255 && (d.pixels(2) & 0xff) == 0)
+    val rightBase = (0 * 8 + 7) * 3
+    assert((d.pixels(rightBase) & 0xff) == 0 && (d.pixels(rightBase + 2) & 0xff) == 255)
+  }
+
   test("JPEG decode lands within DC-quantization error of the block pattern") {
     import spark.implicits._
     val ids = Seq(3L, 11L).toDF("doc_id")

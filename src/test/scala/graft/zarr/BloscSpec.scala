@@ -120,13 +120,16 @@ class BloscSpec extends AnyFunSuite {
   }
 
   /** Independent model of the bitshuffle transform (naive boolean
-    * matrix transpose), so the codec's fast kernel is checked against
-    * a second implementation, not itself.
+    * matrix transpose with c-blosc's leftover rule: only the largest
+    * multiple-of-8-elements prefix transposes, the rest copies), so
+    * the codec's fast kernel is checked against a second
+    * implementation, not itself.
     */
   private def bitShuffleRef(data: Array[Byte], ts: Int): Array[Byte] = {
-    val nelem = data.length / ts
-    val nbr = nelem / 8
-    val out = new Array[Byte](data.length)
+    val nelem8 = data.length / ts / 8 * 8
+    val nbr = nelem8 / 8
+    val out = data.clone() // leftover bytes stay in place after the planes
+    java.util.Arrays.fill(out, 0, nelem8 * ts, 0.toByte)
     for (p <- 0 until ts * 8; r <- 0 until nbr; k <- 0 until 8) {
       val j = p / 8
       val b = p % 8
@@ -137,8 +140,11 @@ class BloscSpec extends AnyFunSuite {
   }
 
   test("decodes foreign bit-shuffled frames (split and unsplit layouts)") {
-    for (ts <- Seq(1, 2, 4, 8); split <- Seq(true, false)) {
-      val data = f64(512 * ts).take(512 * ts * 8 / 8 * 8) // multiple of ts*8
+    for (ts <- Seq(1, 2, 4, 8); split <- Seq(true, false);
+         // 4096 elements (8-aligned) and 4107 (leftover elements + the
+         // c-blosc prefix/memcpy rule), both multiples of typesize
+         nelem <- Seq(4096, 4107)) {
+      val data = f64(nelem * ts / 8 + 1).take(nelem * ts)
       val filtered = bitShuffleRef(data, ts)
       val n = filtered.length
       val nstreams = if (split && ts > 1) ts else 1
@@ -157,7 +163,8 @@ class BloscSpec extends AnyFunSuite {
       bb.putInt(data.length).putInt(data.length).putInt(total)
       bb.putInt(16 + 4)
       streams.foreach { s => bb.putInt(s.length); bb.put(s) }
-      assert(Blosc.decompress(bb.array()).toSeq == data.toSeq, s"ts=$ts split=$split")
+      assert(Blosc.decompress(bb.array()).toSeq == data.toSeq,
+        s"ts=$ts split=$split nelem=$nelem")
     }
   }
 
