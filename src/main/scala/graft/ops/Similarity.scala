@@ -169,18 +169,26 @@ object Similarity {
     * with lowest-centroid-id tiebreak; final ranking matches
     * [[bruteForceTopK]] (rounded cosine desc, neighbor id asc).
     */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nlist: Int = 8, nprobe: Int = 2, lloydRounds: Int = 3): DataFrame = {
-    val spark = queries.sparkSession
+  /** Deterministic k-means over (id, vec) rows — the shared coarse
+    * quantizer of [[ivfTopK]] and [[semanticDedupPairs]]. Seeds are
+    * the `nlist` vectors with smallest md5(id); each Lloyd round
+    * assigns partition-locally and recomputes centroids from exact
+    * integer micro-sums (see [[ivfTopK]] for why that makes them
+    * bit-identical across partitionings and engines). Returns
+    * (cluster id = seed's vector id, centroid), sorted by id.
+    */
+  def kmeansCentroids(vectors: DataFrame, nlist: Int,
+      lloydRounds: Int): Array[(Long, Array[Double])] = {
+    val spark = vectors.sparkSession
     import spark.implicits._
-    val seeds = candidates
+    val seeds = vectors
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(nlist)
     var cents: Array[(Long, Array[Double])] = collectVecs(seeds).sortBy(_._1)
     var round = 0
     while (round < lloydRounds) {
       val bc = spark.sparkContext.broadcast(cents)
-      val partials = candidates.select("id", "vec").as[(Long, Array[Double])]
+      val partials = vectors.select("id", "vec").as[(Long, Array[Double])]
         .mapPartitions { it =>
           val cs = bc.value
           val sums = scala.collection.mutable.LinkedHashMap.empty[Long, (Array[Long], Long)]
@@ -209,6 +217,14 @@ object Similarity {
       }.toArray.sortBy(_._1)
       round += 1
     }
+    cents
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2, lloydRounds: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(candidates, nlist, lloydRounds)
     val centsBc = spark.sparkContext.broadcast(cents)
     val qs = collectVecs(queries)
       .map { case (id, v) => (id, v, nearestCentroids(centsBc.value, v, nprobe).toSet) }
@@ -236,6 +252,37 @@ object Similarity {
       .map { case (cid, cv) => (cid, round6(cosineJvm(v, cv))) }
       .sortBy { case (cid, c) => (-c, cid) }
       .take(m).map(_._1)
+
+  /** SemDeDup-style semantic deduplication: k-means-cluster the
+    * embeddings with the deterministic quantizer, then enumerate
+    * near-duplicate pairs only WITHIN each cluster — the trick that
+    * turns the O(n²) global pair space into nlist × O((n/nlist)²)
+    * cluster-local spaces (size nlist ∝ corpus so clusters stay
+    * bounded; SemDeDup runs 50k clusters at web scale). One shuffle
+    * partitions vectors by cluster id; pairs never cross clusters,
+    * so recall is bounded by cluster purity — the documented
+    * SemDeDup trade. Output: (id_a, id_b, cos) with id_a < id_b,
+    * 6dp-rounded cosine ≥ threshold, engine-replayable end-to-end
+    * (centroids are bit-identical by construction).
+    */
+  def semanticDedupPairs(vectors: DataFrame, threshold: Double,
+      nlist: Int = 8, lloydRounds: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centsBc = spark.sparkContext.broadcast(
+      kmeansCentroids(vectors, nlist, lloydRounds))
+    val assigned = vectors.select("id", "vec").as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, v, nearestCentroids(centsBc.value, v, 1)(0))
+      })
+      .toDF("id", "vec", "cluster")
+    scorePairs(
+      assigned.select(col("cluster"), col("id").as("id_a"), col("vec").as("va"))
+        .join(assigned.select(col("cluster"), col("id").as("id_b"), col("vec").as("vb")),
+          Seq("cluster"))
+        .filter(col("id_a") < col("id_b")),
+      threshold)
+  }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup),
     * brute-force form: a relational self theta-join — Spark broadcasts

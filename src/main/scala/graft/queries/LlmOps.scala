@@ -23,6 +23,7 @@ object LlmOps extends QModule {
     d45EmbNearDup, d46SimHashBanded, d47DupClusters, s46CosineTopK, s47AnnLsh,
     s48CosineExpr,
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
+    t56TopTerms,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode)
 
   import QTables.{docs, emb}
@@ -455,6 +456,35 @@ object LlmOps extends QModule {
                    CAST(length(redacted) AS INT) AS red_len,
                    md5(redacted) AS red_hash
             FROM r ORDER BY doc_id"""))
+
+  /** Corpus vocabulary profile: exact top-50 terms by occurrence with
+    * document frequency — the vocabulary-analysis pass run before
+    * tokenizer training / stopword selection. One explode + one
+    * map-side-combinable groupBy on the term (high-cardinality key),
+    * then TakeOrdered over the (distinct-term-bounded) counts — no
+    * sketch needed because the aggregate output is vocabulary-sized,
+    * not corpus-sized, at any scale. Total (count desc, term asc)
+    * order makes the top-50 cut deterministic.
+    */
+  val t56TopTerms = Q(
+    "t56_top_terms",
+    (s, dir) => {
+      import graft.ops.TextDedup
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextDedup.words(col("text"))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("w"))
+        .limit(50)
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            f AS (SELECT w, count(*) AS n_occurrences,
+                    count(DISTINCT doc_id) AS n_docs
+                  FROM t WHERE w <> '' GROUP BY w)
+            SELECT w, n_occurrences, n_docs FROM f
+            ORDER BY n_occurrences DESC, w LIMIT 50"""))
 
   /** Multimodal decode-stub kernel over binary payloads: the JVM
     * mapPartitions path, oracle-checked against hex arithmetic on the

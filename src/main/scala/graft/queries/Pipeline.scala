@@ -21,7 +21,7 @@ object Pipeline extends QModule {
 
   override def queries: Seq[Q] = Seq(
     q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
-    t55WordFreq, d48ChunkDedup, s49AnnIvf)
+    t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup)
 
   import QTables.{docs, emb}
 
@@ -298,4 +298,88 @@ object Pipeline extends QModule {
             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
             FROM r WHERE rank <= 5
             ORDER BY query_id, rank"""))
+
+  /** SemDeDup-style semantic dedup: the deterministic k-means
+    * quantizer clusters the embeddings, and near-dup pairs enumerate
+    * WITHIN clusters only — nlist × O((n/nlist)²) instead of O(n²).
+    * The oracle replays the identical k-means (BIGINT micro-sums →
+    * bit-identical centroids) and the cluster-local pair join.
+    */
+  val d49SemanticDedup = Q(
+    "d49_semantic_dedup",
+    (s, dir) => Similarity.semanticDedupPairs(emb(s, dir), 0.35,
+        nlist = 8, lloydRounds = 3)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            ac0 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c0 c),
+            asn0 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac0) t
+                    WHERE rn = 1),
+            m1 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn0 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c1 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m1 GROUP BY cid),
+            ac1 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c1 c),
+            asn1 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac1) t
+                    WHERE rn = 1),
+            m2 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn1 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c2 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m2 GROUP BY cid),
+            ac2 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c2 c),
+            asn2 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac2) t
+                    WHERE rn = 1),
+            m3 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn2 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c3 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m3 GROUP BY cid),
+            ac3 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c3 c),
+            asn AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac3) t
+                    WHERE rn = 1),
+            x AS (SELECT a1.vec_id AS id_a, a2.vec_id AS id_b,
+                    round(list_sum(list_transform(range(64), i -> v1.e[i+1] * v2.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> v1.e[i+1] * v1.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> v2.e[i+1] * v2.e[i+1])))),
+                      6) AS cos
+                  FROM asn a1 JOIN asn a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+                       JOIN v v1 ON v1.vec_id = a1.vec_id
+                       JOIN v v2 ON v2.vec_id = a2.vec_id)
+            SELECT id_a, id_b, cos FROM x WHERE cos >= 0.35
+            ORDER BY id_a, id_b"""))
 }

@@ -29,7 +29,8 @@ object Relational extends QModule {
     q23SortLimit, q24TopKPerGroup, q25Union, q26Intersect, q27Except,
     q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
-    q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder)
+    q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder,
+    q48ApproxPercentile)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1000,6 +1001,42 @@ object Relational extends QModule {
                    CAST(k - 1 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE)
                      / kth_min AS est_distinct
             FROM kmin CROSS JOIN truth"""))
+
+  /** Approximate-quantile sketch (Spark: Greenwald-Khanna via
+    * `percentile_approx`; DuckDB: t-digest) with a q13-style
+    * bounded-RANK-error verdict: sketches differ per engine, so each
+    * engine checks that the rank of ITS OWN p50 estimate sits within
+    * ±2% of the true median rank — the guarantee any sane quantile
+    * sketch provides at these accuracies (GK error ≤ 1/10000 here).
+    * Completes the sketch-family coverage: HLL (q13), KMV (q46),
+    * quantiles (q48).
+    */
+  val q48ApproxPercentile = Q(
+    "q48_approx_percentile",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          (abs(col("le").cast("double") / col("n") - 0.5) <= 0.02).as("rank_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH ap AS (SELECT l_returnflag,
+                   approx_quantile(l_extendedprice, 0.5) AS p50
+                 FROM lineitem GROUP BY l_returnflag),
+            r AS (SELECT l.l_returnflag,
+                    sum(CASE WHEN l.l_extendedprice <= ap.p50 THEN 1 ELSE 0 END) AS le,
+                    count(*) AS n
+                  FROM lineitem l JOIN ap USING (l_returnflag)
+                  GROUP BY l.l_returnflag)
+            SELECT l_returnflag,
+                   abs(CAST(le AS DOUBLE) / n - 0.5) <= 0.02 AS rank_ok
+            FROM r ORDER BY l_returnflag"""))
 
   /** Z-order (Morton) clustering key for multi-dimensional data
     * skipping — rows near in BOTH part and supplier key sort near in

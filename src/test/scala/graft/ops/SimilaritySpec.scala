@@ -65,6 +65,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.35, s"recall@5 $recall below floor")
   }
 
+  test("semantic dedup pairs are cluster-local brute-force pairs with exact cosines") {
+    val sub = emb.filter(col("id") < 200)
+    val all = Similarity.nearDupPairs(sub, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = Similarity.semanticDedupPairs(sub, 0.3).collect()
+    assert(sem.nonEmpty)
+    // every semantic pair appears in the global set with the same
+    // cosine (clustering only restricts candidates, never rescores)
+    sem.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(all.contains(key) && all(key) == r.getDouble(2), key)
+    }
+    assert(sem.length <= all.size)
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb.filter(col("id") < 100), 0.3).collect()
     pairs.foreach { r =>
