@@ -30,7 +30,7 @@ object Relational extends QModule {
     q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
     q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder,
-    q48ApproxPercentile)
+    q48ApproxPercentile, q49ZOrder3)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1063,4 +1063,35 @@ object Relational extends QModule {
                 FROM lineitem)
             SELECT l_partkey, l_suppkey, z FROM x
             ORDER BY z, l_partkey, l_suppkey LIMIT 200"""))
+
+  /** Three-dimensional z-order (N-ary Morton interleave): bit i of
+    * dimension k at position 3i+k, 21 bits each = 63 bits — the
+    * full-width OPTIMIZE ZORDER(col1, col2, col3) form.
+    */
+  val q49ZOrder3 = Q(
+    "q49_zorder3",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+        .distinct()
+        .withColumn("z", graft.ops.ZOrder.zValueN(
+          Seq(col("l_partkey"), col("l_suppkey"), col("qty"))))
+        .orderBy(col("z"), col("l_partkey"), col("l_suppkey"), col("qty"))
+        .limit(200)
+    },
+    Some("""WITH x AS (SELECT DISTINCT l_partkey, l_suppkey,
+                  CAST(round(l_quantity) AS BIGINT) AS qty
+                FROM lineitem),
+            z AS (SELECT l_partkey, l_suppkey, qty,
+                  CAST(list_sum(list_transform(range(21), i ->
+                    ((l_partkey // CAST(pow(2, i) AS BIGINT)) % 2)
+                      * CAST(pow(2, 3 * i) AS BIGINT)
+                    + ((l_suppkey // CAST(pow(2, i) AS BIGINT)) % 2)
+                      * CAST(pow(2, 3 * i + 1) AS BIGINT)
+                    + ((qty // CAST(pow(2, i) AS BIGINT)) % 2)
+                      * CAST(pow(2, 3 * i + 2) AS BIGINT))) AS BIGINT) AS z
+                FROM x)
+            SELECT l_partkey, l_suppkey, qty, z FROM z
+            ORDER BY z, l_partkey, l_suppkey, qty LIMIT 200"""))
 }

@@ -21,6 +21,18 @@ class ZOrderSpec extends SparkSpec {
     assert(z((0L, 255L)) == 0xAAAAL)
   }
 
+  test("zValueN interleaves three dimensions round-robin") {
+    import spark.implicits._
+    val df = Seq((5L, 3L, 6L)).toDF("x", "y", "w")
+    val z = df.select(ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 3).as("z"))
+      .head.getLong(0)
+    // x=101, y=011, w=110 -> positions (3i,3i+1,3i+2):
+    // i=0: x0=1,y0=1,w0=0 -> 011; i=1: x1=0,y1=1,w1=1 -> 110
+    // i=2: x2=1,y2=0,w2=1 -> 101 => bits 101 110 011 (msb..lsb)
+    val expected = java.lang.Long.parseLong("101110011", 2)
+    assert(z == expected, s"got ${z.toBinaryString}")
+  }
+
   test("clusterBy yields non-overlapping z ranges per output partition") {
     val df = spark.range(4096).select(
       (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
