@@ -23,7 +23,7 @@ object LlmOps extends QModule {
     d45EmbNearDup, d46SimHashBanded, d47DupClusters, s46CosineTopK, s47AnnLsh,
     s48CosineExpr,
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
-    t56TopTerms,
+    t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode)
 
   import QTables.{docs, emb}
@@ -485,6 +485,43 @@ object LlmOps extends QModule {
                   FROM t WHERE w <> '' GROUP BY w)
             SELECT w, n_occurrences, n_docs FROM f
             ORDER BY n_occurrences DESC, w LIMIT 50"""))
+
+  /** Corpus composition (data-mixture) report: per (lang, source)
+    * document, token and char totals plus each cell's share of corpus
+    * tokens — the report that drives mixture weighting when
+    * assembling a training set. One map-side-combinable groupBy over
+    * group-count-bounded output; the corpus total rides in on a
+    * 1-row broadcast cross join. Shares are one double division of
+    * exact integer sums, so they hash-match across engines.
+    */
+  val t57CorpusMix = Q(
+    "t57_corpus_mix",
+    (s, dir) => {
+      import graft.ops.TextDedup
+      val g = docs(s, dir)
+        .select(col("lang"), col("source"),
+          coalesce(size(TextDedup.words(col("text"))), lit(0)).as("toks"),
+          col("n_chars"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+      val tot = g.agg(sum(col("n_tokens")).as("tot"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          col("total_chars"),
+          (col("n_tokens").cast("double") / col("tot")).as("token_share"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH g AS (SELECT lang, source, count(*) AS n_docs,
+                  CAST(sum(COALESCE(len(list_filter(string_split(text, ' '),
+                    w -> w <> '')), 0)) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+                FROM documents GROUP BY lang, source),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM g)
+            SELECT lang, source, n_docs, n_tokens, total_chars,
+                   CAST(n_tokens AS DOUBLE) / tot AS token_share
+            FROM g, t ORDER BY lang, source"""))
 
   /** Multimodal decode-stub kernel over binary payloads: the JVM
     * mapPartitions path, oracle-checked against hex arithmetic on the
