@@ -108,10 +108,10 @@ object Streams {
     *  - a late PURCHASE whose event time precedes the stored
     *    (newest) view goes out unattributed even when an OLDER view
     *    — since superseded in state — would have matched under batch
-    *    semantics. Keeping a watermark-trimmed history of (view_id,
-    *    ts) pairs would close this for bounded lateness at O(history)
-    *    state per user; the single-pair form is the standard
-    *    streaming-attribution trade, stated rather than hidden.
+    *    semantics. [[asofAttributionBounded]] closes this for bounded
+    *    lateness by keeping a lateness-trimmed view history; the
+    *    single-pair form here is the minimal-state variant of the
+    *    same trade, stated rather than hidden.
     */
   def asofAttribution(spark: SparkSession,
       events: Dataset[TypedEvent]): Dataset[Attribution] = {
@@ -143,6 +143,54 @@ object Streams {
             }
           }
           if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
+  final case class ViewHistory(views: List[LastView], maxTs: Long)
+
+  /** [[asofAttribution]] with BATCH PARITY under bounded lateness:
+    * per-user state keeps every view within `maxLatenessUs` of the
+    * user's max event time (plus always the newest view), so a
+    * purchase arriving up to that late still attributes to the
+    * correct — possibly superseded — older view, exactly as the
+    * batch operator would. Beyond the horizon it degrades to the
+    * single-pair form (never worse). State per user is bounded by
+    * view rate × lateness window; size the window like a watermark.
+    */
+  def asofAttributionBounded(spark: SparkSession, events: Dataset[TypedEvent],
+      maxLatenessUs: Long): Dataset[Attribution] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewHistory, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[ViewHistory]) =>
+          val sorted = rows.toArray.sortBy(e =>
+            (e.ts_us, if (e.event_type == "view") 0 else 1, e.event_id))
+          val st = state.getOption.getOrElse(ViewHistory(Nil, Long.MinValue))
+          var views = st.views
+          var maxTs = st.maxTs
+          val out = Vector.newBuilder[Attribution]
+          sorted.foreach { e =>
+            if (e.ts_us > maxTs) maxTs = e.ts_us
+            if (e.event_type == "view") views = LastView(e.event_id, e.ts_us) :: views
+            else if (e.event_type == "purchase") {
+              // batch rule: greatest (ts, view_id) among views at or
+              // before the purchase
+              val eligible = views.filter(_.ts_us <= e.ts_us)
+              val m = if (eligible.isEmpty) None
+                else Some(eligible.maxBy(v => (v.ts_us, v.view_id)))
+              out += Attribution(user, e.event_id, e.ts_us,
+                m.map(_.view_id), m.map(_.ts_us))
+            }
+          }
+          val kept = views.filter(_.ts_us >= maxTs - maxLatenessUs) match {
+            case Nil => // horizon empty: keep the newest view only
+              if (views.isEmpty) Nil
+              else List(views.maxBy(v => (v.ts_us, v.view_id)))
+            case ks => ks
+          }
+          state.update(ViewHistory(kept, maxTs))
           out.result().iterator
       }
   }

@@ -117,6 +117,45 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Map(5L -> 9L, 21L -> -1L))
   }
 
+  test("bounded-history as-of attribution matches batch for late purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.TypedEvent
+    val mem = MemoryStream[TypedEvent]
+    val q = Streams.asofAttributionBounded(spark, mem.toDS(), maxLatenessUs = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("asof_b").start()
+    // two views; the single-pair operator would keep only v2@20
+    mem.addData(
+      TypedEvent(1L, 1L, "view", 10L),
+      TypedEvent(1L, 2L, "view", 20L))
+    q.processAllAvailable()
+    // late purchase @15 must attribute to the SUPERSEDED view v1@10 —
+    // the exact divergence the single-pair form documents away
+    mem.addData(TypedEvent(1L, 3L, "purchase", 15L))
+    q.processAllAvailable()
+    // beyond-horizon trim: advance time far past the window, then a
+    // purchase still sees the (sole retained) newest view
+    mem.addData(TypedEvent(1L, 4L, "view", 500L))
+    q.processAllAvailable()
+    mem.addData(TypedEvent(1L, 5L, "purchase", 510L))
+    q.processAllAvailable()
+    val rows = spark.table("asof_b").collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("last_view_id"))).toMap
+    assert(rows == Map(3L -> 1L, 5L -> 4L))
+
+    // full batch parity on the same event set
+    val purchases = Seq((3L, 1L, 15L), (5L, 1L, 510L)).toDF("event_id", "user_id", "ts_us")
+    val views = Seq((1L, 1L, 10L), (2L, 1L, 20L), (4L, 1L, 500L))
+      .toDF("view_id", "user_id", "view_ts_us")
+    val batch = graft.ops.AsofJoin.asofBackward(purchases, views, "user_id",
+        "ts_us", "view_ts_us", "view_id", "last_")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("last_view_id"))).toMap
+    assert(batch == rows)
+    q.stop()
+  }
+
   test("stream-stream interval join matches within-window pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -217,6 +217,40 @@ class BloscSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: random payloads round-trip across every (cname, typesize, shuffle)") {
+    val rnd = new scala.util.Random(20260812L)
+    val cnames = Array("blosclz", "lz4", "zstd", "zlib", "snappy")
+    for (trial <- 0 until 200) {
+      val n = rnd.nextInt(70000) // 0..69999: covers empty, sub-typesize, tails
+      val data = new Array[Byte](n)
+      rnd.nextInt(3) match {
+        case 0 => rnd.nextBytes(data) // incompressible
+        case 1 => java.util.Arrays.fill(data, (trial % 251).toByte) // runs
+        case _ => // structured: repeating short pattern with noise
+          var i = 0
+          while (i < n) { data(i) = ((i % 97) ^ (i / 1000)).toByte; i += 1 }
+      }
+      val ts = Seq(1, 2, 3, 4, 7, 8, 16)(rnd.nextInt(7))
+      val cname = cnames(rnd.nextInt(cnames.length))
+      val mode = rnd.nextInt(3) // none/byte/bit
+      val enc = Blosc.compressFrame(data, ts, cname, 1 + rnd.nextInt(5), mode)
+      assert(Blosc.decompress(enc).toSeq == data.toSeq,
+        s"trial=$trial n=$n ts=$ts cname=$cname mode=$mode")
+    }
+  }
+
+  test("fuzz: garbage blosclz streams never decode successfully into wrong sizes") {
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 0 until 500) {
+      val garbage = new Array[Byte](1 + rnd.nextInt(200))
+      rnd.nextBytes(garbage)
+      val out = new Array[Byte](256)
+      // must either return false or produce exactly the expected count —
+      // never throw an uncaught OOB or report success at the wrong size
+      Blosc.blosclzDecompress(garbage, 0, garbage.length, out, 0, 256)
+    }
+  }
+
   test("Codecs dispatch: blosc id strings with cname/clevel") {
     val data = f64(1024)
     for (id <- Seq("blosc", "blosc:lz4", "blosc:zstd:3", "blosc:zlib:6", "blosc:snappy")) {
