@@ -830,9 +830,18 @@ object Relational extends QModule {
   /** Discrete percentiles (p50/p90/p99) of extended price per return
     * flag: the value AT position ceil(q·n) in sort order — an actual
     * data value, no interpolation, so parity is exact by
-    * construction. One window over one shuffle on the group key;
-    * at scale this is the sort-based exact-percentile plan (the
-    * approximate path is q13's sketch family).
+    * construction. Computed over the VALUE-FREQUENCY table, not the
+    * rows: a map-side-combinable groupBy reduces the corpus to
+    * (flag, value, count), and the rank pick is the smallest value
+    * whose running cumulative count reaches ceil(q·n). The per-flag
+    * window then sorts distinct VALUES, whose count is bounded by the
+    * value domain (cent-quantized prices: ≤ ~4.5M whatever the row
+    * count) — so at 100 TB the 3-task window sees millions of rows
+    * where the row-sort form would see hundreds of billions. At small
+    * SF the frequency table barely shrinks (~99% of prices distinct)
+    * and the extra shuffle costs ~1 s — the deliberate price of the
+    * form that survives the scale-up. The approximate path is q48's
+    * sketch.
     */
   val q42PercentileDisc = Q(
     "q42_percentile_disc",
@@ -842,24 +851,30 @@ object Relational extends QModule {
       Tables.load(s, dir, "lineitem")
         .selectExpr("l_returnflag",
           "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(wc))
+        .groupBy(col("l_returnflag"), col("price_c"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("cnt", sum(col("c")).over(wc))
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("CAST(max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p50"),
-          expr("CAST(max(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p90"),
-          expr("CAST(max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p99"))
+          expr("CAST(min(CASE WHEN cum >= CAST(ceil(0.50 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p50"),
+          expr("CAST(min(CASE WHEN cum >= CAST(ceil(0.90 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p90"),
+          expr("CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p99"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""WITH x AS (SELECT l_returnflag,
+    Some("""WITH f AS (SELECT l_returnflag,
                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
-                  row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c) AS rn,
-                  count(*) OVER (PARTITION BY l_returnflag) AS cnt
-                FROM lineitem)
+                  count(*) AS c
+                FROM lineitem GROUP BY 1, 2),
+            x AS (SELECT l_returnflag, price_c,
+                  sum(c) OVER (PARTITION BY l_returnflag
+                    ORDER BY price_c) AS cum,
+                  sum(c) OVER (PARTITION BY l_returnflag) AS cnt
+                FROM f)
             SELECT l_returnflag,
-                   CAST(max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p50,
-                   CAST(max(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p90,
-                   CAST(max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p99
+                   CAST(min(CASE WHEN cum >= CAST(ceil(0.50 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p50,
+                   CAST(min(CASE WHEN cum >= CAST(ceil(0.90 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p90,
+                   CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100 AS p99
             FROM x GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Sample variance / stddev of quantity per (flag, status), derived
