@@ -113,22 +113,15 @@ object ZarrJson {
       case Some("zstd") =>
         val c = n.putObject("compressor"); c.put("id", "zstd"); c.put("level", 3)
       case Some(b) if b == "blosc" || b.startsWith("blosc:") =>
-        val parts = b.split(':')
+        // the shared parser throws on bad tokens HERE, before any
+        // store bytes are written, and keeps metadata in lockstep
+        // with what Codecs.compress will actually encode
+        val (cname, clevel, mode) = graft.zarr.Codecs.parseBloscId(b)
         val c = n.putObject("compressor")
         c.put("id", "blosc")
-        c.put("cname", if (parts.length > 1) parts(1) else "lz4")
-        c.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
-        // numcodecs encoding: 0 none, 1 byte-shuffle (default), 2
-        // bit-shuffle; unknown tokens throw HERE so a typo'd id can't
-        // write metadata that Codecs.compress will then reject after
-        // the store is half-created
-        c.put("shuffle", if (parts.length > 3) parts(3) match {
-          case "none" => 0
-          case "byte" => 1
-          case "bit" => 2
-          case other => throw new IllegalArgumentException(
-            s"blosc shuffle '$other' (byte/bit/none)")
-        } else 1)
+        c.put("cname", cname)
+        c.put("clevel", clevel)
+        c.put("shuffle", graft.zarr.Codecs.shuffleV2(mode))
         c.put("blocksize", 0)
       case _ => n.putNull("compressor")
     }
@@ -163,17 +156,11 @@ object ZarrJson {
       val cn = codecs.addObject()
       val cfg = if (c == "blosc" || c.startsWith("blosc:")) {
         cn.put("name", "blosc")
-        val parts = c.split(':')
+        val (cname, clevel, mode) = graft.zarr.Codecs.parseBloscId(c)
         val b = cn.putObject("configuration")
-        b.put("cname", if (parts.length > 1) parts(1) else "lz4")
-        b.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
-        b.put("shuffle", if (parts.length > 3) parts(3) match {
-          case "none" => "noshuffle"
-          case "byte" => "shuffle"
-          case "bit" => "bitshuffle"
-          case other => throw new IllegalArgumentException(
-            s"blosc shuffle '$other' (byte/bit/none)")
-        } else "shuffle")
+        b.put("cname", cname)
+        b.put("clevel", clevel)
+        b.put("shuffle", graft.zarr.Codecs.shuffleV3(mode))
         b.put("typesize", Dtypes.itemSize(dtype))
         b
       } else {

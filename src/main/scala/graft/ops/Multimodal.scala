@@ -233,19 +233,17 @@ object Multimodal {
     val w = img.getWidth
     val h = img.getHeight
     if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+      // bulk palette lookup: one getRGB call for the whole raster
+      // (per-pixel getRGB pays a ColorModel dispatch per call — this
+      // runs per image inside mapPartitions over the corpus)
+      val rgb = img.getRGB(0, 0, w, h, new Array[Int](w * h), 0, w)
       val out = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y) // palette lookup to sRGB
-          val base = (y * w + x) * 3
-          out(base) = ((rgb >> 16) & 0xff).toByte
-          out(base + 1) = ((rgb >> 8) & 0xff).toByte
-          out(base + 2) = (rgb & 0xff).toByte
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < rgb.length) {
+        out(i * 3) = ((rgb(i) >> 16) & 0xff).toByte
+        out(i * 3 + 1) = ((rgb(i) >> 8) & 0xff).toByte
+        out(i * 3 + 2) = (rgb(i) & 0xff).toByte
+        i += 1
       }
       return DecodedImage(w, h, 3, out)
     }

@@ -146,36 +146,21 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF (inverted-file) approximate nearest neighbor: a coarse
-    * quantizer of `nlist` k-means centroids partitions the corpus
-    * into inverted lists; each query probes only its `nprobe`
-    * nearest lists, so the scored candidate set shrinks by
-    * ~nlist/nprobe versus brute force.
-    *
-    * The quantizer is a DETERMINISTIC k-means: seeds are the `nlist`
-    * vectors with the smallest md5(id) — a uniform pseudo-random
-    * draw any engine replays, immune to id-order skew — followed by
-    * `lloydRounds` Lloyd iterations. Each iteration assigns every
-    * vector to its nearest centroid partition-locally (tiny
-    * broadcast centroid table) and recomputes centroids from EXACT
-    * integer micro-sums: values quantize to round6(v)·1e6 longs,
-    * per-partition partials add associatively, and the mean is one
-    * double division of exact integers — so the centroids are
-    * bit-identical regardless of partitioning, executor count, or
-    * engine (a SQL oracle replays them with BIGINT sums). The
-    * per-round driver reduce handles ≤ nlist·numPartitions tiny
-    * partial rows — the MLlib-style centroid update, not a data
-    * collect. Assignment and probing rank by the 6dp-rounded cosine
-    * with lowest-centroid-id tiebreak; final ranking matches
-    * [[bruteForceTopK]] (rounded cosine desc, neighbor id asc).
-    */
   /** Deterministic k-means over (id, vec) rows — the shared coarse
     * quantizer of [[ivfTopK]] and [[semanticDedupPairs]]. Seeds are
-    * the `nlist` vectors with smallest md5(id); each Lloyd round
-    * assigns partition-locally and recomputes centroids from exact
-    * integer micro-sums (see [[ivfTopK]] for why that makes them
-    * bit-identical across partitionings and engines). Returns
-    * (cluster id = seed's vector id, centroid), sorted by id.
+    * the `nlist` vectors with the smallest md5(id) — a uniform
+    * pseudo-random draw any engine replays, immune to id-order skew.
+    * Each Lloyd round assigns every vector to its nearest centroid
+    * partition-locally (tiny broadcast centroid table) and recomputes
+    * centroids from EXACT integer micro-sums: values quantize to
+    * round6(v)·1e6 longs, per-partition partials add associatively,
+    * and the mean is one double division of exact integers — so the
+    * centroids are bit-identical regardless of partitioning, executor
+    * count, or engine (a SQL oracle replays them with BIGINT sums).
+    * The per-round driver reduce handles ≤ nlist·numPartitions tiny
+    * partial rows — the MLlib-style centroid update, not a data
+    * collect. Returns (cluster id = seed's vector id, centroid),
+    * sorted by id.
     */
   def kmeansCentroids(vectors: DataFrame, nlist: Int,
       lloydRounds: Int): Array[(Long, Array[Double])] = {
@@ -220,6 +205,15 @@ object Similarity {
     cents
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor: the
+    * [[kmeansCentroids]] quantizer partitions the corpus into
+    * inverted lists; each query probes only its `nprobe` nearest
+    * lists, so the scored candidate set shrinks by ~nlist/nprobe
+    * versus brute force. Assignment and probing rank by the
+    * 6dp-rounded cosine with lowest-centroid-id tiebreak; final
+    * ranking matches [[bruteForceTopK]] (rounded cosine desc,
+    * neighbor id asc).
+    */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, lloydRounds: Int = 3): DataFrame = {
     val spark = queries.sparkSession
@@ -271,17 +265,24 @@ object Similarity {
     import spark.implicits._
     val centsBc = spark.sparkContext.broadcast(
       kmeansCentroids(vectors, nlist, lloydRounds))
+    // both sides of the self-join read the assignment — persist so the
+    // corpus is scanned and assigned once, not once per side
     val assigned = vectors.select("id", "vec").as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) =>
         (id, v, nearestCentroids(centsBc.value, v, 1)(0))
       })
       .toDF("id", "vec", "cluster")
-    scorePairs(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scorePairs(
       assigned.select(col("cluster"), col("id").as("id_a"), col("vec").as("va"))
         .join(assigned.select(col("cluster"), col("id").as("id_b"), col("vec").as("vb")),
           Seq("cluster"))
         .filter(col("id_a") < col("id_b")),
       threshold)
+      // verified pairs only — tiny next to the assignment cache it frees
+      .localCheckpoint(eager = true)
+    assigned.unpersist()
+    out
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup),

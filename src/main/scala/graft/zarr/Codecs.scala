@@ -19,6 +19,39 @@ import java.util.zip.{Deflater, DeflaterOutputStream, GZIPInputStream, GZIPOutpu
   */
 object Codecs {
 
+  /** THE parser for `blosc[:<cname>[:<clevel>[:<shuffle>]]]` ids —
+    * every consumer (frame encoder, v2 `.zarray`, v3 `zarr.json`,
+    * shard codec lists) must go through it so the emitted metadata
+    * and the actual frames can never disagree, and an invalid token
+    * throws BEFORE any store bytes are written.
+    *
+    * Returns (cname, clevel, shuffle mode) with mode one of
+    * [[Blosc.ShuffleNone]]/[[Blosc.ShuffleByte]]/[[Blosc.ShuffleBit]].
+    */
+  def parseBloscId(id: String): (String, Int, Int) = {
+    val parts = id.split(':')
+    val cname = if (parts.length > 1) parts(1) else "lz4"
+    val clevel = if (parts.length > 2) parts(2).toInt else 5
+    val mode = (if (parts.length > 3) parts(3) else "byte") match {
+      case "none" => Blosc.ShuffleNone
+      case "byte" => Blosc.ShuffleByte
+      case "bit" => Blosc.ShuffleBit
+      case other => throw new IllegalArgumentException(
+        s"blosc shuffle '$other' (byte/bit/none)")
+    }
+    (cname, clevel, mode)
+  }
+
+  /** numcodecs integer encoding of a shuffle mode (zarr v2). */
+  def shuffleV2(mode: Int): Int = mode
+
+  /** zarr v3 blosc codec string for a shuffle mode. */
+  def shuffleV3(mode: Int): String = mode match {
+    case Blosc.ShuffleNone => "noshuffle"
+    case Blosc.ShuffleBit => "bitshuffle"
+    case _ => "shuffle"
+  }
+
   def compress(codec: Option[String], data: Array[Byte], level: Int = 5,
       typesize: Int = 1): Array[Byte] =
     codec match {
@@ -35,16 +68,7 @@ object Codecs {
         bos.toByteArray
       case Some("zstd") => com.github.luben.zstd.Zstd.compress(data, 3)
       case Some(b) if b == "blosc" || b.startsWith("blosc:") =>
-        val parts = b.split(':')
-        val cname = if (parts.length > 1) parts(1) else "lz4"
-        val clevel = if (parts.length > 2) parts(2).toInt else 5
-        val mode = (if (parts.length > 3) parts(3) else "byte") match {
-          case "none" => Blosc.ShuffleNone
-          case "bit" => Blosc.ShuffleBit
-          case "byte" => Blosc.ShuffleByte
-          case other => throw new IllegalArgumentException(
-            s"blosc shuffle '$other' (byte/bit/none)")
-        }
+        val (cname, clevel, mode) = parseBloscId(b)
         Blosc.compressFrame(data, typesize, cname, clevel, mode)
       case Some(other) => throw new UnsupportedOperationException(
         s"codec '$other' unsupported (gzip/zlib/zstd/blosc)")

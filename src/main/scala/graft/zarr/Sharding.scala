@@ -121,11 +121,14 @@ object Sharding {
       val cn = codecs.addObject()
       if (c == "blosc" || c.startsWith("blosc:")) {
         cn.put("name", "blosc")
-        val parts = c.split(':')
+        // shared parser: shard metadata stays in lockstep with the
+        // frames Codecs.compress writes, and typos throw before any
+        // store bytes land
+        val (cname, clevel, mode) = Codecs.parseBloscId(c)
         val ccfg = cn.putObject("configuration")
-        ccfg.put("cname", if (parts.length > 1) parts(1) else "lz4")
-        ccfg.put("clevel", if (parts.length > 2) parts(2).toInt else 5)
-        ccfg.put("shuffle", "shuffle")
+        ccfg.put("cname", cname)
+        ccfg.put("clevel", clevel)
+        ccfg.put("shuffle", Codecs.shuffleV3(mode))
         ccfg.put("blocksize", 0)
       } else {
         cn.put("name", c)

@@ -239,15 +239,23 @@ class BloscSpec extends AnyFunSuite {
     }
   }
 
-  test("fuzz: garbage blosclz streams never decode successfully into wrong sizes") {
+  test("fuzz: garbage blosclz streams reject cleanly and never write out of bounds") {
     val rnd = new scala.util.Random(7L)
-    for (_ <- 0 until 500) {
+    for (trial <- 0 until 500) {
       val garbage = new Array[Byte](1 + rnd.nextInt(200))
       rnd.nextBytes(garbage)
-      val out = new Array[Byte](256)
-      // must either return false or produce exactly the expected count —
-      // never throw an uncaught OOB or report success at the wrong size
-      Blosc.blosclzDecompress(garbage, 0, garbage.length, out, 0, 256)
+      // oversized buffer: bytes beyond the declared region must stay
+      // untouched whatever the stream claims (no OOB writes), and a
+      // success verdict must be repeatable (deterministic decode)
+      val out = new Array[Byte](300)
+      val ok = Blosc.blosclzDecompress(garbage, 0, garbage.length, out, 0, 256)
+      assert(out.slice(256, 300).forall(_ == 0), s"trial $trial wrote past expect")
+      if (ok) {
+        val out2 = new Array[Byte](300)
+        assert(Blosc.blosclzDecompress(garbage, 0, garbage.length, out2, 0, 256),
+          s"trial $trial: success not deterministic")
+        assert(out2.toSeq == out.toSeq, s"trial $trial: output not deterministic")
+      }
     }
   }
 
