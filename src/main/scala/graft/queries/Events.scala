@@ -30,7 +30,7 @@ object Events extends QModule {
   }
 
   override def queries: Seq[Q] =
-    Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst)
+    Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel)
 
   /** Tumbling 1-hour windows per event type. */
   val q33Tumbling = Q(
@@ -126,4 +126,43 @@ object Events extends QModule {
                   FROM events) x
             WHERE rn = 1
             ORDER BY user_id, event_type"""))
+
+  /** Ordered conversion funnel view → click → purchase: per user the
+    * first view, the first click AT OR AFTER that view, the first
+    * purchase at or after that click; one row of stage counts. Three
+    * key-partitioned aggregations, each joined to the (user-bounded)
+    * previous stage — Spark broadcasts the shrinking stage tables,
+    * and nothing enumerates event pairs, so the funnel holds at any
+    * event volume. Timestamps compare as epoch nanos (exact
+    * integers).
+    */
+  val q50Funnel = Q(
+    "q50_funnel",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts_ns"))
+      val tv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("tv"))
+      val tc = e.filter(col("event_type") === "click")
+        .join(tv, "user_id").filter(col("ts_ns") >= col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("tc"))
+      val tp = e.filter(col("event_type") === "purchase")
+        .join(tc, "user_id").filter(col("ts_ns") >= col("tc"))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("tp"))
+      tv.agg(count(lit(1)).as("n_view"))
+        .crossJoin(tc.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_full_funnel")))
+    },
+    Some("""WITH tv AS (SELECT user_id, min(epoch_ns(ts)) AS tv FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            tc AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS tc
+                   FROM events e JOIN tv ON e.user_id = tv.user_id
+                   WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= tv.tv
+                   GROUP BY e.user_id),
+            tp AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS tp
+                   FROM events e JOIN tc ON e.user_id = tc.user_id
+                   WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= tc.tc
+                   GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM tv) AS n_view,
+                   (SELECT count(*) FROM tc) AS n_view_click,
+                   (SELECT count(*) FROM tp) AS n_full_funnel"""))
 }

@@ -30,7 +30,7 @@ object Relational extends QModule {
     q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
     q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder,
-    q48ApproxPercentile, q49ZOrder3)
+    q48ApproxPercentile, q49ZOrder3, q51MergeUpsert)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1109,4 +1109,56 @@ object Relational extends QModule {
                 FROM x)
             SELECT l_partkey, l_suppkey, qty, z FROM z
             ORDER BY z, l_partkey, l_suppkey, qty LIMIT 200"""))
+
+  /** MERGE INTO (CDC apply / upsert) semantics as one relational
+    * transform: a deterministic change feed (deletes, balance
+    * updates, inserts derived from the key) full-outer-joins the
+    * snapshot on the key; deletes drop, updates override, inserts
+    * append — the Delta/Iceberg MERGE expressed as join + CASE, which
+    * is exactly how those engines execute it (one shuffle on the
+    * key; the change feed is broadcast when small). Money stays in
+    * integer cents.
+    */
+  val q51MergeUpsert = Q(
+    "q51_merge_upsert",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+        .selectExpr("c_custkey",
+          "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+      val deletes = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("delete").as("op"), lit(null).cast("long").as("new_bal"))
+      val updates = base.filter(col("c_custkey") % 7 === 1)
+        .select(col("c_custkey"), lit("update").as("op"),
+          (col("bal_c") + 10000L).as("new_bal"))
+      val inserts = base.filter(col("c_custkey") % 7 === 2)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("insert").as("op"), (col("bal_c") * 2).as("new_bal"))
+      val changes = deletes.union(updates).union(inserts)
+      base.as("b")
+        .join(changes.as("c"), Seq("c_custkey"), "full_outer")
+        .filter(coalesce(col("op") =!= "delete", lit(true)))
+        .select(col("c_custkey"),
+          coalesce(col("new_bal"), col("bal_c")).as("bal_c"),
+          coalesce(col("op"), lit("keep")).as("op"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH base AS (SELECT c_custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                FROM customer),
+            changes AS (
+              SELECT c_custkey, 'delete' AS op, CAST(NULL AS BIGINT) AS new_bal
+              FROM base WHERE c_custkey % 7 = 0
+              UNION ALL
+              SELECT c_custkey, 'update' AS op, bal_c + 10000 AS new_bal
+              FROM base WHERE c_custkey % 7 = 1
+              UNION ALL
+              SELECT c_custkey + 1000000 AS c_custkey, 'insert' AS op,
+                     bal_c * 2 AS new_bal
+              FROM base WHERE c_custkey % 7 = 2)
+            SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+                   COALESCE(c.new_bal, b.bal_c) AS bal_c,
+                   COALESCE(c.op, 'keep') AS op
+            FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+            WHERE COALESCE(c.op <> 'delete', true)
+            ORDER BY c_custkey"""))
 }
