@@ -99,6 +99,42 @@ class OmeZarrIOSpec extends SparkSpec {
       == vals.toSeq)
   }
 
+  test("fuzz: random shapes/chunks/dtypes/codecs round-trip both zarr versions") {
+    val rnd = new scala.util.Random(42L)
+    val dtypes = Seq("uint8", "int16", "uint16", "int32", "float32", "float64")
+    val comps = Seq(None, Some("gzip"), Some("zstd"), Some("blosc"),
+      Some("blosc:blosclz"), Some("blosc:zstd:3:bit"), Some("blosc:lz4:5:none"))
+    for (trial <- 0 until 10) {
+      val h = 3 + rnd.nextInt(48)
+      val w = 3 + rnd.nextInt(48)
+      val ch = 1 + rnd.nextInt(h)
+      val cw = 1 + rnd.nextInt(w)
+      val dtype = dtypes(rnd.nextInt(dtypes.length))
+      val comp = comps(rnd.nextInt(comps.length))
+      val version = if (rnd.nextBoolean()) "0.4" else "0.5"
+      val m = ImageMeta(Seq("y", "x"), Seq(h, w), Seq(ch, cw), dtype,
+        Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+      val vals = Array.fill(h * w)(dtype match {
+        case "uint8" => rnd.nextInt(256).toDouble
+        case "uint16" => rnd.nextInt(65536).toDouble
+        case "int16" => (rnd.nextInt(65536) - 32768).toDouble
+        case "int32" => rnd.nextInt().toDouble
+        case "float32" => rnd.nextFloat().toDouble
+        case _ => rnd.nextDouble()
+      })
+      val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+      val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+        Method.ItkwasmBinShrink, cache = false)
+      val dir = Files.createTempDirectory("omezarr-fuzz").toString + "/img.zarr"
+      OmeZarrIO.writeMultiscales(spark, dir, ms, version = version, compressor = comp)
+      val back = OmeZarrIO.readMultiscales(spark, dir)
+      assert(back.levels.head.meta.shape == Seq(h.toLong, w.toLong),
+        s"trial $trial $dtype $comp $version ${h}x$w/${ch}x$cw")
+      assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+        == vals.toSeq, s"trial $trial $dtype $comp $version ${h}x$w/${ch}x$cw")
+    }
+  }
+
   test("consolidated metadata written for v0.4 (S8)") {
     val (m, vals) = mkImage()
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
