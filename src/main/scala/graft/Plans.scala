@@ -12,7 +12,8 @@ object Plans {
     "q11_broadcast_star_join", "d42_minhash_lsh_neardup",
     "d45_embedding_neardup", "d46_simhash_banded", "s46_cosine_topk",
     "s47_ann_lsh", "t52_redact_pii",
-    "q39_asof_join", "t54_contamination", "d47_dup_clusters")
+    "q39_asof_join", "t54_contamination", "d47_dup_clusters",
+    "q42_percentile_disc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
