@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyword relevance search over the document corpus — the
+  * inverted-index probe shape a training-data pipeline uses for
+  * contamination triage, corpus exploration, and eval-set curation.
+  *
+  * BM25 (Robertson/Spärck Jones, the Lucene `1 +` idf variant so
+  * scores stay positive):
+  *
+  *   score(q, d) = Σ_{t ∈ q} ln(1 + (N − df + 0.5)/(df + 0.5))
+  *                 · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Execution shape (the 100 TB posture):
+  *  - the query set is tiny and BROADCAST; the corpus-side token
+  *    explode is filtered to query terms BEFORE the tf aggregation,
+  *    so only postings of probed terms ever shuffle — exactly what an
+  *    inverted-index lookup reads, never the full term dictionary;
+  *  - document lengths and corpus totals (N, Σdl) are one map-side-
+  *    combinable aggregation each;
+  *  - per-term document frequencies aggregate only over the pruned
+  *    postings;
+  *  - the final per-query top-k is a window over candidate docs only
+  *    (docs sharing ≥ 1 term with the query).
+  *
+  * Engine parity: each term's contribution is computed in doubles
+  * from exact integers (tf, df, N, dl are BIGINTs; avgdl is one
+  * division of exact integers), 6dp-rounded, and quantized to
+  * micro-units — the per-(query, doc) SUM is then an exact BIGINT
+  * sum, associative and order-independent, so the score and the
+  * (score desc, doc_id) ranking are bit-identical in any engine.
+  */
+object Search {
+
+  /** Tiny (query_id, query_text) relation from literal pairs. */
+  def queryTable(spark: SparkSession, queries: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("query_id", "query_text")
+  }
+
+  /** BM25 top-k per query. `queries` is a small (query_id,
+    * query_text) relation; terms are the same whitespace tokens as
+    * the corpus tokenizer (duplicate query terms count once — the
+    * standard bag-of-documents form).
+    *
+    * Output: (query_id, rank, doc_id, score_micro, score) — rank by
+    * score desc then doc_id asc; score = score_micro / 1e6.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import TextDedup.words
+
+    // per-doc length, computed once and reused by tf and the corpus
+    // totals (one tokenize per doc)
+    val docLen = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = docLen.select(col("doc_id"), size(col("ws")).as("dl"))
+
+    // corpus totals: N docs, Σdl — a single 1-row aggregate
+    val totals = lens.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    // distinct query terms, broadcast into the corpus-side filter
+    val qTerms = queries
+      .select(col("query_id"), explode(words(col("query_text"))).as("t"))
+      .distinct()
+
+    // postings of probed terms only: explode → semi-join-style filter
+    // on the broadcast term set → tf aggregation over the survivors
+    val termSet = qTerms.select(col("t")).distinct()
+    val tf = docLen
+      .select(col("doc_id"), explode(col("ws")).as("t"))
+      .join(broadcast(termSet), Seq("t"))
+      .groupBy(col("t"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+    // document frequency per probed term (from the pruned postings)
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+
+    // per-(query, doc, term) contribution — doubles from exact ints,
+    // 6dp-rounded, micro-quantized so the sum is exact
+    val contrib = tf
+      .join(broadcast(qTerms), Seq("t"))
+      .join(broadcast(df), Seq("t"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("w_micro", round(round(col("w"), 6) * lit(1e6)).cast("long"))
+
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_micro")).as("score_micro"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val out = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score_micro"),
+        (col("score_micro").cast("double") / lit(1e6)).as("score"))
+    val materialized = out.localCheckpoint(eager = true)
+    docLen.unpersist()
+    materialized
+  }
+}

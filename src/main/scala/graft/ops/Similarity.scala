@@ -146,6 +146,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN classification over the embedding table: predict each query
+    * vector's label as the majority label of its k nearest neighbors
+    * (the [[bruteForceTopK]] ranking — 6dp-rounded cosine desc,
+    * neighbor id asc), with ties on the vote count broken toward the
+    * SMALLEST label. The label-transfer step of embedding-based data
+    * curation (classify unlabeled corpus shards by their nearest
+    * labeled anchors).
+    *
+    * `candidates` carries (id, vec, label); queries need only
+    * (id, vec). Scale shape: queries broadcast (inherited from the
+    * top-k kernel), the vote is two map-side-combinable aggregations
+    * over k·|queries| rows.
+    *
+    * Output: (query_id, pred_label, votes).
+    */
+  def knnClassify(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val topk = bruteForceTopK(queries, candidates.select("id", "vec"), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("pred_label").asc)
+    topk
+      .join(candidates.select(col("id").as("neighbor_id"), col("label").as("pred_label")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("pred_label"), col("votes"))
+  }
+
   /** Deterministic k-means over (id, vec) rows — the shared coarse
     * quantizer of [[ivfTopK]] and [[semanticDedupPairs]]. Seeds are
     * the `nlist` vectors with the smallest md5(id) — a uniform

@@ -197,4 +197,40 @@ object TextStats {
         col("stopword_frac") > 0.02 &&
         col("top_bigram_frac") < 0.2).cast("int"))
   }
+
+  /** Within-document repetition profile (the Gopher §A1.1 "repeated
+    * n-gram" family): for each document with ≥ n words, the word
+    * n-gram occurrence count, the distinct n-gram count, the
+    * duplicate-occurrence fraction (total − distinct)/total, and the
+    * most-repeated n-gram's count. A templated/looping document (the
+    * failure mode this filter removes from training corpora) shows a
+    * high dup fraction even when no OTHER document duplicates it —
+    * complementary to the cross-document dedup family.
+    *
+    * Shape: one explode + two map-side-combinable aggregations keyed
+    * by (doc_id, ngram) then doc_id — linear at any corpus size, no
+    * self-joins. Fractions are raw doubles of exact integer counts.
+    *
+    * Output: (doc_id, n_ngrams, n_distinct, dup_frac, max_repeat).
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ngrams = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("ws"), (i + j + 1).cast("int"))): _*))).as("ng"))
+    ngrams.groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_repeat"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        ((col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"))
+          .as("dup_frac"),
+        col("max_repeat"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.ops.{AsofJoin, Similarity, TextDedup, TextStats}
+import graft.ops.{AsofJoin, BudgetSample, Search, Similarity, TextDedup, TextStats}
 
 /** Pipeline-operator surface beyond the core relational/dedup sets:
   * as-of (point-in-time) join, exact stratified sampling, the Gopher
@@ -21,7 +21,8 @@ object Pipeline extends QModule {
 
   override def queries: Seq[Q] = Seq(
     q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
-    t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup)
+    t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
+    t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify)
 
   import QTables.{docs, emb}
 
@@ -382,4 +383,147 @@ object Pipeline extends QModule {
                        JOIN v v2 ON v2.vec_id = a2.vec_id)
             SELECT id_a, id_b, cos FROM x WHERE cos >= 0.35
             ORDER BY id_a, id_b"""))
+
+  /** BM25 keyword search: three probe queries against the corpus,
+    * top-10 each. Per-term contributions quantize to exact micro-unit
+    * BIGINTs before the per-doc sum, so score and ranking are
+    * order-independent and bit-identical across engines (the same
+    * pattern as the k-means micro-sums).
+    */
+  val t58Bm25 = Q(
+    "t58_bm25_topk",
+    (s, dir) => Search.bm25TopK(
+        docs(s, dir),
+        Search.queryTable(s, Seq(
+          0 -> "spark join merge", 1 -> "window stream batch",
+          2 -> "customer filter order")),
+        k = 10)
+      .orderBy(col("query_id"), col("rank")),
+    Some("""WITH q(query_id, query_text) AS (VALUES
+              (0, 'spark join merge'), (1, 'window stream batch'),
+              (2, 'customer filter order')),
+            d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                  FROM documents),
+            lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+            qt AS (SELECT DISTINCT query_id, t FROM (
+                     SELECT query_id, unnest(list_filter(string_split(query_text, ' '),
+                       x -> x <> '')) AS t FROM q) z),
+            terms AS (SELECT DISTINCT t FROM qt),
+            tf AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(ws) AS t FROM d) x
+                   JOIN terms USING (t)
+                   GROUP BY t, doc_id),
+            dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+            contrib AS (SELECT qt.query_id, tf.doc_id,
+                CAST(round(round(
+                  ln(1 + (CAST(tot.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                  * (CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE)
+                      / (CAST(tot.sum_dl AS DOUBLE) / tot.n_docs)))
+                , 6) * 1e6) AS BIGINT) AS w_micro
+              FROM tf JOIN qt USING (t) JOIN dfreq USING (t)
+                   JOIN lens USING (doc_id), tot),
+            scored AS (SELECT query_id, doc_id,
+                         CAST(sum(w_micro) AS BIGINT) AS score_micro
+                       FROM contrib GROUP BY query_id, doc_id),
+            r AS (SELECT query_id, doc_id, score_micro,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score_micro DESC, doc_id ASC) AS rank
+                  FROM scored)
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro,
+                   CAST(score_micro AS DOUBLE) / 1e6 AS score
+            FROM r WHERE rank <= 10
+            ORDER BY query_id, rank"""))
+
+  /** Token-budget mixture sampling: per-source greedy prefix in
+    * md5(doc_id) order until the source's token budget is reached.
+    * The Spark side computes the cumulative sums with a distributed
+    * prefix-sum (no per-source single-task window); the oracle is the
+    * equivalent window form — exact BIGINTs, so they agree exactly.
+    */
+  val t59BudgetSample = Q(
+    "t59_budget_sample",
+    (s, dir) => BudgetSample.tokenBudgetSample(
+        docs(s, dir),
+        Map("src1" -> 800L, "src2" -> 600L, "src3" -> 400L))
+      .orderBy(col("doc_id")),
+    Some("""WITH b(source, budget) AS (VALUES
+              ('src1', 800), ('src2', 600), ('src3', 400)),
+            d AS (SELECT doc_id, source, budget,
+                    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                      AS BIGINT) AS n_tokens,
+                    md5(CAST(doc_id AS VARCHAR)) AS pri
+                  FROM documents JOIN b USING (source)),
+            t AS (SELECT doc_id, source, n_tokens, budget,
+                    sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                  FROM d)
+            SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM t WHERE cum_tokens <= budget
+            ORDER BY doc_id"""))
+
+  /** Within-document repetition profile: duplicate word-4-gram
+    * fraction and the most-repeated 4-gram count per document — the
+    * Gopher repeated-n-gram filter family.
+    */
+  val t60Repetition = Q(
+    "t60_repetition",
+    (s, dir) => TextStats.repetitionStats(docs(s, dir), n = 4)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            g AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 3),
+                    i -> array_to_string(ws[i+1:i+4], ' '))) AS ng
+                  FROM d WHERE len(ws) >= 4),
+            c AS (SELECT doc_id, ng, CAST(count(*) AS BIGINT) AS c
+                  FROM g GROUP BY doc_id, ng)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_frac,
+                   CAST(max(c) AS BIGINT) AS max_repeat
+            FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** k-NN label transfer: classify every 50th vector by the majority
+    * label of its 10 nearest neighbors (brute-force ranking), vote
+    * ties toward the smallest label.
+    */
+  val s50KnnClassify = Q(
+    "s50_knn_classify",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"),
+        col("label"))
+      Similarity.knnClassify(
+          e.filter(col("id") % 50 === 0).select("id", "vec"), e, k = 10)
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+            x AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    c.label AS lbl,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                      6) AS cos
+                  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+            r AS (SELECT query_id, neighbor_id, lbl, cos,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM x),
+            votes AS (SELECT query_id, lbl AS pred_label,
+                        CAST(count(*) AS BIGINT) AS votes
+                      FROM r WHERE rank <= 10 GROUP BY query_id, lbl),
+            best AS (SELECT query_id, pred_label, votes,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY votes DESC, pred_label ASC) AS rn
+                     FROM votes)
+            SELECT query_id, pred_label, votes FROM best WHERE rn = 1
+            ORDER BY query_id"""))
 }

@@ -87,4 +87,27 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cos") >= 0.3)
     }
   }
+
+  test("knnClassify takes the majority label of the brute-force top-k") {
+    import spark.implicits._
+    import graft.Tables
+    val labeled = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"), col("label"))
+    val queries = labeled.filter(col("id") < 5).select("id", "vec")
+    val got = Similarity.knnClassify(queries, labeled, k = 7).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // recompute expectation from the shared top-k kernel + label join
+    val labels = labeled.select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topk = Similarity.bruteForceTopK(queries, labeled.select("id", "vec"), 7)
+      .collect().groupBy(_.getLong(0))
+    topk.foreach { case (qid, rows) =>
+      val votes = rows.map(r => labels(r.getAs[Long]("neighbor_id")))
+        .groupBy(identity).map { case (l, v) => (l, v.size) }
+      val best = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(got(qid) == (best._1, best._2.toLong), s"query $qid")
+    }
+  }
 }

@@ -61,4 +61,27 @@ class TextStatsSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("repetitionStats counts duplicate 4-grams exactly") {
+    import spark.implicits._
+    val df = Seq(
+      // "a b a b a b a b": 4-grams = abab, baba, abab, baba, abab
+      //   → total 5, distinct 2, max repeat 3
+      (1L, "a b a b a b a b"),
+      // all distinct: "p q r s t" → 2 distinct 4-grams, no repeats
+      (2L, "p q r s t"),
+      // below n: no row
+      (3L, "x y z")).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(df, n = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).getAs[Long]("n_ngrams") == 5L)
+    assert(out(1L).getAs[Long]("n_distinct") == 2L)
+    assert(out(1L).getAs[Double]("dup_frac") == 3.0 / 5.0)
+    assert(out(1L).getAs[Long]("max_repeat") == 3L)
+    assert(out(2L).getAs[Long]("n_ngrams") == 2L)
+    assert(out(2L).getAs[Long]("n_distinct") == 2L)
+    assert(out(2L).getAs[Double]("dup_frac") == 0.0)
+    assert(out(2L).getAs[Long]("max_repeat") == 1L)
+  }
 }
