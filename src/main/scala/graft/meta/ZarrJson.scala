@@ -323,6 +323,66 @@ object ZarrJson {
       }
   }
 
+  /** A parsed Zarr v3 codec chain: the optional `transpose`
+    * array→array codec's dimension order, the `bytes` array→bytes
+    * codec's endianness, and the bytes→bytes compressor (the existing
+    * name semantics). Codecs the engine doesn't implement throw here
+    * — refusing a store loudly at metadata-parse time, never decoding
+    * it wrong.
+    */
+  final case class V3CodecChain(
+      transposeOrder: Option[Seq[Int]],
+      bigEndian: Boolean,
+      compressor: Option[String])
+
+  private val knownCompressors = Set("gzip", "zstd", "blosc", "zlib")
+
+  /** Parse a v3 `codecs` array node into a [[V3CodecChain]]. The
+    * `bytes` codec's `endian` configuration is the ONLY endianness
+    * source in v3 (v3 dtype strings carry no byte-order prefix, unlike
+    * v2's `<f4`/`>f4`) — defaults to little when absent (legal for
+    * 1-byte dtypes, and the universal writer default otherwise).
+    */
+  def parseCodecChainV3(codecs: JsonNode): V3CodecChain = {
+    var order: Option[Seq[Int]] = None
+    var big = false
+    var comp: Option[String] = None
+    codecs.elements().asScala.foreach { c =>
+      c.get("name").asText() match {
+        case "transpose" =>
+          val o = c.path("configuration").path("order")
+            .elements().asScala.map(_.asInt()).toSeq
+          // identity orders are legal no-ops; only keep real permutes
+          if (o.nonEmpty && o != o.indices.toSeq) order = Some(o)
+        case "bytes" | "endian" => // "endian" was the pre-1.0 spec name
+          big = c.path("configuration").path("endian").asText("little") == "big"
+        case "sharding_indexed" => // handled by parseShardingV3
+        case name if knownCompressors(name) => comp = Some(name)
+        case other => throw new UnsupportedOperationException(
+          s"zarr v3 codec '$other' unsupported (transpose/bytes/" +
+            s"${knownCompressors.mkString("/")}/sharding_indexed)")
+      }
+    }
+    V3CodecChain(order, big, comp)
+  }
+
+  /** Top-level codec chain of a v3 array doc. For sharded arrays this
+    * is the chain OUTSIDE the shard; pair with [[parseShardingInnerV3]]
+    * for the per-chunk chain.
+    */
+  def parseCodecsV3(json: String): V3CodecChain =
+    parseCodecChainV3(mapper.readTree(json).path("codecs"))
+
+  /** The inner (per-chunk) codec chain of the sharding_indexed codec,
+    * when present.
+    */
+  def parseShardingInnerV3(json: String): Option[V3CodecChain] = {
+    val n = mapper.readTree(json)
+    n.path("codecs").elements().asScala
+      .find(_.get("name").asText() == "sharding_indexed")
+      .map(c => parseCodecChainV3(c.get("configuration").path("codecs")))
+  }
+
   /** Zarr v3 array doc with the sharding_indexed codec: the chunk
     * grid advertises the SHARD shape; inner chunks live in the codec
     * configuration.

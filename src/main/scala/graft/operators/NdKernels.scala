@@ -33,6 +33,43 @@ object NdKernels {
     s
   }
 
+  /** C-order nD transpose of a flat buffer: out = transpose(in, perm),
+    * i.e. out dim d has extent inShape(perm(d)) and out[idx] reads
+    * in[k] with k(perm(d)) = idx(d) — numpy.transpose / zarr v3
+    * `transpose` codec semantics. Inverse: permuteFlat(out, outShape,
+    * inversePerm(perm)).
+    */
+  def permuteFlat(in: Array[Double], inShape: Array[Int], perm: Array[Int]): Array[Double] = {
+    val outShape = perm.map(inShape)
+    val inStr = strides(inShape)
+    val permStr = perm.map(inStr)
+    val out = new Array[Double](in.length)
+    val pos = new Array[Int](outShape.length)
+    var flat = 0
+    while (flat < out.length) {
+      var src = 0
+      var d = 0
+      while (d < pos.length) { src += pos(d) * permStr(d); d += 1 }
+      out(flat) = in(src)
+      var dd = pos.length - 1
+      var carry = true
+      while (carry && dd >= 0) {
+        pos(dd) += 1
+        if (pos(dd) == outShape(dd)) { pos(dd) = 0; dd -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
+  /** Inverse permutation: inversePerm(p)(p(i)) == i. */
+  def inversePerm(perm: Array[Int]): Array[Int] = {
+    val inv = new Array[Int](perm.length)
+    var i = 0
+    while (i < perm.length) { inv(perm(i)) = i; i += 1 }
+    inv
+  }
+
   def size(shape: Array[Int]): Int = shape.product
 
   /** Iterate all nD positions of `shape`, calling f(flatIndex, pos). */

@@ -188,20 +188,26 @@ object OmeZarrIO {
     val dims = meta.axes.map(_.name)
 
     val levels = meta.datasets.map { d =>
+      val v3Doc = if (zarrFormat == 3) Some(store.readString(s"${d.path}/zarr.json")) else None
       val (shape, chunks, dtypeRaw, comp, sepOrDims) =
         if (zarrFormat == 2) {
           val (s, c, dt, cp, sep) = ZarrJson.parseZarrayV2(store.readString(s"${d.path}/.zarray"))
           (s, c, dt, cp, sep)
         } else {
-          val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(store.readString(s"${d.path}/zarr.json"))
+          val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(v3Doc.get)
           (s, c, dt, cp, "/")
         }
-      val bigEndian = Dtypes.isBigEndian(dtypeRaw)
+      // v3: endianness and the optional transpose permutation live in
+      // the codec chain (for sharded arrays, the INNER chain — the
+      // outer chain is just [sharding_indexed])
+      val innerChain = v3Doc.flatMap(ZarrJson.parseShardingInnerV3)
+      val effChain = innerChain.orElse(v3Doc.map(ZarrJson.parseCodecsV3))
+      val bigEndian = effChain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
+      val transposeOrder = effChain.flatMap(_.transposeOrder).map(_.toArray)
       val dtype = Dtypes.normalize(dtypeRaw)
       // sharded arrays: grid chunks = shard shape; the chunk table
       // exposes the INNER chunks
-      val sharding = if (zarrFormat == 3)
-        ZarrJson.parseShardingV3(store.readString(s"${d.path}/zarr.json")) else None
+      val sharding = v3Doc.flatMap(ZarrJson.parseShardingV3)
       val innerChunks = sharding.map(_._1).getOrElse(chunks)
       val scale = d.coordinateTransformations.collectFirst { case ScaleT(s) => s }
         .getOrElse(Seq.fill(dims.length)(1.0))
@@ -232,7 +238,14 @@ object OmeZarrIO {
           def decodeChunk(raw: Array[Byte], idx: Seq[Int]): ChunkRow = {
             val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
             // zarr stores chunks at FULL chunk shape (edge chunks padded)
-            val full = ZarrStore.decodeToDoubles(raw, dtype, bigEndian)
+            val stored = ZarrStore.decodeToDoubles(raw, dtype, bigEndian)
+            // transpose codec: the stored buffer is the chunk permuted
+            // by `order` — invert it back to the declared dim order
+            val full = transposeOrder match {
+              case Some(o) => graft.operators.NdKernels.permuteFlat(
+                stored, o.map(innerB(_)), graft.operators.NdKernels.inversePerm(o))
+              case None => stored
+            }
             val clipped =
               if (cShape == innerB) full
               else ChunkOps.sliceBlock(full, innerB.toArray,

@@ -76,7 +76,8 @@ class OmeZarrTable(path: String) extends Table
 final case class OmeZarrInputPartition(scale: Int, idx: Seq[Int], arrayPath: String,
     shape: Seq[Long], chunks: Seq[Int], dtype: String, bigEndian: Boolean,
     compressor: Option[String], separator: String, zarrFormat: Int,
-    path: String, sharding: Option[(Seq[Int], Option[String])]) extends InputPartition
+    path: String, sharding: Option[(Seq[Int], Option[String])],
+    transposeOrder: Option[Seq[Int]] = None) extends InputPartition
 
 class OmeZarrScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -175,20 +176,25 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
     meta.datasets.zipWithIndex
       .filter { case (_, i) => scalePred.forall(_(i)) }
       .flatMap { case (d, i) =>
-        val (shape, chunks, dtypeRaw, comp, sep, sharding) =
+        val (shape, chunks, dtypeRaw, comp, sep, sharding, chain) =
           if (zarrFormat == 2) {
             val (s, c, dt, cp, sp) = ZarrJson.parseZarrayV2(store.readString(s"${d.path}/.zarray"))
-            (s, c, dt, cp, sp, None)
+            (s, c, dt, cp, sp, None, None)
           } else {
             val doc = store.readString(s"${d.path}/zarr.json")
             val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(doc)
-            (s, c, dt, cp, "/", ZarrJson.parseShardingV3(doc))
+            // endianness + transpose ride the codec chain in v3 (the
+            // INNER chain when the array is sharded)
+            val ch = ZarrJson.parseShardingInnerV3(doc)
+              .orElse(Some(ZarrJson.parseCodecsV3(doc)))
+            (s, c, dt, cp, "/", ZarrJson.parseShardingV3(doc), ch)
           }
+        val bigEndian = chain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
         // one partition per grid object: a chunk, or a whole shard
         ZarrStore.gridPositions(ZarrStore.chunkGrid(shape, chunks)).map { idx =>
           OmeZarrInputPartition(i, idx, d.path, shape, chunks,
-            Dtypes.normalize(dtypeRaw), Dtypes.isBigEndian(dtypeRaw), comp, sep,
-            zarrFormat, path, sharding)
+            Dtypes.normalize(dtypeRaw), bigEndian, comp, sep,
+            zarrFormat, path, sharding, chain.flatMap(_.transposeOrder))
         }
       }.toArray
   }
@@ -271,7 +277,14 @@ class OmeZarrReaderFactory(required: StructType,
           val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, idx, p.separator)
           Codecs.decompress(p.compressor, st.readBytes(key), fullSize)
         }
-        val full = ZarrStore.decodeToDoubles(raw, p.dtype, p.bigEndian)
+        val stored = ZarrStore.decodeToDoubles(raw, p.dtype, p.bigEndian)
+        // transpose codec: stored buffer is permuted by `order`
+        val full = p.transposeOrder match {
+          case Some(o) => graft.operators.NdKernels.permuteFlat(
+            stored, o.map(innerChunks(_)).toArray,
+            graft.operators.NdKernels.inversePerm(o.toArray))
+          case None => stored
+        }
         val clipped =
           if (cShape == innerChunks) full
           else ChunkOps.sliceBlock(full, innerChunks.toArray,

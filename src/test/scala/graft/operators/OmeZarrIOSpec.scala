@@ -99,6 +99,86 @@ class OmeZarrIOSpec extends SparkSpec {
       == vals.toSeq)
   }
 
+  test("permuteFlat: 3D transpose round-trips through its inverse") {
+    val shape = Array(2, 3, 4)
+    val vals = Array.tabulate(24)(_.toDouble)
+    for (perm <- Seq(Array(2, 0, 1), Array(1, 2, 0), Array(0, 2, 1))) {
+      val fwd = NdKernels.permuteFlat(vals, shape, perm)
+      val back = NdKernels.permuteFlat(fwd, perm.map(shape), NdKernels.inversePerm(perm))
+      assert(back.toSeq == vals.toSeq, perm.toSeq)
+    }
+    // spot value: out[idx] = in[k], k(perm(d)) = idx(d) for perm (2,0,1)
+    val f = NdKernels.permuteFlat(vals, shape, Array(2, 0, 1))
+    // out shape (4,2,3); out(1,1,2) should read in(1,2,1) = 1*12+2*4+1 = 21
+    assert(f(1 * 6 + 1 * 3 + 2) == 21.0)
+  }
+
+  test("foreign v3 store with transpose codec + big-endian bytes decodes correctly") {
+    import graft.zarr.{Codecs, ZarrStore}
+    // a float32 image so endianness actually bites (uint8 wouldn't)
+    // non-square chunks so the transposed stored shape differs from the
+    // declared chunk shape
+    val m = ImageMeta(Seq("y", "x"), Seq(32, 32), Seq(16, 8), "float32",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val r = new scala.util.Random(7)
+    val vals = Array.fill(32 * 32)((r.nextInt(1000) - 500).toDouble)
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-transpose").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5", compressor = Some("gzip"))
+
+    // rewrite scale0 the way a foreign writer with
+    // codecs = [transpose(order=[1,0]), bytes(big endian), gzip] would
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    val doc = new String(Files.readAllBytes(arr.resolve("zarr.json")))
+    val mapper = graft.meta.ZarrJson.mapper
+    val n = mapper.readTree(doc).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val codecs = n.putArray("codecs")
+    val tr = codecs.addObject()
+    tr.put("name", "transpose")
+    val ord = tr.putObject("configuration").putArray("order")
+    ord.add(1); ord.add(0)
+    val by = codecs.addObject()
+    by.put("name", "bytes")
+    by.putObject("configuration").put("endian", "big")
+    val gz = codecs.addObject()
+    gz.put("name", "gzip")
+    gz.putObject("configuration").put("level", 5)
+    Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(n))
+
+    for (cy <- 0 until 2; cx <- 0 until 4) {
+      val key = arr.resolve("c").resolve(cy.toString).resolve(cx.toString)
+      val plain = Codecs.decompress(Some("gzip"), Files.readAllBytes(key), 16 * 8 * 4)
+      val chunk = ZarrStore.decodeToDoubles(plain, "float32")
+      // forward-apply the transpose codec, then big-endian encode
+      val permuted = NdKernels.permuteFlat(chunk, Array(16, 8), Array(1, 0))
+      val bb = java.nio.ByteBuffer.allocate(permuted.length * 4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      permuted.foreach(v => bb.putFloat(v.toFloat))
+      Files.write(key, Codecs.compress(Some("gzip"), bb.array()))
+    }
+
+    // operator read path
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+
+    // DSv2 read path shares the chain handling
+    val df = spark.read.format("omezarr").load(dir)
+      .select("data", "dtype")
+    val got = df.collect().map(row => ZarrStore
+      .decodeToDoubles(row.getAs[Array[Byte]]("data"), row.getAs[String]("dtype")).sum).sum
+    assert(got == vals.sum)
+
+    // an unknown codec in the chain refuses the store loudly
+    val bad = codecs.addObject()
+    bad.put("name", "vlen-utf8")
+    Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(n))
+    val e = intercept[Exception] { OmeZarrIO.readMultiscales(spark, dir) }
+    assert(e.getMessage.contains("vlen-utf8"))
+  }
+
   test("fuzz: random shapes/chunks/dtypes/codecs round-trip both zarr versions") {
     val rnd = new scala.util.Random(42L)
     val dtypes = Seq("uint8", "int16", "uint16", "int32", "float32", "float64")
