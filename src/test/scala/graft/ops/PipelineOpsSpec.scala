@@ -153,6 +153,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == ((3L, 4L, 4L, 3000L)))
   }
 
+  test("repetitionStats plans exactly two aggregation shuffles (linear shape)") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = TextStats.repetitionStats(docs).queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).size -
+      "BroadcastExchange".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected the 2-agg linear shape, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("knnClassify plan: corpus side shuffles only top-k rows (map-side group limit)") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"), col("label"))
+    val plan = Similarity.knnClassify(
+        emb.filter(col("id") < 3).select("id", "vec"), emb, k = 5)
+      .queryExecution.executedPlan.toString
+    // the Partial WindowGroupLimit before the query_id exchange is what
+    // keeps the shuffle at ≤ k rows per (partition, query) — its
+    // disappearance is a scale regression
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    // the big corpus side must never sort-merge or enumerate pairs
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("ivfTopK neighbors are a subset of brute-force candidates with correct ranking") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
