@@ -342,8 +342,15 @@ object ZarrJson {
     * source in v3 (v3 dtype strings carry no byte-order prefix, unlike
     * v2's `<f4`/`>f4`) — defaults to little when absent (legal for
     * 1-byte dtypes, and the universal writer default otherwise).
+    *
+    * `rank` (array dimensionality, when the caller knows it) validates
+    * the transpose order: a malformed order — wrong length, repeated
+    * or out-of-range entries — throws HERE at metadata parse, never
+    * scrambling chunk data on executors. Chains with more than one
+    * compression codec also throw: the decode path applies exactly
+    * one, so accepting a stacked chain would silently misdecode.
     */
-  def parseCodecChainV3(codecs: JsonNode): V3CodecChain = {
+  def parseCodecChainV3(codecs: JsonNode, rank: Int = -1): V3CodecChain = {
     var order: Option[Seq[Int]] = None
     var big = false
     var comp: Option[String] = None
@@ -352,12 +359,19 @@ object ZarrJson {
         case "transpose" =>
           val o = c.path("configuration").path("order")
             .elements().asScala.map(_.asInt()).toSeq
+          require(o.sorted == o.indices.toList &&
+              (rank < 0 || o.length == rank),
+            s"zarr v3 transpose order $o is not a permutation of 0..${
+              (if (rank < 0) o.length else rank) - 1}")
           // identity orders are legal no-ops; only keep real permutes
           if (o.nonEmpty && o != o.indices.toSeq) order = Some(o)
         case "bytes" | "endian" => // "endian" was the pre-1.0 spec name
           big = c.path("configuration").path("endian").asText("little") == "big"
         case "sharding_indexed" => // handled by parseShardingV3
-        case name if knownCompressors(name) => comp = Some(name)
+        case name if knownCompressors(name) =>
+          require(comp.isEmpty, s"zarr v3 codec chain stacks compression codecs " +
+            s"(${comp.get} then $name) — the decode path applies exactly one")
+          comp = Some(name)
         case other => throw new UnsupportedOperationException(
           s"zarr v3 codec '$other' unsupported (transpose/bytes/" +
             s"${knownCompressors.mkString("/")}/sharding_indexed)")
@@ -370,8 +384,10 @@ object ZarrJson {
     * is the chain OUTSIDE the shard; pair with [[parseShardingInnerV3]]
     * for the per-chunk chain.
     */
-  def parseCodecsV3(json: String): V3CodecChain =
-    parseCodecChainV3(mapper.readTree(json).path("codecs"))
+  def parseCodecsV3(json: String): V3CodecChain = {
+    val n = mapper.readTree(json)
+    parseCodecChainV3(n.path("codecs"), n.path("shape").size())
+  }
 
   /** The inner (per-chunk) codec chain of the sharding_indexed codec,
     * when present.
@@ -380,7 +396,8 @@ object ZarrJson {
     val n = mapper.readTree(json)
     n.path("codecs").elements().asScala
       .find(_.get("name").asText() == "sharding_indexed")
-      .map(c => parseCodecChainV3(c.get("configuration").path("codecs")))
+      .map(c => parseCodecChainV3(c.get("configuration").path("codecs"),
+        n.path("shape").size()))
   }
 
   /** Zarr v3 array doc with the sharding_indexed codec: the chunk

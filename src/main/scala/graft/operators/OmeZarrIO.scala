@@ -197,13 +197,20 @@ object OmeZarrIO {
           val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(v3Doc.get)
           (s, c, dt, cp, "/")
         }
-      // v3: endianness and the optional transpose permutation live in
-      // the codec chain (for sharded arrays, the INNER chain — the
-      // outer chain is just [sharding_indexed])
+      // v3: endianness, compressor and the optional transpose
+      // permutation live in the codec chain. The OUTER chain always
+      // parses (validating it — unknown codecs refuse the store);
+      // sharded arrays then decode per chunk with the INNER chain.
+      val outerChain = v3Doc.map(ZarrJson.parseCodecsV3)
       val innerChain = v3Doc.flatMap(ZarrJson.parseShardingInnerV3)
-      val effChain = innerChain.orElse(v3Doc.map(ZarrJson.parseCodecsV3))
+      require(innerChain.isEmpty || outerChain.forall(_.transposeOrder.isEmpty),
+        "zarr v3 transpose OUTSIDE sharding_indexed is unsupported")
+      val effChain = innerChain.orElse(outerChain)
       val bigEndian = effChain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
       val transposeOrder = effChain.flatMap(_.transposeOrder).map(_.toArray)
+      // v3 decode trusts the validated chain's compressor (zarr v2
+      // keeps the .zarray compressor id)
+      val compEff = if (zarrFormat == 3) effChain.flatMap(_.compressor) else comp
       val dtype = Dtypes.normalize(dtypeRaw)
       // sharded arrays: grid chunks = shard shape; the chunk table
       // exposes the INNER chunks
@@ -257,17 +264,18 @@ object OmeZarrIO {
           shardingB match {
             case None => it.map { idx =>
               val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep)
-              decodeChunk(Codecs.decompress(comp, st.readBytes(key), fullSize), idx)
+              decodeChunk(Codecs.decompress(compEff, st.readBytes(key), fullSize), idx)
             }
-            case Some((inner, icomp)) => it.flatMap { shardIdx =>
-              // positions enumerate the SHARD grid here
+            case Some((inner, _)) => it.flatMap { shardIdx =>
+              // positions enumerate the SHARD grid here; compEff IS
+              // the inner chain's compressor for sharded arrays
               val cps = chunksB.zip(inner).map { case (s, c) => s / c }
               val key = ZarrStore.chunkKey(3, arrayPath, shardIdx)
               Sharding.parseShard(st.readBytes(key), cps.product).iterator.map {
                 case (flat, enc) =>
                   val rel = Sharding.innerPosition(flat, cps)
                   val idx = shardIdx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
-                  decodeChunk(Codecs.decompress(icomp, enc, fullSize), idx)
+                  decodeChunk(Codecs.decompress(compEff, enc, fullSize), idx)
               }
             }
           }

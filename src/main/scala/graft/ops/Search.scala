@@ -60,11 +60,10 @@ object Search {
     val docLen = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lens = docLen.select(col("doc_id"), size(col("ws")).as("dl"))
 
     // corpus totals: N docs, Σdl — a single 1-row aggregate
-    val totals = lens.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val totals = docLen.agg(
+      count(lit(1)).as("n_docs"), sum(size(col("ws"))).as("sum_dl"))
 
     // distinct query terms, broadcast into the corpus-side filter
     val qTerms = queries
@@ -72,13 +71,19 @@ object Search {
       .distinct()
 
     // postings of probed terms only: explode → semi-join-style filter
-    // on the broadcast term set → tf aggregation over the survivors
+    // on the broadcast term set → tf aggregation over the survivors.
+    // The doc length rides the postings (constant per doc, max() in
+    // the map-side-combinable agg) so NOTHING downstream ever joins
+    // back to a full-corpus relation — only probed postings shuffle.
+    // Persisted because both df and the contribution read it; without
+    // the persist the corpus-side explode would run twice.
     val termSet = qTerms.select(col("t")).distinct()
     val tf = docLen
-      .select(col("doc_id"), explode(col("ws")).as("t"))
+      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("t"))
       .join(broadcast(termSet), Seq("t"))
       .groupBy(col("t"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // document frequency per probed term (from the pruned postings)
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -88,7 +93,6 @@ object Search {
     val contrib = tf
       .join(broadcast(qTerms), Seq("t"))
       .join(broadcast(df), Seq("t"))
-      .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(totals))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
@@ -111,6 +115,7 @@ object Search {
         col("doc_id"), col("score_micro"),
         (col("score_micro").cast("double") / lit(1e6)).as("score"))
     val materialized = out.localCheckpoint(eager = true)
+    tf.unpersist()
     docLen.unpersist()
     materialized
   }

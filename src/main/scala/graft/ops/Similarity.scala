@@ -165,7 +165,10 @@ object Similarity {
     val topk = bruteForceTopK(queries, candidates.select("id", "vec"), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("pred_label").asc)
-    topk
+    // the top-k side is k·|queries| rows BY CONTRACT — pin the
+    // broadcast so a poor size estimate can never flip this into a
+    // full-corpus sort-merge join on the label table
+    broadcast(topk)
       .join(candidates.select(col("id").as("neighbor_id"), col("label").as("pred_label")),
         Seq("neighbor_id"))
       .groupBy(col("query_id"), col("pred_label"))

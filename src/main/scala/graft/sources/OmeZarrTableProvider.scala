@@ -182,12 +182,16 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
             (s, c, dt, cp, sp, None, None)
           } else {
             val doc = store.readString(s"${d.path}/zarr.json")
-            val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(doc)
-            // endianness + transpose ride the codec chain in v3 (the
-            // INNER chain when the array is sharded)
-            val ch = ZarrJson.parseShardingInnerV3(doc)
-              .orElse(Some(ZarrJson.parseCodecsV3(doc)))
-            (s, c, dt, cp, "/", ZarrJson.parseShardingV3(doc), ch)
+            val (s, c, dt, _, _) = ZarrJson.parseZarrayV3(doc)
+            // endianness, compressor + transpose ride the codec chain
+            // in v3 (the INNER chain when the array is sharded). The
+            // OUTER chain always parses — validating it — first.
+            val outer = ZarrJson.parseCodecsV3(doc)
+            val innerCh = ZarrJson.parseShardingInnerV3(doc)
+            require(innerCh.isEmpty || outer.transposeOrder.isEmpty,
+              "zarr v3 transpose OUTSIDE sharding_indexed is unsupported")
+            val ch = innerCh.getOrElse(outer)
+            (s, c, dt, ch.compressor, "/", ZarrJson.parseShardingV3(doc), Some(ch))
           }
         val bigEndian = chain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
         // one partition per grid object: a chunk, or a whole shard
@@ -223,7 +227,7 @@ class OmeZarrReaderFactory(required: StructType,
         */
       private val rows: Iterator[(Seq[Int], Option[Array[Byte]])] = p.sharding match {
         case None => Iterator((p.idx, None))
-        case Some((inner, icomp)) =>
+        case Some((inner, _)) => // p.compressor IS the inner chain's
           val cps = p.chunks.zip(inner).map { case (s, c) => s / c }
           val key = ZarrStore.chunkKey(3, p.arrayPath, p.idx)
           if (!st.exists(key)) Iterator.empty // all-fill-value shard: legal, no object
@@ -240,7 +244,7 @@ class OmeZarrReaderFactory(required: StructType,
               case (flat, enc) =>
                 val rel = Sharding.innerPosition(flat, cps)
                 val idx = p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
-                (idx, Some(Codecs.decompress(icomp, enc,
+                (idx, Some(Codecs.decompress(p.compressor, enc,
                   inner.product * Dtypes.itemSize(p.dtype))))
             }
           }

@@ -115,4 +115,33 @@ class MetadataSpec extends AnyFunSuite {
     assert(defaultChunks(Seq("t", "z", "y", "x"))("x") == 128)
     assert(defaultChunks(Seq("y", "x"))("x") == 256)
   }
+
+  test("v3 codec chain: parse, validation, and refusals") {
+    def doc(codecs: String) =
+      s"""{"zarr_format":3,"node_type":"array","shape":[4,6],
+          "data_type":"float32","codecs":$codecs}"""
+    // full chain parses: transpose order, big endian, compressor
+    val c = ZarrJson.parseCodecsV3(doc(
+      """[{"name":"transpose","configuration":{"order":[1,0]}},
+         {"name":"bytes","configuration":{"endian":"big"}},
+         {"name":"zlib","configuration":{}}]"""))
+    assert(c == ZarrJson.V3CodecChain(Some(Seq(1, 0)), bigEndian = true, Some("zlib")))
+    // identity transpose is a no-op, little endian default
+    assert(ZarrJson.parseCodecsV3(doc(
+      """[{"name":"transpose","configuration":{"order":[0,1]}},
+         {"name":"bytes","configuration":{"endian":"little"}}]"""))
+      == ZarrJson.V3CodecChain(None, bigEndian = false, None))
+    // malformed orders refuse at parse: repeated entry, wrong length
+    assertThrows[IllegalArgumentException](ZarrJson.parseCodecsV3(doc(
+      """[{"name":"transpose","configuration":{"order":[0,0]}},{"name":"bytes"}]""")))
+    assertThrows[IllegalArgumentException](ZarrJson.parseCodecsV3(doc(
+      """[{"name":"transpose","configuration":{"order":[1,2,0]}},{"name":"bytes"}]""")))
+    // stacked compression codecs refuse (decode applies exactly one)
+    assertThrows[IllegalArgumentException](ZarrJson.parseCodecsV3(doc(
+      """[{"name":"bytes"},{"name":"zstd"},{"name":"gzip"}]""")))
+    // unknown codecs refuse loudly
+    val e = intercept[UnsupportedOperationException](ZarrJson.parseCodecsV3(doc(
+      """[{"name":"bytes"},{"name":"vlen-utf8"}]""")))
+    assert(e.getMessage.contains("vlen-utf8"))
+  }
 }

@@ -116,12 +116,13 @@ class OmeZarrIOSpec extends SparkSpec {
   test("foreign v3 store with transpose codec + big-endian bytes decodes correctly") {
     import graft.zarr.{Codecs, ZarrStore}
     // a float32 image so endianness actually bites (uint8 wouldn't)
-    // non-square chunks so the transposed stored shape differs from the
-    // declared chunk shape
-    val m = ImageMeta(Seq("y", "x"), Seq(32, 32), Seq(16, 8), "float32",
+    // non-square chunks AND a non-dividing shape: the transposed
+    // stored shape differs from the declared chunk shape, and edge
+    // chunks exercise the transpose → clip interaction
+    val m = ImageMeta(Seq("y", "x"), Seq(30, 20), Seq(16, 8), "float32",
       Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
     val r = new scala.util.Random(7)
-    val vals = Array.fill(32 * 32)((r.nextInt(1000) - 500).toDouble)
+    val vals = Array.fill(30 * 20)((r.nextInt(1000) - 500).toDouble)
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
     val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
       Method.ItkwasmBinShrink, cache = false)
@@ -147,7 +148,7 @@ class OmeZarrIOSpec extends SparkSpec {
     gz.putObject("configuration").put("level", 5)
     Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(n))
 
-    for (cy <- 0 until 2; cx <- 0 until 4) {
+    for (cy <- 0 until 2; cx <- 0 until 3) {
       val key = arr.resolve("c").resolve(cy.toString).resolve(cx.toString)
       val plain = Codecs.decompress(Some("gzip"), Files.readAllBytes(key), 16 * 8 * 4)
       val chunk = ZarrStore.decodeToDoubles(plain, "float32")
@@ -159,17 +160,28 @@ class OmeZarrIOSpec extends SparkSpec {
       Files.write(key, Codecs.compress(Some("gzip"), bb.array()))
     }
 
-    // operator read path
+    // operator read path: elementwise parity
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == vals.toSeq)
 
-    // DSv2 read path shares the chain handling
-    val df = spark.read.format("omezarr").load(dir)
-      .select("data", "dtype")
-    val got = df.collect().map(row => ZarrStore
-      .decodeToDoubles(row.getAs[Array[Byte]]("data"), row.getAs[String]("dtype")).sum).sum
-    assert(got == vals.sum)
+    // DSv2 read path shares the chain handling — ELEMENTWISE per
+    // chunk (a sum compare would pass under any in-chunk permutation)
+    val rows = spark.read.format("omezarr").load(dir)
+      .select("origin", "shape", "data", "dtype").collect()
+    assert(rows.length == 6)
+    rows.foreach { row =>
+      val origin = row.getSeq[Long](0)
+      val shp = row.getSeq[Int](1)
+      val got = ZarrStore.decodeToDoubles(
+        row.getAs[Array[Byte]]("data"), row.getAs[String]("dtype"))
+      assert(got.length == shp.product)
+      for (ry <- 0 until shp(0); rx <- 0 until shp(1)) {
+        val expect = vals(((origin(0) + ry) * 20 + origin(1) + rx).toInt)
+        assert(got(ry * shp(1) + rx) == expect,
+          s"mismatch at origin $origin local ($ry,$rx)")
+      }
+    }
 
     // an unknown codec in the chain refuses the store loudly
     val bad = codecs.addObject()
