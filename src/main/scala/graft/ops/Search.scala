@@ -75,24 +75,24 @@ object Search {
     // The doc length rides the postings (constant per doc, max() in
     // the map-side-combinable agg) so NOTHING downstream ever joins
     // back to a full-corpus relation — only probed postings shuffle.
-    // Persisted because both df and the contribution read it; without
-    // the persist the corpus-side explode would run twice.
     val termSet = qTerms.select(col("t")).distinct()
     val tf = docLen
       .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("t"))
       .join(broadcast(termSet), Seq("t"))
       .groupBy(col("t"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // document frequency per probed term (from the pruned postings)
-    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // document frequency per probed term: a WINDOW count over the
+    // (tiny) postings table, so the plan stays one linear pass — a
+    // separate df aggregation would either re-run the corpus explode
+    // or force a cache of the postings (both measured slower)
+    val wdf = Window.partitionBy(col("t"))
 
     // per-(query, doc, term) contribution — doubles from exact ints,
     // 6dp-rounded, micro-quantized so the sum is exact
     val contrib = tf
+      .withColumn("df", count(lit(1)).over(wdf))
       .join(broadcast(qTerms), Seq("t"))
-      .join(broadcast(df), Seq("t"))
       .crossJoin(broadcast(totals))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
@@ -115,7 +115,6 @@ object Search {
         col("doc_id"), col("score_micro"),
         (col("score_micro").cast("double") / lit(1e6)).as("score"))
     val materialized = out.localCheckpoint(eager = true)
-    tf.unpersist()
     docLen.unpersist()
     materialized
   }
