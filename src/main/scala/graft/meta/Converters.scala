@@ -140,4 +140,63 @@ object Converters {
     */
   def taskCount(meta: ImageMeta): Long =
     graft.zarr.ZarrStore.chunkGrid(meta.shape, meta.chunks).map(_.toLong).product
+
+  /** ITK-side image description produced by [[imageMetaToItk]] —
+    * the `imageType` + geometry dict of
+    * `ngff_image_to_itk_image.py:98-133`.
+    */
+  final case class ItkImageInfo(
+      dimension: Int,
+      componentType: String,
+      pixelType: String,
+      components: Int,
+      itkDims: Seq[String],
+      spacing: Seq[Double],
+      origin: Seq[Double],
+      size: Seq[Long])
+
+  /** NgffImage metadata → ITK image description — the reverse of
+    * [[itkToImageMeta]] (`ngff_image_to_itk_image.py:39-133`):
+    *
+    *  - ITK dims are the spatial/time subset sorted x, y, z with `t`
+    *    moved last (`:97-102`); spacing/origin/size follow that order
+    *    (`:103-106`);
+    *  - component type maps the element dtype 1:1, rejecting dtypes
+    *    ITK has no scalar for — bool, float16, complex
+    *    (`_dtype_to_component_type`, `:12-36`);
+    *  - pixel type: `c` present with 3 uint8 components → RGB, any
+    *    other `c` → VariableLengthVector, no `c` → Scalar
+    *    (`:111-118`).
+    *
+    * Metadata-only by design: the data side composes from existing
+    * operators (`Restructure.take` for t/c index selection,
+    * `Restructure.spatialDimsLast` for the channel-last layout the
+    * reference applies via `_channel_dim_last`).
+    */
+  def imageMetaToItk(meta: ImageMeta): ItkImageInfo = {
+    val componentType = meta.dtype match {
+      case "uint8" | "int8" | "uint16" | "int16" | "uint32" | "int32" |
+           "uint64" | "int64" | "float32" | "float64" => meta.dtype
+      case other => throw new IllegalArgumentException(
+        s"dtype $other has no ITK component type (ngff_image_to_itk_image.py:35)")
+    }
+    val itkNames = Set("x", "y", "z", "t")
+    val sorted = meta.dims.filter(itkNames.contains).sorted
+    val itkDims = if (sorted.contains("t")) sorted.filterNot(_ == "t") :+ "t" else sorted
+    val components =
+      if (meta.dims.contains("c")) meta.shape(meta.dims.indexOf("c")) else 1L
+    val pixelType =
+      if (!meta.dims.contains("c")) "Scalar"
+      else if (components == 3L && componentType == "uint8") "RGB"
+      else "VariableLengthVector"
+    ItkImageInfo(
+      dimension = itkDims.length,
+      componentType = componentType,
+      pixelType = pixelType,
+      components = components.toInt,
+      itkDims = itkDims,
+      spacing = itkDims.map(d => meta.scale.getOrElse(d, 1.0)),
+      origin = itkDims.map(d => meta.translation.getOrElse(d, 0.0)),
+      size = itkDims.map(d => meta.shape(meta.dims.indexOf(d))))
+  }
 }

@@ -116,6 +116,37 @@ class MetadataSpec extends AnyFunSuite {
     assert(defaultChunks(Seq("y", "x"))("x") == 256)
   }
 
+  test("imageMetaToItk mirrors ngff_image_to_itk_image semantics") {
+    import graft.meta.Converters
+    // tczyx with 3 uint8 channels → RGB, itk dims x,y,z,t with t last
+    val m = ImageMeta(Seq("t", "c", "z", "y", "x"), Seq(5, 3, 10, 20, 30),
+      Seq(1, 3, 10, 20, 30), "uint8",
+      Map("t" -> 2.0, "z" -> 1.5, "y" -> 0.5, "x" -> 0.25, "c" -> 1.0),
+      Map("t" -> 0.0, "z" -> 7.0, "y" -> 8.0, "x" -> 9.0, "c" -> 0.0))
+    val itk = Converters.imageMetaToItk(m)
+    assert(itk.itkDims == Seq("x", "y", "z", "t"))
+    assert(itk.dimension == 4)
+    assert(itk.pixelType == "RGB" && itk.components == 3)
+    assert(itk.componentType == "uint8")
+    assert(itk.spacing == Seq(0.25, 0.5, 1.5, 2.0))
+    assert(itk.origin == Seq(9.0, 8.0, 7.0, 0.0))
+    assert(itk.size == Seq(30L, 20L, 10L, 5L))
+
+    // non-3-channel float32 → VariableLengthVector; no c → Scalar
+    val v = Converters.imageMetaToItk(m.copy(dtype = "float32"))
+    assert(v.pixelType == "VariableLengthVector")
+    val s = Converters.imageMetaToItk(ImageMeta(Seq("y", "x"), Seq(4, 4),
+      Seq(4, 4), "int16", Map("y" -> 1.0, "x" -> 1.0),
+      Map("y" -> 0.0, "x" -> 0.0)))
+    assert(s.pixelType == "Scalar" && s.components == 1 && s.dimension == 2)
+
+    // dtypes ITK has no scalar for refuse
+    assertThrows[IllegalArgumentException](
+      Converters.imageMetaToItk(m.copy(dtype = "float16")))
+    assertThrows[IllegalArgumentException](
+      Converters.imageMetaToItk(m.copy(dtype = "complex64")))
+  }
+
   test("v3 codec chain: parse, validation, and refusals") {
     def doc(codecs: String) =
       s"""{"zarr_format":3,"node_type":"array","shape":[4,6],
