@@ -830,37 +830,82 @@ object Relational extends QModule {
   /** Discrete percentiles (p50/p90/p99) of extended price per return
     * flag: the value AT position ceil(q·n) in sort order — an actual
     * data value, no interpolation, so parity is exact by
-    * construction. Computed over the VALUE-FREQUENCY table, not the
-    * rows: a map-side-combinable groupBy reduces the corpus to
-    * (flag, value, count), and the rank pick is the smallest value
-    * whose running cumulative count reaches ceil(q·n). The per-flag
-    * window then sorts distinct VALUES, whose count is bounded by the
-    * value domain (cent-quantized prices: ≤ ~4.5M whatever the row
-    * count) — so at 100 TB the 3-task window sees millions of rows
-    * where the row-sort form would see hundreds of billions. At small
-    * SF the frequency table barely shrinks (~99% of prices distinct)
-    * and the extra shuffle costs ~1 s — the deliberate price of the
-    * form that survives the scale-up. The approximate path is q48's
-    * sketch.
+    * construction. TWO-PHASE exact algorithm: (1) a map-side-
+    * combinable aggregation into coarse 4096-cent buckets (~1.1k
+    * rows/flag through the shuffle, never a row or value-frequency
+    * table) + a tiny window locates the bucket holding each target
+    * rank; (2) a second scan keeps only rows inside located buckets
+    * (broadcast semi-filter) and runs the fine cumulative pick over
+    * ≤ 4096 values per (flag, q). No serial structure ever exceeds
+    * the bucket count — at 100 TB both phases stay fully parallel
+    * where a per-flag sort window would drag the whole domain
+    * through one task. The approximate path is q48's sketch.
     */
   val q42PercentileDisc = Q(
     "q42_percentile_disc",
     (s, dir) => {
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
-      val wc = Window.partitionBy(col("l_returnflag"))
-      Tables.load(s, dir, "lineitem")
+      import s.implicits._
+      // TWO-PHASE exact percentile: the single-window form serializes
+      // each flag's whole frequency table through one task (the value
+      // domain is ~4.5M cents — one core sorts millions while the
+      // rest idle). Instead: (1) coarse 4096-cent buckets locate the
+      // bucket containing each target rank — a tiny window over
+      // ~1.1k buckets/flag; (2) the fine cumulative scan runs only
+      // INSIDE the located buckets (≤ 4096 values per (flag, q)).
+      // Both phases are fully parallel aggregations; the serial
+      // window input drops from |domain| to 4096 rows. Results are
+      // identical to the window form by construction (same ranks,
+      // same cumulative order).
+      val priced = Tables.load(s, dir, "lineitem")
         .selectExpr("l_returnflag",
           "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c")
-        .groupBy(col("l_returnflag"), col("price_c"))
+
+      // phase 1 aggregates the RAW rows straight into buckets — the
+      // shuffle carries only ~1.1k bucket rows per flag, never a
+      // value-frequency table
+      val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+      val wf = Window.partitionBy(col("l_returnflag"))
+      val buckets = priced
+        .groupBy(col("l_returnflag"), expr("price_c div 4096").as("bucket"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("cumb", sum(col("bc")).over(wb))
+        .withColumn("cnt", sum(col("bc")).over(wf))
+
+      // one row per (flag, q): the minimum bucket whose cumulative
+      // count reaches rank = ceil(q·cnt), with the count BEFORE it
+      val targets = buckets
+        .crossJoin(Seq(0.50, 0.90, 0.99).toDF("q"))
+        .withColumn("rank", expr("CAST(ceil(q * cnt) AS BIGINT)"))
+        .filter(col("cumb") >= col("rank"))
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(min(struct(col("bucket"), (col("cumb") - col("bc")).as("base"))).as("t"),
+          max(col("rank")).as("rank"))
+        .select(col("l_returnflag"), col("q"), col("t.bucket").as("bucket"),
+          col("t.base").as("base"), col("rank"))
+
+      val wq = Window.partitionBy(col("l_returnflag"), col("q")).orderBy(col("price_c"))
+      // phase 2 re-scans the raw rows with the broadcast bucket filter
+      // — only rows inside a located bucket (≤ 4096 values per
+      // (flag, q)) survive into the tiny fine aggregation + window.
+      // targets derives from the same scan: alias both sides so the
+      // self-join resolves unambiguously.
+      val out = priced.as("f")
+        .join(broadcast(targets.as("tg")),
+          col("f.l_returnflag") === col("tg.l_returnflag") &&
+            expr("f.price_c div 4096") === col("tg.bucket"))
+        .groupBy(col("f.l_returnflag").as("l_returnflag"), col("tg.q").as("q"),
+          col("f.price_c").as("price_c"), col("tg.base").as("base"),
+          col("tg.rank").as("rank"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(w))
-        .withColumn("cnt", sum(col("c")).over(wc))
+        .withColumn("cumf", col("base") + sum(col("c")).over(wq))
+        .filter(col("cumf") >= col("rank"))
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("CAST(min(CASE WHEN cum >= CAST(ceil(0.50 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p50"),
-          expr("CAST(min(CASE WHEN cum >= CAST(ceil(0.90 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p90"),
-          expr("CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * cnt) AS BIGINT) THEN price_c END) AS DOUBLE) / 100").as("p99"))
+          expr("CAST(min(CASE WHEN q = 0.50 THEN price_c END) AS DOUBLE) / 100").as("p50"),
+          expr("CAST(min(CASE WHEN q = 0.90 THEN price_c END) AS DOUBLE) / 100").as("p90"),
+          expr("CAST(min(CASE WHEN q = 0.99 THEN price_c END) AS DOUBLE) / 100").as("p99"))
         .orderBy(col("l_returnflag"))
+      out
     },
     Some("""WITH f AS (SELECT l_returnflag,
                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
