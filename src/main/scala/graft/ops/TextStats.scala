@@ -111,9 +111,11 @@ object TextStats {
     */
   def wordFreqStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // deliberately NOT persisted: both consumers re-run the cheap
+    // codegen'd tokenize+explode; caching the token table measured
+    // slower than recomputing it (columnar cache build dominates)
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("wf"))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("wf"))
@@ -127,11 +129,6 @@ object TextStats {
         expr("max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN wf END)").as("median_wf"),
         max(col("wf")).as("max_wf"),
         expr("(sum(wf) * 1000) div max(cnt)").as("mean_wf_milli"))
-      // one row per doc — orders smaller than the token explosion, so
-      // materialize it eagerly (disk-backed) and free the token cache
-      // now instead of leaking it into the session
-      .localCheckpoint(eager = true)
-    toks.unpersist()
     out
   }
 
