@@ -62,6 +62,29 @@ class TextStatsSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("ngramRows matches the column-expression n-gram construction") {
+    import spark.implicits._
+    val r = new scala.util.Random(41)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docs = (0 until 50).map { i =>
+      val n = r.nextInt(8)
+      (i.toLong, Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 4)) {
+      val kernel = TextDedup.ngramRows(docs, "doc_id", "text", k)
+        .collect().map(row => (row.getLong(0), row.getString(1))).sorted.toSeq
+      val expr0 = docs
+        .select(col("doc_id"), TextDedup.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= k)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ws")) - k),
+            i => concat_ws(" ", (0 until k).map(j =>
+              element_at(col("ws"), (i + j + 1).cast("int"))): _*))).as("ng"))
+        .collect().map(row => (row.getLong(0), row.getString(1))).sorted.toSeq
+      assert(kernel == expr0, s"k=$k")
+    }
+  }
+
   test("repetitionStats counts duplicate 4-grams exactly") {
     import spark.implicits._
     val df = Seq(
