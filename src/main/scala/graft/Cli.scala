@@ -3,24 +3,63 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.meta.Model._
 import graft.meta.Converters
-import graft.operators.{MultiscaleBuilder, OmeZarrIO}
+import graft.operators.{ChunkOps, MultiscaleBuilder, OmeZarrIO}
 
 /** S14 — the conversion pipeline driver app (the reference's CLI,
   * `py/ngff_zarr/cli.py:164-450`, re-expressed as a spark-submit
-  * main): detect input backend → read → plan scales → downsample
-  * cascade → write OME-Zarr.
+  * main): detect input backend → read → apply metadata overrides →
+  * plan scales → downsample cascade → write OME-Zarr.
   *
   * Usage:
-  *   Cli <input.ome.zarr> <output.ome.zarr> [--method=itkwasm_gaussian]
-  *       [--version=0.4] [--compressor=zstd] [--chunks-per-shard=2,2]
+  *   Cli <input.ome.zarr> <output.ome.zarr>
+  *       [--method=itkwasm_gaussian] [--version=0.4]
+  *       [--compressor=zstd] [--chunks-per-shard=2,2]
+  *       [--dims=z,y,x] [--name=image]
+  *       [--scale=x=1.4,y=1.4] [--translation=x=0.0,y=0.0]
+  *       [--units=x=micrometer,y=micrometer]
+  *       [--chunks=64,64] [--output-scale=0] [--validate=true]
+  *
+  * Flag parity with the reference CLI's metadata/processing groups
+  * (`cli.py:178-266`): `--dims` renames axes positionally; `--scale`
+  * / `--translation` / `--units` override per-dim values; `--chunks`
+  * rechunks the base image before the cascade; `--output-scale`
+  * selects one level of a multiscale input. `--local-cluster` /
+  * `--memory-target` / `--cache-dir` have no counterpart — Spark's
+  * master URL, executor memory and spill management replace them —
+  * and `--use-tensorstore` is n/a (one writer implementation).
   *
   * The OME-Zarr, NIfTI, and baseline-TIFF input backends decode
   * pixels in pure JVM; the remaining formats need native codecs
   * absent here (Converters documents the boundary).
   */
 object Cli {
+
+  /** Parse "x=1.4,y=2" into an ordered map. */
+  private def kvMap(s: String): Seq[(String, String)] =
+    s.split(",").toSeq.map { p =>
+      p.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case _ => throw new IllegalArgumentException(
+          s"expected dim=value pairs, got '$p'")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Cli <input> <output> [--method=..] [--version=..]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  /** The pipeline body, session-injected so tests can drive it. */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     val input = args(0)
     val output = args(1)
     val opts = args.drop(2).flatMap { a =>
@@ -30,21 +69,16 @@ object Cli {
       }
     }.toMap
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .appName("graft-cli")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
     val backend = Converters.detectBackend(Seq(input),
       isZarrArrayDir = p => new java.io.File(p, ".zarray").exists())
-    val base: MultiscaleBuilder.Level = backend match {
+    val base0: MultiscaleBuilder.Level = backend match {
       case Converters.ConversionBackend.NgffZarr | Converters.ConversionBackend.ZarrArray =>
-        OmeZarrIO.readMultiscales(spark, input,
-          validate = opts.get("validate").contains("true")).levels.head
+        val levels = OmeZarrIO.readMultiscales(spark, input,
+          validate = opts.get("validate").contains("true")).levels
+        val idx = opts.get("output-scale").map(_.toInt).getOrElse(0)
+        require(idx >= 0 && idx < levels.length,
+          s"--output-scale=$idx out of range (store has ${levels.length} scales)")
+        levels(idx)
       case Converters.ConversionBackend.Nibabel =>
         val img = graft.operators.NiftiIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
@@ -55,14 +89,55 @@ object Cli {
         s"backend $other needs native image codecs not present here; " +
           "convert to OME-Zarr, NIfTI, or TIFF upstream")
     }
+
+    // metadata overrides (cli.py metadata group): dims rename is
+    // positional and re-keys every per-dim map; scale/translation/
+    // units override individual dims afterwards
+    val base = {
+      var meta = base0.meta
+      var ds = base0.chunks
+      opts.get("dims").foreach { d =>
+        val names = d.split(",").toSeq
+        require(names.length == meta.dims.length,
+          s"--dims needs ${meta.dims.length} names, got $names")
+        val rekey = meta.dims.zip(names).toMap
+        meta = meta.copy(dims = names,
+          scale = meta.scale.map { case (k, v) => rekey(k) -> v },
+          translation = meta.translation.map { case (k, v) => rekey(k) -> v },
+          axesUnits = meta.axesUnits.map { case (k, v) => rekey(k) -> v },
+          axesOrientations = meta.axesOrientations.map { case (k, v) => rekey(k) -> v })
+      }
+      opts.get("scale").foreach { s =>
+        meta = meta.copy(scale = meta.scale ++
+          kvMap(s).map { case (k, v) => k -> v.toDouble })
+      }
+      opts.get("translation").foreach { s =>
+        meta = meta.copy(translation = meta.translation ++
+          kvMap(s).map { case (k, v) => k -> v.toDouble })
+      }
+      opts.get("units").foreach { s =>
+        meta = meta.copy(axesUnits = meta.axesUnits ++ kvMap(s))
+      }
+      opts.get("name").foreach(n => meta = meta.copy(name = n))
+      opts.get("chunks").foreach { c =>
+        val target = c.split(",").map(_.toInt).toSeq
+        require(target.length == meta.dims.length,
+          s"--chunks needs ${meta.dims.length} values, got $target")
+        val (m2, ds2) = ChunkOps.rechunk(spark, ds, meta, target)
+        meta = m2
+        ds = ds2
+      }
+      MultiscaleBuilder.Level(meta, ds)
+    }
+
     val method = opts.get("method").flatMap(Method.fromValue)
       .getOrElse(Method.ItkwasmGaussian)
     val ms = MultiscaleBuilder.toMultiscales(spark, base, method = method)
     val counts = OmeZarrIO.writeMultiscales(spark, output, ms,
+      name = base.meta.name,
       version = opts.getOrElse("version", "0.4"),
       compressor = Some(opts.getOrElse("compressor", "zstd")),
       chunksPerShard = opts.get("chunks-per-shard").map(_.split(",").map(_.toInt).toSeq))
     println(s"wrote ${counts.length} scales (${counts.sum} chunks) to $output")
-    spark.stop()
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.meta.Model._
+import graft.operators.{ChunkOps, MultiscaleBuilder, OmeZarrIO}
+import java.nio.file.Files
+
+/** Drives Cli.run end-to-end with the reference CLI's metadata and
+  * processing flags (S14 parity, `cli.py:178-266`).
+  */
+class CliSpec extends SparkSpec {
+
+  private def writeInput(): (String, Array[Double]) = {
+    val m = ImageMeta(Seq("y", "x"), Seq(64, 64), Seq(32, 32), "uint8",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val r = new scala.util.Random(99)
+    val vals = Array.fill(64 * 64)(r.nextInt(256).toDouble)
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base,
+      Some(Seq(Map("y" -> 2, "x" -> 2))), Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("cli-in").toString + "/in.ome.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.4")
+    (dir, vals)
+  }
+
+  test("metadata overrides: scale, translation, units, name flow to the output store") {
+    val (in, vals) = writeInput()
+    val out = Files.createTempDirectory("cli-out").toString + "/out.ome.zarr"
+    Cli.run(spark, Array(in, out,
+      "--scale=x=1.4,y=2.5", "--translation=x=10.0",
+      "--units=x=micrometer,y=micrometer", "--name=renamed",
+      "--method=itkwasm_bin_shrink", "--compressor=gzip"))
+    val back = OmeZarrIO.readMultiscales(spark, out)
+    val l0 = back.levels.head
+    assert(l0.meta.scale == Map("y" -> 2.5, "x" -> 1.4))
+    assert(l0.meta.translation == Map("y" -> 0.0, "x" -> 10.0))
+    assert(l0.meta.axesUnits == Map("y" -> "micrometer", "x" -> "micrometer"))
+    assert(l0.meta.name == "renamed")
+    assert(back.method == Method.ItkwasmBinShrink)
+    assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == vals.toSeq)
+  }
+
+  test("--chunks rechunks the base image; --dims renames axes positionally") {
+    val (in, vals) = writeInput()
+    val out = Files.createTempDirectory("cli-out").toString + "/out.ome.zarr"
+    Cli.run(spark, Array(in, out, "--chunks=16,64", "--dims=j,i"))
+    val back = OmeZarrIO.readMultiscales(spark, out)
+    val l0 = back.levels.head
+    assert(l0.meta.dims == Seq("j", "i"))
+    assert(l0.meta.chunks == Seq(16, 64))
+    assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == vals.toSeq)
+  }
+
+  test("--output-scale selects one level of a multiscale input") {
+    val (in, _) = writeInput()
+    val out = Files.createTempDirectory("cli-out").toString + "/out.ome.zarr"
+    Cli.run(spark, Array(in, out, "--output-scale=1"))
+    val back = OmeZarrIO.readMultiscales(spark, out)
+    // scale 1 of the 64² input is 32² — the cascade starts from there
+    assert(back.levels.head.meta.shape == Seq(32L, 32L))
+    // out-of-range refuses
+    assertThrows[IllegalArgumentException](
+      Cli.run(spark, Array(in, out + "2", "--output-scale=9")))
+  }
+}
