@@ -132,6 +132,25 @@ object TextStats {
     out
   }
 
+  /** Text normalization — the canonicalization step that runs before
+    * hashing/dedup in a training-data pipeline: lowercase, strip
+    * every character outside [a-z0-9 ], collapse whitespace runs,
+    * trim. All codegen'd built-ins (lower/regexp_replace/trim) in the
+    * common regex subset, so a SQL oracle replays it verbatim.
+    *
+    * Output: (doc_id, normalized, n_chars, n_norm_chars).
+    */
+  def normalize(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), "  +", " "))
+    docs.select(
+      col(idCol).as("doc_id"),
+      norm.as("normalized"),
+      length(col(textCol)).as("n_chars"),
+      length(norm).as("n_norm_chars"))
+  }
+
   /** Stopword list for the quality gate's stopword-fraction rule
     * (order-independent membership test, distinct from the lang-ID
     * lexicons above).

@@ -22,7 +22,7 @@ object Pipeline extends QModule {
   override def queries: Seq[Q] = Seq(
     q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
     t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
-    t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify)
+    t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize)
 
   import QTables.{docs, emb}
 
@@ -526,4 +526,18 @@ object Pipeline extends QModule {
                      FROM votes)
             SELECT query_id, pred_label, votes FROM best WHERE rn = 1
             ORDER BY query_id"""))
+
+  /** Text canonicalization: lowercase, ASCII-only, collapsed spaces —
+    * the normalization pass before any hashing/dedup step.
+    */
+  val t61Normalize = Q(
+    "t61_normalize",
+    (s, dir) => TextStats.normalize(docs(s, dir)).orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS normalized,
+              CAST(len(text) AS INT) AS n_chars,
+              CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS INT) AS n_norm_chars
+            FROM documents ORDER BY doc_id"""))
 }
