@@ -80,9 +80,13 @@ object Cli {
           s"--output-scale=$idx out of range (store has ${levels.length} scales)")
         levels(idx)
       case Converters.ConversionBackend.Nibabel =>
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: NIfTI inputs are single-scale (only 0 is valid)")
         val img = graft.operators.NiftiIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Tifffile =>
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: TIFF inputs are single-scale (only 0 is valid)")
         val img = graft.operators.TiffIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case other => throw new UnsupportedOperationException(
@@ -100,6 +104,11 @@ object Cli {
         val names = d.split(",").toSeq
         require(names.length == meta.dims.length,
           s"--dims needs ${meta.dims.length} names, got $names")
+        // canonical OME-NGFF axis names only, no repeats — arbitrary
+        // labels would silently disable the spatial downsample plan
+        // and mislabel axis types in the written metadata
+        require(names.distinct == names && names.forall(SupportedDims.contains),
+          s"--dims must be distinct names from ${SupportedDims.mkString(",")}, got $names")
         val rekey = meta.dims.zip(names).toMap
         meta = meta.copy(dims = names,
           scale = meta.scale.map { case (k, v) => rekey(k) -> v },
@@ -107,16 +116,24 @@ object Cli {
           axesUnits = meta.axesUnits.map { case (k, v) => rekey(k) -> v },
           axesOrientations = meta.axesOrientations.map { case (k, v) => rekey(k) -> v })
       }
+      // per-dim overrides refuse unknown dim names — a typo'd key
+      // would otherwise be silently inert
+      def checked(flag: String, s: String): Seq[(String, String)] = {
+        val kvs = kvMap(s)
+        val bad = kvs.map(_._1).filterNot(meta.dims.contains)
+        require(bad.isEmpty, s"--$flag names unknown dims $bad (image dims: ${meta.dims})")
+        kvs
+      }
       opts.get("scale").foreach { s =>
         meta = meta.copy(scale = meta.scale ++
-          kvMap(s).map { case (k, v) => k -> v.toDouble })
+          checked("scale", s).map { case (k, v) => k -> v.toDouble })
       }
       opts.get("translation").foreach { s =>
         meta = meta.copy(translation = meta.translation ++
-          kvMap(s).map { case (k, v) => k -> v.toDouble })
+          checked("translation", s).map { case (k, v) => k -> v.toDouble })
       }
       opts.get("units").foreach { s =>
-        meta = meta.copy(axesUnits = meta.axesUnits ++ kvMap(s))
+        meta = meta.copy(axesUnits = meta.axesUnits ++ checked("units", s))
       }
       opts.get("name").foreach(n => meta = meta.copy(name = n))
       opts.get("chunks").foreach { c =>

@@ -82,17 +82,22 @@ object Search {
       .groupBy(col("t"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
-    // document frequency per probed term: a WINDOW count over the
-    // (tiny) postings table, so the plan stays one linear pass — a
-    // separate df aggregation would either re-run the corpus explode
-    // or force a cache of the postings (both measured slower)
-    val wdf = Window.partitionBy(col("t"))
+    // document frequency per probed term: a map-side-combinable
+    // aggregation over the postings, broadcast back (one row per
+    // probed term). The tf subtree recomputes for the broadcast side
+    // — the deliberate trade: caching the postings measured 3.5×
+    // slower (columnar build), and a count() WINDOW over `t` would
+    // buffer a hot term's ENTIRE posting list in one task (a
+    // stopword's list is corpus-sized — a straggler/OOM at scale);
+    // two embarrassingly-parallel corpus passes have neither failure
+    // mode.
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
 
     // per-(query, doc, term) contribution — doubles from exact ints,
     // 6dp-rounded, micro-quantized so the sum is exact
     val contrib = tf
-      .withColumn("df", count(lit(1)).over(wdf))
       .join(broadcast(qTerms), Seq("t"))
+      .join(broadcast(df), Seq("t"))
       .crossJoin(broadcast(totals))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf",

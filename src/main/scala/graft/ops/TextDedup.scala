@@ -84,9 +84,14 @@ object TextDedup {
       s"$idCol must be a numeric id column, got $idType")
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val ws = text.split(' ').filter(_.nonEmpty)
-        if (ws.length < k) Iterator.empty
-        else ws.sliding(k).map(g => (id, g.mkString(" ")))
+        // null text emits no rows, like the column-expression form
+        // (words(null) -> null -> filtered) and the simHash kernel
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.split(' ').filter(_.nonEmpty)
+          if (ws.length < k) Iterator.empty
+          else ws.sliding(k).map(g => (id, g.mkString(" ")))
+        }
       })
       .toDF("doc_id", "ng")
   }

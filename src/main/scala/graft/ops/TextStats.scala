@@ -184,7 +184,8 @@ object TextStats {
     // [A-Za-z0-9 ], stopword hits with multiplicity.
     val stopSet = qualityStopwords.toSet
     val base = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
+      .mapPartitions(_.flatMap { case (id, text) =>
+        if (text == null) Iterator.empty else Iterator.single {
         val ws = text.split(' ').filter(_.nonEmpty)
         var sumLen = 0
         var stop = 0
@@ -204,7 +205,7 @@ object TextStats {
           i += Character.charCount(cp)
         }
         (id, ws.length, sumLen, nChars, sym, stop)
-      })
+      }})
       .toDF("doc_id", "n_words", "sum_word_len", "n_chars",
         "n_symbol_chars", "n_stopwords")
     // typed bigram kernel over the raw text (a second JVM split is

@@ -42,12 +42,27 @@ class CliSpec extends SparkSpec {
   test("--chunks rechunks the base image; --dims renames axes positionally") {
     val (in, vals) = writeInput()
     val out = Files.createTempDirectory("cli-out").toString + "/out.ome.zarr"
-    Cli.run(spark, Array(in, out, "--chunks=16,64", "--dims=j,i"))
+    Cli.run(spark, Array(in, out, "--chunks=16,64", "--dims=z,y"))
     val back = OmeZarrIO.readMultiscales(spark, out)
     val l0 = back.levels.head
-    assert(l0.meta.dims == Seq("j", "i"))
+    assert(l0.meta.dims == Seq("z", "y"))
     assert(l0.meta.chunks == Seq(16, 64))
     assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == vals.toSeq)
+  }
+
+  test("override validation: non-canonical or duplicate dims and typo'd keys refuse") {
+    val (in, _) = writeInput()
+    val out = Files.createTempDirectory("cli-out").toString + "/out.ome.zarr"
+    // arbitrary labels would disable the spatial plan — refused
+    assertThrows[IllegalArgumentException](
+      Cli.run(spark, Array(in, out, "--dims=j,i")))
+    assertThrows[IllegalArgumentException](
+      Cli.run(spark, Array(in, out, "--dims=x,x")))
+    // typo'd per-dim keys must not be silently inert
+    assertThrows[IllegalArgumentException](
+      Cli.run(spark, Array(in, out, "--scale=X=1.4")))
+    assertThrows[IllegalArgumentException](
+      Cli.run(spark, Array(in, out, "--units=q=micrometer")))
   }
 
   test("--output-scale selects one level of a multiscale input") {

@@ -85,6 +85,17 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("typed kernels drop null-text rows like the column-expression forms") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(TextDedup.ngramRows(docs, "doc_id", "text", 2).count() == 4L)
+    val qr = TextStats.repetitionStats(docs, n = 2).collect()
+    assert(qr.map(_.getLong(0)).toSet == Set(1L))
+    val q = TextStats.qualityRules(docs).collect()
+    assert(q.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("repetitionStats counts duplicate 4-grams exactly") {
     import spark.implicits._
     val df = Seq(
