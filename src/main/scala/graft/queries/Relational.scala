@@ -844,68 +844,21 @@ object Relational extends QModule {
   val q42PercentileDisc = Q(
     "q42_percentile_disc",
     (s, dir) => {
-      import s.implicits._
-      // TWO-PHASE exact percentile: the single-window form serializes
-      // each flag's whole frequency table through one task (the value
-      // domain is ~4.5M cents — one core sorts millions while the
-      // rest idle). Instead: (1) coarse 4096-cent buckets locate the
-      // bucket containing each target rank — a tiny window over
-      // ~1.1k buckets/flag; (2) the fine cumulative scan runs only
-      // INSIDE the located buckets (≤ 4096 values per (flag, q)).
-      // Both phases are fully parallel aggregations; the serial
-      // window input drops from |domain| to 4096 rows. Results are
-      // identical to the window form by construction (same ranks,
-      // same cumulative order).
-      val priced = Tables.load(s, dir, "lineitem")
-        .selectExpr("l_returnflag",
-          "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c")
-
-      // phase 1 aggregates the RAW rows straight into buckets — the
-      // shuffle carries only ~1.1k bucket rows per flag, never a
-      // value-frequency table
-      val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
-      val wf = Window.partitionBy(col("l_returnflag"))
-      val buckets = priced
-        .groupBy(col("l_returnflag"), expr("price_c div 4096").as("bucket"))
-        .agg(count(lit(1)).as("bc"))
-        .withColumn("cumb", sum(col("bc")).over(wb))
-        .withColumn("cnt", sum(col("bc")).over(wf))
-
-      // one row per (flag, q): the minimum bucket whose cumulative
-      // count reaches rank = ceil(q·cnt), with the count BEFORE it
-      val targets = buckets
-        .crossJoin(Seq(0.50, 0.90, 0.99).toDF("q"))
-        .withColumn("rank", expr("CAST(ceil(q * cnt) AS BIGINT)"))
-        .filter(col("cumb") >= col("rank"))
-        .groupBy(col("l_returnflag"), col("q"))
-        .agg(min(struct(col("bucket"), (col("cumb") - col("bc")).as("base"))).as("t"),
-          max(col("rank")).as("rank"))
-        .select(col("l_returnflag"), col("q"), col("t.bucket").as("bucket"),
-          col("t.base").as("base"), col("rank"))
-
-      val wq = Window.partitionBy(col("l_returnflag"), col("q")).orderBy(col("price_c"))
-      // phase 2 re-scans the raw rows with the broadcast bucket filter
-      // — only rows inside a located bucket (≤ 4096 values per
-      // (flag, q)) survive into the tiny fine aggregation + window.
-      // targets derives from the same scan: alias both sides so the
-      // self-join resolves unambiguously.
-      val out = priced.as("f")
-        .join(broadcast(targets.as("tg")),
-          col("f.l_returnflag") === col("tg.l_returnflag") &&
-            expr("f.price_c div 4096") === col("tg.bucket"))
-        .groupBy(col("f.l_returnflag").as("l_returnflag"), col("tg.q").as("q"),
-          col("f.price_c").as("price_c"), col("tg.base").as("base"),
-          col("tg.rank").as("rank"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cumf", col("base") + sum(col("c")).over(wq))
-        .filter(col("cumf") >= col("rank"))
+      // graft.ops.Percentiles.twoPhaseDiscrete: bucket location +
+      // fine scan, fuzz-verified against the single-window form in
+      // PercentilesSpec (boundary ranks, heavy duplicates included)
+      graft.ops.Percentiles.twoPhaseDiscrete(
+          Tables.load(s, dir, "lineitem")
+            .selectExpr("l_returnflag",
+              "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c"),
+          groupCol = "l_returnflag", valueCol = "price_c",
+          qs = Seq(0.50, 0.90, 0.99))
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("CAST(min(CASE WHEN q = 0.50 THEN price_c END) AS DOUBLE) / 100").as("p50"),
-          expr("CAST(min(CASE WHEN q = 0.90 THEN price_c END) AS DOUBLE) / 100").as("p90"),
-          expr("CAST(min(CASE WHEN q = 0.99 THEN price_c END) AS DOUBLE) / 100").as("p99"))
+          expr("CAST(min(CASE WHEN q = 0.50 THEN value END) AS DOUBLE) / 100").as("p50"),
+          expr("CAST(min(CASE WHEN q = 0.90 THEN value END) AS DOUBLE) / 100").as("p90"),
+          expr("CAST(min(CASE WHEN q = 0.99 THEN value END) AS DOUBLE) / 100").as("p99"))
         .orderBy(col("l_returnflag"))
-      out
     },
     Some("""WITH f AS (SELECT l_returnflag,
                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
