@@ -57,6 +57,42 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
   }
 
+  test("fuzz: bm25TopK equals a naive in-memory BM25 on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    for (round <- 0 until 4) {
+      val corpus = (0 until 30 + rnd.nextInt(40)).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val qterms = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).distinct
+      val k1 = 1.2; val b = 0.75
+      // naive reference, same arithmetic order as the docstring formula
+      val docs = corpus.map { case (id, t) => id -> t.split(' ').filter(_.nonEmpty) }
+      val n = docs.length.toLong
+      val sumDl = docs.map(_._2.length.toLong).sum
+      val avgdl = sumDl.toDouble / n
+      val df = qterms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+      val naive = docs.flatMap { case (id, ws) =>
+        val microSum = qterms.filter(t => ws.contains(t)).map { t =>
+          val tf = ws.count(_ == t).toLong
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          val w = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * ws.length / avgdl))
+          Math.round(Similarity.round6(w) * 1e6)
+        }.sum
+        if (microSum != 0L || qterms.exists(ws.contains)) Some(id -> microSum) else None
+      }.toMap
+      val expected = naive.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+
+      val got = Search.bm25TopK(corpus.toDF("doc_id", "text"),
+          queries(0 -> qterms.mkString(" ")), k = 10, k1 = k1, b = b)
+        .orderBy(col("rank"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toSeq
+      assert(got == expected, s"round $round terms=$qterms")
+    }
+  }
+
   test("multiple queries rank independently") {
     import spark.implicits._
     val docs = Seq(
