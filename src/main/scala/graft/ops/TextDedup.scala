@@ -55,14 +55,18 @@ object TextDedup {
       s"$idCol must be a numeric id column, got $idType " +
         "(hash or zip string ids to longs first)")
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val ws = text.split(' ').filter(_.nonEmpty)
-        val sh =
-          if (ws.length < k) Array.empty[String]
-          else ws.sliding(k).map(_.mkString(" ")).toArray.distinct
-        (id, sh)
-      })
+      .mapPartitions(_.map { case (id, text) => (id, shinglesOf(text, k)) })
       .toDF("doc_id", "sh")
+  }
+
+  /** Distinct word k-shingles of one document — the per-row kernel
+    * behind [[shingleSets]], shared with the streaming operator.
+    */
+  private[graft] def shinglesOf(text: String, k: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val ws = text.split(' ').filter(_.nonEmpty)
+    if (ws.length < k) Array.empty
+    else ws.sliding(k).map(_.mkString(" ")).toArray.distinct
   }
 
   /** (doc_id, shingle) exploded pairs, distinct per doc. */
@@ -158,30 +162,36 @@ object TextDedup {
       .select(col("doc_id"), col("sh")).as[(Long, Array[String])]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, shingles) =>
-          val sig = Array.fill(n)(Long.MaxValue)
-          var si = 0
-          while (si < shingles.length) {
-            val d = digest.digest(shingles(si).getBytes("UTF-8"))
-            // h1 = first 14 hex chars (bytes 0-6), h2 = next 14
-            // (bytes 7-13): same values conv(substring(md5,...),16,10)
-            // produces, exact in BIGINT up to h1 + 63·h2
-            var h1 = 0L; var h2 = 0L
-            var bi = 0
-            while (bi < 7) { h1 = (h1 << 8) | (d(bi) & 0xffL); bi += 1 }
-            while (bi < 14) { h2 = (h2 << 8) | (d(bi) & 0xffL); bi += 1 }
-            var i = 0
-            while (i < n) {
-              val h = h1 + i.toLong * h2
-              if (h < sig(i)) sig(i) = h
-              i += 1
-            }
-            si += 1
-          }
-          (id, sig)
-        }
+        it.map { case (id, shingles) => (id, signatureOfShingles(shingles, n, digest)) }
       }
       .toDF("doc_id", "sig")
+  }
+
+  /** MinHash signature of one shingle set — the per-row kernel behind
+    * [[signaturesFromSets]], shared with the streaming operator.
+    * h1 = first 14 md5 hex chars (bytes 0-6), h2 = next 14
+    * (bytes 7-13): the same values conv(substring(md5,...),16,10)
+    * produces, exact in BIGINT up to h1 + 63·h2.
+    */
+  private[graft] def signatureOfShingles(shingles: Array[String], n: Int,
+      digest: java.security.MessageDigest): Array[Long] = {
+    val sig = Array.fill(n)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val d = digest.digest(shingles(si).getBytes("UTF-8"))
+      var h1 = 0L; var h2 = 0L
+      var bi = 0
+      while (bi < 7) { h1 = (h1 << 8) | (d(bi) & 0xffL); bi += 1 }
+      while (bi < 14) { h2 = (h2 << 8) | (d(bi) & 0xffL); bi += 1 }
+      var i = 0
+      while (i < n) {
+        val h = h1 + i.toLong * h2
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    sig
   }
 
   /** LSH banding over MinHash signatures: hash each band of

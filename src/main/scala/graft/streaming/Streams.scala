@@ -195,6 +195,84 @@ object Streams {
       }
   }
 
+  final case class ArrivingDoc(doc_id: Long, text: String)
+  final case class NearDupCandidate(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming incremental MinHash-LSH near-dup detection: every
+    * arriving document is checked against EVERYTHING seen so far —
+    * the streaming twin of `TextDedup.minHashNearDups`' candidate
+    * stage (batch gate d42), sharing its exact kernels (shingle,
+    * md5 Kirsch–Mitzenmacher signature, banding), so the candidate
+    * set equals the batch operator's over the same corpus.
+    *
+    * Shape: signatures are stateless per-doc work; state lives per
+    * (band, bucket) — the doc ids previously hashed into that bucket
+    * — and a new arrival emits one candidate pair per prior occupant
+    * plus pairs among same-batch arrivals. The same pair can surface
+    * from several bands (exactly like the batch band join before its
+    * `distinct`): consumers de-dup on (doc_a, doc_b) per sink batch
+    * and run the exact-Jaccard verify there (foreachBatch), where the
+    * document payloads live.
+    *
+    * Replays are idempotent: ids already in a bucket's state are
+    * dropped, so at-least-once delivery cannot re-emit pairs. State
+    * grows with the corpus — inherent to "dedup against everything
+    * ever seen" (the batch index is corpus-sized too); production
+    * deployments rotate the state store or periodically fold it into
+    * a batch index.
+    */
+  def streamingNearDupCandidates(spark: SparkSession, docs: Dataset[ArrivingDoc],
+      k: Int = 3, numHashes: Int = 64,
+      numBands: Int = 16): Dataset[NearDupCandidate] = {
+    import spark.implicits._
+    import graft.ops.TextDedup
+    val rowsPerBand = numHashes / numBands
+    val banded = docs.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { d =>
+        val sh = TextDedup.shinglesOf(d.text, k)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = TextDedup.signatureOfShingles(sh, numHashes, digest)
+          (0 until numBands).iterator.map { b =>
+            // the raw slot string IS the bucket key (the batch form's
+            // xxhash64 of it only shortens the shuffle key; equality
+            // semantics are identical, minus hash collisions)
+            (d.doc_id, b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(","))
+          }
+        }
+      }
+    }
+    banded.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[List[Long], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          val prev = state.getOption.getOrElse(Nil)
+          val prevSet = prev.toSet
+          val fresh = rows.map(_._1).toArray.distinct.sorted
+            .filterNot(prevSet) // replay-idempotent
+          val out = Vector.newBuilder[NearDupCandidate]
+          // new × old, then new × new (i < j keeps doc_a < doc_b —
+          // ids only grow within `fresh`, and prev ids pair min-first)
+          fresh.foreach { f =>
+            prev.foreach { p =>
+              out += NearDupCandidate(math.min(p, f), math.max(p, f), band)
+            }
+          }
+          var i = 0
+          while (i < fresh.length) {
+            var j = i + 1
+            while (j < fresh.length) {
+              out += NearDupCandidate(fresh(i), fresh(j), band)
+              j += 1
+            }
+            i += 1
+          }
+          if (fresh.nonEmpty) state.update(fresh.toList ::: prev)
+          out.result().iterator
+      }
+  }
+
   /** One arriving field-of-view: which well, which image slot, and a
     * flat payload (the acquisition instrument's output).
     */

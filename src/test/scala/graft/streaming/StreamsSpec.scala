@@ -290,4 +290,39 @@ class StreamsSpec extends SparkSpec {
     assert(vv.filter(col("y") === 3 && col("x") === 7).select("value")
       .head().getDouble(0) == ((3 * 1024 + 7) % 1000).toDouble)
   }
+
+  test("streaming near-dup candidates match the batch LSH operator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three near-identical docs plus noise, split across two batches
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> (base + " extra"),
+      3L -> ((21 to 40).map(i => s"z$i").mkString(" ")),
+      4L -> base.replace("w5", "q5"),
+      5L -> ((41 to 60).map(i => s"y$i").mkString(" ")))
+    val mem = MemoryStream[Streams.ArrivingDoc]
+    val q = Streams.streamingNearDupCandidates(spark,
+        mem.toDS(), k = 3, numHashes = 64, numBands = 16)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_cands").start()
+    mem.addData(docs.take(2).map { case (id, t) => Streams.ArrivingDoc(id, t) }: _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2).map { case (id, t) => Streams.ArrivingDoc(id, t) }: _*)
+    q.processAllAvailable()
+    // replay of batch-2 docs must not re-emit pairs
+    mem.addData(Streams.ArrivingDoc(4L, base.replace("w5", "q5")))
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_cands").select("doc_a", "doc_b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+
+    val batch = graft.ops.TextDedup.lshCandidates(
+        graft.ops.TextDedup.minHashSignatures(
+          docs.toDF("doc_id", "text"), numHashes = 64), numBands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 2L))) // the cross-batch pair
+  }
 }
