@@ -380,6 +380,20 @@ object ZarrJson {
     V3CodecChain(order, big, comp)
   }
 
+  /** The v3 `chunk_key_encoding`: (name, separator). Defaults per
+    * spec — name `default` with '/', name `v2` with '.' (the encoding
+    * zarr-python emits for v2-converted stores).
+    */
+  def parseChunkKeyEncodingV3(json: String): (String, String) = {
+    val n = mapper.readTree(json).path("chunk_key_encoding")
+    val name = n.path("name").asText("default")
+    require(name == "default" || name == "v2",
+      s"zarr v3 chunk_key_encoding '$name' unsupported (default/v2)")
+    val sep = n.path("configuration").path("separator")
+      .asText(if (name == "v2") "." else "/")
+    (name, sep)
+  }
+
   /** Top-level codec chain of a v3 array doc. For sharded arrays this
     * is the chain OUTSIDE the shard; pair with [[parseShardingInnerV3]]
     * for the per-chunk chain.

@@ -195,8 +195,11 @@ object OmeZarrIO {
           (s, c, dt, cp, sep)
         } else {
           val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(v3Doc.get)
-          (s, c, dt, cp, "/")
+          // honor the array's chunk_key_encoding separator (the
+          // encoding name threads through keyEnc below)
+          (s, c, dt, cp, ZarrJson.parseChunkKeyEncodingV3(v3Doc.get)._2)
         }
+      val keyEnc = v3Doc.map(ZarrJson.parseChunkKeyEncodingV3(_)._1).getOrElse("default")
       // v3: endianness, compressor and the optional transpose
       // permutation live in the codec chain. The OUTER chain always
       // parses (validating it — unknown codecs refuse the store);
@@ -263,14 +266,14 @@ object OmeZarrIO {
           val fullSize = innerB.product * Dtypes.itemSize(dtype)
           shardingB match {
             case None => it.map { idx =>
-              val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep)
+              val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep, keyEnc)
               decodeChunk(Codecs.decompress(compEff, st.readBytes(key), fullSize), idx)
             }
             case Some((inner, _)) => it.flatMap { shardIdx =>
               // positions enumerate the SHARD grid here; compEff IS
               // the inner chain's compressor for sharded arrays
               val cps = chunksB.zip(inner).map { case (s, c) => s / c }
-              val key = ZarrStore.chunkKey(3, arrayPath, shardIdx)
+              val key = ZarrStore.chunkKey(3, arrayPath, shardIdx, sep, keyEnc)
               Sharding.parseShard(st.readBytes(key), cps.product).iterator.map {
                 case (flat, enc) =>
                   val rel = Sharding.innerPosition(flat, cps)

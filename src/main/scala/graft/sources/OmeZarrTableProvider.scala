@@ -77,7 +77,8 @@ final case class OmeZarrInputPartition(scale: Int, idx: Seq[Int], arrayPath: Str
     shape: Seq[Long], chunks: Seq[Int], dtype: String, bigEndian: Boolean,
     compressor: Option[String], separator: String, zarrFormat: Int,
     path: String, sharding: Option[(Seq[Int], Option[String])],
-    transposeOrder: Option[Seq[Int]] = None) extends InputPartition
+    transposeOrder: Option[Seq[Int]] = None,
+    keyEncoding: String = "default") extends InputPartition
 
 class OmeZarrScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -176,10 +177,10 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
     meta.datasets.zipWithIndex
       .filter { case (_, i) => scalePred.forall(_(i)) }
       .flatMap { case (d, i) =>
-        val (shape, chunks, dtypeRaw, comp, sep, sharding, chain) =
+        val (shape, chunks, dtypeRaw, comp, sep, sharding, chain, keyEnc) =
           if (zarrFormat == 2) {
             val (s, c, dt, cp, sp) = ZarrJson.parseZarrayV2(store.readString(s"${d.path}/.zarray"))
-            (s, c, dt, cp, sp, None, None)
+            (s, c, dt, cp, sp, None, None, "default")
           } else {
             val doc = store.readString(s"${d.path}/zarr.json")
             val (s, c, dt, _, _) = ZarrJson.parseZarrayV3(doc)
@@ -191,14 +192,16 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
             require(innerCh.isEmpty || outer.transposeOrder.isEmpty,
               "zarr v3 transpose OUTSIDE sharding_indexed is unsupported")
             val ch = innerCh.getOrElse(outer)
-            (s, c, dt, ch.compressor, "/", ZarrJson.parseShardingV3(doc), Some(ch))
+            val (encName, encSep) = ZarrJson.parseChunkKeyEncodingV3(doc)
+            (s, c, dt, ch.compressor, encSep,
+              ZarrJson.parseShardingV3(doc), Some(ch), encName)
           }
         val bigEndian = chain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
         // one partition per grid object: a chunk, or a whole shard
         ZarrStore.gridPositions(ZarrStore.chunkGrid(shape, chunks)).map { idx =>
           OmeZarrInputPartition(i, idx, d.path, shape, chunks,
             Dtypes.normalize(dtypeRaw), bigEndian, comp, sep,
-            zarrFormat, path, sharding, chain.flatMap(_.transposeOrder))
+            zarrFormat, path, sharding, chain.flatMap(_.transposeOrder), keyEnc)
         }
       }.toArray
   }
@@ -229,7 +232,7 @@ class OmeZarrReaderFactory(required: StructType,
         case None => Iterator((p.idx, None))
         case Some((inner, _)) => // p.compressor IS the inner chain's
           val cps = p.chunks.zip(inner).map { case (s, c) => s / c }
-          val key = ZarrStore.chunkKey(3, p.arrayPath, p.idx)
+          val key = ZarrStore.chunkKey(3, p.arrayPath, p.idx, p.separator, p.keyEncoding)
           if (!st.exists(key)) Iterator.empty // all-fill-value shard: legal, no object
           else if (!needData) {
             // metadata-only: read ONLY the shard index footer so the
@@ -278,7 +281,8 @@ class OmeZarrReaderFactory(required: StructType,
           preloaded: Option[Array[Byte]]): Array[Byte] = {
         val fullSize = innerChunks.product * Dtypes.itemSize(p.dtype)
         val raw = preloaded.getOrElse {
-          val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, idx, p.separator)
+          val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, idx,
+            p.separator, p.keyEncoding)
           Codecs.decompress(p.compressor, st.readBytes(key), fullSize)
         }
         val stored = ZarrStore.decodeToDoubles(raw, p.dtype, p.bigEndian)

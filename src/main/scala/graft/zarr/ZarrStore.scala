@@ -129,14 +129,18 @@ object ZarrStore {
 
   /** Chunk object key for one grid position.
     * Zarr v2: indices joined by the dimension separator ('.' default,
-    * '/' for nested); Zarr v3 default encoding: `c/` prefix, '/'
-    * separator.
+    * '/' for nested). Zarr v3: per the array's `chunk_key_encoding` —
+    * `default` prefixes `c` and joins with the configured separator
+    * ('/' unless overridden); `v2` joins bare indices ('.' unless
+    * overridden, scalar arrays key "0").
     */
   def chunkKey(zarrFormat: Int, arrayPath: String, idx: Seq[Int],
-      separator: String = "/"): String = {
+      separator: String = "/", v3Encoding: String = "default"): String = {
     val rel =
-      if (zarrFormat == 3) (if (idx.isEmpty) "c" else "c/" + idx.mkString("/"))
-      else idx.mkString(separator)
+      if (zarrFormat == 3) {
+        if (v3Encoding == "v2") (if (idx.isEmpty) "0" else idx.mkString(separator))
+        else (if (idx.isEmpty) "c" else "c" + separator + idx.mkString(separator))
+      } else idx.mkString(separator)
     if (arrayPath.isEmpty) rel else s"$arrayPath/$rel"
   }
 

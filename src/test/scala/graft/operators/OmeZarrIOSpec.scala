@@ -191,6 +191,47 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(e.getMessage.contains("vlen-utf8"))
   }
 
+  test("foreign v3 store with v2-style chunk_key_encoding ('.' separator) opens") {
+    val (m, vals) = mkImage()
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-keyenc").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5", compressor = Some("gzip"))
+
+    // rewrite scale0 the way a v2-converted store keys its chunks:
+    // chunk_key_encoding v2 with '.' → bare "0.0" keys, no c/ prefix
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    val mapper = graft.meta.ZarrJson.mapper
+    val n = mapper.readTree(new String(Files.readAllBytes(arr.resolve("zarr.json"))))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cke = n.putObject("chunk_key_encoding")
+    cke.put("name", "v2")
+    cke.putObject("configuration").put("separator", ".")
+    Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(n))
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val src = arr.resolve("c").resolve(cy.toString).resolve(cx.toString)
+      Files.move(src, arr.resolve(s"$cy.$cx"))
+    }
+
+    // operator + DSv2 read paths both honor the encoding
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    val got = spark.read.format("omezarr").load(dir)
+      .filter(org.apache.spark.sql.functions.col("scale") === 0)
+      .select("data", "dtype").collect()
+      .map(r => graft.zarr.ZarrStore.decodeToDoubles(
+        r.getAs[Array[Byte]]("data"), r.getAs[String]("dtype")).sum).sum
+    assert(got == vals.sum)
+
+    // unknown encodings refuse loudly
+    cke.put("name", "hex")
+    Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(n))
+    val e = intercept[IllegalArgumentException] { OmeZarrIO.readMultiscales(spark, dir) }
+    assert(e.getMessage.contains("hex"))
+  }
+
   test("fuzz: random shapes/chunks/dtypes/codecs round-trip both zarr versions") {
     val rnd = new scala.util.Random(42L)
     val dtypes = Seq("uint8", "int16", "uint16", "int32", "float32", "float64")
