@@ -380,6 +380,27 @@ object ZarrJson {
     V3CodecChain(order, big, comp)
   }
 
+  /** The array's `fill_value` as a double — the value a chunk whose
+    * object is ABSENT from the store holds (sparse stores legally
+    * omit uniform chunks; both zarr versions). Handles JSON numbers,
+    * booleans, the IEEE string forms ("NaN"/"Infinity"/"-Infinity"),
+    * and v2's `null` (unspecified → 0, zarr-python's effective
+    * default).
+    */
+  def parseFillValue(json: String): Double = {
+    val n = mapper.readTree(json).path("fill_value")
+    if (n.isMissingNode || n.isNull) 0.0
+    else if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) { if (n.asBoolean()) 1.0 else 0.0 }
+    else n.asText() match {
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case other => throw new UnsupportedOperationException(
+        s"fill_value '$other' unsupported (number/bool/NaN/±Infinity)")
+    }
+  }
+
   /** The v3 `chunk_key_encoding`: (name, separator). Defaults per
     * spec — name `default` with '/', name `v2` with '.' (the encoding
     * zarr-python emits for v2-converted stores).

@@ -200,6 +200,9 @@ object OmeZarrIO {
           (s, c, dt, cp, ZarrJson.parseChunkKeyEncodingV3(v3Doc.get)._2)
         }
       val keyEnc = v3Doc.map(ZarrJson.parseChunkKeyEncodingV3(_)._1).getOrElse("default")
+      // sparse stores omit uniform chunks: absent object = fill_value
+      val fillValue = ZarrJson.parseFillValue(
+        v3Doc.getOrElse(store.readString(s"${d.path}/.zarray")))
       // v3: endianness, compressor and the optional transpose
       // permutation live in the codec chain. The OUTER chain always
       // parses (validating it — unknown codecs refuse the store);
@@ -267,7 +270,14 @@ object OmeZarrIO {
           shardingB match {
             case None => it.map { idx =>
               val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep, keyEnc)
-              decodeChunk(Codecs.decompress(compEff, st.readBytes(key), fullSize), idx)
+              if (st.exists(key))
+                decodeChunk(Codecs.decompress(compEff, st.readBytes(key), fullSize), idx)
+              else { // absent object: a uniform fill_value chunk
+                val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
+                ChunkRow(idx, ZarrStore.chunkOriginAt(innerB, idx), cShape,
+                  ZarrStore.encodeFromDoubles(
+                    Array.fill(cShape.product)(fillValue), dtype))
+              }
             }
             case Some((inner, _)) => it.flatMap { shardIdx =>
               // positions enumerate the SHARD grid here; compEff IS

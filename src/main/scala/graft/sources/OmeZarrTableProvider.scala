@@ -78,7 +78,8 @@ final case class OmeZarrInputPartition(scale: Int, idx: Seq[Int], arrayPath: Str
     compressor: Option[String], separator: String, zarrFormat: Int,
     path: String, sharding: Option[(Seq[Int], Option[String])],
     transposeOrder: Option[Seq[Int]] = None,
-    keyEncoding: String = "default") extends InputPartition
+    keyEncoding: String = "default",
+    fillValue: Double = 0.0) extends InputPartition
 
 class OmeZarrScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -197,11 +198,14 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
               ZarrJson.parseShardingV3(doc), Some(ch), encName)
           }
         val bigEndian = chain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
+        val fill = ZarrJson.parseFillValue(
+          if (zarrFormat == 2) store.readString(s"${d.path}/.zarray")
+          else store.readString(s"${d.path}/zarr.json"))
         // one partition per grid object: a chunk, or a whole shard
         ZarrStore.gridPositions(ZarrStore.chunkGrid(shape, chunks)).map { idx =>
           OmeZarrInputPartition(i, idx, d.path, shape, chunks,
             Dtypes.normalize(dtypeRaw), bigEndian, comp, sep,
-            zarrFormat, path, sharding, chain.flatMap(_.transposeOrder), keyEnc)
+            zarrFormat, path, sharding, chain.flatMap(_.transposeOrder), keyEnc, fill)
         }
       }.toArray
   }
@@ -280,10 +284,16 @@ class OmeZarrReaderFactory(required: StructType,
       private def payload(idx: Seq[Int], cShape: Seq[Int],
           preloaded: Option[Array[Byte]]): Array[Byte] = {
         val fullSize = innerChunks.product * Dtypes.itemSize(p.dtype)
-        val raw = preloaded.getOrElse {
-          val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, idx,
-            p.separator, p.keyEncoding)
-          Codecs.decompress(p.compressor, st.readBytes(key), fullSize)
+        val raw = preloaded match {
+          case Some(r) => r
+          case None =>
+            val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, idx,
+              p.separator, p.keyEncoding)
+            // sparse stores omit uniform chunks: absent = fill_value
+            if (!st.exists(key))
+              return ZarrStore.encodeFromDoubles(
+                Array.fill(cShape.product)(p.fillValue), p.dtype)
+            Codecs.decompress(p.compressor, st.readBytes(key), fullSize)
         }
         val stored = ZarrStore.decodeToDoubles(raw, p.dtype, p.bigEndian)
         // transpose codec: stored buffer is permuted by `order`

@@ -191,6 +191,41 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(e.getMessage.contains("vlen-utf8"))
   }
 
+  test("sparse store: absent chunk objects read as fill_value on both paths") {
+    val (m, vals) = mkImage()
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-sparse").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5", compressor = Some("gzip"))
+
+    // drop chunk (1,1) and declare fill_value 7 — the sparse-store form
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    Files.delete(arr.resolve("c").resolve("1").resolve("1"))
+    val mapper = graft.meta.ZarrJson.mapper
+    val n = mapper.readTree(new String(Files.readAllBytes(arr.resolve("zarr.json"))))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.put("fill_value", 7)
+    Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(n))
+
+    val expected = vals.clone()
+    for (y <- 32 until 64; x <- 32 until 64) expected(y * 64 + x) = 7.0
+
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == expected.toSeq)
+
+    // DSv2: the absent chunk still yields a row, payload = fill
+    val rows = spark.read.format("omezarr").load(dir)
+      .filter(org.apache.spark.sql.functions.col("scale") === 0).collect()
+    assert(rows.length == 4)
+    val sums = rows.map { r =>
+      r.getSeq[Int](1).mkString(",") -> graft.zarr.ZarrStore.decodeToDoubles(
+        r.getAs[Array[Byte]]("data"), r.getAs[String]("dtype")).sum
+    }.toMap
+    assert(sums("1,1") == 7.0 * 32 * 32)
+  }
+
   test("foreign v3 store with v2-style chunk_key_encoding ('.' separator) opens") {
     val (m, vals) = mkImage()
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
