@@ -279,15 +279,32 @@ object ZarrJson {
     Omero(channels)
   }
 
-  /** Parse a Zarr v2 `.zarray` document. */
+  /** Parse a Zarr v2 `.zarray` document. Numcodecs `filters` chains
+    * (delta, fixedscaleoffset, …) are not implemented — a store
+    * declaring any refuses HERE rather than decoding garbage.
+    */
   def parseZarrayV2(json: String): (Seq[Long], Seq[Int], String, Option[String], String) = {
     val n = mapper.readTree(json)
+    val filters = n.path("filters")
+    require(filters.isMissingNode || filters.isNull || filters.size() == 0,
+      s"zarr v2 numcodecs filters unsupported: ${filters.toString}")
     val shape = n.get("shape").elements().asScala.map(_.asLong()).toSeq
     val chunks = n.get("chunks").elements().asScala.map(_.asInt()).toSeq
     val dtype = n.get("dtype").asText()
     val comp = Option(n.get("compressor")).filter(!_.isNull).map(_.get("id").asText())
     val sep = n.path("dimension_separator").asText(".")
     (shape, chunks, dtype, comp, sep)
+  }
+
+  /** A v2 array's memory layout: "C" (default) or "F". F-order chunks
+    * are the C-order chunks of the dimension-reversed array — the
+    * readers express them through the same inverse-permute path as
+    * the v3 transpose codec.
+    */
+  def parseOrderV2(json: String): String = {
+    val o = mapper.readTree(json).path("order").asText("C")
+    require(o == "C" || o == "F", s"zarr v2 order '$o' unsupported (C/F)")
+    o
   }
 
   /** Parse a Zarr v3 array `zarr.json` document. Returns
@@ -298,6 +315,9 @@ object ZarrJson {
   def parseZarrayV3(json: String): (Seq[Long], Seq[Int], String, Option[String], Seq[String]) = {
     val n = mapper.readTree(json)
     val shape = n.get("shape").elements().asScala.map(_.asLong()).toSeq
+    val gridName = n.get("chunk_grid").path("name").asText("regular")
+    require(gridName == "regular",
+      s"zarr v3 chunk_grid '$gridName' unsupported (regular)")
     val chunks = n.get("chunk_grid").get("configuration").get("chunk_shape")
       .elements().asScala.map(_.asInt()).toSeq
     val dtype = n.get("data_type").asText()

@@ -213,7 +213,15 @@ object OmeZarrIO {
         "zarr v3 transpose OUTSIDE sharding_indexed is unsupported")
       val effChain = innerChain.orElse(outerChain)
       val bigEndian = effChain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
-      val transposeOrder = effChain.flatMap(_.transposeOrder).map(_.toArray)
+      // v2 F-order chunks are C-order chunks of the reversed dims —
+      // the same inverse-permute path as the v3 transpose codec
+      val fOrderPerm: Option[Seq[Int]] =
+        if (zarrFormat == 2 &&
+            ZarrJson.parseOrderV2(store.readString(s"${d.path}/.zarray")) == "F")
+          Some(shape.indices.reverse)
+        else None
+      val transposeOrder = effChain.flatMap(_.transposeOrder).orElse(fOrderPerm)
+        .map(_.toArray)
       // v3 decode trusts the validated chain's compressor (zarr v2
       // keeps the .zarray compressor id)
       val compEff = if (zarrFormat == 3) effChain.flatMap(_.compressor) else comp

@@ -180,8 +180,14 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
       .flatMap { case (d, i) =>
         val (shape, chunks, dtypeRaw, comp, sep, sharding, chain, keyEnc) =
           if (zarrFormat == 2) {
-            val (s, c, dt, cp, sp) = ZarrJson.parseZarrayV2(store.readString(s"${d.path}/.zarray"))
-            (s, c, dt, cp, sp, None, None, "default")
+            val doc = store.readString(s"${d.path}/.zarray")
+            val (s, c, dt, cp, sp) = ZarrJson.parseZarrayV2(doc)
+            // F-order: reversed-dims transpose, like the v3 codec
+            val fPerm = if (ZarrJson.parseOrderV2(doc) == "F")
+              Some(ZarrJson.V3CodecChain(Some(s.indices.reverse),
+                Dtypes.isBigEndian(dt), cp))
+            else None
+            (s, c, dt, cp, sp, None, fPerm, "default")
           } else {
             val doc = store.readString(s"${d.path}/zarr.json")
             val (s, c, dt, _, _) = ZarrJson.parseZarrayV3(doc)

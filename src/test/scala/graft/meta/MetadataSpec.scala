@@ -175,4 +175,39 @@ class MetadataSpec extends AnyFunSuite {
       """[{"name":"bytes"},{"name":"vlen-utf8"}]""")))
     assert(e.getMessage.contains("vlen-utf8"))
   }
+
+  test("foreign-store metadata hazards refuse loudly") {
+    // v2 numcodecs filters would decode garbage if ignored
+    val filtered = """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f4",
+      "compressor":null,"filters":[{"id":"delta","dtype":"<f4"}],"order":"C"}"""
+    val e1 = intercept[IllegalArgumentException](ZarrJson.parseZarrayV2(filtered))
+    assert(e1.getMessage.contains("filters"))
+    // null/empty filters stay fine
+    ZarrJson.parseZarrayV2(
+      """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f4",
+         "compressor":null,"filters":null}""")
+    // order parses C/F, refuses anything else
+    assert(ZarrJson.parseOrderV2("""{"order":"F"}""") == "F")
+    assert(ZarrJson.parseOrderV2("""{}""") == "C")
+    assertThrows[IllegalArgumentException](ZarrJson.parseOrderV2("""{"order":"Z"}"""))
+    // non-regular v3 chunk grids refuse
+    val rect = """{"zarr_format":3,"node_type":"array","shape":[4],
+      "data_type":"float32","chunk_grid":{"name":"rectilinear",
+      "configuration":{"chunk_shape":[2]}},"codecs":[{"name":"bytes"}]}"""
+    val e2 = intercept[IllegalArgumentException](ZarrJson.parseZarrayV3(rect))
+    assert(e2.getMessage.contains("rectilinear"))
+    // v3 chunk_key_encoding: v2 name defaults to '.', unknown refuses
+    assert(ZarrJson.parseChunkKeyEncodingV3(
+      """{"chunk_key_encoding":{"name":"v2"}}""") == ("v2", "."))
+    assert(ZarrJson.parseChunkKeyEncodingV3("""{}""") == ("default", "/"))
+    assertThrows[IllegalArgumentException](ZarrJson.parseChunkKeyEncodingV3(
+      """{"chunk_key_encoding":{"name":"hex"}}"""))
+    // fill_value forms
+    assert(ZarrJson.parseFillValue("""{"fill_value":7}""") == 7.0)
+    assert(ZarrJson.parseFillValue("""{"fill_value":null}""") == 0.0)
+    assert(ZarrJson.parseFillValue("""{}""") == 0.0)
+    assert(ZarrJson.parseFillValue("""{"fill_value":"NaN"}""").isNaN)
+    assert(ZarrJson.parseFillValue("""{"fill_value":"-Infinity"}""").isNegInfinity)
+    assert(ZarrJson.parseFillValue("""{"fill_value":true}""") == 1.0)
+  }
 }

@@ -226,6 +226,55 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(sums("1,1") == 7.0 * 32 * 32)
   }
 
+  test("foreign v2 store with F-order chunks decodes correctly on both paths") {
+    import graft.zarr.{Codecs, ZarrStore}
+    // non-square chunks so the layout transpose actually moves bytes
+    val m = ImageMeta(Seq("y", "x"), Seq(32, 16), Seq(16, 8), "float32",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val r = new scala.util.Random(13)
+    val vals = Array.fill(32 * 16)((r.nextInt(1000) - 500).toDouble)
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-forder").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.4", compressor = Some("gzip"))
+
+    // rewrite chunks in Fortran order and declare order: "F"
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    val mapper = graft.meta.ZarrJson.mapper
+    val doc = mapper.readTree(new String(Files.readAllBytes(arr.resolve(".zarray"))))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    doc.put("order", "F")
+    Files.write(arr.resolve(".zarray"), mapper.writeValueAsBytes(doc))
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val key = arr.resolve(cy.toString).resolve(cx.toString) // writer uses '/' keys
+      val plain = Codecs.decompress(Some("gzip"), Files.readAllBytes(key), 16 * 8 * 4)
+      val chunk = ZarrStore.decodeToDoubles(plain, "float32")
+      // F-order flat bytes = C-order of the reversed-dims transpose
+      val f = NdKernels.permuteFlat(chunk, Array(16, 8), Array(1, 0))
+      val bb = java.nio.ByteBuffer.allocate(f.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f.foreach(v => bb.putFloat(v.toFloat))
+      Files.write(key, Codecs.compress(Some("gzip"), bb.array()))
+    }
+
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    val rows = spark.read.format("omezarr").load(dir)
+      .filter(org.apache.spark.sql.functions.col("scale") === 0)
+      .select("origin", "shape", "data", "dtype").collect()
+    rows.foreach { row =>
+      val origin = row.getSeq[Long](0)
+      val shp = row.getSeq[Int](1)
+      val got = ZarrStore.decodeToDoubles(
+        row.getAs[Array[Byte]]("data"), row.getAs[String]("dtype"))
+      for (ry <- 0 until shp(0); rx <- 0 until shp(1))
+        assert(got(ry * shp(1) + rx) ==
+          vals(((origin(0) + ry) * 16 + origin(1) + rx).toInt))
+    }
+  }
+
   test("foreign v3 store with v2-style chunk_key_encoding ('.' separator) opens") {
     val (m, vals) = mkImage()
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
