@@ -278,13 +278,14 @@ object OmeZarrIO {
           shardingB match {
             case None => it.map { idx =>
               val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep, keyEnc)
-              if (st.exists(key))
-                decodeChunk(Codecs.decompress(compEff, st.readBytes(key), fullSize), idx)
-              else { // absent object: a uniform fill_value chunk
-                val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
-                ChunkRow(idx, ZarrStore.chunkOriginAt(innerB, idx), cShape,
-                  ZarrStore.encodeFromDoubles(
-                    Array.fill(cShape.product)(fillValue), dtype))
+              st.readBytesIfExists(key) match {
+                case Some(bytes) =>
+                  decodeChunk(Codecs.decompress(compEff, bytes, fullSize), idx)
+                case None => // absent object: a uniform fill_value chunk
+                  val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
+                  ChunkRow(idx, ZarrStore.chunkOriginAt(innerB, idx), cShape,
+                    ZarrStore.encodeFromDoubles(
+                      Array.fill(cShape.product)(fillValue), dtype))
               }
             }
             case Some((inner, _)) => it.flatMap { shardIdx =>

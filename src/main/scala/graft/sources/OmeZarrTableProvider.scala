@@ -296,10 +296,12 @@ class OmeZarrReaderFactory(required: StructType,
             val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, idx,
               p.separator, p.keyEncoding)
             // sparse stores omit uniform chunks: absent = fill_value
-            if (!st.exists(key))
-              return ZarrStore.encodeFromDoubles(
+            // (single round-trip — no exists() pre-check)
+            st.readBytesIfExists(key) match {
+              case Some(bytes) => Codecs.decompress(p.compressor, bytes, fullSize)
+              case None => return ZarrStore.encodeFromDoubles(
                 Array.fill(cShape.product)(p.fillValue), p.dtype)
-            Codecs.decompress(p.compressor, st.readBytes(key), fullSize)
+            }
         }
         val stored = ZarrStore.decodeToDoubles(raw, p.dtype, p.bigEndian)
         // transpose codec: stored buffer is permuted by `order`

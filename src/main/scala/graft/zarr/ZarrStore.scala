@@ -68,6 +68,14 @@ final class ZarrStore(val root: String, hconf: Option[SerializableHadoopConf] = 
     } finally in.close()
   }
 
+  /** [[readBytes]], None when the object doesn't exist — ONE store
+    * round-trip either way (an exists() pre-check would double the
+    * metadata RPCs on the hot chunk-fetch path).
+    */
+  def readBytesIfExists(key: String): Option[Array[Byte]] =
+    try Some(readBytes(key))
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Positioned range read — executors pull just their slice of a
     * large object (NIfTI chunk ingest, shard interiors) instead of the
     * whole file.
