@@ -188,21 +188,23 @@ object OmeZarrIO {
     val dims = meta.axes.map(_.name)
 
     val levels = meta.datasets.map { d =>
-      val v3Doc = if (zarrFormat == 3) Some(store.readString(s"${d.path}/zarr.json")) else None
-      val (shape, chunks, dtypeRaw, comp, sepOrDims) =
+      // the array doc reads ONCE per level — every parse below reuses
+      // it (an object store would otherwise pay a GET per parse)
+      val arrayDoc = store.readString(
+        if (zarrFormat == 3) s"${d.path}/zarr.json" else s"${d.path}/.zarray")
+      val v3Doc = if (zarrFormat == 3) Some(arrayDoc) else None
+      val (shape, chunks, dtypeRaw, comp, sepOrDims, keyEnc) =
         if (zarrFormat == 2) {
-          val (s, c, dt, cp, sep) = ZarrJson.parseZarrayV2(store.readString(s"${d.path}/.zarray"))
-          (s, c, dt, cp, sep)
+          val (s, c, dt, cp, sep) = ZarrJson.parseZarrayV2(arrayDoc)
+          (s, c, dt, cp, sep, "default")
         } else {
-          val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(v3Doc.get)
-          // honor the array's chunk_key_encoding separator (the
-          // encoding name threads through keyEnc below)
-          (s, c, dt, cp, ZarrJson.parseChunkKeyEncodingV3(v3Doc.get)._2)
+          val (s, c, dt, cp, _) = ZarrJson.parseZarrayV3(arrayDoc)
+          // honor the array's chunk_key_encoding
+          val (encName, encSep) = ZarrJson.parseChunkKeyEncodingV3(arrayDoc)
+          (s, c, dt, cp, encSep, encName)
         }
-      val keyEnc = v3Doc.map(ZarrJson.parseChunkKeyEncodingV3(_)._1).getOrElse("default")
       // sparse stores omit uniform chunks: absent object = fill_value
-      val fillValue = ZarrJson.parseFillValue(
-        v3Doc.getOrElse(store.readString(s"${d.path}/.zarray")))
+      val fillValue = ZarrJson.parseFillValue(arrayDoc)
       // v3: endianness, compressor and the optional transpose
       // permutation live in the codec chain. The OUTER chain always
       // parses (validating it — unknown codecs refuse the store);
@@ -216,8 +218,7 @@ object OmeZarrIO {
       // v2 F-order chunks are C-order chunks of the reversed dims —
       // the same inverse-permute path as the v3 transpose codec
       val fOrderPerm: Option[Seq[Int]] =
-        if (zarrFormat == 2 &&
-            ZarrJson.parseOrderV2(store.readString(s"${d.path}/.zarray")) == "F")
+        if (zarrFormat == 2 && ZarrJson.parseOrderV2(arrayDoc) == "F")
           Some(shape.indices.reverse)
         else None
       val transposeOrder = effChain.flatMap(_.transposeOrder).orElse(fOrderPerm)
@@ -293,11 +294,28 @@ object OmeZarrIO {
               // the inner chain's compressor for sharded arrays
               val cps = chunksB.zip(inner).map { case (s, c) => s / c }
               val key = ZarrStore.chunkKey(3, arrayPath, shardIdx, sep, keyEnc)
-              Sharding.parseShard(st.readBytes(key), cps.product).iterator.map {
-                case (flat, enc) =>
-                  val rel = Sharding.innerPosition(flat, cps)
-                  val idx = shardIdx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
-                  decodeChunk(Codecs.decompress(compEff, enc, fullSize), idx)
+              def fillChunk(idx: Seq[Int]): ChunkRow = {
+                val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
+                ChunkRow(idx, ZarrStore.chunkOriginAt(innerB, idx), cShape,
+                  ZarrStore.encodeFromDoubles(
+                    Array.fill(cShape.product)(fillValue), dtype))
+              }
+              def innerIdx(flat: Int): Seq[Int] = {
+                val rel = Sharding.innerPosition(flat, cps)
+                shardIdx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
+              }
+              st.readBytesIfExists(key) match {
+                case None => // absent shard: every inner chunk is fill
+                  (0 until cps.product).iterator.map(f => fillChunk(innerIdx(f)))
+                case Some(bytes) =>
+                  val present = Sharding.parseShard(bytes, cps.product).toMap
+                  (0 until cps.product).iterator.map { f =>
+                    present.get(f) match {
+                      case Some(enc) => decodeChunk(
+                        Codecs.decompress(compEff, enc, fullSize), innerIdx(f))
+                      case None => fillChunk(innerIdx(f)) // index hole = fill
+                    }
+                  }
               }
             }
           }

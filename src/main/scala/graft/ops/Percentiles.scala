@@ -17,9 +17,14 @@ import org.apache.spark.sql.expressions.Window
   *
   * Both phases are fully parallel; the only windowed structures are
   * the bucket table (|domain| / bucketWidth rows per group) and the
-  * located-bucket interiors. Identical results to the single-window
-  * form by construction — same ranks, same cumulative order — which
-  * `PercentilesSpec` fuzzes, boundary cases included.
+  * located-bucket interiors. Note the bucket spanning zero: `div`
+  * truncates toward zero, so bucket 0 covers (−bucketWidth,
+  * bucketWidth) — up to 2·bucketWidth−1 distinct values; intervals
+  * stay ordered and disjoint (truncated division is monotone), so
+  * results are unaffected and the fine-scan bound is 2·bucketWidth.
+  * Identical results to the single-window form by construction —
+  * same ranks, same cumulative order — which `PercentilesSpec`
+  * fuzzes, boundary cases included.
   */
 object Percentiles {
 
@@ -31,6 +36,12 @@ object Percentiles {
       qs: Seq[Double], bucketWidth: Int = 4096): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
+    // integral values only — a silent cast of a fractional column
+    // would truncate data without warning (quantize upstream, like
+    // q42's cent prices)
+    val vType = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vType.typeName),
+      s"$valueCol must be an integral column, got $vType (quantize first)")
     val spark = df.sparkSession
     import spark.implicits._
     val g = col(groupCol)

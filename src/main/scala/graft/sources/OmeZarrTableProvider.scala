@@ -232,46 +232,54 @@ class OmeZarrReaderFactory(required: StructType,
       private val needData = required.fieldNames.contains("data")
       private lazy val st = new ZarrStore(p.path, Some(hconf))
 
-      /** (innerIdx, preloaded-encoded-bytes-or-null) rows this
-        * partition emits: one for a plain chunk; one per present
-        * inner chunk for a shard. Shards fetch eagerly (the payload
-        * and index live in one object); plain chunks fetch lazily so
-        * column pruning skips the read entirely.
+      /** Where one emitted row's payload comes from: a lazy per-chunk
+        * fetch (plain chunks — column pruning skips the read
+        * entirely), bytes already decompressed out of a shard, or the
+        * array's fill_value (absent chunk object / shard-index hole —
+        * the chunk logically EXISTS, so the row always does too).
         */
-      private val rows: Iterator[(Seq[Int], Option[Array[Byte]])] = p.sharding match {
-        case None => Iterator((p.idx, None))
+      private sealed trait Src
+      private case object LazyFetch extends Src
+      private case object FillSrc extends Src
+      private final case class Loaded(raw: Array[Byte]) extends Src
+
+      private val rows: Iterator[(Seq[Int], Src)] = p.sharding match {
+        case None => Iterator((p.idx, LazyFetch))
         case Some((inner, _)) => // p.compressor IS the inner chain's
           val cps = p.chunks.zip(inner).map { case (s, c) => s / c }
           val key = ZarrStore.chunkKey(3, p.arrayPath, p.idx, p.separator, p.keyEncoding)
-          if (!st.exists(key)) Iterator.empty // all-fill-value shard: legal, no object
-          else if (!needData) {
-            // metadata-only: read ONLY the shard index footer so the
-            // row set (chunks actually present) matches the data path
-            val footer = st.readTail(key, graft.zarr.Sharding.indexSize(cps.product))
-            Sharding.presentPositions(footer, cps.product).iterator.map { flat =>
-              val rel = Sharding.innerPosition(flat, cps)
-              (p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }, None)
-            }
-          } else {
-            Sharding.parseShard(st.readBytes(key), cps.product).iterator.map {
-              case (flat, enc) =>
-                val rel = Sharding.innerPosition(flat, cps)
-                val idx = p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
-                (idx, Some(Codecs.decompress(p.compressor, enc,
-                  inner.product * Dtypes.itemSize(p.dtype))))
-            }
+          def innerIdx(flat: Int): Seq[Int] = {
+            val rel = Sharding.innerPosition(flat, cps)
+            p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
+          }
+          if (!needData)
+            // metadata-only: the full inner grid, no object I/O at all
+            // (fill semantics make every inner chunk a row)
+            (0 until cps.product).iterator.map(f => (innerIdx(f), FillSrc))
+          else st.readBytesIfExists(key) match {
+            case None => // absent shard: every inner chunk is fill
+              (0 until cps.product).iterator.map(f => (innerIdx(f), FillSrc))
+            case Some(bytes) =>
+              val present = Sharding.parseShard(bytes, cps.product).toMap
+              (0 until cps.product).iterator.map { f =>
+                present.get(f) match {
+                  case Some(enc) => (innerIdx(f), Loaded(Codecs.decompress(
+                    p.compressor, enc, inner.product * Dtypes.itemSize(p.dtype))))
+                  case None => (innerIdx(f), FillSrc) // index hole
+                }
+              }
           }
       }
 
       private val innerChunks: Seq[Int] = p.sharding.map(_._1).getOrElse(p.chunks)
-      private var current: (Seq[Int], Option[Array[Byte]]) = _
+      private var current: (Seq[Int], Src) = _
 
       override def next(): Boolean = {
         if (rows.hasNext) { current = rows.next(); true } else false
       }
 
       override def get(): InternalRow = {
-        val (idx, preloaded) = current
+        val (idx, src) = current
         val cShape = ZarrStore.chunkShapeAt(p.shape, innerChunks, idx)
         val origin = ZarrStore.chunkOriginAt(innerChunks, idx)
         val values: Map[String, Any] = Map(
@@ -280,19 +288,20 @@ class OmeZarrReaderFactory(required: StructType,
           "origin" -> ArrayData.toArrayData(origin.toArray),
           "shape" -> ArrayData.toArrayData(cShape.toArray),
           "dtype" -> UTF8String.fromString(p.dtype)) ++
-          (if (needData) Map("data" -> payload(idx, cShape, preloaded)) else Map.empty)
+          (if (needData) Map("data" -> payload(idx, cShape, src)) else Map.empty)
         new GenericInternalRow(required.fieldNames.map(values(_)).toArray[Any])
       }
 
       /** Decompress + clip a chunk payload — only invoked when the
         * `data` column survives pruning.
         */
-      private def payload(idx: Seq[Int], cShape: Seq[Int],
-          preloaded: Option[Array[Byte]]): Array[Byte] = {
+      private def payload(idx: Seq[Int], cShape: Seq[Int], src: Src): Array[Byte] = {
         val fullSize = innerChunks.product * Dtypes.itemSize(p.dtype)
-        val raw = preloaded match {
-          case Some(r) => r
-          case None =>
+        val raw = src match {
+          case Loaded(r) => r
+          case FillSrc => return ZarrStore.encodeFromDoubles(
+            Array.fill(cShape.product)(p.fillValue), p.dtype)
+          case LazyFetch =>
             val key = ZarrStore.chunkKey(p.zarrFormat, p.arrayPath, idx,
               p.separator, p.keyEncoding)
             // sparse stores omit uniform chunks: absent = fill_value

@@ -235,10 +235,19 @@ object Streams {
         else {
           val sig = TextDedup.signatureOfShingles(sh, numHashes, digest)
           (0 until numBands).iterator.map { b =>
-            // the raw slot string IS the bucket key (the batch form's
-            // xxhash64 of it only shortens the shuffle key; equality
-            // semantics are identical, minus hash collisions)
-            (d.doc_id, b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(","))
+            // bucket = 64-bit FNV-1a of the band's slot string. Unlike
+            // the batch join (where a hash only shortens the shuffle
+            // key), this key is DURABLE state — every (band, bucket)
+            // lives in the state store for the corpus lifetime, so an
+            // 8-byte key beats the ~70-byte slot string ~9×. A 64-bit
+            // collision admits a false candidate pair, which the
+            // downstream exact-Jaccard verify removes — the same
+            // contract as any LSH bucket collision.
+            var h = 0xcbf29ce484222325L
+            val s = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(",")
+            var i = 0
+            while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+            (d.doc_id, b, h)
           }
         }
       }

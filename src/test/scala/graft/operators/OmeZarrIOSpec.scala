@@ -226,6 +226,44 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(sums("1,1") == 7.0 * 32 * 32)
   }
 
+  test("sparse SHARDED store: absent shards and index holes read as fill_value") {
+    val (m, vals) = mkImage() // 64² uint8, 32² chunks
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-sparse-shard").toString + "/img.zarr"
+    // 2×2 inner chunks per shard → one shard object for the level
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5",
+      compressor = Some("gzip"), chunksPerShard = Some(Seq(2, 2)))
+
+    // delete the only shard and declare fill_value 9: the whole level
+    // must read as uniform fill on both paths (absent-shard case)
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    Files.delete(arr.resolve("c").resolve("0").resolve("0"))
+    val mapper = graft.meta.ZarrJson.mapper
+    val n = mapper.readTree(new String(Files.readAllBytes(arr.resolve("zarr.json"))))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.put("fill_value", 9)
+    Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(n))
+
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    val got = ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta)
+    assert(got.toSeq == Seq.fill(64 * 64)(9.0))
+
+    val rows = spark.read.format("omezarr").load(dir)
+      .filter(org.apache.spark.sql.functions.col("scale") === 0).collect()
+    assert(rows.length == 4) // full inner grid, absent shard included
+    rows.foreach { r =>
+      val data = graft.zarr.ZarrStore.decodeToDoubles(
+        r.getAs[Array[Byte]]("data"), r.getAs[String]("dtype"))
+      assert(data.forall(_ == 9.0))
+    }
+    // metadata-only scans enumerate the same full grid
+    assert(spark.read.format("omezarr").load(dir)
+      .filter(org.apache.spark.sql.functions.col("scale") === 0)
+      .select("chunk_idx").count() == 4)
+  }
+
   test("foreign v2 store with F-order chunks decodes correctly on both paths") {
     import graft.zarr.{Codecs, ZarrStore}
     // non-square chunks so the layout transpose actually moves bytes
