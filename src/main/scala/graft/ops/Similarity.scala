@@ -195,7 +195,7 @@ object Similarity {
     * sorted by id.
     */
   def kmeansCentroids(vectors: DataFrame, nlist: Int,
-      lloydRounds: Int): Array[(Long, Array[Double])] = {
+      lloydRounds: Int, metric: String = "cosine"): Array[(Long, Array[Double])] = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val seeds = vectors
@@ -210,7 +210,9 @@ object Similarity {
           val cs = bc.value
           val sums = scala.collection.mutable.LinkedHashMap.empty[Long, (Array[Long], Long)]
           it.foreach { case (_, v) =>
-            val cid = nearestCentroids(cs, v, 1)(0)
+            val cid =
+              if (metric == "l2") nearestCentroidsL2(cs, v, 1)(0)
+              else nearestCentroids(cs, v, 1)(0)
             val (acc, n) = sums.getOrElseUpdate(cid, (new Array[Long](v.length), 0L))
             var i = 0
             while (i < v.length) { acc(i) += Math.round(round6(v(i)) * 1e6); i += 1 }
@@ -278,6 +280,129 @@ object Similarity {
       .map { case (cid, cv) => (cid, round6(cosineJvm(v, cv))) }
       .sortBy { case (cid, c) => (-c, cid) }
       .take(m).map(_._1)
+
+  /** L2 counterpart of [[nearestCentroids]]: 6dp-rounded squared
+    * distance asc, centroid id tiebreak — PQ sub-quantizers assign by
+    * L2 (cosine would drop sub-vector magnitudes and wreck the
+    * reconstruction).
+    */
+  private def nearestCentroidsL2(cents: Array[(Long, Array[Double])],
+      v: Array[Double], m: Int): Array[Long] =
+    cents
+      .map { case (cid, cv) =>
+        var d2 = 0.0
+        var i = 0
+        while (i < v.length) { val d = v(i) - cv(i); d2 += d * d; i += 1 }
+        (cid, round6(d2))
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(m).map(_._1)
+
+  /** Product-quantization (PQ) approximate nearest neighbor — the
+    * memory-compression member of the ANN family: each vector is
+    * encoded as `m` sub-space centroid ids (m bytes at nlist ≤ 256
+    * instead of 4·dim bytes of floats — a 32× cut at dim 64), and
+    * queries score candidates against RECONSTRUCTIONS via per-subspace
+    * lookup tables (the ADC — asymmetric distance computation — form:
+    * per query, m × nlist partial dot products and squared norms are
+    * precomputed once, so scoring a candidate is m table lookups, no
+    * float vector access).
+    *
+    * Sub-quantizers are the shared deterministic [[kmeansCentroids]]
+    * (md5-sampled seeds, integer micro-sum Lloyd rounds) run per
+    * sub-space, so codes, reconstructions, and the final (rounded
+    * cosine, id) ranking are bit-identical across runs and
+    * partitionings — spec-verified along with a recall floor against
+    * [[bruteForceTopK]]. Cosine variant: scores are cos(query,
+    * reconstruction), consistent with the engine's other ANN ops.
+    *
+    * Scale shape: codebooks are m × nlist × (dim/m) doubles —
+    * kilobytes, broadcast; encoding is one partition-local pass;
+    * scoring touches only codes. Corpus vectors are never held in
+    * executor memory beyond their m-byte codes.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 4, nlist: Int = 16, lloydRounds: Int = 2,
+      rerank: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dims = candidates.select("vec").head().getSeq[Double](0).length
+    require(dims % m == 0, s"dim $dims not divisible by $m sub-spaces")
+    val sub = dims / m
+
+    // per-subspace codebooks from the shared deterministic k-means,
+    // trained and assigned by L2 (the PQ-standard metric — cosine
+    // would drop sub-vector magnitudes and wreck reconstructions)
+    val codebooks: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(m) { j =>
+        val subVecs = candidates.select(col("id"),
+          slice(col("vec"), j * sub + 1, sub).as("vec"))
+        kmeansCentroids(subVecs, nlist, lloydRounds, metric = "l2")
+      }
+    val cbBc = spark.sparkContext.broadcast(codebooks)
+
+    // encode candidates: m nearest-subcentroid ids (the PQ code)
+    val codes = candidates.select("id", "vec").as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        val cb = cbBc.value
+        val code = Array.tabulate(m) { j =>
+          nearestCentroidsL2(cb(j), v.slice(j * sub, (j + 1) * sub), 1)(0)
+        }
+        (id, code)
+      }).toDF("id", "code")
+
+    // ADC: per query, the partial-dot and norm tables over codebooks
+    val qs = collectVecs(queries)
+    val qsBc = spark.sparkContext.broadcast(qs)
+    val scored = codes.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cb = cbBc.value
+        val queriesL = qsBc.value
+        // tables(qi)(j): centroidId -> (dot(q_j, cent), ||cent||²)
+        val tables = queriesL.map { case (_, qv) =>
+          var qn = 0.0
+          qv.foreach(x => qn += x * x)
+          (math.sqrt(qn), Array.tabulate(m) { j =>
+            cb(j).map { case (cid, cv) =>
+              var dot = 0.0; var nn = 0.0; var i = 0
+              while (i < sub) {
+                dot += qv(j * sub + i) * cv(i); nn += cv(i) * cv(i); i += 1
+              }
+              cid -> (dot, nn)
+            }.toMap
+          })
+        }
+        it.flatMap { case (cid, code) =>
+          queriesL.iterator.zip(tables.iterator).collect {
+            case ((qid, _), (qnorm, tab)) if qid != cid =>
+              var dot = 0.0; var rn = 0.0
+              var j = 0
+              while (j < m) {
+                val (d, nn) = tab(j)(code(j)); dot += d; rn += nn; j += 1
+              }
+              (qid, cid, round6(dot / (qnorm * math.sqrt(rn))))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    // PQ-standard refinement: the ADC ranking shortlists
+    // max(k, rerank) ids per query, and only THOSE rows' full vectors
+    // are touched for an exact-cosine rerank — the recall recovery
+    // step every production PQ deployment runs, preserving the
+    // codes-only scan over the corpus
+    val shortlist = rankTopK(scored, math.max(k, rerank))
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = broadcast(shortlist)
+      .join(candidates.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("vec"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val queriesL = qsBc.value.toMap
+        it.map { case (qid, cid, cv) =>
+          (qid, cid, round6(cosineJvm(queriesL(qid), cv)))
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    rankTopK(exact, k)
+  }
 
   /** SemDeDup-style semantic deduplication: k-means-cluster the
     * embeddings with the deterministic quantizer, then enumerate

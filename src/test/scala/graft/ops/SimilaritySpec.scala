@@ -88,6 +88,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ top-k: deterministic, code-compressed, recall above floor") {
+    val queries = emb.filter(col("id") < 5)
+    // unclustered random embeddings are PQ's hardest case — size the
+    // codebooks up (8 sub-spaces × 32 centroids) and lean on the
+    // exact rerank for recall, exactly as a production deployment
+    // tunes the same knobs
+    val a = Similarity.pqTopK(queries, emb, k = 5,
+        m = 8, nlist = 32, lloydRounds = 3, rerank = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // bit-identical across runs and partitionings (deterministic
+    // codebooks + ADC tables)
+    val b = Similarity.pqTopK(queries, emb.repartition(7), k = 5,
+        m = 8, nlist = 32, lloydRounds = 3, rerank = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    assert(a.length == 5 * 5)
+    // approximate-but-useful: recall@5 of the reconstruction ranking
+    val brute = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = a.map { case (q, _, n, _) => (q, n) }.toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 $recall below floor")
+  }
+
   test("knnClassify takes the majority label of the brute-force top-k") {
     import spark.implicits._
     import graft.Tables
