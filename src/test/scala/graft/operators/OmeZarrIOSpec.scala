@@ -354,6 +354,102 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(e.getMessage.contains("hex"))
   }
 
+  test("fuzz: foreign-store mutations round-trip (F-order, transpose, v2 keys, sparse)") {
+    import graft.zarr.{Codecs, ZarrStore}
+    val rnd = new scala.util.Random(404)
+    val mapper = graft.meta.ZarrJson.mapper
+    for (round <- 0 until 6) {
+      val h = 20 + rnd.nextInt(30)
+      val w = 20 + rnd.nextInt(30)
+      val ch = 7 + rnd.nextInt(10)
+      val cw = 7 + rnd.nextInt(10)
+      val dtype = Seq("uint8", "int16", "float32")(rnd.nextInt(3))
+      val mutation = round % 4 // cycle all four foreign-store hazards
+      val version = if (mutation == 0) "0.4" else "0.5"
+      val m = ImageMeta(Seq("y", "x"), Seq(h, w), Seq(ch, cw), dtype,
+        Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+      val vals = Array.fill(h * w)(rnd.nextInt(120).toDouble)
+      val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+      val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+        Method.ItkwasmBinShrink, cache = false)
+      val dir = Files.createTempDirectory(s"omezarr-fuzz$round").toString + "/img.zarr"
+      OmeZarrIO.writeMultiscales(spark, dir, ms, version = version,
+        compressor = Some("gzip"))
+
+      val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+      val metaFile = if (version == "0.4") ".zarray" else "zarr.json"
+      val doc = mapper.readTree(new String(Files.readAllBytes(arr.resolve(metaFile))))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val gy = (h + ch - 1) / ch
+      val gx = (w + cw - 1) / cw
+      val itemSize = graft.meta.Dtypes.itemSize(dtype)
+      def chunkFile(cy: Int, cx: Int) =
+        if (version == "0.4") arr.resolve(cy.toString).resolve(cx.toString)
+        else arr.resolve("c").resolve(cy.toString).resolve(cx.toString)
+      // rewrite every (full, padded) chunk through `f` over its values
+      def rewriteChunks(bigEndianOut: Boolean)(f: Array[Double] => Array[Double]): Unit =
+        for (cy <- 0 until gy; cx <- 0 until gx) {
+          val key = chunkFile(cy, cx)
+          val plain = Codecs.decompress(Some("gzip"),
+            Files.readAllBytes(key), ch * cw * itemSize)
+          val out = f(ZarrStore.decodeToDoubles(plain, dtype))
+          val bytes =
+            if (!bigEndianOut) ZarrStore.encodeFromDoubles(out, dtype)
+            else {
+              val le = java.nio.ByteBuffer.wrap(ZarrStore.encodeFromDoubles(out, dtype))
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val be = java.nio.ByteBuffer.allocate(out.length * itemSize)
+                .order(java.nio.ByteOrder.BIG_ENDIAN)
+              dtype match {
+                case "uint8" => be.put(le)
+                case "int16" => while (le.hasRemaining) be.putShort(le.getShort)
+                case "float32" => while (le.hasRemaining) be.putFloat(le.getFloat)
+              }
+              be.array()
+            }
+          Files.write(key, Codecs.compress(Some("gzip"), bytes))
+        }
+
+      val expected = vals.clone()
+      mutation match {
+        case 0 => // v2 F-order
+          doc.put("order", "F")
+          rewriteChunks(bigEndianOut = false)(c =>
+            NdKernels.permuteFlat(c, Array(ch, cw), Array(1, 0)))
+        case 1 => // v3 transpose codec + big-endian bytes
+          val codecs = doc.putArray("codecs")
+          val tr = codecs.addObject(); tr.put("name", "transpose")
+          val o = tr.putObject("configuration").putArray("order"); o.add(1); o.add(0)
+          val by = codecs.addObject(); by.put("name", "bytes")
+          by.putObject("configuration").put("endian",
+            if (dtype == "uint8") "little" else "big")
+          val gz = codecs.addObject(); gz.put("name", "gzip")
+          gz.putObject("configuration").put("level", 5)
+          rewriteChunks(bigEndianOut = dtype != "uint8")(c =>
+            NdKernels.permuteFlat(c, Array(ch, cw), Array(1, 0)))
+        case 2 => // v3 v2-style chunk keys
+          val cke = doc.putObject("chunk_key_encoding")
+          cke.put("name", "v2")
+          cke.putObject("configuration").put("separator", ".")
+          for (cy <- 0 until gy; cx <- 0 until gx)
+            Files.move(chunkFile(cy, cx), arr.resolve(s"$cy.$cx"))
+        case 3 => // sparse: drop a random chunk, declare fill
+          val (dy, dx) = (rnd.nextInt(gy), rnd.nextInt(gx))
+          Files.delete(chunkFile(dy, dx))
+          doc.put("fill_value", 5)
+          for (y <- dy * ch until math.min(h, (dy + 1) * ch);
+               x <- dx * cw until math.min(w, (dx + 1) * cw))
+            expected(y * w + x) = 5.0
+      }
+      Files.write(arr.resolve(metaFile), mapper.writeValueAsBytes(doc))
+
+      val back = OmeZarrIO.readMultiscales(spark, dir)
+      val got = ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta)
+      assert(got.toSeq == expected.toSeq,
+        s"round $round mutation $mutation $dtype ${h}x$w/${ch}x$cw")
+    }
+  }
+
   test("fuzz: random shapes/chunks/dtypes/codecs round-trip both zarr versions") {
     val rnd = new scala.util.Random(42L)
     val dtypes = Seq("uint8", "int16", "uint16", "int32", "float32", "float64")
