@@ -226,6 +226,65 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(sums("1,1") == 7.0 * 32 * 32)
   }
 
+  test("sharded store with an INNER transpose codec decodes correctly") {
+    import graft.zarr.{Codecs, Sharding, ZarrStore}
+    // non-square inner chunks; 2×2 inner chunks per shard
+    val m = ImageMeta(Seq("y", "x"), Seq(32, 16), Seq(16, 8), "float32",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val r = new scala.util.Random(21)
+    val vals = Array.fill(32 * 16)((r.nextInt(900) - 450).toDouble)
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-shard-tr").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5",
+      compressor = Some("gzip"), chunksPerShard = Some(Seq(2, 2)))
+
+    // rebuild the single shard with inner chunks transposed, and add
+    // transpose to the INNER codec chain in the sharding configuration
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    val key = arr.resolve("c").resolve("0").resolve("0")
+    val inner = Sharding.parseShard(Files.readAllBytes(key), 4)
+    val rebuilt = inner.map { case (flat, enc) =>
+      val plain = Codecs.decompress(Some("gzip"), enc, 16 * 8 * 4)
+      val chunk = ZarrStore.decodeToDoubles(plain, "float32")
+      val permuted = NdKernels.permuteFlat(chunk, Array(16, 8), Array(1, 0))
+      flat -> Codecs.compress(Some("gzip"),
+        ZarrStore.encodeFromDoubles(permuted, "float32"))
+    }
+    Files.write(key, Sharding.buildShard(4, rebuilt))
+    val mapper = graft.meta.ZarrJson.mapper
+    val doc = mapper.readTree(new String(Files.readAllBytes(arr.resolve("zarr.json"))))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val shardCfg = doc.withArray("codecs").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .`with`("configuration")
+    val innerCodecs = shardCfg.withArray("codecs")
+    val rebuiltCodecs = mapper.createArrayNode()
+    val tr = rebuiltCodecs.addObject(); tr.put("name", "transpose")
+    val o = tr.putObject("configuration").putArray("order"); o.add(1); o.add(0)
+    innerCodecs.elements().forEachRemaining(c => rebuiltCodecs.add(c))
+    shardCfg.set("codecs", rebuiltCodecs)
+    Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(doc))
+
+    // both read paths apply the inner chain's transpose per inner chunk
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    val rows = spark.read.format("omezarr").load(dir)
+      .select("origin", "shape", "data", "dtype").collect()
+    assert(rows.length == 4)
+    rows.foreach { row =>
+      val origin = row.getSeq[Long](0)
+      val shp = row.getSeq[Int](1)
+      val got = ZarrStore.decodeToDoubles(
+        row.getAs[Array[Byte]]("data"), row.getAs[String]("dtype"))
+      for (ry <- 0 until shp(0); rx <- 0 until shp(1))
+        assert(got(ry * shp(1) + rx) ==
+          vals(((origin(0) + ry) * 16 + origin(1) + rx).toInt))
+    }
+  }
+
   test("sparse SHARDED store: absent shards and index holes read as fill_value") {
     val (m, vals) = mkImage() // 64² uint8, 32² chunks
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
