@@ -29,10 +29,13 @@ object Similarity {
   def asDouble(arr: Column): Column = arr.cast("array<double>")
 
   /** Spark-`round`-compatible rounding of a double (Round expression
-    * semantics: full binary expansion, HALF_UP).
+    * semantics: full binary expansion, HALF_UP). NaN — a cosine
+    * against a zero vector — maps to 0.0 ("no direction, no
+    * similarity"), deterministic where BigDecimal would throw.
     */
   def round6(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (x.isNaN) 0.0
+    else new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Sequential-order cosine of two equal-length arrays. */
   def cosineJvm(a: Array[Double], b: Array[Double]): Double = {
@@ -196,6 +199,8 @@ object Similarity {
     */
   def kmeansCentroids(vectors: DataFrame, nlist: Int,
       lloydRounds: Int, metric: String = "cosine"): Array[(Long, Array[Double])] = {
+    require(metric == "cosine" || metric == "l2",
+      s"metric must be cosine or l2, got '$metric'")
     val spark = vectors.sparkSession
     import spark.implicits._
     val seeds = vectors
@@ -326,59 +331,82 @@ object Similarity {
       rerank: Int = 32): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val dims = candidates.select("vec").head().getSeq[Double](0).length
+    require(nlist <= 256, s"nlist $nlist > 256 — codes must fit one byte each")
+    // dims from the (already tiny, already collected) query side — no
+    // extra job against the corpus; cosine needs equal dims anyway
+    val qs = collectVecs(queries)
+    require(qs.nonEmpty, "pqTopK needs at least one query vector")
+    val dims = qs.head._2.length
     require(dims % m == 0, s"dim $dims not divisible by $m sub-spaces")
     val sub = dims / m
+
+    // the training loop + encode pass read the corpus m·rounds times —
+    // the one place reuse × upstream cost justifies a cache (the
+    // cached projection is just (id, vec))
+    val cands = candidates.select("id", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-subspace codebooks from the shared deterministic k-means,
     // trained and assigned by L2 (the PQ-standard metric — cosine
     // would drop sub-vector magnitudes and wreck reconstructions)
     val codebooks: Array[Array[(Long, Array[Double])]] =
       Array.tabulate(m) { j =>
-        val subVecs = candidates.select(col("id"),
+        val subVecs = cands.select(col("id"),
           slice(col("vec"), j * sub + 1, sub).as("vec"))
         kmeansCentroids(subVecs, nlist, lloydRounds, metric = "l2")
       }
     val cbBc = spark.sparkContext.broadcast(codebooks)
 
-    // encode candidates: m nearest-subcentroid ids (the PQ code)
-    val codes = candidates.select("id", "vec").as[(Long, Array[Double])]
-      .mapPartitions(_.map { case (id, v) =>
+    // encode candidates: m nearest-subcentroid POSITIONS, one byte
+    // each — the genuine m-byte PQ code (positions index the sorted
+    // codebook directly, so the ADC scan below is pure array access)
+    val codes = cands.as[(Long, Array[Double])]
+      .mapPartitions { it =>
         val cb = cbBc.value
-        val code = Array.tabulate(m) { j =>
-          nearestCentroidsL2(cb(j), v.slice(j * sub, (j + 1) * sub), 1)(0)
+        val posOf: Array[Map[Long, Int]] =
+          cb.map(_.iterator.map(_._1).zipWithIndex.toMap)
+        it.map { case (id, v) =>
+          val code = Array.tabulate(m) { j =>
+            posOf(j)(nearestCentroidsL2(cb(j), v.slice(j * sub, (j + 1) * sub), 1)(0))
+              .toByte
+          }
+          (id, code)
         }
-        (id, code)
-      }).toDF("id", "code")
+      }.toDF("id", "code")
+      // codes are the durable compressed index; materializing them
+      // frees the full-vector cache
+      .localCheckpoint(eager = true)
+    cands.unpersist()
 
-    // ADC: per query, the partial-dot and norm tables over codebooks
-    val qs = collectVecs(queries)
+    // ADC: per query, flat per-position tables of partial dots and
+    // squared centroid norms — scoring one candidate is m array reads
     val qsBc = spark.sparkContext.broadcast(qs)
-    val scored = codes.as[(Long, Array[Long])]
+    val scored = codes.as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val cb = cbBc.value
         val queriesL = qsBc.value
-        // tables(qi)(j): centroidId -> (dot(q_j, cent), ||cent||²)
+        val nnTab = Array.tabulate(m)(j => cb(j).map { case (_, cv) =>
+          var nn = 0.0; var i = 0
+          while (i < sub) { nn += cv(i) * cv(i); i += 1 }
+          nn
+        })
         val tables = queriesL.map { case (_, qv) =>
           var qn = 0.0
           qv.foreach(x => qn += x * x)
-          (math.sqrt(qn), Array.tabulate(m) { j =>
-            cb(j).map { case (cid, cv) =>
-              var dot = 0.0; var nn = 0.0; var i = 0
-              while (i < sub) {
-                dot += qv(j * sub + i) * cv(i); nn += cv(i) * cv(i); i += 1
-              }
-              cid -> (dot, nn)
-            }.toMap
-          })
+          (math.sqrt(qn), Array.tabulate(m)(j => cb(j).map { case (_, cv) =>
+            var dot = 0.0; var i = 0
+            while (i < sub) { dot += qv(j * sub + i) * cv(i); i += 1 }
+            dot
+          }))
         }
         it.flatMap { case (cid, code) =>
           queriesL.iterator.zip(tables.iterator).collect {
-            case ((qid, _), (qnorm, tab)) if qid != cid =>
+            case ((qid, _), (qnorm, dotTab)) if qid != cid =>
               var dot = 0.0; var rn = 0.0
               var j = 0
               while (j < m) {
-                val (d, nn) = tab(j)(code(j)); dot += d; rn += nn; j += 1
+                val p = code(j) & 0xff
+                dot += dotTab(j)(p); rn += nnTab(j)(p); j += 1
               }
               (qid, cid, round6(dot / (qnorm * math.sqrt(rn))))
           }
