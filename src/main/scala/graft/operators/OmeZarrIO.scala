@@ -211,8 +211,13 @@ object OmeZarrIO {
       // sharded arrays then decode per chunk with the INNER chain.
       val outerChain = v3Doc.map(ZarrJson.parseCodecsV3)
       val innerChain = v3Doc.flatMap(ZarrJson.parseShardingInnerV3)
-      require(innerChain.isEmpty || outerChain.forall(_.transposeOrder.isEmpty),
-        "zarr v3 transpose OUTSIDE sharding_indexed is unsupported")
+      // a transpose or whole-shard compressor OUTSIDE sharding_indexed
+      // would be silently dropped when decode switches to the inner
+      // chain — refuse at metadata time, not with a misleading crc32c
+      // failure on an executor
+      require(innerChain.isEmpty || outerChain.forall(c =>
+          c.transposeOrder.isEmpty && c.compressor.isEmpty),
+        "zarr v3 transpose or compressor OUTSIDE sharding_indexed is unsupported")
       val effChain = innerChain.orElse(outerChain)
       val bigEndian = effChain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
       // v2 F-order chunks are C-order chunks of the reversed dims —
@@ -304,16 +309,22 @@ object OmeZarrIO {
                 val rel = Sharding.innerPosition(flat, cps)
                 shardIdx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
               }
+              // edge shards of a non-divisible array enumerate inner
+              // slots past the array boundary — not chunks, never rows
+              def slots: Iterator[(Int, Seq[Int])] =
+                (0 until cps.product).iterator.map(f => (f, innerIdx(f)))
+                  .filter { case (_, idx) =>
+                    ZarrStore.inArrayGrid(shapeB, innerB, idx) }
               st.readBytesIfExists(key) match {
                 case None => // absent shard: every inner chunk is fill
-                  (0 until cps.product).iterator.map(f => fillChunk(innerIdx(f)))
+                  slots.map { case (_, idx) => fillChunk(idx) }
                 case Some(bytes) =>
                   val present = Sharding.parseShard(bytes, cps.product).toMap
-                  (0 until cps.product).iterator.map { f =>
+                  slots.map { case (f, idx) =>
                     present.get(f) match {
                       case Some(enc) => decodeChunk(
-                        Codecs.decompress(compEff, enc, fullSize), innerIdx(f))
-                      case None => fillChunk(innerIdx(f)) // index hole = fill
+                        Codecs.decompress(compEff, enc, fullSize), idx)
+                      case None => fillChunk(idx) // index hole = fill
                     }
                   }
               }

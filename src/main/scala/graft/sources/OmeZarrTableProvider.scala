@@ -140,8 +140,15 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
     var bytes = 0L
     parts.foreach { p0 =>
       val p = p0.asInstanceOf[OmeZarrInputPartition]
+      // clipped per-shard inner count: edge shards of a non-divisible
+      // array only contribute the slots inside the array grid
       val innerRows = p.sharding.fold(1L) { case (inner, _) =>
-        ZarrStore.chunkGrid(p.chunks.map(_.toLong), inner).map(_.toLong).product
+        val cps = p.chunks.zip(inner).map { case (s, c) => s / c }
+        val total = ZarrStore.chunkGrid(p.shape, inner)
+        p.idx.indices.map { d =>
+          math.max(0L, math.min(cps(d).toLong,
+            total(d).toLong - p.idx(d).toLong * cps(d)))
+        }.product
       }
       val innerShape = p.sharding.fold(p.chunks) { case (inner, _) => inner }
       val payloadBytes =
@@ -178,9 +185,13 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
     meta.datasets.zipWithIndex
       .filter { case (_, i) => scalePred.forall(_(i)) }
       .flatMap { case (d, i) =>
+        // the array doc reads ONCE per level — codec parsing and
+        // parseFillValue below reuse it (an object store would
+        // otherwise pay an extra GET per level per scan)
+        val doc = store.readString(
+          if (zarrFormat == 2) s"${d.path}/.zarray" else s"${d.path}/zarr.json")
         val (shape, chunks, dtypeRaw, comp, sep, sharding, chain, keyEnc) =
           if (zarrFormat == 2) {
-            val doc = store.readString(s"${d.path}/.zarray")
             val (s, c, dt, cp, sp) = ZarrJson.parseZarrayV2(doc)
             // F-order: reversed-dims transpose, like the v3 codec
             val fPerm = if (ZarrJson.parseOrderV2(doc) == "F")
@@ -189,24 +200,24 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
             else None
             (s, c, dt, cp, sp, None, fPerm, "default")
           } else {
-            val doc = store.readString(s"${d.path}/zarr.json")
             val (s, c, dt, _, _) = ZarrJson.parseZarrayV3(doc)
             // endianness, compressor + transpose ride the codec chain
             // in v3 (the INNER chain when the array is sharded). The
             // OUTER chain always parses — validating it — first.
             val outer = ZarrJson.parseCodecsV3(doc)
             val innerCh = ZarrJson.parseShardingInnerV3(doc)
-            require(innerCh.isEmpty || outer.transposeOrder.isEmpty,
-              "zarr v3 transpose OUTSIDE sharding_indexed is unsupported")
+            // outer transpose/compressor would be dropped when decode
+            // switches to the inner chain — refuse at metadata time
+            require(innerCh.isEmpty ||
+                (outer.transposeOrder.isEmpty && outer.compressor.isEmpty),
+              "zarr v3 transpose or compressor OUTSIDE sharding_indexed is unsupported")
             val ch = innerCh.getOrElse(outer)
             val (encName, encSep) = ZarrJson.parseChunkKeyEncodingV3(doc)
             (s, c, dt, ch.compressor, encSep,
               ZarrJson.parseShardingV3(doc), Some(ch), encName)
           }
         val bigEndian = chain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
-        val fill = ZarrJson.parseFillValue(
-          if (zarrFormat == 2) store.readString(s"${d.path}/.zarray")
-          else store.readString(s"${d.path}/zarr.json"))
+        val fill = ZarrJson.parseFillValue(doc)
         // one partition per grid object: a chunk, or a whole shard
         ZarrStore.gridPositions(ZarrStore.chunkGrid(shape, chunks)).map { idx =>
           OmeZarrInputPartition(i, idx, d.path, shape, chunks,
@@ -252,20 +263,26 @@ class OmeZarrReaderFactory(required: StructType,
             val rel = Sharding.innerPosition(flat, cps)
             p.idx.zip(cps).zip(rel).map { case ((s, n), r) => s * n + r }
           }
+          // edge shards of a non-divisible array enumerate inner slots
+          // past the array boundary — not chunks, never rows
+          def slots: Iterator[(Int, Seq[Int])] =
+            (0 until cps.product).iterator.map(f => (f, innerIdx(f)))
+              .filter { case (_, idx) =>
+                ZarrStore.inArrayGrid(p.shape, inner, idx) }
           if (!needData)
-            // metadata-only: the full inner grid, no object I/O at all
-            // (fill semantics make every inner chunk a row)
-            (0 until cps.product).iterator.map(f => (innerIdx(f), FillSrc))
+            // metadata-only: the clipped inner grid, no object I/O at
+            // all (fill semantics make every in-grid inner chunk a row)
+            slots.map { case (_, idx) => (idx, FillSrc) }
           else st.readBytesIfExists(key) match {
             case None => // absent shard: every inner chunk is fill
-              (0 until cps.product).iterator.map(f => (innerIdx(f), FillSrc))
+              slots.map { case (_, idx) => (idx, FillSrc) }
             case Some(bytes) =>
               val present = Sharding.parseShard(bytes, cps.product).toMap
-              (0 until cps.product).iterator.map { f =>
+              slots.map { case (f, idx) =>
                 present.get(f) match {
-                  case Some(enc) => (innerIdx(f), Loaded(Codecs.decompress(
+                  case Some(enc) => (idx, Loaded(Codecs.decompress(
                     p.compressor, enc, inner.product * Dtypes.itemSize(p.dtype))))
-                  case None => (innerIdx(f), FillSrc) // index hole
+                  case None => (idx, FillSrc) // index hole
                 }
               }
           }

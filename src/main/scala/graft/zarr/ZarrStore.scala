@@ -172,6 +172,15 @@ object ZarrStore {
   def chunkOriginAt(chunks: Seq[Int], idx: Seq[Int]): Seq[Long] =
     chunks.zip(idx).map { case (c, i) => c.toLong * i }
 
+  /** True iff grid position `idx` overlaps the array. Edge shards of
+    * an array whose shape is not a multiple of the shard shape carry
+    * inner slots entirely past the array boundary — those slots are
+    * not chunks at all and must not become rows (their clipped extent
+    * would be <= 0).
+    */
+  def inArrayGrid(shape: Seq[Long], chunks: Seq[Int], idx: Seq[Int]): Boolean =
+    shape.lazyZip(chunks).lazyZip(idx).forall((s, c, i) => i.toLong * c < s)
+
   // ---- element codecs: bytes <-> doubles (C-order) ----
 
   /** Decode a raw (decompressed) chunk buffer into doubles. Handles
