@@ -280,14 +280,12 @@ object ZarrJson {
   }
 
   /** Parse a Zarr v2 `.zarray` document. Numcodecs `filters` chains
-    * (delta, fixedscaleoffset, …) are not implemented — a store
-    * declaring any refuses HERE rather than decoding garbage.
+    * are handled separately — see [[parseFiltersV2]]; an unknown
+    * filter id refuses there at metadata time rather than decoding
+    * garbage.
     */
   def parseZarrayV2(json: String): (Seq[Long], Seq[Int], String, Option[String], String) = {
     val n = mapper.readTree(json)
-    val filters = n.path("filters")
-    require(filters.isMissingNode || filters.isNull || filters.size() == 0,
-      s"zarr v2 numcodecs filters unsupported: ${filters.toString}")
     val shape = n.get("shape").elements().asScala.map(_.asLong()).toSeq
     val chunks = n.get("chunks").elements().asScala.map(_.asInt()).toSeq
     val dtype = n.get("dtype").asText()
@@ -295,6 +293,12 @@ object ZarrJson {
     val sep = n.path("dimension_separator").asText(".")
     (shape, chunks, dtype, comp, sep)
   }
+
+  /** The v2 `filters` chain (encode order) — empty for v3 docs and
+    * filter-less v2 arrays. Unknown ids refuse here.
+    */
+  def parseFiltersV2(json: String): Seq[graft.zarr.NumcodecsFilters.V2Filter] =
+    graft.zarr.NumcodecsFilters.parse(mapper.readTree(json).path("filters"))
 
   /** A v2 array's memory layout: "C" (default) or "F". F-order chunks
     * are the C-order chunks of the dimension-reversed array — the

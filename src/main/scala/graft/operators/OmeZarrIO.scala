@@ -205,6 +205,10 @@ object OmeZarrIO {
         }
       // sparse stores omit uniform chunks: absent object = fill_value
       val fillValue = ZarrJson.parseFillValue(arrayDoc)
+      // v2 numcodecs filter chain — decode runs it reversed after the
+      // compressor stage; unknown ids refuse here at metadata time
+      val v2Filters: Seq[graft.zarr.NumcodecsFilters.V2Filter] =
+        if (zarrFormat == 2) ZarrJson.parseFiltersV2(arrayDoc) else Nil
       // v3: endianness, compressor and the optional transpose
       // permutation live in the codec chain. The OUTER chain always
       // parses (validating it — unknown codecs refuse the store);
@@ -265,7 +269,10 @@ object OmeZarrIO {
           def decodeChunk(raw: Array[Byte], idx: Seq[Int]): ChunkRow = {
             val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
             // zarr stores chunks at FULL chunk shape (edge chunks padded)
-            val stored = ZarrStore.decodeToDoubles(raw, dtype, bigEndian)
+            val stored =
+              if (v2Filters.nonEmpty)
+                graft.zarr.NumcodecsFilters.decodeToDoubles(raw, v2Filters, dtypeRaw)
+              else ZarrStore.decodeToDoubles(raw, dtype, bigEndian)
             // transpose codec: the stored buffer is the chunk permuted
             // by `order` — invert it back to the declared dim order
             val full = transposeOrder match {
@@ -280,7 +287,10 @@ object OmeZarrIO {
             ChunkRow(idx, ZarrStore.chunkOriginAt(innerB, idx), cShape,
               ZarrStore.encodeFromDoubles(clipped, dtype))
           }
-          val fullSize = innerB.product * Dtypes.itemSize(dtype)
+          // decompressed size hint: the compressor saw the FILTERED
+          // (astype-encoded) representation, not the array dtype
+          val fullSize = innerB.product *
+            graft.zarr.NumcodecsFilters.encodedItemSize(v2Filters, dtypeRaw)
           shardingB match {
             case None => it.map { idx =>
               val key = ZarrStore.chunkKey(zf, arrayPath, idx, sep, keyEnc)

@@ -79,7 +79,8 @@ final case class OmeZarrInputPartition(scale: Int, idx: Seq[Int], arrayPath: Str
     path: String, sharding: Option[(Seq[Int], Option[String])],
     transposeOrder: Option[Seq[Int]] = None,
     keyEncoding: String = "default",
-    fillValue: Double = 0.0) extends InputPartition
+    fillValue: Double = 0.0,
+    filters: Seq[graft.zarr.NumcodecsFilters.V2Filter] = Nil) extends InputPartition
 
 class OmeZarrScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -219,10 +220,13 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
         val bigEndian = chain.map(_.bigEndian).getOrElse(Dtypes.isBigEndian(dtypeRaw))
         val fill = ZarrJson.parseFillValue(doc)
         // one partition per grid object: a chunk, or a whole shard
+        val v2Filters =
+          if (zarrFormat == 2) ZarrJson.parseFiltersV2(doc) else Nil
         ZarrStore.gridPositions(ZarrStore.chunkGrid(shape, chunks)).map { idx =>
           OmeZarrInputPartition(i, idx, d.path, shape, chunks,
             Dtypes.normalize(dtypeRaw), bigEndian, comp, sep,
-            zarrFormat, path, sharding, chain.flatMap(_.transposeOrder), keyEnc, fill)
+            zarrFormat, path, sharding, chain.flatMap(_.transposeOrder), keyEnc, fill,
+            v2Filters)
         }
       }.toArray
   }
@@ -313,7 +317,10 @@ class OmeZarrReaderFactory(required: StructType,
         * `data` column survives pruning.
         */
       private def payload(idx: Seq[Int], cShape: Seq[Int], src: Src): Array[Byte] = {
-        val fullSize = innerChunks.product * Dtypes.itemSize(p.dtype)
+        // decompressed size hint: with v2 filters the compressor saw
+        // the FILTERED (astype-encoded) representation
+        val fullSize = innerChunks.product *
+          graft.zarr.NumcodecsFilters.encodedItemSize(p.filters, p.dtype)
         val raw = src match {
           case Loaded(r) => r
           case FillSrc => return ZarrStore.encodeFromDoubles(
@@ -329,7 +336,11 @@ class OmeZarrReaderFactory(required: StructType,
                 Array.fill(cShape.product)(p.fillValue), p.dtype)
             }
         }
-        val stored = ZarrStore.decodeToDoubles(raw, p.dtype, p.bigEndian)
+        val stored =
+          if (p.filters.nonEmpty)
+            graft.zarr.NumcodecsFilters.decodeToDoubles(raw, p.filters,
+              p.dtype, p.bigEndian)
+          else ZarrStore.decodeToDoubles(raw, p.dtype, p.bigEndian)
         // transpose codec: stored buffer is permuted by `order`
         val full = p.transposeOrder match {
           case Some(o) => graft.operators.NdKernels.permuteFlat(

@@ -372,6 +372,102 @@ class OmeZarrIOSpec extends SparkSpec {
     }
   }
 
+  test("foreign v2 store with delta+shuffle filter chain decodes on both paths") {
+    import graft.zarr.{Codecs, ZarrStore}
+    val m = ImageMeta(Seq("y", "x"), Seq(24, 20), Seq(10, 8), "int32",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val r = new scala.util.Random(29)
+    // slowly-varying values: what delta filters exist for
+    var acc = 1000.0
+    val vals = Array.fill(24 * 20) { acc += (r.nextInt(11) - 5); acc }
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-filters").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.4", compressor = Some("gzip"))
+
+    // re-encode every chunk the way numcodecs does: delta in <i4, then
+    // byte-shuffle (elementsize 4), then the compressor
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    val mapper = graft.meta.ZarrJson.mapper
+    val doc = mapper.readTree(new String(Files.readAllBytes(arr.resolve(".zarray"))))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val fl = doc.putArray("filters")
+    val de = fl.addObject(); de.put("id", "delta"); de.put("dtype", "<i4"); de.put("astype", "<i4")
+    val sh = fl.addObject(); sh.put("id", "shuffle"); sh.put("elementsize", 4)
+    Files.write(arr.resolve(".zarray"), mapper.writeValueAsBytes(doc))
+    for (cy <- 0 until 3; cx <- 0 until 3) {
+      val key = arr.resolve(cy.toString).resolve(cx.toString)
+      val plain = Codecs.decompress(Some("gzip"), Files.readAllBytes(key), 10 * 8 * 4)
+      val chunk = ZarrStore.decodeToDoubles(plain, "int32")
+      val diffs = new Array[Double](chunk.length)
+      diffs(0) = chunk(0)
+      for (i <- 1 until chunk.length) diffs(i) = chunk(i) - chunk(i - 1)
+      val enc = ZarrStore.encodeFromDoubles(diffs, "int32")
+      val n = enc.length / 4
+      val shuffled = new Array[Byte](enc.length)
+      for (i <- 0 until n; j <- 0 until 4) shuffled(j * n + i) = enc(i * 4 + j)
+      Files.write(key, Codecs.compress(Some("gzip"), shuffled))
+    }
+
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    val viaDsv2 = spark.read.format("omezarr").load(dir)
+      .filter(org.apache.spark.sql.functions.col("scale") === 0)
+      .select("origin", "shape", "data").collect()
+    viaDsv2.foreach { row =>
+      val origin = row.getSeq[Long](0)
+      val shp = row.getSeq[Int](1)
+      val got = ZarrStore.decodeToDoubles(row.getAs[Array[Byte]]("data"), "int32")
+      for (ry <- 0 until shp(0); rx <- 0 until shp(1))
+        assert(got(ry * shp(1) + rx) ==
+          vals(((origin(0) + ry) * 20 + origin(1) + rx).toInt))
+    }
+  }
+
+  test("foreign v2 store with fixedscaleoffset filter decodes on both paths") {
+    import graft.zarr.{Codecs, ZarrStore}
+    val m = ImageMeta(Seq("y", "x"), Seq(16, 16), Seq(8, 8), "float64",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val r = new scala.util.Random(31)
+    // values on the exact 1/scale grid so decode is bit-identical
+    val vals = Array.fill(16 * 16)(1000.0 + r.nextInt(2000) / 100.0)
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-fso").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.4", compressor = Some("zstd"))
+
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    val mapper = graft.meta.ZarrJson.mapper
+    val doc = mapper.readTree(new String(Files.readAllBytes(arr.resolve(".zarray"))))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val fl = doc.putArray("filters")
+    val fso = fl.addObject()
+    fso.put("id", "fixedscaleoffset"); fso.put("scale", 100.0)
+    fso.put("offset", 1000.0); fso.put("dtype", "<f8"); fso.put("astype", "<i2")
+    Files.write(arr.resolve(".zarray"), mapper.writeValueAsBytes(doc))
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val key = arr.resolve(cy.toString).resolve(cx.toString)
+      val plain = Codecs.decompress(Some("zstd"), Files.readAllBytes(key), 8 * 8 * 8)
+      val chunk = ZarrStore.decodeToDoubles(plain, "float64")
+      val enc = chunk.map(x => math.round((x - 1000.0) * 100.0).toDouble)
+      Files.write(key, Codecs.compress(Some("zstd"),
+        ZarrStore.encodeFromDoubles(enc, "int16")))
+    }
+
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    val total = spark.read.format("omezarr").load(dir)
+      .filter(org.apache.spark.sql.functions.col("scale") === 0)
+      .select("data", "shape").collect().map { row =>
+        ZarrStore.decodeToDoubles(row.getAs[Array[Byte]]("data"), "float64").sum
+      }.sum
+    assert(math.abs(total - vals.sum) < 1e-6)
+  }
+
   test("foreign v3 store with v2-style chunk_key_encoding ('.' separator) opens") {
     val (m, vals) = mkImage()
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
@@ -413,18 +509,18 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(e.getMessage.contains("hex"))
   }
 
-  test("fuzz: foreign-store mutations round-trip (F-order, transpose, v2 keys, sparse)") {
+  test("fuzz: foreign-store mutations round-trip (F-order, transpose, v2 keys, sparse, filters)") {
     import graft.zarr.{Codecs, ZarrStore}
     val rnd = new scala.util.Random(404)
     val mapper = graft.meta.ZarrJson.mapper
-    for (round <- 0 until 6) {
+    for (round <- 0 until 10) {
       val h = 20 + rnd.nextInt(30)
       val w = 20 + rnd.nextInt(30)
       val ch = 7 + rnd.nextInt(10)
       val cw = 7 + rnd.nextInt(10)
       val dtype = Seq("uint8", "int16", "float32")(rnd.nextInt(3))
-      val mutation = round % 4 // cycle all four foreign-store hazards
-      val version = if (mutation == 0) "0.4" else "0.5"
+      val mutation = round % 5 // cycle all five foreign-store hazards
+      val version = if (mutation == 0 || mutation == 4) "0.4" else "0.5"
       val m = ImageMeta(Seq("y", "x"), Seq(h, w), Seq(ch, cw), dtype,
         Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
       val vals = Array.fill(h * w)(rnd.nextInt(120).toDouble)
@@ -446,7 +542,10 @@ class OmeZarrIOSpec extends SparkSpec {
         if (version == "0.4") arr.resolve(cy.toString).resolve(cx.toString)
         else arr.resolve("c").resolve(cy.toString).resolve(cx.toString)
       // rewrite every (full, padded) chunk through `f` over its values
-      def rewriteChunks(bigEndianOut: Boolean)(f: Array[Double] => Array[Double]): Unit =
+      // (and optionally `postBytes` over the re-encoded bytes)
+      def rewriteChunks(bigEndianOut: Boolean,
+          postBytes: Array[Byte] => Array[Byte] = identity)(
+          f: Array[Double] => Array[Double]): Unit =
         for (cy <- 0 until gy; cx <- 0 until gx) {
           val key = chunkFile(cy, cx)
           val plain = Codecs.decompress(Some("gzip"),
@@ -466,7 +565,7 @@ class OmeZarrIOSpec extends SparkSpec {
               }
               be.array()
             }
-          Files.write(key, Codecs.compress(Some("gzip"), bytes))
+          Files.write(key, Codecs.compress(Some("gzip"), postBytes(bytes)))
         }
 
       val expected = vals.clone()
@@ -499,6 +598,27 @@ class OmeZarrIOSpec extends SparkSpec {
           for (y <- dy * ch until math.min(h, (dy + 1) * ch);
                x <- dx * cw until math.min(w, (dx + 1) * cw))
             expected(y * w + x) = 5.0
+        case 4 => // v2 numcodecs filters: delta then byte-shuffle
+          val v2dt = graft.meta.Dtypes.zarrV2TypeStr(dtype)
+          val fl = doc.putArray("filters")
+          val de = fl.addObject()
+          de.put("id", "delta"); de.put("dtype", v2dt); de.put("astype", v2dt)
+          val sh = fl.addObject()
+          sh.put("id", "shuffle"); sh.put("elementsize", itemSize)
+          def shuffleBytes(in: Array[Byte]): Array[Byte] = {
+            if (itemSize <= 1) return in
+            val n = in.length / itemSize
+            val out = new Array[Byte](in.length)
+            for (i <- 0 until n; j <- 0 until itemSize)
+              out(j * n + i) = in(i * itemSize + j)
+            out
+          }
+          rewriteChunks(bigEndianOut = false, postBytes = shuffleBytes) { c =>
+            val d = new Array[Double](c.length)
+            d(0) = c(0)
+            for (i <- 1 until c.length) d(i) = c(i) - c(i - 1)
+            d
+          }
       }
       Files.write(arr.resolve(metaFile), mapper.writeValueAsBytes(doc))
 
