@@ -22,7 +22,8 @@ object Pipeline extends QModule {
   override def queries: Seq[Q] = Seq(
     q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
     t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
-    t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize)
+    t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
+    s51AnnPq)
 
   import QTables.{docs, emb}
 
@@ -298,6 +299,94 @@ object Pipeline extends QModule {
                       ORDER BY cos DESC, neighbor_id ASC) AS rank FROM x)
             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
             FROM r WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
+  /** PQ ANN with exact rerank: 4 sub-space codebooks from the shared
+    * deterministic k-means (L2 metric, md5 seeds, 1 Lloyd round over
+    * exact integer micro-sums — [[Similarity.pqTopK]]), byte codes,
+    * ADC scoring against reconstructions, then exact-cosine rerank of
+    * the top-8 shortlist. The oracle replays the whole path: the
+    * sub-quantizer training is bit-deterministic by construction
+    * (BIGINT micro-sums are order-independent), ADC partial dots and
+    * norms sum in subspace order via ordered list aggregation, and
+    * both engines round cosines to 6dp before ranking.
+    */
+  val s51AnnPq = Q(
+    "s51_ann_pq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("id") % 100 === 0), e, k = 3,
+          m = 4, nlist = 8, lloydRounds = 1, rerank = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            sv AS (SELECT vec_id, j, e[j*16+1 : j*16+16] AS s
+                   FROM v, range(4) t(j)),
+            seeds AS (SELECT vec_id AS cid FROM v
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            c0 AS (SELECT sv.j, sd.cid, sv.s AS cv
+                   FROM seeds sd JOIN sv ON sv.vec_id = sd.cid),
+            a0 AS (SELECT sv.vec_id, sv.j, c.cid,
+                     round(list_sum(list_transform(range(16),
+                       i -> (sv.s[i+1] - c.cv[i+1]) * (sv.s[i+1] - c.cv[i+1]))), 6) AS d2
+                   FROM sv JOIN c0 c ON c.j = sv.j),
+            asn0 AS (SELECT vec_id, j, cid FROM (
+                      SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j
+                        ORDER BY d2 ASC, cid ASC) AS rn FROM a0) t
+                    WHERE rn = 1),
+            m1 AS (SELECT a.j, a.cid, t.i,
+                     CAST(sum(CAST(round(sv.s[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM sv JOIN asn0 a ON a.vec_id = sv.vec_id AND a.j = sv.j,
+                        range(16) t(i)
+                   GROUP BY a.j, a.cid, t.i),
+            c1 AS (SELECT j, cid, list(cval ORDER BY i) AS cv FROM m1 GROUP BY j, cid),
+            a1 AS (SELECT sv.vec_id, sv.j, c.cid,
+                     round(list_sum(list_transform(range(16),
+                       i -> (sv.s[i+1] - c.cv[i+1]) * (sv.s[i+1] - c.cv[i+1]))), 6) AS d2
+                   FROM sv JOIN c1 c ON c.j = sv.j),
+            codes AS (SELECT vec_id, j, cid FROM (
+                      SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j
+                        ORDER BY d2 ASC, cid ASC) AS rn FROM a1) t
+                    WHERE rn = 1),
+            cn AS (SELECT j, cid,
+                     list_sum(list_transform(range(16), i -> cv[i+1] * cv[i+1])) AS nn
+                   FROM c1),
+            q AS (SELECT vec_id AS query_id, e,
+                    sqrt(list_sum(list_transform(range(64), i -> e[i+1] * e[i+1]))) AS qnorm
+                  FROM v WHERE vec_id % 100 = 0),
+            qd AS (SELECT q.query_id, c.j, c.cid,
+                     list_sum(list_transform(range(16),
+                       i -> q.e[c.j*16+i+1] * c.cv[i+1])) AS dot
+                   FROM q, c1 c),
+            parts AS (SELECT qd.query_id, cd.vec_id AS neighbor_id, cd.j,
+                        qd.dot AS dj, cn.nn AS nj
+                      FROM codes cd
+                      JOIN qd ON qd.j = cd.j AND qd.cid = cd.cid
+                      JOIN cn ON cn.j = cd.j AND cn.cid = cd.cid
+                      WHERE qd.query_id <> cd.vec_id),
+            adc AS (SELECT p.query_id, p.neighbor_id,
+                      round(list_sum(list(p.dj ORDER BY p.j))
+                        / (max(q.qnorm) * sqrt(list_sum(list(p.nj ORDER BY p.j)))), 6) AS cos
+                    FROM parts p JOIN q ON q.query_id = p.query_id
+                    GROUP BY p.query_id, p.neighbor_id),
+            shortlist AS (SELECT query_id, neighbor_id FROM (
+                      SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rn FROM adc) t
+                    WHERE rn <= 8),
+            x AS (SELECT sl.query_id, sl.neighbor_id,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                      6) AS cos
+                  FROM shortlist sl JOIN v q ON q.vec_id = sl.query_id
+                       JOIN v c ON c.vec_id = sl.neighbor_id),
+            r AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank FROM x)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+            FROM r WHERE rank <= 3
             ORDER BY query_id, rank"""))
 
   /** SemDeDup-style semantic dedup: the deterministic k-means
