@@ -42,7 +42,91 @@ object Imaging extends QModule {
        |  CAST(((i // $W) * 31 + (i % $W) * 17) % 256 AS DOUBLE) AS v
        |  FROM range(${H * W}) r(i))""".stripMargin
 
-  override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid)
+  override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
+    h65HcsWellLookup)
+
+  /** S12/S13 — HCS plate relational surface, oracle-gated. A real
+    * plate store (plate `.zattrs` + per-well docs, the layout of
+    * `py/ngff_zarr/hcs.py:140-176`'s keyed lookups) is built
+    * deterministically FROM the nation/region tables — rows = region
+    * names (sorted), columns = per-region nation rank, two
+    * acquisitions with field images alternating by nation key — then
+    * re-read via `fromHcsZarr`, and the gate result is the wells ×
+    * acquisitions join to the image catalog with a keyed acquisition
+    * filter. The DuckDB oracle replays the derivation relationally
+    * from the same parquet tables, so the store round-trip (attrs
+    * write → parse → DataFrames) is what's actually under test.
+    */
+  val h65HcsWellLookup = Q(
+    "h65_hcs_well_lookup",
+    (s, dir) => {
+      import graft.hcs.Hcs
+      import graft.meta.ZarrJson
+      val regions = graft.Tables.load(s, dir, "region")
+        .select("r_regionkey", "r_name").collect()
+        .map(r => (r.getAs[Number]("r_regionkey").longValue, r.getString(1)))
+      val nations = graft.Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_regionkey").collect()
+        .map(r => (r.getAs[Number]("n_nationkey").longValue,
+          r.getAs[Number]("n_regionkey").longValue))
+      val rowNames = regions.map(_._2).sorted
+      val rowIdx = regions.map { case (k, n) => k -> rowNames.indexOf(n) }.toMap
+      // per-region nation rank (1-based) = plate column
+      val wells = nations.groupBy(_._2).toSeq.flatMap { case (rkey, ns) =>
+        ns.map(_._1).sorted.zipWithIndex.map { case (nkey, i) =>
+          (nkey, rowIdx(rkey), i, s"${rowNames(rowIdx(rkey))}/${i + 1}")
+        }
+      }.sortBy { case (_, ri, ci, _) => (ri, ci) }
+      val nCols = wells.map(_._3).max + 1
+      val plate = Plate(
+        rows = rowNames.map(PlateRow).toSeq,
+        columns = (1 to nCols).map(c => PlateColumn(c.toString)),
+        wells = wells.map { case (_, ri, ci, p) => PlateWellIndex(p, ri, ci) },
+        acquisitions = Seq(
+          PlateAcquisition(0, Some("acq0"), Some(2)),
+          PlateAcquisition(1, Some("acq1"), Some(2))))
+      val storeDir = java.nio.file.Files.createTempDirectory("hcs-gate")
+        .toString + "/plate.zarr"
+      Hcs.toHcsZarr(storeDir, plate)
+      val store = Hcs.openStore(storeDir)
+      wells.foreach { case (nkey, _, _, p) =>
+        store.writeString(s"${p.split("/").head}/.zgroup", ZarrJson.groupDoc(2))
+        store.writeString(s"$p/.zgroup", ZarrJson.groupDoc(2))
+        store.writeString(s"$p/.zattrs", Hcs.wellAttrs(Well(Seq(
+          WellImage("f0", Some((nkey % 2).toInt)),
+          WellImage("f1", Some(((nkey + 1) % 2).toInt))))))
+      }
+      val hp = Hcs.fromHcsZarr(storeDir)
+      val w = hp.wellsDf(s).select(col("path"), col("row_name"), col("column_name"))
+      val imgs = hp.imagesDf(s)
+      val acq = hp.acquisitionsDf(s)
+      imgs.join(w, imgs("well_path") === w("path"))
+        .join(acq, col("acquisition") === col("acq_id"))
+        .filter(col("acq_id") === 1)
+        .select(col("well_path"), col("row_name"), col("column_name"),
+          col("image_path"), col("acq_name"), col("max_field_count"))
+        .orderBy(col("well_path"), col("image_path"))
+    },
+    Some("""WITH rws AS (SELECT r_name, r_regionkey,
+                    row_number() OVER (ORDER BY r_name) - 1 AS row_idx
+                  FROM region),
+            n AS (SELECT n_nationkey, n_regionkey,
+                    row_number() OVER (PARTITION BY n_regionkey
+                      ORDER BY n_nationkey) AS colnum
+                  FROM nation),
+            wells AS (SELECT rws.r_name AS row_name,
+                       CAST(colnum AS VARCHAR) AS column_name,
+                       rws.r_name || '/' || CAST(colnum AS VARCHAR) AS well_path,
+                       n.n_nationkey
+                     FROM n JOIN rws ON n.n_regionkey = rws.r_regionkey),
+            imgs AS (SELECT well_path, row_name, column_name,
+                       'f' || CAST(f AS VARCHAR) AS image_path,
+                       (n_nationkey + f) % 2 AS acq
+                     FROM wells, range(2) t(f))
+            SELECT well_path, row_name, column_name, image_path,
+                   'acq1' AS acq_name, CAST(2 AS BIGINT) AS max_field_count
+            FROM imgs WHERE acq = 1
+            ORDER BY well_path, image_path"""))
 
   /** A10/A13 — bin-shrink = mean over aligned 2×2 blocks, integer
     * round-half-up, via the distributed per-chunk kernel.
