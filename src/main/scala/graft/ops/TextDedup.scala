@@ -197,22 +197,70 @@ object TextDedup {
   /** LSH banding over MinHash signatures: hash each band of
     * `rowsPerBand` signature slots, emit (band, bucket) keys, and
     * self-join within buckets. Candidates ≪ n² and the join key is a
-    * 64-bit band hash, so bucket skew stays bounded at scale.
+    * 64-bit band hash, so bucket skew USUALLY stays bounded at scale —
+    * but a boilerplate-heavy corpus can drop half its documents into
+    * one band bucket, and the self-join then enumerates all B²/2
+    * pairs of that bucket in a single task.
     *
-    * Output: distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b.
+    * `hotBucketThreshold > 0` arms the skew path: bucket sizes are
+    * counted first (one aggregation over the banded rows — the
+    * threshold is opt-in because of exactly this extra pass), buckets
+    * above the threshold route to a salted group-pair self-join —
+    * each doc gets a deterministic salt s ∈ [0, saltGroups) and is
+    * replicated to the task keys (lo, hi) = (min(s,j), max(s,j)) for
+    * every j, so a hot bucket's pair space splits into
+    * g(g+1)/2 independently-scheduled tasks of (2B/g)² work; the
+    * `least/greatest` equality in the join condition makes every pair
+    * land in EXACTLY one task (the (s_a, s_b) one), so no dedup
+    * beyond the final `distinct` is needed. Cold buckets keep the
+    * plain one-key join.
+    *
+    * Output: distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b —
+    * identical with and without the skew path.
     */
-  def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4,
+      hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => element_at(col("sig"), (b * lit(rowsPerBand) + r + 1).cast("int"))): _*))))
         .as(Seq("band", "bucket")))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    def pairJoin(b: DataFrame): DataFrame =
+      b.as("x")
+        .join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val pairs =
+      if (hotBucketThreshold <= 0) pairJoin(banded)
+      else {
+        val g = saltGroups
+        // hot-bucket list is tiny by construction (corpus_rows/threshold
+        // buckets at most) — broadcast it as the routing filter
+        val hot = broadcast(
+          banded.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("_n"))
+            .filter(col("_n") > hotBucketThreshold)
+            .select(col("band"), col("bucket"), lit(true).as("_hot")))
+        val tagged = banded.join(hot, Seq("band", "bucket"), "left")
+        val cold = pairJoin(tagged.filter(col("_hot").isNull).drop("_hot"))
+        val salted = tagged.filter(col("_hot") === true).drop("_hot")
+          .withColumn("s", pmod(xxhash64(col("doc_id")), lit(g.toLong)).cast("int"))
+          .withColumn("j", explode(sequence(lit(0), lit(g - 1))))
+          .withColumn("lo", least(col("s"), col("j")))
+          .withColumn("hi", greatest(col("s"), col("j")))
+          .drop("j")
+        val hotPairs = salted.as("x")
+          .join(salted.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.lo") === col("y.lo") && col("x.hi") === col("y.hi") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              least(col("x.s"), col("y.s")) === col("x.lo") &&
+              greatest(col("x.s"), col("y.s")) === col("x.hi"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        cold.union(hotPairs)
+      }
+    pairs.distinct()
   }
 
   /** MinHash+LSH near-dup detection end-to-end: signatures → banded
@@ -224,13 +272,14 @@ object TextDedup {
     */
   def minHashNearDups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64,
-      numBands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
+      numBands: Int = 16, minJaccard: Double = 0.5,
+      hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
     // tokenize once: shingle sets persist; signatures, candidates and
     // the verify join all reuse them
     val sets = shingleSets(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(signaturesFromSets(sets, numHashes),
-      numBands, numHashes / numBands)
+      numBands, numHashes / numBands, hotBucketThreshold, saltGroups)
     val out = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

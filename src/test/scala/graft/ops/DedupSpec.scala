@@ -36,6 +36,33 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("salted hot-bucket LSH: identical pairs, hot bucket split across group-pair tasks") {
+    import spark.implicits._
+    // skewed corpus: 50% boilerplate copies (one band bucket holds
+    // them ALL in every band), 50% distinct docs
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val skewed = (0L until 200L).map { i =>
+      if (i < 100) (i, boiler)
+      else (i, s"unique document $i with its own words ${i * 31} ${i * 17} ${i % 7}")
+    }.toDF("doc_id", "text")
+    val plain = TextDedup.minHashNearDups(skewed, minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = TextDedup.minHashNearDups(skewed, minJaccard = 0.5,
+        hotBucketThreshold = 20, saltGroups = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == salted, "skew path must not change the candidate/verified pair set")
+    assert(plain.size == 100 * 99 / 2, "all boilerplate pairs should verify at jaccard 1.0")
+    // the mechanism: the hot bucket's pair space is spread over
+    // g(g+1)/2 = 10 (lo, hi) task keys instead of 1 — no single task
+    // enumerates all B²/2 pairs
+    val sig = TextDedup.minHashSignatures(skewed)
+    val cands = TextDedup.lshCandidates(sig, hotBucketThreshold = 20, saltGroups = 4)
+    assert(cands.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      == TextDedup.lshCandidates(sig).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("banded simhash pairs == all-pairs at the same distance (pigeonhole exactness)") {
     import spark.implicits._
     val sh = TextDedup.simHash(docs)
