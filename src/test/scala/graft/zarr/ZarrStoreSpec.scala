@@ -50,6 +50,28 @@ class ZarrStoreSpec extends AnyFunSuite {
     assert(new java.io.File(s"$local/store.zarr/.zgroup").exists())
   }
 
+  test("store contract holds against a REAL remote endpoint (env-gated smoke)") {
+    // Set SPARK_GRAFT_REMOTE_URL to an s3a://bucket/prefix (or gs://,
+    // abfs://) with connector + credentials on the classpath/conf and
+    // this smoke validates the remote-store claim over an actual
+    // network round-trip; offline (the normal state of this sandbox)
+    // it cancels cleanly. Documented in FIXTURES.md.
+    val url = sys.env.get("SPARK_GRAFT_REMOTE_URL")
+    assume(url.isDefined, "SPARK_GRAFT_REMOTE_URL not set — offline sandbox")
+    val base = url.get.stripSuffix("/")
+    val st = new ZarrStore(s"$base/graft-smoke-${System.currentTimeMillis()}.zarr")
+    try {
+      st.writeString(".zgroup", """{"zarr_format": 2}""")
+      st.writeBytes("a/0/0", Array.tabulate[Byte](100)(_.toByte))
+      assert(st.exists(".zgroup") && st.exists("a/0/0") && !st.exists("a/0/1"))
+      assert(st.size("a/0/0") == 100)
+      assert(st.readBytes("a/0/0").toSeq == (0 until 100).map(_.toByte))
+      assert(st.readRange("a/0/0", 10, 5).toSeq == (10 until 15).map(_.toByte))
+      assert(st.readTail("a/0/0", 4).toSeq == (96 until 100).map(_.toByte))
+      assert(st.list("").toSet == Set(".zgroup", "a/0/0"))
+    } finally st.delete("")
+  }
+
   test("chunk keys: v2 separators and v3 c-prefix") {
     assert(ZarrStore.chunkKey(2, "scale0/image", Seq(0, 1), "/") == "scale0/image/0/1")
     assert(ZarrStore.chunkKey(2, "scale0/image", Seq(0, 1), ".") == "scale0/image/0.1")
