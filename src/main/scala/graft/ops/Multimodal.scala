@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   * media column exactly like any other embarrassingly parallel map.
   *
   * Decoders are REAL: netpbm P5/P6 (PGM/PPM), uncompressed 24-bit
-  * BMP and PCM-16 RIFF/WAVE are parsed directly from their public
-  * specs, and PNG/JPEG/GIF decode through `javax.imageio` — JDK-only,
-  * no native libraries. Still-codec-bound formats (MP3/H.264) are
-  * rejected with precise errors — swapping in a binding only changes
-  * `decodeImage`/`decodeAudio`, not the plumbing. The byte-statistics
-  * kernel is kept as the format-agnostic fallback.
+  * BMP, PCM-16 RIFF/WAVE and FLAC (full pure-JVM decoder, [[Flac]])
+  * are parsed directly from their public specs, and PNG/JPEG/GIF
+  * decode through `javax.imageio` — JDK-only, no native libraries.
+  * Still-codec-bound formats (MP3/H.264) are rejected with precise
+  * errors — swapping in a binding only changes
+  * `decodeImage`/`decodeAudio`, not the plumbing (scope rationale in
+  * COVERAGE.md). The byte-statistics kernel is kept as the
+  * format-agnostic fallback.
   */
 object Multimodal {
 
@@ -285,8 +287,16 @@ object Multimodal {
   def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeature] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) => audioFeature(id, decodeWav(payload)) })
+      .mapPartitions(_.map { case (id, payload) => audioFeature(id, decodeAudio(payload)) })
   }
+
+  /** Sniff-dispatch audio decode: RIFF/WAVE (PCM-16) or FLAC (pure-JVM
+    * decoder, [[Flac]]). Other containers refuse with precise errors.
+    */
+  def decodeAudio(payload: Array[Byte]): DecodedAudio =
+    if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
+        payload(2) == 'a' && payload(3) == 'C') Flac.decodeFlac(payload)
+    else decodeWav(payload)
 
   // ---- format-agnostic byte-statistics fallback ----
 
@@ -416,6 +426,23 @@ object Multimodal {
     * ((doc_id · 13 + i · 7) mod 65536) − 32768 — same closed form
     * contract for the audio oracle.
     */
+  /** Deterministic per-doc FLAC payloads (same sample formula as
+    * [[syntheticWav]], so the m57 oracle mirrors m54's): the REAL
+    * encoder emits a verbatim single-frame stream, the REAL decoder
+    * parses it back in the gate — header, CRCs and subframe layout
+    * are all on the verified path.
+    */
+  def syntheticFlac(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val n = 64
+      val samples = Array.tabulate[Short](n)(i =>
+        (((id * 13 + i * 7) % 65536) - 32768).toShort)
+      (id, Flac.encodeVerbatim(samples, 1, 8000))
+    }).toDF("doc_id", "media")
+  }
+
   def syntheticWav(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -24,7 +24,8 @@ object LlmOps extends QModule {
     s48CosineExpr,
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
-    m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode)
+    m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
+    m57FlacDecode)
 
   import QTables.{docs, emb}
 
@@ -619,6 +620,25 @@ object LlmOps extends QModule {
     "m54_audio_decode_features",
     (s, dir) => Multimodal.extractAudioFeatures(s,
         Multimodal.syntheticWav(docs(s, dir).filter(col("doc_id") < 200)))
+      .toDF().orderBy(col("doc_id")),
+    Some("""WITH s AS (SELECT doc_id, (doc_id * 13 + i.i * 7) % 65536 - 32768 AS v
+                       FROM documents, range(64) i(i) WHERE doc_id < 200)
+            SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+                   CAST(64 AS INT) AS n_samples,
+                   CAST(sum(v * v) AS DOUBLE) AS sum_sq,
+                   CAST(max(abs(v)) AS INT) AS peak
+            FROM s GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** REAL FLAC decode in the gate: per-doc single-frame FLAC streams
+    * built by the pure-JVM encoder (header + CRC-8/16 + verbatim
+    * subframes) and decoded by the full [[graft.ops.Flac]] decoder;
+    * the sample formula matches m54's so the oracle is identical in
+    * shape.
+    */
+  val m57FlacDecode = Q(
+    "m57_flac_decode_features",
+    (s, dir) => Multimodal.extractAudioFeatures(s,
+        Multimodal.syntheticFlac(docs(s, dir).filter(col("doc_id") < 200)))
       .toDF().orderBy(col("doc_id")),
     Some("""WITH s AS (SELECT doc_id, (doc_id * 13 + i.i * 7) % 65536 - 32768 AS v
                        FROM documents, range(64) i(i) WHERE doc_id < 200)
