@@ -177,15 +177,22 @@ class MetadataSpec extends AnyFunSuite {
   }
 
   test("foreign-store metadata hazards refuse loudly") {
-    // v2 numcodecs filters would decode garbage if ignored
+    // v2 numcodecs filter chains parse into typed decode steps
+    // (delta/fixedscaleoffset/quantize/astype/shuffle, round 5) —
+    // UNKNOWN filter ids still refuse at metadata time, never
+    // mid-decode on an executor
     val filtered = """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f4",
       "compressor":null,"filters":[{"id":"delta","dtype":"<f4"}],"order":"C"}"""
-    val e1 = intercept[IllegalArgumentException](ZarrJson.parseZarrayV2(filtered))
-    assert(e1.getMessage.contains("filters"))
+    ZarrJson.parseZarrayV2(filtered)
+    assert(ZarrJson.parseFiltersV2(filtered) ==
+      Seq(graft.zarr.NumcodecsFilters.DeltaF("<f4", "<f4")))
+    val e1 = intercept[UnsupportedOperationException](ZarrJson.parseFiltersV2(
+      """{"filters":[{"id":"vlen-utf8"}]}"""))
+    assert(e1.getMessage.contains("vlen-utf8"))
     // null/empty filters stay fine
-    ZarrJson.parseZarrayV2(
+    assert(ZarrJson.parseFiltersV2(
       """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f4",
-         "compressor":null,"filters":null}""")
+         "compressor":null,"filters":null}""") == Nil)
     // order parses C/F, refuses anything else
     assert(ZarrJson.parseOrderV2("""{"order":"F"}""") == "F")
     assert(ZarrJson.parseOrderV2("""{}""") == "C")
