@@ -100,8 +100,6 @@ object Flac {
 
   private val BlockSizes = Array(-1, 192, 576, 1152, 2304, 4608, -8, -16,
     256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
-  private val SampleRates = Array(0, 88200, 176400, 192000, 8000, 16000, 22050,
-    24000, 32000, 44100, 48000, 96000, -8, -16, -160, -1)
 
   /** Decode a whole FLAC stream to interleaved 16-bit samples. */
   def decodeFlac(payload: Array[Byte]): DecodedAudio = {

@@ -177,6 +177,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("pqTopK plan: no corpus-side sort-merge or pair enumeration") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val plan = Similarity.pqTopK(emb.filter(col("id") < 3), emb, k = 3,
+        m = 4, nlist = 8, lloydRounds = 1, rerank = 8)
+      .queryExecution.executedPlan.toString
+    // ADC scoring is partition-local over the m-byte codes and the
+    // exact rerank joins the (tiny) shortlist via broadcast — the
+    // corpus must never sort-merge or cross-join
+    assert(plan.contains("BroadcastHashJoin"), s"shortlist rerank not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("ivfTopK neighbors are a subset of brute-force candidates with correct ranking") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
