@@ -655,13 +655,27 @@ class OmeZarrIOSpec extends SparkSpec {
       val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
       val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
         Method.ItkwasmBinShrink, cache = false)
+      // v0.5: sometimes shard — random chunks/shard over a random
+      // (usually non-divisible) shape keeps the clipped edge-shard
+      // path under continuous fuzz
+      val cps =
+        if (version == "0.5" && rnd.nextBoolean())
+          Some(Seq(1 + rnd.nextInt(3), 1 + rnd.nextInt(3)))
+        else None
       val dir = Files.createTempDirectory("omezarr-fuzz").toString + "/img.zarr"
-      OmeZarrIO.writeMultiscales(spark, dir, ms, version = version, compressor = comp)
+      OmeZarrIO.writeMultiscales(spark, dir, ms, version = version,
+        compressor = comp, chunksPerShard = cps)
       val back = OmeZarrIO.readMultiscales(spark, dir)
       assert(back.levels.head.meta.shape == Seq(h.toLong, w.toLong),
-        s"trial $trial $dtype $comp $version ${h}x$w/${ch}x$cw")
+        s"trial $trial $dtype $comp $version ${h}x$w/${ch}x$cw cps=$cps")
       assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
-        == vals.toSeq, s"trial $trial $dtype $comp $version ${h}x$w/${ch}x$cw")
+        == vals.toSeq, s"trial $trial $dtype $comp $version ${h}x$w/${ch}x$cw cps=$cps")
+      // the DSv2 path must agree on row count: exactly the in-grid
+      // chunks, no phantom edge-shard rows
+      val expectRows = graft.zarr.ZarrStore.chunkGrid(Seq(h.toLong, w.toLong), Seq(ch, cw)).product
+      assert(spark.read.format("omezarr").load(dir)
+        .filter(org.apache.spark.sql.functions.col("scale") === 0).count() == expectRows,
+        s"trial $trial DSv2 row count, cps=$cps")
     }
   }
 
