@@ -553,6 +553,39 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Canonical selection — the step that turns dup CLUSTERS into the
+    * kept corpus: per near-dup cluster (SimHash banded pairs →
+    * connected components) keep ONE representative, the document with
+    * the most content (max n_chars, lowest doc_id on ties — a
+    * deterministic argmax any engine replays).
+    *
+    * Scale shape: two map-side-combinable aggregations (per-cluster
+    * max, then min-id among the maxima) joined back — no window over
+    * clusters, so a pathological giant cluster costs a hash
+    * aggregation, not a single-task sort.
+    *
+    * Output per doc: (doc_id, cluster_id, canonical_id, keep).
+    */
+  def canonicalDocs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      sizeCol: String = "n_chars"): DataFrame = {
+    val pairs = simHashNearDups(docs, maxDist = maxDist)
+    val cc = connectedComponents(pairs, docs.select(col(idCol).as("doc_id")))
+    val joined = cc.join(
+      docs.select(col(idCol).as("doc_id"), col(sizeCol).cast("long").as("n_chars")),
+      "doc_id")
+    val mx = joined.groupBy(col("cluster_id")).agg(max(col("n_chars")).as("mc"))
+    val rep = joined.as("j")
+      .join(mx.as("m"), col("j.cluster_id") === col("m.cluster_id") &&
+        col("j.n_chars") === col("m.mc"))
+      .groupBy(col("j.cluster_id").as("cluster_id"))
+      .agg(min(col("j.doc_id")).as("canonical_id"))
+    joined.select(col("doc_id"), col("cluster_id"))
+      .join(rep, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   /** Sub-document (chunk-level) exact dedup: split each document into
     * consecutive `chunkWords`-word chunks, find chunks that recur in
     * two or more distinct documents, and report each document's

@@ -20,7 +20,8 @@ object LlmOps extends QModule {
 
   override def queries: Seq[Q] = Seq(
     d40DedupExact, d41JaccardPairs, d42MinHash, d43SimHash, d44SimHashPairs,
-    d45EmbNearDup, d46SimHashBanded, d47DupClusters, s46CosineTopK, s47AnnLsh,
+    d45EmbNearDup, d46SimHashBanded, d47DupClusters, d50CanonicalDocs,
+    s46CosineTopK, s47AnnLsh,
     s48CosineExpr,
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
@@ -235,6 +236,62 @@ object LlmOps extends QModule {
                      AS cluster_size
             FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
             ORDER BY d.doc_id"""))
+
+  /** Canonical dedup selection — the kept-corpus deliverable: d47's
+    * clusters reduced to one representative each (max n_chars, lowest
+    * doc_id on ties), every doc labeled keep/drop. The oracle chains
+    * the same recursive-CTE connected components with the two-step
+    * argmax (per-cluster max, min id among maxima), matching the
+    * operator's two map-side-combinable aggregations.
+    */
+  val d50CanonicalDocs = Q(
+    "d50_canonical_docs",
+    (s, dir) => TextDedup.canonicalDocs(docs(s, dir), maxDist = 3)
+      .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE
+            t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS w FROM documents),
+            h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM t),
+            bits AS (SELECT doc_id, k,
+                       sum(CASE WHEN (h // CAST(pow(2, k) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                     FROM h, range(60) r(k) GROUP BY doc_id, k),
+            f AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, k) AS BIGINT)
+                                  ELSE 0 END) AS BIGINT) AS simhash
+                  FROM bits GROUP BY doc_id),
+            banded AS (SELECT doc_id, simhash, b.b AS band,
+                         (simhash // CAST(pow(2, 15 * b.b) AS BIGINT)) % 32768 AS key
+                       FROM f, range(4) b(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+                      JOIN f fa ON c.doc_a = fa.doc_id
+                      JOIN f fb ON c.doc_b = fb.doc_id
+                      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT u AS a, v AS b FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            ),
+            lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                    FROM reach GROUP BY a),
+            cl AS (SELECT d.doc_id,
+                     COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+                     CAST(d.n_chars AS BIGINT) AS n_chars
+                   FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+            mx AS (SELECT cluster_id, max(n_chars) AS mc FROM cl GROUP BY cluster_id),
+            rep AS (SELECT cl.cluster_id, min(cl.doc_id) AS canonical_id
+                    FROM cl JOIN mx ON cl.cluster_id = mx.cluster_id
+                         AND cl.n_chars = mx.mc
+                    GROUP BY cl.cluster_id)
+            SELECT cl.doc_id, cl.cluster_id, rep.canonical_id,
+                   cl.doc_id = rep.canonical_id AS keep
+            FROM cl JOIN rep ON cl.cluster_id = rep.cluster_id
+            ORDER BY cl.doc_id"""))
 
   /** Embedding-cosine near-dup pairs via the SRP-bucketed scale path
     * (candidates from 24 two-plane LSH tables, exact-cosine verify) —

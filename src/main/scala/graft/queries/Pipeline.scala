@@ -23,7 +23,7 @@ object Pipeline extends QModule {
     q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
     t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
-    s51AnnPq)
+    s51AnnPq, t62SequencePack)
 
   import QTables.{docs, emb}
 
@@ -629,4 +629,29 @@ object Pipeline extends QModule {
               CAST(len(trim(regexp_replace(regexp_replace(lower(text),
                 '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS INT) AS n_norm_chars
             FROM documents ORDER BY doc_id"""))
+
+  /** Sequence packing (GPT-style concat-and-chunk): every document's
+    * exact offset in the concatenated token stream and the training
+    * sequences it spans. The operator computes the offsets with the
+    * distributed prefix-sum ([[graft.ops.SequencePack]] — no global
+    * cumulative-sum window task); the oracle IS that window, so the
+    * gate proves the parallel form equals the serial semantics.
+    */
+  val t62SequencePack = Q(
+    "t62_sequence_pack",
+    (s, dir) => graft.ops.SequencePack.packSequences(docs(s, dir), seqLen = 256)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS start_offset
+                  FROM t WHERE n_tokens > 0)
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(start_offset // 256 AS BIGINT) AS first_seq,
+                   CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_seq
+            FROM c ORDER BY doc_id"""))
 }

@@ -148,6 +148,37 @@ class DedupSpec extends SparkSpec {
     assert(near.count() == before && before > 0)
   }
 
+  test("canonicalDocs keeps exactly one max-content representative per cluster") {
+    import spark.implicits._
+    // three exact-dup families with different lengths + singletons
+    val fam = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // same tokens as 0/1 (so it clusters) but one more CHARACTER:
+      // the canonical pick keys on content size, not token identity
+      (2L, "alpha beta gamma delta epsilon zeta eta theta "),
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five six seven eight nine ten"),
+      (20L, "a singleton document with its own distinct words entirely"))
+    val docs = fam.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextDedup.canonicalDocs(docs, maxDist = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // cluster {0,1,2}: doc 2 has the most chars → canonical
+    assert(out(0L)._2 == 2L && !out(0L)._3)
+    assert(out(1L)._2 == 2L && !out(1L)._3)
+    assert(out(2L)._2 == 2L && out(2L)._3)
+    // cluster {10,11}: equal length → lowest id wins
+    assert(out(10L)._2 == 10L && out(10L)._3)
+    assert(out(11L)._2 == 10L && !out(11L)._3)
+    // singleton keeps itself
+    assert(out(20L)._2 == 20L && out(20L)._3)
+    // exactly one keeper per cluster
+    val keepers = TextDedup.canonicalDocs(docs, maxDist = 3)
+      .filter(col("keep")).groupBy(col("cluster_id")).count().collect()
+    assert(keepers.forall(_.getLong(1) == 1L))
+  }
+
   test("simhash: near-identical docs land at small hamming distance") {
     import spark.implicits._
     val df = Seq(

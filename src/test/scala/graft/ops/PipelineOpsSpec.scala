@@ -177,6 +177,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("packSequences equals the window form and is partitioning-invariant") {
+    import spark.implicits._
+    val r = new scala.util.Random(17)
+    val docs = (0L until 300L).map(i =>
+      (i, Seq.fill(1 + r.nextInt(40))("w").mkString(" "))).toDF("doc_id", "text")
+    val a = graft.ops.SequencePack.packSequences(docs, 64).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .sortBy(_._1)
+    val b = graft.ops.SequencePack.packSequences(docs.repartition(13), 64).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "offsets must not depend on input partitioning")
+    // serial reference: running offset in doc order
+    var off = 0L
+    a.foreach { case (_, n, start, first, last) =>
+      assert(start == off && first == start / 64 && last == (start + n - 1) / 64)
+      off += n
+    }
+    // stream is gapless: total offset covers every token exactly once
+    assert(off == a.map(_._2).sum)
+  }
+
   test("pqTopK plan: no corpus-side sort-merge or pair enumeration") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
