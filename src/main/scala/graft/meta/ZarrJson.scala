@@ -378,7 +378,9 @@ object ZarrJson {
     var order: Option[Seq[Int]] = None
     var big = false
     var comp: Option[String] = None
-    codecs.elements().asScala.foreach { c =>
+    var checksum = false
+    val els = codecs.elements().asScala.toSeq
+    els.zipWithIndex.foreach { case (c, i) =>
       c.get("name").asText() match {
         case "transpose" =>
           val o = c.path("configuration").path("order")
@@ -392,16 +394,27 @@ object ZarrJson {
         case "bytes" | "endian" => // "endian" was the pre-1.0 spec name
           big = c.path("configuration").path("endian").asText("little") == "big"
         case "sharding_indexed" => // handled by parseShardingV3
+        case "crc32c" =>
+          // the checksum codec appends a 4-byte LE CRC-32C; decode
+          // verifies + strips it BEFORE decompression, so it must be
+          // the outermost (last-listed) bytes->bytes codec
+          require(i == els.length - 1,
+            "zarr v3 crc32c codec must be the last codec in the chain")
+          checksum = true
         case name if knownCompressors(name) =>
           require(comp.isEmpty, s"zarr v3 codec chain stacks compression codecs " +
             s"(${comp.get} then $name) — the decode path applies exactly one")
           comp = Some(name)
         case other => throw new UnsupportedOperationException(
           s"zarr v3 codec '$other' unsupported (transpose/bytes/" +
-            s"${knownCompressors.mkString("/")}/sharding_indexed)")
+            s"${knownCompressors.mkString("/")}/crc32c/sharding_indexed)")
       }
     }
-    V3CodecChain(order, big, comp)
+    // checksum rides the compressor id ("crc32c" / "crc32c:gzip") so
+    // every decode site keeps its Option[String] plumbing
+    val compEff =
+      if (checksum) Some(comp.fold("crc32c")(c => s"crc32c:$c")) else comp
+    V3CodecChain(order, big, compEff)
   }
 
   /** The array's `fill_value` as a double — the value a chunk whose

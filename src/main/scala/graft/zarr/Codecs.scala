@@ -56,6 +56,15 @@ object Codecs {
       typesize: Int = 1): Array[Byte] =
     codec match {
       case None => data
+      case Some(id) if id == "crc32c" || id.startsWith("crc32c:") =>
+        // inverse of the decode path: inner codec first, CRC-32C
+        // trailer (4 bytes LE) appended last
+        val inner = compress(if (id == "crc32c") None else Some(id.substring(7)),
+          data, level, typesize)
+        val crc = new java.util.zip.CRC32C
+        crc.update(inner, 0, inner.length)
+        val v = crc.getValue.toInt
+        inner ++ Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
       case Some("gzip") =>
         val bos = new ByteArrayOutputStream(data.length / 2 + 64)
         val gz = new GZIPOutputStream(bos) { this.`def`.setLevel(level) }
@@ -77,6 +86,20 @@ object Codecs {
   def decompress(codec: Option[String], data: Array[Byte], expectedSize: Int): Array[Byte] =
     codec match {
       case None => data
+      case Some(id) if id == "crc32c" || id.startsWith("crc32c:") =>
+        // zarr v3 checksum codec: verify + strip the 4-byte LE CRC-32C
+        // trailer, then hand the payload to the inner codec (if any)
+        require(data.length >= 4, "crc32c codec payload shorter than its trailer")
+        val crc = new java.util.zip.CRC32C
+        crc.update(data, 0, data.length - 4)
+        val stored = (data(data.length - 4) & 0xff) |
+          ((data(data.length - 3) & 0xff) << 8) |
+          ((data(data.length - 2) & 0xff) << 16) |
+          ((data(data.length - 1) & 0xff) << 24)
+        require(crc.getValue.toInt == stored, "chunk crc32c mismatch")
+        val inner = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+        decompress(if (id == "crc32c") None else Some(id.substring(7)),
+          inner, expectedSize)
       case Some("gzip") =>
         readAll(new GZIPInputStream(new java.io.ByteArrayInputStream(data)), expectedSize)
       case Some("zlib") =>

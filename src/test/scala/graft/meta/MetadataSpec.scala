@@ -174,6 +174,15 @@ class MetadataSpec extends AnyFunSuite {
     val e = intercept[UnsupportedOperationException](ZarrJson.parseCodecsV3(doc(
       """[{"name":"bytes"},{"name":"vlen-utf8"}]""")))
     assert(e.getMessage.contains("vlen-utf8"))
+    // crc32c checksum codec rides the compressor id, composed or alone
+    assert(ZarrJson.parseCodecsV3(doc(
+      """[{"name":"bytes"},{"name":"gzip"},{"name":"crc32c"}]""")).compressor
+      == Some("crc32c:gzip"))
+    assert(ZarrJson.parseCodecsV3(doc(
+      """[{"name":"bytes"},{"name":"crc32c"}]""")).compressor == Some("crc32c"))
+    // crc32c anywhere but last refuses (decode strips it first)
+    assertThrows[IllegalArgumentException](ZarrJson.parseCodecsV3(doc(
+      """[{"name":"bytes"},{"name":"crc32c"},{"name":"gzip"}]""")))
   }
 
   test("foreign-store metadata hazards refuse loudly") {

@@ -468,6 +468,55 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(math.abs(total - vals.sum) < 1e-6)
   }
 
+  test("foreign v3 store with crc32c checksum codec decodes on both paths") {
+    import graft.zarr.{Codecs, ZarrStore}
+    val m = ImageMeta(Seq("y", "x"), Seq(16, 16), Seq(8, 8), "uint16",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val r = new scala.util.Random(37)
+    val vals = Array.fill(16 * 16)(r.nextInt(60000).toDouble)
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-crc").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5", compressor = Some("gzip"))
+
+    // foreign writer layout: append crc32c after gzip in the chain and
+    // re-encode every chunk with the 4-byte LE trailer
+    val arr = java.nio.file.Paths.get(dir, "scale0", "image")
+    val mapper = graft.meta.ZarrJson.mapper
+    val doc = mapper.readTree(new String(Files.readAllBytes(arr.resolve("zarr.json"))))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val codecs = doc.withArray("codecs")
+    codecs.addObject().put("name", "crc32c")
+    Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(doc))
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val key = arr.resolve("c").resolve(cy.toString).resolve(cx.toString)
+      val plain = Codecs.decompress(Some("gzip"), Files.readAllBytes(key), 8 * 8 * 2)
+      Files.write(key, Codecs.compress(Some("crc32c:gzip"), plain))
+    }
+
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    val total = spark.read.format("omezarr").load(dir)
+      .filter(org.apache.spark.sql.functions.col("scale") === 0)
+      .select("data").collect()
+      .map(row => ZarrStore.decodeToDoubles(row.getAs[Array[Byte]]("data"), "uint16").sum)
+      .sum
+    assert(total == vals.sum)
+    // corrupt one chunk's trailer: the read refuses with the crc error
+    val victim = arr.resolve("c").resolve("0").resolve("0")
+    val bytes = Files.readAllBytes(victim)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 1).toByte
+    Files.write(victim, bytes)
+    val e = intercept[Exception] {
+      val again = OmeZarrIO.readMultiscales(spark, dir)
+      ChunkOps.toArray(again.levels.head.chunks, again.levels.head.meta)
+    }
+    assert(e.getMessage.contains("crc32c") ||
+      Option(e.getCause).exists(_.getMessage.contains("crc32c")))
+  }
+
   test("foreign v3 store with v2-style chunk_key_encoding ('.' separator) opens") {
     val (m, vals) = mkImage()
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))

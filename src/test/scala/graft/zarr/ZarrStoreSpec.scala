@@ -16,6 +16,26 @@ class ZarrStoreSpec extends AnyFunSuite {
     assertThrows[UnsupportedOperationException](Codecs.compress(Some("lzma"), data))
   }
 
+  test("crc32c checksum codec: round-trip, composition, corruption refusal") {
+    val data = Array.tabulate[Byte](5000)(i => (i * 17 % 127).toByte)
+    for (codec <- Seq(Some("crc32c"), Some("crc32c:gzip"), Some("crc32c:zstd"),
+        Some("crc32c:blosc:zstd:3"))) {
+      val enc = Codecs.compress(codec, data, typesize = 4)
+      assert(Codecs.decompress(codec, enc, data.length).toSeq == data.toSeq, s"codec $codec")
+    }
+    // bare crc32c is payload + 4-byte LE trailer
+    val bare = Codecs.compress(Some("crc32c"), data)
+    assert(bare.length == data.length + 4)
+    // flipping any payload or trailer byte refuses loudly
+    val bad = bare.clone(); bad(100) = (bad(100) ^ 1).toByte
+    val e = intercept[IllegalArgumentException](
+      Codecs.decompress(Some("crc32c"), bad, data.length))
+    assert(e.getMessage.contains("crc32c"))
+    val badTail = bare.clone(); badTail(badTail.length - 1) = (badTail(badTail.length - 1) ^ 1).toByte
+    assertThrows[IllegalArgumentException](
+      Codecs.decompress(Some("crc32c"), badTail, data.length))
+  }
+
   test("store contract holds on a foreign-scheme Hadoop FileSystem (S3) ") {
     // mockfs://bucket/... resolves through fs.<scheme>.impl exactly
     // like s3a/gs/abfs would — this pins the claim that ZarrStore is
