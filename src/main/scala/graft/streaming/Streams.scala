@@ -198,6 +198,49 @@ object Streams {
   final case class ArrivingDoc(doc_id: Long, text: String)
   final case class NearDupCandidate(doc_a: Long, doc_b: Long, band: Int)
 
+  final case class ArrivingSourcedDoc(doc_id: Long, source: String, text: String)
+  final case class BudgetAdmit(doc_id: Long, source: String,
+      n_tokens: Long, cum_tokens: Long)
+
+  /** Streaming token-budget gate — the ingestion twin of
+    * [[graft.ops.BudgetSample.tokenBudgetSample]] (batch gate t59):
+    * per-source running token totals persist across micro-batches and
+    * a document is admitted iff the total INCLUDING it stays within
+    * its source's budget. Prefix semantics match the batch operator
+    * (the total advances even past rejected documents, so one
+    * over-budget source shuts off rather than cherry-picking smaller
+    * late arrivals); priority here is arrival order (doc_id within a
+    * batch) — the stream IS the order, where the batch form imposes
+    * the md5 shuffle.
+    *
+    * Shape: state is ONE Long per source (the running total) — no
+    * per-doc state, so the store stays dimension-table-sized at any
+    * corpus volume; Spark's versioned state commits make batch
+    * replays start from the pre-batch total, so retries cannot
+    * double-count. Sources absent from `budgets` admit nothing.
+    */
+  def streamingBudgetGate(spark: SparkSession, docs: Dataset[ArrivingSourcedDoc],
+      budgets: Map[String, Long]): Dataset[BudgetAdmit] = {
+    import spark.implicits._
+    val budBc = spark.sparkContext.broadcast(budgets)
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (src, rows, state) =>
+          val bud = budBc.value.getOrElse(src, 0L)
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_.doc_id).flatMap { d =>
+            val n = d.text.split(' ').count(_.nonEmpty).toLong
+            cum += n
+            if (cum <= bud)
+              Some(BudgetAdmit(d.doc_id, src, n, cum))
+            else None
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming incremental MinHash-LSH near-dup detection: every
     * arriving document is checked against EVERYTHING seen so far —
     * the streaming twin of `TextDedup.minHashNearDups`' candidate

@@ -325,4 +325,39 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.contains((1L, 2L))) // the cross-batch pair
   }
+
+  test("streaming budget gate carries per-source totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.ArrivingSourcedDoc]
+    // srcA budget 10 tokens, srcB 3, srcC absent (admits nothing)
+    val q = Streams.streamingBudgetGate(spark, mem.toDS(),
+        Map("srcA" -> 10L, "srcB" -> 3L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("budget_gate").start()
+    // batch 1: srcA uses 6 of 10; srcB exactly fills; srcC rejected
+    mem.addData(
+      Streams.ArrivingSourcedDoc(1L, "srcA", "one two three four"),
+      Streams.ArrivingSourcedDoc(2L, "srcA", "five six"),
+      Streams.ArrivingSourcedDoc(3L, "srcB", "a b c"),
+      Streams.ArrivingSourcedDoc(4L, "srcC", "x y"))
+    q.processAllAvailable()
+    // batch 2: srcA doc 5 fits (6+4=10); doc 6 pushes past and is
+    // dropped; once over, the PREFIX semantics keep doc 7 out too
+    // even though it alone would fit; srcB is already full
+    mem.addData(
+      Streams.ArrivingSourcedDoc(5L, "srcA", "seven eight nine ten"),
+      Streams.ArrivingSourcedDoc(6L, "srcA", "eleven twelve"),
+      Streams.ArrivingSourcedDoc(7L, "srcA", "w"),
+      Streams.ArrivingSourcedDoc(8L, "srcB", "z"))
+    q.processAllAvailable()
+    val got = spark.table("budget_gate").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    q.stop()
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    assert(got(1L) == (("srcA", 4L, 4L)))
+    assert(got(2L) == (("srcA", 2L, 6L)))
+    assert(got(3L) == (("srcB", 3L, 3L)))
+    assert(got(5L) == (("srcA", 4L, 10L))) // cross-batch cumulative
+  }
 }
