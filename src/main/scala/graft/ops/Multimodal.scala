@@ -329,6 +329,46 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeBytes(id, payload) })
   }
 
+  final case class VideoFeature(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, n_sampled: Int, mean_f0: Double)
+
+  /** REAL video frame-sampling over MJPEG-in-AVI payloads ([[Avi]]):
+    * container-level frame count plus features of every `stride`-th
+    * DECODED frame — undecoded frames are never touched, the shape a
+    * 100 TB video column needs. Same typed-mapPartitions batch kernel
+    * as every other media path; codec-bound containers refuse in
+    * [[Avi.parseAvi]] with precise errors.
+    */
+  def extractVideoFeatures(spark: SparkSession, media: DataFrame,
+      stride: Int = 2): Dataset[VideoFeature] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (avi, sampled) = Avi.sampleFrames(payload, stride)
+        val f0 = sampled.head
+        var sum = 0L
+        var i = 0
+        while (i < f0.width * f0.height) {
+          sum += f0.pixels(i * f0.channels) & 0xff
+          i += 1
+        }
+        VideoFeature(id, avi.width, avi.height, avi.frames.length,
+          sampled.length, sum.toDouble / (f0.width * f0.height))
+      })
+  }
+
+  /** Deterministic per-doc MJPEG AVI payloads (closed-form frame
+    * content, [[Avi.encodeSyntheticMjpeg]]) — the m58 gate input.
+    */
+  def syntheticAvi(docs: DataFrame, nFrames: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, Avi.encodeSyntheticMjpeg(id, nFrames))))
+      .toDF("doc_id", "media")
+  }
+
   /** "Resize"/re-chunk stub: demonstrates payload-transforming kernels
     * (sample every `stride`-th byte — the frame-sampling analogue).
     */

@@ -26,7 +26,7 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
-    m57FlacDecode)
+    m57FlacDecode, m58VideoFrames)
 
   import QTables.{docs, emb}
 
@@ -662,6 +662,35 @@ object LlmOps extends QModule {
     },
     Some("""SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
             CAST(1 AS INT) AS channels,
+            CAST((doc_id * 37) % 256 + (doc_id * 37 + 29) % 256
+               + (doc_id * 37 + 58) % 256 + (doc_id * 37 + 87) % 256 AS DOUBLE) / 4
+              AS exp_mean,
+            true AS mean_ok
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  /** REAL video frame-sampling in the gate: per-doc MJPEG-in-AVI
+    * payloads parsed by the RIFF walker, every 2nd frame JPEG-decoded;
+    * container facts (dims, frame counts) are exact and the sampled
+    * first-frame mean takes m56's lossy bounded-error verdict.
+    */
+  val m58VideoFrames = Q(
+    "m58_video_frame_features",
+    (s, dir) => {
+      val exp = (0 until 4).map(b => (col("doc_id") * 37 + b * 29) % 256)
+        .reduce(_ + _).cast("double") / 4.0
+      Multimodal.extractVideoFeatures(s,
+          Multimodal.syntheticAvi(docs(s, dir).filter(col("doc_id") < 200), nFrames = 5),
+          stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("n_sampled"),
+          exp.as("exp_mean"),
+          (abs(col("mean_f0") - exp) <= 4.0).as("mean_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+            CAST(5 AS INT) AS n_frames, CAST(3 AS INT) AS n_sampled,
             CAST((doc_id * 37) % 256 + (doc_id * 37 + 29) % 256
                + (doc_id * 37 + 58) % 256 + (doc_id * 37 + 87) % 256 AS DOUBLE) / 4
               AS exp_mean,
