@@ -300,6 +300,28 @@ object ZarrJson {
   def parseFiltersV2(json: String): Seq[graft.zarr.NumcodecsFilters.V2Filter] =
     graft.zarr.NumcodecsFilters.parse(mapper.readTree(json).path("filters"))
 
+  /** Zarr v3 consolidated metadata (the root group doc's
+    * `consolidated_metadata.metadata`, zarr-python 3 layout): node
+    * path → its full metadata document. Empty when absent — readers
+    * fall back to per-node GETs.
+    */
+  def parseConsolidatedV3(rootDoc: String): Map[String, String] = {
+    val n = mapper.readTree(rootDoc).path("consolidated_metadata").path("metadata")
+    if (n.isMissingNode || !n.isObject) Map.empty
+    else n.fields().asScala
+      .map(e => e.getKey -> mapper.writeValueAsString(e.getValue)).toMap
+  }
+
+  /** Zarr v2 consolidated metadata (`.zmetadata`): document key
+    * (e.g. "scale0/image/.zarray") → document.
+    */
+  def parseConsolidatedV2(zmetadata: String): Map[String, String] = {
+    val n = mapper.readTree(zmetadata).path("metadata")
+    if (n.isMissingNode || !n.isObject) Map.empty
+    else n.fields().asScala
+      .map(e => e.getKey -> mapper.writeValueAsString(e.getValue)).toMap
+  }
+
   /** A v2 array's memory layout: "C" (default) or "F". F-order chunks
     * are the C-order chunks of the dimension-reversed array — the
     * readers express them through the same inverse-permute path as

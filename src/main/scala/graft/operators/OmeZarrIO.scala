@@ -90,8 +90,9 @@ object OmeZarrIO {
       }
     }
 
-    // driver: consolidated metadata (S8)
+    // driver: consolidated metadata (S8; both zarr versions)
     if (zarrFormat == 2) writeConsolidated(store, ms.levels.indices, name)
+    else writeConsolidatedV3(store, ms.levels.indices, name)
     counts
   }
 
@@ -160,6 +161,31 @@ object OmeZarrIO {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(consolidated))
   }
 
+  /** S8 for Zarr v3: node metadata inlined into the root group doc's
+    * `consolidated_metadata` (the zarr-python 3 layout,
+    * `must_understand: false` so ignorant readers stay correct).
+    * Readers that understand it open a whole pyramid with ONE
+    * metadata GET.
+    */
+  private[graft] def writeConsolidatedV3(store: ZarrStore, levelIndices: Seq[Int],
+      name: String): Unit = {
+    val mapper = ZarrJson.mapper
+    val root = mapper.readTree(store.readString("zarr.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cm = root.putObject("consolidated_metadata")
+    cm.put("kind", "inline")
+    cm.put("must_understand", false)
+    val m = cm.putObject("metadata")
+    levelIndices.foreach { i =>
+      m.set[com.fasterxml.jackson.databind.JsonNode](s"scale$i",
+        mapper.readTree(store.readString(s"scale$i/zarr.json")))
+      m.set[com.fasterxml.jackson.databind.JsonNode](s"scale$i/$name",
+        mapper.readTree(store.readString(s"scale$i/$name/zarr.json")))
+    }
+    store.writeString("zarr.json",
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
   /** Read an OME-Zarr store → multiscale levels with lazy chunk
     * tables. `validate=true` runs structural + RFC4 validation (V1/V2).
     */
@@ -168,11 +194,20 @@ object OmeZarrIO {
     import spark.implicits._
     val hconf = Some(SerializableHadoopConf.fromActiveSession())
     val store = new ZarrStore(path, hconf)
-    val rootJson =
-      if (store.exists(".zattrs")) store.readString(".zattrs")
-      else if (store.exists("zarr.json")) {
-        val n = ZarrJson.mapper.readTree(store.readString("zarr.json"))
-        ZarrJson.mapper.writeValueAsString(n.path("attributes"))
+    // consolidated metadata (S8) lets one root GET serve every level
+    // doc below; absent → per-level GET fallback
+    val (rootJson, consolidated) =
+      if (store.exists(".zattrs")) {
+        val cons =
+          if (store.exists(".zmetadata"))
+            ZarrJson.parseConsolidatedV2(store.readString(".zmetadata"))
+          else Map.empty[String, String]
+        (store.readString(".zattrs"), cons)
+      } else if (store.exists("zarr.json")) {
+        val raw = store.readString("zarr.json")
+        val n = ZarrJson.mapper.readTree(raw)
+        (ZarrJson.mapper.writeValueAsString(n.path("attributes")),
+          ZarrJson.parseConsolidatedV3(raw))
       } else throw new IllegalArgumentException(s"no OME-Zarr metadata at $path")
     val meta = ZarrJson.parseMultiscales(rootJson)
     if (validate) {
@@ -189,9 +224,13 @@ object OmeZarrIO {
 
     val levels = meta.datasets.map { d =>
       // the array doc reads ONCE per level — every parse below reuses
-      // it (an object store would otherwise pay a GET per parse)
-      val arrayDoc = store.readString(
-        if (zarrFormat == 3) s"${d.path}/zarr.json" else s"${d.path}/.zarray")
+      // it (an object store would otherwise pay a GET per parse); the
+      // consolidated map (keyed by node path for v3, by document key
+      // for v2) skips even that one GET
+      val arrayDoc = consolidated.getOrElse(
+        if (zarrFormat == 3) d.path else s"${d.path}/.zarray",
+        store.readString(
+          if (zarrFormat == 3) s"${d.path}/zarr.json" else s"${d.path}/.zarray"))
       val v3Doc = if (zarrFormat == 3) Some(arrayDoc) else None
       val (shape, chunks, dtypeRaw, comp, sepOrDims, keyEnc) =
         if (zarrFormat == 2) {

@@ -178,19 +178,32 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
     val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
     val store = new ZarrStore(path, Some(hconf))
     val zarrFormat = if (store.exists(".zattrs")) 2 else 3
-    val rootJson =
-      if (zarrFormat == 2) store.readString(".zattrs")
-      else ZarrJson.mapper.writeValueAsString(
-        ZarrJson.mapper.readTree(store.readString("zarr.json")).path("attributes"))
+    // consolidated metadata (S8) serves level docs from the root GET
+    val (rootJson, consolidated) =
+      if (zarrFormat == 2) {
+        val cons =
+          if (store.exists(".zmetadata"))
+            ZarrJson.parseConsolidatedV2(store.readString(".zmetadata"))
+          else Map.empty[String, String]
+        (store.readString(".zattrs"), cons)
+      } else {
+        val raw = store.readString("zarr.json")
+        (ZarrJson.mapper.writeValueAsString(
+          ZarrJson.mapper.readTree(raw).path("attributes")),
+          ZarrJson.parseConsolidatedV3(raw))
+      }
     val meta = ZarrJson.parseMultiscales(rootJson)
     meta.datasets.zipWithIndex
       .filter { case (_, i) => scalePred.forall(_(i)) }
       .flatMap { case (d, i) =>
         // the array doc reads ONCE per level — codec parsing and
         // parseFillValue below reuse it (an object store would
-        // otherwise pay an extra GET per level per scan)
-        val doc = store.readString(
-          if (zarrFormat == 2) s"${d.path}/.zarray" else s"${d.path}/zarr.json")
+        // otherwise pay an extra GET per level per scan); the
+        // consolidated map skips even that one
+        val doc = consolidated.getOrElse(
+          if (zarrFormat == 2) s"${d.path}/.zarray" else d.path,
+          store.readString(
+            if (zarrFormat == 2) s"${d.path}/.zarray" else s"${d.path}/zarr.json"))
         val (shape, chunks, dtypeRaw, comp, sep, sharding, chain, keyEnc) =
           if (zarrFormat == 2) {
             val (s, c, dt, cp, sp) = ZarrJson.parseZarrayV2(doc)

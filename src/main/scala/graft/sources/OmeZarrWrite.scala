@@ -124,6 +124,8 @@ class OmeZarrWrite(path: String, options: Map[String, String],
     }
     if (zarrFormat == 2)
       graft.operators.OmeZarrIO.writeConsolidated(store, levels.indices, name)
+    else
+      graft.operators.OmeZarrIO.writeConsolidatedV3(store, levels.indices, name)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

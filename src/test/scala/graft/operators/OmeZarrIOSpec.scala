@@ -161,6 +161,7 @@ class OmeZarrIOSpec extends SparkSpec {
     }
 
     // operator read path: elementwise parity
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == vals.toSeq)
@@ -211,6 +212,7 @@ class OmeZarrIOSpec extends SparkSpec {
     val expected = vals.clone()
     for (y <- 32 until 64; x <- 32 until 64) expected(y * 64 + x) = 7.0
 
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == expected.toSeq)
@@ -268,6 +270,7 @@ class OmeZarrIOSpec extends SparkSpec {
     Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(doc))
 
     // both read paths apply the inner chain's transpose per inner chunk
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == vals.toSeq)
@@ -305,6 +308,7 @@ class OmeZarrIOSpec extends SparkSpec {
     n.put("fill_value", 9)
     Files.write(arr.resolve("zarr.json"), mapper.writeValueAsBytes(n))
 
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     val got = ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta)
     assert(got.toSeq == Seq.fill(64 * 64)(9.0))
@@ -355,6 +359,7 @@ class OmeZarrIOSpec extends SparkSpec {
       Files.write(key, Codecs.compress(Some("gzip"), bb.array()))
     }
 
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == vals.toSeq)
@@ -410,6 +415,7 @@ class OmeZarrIOSpec extends SparkSpec {
       Files.write(key, Codecs.compress(Some("gzip"), shuffled))
     }
 
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == vals.toSeq)
@@ -457,6 +463,7 @@ class OmeZarrIOSpec extends SparkSpec {
         ZarrStore.encodeFromDoubles(enc, "int16")))
     }
 
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == vals.toSeq)
@@ -495,6 +502,7 @@ class OmeZarrIOSpec extends SparkSpec {
       Files.write(key, Codecs.compress(Some("crc32c:gzip"), plain))
     }
 
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == vals.toSeq)
@@ -541,6 +549,7 @@ class OmeZarrIOSpec extends SparkSpec {
     }
 
     // operator + DSv2 read paths both honor the encoding
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
       == vals.toSeq)
@@ -671,6 +680,7 @@ class OmeZarrIOSpec extends SparkSpec {
       }
       Files.write(arr.resolve(metaFile), mapper.writeValueAsBytes(doc))
 
+      graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
       val back = OmeZarrIO.readMultiscales(spark, dir)
       val got = ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta)
       assert(got.toSeq == expected.toSeq,
@@ -726,6 +736,44 @@ class OmeZarrIOSpec extends SparkSpec {
         .filter(org.apache.spark.sql.functions.col("scale") === 0).count() == expectRows,
         s"trial $trial DSv2 row count, cps=$cps")
     }
+  }
+
+  test("v3 consolidated metadata: one root GET serves every level doc (S8)") {
+    val (m, vals) = mkImage()
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq(Map("y" -> 2, "x" -> 2))),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-consv3").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5")
+    val rootDoc = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "zarr.json")))
+    assert(rootDoc.contains("consolidated_metadata"))
+    assert(rootDoc.contains("must_understand"))
+    // proof the fast path really serves level docs: DELETE them and
+    // both read paths still open the pyramid from the root GET alone
+    for (i <- 0 until 2) {
+      Files.delete(java.nio.file.Paths.get(dir, s"scale$i", "image", "zarr.json"))
+      Files.delete(java.nio.file.Paths.get(dir, s"scale$i", "zarr.json"))
+    }
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(back.levels.length == 2)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    assert(spark.read.format("omezarr").load(dir).count() > 0)
+  }
+
+  test("v2 .zmetadata serves level docs on read (S8)") {
+    val (m, vals) = mkImage()
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-consv2").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.4")
+    Files.delete(java.nio.file.Paths.get(dir, "scale0", "image", ".zarray"))
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    assert(spark.read.format("omezarr").load(dir).count() > 0)
   }
 
   test("consolidated metadata written for v0.4 (S8)") {

@@ -128,6 +128,7 @@ class PyramidLargeSpec extends SparkSpec {
     // re-read and verify with a position-sensitive checksum (a plain
     // sum would not catch a transpose/order bug): distributed over
     // chunk rows, never collecting voxels
+    graft.zarr.TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val back = OmeZarrIO.readMultiscales(spark, dir)
     assert(back.levels.length == 4)
     assert(back.levels.head.meta.shape == Seq(N, N, N))

@@ -108,6 +108,7 @@ class ShardingSpec extends SparkSpec {
     gz.set("configuration", graft.meta.ZarrJson.mapper.createObjectNode().put("level", 5): com.fasterxml.jackson.databind.JsonNode)
     codecs.add(gz)
     Files.write(p, graft.meta.ZarrJson.mapper.writeValueAsBytes(node))
+    TestStores.deconsolidate(dir) // mutated docs: stale consolidated copy must go
     val e1 = intercept[IllegalArgumentException](OmeZarrIO.readMultiscales(spark, dir))
     assert(e1.getMessage.contains("OUTSIDE sharding_indexed"))
     val e2 = intercept[Exception](
