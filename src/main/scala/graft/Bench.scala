@@ -128,6 +128,29 @@ object Bench {
           name -> median(times)
         }
       }
+    // Imaging-at-scale rehearsal (one shot, not medianed — it runs
+    // ~20 s): 512³ distributed gen → 3-level cascade → sharded write →
+    // re-read → checksum parity, reported as its own key so rounds
+    // track pyramid wall time alongside query times. Opt out with
+    // SPARK_GRAFT_BENCH_PYRAMID=0 for quick local iterations; it is
+    // skipped automatically when SPARK_GRAFT_BENCH_ONLY filters the
+    // suite (that's a query A/B session, not a round report).
+    val pyramidSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_PYRAMID").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.operators.PyramidRehearsal.run(s)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] i_pyramid512 failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // millisecond precision keeps the line short: wrappers that
     // tail-capture stdout (the driver keeps only the last few KB)
     // must see the WHOLE line or their JSON parse fails
@@ -146,11 +169,23 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // The driver records only the LAST ~2000 chars of stdout; the full
+    // 96-query line above overflows that window (r5's BENCH json was
+    // parsed:null). Emit a compact, self-contained summary line LAST —
+    // same top-level schema minus the full per-query map, plus the 10
+    // slowest in-suite timings — sized well under the tail window even
+    // with sbt's [success] trailer after it.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+    println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        (json + "\n").getBytes("UTF-8"))
+        (json + "\n" + compact + "\n").getBytes("UTF-8"))
     }
   }
 }

@@ -19,9 +19,23 @@ object Avi {
 
   import Multimodal.DecodedImage
 
-  /** Container-level view: frame payloads still encoded. */
+  /** A frame's position inside the container — parse records slices,
+    * never copies: a 1-in-N sampling kernel over an M-frame payload
+    * allocates M/N frame buffers, not M.
+    */
+  final case class FrameSlice(offset: Int, length: Int)
+
+  /** Container-level view: frame payloads still encoded, referenced
+    * as (offset, length) slices of the original payload. Call
+    * [[AviStream.frameBytes]] to materialize one frame's bytes.
+    */
   final case class AviStream(width: Int, height: Int,
-      microSecPerFrame: Long, frames: Seq[Array[Byte]])
+      microSecPerFrame: Long, payload: Array[Byte], frames: Seq[FrameSlice]) {
+    def frameBytes(i: Int): Array[Byte] = {
+      val s = frames(i)
+      java.util.Arrays.copyOfRange(payload, s.offset, s.offset + s.length)
+    }
+  }
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
@@ -35,7 +49,7 @@ object Avi {
     require(payload.length >= 12 && fourcc(payload, 0) == "RIFF" &&
       fourcc(payload, 8) == "AVI ", "not a RIFF/AVI file")
     var width = 0; var height = 0; var uspf = 0L
-    val frames = Seq.newBuilder[Array[Byte]]
+    val frames = Seq.newBuilder[FrameSlice]
     def walk(from: Int, until: Int): Unit = {
       var pos = from
       while (pos + 8 <= until) {
@@ -51,23 +65,24 @@ object Avi {
           height = le32(payload, pos + 8 + 36)
         } else if (id.length == 4 &&
             (id.endsWith("dc") || id.endsWith("db"))) {
-          frames += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
+          frames += FrameSlice(pos + 8, size)
         }
         pos += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
     walk(12, payload.length)
-    AviStream(width, height, uspf, frames.result())
+    AviStream(width, height, uspf, payload, frames.result())
   }
 
   /** Decode every `stride`-th frame (JPEG via imageio) — the sampling
-    * kernel only pays for frames it keeps.
+    * kernel copies and decodes ONLY the frames it keeps; skipped
+    * frames stay as untouched slices of the container buffer.
     */
   def sampleFrames(payload: Array[Byte], stride: Int): (AviStream, Seq[DecodedImage]) = {
     require(stride >= 1, s"stride $stride must be >= 1")
     val avi = parseAvi(payload)
-    val decoded = avi.frames.zipWithIndex.collect {
-      case (enc, i) if i % stride == 0 => Multimodal.decodeJavax(enc)
+    val decoded = avi.frames.indices.collect {
+      case i if i % stride == 0 => Multimodal.decodeJavax(avi.frameBytes(i))
     }
     (avi, decoded)
   }

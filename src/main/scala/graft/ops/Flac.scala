@@ -213,7 +213,9 @@ object Flac {
 
     val channels = chAsgn match {
       case a if a <= 7 => a + 1
-      case _ => 2
+      case 8 | 9 | 10 => 2
+      case c => throw new IllegalArgumentException(
+        s"reserved channel assignment code $c") // RFC 9639 §9.1.3: 11-15 reserved
     }
     require(channels == siChannels, "frame channel count != STREAMINFO")
     val chans = Array.ofDim[Array[Int]](channels)

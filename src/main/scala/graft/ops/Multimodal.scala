@@ -345,6 +345,7 @@ object Multimodal {
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val (avi, sampled) = Avi.sampleFrames(payload, stride)
+        require(sampled.nonEmpty, s"AVI $id has no decodable frames")
         val f0 = sampled.head
         var sum = 0L
         var i = 0

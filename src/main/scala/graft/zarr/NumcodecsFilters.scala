@@ -118,8 +118,14 @@ object NumcodecsFilters {
         bytes = byteUnshuffle(bytes, es)
       case DeltaF(dtype, astype) =>
         cross(astype)
-        // cumsum; exact for integer dtypes below 2^53 (the engine's
-        // documented double-domain envelope, see Dtypes)
+        // numcodecs decode is `dec = np.empty_like(enc, dtype=dtype);
+        // np.cumsum(enc, out=dec)` — numpy wraps each stored element
+        // modulo the OUT (dtype) span, NOT the astype span: uint8
+        // diffs cumsummed into an int32 out yield the UNWRAPPED sums
+        // (verified empirically, numpy 1.26: [10,250,196,59] → dec
+        // [10,260,456,515]). Per-step vs end-of-sum wrapping are
+        // congruent mod 2^bits, so a double cumsum + one dtype-span
+        // wrap below is exact within the documented 2^53 envelope.
         var acc = 0.0
         var i = 0
         while (i < values.length) { acc += values(i); values(i) = acc; i += 1 }

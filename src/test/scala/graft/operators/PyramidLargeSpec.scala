@@ -18,52 +18,21 @@ import java.nio.file.Files
   * tiny fixtures; this is the scale rehearsal under the default 8g
   * heap.
   */
-object PyramidLargeSpec {
-  /** Deterministic voxel formula — cheap, position-sensitive. Lives on
-    * the companion so executor closures don't drag the suite along.
-    */
-  def voxel(z: Long, y: Long, x: Long): Double =
-    ((z * 7 + y * 31 + x * 17) % 256).toDouble
-}
-
 class PyramidLargeSpec extends SparkSpec {
-  import PyramidLargeSpec.voxel
 
   private val N = 512
   private val C = 128
 
   test("512³ sharded+inner-transpose pyramid round-trips with the integrity invariant") {
     val t0 = System.nanoTime()
-    import spark.implicits._
     val meta = ImageMeta(Seq("z", "y", "x"), Seq(N, N, N), Seq(C, C, C), "uint8",
       Map("z" -> 0.25, "y" -> 0.25, "x" -> 0.25),
       Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
 
     // distributed generation: one task per 128³ chunk, 16 MB of
     // doubles peak per task — the driver only ships grid positions
-    val shape = meta.shape
-    val chunks = meta.chunks
-    val positions = ZarrStore.gridPositions(ZarrStore.chunkGrid(shape, chunks)).toSeq
-    val base = spark.createDataset(positions).repartition(32).map { idx =>
-      val cShape = ZarrStore.chunkShapeAt(shape, chunks, idx)
-      val origin = ZarrStore.chunkOriginAt(chunks, idx)
-      val block = new Array[Double](cShape.product)
-      var flat = 0
-      var z = 0
-      while (z < cShape(0)) {
-        var y = 0
-        while (y < cShape(1)) {
-          var x = 0
-          while (x < cShape(2)) {
-            block(flat) = voxel(origin(0) + z, origin(1) + y, origin(2) + x)
-            flat += 1; x += 1
-          }
-          y += 1
-        }
-        z += 1
-      }
-      ChunkRow(idx, origin, cShape, ZarrStore.encodeFromDoubles(block, "uint8"))
-    }
+    // (shared with the bench's i_pyramid512 rehearsal)
+    val base = PyramidRehearsal.generate(spark, meta)
 
     // cascade with inter-level caching (C4): each level builds from
     // the materialized previous level, not the whole lineage
@@ -134,27 +103,7 @@ class PyramidLargeSpec extends SparkSpec {
     assert(back.levels.head.meta.shape == Seq(N, N, N))
     assert(back.levels.head.meta.chunks == Seq(C, C, C))
     def checksum(ds: org.apache.spark.sql.Dataset[ChunkRow], dtype: String): (Long, Double) =
-      ds.map { c =>
-        val vals = ZarrStore.decodeToDoubles(c.data, dtype)
-        var w = 0.0
-        var flat = 0
-        var z = 0
-        while (z < c.shape(0)) {
-          var y = 0
-          while (y < c.shape(1)) {
-            var x = 0
-            while (x < c.shape(2)) {
-              val wgt = (((c.origin(0) + z) * 73 + (c.origin(1) + y) * 37 +
-                (c.origin(2) + x)) % 1000).toDouble
-              w += vals(flat) * wgt
-              flat += 1; x += 1
-            }
-            y += 1
-          }
-          z += 1
-        }
-        (c.shape.product.toLong, w)
-      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      PyramidRehearsal.checksum(ds, dtype)
     val (nBack, wBack) = checksum(back.levels.head.chunks, back.levels.head.meta.dtype)
     val (nGen, wGen) = checksum(base, "uint8")
     assert(nBack == N.toLong * N * N)

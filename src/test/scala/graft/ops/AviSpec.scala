@@ -16,9 +16,45 @@ class AviSpec extends AnyFunSuite {
     assert(avi.microSecPerFrame == 40000L)
     assert(avi.frames.length == 4)
     // every frame is a JPEG stream
-    avi.frames.foreach { f =>
+    avi.frames.indices.map(avi.frameBytes).foreach { f =>
       assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8)
     }
+  }
+
+  test("parse records slices without copying frame bytes") {
+    val payload = Avi.encodeSyntheticMjpeg(3L, 6)
+    val avi = Avi.parseAvi(payload)
+    // the container buffer is shared by reference — parse allocated no
+    // per-frame copies; a 1-in-N sampler then copies only what it keeps
+    assert(avi.payload eq payload)
+    avi.frames.foreach { s =>
+      assert(s.length > 0 && s.offset >= 0 && s.offset + s.length <= payload.length)
+      // the slice really points at a JPEG SOI marker in place
+      assert((payload(s.offset) & 0xff) == 0xff && (payload(s.offset + 1) & 0xff) == 0xd8)
+    }
+    // frameBytes materializes fresh, equal copies on demand
+    val f0a = avi.frameBytes(0)
+    val f0b = avi.frameBytes(0)
+    assert(!(f0a eq f0b) && f0a.sameElements(f0b))
+  }
+
+  test("zero-frame container parses to an empty sample set") {
+    // hand-built RIFF: hdrl(avih) + empty movi — a valid container a
+    // sampling kernel must reject downstream with a precise error
+    def i32(vs: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(vs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putInt)
+      b.array()
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ i32(body.length) ++ body
+    val avih = chunk("avih", i32(40000, 0, 0, 0, 0, 0, 1, 0, 16, 16, 0, 0, 0, 0))
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII"))
+    val riff = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+    val (avi, sampled) = Avi.sampleFrames(riff, stride = 2)
+    assert(avi.frames.isEmpty && sampled.isEmpty)
   }
 
   test("frame sampling decodes only kept frames, means track the formula") {

@@ -209,6 +209,18 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decodeFlac(ms).samples.map(_.toInt).toSeq == inter)
   }
 
+  test("reserved channel assignment codes 11-15 refuse") {
+    // RFC 9639 §9.1.3 reserves 1011-1111; decoding them as two
+    // independent channels would silently mangle crafted input
+    val n = 8
+    val ch = Array.tabulate(n)(i => i * 13 - 40)
+    for (asgn <- Seq(11, 15)) {
+      val payload = stream(stereoFrame(asgn, ch, 16, ch, 16), n, 2)
+      val e = intercept[IllegalArgumentException](Flac.decodeFlac(payload))
+      assert(e.getMessage.contains("reserved channel assignment"))
+    }
+  }
+
   test("corrupt frame CRC refuses") {
     val samples = Array.tabulate[Short](64)(i => (i * 31).toShort)
     val enc = Flac.encodeVerbatim(samples, 1, 8000)

@@ -76,6 +76,19 @@ class NumcodecsFiltersSpec extends AnyFunSuite {
     assert(got.toSeq == src.map(_.toDouble))
   }
 
+  test("delta with astype NARROWER than dtype wraps at the dtype span, not astype") {
+    // numcodecs decode cumsums into an out array of DTYPE — numpy
+    // wraps stored elements modulo the out span. Pinned against numpy
+    // 1.26: uint8 diffs [10,250,196,59] into an int32 out give the
+    // UNWRAPPED sums [10,260,456,515], NOT the mod-256 values.
+    val raw = Seq(10, 250, 196, 59).map(_.toByte).toArray
+    val got = decodeToDoubles(raw, Seq(DeltaF("<i4", "|u1")), "<i4")
+    assert(got.toSeq == Seq(10.0, 260.0, 456.0, 515.0))
+    // and into an int8 out they wrap at 2^8 signed (numpy: [10,4,-56,3])
+    val got8 = decodeToDoubles(raw, Seq(DeltaF("|i1", "|u1")), "|i1")
+    assert(got8.toSeq == Seq(10.0, 4.0, -56.0, 3.0))
+  }
+
   test("quantize decode is an astype-aware identity") {
     val stored = Seq(1.25f, -3.5f, 0.0f, 7.75f)
     val bb = ByteBuffer.allocate(stored.length * 4).order(ByteOrder.LITTLE_ENDIAN)
