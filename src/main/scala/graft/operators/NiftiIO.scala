@@ -7,8 +7,11 @@ import graft.meta.Converters
 import graft.zarr.{SerializableHadoopConf, ZarrStore}
 import ChunkOps.ChunkRow
 
-/** S10 — pure-JVM NIfTI-1 ingestion: the 348-byte header plus a raw
-  * Fortran-ordered voxel payload, optionally gzip-wrapped (.nii.gz).
+/** S10 — pure-JVM NIfTI ingestion: the 348-byte NIfTI-1 or 540-byte
+  * NIfTI-2 header plus a raw Fortran-ordered voxel payload, optionally
+  * gzip-wrapped (.nii.gz). NIfTI-2 carries the same fields with
+  * widened types (int64 dims, double pixdim/affine) — nibabel reads
+  * both transparently, so do we.
   * Mirrors the reference's nibabel path
   * (`py/ngff_zarr/nibabel_image_to_ngff_image.py:93-238`):
   *  - dims are named x,y,z(,t,c) in that order — NIfTI's i,j,k axes;
@@ -35,22 +38,22 @@ object NiftiIO {
   final case class NiftiHeader(
       dims: Seq[Int],                  // dim[1..dim[0]]
       datatype: Int, bitpix: Int,
-      pixdim: Seq[Float],              // pixdim[0..7]; [0] is qfac
+      pixdim: Seq[Double],             // pixdim[0..7]; [0] is qfac
       voxOffset: Long,
-      sclSlope: Float, sclInter: Float,
-      calMin: Float, calMax: Float,
+      sclSlope: Double, sclInter: Double,
+      calMin: Double, calMax: Double,
       qformCode: Int, sformCode: Int,
-      quatern: (Float, Float, Float),  // b, c, d
-      qoffset: (Float, Float, Float),
-      srow: Array[Array[Float]],       // 3×4
+      quatern: (Double, Double, Double), // b, c, d
+      qoffset: (Double, Double, Double),
+      srow: Array[Array[Double]],      // 3×4
       littleEndian: Boolean) {
 
     /** Effective slope/inter with nibabel's defaulting: slope of 0 or
       * NaN → 1.0, inter of NaN → 0.0.
       */
     def effectiveScaling: (Double, Double) = {
-      val s = if (sclSlope == 0f || sclSlope.isNaN) 1.0 else sclSlope.toDouble
-      val i = if (sclInter.isNaN) 0.0 else sclInter.toDouble
+      val s = if (sclSlope == 0.0 || sclSlope.isNaN) 1.0 else sclSlope
+      val i = if (sclInter.isNaN) 0.0 else sclInter
       (s, i)
     }
     def needsScaling: Boolean = effectiveScaling != ((1.0, 0.0))
@@ -77,33 +80,76 @@ object NiftiIO {
       s"NIfTI datatype code $other unsupported")
   }
 
-  /** Parse the 348-byte header; endianness is probed via sizeof_hdr
-    * (== 348 in the file's own byte order).
+  /** Header length from the first 4 bytes: sizeof_hdr reads 348
+    * (NIfTI-1) or 540 (NIfTI-2) in the file's own byte order.
+    */
+  def headerSize(first4: Array[Byte]): Int = {
+    require(first4.length >= 4, "NIfTI header probe needs 4 bytes")
+    val le = ByteBuffer.wrap(first4).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+    val be = ByteBuffer.wrap(first4).order(ByteOrder.BIG_ENDIAN).getInt(0)
+    if (le == 348 || be == 348) 348
+    else if (le == 540 || be == 540) 540
+    else throw new IllegalArgumentException(
+      s"not a NIfTI-1/2 header (sizeof_hdr $le)")
+  }
+
+  /** Parse a NIfTI-1 (348-byte) or NIfTI-2 (540-byte) header;
+    * endianness is probed via sizeof_hdr (== 348/540 in the file's
+    * own byte order). NIfTI-2 is the same logical record with int64
+    * dims and double pixdim/scl/cal/affine (the public nifti2.h
+    * layout); both parse into the one widened [[NiftiHeader]].
     */
   def parseHeader(raw: Array[Byte]): NiftiHeader = {
-    require(raw.length >= 348, s"NIfTI header needs 348 bytes, got ${raw.length}")
-    val le = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getInt(0) == 348
+    val size = headerSize(raw)
+    require(raw.length >= size, s"NIfTI header needs $size bytes, got ${raw.length}")
+    val le = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getInt(0) == size
     val bb = ByteBuffer.wrap(raw).order(
       if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-    require(bb.getInt(0) == 348, s"not a NIfTI-1 header (sizeof_hdr ${bb.getInt(0)})")
-    val magic = new String(raw.slice(344, 347), "US-ASCII")
-    require(magic == "n+1" || magic == "ni1", s"bad NIfTI magic '$magic'")
-    val ndim = bb.getShort(40).toInt
-    require(ndim >= 1 && ndim <= 7, s"NIfTI dim[0] out of range: $ndim")
-    val dims = (1 to ndim).map(i => bb.getShort(40 + 2 * i).toInt)
-    NiftiHeader(
-      dims = dims,
-      datatype = bb.getShort(70).toInt,
-      bitpix = bb.getShort(72).toInt,
-      pixdim = (0 to 7).map(i => bb.getFloat(76 + 4 * i)),
-      voxOffset = bb.getFloat(108).toLong,
-      sclSlope = bb.getFloat(112), sclInter = bb.getFloat(116),
-      calMin = bb.getFloat(128), calMax = bb.getFloat(124),
-      qformCode = bb.getShort(252).toInt, sformCode = bb.getShort(254).toInt,
-      quatern = (bb.getFloat(256), bb.getFloat(260), bb.getFloat(264)),
-      qoffset = (bb.getFloat(268), bb.getFloat(272), bb.getFloat(276)),
-      srow = Array.tabulate(3, 4)((r, c) => bb.getFloat(280 + 16 * r + 4 * c)),
-      littleEndian = le)
+    if (size == 348) {
+      val magic = new String(raw.slice(344, 347), "US-ASCII")
+      require(magic == "n+1" || magic == "ni1", s"bad NIfTI magic '$magic'")
+      val ndim = bb.getShort(40).toInt
+      require(ndim >= 1 && ndim <= 7, s"NIfTI dim[0] out of range: $ndim")
+      val dims = (1 to ndim).map(i => bb.getShort(40 + 2 * i).toInt)
+      NiftiHeader(
+        dims = dims,
+        datatype = bb.getShort(70).toInt,
+        bitpix = bb.getShort(72).toInt,
+        pixdim = (0 to 7).map(i => bb.getFloat(76 + 4 * i).toDouble),
+        voxOffset = bb.getFloat(108).toLong,
+        sclSlope = bb.getFloat(112).toDouble, sclInter = bb.getFloat(116).toDouble,
+        calMin = bb.getFloat(128).toDouble, calMax = bb.getFloat(124).toDouble,
+        qformCode = bb.getShort(252).toInt, sformCode = bb.getShort(254).toInt,
+        quatern = (bb.getFloat(256).toDouble, bb.getFloat(260).toDouble,
+          bb.getFloat(264).toDouble),
+        qoffset = (bb.getFloat(268).toDouble, bb.getFloat(272).toDouble,
+          bb.getFloat(276).toDouble),
+        srow = Array.tabulate(3, 4)((r, c) => bb.getFloat(280 + 16 * r + 4 * c).toDouble),
+        littleEndian = le)
+    } else {
+      val magic = new String(raw.slice(4, 7), "US-ASCII")
+      require(magic == "n+2" || magic == "ni2", s"bad NIfTI-2 magic '$magic'")
+      val ndim = bb.getLong(16).toInt
+      require(ndim >= 1 && ndim <= 7, s"NIfTI dim[0] out of range: $ndim")
+      val dims = (1 to ndim).map { i =>
+        val d = bb.getLong(16 + 8 * i)
+        require(d > 0 && d <= Int.MaxValue, s"NIfTI-2 dim[$i] out of range: $d")
+        d.toInt
+      }
+      NiftiHeader(
+        dims = dims,
+        datatype = bb.getShort(12).toInt,
+        bitpix = bb.getShort(14).toInt,
+        pixdim = (0 to 7).map(i => bb.getDouble(104 + 8 * i)),
+        voxOffset = bb.getLong(168),
+        sclSlope = bb.getDouble(176), sclInter = bb.getDouble(184),
+        calMin = bb.getDouble(200), calMax = bb.getDouble(192),
+        qformCode = bb.getInt(344), sformCode = bb.getInt(348),
+        quatern = (bb.getDouble(352), bb.getDouble(360), bb.getDouble(368)),
+        qoffset = (bb.getDouble(376), bb.getDouble(384), bb.getDouble(392)),
+        srow = Array.tabulate(3, 4)((r, c) => bb.getDouble(400 + 32 * r + 8 * c)),
+        littleEndian = le)
+    }
   }
 
   /** The voxel→RAS affine: sform rows when sform_code > 0, else the
@@ -155,20 +201,31 @@ object NiftiIO {
     val store = new ZarrStore(path, hconf)
     val gz = path.toLowerCase.endsWith(".gz")
 
+    // header is 348 (NIfTI-1) or 540 (NIfTI-2) bytes — probe the
+    // sizeof_hdr field first, then read exactly that many
     val headerBytes =
       if (gz) {
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(store.readBytes("")))
-        val buf = new Array[Byte](348)
-        var got = 0
-        while (got < 348) {
-          val n = in.read(buf, got, 348 - got)
-          require(n > 0, "truncated .nii.gz header")
-          got += n
+        def readFully(buf: Array[Byte], off: Int, len: Int): Unit = {
+          var got = 0
+          while (got < len) {
+            val n = in.read(buf, off + got, len - got)
+            require(n > 0, "truncated .nii.gz header")
+            got += n
+          }
         }
+        val probe = new Array[Byte](4)
+        readFully(probe, 0, 4)
+        val buf = new Array[Byte](headerSize(probe))
+        System.arraycopy(probe, 0, buf, 0, 4)
+        readFully(buf, 4, buf.length - 4)
         in.close()
         buf
-      } else store.readRange("", 0L, 348)
+      } else {
+        val probe = store.readRange("", 0L, 4)
+        store.readRange("", 0L, headerSize(probe))
+      }
     val h = parseHeader(headerBytes)
 
     val dims = dimNames(h.dims.length)
@@ -339,9 +396,9 @@ object NiftiIO {
     */
   private def omeroFromCal(h: NiftiHeader, chunks: Dataset[ChunkRow],
       meta: ImageMeta): Option[Omero] = {
-    val calMin = if (h.calMin.isNaN) Float.NaN else h.calMin
-    val calMax = if (h.calMax.isNaN) Float.NaN else h.calMax
-    if ((calMin == 0f && calMax == 0f) || calMin.isNaN || calMax.isNaN) None
+    val calMin = h.calMin
+    val calMax = h.calMax
+    if ((calMin == 0.0 && calMax == 0.0) || calMin.isNaN || calMax.isNaN) None
     else {
       val dtype = meta.dtype
       val (dataMin, dataMax) = chunks

@@ -226,11 +226,27 @@ object OmeZarrIO {
       // the array doc reads ONCE per level — every parse below reuses
       // it (an object store would otherwise pay a GET per parse); the
       // consolidated map (keyed by node path for v3, by document key
-      // for v2) skips even that one GET
-      val arrayDoc = consolidated.getOrElse(
-        if (zarrFormat == 3) d.path else s"${d.path}/.zarray",
-        store.readString(
-          if (zarrFormat == 3) s"${d.path}/zarr.json" else s"${d.path}/.zarray"))
+      // for v2) skips even that one GET.
+      //
+      // PRECEDENCE (zarr-python parity): a consolidated copy WINS over
+      // the live per-level doc — a store mutated by a writer that did
+      // not re-consolidate silently reads stale metadata on the fast
+      // path. `validate=true` makes that hazard loud: it pays the
+      // per-level GET anyway, cross-checks the consolidated copy
+      // against the live doc, and refuses on divergence.
+      val consKey = if (zarrFormat == 3) d.path else s"${d.path}/.zarray"
+      val liveKey = if (zarrFormat == 3) s"${d.path}/zarr.json" else s"${d.path}/.zarray"
+      val arrayDoc = consolidated.get(consKey) match {
+        case Some(cons) if validate =>
+          val live = store.readString(liveKey)
+          require(ZarrJson.mapper.readTree(cons) == ZarrJson.mapper.readTree(live),
+            s"consolidated metadata for '$liveKey' diverges from the live document " +
+              "(store mutated without re-consolidating?) — re-consolidate or drop " +
+              "the consolidated copy")
+          cons
+        case Some(cons) => cons
+        case None => store.readString(liveKey)
+      }
       val v3Doc = if (zarrFormat == 3) Some(arrayDoc) else None
       val (shape, chunks, dtypeRaw, comp, sepOrDims, keyEnc) =
         if (zarrFormat == 2) {

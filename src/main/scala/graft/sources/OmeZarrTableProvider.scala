@@ -199,7 +199,10 @@ class OmeZarrScan(path: String, scalePred: Option[Int => Boolean],
         // the array doc reads ONCE per level — codec parsing and
         // parseFillValue below reuse it (an object store would
         // otherwise pay an extra GET per level per scan); the
-        // consolidated map skips even that one
+        // consolidated map skips even that one. Precedence follows
+        // zarr-python: a consolidated copy WINS over the live doc —
+        // use OmeZarrIO.readMultiscales(validate=true) to cross-check
+        // a store that foreign writers may have mutated
         val doc = consolidated.getOrElse(
           if (zarrFormat == 2) s"${d.path}/.zarray" else d.path,
           store.readString(

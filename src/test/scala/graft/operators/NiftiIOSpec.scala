@@ -46,6 +46,19 @@ class NiftiIOSpec extends SparkSpec {
     assert(w.min == lo && w.max == hi)
   }
 
+  test("anat2.nii.gz (NIfTI-2): identical image to its NIfTI-1 twin") {
+    val v1 = NiftiIO.read(spark, s"$fx/anat.nii.gz")
+    val v2 = NiftiIO.read(spark, s"$fx/anat2.nii.gz")
+    // the 540-byte header carries the same logical record — dims,
+    // dtype, affine decomposition, scaling and calibration must all
+    // agree with the NIfTI-1 twin
+    assert(v2.meta == v1.meta)
+    assert(v2.orientations == v1.orientations)
+    assert(v2.omero == v1.omero)
+    assert(ChunkOps.toArray(v2.chunks, v2.meta).toSeq
+      == ChunkOps.toArray(v1.chunks, v1.meta).toSeq)
+  }
+
   test("ident.nii: raw dtype preserved, pixdim spacing, distributed range reads") {
     val img = NiftiIO.read(spark, s"$fx/ident.nii", chunkShape = Some(Seq(5, 3, 2)))
     assert(img.meta.dtype == "uint8")

@@ -762,6 +762,33 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(spark.read.format("omezarr").load(dir).count() > 0)
   }
 
+  test("stale consolidated metadata: default read follows precedence, validated read refuses") {
+    val (m, vals) = mkImage()
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base, Some(Seq.empty),
+      Method.ItkwasmBinShrink, cache = false)
+    val dir = Files.createTempDirectory("omezarr-stale").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, dir, ms, version = "0.5")
+    // a fresh consolidated store cross-checks clean under validate
+    assert(OmeZarrIO.readMultiscales(spark, dir, validate = true).levels.nonEmpty)
+    // foreign writer mutates the live level doc WITHOUT re-consolidating
+    val docPath = java.nio.file.Paths.get(dir, "scale0", "image", "zarr.json")
+    val mapper = graft.meta.ZarrJson.mapper
+    val doc = mapper.readTree(new String(Files.readAllBytes(docPath)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    doc.put("fill_value", 7)
+    Files.write(docPath, mapper.writeValueAsBytes(doc))
+    // default read: consolidated copy wins (zarr-python precedence) —
+    // the stale fill_value 0 is served, data still round-trips
+    val back = OmeZarrIO.readMultiscales(spark, dir)
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    // validated read: the divergence refuses loudly
+    val e = intercept[IllegalArgumentException](
+      OmeZarrIO.readMultiscales(spark, dir, validate = true))
+    assert(e.getMessage.contains("diverges"))
+  }
+
   test("v2 .zmetadata serves level docs on read (S8)") {
     val (m, vals) = mkImage()
     val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
