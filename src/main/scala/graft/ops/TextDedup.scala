@@ -204,8 +204,9 @@ object TextDedup {
     *
     * `hotBucketThreshold > 0` arms the skew path: bucket sizes are
     * counted first (one aggregation over the banded rows — the
-    * threshold is opt-in because of exactly this extra pass), buckets
-    * above the threshold route to a salted group-pair self-join —
+    * threshold is explicit because of exactly this extra pass),
+    * buckets above the threshold route to a salted group-pair
+    * self-join —
     * each doc gets a deterministic salt s ∈ [0, saltGroups) and is
     * replicated to the task keys (lo, hi) = (min(s,j), max(s,j)) for
     * every j, so a hot bucket's pair space splits into
@@ -215,8 +216,20 @@ object TextDedup {
     * beyond the final `distinct` is needed. Cold buckets keep the
     * plain one-key join.
     *
+    * `hotBucketThreshold < 0` is AUTO: one metadata-sized stats job
+    * over the bucket counts (max bucket size + total banded rows land
+    * on the driver, nothing else) derives the threshold
+    * `max(64, ⌈√(2n)⌉)` — a bucket is hot when its self-join pair
+    * work b²/2 rivals the n-row linear work of the whole banding
+    * stage, the point where one task's quadratic work dominates an
+    * otherwise-linear plan. (An avg-bucket-size rule fails here: the
+    * skew being detected inflates the average.) A flat corpus pays
+    * the one stats aggregation and keeps the plain single-join plan
+    * (no routing join, no replication); a boilerplate-skewed corpus
+    * arms without anyone having to know its shape in advance.
+    *
     * Output: distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b —
-    * identical with and without the skew path.
+    * identical across the plain, explicit and auto paths.
     */
   def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4,
       hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
@@ -231,16 +244,14 @@ object TextDedup {
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val pairs =
-      if (hotBucketThreshold <= 0) pairJoin(banded)
-      else {
+    def saltedPlan(threshold: Long): DataFrame = {
         val g = saltGroups
         // hot-bucket list is tiny by construction (corpus_rows/threshold
         // buckets at most) — broadcast it as the routing filter
         val hot = broadcast(
           banded.groupBy(col("band"), col("bucket"))
             .agg(count(lit(1)).as("_n"))
-            .filter(col("_n") > hotBucketThreshold)
+            .filter(col("_n") > threshold)
             .select(col("band"), col("bucket"), lit(true).as("_hot")))
         val tagged = banded.join(hot, Seq("band", "bucket"), "left")
         val cold = pairJoin(tagged.filter(col("_hot").isNull).drop("_hot"))
@@ -259,6 +270,20 @@ object TextDedup {
               greatest(col("x.s"), col("y.s")) === col("x.hi"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         cold.union(hotPairs)
+    }
+    val pairs =
+      if (hotBucketThreshold == 0) pairJoin(banded)
+      else if (hotBucketThreshold > 0) saltedPlan(hotBucketThreshold.toLong)
+      else {
+        // AUTO: the stats job ships exactly two numbers to the driver
+        val st = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_n"))
+          .agg(max(col("_n")).as("mx"), sum(col("_n")).as("n")).head()
+        if (st.isNullAt(0)) pairJoin(banded) // empty corpus
+        else {
+          val t = math.max(64L, math.ceil(math.sqrt(2.0 * st.getLong(1))).toLong)
+          if (st.getLong(0) <= t) pairJoin(banded) else saltedPlan(t)
+        }
       }
     pairs.distinct()
   }

@@ -66,11 +66,17 @@ object LlmOps extends QModule {
 
   /** MinHash+LSH near-dup pipeline. The md5-derived 56-bit double-
     * hashing family lets the oracle replay signatures, banding, and
-    * exact-Jaccard verification verbatim in SQL.
+    * exact-Jaccard verification verbatim in SQL. Skew handling runs
+    * in AUTO (`hotBucketThreshold = -1`): the bucket-stats pass
+    * derives the threshold and arms the salted group-pair path only
+    * when a bucket actually overflows it — on this corpus the plan
+    * stays the single-join form, and the hash proves the result is
+    * path-independent.
     */
   val d42MinHash = Q(
     "d42_minhash_lsh_neardup",
-    (s, dir) => TextDedup.minHashNearDups(docs(s, dir), minJaccard = 0.2)
+    (s, dir) => TextDedup.minHashNearDups(docs(s, dir), minJaccard = 0.2,
+        hotBucketThreshold = -1)
       .orderBy(col("doc_a"), col("doc_b")),
     Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
                        FROM documents),

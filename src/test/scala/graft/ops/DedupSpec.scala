@@ -63,6 +63,31 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("auto skew mode: arms on the skewed corpus, stays plain on the flat one") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val skewed = (0L until 200L).map { i =>
+      if (i < 100) (i, boiler)
+      else (i, s"unique document $i with its own words ${i * 31} ${i * 17} ${i % 7}")
+    }.toDF("doc_id", "text")
+    // identical pair set with auto (threshold derived, salted path armed)
+    val plain = TextDedup.minHashNearDups(skewed, minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = TextDedup.minHashNearDups(skewed, minJaccard = 0.5,
+        hotBucketThreshold = -1, saltGroups = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == plain, "auto skew path must not change the verified pair set")
+    // plan shape: armed on the skewed corpus (the _hot routing join
+    // exists), plain on the flat fixture corpus (no routing join, no
+    // salting — the stats pass decided against it)
+    val skewedAuto = TextDedup.lshCandidates(
+      TextDedup.minHashSignatures(skewed), hotBucketThreshold = -1, saltGroups = 4)
+    assert(skewedAuto.queryExecution.analyzed.toString.contains("_hot"))
+    val flatAuto = TextDedup.lshCandidates(
+      TextDedup.minHashSignatures(docs), hotBucketThreshold = -1)
+    assert(!flatAuto.queryExecution.analyzed.toString.contains("_hot"))
+  }
+
   test("banded simhash pairs == all-pairs at the same distance (pigeonhole exactness)") {
     import spark.implicits._
     val sh = TextDedup.simHash(docs)
