@@ -20,9 +20,13 @@ import ChunkOps.ChunkRow
   * none/Deflate(8,32946)/PackBits(32773)/LZW(5) with the horizontal-
   * differencing predictor (tag 317 = 2), new-style JPEG (7) via
   * `javax.imageio` including shared JPEGTables (tag 347), and
-  * multi-page stacks of equal shape as a z dimension. Rejected with
-  * precise errors: palette color, planar (non-chunky) configuration,
-  * old-style JPEG (6) and movie codecs.
+  * multi-page stacks of equal shape as a z dimension, and OME-TIFF
+  * axes metadata: the OME-XML in ImageDescription (tag 270) supplies
+  * DimensionOrder/SizeZ/C/T page interleaving and PhysicalSizeX/Y/Z
+  * spacing (normalized to µm), so a `.ome.tif` ingests with correct
+  * t/c/z dims instead of pages→z. Rejected with precise errors:
+  * palette color, planar (non-chunky) configuration, old-style JPEG
+  * (6), movie codecs, multi-Image OME documents, unknown OME units.
   */
 object TiffIO {
 
@@ -37,7 +41,83 @@ object TiffIO {
       // JPEG (compression 7) regions
       jpegTables: Option[Array[Byte]] = None)
 
-  final case class TiffInfo(littleEndian: Boolean, pages: Seq[TiffPage])
+  final case class TiffInfo(littleEndian: Boolean, pages: Seq[TiffPage],
+      // first page's ImageDescription (tag 270) — OME-TIFFs carry
+      // their OME-XML here
+      description: Option[String] = None)
+
+  /** The axes-bearing subset of an OME-XML `Pixels` element
+    * (DimensionOrder, Size*, PhysicalSize* normalized to µm). The
+    * reference reaches the same metadata through tifffile's OME
+    * series support (`py/ngff_zarr/detect_cli_io_backend.py:92-106`,
+    * `py/ngff_zarr/cli_input_to_ngff_image.py:62-73`).
+    */
+  final case class OmePixels(dimensionOrder: String,
+      sizeX: Int, sizeY: Int, sizeZ: Int, sizeC: Int, sizeT: Int,
+      omeType: Option[String],
+      // x/y/z physical spacing in micrometers, only when declared
+      physicalScale: Map[String, Double])
+
+  /** True when an ImageDescription is OME-XML (tifffile's own probe:
+    * the payload is an XML document whose root element is OME).
+    */
+  private[operators] def isOmeXml(desc: String): Boolean = {
+    val t = desc.trim
+    t.startsWith("<OME") || (t.startsWith("<?xml") && t.contains("<OME"))
+  }
+
+  /** OME PhysicalSize units → micrometers (the OME default unit). An
+    * unknown unit refuses loudly rather than silently mis-scaling.
+    */
+  private val UnitToMicron = Map(
+    "µm" -> 1.0, "um" -> 1.0, "micron" -> 1.0, "micrometer" -> 1.0,
+    "nm" -> 1e-3, "pm" -> 1e-6, "Å" -> 1e-4, "angstrom" -> 1e-4,
+    "mm" -> 1e3, "cm" -> 1e4, "m" -> 1e6)
+
+  /** OME `Pixels/@Type` names → engine dtypes (the subset this reader
+    * decodes; OME also defines bit/complex types we refuse).
+    */
+  private val OmeTypeToDtype = Map(
+    "uint8" -> "uint8", "int8" -> "int8", "uint16" -> "uint16",
+    "int16" -> "int16", "uint32" -> "uint32", "int32" -> "int32",
+    "float" -> "float32", "double" -> "float64")
+
+  /** Parse the OME-XML ImageDescription. Secure parser configuration
+    * (no DOCTYPE) — the description is untrusted file content.
+    */
+  def parseOmeXml(xml: String): OmePixels = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder().parse(
+      new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+    val images = doc.getElementsByTagNameNS("*", "Image")
+    require(images.getLength <= 1,
+      s"multi-Image OME-TIFF unsupported (${images.getLength} Image elements)")
+    val pixelsList = doc.getElementsByTagNameNS("*", "Pixels")
+    require(pixelsList.getLength == 1,
+      s"OME-XML needs exactly one Pixels element, found ${pixelsList.getLength}")
+    val px = pixelsList.item(0).asInstanceOf[org.w3c.dom.Element]
+    def attr(n: String): Option[String] =
+      Option(px.getAttribute(n)).filter(_.nonEmpty)
+    def intAttr(n: String, dflt: Int): Int = attr(n).map(_.toInt).getOrElse(dflt)
+    val order = attr("DimensionOrder").getOrElse("XYZCT")
+    require(order.length == 5 && order.startsWith("XY") &&
+      order.drop(2).sorted == "CTZ", s"bad OME DimensionOrder '$order'")
+    def phys(axis: String): Option[(String, Double)] =
+      attr(s"PhysicalSize$axis").map { v =>
+        val unit = attr(s"PhysicalSize${axis}Unit").getOrElse("µm")
+        val factor = UnitToMicron.getOrElse(unit,
+          throw new UnsupportedOperationException(
+            s"OME PhysicalSize${axis}Unit '$unit' unsupported"))
+        axis.toLowerCase -> v.toDouble * factor
+      }
+    OmePixels(order,
+      intAttr("SizeX", 1), intAttr("SizeY", 1), intAttr("SizeZ", 1),
+      intAttr("SizeC", 1), intAttr("SizeT", 1),
+      attr("Type"),
+      Seq("X", "Y", "Z").flatMap(phys).toMap)
+  }
 
   /** Engine dtype for (bitsPerSample, sampleFormat). Format 1 =
     * unsigned, 2 = signed, 3 = IEEE float (TIFF 6.0 + TechNote).
@@ -133,6 +213,7 @@ object TiffIO {
     if (big) require(r.u16(4) == 8 && r.u16(6) == 0, "malformed BigTIFF header")
 
     val pages = Seq.newBuilder[TiffPage]
+    var firstDescription: Option[String] = None
     var ifdOff = if (big) r.u64(8) else r.u32(4)
     var guard = 0
     while (ifdOff != 0 && guard < 65536) {
@@ -186,6 +267,11 @@ object TiffIO {
             require(values.distinct.size == 1, "per-sample bit depths unsupported")
           case 259 => comp = valueAt(0).toInt
           case 262 => photometric = valueAt(0).toInt
+          case 270 if guard == 0 && firstDescription.isEmpty =>
+            // ImageDescription of IFD 0 — where OME-TIFF keeps its
+            // OME-XML; drop the ASCII NUL terminator(s)
+            firstDescription = Some(new String(src.get(dataOff, count.toInt),
+              "UTF-8").takeWhile(_ != '\u0000'))
           case 273 => stripOff = values
           case 277 => spp = valueAt(0).toInt
           case 278 => rps = valueAt(0).toInt
@@ -228,7 +314,7 @@ object TiffIO {
     }
     val ps = pages.result()
     require(ps.nonEmpty, "TIFF has no pages")
-    TiffInfo(le, ps)
+    TiffInfo(le, ps, firstDescription)
   }
 
   // ---- region codecs ----
@@ -448,17 +534,64 @@ object TiffIO {
     val spp = p0.samplesPerPixel
     val tiled = p0.tileWidth > 0
 
-    // dims: (z)? y x (c)?
-    val dims = (if (nPages > 1) Seq("z") else Nil) ++ Seq("y", "x") ++
+    // OME-TIFF: the OME-XML in ImageDescription names the plane axes
+    // (DimensionOrder, SizeZ/C/T) and physical spacing — without it a
+    // t/c/z-interleaved stack would silently read as pages→z with
+    // wrong dims and scale
+    val omeOpt = info.description.filter(isOmeXml).map(parseOmeXml)
+    omeOpt.foreach { ome =>
+      require(ome.sizeX == p0.width && ome.sizeY == p0.height,
+        s"OME-XML SizeX/Y ${ome.sizeX}x${ome.sizeY} != TIFF page ${p0.width}x${p0.height}")
+      ome.omeType.foreach { t =>
+        val mapped = OmeTypeToDtype.getOrElse(t,
+          throw new UnsupportedOperationException(s"OME pixel Type '$t' unsupported"))
+        require(mapped == dtype,
+          s"OME pixel Type '$t' ($mapped) != TIFF sample type $dtype")
+      }
+    }
+    // plane dims as (name, size, pageStride), slowest-varying first —
+    // a page's coordinate on dim i is (page / stride_i) % size_i. Bare
+    // multipage keeps the historical pages→z mapping.
+    val planeDims: Seq[(String, Int, Int)] = omeOpt match {
+      case Some(ome) =>
+        val effC =
+          if (spp > 1) {
+            // interleaved samples carry the channels (RGB): SizeC must
+            // be the sample count and no channel planes exist
+            require(ome.sizeC == spp,
+              s"OME SizeC ${ome.sizeC} != samplesPerPixel $spp with interleaved samples")
+            1
+          } else ome.sizeC
+        // DimensionOrder lists XY then the plane axes fastest-first
+        val fastestFirst = ome.dimensionOrder.drop(2).map {
+          case 'Z' => ("z", ome.sizeZ)
+          case 'C' => ("c", effC)
+          case 'T' => ("t", ome.sizeT)
+        }
+        require(fastestFirst.map(_._2.toLong).product == nPages,
+          s"OME-XML declares ${fastestFirst.map(_._2.toLong).product} planes " +
+            s"but the TIFF has $nPages pages")
+        val strides = fastestFirst.map(_._2).scanLeft(1)(_ * _).init
+        // singleton dims drop out (tifffile's squeezed axes view)
+        fastestFirst.zip(strides).collect {
+          case ((name, size), stride) if size > 1 => (name, size, stride)
+        }.reverse
+      case None =>
+        if (nPages > 1) Seq(("z", nPages, 1)) else Nil
+    }
+    val omeScale = omeOpt.map(_.physicalScale).getOrElse(Map.empty)
+
+    val dims = planeDims.map(_._1) ++ Seq("y", "x") ++
       (if (spp > 1) Seq("c") else Nil)
-    val shape = (if (nPages > 1) Seq(nPages.toLong) else Nil) ++
+    val shape = planeDims.map(_._2.toLong) ++
       Seq(p0.height.toLong, p0.width.toLong) ++ (if (spp > 1) Seq(spp.toLong) else Nil)
     val (chunkY, chunkX) =
       if (tiled) (p0.tileLength, p0.tileWidth) else (p0.rowsPerStrip, p0.width)
-    val chunks = (if (nPages > 1) Seq(1) else Nil) ++ Seq(chunkY, chunkX) ++
+    val chunks = planeDims.map(_ => 1) ++ Seq(chunkY, chunkX) ++
       (if (spp > 1) Seq(spp) else Nil)
     val meta = ImageMeta(dims, shape, chunks, dtype,
-      dims.map(_ -> 1.0).toMap, dims.map(_ -> 0.0).toMap)
+      dims.map(d => d -> omeScale.getOrElse(d, 1.0)).toMap,
+      dims.map(_ -> 0.0).toMap)
 
     // work list: one row per (page, region index)
     val work = for {
@@ -470,6 +603,9 @@ object TiffIO {
     val pages = info.pages.toArray
     val bytesPerSample = p0.bitsPerSample / 8
     val tilesAcross = if (tiled) (p0.width + p0.tileWidth - 1) / p0.tileWidth else 1
+    // (size, stride) pairs for the executor closure — small and
+    // serializable; maps a page number to its plane-dim coordinates
+    val planeDimSS = planeDims.map { case (_, size, stride) => (size, stride) }
 
     val rows = spark.createDataset(work)
       .repartition(math.min(work.length, spark.sparkContext.defaultParallelism))
@@ -503,14 +639,67 @@ object TiffIO {
           else ChunkOps.sliceBlock(allVals,
             Array(storedH, storedW * p.samplesPerPixel), Array(0, 0),
             Array(rh, rw * p.samplesPerPixel))
-        val zPart = if (pages.length > 1) Seq(z) else Nil
+        val planePart = planeDimSS.map { case (size, stride) => (z / stride) % size }
         val cPartI = if (p.samplesPerPixel > 1) Seq(0) else Nil
-        val idx = zPart ++ Seq(oy / chunkY, ox / chunkX) ++ cPartI
-        val origin = zPart.map(_.toLong) ++ Seq(oy.toLong, ox.toLong) ++ cPartI.map(_.toLong)
-        val shp = (if (pages.length > 1) Seq(1) else Nil) ++ Seq(rh, rw) ++
+        val idx = planePart ++ Seq(oy / chunkY, ox / chunkX) ++ cPartI
+        val origin = planePart.map(_.toLong) ++ Seq(oy.toLong, ox.toLong) ++ cPartI.map(_.toLong)
+        val shp = planePart.map(_ => 1) ++ Seq(rh, rw) ++
           (if (p.samplesPerPixel > 1) Seq(p.samplesPerPixel) else Nil)
         ChunkRow(idx, origin, shp, ZarrStore.encodeFromDoubles(vals, dtype))
       }
     TiffImage(meta, rows)
+  }
+
+  /** Minimal classic little-endian TIFF writer — uint8 grayscale
+    * pages, one strip per page, optional ImageDescription on IFD 0.
+    * This is the deterministic OME-TIFF input builder for the i66
+    * gate (the committed spec fixture comes from the independent
+    * python writer in `tools/make_tiff_fixture.py`).
+    */
+  private[graft] def encodeGray8(width: Int, height: Int,
+      planes: Seq[Array[Byte]], description: Option[String] = None): Array[Byte] = {
+    require(planes.nonEmpty && planes.forall(_.length == width * height),
+      "every plane must be width*height uint8 bytes")
+    val n = planes.length
+    val pageBytes = width * height
+    // ASCII payload: content + NUL (that length is the tag count),
+    // padded to even for the next structure's word alignment
+    val descRaw = description.map(d => d.getBytes("UTF-8") :+ 0.toByte)
+    val descPadded = descRaw.map(b => if (b.length % 2 == 1) b :+ 0.toByte else b)
+    descRaw.foreach(b => require(b.length > 4, "inline ImageDescription unsupported"))
+    val pixelStart = 8L
+    val descOff = pixelStart + n.toLong * pageBytes
+    val ifdStart = descOff + descPadded.map(_.length).getOrElse(0)
+    def entriesFor(i: Int): Int = 10 + (if (i == 0 && descRaw.nonEmpty) 1 else 0)
+    val ifdOffs = (0 until n).map(i => 2 + 12 * entriesFor(i) + 4)
+      .scanLeft(ifdStart)(_ + _)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      var i = 0
+      while (i < 4) { bos.write(((v >>> (8 * i)) & 0xffL).toInt); i += 1 }
+    }
+    bos.write('I'.toInt); bos.write('I'.toInt); w16(42); w32(ifdOffs(0))
+    planes.foreach(bos.write)
+    descPadded.foreach(bos.write)
+    for (i <- 0 until n) {
+      def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+        w16(tag); w16(typ); w32(count); w32(value)
+      }
+      w16(entriesFor(i))
+      entry(256, 4, 1, width)       // ImageWidth
+      entry(257, 4, 1, height)      // ImageLength
+      entry(258, 3, 1, 8)           // BitsPerSample
+      entry(259, 3, 1, 1)           // Compression: none
+      entry(262, 3, 1, 1)           // Photometric: BlackIsZero
+      if (i == 0) descRaw.foreach(b => entry(270, 2, b.length, descOff))
+      entry(273, 4, 1, pixelStart + i.toLong * pageBytes) // StripOffsets
+      entry(277, 3, 1, 1)           // SamplesPerPixel
+      entry(278, 4, 1, height)      // RowsPerStrip
+      entry(279, 4, 1, pageBytes)   // StripByteCounts
+      entry(339, 3, 1, 1)           // SampleFormat: unsigned
+      w32(if (i == n - 1) 0L else ifdOffs(i + 1))
+    }
+    bos.toByteArray
   }
 }

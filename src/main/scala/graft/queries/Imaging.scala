@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.meta.Model._
-import graft.operators.{ChunkOps, Downsample, MultiscaleBuilder}
+import graft.operators.{ChunkOps, Downsample, MultiscaleBuilder, TiffIO}
 
 /** Imaging kernels surfaced in the correctness gate: each query runs
   * the REAL chunk-table operator (fromArray → Downsample.step →
@@ -43,7 +43,65 @@ object Imaging extends QModule {
        |  FROM range(${H * W}) r(i))""".stripMargin
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
-    h65HcsWellLookup)
+    h65HcsWellLookup, i66OmeTiffAxes)
+
+  /** S10 — OME-TIFF axes metadata, oracle-gated. A 12-page OME-TIFF
+    * (DimensionOrder XYCZT: C fastest, SizeZ=3 SizeC=2 SizeT=2,
+    * PhysicalSizeZ declared in nm) is encoded at runtime, read back
+    * through the full TiffIO path, and reduced to per-(t,z,c) plane
+    * sums plus a position-weighted sum; the physical scale lands as
+    * columns. The DuckDB oracle replays the closed-form voxel formula
+    * over range() — a pages→z misread (round 5's gap), a swapped
+    * interleaving, or an unconverted unit all hash-mismatch.
+    */
+  val i66OmeTiffAxes = Q(
+    "i66_ometiff_axes",
+    (s, _) => {
+      val w = 10; val h = 8
+      val omeXml =
+        """<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">""" +
+          """<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYCZT"""" +
+          s""" Type="uint8" SizeX="$w" SizeY="$h" SizeZ="3" SizeC="2" SizeT="2"""" +
+          """ PhysicalSizeX="0.5" PhysicalSizeY="0.6"""" +
+          """ PhysicalSizeZ="2000" PhysicalSizeZUnit="nm">""" +
+          """<TiffData/></Pixels></Image></OME>"""
+      val planes = (0 until 12).map { p =>
+        val c = p % 2; val z = (p / 2) % 3; val t = p / 6
+        Array.tabulate(w * h) { i =>
+          ((t * 83 + c * 47 + z * 29 + (i / w) * 5 + (i % w) * 3) % 256).toByte
+        }
+      }
+      val path = java.nio.file.Files.createTempDirectory("i66")
+        .resolve("axes.ome.tif")
+      java.nio.file.Files.write(path, TiffIO.encodeGray8(w, h, planes, Some(omeXml)))
+      val img = TiffIO.read(s, path.toString)
+      ChunkOps.voxelView(s, img.chunks, img.meta)
+        .groupBy(col("t"), col("z"), col("c"))
+        .agg(sum(col("value")).cast("bigint").as("plane_sum"),
+          sum(col("value") * (col("y") * 37 + col("x") * 11)).cast("bigint").as("plane_wsum"))
+        .withColumn("scale_x", lit(img.meta.scale("x")))
+        .withColumn("scale_y", lit(img.meta.scale("y")))
+        .withColumn("scale_z", lit(img.meta.scale("z")))
+        .select(col("t"), col("z"), col("c"), col("plane_sum"), col("plane_wsum"),
+          col("scale_x"), col("scale_y"), col("scale_z"))
+        .orderBy(col("t"), col("z"), col("c"))
+    },
+    Some("""WITH vox AS (
+              SELECT (i // 480) % 2 AS t, (i // 160) % 3 AS z, (i // 80) % 2 AS c,
+                     (i // 10) % 8 AS y, i % 10 AS x,
+                     CAST((((i // 480) % 2) * 83 + ((i // 80) % 2) * 47
+                           + ((i // 160) % 3) * 29 + ((i // 10) % 8) * 5
+                           + (i % 10) * 3) % 256 AS DOUBLE) AS v
+              FROM range(960) r(i))
+            SELECT t, z, c,
+                   CAST(sum(v) AS BIGINT) AS plane_sum,
+                   CAST(sum(v * (y * 37 + x * 11)) AS BIGINT) AS plane_wsum,
+                   CAST(0.5 AS DOUBLE) AS scale_x,
+                   CAST(0.6 AS DOUBLE) AS scale_y,
+                   CAST(2.0 AS DOUBLE) AS scale_z
+            FROM vox GROUP BY t, z, c
+            ORDER BY t, z, c"""))
 
   /** S12/S13 — HCS plate relational surface, oracle-gated. A real
     * plate store (plate `.zattrs` + per-well docs, the layout of

@@ -140,6 +140,82 @@ class TiffIOSpec extends SparkSpec {
       assert(bgot(y * 10 + x) == ((5 * x + y) % 256).toDouble)
   }
 
+  test("OME-TIFF: OME-XML axes drive t/z/c dims, interleaving and physical scale") {
+    val img = TiffIO.read(spark, s"$fx/interleaved.ome.tif")
+    // DimensionOrder XYCZT reversed (minus XY) -> t, z, c slowest-first
+    assert(img.meta.dims == Seq("t", "z", "c", "y", "x"))
+    assert(img.meta.shape == Seq(2L, 3L, 2L, 8L, 10L))
+    assert(img.meta.dtype == "uint8")
+    // PhysicalSizeZ was declared as 2000 nm -> 2.0 um
+    assert(img.meta.scale == Map("t" -> 1.0, "z" -> 2.0, "c" -> 1.0,
+      "y" -> 0.6, "x" -> 0.5))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    // C-order over (t,z,c,y,x) against the generator formula — wrong
+    // page decomposition (e.g. pages->z) would scramble every plane
+    for (t <- 0 until 2; z <- 0 until 3; c <- 0 until 2; y <- 0 until 8; x <- 0 until 10) {
+      val idx = (((t * 3 + z) * 2 + c) * 8 + y) * 10 + x
+      val expect = ((t * 83 + c * 47 + z * 29 + y * 5 + x * 3) % 256).toDouble
+      assert(got(idx) == expect, s"($t,$z,$c,$y,$x)")
+    }
+  }
+
+  test("OME-TIFF via the Scala gate encoder matches the python fixture semantics") {
+    // the i66 gate builds its input with TiffIO.encodeGray8 — prove
+    // that encoder + reader agree with the independently-written
+    // python fixture on the same formula
+    val w = 10; val h = 8
+    val omeXml =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">""" +
+        """<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYCZT" Type="uint8"""" +
+        s""" SizeX="$w" SizeY="$h" SizeZ="3" SizeC="2" SizeT="2"""" +
+        """ PhysicalSizeX="0.5" PhysicalSizeY="0.6"""" +
+        """ PhysicalSizeZ="2000" PhysicalSizeZUnit="nm"><TiffData/></Pixels></Image></OME>"""
+    val planes = (0 until 12).map { p =>
+      val c = p % 2; val z = (p / 2) % 3; val t = p / 6
+      Array.tabulate(w * h) { i =>
+        ((t * 83 + c * 47 + z * 29 + (i / w) * 5 + (i % w) * 3) % 256).toByte
+      }
+    }
+    val bytes = TiffIO.encodeGray8(w, h, planes, Some(omeXml))
+    val dir = java.nio.file.Files.createTempDirectory("ometiff")
+    val path = dir.resolve("gen.ome.tif")
+    java.nio.file.Files.write(path, bytes)
+    val gen = TiffIO.read(spark, path.toString)
+    val fixture = TiffIO.read(spark, s"$fx/interleaved.ome.tif")
+    assert(gen.meta == fixture.meta)
+    assert(ChunkOps.toArray(gen.chunks, gen.meta).toSeq
+      == ChunkOps.toArray(fixture.chunks, fixture.meta).toSeq)
+  }
+
+  test("OME-TIFF refusals: page/plane mismatch, unknown unit, type mismatch") {
+    val w = 4; val h = 3
+    def ome(extra: String, sizes: String = """SizeZ="2" SizeC="1" SizeT="1""""): String =
+      s"""<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06"><Image>""" +
+        s"""<Pixels DimensionOrder="XYZCT" Type="uint8" SizeX="$w" SizeY="$h" $sizes $extra/>""" +
+        """</Image></OME>"""
+    val planes = Seq.fill(2)(Array.fill(w * h)(7.toByte))
+    def readWith(xml: String): Unit = {
+      val p = java.nio.file.Files.createTempFile("ome-bad", ".ome.tif")
+      java.nio.file.Files.write(p, TiffIO.encodeGray8(w, h, planes, Some(xml)))
+      TiffIO.read(spark, p.toString)
+    }
+    // happy path sanity for this helper
+    readWith(ome(""))
+    // declared planes != pages
+    val e1 = intercept[IllegalArgumentException](
+      readWith(ome("", sizes = """SizeZ="3" SizeC="1" SizeT="1"""")))
+    assert(e1.getMessage.contains("planes"))
+    // unknown physical unit
+    val e2 = intercept[UnsupportedOperationException](
+      readWith(ome("""PhysicalSizeX="1" PhysicalSizeXUnit="parsec"""")))
+    assert(e2.getMessage.contains("parsec"))
+    // OME type contradicts the TIFF sample type
+    val e3 = intercept[IllegalArgumentException](
+      readWith(ome("").replace("""Type="uint8"""", """Type="uint16"""")))
+    assert(e3.getMessage.contains("uint16"))
+  }
+
   test("TIFF feeds the pyramid + OME-Zarr write path end-to-end") {
     import graft.meta.Model._
     val img = TiffIO.read(spark, s"$fx/gray8_strips.tif")

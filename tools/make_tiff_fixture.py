@@ -181,9 +181,13 @@ def write_tiff(path, pages, endian="<", bigtiff=False):
         ifd_pos_est = None  # patched later
         for tag in sorted(tags):
             typ, vals = tags[tag]
-            vfmt = {3: "H", 4: "I", 16: "Q"}[typ]
-            payload = struct.pack(f"{e}{len(vals)}{vfmt}", *vals)
-            entries.append((tag, typ, len(vals), payload))
+            if typ == 2:  # ASCII: vals is raw bytes incl. NUL terminator
+                payload = vals
+                entries.append((tag, typ, len(payload), payload))
+            else:
+                vfmt = {3: "H", 4: "I", 16: "Q"}[typ]
+                payload = struct.pack(f"{e}{len(vals)}{vfmt}", *vals)
+                entries.append((tag, typ, len(vals), payload))
 
         # IFD layout: [count][entries][next_ptr][extra values]
         entry_size = 20 if bigtiff else 12
@@ -286,6 +290,31 @@ def main():
     write_tiff(OUT / "big.tif", [dict(
         width=w, height=h, spp=1, bits=8, rows_per_strip=h,
         regions=[pack_samples(rows, "B", "<")])], bigtiff=True)
+
+    # 8. OME-TIFF: XYCZT interleaving (C fastest), SizeZ=3 SizeC=2
+    # SizeT=2 -> 12 pages; PhysicalSize z declared in nm to exercise
+    # unit normalization (2000 nm -> 2.0 um)
+    w, h = 10, 8
+    ome_xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0" Name="fixture">'
+        '<Pixels ID="Pixels:0" DimensionOrder="XYCZT" Type="uint8"'
+        f' SizeX="{w}" SizeY="{h}" SizeZ="3" SizeC="2" SizeT="2"'
+        ' PhysicalSizeX="0.5" PhysicalSizeY="0.6"'
+        ' PhysicalSizeZ="2000" PhysicalSizeZUnit="nm">'
+        '<TiffData/></Pixels></Image></OME>')
+    pages = []
+    for p in range(12):
+        c, z, t = p % 2, (p // 2) % 3, p // 6
+        rows = pix_gray(w, h, lambda x, y, t=t, c=c, z=z:
+                        (t * 83 + c * 47 + z * 29 + y * 5 + x * 3) % 256)
+        page = dict(width=w, height=h, spp=1, bits=8, rows_per_strip=h,
+                    regions=[pack_samples(rows, "B", "<")])
+        if p == 0:
+            page["tags"] = {270: (2, ome_xml.encode("utf-8") + b"\x00")}
+        pages.append(page)
+    write_tiff(OUT / "interleaved.ome.tif", pages)
 
     print("wrote", sorted(p.name for p in OUT.glob("*.tif")))
 
