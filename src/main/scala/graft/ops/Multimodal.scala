@@ -296,6 +296,10 @@ object Multimodal {
   def decodeAudio(payload: Array[Byte]): DecodedAudio =
     if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
         payload(2) == 'a' && payload(3) == 'C') Flac.decodeFlac(payload)
+    else if (Mp3.sniff(payload))
+      throw new IllegalArgumentException("MP3 PCM decode is out of scope " +
+        "(COVERAGE.md codec-scope freeze); frame metadata is available via " +
+        "Mp3.parse / Multimodal.extractMp3Meta")
     else decodeWav(payload)
 
   // ---- format-agnostic byte-statistics fallback ----
@@ -481,6 +485,54 @@ object Multimodal {
       val samples = Array.tabulate[Short](n)(i =>
         (((id * 13 + i * 7) % 65536) - 32768).toShort)
       (id, Flac.encodeVerbatim(samples, 1, 8000))
+    }).toDF("doc_id", "media")
+  }
+
+  /** MP3 frame-metadata row per doc (the m59 surface): the typed
+    * result of a full strict frame walk — duration/bitrate facts a
+    * corpus filter keys on. Integer-exact except duration_ms (one
+    * IEEE division, replayed identically by the oracle).
+    */
+  final case class Mp3MetaFeature(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Int, n_samples: Long, duration_ms: Double,
+      bitrate_min_kbps: Int, bitrate_max_kbps: Int, vbr: Boolean, has_crc: Boolean)
+
+  /** Distributed MP3 metadata extraction over (doc_id, media):
+    * partition-local, no shuffle, refuse-loudly on malformed frames.
+    */
+  def extractMp3Meta(spark: SparkSession, media: DataFrame): Dataset[Mp3MetaFeature] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val m = Mp3.parse(payload)
+        Mp3MetaFeature(id, m.sampleRate, m.channels, m.nFrames, m.nSamples,
+          m.durationMs, m.bitrateMinKbps, m.bitrateMaxKbps, m.vbr, m.hasCrc)
+      })
+  }
+
+  /** Deterministic per-doc MP3 payloads: an ID3v2 prefix plus
+    * 3 + (doc_id mod 4) MPEG-1 Layer III silence frames at 44.1 kHz.
+    * Docs divisible by 3 are CBR at index 9 (128 kbps); the rest
+    * rotate bitrate indices 5..7 per frame (VBR). Docs divisible by 5
+    * carry real, verified CRC-16s; odd docs are stereo. Every branch
+    * of the walker — padding, CRC span, side-info width — is on the
+    * gate path with a closed-form oracle.
+    */
+  def syntheticMp3(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val nFrames = 3 + (id % 4).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Mp3.id3v2(padBytes = (id % 7).toInt * 3))
+      var f = 0
+      while (f < nFrames) {
+        val bri = if (id % 3 == 0) 9 else 5 + ((id + f) % 3).toInt
+        bos.write(Mp3.silenceFrame(bri, srIndex = 0, mono = id % 2 == 0,
+          padding = (id + f) % 2 == 1, withCrc = id % 5 == 0))
+        f += 1
+      }
+      (id, bos.toByteArray)
     }).toDF("doc_id", "media")
   }
 

@@ -26,7 +26,7 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
-    m57FlacDecode, m58VideoFrames)
+    m57FlacDecode, m58VideoFrames, m59Mp3Meta)
 
   import QTables.{docs, emb}
 
@@ -739,4 +739,33 @@ object LlmOps extends QModule {
                    CAST(sum(v * v) AS DOUBLE) AS sum_sq,
                    CAST(max(abs(v)) AS INT) AS peak
             FROM s GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** REAL MP3 frame walk in the gate: per-doc ID3v2 + MPEG-1 Layer
+    * III silence-frame streams (CBR/VBR, mono/stereo, padded and
+    * CRC-protected variants all on the path) parsed by the strict
+    * [[graft.ops.Mp3]] walker; every output is a closed-form integer
+    * fact the oracle replays (duration is one identical IEEE
+    * division). PCM decode stays scope-frozen — metadata is the
+    * surface a corpus filter actually keys on.
+    */
+  val m59Mp3Meta = Q(
+    "m59_mp3_frame_meta",
+    (s, dir) => Multimodal.extractMp3Meta(s,
+        Multimodal.syntheticMp3(docs(s, dir).filter(col("doc_id") < 200)))
+      .toDF().orderBy(col("doc_id")),
+    Some("""WITH f AS (SELECT doc_id, 3 + doc_id % 4 AS n_frames,
+                  list_transform(range(CAST(3 + doc_id % 4 AS INT)),
+                    f -> CASE WHEN doc_id % 3 = 0 THEN 128
+                         ELSE [64, 80, 96][CAST((doc_id + f) % 3 AS INT) + 1] END) AS brs
+                FROM documents WHERE doc_id < 200)
+            SELECT doc_id, CAST(44100 AS INT) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+                   CAST(n_frames AS INT) AS n_frames,
+                   CAST(n_frames * 1152 AS BIGINT) AS n_samples,
+                   CAST(n_frames * 1152 * 1000 AS DOUBLE) / 44100 AS duration_ms,
+                   CAST(list_aggregate(brs, 'min') AS INT) AS bitrate_min_kbps,
+                   CAST(list_aggregate(brs, 'max') AS INT) AS bitrate_max_kbps,
+                   list_aggregate(brs, 'min') <> list_aggregate(brs, 'max') AS vbr,
+                   doc_id % 5 = 0 AS has_crc
+            FROM f ORDER BY doc_id"""))
 }
