@@ -263,4 +263,36 @@ object TextStats {
           .as("dup_frac"),
         col("max_repeat"))
   }
+
+  /** Model-based quality scoring: a hashing-trick linear classifier
+    * (the fastText-style quality filter production corpora run after
+    * rule gates — GPT-3's quality classifier regime). Words hash into
+    * `weights.length` buckets via md5 (cross-engine reproducible, the
+    * d43 precedent); the doc's normalized bucket histogram dots a
+    * FROZEN weight vector through a sigmoid. Training happens offline
+    * — applying the frozen model at corpus scale is the distributed
+    * op, and it is a pure projection: built-ins end-to-end, one
+    * shuffle on doc_id for the histogram, no UDF.
+    *
+    * `score` rounds to 6dp before the keep threshold on BOTH engines
+    * (sum order across buckets differs at ulp level).
+    */
+  def qualityClassifier(docs: DataFrame, weights: Seq[Double], bias: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = weights.length
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(words(col(textCol))).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long") % k)
+          .cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+    val wExpr = element_at(array(weights.map(lit): _*), col("bucket") + 1) * col("n")
+    d.groupBy("doc_id")
+      .agg(sum(col("n")).cast("int").as("n_words"),
+        sum(wExpr).as("dot"))
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("dot") / col("n_words")))), 6)
+          .as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
 }

@@ -23,7 +23,8 @@ object Pipeline extends QModule {
     q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
     t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
-    s51AnnPq, t62SequencePack)
+    s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
+    t65QualityClassifier)
 
   import QTables.{docs, emb}
 
@@ -654,4 +655,123 @@ object Pipeline extends QModule {
                    CAST(start_offset // 256 AS BIGINT) AS first_seq,
                    CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_seq
             FROM c ORDER BY doc_id"""))
+
+  /** The t63 merge list: the first 12 merges [[graft.ops.Bpe.train]]
+    * actually learns on the sf0.001 corpus (BpeSpec pins the trainer
+    * against an in-memory reference; the gate pins the ENCODER at
+    * corpus scale under a fixed vocabulary, the way production
+    * tokenization ships a frozen merges.txt).
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w", "s" -> "t", "l" -> "u",
+    "a" -> "r", "p" -> "ar", "m" -> "er", "a" -> "t", "a" -> "n", "c" -> "an")
+
+  /** BPE tokenization under the frozen merge list. The oracle replays
+    * Sennrich apply-order semantics with chained left-to-right string
+    * replaces over a `|sym||sym|` word representation (delimiters make
+    * adjacent merges well-defined); the engine encodes each DISTINCT
+    * word once and joins back — the 100 TB shape, since distinct words
+    * are orders of magnitude fewer than occurrences.
+    */
+  val t63BpeEncode = Q(
+    "t63_bpe_encode",
+    (s, dir) => graft.ops.Bpe.tokenStats(docs(s, dir), bpeMerges)
+      .orderBy(col("doc_id")),
+    Some {
+      val repr = bpeMerges.foldLeft(
+        "'|' || array_to_string(list_transform(range(len(w)), " +
+          "i -> substr(w, CAST(i + 1 AS INT), 1)), '||') || '|'") {
+        case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                     FROM documents),
+          occ AS (SELECT doc_id, unnest(range(len(ws))) AS pos,
+                    unnest(ws) AS w
+                  FROM d),
+          enc AS (SELECT doc_id, pos, $repr AS repr FROM occ),
+          tok AS (SELECT doc_id, pos,
+                    len(string_split(repr, '||')) AS n_toks,
+                    replace(substr(repr, 2, len(repr) - 2), '||', ' ') AS toks
+                  FROM enc)
+          SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 string_agg(toks, ' ' ORDER BY pos) AS token_str
+          FROM tok GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
+    * counts train on the doc_id < 50 slice, every doc scores against
+    * them (docs outside the slice exercise the unseen-bigram LEFT-join
+    * path). Integer facts (n_bigrams, n_unseen, sum_c2) are exact;
+    * avg_logp/ppl round to 6dp per the house rules.
+    */
+  val t64LmPerplexity = Q(
+    "t64_lm_perplexity",
+    (s, dir) => graft.ops.LangModel.perplexity(docs(s, dir), trainMaxId = 50)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                     unnest(list_transform(range(len(ws) - 1),
+                       i -> struct_pack(a := ws[CAST(i + 1 AS INT)],
+                                        b := ws[CAST(i + 2 AS INT)]))) AS p
+                   FROM d WHERE len(ws) >= 2),
+            g AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+            c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2n
+                   FROM g WHERE doc_id < 50 GROUP BY a, b),
+            c1 AS (SELECT a, CAST(count(*) AS BIGINT) AS c1n
+                   FROM g WHERE doc_id < 50 GROUP BY a),
+            v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                  FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id < 50)),
+            sc AS (SELECT g.doc_id, COALESCE(c2.c2n, 0) AS c2n, COALESCE(c1.c1n, 0) AS c1n,
+                          ln(CAST(COALESCE(c2.c2n, 0) + 1 AS DOUBLE)
+                             / (COALESCE(c1.c1n, 0) + v.v)) AS logp
+                   FROM g LEFT JOIN c2 ON g.a = c2.a AND g.b = c2.b
+                          LEFT JOIN c1 ON g.a = c1.a
+                          CROSS JOIN v)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c2n = 0 THEN 1 ELSE 0 END) AS INT) AS n_unseen,
+                   CAST(sum(c2n) AS BIGINT) AS sum_c2,
+                   round(sum(logp) / count(*), 6) AS avg_logp,
+                   round(exp(-sum(logp) / count(*)), 6) AS ppl
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** The frozen t65 weight vector: a hashing-trick linear quality
+    * model (16 md5 buckets). Weights ship with the pipeline like a
+    * fastText .bin would; the gate pins the distributed APPLICATION.
+    */
+  private val clfWeights: Seq[Double] = Seq(
+    0.8, -1.2, 0.4, 1.5, -0.6, 0.2, -1.8, 0.9,
+    1.1, -0.3, 0.5, -0.9, 1.3, -1.5, 0.7, -0.2)
+
+  /** Model-based quality classification over the full corpus: md5
+    * bucket histogram → frozen-weight dot → sigmoid → threshold on
+    * the 6dp-rounded score (both engines round before comparing, so
+    * the boundary cannot flip).
+    */
+  val t65QualityClassifier = Q(
+    "t65_quality_classifier",
+    (s, dir) => TextStats.qualityClassifier(docs(s, dir), clfWeights, bias = 0.1)
+      .orderBy(col("doc_id")),
+    Some {
+      // CAST each weight: DuckDB would otherwise parse 0.8 as DECIMAL
+      // and aggregate in decimal, diverging from Spark's double math.
+      val cases = clfWeights.zipWithIndex
+        .map { case (w, i) => s"WHEN $i THEN CAST($w AS DOUBLE)" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS w
+                     FROM documents),
+          b AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5(w), 1, 2) AS BIGINT) % 16 AS INT) AS bucket
+                FROM d),
+          c AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY doc_id, bucket),
+          z AS (SELECT doc_id, CAST(sum(n) AS INT) AS n_words,
+                  sum(n * CASE bucket $cases END) AS dot
+                FROM c GROUP BY doc_id)
+          SELECT doc_id, n_words,
+                 round(1.0 / (1.0 + exp(-(0.1 + dot / n_words))), 6) AS score,
+                 round(1.0 / (1.0 + exp(-(0.1 + dot / n_words))), 6) >= 0.5 AS keep
+          FROM z ORDER BY doc_id"""
+    })
 }

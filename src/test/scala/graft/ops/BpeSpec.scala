@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** BPE trainer + encoder (Bpe.scala). The distributed trainer is
+  * pinned against an independent in-test reference implementation
+  * (naive in-memory loops, Sennrich semantics) on corpora where the
+  * merge sequence is fully determined, plus property checks on the
+  * encode path (concatenation invariant, merge-order sensitivity).
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Naive reference trainer: same tie-break (count desc, then
+    * lexicographic), same left-to-right merge application.
+    */
+  private def refTrain(corpus: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var words: Map[Seq[String], Long] = corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w.map(_.toString): Seq[String], g.size.toLong) }
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < nMerges) {
+      val counts = words.toSeq.flatMap { case (s, n) =>
+        (0 until s.length - 1).map(j => ((s(j), s(j + 1)), n))
+      }.groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+      if (counts.isEmpty || counts.values.max < 2) i = nMerges
+      else {
+        val (a, b) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+        merges += ((a, b))
+        words = words.toSeq.map { case (s, n) => (Bpe.mergeOnce(s, a, b), n) }
+          .groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  test("distributed trainer matches the in-memory reference merge-for-merge") {
+    val corpus = Seq(
+      "low low low low low", "lower lower newest newest",
+      "newest newest newest newest", "widest widest widest",
+      "low lower newest widest")
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.train(docs, nMerges = 10)
+    val want = refTrain(corpus, nMerges = 10)
+    assert(got == want)
+    assert(got.nonEmpty && got.head._1.nonEmpty)
+  }
+
+  test("trainer stops early when no pair repeats") {
+    import spark.implicits._
+    val docs = Seq((0L, "ab cd ef")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, nMerges = 5).isEmpty)
+  }
+
+  test("encodeWord: concatenation invariant and merge-order semantics") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    assert(Bpe.encodeWord("lowest", merges) == Seq("low", "est"))
+    assert(Bpe.encodeWord("lowest", merges).mkString == "lowest")
+    // left-to-right non-overlap: 'aaa' under (a,a) -> [aa, a]
+    assert(Bpe.encodeWord("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // order matters: (a,a) then (aa,a) regroups the remainder
+    assert(Bpe.encodeWord("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    // 'aaaaa': (a,a) gives [aa, aa, a]; (aa,a) then merges at position 1
+    assert(Bpe.encodeWord("aaaaa", Seq(("a", "a"), ("aa", "a"))) == Seq("aa", "aaa"))
+  }
+
+  test("tokenStats: per-doc counts and document-order token string") {
+    import spark.implicits._
+    val docs = Seq((0L, "low lowest low"), (1L, "west west")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"))
+    val rows = Bpe.tokenStats(docs, merges).orderBy("doc_id")
+      .as[(Long, Int, Long, String)].collect()
+    assert(rows(0) == ((0L, 3, 4L, "low low est low")))
+    assert(rows(1) == ((1L, 2, 4L, "w est w est")))
+  }
+}
