@@ -101,6 +101,42 @@ class Mp3Spec extends AnyFunSuite {
     assert(math.abs(info.durationMs - 45 * 576 * 1000.0 / 22050) < 1e-9)
   }
 
+  test("seeded fuzz: every (version, layer) cell round-trips its closed-form facts") {
+    val rnd = new scala.util.Random(42)
+    val brTables = Map( // kbps, index 1..14, per (version-group, layer)
+      (1, 1) -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      (1, 2) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      (1, 3) -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+      (2, 1) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      (2, 2) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      (2, 3) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+    val srTables = Map(1 -> Array(44100, 48000, 32000), 2 -> Array(22050, 24000, 16000),
+      25 -> Array(11025, 12000, 8000))
+    for (_ <- 0 until 300) {
+      val version = Seq(1, 2, 25)(rnd.nextInt(3))
+      val layer = 1 + rnd.nextInt(3)
+      val sri = rnd.nextInt(3)
+      val mono = rnd.nextBoolean()
+      val nFrames = 1 + rnd.nextInt(5)
+      val brIdxs = Seq.fill(nFrames)(1 + rnd.nextInt(14))
+      val payload = brIdxs.map(bi =>
+        Mp3.fillerFrame(version, layer, bi, sri, mono, padding = rnd.nextBoolean()))
+        .reduce(_ ++ _)
+      val info = Mp3.parse(payload)
+      val vGroup = if (version == 1) 1 else 2
+      val brs = brIdxs.map(brTables((vGroup, layer))(_))
+      assert(info.version == (version match {
+        case 1 => "MPEG-1"; case 2 => "MPEG-2"; case _ => "MPEG-2.5" }))
+      assert(info.layer == layer && info.sampleRate == srTables(version)(sri))
+      assert(info.channels == (if (mono) 1 else 2) && info.nFrames == nFrames)
+      assert(info.bitrateMinKbps == brs.min && info.bitrateMaxKbps == brs.max)
+      assert(info.vbr == (brs.min != brs.max))
+      val spf = layer match { case 1 => 384; case 2 => 1152
+        case 3 => if (version == 1) 1152 else 576 }
+      assert(info.nSamples == nFrames.toLong * spf)
+    }
+  }
+
   test("decodeAudio routes MP3 payloads to a precise scope error") {
     val f = Mp3.silenceFrame(9, 0, mono = true, padding = false, withCrc = false)
     val e = intercept[IllegalArgumentException](Multimodal.decodeAudio(f))
