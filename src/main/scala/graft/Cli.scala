@@ -89,9 +89,18 @@ object Cli {
           "--output-scale: TIFF inputs are single-scale (only 0 is valid)")
         val img = graft.operators.TiffIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
+          if Seq(".nrrd", ".nhdr", ".mha", ".mhd", ".mgh", ".mgz")
+            .exists(input.toLowerCase.endsWith) =>
+        // the itkwasm-routed formats with public header+raw layouts
+        // read natively (VolumeFormats); the rest still refuse below
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: volume inputs are single-scale (only 0 is valid)")
+        val img = graft.operators.VolumeFormats.read(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
       case other => throw new UnsupportedOperationException(
         s"backend $other needs native image codecs not present here; " +
-          "convert to OME-Zarr, NIfTI, or TIFF upstream")
+          "convert to OME-Zarr, NIfTI, TIFF, NRRD, MetaImage, or MGH upstream")
     }
 
     // metadata overrides (cli.py metadata group): dims rename is

@@ -247,78 +247,14 @@ object NiftiIO {
 
     val itemSize = h.bitpix / 8
     val chunkRows: Dataset[ChunkRow] =
-      if (gz) scatterDecoded(spark, decodeGz(store, h, srcDtype, itemSize), meta, slope, inter)
-      else readDistributed(spark, path, hconf, h, meta, srcDtype, itemSize, slope, inter)
+      if (gz) RawVolume.scatterFortran(
+        spark, decodeGz(store, h, srcDtype, itemSize), meta, slope, inter)
+      else RawVolume.readDistributed(spark, path, hconf, h.voxOffset, srcDtype,
+        itemSize, bigEndian = !h.littleEndian, meta, slope, inter)
 
     val orientations = Converters.orientationToRfc4(dec.orientation)
     val omero = omeroFromCal(h, chunkRows, meta)
     NiftiImage(meta, chunkRows, orientations, omero)
-  }
-
-  /** Uncompressed path: one Spark task per chunk; each task positioned-
-    * reads only its chunk's x-runs (file layout is Fortran-ordered, so
-    * a chunk is contiguous runs of `chunkShape(0)` voxels).
-    */
-  private def readDistributed(spark: SparkSession, path: String,
-      hconf: Option[SerializableHadoopConf], h: NiftiHeader, meta: ImageMeta,
-      srcDtype: String, itemSize: Int, slope: Double, inter: Double): Dataset[ChunkRow] = {
-    import spark.implicits._
-    val grid = ZarrStore.chunkGrid(meta.shape, meta.chunks)
-    val idxs = ZarrStore.gridPositions(grid).toSeq
-    val shape = meta.shape
-    val chunks = meta.chunks
-    val voxOffset = h.voxOffset
-    val bigEndian = !h.littleEndian
-    val outDtype = meta.dtype
-    val rescale = (slope, inter) != ((1.0, 0.0))
-    // Fortran strides: dim 0 fastest
-    val fstride = shape.scanLeft(1L)(_ * _).init
-    spark.createDataset(idxs)
-      .repartition(math.min(idxs.length, spark.sparkContext.defaultParallelism))
-      .map { idx =>
-        val st = new ZarrStore(path, hconf)
-        val cShape = ZarrStore.chunkShapeAt(shape, chunks, idx)
-        val origin = ZarrStore.chunkOriginAt(chunks, idx)
-        val n = cShape.product
-        val out = new Array[Double](n)
-        // iterate non-x local coordinates in C order of the chunk
-        val rest = cShape.drop(1)
-        val runLen = cShape.head
-        val restCount = rest.product
-        val li = new Array[Int](rest.length)
-        var r = 0
-        while (r < restCount) {
-          var fileIdx = origin.head * fstride.head
-          var cBase = 0L // C-order base: strides over dims 1..n-1
-          var cstride = 1L
-          var d = rest.length - 1
-          while (d >= 0) {
-            fileIdx += (origin(d + 1) + li(d)) * fstride(d + 1)
-            cBase += li(d) * cstride
-            cstride *= rest(d)
-            d += -1
-          }
-          val raw = st.readRange("", voxOffset + fileIdx * itemSize, runLen * itemSize)
-          val vals = ZarrStore.decodeToDoubles(raw, srcDtype, bigEndian)
-          // x varies fastest in the file run; in C order (x first dim)
-          // consecutive x are `restCount` apart
-          var i = 0
-          while (i < runLen) {
-            val v = if (rescale) (vals(i) * slope + inter).toFloat.toDouble else vals(i)
-            out((i.toLong * restCount + cBase).toInt) = v
-            i += 1
-          }
-          // increment odometer over rest dims (last fastest)
-          var k = rest.length - 1
-          var carry = true
-          while (k >= 0 && carry) {
-            li(k) += 1
-            if (li(k) == rest(k)) { li(k) = 0; k -= 1 } else carry = false
-          }
-          r += 1
-        }
-        ChunkRow(idx, origin, cShape, ZarrStore.encodeFromDoubles(out, outDtype))
-      }
   }
 
   /** Stream-decode a .nii.gz payload to doubles in file (Fortran)
@@ -351,43 +287,6 @@ object NiftiIO {
       }
       ZarrStore.decodeToDoubles(buf, srcDtype, !h.littleEndian)
     } finally in.close()
-  }
-
-  /** Scatter a decoded Fortran-order payload into C-order chunk rows
-    * (with optional scl rescale), distributing the per-chunk encode.
-    */
-  private def scatterDecoded(spark: SparkSession, fvals: Array[Double],
-      meta: ImageMeta, slope: Double, inter: Double): Dataset[ChunkRow] = {
-    import spark.implicits._
-    val shape = meta.shape
-    val rescale = (slope, inter) != ((1.0, 0.0))
-    val fstride = shape.scanLeft(1L)(_ * _).init
-    // C-order global array, then reuse the existing scatter machinery
-    val n = shape.product.toInt
-    val cvals = new Array[Double](n)
-    val cstrideArr = shape.scanRight(1L)(_ * _).tail
-    val idx = new Array[Long](shape.length)
-    var f = 0
-    var done = false
-    while (!done) {
-      var fi = 0L; var ci = 0L
-      var d = 0
-      while (d < shape.length) {
-        fi += idx(d) * fstride(d); ci += idx(d) * cstrideArr(d); d += 1
-      }
-      val v = fvals(fi.toInt)
-      cvals(ci.toInt) = if (rescale) (v * slope + inter).toFloat.toDouble else v
-      // odometer: first dim fastest (any order covers all cells)
-      var k = 0
-      var carry = true
-      while (k < shape.length && carry) {
-        idx(k) += 1
-        if (idx(k) == shape(k)) { idx(k) = 0; k += 1 } else carry = false
-      }
-      done = carry
-      f += 1
-    }
-    ChunkOps.fromArray(spark, cvals, meta)
   }
 
   /** OMERO window from cal_min/cal_max: start/end are the calibration

@@ -1,0 +1,404 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.meta.Model.ImageMeta
+import graft.operators.ChunkOps.ChunkRow
+import graft.zarr.{SerializableHadoopConf, ZarrStore}
+
+/** S10 — the next converter tier after NIfTI/TIFF: NRRD (.nrrd/.nhdr),
+  * MetaImage (.mha/.mhd) and FreeSurfer MGH (.mgh/.mgz). All three are
+  * reference-ingestable formats (`py/ngff_zarr/detect_cli_io_backend.py:36-68`
+  * routes them through itkwasm/itk) with public header-plus-raw-array
+  * layouts — no codec stack, so a pure-JVM reader is exactly as
+  * trustworthy as the spec. Each parses its header, maps
+  * spacing/origin to scale/translation, and reads voxels through the
+  * shared [[RawVolume]] machinery: uncompressed payloads are
+  * positioned-read per chunk by executors (the file never transits
+  * the driver); gzip/zlib payloads stream-decode once and scatter
+  * (neither codec is splittable — convert large volumes to raw or
+  * zarr for parallel ingest, same posture as .nii.gz).
+  *
+  * Refuse-loudly: unknown types, ascii/bzip2/hex encodings, detached
+  * LIST data files, byte/line skips and reserved flags are precise
+  * errors, never a silently mis-strided volume.
+  */
+object VolumeFormats {
+
+  final case class VolumeImage(meta: ImageMeta, chunks: Dataset[ChunkRow])
+
+  /** Parsed "header + raw Fortran array" facts shared by all three
+    * formats. `shape` is fastest-axis-first (the on-disk raster
+    * order); `spatial(i)` marks axes that carry spacing.
+    */
+  final case class RawHeader(
+      shape: Seq[Long],
+      dtype: String,
+      bigEndian: Boolean,
+      encoding: String, // "raw" | "gzip" | "zlib"
+      dataOffset: Long, // into the data object (attached or detached)
+      dataFile: Option[String], // detached payload, relative to header dir
+      spatial: Seq[Boolean],
+      spacing: Seq[Double], // per-axis; 1.0 for non-spatial
+      origin: Seq[Double])
+
+  private val itemSizes = Map(
+    "int8" -> 1, "uint8" -> 1, "int16" -> 2, "uint16" -> 2,
+    "int32" -> 4, "uint32" -> 4, "int64" -> 8, "float32" -> 4, "float64" -> 8)
+
+  /** Axis names in the NIfTI convention this engine uses (fastest
+    * first): spatial axes become x,y,z in order. A TRAILING
+    * non-spatial axis is time (the MGH/NIfTI frames convention); a
+    * leading/interior one is channel (the NRRD `none`-direction
+    * convention); with two, the leading is c and the trailing t.
+    */
+  private def dimNames(spatial: Seq[Boolean]): Seq[String] = {
+    val spatialNames = Iterator("x", "y", "z")
+    require(spatial.count(identity) <= 3, "more than 3 spatial axes")
+    require(spatial.count(!_) <= 2, "more than 2 non-spatial axes")
+    spatial.zipWithIndex.map {
+      case (true, _) => spatialNames.next()
+      case (false, i) => if (i == spatial.length - 1) "t" else "c"
+    }
+  }
+
+  // ---------------------------------------------------------------- NRRD
+
+  private val nrrdTypes: Map[String, String] = {
+    def all(canon: String, aliases: String*) = aliases.map(_ -> canon)
+    (all("int8", "signed char", "int8", "int8_t") ++
+      all("uint8", "uchar", "unsigned char", "uint8", "uint8_t") ++
+      all("int16", "short", "short int", "signed short", "signed short int", "int16", "int16_t") ++
+      all("uint16", "ushort", "unsigned short", "unsigned short int", "uint16", "uint16_t") ++
+      all("int32", "int", "signed int", "int32", "int32_t") ++
+      all("uint32", "uint", "unsigned int", "uint32", "uint32_t") ++
+      all("int64", "longlong", "long long", "long long int", "signed long long",
+        "signed long long int", "int64", "int64_t") ++
+      all("float32", "float") ++ all("float64", "double")).toMap
+  }
+
+  /** Parse an NRRD header (the teem format, magic `NRRD000N`): field
+    * lines up to the blank line; `sizes` is fastest-axis-first;
+    * spatial-ness comes from `space directions` (`none` = non-spatial
+    * axis), spacing from direction column norms or `spacings`.
+    */
+  def parseNrrd(headerBytes: Array[Byte]): RawHeader = {
+    val text = new String(headerBytes, "US-ASCII")
+    val endIdx = headerEnd(headerBytes)
+    val lines = text.substring(0, endIdx).split("\r?\n").toSeq
+    require(lines.nonEmpty && lines.head.startsWith("NRRD000"),
+      "not an NRRD header (missing NRRD000N magic)")
+    val fields = lines.tail
+      .filterNot(l => l.isEmpty || l.startsWith("#") || l.contains(":="))
+      .map { l =>
+        val i = l.indexOf(": ")
+        require(i > 0, s"malformed NRRD field line '$l'")
+        (l.substring(0, i).toLowerCase, l.substring(i + 2).trim)
+      }.toMap
+
+    val dim = fields.getOrElse("dimension",
+      throw new IllegalArgumentException("NRRD without dimension field")).toInt
+    val sizes = fields.getOrElse("sizes",
+      throw new IllegalArgumentException("NRRD without sizes field"))
+      .split("\\s+").map(_.toLong).toSeq
+    require(sizes.length == dim, s"NRRD sizes ${sizes.length} != dimension $dim")
+    val dtype = nrrdTypes.getOrElse(fields("type").toLowerCase,
+      throw new UnsupportedOperationException(s"NRRD type '${fields("type")}' unsupported"))
+    val enc = fields.getOrElse("encoding", "raw").toLowerCase match {
+      case "raw" => "raw"
+      case "gzip" | "gz" => "gzip"
+      case other => throw new UnsupportedOperationException(
+        s"NRRD encoding '$other' unsupported (raw/gzip)")
+    }
+    require(!fields.contains("byte skip") && !fields.contains("byteskip") &&
+      !fields.contains("line skip") && !fields.contains("lineskip"),
+      "NRRD byte/line skip unsupported")
+    val bigEndian = fields.get("endian") match {
+      case Some("big") => true
+      case Some("little") | None => false
+      case Some(o) => throw new IllegalArgumentException(s"NRRD endian '$o'")
+    }
+
+    // space directions: per-axis `none` or a (a,b,c) vector
+    val dirs = fields.get("space directions").map(_.split("\\s+(?![^(]*\\))").toSeq)
+    val spatial = dirs match {
+      case Some(ds) =>
+        require(ds.length == dim, "space directions arity != dimension")
+        ds.map(_ != "none")
+      case None => sizes.map(_ => true)
+    }
+    val spacings = fields.get("spacings").map(_.split("\\s+").map(_.toDouble).toSeq)
+    val spacing = (0 until dim).map { i =>
+      dirs match {
+        case Some(ds) if ds(i) != "none" =>
+          val v = ds(i).stripPrefix("(").stripSuffix(")").split(",").map(_.trim.toDouble)
+          math.sqrt(v.map(x => x * x).sum)
+        case _ => spacings.flatMap(_.lift(i)).getOrElse(1.0)
+      }
+    }
+    val origin = fields.get("space origin") match {
+      case Some(o) =>
+        val v = o.stripPrefix("(").stripSuffix(")").split(",").map(_.trim.toDouble).toSeq
+        // origin is per SPATIAL axis; expand to all axes
+        val it = v.iterator
+        spatial.map(s => if (s && it.hasNext) it.next() else 0.0)
+      case None => sizes.map(_ => 0.0)
+    }
+    val dataFile = fields.get("data file").orElse(fields.get("datafile"))
+    RawHeader(sizes, dtype, bigEndian, enc,
+      dataOffset = if (dataFile.isDefined) 0L else endIdx.toLong,
+      dataFile = dataFile,
+      spatial = spatial, spacing = spacing, origin = origin)
+  }
+
+  /** First byte index AFTER the header's terminating blank line. */
+  private def headerEnd(bytes: Array[Byte]): Int = {
+    var i = 0
+    while (i < bytes.length - 1) {
+      if (bytes(i) == '\n') {
+        if (bytes(i + 1) == '\n') return i + 2
+        if (i + 2 < bytes.length && bytes(i + 1) == '\r' && bytes(i + 2) == '\n') return i + 3
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("no blank line terminating the header")
+  }
+
+  // ----------------------------------------------------------- MetaImage
+
+  private val metTypes = Map(
+    "MET_CHAR" -> "int8", "MET_UCHAR" -> "uint8",
+    "MET_SHORT" -> "int16", "MET_USHORT" -> "uint16",
+    "MET_INT" -> "int32", "MET_UINT" -> "uint32",
+    "MET_LONG_LONG" -> "int64",
+    "MET_FLOAT" -> "float32", "MET_DOUBLE" -> "float64")
+
+  /** Parse a MetaImage header (`Key = Value` lines; `ElementDataFile`
+    * is by spec the LAST line — attached payloads start right after
+    * it). `CompressedData = True` means one zlib stream.
+    */
+  def parseMetaImage(headerBytes: Array[Byte]): RawHeader = {
+    val text = new String(headerBytes, "US-ASCII")
+    var offset = 0
+    var fields = Map.empty[String, String]
+    var dataOffset = -1L
+    while (dataOffset < 0 && offset < text.length) {
+      val nl = text.indexOf('\n', offset)
+      require(nl >= 0, "MetaImage header without ElementDataFile before EOF")
+      val line = text.substring(offset, if (nl > offset && text.charAt(nl - 1) == '\r') nl - 1 else nl)
+      offset = nl + 1 // byte-exact: attached payloads start right after this
+      val parts = line.split("=", 2)
+      require(parts.length == 2, s"malformed MetaImage line '$line'")
+      val (k, v) = (parts(0).trim, parts(1).trim)
+      fields += (k -> v)
+      if (k == "ElementDataFile") dataOffset = offset.toLong
+    }
+    require(dataOffset >= 0, "MetaImage header without ElementDataFile")
+    require(fields.get("ObjectType").forall(_ == "Image"),
+      s"MetaImage ObjectType '${fields.getOrElse("ObjectType", "?")}' unsupported")
+    require(fields.get("HeaderSize").forall(_.toLong == 0L),
+      "MetaImage HeaderSize != 0 unsupported")
+    val ndims = fields.getOrElse("NDims",
+      throw new IllegalArgumentException("MetaImage without NDims")).toInt
+    val sizes = fields.getOrElse("DimSize",
+      throw new IllegalArgumentException("MetaImage without DimSize"))
+      .split("\\s+").map(_.toLong).toSeq
+    require(sizes.length == ndims, "DimSize arity != NDims")
+    val dtype = metTypes.getOrElse(fields.getOrElse("ElementType", "?"),
+      throw new UnsupportedOperationException(
+        s"MetaImage ElementType '${fields.getOrElse("ElementType", "?")}' unsupported"))
+    require(fields.get("ElementNumberOfChannels").forall(_.toInt == 1),
+      "MetaImage multi-channel voxels unsupported (split channels upstream)")
+    val bigEndian = Seq("BinaryDataByteOrderMSB", "ElementByteOrderMSB")
+      .flatMap(fields.get).headOption.exists(_.equalsIgnoreCase("True"))
+    val compressed = fields.get("CompressedData").exists(_.equalsIgnoreCase("True"))
+    val dataFileField = fields("ElementDataFile")
+    require(dataFileField != "LIST" && !dataFileField.contains("%"),
+      "MetaImage per-slice data file lists unsupported")
+    val dataFile = if (dataFileField == "LOCAL") None else Some(dataFileField)
+    val spacing = fields.get("ElementSpacing").orElse(fields.get("ElementSize"))
+      .map(_.split("\\s+").map(_.toDouble).toSeq)
+      .getOrElse(sizes.map(_ => 1.0))
+    val origin = fields.get("Offset").orElse(fields.get("Origin"))
+      .orElse(fields.get("Position"))
+      .map(_.split("\\s+").map(_.toDouble).toSeq)
+      .getOrElse(sizes.map(_ => 0.0))
+    RawHeader(sizes, dtype, bigEndian, if (compressed) "zlib" else "raw",
+      dataOffset = if (dataFile.isEmpty) dataOffset else 0L,
+      dataFile = dataFile,
+      spatial = sizes.map(_ => true), spacing = spacing, origin = origin)
+  }
+
+  // ----------------------------------------------------------------- MGH
+
+  /** Parse the FreeSurfer MGH fixed 284-byte header (always
+    * big-endian): dims [width, height, depth, nframes] fastest-first,
+    * type code, and — when goodRASFlag is set — per-axis sizes used
+    * as spacing. (.mgz is the same stream gzip-wrapped.)
+    */
+  def parseMgh(headerBytes: Array[Byte]): RawHeader = {
+    require(headerBytes.length >= 284, "MGH header needs 284 bytes")
+    val bb = ByteBuffer.wrap(headerBytes).order(ByteOrder.BIG_ENDIAN)
+    val version = bb.getInt(0)
+    require(version == 1, s"MGH version $version unsupported (expected 1)")
+    val dims = Seq(bb.getInt(4), bb.getInt(8), bb.getInt(12)).map(_.toLong)
+    val nframes = bb.getInt(16).toLong
+    val dtype = bb.getInt(20) match {
+      case 0 => "uint8"
+      case 1 => "int32"
+      case 3 => "float32"
+      case 4 => "int16"
+      case other => throw new UnsupportedOperationException(s"MGH type code $other")
+    }
+    val goodRas = bb.getShort(28) > 0
+    val spacing3 =
+      if (goodRas) Seq(bb.getFloat(30).toDouble, bb.getFloat(34).toDouble,
+        bb.getFloat(38).toDouble)
+      else Seq(1.0, 1.0, 1.0)
+    val shape = if (nframes > 1) dims :+ nframes else dims
+    val spatial = Seq(true, true, true) ++ (if (nframes > 1) Seq(false) else Nil)
+    RawHeader(shape, dtype, bigEndian = true, encoding = "raw", dataOffset = 284L,
+      dataFile = None, spatial = spatial,
+      spacing = spacing3 ++ (if (nframes > 1) Seq(1.0) else Nil),
+      origin = shape.map(_ => 0.0))
+  }
+
+  // ------------------------------------------------------------- reading
+
+  /** Read any of the three formats, dispatched on extension. */
+  def read(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]] = None): VolumeImage = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".nrrd") || lower.endsWith(".nhdr")) readNrrd(spark, path, chunkShape)
+    else if (lower.endsWith(".mha") || lower.endsWith(".mhd")) readMetaImage(spark, path, chunkShape)
+    else if (lower.endsWith(".mgh") || lower.endsWith(".mgz")) readMgh(spark, path, chunkShape)
+    else throw new UnsupportedOperationException(
+      s"$path: not an NRRD/MetaImage/MGH volume")
+  }
+
+  def readNrrd(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]] = None): VolumeImage =
+    readParsed(spark, path, parseNrrd(probeHeader(spark, path)), chunkShape)
+
+  def readMetaImage(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]] = None): VolumeImage =
+    readParsed(spark, path, parseMetaImage(probeHeader(spark, path)), chunkShape)
+
+  def readMgh(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]] = None): VolumeImage = {
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    if (path.toLowerCase.endsWith(".mgz")) {
+      val store = new ZarrStore(path, hconf)
+      val all = gunzip(store.readBytes(""))
+      val h = parseMgh(all)
+      val meta = metaFor(h, chunkShape)
+      val fvals = decodePayload(all, h)
+      VolumeImage(meta, RawVolume.scatterFortran(spark, fvals, meta))
+    } else readParsed(spark, path, parseMgh(probeHeader(spark, path)), chunkShape)
+  }
+
+  /** First bytes of the object, capped at its length (headers are
+    * small; raw payloads are NOT pulled here).
+    */
+  private def probeHeader(spark: SparkSession, path: String): Array[Byte] = {
+    val store = new ZarrStore(path, Some(SerializableHadoopConf.fromActiveSession()))
+    val size = store.objectSize("")
+    val n = math.min(size, 64 * 1024L).toInt
+    store.readRange("", 0L, n)
+  }
+
+  private def metaFor(h: RawHeader, chunkShape: Option[Seq[Int]]): ImageMeta = {
+    val dims = dimNames(h.spatial)
+    val chunks = chunkShape.getOrElse(
+      dims.zip(h.shape).map { case (d, s) =>
+        if (Seq("x", "y", "z").contains(d)) math.min(64L, s).toInt else 1 })
+    ImageMeta(dims, h.shape, chunks, h.dtype,
+      scale = dims.zip(h.spacing).toMap,
+      translation = dims.zip(h.origin).toMap)
+  }
+
+  private def readParsed(spark: SparkSession, headerPath: String, h: RawHeader,
+      chunkShape: Option[Seq[Int]]): VolumeImage = {
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    val meta = metaFor(h, chunkShape)
+    val itemSize = itemSizes(h.dtype)
+    val dataPath = h.dataFile match {
+      case Some(f) =>
+        val slash = headerPath.lastIndexOf('/')
+        if (slash < 0) f else headerPath.substring(0, slash + 1) + f
+      case None => headerPath
+    }
+    val chunks: Dataset[ChunkRow] = h.encoding match {
+      case "raw" =>
+        RawVolume.readDistributed(spark, dataPath, hconf, h.dataOffset,
+          h.dtype, itemSize, h.bigEndian, meta)
+      case enc =>
+        val store = new ZarrStore(dataPath, hconf)
+        val raw = store.readBytes("")
+        val payload = raw.slice(h.dataOffset.toInt, raw.length)
+        val decoded = if (enc == "gzip") gunzip(payload) else inflate(payload)
+        RawVolume.scatterFortran(spark,
+          decodeAll(decoded, h), meta)
+    }
+    VolumeImage(meta, chunks)
+  }
+
+  private def decodePayload(all: Array[Byte], h: RawHeader): Array[Double] =
+    decodeAll(all.slice(h.dataOffset.toInt, all.length), h)
+
+  private def decodeAll(payload: Array[Byte], h: RawHeader): Array[Double] = {
+    val n = h.shape.product
+    val itemSize = itemSizes(h.dtype)
+    require(payload.length >= n * itemSize,
+      s"volume payload truncated: need ${n * itemSize} bytes, have ${payload.length}")
+    ZarrStore.decodeToDoubles(payload.take((n * itemSize).toInt), h.dtype, h.bigEndian)
+  }
+
+  // ---- minimal encoder (fixtures + synthetic gate payloads) ----
+
+  /** Encode an attached-raw NRRD (fastest-axis-first `values` in
+    * Fortran order, int16 big-endian payload) — the shape every NRRD
+    * reader must accept; used by the i67 gate so header, spacing
+    * mapping and the distributed positioned-read path are all on the
+    * verified route.
+    */
+  def encodeNrrdInt16(shape: Seq[Long], spacing: Seq[Double], origin: Seq[Double],
+      values: Array[Int]): Array[Byte] = {
+    require(values.length.toLong == shape.product, "values != shape product")
+    require(shape.length == 3 && spacing.length == 3 && origin.length == 3,
+      "encodeNrrdInt16 writes 3-D volumes")
+    def vec(v: Seq[Double], axis: Int) =
+      "(" + v.indices.map(i => if (i == axis) v(axis).toString else "0").mkString(",") + ")"
+    val header =
+      "NRRD0004\n" +
+        "type: short\n" +
+        "dimension: 3\n" +
+        s"sizes: ${shape.mkString(" ")}\n" +
+        "space directions: " + (0 until 3).map(a => vec(spacing, a)).mkString(" ") + "\n" +
+        s"space origin: (${origin.mkString(",")})\n" +
+        "endian: big\n" +
+        "encoding: raw\n\n"
+    val bb = ByteBuffer.allocate(values.length * 2).order(ByteOrder.BIG_ENDIAN)
+    values.foreach(v => bb.putShort(v.toShort))
+    header.getBytes("US-ASCII") ++ bb.array()
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(bytes)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished(), "truncated zlib stream in MetaImage payload")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+}

@@ -43,7 +43,56 @@ object Imaging extends QModule {
        |  FROM range(${H * W}) r(i))""".stripMargin
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
-    h65HcsWellLookup, i66OmeTiffAxes)
+    h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume)
+
+  /** S10 — NRRD ingestion, oracle-gated: a 10×8×6 int16 big-endian
+    * attached-raw NRRD (anisotropic space directions + origin) is
+    * encoded at runtime, read back through [[graft.operators
+    * .VolumeFormats]] — including the distributed positioned-read
+    * path — and reduced to per-z slab sums plus a position-weighted
+    * sum; spacing/origin land as columns. The oracle replays the
+    * closed-form voxel formula over range(); a mis-strided read, a
+    * little-endian misparse, or a dropped spacing all hash-mismatch.
+    */
+  val i67NrrdVolume = Q(
+    "i67_nrrd_volume",
+    (s, _) => {
+      import graft.operators.VolumeFormats
+      val (nx, ny, nz) = (10, 8, 6)
+      val vals = Array.tabulate(nx * ny * nz) { f => // Fortran order: x fastest
+        val x = f % nx; val y = (f / nx) % ny; val z = f / (nx * ny)
+        (x * 3 + y * 5 + z * 29) % 256
+      }
+      val path = java.nio.file.Files.createTempDirectory("i67").resolve("vol.nrrd")
+      java.nio.file.Files.write(path, VolumeFormats.encodeNrrdInt16(
+        Seq(nx, ny, nz), Seq(1.5, 2.5, 3.5), Seq(5.0, -3.0, 0.5), vals))
+      val img = VolumeFormats.read(s, path.toString)
+      ChunkOps.voxelView(s, img.chunks, img.meta)
+        .groupBy(col("z"))
+        .agg(sum(col("value")).cast("bigint").as("slab_sum"),
+          sum(col("value") * (col("y") * 37 + col("x") * 11)).cast("bigint").as("slab_wsum"))
+        .withColumn("scale_x", lit(img.meta.scale("x")))
+        .withColumn("scale_y", lit(img.meta.scale("y")))
+        .withColumn("scale_z", lit(img.meta.scale("z")))
+        .withColumn("tx", lit(img.meta.translation("x")))
+        .withColumn("ty", lit(img.meta.translation("y")))
+        .withColumn("tz", lit(img.meta.translation("z")))
+        .orderBy(col("z"))
+    },
+    Some("""WITH vox AS (
+              SELECT i % 10 AS x, (i // 10) % 8 AS y, i // 80 AS z,
+                     CAST(((i % 10) * 3 + ((i // 10) % 8) * 5 + (i // 80) * 29) % 256
+                       AS DOUBLE) AS v
+              FROM range(480) r(i))
+            SELECT z, CAST(sum(v) AS BIGINT) AS slab_sum,
+                   CAST(sum(v * (y * 37 + x * 11)) AS BIGINT) AS slab_wsum,
+                   CAST(1.5 AS DOUBLE) AS scale_x,
+                   CAST(2.5 AS DOUBLE) AS scale_y,
+                   CAST(3.5 AS DOUBLE) AS scale_z,
+                   CAST(5.0 AS DOUBLE) AS tx,
+                   CAST(-3.0 AS DOUBLE) AS ty,
+                   CAST(0.5 AS DOUBLE) AS tz
+            FROM vox GROUP BY z ORDER BY z"""))
 
   /** S10 — OME-TIFF axes metadata, oracle-gated. A 12-page OME-TIFF
     * (DimensionOrder XYCZT: C fastest, SizeZ=3 SizeC=2 SizeT=2,

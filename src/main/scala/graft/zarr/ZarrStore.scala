@@ -76,6 +76,11 @@ final class ZarrStore(val root: String, hconf: Option[SerializableHadoopConf] = 
     try Some(readBytes(key))
     catch { case _: java.io.FileNotFoundException => None }
 
+  /** Object length in bytes — header probes on large raw volumes cap
+    * their first range read to this instead of reading blind.
+    */
+  def objectSize(key: String): Long = fs.getFileStatus(p(key)).getLen
+
   /** Positioned range read — executors pull just their slice of a
     * large object (NIfTI chunk ingest, shard interiors) instead of the
     * whole file.

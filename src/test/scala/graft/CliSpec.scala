@@ -76,4 +76,18 @@ class CliSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Cli.run(spark, Array(in, out + "2", "--output-scale=9")))
   }
+
+  test("NRRD input converts end-to-end (VolumeFormats route)") {
+    val fx = "src/test/resources/fixtures/vol/vol.nrrd"
+    val out = Files.createTempDirectory("cli-out").toString + "/out.ome.zarr"
+    Cli.run(spark, Array(fx, out))
+    val back = OmeZarrIO.readMultiscales(spark, out)
+    val l0 = back.levels.head
+    assert(l0.meta.dims == Seq("x", "y", "z"))
+    assert(l0.meta.shape == Seq(6L, 5L, 4L))
+    assert(l0.meta.scale == Map("x" -> 1.5, "y" -> 2.5, "z" -> 3.5))
+    val want = for (x <- 0 until 6; y <- 0 until 5; z <- 0 until 4)
+      yield ((x * 7 + y * 11 + z * 13) % 200).toDouble
+    assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == want)
+  }
 }
