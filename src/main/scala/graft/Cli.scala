@@ -90,6 +90,12 @@ object Cli {
         val img = graft.operators.TiffIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
+          if input.toLowerCase.endsWith(".dcm") =>
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: DICOM inputs are single-scale (only 0 is valid)")
+        val img = graft.operators.DicomIO.read(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if Seq(".nrrd", ".nhdr", ".mha", ".mhd", ".mgh", ".mgz")
             .exists(input.toLowerCase.endsWith) =>
         // the itkwasm-routed formats with public header+raw layouts
@@ -98,9 +104,19 @@ object Cli {
           "--output-scale: volume inputs are single-scale (only 0 is valid)")
         val img = graft.operators.VolumeFormats.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
+      case _ if new java.io.File(input).isDirectory &&
+          Option(new java.io.File(input).list())
+            .exists(_.exists(_.toLowerCase.endsWith(".dcm"))) =>
+        // a directory of .dcm slices is a DICOM series (the clinical
+        // on-disk shape; extension routing can't see inside it)
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: DICOM inputs are single-scale (only 0 is valid)")
+        val img = graft.operators.DicomIO.readSeriesDir(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
       case other => throw new UnsupportedOperationException(
         s"backend $other needs native image codecs not present here; " +
-          "convert to OME-Zarr, NIfTI, TIFF, NRRD, MetaImage, or MGH upstream")
+          "convert to OME-Zarr, NIfTI, TIFF, NRRD, MetaImage, MGH, " +
+          "or uncompressed DICOM upstream")
     }
 
     // metadata overrides (cli.py metadata group): dims rename is

@@ -1,0 +1,328 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.meta.Model.ImageMeta
+import graft.operators.ChunkOps.ChunkRow
+import graft.zarr.{SerializableHadoopConf, ZarrStore}
+
+/** S10 — constrained pure-JVM DICOM reader (.dcm): the clinical
+  * format the reference ingests through itkwasm/itk
+  * (`py/ngff_zarr/detect_cli_io_backend.py:38`). Scope is the
+  * UNCOMPRESSED transfer syntaxes, where pixel bytes are spec-exact
+  * on the JVM:
+  *   - 1.2.840.10008.1.2     Implicit VR Little Endian
+  *   - 1.2.840.10008.1.2.1   Explicit VR Little Endian
+  *   - 1.2.840.10008.1.2.2   Explicit VR Big Endian (retired but real)
+  * Compressed syntaxes (JPEG family, RLE) refuse loudly — same
+  * codec-scope posture as MP3/H.264 (COVERAGE.md): no silently-wrong
+  * pixels. MONOCHROME1/2, 8/16-bit, single-sample only; Rescale
+  * slope/intercept applies NIfTI-style (float32 output).
+  *
+  * Shapes: one multi-frame file → (x, y, z=frames); a SERIES directory
+  * (one slice per file) reads in two metadata-sized passes — executors
+  * parse per-file headers (stopping before PixelData), the driver sees
+  * only tiny meta rows to validate consistency and fix the z order
+  * (InstanceNumber, then ImagePositionPatient z), then executors
+  * decode their own slice into its chunk. Pixel bytes never transit
+  * the driver.
+  */
+object DicomIO {
+
+  private val ImplicitLE = "1.2.840.10008.1.2"
+  private val ExplicitLE = "1.2.840.10008.1.2.1"
+  private val ExplicitBE = "1.2.840.10008.1.2.2"
+
+  /** The per-file facts the reader extracts (header-only pass). */
+  final case class SliceMeta(
+      rows: Int, cols: Int, bitsAllocated: Int, signed: Boolean,
+      samples: Int, photometric: String, nFrames: Int,
+      pixelSpacingRow: Double, pixelSpacingCol: Double,
+      sliceThickness: Double, spacingBetween: Double,
+      instanceNumber: Int, ippZ: Double,
+      slope: Double, inter: Double,
+      transferSyntax: String, pixelDataOffset: Long, pixelDataLength: Long,
+      bigEndianData: Boolean)
+
+  // ------------------------------------------------------------ parsing
+
+  private def u16(b: Array[Byte], off: Int, be: Boolean): Int =
+    if (be) ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    else ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
+
+  private def u32(b: Array[Byte], off: Int, be: Boolean): Long =
+    if (be) (u16(b, off, be).toLong << 16) | u16(b, off + 2, be)
+    else (u16(b, off + 2, be).toLong << 16) | u16(b, off, be)
+
+  /** VRs with the 2-reserved + 4-byte-length explicit form. */
+  private val longVRs = Set("OB", "OW", "OF", "OD", "OL", "SQ", "UC", "UR", "UT", "UN")
+
+  /** Walk one element at `pos`; returns (group, elem, vr-or-"" for
+    * implicit, valueOffset, valueLength). Length 0xFFFFFFFF =
+    * undefined (SQ / encapsulated).
+    */
+  private def element(b: Array[Byte], pos: Int, explicitVr: Boolean,
+      be: Boolean): (Int, Int, String, Int, Long) = {
+    val group = u16(b, pos, be)
+    val elem = u16(b, pos + 2, be)
+    if (!explicitVr || group == 0xfffe) { // delimitation items are always implicit
+      (group, elem, "", pos + 8, u32(b, pos + 4, be))
+    } else {
+      val vr = new String(b, pos + 4, 2, "US-ASCII")
+      if (longVRs.contains(vr)) (group, elem, vr, pos + 12, u32(b, pos + 8, be))
+      else (group, elem, vr, pos + 8, u16(b, pos + 6, be).toLong)
+    }
+  }
+
+  /** Skip an undefined-length sequence/item body starting at `pos`
+    * (after the element header): walks nested items until the closing
+    * delimiter at this depth, returns the offset past it.
+    */
+  private def skipUndefined(b: Array[Byte], start: Int, explicitVr: Boolean,
+      be: Boolean, closing: Int): Int = {
+    var pos = start
+    while (pos + 8 <= b.length) {
+      val (g, e, _, voff, vlen) = element(b, pos, explicitVr, be)
+      if (g == 0xfffe && e == closing) return voff.toInt
+      if (vlen == 0xffffffffL) {
+        // nested undefined: items close with E00D, sequences with E0DD
+        val close = if (g == 0xfffe && e == 0xe000) 0xe00d else 0xe0dd
+        pos = skipUndefined(b, voff, explicitVr, be, close)
+      } else pos = voff + vlen.toInt
+    }
+    throw new IllegalArgumentException("unterminated undefined-length DICOM sequence")
+  }
+
+  private def ascii(b: Array[Byte], off: Int, len: Int): String =
+    new String(b, off, len, "US-ASCII").trim
+
+  /** Parse the Part 10 file: preamble + DICM, the little-endian
+    * explicit-VR meta group, then the dataset in its transfer syntax.
+    * Stops at PixelData (records offset/length; never copies pixels).
+    */
+  def parse(bytes: Array[Byte]): SliceMeta = {
+    require(bytes.length > 140 && ascii(bytes, 128, 4) == "DICM",
+      "not a DICOM Part 10 file (missing DICM magic)")
+    var pos = 132
+    // file meta group (0002,xxxx): always explicit VR little endian
+    var transferSyntax = ""
+    while (pos + 8 <= bytes.length && u16(bytes, pos, be = false) == 0x0002) {
+      val (_, elem, _, voff, vlen) = element(bytes, pos, explicitVr = true, be = false)
+      if (elem == 0x0010) transferSyntax = ascii(bytes, voff, vlen.toInt)
+        .replace("\u0000", "")
+      pos = voff + vlen.toInt
+    }
+    require(transferSyntax.nonEmpty, "DICOM file meta without TransferSyntaxUID")
+    val (explicitVr, be) = transferSyntax match {
+      case ImplicitLE => (false, false)
+      case ExplicitLE => (true, false)
+      case ExplicitBE => (true, true)
+      case other => throw new UnsupportedOperationException(
+        s"DICOM transfer syntax $other unsupported (compressed pixel data needs " +
+          "native codecs; supported: implicit/explicit LE, explicit BE)")
+    }
+
+    var rows = -1; var cols = -1; var bits = -1; var signed = false
+    var samples = 1; var photometric = "MONOCHROME2"; var nFrames = 1
+    var psRow = 1.0; var psCol = 1.0; var thick = 1.0; var between = 0.0
+    var instance = 0; var ippZ = 0.0; var slope = 1.0; var inter = 0.0
+    var pdOff = -1L; var pdLen = -1L
+
+    while (pdOff < 0 && pos + 8 <= bytes.length) {
+      val (g, e, vr, voff, vlen) = element(bytes, pos, explicitVr, be)
+      def str = ascii(bytes, voff, vlen.toInt)
+      def ds(i: Int) = str.split("\\\\")(i).trim.toDouble
+      (g, e) match {
+        case (0x0028, 0x0010) => rows = u16(bytes, voff, be)
+        case (0x0028, 0x0011) => cols = u16(bytes, voff, be)
+        case (0x0028, 0x0100) => bits = u16(bytes, voff, be)
+        case (0x0028, 0x0103) => signed = u16(bytes, voff, be) == 1
+        case (0x0028, 0x0002) => samples = u16(bytes, voff, be)
+        case (0x0028, 0x0004) => photometric = str
+        case (0x0028, 0x0008) => nFrames = str.toInt
+        case (0x0028, 0x0030) => psRow = ds(0); psCol = ds(1)
+        case (0x0018, 0x0050) => thick = str.toDouble
+        case (0x0018, 0x0088) => between = str.toDouble
+        case (0x0020, 0x0013) => instance = str.toInt
+        case (0x0020, 0x0032) => ippZ = ds(2)
+        case (0x0028, 0x1053) => slope = str.toDouble
+        case (0x0028, 0x1052) => inter = str.toDouble
+        case (0x7fe0, 0x0010) =>
+          require(vlen != 0xffffffffL, "encapsulated (compressed) PixelData " +
+            "unsupported — transfer syntax lied or file malformed")
+          pdOff = voff.toLong; pdLen = vlen
+        case _ => ()
+      }
+      pos =
+        if ((g, e) == ((0x7fe0, 0x0010))) pos // loop exits (pdOff set)
+        else if (vlen == 0xffffffffL) {
+          require(vr == "SQ" || vr.isEmpty, s"undefined length on VR '$vr'")
+          skipUndefined(bytes, voff, explicitVr, be, closing = 0xe0dd)
+        } else voff + vlen.toInt
+    }
+    require(pdOff >= 0, "DICOM dataset without PixelData")
+    require(rows > 0 && cols > 0, "DICOM without Rows/Columns")
+    require(bits == 8 || bits == 16, s"BitsAllocated $bits unsupported (8/16)")
+    require(samples == 1, s"SamplesPerPixel $samples unsupported (grayscale only)")
+    require(photometric == "MONOCHROME1" || photometric == "MONOCHROME2",
+      s"PhotometricInterpretation '$photometric' unsupported")
+    require(pdLen >= rows.toLong * cols * nFrames * (bits / 8),
+      s"PixelData length $pdLen shorter than ${rows}x${cols}x$nFrames frames")
+    SliceMeta(rows, cols, bits, signed, samples, photometric, nFrames,
+      psRow, psCol, thick, between, instance, ippZ, slope, inter,
+      transferSyntax, pdOff, pdLen, bigEndianData = be)
+  }
+
+  private def dtypeOf(m: SliceMeta): String = (m.bitsAllocated, m.signed) match {
+    case (8, false) => "uint8"
+    case (8, true) => "int8"
+    case (16, false) => "uint16"
+    case (16, true) => "int16"
+  }
+
+  final case class DicomImage(meta: ImageMeta, chunks: Dataset[ChunkRow])
+
+  /** Read one .dcm file: frames become z. */
+  def read(spark: SparkSession, path: String): DicomImage = readSeries(spark, Seq(path))
+
+  /** Read a series directory (every .dcm/.DCM inside, one slice each). */
+  def readSeriesDir(spark: SparkSession, dir: String): DicomImage = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".dcm"))
+      .map(_.getPath).sorted
+    require(files.nonEmpty, s"$dir contains no .dcm files")
+    readSeries(spark, files.toSeq)
+  }
+
+  /** Two metadata-sized passes over the series (header parse, slice
+    * order fix) and one distributed decode. Output dims (x,y,z),
+    * fastest-first like every volume reader here; z spacing prefers
+    * SpacingBetweenSlices, then SliceThickness.
+    */
+  def readSeries(spark: SparkSession, paths: Seq[String]): DicomImage = {
+    import spark.implicits._
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    // pass 1 (distributed): header facts only — pixels stay put
+    val metas: Seq[(String, SliceMeta)] = spark.createDataset(paths)
+      .map { p => (p, parse(new ZarrStore(p, hconf).readBytes(""))) }
+      .collect().toSeq
+
+    val first = metas.head._2
+    metas.foreach { case (p, m) =>
+      require(m.rows == first.rows && m.cols == first.cols &&
+        m.bitsAllocated == first.bitsAllocated && m.signed == first.signed &&
+        m.slope == first.slope && m.inter == first.inter,
+        s"series member $p disagrees with the first slice (shape/dtype/rescale)")
+      require(m.nFrames == 1 || metas.length == 1,
+        "multi-frame files cannot mix with a multi-file series")
+    }
+    // z order: InstanceNumber when distinct, else IPP z, else input order
+    val ordered =
+      if (metas.map(_._2.instanceNumber).distinct.length == metas.length && metas.length > 1)
+        metas.sortBy(_._2.instanceNumber)
+      else if (metas.map(_._2.ippZ).distinct.length == metas.length && metas.length > 1)
+        metas.sortBy(_._2.ippZ)
+      else metas
+
+    val nz = if (metas.length == 1) first.nFrames else metas.length
+    val srcDtype = dtypeOf(first)
+    val rescale = (first.slope, first.inter) != ((1.0, 0.0))
+    val outDtype = if (rescale) "float32" else srcDtype
+    val zSpacing =
+      if (first.spacingBetween != 0.0) first.spacingBetween else first.sliceThickness
+    val meta = ImageMeta(
+      dims = Seq("x", "y", "z"),
+      shape = Seq(first.cols.toLong, first.rows.toLong, nz.toLong),
+      chunks = Seq(first.cols, first.rows, 1),
+      dtype = outDtype,
+      scale = Map("x" -> first.pixelSpacingCol, "y" -> first.pixelSpacingRow,
+        "z" -> zSpacing),
+      translation = Map("x" -> 0.0, "y" -> 0.0, "z" -> ordered.head._2.ippZ))
+
+    val rows = first.rows; val cols = first.cols
+    val slope = first.slope; val inter = first.inter
+    // pass 2 (distributed): every (file, z) decodes its own slice
+    val tasks: Seq[(String, Int, Int)] = // (path, frame, zIndex)
+      if (metas.length == 1) (0 until nz).map(z => (ordered.head._1, z, z))
+      else ordered.zipWithIndex.map { case ((p, _), z) => (p, 0, z) }
+    val chunkRows = spark.createDataset(tasks)
+      .repartition(math.min(tasks.length, spark.sparkContext.defaultParallelism))
+      .map { case (path, frame, z) =>
+        val st = new ZarrStore(path, hconf)
+        val m = parse(st.readBytes("")) // header re-parse is cheap; bytes are local now
+        val itemSize = m.bitsAllocated / 8
+        val frameBytes = rows * cols * itemSize
+        val raw = st.readRange("", m.pixelDataOffset + frame.toLong * frameBytes, frameBytes)
+        val px = ZarrStore.decodeToDoubles(raw, dtypeOf(m), m.bigEndianData)
+        // DICOM rows are y-major; chunk payload is C-order over (x,y,z=1)
+        val out = new Array[Double](rows * cols)
+        var y = 0
+        while (y < rows) {
+          var x = 0
+          while (x < cols) {
+            val v = px(y * cols + x)
+            out(x * rows + y) =
+              if (rescale) (v * slope + inter).toFloat.toDouble else v
+            x += 1
+          }
+          y += 1
+        }
+        ChunkRow(Seq(0, 0, z), Seq(0L, 0L, z.toLong), Seq(cols, rows, 1),
+          ZarrStore.encodeFromDoubles(out, outDtype))
+      }
+    DicomImage(meta, chunkRows)
+  }
+
+  // ---- minimal encoder (fixtures + synthetic gate payloads) ----
+
+  /** One Explicit-VR-LE Part 10 slice with int16 pixels — the layout
+    * every DICOM parser must accept. Used by the i68 gate and specs.
+    */
+  def encodeSliceInt16(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Short]): Array[Byte] = {
+    require(pixels.length == rows * cols, "pixels != rows*cols")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def short(g: Int, e: Int, vr: String, value: Array[Byte]): Array[Byte] = {
+      // odd values pad to even length: UIDs with NUL, text VRs with space
+      val pad: Byte = if (vr == "UI") 0 else ' '.toByte
+      val padded = if (value.length % 2 == 1) value :+ pad else value
+      le16(g) ++ le16(e) ++ vr.getBytes("US-ASCII") ++ le16(padded.length) ++ padded
+    }
+    def us(g: Int, e: Int, v: Int) = short(g, e, "US", le16(v))
+    def asciiEl(g: Int, e: Int, vr: String, s: String) =
+      short(g, e, vr, s.getBytes("US-ASCII"))
+
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes("US-ASCII"))
+    val tsEl = asciiEl(0x0002, 0x0010, "UI", ExplicitLE)
+    out.write(short(0x0002, 0x0000, "UL", le32(tsEl.length)))
+    out.write(tsEl)
+
+    out.write(asciiEl(0x0008, 0x0060, "CS", "OT"))
+    out.write(asciiEl(0x0018, 0x0050, "DS", sliceThickness.toString))
+    out.write(asciiEl(0x0020, 0x0013, "IS", instanceNumber.toString))
+    out.write(asciiEl(0x0020, 0x0032, "DS", s"0\\0\\$ippZ"))
+    out.write(us(0x0028, 0x0002, 1))
+    out.write(asciiEl(0x0028, 0x0004, "CS", "MONOCHROME2"))
+    out.write(us(0x0028, 0x0010, rows))
+    out.write(us(0x0028, 0x0011, cols))
+    out.write(asciiEl(0x0028, 0x0030, "DS",
+      s"${pixelSpacingRowCol._1}\\${pixelSpacingRowCol._2}"))
+    out.write(us(0x0028, 0x0100, 16))
+    out.write(us(0x0028, 0x0101, 16))
+    out.write(us(0x0028, 0x0102, 15))
+    out.write(us(0x0028, 0x0103, 1)) // signed
+    val bb = ByteBuffer.allocate(pixels.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    pixels.foreach(bb.putShort)
+    out.write(le16(0x7fe0) ++ le16(0x0010) ++ "OW".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ le32(pixels.length * 2L))
+    out.write(bb.array())
+    out.toByteArray
+  }
+}

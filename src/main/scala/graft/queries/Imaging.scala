@@ -43,7 +43,54 @@ object Imaging extends QModule {
        |  FROM range(${H * W}) r(i))""".stripMargin
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
-    h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume)
+    h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries)
+
+  /** S10 — DICOM series ingestion, oracle-gated: four explicit-VR-LE
+    * int16 slices are encoded at runtime with SHUFFLED InstanceNumbers
+    * (3,1,4,2), read back through [[graft.operators.DicomIO]]'s
+    * two-pass distributed series path, and reduced to per-z slab sums
+    * plus a position-weighted sum; PixelSpacing (row\col → y,x) and
+    * SliceThickness land as columns. The oracle replays the closed
+    * form over range() with z = the SORTED instance order — an
+    * unsorted series, a row/col spacing swap, or an endian misread
+    * all hash-mismatch.
+    */
+  val i68DicomSeries = Q(
+    "i68_dicom_series",
+    (s, _) => {
+      import graft.operators.DicomIO
+      val (cols, rows) = (10, 8)
+      val dir = java.nio.file.Files.createTempDirectory("i68")
+      Seq(3, 1, 4, 2).zipWithIndex.foreach { case (inst, i) =>
+        val z = inst - 1
+        val px = Array.tabulate[Short](rows * cols) { p =>
+          ((p % cols) * 3 + (p / cols) * 5 + z * 29).toShort
+        }
+        java.nio.file.Files.write(dir.resolve(s"f$i.dcm"),
+          DicomIO.encodeSliceInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
+            pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px))
+      }
+      val img = DicomIO.readSeriesDir(s, dir.toString)
+      ChunkOps.voxelView(s, img.chunks, img.meta)
+        .groupBy(col("z"))
+        .agg(sum(col("value")).cast("bigint").as("slab_sum"),
+          sum(col("value") * (col("y") * 37 + col("x") * 11)).cast("bigint").as("slab_wsum"))
+        .withColumn("scale_x", lit(img.meta.scale("x")))
+        .withColumn("scale_y", lit(img.meta.scale("y")))
+        .withColumn("scale_z", lit(img.meta.scale("z")))
+        .orderBy(col("z"))
+    },
+    Some("""WITH vox AS (
+              SELECT i % 10 AS x, (i // 10) % 8 AS y, i // 80 AS z,
+                     CAST((i % 10) * 3 + ((i // 10) % 8) * 5 + (i // 80) * 29
+                       AS DOUBLE) AS v
+              FROM range(320) r(i))
+            SELECT z, CAST(sum(v) AS BIGINT) AS slab_sum,
+                   CAST(sum(v * (y * 37 + x * 11)) AS BIGINT) AS slab_wsum,
+                   CAST(1.5 AS DOUBLE) AS scale_x,
+                   CAST(2.5 AS DOUBLE) AS scale_y,
+                   CAST(4.0 AS DOUBLE) AS scale_z
+            FROM vox GROUP BY z ORDER BY z"""))
 
   /** S10 — NRRD ingestion, oracle-gated: a 10×8×6 int16 big-endian
     * attached-raw NRRD (anisotropic space directions + origin) is

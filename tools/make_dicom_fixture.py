@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Committed DICOM fixtures (pure stdlib) for DicomIOSpec — built
+independently of the JVM encoder so the reader is pinned against a
+second implementation of the Part 10 layout:
+
+    series/s{1..4}.dcm  explicit VR LE, int16, 6x5, shuffled
+                        InstanceNumbers (4,2,1,3) + matching IPP z
+    mf.dcm              implicit VR LE, uint8, 3 frames, a nested
+                        undefined-length SQ before PixelData, and
+                        RescaleSlope/Intercept 2/10
+    be.dcm              explicit VR BIG endian, int16
+    jpeg.dcm            JPEG-baseline transfer syntax (must refuse)
+
+    v(x, y, z) = (3x + 7y + 11z) % 126
+"""
+import struct
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parent.parent / "src/test/resources/fixtures/dicom"
+(OUT / "series").mkdir(parents=True, exist_ok=True)
+
+NX, NY = 6, 5  # cols, rows
+
+
+def vox(z):
+    return [(3 * x + 7 * y + 11 * z) % 126 for y in range(NY) for x in range(NX)]
+
+
+def el_explicit(g, e, vr, val, be=False):
+    fmt = ">" if be else "<"
+    if len(val) % 2:
+        val += b"\x00" if vr == "UI" else b" "
+    if vr in ("OB", "OW", "OF", "OD", "OL", "SQ", "UC", "UR", "UT", "UN"):
+        return struct.pack(fmt + "HH", g, e) + vr.encode() + b"\x00\x00" + \
+            struct.pack(fmt + "I", len(val)) + val
+    return struct.pack(fmt + "HH", g, e) + vr.encode() + \
+        struct.pack(fmt + "H", len(val)) + val
+
+
+def el_implicit(g, e, val):
+    if len(val) % 2:
+        val += b" "
+    return struct.pack("<HHI", g, e, len(val)) + val
+
+
+def meta_group(ts):
+    body = el_explicit(0x0002, 0x0010, "UI", ts.encode())
+    return el_explicit(0x0002, 0x0000, "UL", struct.pack("<I", len(body))) + body
+
+
+def part10(meta, dataset):
+    return b"\x00" * 128 + b"DICM" + meta + dataset
+
+
+# --- explicit LE series, shuffled instance numbers -----------------------
+order = [4, 2, 1, 3]  # file s{i}.dcm carries InstanceNumber order[i-1]
+for i, inst in enumerate(order, start=1):
+    z = inst - 1
+    px = b"".join(struct.pack("<h", v) for v in vox(z))
+    ds = b"".join([
+        el_explicit(0x0008, 0x0060, "CS", b"OT"),
+        el_explicit(0x0018, 0x0050, "DS", b"3.0"),
+        el_explicit(0x0020, 0x0013, "IS", str(inst).encode()),
+        el_explicit(0x0020, 0x0032, "DS", f"0\\0\\{z * 3.0}".encode()),
+        el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+        el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+        el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+        el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+        el_explicit(0x0028, 0x0030, "DS", b"2.5\\1.5"),
+        el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+        el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 1)),
+        el_explicit(0x7FE0, 0x0010, "OW", px),
+    ])
+    (OUT / "series" / f"s{i}.dcm").write_bytes(
+        part10(meta_group("1.2.840.10008.1.2.1"), ds))
+
+# --- implicit LE multi-frame with a nested undefined-length SQ -----------
+frames = b"".join(struct.pack("<B", v) for z in range(3) for v in vox(z))
+item = el_implicit(0x0008, 0x0100, b"SEQITEM")
+undef = struct.pack("<I", 0xFFFFFFFF)
+sq = (struct.pack("<HH", 0x0040, 0x0260) + undef +          # SQ, undefined len
+      struct.pack("<HH", 0xFFFE, 0xE000) + undef +          # item, undefined len
+      item +
+      struct.pack("<HHI", 0xFFFE, 0xE00D, 0) +              # item delimiter
+      struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))               # sequence delimiter
+ds = b"".join([
+    el_implicit(0x0028, 0x0002, struct.pack("<H", 1)),
+    el_implicit(0x0028, 0x0004, b"MONOCHROME2"),
+    el_implicit(0x0028, 0x0008, b"3"),
+    el_implicit(0x0028, 0x0010, struct.pack("<H", NY)),
+    el_implicit(0x0028, 0x0011, struct.pack("<H", NX)),
+    el_implicit(0x0028, 0x0030, b"1.0\\1.0"),
+    el_implicit(0x0028, 0x0100, struct.pack("<H", 8)),
+    el_implicit(0x0028, 0x0103, struct.pack("<H", 0)),
+    el_implicit(0x0028, 0x1052, b"10"),
+    el_implicit(0x0028, 0x1053, b"2"),
+    sq,
+    el_implicit(0x7FE0, 0x0010, frames),
+])
+(OUT / "mf.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2"), ds))
+
+# --- explicit BIG endian single slice ------------------------------------
+px = b"".join(struct.pack(">h", v) for v in vox(0))
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack(">H", 1), be=True),
+    el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2", be=True),
+    el_explicit(0x0028, 0x0010, "US", struct.pack(">H", NY), be=True),
+    el_explicit(0x0028, 0x0011, "US", struct.pack(">H", NX), be=True),
+    el_explicit(0x0028, 0x0100, "US", struct.pack(">H", 16), be=True),
+    el_explicit(0x0028, 0x0103, "US", struct.pack(">H", 1), be=True),
+    el_explicit(0x7FE0, 0x0010, "OW", px, be=True),
+])
+(OUT / "be.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.2"), ds))
+
+# --- compressed transfer syntax: must refuse -----------------------------
+(OUT / "jpeg.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.4.50"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY))))
+
+print("wrote", sorted(str(p.relative_to(OUT)) for p in OUT.rglob("*.dcm")))
