@@ -233,11 +233,18 @@ object TextDedup {
     */
   def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4,
       hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
-    val banded = sig.select(col("doc_id"),
+    val bandedRaw = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => element_at(col("sig"), (b * lit(rowsPerBand) + r + 1).cast("int"))): _*))))
         .as(Seq("band", "bucket")))
+    // the skew machinery (auto stats job, hot-list scan, salted join)
+    // reads the banded rows 2-3 times; persist so the signature kernel
+    // runs once. The plain path self-joins with matching partitioning,
+    // which Catalyst already serves via ReusedExchange — no cache there.
+    val banded = if (hotBucketThreshold != 0)
+      bandedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bandedRaw
     def pairJoin(b: DataFrame): DataFrame =
       b.as("x")
         .join(b.as("y"),
