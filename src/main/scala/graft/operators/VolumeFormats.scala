@@ -7,7 +7,8 @@ import graft.operators.ChunkOps.ChunkRow
 import graft.zarr.{SerializableHadoopConf, ZarrStore}
 
 /** S10 — the next converter tier after NIfTI/TIFF: NRRD (.nrrd/.nhdr),
-  * MetaImage (.mha/.mhd) and FreeSurfer MGH (.mgh/.mgz). All three are
+  * MetaImage (.mha/.mhd), FreeSurfer MGH (.mgh/.mgz), legacy VTK
+  * structured points (.vtk, BINARY) and GIPL (.gipl/.gipl.gz). All are
   * reference-ingestable formats (`py/ngff_zarr/detect_cli_io_backend.py:36-68`
   * routes them through itkwasm/itk) with public header-plus-raw-array
   * layouts — no codec stack, so a pure-JVM reader is exactly as
@@ -263,17 +264,121 @@ object VolumeFormats {
       origin = shape.map(_ => 0.0))
   }
 
+  // ------------------------------------------------------- VTK (legacy)
+
+  private val vtkTypes = Map(
+    "char" -> "int8", "unsigned_char" -> "uint8",
+    "short" -> "int16", "unsigned_short" -> "uint16",
+    "int" -> "int32", "unsigned_int" -> "uint32",
+    "long" -> "int64", "float" -> "float32", "double" -> "float64")
+
+  /** Parse a legacy-VTK STRUCTURED_POINTS header (the `# vtk DataFile`
+    * text preamble): BINARY point scalars only (legacy binary data is
+    * big-endian by spec; ASCII and other dataset kinds refuse).
+    */
+  def parseVtk(headerBytes: Array[Byte]): RawHeader = {
+    val text = new String(headerBytes, "ISO-8859-1")
+    require(text.startsWith("# vtk DataFile"), "not a legacy VTK file")
+    // header lines: magic, title, format, DATASET, then keyword lines
+    // until the line AFTER `LOOKUP_TABLE` (or after SCALARS when no
+    // table); data starts on the next byte.
+    var pos = 0
+    def nextLine(): String = {
+      val nl = text.indexOf('\n', pos)
+      require(nl >= 0, "truncated VTK header")
+      val line = text.substring(pos, nl).stripSuffix("\r")
+      pos = nl + 1
+      line
+    }
+    nextLine(); nextLine()
+    val fmt = nextLine().trim.toUpperCase
+    require(fmt == "BINARY", s"VTK $fmt data unsupported (BINARY only — " +
+      "ASCII floats cannot be bit-verified)")
+    val ds = nextLine().trim.split("\\s+")
+    require(ds.length == 2 && ds(0) == "DATASET" && ds(1) == "STRUCTURED_POINTS",
+      s"VTK dataset '${ds.mkString(" ")}' unsupported (STRUCTURED_POINTS only)")
+    var dims: Seq[Long] = null
+    var spacing = Seq(1.0, 1.0, 1.0)
+    var origin = Seq(0.0, 0.0, 0.0)
+    var dtype: String = null
+    var done = false
+    while (!done) {
+      val parts = nextLine().trim.split("\\s+")
+      parts(0).toUpperCase match {
+        case "DIMENSIONS" => dims = parts.drop(1).map(_.toLong).toSeq
+        case "SPACING" | "ASPECT_RATIO" => spacing = parts.drop(1).map(_.toDouble).toSeq
+        case "ORIGIN" => origin = parts.drop(1).map(_.toDouble).toSeq
+        case "POINT_DATA" => ()
+        case "SCALARS" =>
+          require(parts.length >= 3, "malformed SCALARS line")
+          require(parts.length < 4 || parts(3) == "1",
+            s"VTK multi-component scalars (${parts.lift(3).getOrElse("?")}) unsupported")
+          dtype = vtkTypes.getOrElse(parts(2),
+            throw new UnsupportedOperationException(s"VTK scalar type '${parts(2)}'"))
+          // LOOKUP_TABLE line is optional; data may start immediately
+          val save = pos
+          val peek = nextLine()
+          if (!peek.trim.toUpperCase.startsWith("LOOKUP_TABLE")) pos = save
+          done = true
+        case "CELL_DATA" => throw new UnsupportedOperationException(
+          "VTK CELL_DATA unsupported (point scalars only)")
+        case other => throw new IllegalArgumentException(s"unexpected VTK keyword '$other'")
+      }
+    }
+    require(dims != null && dims.length == 3, "VTK without 3-D DIMENSIONS")
+    RawHeader(dims, dtype, bigEndian = true, encoding = "raw",
+      dataOffset = pos.toLong, dataFile = None,
+      spatial = Seq(true, true, true), spacing = spacing, origin = origin)
+  }
+
+  // ---------------------------------------------------------------- GIPL
+
+  /** Parse the Guys Image Processing Lab fixed 256-byte big-endian
+    * header (the itk-readable `.gipl`/`.gipl.gz`): dims + type code +
+    * pixdim + origin, magic 0x2AE389B8 at offset 252.
+    */
+  def parseGipl(headerBytes: Array[Byte]): RawHeader = {
+    require(headerBytes.length >= 256, "GIPL header needs 256 bytes")
+    val bb = ByteBuffer.wrap(headerBytes).order(ByteOrder.BIG_ENDIAN)
+    require((bb.getInt(252) & 0xffffffffL) == 0x2AE389B8L,
+      f"bad GIPL magic 0x${bb.getInt(252)}%08x")
+    val dims4 = (0 until 4).map(i => (bb.getShort(2 * i) & 0xffff).toLong)
+    val shape = if (dims4(3) > 1) dims4 else dims4.take(3)
+    require(shape.forall(_ > 0), s"GIPL dims $dims4")
+    val dtype = bb.getShort(8).toInt match {
+      case 7 => "int8"
+      case 8 => "uint8"
+      case 15 => "int16"
+      case 16 => "uint16"
+      case 31 => "uint32"
+      case 32 => "int32"
+      case 64 => "float32"
+      case 65 => "float64"
+      case other => throw new UnsupportedOperationException(s"GIPL image type $other")
+    }
+    val pixdim = (0 until 4).map(i => bb.getFloat(10 + 4 * i).toDouble)
+    val origin = (0 until 4).map(i => bb.getDouble(204 + 8 * i))
+    val n = shape.length
+    RawHeader(shape, dtype, bigEndian = true, encoding = "raw", dataOffset = 256L,
+      dataFile = None,
+      spatial = Seq(true, true, true) ++ (if (n > 3) Seq(false) else Nil),
+      spacing = pixdim.take(3) ++ (if (n > 3) Seq(1.0) else Nil),
+      origin = origin.take(3) ++ (if (n > 3) Seq(0.0) else Nil))
+  }
+
   // ------------------------------------------------------------- reading
 
-  /** Read any of the three formats, dispatched on extension. */
+  /** Read any of the five formats, dispatched on extension. */
   def read(spark: SparkSession, path: String,
       chunkShape: Option[Seq[Int]] = None): VolumeImage = {
     val lower = path.toLowerCase
     if (lower.endsWith(".nrrd") || lower.endsWith(".nhdr")) readNrrd(spark, path, chunkShape)
     else if (lower.endsWith(".mha") || lower.endsWith(".mhd")) readMetaImage(spark, path, chunkShape)
     else if (lower.endsWith(".mgh") || lower.endsWith(".mgz")) readMgh(spark, path, chunkShape)
+    else if (lower.endsWith(".vtk")) readVtk(spark, path, chunkShape)
+    else if (lower.endsWith(".gipl") || lower.endsWith(".gipl.gz")) readGipl(spark, path, chunkShape)
     else throw new UnsupportedOperationException(
-      s"$path: not an NRRD/MetaImage/MGH volume")
+      s"$path: not an NRRD/MetaImage/MGH/VTK/GIPL volume")
   }
 
   def readNrrd(spark: SparkSession, path: String,
@@ -283,6 +388,21 @@ object VolumeFormats {
   def readMetaImage(spark: SparkSession, path: String,
       chunkShape: Option[Seq[Int]] = None): VolumeImage =
     readParsed(spark, path, parseMetaImage(probeHeader(spark, path)), chunkShape)
+
+  def readVtk(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]] = None): VolumeImage =
+    readParsed(spark, path, parseVtk(probeHeader(spark, path)), chunkShape)
+
+  def readGipl(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]] = None): VolumeImage = {
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    if (path.toLowerCase.endsWith(".gz")) {
+      val all = gunzip(new ZarrStore(path, hconf).readBytes(""))
+      val h = parseGipl(all)
+      val meta = metaFor(h, chunkShape)
+      VolumeImage(meta, RawVolume.scatterFortran(spark, decodePayload(all, h), meta))
+    } else readParsed(spark, path, parseGipl(probeHeader(spark, path)), chunkShape)
+  }
 
   def readMgh(spark: SparkSession, path: String,
       chunkShape: Option[Seq[Int]] = None): VolumeImage = {

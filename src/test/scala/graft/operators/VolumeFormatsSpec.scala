@@ -76,10 +76,52 @@ class VolumeFormatsSpec extends SparkSpec {
     assert(values(gz) == got)
   }
 
+  test("VTK legacy structured points: BINARY big-endian scalars, spacing/origin") {
+    val img = VolumeFormats.read(spark, s"$fx/vol.vtk")
+    assert(img.meta.dims == Seq("x", "y", "z"))
+    assert(img.meta.dtype == "int16")
+    assert(img.meta.scale == Map("x" -> 0.4, "y" -> 0.5, "z" -> 0.6))
+    assert(img.meta.translation == Map("x" -> 1.0, "y" -> 2.0, "z" -> 3.0))
+    assert(values(img) == expected())
+  }
+
+  test("GIPL uint16 big-endian: pixdim/origin mapping; .gz twin identical") {
+    val img = VolumeFormats.read(spark, s"$fx/vol.gipl")
+    assert(img.meta.dims == Seq("x", "y", "z"))
+    assert(img.meta.dtype == "uint16")
+    assert(img.meta.scale == Map("x" -> 0.3f.toDouble, "y" -> 0.7f.toDouble,
+      "z" -> 0.9f.toDouble))
+    assert(img.meta.translation == Map("x" -> 4.0, "y" -> 5.0, "z" -> 6.0))
+    assert(values(img) == expected())
+    val gz = VolumeFormats.read(spark, s"$fx/vol.gipl.gz")
+    assert(gz.meta == img.meta && values(gz) == expected())
+  }
+
   test("every container yields the same frame-0 voxels (cross-format equality)") {
-    val imgs = Seq("vol.nrrd", "vol.nhdr", "vol.mha", "volc.mha", "vol.mhd")
+    val imgs = Seq("vol.nrrd", "vol.nhdr", "vol.mha", "volc.mha", "vol.mhd",
+        "vol.vtk", "vol.gipl")
       .map(f => values(VolumeFormats.read(spark, s"$fx/$f")))
     assert(imgs.distinct.size == 1)
+  }
+
+  test("VTK refuse-loudly: ASCII format, non-structured datasets, cell data") {
+    def vtk(fmt: String, ds: String, tail: String = "") =
+      (s"# vtk DataFile Version 3.0\ntitle\n$fmt\nDATASET $ds\n" + tail)
+        .getBytes("ISO-8859-1")
+    assert(intercept[IllegalArgumentException](
+      VolumeFormats.parseVtk(vtk("ASCII", "STRUCTURED_POINTS")))
+      .getMessage.contains("BINARY only"))
+    assert(intercept[IllegalArgumentException](
+      VolumeFormats.parseVtk(vtk("BINARY", "POLYDATA")))
+      .getMessage.contains("STRUCTURED_POINTS only"))
+    assert(intercept[UnsupportedOperationException](
+      VolumeFormats.parseVtk(vtk("BINARY", "STRUCTURED_POINTS",
+        "DIMENSIONS 2 2 2\nCELL_DATA 8\n")))
+      .getMessage.contains("CELL_DATA"))
+    // GIPL bad magic
+    val junk = new Array[Byte](300)
+    assert(intercept[IllegalArgumentException](
+      VolumeFormats.parseGipl(junk)).getMessage.contains("magic"))
   }
 
   test("refuse-loudly: unsupported encodings, skips, lists, bad magic, truncation") {

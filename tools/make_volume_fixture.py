@@ -118,4 +118,35 @@ mgh += pack(vox(0) + vox(1), ">h")
 (OUT / "vol.mgh").write_bytes(mgh)
 (OUT / "vol.mgz").write_bytes(gzip.compress(mgh, mtime=0))
 
+# --- VTK legacy structured points: BINARY short (big-endian) -------------
+vtk_header = (
+    "# vtk DataFile Version 3.0\n"
+    "deterministic fixture\n"
+    "BINARY\n"
+    "DATASET STRUCTURED_POINTS\n"
+    f"DIMENSIONS {NX} {NY} {NZ}\n"
+    "SPACING 0.4 0.5 0.6\n"
+    "ORIGIN 1 2 3\n"
+    f"POINT_DATA {NX*NY*NZ}\n"
+    "SCALARS values short 1\n"
+    "LOOKUP_TABLE default\n"
+)
+(OUT / "vol.vtk").write_bytes(vtk_header.encode() + pack(vox(), ">h"))
+
+# --- GIPL: uint16 big-endian, 3-D + a gz twin ----------------------------
+gipl = struct.pack(">HHHH", NX, NY, NZ, 1)
+gipl += struct.pack(">H", 16)                          # image_type ushort
+gipl += struct.pack(">ffff", 0.3, 0.7, 0.9, 1.0)       # pixdim
+gipl += b"\x00" * 80                                   # patient
+gipl += struct.pack(">20f", *([0.0] * 20))             # matrix
+gipl += b"\x00\x00"                                    # flag1, flag2
+gipl += struct.pack(">dd", 0.0, 199.0)                 # min, max
+gipl += struct.pack(">dddd", 4.0, 5.0, 6.0, 0.0)       # origin
+gipl += struct.pack(">ffff", 0.0, 0.0, 0.0, 0.0)       # pixval/gap/user
+gipl += struct.pack(">I", 0x2AE389B8)                  # magic
+assert len(gipl) == 256, len(gipl)
+gipl += pack(vox(), ">H")
+(OUT / "vol.gipl").write_bytes(gipl)
+(OUT / "vol.gipl.gz").write_bytes(gzip.compress(gipl, mtime=0))
+
 print("wrote", sorted(p.name for p in OUT.iterdir()))
