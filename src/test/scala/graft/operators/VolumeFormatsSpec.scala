@@ -97,6 +97,20 @@ class VolumeFormatsSpec extends SparkSpec {
     assert(gz.meta == img.meta && values(gz) == expected())
   }
 
+  test("multi-chunk positioned reads: non-dividing chunk grid, edge chunks") {
+    // chunk (4,3,2) over shape (6,5,4) -> 2x2x2 grid, every edge chunk
+    // ragged; the distributed positioned-read odometer and the C-order
+    // scatter must still reassemble the identical volume
+    for (f <- Seq("vol.nhdr", "vol.mha", "vol.mhd", "vol.vtk", "vol.gipl")) {
+      val img = VolumeFormats.read(spark, s"$fx/$f", chunkShape = Some(Seq(4, 3, 2)))
+      assert(img.chunks.count() == 8, f)
+      assert(values(img) == expected(), f)
+    }
+    // gzip path scatters through the same chunk grid
+    val gz = VolumeFormats.read(spark, s"$fx/vol.nrrd", chunkShape = Some(Seq(4, 3, 2)))
+    assert(values(gz) == expected())
+  }
+
   test("every container yields the same frame-0 voxels (cross-format equality)") {
     val imgs = Seq("vol.nrrd", "vol.nhdr", "vol.mha", "volc.mha", "vol.mhd",
         "vol.vtk", "vol.gipl")
