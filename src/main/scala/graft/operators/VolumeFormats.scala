@@ -108,8 +108,9 @@ object VolumeFormats {
     val enc = fields.getOrElse("encoding", "raw").toLowerCase match {
       case "raw" => "raw"
       case "gzip" | "gz" => "gzip"
+      case "ascii" | "text" | "txt" => "ascii"
       case other => throw new UnsupportedOperationException(
-        s"NRRD encoding '$other' unsupported (raw/gzip)")
+        s"NRRD encoding '$other' unsupported (raw/gzip/ascii)")
     }
     require(!fields.contains("byte skip") && !fields.contains("byteskip") &&
       !fields.contains("line skip") && !fields.contains("lineskip"),
@@ -292,8 +293,7 @@ object VolumeFormats {
     }
     nextLine(); nextLine()
     val fmt = nextLine().trim.toUpperCase
-    require(fmt == "BINARY", s"VTK $fmt data unsupported (BINARY only — " +
-      "ASCII floats cannot be bit-verified)")
+    require(fmt == "BINARY" || fmt == "ASCII", s"VTK format '$fmt' unsupported")
     val ds = nextLine().trim.split("\\s+")
     require(ds.length == 2 && ds(0) == "DATASET" && ds(1) == "STRUCTURED_POINTS",
       s"VTK dataset '${ds.mkString(" ")}' unsupported (STRUCTURED_POINTS only)")
@@ -326,7 +326,8 @@ object VolumeFormats {
       }
     }
     require(dims != null && dims.length == 3, "VTK without 3-D DIMENSIONS")
-    RawHeader(dims, dtype, bigEndian = true, encoding = "raw",
+    RawHeader(dims, dtype, bigEndian = true,
+      encoding = if (fmt == "ASCII") "ascii" else "raw",
       dataOffset = pos.toLong, dataFile = None,
       spatial = Seq(true, true, true), spacing = spacing, origin = origin)
   }
@@ -452,6 +453,17 @@ object VolumeFormats {
       case "raw" =>
         RawVolume.readDistributed(spark, dataPath, hconf, h.dataOffset,
           h.dtype, itemSize, h.bigEndian, meta)
+      case "ascii" =>
+        // decimal text parses to exactly-rounded doubles; ascii files
+        // are small by nature, so the one-pass decode is fine
+        val raw = new ZarrStore(dataPath, hconf).readBytes("")
+        val txt = new String(raw, h.dataOffset.toInt,
+          raw.length - h.dataOffset.toInt, "US-ASCII")
+        val vals = txt.trim.split("\\s+")
+        val n = h.shape.product.toInt
+        require(vals.length >= n,
+          s"ascii volume truncated: need $n values, have ${vals.length}")
+        RawVolume.scatterFortran(spark, vals.take(n).map(_.toDouble), meta)
       case enc =>
         val store = new ZarrStore(dataPath, hconf)
         val raw = store.readBytes("")

@@ -111,9 +111,16 @@ class VolumeFormatsSpec extends SparkSpec {
     assert(values(gz) == expected())
   }
 
+  test("ascii encodings: NRRD text ints and VTK ASCII floats decode exactly") {
+    val n = VolumeFormats.read(spark, s"$fx/vol_ascii.nrrd")
+    assert(n.meta.dtype == "int32" && values(n) == expected())
+    val v = VolumeFormats.read(spark, s"$fx/vol_ascii.vtk")
+    assert(v.meta.dtype == "float32" && values(v) == expected())
+  }
+
   test("every container yields the same frame-0 voxels (cross-format equality)") {
     val imgs = Seq("vol.nrrd", "vol.nhdr", "vol.mha", "volc.mha", "vol.mhd",
-        "vol.vtk", "vol.gipl")
+        "vol.vtk", "vol.gipl", "vol_ascii.nrrd", "vol_ascii.vtk")
       .map(f => values(VolumeFormats.read(spark, s"$fx/$f")))
     assert(imgs.distinct.size == 1)
   }
@@ -123,8 +130,8 @@ class VolumeFormatsSpec extends SparkSpec {
       (s"# vtk DataFile Version 3.0\ntitle\n$fmt\nDATASET $ds\n" + tail)
         .getBytes("ISO-8859-1")
     assert(intercept[IllegalArgumentException](
-      VolumeFormats.parseVtk(vtk("ASCII", "STRUCTURED_POINTS")))
-      .getMessage.contains("BINARY only"))
+      VolumeFormats.parseVtk(vtk("ASCII FOO", "STRUCTURED_POINTS")))
+      .getMessage.contains("unsupported"))
     assert(intercept[IllegalArgumentException](
       VolumeFormats.parseVtk(vtk("BINARY", "POLYDATA")))
       .getMessage.contains("STRUCTURED_POINTS only"))
@@ -143,7 +150,7 @@ class VolumeFormatsSpec extends SparkSpec {
       (("NRRD0004" +: lines).mkString("", "\n", "\n\n")).getBytes("US-ASCII")
     val base = Seq("type: uint8", "dimension: 3", "sizes: 2 2 2")
     assert(intercept[UnsupportedOperationException](
-      VolumeFormats.parseNrrd(nrrd(base :+ "encoding: ascii": _*)))
+      VolumeFormats.parseNrrd(nrrd(base :+ "encoding: hex": _*)))
       .getMessage.contains("encoding"))
     assert(intercept[IllegalArgumentException](
       VolumeFormats.parseNrrd(nrrd(base ++ Seq("encoding: raw", "byte skip: 4"): _*)))

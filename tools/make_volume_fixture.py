@@ -149,4 +149,28 @@ gipl += pack(vox(), ">H")
 (OUT / "vol.gipl").write_bytes(gipl)
 (OUT / "vol.gipl.gz").write_bytes(gzip.compress(gipl, mtime=0))
 
+# --- ascii twins: NRRD text encoding + VTK ASCII format ------------------
+(OUT / "vol_ascii.nrrd").write_bytes((
+    "NRRD0004\n"
+    "type: int\n"
+    "dimension: 3\n"
+    f"sizes: {NX} {NY} {NZ}\n"
+    "spacings: 1 1 1\n"
+    "encoding: ascii\n"
+    "\n" + " ".join(str(v) for v in vox()) + "\n"
+).encode())
+(OUT / "vol_ascii.vtk").write_bytes((
+    "# vtk DataFile Version 3.0\n"
+    "ascii fixture\n"
+    "ASCII\n"
+    "DATASET STRUCTURED_POINTS\n"
+    f"DIMENSIONS {NX} {NY} {NZ}\n"
+    "SPACING 1 1 1\n"
+    "ORIGIN 0 0 0\n"
+    f"POINT_DATA {NX*NY*NZ}\n"
+    "SCALARS values float 1\n"
+    "LOOKUP_TABLE default\n"
+    + "\n".join(str(float(v)) for v in vox()) + "\n"
+).encode())
+
 print("wrote", sorted(p.name for p in OUT.iterdir()))
