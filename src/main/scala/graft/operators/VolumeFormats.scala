@@ -36,12 +36,13 @@ object VolumeFormats {
       shape: Seq[Long],
       dtype: String,
       bigEndian: Boolean,
-      encoding: String, // "raw" | "gzip" | "zlib"
+      encoding: String, // "raw" | "gzip" | "zlib" | "ascii"
       dataOffset: Long, // into the data object (attached or detached)
       dataFile: Option[String], // detached payload, relative to header dir
       spatial: Seq[Boolean],
       spacing: Seq[Double], // per-axis; 1.0 for non-spatial
-      origin: Seq[Double])
+      origin: Seq[Double],
+      units: Seq[String] = Nil) // per-axis when the header declares them
 
   private val itemSizes = Map(
     "int8" -> 1, "uint8" -> 1, "int16" -> 2, "uint16" -> 2,
@@ -147,10 +148,16 @@ object VolumeFormats {
       case None => sizes.map(_ => 0.0)
     }
     val dataFile = fields.get("data file").orElse(fields.get("datafile"))
+    // `space units: "mm" "mm" "mm"` — one quoted token per SPATIAL axis
+    val units = fields.get("space units").map { u =>
+      val vals = "\"([^\"]*)\"".r.findAllMatchIn(u).map(_.group(1)).toSeq
+      val it = vals.iterator
+      spatial.map(s => if (s && it.hasNext) it.next() else "")
+    }.getOrElse(Nil)
     RawHeader(sizes, dtype, bigEndian, enc,
       dataOffset = if (dataFile.isDefined) 0L else endIdx.toLong,
       dataFile = dataFile,
-      spatial = spatial, spacing = spacing, origin = origin)
+      spatial = spatial, spacing = spacing, origin = origin, units = units)
   }
 
   /** First byte index AFTER the header's terminating blank line. */
@@ -367,6 +374,57 @@ object VolumeFormats {
       origin = origin.take(3) ++ (if (n > 3) Seq(0.0) else Nil))
   }
 
+  // ----------------------------------------------------------------- MRC
+
+  /** Parse an MRC2014 header (electron microscopy / cryo-EM;
+    * `.mrc` in the reference's itk list): 1024-byte header validated
+    * by the 'MAP ' magic at byte 208, endianness from the machine
+    * stamp, voxel spacing = CELLA / M (ångströms), data at
+    * 1024 + NSYMBT (extended header skipped by length). Non-default
+    * axis correspondence (MAPC/R/S ≠ 1/2/3) and complex modes refuse.
+    */
+  def parseMrc(headerBytes: Array[Byte]): RawHeader = {
+    require(headerBytes.length >= 1024, "MRC header needs 1024 bytes")
+    require(new String(headerBytes, 208, 3, "US-ASCII") == "MAP",
+      "not an MRC2014 file (missing 'MAP ' magic at byte 208)")
+    val stamp = headerBytes(212) & 0xff
+    val be = stamp match {
+      case 0x44 => false
+      case 0x11 => true
+      case other => throw new IllegalArgumentException(
+        f"MRC machine stamp 0x$other%02x unrecognized (0x44 LE / 0x11 BE)")
+    }
+    val bb = ByteBuffer.wrap(headerBytes).order(
+      if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    def w(i: Int) = bb.getInt(4 * i)
+    def f(i: Int) = bb.getFloat(4 * i).toDouble
+    val shape = Seq(w(0).toLong, w(1).toLong, w(2).toLong)
+    require(shape.forall(s => s > 0 && s < Int.MaxValue), s"MRC dims $shape")
+    val dtype = w(3) match {
+      case 0 => "int8"
+      case 1 => "int16"
+      case 2 => "float32"
+      case 6 => "uint16"
+      case other => throw new UnsupportedOperationException(
+        s"MRC mode $other unsupported (0/1/2/6)")
+    }
+    require(w(16) == 1 && w(17) == 2 && w(18) == 3,
+      s"MRC axis correspondence ${w(16)}/${w(17)}/${w(18)} unsupported (1/2/3 only)")
+    val m = Seq(w(7), w(8), w(9))
+    val spacing = (0 until 3).map(i =>
+      if (m(i) > 0 && f(10 + i) > 0) f(10 + i) / m(i) else 1.0)
+    val nsymbt = w(23)
+    require(nsymbt >= 0, s"MRC NSYMBT $nsymbt")
+    RawHeader(shape, dtype, be, encoding = "raw", dataOffset = 1024L + nsymbt,
+      dataFile = None, spatial = Seq(true, true, true),
+      spacing = spacing, origin = Seq(0.0, 0.0, 0.0),
+      units = Seq("angstrom", "angstrom", "angstrom"))
+  }
+
+  def readMrc(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]] = None): VolumeImage =
+    readParsed(spark, path, parseMrc(probeHeader(spark, path)), chunkShape)
+
   // ------------------------------------------------------------- reading
 
   /** Read any of the five formats, dispatched on extension. */
@@ -378,8 +436,9 @@ object VolumeFormats {
     else if (lower.endsWith(".mgh") || lower.endsWith(".mgz")) readMgh(spark, path, chunkShape)
     else if (lower.endsWith(".vtk")) readVtk(spark, path, chunkShape)
     else if (lower.endsWith(".gipl") || lower.endsWith(".gipl.gz")) readGipl(spark, path, chunkShape)
+    else if (lower.endsWith(".mrc")) readMrc(spark, path, chunkShape)
     else throw new UnsupportedOperationException(
-      s"$path: not an NRRD/MetaImage/MGH/VTK/GIPL volume")
+      s"$path: not an NRRD/MetaImage/MGH/VTK/GIPL/MRC volume")
   }
 
   def readNrrd(spark: SparkSession, path: String,
@@ -435,7 +494,10 @@ object VolumeFormats {
         if (Seq("x", "y", "z").contains(d)) math.min(64L, s).toInt else 1 })
     ImageMeta(dims, h.shape, chunks, h.dtype,
       scale = dims.zip(h.spacing).toMap,
-      translation = dims.zip(h.origin).toMap)
+      translation = dims.zip(h.origin).toMap,
+      axesUnits = dims.zip(h.units).collect {
+        case (d, u) if u.nonEmpty => d -> u
+      }.toMap)
   }
 
   private def readParsed(spark: SparkSession, headerPath: String, h: RawHeader,

@@ -29,6 +29,7 @@ class VolumeFormatsSpec extends SparkSpec {
     assert(img.meta.dtype == "int16")
     assert(img.meta.scale == Map("x" -> 1.5, "y" -> 2.5, "z" -> 3.5))
     assert(img.meta.translation == Map("x" -> 10.0, "y" -> 20.0, "z" -> 30.0))
+    assert(img.meta.axesUnits == Map("x" -> "mm", "y" -> "mm", "z" -> "um"))
     assert(values(img) == expected())
   }
 
@@ -118,9 +119,25 @@ class VolumeFormatsSpec extends SparkSpec {
     assert(v.meta.dtype == "float32" && values(v) == expected())
   }
 
+  test("MRC2014: LE float32 with extended header, BE int16; angstrom spacing") {
+    val le = VolumeFormats.read(spark, s"$fx/vol.mrc")
+    assert(le.meta.dtype == "float32")
+    // CELLA is float32(M * step); the division back by M happens in double
+    assert(le.meta.scale == Map(
+      "x" -> (NX * 1.2).toFloat.toDouble / NX,
+      "y" -> (NY * 1.4).toFloat.toDouble / NY,
+      "z" -> (NZ * 1.6).toFloat.toDouble / NZ))
+    assert(le.meta.axesUnits == Map("x" -> "angstrom", "y" -> "angstrom",
+      "z" -> "angstrom"))
+    assert(values(le) == expected())
+    val be = VolumeFormats.read(spark, s"$fx/vol_be.mrc")
+    assert(be.meta.dtype == "int16" && values(be) == expected())
+  }
+
   test("every container yields the same frame-0 voxels (cross-format equality)") {
     val imgs = Seq("vol.nrrd", "vol.nhdr", "vol.mha", "volc.mha", "vol.mhd",
-        "vol.vtk", "vol.gipl", "vol_ascii.nrrd", "vol_ascii.vtk")
+        "vol.vtk", "vol.gipl", "vol_ascii.nrrd", "vol_ascii.vtk",
+        "vol.mrc", "vol_be.mrc")
       .map(f => values(VolumeFormats.read(spark, s"$fx/$f")))
     assert(imgs.distinct.size == 1)
   }

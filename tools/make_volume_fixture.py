@@ -48,6 +48,7 @@ header = (
     f"sizes: {NX} {NY} {NZ}\n"
     "space directions: (1.5,0,0) (0,2.5,0) (0,0,3.5)\n"
     "space origin: (10,20,30)\n"
+    'space units: "mm" "mm" "um"\n'
     "endian: big\n"
     "encoding: gzip\n"
     "\n"
@@ -172,5 +173,24 @@ gipl += pack(vox(), ">H")
     "LOOKUP_TABLE default\n"
     + "\n".join(str(float(v)) for v in vox()) + "\n"
 ).encode())
+
+# --- MRC2014: float32 LE with extended header, int16 BE ------------------
+def mrc(mode, fmt_end, stamp, extended=b""):
+    h = struct.pack(fmt_end + "10i", NX, NY, NZ, mode, 0, 0, 0, NX, NY, NZ)
+    h += struct.pack(fmt_end + "3f", NX * 1.2, NY * 1.4, NZ * 1.6)  # CELLA
+    h += struct.pack(fmt_end + "3f", 90, 90, 90)                    # CELLB
+    h += struct.pack(fmt_end + "3i", 1, 2, 3)                       # MAPC/R/S
+    h += struct.pack(fmt_end + "3f", 0, 199, 99)                    # DMIN/MAX/MEAN
+    h += struct.pack(fmt_end + "ii", 0, len(extended))              # ISPG, NSYMBT
+    h += b"\x00" * (208 - len(h))
+    h += b"MAP "
+    h += stamp + b"\x00" * 3
+    h += b"\x00" * (1024 - len(h))
+    return h + extended
+
+px_f = b"".join(struct.pack("<f", float(v)) for v in vox())
+(OUT / "vol.mrc").write_bytes(mrc(2, "<", b"\x44", extended=b"\x00" * 80) + px_f)
+px_s = b"".join(struct.pack(">h", v) for v in vox())
+(OUT / "vol_be.mrc").write_bytes(mrc(1, ">", b"\x11") + px_s)
 
 print("wrote", sorted(p.name for p in OUT.iterdir()))
