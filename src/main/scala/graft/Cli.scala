@@ -97,7 +97,8 @@ object Cli {
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if Seq(".nrrd", ".nhdr", ".mha", ".mhd", ".mgh", ".mgz", ".vtk",
-            ".gipl", ".gipl.gz", ".mrc").exists(input.toLowerCase.endsWith) =>
+            ".gipl", ".gipl.gz", ".mrc", ".mnc", ".mnc.gz")
+            .exists(input.toLowerCase.endsWith) =>
         // the itkwasm-routed formats with public header+raw layouts
         // read natively (VolumeFormats); the rest still refuse below
         require(opts.get("output-scale").forall(_.toInt == 0),

@@ -437,8 +437,10 @@ object VolumeFormats {
     else if (lower.endsWith(".vtk")) readVtk(spark, path, chunkShape)
     else if (lower.endsWith(".gipl") || lower.endsWith(".gipl.gz")) readGipl(spark, path, chunkShape)
     else if (lower.endsWith(".mrc")) readMrc(spark, path, chunkShape)
+    else if (lower.endsWith(".mnc") || lower.endsWith(".mnc.gz"))
+      MincIO.read(spark, path, chunkShape)
     else throw new UnsupportedOperationException(
-      s"$path: not an NRRD/MetaImage/MGH/VTK/GIPL/MRC volume")
+      s"$path: not an NRRD/MetaImage/MGH/VTK/GIPL/MRC/MINC volume")
   }
 
   def readNrrd(spark: SparkSession, path: String,
