@@ -29,7 +29,11 @@ object Converters {
     ".bmp", ".dcm", ".gipl", ".gipl.gz", ".hdf5", ".jpg", ".jpeg", ".iwi",
     ".iwi.cbor", ".iwi.cbor.zst", ".lsm", ".mnc", ".mnc.gz", ".mnc2", ".mgh",
     ".mhz", ".mha", ".mhd", ".mrc", ".nia", ".nii", ".nii.gz", ".hdr",
-    ".nrrd", ".nhdr", ".png", ".pic", ".vtk", ".aim", ".isq", ".fdf")
+    ".nrrd", ".nhdr", ".png", ".pic", ".vtk", ".aim", ".isq", ".fdf",
+    // not in the reference's table (it lists the likely-typo ".mhz" and
+    // no ".mgz") — added so gzipped FreeSurfer volumes route to the
+    // native MGH reader instead of falling through to IMAGEIO
+    ".mgz")
   private val tiffExts = Set(
     ".tif", ".tiff", ".ptif", ".svs", ".qptiff", ".ndpi")
 

@@ -185,14 +185,18 @@ object DicomIO {
   /** Read one .dcm file: frames become z. */
   def read(spark: SparkSession, path: String): DicomImage = readSeries(spark, Seq(path))
 
-  /** Read a series directory (every .dcm/.DCM inside, one slice each). */
+  /** Read a series directory (every .dcm/.DCM inside, one slice
+    * each). Listing goes through the Hadoop FileSystem like every
+    * other store path — local dirs, s3a://, gs:// all work.
+    */
   def readSeriesDir(spark: SparkSession, dir: String): DicomImage = {
-    val d = new java.io.File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".dcm"))
-      .map(_.getPath).sorted
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".dcm"))
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"$dir contains no .dcm files")
-    readSeries(spark, files.toSeq)
+    readSeries(spark, files)
   }
 
   /** Two metadata-sized passes over the series (header parse, slice
@@ -212,8 +216,14 @@ object DicomIO {
     metas.foreach { case (p, m) =>
       require(m.rows == first.rows && m.cols == first.cols &&
         m.bitsAllocated == first.bitsAllocated && m.signed == first.signed &&
-        m.slope == first.slope && m.inter == first.inter,
-        s"series member $p disagrees with the first slice (shape/dtype/rescale)")
+        m.slope == first.slope && m.inter == first.inter &&
+        m.pixelSpacingRow == first.pixelSpacingRow &&
+        m.pixelSpacingCol == first.pixelSpacingCol &&
+        m.sliceThickness == first.sliceThickness &&
+        m.photometric == first.photometric,
+        s"series member $p disagrees with the first slice " +
+          "(shape/dtype/rescale/spacing/photometric) — a mixed series would " +
+          "get a silently wrong physical scale")
       require(m.nFrames == 1 || metas.length == 1,
         "multi-frame files cannot mix with a multi-file series")
     }
@@ -242,19 +252,22 @@ object DicomIO {
 
     val rows = first.rows; val cols = first.cols
     val slope = first.slope; val inter = first.inter
-    // pass 2 (distributed): every (file, z) decodes its own slice
-    val tasks: Seq[(String, Int, Int)] = // (path, frame, zIndex)
-      if (metas.length == 1) (0 until nz).map(z => (ordered.head._1, z, z))
-      else ordered.zipWithIndex.map { case ((p, _), z) => (p, 0, z) }
+    val bigEndianData = first.bigEndianData
+    val itemSize = first.bitsAllocated / 8
+    // pass 2 (distributed): every (file, z) positioned-reads ONLY its
+    // own frame — pass 1 already collected each file's PixelData
+    // offset, so tasks ship it instead of re-reading whole files
+    val tasks: Seq[(String, Int, Int, Long)] = // (path, frame, zIndex, pdOffset)
+      if (metas.length == 1)
+        (0 until nz).map(z => (ordered.head._1, z, z, ordered.head._2.pixelDataOffset))
+      else ordered.zipWithIndex.map { case ((p, m), z) => (p, 0, z, m.pixelDataOffset) }
     val chunkRows = spark.createDataset(tasks)
       .repartition(math.min(tasks.length, spark.sparkContext.defaultParallelism))
-      .map { case (path, frame, z) =>
+      .map { case (path, frame, z, pdOffset) =>
         val st = new ZarrStore(path, hconf)
-        val m = parse(st.readBytes("")) // header re-parse is cheap; bytes are local now
-        val itemSize = m.bitsAllocated / 8
         val frameBytes = rows * cols * itemSize
-        val raw = st.readRange("", m.pixelDataOffset + frame.toLong * frameBytes, frameBytes)
-        val px = ZarrStore.decodeToDoubles(raw, dtypeOf(m), m.bigEndianData)
+        val raw = st.readRange("", pdOffset + frame.toLong * frameBytes, frameBytes)
+        val px = ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
         // DICOM rows are y-major; chunk payload is C-order over (x,y,z=1)
         val out = new Array[Double](rows * cols)
         var y = 0

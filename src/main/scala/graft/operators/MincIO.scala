@@ -193,7 +193,7 @@ object MincIO {
     val store = new ZarrStore(path, hconf)
     val gz = path.toLowerCase.endsWith(".gz")
     val headerBytes =
-      if (gz) gunzipAll(store.readBytes(""))
+      if (gz) VolumeFormats.gunzip(store.readBytes(""))
       else store.readRange("", 0L, math.min(store.objectSize(""), 1 << 20).toInt)
     val nc = parseNetcdf(headerBytes)
     val (h, normalize, dims) = plan(nc)
@@ -222,15 +222,8 @@ object MincIO {
       }
 
     val rescale = (slope, inter) != ((1.0, 0.0))
-    val meta0 = {
-      val chunks = chunkShape.getOrElse(dims.zip(h.shape).map { case (d, s) =>
-        if (Seq("x", "y", "z").contains(d)) math.min(64L, s).toInt else 1 })
-      ImageMeta(dims, h.shape, chunks,
-        if (rescale) "float32" else h.dtype,
-        scale = dims.zip(h.spacing).toMap,
-        translation = dims.zip(h.origin).toMap,
-        axesUnits = dims.zip(h.units).collect { case (d, u) if u.nonEmpty => d -> u }.toMap)
-    }
+    val meta0 = VolumeFormats.metaForDims(h, dims, chunkShape,
+      dtypeOverride = if (rescale) Some("float32") else None)
     val chunks =
       if (gz) {
         val n = h.shape.product
@@ -248,8 +241,4 @@ object MincIO {
     VolumeFormats.VolumeImage(meta0, chunks)
   }
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
-  }
 }

@@ -122,8 +122,10 @@ object PyramidRehearsal {
     } finally {
       // best-effort temp cleanup; the bench runs this once per round
       def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).forEach(rm(_))
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm(_)) finally s.close() // one open fd per dir otherwise
+        }
         Files.deleteIfExists(p)
       }
       rm(tmp)

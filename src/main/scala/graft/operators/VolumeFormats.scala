@@ -57,7 +57,13 @@ object VolumeFormats {
   private def dimNames(spatial: Seq[Boolean]): Seq[String] = {
     val spatialNames = Iterator("x", "y", "z")
     require(spatial.count(identity) <= 3, "more than 3 spatial axes")
-    require(spatial.count(!_) <= 2, "more than 2 non-spatial axes")
+    val nonSpatial = spatial.zipWithIndex.collect { case (false, i) => i }
+    // two interior non-spatial axes would both want the "c" name —
+    // refuse rather than emit duplicate dim columns downstream
+    require(nonSpatial.size <= 2 &&
+      (nonSpatial.size < 2 || nonSpatial.contains(spatial.length - 1)),
+      s"unsupported non-spatial axis layout at positions $nonSpatial " +
+        "(at most one channel axis plus one trailing time axis)")
     spatial.zipWithIndex.map {
       case (true, _) => spatialNames.next()
       case (false, i) => if (i == spatial.length - 1) "t" else "c"
@@ -489,12 +495,19 @@ object VolumeFormats {
     store.readRange("", 0L, n)
   }
 
-  private def metaFor(h: RawHeader, chunkShape: Option[Seq[Int]]): ImageMeta = {
-    val dims = dimNames(h.spatial)
+  private def metaFor(h: RawHeader, chunkShape: Option[Seq[Int]]): ImageMeta =
+    metaForDims(h, dimNames(h.spatial), chunkShape)
+
+  /** One definition of the chunk-default rule (64 per spatial dim,
+    * 1 otherwise) and the RawHeader→ImageMeta mapping — shared with
+    * readers that derive dim names themselves (MINC).
+    */
+  private[operators] def metaForDims(h: RawHeader, dims: Seq[String],
+      chunkShape: Option[Seq[Int]], dtypeOverride: Option[String] = None): ImageMeta = {
     val chunks = chunkShape.getOrElse(
       dims.zip(h.shape).map { case (d, s) =>
         if (Seq("x", "y", "z").contains(d)) math.min(64L, s).toInt else 1 })
-    ImageMeta(dims, h.shape, chunks, h.dtype,
+    ImageMeta(dims, h.shape, chunks, dtypeOverride.getOrElse(h.dtype),
       scale = dims.zip(h.spacing).toMap,
       translation = dims.zip(h.origin).toMap,
       axesUnits = dims.zip(h.units).collect {
@@ -579,7 +592,7 @@ object VolumeFormats {
     header.getBytes("US-ASCII") ++ bb.array()
   }
 
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+  private[operators] def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
     try in.readAllBytes() finally in.close()
   }

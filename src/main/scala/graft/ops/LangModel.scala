@@ -47,21 +47,26 @@ object LangModel {
     val train = bg.filter(col("doc_id") < trainMaxId)
     val c2 = train.groupBy("a", "b").agg(count(lit(1)).as("c2"))
     val c1 = train.groupBy("a").agg(count(lit(1)).as("c1"))
-    val v = docs.select(col(idCol).cast("long").as("doc_id"), words(col(textCol)).as("ws"))
+    // V is ONE number — collect it (metadata-sized, the d42-stats
+    // precedent) so an empty training slice refuses loudly instead of
+    // emitting Infinity scores, and the plan loses a 1-row join
+    val v: Long = docs
+      .select(col(idCol).cast("long").as("doc_id"), words(col(textCol)).as("ws"))
       .filter(col("doc_id") < trainMaxId)
       .select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
+      .head().getLong(0)
+    require(v > 0, s"empty LM training slice (no docs below id $trainMaxId " +
+      "have words) — every score would be meaningless")
 
     val scored = bg
       .join(c2, Seq("a", "b"), "left")
       .join(c1, Seq("a"), "left")
-      .crossJoin(broadcast(v))
       .select(col("doc_id"),
         coalesce(col("c2"), lit(0L)).as("c2n"),
-        coalesce(col("c1"), lit(0L)).as("c1n"),
-        col("v"))
+        coalesce(col("c1"), lit(0L)).as("c1n"))
       .withColumn("logp",
-        log((col("c2n") + lit(1)).cast("double") / (col("c1n") + col("v"))))
+        log((col("c2n") + lit(1)).cast("double") / (col("c1n") + lit(v))))
 
     scored.groupBy("doc_id")
       .agg(

@@ -231,8 +231,16 @@ object TextDedup {
     * Output: distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b —
     * identical across the plain, explicit and auto paths.
     */
+  /** Test observability: whether the most recent [[lshCandidates]]
+    * call armed the salted hot-bucket path. The armed result is
+    * localCheckpoint'ed (to free the banded cache), which erases the
+    * logical plan a spec could otherwise inspect.
+    */
+  @volatile private[graft] var lastSaltedArmed: Boolean = false
+
   def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4,
       hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
+    lastSaltedArmed = false
     val bandedRaw = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(concat_ws(",",
@@ -252,6 +260,7 @@ object TextDedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     def saltedPlan(threshold: Long): DataFrame = {
+        lastSaltedArmed = true
         val g = saltGroups
         // hot-bucket list is tiny by construction (corpus_rows/threshold
         // buckets at most) — broadcast it as the routing filter
@@ -292,7 +301,14 @@ object TextDedup {
           if (st.getLong(0) <= t) pairJoin(banded) else saltedPlan(t)
         }
       }
-    pairs.distinct()
+    val out = pairs.distinct()
+    if (hotBucketThreshold != 0) {
+      // candidate pairs are tiny next to the banded cache they free —
+      // the minHashNearDups localCheckpoint-then-unpersist pattern
+      val cp = out.localCheckpoint(eager = true)
+      banded.unpersist()
+      cp
+    } else out
   }
 
   /** MinHash+LSH near-dup detection end-to-end: signatures → banded

@@ -280,10 +280,13 @@ object TextStats {
   def qualityClassifier(docs: DataFrame, weights: Seq[Double], bias: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = weights.length
+    // 8 md5 hex chars = 32 hash bits: buckets stay uniform (and all
+    // reachable) for any realistic weight-vector width
+    require(k >= 1 && k <= (1 << 20), s"weight vector of $k buckets out of range")
     val d = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(words(col(textCol))).as("w"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long") % k)
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % k)
           .cast("int").as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
     val wExpr = element_at(array(weights.map(lit): _*), col("bucket") + 1) * col("n")

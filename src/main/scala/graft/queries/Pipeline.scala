@@ -762,7 +762,7 @@ object Pipeline extends QModule {
                        x -> x <> '')) AS w
                      FROM documents),
           b AS (SELECT doc_id,
-                  CAST(CAST('0x' || substr(md5(w), 1, 2) AS BIGINT) % 16 AS INT) AS bucket
+                  CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 16 AS INT) AS bucket
                 FROM d),
           c AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
                 FROM b GROUP BY doc_id, bucket),
