@@ -470,6 +470,47 @@ object Similarity {
     out
   }
 
+  /** Embedding-space corpus clustering (the curation primitive behind
+    * domain balancing, cluster-proportional sampling, and SemDeDup's
+    * first stage, exposed as its own operator): every vector is
+    * assigned to its nearest [[kmeansCentroids]] centroid and the
+    * assignment is returned WITH its 6dp-rounded cosine and the
+    * cluster's population. One pass assigns partition-locally against
+    * the broadcast centroid table (kilobytes at any corpus size); the
+    * single shuffle is the per-cluster count. Deterministic end to
+    * end — the k-means is bit-identical across engines by
+    * construction, so a SQL oracle replays the whole operator.
+    * Output: (vec_id, cluster, cos, cluster_size) — cluster ids are
+    * the seed vectors' ids.
+    */
+  def clusterAssign(vectors: DataFrame, nlist: Int = 8,
+      lloydRounds: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centsBc = spark.sparkContext.broadcast(
+      kmeansCentroids(vectors, nlist, lloydRounds))
+    val assigned = vectors.select("id", "vec").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = centsBc.value
+        it.map { case (id, v) =>
+          // nearestCentroids ranking (rounded cosine desc, cid asc),
+          // keeping the winning cosine alongside the id
+          var bestCid = Long.MaxValue
+          var bestCos = Double.NegativeInfinity
+          cs.foreach { case (cid, cv) =>
+            val c = round6(cosineJvm(v, cv))
+            if (c > bestCos || (c == bestCos && cid < bestCid)) {
+              bestCos = c; bestCid = cid
+            }
+          }
+          (id, bestCid, bestCos)
+        }
+      }
+      .toDF("vec_id", "cluster", "cos")
+    assigned.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup),
     * brute-force form: a relational self theta-join — Spark broadcasts
     * the smaller build side itself (bounded by

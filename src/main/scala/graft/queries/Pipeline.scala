@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.ops.{AsofJoin, BudgetSample, Search, Similarity, TextDedup, TextStats}
+import graft.ops.{AsofJoin, BudgetSample, Dsir, Search, Similarity, TextDedup, TextStats}
 
 /** Pipeline-operator surface beyond the core relational/dedup sets:
   * as-of (point-in-time) join, exact stratified sampling, the Gopher
@@ -24,7 +24,7 @@ object Pipeline extends QModule {
     t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
-    t65QualityClassifier)
+    t65QualityClassifier, s52ClusterAssign, t66DsirWeights)
 
   import QTables.{docs, emb}
 
@@ -735,6 +735,131 @@ object Pipeline extends QModule {
                    round(sum(logp) / count(*), 6) AS avg_logp,
                    round(exp(-sum(logp) / count(*)), 6) AS ppl
             FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Embedding-space corpus clustering: assign every vector to its
+    * deterministic k-means cluster (md5 seeds, 3 Lloyd rounds over
+    * exact integer micro-sums — the shared [[Similarity.kmeansCentroids]]
+    * quantizer) and report the assignment cosine plus cluster
+    * population — the domain-balancing / cluster-proportional-sampling
+    * primitive. The oracle replays the identical k-means (BIGINT
+    * micro-sums → bit-identical centroids) and the final assignment.
+    */
+  val s52ClusterAssign = Q(
+    "s52_kmeans_clusters",
+    (s, dir) => Similarity.clusterAssign(emb(s, dir), nlist = 8, lloydRounds = 3)
+      .orderBy(col("vec_id")),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            ac0 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c0 c),
+            asn0 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac0) t
+                    WHERE rn = 1),
+            m1 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn0 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c1 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m1 GROUP BY cid),
+            ac1 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c1 c),
+            asn1 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac1) t
+                    WHERE rn = 1),
+            m2 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn1 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c2 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m2 GROUP BY cid),
+            ac2 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c2 c),
+            asn2 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac2) t
+                    WHERE rn = 1),
+            m3 AS (SELECT a.cid, t.i,
+                     CAST(sum(CAST(round(v.e[t.i+1], 6) * 1e6 AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1e6) AS cval
+                   FROM v JOIN asn2 a USING (vec_id), range(64) t(i)
+                   GROUP BY a.cid, t.i),
+            c3 AS (SELECT cid, list(cval ORDER BY i) AS ce FROM m3 GROUP BY cid),
+            ac3 AS (SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(range(64), i -> v.e[i+1] * c.ce[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> v.e[i+1] * v.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.ce[i+1] * c.ce[i+1])))),
+                       6) AS cos
+                   FROM v, c3 c),
+            asn AS (SELECT vec_id, cid, cos FROM (
+                      SELECT vec_id, cid, cos, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid ASC) AS rn FROM ac3) t
+                    WHERE rn = 1),
+            sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM asn GROUP BY cid)
+            SELECT vec_id, cid AS cluster, cos, cluster_size
+            FROM asn JOIN sz USING (cid)
+            ORDER BY vec_id"""))
+
+  /** DSIR importance weights: hashed-unigram (64 md5 buckets)
+    * add-one-smoothed log likelihood ratio of target (src0) vs the
+    * raw pool, per document. Per-bucket weights micro-quantize to
+    * BIGINTs after a 6dp round (the BM25 contribution pattern), so
+    * per-doc sums are order-independent and exact on both engines.
+    */
+  val t66DsirWeights = Q(
+    "t66_dsir_weights",
+    (s, dir) => Dsir.importanceWeights(docs(s, dir), targetSource = "src0",
+        buckets = 64)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, source,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                FROM documents),
+            bkt AS (SELECT doc_id, source,
+                      CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS INT)
+                        AS bucket
+                    FROM d),
+            pd AS (SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS n
+                   FROM bkt GROUP BY 1, 2, 3),
+            gh AS (SELECT bucket, source = 'src0' AS is_tgt,
+                       CAST(sum(n) AS BIGINT) AS n
+                     FROM pd GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(CASE WHEN is_tgt THEN n ELSE 0 END) AS BIGINT) AS t_tgt,
+                           CAST(sum(CASE WHEN NOT is_tgt THEN n ELSE 0 END) AS BIGINT) AS t_raw
+                    FROM gh),
+            wt AS (SELECT CAST(r.i AS INT) AS bucket,
+                     CAST(round(round(ln(
+                       (COALESCE(tg.ct, 0) + 1.0) * (tot.t_raw + 64.0)
+                       / ((tot.t_tgt + 64.0) * (COALESCE(rw.cr, 0) + 1.0))), 6) * 1e6)
+                       AS BIGINT) AS w_micro
+                   FROM range(64) r(i)
+                   LEFT JOIN (SELECT bucket, n AS ct FROM gh WHERE is_tgt) tg
+                     ON tg.bucket = r.i
+                   LEFT JOIN (SELECT bucket, n AS cr FROM gh WHERE NOT is_tgt) rw
+                     ON rw.bucket = r.i,
+                   tot),
+            sc AS (SELECT pd.doc_id, CAST(sum(pd.n) AS BIGINT) AS n_tokens,
+                     CAST(sum(pd.n * wt.w_micro) AS BIGINT) AS logw_micro
+                   FROM pd JOIN wt USING (bucket) GROUP BY pd.doc_id)
+            SELECT doc_id, n_tokens, logw_micro,
+                   CAST(logw_micro AS DOUBLE) / 1e6 AS logw,
+                   logw_micro > 0 AS keep
+            FROM sc ORDER BY doc_id"""))
 
   /** The frozen t65 weight vector: a hashing-trick linear quality
     * model (16 md5 buckets). Weights ship with the pipeline like a

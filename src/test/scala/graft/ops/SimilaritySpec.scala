@@ -45,6 +45,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterAssign: total population, deterministic across partitioning, " +
+      "agrees with the shared quantizer") {
+    val n = emb.count()
+    val out = Similarity.clusterAssign(emb, nlist = 8, lloydRounds = 3)
+    val rows = out.collect()
+    assert(rows.length == n, "every vector gets exactly one cluster")
+    // cluster_size is the true population of its cluster
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.size <= 8)
+    byCluster.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("cluster_size")).distinct.toSeq == Seq(rs.length.toLong))
+    }
+    // repartitioning must not move a single assignment (bit-identical
+    // centroids by construction)
+    val re = Similarity.clusterAssign(emb.repartition(17), nlist = 8, lloydRounds = 3)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      re.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // the winning cosine really is the max over the trained centroids
+    val cents = Similarity.kmeansCentroids(emb, 8, 3)
+    val vecs = emb.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[scala.collection.Seq[Double]]("vec").toArray).toMap
+    rows.take(50).foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val best = cents.map { case (cid, cv) =>
+        (cid, Similarity.round6(Similarity.cosineJvm(v, cv)))
+      }.minBy { case (cid, c) => (-c, cid) }
+      assert(best._1 == r.getAs[Long]("cluster") && best._2 == r.getAs[Double]("cos"))
+    }
+  }
+
   test("IVF with k-means quantizer: deterministic across runs, recall@5 above floor") {
     val queries = emb.filter(col("id") % 100 === 0)
     def run() = Similarity.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 2)
