@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for large-scale training-data
@@ -677,6 +678,76 @@ object TextDedup {
       .localCheckpoint(eager = true)
     chunks.unpersist()
     out
+  }
+
+  /** Exact-substring span dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" family): find every
+    * position where a document's sliding `n`-word gram recurs ANYWHERE
+    * in the corpus (other documents or elsewhere in the same one),
+    * merge the overlapping hits into maximal duplicated token SPANS,
+    * and report per-document span counts and duplicated-token
+    * fractions — the statistics the substring-dedup cut itself keys
+    * on. Where [[chunkDups]] tests disjoint fixed chunks, this is the
+    * overlapping-gram form: a duplicated passage of any length ≥ n is
+    * caught at every alignment and surfaces as ONE merged span.
+    *
+    * Execution shape: sliding grams carry their token position; the
+    * recurrence test is a count ≥ 2 aggregation on `xxhash64` of the
+    * gram (8-byte shuffle key, same collision envelope as
+    * [[benchmarkOverlap]] — ≈ n²/2^64 false positives, noise-floor at
+    * any realistic corpus); the interval merge is a per-document
+    * prefix-max window (duplicated positions per doc ≪ doc length, and
+    * the window never crosses documents). No pair enumeration, no
+    * suffix array — two linear aggregations, one key join, one
+    * doc-partitioned window.
+    *
+    * Output: (doc_id, n_tokens, n_grams, n_dup_grams, n_spans,
+    * dup_tokens, dup_frac) for every document; docs shorter than `n`
+    * words report zero grams and zero duplication.
+    */
+  def dupSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    val ws = words(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - n),
+          i => xxhash64(array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " ")))))
+      .withColumnRenamed("col", "gh")
+    val dup = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("gh")
+    val dupPos = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+    // merge overlapping [pos, pos+n) intervals: a hit opens a new span
+    // iff it starts past the running max end of everything before it
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + n)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dupPos
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wOrd))
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + n).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_tokens"))
+    val hits = dupPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_dup_grams"))
+    docs.select(col(idCol).as("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        greatest(size(ws) - (n - 1), lit(0)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
   }
 
   /** Benchmark-contamination detection: for every corpus document,

@@ -24,7 +24,7 @@ object Pipeline extends QModule {
     t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
-    t65QualityClassifier, s52ClusterAssign, t66DsirWeights)
+    t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans)
 
   import QTables.{docs, emb}
 
@@ -205,6 +205,51 @@ object Pipeline extends QModule {
                    CAST(COALESCE(n_dup_chunks, 0) AS DOUBLE) / n_chunks AS dup_frac
             FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
             ORDER BY t.doc_id"""))
+
+  /** Exact-substring span dedup (Lee et al. 2022 family): duplicated
+    * sliding 8-gram positions merged into maximal spans per document.
+    * The engine tests recurrence on xxhash64 of the gram (8-byte
+    * shuffle key); the oracle groups on the gram text itself — equal
+    * absent a 64-bit collision, the documented envelope.
+    */
+  val d51DupSpans = Q(
+    "d51_dup_spans",
+    (s, dir) => TextDedup.dupSpans(docs(s, dir), n = 8).orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                       CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_grams
+                     FROM d),
+            g AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS pos,
+                    unnest(list_transform(range(len(ws) - 7),
+                      i -> array_to_string(ws[i+1:i+8], ' '))) AS gram
+                  FROM d WHERE len(ws) >= 8),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            pm AS (SELECT doc_id, pos,
+                     max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                   FROM dp),
+            isl AS (SELECT doc_id, pos,
+                      sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                          THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM pm),
+            sp AS (SELECT doc_id, island, min(pos) AS s, max(pos + 8) AS e
+                   FROM isl GROUP BY doc_id, island),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                      CAST(sum(e - s) AS BIGINT) AS dup_tokens
+                    FROM sp GROUP BY doc_id),
+            dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+                   FROM dp GROUP BY doc_id)
+            SELECT b.doc_id, n_tokens, n_grams,
+                   COALESCE(n_dup_grams, 0) AS n_dup_grams,
+                   COALESCE(n_spans, 0) AS n_spans,
+                   COALESCE(dup_tokens, 0) AS dup_tokens,
+                   CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / n_tokens AS dup_frac
+            FROM base b LEFT JOIN agg USING (doc_id) LEFT JOIN dg USING (doc_id)
+            ORDER BY doc_id"""))
 
   /** IVF ANN: deterministic k-means quantizer (md5-sampled seeds + 3
     * Lloyd rounds over exact integer micro-sums — see

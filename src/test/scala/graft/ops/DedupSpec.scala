@@ -230,4 +230,44 @@ class DedupSpec extends SparkSpec {
     val sh = TextDedup.simHash(df).collect().map(_.getLong(0)).toSet
     assert(sh == Set(1L)) // oracle's unnest CTE produces no row for 2-4
   }
+
+  test("dupSpans merges overlapping gram hits into maximal spans") {
+    import spark.implicits._
+    // doc 1 and 2 share a 10-word passage; with n=4 that is 7 gram
+    // alignments, all overlapping, which must merge into ONE span of
+    // exactly 10 tokens. doc 3 is clean. doc 4 is shorter than n.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"unique1 prefix1 $passage suffix1 tail1"),
+      (2L, s"other2 lead2 start2 $passage end2"),
+      (3L, "nothing here repeats anywhere in this small corpus at all"),
+      (4L, "too few")).toDF("doc_id", "text")
+    val out = TextDedup.dupSpans(df, n = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 4)
+    for (id <- Seq(1L, 2L)) {
+      val r = out(id)
+      assert(r.getAs[Long]("n_spans") == 1L, s"doc $id spans")
+      assert(r.getAs[Long]("dup_tokens") == 10L, s"doc $id dup_tokens")
+      assert(r.getAs[Long]("n_dup_grams") == 7L, s"doc $id dup grams")
+    }
+    assert(out(3L).getAs[Long]("n_spans") == 0L)
+    assert(out(3L).getAs[Double]("dup_frac") == 0.0)
+    assert(out(4L).getAs[Long]("n_grams") == 0L)
+    assert(out(4L).getAs[Long]("dup_tokens") == 0L)
+  }
+
+  test("dupSpans catches an intra-document repeat at every alignment") {
+    import spark.implicits._
+    // one doc, a 5-word phrase repeated twice with a separator: the
+    // phrase recurs within the SAME document, so both occurrences are
+    // duplicated spans (2 spans, 10 dup tokens of 11 total).
+    val df = Seq(
+      (1L, "red orange yellow green blue sep red orange yellow green blue"))
+      .toDF("doc_id", "text")
+    val r = TextDedup.dupSpans(df, n = 5).head()
+    assert(r.getAs[Long]("n_spans") == 2L)
+    assert(r.getAs[Long]("dup_tokens") == 10L)
+    assert(math.abs(r.getAs[Double]("dup_frac") - 10.0 / 11.0) < 1e-12)
+  }
 }
