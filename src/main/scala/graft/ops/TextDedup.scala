@@ -708,6 +708,34 @@ object TextDedup {
   def dupSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 8): DataFrame = {
     val ws = words(col(textCol))
+    val (spans, dupPos) = dupSpanIntervals(docs, idCol, textCol, n)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_tokens"))
+    val hits = dupPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_dup_grams"))
+    docs.select(col(idCol).as("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        greatest(size(ws) - (n - 1), lit(0)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
+
+  /** Shared machinery for [[dupSpans]] / [[dedupCut]]: returns
+    * (`spans`, `dupPos`) where `spans` is (doc_id, island, s, e) — the
+    * maximal merged duplicated token intervals `[s, e)` per document —
+    * and `dupPos` is the raw (doc_id, pos) duplicated-gram hit set.
+    * See [[dupSpans]] for the execution-shape discussion.
+    */
+  private def dupSpanIntervals(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): (DataFrame, DataFrame) = {
+    val ws = words(col(textCol))
     val grams = docs
       .select(col(idCol).as("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= n)
@@ -732,22 +760,50 @@ object TextDedup {
       .withColumn("island", sum(col("brk")).over(wOrd))
     val spans = islands.groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), max(col("pos") + n).as("e"))
-    val perDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_spans"),
-        sum(col("e") - col("s")).cast("long").as("dup_tokens"))
-    val hits = dupPos.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_dup_grams"))
-    docs.select(col(idCol).as("doc_id"),
-        size(ws).cast("long").as("n_tokens"),
-        greatest(size(ws) - (n - 1), lit(0)).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
-          .as("dup_frac"))
+    (spans, dupPos)
+  }
+
+  /** Apply the exact-substring dedup CUT: delete every duplicated span
+    * found by [[dupSpans]] from every document and reassemble the
+    * surviving tokens (single-space joined) as `clean_text`. This is
+    * the destructive step of the Lee et al. 2022 regime in its
+    * cut-all-occurrences form: a passage that recurs anywhere in the
+    * corpus is removed from BOTH sides (the common production variant —
+    * keeping one canonical occurrence needs a global owner election
+    * that buys little at corpus scale, where boilerplate is the target).
+    *
+    * Execution shape: the span set is tiny relative to the corpus
+    * (duplicated islands only), so the token-level removal is an
+    * equi-join on doc_id with a residual range predicate against each
+    * document's OWN spans — never a corpus-wide interval join — and
+    * the reassembly is one doc-keyed sort-within-group aggregation.
+    *
+    * Output: (doc_id, n_tokens, n_tokens_kept, clean_text) for every
+    * document; untouched docs pass through with their token stream
+    * re-joined (whitespace normalized), fully-duplicated docs emit
+    * `clean_text = ""`.
+    */
+  def dedupCut(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    val ws = words(col(textCol))
+    val (spans, _) = dupSpanIntervals(docs, idCol, textCol, n)
+    val toks = docs
+      .select(col(idCol).as("doc_id"), posexplode(ws))
+      .withColumnRenamed("col", "w")
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        col("pos") >= col("s") && col("pos") < col("e"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens_kept"),
+        array_join(array_sort(collect_list(struct(col("pos"), col("w"))))
+          .getField("w"), " ").as("clean_text"))
+    docs.select(col(idCol).as("doc_id"), size(ws).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Benchmark-contamination detection: for every corpus document,

@@ -24,7 +24,8 @@ object Pipeline extends QModule {
     t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
-    t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans)
+    t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
+    d52DedupCut)
 
   import QTables.{docs, emb}
 
@@ -250,6 +251,50 @@ object Pipeline extends QModule {
                    CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / n_tokens AS dup_frac
             FROM base b LEFT JOIN agg USING (doc_id) LEFT JOIN dg USING (doc_id)
             ORDER BY doc_id"""))
+
+  /** Exact-substring dedup CUT (the destructive step over [[d51DupSpans]]'s
+    * spans): duplicated spans deleted from every document, survivors
+    * re-joined with single spaces. The oracle rebuilds the same spans in
+    * SQL and anti-joins each document's token positions against them.
+    */
+  val d52DedupCut = Q(
+    "d52_dedup_cut",
+    (s, dir) => TextDedup.dedupCut(docs(s, dir), n = 8).orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            g AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS pos,
+                    unnest(list_transform(range(len(ws) - 7),
+                      i -> array_to_string(ws[i+1:i+8], ' '))) AS gram
+                  FROM d WHERE len(ws) >= 8),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            pm AS (SELECT doc_id, pos,
+                     max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                   FROM dp),
+            isl AS (SELECT doc_id, pos,
+                      sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                          THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM pm),
+            sp AS (SELECT doc_id, island, min(pos) AS s, max(pos + 8) AS e
+                   FROM isl GROUP BY doc_id, island),
+            t AS (SELECT doc_id, unnest(range(len(ws))) AS pos,
+                    unnest(ws) AS w
+                  FROM d),
+            kept AS (SELECT t.doc_id, t.pos, t.w FROM t
+                     WHERE NOT EXISTS (SELECT 1 FROM sp
+                       WHERE sp.doc_id = t.doc_id
+                         AND t.pos >= sp.s AND t.pos < sp.e)),
+            rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+                     string_agg(w, ' ' ORDER BY pos) AS clean_text
+                   FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                   COALESCE(n_tokens_kept, 0) AS n_tokens_kept,
+                   COALESCE(clean_text, '') AS clean_text
+            FROM d LEFT JOIN rb USING (doc_id)
+            ORDER BY d.doc_id"""))
 
   /** IVF ANN: deterministic k-means quantizer (md5-sampled seeds + 3
     * Lloyd rounds over exact integer micro-sums — see

@@ -270,4 +270,26 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_tokens") == 10L)
     assert(math.abs(r.getAs[Double]("dup_frac") - 10.0 / 11.0) < 1e-12)
   }
+
+  test("dedupCut deletes the duplicated passage from BOTH documents") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"unique1 prefix1 $passage suffix1 tail1"),
+      (2L, s"other2 lead2 start2 $passage end2"),
+      (3L, "nothing  here   repeats anywhere in this small corpus at all"),
+      (4L, s"$passage")).toDF("doc_id", "text")
+    val out = TextDedup.dedupCut(df, n = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == "unique1 prefix1 suffix1 tail1")
+    assert(out(1L).getAs[Long]("n_tokens_kept") == 4L)
+    assert(out(2L).getAs[String]("clean_text") == "other2 lead2 start2 end2")
+    // untouched doc passes through whitespace-normalized
+    assert(out(3L).getAs[String]("clean_text") ==
+      "nothing here repeats anywhere in this small corpus at all")
+    assert(out(3L).getAs[Long]("n_tokens_kept") == out(3L).getAs[Long]("n_tokens"))
+    // doc 4 IS the passage: fully duplicated, cut to empty
+    assert(out(4L).getAs[String]("clean_text") == "")
+    assert(out(4L).getAs[Long]("n_tokens_kept") == 0L)
+  }
 }
