@@ -123,4 +123,53 @@ object Search {
     docLen.unpersist()
     materialized
   }
+
+  /** TF-IDF keyword extraction: the top-`k` most characteristic terms
+    * of every document, scored with the sklearn-style smooth idf
+    *
+    *   tfidf(t, d) = tf(t, d) · ln((1 + N) / (1 + df(t)))
+    *
+    * — the per-document summary a corpus-curation pass uses for topic
+    * tagging, near-dup triage, and mixture design.
+    *
+    * Execution shape: one tokenize → two map-side-combinable
+    * aggregations (tf over (doc, term), df over term) → a shuffle
+    * join on term → a per-document top-k window. The term join is the
+    * only full shuffle and it moves one row per DISTINCT (doc, term),
+    * never the raw token stream; the window partitions by doc_id, so
+    * no task ever buffers more than one document's term set.
+    *
+    * Engine parity (the [[bm25TopK]] regime): idf is 6dp-rounded and
+    * micro-quantized; `score_micro = tf · idf_micro` is then exact
+    * BIGINT arithmetic, so scores and the (score desc, term asc)
+    * ranking are bit-identical in any engine. Token-less documents
+    * emit no rows (they have no terms to rank).
+    *
+    * Output: (doc_id, rank, term, tf, df, score_micro, tfidf).
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import TextDedup.words
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_micro",
+        round(round(log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))), 6)
+          * lit(1e6)).cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("df"), col("score_micro"),
+        (col("score_micro").cast("double") / lit(1e6)).as("tfidf"))
+  }
 }

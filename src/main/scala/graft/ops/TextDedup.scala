@@ -806,6 +806,60 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Cross-source duplication matrix: for every unordered pair of
+    * corpus sources, the number of distinct word `n`-grams they share
+    * and the Jaccard overlap of their gram sets — the curation report
+    * that tells you two crawls/dumps substantially duplicate each
+    * other BEFORE committing to a mixture.
+    *
+    * Execution shape: distinct (source, gram-hash) pairs (one
+    * map-side-combinable distinct), then a groupBy on the gram hash
+    * collecting the source SET — bounded by the number of sources, a
+    * metadata-scale constant, so no collect_set ever grows with the
+    * corpus — exploded into per-gram source pairs and count-aggregated.
+    * No gram-keyed self-join (whose hot common grams would square), no
+    * doc-pair enumeration. Gram identity is `xxhash64` (the documented
+    * ≈ n²/2^64 collision envelope).
+    *
+    * Output: (source_a, source_b, shared_grams, n_grams_a, n_grams_b,
+    * jaccard) for every source pair sharing ≥ 1 gram, source_a <
+    * source_b.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      n: Int = 8): DataFrame = {
+    val ws = words(col(textCol))
+    val grams = docs
+      .select(col(srcCol).as("src"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("src"),
+        explode(transform(
+          sequence(lit(0), size(col("ws")) - n),
+          i => xxhash64(array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " ")))).as("gh"))
+      .distinct()
+    val perSource = grams.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    val pairs = grams.groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), (i + 2).cast("int"), size(col("srcs"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("shared_grams"))
+    pairs
+      .join(perSource.withColumnRenamed("src", "source_a")
+        .withColumnRenamed("n_grams", "n_grams_a"), Seq("source_a"))
+      .join(perSource.withColumnRenamed("src", "source_b")
+        .withColumnRenamed("n_grams", "n_grams_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("n_grams_a"), col("n_grams_b"),
+        (col("shared_grams").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("shared_grams")))
+          .as("jaccard"))
+  }
+
   /** Benchmark-contamination detection: for every corpus document,
     * the fraction of its distinct word n-grams that also occur in a
     * benchmark (held-out test) document set — the screen run before

@@ -25,7 +25,7 @@ object Pipeline extends QModule {
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
-    d52DedupCut)
+    d52DedupCut, t67TfIdf, d53SourceOverlap)
 
   import QTables.{docs, emb}
 
@@ -295,6 +295,66 @@ object Pipeline extends QModule {
                    COALESCE(clean_text, '') AS clean_text
             FROM d LEFT JOIN rb USING (doc_id)
             ORDER BY d.doc_id"""))
+
+  /** TF-IDF top-3 terms per document ([[Search.tfIdfTopTerms]]): the
+    * BM25-regime parity story — idf 6dp-rounded and micro-quantized,
+    * score an exact BIGINT product, ties broken on term text.
+    */
+  val t67TfIdf = Q(
+    "t67_tfidf_terms",
+    (s, dir) => graft.ops.Search.tfIdfTopTerms(docs(s, dir), k = 3)
+      .orderBy(col("doc_id"), col("rank")),
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(
+                    string_split(text, ' '), x -> x <> '')) AS term
+                  FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, term),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY term),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            sc AS (SELECT doc_id, term, tf, df,
+                     tf * CAST(round(round(ln((1.0 + n_docs) / (1.0 + df)), 6)
+                       * 1e6) AS BIGINT) AS score_micro
+                   FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score_micro DESC, term ASC) AS rank
+                   FROM sc)
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+                   score_micro, CAST(score_micro AS DOUBLE) / 1e6 AS tfidf
+            FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Cross-source duplication matrix ([[TextDedup.sourceOverlap]]):
+    * distinct shared 8-grams and gram-set Jaccard per source pair.
+    * Engine groups gram hashes and explodes the (metadata-sized)
+    * per-gram source set; the oracle self-joins gram text — equal
+    * absent a 64-bit collision.
+    */
+  val d53SourceOverlap = Q(
+    "d53_source_overlap",
+    (s, dir) => TextDedup.sourceOverlap(docs(s, dir), n = 8)
+      .orderBy(col("source_a"), col("source_b")),
+    Some("""WITH d AS (SELECT source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            g AS (SELECT DISTINCT source, unnest(list_transform(
+                    range(len(ws) - 7),
+                    i -> array_to_string(ws[i+1:i+8], ' '))) AS gram
+                  FROM d WHERE len(ws) >= 8),
+            ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+                   FROM g GROUP BY source),
+            pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS shared_grams
+                   FROM g a JOIN g b
+                     ON a.gram = b.gram AND a.source < b.source
+                   GROUP BY a.source, b.source)
+            SELECT source_a, source_b, shared_grams,
+                   pa.n_grams AS n_grams_a, pb.n_grams AS n_grams_b,
+                   CAST(shared_grams AS DOUBLE) /
+                     (pa.n_grams + pb.n_grams - shared_grams) AS jaccard
+            FROM pr
+            JOIN ps pa ON pr.source_a = pa.source
+            JOIN ps pb ON pr.source_b = pb.source
+            ORDER BY source_a, source_b"""))
 
   /** IVF ANN: deterministic k-means quantizer (md5-sampled seeds + 3
     * Lloyd rounds over exact integer micro-sums — see

@@ -105,4 +105,60 @@ class SearchSpec extends SparkSpec {
     assert(out(0).toSet == Set(1L, 3L))
     assert(out(1).toSet == Set(2L, 3L))
   }
+
+  test("tfIdfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    import spark.implicits._
+    // "common" is in every doc -> idf = ln(4/4) = 0 -> score 0;
+    // "rare" is in one doc -> idf = ln(4/2); tf breaks the rest.
+    val df = Seq(
+      (1L, "common rare rare other"),
+      (2L, "common other other"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val out = Search.tfIdfTopTerms(df, k = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("term")).toSeq }
+    assert(out(1L) == Seq("rare", "other"))
+    assert(out(2L).head == "other")
+    // per-doc: every doc yields at most k rows and zero-idf terms sink
+    val doc1 = Search.tfIdfTopTerms(df, k = 3).filter(col("doc_id") === 1L)
+      .orderBy(col("rank")).collect()
+    assert(doc1.last.getAs[String]("term") == "common")
+    assert(doc1.last.getAs[Long]("score_micro") == 0L)
+    val expectedIdf = math.round(
+      BigDecimal(math.log(4.0 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    assert(doc1.head.getAs[Long]("score_micro") == 2L * expectedIdf)
+  }
+
+  test("sourceOverlap counts shared distinct grams and exact jaccard") {
+    import spark.implicits._
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9"  // 9 words -> 2 distinct 8-grams
+    val df = Seq(
+      (1L, s"$passage xa xb xc xd xe xf xg", "crawl_a"),  // 2 shared + 8 own
+      (2L, s"$passage ya yb yc yd ye yf yg", "crawl_b"),
+      (3L, "za zb zc zd ze zf zg zh zi", "crawl_c"))      // disjoint
+      .toDF("doc_id", "text", "source")
+    val rows = TextDedup.sourceOverlap(df, n = 8).collect()
+    assert(rows.length == 1) // only a-b share anything
+    val r = rows.head
+    assert(r.getAs[String]("source_a") == "crawl_a")
+    assert(r.getAs[String]("source_b") == "crawl_b")
+    assert(r.getAs[Long]("shared_grams") == 2L)
+    assert(r.getAs[Long]("n_grams_a") == 9L)
+    assert(r.getAs[Long]("n_grams_b") == 9L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 2.0 / 16.0) < 1e-15)
+  }
+
+  test("sourceOverlap: a gram in 3 sources yields all 3 pairs once") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, shared, "a"), (2L, shared, "b"), (3L, shared, "c"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextDedup.sourceOverlap(df, n = 8).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("shared_grams"))).toSet
+    assert(rows == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
 }
