@@ -736,6 +736,11 @@ object TextDedup {
   private def dupSpanIntervals(docs: DataFrame, idCol: String,
       textCol: String, n: Int): (DataFrame, DataFrame) = {
     val ws = words(col(textCol))
+    // the gram explode feeds BOTH the recurrence aggregation and the
+    // hit join, and the partial aggregation under the former's
+    // exchange defeats ReuseExchange — cache it so the tokenize +
+    // hash pass runs once, then checkpoint the (small, duplicated-
+    // positions-only) hit set and release the cache
     val grams = docs
       .select(col(idCol).as("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= n)
@@ -744,11 +749,14 @@ object TextDedup {
           sequence(lit(0), size(col("ws")) - n),
           i => xxhash64(array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " ")))))
       .withColumnRenamed("col", "gh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select("gh")
     val dupPos = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+      .localCheckpoint(eager = true)
+    grams.unpersist()
     // merge overlapping [pos, pos+n) intervals: a hit opens a new span
     // iff it starts past the running max end of everything before it
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

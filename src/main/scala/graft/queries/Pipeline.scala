@@ -25,7 +25,7 @@ object Pipeline extends QModule {
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
-    d52DedupCut, t67TfIdf, d53SourceOverlap)
+    d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut)
 
   import QTables.{docs, emb}
 
@@ -355,6 +355,52 @@ object Pipeline extends QModule {
             JOIN ps pa ON pr.source_a = pa.source
             JOIN ps pb ON pr.source_b = pb.source
             ORDER BY source_a, source_b"""))
+
+  /** Per-language length-band cut: data-derived p10/p90 token-count
+    * thresholds per language (the Gopher-style length filter with
+    * corpus-fitted, not hand-set, bounds), computed with the exact
+    * two-phase discrete percentile ([[graft.ops.Percentiles]], the
+    * q42 machinery — bucket-located ranks, no per-group sort window)
+    * and broadcast back over the corpus as a keep flag.
+    */
+  val t68LengthCut = Q(
+    "t68_length_cut",
+    (s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+        coalesce(size(TextDedup.words(col("text"))), lit(0)).cast("long").as("n_tokens"))
+      val pcts = graft.ops.Percentiles
+        .twoPhaseDiscrete(base, groupCol = "lang", valueCol = "n_tokens",
+          qs = Seq(0.10, 0.90))
+        .groupBy(col("lang"))
+        .agg(min(when(col("q") === 0.10, col("value"))).as("p10"),
+          min(when(col("q") === 0.90, col("value"))).as("p90"))
+      base.join(broadcast(pcts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("p10"), col("p90"),
+          (col("n_tokens") >= col("p10") && col("n_tokens") <= col("p90"))
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (SELECT doc_id, lang,
+                  CAST(COALESCE(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')), 0) AS BIGINT) AS n_tokens
+                FROM documents),
+            f AS (SELECT lang, n_tokens AS v, count(*) AS c
+                  FROM base GROUP BY 1, 2),
+            x AS (SELECT lang, v,
+                    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                    sum(c) OVER (PARTITION BY lang) AS cnt
+                  FROM f),
+            p AS (SELECT lang,
+                    min(CASE WHEN cum >= CAST(ceil(0.10 * cnt) AS BIGINT)
+                        THEN v END) AS p10,
+                    min(CASE WHEN cum >= CAST(ceil(0.90 * cnt) AS BIGINT)
+                        THEN v END) AS p90
+                  FROM x GROUP BY lang)
+            SELECT doc_id, b.lang, n_tokens, p10, p90,
+                   n_tokens >= p10 AND n_tokens <= p90 AS keep
+            FROM base b JOIN p ON b.lang = p.lang
+            ORDER BY doc_id"""))
 
   /** IVF ANN: deterministic k-means quantizer (md5-sampled seeds + 3
     * Lloyd rounds over exact integer micro-sums — see
