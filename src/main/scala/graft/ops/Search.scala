@@ -172,4 +172,39 @@ object Search {
         col("term"), col("tf"), col("df"), col("score_micro"),
         (col("score_micro").cast("double") / lit(1e6)).as("tfidf"))
   }
+
+  /** Reciprocal-rank fusion of ranked retrieval lists (Cormack et al.
+    * 2009): each list contributes 1/(kRrf + rank) per (query, doc);
+    * the fused ranking orders by the summed contribution.
+    *
+    * Every input in `lists` is a (query_id, doc_id, rank) relation —
+    * typically one lexical (BM25) and one dense (cosine ANN) list.
+    * Contributions are EXACT integers (`1000000 div (kRrf + rank)`,
+    * floor division on BIGINTs), so the fused score is an
+    * order-independent BIGINT sum and the (score desc, doc_id)
+    * ranking is bit-identical in any engine — no float summation.
+    *
+    * Scale shape: inputs are already top-k lists (k rows per query),
+    * so the fuse is a groupBy over |queries|·k·|lists| rows — the
+    * retrieval passes upstream do the heavy lifting; fusion itself
+    * never touches the corpus.
+    *
+    * Output: (query_id, rank, doc_id, rrf_micro, n_lists).
+    */
+  def rrfFuse(lists: Seq[DataFrame], topK: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contrib = lists
+      .map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000L div (${kRrf}L + rank)").as("c")))
+      .reduce(_.unionByName(_))
+    val fused = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_micro"),
+        count(lit(1)).cast("int").as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("rrf_micro"), col("n_lists"))
+  }
 }

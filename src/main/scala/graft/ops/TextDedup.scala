@@ -888,18 +888,24 @@ object TextDedup {
     * are excluded. Output: (doc_id, n_ngrams, n_contaminated,
     * contaminated_frac) for every corpus doc.
     */
+  /** Distinct word n-grams per document: (doc_id, ng). Shared by the
+    * contamination screens; docs shorter than `n` words emit nothing.
+    */
+  private def distinctWordGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val ws = words(col(textCol))
+    df.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("ws")) - n),
+          i => array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " "))))
+          .as("ng"))
+  }
+
   def benchmarkOverlap(corpus: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame = {
-      val ws = words(col(textCol))
-      df.select(col(idCol).as("doc_id"), ws.as("ws"))
-        .filter(size(col("ws")) >= n)
-        .select(col("doc_id"),
-          explode(array_distinct(transform(
-            sequence(lit(0), size(col("ws")) - n),
-            i => array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " "))))
-            .as("ng"))
-    }
+    def grams(df: DataFrame): DataFrame = distinctWordGrams(df, idCol, textCol, n)
     // totals and hits both read the corpus grams — tokenize once;
     // only the 8-byte hash is kept (and shuffled), never the text
     val corpusGrams = grams(corpus)
@@ -917,6 +923,60 @@ object TextDedup {
       // per-doc rows; materialize so the n-gram cache can be freed now
       .localCheckpoint(eager = true)
     corpusGrams.unpersist()
+    out
+  }
+
+  /** [[benchmarkOverlap]] with an explicit bloom-filter semi-join
+    * reduction (the `InjectRuntimeFilter` pattern, armed
+    * deterministically): the benchmark n-gram hashes aggregate into a
+    * bloom filter ([[org.apache.spark.sql.graftext.BloomSemi]],
+    * distributed partial blooms OR-merged), and corpus-side grams are
+    * probed against it MAP-SIDE, before the hit join's shuffle. At
+    * 100 TB the corpus side is ~everything and overlap is rare, so
+    * the bloom drops ~99% of gram rows before they ever hit the
+    * network; the surviving candidates still go through the exact
+    * hash join, which removes the bloom's false positives — the
+    * result is bit-identical to the exact screen (blooms have no
+    * false negatives), only the shuffle volume changes.
+    *
+    * Driver traffic is one binary filter (numBits/8 bytes — the
+    * query-side-broadcast contract, same as the ANN query sets), NOT
+    * corpus data. `expectedItems` sizes the filter; pass the known
+    * benchmark gram count, or an upper bound (default 1M items →
+    * 1.25 MB filter at 10 bits/item, ≈0.9% FP).
+    *
+    * Output: (doc_id, n_ngrams, n_contaminated, contaminated_frac,
+    * keep) — `keep` is the screen decision at `maxFrac`.
+    */
+  def benchmarkOverlapBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
+      expectedItems: Long = 1L << 20, maxFrac: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.graftext.BloomSemi
+    val benchGrams = distinctWordGrams(benchmark, idCol, textCol, n)
+      .select(xxhash64(col("ng")).as("ngh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf: Array[Byte] = benchGrams
+      .agg(BloomSemi.bloomFilterAgg(col("ngh"), expectedItems).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val corpusGrams = distinctWordGrams(corpus, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    // the semi-join reduction: bloom probe map-side, exact join on
+    // the ~surviving candidates only
+    val hits = corpusGrams
+      .filter(BloomSemi.mightContain(lit(bf), col("ngh")))
+      .join(benchGrams, "ngh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    val out = totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_ngrams"))
+          .as("contaminated_frac"))
+      .withColumn("keep", col("contaminated_frac") <= maxFrac)
+      .localCheckpoint(eager = true)
+    corpusGrams.unpersist()
+    benchGrams.unpersist()
     out
   }
 }

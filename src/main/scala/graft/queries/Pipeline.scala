@@ -25,7 +25,8 @@ object Pipeline extends QModule {
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
-    d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut)
+    d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
+    d54BloomScreen)
 
   import QTables.{docs, emb}
 
@@ -401,6 +402,132 @@ object Pipeline extends QModule {
                    n_tokens >= p10 AND n_tokens <= p90 AS keep
             FROM base b JOIN p ON b.lang = p.lang
             ORDER BY doc_id"""))
+
+  /** Hybrid retrieval: BM25 lexical top-20 and brute-force cosine
+    * dense top-20 (query vectors = embeddings 0..2, one per probe
+    * query) fused with reciprocal-rank fusion
+    * ([[graft.ops.Search.rrfFuse]]). RRF contributions are exact
+    * BIGINT floor divisions (`1000000 div (60 + rank)`), so the fused
+    * score and ranking are bit-identical across engines. The oracle
+    * replays both retrieval passes (the t58 and s46 SQL) and the same
+    * integer fuse.
+    */
+  val s53HybridRrf = Q(
+    "s53_hybrid_rrf",
+    (s, dir) => {
+      val lex = Search.bm25TopK(
+          docs(s, dir),
+          Search.queryTable(s, Seq(
+            0 -> "spark join merge", 1 -> "window stream batch",
+            2 -> "customer filter order")),
+          k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = emb(s, dir)
+      val dense = Similarity.bruteForceTopK(e.filter(col("id") < 3), e, 20)
+        .select(col("query_id").cast("int").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq(lex, dense), topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q(query_id, query_text) AS (VALUES
+              (0, 'spark join merge'), (1, 'window stream batch'),
+              (2, 'customer filter order')),
+            d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                  FROM documents),
+            lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+            qt AS (SELECT DISTINCT query_id, t FROM (
+                     SELECT query_id, unnest(list_filter(string_split(query_text, ' '),
+                       x -> x <> '')) AS t FROM q) z),
+            terms AS (SELECT DISTINCT t FROM qt),
+            tf AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(ws) AS t FROM d) x
+                   JOIN terms USING (t)
+                   GROUP BY t, doc_id),
+            dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+            contrib AS (SELECT qt.query_id, tf.doc_id,
+                CAST(round(round(
+                  ln(1 + (CAST(tot.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                  * (CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE)
+                      / (CAST(tot.sum_dl AS DOUBLE) / tot.n_docs)))
+                , 6) * 1e6) AS BIGINT) AS w_micro
+              FROM tf JOIN qt USING (t) JOIN dfreq USING (t)
+                   JOIN lens USING (doc_id), tot),
+            scored AS (SELECT query_id, doc_id,
+                         CAST(sum(w_micro) AS BIGINT) AS score_micro
+                       FROM contrib GROUP BY query_id, doc_id),
+            lexr AS (SELECT query_id, doc_id, score_micro,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score_micro DESC, doc_id ASC) AS rank
+                     FROM scored),
+            lexk AS (SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 20),
+            v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings),
+            dx AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                     round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                       6) AS cos
+                   FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+            dr AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, doc_id ASC) AS rank
+                   FROM dx),
+            den AS (SELECT CAST(query_id AS INT) AS query_id, doc_id, rank
+                    FROM dr WHERE rank <= 20),
+            fused AS (SELECT query_id, doc_id,
+                        CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+                        CAST(count(*) AS INT) AS n_lists
+                      FROM (SELECT * FROM lexk UNION ALL SELECT * FROM den) u
+                      GROUP BY 1, 2),
+            rr AS (SELECT query_id, doc_id, rrf_micro, n_lists,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+                   FROM fused)
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_micro, n_lists
+            FROM rr WHERE rank <= 10
+            ORDER BY query_id, rank"""))
+
+  /** Contamination screen with the bloom semi-join reduction
+    * ([[TextDedup.benchmarkOverlapBloom]]): benchmark gram hashes →
+    * distributed bloom → map-side probe of corpus grams → exact
+    * verify join. Result is bit-identical to the exact screen (the
+    * verify join removes bloom false positives), so the oracle is the
+    * plain overlap SQL — what's gated here is that the reduction
+    * changes no answer while cutting the join's shuffle input.
+    */
+  val d54BloomScreen = Q(
+    "d54_bloom_screen",
+    (s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.benchmarkOverlapBloom(
+          d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            g AS (SELECT doc_id, source,
+                    unnest(list_distinct(list_transform(range(len(ws) - 7),
+                      i -> array_to_string(ws[i+1:i+8], ' ')))) AS ng
+                  FROM d WHERE len(ws) >= 8),
+            bench AS (SELECT DISTINCT ng FROM g WHERE source = 'src0'),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+                    FROM g WHERE source <> 'src0' GROUP BY doc_id),
+            hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+                    FROM g JOIN bench USING (ng)
+                    WHERE source <> 'src0' GROUP BY doc_id)
+            SELECT t.doc_id, n_ngrams,
+                   COALESCE(n_contaminated, 0) AS n_contaminated,
+                   CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams
+                     AS contaminated_frac,
+                   CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams
+                     <= 0.05 AS keep
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id"""))
 
   /** IVF ANN: deterministic k-means quantizer (md5-sampled seeds + 3
     * Lloyd rounds over exact integer micro-sums — see

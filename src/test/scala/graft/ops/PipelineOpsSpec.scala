@@ -140,6 +140,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == 0L)
   }
 
+  test("benchmarkOverlapBloom ≡ exact screen, and the bloom probe prunes clean grams") {
+    val leak = (1 to 8).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, leak + " extra words here to pad it out"),
+      (2L, (11 to 40).map(i => s"z$i").mkString(" ")),
+      (3L, (50 to 70).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, leak + " trailing benchmark context"))
+      .toDF("doc_id", "text")
+    val exact = TextDedup.benchmarkOverlap(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = TextDedup.benchmarkOverlapBloom(corpus, bench,
+        expectedItems = 1024).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact, "bloom-prefiltered screen must change no answer")
+
+    // the reduction itself: clean grams are dropped by the probe
+    // before the join (no false negatives on the leaked ones)
+    import org.apache.spark.sql.graftext.BloomSemi
+    val benchGh = bench
+      .select(explode(TextDedup.words(col("text"))).as("w")) // word-level stand-in set
+      .select(xxhash64(col("w")).as("h")).distinct()
+    val bf = benchGh.agg(BloomSemi.bloomFilterAgg(col("h"), 1024).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probeHits = benchGh.filter(BloomSemi.mightContain(lit(bf), col("h"))).count()
+    assert(probeHits == benchGh.count(), "bloom must have no false negatives")
+    val clean = spark.range(100000, 101000).select(xxhash64(col("id")).as("h"))
+    val fp = clean.filter(BloomSemi.mightContain(lit(bf), col("h"))).count()
+    assert(fp < 50, s"bloom should prune ~all clean keys, passed $fp of 1000")
+  }
+
   test("wordFreqStats computes discrete median/max/mean of corpus term frequencies") {
     val docs = Seq(
       (1L, "common common rare"),   // freqs: common=4 (2 here + 2 in doc 2), rare=1

@@ -161,4 +161,22 @@ class SearchSpec extends SparkSpec {
         r.getAs[Long]("shared_grams"))).toSet
     assert(rows == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
   }
+
+  test("rrfFuse: integer contributions sum across lists, doc in both lists wins") {
+    import spark.implicits._
+    // doc 10 is rank 2 in both lists; doc 20 is rank 1 lexical only,
+    // doc 30 rank 1 dense only. 1e6 div 62 (×2) > 1e6 div 61 (×1).
+    val lex = Seq((0, 20L, 1), (0, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val den = Seq((0, 30L, 1), (0, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq(lex, den), topK = 3).collect()
+      .map(r => r.getAs[Int]("rank") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_micro"), r.getAs[Int]("n_lists")))
+      .toMap
+    val c61 = 1000000L / 61
+    val c62 = 1000000L / 62
+    assert(out(1) == ((10L, 2 * c62, 2)))
+    // equal single-list scores tie-break on doc_id
+    assert(out(2) == ((20L, c61, 1)))
+    assert(out(3) == ((30L, c61, 1)))
+  }
 }
