@@ -26,7 +26,7 @@ object Pipeline extends QModule {
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
-    d54BloomScreen)
+    d54BloomScreen, t69FilterFunnel)
 
   import QTables.{docs, emb}
 
@@ -528,6 +528,80 @@ object Pipeline extends QModule {
                      <= 0.05 AS keep
             FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
             ORDER BY t.doc_id"""))
+
+  /** Staged corpus-cleaning funnel ([[graft.ops.Funnel]]): exact
+    * dedup → length band → rule gates → repetition, reported as
+    * per-stage attrition counts — the table that tells a pipeline
+    * owner where documents die. All four flags compute in parallel
+    * linear passes and collapse into one aggregate row; the oracle
+    * replays the same sequential-survival semantics.
+    */
+  val t69FilterFunnel = Q(
+    "t69_filter_funnel",
+    (s, dir) => graft.ops.Funnel.qualityFunnel(docs(s, dir)),
+    Some("""WITH d AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            keeper AS (SELECT md5(text) AS th, min(doc_id) AS keeper_id
+                       FROM documents GROUP BY 1),
+            k1f AS (SELECT doc_id, doc_id = keeper_id AS k1
+                    FROM documents JOIN keeper ON md5(text) = th),
+            base AS (SELECT doc_id,
+                  CAST(len(ws) AS INT) AS n_words,
+                  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_word_len,
+                  len(text) AS n_chars,
+                  len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_symbol_chars,
+                  CAST(len(list_filter(ws, w -> list_contains(
+                    ['the','a','of','to','in','is','and','for','on','with'], w))) AS INT)
+                    AS n_stopwords
+                FROM d),
+            bg AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+                     i -> ws[i+1] || ' ' || ws[i+2])) AS b
+                   FROM d WHERE len(ws) >= 2),
+            top2 AS (SELECT doc_id, max(n) AS top_bigram_n
+                     FROM (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2) t
+                     GROUP BY doc_id),
+            m AS (SELECT b.doc_id, n_words,
+                  CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+                  CAST(n_symbol_chars AS DOUBLE) / n_chars AS symbol_ratio,
+                  CAST(n_stopwords AS DOUBLE) / n_words AS stopword_frac,
+                  CASE WHEN n_words > 1
+                    THEN CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / (n_words - 1)
+                    ELSE 0.0 END AS top_bigram_frac
+                FROM base b LEFT JOIN top2 USING (doc_id)),
+            q AS (SELECT doc_id, n_words BETWEEN 50 AND 100000 AS k2,
+                    mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND symbol_ratio < 0.1 AND stopword_frac > 0.02
+                      AND top_bigram_frac < 0.2 AS k3
+                  FROM m),
+            g4 AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 3),
+                     i -> array_to_string(ws[i+1:i+4], ' '))) AS ng
+                   FROM d WHERE len(ws) >= 4),
+            repc AS (SELECT doc_id, ng, CAST(count(*) AS BIGINT) AS c
+                     FROM g4 GROUP BY doc_id, ng),
+            rep AS (SELECT doc_id,
+                      CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+                        AS dup_frac
+                    FROM repc GROUP BY doc_id),
+            flags AS (SELECT k1, k2, k3, COALESCE(dup_frac, 0.0) < 0.2 AS k4
+                      FROM k1f JOIN q USING (doc_id)
+                           LEFT JOIN rep USING (doc_id)),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                    CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                    CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                    CAST(sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n3,
+                    CAST(sum(CASE WHEN k1 AND k2 AND k3 AND k4 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n4
+                  FROM flags),
+            u AS (SELECT CAST(1 AS INT) AS stage_id, 'exact_dedup' AS stage,
+                         n0 AS n_in, n1 AS n_out FROM a
+                  UNION ALL SELECT 2, 'length_band', n1, n2 FROM a
+                  UNION ALL SELECT 3, 'quality_rules', n2, n3 FROM a
+                  UNION ALL SELECT 4, 'repetition', n3, n4 FROM a)
+            SELECT stage_id, stage, n_in, n_out,
+                   CAST(n_in - n_out AS DOUBLE) / n_in AS drop_frac
+            FROM u ORDER BY stage_id"""))
 
   /** IVF ANN: deterministic k-means quantizer (md5-sampled seeds + 3
     * Lloyd rounds over exact integer micro-sums — see

@@ -171,6 +171,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fp < 50, s"bloom should prune ~all clean keys, passed $fp of 1000")
   }
 
+  test("qualityFunnel: each stage kills exactly its engineered victim, in order") {
+    // goodA passes every stage: distinct 3-char words, two stopwords
+    val goodA = ("the" +: "and" +: (3 to 60).map(i => f"w$i%02d")).mkString(" ")
+    val goodB = ("the" +: "for" +: (3 to 60).map(i => f"u$i%02d")).mkString(" ")
+    val noStop = (1 to 55).map(i => f"v$i%02d").mkString(" ")   // k3: 0 stopwords
+    val loop = Seq.fill(8)("the aa1 aa2 aa3 bb1 bb2 bb3 bb4").mkString(" ") // k4
+    val docs = Seq(
+      (1L, goodA), (2L, goodA),   // stage 1 keeps min id
+      (3L, "tiny doc"),           // stage 2: 2 words
+      (4L, noStop),               // stage 3: stopword_frac = 0
+      (5L, loop),                 // stage 4: dup 4-gram frac ≈ 0.87
+      (6L, goodB))
+      .toDF("doc_id", "text")
+    val out = Funnel.qualityFunnel(docs).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1) == (("exact_dedup", 6L, 5L)))
+    assert(out(2) == (("length_band", 5L, 4L)))
+    assert(out(3) == (("quality_rules", 4L, 3L)))
+    assert(out(4) == (("repetition", 3L, 2L)))
+  }
+
   test("wordFreqStats computes discrete median/max/mean of corpus term frequencies") {
     val docs = Seq(
       (1L, "common common rare"),   // freqs: common=4 (2 here + 2 in doc 2), rare=1
