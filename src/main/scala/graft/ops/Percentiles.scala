@@ -30,7 +30,10 @@ object Percentiles {
 
   /** Long-form result: one row per (group, q) with the exact
     * discrete percentile of `valueCol` (an integral column).
-    * Output columns: (groupCol, q, value).
+    * Output columns: (groupCol, q, value). Quantiles must be
+    * representable in micro units (q·1e6 integral — ranks compute in
+    * exact integer arithmetic so engines with decimal literals
+    * agree at exact-multiple group counts).
     */
   def twoPhaseDiscrete(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], bucketWidth: Int = 4096): DataFrame = {
@@ -56,10 +59,17 @@ object Percentiles {
       .withColumn("cnt", sum(col("bc")).over(wf))
 
     // one row per (group, q): the minimum bucket whose cumulative
-    // count reaches rank = ceil(q·cnt), and the count BEFORE it
+    // count reaches rank = ceil(q·cnt), and the count BEFORE it.
+    // The rank is EXACT integer arithmetic on micro-quantized q:
+    // ceil(q·cnt) via double math reads ceil(0.1·60) = 7 (0.1 has no
+    // binary representation, 0.1·60 → 6.000000000000001) where the
+    // rational value is 6 — and a DECIMAL-arithmetic oracle (DuckDB
+    // parses 0.10 as DECIMAL) computes the rational 6, so every group
+    // whose count is an exact multiple of 1/q would diverge.
     val targets = buckets
       .crossJoin(qs.toDF("q"))
-      .withColumn("rank", expr("CAST(ceil(q * cnt) AS BIGINT)"))
+      .withColumn("rank",
+        expr("(CAST(round(q * 1e6) AS BIGINT) * cnt + 999999) div 1000000"))
       .filter(col("cumb") >= col("rank"))
       .groupBy(g, col("q"))
       .agg(min(struct(col("bucket"), (col("cumb") - col("bc")).as("base"))).as("t"),
@@ -97,7 +107,8 @@ object Percentiles {
       .withColumn("cum", sum(col("c")).over(w))
       .withColumn("cnt", sum(col("c")).over(wc))
       .crossJoin(qs.toDF("q"))
-      .withColumn("rank", expr("CAST(ceil(q * cnt) AS BIGINT)"))
+      .withColumn("rank",
+        expr("(CAST(round(q * 1e6) AS BIGINT) * cnt + 999999) div 1000000"))
       .filter(col("cum") >= col("rank"))
       .groupBy(g, col("q"))
       .agg(min(col("_v")).as("value"))

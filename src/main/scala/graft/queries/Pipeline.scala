@@ -81,7 +81,10 @@ object Pipeline extends QModule {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("cnt", count(lit(1)).over(wCnt))
-        .filter(col("rn") <= ceil(col("cnt") * 0.1))
+        // exact ceil(cnt/10): double 0.1·cnt overshoots at multiples
+        // of 10 (0.1·60 → 6.000000000000001 → ceil 7) while the
+        // oracle's DECIMAL 0.1 computes the rational 6
+        .filter(col("rn") <= expr("(cnt + 9) div 10"))
         .orderBy(col("o_orderpriority"), col("rn"))
     },
     Some("""WITH t AS (SELECT o_orderkey, o_orderpriority,

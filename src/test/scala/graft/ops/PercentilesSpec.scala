@@ -29,6 +29,19 @@ class PercentilesSpec extends SparkSpec {
     assert(got(("c", 0.5)) == -3L)
   }
 
+  test("exact-multiple group counts: rank is the rational ceil, not the double one") {
+    // 20 values with q=0.10: rational ceil(2.0) = 2 → value 2. The
+    // double form reads ceil(0.1·20 = 2.0000000000000004) = 3 → 3,
+    // which diverges from any decimal-arithmetic oracle.
+    val rows = (1L to 20L).map("a" -> _) ++ (1L to 60L).map("b" -> _)
+    val (got, want) = run(rows, Seq(0.1, 0.9), bw = 8)
+    assert(got == want)
+    assert(got(("a", 0.1)) == 2L)
+    assert(got(("b", 0.1)) == 6L)
+    assert(got(("a", 0.9)) == 18L)
+    assert(got(("b", 0.9)) == 54L)
+  }
+
   test("fuzz: two-phase equals the window form across distributions") {
     val r = new scala.util.Random(2026)
     for (round <- 0 until 6) {
