@@ -511,6 +511,36 @@ object Similarity {
       count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
   }
 
+  /** Embedding outlier detection (the SemDeDup/D4 curation family's
+    * "prune far-from-centroid points" step): every vector's cosine to
+    * its assigned k-means centroid, flagged when it falls strictly
+    * below the cluster's q-quantile of that cosine — a data-derived,
+    * per-cluster cut, not a global hand-set threshold.
+    *
+    * Built from verified pieces: [[clusterAssign]]'s deterministic
+    * quantizer (broadcast kilobyte centroids, linear assignment) and
+    * [[Percentiles.twoPhaseDiscrete]] over the micro-quantized cosine
+    * (cosines are round6, so ·1e6 is an exact integral — the
+    * percentile runs on exact BIGINTs and the cut is engine-exact).
+    * The quantile table is nlist rows, broadcast back; everything
+    * else is the linear assignment pass.
+    *
+    * Output: (vec_id, cluster, cos_micro, p_micro, is_outlier).
+    */
+  def clusterOutliers(vectors: DataFrame, nlist: Int = 8,
+      lloydRounds: Int = 3, q: Double = 0.10): DataFrame = {
+    val assigned = clusterAssign(vectors, nlist, lloydRounds)
+      .select(col("vec_id"), col("cluster"),
+        round(col("cos") * 1e6).cast("long").as("cos_micro"))
+    val cuts = Percentiles
+      .twoPhaseDiscrete(assigned, groupCol = "cluster",
+        valueCol = "cos_micro", qs = Seq(q))
+      .select(col("cluster"), col("value").as("p_micro"))
+    assigned.join(broadcast(cuts), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cos_micro"), col("p_micro"),
+        (col("cos_micro") < col("p_micro")).as("is_outlier"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup),
     * brute-force form: a relational self theta-join — Spark broadcasts
     * the smaller build side itself (bounded by

@@ -26,7 +26,7 @@ object Pipeline extends QModule {
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
-    d54BloomScreen, t69FilterFunnel)
+    d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit)
 
   import QTables.{docs, emb}
 
@@ -1144,11 +1144,13 @@ object Pipeline extends QModule {
     * primitive. The oracle replays the identical k-means (BIGINT
     * micro-sums → bit-identical centroids) and the final assignment.
     */
-  val s52ClusterAssign = Q(
-    "s52_kmeans_clusters",
-    (s, dir) => Similarity.clusterAssign(emb(s, dir), nlist = 8, lloydRounds = 3)
-      .orderBy(col("vec_id")),
-    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  /** Shared oracle prefix: the s52/s54 deterministic k-means replay
+    * (md5 seeds, 3 Lloyd rounds over exact BIGINT micro-sums) ending
+    * at `asn(vec_id, cid, cos)` — the final assignment with its
+    * cosine.
+    */
+  private val kmeansAsnSql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                        FROM embeddings),
             c0 AS (SELECT vec_id AS cid, e AS ce FROM v
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
@@ -1209,12 +1211,72 @@ object Pipeline extends QModule {
             asn AS (SELECT vec_id, cid, cos FROM (
                       SELECT vec_id, cid, cos, row_number() OVER (PARTITION BY vec_id
                         ORDER BY cos DESC, cid ASC) AS rn FROM ac3) t
-                    WHERE rn = 1),
+                    WHERE rn = 1)"""
+
+  val s52ClusterAssign = Q(
+    "s52_kmeans_clusters",
+    (s, dir) => Similarity.clusterAssign(emb(s, dir), nlist = 8, lloydRounds = 3)
+      .orderBy(col("vec_id")),
+    Some(kmeansAsnSql + """,
             sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
                    FROM asn GROUP BY cid)
             SELECT vec_id, cid AS cluster, cos, cluster_size
             FROM asn JOIN sz USING (cid)
             ORDER BY vec_id"""))
+
+  /** Embedding outliers ([[Similarity.clusterOutliers]]): flag
+    * vectors whose assignment cosine falls strictly below their
+    * cluster's p10 — the far-from-centroid prune of the D4/SemDeDup
+    * curation family, with a data-derived per-cluster cut. Percentile
+    * ranks are exact integer arithmetic on the micro-quantized
+    * cosine, so the oracle's window replay agrees at exact-multiple
+    * cluster sizes.
+    */
+  val s54EmbOutliers = Q(
+    "s54_emb_outliers",
+    (s, dir) => Similarity.clusterOutliers(emb(s, dir), nlist = 8,
+        lloydRounds = 3, q = 0.10)
+      .orderBy(col("vec_id")),
+    Some(kmeansAsnSql + """,
+            cosq AS (SELECT vec_id, cid,
+                       CAST(round(cos * 1e6) AS BIGINT) AS cos_micro
+                     FROM asn),
+            fr AS (SELECT cid, cos_micro, CAST(count(*) AS BIGINT) AS c
+                   FROM cosq GROUP BY 1, 2),
+            cw AS (SELECT cid, cos_micro AS cv,
+                     CAST(sum(c) OVER (PARTITION BY cid
+                       ORDER BY cos_micro) AS BIGINT) AS cum,
+                     CAST(sum(c) OVER (PARTITION BY cid) AS BIGINT) AS cnt
+                   FROM fr),
+            pc AS (SELECT cid,
+                     min(CASE WHEN cum >= (100000 * cnt + 999999) // 1000000
+                         THEN cv END) AS p_micro
+                   FROM cw GROUP BY cid)
+            SELECT vec_id, cid AS cluster, cos_micro, p_micro,
+                   cos_micro < p_micro AS is_outlier
+            FROM cosq JOIN pc USING (cid)
+            ORDER BY vec_id"""))
+
+  /** Deterministic train/val/test assignment
+    * ([[graft.ops.Splits.hashSplit]], 800/100/100 milli weights): a
+    * pure md5-of-id projection, so the split of every document is
+    * reproducible from the id alone — no persisted assignment table,
+    * no coordination, stable under reruns and late-arriving shards.
+    */
+  val t70HashSplit = Q(
+    "t70_hash_split",
+    (s, dir) => graft.ops.Splits.hashSplit(docs(s, dir))
+      .select(col("doc_id"), col("source"), col("bucket_milli"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                     AS BIGINT) % 1000 AS bucket_milli,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                          AS BIGINT) % 1000 < 800 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                          AS BIGINT) % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
 
   /** DSIR importance weights: hashed-unigram (64 md5 buckets)
     * add-one-smoothed log likelihood ratio of target (src0) vs the

@@ -193,6 +193,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4) == (("repetition", 3L, 2L)))
   }
 
+  test("hashSplit: id-pure, partitioning-invariant, weights roughly honored") {
+    val df = spark.range(0, 2000).toDF("doc_id")
+    def runIt(d: org.apache.spark.sql.DataFrame) =
+      Splits.hashSplit(d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val a = runIt(df)
+    assert(a == runIt(df.repartition(7)), "split must be a pure function of id")
+    a.foreach { case (id, (b, s)) =>
+      assert(b >= 0 && b < 1000)
+      val want = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(s == want, s"doc $id bucket $b labeled $s")
+    }
+    val frac = a.values.count(_._2 == "train") / 2000.0
+    assert(frac > 0.75 && frac < 0.85, s"train frac $frac far from 0.8")
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(df, weights = Seq("a" -> 500, "b" -> 400))
+    }
+  }
+
   test("wordFreqStats computes discrete median/max/mean of corpus term frequencies") {
     val docs = Seq(
       (1L, "common common rare"),   // freqs: common=4 (2 here + 2 in doc 2), rare=1

@@ -165,4 +165,29 @@ class SimilaritySpec extends SparkSpec {
       assert(got(qid) == (best._1, best._2.toLong), s"query $qid")
     }
   }
+
+  test("clusterOutliers: cut is the per-cluster p10, invariant to partitioning") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val out = Similarity.clusterOutliers(vecs, nlist = 8, lloydRounds = 3, q = 0.10)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // flagged = strictly below the cluster cut, and at most ~10% per cluster
+    out.groupBy(_._1).foreach { case (cid, rows) =>
+      val cut = rows.head._4
+      assert(rows.forall(_._4 == cut), s"cluster $cid: one cut per cluster")
+      rows.foreach { case (_, id, cm, p, flag) =>
+        assert(flag == (cm < p), s"vec $id flag mismatch") }
+      val nFlag = rows.count(_._5)
+      assert(nFlag <= math.ceil(0.10 * rows.size),
+        s"cluster $cid flagged $nFlag of ${rows.size}")
+      // the cut is an actual data value of the cluster (discrete percentile)
+      assert(rows.exists(_._3 == cut), s"cluster $cid cut not a member value")
+    }
+    val repartitioned = Similarity.clusterOutliers(vecs.repartition(13),
+        nlist = 8, lloydRounds = 3, q = 0.10)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.toSet == repartitioned.toSet, "partitioning must not change flags")
+  }
 }
