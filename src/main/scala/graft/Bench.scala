@@ -151,6 +151,28 @@ object Bench {
         t
       }
 
+    // Text-dedup-at-scale rehearsal (one shot): 200k synthetic docs
+    // with planted near-dups through the full MinHash→LSH→verify→CC→
+    // canonical cascade, recovery-checked against the plant. Its own
+    // key (`t_dedup200k`) so rounds track dedup-at-scale wall time;
+    // same opt-outs as the pyramid.
+    val dedupSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DEDUP").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.ops.DedupRehearsal.run(s,
+            sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] t_dedup200k failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // millisecond precision keeps the line short: wrappers that
     // tail-capture stdout (the driver keeps only the last few KB)
     // must see the WHOLE line or their JSON parse fails
@@ -169,7 +191,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"t_dedup200k":${fmt(dedupSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -181,7 +203,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"t_dedup200k":${fmt(dedupSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -130,15 +130,13 @@ object TextDedup {
   }
 
   /** MinHash signatures: one row per doc, `sig` = array of `numHashes`
-    * minima over the doc's shingle hashes. The hash family is
-    * Kirsch–Mitzenmacher double hashing h_i = h1 + i·h2 with h1, h2
-    * drawn as independent 56-bit values from the md5 hex digest —
-    * 56 bits so that h1 + 63·h2 < 2^63 stays exact in BIGINT on any
-    * engine (a DuckDB oracle replays the family verbatim; xxhash64
-    * wrap-around arithmetic could not be reproduced there). Each slot
-    * is a full-range-independent perturbation of the shingle hash, so
-    * slot minima stay uncorrelated. Computation is the zero-shuffle
-    * per-doc kernel of [[signaturesFromSets]].
+    * minima over the doc's shingle hashes. The hash family is the
+    * per-slot universal hash (a_k·x + b_k) mod 2³¹−1 over the md5-
+    * derived base hash x (see [[signatureOfShingles]]) — 31-bit
+    * values keep every product exact in BIGINT on any engine (a
+    * DuckDB oracle replays the family verbatim; xxhash64 wrap-around
+    * arithmetic could not be reproduced there). Computation is the
+    * zero-shuffle per-doc kernel of [[signaturesFromSets]].
     */
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64): DataFrame =
@@ -168,25 +166,60 @@ object TextDedup {
       .toDF("doc_id", "sig")
   }
 
+  /** Mersenne prime 2³¹−1: the minhash slot modulus. 31-bit values
+    * keep `a·x + b` within 62 bits — exact in a BIGINT on any engine.
+    */
+  private[graft] val MinHashP = 2147483647L
+
+  /** Per-slot universal-hash constants (a_k, b_k), derived from md5
+    * of literal strings so any SQL engine regenerates them:
+    * a_k = 1 + md5int14("mha:k") mod (p−1)  (never 0),
+    * b_k =     md5int14("mhb:k") mod p.
+    */
+  private val minHashConstsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private[graft] def minHashConsts(n: Int): (Array[Long], Array[Long]) =
+    minHashConstsCache.computeIfAbsent(n, { nn =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      def md5int14(s: String): Long = {
+        val d = digest.digest(s.getBytes("UTF-8"))
+        var h = 0L; var i = 0
+        while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h
+      }
+      val a = Array.tabulate(nn)(k => 1L + md5int14(s"mha:$k") % (MinHashP - 1))
+      val b = Array.tabulate(nn)(k => md5int14(s"mhb:$k") % MinHashP)
+      (a, b)
+    })
+
   /** MinHash signature of one shingle set — the per-row kernel behind
     * [[signaturesFromSets]], shared with the streaming operator.
-    * h1 = first 14 md5 hex chars (bytes 0-6), h2 = next 14
-    * (bytes 7-13): the same values conv(substring(md5,...),16,10)
-    * produces, exact in BIGINT up to h1 + 63·h2.
+    * Slot k minimizes the UNIVERSAL hash (a_k·x + b_k) mod 2³¹−1 over
+    * x = (first 14 md5 hex chars of the shingle) mod 2³¹−1 — per-slot
+    * independent constants, so slot agreements are ~independent
+    * Bernoulli(J) draws and banded recall follows the textbook
+    * 1−(1−J^r)^b. (The earlier h1 + k·h2 linear family made slots
+    * heavily correlated: when the minimizing shingle differed between
+    * two docs, whole runs of slots disagreed together — measured ~4%
+    * missed pairs at J = 0.88 under 16×4 banding where independence
+    * predicts ~3e-7.) All arithmetic stays exact in 62 bits, so the
+    * d42 oracle replays it verbatim in SQL.
     */
   private[graft] def signatureOfShingles(shingles: Array[String], n: Int,
       digest: java.security.MessageDigest): Array[Long] = {
+    val (as, bs) = minHashConsts(n)
     val sig = Array.fill(n)(Long.MaxValue)
     var si = 0
     while (si < shingles.length) {
       val d = digest.digest(shingles(si).getBytes("UTF-8"))
-      var h1 = 0L; var h2 = 0L
+      var h1 = 0L
       var bi = 0
       while (bi < 7) { h1 = (h1 << 8) | (d(bi) & 0xffL); bi += 1 }
-      while (bi < 14) { h2 = (h2 << 8) | (d(bi) & 0xffL); bi += 1 }
+      val x = h1 % MinHashP
       var i = 0
       while (i < n) {
-        val h = h1 + i.toLong * h2
+        val h = (as(i) * x + bs(i)) % MinHashP
         if (h < sig(i)) sig(i) = h
         i += 1
       }

@@ -85,11 +85,17 @@ object LlmOps extends QModule {
                      FROM d WHERE len(ws) >= 3),
             sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
             h AS (SELECT doc_id,
-                    CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h1,
-                    CAST('0x' || substr(md5(shingle), 15, 14) AS BIGINT) AS h2
+                    CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT)
+                      % 2147483647 AS x
                   FROM sh),
-            slots AS (SELECT doc_id, k, min(h1 + k * h2) AS slot
-                      FROM h, range(64) r(k) GROUP BY doc_id, k),
+            consts AS (SELECT k,
+                    1 + CAST('0x' || substr(md5('mha:' || k), 1, 14) AS BIGINT)
+                      % 2147483646 AS a,
+                    CAST('0x' || substr(md5('mhb:' || k), 1, 14) AS BIGINT)
+                      % 2147483647 AS b
+                  FROM range(64) r(k)),
+            slots AS (SELECT doc_id, k, min((a * x + b) % 2147483647) AS slot
+                      FROM h, consts GROUP BY doc_id, k),
             bands AS (SELECT doc_id, k // 4 AS band,
                         string_agg(CAST(slot AS VARCHAR), ',' ORDER BY k) AS bucket
                       FROM slots GROUP BY doc_id, k // 4),
