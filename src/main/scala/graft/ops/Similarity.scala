@@ -541,6 +541,73 @@ object Similarity {
         (col("cos_micro") < col("p_micro")).as("is_outlier"))
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998): from
+    * each query's dense top-`poolK` pool, greedily pick `k` results
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the rerank a
+    * retrieval pipeline runs so near-duplicate hits don't crowd the
+    * result list.
+    *
+    * Scale shape: the pool is k rows per query (the upstream ANN pass
+    * touches the corpus; this never does), so the greedy loop is a
+    * per-query typed kernel over ≤ poolK vectors — one `mapGroups`
+    * with poolK² JVM cosines per query, no cross-query state, no
+    * driver involvement.
+    *
+    * Exactness: rel and pairwise sims are 6dp-rounded cosines in
+    * micro units; the MMR score is the exact integer
+    * `λmilli·rel_micro − (1000−λmilli)·sim_micro` (nano units), so
+    * selection order and tie-breaks (score desc, id asc) are
+    * engine-exact and an unrolled SQL replay agrees bit-for-bit.
+    *
+    * Output: (query_id, rank, doc_id, score_nano).
+    */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame,
+      poolK: Int = 8, k: Int = 5, lambdaMilli: Int = 700): DataFrame = {
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000, s"λ millis: $lambdaMilli")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(queries, candidates, poolK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos") * 1e6).cast("long").as("rel_micro"))
+    val withVec = pool
+      .join(candidates.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rel_micro"), col("vec"))
+      .as[(Long, Long, Long, Array[Double])]
+    val lam = lambdaMilli.toLong
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val pool = it.toArray.sortBy { case (_, id, rel, _) => (-rel, id) }
+        val n = pool.length
+        val sim = Array.ofDim[Long](n, n)
+        for (i <- 0 until n; j <- i + 1 until n) {
+          val s = math.round(round6(cosineJvm(pool(i)._4, pool(j)._4)) * 1e6)
+          sim(i)(j) = s; sim(j)(i) = s
+        }
+        val selected = Array.fill(n)(false)
+        (1 to math.min(k, n)).iterator.map { rank =>
+          var best = -1
+          var bestScore = Long.MinValue
+          for (c <- 0 until n if !selected(c)) {
+            // true max over S (can be negative); the first pick has
+            // no diversity term at all — pure relevance
+            var maxSim = Long.MinValue
+            for (s <- 0 until n if selected(s))
+              if (sim(c)(s) > maxSim) maxSim = sim(c)(s)
+            val score =
+              if (maxSim == Long.MinValue) lam * pool(c)._3
+              else lam * pool(c)._3 - (1000L - lam) * maxSim
+            if (score > bestScore ||
+              (score == bestScore && pool(c)._2 < pool(best)._2)) {
+              best = c; bestScore = score
+            }
+          }
+          selected(best) = true
+          (qid, rank, pool(best)._2, bestScore)
+        }
+      }
+      .toDF("query_id", "rank", "doc_id", "score_nano")
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup),
     * brute-force form: a relational self theta-join — Spark broadcasts
     * the smaller build side itself (bounded by

@@ -26,7 +26,8 @@ object Pipeline extends QModule {
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
-    d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit)
+    d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
+    s55MmrRerank)
 
   import QTables.{docs, emb}
 
@@ -1277,6 +1278,107 @@ object Pipeline extends QModule {
                           AS BIGINT) % 1000 < 900 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
+
+  /** MMR diversified rerank ([[Similarity.mmrRerank]], λ = 0.7):
+    * top-5 from each query's dense top-8 pool, greedily maximizing
+    * λ·rel − (1−λ)·max-sim-to-selected in exact nano-unit integers.
+    * The oracle unrolls the 5 greedy selections as chained CTEs (the
+    * s52 Lloyd-round precedent) over the same micro-quantized
+    * cosines, so selection order and tie-breaks replay bit-for-bit.
+    */
+  val s55MmrRerank = Q(
+    "s55_mmr_rerank",
+    (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mmrRerank(e.filter(col("id") < 3), e,
+          poolK = 8, k = 5, lambdaMilli = 700)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            x AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                      6) AS cos
+                  FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+            r AS (SELECT query_id, doc_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, doc_id ASC) AS rn
+                  FROM x),
+            pool AS (SELECT query_id, doc_id,
+                       CAST(round(cos * 1e6) AS BIGINT) AS relm
+                     FROM r WHERE rn <= 8),
+            ps AS (SELECT pa.query_id, pa.doc_id AS a, pb.doc_id AS b,
+                     CAST(round(round(
+                       list_sum(list_transform(range(64), i -> va.e[i+1] * vb.e[i+1]))
+                       / (sqrt(list_sum(list_transform(range(64), i -> va.e[i+1] * va.e[i+1])))
+                        * sqrt(list_sum(list_transform(range(64), i -> vb.e[i+1] * vb.e[i+1])))),
+                       6) * 1e6) AS BIGINT) AS simm
+                   FROM pool pa JOIN pool pb
+                     ON pa.query_id = pb.query_id AND pa.doc_id <> pb.doc_id
+                        JOIN v va ON va.vec_id = pa.doc_id
+                        JOIN v vb ON vb.vec_id = pb.doc_id),
+            sel1 AS (SELECT query_id, doc_id, 700 * relm AS score FROM (
+                       SELECT query_id, doc_id, relm, row_number() OVER (
+                         PARTITION BY query_id ORDER BY relm DESC, doc_id ASC) AS rn
+                       FROM pool) t WHERE rn = 1),
+            s1 AS (SELECT query_id, doc_id FROM sel1),
+            c2 AS (SELECT p.query_id, p.doc_id, p.relm, max(ps.simm) AS ms
+                   FROM pool p JOIN ps ON ps.query_id = p.query_id AND ps.a = p.doc_id
+                        JOIN s1 ON s1.query_id = ps.query_id AND s1.doc_id = ps.b
+                   WHERE NOT EXISTS (SELECT 1 FROM s1 z
+                     WHERE z.query_id = p.query_id AND z.doc_id = p.doc_id)
+                   GROUP BY 1, 2, 3),
+            sel2 AS (SELECT query_id, doc_id, 700 * relm - 300 * ms AS score FROM (
+                       SELECT query_id, doc_id, relm, ms, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY 700 * relm - 300 * ms DESC, doc_id ASC) AS rn
+                       FROM c2) t WHERE rn = 1),
+            s2 AS (SELECT * FROM s1 UNION ALL SELECT query_id, doc_id FROM sel2),
+            c3 AS (SELECT p.query_id, p.doc_id, p.relm, max(ps.simm) AS ms
+                   FROM pool p JOIN ps ON ps.query_id = p.query_id AND ps.a = p.doc_id
+                        JOIN s2 ON s2.query_id = ps.query_id AND s2.doc_id = ps.b
+                   WHERE NOT EXISTS (SELECT 1 FROM s2 z
+                     WHERE z.query_id = p.query_id AND z.doc_id = p.doc_id)
+                   GROUP BY 1, 2, 3),
+            sel3 AS (SELECT query_id, doc_id, 700 * relm - 300 * ms AS score FROM (
+                       SELECT query_id, doc_id, relm, ms, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY 700 * relm - 300 * ms DESC, doc_id ASC) AS rn
+                       FROM c3) t WHERE rn = 1),
+            s3 AS (SELECT * FROM s2 UNION ALL SELECT query_id, doc_id FROM sel3),
+            c4 AS (SELECT p.query_id, p.doc_id, p.relm, max(ps.simm) AS ms
+                   FROM pool p JOIN ps ON ps.query_id = p.query_id AND ps.a = p.doc_id
+                        JOIN s3 ON s3.query_id = ps.query_id AND s3.doc_id = ps.b
+                   WHERE NOT EXISTS (SELECT 1 FROM s3 z
+                     WHERE z.query_id = p.query_id AND z.doc_id = p.doc_id)
+                   GROUP BY 1, 2, 3),
+            sel4 AS (SELECT query_id, doc_id, 700 * relm - 300 * ms AS score FROM (
+                       SELECT query_id, doc_id, relm, ms, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY 700 * relm - 300 * ms DESC, doc_id ASC) AS rn
+                       FROM c4) t WHERE rn = 1),
+            s4 AS (SELECT * FROM s3 UNION ALL SELECT query_id, doc_id FROM sel4),
+            c5 AS (SELECT p.query_id, p.doc_id, p.relm, max(ps.simm) AS ms
+                   FROM pool p JOIN ps ON ps.query_id = p.query_id AND ps.a = p.doc_id
+                        JOIN s4 ON s4.query_id = ps.query_id AND s4.doc_id = ps.b
+                   WHERE NOT EXISTS (SELECT 1 FROM s4 z
+                     WHERE z.query_id = p.query_id AND z.doc_id = p.doc_id)
+                   GROUP BY 1, 2, 3),
+            sel5 AS (SELECT query_id, doc_id, 700 * relm - 300 * ms AS score FROM (
+                       SELECT query_id, doc_id, relm, ms, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY 700 * relm - 300 * ms DESC, doc_id ASC) AS rn
+                       FROM c5) t WHERE rn = 1),
+            u AS (SELECT query_id, 1 AS rank, doc_id, score FROM sel1
+                  UNION ALL SELECT query_id, 2, doc_id, score FROM sel2
+                  UNION ALL SELECT query_id, 3, doc_id, score FROM sel3
+                  UNION ALL SELECT query_id, 4, doc_id, score FROM sel4
+                  UNION ALL SELECT query_id, 5, doc_id, score FROM sel5)
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+                   CAST(score AS BIGINT) AS score_nano
+            FROM u ORDER BY query_id, rank"""))
 
   /** DSIR importance weights: hashed-unigram (64 md5 buckets)
     * add-one-smoothed log likelihood ratio of target (src0) vs the

@@ -190,4 +190,28 @@ class SimilaritySpec extends SparkSpec {
         r.getLong(3), r.getBoolean(4)))
     assert(out.toSet == repartitioned.toSet, "partitioning must not change flags")
   }
+
+  test("mmrRerank demotes the near-duplicate of an already-selected hit") {
+    import spark.implicits._
+    // candidates 10 and 11 are near-identical (cos ≈ 0.99994), 12 is
+    // orthogonal with zero relevance. Pure relevance ranks 10,11,12;
+    // MMR at λ=0.5 must slot the orthogonal doc ahead of the clone.
+    val queries = Seq((1L, Array(1.0, 0.0, 0.0))).toDF("id", "vec")
+    val cands = Seq(
+      (10L, Array(1.0, 0.05, 0.0)),
+      (11L, Array(1.0, 0.06, 0.0)),
+      (12L, Array(0.0, 0.0, 1.0)))
+      .toDF("id", "vec")
+    val got = Similarity.mmrRerank(queries, cands, poolK = 3, k = 3,
+        lambdaMilli = 500)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 10L), (2, 12L), (3, 11L)), got.mkString(","))
+    // pure relevance (λ=1000) keeps the similarity-blind order
+    val rel = Similarity.mmrRerank(queries, cands, poolK = 3, k = 3,
+        lambdaMilli = 1000)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(rel.toSeq == Seq((1, 10L), (2, 11L), (3, 12L)), rel.mkString(","))
+  }
 }
