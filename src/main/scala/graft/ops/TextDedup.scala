@@ -272,14 +272,22 @@ object TextDedup {
     */
   @volatile private[graft] var lastSaltedArmed: Boolean = false
 
-  def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4,
-      hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
-    lastSaltedArmed = false
-    val bandedRaw = sig.select(col("doc_id"),
+  /** (doc_id, band, bucket) rows: bucket = xxhash64 of the band's
+    * signature slots (equality ≡ slot-tuple equality up to 64-bit
+    * collision). Shared by the self-join and cross-corpus LSH paths.
+    */
+  private def bandedRows(sig: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => element_at(col("sig"), (b * lit(rowsPerBand) + r + 1).cast("int"))): _*))))
         .as(Seq("band", "bucket")))
+
+  def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4,
+      hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
+    lastSaltedArmed = false
+    val bandedRaw = bandedRows(sig, numBands, rowsPerBand)
     // the skew machinery (auto stats job, hot-list scan, salted join)
     // reads the banded rows 2-3 times; persist so the signature kernel
     // runs once. The plain path self-joins with matching partitioning,
@@ -373,6 +381,58 @@ object TextDedup {
       // verified pairs only — tiny next to the shingle cache it frees
       .localCheckpoint(eager = true)
     sets.unpersist()
+    out
+  }
+
+  /** Incremental (cross-corpus) near-dup screen: every NEW document
+    * checked against an existing REFERENCE corpus — the pass a crawl
+    * pipeline runs per snapshot, where the reference is everything
+    * already accepted. Same MinHash/banding machinery as
+    * [[minHashNearDups]], but the band-bucket join runs ACROSS the
+    * two sides only: no reference self-pairs, no new self-pairs — at
+    * snapshot scale the new side is ≪ the reference, and reference
+    * signatures are computed once (persist them upstream in a real
+    * deployment; they are id + 64 longs per doc).
+    *
+    * Output, one row per new doc: (doc_id, n_matches, best_ref_id,
+    * best_jaccard, is_dup) — best by (jaccard desc, ref_id asc);
+    * unmatched docs carry (0, −1, 0.0, false).
+    */
+  def crossCorpusNearDups(newDocs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
+      numHashes: Int = 64, numBands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val newSets = shingleSets(newDocs, idCol, textCol, k).persist(lvl)
+    val refSets = shingleSets(refDocs, idCol, textCol, k).persist(lvl)
+    val rows = numHashes / numBands
+    val cands = bandedRows(signaturesFromSets(newSets, numHashes), numBands, rows).as("n")
+      .join(bandedRows(signaturesFromSets(refSets, numHashes), numBands, rows).as("r"),
+        col("n.band") === col("r.band") && col("n.bucket") === col("r.bucket"))
+      .select(col("n.doc_id").as("new_id"), col("r.doc_id").as("ref_id"))
+      .distinct()
+    val verified = cands
+      .join(newSets.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(refSets.select(col("doc_id").as("ref_id"), col("sh").as("sh_r")), "ref_id")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_r"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_r")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+    val best = verified.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct(negate(col("jaccard")).as("nj"), col("ref_id").as("rid"))).as("b"))
+      .select(col("new_id"), col("n_matches"),
+        col("b.rid").as("best_ref_id"), negate(col("b.nj")).as("best_jaccard"))
+    val out = newDocs.select(col(idCol).as("doc_id"))
+      .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_ref_id"), lit(-1L)).as("best_ref_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+      .localCheckpoint(eager = true)
+    newSets.unpersist()
+    refSets.unpersist()
     out
   }
 

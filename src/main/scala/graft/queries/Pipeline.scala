@@ -27,7 +27,7 @@ object Pipeline extends QModule {
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
-    s55MmrRerank)
+    s55MmrRerank, d55IncrementalScreen)
 
   import QTables.{docs, emb}
 
@@ -1379,6 +1379,76 @@ object Pipeline extends QModule {
             SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
                    CAST(score AS BIGINT) AS score_nano
             FROM u ORDER BY query_id, rank"""))
+
+  /** Incremental crawl screen ([[TextDedup.crossCorpusNearDups]]):
+    * the src12 slice plays the NEW snapshot, everything else the
+    * accepted REFERENCE corpus; the band join runs across the two
+    * sides only (no reference self-pairs). The oracle replays the
+    * universal minhash family, banding, cross-side candidates and the
+    * exact-Jaccard verify.
+    */
+  val d55IncrementalScreen = Q(
+    "d55_incremental_screen",
+    (s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.crossCorpusNearDups(
+          d.filter(col("source") === "src12"), d.filter(col("source") =!= "src12"),
+          minJaccard = 0.2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            sets AS (SELECT doc_id, source,
+                       list_distinct(list_transform(range(len(ws) - 2),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+                     FROM d WHERE len(ws) >= 3),
+            sh AS (SELECT doc_id, source, unnest(sh) AS shingle FROM sets),
+            h AS (SELECT doc_id, source,
+                    CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT)
+                      % 2147483647 AS x
+                  FROM sh),
+            consts AS (SELECT k,
+                    1 + CAST('0x' || substr(md5('mha:' || k), 1, 14) AS BIGINT)
+                      % 2147483646 AS a,
+                    CAST('0x' || substr(md5('mhb:' || k), 1, 14) AS BIGINT)
+                      % 2147483647 AS b
+                  FROM range(64) r(k)),
+            slots AS (SELECT doc_id, source, k,
+                        min((a * x + b) % 2147483647) AS slot
+                      FROM h, consts GROUP BY 1, 2, 3),
+            bands AS (SELECT doc_id, source, k // 4 AS band,
+                        string_agg(CAST(slot AS VARCHAR), ',' ORDER BY k) AS bucket
+                      FROM slots GROUP BY doc_id, source, k // 4),
+            cand AS (SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+                     FROM bands n JOIN bands r
+                       ON n.band = r.band AND n.bucket = r.bucket
+                     WHERE n.source = 'src12' AND r.source <> 'src12'),
+            vv AS (SELECT new_id, ref_id,
+                     len(list_intersect(sn.sh, sr.sh)) AS inter,
+                     len(sn.sh) AS na, len(sr.sh) AS nb
+                   FROM cand JOIN sets sn ON cand.new_id = sn.doc_id
+                             JOIN sets sr ON cand.ref_id = sr.doc_id),
+            ver AS (SELECT new_id, ref_id,
+                      CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+                    FROM vv
+                    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2),
+            bw AS (SELECT new_id, ref_id, jaccard,
+                     row_number() OVER (PARTITION BY new_id
+                       ORDER BY jaccard DESC, ref_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY new_id) AS nm
+                   FROM ver),
+            best AS (SELECT new_id, CAST(nm AS BIGINT) AS n_matches,
+                       ref_id AS best_ref_id, jaccard AS best_jaccard
+                     FROM bw WHERE rn = 1)
+            SELECT nd.doc_id,
+                   COALESCE(n_matches, 0) AS n_matches,
+                   CAST(COALESCE(best_ref_id, -1) AS BIGINT) AS best_ref_id,
+                   COALESCE(best_jaccard, 0.0) AS best_jaccard,
+                   COALESCE(n_matches, 0) > 0 AS is_dup
+            FROM (SELECT doc_id FROM documents WHERE source = 'src12') nd
+            LEFT JOIN best ON nd.doc_id = best.new_id
+            ORDER BY nd.doc_id"""))
 
   /** DSIR importance weights: hashed-unigram (64 md5 buckets)
     * add-one-smoothed log likelihood ratio of target (src0) vs the

@@ -193,6 +193,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4) == (("repetition", 3L, 2L)))
   }
 
+  test("crossCorpusNearDups: cross-side matches only, best ref by (jaccard, id)") {
+    val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val newDocs = Seq((1L, base), (2L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val refDocs = Seq((10L, base), (11L, base + " extra"), (12L, "z1 z2 z3 z4"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.crossCorpusNearDups(newDocs, refDocs, minJaccard = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    // doc 1: exact copy 10 (J=1.0) beats superset 11 (J=8/9)
+    assert(out(1L)._1 == 2L && out(1L)._2 == 10L && out(1L)._3 == 1.0 && out(1L)._4)
+    // doc 2: clean — sentinel row, not absent
+    assert(out(2L) == ((0L, -1L, 0.0, false)))
+  }
+
   test("hashSplit: id-pure, partitioning-invariant, weights roughly honored") {
     val df = spark.range(0, 2000).toDF("doc_id")
     def runIt(d: org.apache.spark.sql.DataFrame) =
