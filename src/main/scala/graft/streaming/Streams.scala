@@ -325,6 +325,82 @@ object Streams {
       }
   }
 
+  /** 64-bit FNV-1a of a band's slot string — the durable band-bucket
+    * key shared by the streaming LSH operators (see the key-size
+    * discussion in [[streamingNearDupCandidates]]).
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Stream-static incremental screen — the streaming form of
+    * [[graft.ops.TextDedup.crossCorpusNearDups]]: arriving documents
+    * are checked against a STATIC reference corpus. The reference is
+    * banded once as a static DataFrame (re-planned from its cached
+    * plan each micro-batch); each micro-batch bands only its own
+    * docs, and candidate generation is a stream-STATIC inner join on
+    * (band, bucket) — no stream state at all for candidates. The only
+    * streaming state is the emitted-match dedup (`dropDuplicates` on
+    * (doc_id, ref_id)), which grows with MATCHES — not with the
+    * corpus — and also makes at-least-once replays idempotent.
+    *
+    * Emits one append row per verified match:
+    * (doc_id, ref_id, jaccard), exact-Jaccard ≥ `minJaccard` — the
+    * same verify contract as the batch screen.
+    */
+  def streamingIncrementalScreen(spark: SparkSession, docs: Dataset[ArrivingDoc],
+      refDocs: DataFrame, k: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    import graft.ops.TextDedup
+    val rowsPerBand = numHashes / numBands
+    val refBanded = refDocs
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val sh = TextDedup.shinglesOf(text, k)
+          if (sh.isEmpty) Iterator.empty
+          else {
+            val sig = TextDedup.signatureOfShingles(sh, numHashes, digest)
+            (0 until numBands).iterator.map { b =>
+              (id, b, fnv64(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+                .mkString(",")))
+            }
+          }
+        }
+      }.toDF("ref_id", "band", "bucket")
+    val refSets = TextDedup.shingleSets(refDocs, "doc_id", "text", k)
+      .select(col("doc_id").as("ref_id"), col("sh").as("sh_r"))
+    val newBanded = docs.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { d =>
+        val sh = TextDedup.shinglesOf(d.text, k)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = TextDedup.signatureOfShingles(sh, numHashes, digest)
+          (0 until numBands).iterator.map { b =>
+            (d.doc_id, sh, b, fnv64(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+              .mkString(",")))
+          }
+        }
+      }
+    }.toDF("doc_id", "sh_n", "band", "bucket")
+    newBanded
+      .join(refBanded, Seq("band", "bucket"))
+      .select(col("doc_id"), col("ref_id"), col("sh_n"))
+      .dropDuplicates("doc_id", "ref_id")
+      .join(refSets, "ref_id")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_r"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_r")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("ref_id"), col("jaccard"))
+  }
+
   /** One arriving field-of-view: which well, which image slot, and a
     * flat payload (the acquisition instrument's output).
     */

@@ -326,6 +326,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.contains((1L, 2L))) // the cross-batch pair
   }
 
+  test("stream-static incremental screen verifies arriving docs against the reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val refDocs = Seq(
+      (10L, base),                                        // exact clone source
+      (11L, base + " extra"),                             // superset
+      (12L, (21 to 40).map(i => s"z$i").mkString(" ")))   // unrelated
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[Streams.ArrivingDoc]
+    val q = Streams.streamingIncrementalScreen(spark, mem.toDS(), refDocs,
+        minJaccard = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("inc_screen").start()
+    mem.addData(Streams.ArrivingDoc(1L, base))            // batch 1: dup of 10/11
+    q.processAllAvailable()
+    mem.addData(
+      Streams.ArrivingDoc(2L, (41 to 60).map(i => s"y$i").mkString(" ")), // clean
+      Streams.ArrivingDoc(1L, base))                      // replay of doc 1
+    q.processAllAvailable()
+    val got = spark.table("inc_screen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // doc 1 matches refs 10 (J = 1.0) and 11 (J = 18/19); the replay
+    // re-emits nothing; doc 2 emits nothing
+    assert(got.length == 2, got.mkString(","))
+    val byRef = got.map(g => g._2 -> g).toMap
+    assert(byRef(10L) == ((1L, 10L, 1.0)))
+    assert(math.abs(byRef(11L)._3 - 18.0 / 19.0) < 1e-12)
+  }
+
   test("streaming budget gate carries per-source totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
