@@ -27,7 +27,7 @@ object Pipeline extends QModule {
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
-    s55MmrRerank, d55IncrementalScreen)
+    s55MmrRerank, d55IncrementalScreen, t71HeavyHitters)
 
   import QTables.{docs, emb}
 
@@ -1533,4 +1533,24 @@ object Pipeline extends QModule {
                  round(1.0 / (1.0 + exp(-(0.1 + dot / n_words))), 6) >= 0.5 AS keep
           FROM z ORDER BY doc_id"""
     })
+
+  /** Exact bigram heavy hitters ([[graft.ops.HeavyHitters.heavyGrams]],
+    * k = 800): every bigram with frequency > n/(k+1), found by a
+    * shuffle-free per-partition Misra–Gries pass (exact recall by
+    * pigeonhole) then an exact candidate-only count — never the
+    * full-dictionary `GROUP BY` the oracle runs. The boilerplate-
+    * phrase detector at corpus scale.
+    */
+  val t71HeavyHitters = Q(
+    "t71_heavy_hitters",
+    (s, dir) => graft.ops.HeavyHitters.heavyGrams(docs(s, dir), k = 800, n = 2),
+    Some("""WITH d AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            t AS (SELECT ws[i+1] || ' ' || ws[i+2] AS gram
+                  FROM d, unnest(range(len(ws) - 1)) AS u(i)),
+            f AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY gram),
+            n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f)
+            SELECT gram, cnt FROM f
+            WHERE cnt * 801 > (SELECT total FROM n)
+            ORDER BY cnt DESC, gram"""))
 }
