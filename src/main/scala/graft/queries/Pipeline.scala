@@ -27,7 +27,7 @@ object Pipeline extends QModule {
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
-    s55MmrRerank, d55IncrementalScreen, t71HeavyHitters)
+    s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin)
 
   import QTables.{docs, emb}
 
@@ -1553,4 +1553,21 @@ object Pipeline extends QModule {
             SELECT gram, cnt FROM f
             WHERE cnt * 801 > (SELECT total FROM n)
             ORDER BY cnt DESC, gram"""))
+
+  /** Edit-distance similarity self-join ([[graft.ops.EditJoin]],
+    * d = 2) over each document's 40-char prefix: PassJoin segment
+    * filtering (d+1 segments, ±d position windows, exact recall by
+    * pigeonhole) then a candidate-only `levenshtein` verify — never
+    * the O(n²) cross product the oracle runs.
+    */
+  val d56EditJoin = Q(
+    "d56_edit_join",
+    (s, dir) => graft.ops.EditJoin.editJoin(docs(s, dir),
+      substring(col("text"), 1, 40), d = 2),
+    Some("""WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre FROM documents)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+            FROM p a JOIN p b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.pre, b.pre) <= 2
+            ORDER BY a_id, b_id"""))
 }
