@@ -220,6 +220,7 @@ object DicomIO {
         m.pixelSpacingRow == first.pixelSpacingRow &&
         m.pixelSpacingCol == first.pixelSpacingCol &&
         m.sliceThickness == first.sliceThickness &&
+        m.spacingBetween == first.spacingBetween &&
         m.photometric == first.photometric,
         s"series member $p disagrees with the first slice " +
           "(shape/dtype/rescale/spacing/photometric) — a mixed series would " +

@@ -156,7 +156,10 @@ object MincIO {
     def dimVar(n: String) = nc.vars.find(_.name == n)
     def attNum(v: Option[NcVar], a: String, dflt: Double) =
       v.flatMap(_.atts.get(a)).flatMap(_.nums).flatMap(_.headOption).getOrElse(dflt)
-    val spacing = ncDims.map(d => attNum(dimVar(d.name), "step", 1.0))
+    // MNI volumes commonly encode direction in the sign of `step`;
+    // spacing must stay positive (ITK normalizes and flips the
+    // direction cosine — this engine keeps axis order, so abs here).
+    val spacing = ncDims.map(d => math.abs(attNum(dimVar(d.name), "step", 1.0)))
     val origin = ncDims.map(d => attNum(dimVar(d.name), "start", 0.0))
     val units = ncDims.map(d => dimVar(d.name).flatMap(_.atts.get("units"))
       .flatMap(_.text).map(_.trim).getOrElse(""))

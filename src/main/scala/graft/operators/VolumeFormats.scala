@@ -349,13 +349,15 @@ object VolumeFormats {
 
   /** Parse the Guys Image Processing Lab fixed 256-byte big-endian
     * header (the itk-readable `.gipl`/`.gipl.gz`): dims + type code +
-    * pixdim + origin, magic 0x2AE389B8 at offset 252.
+    * pixdim + origin, magic at offset 252 — itkGiplImageIO accepts
+    * both the primary 0xEFFFE9B0 and the secondary 0x2AE389B8.
     */
   def parseGipl(headerBytes: Array[Byte]): RawHeader = {
     require(headerBytes.length >= 256, "GIPL header needs 256 bytes")
     val bb = ByteBuffer.wrap(headerBytes).order(ByteOrder.BIG_ENDIAN)
-    require((bb.getInt(252) & 0xffffffffL) == 0x2AE389B8L,
-      f"bad GIPL magic 0x${bb.getInt(252)}%08x")
+    val giplMagic = bb.getInt(252) & 0xffffffffL
+    require(giplMagic == 0x2AE389B8L || giplMagic == 0xEFFFE9B0L,
+      f"bad GIPL magic 0x$giplMagic%08x")
     val dims4 = (0 until 4).map(i => (bb.getShort(2 * i) & 0xffff).toLong)
     val shape = if (dims4(3) > 1) dims4 else dims4.take(3)
     require(shape.forall(_ > 0), s"GIPL dims $dims4")

@@ -39,6 +39,9 @@ object Percentiles {
       qs: Seq[Double], bucketWidth: Int = 4096): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
+    require(qs.forall(q => (q * 1e6).isWhole),
+      s"quantiles must be exact in micro units (q*1e6 integral), got $qs — " +
+        "a q like 1/3 would silently compute the rounded micro-quantile")
     // integral values only — a silent cast of a fractional column
     // would truncate data without warning (quantize upstream, like
     // q42's cent prices)

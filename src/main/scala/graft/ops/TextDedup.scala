@@ -265,12 +265,6 @@ object TextDedup {
     * Output: distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b —
     * identical across the plain, explicit and auto paths.
     */
-  /** Test observability: whether the most recent [[lshCandidates]]
-    * call armed the salted hot-bucket path. The armed result is
-    * localCheckpoint'ed (to free the banded cache), which erases the
-    * logical plan a spec could otherwise inspect.
-    */
-  @volatile private[graft] var lastSaltedArmed: Boolean = false
 
   /** (doc_id, band, bucket) rows: bucket = xxhash64 of the band's
     * signature slots (equality ≡ slot-tuple equality up to 64-bit
@@ -285,8 +279,22 @@ object TextDedup {
         .as(Seq("band", "bucket")))
 
   def lshCandidates(sig: DataFrame, numBands: Int = 16, rowsPerBand: Int = 4,
-      hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
-    lastSaltedArmed = false
+      hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame =
+    lshCandidatesWithDecision(sig, numBands, rowsPerBand, hotBucketThreshold,
+      saltGroups)._1
+
+  /** [[lshCandidates]] plus whether the salted hot-bucket path armed.
+    * The arming decision rides in the return value — no shared
+    * mutable state, so concurrent callers in one session each see
+    * their own call's decision. (The armed result is
+    * localCheckpoint'ed to free the banded cache, which erases the
+    * logical plan a caller could otherwise inspect — hence the
+    * explicit flag.)
+    */
+  def lshCandidatesWithDecision(sig: DataFrame, numBands: Int = 16,
+      rowsPerBand: Int = 4, hotBucketThreshold: Int = 0,
+      saltGroups: Int = 8): (DataFrame, Boolean) = {
+    var saltedArmed = false
     val bandedRaw = bandedRows(sig, numBands, rowsPerBand)
     // the skew machinery (auto stats job, hot-list scan, salted join)
     // reads the banded rows 2-3 times; persist so the signature kernel
@@ -302,7 +310,7 @@ object TextDedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     def saltedPlan(threshold: Long): DataFrame = {
-        lastSaltedArmed = true
+        saltedArmed = true
         val g = saltGroups
         // hot-bucket list is tiny by construction (corpus_rows/threshold
         // buckets at most) — broadcast it as the routing filter
@@ -344,13 +352,14 @@ object TextDedup {
         }
       }
     val out = pairs.distinct()
-    if (hotBucketThreshold != 0) {
+    val result = if (hotBucketThreshold != 0) {
       // candidate pairs are tiny next to the banded cache they free —
       // the minHashNearDups localCheckpoint-then-unpersist pattern
       val cp = out.localCheckpoint(eager = true)
       banded.unpersist()
       cp
     } else out
+    (result, saltedArmed)
   }
 
   /** MinHash+LSH near-dup detection end-to-end: signatures → banded

@@ -57,6 +57,23 @@ class MincIOSpec extends SparkSpec {
     assert(e.getMessage.contains("MINC2"))
   }
 
+  test("negative step (MNI direction-in-sign) maps to a positive scale") {
+    import MincIO.{NcAtt, NcDim, NcFile, NcVar}
+    def num(v: Double) = NcAtt("a", None, Some(Array(v)))
+    val nc = NcFile(
+      dims = Seq(NcDim("zspace", 4), NcDim("yspace", 5), NcDim("xspace", 6)),
+      gatts = Map.empty,
+      vars = Seq(
+        NcVar("image", Seq(0, 1, 2), Map.empty, ncType = 5, begin = 0L),
+        NcVar("xspace", Nil, Map("step" -> num(-0.5), "start" -> num(1.0)), 5, 0L),
+        NcVar("yspace", Nil, Map("step" -> num(0.75)), 5, 0L),
+        NcVar("zspace", Nil, Map("step" -> num(-1.25)), 5, 0L)))
+    val (header, _, dims) = MincIO.plan(nc)
+    assert(dims == Seq("x", "y", "z"))
+    assert(header.spacing == Seq(0.5, 0.75, 1.25),
+      "negative MINC step must not leak a negative voxel spacing")
+  }
+
   test("multi-chunk positioned reads over the NetCDF data region") {
     val img = VolumeFormats.read(spark, s"$fx/vol.mnc", chunkShape = Some(Seq(4, 3, 2)))
     assert(img.chunks.count() == 8)

@@ -160,6 +160,15 @@ class VolumeFormatsSpec extends SparkSpec {
     val junk = new Array[Byte](300)
     assert(intercept[IllegalArgumentException](
       VolumeFormats.parseGipl(junk)).getMessage.contains("magic"))
+    // GIPL primary magic 0xEFFFE9B0 (itkGiplImageIO accepts both):
+    // patching the fixture's secondary magic must parse identically
+    val giplBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/vol.gipl"))
+    val secondary = VolumeFormats.parseGipl(giplBytes)
+    val patched = giplBytes.clone()
+    java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(252, 0xEFFFE9B0)
+    assert(VolumeFormats.parseGipl(patched) == secondary)
   }
 
   test("refuse-loudly: unsupported encodings, skips, lists, bad magic, truncation") {

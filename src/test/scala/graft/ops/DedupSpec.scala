@@ -80,14 +80,14 @@ class DedupSpec extends SparkSpec {
     // arming decision: on on the skewed corpus, off on the flat one.
     // (The armed result is checkpointed to free the banded cache, so
     // the salted-join plan is no longer inspectable — the operator
-    // exposes the decision instead.)
-    TextDedup.lshCandidates(
+    // returns the decision alongside the candidates instead.)
+    val (_, armedSkewed) = TextDedup.lshCandidatesWithDecision(
       TextDedup.minHashSignatures(skewed), hotBucketThreshold = -1, saltGroups = 4)
-    assert(TextDedup.lastSaltedArmed,
+    assert(armedSkewed,
       "auto must arm the salted path on the skewed corpus")
-    TextDedup.lshCandidates(
+    val (_, armedFlat) = TextDedup.lshCandidatesWithDecision(
       TextDedup.minHashSignatures(docs), hotBucketThreshold = -1)
-    assert(!TextDedup.lastSaltedArmed,
+    assert(!armedFlat,
       "auto must stay on the plain join for the flat corpus")
   }
 

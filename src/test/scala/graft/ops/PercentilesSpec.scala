@@ -69,4 +69,10 @@ class PercentilesSpec extends SparkSpec {
     assert(got == want)
     assert(got(("x", 0.2)) == -10L)
   }
+
+  test("non-micro-exact quantiles refuse loudly instead of silently rounding") {
+    val rows = Seq("x" -> 1L, "x" -> 2L, "x" -> 3L)
+    val e = intercept[IllegalArgumentException](run(rows, Seq(1.0 / 3.0), bw = 16))
+    assert(e.getMessage.contains("micro"))
+  }
 }
