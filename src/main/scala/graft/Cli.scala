@@ -18,6 +18,7 @@ import graft.operators.{ChunkOps, MultiscaleBuilder, OmeZarrIO}
   *       [--scale=x=1.4,y=1.4] [--translation=x=0.0,y=0.0]
   *       [--units=x=micrometer,y=micrometer]
   *       [--chunks=64,64] [--output-scale=0] [--validate=true]
+  *       [--enable-rfc=4] [--chunk-store=<path>]
   *
   * Flag parity with the reference CLI's metadata/processing groups
   * (`cli.py:178-266`): `--dims` renames axes positionally; `--scale`
@@ -176,11 +177,19 @@ object Cli {
     val method = opts.get("method").flatMap(Method.fromValue)
       .getOrElse(Method.ItkwasmGaussian)
     val ms = MultiscaleBuilder.toMultiscales(spark, base, method = method)
+    // --enable-rfc is repeatable (reference `cli.py:220-226` appends);
+    // a Map would collapse repeats, so collect from the raw args
+    val enabledRfcs = args.drop(2).toSeq.collect {
+      case a if a.startsWith("--enable-rfc=") =>
+        a.stripPrefix("--enable-rfc=").split(",").map(_.trim.toInt).toSeq
+    }.flatten
     val counts = OmeZarrIO.writeMultiscales(spark, output, ms,
       name = base.meta.name,
       version = opts.getOrElse("version", "0.4"),
       compressor = Some(opts.getOrElse("compressor", "zstd")),
-      chunksPerShard = opts.get("chunks-per-shard").map(_.split(",").map(_.toInt).toSeq))
+      chunksPerShard = opts.get("chunks-per-shard").map(_.split(",").map(_.toInt).toSeq),
+      chunkStore = opts.get("chunk-store"),
+      enabledRfcs = enabledRfcs)
     println(s"wrote ${counts.length} scales (${counts.sum} chunks) to $output")
   }
 }

@@ -24,18 +24,37 @@ object OmeZarrIO {
 
   /** Write a multiscale pyramid as OME-Zarr v0.4 (Zarr v2) or v0.5
     * (Zarr v3). Returns the per-level chunk counts.
+    *
+    * `chunkStore`: separate storage for chunk/shard objects — metadata
+    * documents stay in `path` (reference `to_ngff_zarr.py:982-1035`
+    * `chunk_store` parity; cache/tiering setups put bulk pixels on a
+    * different tier than the tiny hot metadata docs). Readers pass the
+    * same pair to [[readMultiscales]].
+    *
+    * `enabledRfcs`: RFC 4 anatomical-orientation metadata is STRIPPED
+    * from the written axes unless 4 is enabled — the reference's
+    * default (`to_ngff_zarr.py:48-63` `_pop_metadata_optionals`).
     */
   def writeMultiscales(spark: SparkSession, path: String,
       ms: MultiscaleBuilder.Multiscale, name: String = "image",
       version: String = "0.4", compressor: Option[String] = Some("zstd"),
-      overwrite: Boolean = true, chunksPerShard: Option[Seq[Int]] = None): Seq[Long] = {
+      overwrite: Boolean = true, chunksPerShard: Option[Seq[Int]] = None,
+      chunkStore: Option[String] = None,
+      enabledRfcs: Seq[Int] = Nil): Seq[Long] = {
     val errs = Validation.validateWriterParams(version, chunksPerShard)
     require(errs.isEmpty, errs.mkString("; "))
     val hconf = Some(SerializableHadoopConf.fromActiveSession())
     val store = new ZarrStore(path, hconf)
-    if (overwrite) store.delete("")
+    val chunkPath = chunkStore.getOrElse(path)
+    if (overwrite) {
+      store.delete("")
+      if (chunkStore.isDefined) new ZarrStore(chunkPath, hconf).delete("")
+    }
     val zarrFormat = if (version == "0.5") 3 else 2
-    val meta = ms.metadata(name, version)
+    val metaFull = ms.metadata(name, version)
+    val meta =
+      if (enabledRfcs.contains(4)) metaFull
+      else metaFull.copy(axes = metaFull.axes.map(_.copy(orientation = None)))
 
     // driver: root group + attrs
     if (zarrFormat == 3) {
@@ -56,7 +75,7 @@ object OmeZarrIO {
         store.writeString(s"$arrayPath/zarr.json", ZarrJson.zarrayV3Sharded(
           lvl.meta.shape, shardShape, lvl.meta.chunks, lvl.meta.dtype,
           compressor, lvl.meta.dims))
-        writeSharded(spark, path, arrayPath, lvl, cps, compressor, hconf)
+        writeSharded(spark, chunkPath, arrayPath, lvl, cps, compressor, hconf)
       } else {
         if (zarrFormat == 3) {
           store.writeString(s"scale$i/zarr.json", ZarrJson.groupDoc(3))
@@ -77,8 +96,9 @@ object OmeZarrIO {
         val fullChunks = lvl.meta.chunks
         val dtype = lvl.meta.dtype
         val acc = spark.sparkContext.longAccumulator(s"chunks:$arrayPath")
+        val cp = chunkPath
         lvl.chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
-          val st = new ZarrStore(path, hconf)
+          val st = new ZarrStore(cp, hconf)
           it.foreach { c =>
             val key = ZarrStore.chunkKey(zf, arrayPath, c.chunkIdx)
             st.writeBytes(key, Codecs.compress(comp, padToFull(c, fullChunks, dtype),
@@ -111,7 +131,7 @@ object OmeZarrIO {
     * packs + writes whole shard objects (inner chunks individually
     * compressed, row-major index + crc32c footer).
     */
-  private def writeSharded(spark: SparkSession, path: String, arrayPath: String,
+  private def writeSharded(spark: SparkSession, chunkPath: String, arrayPath: String,
       lvl: MultiscaleBuilder.Level, cps: Seq[Int], compressor: Option[String],
       hconf: Option[SerializableHadoopConf]): Long = {
     import spark.implicits._
@@ -134,7 +154,7 @@ object OmeZarrIO {
         (shardIdx, Sharding.buildShard(nInner, encoded))
       }
       .foreachPartition { (it: Iterator[(Seq[Int], Array[Byte])]) =>
-        val st = new ZarrStore(path, hconf)
+        val st = new ZarrStore(chunkPath, hconf)
         it.foreach { case (shardIdx, bytes) =>
           st.writeBytes(ZarrStore.chunkKey(3, arrayPath, shardIdx), bytes)
         }
@@ -188,12 +208,17 @@ object OmeZarrIO {
 
   /** Read an OME-Zarr store → multiscale levels with lazy chunk
     * tables. `validate=true` runs structural + RFC4 validation (V1/V2).
+    * `chunkStore`: fetch chunk/shard objects from a separate store
+    * while metadata documents come from `path` (the writer's
+    * `chunkStore` pair).
     */
   def readMultiscales(spark: SparkSession, path: String,
-      validate: Boolean = false): MultiscaleBuilder.Multiscale = {
+      validate: Boolean = false,
+      chunkStore: Option[String] = None): MultiscaleBuilder.Multiscale = {
     import spark.implicits._
     val hconf = Some(SerializableHadoopConf.fromActiveSession())
     val store = new ZarrStore(path, hconf)
+    val chunkPath = chunkStore.getOrElse(path)
     // consolidated metadata (S8) lets one root GET serve every level
     // doc below; absent → per-level GET fallback
     val (rootJson, consolidated) =
@@ -320,7 +345,7 @@ object OmeZarrIO {
         .repartition(math.max(1, math.min(positions.size, 32)))
         .mapPartitions { it =>
           import graft.zarr.Sharding
-          val st = new ZarrStore(path, hconf)
+          val st = new ZarrStore(chunkPath, hconf)
           def decodeChunk(raw: Array[Byte], idx: Seq[Int]): ChunkRow = {
             val cShape = ZarrStore.chunkShapeAt(shapeB, innerB, idx)
             // zarr stores chunks at FULL chunk shape (edge chunks padded)

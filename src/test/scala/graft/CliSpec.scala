@@ -77,6 +77,19 @@ class CliSpec extends SparkSpec {
       Cli.run(spark, Array(in, out + "2", "--output-scale=9")))
   }
 
+  test("--chunk-store splits chunk objects from metadata; round-trip reads the pair") {
+    val (in, vals) = writeInput()
+    val out = Files.createTempDirectory("cli-out").toString + "/out.ome.zarr"
+    val chunks = Files.createTempDirectory("cli-chunks").toString + "/chunks"
+    Cli.run(spark, Array(in, out, s"--chunk-store=$chunks"))
+    assert(new java.io.File(s"$out/scale0/image/.zarray").exists())
+    assert(!new java.io.File(s"$out/scale0/image/0").exists())
+    assert(new java.io.File(s"$chunks/scale0/image/0/0").exists())
+    val back = OmeZarrIO.readMultiscales(spark, out, chunkStore = Some(chunks))
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+  }
+
   test("NRRD input converts end-to-end (VolumeFormats route)") {
     val fx = "src/test/resources/fixtures/vol/vol.nrrd"
     val out = Files.createTempDirectory("cli-out").toString + "/out.ome.zarr"

@@ -822,4 +822,61 @@ class OmeZarrIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(ds2, m2).toSeq == vals.toSeq)
     assert(ds2.collect().map(_.shape).toSet == Set(Seq(48, 16), Seq(16, 16)))
   }
+
+  test("chunk_store: chunks land in store B, metadata in store A, reads serve the pair") {
+    val (m, vals) = mkImage()
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.toMultiscales(spark, base,
+      Some(Seq(Map("y" -> 2, "x" -> 2))), Method.ItkwasmBinShrink, cache = false)
+    val metaDir = Files.createTempDirectory("czmeta").toString + "/img.zarr"
+    val chunkDir = Files.createTempDirectory("czchunk").toString + "/chunks"
+    val counts = OmeZarrIO.writeMultiscales(spark, metaDir, ms, version = "0.4",
+      chunkStore = Some(chunkDir))
+    assert(counts == Seq(4L, 1L))
+    // the stores really are split: metadata docs only in A, chunk
+    // objects only in B
+    assert(new java.io.File(s"$metaDir/scale0/image/.zarray").exists())
+    assert(!new java.io.File(s"$metaDir/scale0/image/0").exists())
+    assert(new java.io.File(s"$chunkDir/scale0/image/0/0").exists())
+    assert(!new java.io.File(s"$chunkDir/scale0/image/.zarray").exists())
+    val back = OmeZarrIO.readMultiscales(spark, metaDir, validate = true,
+      chunkStore = Some(chunkDir))
+    assert(ChunkOps.toArray(back.levels.head.chunks, back.levels.head.meta).toSeq
+      == vals.toSeq)
+    // sharded v0.5 pair: shard objects in B too
+    val metaDir3 = Files.createTempDirectory("czmeta3").toString + "/img.zarr"
+    val chunkDir3 = Files.createTempDirectory("czchunk3").toString + "/chunks"
+    OmeZarrIO.writeMultiscales(spark, metaDir3, ms, version = "0.5",
+      chunksPerShard = Some(Seq(2, 2)), chunkStore = Some(chunkDir3))
+    assert(new java.io.File(s"$chunkDir3/scale0/image/c/0/0").exists())
+    assert(!new java.io.File(s"$metaDir3/scale0/image/c").exists())
+    val back3 = OmeZarrIO.readMultiscales(spark, metaDir3,
+      chunkStore = Some(chunkDir3))
+    assert(ChunkOps.toArray(back3.levels.head.chunks, back3.levels.head.meta).toSeq
+      == vals.toSeq)
+  }
+
+  test("RFC 4 writer parity: orientations stripped by default, preserved under enabledRfcs=4") {
+    val m = ImageMeta(Seq("y", "x"), Seq(8, 8), Seq(8, 8), "uint8",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0),
+      axesOrientations = Map(
+        "y" -> AnatomicalOrientation("anatomical", "posterior-to-anterior"),
+        "x" -> AnatomicalOrientation("anatomical", "left-to-right")))
+    val vals = Array.tabulate(64)(_.toDouble)
+    val base = MultiscaleBuilder.Level(m, ChunkOps.fromArray(spark, vals, m))
+    val ms = MultiscaleBuilder.Multiscale(Seq(base), Method.ItkwasmBinShrink, None)
+    // default (reference `to_ngff_zarr.py:48-63`): orientation popped
+    val plain = Files.createTempDirectory("rfc4off").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, plain, ms, version = "0.4")
+    assert(!new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$plain/.zattrs"))).contains("orientation"))
+    assert(OmeZarrIO.readMultiscales(spark, plain)
+      .levels.head.meta.axesOrientations.isEmpty)
+    // RFC 4 enabled: orientation preserved and round-trips
+    val rfc4 = Files.createTempDirectory("rfc4on").toString + "/img.zarr"
+    OmeZarrIO.writeMultiscales(spark, rfc4, ms, version = "0.4",
+      enabledRfcs = Seq(4))
+    assert(OmeZarrIO.readMultiscales(spark, rfc4, validate = true)
+      .levels.head.meta.axesOrientations == m.axesOrientations)
+  }
 }
