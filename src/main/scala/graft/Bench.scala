@@ -151,6 +151,28 @@ object Bench {
         t
       }
 
+    // Gaussian-at-volume rehearsal (one shot): same 512³ cascade but
+    // through the halo-exchange gaussian path — the plan with a second
+    // chunk-aligned strip exchange per level — reported as its own key
+    // (`i_pyramid512_gauss`) so the heavy imaging plan has a tracked
+    // wall time, not just a 256² spec. Same opt-outs as the pyramid.
+    val pyramidGaussSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_PYRAMID").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.operators.PyramidRehearsal.run(s,
+            method = graft.meta.Model.Method.ItkwasmGaussian)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] i_pyramid512_gauss failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // Text-dedup-at-scale rehearsal (one shot): 200k synthetic docs
     // with planted near-dups through the full MinHash→LSH→verify→CC→
     // canonical cascade, recovery-checked against the plant. Its own
@@ -165,6 +187,31 @@ object Bench {
             sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L))
           catch { case e: Throwable =>
             System.err.println(s"[bench] t_dedup200k failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
+    // Skewed dedup rehearsal (one shot): same 200k corpus plus a
+    // 3000-doc identical-boilerplate clique — sized past the AUTO
+    // hot-bucket threshold max(64, ⌈√(2·rows)⌉) ≈ 2550 at this scale —
+    // so the salted skew path arms AT REHEARSAL SCALE (asserted inside
+    // the run, along with exact clique recovery). Its own key
+    // (`t_dedup200k_skew`); same opt-outs as the uniform rehearsal.
+    val dedupSkewSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DEDUP").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.ops.DedupRehearsal.run(s,
+            sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L),
+            boilerplate = sys.env.get("SPARK_GRAFT_BENCH_DEDUP_BOILER")
+              .map(_.toLong).getOrElse(3000L))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] t_dedup200k_skew failed: ${e.getMessage}")
             -1.0
           }
         s.stop()
@@ -191,7 +238,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"t_dedup200k":${fmt(dedupSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -203,7 +250,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"t_dedup200k":${fmt(dedupSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -85,12 +85,35 @@ object PyramidRehearsal {
       org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
 
-  /** End-to-end rehearsal at the given edge size: generate → 3-level
-    * bin-shrink cascade → sharded zstd v3 write → re-read → checksum
-    * parity on scale0 AND scale1. Returns wall seconds; throws on any
-    * parity failure. The store goes to a temp dir removed on exit.
+  /** Plain value mean over chunk rows, reduced distributed — the
+    * cheap DC-preservation probe for smoothing cascades.
     */
-  def run(spark: SparkSession, n: Int = 512, chunk: Int = 128): Double = {
+  def meanOf(ds: Dataset[ChunkRow], dtype: String): Double = {
+    val (n, s) = ds.map { c =>
+      (c.shape.product.toLong, ZarrStore.decodeToDoubles(c.data, dtype).sum)
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    s / n
+  }
+
+  /** End-to-end rehearsal at the given edge size: generate → 3-level
+    * downsample cascade (`method`) → sharded zstd v3 write → re-read →
+    * checksum parity on scale0 AND scale1. Returns wall seconds;
+    * throws on any parity failure. The store goes to a temp dir
+    * removed on exit.
+    *
+    * `Method.ItkwasmGaussian` rehearses the halo-exchange path — the
+    * one scale-critical imaging plan with a second chunk-aligned
+    * exchange per level (`ChunkOps.rechunkPinned` + boundary strips,
+    * the Spark form of `py/ngff_zarr/methods/_dask_image.py:107-419`'s
+    * overlap depth) — at a volume where a driver-side assembly would
+    * already fail. Grid/shape parity with the bin-shrink cascade is
+    * asserted per level, plus a DC-preservation probe on scale1 (a
+    * normalized smoothing kernel may not shift the corpus mean).
+    */
+  def run(spark: SparkSession, n: Int = 512, chunk: Int = 128,
+      method: Method = Method.ItkwasmBinShrink): Double = {
     val t0 = System.nanoTime()
     val meta = ImageMeta(Seq("z", "y", "x"), Seq(n, n, n), Seq(chunk, chunk, chunk), "uint8",
       Map("z" -> 0.25, "y" -> 0.25, "x" -> 0.25),
@@ -101,8 +124,15 @@ object PyramidRehearsal {
       Some(Seq(Map("z" -> 2, "y" -> 2, "x" -> 2),
         Map("z" -> 4, "y" -> 4, "x" -> 4),
         Map("z" -> 8, "y" -> 8, "x" -> 8))),
-      Method.ItkwasmBinShrink, cache = true)
+      method, cache = true)
     require(ms.levels.length == 4, s"expected 4 levels, got ${ms.levels.length}")
+    // every method must land on the same scale grid the planner set —
+    // the shape contract that makes methods interchangeable (A16)
+    ms.levels.zipWithIndex.foreach { case (lvl, i) =>
+      val want = Seq.fill(3)((n >> i).toLong)
+      require(lvl.meta.shape == want,
+        s"scale$i shape ${lvl.meta.shape}, expected $want")
+    }
 
     val tmp = Files.createTempDirectory("pyr_rehearsal")
     val dir = tmp.toString + "/img.zarr"
@@ -119,6 +149,14 @@ object PyramidRehearsal {
       val (n1Back, w1Back) = checksum(back.levels(1).chunks, back.levels(1).meta.dtype)
       val (n1Mem, w1Mem) = checksum(ms.levels(1).chunks, ms.levels(1).meta.dtype)
       require(n1Back == n1Mem && w1Back == w1Mem, "scale1 checksum differs after round-trip")
+      // DC preservation: the voxel formula is ~uniform on [0,255], so a
+      // normalized smoothing/decimation kernel keeps the mean within
+      // rounding slack of the base (catches halo-exchange bugs that
+      // zero or double-count boundary strips, which shift the mean)
+      val mean0 = meanOf(base, "uint8")
+      val mean1 = meanOf(back.levels(1).chunks, back.levels(1).meta.dtype)
+      require(math.abs(mean1 - mean0) < 2.0,
+        s"scale1 mean $mean1 drifted from base mean $mean0")
     } finally {
       // best-effort temp cleanup; the bench runs this once per round
       def rm(p: java.nio.file.Path): Unit = {

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * analogue of the `i_pyramid512` imaging rehearsal; `DedupScaleSpec`
   * runs the same cascade at a spec-sized corpus.
   *
+  * The SKEWED variant (`boilerplate > 0`, bench key `t_dedup200k_skew`)
+  * additionally plants a clique of identical boilerplate documents
+  * sized past the AUTO hot-bucket threshold `max(64, ⌈√(2·rows)⌉)` —
+  * the license-header/template pathology of real crawls, which drops
+  * the whole clique into ONE bucket of every band. The run asserts the
+  * salted hot-bucket path actually armed, that all C(B,2) clique pairs
+  * were recovered exactly (identical signatures — recall 1 by
+  * construction), and that the near-dup plant still comes back at the
+  * LSH recall floor. A uniform run asserts the machinery did NOT arm,
+  * so the stats job's threshold is pinned from both sides.
+  *
   * Generation is one `spark.range` map — no driver-side corpus, no
   * files; every stage downstream is the production operator itself.
   */
@@ -25,41 +36,61 @@ object DedupRehearsal {
     * words replaced → shingle Jaccard 45/51 ≈ 0.88); all other docs
     * are pairwise shingle-disjoint by construction (word index
     * `id·53 + j·17` collides across docs only at sequence offsets
-    * ±53, far outside the 50-word window).
+    * ±53, far outside the 50-word window). `boilerplate` extra docs
+    * (ids ≥ n) share one constant 50-word text — the hot-bucket
+    * clique; the 'b' word prefix keeps them shingle-disjoint from
+    * every normal doc.
     */
-  def synth(spark: SparkSession, n: Long): DataFrame = {
+  def synth(spark: SparkSession, n: Long, boilerplate: Long = 0L): DataFrame = {
     import spark.implicits._
-    spark.range(n).select(col("id").as("doc_id"),
-      expr("""array_join(transform(sequence(0, 49), j ->
+    spark.range(n + boilerplate).select(col("id").as("doc_id"),
+      expr(s"""CASE WHEN id >= ${n}L
+          THEN array_join(transform(sequence(0, 49), j -> concat('b', j)), ' ')
+          ELSE array_join(transform(sequence(0, 49), j ->
           CASE WHEN id % 10 = 9 AND j >= 47
                THEN concat('u', id, '_', j)
                ELSE concat('t', (CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END)
-                            * 53L + j * 17L) END), ' ')""").as("text"))
+                            * 53L + j * 17L) END), ' ') END""").as("text"))
   }
 
   /** Run the full cascade; returns wall seconds. Throws if the
     * recovered structure diverges from the plant beyond the LSH
-    * recall floor (miss probability ≈ 4e-7 per planted pair).
+    * recall floor (miss probability ≈ 4e-7 per planted near-pair;
+    * boilerplate pairs are exact-recall), or if the AUTO salted
+    * hot-bucket decision disagrees with the corpus shape.
     */
-  def run(spark: SparkSession, n: Long = 200000L): Double = {
+  def run(spark: SparkSession, n: Long = 200000L, boilerplate: Long = 0L): Double = {
     val t0 = System.nanoTime()
-    val docs = synth(spark, n)
+    val docs = synth(spark, n, boilerplate)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val planted = n / 10
+    val nearPlanted = n / 10
+    val boilerPairs = boilerplate * (boilerplate - 1) / 2
 
-    val pairs = TextDedup.minHashNearDups(docs, minJaccard = 0.8,
-      hotBucketThreshold = -1)
+    val (pairs, armed) = TextDedup.minHashNearDupsWithDecision(docs,
+      minJaccard = 0.8, hotBucketThreshold = -1)
+    // the arming decision must TRACK the corpus shape: a uniform corpus
+    // keeps the plain single-join plan, the boilerplate clique (sized
+    // past max(64, ⌈√(2·rows)⌉)) must trip the salted path
+    require(armed == (boilerplate > 0),
+      s"salted hot-bucket path armed=$armed with boilerplate=$boilerplate")
     val nPairs = pairs.count()
-    require(nPairs <= planted,
-      s"false near-dup pairs: found $nPairs, planted only $planted")
-    require(nPairs >= planted - math.max(1L, planted / 1000),
-      s"LSH recall collapsed: found $nPairs of $planted planted pairs")
+    require(nPairs >= boilerPairs,
+      s"boilerplate clique pairs lost: found $nPairs of $boilerPairs exact-recall pairs")
+    val nearFound = nPairs - boilerPairs
+    require(nearFound <= nearPlanted,
+      s"false near-dup pairs: found $nearFound, planted only $nearPlanted")
+    require(nearFound >= nearPlanted - math.max(1L, nearPlanted / 1000),
+      s"LSH recall collapsed: found $nearFound of $nearPlanted planted pairs")
 
     val cc = TextDedup.connectedComponents(
       pairs.select("doc_a", "doc_b"), docs.select("doc_id"))
+    // pair merges from the near-dup plant, one (B−1)-merge clique from
+    // the boilerplate — any other count means CC invented or lost edges
+    val expectClusters = (n + boilerplate) - nearFound -
+      (if (boilerplate > 0) boilerplate - 1 else 0L)
     val nClusters = cc.agg(countDistinct(col("cluster_id"))).head.getLong(0)
-    require(nClusters == n - nPairs,
-      s"expected ${n - nPairs} clusters (pair merges only), got $nClusters")
+    require(nClusters == expectClusters,
+      s"expected $expectClusters clusters, got $nClusters")
 
     // canonical selection: per-cluster argmax(n_chars, tie → min id)
     val sized = docs.select(col("doc_id"), length(col("text")).as("n_chars"))

@@ -372,12 +372,24 @@ object TextDedup {
   def minHashNearDups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64,
       numBands: Int = 16, minJaccard: Double = 0.5,
-      hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame = {
+      hotBucketThreshold: Int = 0, saltGroups: Int = 8): DataFrame =
+    minHashNearDupsWithDecision(docs, idCol, textCol, k, numHashes,
+      numBands, minJaccard, hotBucketThreshold, saltGroups)._1
+
+  /** [[minHashNearDups]] plus whether the salted hot-bucket path armed
+    * (the [[lshCandidatesWithDecision]] flag, threaded through the
+    * verify stage) — lets rehearsals/specs assert the skew machinery
+    * actually fired on a corpus built to trip it.
+    */
+  def minHashNearDupsWithDecision(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, numHashes: Int = 64,
+      numBands: Int = 16, minJaccard: Double = 0.5,
+      hotBucketThreshold: Int = 0, saltGroups: Int = 8): (DataFrame, Boolean) = {
     // tokenize once: shingle sets persist; signatures, candidates and
     // the verify join all reuse them
     val sets = shingleSets(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(signaturesFromSets(sets, numHashes),
+    val (cands, armed) = lshCandidatesWithDecision(signaturesFromSets(sets, numHashes),
       numBands, numHashes / numBands, hotBucketThreshold, saltGroups)
     val out = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -390,7 +402,7 @@ object TextDedup {
       // verified pairs only — tiny next to the shingle cache it frees
       .localCheckpoint(eager = true)
     sets.unpersist()
-    out
+    (out, armed)
   }
 
   /** Incremental (cross-corpus) near-dup screen: every NEW document
@@ -1080,5 +1092,47 @@ object TextDedup {
     corpusGrams.unpersist()
     benchGrams.unpersist()
     out
+  }
+
+  /** Auto-selecting contamination screen: picks the exact hash-join
+    * plan ([[benchmarkOverlap]]) or the bloom semi-join plan
+    * ([[benchmarkOverlapBloom]]) from the corpus/benchmark size
+    * ratio. Both plans return bit-identical rows (the bloom has no
+    * false negatives and the exact join removes its false
+    * positives), so this is purely a COST decision:
+    *
+    *   - the bloom's extra cost is one full pass over the benchmark
+    *     grams plus a filter broadcast — O(benchmark), paid always;
+    *   - its saving is the pruned fraction of the corpus-gram
+    *     shuffle — O(corpus), realized only when the corpus side
+    *     dwarfs the benchmark side AND is big enough that shuffle
+    *     volume (not constants) dominates. At sf0.1 the inversion is
+    *     measured: the bloom screen ran ~2.5× the exact one (d54
+    *     2.5–3.1 s vs t54 1.0 s, BENCH_r06) because the whole
+    *     corpus-gram stream costs less than building the filter.
+    *
+    * Hence both conditions gate arming: corpus docs ≥ `bloomRatio` ×
+    * benchmark docs (prune leverage exists) and corpus docs ≥
+    * `bloomCorpusFloor` (the regime where the shuffle is worth
+    * pruning — two count-star jobs, metadata-cheap next to the gram
+    * explode either plan runs). The 100 TB crawl-vs-benchmark case
+    * (billions vs thousands of docs) always arms; gate-sized inputs
+    * never do. The decision rides in the return value (same contract
+    * as [[lshCandidatesWithDecision]]).
+    */
+  def benchmarkOverlapAuto(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
+      expectedItems: Long = 1L << 20, maxFrac: Double = 0.05,
+      bloomRatio: Long = 8L, bloomCorpusFloor: Long = 100000L): (DataFrame, Boolean) = {
+    val nCorpus = corpus.count()
+    val nBench = benchmark.count()
+    val arm = nCorpus >= bloomCorpusFloor &&
+      nCorpus >= bloomRatio * math.max(1L, nBench)
+    if (arm)
+      (benchmarkOverlapBloom(corpus, benchmark, idCol, textCol, n,
+        expectedItems, maxFrac), true)
+    else
+      (benchmarkOverlap(corpus, benchmark, idCol, textCol, n)
+        .withColumn("keep", col("contaminated_frac") <= maxFrac), false)
   }
 }

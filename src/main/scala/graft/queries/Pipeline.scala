@@ -27,7 +27,8 @@ object Pipeline extends QModule {
     t65QualityClassifier, s52ClusterAssign, t66DsirWeights, d51DupSpans,
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
-    s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin)
+    s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
+    d57ScreenAuto)
 
   import QTables.{docs, emb}
 
@@ -510,6 +511,48 @@ object Pipeline extends QModule {
       TextDedup.benchmarkOverlapBloom(
           d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
         .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            g AS (SELECT doc_id, source,
+                    unnest(list_distinct(list_transform(range(len(ws) - 7),
+                      i -> array_to_string(ws[i+1:i+8], ' ')))) AS ng
+                  FROM d WHERE len(ws) >= 8),
+            bench AS (SELECT DISTINCT ng FROM g WHERE source = 'src0'),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+                    FROM g WHERE source <> 'src0' GROUP BY doc_id),
+            hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+                    FROM g JOIN bench USING (ng)
+                    WHERE source <> 'src0' GROUP BY doc_id)
+            SELECT t.doc_id, n_ngrams,
+                   COALESCE(n_contaminated, 0) AS n_contaminated,
+                   CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams
+                     AS contaminated_frac,
+                   CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams
+                     <= 0.05 AS keep
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id"""))
+
+  /** Cost-based screen selection ([[TextDedup.benchmarkOverlapAuto]]):
+    * exact hash-join vs bloom semi-join picked from the corpus/
+    * benchmark size ratio. The two plans are answer-identical, so one
+    * oracle serves whichever the policy picks — what's gated here is
+    * that the POLICY layer changes no answer, and (via the require)
+    * that a gate-sized corpus keeps the exact plan: the bloom build
+    * measured ~2.5× the whole exact screen at sf0.1 (BENCH_r06), so
+    * arming here would be the wrong call the crossover exists to
+    * prevent. The arm branch is spec-covered on a 120k-doc corpus
+    * (`PipelineOpsSpec`).
+    */
+  val d57ScreenAuto = Q(
+    "d57_screen_auto",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val (out, armed) = TextDedup.benchmarkOverlapAuto(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+      require(!armed, "gate-sized corpus must screen through the exact plan")
+      out.orderBy(col("doc_id"))
     },
     Some("""WITH d AS (SELECT doc_id, source,
                   list_filter(string_split(text, ' '), x -> x <> '') AS ws

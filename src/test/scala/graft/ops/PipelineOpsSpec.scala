@@ -171,6 +171,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fp < 50, s"bloom should prune ~all clean keys, passed $fp of 1000")
   }
 
+  test("benchmarkOverlapAuto: gate-sized corpus picks exact, large/overlap-rare corpus picks bloom, same answers") {
+    val leak = (1 to 8).map(i => s"q$i").mkString(" ")
+    val bench = Seq((100L, leak + " trailing benchmark context"))
+      .toDF("doc_id", "text")
+
+    // sf0.1-shaped input (hundreds of docs): the bloom build would
+    // cost more than the shuffle it prunes — exact plan, no arming
+    val small = (1L to 300L).map(i =>
+      (i, if (i == 1L) leak + " extra words here to pad it out"
+          else (0 to 19).map(j => s"z${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (smallOut, smallArmed) = TextDedup.benchmarkOverlapAuto(small, bench)
+    assert(!smallArmed, "gate-sized corpus must keep the exact plan")
+
+    // large overlap-rare corpus (120k docs vs 1 benchmark doc): the
+    // corpus-gram shuffle dominates — bloom plan arms
+    val big = spark.range(120000).selectExpr("id AS doc_id",
+      """CASE WHEN id = 1 THEN concat_ws(' ', 'q1','q2','q3','q4','q5','q6','q7','q8')
+         ELSE array_join(transform(sequence(0, 9), j -> concat('z', id, '_', j)), ' ') END AS text""")
+    val (bigOut, bigArmed) = TextDedup.benchmarkOverlapAuto(big, bench)
+    assert(bigArmed, "large overlap-rare corpus must arm the bloom plan")
+
+    // the decision is cost-only: both plans flag exactly the leaked doc
+    val smallHits = smallOut.filter(col("n_contaminated") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smallHits == Set(1L))
+    val bigHits = bigOut.filter(col("n_contaminated") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bigHits == Set(1L))
+    assert(bigOut.filter(!col("keep")).count() == 1L) // frac 1.0 > maxFrac
+    // and the bloom-armed result is bit-identical to the exact screen
+    val exactBig = TextDedup.benchmarkOverlap(big, bench)
+      .withColumn("keep", col("contaminated_frac") <= 0.05)
+    assert(bigOut.exceptAll(exactBig).isEmpty && exactBig.exceptAll(bigOut).isEmpty)
+  }
+
   test("qualityFunnel: each stage kills exactly its engineered victim, in order") {
     // goodA passes every stage: distinct 3-char words, two stopwords
     val goodA = ("the" +: "and" +: (3 to 60).map(i => f"w$i%02d")).mkString(" ")
