@@ -1135,4 +1135,109 @@ object TextDedup {
       (benchmarkOverlap(corpus, benchmark, idCol, textCol, n)
         .withColumn("keep", col("contaminated_frac") <= maxFrac), false)
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS local document-fingerprinting algorithm): hash every
+    * character k-gram, slide a window of `w` consecutive gram hashes,
+    * and select each window's minimum with RIGHTMOST tie-break. The
+    * guarantee: any substring match of length ≥ k+w−1 between two
+    * documents shares a selected fingerprint, while only ~2/(w+1) of
+    * gram hashes are kept — the position-robust sketch for overlap
+    * detection that pure bag-of-shingles methods can't give.
+    *
+    * Entirely codegen'd built-ins and per-document arrays — no
+    * shuffle, no UDF, no window function; cost is O(len·w) per doc
+    * and embarrassingly parallel, so the shape is corpus-size-proof.
+    * Hashes are md5-derived (40-bit) so an oracle replays selection
+    * bit-exactly; tie-breaks never fire because each gram's key packs
+    * (hash, 2²⁰−1−pos) into one long — equal hashes at different
+    * positions still order, and smaller key = larger pos = rightmost.
+    *
+    * Output: (doc_id, n_grams, n_fp, fp_hash) where fp_hash pins the
+    * exact selected (position, hash) set.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val posRange = 1048576L // 2^20 positions; 40-bit hash above keeps keys < 2^60
+    val ng = (length(col(textCol)) - (k - 1)).cast("int")
+    val keys = transform(sequence(lit(0), ng - 1),
+      i => conv(substring(md5(col(textCol).substr(i + 1, lit(k))), 1, 10), 16, 10)
+        .cast("long") * posRange + (lit(posRange - 1).cast("long") - i))
+    // window starts 0..max(ng−w,0): ng−w+1 windows, or one clamped
+    // window when the doc is shorter than w grams
+    val sel = when(ng >= 1,
+        array_distinct(transform(sequence(lit(0), greatest(ng - w, lit(0))),
+          s => array_min(slice(keys, s + 1, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col(idCol).as("doc_id"), greatest(ng, lit(0)).as("n_grams"),
+        sel.as("sel"))
+      .select(col("doc_id"), col("n_grams"), size(col("sel")).as("n_fp"),
+        md5(array_join(array_sort(expr(
+          s"transform(sel, key -> concat(lpad(cast(${posRange - 1} - key % $posRange as string), 7, '0'), " +
+            s"':', cast(key div $posRange as string)))")), ",")).as("fp_hash"))
+  }
+
+  /** Prefix-filtered exact similarity join over distinct word
+    * k-shingle sets — the AllPairs/PPJoin prefix filter (Bayardo et
+    * al., WWW'07; Xiao et al., WWW'08): order every document's
+    * shingles by the global (document-frequency asc, shingle asc)
+    * total order, emit only the first |X| − ⌈τ·|X|⌉ + 1 rarest
+    * shingles as join keys, and verify candidates exactly. Recall is
+    * exact by pigeonhole: J(A,B) ≥ τ forces |A∩B| ≥ ⌈τ·|X|⌉ for both
+    * sets, so two disjoint prefixes would leave too few shingles to
+    * intersect. A length filter (min·10⁶ ≥ τµ·max) prunes
+    * size-incompatible pairs before the verify join. vs the plain
+    * co-occurrence join (d41's shape) the candidate space shrinks
+    * from every shared shingle to shared RARE shingles — the
+    * standard exact similarity-join shape at corpus scale, and the
+    * deterministic alternative to MinHash-LSH (d42) when recall must
+    * be provably 1.0.
+    *
+    * Thresholds compare in exact micro-integer arithmetic (τ·10⁶)
+    * so engines with decimal literals agree at boundary counts.
+    *
+    * Output: (doc_a, doc_b, inter, size_a, size_b, jaccard) with
+    * doc_a < doc_b, shingle-set Jaccard ≥ τ.
+    */
+  def prefixJaccardPairs(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    require((minJaccard * 1e6).isWhole,
+      s"minJaccard must be exact in micro units, got $minJaccard")
+    val tauMicro = math.round(minJaccard * 1e6)
+    val sets = shingleSets(docs, idCol, textCol, k) // (doc_id, sh): distinct shingles
+    val tok = sets.select(col("doc_id"), explode(col("sh")).as("w"))
+    // global rarest-first order: (df asc, shingle asc) is total (the
+    // shingle is unique), so prefixes are well-defined without
+    // assigning explicit ranks — the df table is vocabulary-sized,
+    // the join key high-cardinality
+    val dfTab = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val sorted = tok.join(dfTab, "w")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen",
+        col("sz") - expr(s"(cast($tauMicro as bigint) * sz + 999999) div 1000000") + 1)
+    val prefix = sorted.select(col("doc_id"), col("sz"),
+      explode(slice(col("toks").getField("w"), lit(1), col("plen").cast("int"))).as("w"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("long") * 1000000L >=
+            lit(tauMicro) * greatest(col("a.sz"), col("b.sz")).cast("long"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).as("size_a"), size(col("sh_b")).as("size_b"))
+      .filter(col("inter") * 1000000L >=
+        lit(tauMicro) * (col("size_a") + col("size_b") - col("inter")).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+  }
 }

@@ -28,7 +28,7 @@ object Pipeline extends QModule {
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
-    d57ScreenAuto)
+    d57ScreenAuto, t72Winnow, d58PrefixJoin)
 
   import QTables.{docs, emb}
 
@@ -1613,4 +1613,70 @@ object Pipeline extends QModule {
             FROM p a JOIN p b ON a.doc_id < b.doc_id
             WHERE levenshtein(a.pre, b.pre) <= 2
             ORDER BY a_id, b_id"""))
+
+  /** Winnowing fingerprints ([[TextDedup.winnowFingerprints]] —
+    * Schleimer et al., SIGMOD'03): per-doc selected (position, hash)
+    * sketch with the k+w−1 substring-match guarantee, computed as
+    * pure codegen'd array built-ins — no shuffle, no window function.
+    * The oracle replays k-gram hashing, the packed (hash, ¬pos) key,
+    * and window-min selection verbatim with list lambdas.
+    */
+  val t72Winnow = Q(
+    "t72_winnow_fingerprints",
+    (s, dir) => TextDedup.winnowFingerprints(docs(s, dir))
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (SELECT doc_id, text,
+                  CAST(length(text) - 4 AS INT) AS ng FROM documents),
+            k AS (SELECT doc_id, ng,
+                    CASE WHEN ng >= 1 THEN
+                      list_transform(range(ng), i ->
+                        CAST('0x' || substr(md5(substr(text, i+1, 5)), 1, 10) AS BIGINT)
+                          * 1048576 + (1048575 - i))
+                    ELSE CAST([] AS BIGINT[]) END AS keys
+                  FROM b),
+            s AS (SELECT doc_id, ng,
+                    CASE WHEN ng >= 1 THEN
+                      list_distinct(list_transform(range(greatest(ng - 4, 0) + 1),
+                        s -> list_min(list_slice(keys, s+1, s+4))))
+                    ELSE CAST([] AS BIGINT[]) END AS sel
+                  FROM k)
+            SELECT doc_id, CAST(greatest(ng, 0) AS INT) AS n_grams,
+                   CAST(len(sel) AS INT) AS n_fp,
+                   md5(array_to_string(list_sort(list_transform(sel, key ->
+                     lpad(CAST(1048575 - key % 1048576 AS VARCHAR), 7, '0') || ':' ||
+                     CAST(key // 1048576 AS VARCHAR))), ',')) AS fp_hash
+            FROM s ORDER BY doc_id"""))
+
+  /** Prefix-filtered exact similarity join
+    * ([[TextDedup.prefixJaccardPairs]], τ = 0.2 on word 3-shingle
+    * sets — d42's corpus regime, but with provable recall 1.0): join
+    * keys are only each doc's rarest |X|−⌈τ|X|⌉+1 shingles in the
+    * global (df, shingle) order, with a micro-integer length filter —
+    * exact recall by pigeonhole, a fraction of d41's
+    * shared-ANY-shingle candidate space. The oracle runs the
+    * brute-force co-occurrence join with the same micro-exact
+    * threshold.
+    */
+  val d58PrefixJoin = Q(
+    "d58_prefix_jaccard_join",
+    (s, dir) => TextDedup.prefixJaccardPairs(docs(s, dir), minJaccard = 0.2)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                  x -> x <> '') AS ws
+                FROM documents),
+            sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+                     FROM d WHERE len(ws) >= 3),
+            t AS (SELECT doc_id, unnest(sh) AS w FROM sets),
+            it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS inter
+                   FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            sz AS (SELECT doc_id, CAST(len(sh) AS INT) AS n FROM sets)
+            SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b,
+                   CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+            FROM it JOIN sz sa ON it.doc_a = sa.doc_id
+                    JOIN sz sb ON it.doc_b = sb.doc_id
+            WHERE inter * 1000000 >= 200000 * (sa.n + sb.n - inter)
+            ORDER BY doc_a, doc_b"""))
 }
