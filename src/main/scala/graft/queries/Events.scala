@@ -12,21 +12,37 @@ import graft.Tables
   * (graft.streaming) reuses; batch execution makes them
   * oracle-checkable.
   *
-  * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet
-  * reader rejects by default; we read it via
-  * `spark.sql.legacy.parquet.nanosAsLong` and rebuild a µs timestamp
-  * (ns div 1000) — bit-identical to DuckDB 1.x, which truncates ns→µs
-  * on read. Window starts are emitted as epoch seconds (BIGINT) so no
-  * timestamp-precision skew can reach the hash compare.
+  * `events.parquet` has shipped `ts` as either TIMESTAMP(NANOS)
+  * (reads as raw long nanos under
+  * `spark.sql.legacy.parquet.nanosAsLong`) or TIMESTAMP(MICROS)
+  * (reads as timestamp/timestamp_ntz); [[normalize]] adapts either
+  * schema to the same (`ts_ns` long nanos, `ts` µs TIMESTAMP_LTZ)
+  * pair — bit-identical to DuckDB 1.x, which truncates ns→µs on read
+  * and reads µs natively. Window starts are emitted as epoch seconds
+  * (BIGINT) so no timestamp-precision skew can reach the hash
+  * compare.
   */
 object Events extends QModule {
+
+  /** Adapt a raw events frame (batch or stream) to the canonical
+    * (`ts_ns` raw long nanos, `ts` µs timestamp) pair regardless of
+    * which parquet physical type `ts` arrived as. NTZ timestamps cast
+    * through the UTC session zone, so the epoch value is unchanged.
+    */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
 
   /** events with `ts_ns` (raw long nanos) and `ts` (µs timestamp). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.load(s, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    normalize(Tables.load(s, dir, "events"))
   }
 
   override def queries: Seq[Q] =

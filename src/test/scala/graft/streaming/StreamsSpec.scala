@@ -197,9 +197,8 @@ class StreamsSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-    val q = Streams.tumblingCounts(stream, "1 hour", "2 hours")
+    val normalized = graft.queries.Events.normalize(stream)
+    val q = Streams.tumblingCounts(normalized, "1 hour", "2 hours")
       .writeStream.outputMode("complete").format("memory").queryName("filestream").start()
     q.processAllAvailable()
     val got = spark.table("filestream").collect()
