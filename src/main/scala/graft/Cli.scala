@@ -97,6 +97,13 @@ object Cli {
         val img = graft.operators.DicomIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
+          if Seq(".iwi", ".iwi.cbor", ".iwi.cbor.zst").exists(input.toLowerCase.endsWith) =>
+        // the itk-wasm native container family reads through IwiIO
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: iwi inputs are single-scale (only 0 is valid)")
+        val img = graft.operators.IwiIO.read(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if Seq(".nrrd", ".nhdr", ".mha", ".mhd", ".mgh", ".mgz", ".vtk",
             ".gipl", ".gipl.gz", ".mrc", ".mnc", ".mnc.gz")
             .exists(input.toLowerCase.endsWith) =>
@@ -118,7 +125,7 @@ object Cli {
       case other => throw new UnsupportedOperationException(
         s"backend $other needs native image codecs not present here; " +
           "convert to OME-Zarr, NIfTI, TIFF, NRRD, MetaImage, MGH, " +
-          "or uncompressed DICOM upstream")
+          "itk-wasm .iwi/.iwi.cbor, or uncompressed DICOM upstream")
     }
 
     // metadata overrides (cli.py metadata group): dims rename is

@@ -54,7 +54,7 @@ object VolumeFormats {
     * leading/interior one is channel (the NRRD `none`-direction
     * convention); with two, the leading is c and the trailing t.
     */
-  private def dimNames(spatial: Seq[Boolean]): Seq[String] = {
+  private[operators] def dimNames(spatial: Seq[Boolean]): Seq[String] = {
     val spatialNames = Iterator("x", "y", "z")
     require(spatial.count(identity) <= 3, "more than 3 spatial axes")
     val nonSpatial = spatial.zipWithIndex.collect { case (false, i) => i }

@@ -43,7 +43,56 @@ object Imaging extends QModule {
        |  FROM range(${H * W}) r(i))""".stripMargin
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
-    h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries)
+    h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor)
+
+  /** S10 — itk-wasm `.iwi.cbor` container ingestion, oracle-gated: a
+    * zstd-framed CBOR image (uint16 payload as an RFC 8746 typed
+    * array) is encoded at runtime, read back through
+    * [[graft.operators.IwiIO]], and reduced to per-z slab sums plus a
+    * position-weighted sum; spacing/origin land as columns. The
+    * DuckDB oracle replays the closed-form voxel formula over
+    * range() — a typed-array misdecode, an interleave/stride slip, or
+    * a spacing/origin mix-up all hash-mismatch.
+    */
+  val i69IwiCbor = Q(
+    "i69_iwi_cbor",
+    (s, _) => {
+      import graft.operators.IwiIO
+      val (nx, ny, nz) = (9, 7, 5)
+      val fvals = Array.tabulate(nx * ny * nz) { f => // Fortran order: x fastest
+        val x = f % nx; val y = (f / nx) % ny; val z = f / (nx * ny)
+        ((x * 13 + y * 7 + z * 41) % 1000).toDouble
+      }
+      val path = java.nio.file.Files.createTempDirectory("i69").resolve("vol.iwi.cbor.zst")
+      java.nio.file.Files.write(path, IwiIO.encodeIwiCborZst(
+        Seq(nx, ny, nz), Seq(0.8, 1.6, 2.4), Seq(-4.0, 2.0, 7.5), "uint16", fvals))
+      val img = IwiIO.read(s, path.toString)
+      ChunkOps.voxelView(s, img.chunks, img.meta)
+        .groupBy(col("z"))
+        .agg(sum(col("value")).cast("bigint").as("slab_sum"),
+          sum(col("value") * (col("y") * 53 + col("x") * 19)).cast("bigint").as("slab_wsum"))
+        .withColumn("scale_x", lit(img.meta.scale("x")))
+        .withColumn("scale_y", lit(img.meta.scale("y")))
+        .withColumn("scale_z", lit(img.meta.scale("z")))
+        .withColumn("tx", lit(img.meta.translation("x")))
+        .withColumn("ty", lit(img.meta.translation("y")))
+        .withColumn("tz", lit(img.meta.translation("z")))
+        .orderBy(col("z"))
+    },
+    Some("""WITH vox AS (
+              SELECT i % 9 AS x, (i // 9) % 7 AS y, i // 63 AS z,
+                     CAST(((i % 9) * 13 + ((i // 9) % 7) * 7 + (i // 63) * 41) % 1000
+                       AS DOUBLE) AS v
+              FROM range(315) r(i))
+            SELECT z, CAST(sum(v) AS BIGINT) AS slab_sum,
+                   CAST(sum(v * (y * 53 + x * 19)) AS BIGINT) AS slab_wsum,
+                   CAST(0.8 AS DOUBLE) AS scale_x,
+                   CAST(1.6 AS DOUBLE) AS scale_y,
+                   CAST(2.4 AS DOUBLE) AS scale_z,
+                   CAST(-4.0 AS DOUBLE) AS tx,
+                   CAST(2.0 AS DOUBLE) AS ty,
+                   CAST(7.5 AS DOUBLE) AS tz
+            FROM vox GROUP BY z ORDER BY z"""))
 
   /** S10 — DICOM series ingestion, oracle-gated: four explicit-VR-LE
     * int16 slices are encoded at runtime with SHUFFLED InstanceNumbers
