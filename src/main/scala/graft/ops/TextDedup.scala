@@ -928,6 +928,53 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-level line deduplication — the RefinedWeb / CCNet
+    * boilerplate-removal pass: a line recurring across at least
+    * `minDocs` DISTINCT documents is boilerplate (headers, footers,
+    * nav chrome, cookie banners, license blurbs) and is removed from
+    * EVERY document; each document is then reconstructed from its
+    * surviving lines in order.
+    *
+    * Execution shape: lines explode once; the recurrence aggregation
+    * runs on the 8-byte `xxhash64` of the line (a (hash, doc)
+    * pre-distinct then a map-side-combinable per-hash count), so raw
+    * line text never enters the frequency shuffle; the boilerplate
+    * hit set joins back hash-to-hash as a `left_anti` (broadcast when
+    * small — the common case, since boilerplate is by definition the
+    * high-recurrence tail); reconstruction is the [[dedupCut]]
+    * rebuild idiom — one groupBy over surviving (doc, idx, line)
+    * rows. Cost is O(total lines) end to end; nothing is quadratic
+    * in corpus size, and the only wide rows (line text) move in the
+    * per-document rebuild exchange.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_text), one row per
+    * input document (a document whose every line was boilerplate
+    * comes back with n_kept = 0 and empty text).
+    */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "line_idx")
+      .withColumnRenamed("col", "line")
+      .withColumn("lh", xxhash64(col("line")))
+    val boiler = lines.select(col("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select("lh")
+    val kept = lines.join(boiler, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(array_sort(collect_list(struct(col("line_idx"), col("line"))))
+          .getField("line"), "\n").as("clean_text"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Cross-source duplication matrix: for every unordered pair of
     * corpus sources, the number of distinct word `n`-grams they share
     * and the Jaccard overlap of their gram sets — the curation report

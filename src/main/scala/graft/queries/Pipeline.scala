@@ -28,7 +28,7 @@ object Pipeline extends QModule {
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
-    d57ScreenAuto, t72Winnow, d58PrefixJoin)
+    d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup)
 
   import QTables.{docs, emb}
 
@@ -1679,4 +1679,41 @@ object Pipeline extends QModule {
                     JOIN sz sb ON it.doc_b = sb.doc_id
             WHERE inter * 1000000 >= 200000 * (sa.n + sb.n - inter)
             ORDER BY doc_a, doc_b"""))
+
+  /** Corpus-level line dedup (RefinedWeb/CCNet boilerplate removal),
+    * oracle-gated. The synthetic docs carry no newlines, so both
+    * sides first derive deterministic 10-token "lines" from the
+    * whitespace token stream; [[TextDedup.lineDedup]] then drops
+    * every line recurring in ≥ 2 distinct documents and rebuilds the
+    * survivors in order. The planted near-duplicate docs guarantee a
+    * non-trivial boilerplate set; a hash-keyed frequency slip, an
+    * anti-join inversion, or an out-of-order rebuild all
+    * hash-mismatch against the DuckDB replay.
+    */
+  val d59LineDedup = Q(
+    "d59_line_dedup",
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val asLines = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0L), ceil(size(ws) / lit(10.0)).cast("long") - 1),
+          i => array_join(slice(ws, (i * 10 + 1).cast("int"), lit(10)), " "))).as("text"))
+      TextDedup.lineDedup(asLines, minDocs = 2).orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+                        array_to_string(w[i*10+1 : i*10+10], ' ') AS line
+                      FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS i) t),
+            bp AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS c
+                                     FROM lines GROUP BY line) WHERE c >= 2),
+            kept AS (SELECT l.doc_id, l.line_idx, l.line
+                     FROM lines l ANTI JOIN bp USING (line)),
+            reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                    FROM lines GROUP BY doc_id)
+            SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""))
 }

@@ -292,4 +292,36 @@ class DedupSpec extends SparkSpec {
     assert(out(4L).getAs[String]("clean_text") == "")
     assert(out(4L).getAs[Long]("n_tokens_kept") == 0L)
   }
+
+  test("lineDedup drops corpus-frequent lines, keeps order, handles all-boilerplate docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nunique two\nFOOTER"),
+      (2L, "COOKIE BANNER\nother text\nFOOTER"),
+      (3L, "COOKIE BANNER\nFOOTER"),
+      (4L, "standalone line")).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(df, minDocs = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 4L)
+    assert(out(1L).getAs[Long]("n_kept") == 2L)
+    assert(out(1L).getAs[String]("clean_text") == "unique one\nunique two")
+    assert(out(2L).getAs[String]("clean_text") == "other text")
+    // every line boilerplate: empty doc survives as a row
+    assert(out(3L).getAs[Long]("n_kept") == 0L)
+    assert(out(3L).getAs[String]("clean_text") == "")
+    // a line in ONE doc only is never boilerplate
+    assert(out(4L).getAs[String]("clean_text") == "standalone line")
+  }
+
+  test("lineDedup within-doc repeats do not arm the corpus threshold") {
+    import spark.implicits._
+    // "SAME" appears 3 times but only in one distinct document
+    val df = Seq(
+      (1L, "SAME\nSAME\nSAME\nend"),
+      (2L, "totally different")).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(df, minDocs = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept") == 4L)
+    assert(out(1L).getAs[String]("clean_text") == "SAME\nSAME\nSAME\nend")
+  }
 }
