@@ -84,4 +84,46 @@ object SequencePack {
     ordered.unpersist()
     out
   }
+
+  /** Materialize the training sequences themselves — the per-WINDOW
+    * view dual to [[packSequences]]'s per-document offsets: the
+    * corpus token stream (docs concatenated in doc-id order) cut into
+    * `seqLen`-token windows, each window row carrying its assembled
+    * token text and provenance span.
+    *
+    * Execution shape: [[packSequences]] provides each document's
+    * exact global start offset (distributed prefix sum — never a
+    * corpus-wide window function); tokens then explode ONCE with
+    * their global position and hash-aggregate by `window_id = pos /
+    * seqLen` — one corpus-sized exchange keyed on the window id,
+    * which is dense and uniform by construction (every window holds
+    * exactly `seqLen` tokens except the tail), so no skew machinery
+    * is needed. Window text rebuilds with the d52 sort-in-aggregate
+    * idiom.
+    *
+    * Output per window: (window_id, n_tokens, n_docs, first_doc,
+    * last_doc, text). All windows carry seqLen tokens except the
+    * final partial one.
+    */
+  def chunkWindows(docs: DataFrame, seqLen: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val offsets = packSequences(docs, seqLen, idCol, textCol)
+      .select(col("doc_id"), col("start_offset"))
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextDedup.words(col(textCol))))
+      .withColumnRenamed("col", "w")
+      .join(offsets, Seq("doc_id")) // offsets carries only nonzero-token docs
+      .withColumn("gpos", col("start_offset") + col("pos"))
+      // integer division: exact at any corpus size (a double divide
+      // would round above 2^53 tokens)
+      .withColumn("window_id", expr(s"gpos div $seqLen"))
+    toks.groupBy(col("window_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        array_join(array_sort(collect_list(struct(col("gpos"), col("w"))))
+          .getField("w"), " ").as("text"))
+  }
 }

@@ -28,7 +28,8 @@ object Pipeline extends QModule {
     d52DedupCut, t67TfIdf, d53SourceOverlap, t68LengthCut, s53HybridRrf,
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
-    d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup)
+    d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
+    t74CorpusMix)
 
   import QTables.{docs, emb}
 
@@ -1679,6 +1680,70 @@ object Pipeline extends QModule {
                     JOIN sz sb ON it.doc_b = sb.doc_id
             WHERE inter * 1000000 >= 200000 * (sa.n + sb.n - inter)
             ORDER BY doc_a, doc_b"""))
+
+  /** Per-window materialization of the GPT-style concat-and-chunk
+    * regime ([[graft.ops.SequencePack.chunkWindows]]): the corpus
+    * token stream in doc-id order, cut into 512-token training
+    * windows, each row carrying the assembled window text and its
+    * document span. The oracle replays it with a serial
+    * cumulative-sum window — the gate is literally "distributed
+    * prefix-sum == serial cumsum" extended to the materialized
+    * window content.
+    */
+  val t73ChunkWindows = Q(
+    "t73_chunk_windows",
+    (s, dir) => graft.ops.SequencePack.chunkWindows(docs(s, dir), seqLen = 512)
+      .orderBy(col("window_id")),
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents),
+            nz AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0),
+            off AS (SELECT doc_id, w,
+                      coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+                    FROM nz),
+            toks AS (SELECT doc_id, s + i AS gpos, w[i + 1] AS tok
+                     FROM off, LATERAL (SELECT unnest(range(len(w))) AS i) t)
+            SELECT CAST(gpos // 512 AS BIGINT) AS window_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                   string_agg(tok, ' ' ORDER BY gpos) AS text
+            FROM toks GROUP BY 1 ORDER BY 1"""))
+
+  /** Corpus mixture report — the per-(source, language) composition
+    * table every pretraining run starts from: document and exact
+    * token counts plus each cell's token share in integer ppm
+    * (micro-unit arithmetic, no float rounding at the hash compare).
+    * One map-side-combinable aggregation over the corpus; the grand
+    * total joins back as a broadcast scalar, never a second corpus
+    * pass.
+    */
+  val t74CorpusMix = Q(
+    "t74_corpus_mix",
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("source"), col("lang"),
+        size(TextDedup.words(col("text"))).cast("long").as("n_toks"),
+        col("n_chars"))
+      val grouped = toks.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val total = grouped.agg(sum(col("n_tokens")).as("tot"))
+      grouped.crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("sum_chars"),
+          expr("(n_tokens * 1000000L) div tot").as("token_share_ppm"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM documents GROUP BY 1, 2)
+            SELECT source, lang, n_docs, n_tokens, sum_chars,
+                   CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM g) AS BIGINT)
+                     AS token_share_ppm
+            FROM g ORDER BY source, lang"""))
 
   /** Corpus-level line dedup (RefinedWeb/CCNet boilerplate removal),
     * oracle-gated. The synthetic docs carry no newlines, so both

@@ -323,6 +323,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(off == a.map(_._2).sum)
   }
 
+  test("chunkWindows materializes the exact serial concat-and-chunk stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g"), (3L, ""), (4L, "h i j k")).toDF("doc_id", "text")
+    val out = graft.ops.SequencePack.chunkWindows(docs.repartition(3), 4)
+      .collect().map(r => r.getAs[Long]("window_id") -> r).toMap
+    // serial stream: a b c d | e f g h | i j k
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L).getAs[String]("text") == "a b c d")
+    assert(out(0L).getAs[Long]("n_docs") == 1L)
+    assert(out(1L).getAs[String]("text") == "e f g h")
+    assert(out(1L).getAs[Long]("n_docs") == 3L) // docs 1, 2 and 4 (3 is empty)
+    assert(out(1L).getAs[Long]("first_doc") == 1L)
+    assert(out(1L).getAs[Long]("last_doc") == 4L)
+    // tail window is partial
+    assert(out(2L).getAs[String]("text") == "i j k")
+    assert(out(2L).getAs[Long]("n_tokens") == 3L)
+  }
+
   test("pqTopK plan: no corpus-side sort-merge or pair enumeration") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
