@@ -683,4 +683,149 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
       .filter(col("cos") >= threshold)
   }
+
+  /** Population covariance matrix of an embedding column — the
+    * statistics pass under PCA whitening, drift monitoring, and
+    * feature-decorrelation reports. Emits the upper triangle as
+    * (i, j, cov) rows, i ≤ j.
+    *
+    * Execution shape: each vector expands to its d(d+1)/2 upper-
+    * triangle products via nested array lambdas (codegen'd, no UDF)
+    * and ONE map-side-combinable hash aggregation reduces them to d²
+    * rows; per-dimension means ride a second skinny aggregation and
+    * join back broadcast. Nothing touches the driver and the only
+    * exchanges carry ≤ d² rows — corpus cost is a single scan
+    * regardless of row count. cov = E[xy] − E[x]E[y], evaluated
+    * identically in any SQL replay.
+    */
+  def covarianceMatrix(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = asDouble(col(vecCol))
+    val prods = flatten(transform(e, (xi, i) =>
+      transform(slice(e, i + 1, size(e) - i), (xj, jo) =>
+        struct(i.as("i"), (i + jo).as("j"), (xi * xj).as("p")))))
+    val cells = vectors.select(explode(prods).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+    val means = vectors.select(posexplode(e))
+      .groupBy(col("pos")).agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+    val mi = means.select(col("pos").as("i"), col("sx").as("sx_i"), col("n"))
+    val mj = means.select(col("pos").as("j"), col("sx").as("sx_j"))
+    cells.join(broadcast(mi), Seq("i")).join(broadcast(mj), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("sp") / col("n") -
+          (col("sx_i") / col("n")) * (col("sx_j") / col("n"))).as("cov"))
+  }
+
+  /** PCA whitening: project embeddings onto the top-`k` principal
+    * components and rescale each to unit variance — the
+    * decorrelation step SemDeDup-style semantic pipelines run before
+    * cosine thresholds mean anything. The d×d covariance reduces via
+    * [[covarianceMatrix]]'s single-scan aggregation (d² doubles to
+    * the driver — metadata, not data), eigendecomposes on the driver
+    * with a deterministic cyclic Jacobi sweep, and the k×d projection
+    * broadcasts back; the projection itself is one codegen'd pass.
+    *
+    * Output: (id, whitened array[k]). Components are sign-fixed
+    * (largest-|loading| coordinate positive) so results are
+    * deterministic across partitionings.
+    */
+  def pcaWhiten(vectors: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", eps: Double = 1e-9): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val covRows = covarianceMatrix(vectors, idCol, vecCol)
+      .select(col("i"), col("j"), col("cov"))
+      .as[(Int, Int, Double)].collect() // d(d+1)/2 doubles — metadata-scale
+    val d = covRows.map(_._2).max + 1
+    require(k >= 1 && k <= d, s"k=$k outside 1..$d")
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach { case (i, j, c) => cov(i)(j) = c; cov(j)(i) = c }
+    val means = vectors.select(posexplode(asDouble(col(vecCol))))
+      .groupBy(col("pos")).agg((sum(col("col")) / count(lit(1))).as("m"))
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val (eigVals, eigVecs) = jacobiEigen(cov) // descending
+    // rows of `proj`: component c scaled by 1/sqrt(lambda_c)
+    val proj = Array.tabulate(k, d) { (c, i) =>
+      eigVecs(c)(i) / math.sqrt(math.max(eigVals(c), eps))
+    }
+    val projBc = spark.sparkContext.broadcast(proj)
+    val muBc = spark.sparkContext.broadcast(means)
+    vectors.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val p = projBc.value; val mu = muBc.value
+        val out = new Array[Double](p.length)
+        var c = 0
+        while (c < p.length) {
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += p(c)(i) * (v(i) - mu(i)); i += 1 }
+          out(c) = acc; c += 1
+        }
+        (id, out)
+      }
+      .toDF("id", "whitened")
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix: (eigenvalues descending, matching eigenvectors as ROWS),
+    * sign-fixed so the largest-|coordinate| entry is positive.
+    * O(d³) per sweep on the driver — for the d ≤ a-few-hundred
+    * embedding dims this is microseconds, and determinism (fixed
+    * sweep order, fixed convergence bound) is what the engine's
+    * replay guarantees require.
+    */
+  private[ops] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { c =>
+      val row = Array.tabulate(d)(i => v(i)(c))
+      val imax = row.indices.maxBy(i => (math.abs(row(i)), -i))
+      if (row(imax) < 0) row.map(x => -x) else row
+    }.toArray
+    (vals, vecs)
+  }
 }

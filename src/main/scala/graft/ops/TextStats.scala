@@ -298,4 +298,40 @@ object TextStats {
           .as("score"))
       .withColumn("keep", col("score") >= 0.5)
   }
+
+  /** Character-level Shannon entropy per document — the cheap
+    * compressibility proxy that catches degenerate generator output
+    * (key-mash, single-char floods, base64 walls register as extreme
+    * entropy in either direction) before any model-based scoring.
+    * H = log2(n) − (Σ c·log2 c)/n over the per-character counts c,
+    * evaluated in that algebraic form on BOTH engines so the only
+    * float ops are a bounded number of log2 calls; emitted
+    * micro-quantized with the keep decision made on the INTEGER
+    * micro value (lowEntropy ≤ H ≤ highEntropy), so the filter flag
+    * is deterministic.
+    *
+    * Execution shape: characters explode to (doc, char) rows and
+    * collapse through two map-side-combinable hash aggregations
+    * (per-(doc, char) counts, then per-doc entropy) — O(total chars),
+    * alphabet-bounded intermediate, no windows, no driver math.
+    *
+    * Output: (doc_id, n_chars2, n_distinct, entropy_micro, keep).
+    */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lowEntropy: Double = 2.0,
+      highEntropy: Double = 8.0): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val lo = math.round(lowEntropy * 1e6)
+    val hi = math.round(highEntropy * 1e6)
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_chars2"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("c") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_chars2"), col("n_distinct"),
+        expr("CAST(round((log2(n_chars2) - clog / n_chars2) * 1e6) AS BIGINT)")
+          .as("entropy_micro"))
+      .withColumn("keep", col("entropy_micro") >= lo && col("entropy_micro") <= hi)
+  }
 }

@@ -29,7 +29,7 @@ object Pipeline extends QModule {
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
     d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
-    t74CorpusMix)
+    s56EmbCovariance, t75CharEntropy)
 
   import QTables.{docs, emb}
 
@@ -1711,39 +1711,61 @@ object Pipeline extends QModule {
                    string_agg(tok, ' ' ORDER BY gpos) AS text
             FROM toks GROUP BY 1 ORDER BY 1"""))
 
-  /** Corpus mixture report — the per-(source, language) composition
-    * table every pretraining run starts from: document and exact
-    * token counts plus each cell's token share in integer ppm
-    * (micro-unit arithmetic, no float rounding at the hash compare).
-    * One map-side-combinable aggregation over the corpus; the grand
-    * total joins back as a broadcast scalar, never a second corpus
-    * pass.
+  /** Embedding population covariance
+    * ([[graft.ops.Similarity.covarianceMatrix]]) — the statistics
+    * pass under PCA whitening/drift monitoring, upper triangle as
+    * (i, j, cov) rows micro-quantized at the gate boundary. The
+    * oracle replays E[xy] − E[x]E[y] with the same double-cast
+    * arithmetic over a LATERAL index cross; a triangle slip, an
+    * off-by-one in the nested-lambda indexing, or a float/double cast
+    * divergence all hash-mismatch.
     */
-  val t74CorpusMix = Q(
-    "t74_corpus_mix",
-    (s, dir) => {
-      val toks = docs(s, dir).select(col("source"), col("lang"),
-        size(TextDedup.words(col("text"))).cast("long").as("n_toks"),
-        col("n_chars"))
-      val grouped = toks.groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(col("n_toks")).cast("long").as("n_tokens"),
-          sum(col("n_chars")).cast("long").as("sum_chars"))
-      val total = grouped.agg(sum(col("n_tokens")).as("tot"))
-      grouped.crossJoin(broadcast(total))
-        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-          col("sum_chars"),
-          expr("(n_tokens * 1000000L) div tot").as("token_share_ppm"))
-        .orderBy(col("source"), col("lang"))
-    },
-    Some("""WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
-                  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-                FROM documents GROUP BY 1, 2)
-            SELECT source, lang, n_docs, n_tokens, sum_chars,
-                   CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM g) AS BIGINT)
-                     AS token_share_ppm
-            FROM g ORDER BY source, lang"""))
+  val s56EmbCovariance = Q(
+    "s56_embedding_covariance",
+    (s, dir) => graft.ops.Similarity.covarianceMatrix(emb(s, dir),
+        idCol = "id", vecCol = "vec")
+      .select(col("i"), col("j"),
+        expr("CAST(round(cov * 1e6) AS BIGINT)").as("cov_micro"))
+      .orderBy(col("i"), col("j")),
+    Some("""WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+            cells AS (SELECT i, j, sum(e[i+1] * e[j+1]) AS sp
+                      FROM v,
+                        LATERAL (SELECT unnest(range(64)) AS i) a,
+                        LATERAL (SELECT unnest(range(64)) AS j) b
+                      WHERE j >= i GROUP BY 1, 2),
+            means AS (SELECT i, sum(e[i+1]) AS sx, count(*) AS n
+                      FROM v, LATERAL (SELECT unnest(range(64)) AS i) a GROUP BY 1)
+            SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
+                   CAST(round((c.sp / m1.n - (m1.sx / m1.n) * (m2.sx / m2.n)) * 1e6)
+                     AS BIGINT) AS cov_micro
+            FROM cells c JOIN means m1 ON c.i = m1.i JOIN means m2 ON c.j = m2.i
+            ORDER BY 1, 2"""))
+
+  /** Character-entropy quality filter
+    * ([[graft.ops.TextStats.charEntropy]]): per-document Shannon
+    * entropy over characters, micro-quantized, with the keep band
+    * decided on the integer micro value. The oracle replays the
+    * identical algebraic form (log2(n) − Σ c·log2(c)/n); an
+    * exploded-character mismatch, a distinct-count slip, or a
+    * float-form divergence all hash-mismatch.
+    */
+  val t75CharEntropy = Q(
+    "t75_char_entropy",
+    (s, dir) => graft.ops.TextStats.charEntropy(docs(s, dir), lowEntropy = 3.0)
+      .orderBy(col("doc_id")),
+    Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+            cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                   FROM ch GROUP BY 1, 2),
+            e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars2,
+                    CAST(count(*) AS BIGINT) AS n_distinct,
+                    CAST(round((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 1e6)
+                      AS BIGINT) AS entropy_micro
+                  FROM cc GROUP BY 1)
+            SELECT doc_id, n_chars2, n_distinct, entropy_micro,
+                   entropy_micro >= 3000000 AND entropy_micro <= 8000000 AS keep
+            FROM e ORDER BY doc_id"""))
 
   /** Corpus-level line dedup (RefinedWeb/CCNet boilerplate removal),
     * oracle-gated. The synthetic docs carry no newlines, so both

@@ -214,4 +214,55 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getInt(1), r.getLong(2)))
     assert(rel.toSeq == Seq((1, 10L), (2, 11L), (3, 12L)), rel.mkString(","))
   }
+
+  test("jacobiEigen: orthonormal eigenvectors reconstruct the matrix") {
+    val r = new scala.util.Random(5)
+    val d = 8
+    val b = Array.fill(d, d)(r.nextGaussian())
+    // symmetric PSD-ish: B^T B
+    val m = Array.tabulate(d, d)((i, j) => (0 until d).map(k => b(k)(i) * b(k)(j)).sum)
+    val (vals, vecs) = Similarity.jacobiEigen(m)
+    // descending
+    assert(vals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // orthonormal rows
+    for (a <- 0 until d; c <- 0 until d) {
+      val dot = (0 until d).map(i => vecs(a)(i) * vecs(c)(i)).sum
+      assert(math.abs(dot - (if (a == c) 1.0 else 0.0)) < 1e-8, s"dot($a,$c)=$dot")
+    }
+    // reconstruction: m = sum_c lambda_c v_c v_c^T
+    for (i <- 0 until d; j <- 0 until d) {
+      val rec = (0 until d).map(c => vals(c) * vecs(c)(i) * vecs(c)(j)).sum
+      assert(math.abs(rec - m(i)(j)) < 1e-8, s"m($i)($j): $rec vs ${m(i)(j)}")
+    }
+  }
+
+  test("covarianceMatrix equals the serial covariance; pcaWhiten decorrelates") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val n = 400; val d = 6
+    // correlated data: x2 ~ 2*x0 + noise
+    val rows = (0 until n).map { i =>
+      val base = Array.fill(d)(r.nextGaussian().toFloat)
+      base(2) = (2.0f * base(0)) + 0.1f * r.nextGaussian().toFloat
+      (i.toLong, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = Similarity.covarianceMatrix(df).collect()
+      .map(x => (x.getAs[Int]("i"), x.getAs[Int]("j")) -> x.getAs[Double]("cov")).toMap
+    // serial reference
+    val data = rows.map(_._2.map(_.toDouble).toArray)
+    val mu = Array.tabulate(d)(i => data.map(_(i)).sum / n)
+    for (i <- 0 until d; j <- i until d) {
+      val ref = data.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j)
+      assert(math.abs(got((i, j)) - ref) < 1e-9, s"cov($i,$j)")
+    }
+    // whiten to k=3 and check the output covariance is the identity
+    val w = Similarity.pcaWhiten(df, k = 3)
+    val wcov = Similarity.covarianceMatrix(w, idCol = "id", vecCol = "whitened")
+      .collect().map(x => (x.getAs[Int]("i"), x.getAs[Int]("j")) -> x.getAs[Double]("cov")).toMap
+    for (i <- 0 until 3; j <- i until 3)
+      assert(math.abs(wcov((i, j)) - (if (i == j) 1.0 else 0.0)) < 1e-6,
+        s"whitened cov($i,$j)=${wcov((i, j))}")
+  }
 }

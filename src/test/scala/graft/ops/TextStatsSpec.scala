@@ -118,4 +118,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_frac") == 0.0)
     assert(out(2L).getAs[Long]("max_repeat") == 1L)
   }
+
+  test("charEntropy: closed-form values and the integer-micro keep band") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaa"),          // H = 0
+      (2L, "abababab"),          // H = 1
+      (3L, "abcdabcd"),          // H = 2
+      (4L, "abcdefgh")           // H = 3
+    ).toDF("doc_id", "text")
+    val out = TextStats.charEntropy(df, lowEntropy = 2.0, highEntropy = 8.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("entropy_micro") == 0L)
+    assert(out(2L).getAs[Long]("entropy_micro") == 1000000L)
+    assert(out(3L).getAs[Long]("entropy_micro") == 2000000L)
+    assert(out(4L).getAs[Long]("entropy_micro") == 3000000L)
+    assert(!out(1L).getAs[Boolean]("keep") && !out(2L).getAs[Boolean]("keep"))
+    // the band is inclusive on the integer micro value
+    assert(out(3L).getAs[Boolean]("keep") && out(4L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Long]("n_distinct") == 8L)
+    assert(out(4L).getAs[Long]("n_chars2") == 8L)
+  }
 }
