@@ -97,6 +97,17 @@ object Cli {
         val img = graft.operators.DicomIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
+          if Seq(".hdf5", ".mnc2").exists(input.toLowerCase.endsWith) =>
+        // default-layout HDF5 (single numeric dataset, or --hdf5-dataset)
+        // and MINC2 read through the Hdf5 subset parser
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: HDF5 inputs are single-scale (only 0 is valid)")
+        val img =
+          if (input.toLowerCase.endsWith(".mnc2"))
+            graft.operators.Hdf5IO.readMinc2(spark, input)
+          else graft.operators.Hdf5IO.read(spark, input, opts.get("hdf5-dataset"))
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if Seq(".iwi", ".iwi.cbor", ".iwi.cbor.zst").exists(input.toLowerCase.endsWith) =>
         // the itk-wasm native container family reads through IwiIO
         require(opts.get("output-scale").forall(_.toInt == 0),

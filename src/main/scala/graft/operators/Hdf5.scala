@@ -1,0 +1,608 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable
+
+/** S10 — a read-only HDF5 subset parser covering the layout
+  * libhdf5/h5py write by default, built from the public HDF5 File
+  * Format Specification v2.0 (the reference routes `.hdf5` and MINC2
+  * `.mnc2` through itk/itkwasm, `py/ngff_zarr/detect_cli_io_backend.py:40-47`,
+  * whose HDF5ImageIO sits on the same published format).
+  *
+  * In scope — exactly the structures the committed fixtures and real
+  * default-layout files use, everything else refuses loudly with the
+  * structure name: superblock v0; v1 object headers (with
+  * continuation blocks); v1 symbol-table groups (TREE node type 0,
+  * level 0 / SNOD / local HEAP); dataspace v1/v2; datatype v1
+  * classes fixed-point, float (IEEE 32/64) and fixed-length string;
+  * data layouts v3 compact, contiguous and chunked (v1 chunk B-tree,
+  * level 0); filter pipeline v1/v2 with deflate and byte-shuffle;
+  * attribute message v1/v3 with scalar / small-array values. Out of
+  * scope (loud refusals): superblock v2/v3, v2 object headers,
+  * fractal-heap "new style" groups, v2 B-trees, szip/nbit/scaleoffset
+  * filters, vlen and compound datatypes, external/virtual layouts.
+  *
+  * Scale posture: ALL parsing here touches metadata only — group
+  * tables, object headers, the chunk B-tree — kilobytes read on the
+  * driver through positioned range reads. Voxel payloads never
+  * transit this class: [[Hdf5IO]] hands contiguous layouts to the
+  * shared distributed positioned-read and fans chunked layouts out
+  * as one Spark task per HDF5 chunk record.
+  */
+object Hdf5 {
+
+  private val Undef = -1L // 0xFFFFFFFFFFFFFFFF as signed
+
+  final case class Attr(name: String, value: AttrValue)
+  sealed trait AttrValue
+  final case class ANums(v: Seq[Double]) extends AttrValue
+  final case class AStr(v: String) extends AttrValue
+
+  sealed trait Layout
+  final case class Compact(data: Array[Byte]) extends Layout
+  final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** `chunkDims` in file (C) order, without the element-size dim. */
+  final case class Chunked(chunkDims: Seq[Int], btreeAddr: Long) extends Layout
+
+  /** One filter pipeline stage: (filter id, client values). */
+  final case class Filter(id: Int, clientValues: Seq[Int])
+
+  final case class Dataset(
+      path: String,
+      dims: Seq[Long],        // file (C) order — slowest first
+      dtype: String,          // engine dtype name; "" for non-numeric
+      bigEndian: Boolean,
+      typeSize: Int,
+      layout: Layout,
+      filters: Seq[Filter],
+      attrs: Map[String, AttrValue])
+
+  final case class Group(
+      path: String,
+      attrs: Map[String, AttrValue],
+      groups: Map[String, Group],
+      datasets: Map[String, Dataset]) {
+
+    /** Resolve a `/`-separated path to a dataset, refusing loudly. */
+    def dataset(path: String): Dataset = {
+      val parts = path.split("/").filter(_.nonEmpty)
+      var g = this
+      parts.dropRight(1).foreach { p =>
+        g = g.groups.getOrElse(p,
+          fail(s"group '$p' not found under '${g.path}' (has ${g.groups.keys.toSeq.sorted.mkString(", ")})"))
+      }
+      g.datasets.getOrElse(parts.last,
+        fail(s"dataset '${parts.last}' not found under '${g.path}'"))
+    }
+
+    def allDatasets: Seq[Dataset] =
+      datasets.values.toSeq ++ groups.values.toSeq.flatMap(_.allDatasets)
+  }
+
+  /** One chunk record from the v1 chunk B-tree: offsets in file (C)
+    * dim order, stored byte range, pre-filter size check via the
+    * layout.
+    */
+  final case class ChunkRecord(offsets: Seq[Long], addr: Long, nbytes: Int, filterMask: Int)
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"hdf5: $msg")
+
+  private def bb(bytes: Array[Byte], off: Long, len: Int): ByteBuffer = {
+    require(off >= 0 && off + len <= bytes.length,
+      s"hdf5: range [$off, ${off + len}) outside file of ${bytes.length} bytes")
+    ByteBuffer.wrap(bytes, off.toInt, len).slice().order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  /** Parse the metadata tree of an HDF5 file image. `bytes` is the
+    * whole file — metadata-sized in any sane volume container; the
+    * caller streams voxel payloads separately by address.
+    */
+  def parse(bytes: Array[Byte]): Group = {
+    val magic = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+    require(bytes.length >= 48 && bytes.take(8).sameElements(magic),
+      "hdf5: bad signature (not an HDF5 file)")
+    val sb = bb(bytes, 8, 48)
+    val sbVersion = sb.get() & 0xff
+    if (sbVersion != 0) fail(s"superblock version $sbVersion (only v0 supported)")
+    sb.get(); sb.get(); sb.get() // freespace, root-STE, reserved
+    sb.get() // shared header msg version
+    val sizeOfOffsets = sb.get() & 0xff
+    val sizeOfLengths = sb.get() & 0xff
+    require(sizeOfOffsets == 8 && sizeOfLengths == 8,
+      s"hdf5: offset/length sizes $sizeOfOffsets/$sizeOfLengths (only 8/8 supported)")
+    sb.get() // reserved
+    sb.getShort(); sb.getShort() // group leaf/internal k
+    sb.getInt() // consistency flags
+    val base = sb.getLong()
+    require(base == 0, s"hdf5: nonzero base address $base unsupported")
+    sb.getLong(); sb.getLong(); sb.getLong() // freespace, eof, driver info
+    // root group symbol table entry: name offset, object header addr
+    val ste = bb(bytes, 8 + 48, 24)
+    ste.getLong()
+    val rootOh = ste.getLong()
+    readGroup(bytes, rootOh, "/")
+  }
+
+  // ---------------------------------------------------- object headers
+
+  /** Raw messages of a v1 object header (type, body bytes), following
+    * continuation messages.
+    */
+  private def messages(bytes: Array[Byte], addr: Long): Seq[(Int, Array[Byte])] = {
+    val head = bb(bytes, addr, 16)
+    val version = head.get() & 0xff
+    if (version != 1) fail(s"object header version $version at $addr (only v1 supported)")
+    head.get()
+    val nmsgs = head.getShort() & 0xffff
+    head.getInt() // ref count
+    val hsize = head.getInt()
+    val out = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    // blocks of (start, size) to scan; messages may continue (0x0010)
+    var blocks = List((addr + 16, hsize.toLong))
+    while (blocks.nonEmpty && out.length < nmsgs) {
+      val (bstart, bsize) = blocks.head
+      blocks = blocks.tail
+      var p = bstart
+      val bend = bstart + bsize
+      while (p + 8 <= bend && out.length < nmsgs) {
+        val mh = bb(bytes, p, 8)
+        val mtype = mh.getShort() & 0xffff
+        val msize = mh.getShort() & 0xffff
+        mh.get() // flags
+        val body = new Array[Byte](msize)
+        System.arraycopy(bytes, (p + 8).toInt, body, 0, msize)
+        if (mtype == 0x0010) { // continuation: (offset, length)
+          val c = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          blocks = (c.getLong(), c.getLong()) :: blocks
+        } else if (mtype != 0x0000) {
+          out += ((mtype, body))
+        }
+        p += 8 + msize
+      }
+    }
+    out.toSeq
+  }
+
+  private def readGroup(bytes: Array[Byte], ohAddr: Long, path: String): Group = {
+    val msgs = messages(bytes, ohAddr)
+    if (msgs.exists(m => m._1 == 0x0002 || m._1 == 0x0006))
+      fail(s"group at $path uses new-style (link-message/fractal-heap) storage — only v1 symbol-table groups supported")
+    val st = msgs.find(_._1 == 0x0011).getOrElse(
+      fail(s"object at $path has no symbol table message and no dataspace — unsupported object type"))._2
+    val stb = ByteBuffer.wrap(st).order(ByteOrder.LITTLE_ENDIAN)
+    val btreeAddr = stb.getLong()
+    val heapAddr = stb.getLong()
+    val attrs = parseAttrs(msgs)
+    val children = groupEntries(bytes, btreeAddr, heapAddr)
+    val groups = mutable.LinkedHashMap.empty[String, Group]
+    val datasets = mutable.LinkedHashMap.empty[String, Dataset]
+    children.foreach { case (name, childOh) =>
+      val childMsgs = messages(bytes, childOh)
+      if (childMsgs.exists(_._1 == 0x0001))
+        datasets(name) = parseDataset(childMsgs, s"$path$name")
+      else
+        groups(name) = readGroup(bytes, childOh, s"$path$name/")
+    }
+    Group(path, attrs, groups.toMap, datasets.toMap)
+  }
+
+  /** (name, object header address) pairs from a v1 group B-tree. */
+  private def groupEntries(bytes: Array[Byte], btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
+    // local heap: "HEAP" v0, data segment size, free-list head, data addr
+    val hh = bb(bytes, heapAddr, 32)
+    val hsig = new Array[Byte](4); hh.get(hsig)
+    require(new String(hsig, "US-ASCII") == "HEAP", s"hdf5: bad local heap signature at $heapAddr")
+    require((hh.get() & 0xff) == 0, "hdf5: local heap version != 0")
+    hh.get(); hh.get(); hh.get()
+    hh.getLong() // data segment size
+    hh.getLong() // free list head
+    val heapData = hh.getLong()
+    def heapName(off: Long): String = {
+      var e = heapData + off
+      while (e < bytes.length && bytes(e.toInt) != 0) e += 1
+      new String(bytes, (heapData + off).toInt, (e - heapData - off).toInt, "UTF-8")
+    }
+    val th = bb(bytes, btreeAddr, 24)
+    val tsig = new Array[Byte](4); th.get(tsig)
+    require(new String(tsig, "US-ASCII") == "TREE", s"hdf5: bad B-tree signature at $btreeAddr")
+    val nodeType = th.get() & 0xff
+    val level = th.get() & 0xff
+    require(nodeType == 0, s"hdf5: group B-tree node type $nodeType != 0")
+    if (level != 0) fail(s"multi-level group B-tree (level $level) — group larger than one leaf unsupported")
+    val used = th.getShort() & 0xffff
+    th.getLong(); th.getLong() // siblings
+    val out = mutable.ArrayBuffer.empty[(String, Long)]
+    var p = btreeAddr + 24
+    var i = 0
+    while (i < used) {
+      p += 8 // key i (heap offset) — names come from the SNOD entries
+      val child = bb(bytes, p, 8).getLong(); p += 8
+      // SNOD: signature, version, reserved, nsymbols, entries
+      val sh = bb(bytes, child, 8)
+      val ssig = new Array[Byte](4); sh.get(ssig)
+      require(new String(ssig, "US-ASCII") == "SNOD", s"hdf5: bad SNOD signature at $child")
+      sh.get()
+      sh.get()
+      val nsym = sh.getShort() & 0xffff
+      var j = 0
+      while (j < nsym) {
+        val se = bb(bytes, child + 8 + j * 40, 40)
+        val nameOff = se.getLong()
+        val oh = se.getLong()
+        out += ((heapName(nameOff), oh))
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  // -------------------------------------------------- dataset messages
+
+  private def parseDataset(msgs: Seq[(Int, Array[Byte])], path: String): Dataset = {
+    val dims = parseDataspace(msgs.find(_._1 == 0x0001).get._2, path)
+    val (dtype, be, tsize) = parseDatatype(msgs.find(_._1 == 0x0003).getOrElse(
+      fail(s"dataset $path has no datatype message"))._2, path)
+    val layout = parseLayout(msgs.find(_._1 == 0x0008).getOrElse(
+      fail(s"dataset $path has no data layout message"))._2, path)
+    val filters = msgs.find(_._1 == 0x000B).map(parseFilters(_, path)).getOrElse(Nil)
+    filters.foreach { f =>
+      require(f.id == 1 || f.id == 2,
+        s"hdf5: dataset $path uses filter id ${f.id} (only deflate=1 and shuffle=2 supported)")
+    }
+    Dataset(path, dims, dtype, be, tsize, layout, filters, parseAttrs(msgs))
+  }
+
+  private def parseDataspace(body: Array[Byte], path: String): Seq[Long] = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val version = b.get() & 0xff
+    val rank = b.get() & 0xff
+    val flags = b.get() & 0xff
+    version match {
+      case 1 => b.get(); b.getInt() // reserved
+      case 2 => // v2: next byte is type, no reserved block
+        b.get()
+      case v => fail(s"dataspace version $v at $path")
+    }
+    val dims = Seq.fill(rank)(b.getLong())
+    // maxdims ((flags & 1) != 0) would follow; ignored — current dims rule
+    dims
+  }
+
+  /** (engine dtype, big-endian, size). Strings come back as ("", _, size). */
+  private def parseDatatype(body: Array[Byte], path: String): (String, Boolean, Int) = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val cv = b.get() & 0xff
+    val cls = cv & 0x0f
+    val version = cv >> 4
+    require(version == 1, s"hdf5: datatype version $version at $path (only v1)")
+    val bf0 = b.get() & 0xff
+    b.get(); b.get()
+    val size = b.getInt()
+    cls match {
+      case 0 => // fixed-point
+        val be = (bf0 & 1) != 0
+        val signed = (bf0 & 8) != 0
+        val name = (signed, size) match {
+          case (true, 1) => "int8";  case (false, 1) => "uint8"
+          case (true, 2) => "int16"; case (false, 2) => "uint16"
+          case (true, 4) => "int32"; case (false, 4) => "uint32"
+          case (true, 8) => "int64"; case (false, 8) => "uint64"
+          case _ => fail(s"fixed-point size $size at $path")
+        }
+        (name, be, size)
+      case 1 => // float
+        val be = (bf0 & 1) != 0
+        val name = size match {
+          case 4 => "float32"; case 8 => "float64"
+          case _ => fail(s"float size $size at $path")
+        }
+        (name, be, size)
+      case 3 => ("", false, size) // fixed-length string
+      case c => fail(s"datatype class $c at $path (fixed/float/string only)")
+    }
+  }
+
+  private def parseLayout(body: Array[Byte], path: String): Layout = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val version = b.get() & 0xff
+    require(version == 3, s"hdf5: data layout version $version at $path (only v3)")
+    (b.get() & 0xff) match {
+      case 0 =>
+        val n = b.getShort() & 0xffff
+        val d = new Array[Byte](n); b.get(d)
+        Compact(d)
+      case 1 =>
+        Contiguous(b.getLong(), b.getLong())
+      case 2 =>
+        val rank = b.get() & 0xff // includes the element-size dim
+        val btree = b.getLong()
+        val dims = Seq.fill(rank)(b.getInt())
+        Chunked(dims.dropRight(1), btree)
+      case c => fail(s"data layout class $c at $path")
+    }
+  }
+
+  private def parseFilters(m: (Int, Array[Byte]), path: String): Seq[Filter] = {
+    val b = ByteBuffer.wrap(m._2).order(ByteOrder.LITTLE_ENDIAN)
+    val version = b.get() & 0xff
+    val n = b.get() & 0xff
+    version match {
+      case 1 => b.getShort(); b.getInt() // reserved
+      case 2 => ()
+      case v => fail(s"filter pipeline version $v at $path")
+    }
+    (0 until n).map { _ =>
+      val id = b.getShort() & 0xffff
+      // v2 omits the name length field entirely for ids < 256
+      val nameLen = if (version == 1 || id >= 256) b.getShort() & 0xffff else 0
+      b.getShort() // flags
+      val ncv = b.getShort() & 0xffff
+      if (nameLen > 0) { val nm = new Array[Byte](nameLen); b.get(nm) }
+      val cvs = Seq.fill(ncv)(b.getInt())
+      if (version == 1 && ncv % 2 == 1) b.getInt() // pad
+      Filter(id, cvs)
+    }
+  }
+
+  // ---------------------------------------------------------- attributes
+
+  private def parseAttrs(msgs: Seq[(Int, Array[Byte])]): Map[String, AttrValue] =
+    msgs.filter(_._1 == 0x000C).flatMap { case (_, body) => parseAttr(body) }.toMap
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+
+  private def parseAttr(body: Array[Byte]): Option[(String, AttrValue)] = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val version = b.get() & 0xff
+    if (version != 1 && version != 3) fail(s"attribute message version $version")
+    val flagsOrReserved = b.get() & 0xff
+    if (version == 3 && (flagsOrReserved & 3) != 0)
+      fail("shared attribute datatype/dataspace unsupported")
+    val nameSize = b.getShort() & 0xffff
+    val dtSize = b.getShort() & 0xffff
+    val dsSize = b.getShort() & 0xffff
+    if (version == 3) b.get() // name character set
+    val headLen = if (version == 3) 9 else 8
+    val namePad = if (version == 1) pad8(nameSize) else nameSize
+    val dtPad = if (version == 1) pad8(dtSize) else dtSize
+    val dsPad = if (version == 1) pad8(dsSize) else dsSize
+    val name = new String(body, headLen, math.max(0, nameSize - 1), "UTF-8")
+    val dtOff = headLen + namePad
+    val dsOff = dtOff + dtPad
+    val dataOff = dsOff + dsPad
+    val dtBody = java.util.Arrays.copyOfRange(body, dtOff, dtOff + dtSize)
+    val dsBody = java.util.Arrays.copyOfRange(body, dsOff, dsOff + dsSize)
+    val (dtype, be, tsize) = parseDatatype(dtBody, s"attr $name")
+    val dims = parseDataspace(dsBody, s"attr $name")
+    val n = dims.product.toInt
+    val data = java.util.Arrays.copyOfRange(body, dataOff,
+      math.min(body.length, dataOff + math.max(1, n) * tsize))
+    if (dtype.isEmpty) { // fixed-length string, scalar
+      val z = data.indexOf(0.toByte)
+      Some(name -> AStr(new String(data, 0, if (z < 0) data.length else z, "UTF-8")))
+    } else {
+      val vals = graft.zarr.ZarrStore.decodeToDoubles(data, dtype, be)
+      Some(name -> ANums(vals.toSeq))
+    }
+  }
+
+  // ------------------------------------------------------ chunk B-tree
+
+  /** Walk a v1 chunk B-tree (level 0) into chunk records. `rank` is
+    * the dataset rank WITHOUT the element-size dimension.
+    */
+  def chunkRecords(bytes: Array[Byte], btreeAddr: Long, rank: Int): Seq[ChunkRecord] = {
+    val th = bb(bytes, btreeAddr, 24)
+    val sig = new Array[Byte](4); th.get(sig)
+    require(new String(sig, "US-ASCII") == "TREE", s"hdf5: bad chunk B-tree signature at $btreeAddr")
+    require((th.get() & 0xff) == 1, "hdf5: chunk B-tree node type != 1")
+    val level = th.get() & 0xff
+    if (level != 0) fail(s"multi-level chunk B-tree (level $level) unsupported — re-write with larger chunks")
+    val used = th.getShort() & 0xffff
+    th.getLong(); th.getLong()
+    val keySize = 8 + (rank + 1) * 8
+    var p = btreeAddr + 24
+    (0 until used).map { _ =>
+      val k = bb(bytes, p, keySize)
+      val nbytes = k.getInt()
+      val mask = k.getInt()
+      val offs = Seq.fill(rank)(k.getLong())
+      k.getLong() // element-size dim offset, always 0
+      p += keySize
+      val addr = bb(bytes, p, 8).getLong()
+      p += 8
+      ChunkRecord(offs, addr, nbytes, mask)
+    }
+  }
+
+  // ---- minimal encoder (synthetic gate payloads + specs) ------------
+
+  /** Encode a minimal MINC2 file — superblock v0, v1 symbol-table
+    * groups, a contiguous uint8 `/minc-2.0/image/0/image` dataset
+    * with `dimorder`, and per-dimension step/start attributes — the
+    * exact subset [[Hdf5IO.readMinc2]] reads, so the i70 gate drives
+    * header parse, group traversal, attribute decode and the
+    * distributed contiguous read on one route. `values` are C-order
+    * over the FILE dims (slowest first); dims are (zspace, yspace,
+    * xspace) with the given (step, start) per axis in that order.
+    */
+  def encodeMinc2Uint8(sizeC: Seq[Int], steps: Seq[Double], starts: Seq[Double],
+      values: Array[Int]): Array[Byte] = {
+    require(sizeC.length == 3 && steps.length == 3 && starts.length == 3,
+      "encodeMinc2Uint8 writes 3-D volumes")
+    require(values.length == sizeC.product, "values != shape product")
+    val buf = new java.io.ByteArrayOutputStream()
+    val front = 2048 // reserved for the superblock
+    buf.write(new Array[Byte](front))
+    def alloc(b: Array[Byte]): Long = { val at = buf.size(); buf.write(b); at.toLong }
+    def u64(v: Long): Array[Byte] = { val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putLong(v); b.array() }
+    def pad8(b: Array[Byte]): Array[Byte] = b ++ new Array[Byte]((8 - b.length % 8) % 8)
+    def msg(t: Int, body: Array[Byte]): Array[Byte] = {
+      val p = pad8(body)
+      val h = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(t.toShort); h.putShort(p.length.toShort); h.put(0.toByte)
+      h.array() ++ p
+    }
+    def oh(messages: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val body = messages.flatMap { case (t, b) => msg(t, b) }.toArray
+      val h = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      h.put(1.toByte); h.put(0.toByte); h.putShort(messages.length.toShort)
+      h.putInt(1); h.putInt(body.length)
+      h.array() ++ body
+    }
+    def dataspace(dims: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + dims.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(dims.length.toByte); b.put(0.toByte)
+      b.position(8); dims.foreach(b.putLong); b.array()
+    }
+    def dtFixed(size: Int, signed: Boolean): Array[Byte] = {
+      val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      b.put((1 << 4 | 0).toByte); b.put((if (signed) 8 else 0).toByte)
+      b.put(0.toByte); b.put(0.toByte); b.putInt(size)
+      b.putShort(0); b.putShort((size * 8).toShort); b.array()
+    }
+    def dtFloat64: Array[Byte] = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.put((1 << 4 | 1).toByte); b.put(0x20.toByte); b.put(63.toByte); b.put(0.toByte)
+      b.putInt(8); b.putShort(0); b.putShort(64)
+      b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+      b.putInt(1023); b.array()
+    }
+    def dtString(size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put((1 << 4 | 3).toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.putInt(size); b.array()
+    }
+    def attr(name: String, dt: Array[Byte], ds: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val nm = (name + " ").getBytes("US-ASCII")
+      val h = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      h.put(1.toByte); h.put(0.toByte)
+      h.putShort(nm.length.toShort); h.putShort(dt.length.toShort); h.putShort(ds.length.toShort)
+      h.array() ++ pad8(nm) ++ pad8(dt) ++ pad8(ds) ++ data
+    }
+    def f64bytes(v: Double): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putDouble(v); b.array()
+    }
+    def group(entries: Seq[(String, Long)]): Long = {
+      val heapData = new java.io.ByteArrayOutputStream()
+      heapData.write(new Array[Byte](8))
+      val offs = entries.map { case (n, _) =>
+        val o = heapData.size()
+        heapData.write((n + " ").getBytes("US-ASCII"))
+        while (heapData.size() % 8 != 0) heapData.write(0)
+        o.toLong
+      }
+      val seg = alloc(heapData.toByteArray)
+      val hh = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      hh.put("HEAP".getBytes("US-ASCII")); hh.put(0.toByte); hh.position(8)
+      hh.putLong(heapData.size().toLong); hh.putLong(-1L); hh.putLong(seg)
+      val heap = alloc(hh.array())
+      val snodBody = new java.io.ByteArrayOutputStream()
+      entries.zip(offs).foreach { case ((_, ohAddr), off) =>
+        val e = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+        e.putLong(off); e.putLong(ohAddr); e.putInt(0)
+        snodBody.write(e.array())
+      }
+      val sh = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      sh.put("SNOD".getBytes("US-ASCII")); sh.put(1.toByte); sh.put(0.toByte)
+      sh.putShort(entries.length.toShort)
+      val snod = alloc(sh.array() ++ snodBody.toByteArray ++
+        new Array[Byte](8 * 40 - snodBody.size()))
+      val th = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+      th.put("TREE".getBytes("US-ASCII")); th.put(0.toByte); th.put(0.toByte)
+      th.putShort(1); th.putLong(-1L); th.putLong(-1L)
+      th.putLong(0L); th.putLong(snod); th.putLong(offs.last)
+      val btree = alloc(th.array())
+      alloc(oh(Seq((0x0011, u64(btree) ++ u64(heap)))))
+    }
+    val data = values.map(_.toByte)
+    val dataAddr = alloc(data)
+    val layout = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(1.toByte); b.putLong(dataAddr); b.putLong(data.length.toLong)
+      b.array()
+    }
+    val dimorder = "zspace,yspace,xspace ".getBytes("US-ASCII")
+    val imageOh = alloc(oh(Seq(
+      (0x0001, dataspace(sizeC.map(_.toLong))),
+      (0x0003, dtFixed(1, signed = false)),
+      (0x0008, layout),
+      (0x000C, attr("dimorder", dtString(dimorder.length), dataspace(Nil), dimorder)))))
+    def dimOh(step: Double, start: Double): Long = {
+      val emptyLayout = {
+        val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(3.toByte); b.put(1.toByte); b.putLong(-1L); b.putLong(0L); b.array()
+      }
+      alloc(oh(Seq(
+        (0x0001, dataspace(Nil)),
+        (0x0003, dtFixed(4, signed = true)),
+        (0x0008, emptyLayout),
+        (0x000C, attr("step", dtFloat64, dataspace(Nil), f64bytes(step))),
+        (0x000C, attr("start", dtFloat64, dataspace(Nil), f64bytes(start))))))
+    }
+    val dims = Seq("xspace", "yspace", "zspace")
+    val dimEntries = Seq(
+      "xspace" -> dimOh(steps(2), starts(2)),
+      "yspace" -> dimOh(steps(1), starts(1)),
+      "zspace" -> dimOh(steps(0), starts(0))).sortBy(_._1)
+    val dimsGrp = group(dimEntries)
+    val zeroGrp = group(Seq("image" -> imageOh))
+    val imageGrp = group(Seq("0" -> zeroGrp))
+    val mincGrp = group(Seq("dimensions" -> dimsGrp, "image" -> imageGrp).sortBy(_._1))
+    val rootOh = group(Seq("minc-2.0" -> mincGrp))
+    val out = buf.toByteArray
+    val sb = ByteBuffer.allocate(80).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    sb.put(0.toByte); sb.put(0.toByte); sb.put(0.toByte); sb.put(0.toByte); sb.put(0.toByte)
+    sb.put(8.toByte); sb.put(8.toByte); sb.put(0.toByte)
+    sb.putShort(4); sb.putShort(16); sb.putInt(0)
+    sb.putLong(0L); sb.putLong(-1L); sb.putLong(out.length.toLong); sb.putLong(-1L)
+    sb.putLong(0L); sb.putLong(rootOh); sb.putInt(0)
+    System.arraycopy(sb.array(), 0, out, 0, 80)
+    val _ = dims
+    out
+  }
+
+  /** Apply the (reversed) filter pipeline to one stored chunk:
+    * deflate → byte-deshuffle, matching ids 1 and 2.
+    */
+  def defilter(raw: Array[Byte], filters: Seq[Filter], mask: Int): Array[Byte] = {
+    var data = raw
+    filters.zipWithIndex.reverse.foreach { case (f, i) =>
+      if ((mask & (1 << i)) == 0) {
+        f.id match {
+          case 1 =>
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(data)
+            val out = new java.io.ByteArrayOutputStream(data.length * 4)
+            val buf = new Array[Byte](64 * 1024)
+            while (!inf.finished()) {
+              val n = inf.inflate(buf)
+              require(n > 0 || inf.finished(), "hdf5: truncated deflate chunk")
+              out.write(buf, 0, n)
+            }
+            inf.end()
+            data = out.toByteArray
+          case 2 =>
+            val esize = f.clientValues.headOption.getOrElse(1)
+            val n = data.length / esize
+            val out = new Array[Byte](data.length)
+            var i2 = 0
+            while (i2 < n) {
+              var b2 = 0
+              while (b2 < esize) {
+                out(i2 * esize + b2) = data(b2 * n + i2)
+                b2 += 1
+              }
+              i2 += 1
+            }
+            data = out
+          case other => fail(s"filter id $other")
+        }
+      }
+    }
+    data
+  }
+}

@@ -198,6 +198,14 @@ object MincIO {
     val headerBytes =
       if (gz) VolumeFormats.gunzip(store.readBytes(""))
       else store.readRange("", 0L, math.min(store.objectSize(""), 1 << 20).toInt)
+    // a .mnc with the HDF5 signature is MINC2 — route to the HDF5
+    // subset reader instead of refusing (gz MINC2 stays out of scope:
+    // the HDF5 path positioned-reads, which gzip can't serve)
+    if (headerBytes.length >= 8 && (headerBytes(0) & 0xff) == 0x89 &&
+        headerBytes(1) == 'H' && headerBytes(2) == 'D' && headerBytes(3) == 'F') {
+      require(!gz, s"$path: gzipped MINC2 unsupported — gunzip upstream")
+      return Hdf5IO.readMinc2(spark, path, chunkShape)
+    }
     val nc = parseNetcdf(headerBytes)
     val (h, normalize, dims) = plan(nc)
 

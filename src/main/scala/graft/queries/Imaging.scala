@@ -43,7 +43,58 @@ object Imaging extends QModule {
        |  FROM range(${H * W}) r(i))""".stripMargin
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
-    h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor)
+    h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
+    i70Minc2Volume)
+
+  /** S10 — MINC2 (HDF5) ingestion, oracle-gated: a runtime-encoded
+    * MINC2 file (superblock v0, v1 symbol-table groups, contiguous
+    * uint8 image, per-dimension step/start attrs — the
+    * [[graft.operators.Hdf5]] subset) reads back through the full
+    * HDF5 route and reduces to per-z slab sums plus a
+    * position-weighted sum; |step| spacing and start translation
+    * land as columns. The oracle replays the closed-form voxel
+    * formula — a group-traversal slip, a C-order/F-order confusion,
+    * or a step-sign mishandling all hash-mismatch.
+    */
+  val i70Minc2Volume = Q(
+    "i70_minc2_volume",
+    (s, _) => {
+      import graft.operators.{Hdf5, Hdf5IO}
+      val (nx, ny, nz) = (8, 6, 5)
+      val vals = Array.tabulate(nz * ny * nx) { f => // file C order (z,y,x)
+        val x = f % nx; val y = (f / nx) % ny; val z = f / (nx * ny)
+        (x * 11 + y * 3 + z * 37) % 256
+      }
+      val path = java.nio.file.Files.createTempDirectory("i70").resolve("vol.mnc2")
+      java.nio.file.Files.write(path, Hdf5.encodeMinc2Uint8(
+        Seq(nz, ny, nx), steps = Seq(-2.25, 1.75, 0.5), starts = Seq(9.0, -4.0, 1.5), vals))
+      val img = Hdf5IO.readMinc2(s, path.toString)
+      ChunkOps.voxelView(s, img.chunks, img.meta)
+        .groupBy(col("z"))
+        .agg(sum(col("value")).cast("bigint").as("slab_sum"),
+          sum(col("value") * (col("y") * 29 + col("x") * 7)).cast("bigint").as("slab_wsum"))
+        .withColumn("scale_x", lit(img.meta.scale("x")))
+        .withColumn("scale_y", lit(img.meta.scale("y")))
+        .withColumn("scale_z", lit(img.meta.scale("z")))
+        .withColumn("tx", lit(img.meta.translation("x")))
+        .withColumn("ty", lit(img.meta.translation("y")))
+        .withColumn("tz", lit(img.meta.translation("z")))
+        .orderBy(col("z"))
+    },
+    Some("""WITH vox AS (
+              SELECT i % 8 AS x, (i // 8) % 6 AS y, i // 48 AS z,
+                     CAST(((i % 8) * 11 + ((i // 8) % 6) * 3 + (i // 48) * 37) % 256
+                       AS DOUBLE) AS v
+              FROM range(240) r(i))
+            SELECT z, CAST(sum(v) AS BIGINT) AS slab_sum,
+                   CAST(sum(v * (y * 29 + x * 7)) AS BIGINT) AS slab_wsum,
+                   CAST(0.5 AS DOUBLE) AS scale_x,
+                   CAST(1.75 AS DOUBLE) AS scale_y,
+                   CAST(2.25 AS DOUBLE) AS scale_z,
+                   CAST(1.5 AS DOUBLE) AS tx,
+                   CAST(-4.0 AS DOUBLE) AS ty,
+                   CAST(9.0 AS DOUBLE) AS tz
+            FROM vox GROUP BY z ORDER BY z"""))
 
   /** S10 — itk-wasm `.iwi.cbor` container ingestion, oracle-gated: a
     * zstd-framed CBOR image (uint16 payload as an RFC 8746 typed

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hdf5/Hdf5IO against committed fixtures from
+  * `tools/make_hdf5_fixture.py` — an independent pure-Python writer
+  * following the published HDF5 File Format Specification, same
+  * shared synthetic volume as the other converter fixtures so voxel
+  * values must agree bit-for-bit across container families.
+  */
+class Hdf5Spec extends SparkSpec {
+
+  private val fx = "src/test/resources/fixtures/h5"
+  private val NX = 6; private val NY = 5; private val NZ = 4
+
+  /** C-order expectation over dims (x,y,z): v = (7x + 11y + 13z) % 200. */
+  private def expected: Seq[Double] =
+    for (x <- 0 until NX; y <- 0 until NY; z <- 0 until NZ)
+      yield ((x * 7 + y * 11 + z * 13) % 200).toDouble
+
+  private def values(img: VolumeFormats.VolumeImage): Seq[Double] =
+    ChunkOps.toArray(img.chunks, img.meta).toSeq
+
+  test("metadata parse: groups, datasets, attributes") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/vol.hdf5"))
+    val tree = Hdf5.parse(bytes)
+    assert(tree.groups.keySet == Set("meta"))
+    assert(tree.datasets.keySet == Set("volume"))
+    val ds = tree.dataset("volume")
+    assert(ds.dims == Seq(NZ.toLong, NY, NX)) // file (C) order
+    assert(ds.dtype == "int16" && !ds.bigEndian)
+    assert(ds.attrs("scale") == Hdf5.ANums(Seq(1.5, 2.5, 3.5)))
+    assert(ds.attrs("note") == Hdf5.ANums(Seq(42.0)))
+    assert(tree.groups("meta").datasets.isEmpty)
+  }
+
+  test("contiguous int16 dataset reads distributed with reversed dims") {
+    val img = Hdf5IO.read(spark, s"$fx/vol.hdf5")
+    assert(img.meta.dims == Seq("x", "y", "z"))
+    assert(img.meta.shape == Seq(NX.toLong, NY, NZ))
+    assert(img.meta.dtype == "int16")
+    assert(values(img) == expected)
+  }
+
+  test("chunked float32 with shuffle+deflate and edge chunks") {
+    val img = Hdf5IO.read(spark, s"$fx/volc.hdf5")
+    assert(img.meta.dtype == "float32")
+    assert(img.meta.shape == Seq(NX.toLong, NY, NZ))
+    // engine chunk grid mirrors the HDF5 chunk grid, reversed
+    assert(img.meta.chunks == Seq(4, 2, 3))
+    assert(values(img) == expected)
+  }
+
+  test("MINC2 layout: dimorder-driven spacing, |step| normalization") {
+    val img = Hdf5IO.read(spark, s"$fx/vol.mnc2")
+    assert(img.meta.dims == Seq("x", "y", "z"))
+    assert(img.meta.dtype == "uint8")
+    assert(img.meta.scale == Map("x" -> 1.5, "y" -> 2.5, "z" -> 3.5)) // z step was -3.5
+    assert(img.meta.translation == Map("x" -> 10.0, "y" -> 20.0, "z" -> 30.0))
+    assert(values(img) == expected)
+  }
+
+  test("a .mnc file with the HDF5 signature routes through the MINC2 reader") {
+    val tmp = java.nio.file.Files.createTempDirectory("h5").resolve("vol.mnc")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$fx/vol.mnc2"), tmp)
+    val img = MincIO.read(spark, tmp.toString)
+    assert(img.meta.scale("z") == 3.5)
+    assert(values(img) == expected)
+  }
+
+  test("encodeMinc2Uint8 round-trips through the full HDF5 read path") {
+    val (nz, ny, nx) = (3, 4, 5)
+    val vals = Array.tabulate(nz * ny * nx) { f => // C order over (z,y,x)
+      val x = f % nx; val y = (f / nx) % ny; val z = f / (nx * ny)
+      (x * 5 + y * 9 + z * 31) % 256
+    }
+    val bytes = Hdf5.encodeMinc2Uint8(Seq(nz, ny, nx),
+      steps = Seq(-2.0, 1.25, 0.75), starts = Seq(7.0, -2.0, 3.0), vals)
+    val p = java.nio.file.Files.createTempDirectory("h5").resolve("rt.mnc2")
+    java.nio.file.Files.write(p, bytes)
+    val img = Hdf5IO.readMinc2(spark, p.toString)
+    assert(img.meta.dims == Seq("x", "y", "z"))
+    assert(img.meta.shape == Seq(nx.toLong, ny, nz))
+    assert(img.meta.scale == Map("x" -> 0.75, "y" -> 1.25, "z" -> 2.0)) // |−2.0|
+    assert(img.meta.translation == Map("x" -> 3.0, "y" -> -2.0, "z" -> 7.0))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    // C-order over (x,y,z) from the file's C-order over (z,y,x)
+    val want = for (x <- 0 until nx; y <- 0 until ny; z <- 0 until nz)
+      yield ((x * 5 + y * 9 + z * 31) % 256).toDouble
+    assert(got.toSeq == want)
+  }
+
+  test("refuse-loudly: bad signature, unsupported structures") {
+    val e1 = intercept[IllegalArgumentException](Hdf5.parse("not hdf5 at all".getBytes))
+    assert(e1.getMessage.contains("signature"))
+    // generic read of a MINC2 file by dataset path works too
+    val img = Hdf5IO.read(spark, s"$fx/vol.mnc2")
+    assert(img.meta.shape.product == NX * NY * NZ)
+  }
+}

@@ -1,0 +1,326 @@
+#!/usr/bin/env python3
+"""Committed fixtures for Hdf5IO — a minimal, INDEPENDENT pure-stdlib
+HDF5 writer following the public HDF5 File Format Specification
+(version 2.0, https://docs.hdfgroup.org/hdf5/develop/_f_m_t2.html),
+structured the way libhdf5/h5py lay files out by default:
+
+    superblock v0, v1 symbol-table groups (TREE/SNOD/HEAP),
+    v1 object headers, dataspace v1, datatype v1 (fixed/float),
+    fill value v2, data layout v3 (contiguous + chunked v1-btree),
+    filter pipeline v1 (shuffle + deflate), attribute message v1.
+
+Same shared synthetic volume as the other converter fixtures:
+    shape (x,y,z) = (6,5,4), v(x,y,z) = (x*7 + y*11 + z*13) % 200
+HDF5 datasets are C-ordered; the fastest-varying (x) axis is the LAST
+HDF5 dimension, so the dataset shape here is (4,5,6) = (z,y,x).
+
+Files (src/test/resources/fixtures/h5/):
+    vol.hdf5        /volume  int16 LE contiguous + attrs, /meta group
+    volc.hdf5       /volume  float32 LE chunked (3,2,4)+(1,3,2) edge
+                    chunks, shuffle+deflate filters
+    vol.mnc2        MINC2 layout: /minc-2.0/image/0/image uint8 with
+                    dimorder attr, /minc-2.0/dimensions/{z,y,x}space
+                    step/start float64 attrs
+"""
+import struct
+import zlib
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parent.parent / "src/test/resources/fixtures/h5"
+OUT.mkdir(parents=True, exist_ok=True)
+
+NX, NY, NZ = 6, 5, 4
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def vox():
+    # C order over (z,y,x): x fastest — the HDF5 buffer order
+    return [
+        (x * 7 + y * 11 + z * 13) % 200
+        for z in range(NZ) for y in range(NY) for x in range(NX)
+    ]
+
+
+def pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+# ---- low-level message builders --------------------------------------
+
+def msg(mtype: int, body: bytes) -> bytes:
+    body = pad8(body)
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def dataspace(dims) -> bytes:
+    # version 1, no max dims, no permutation
+    return struct.pack("<BBB5x", 1, len(dims), 0) + b"".join(
+        struct.pack("<Q", d) for d in dims)
+
+
+def dt_fixed(size: int, signed: bool, big_endian: bool = False) -> bytes:
+    b0 = (1 if big_endian else 0) | ((8 if signed else 0))  # bit3 = signed
+    return struct.pack("<B3BI", (1 << 4) | 0, b0, 0, 0, size) + struct.pack(
+        "<HH", 0, size * 8)
+
+
+def dt_float(size: int) -> bytes:
+    # IEEE LE float: bit1..2 padding 0, mantissa norm = 2 (bits 4-5),
+    # sign location byte1
+    if size == 4:
+        b0, sign, exploc, expsz, manloc, mansz, bias = 0x20, 31, 23, 8, 0, 23, 127
+    else:
+        b0, sign, exploc, expsz, manloc, mansz, bias = 0x20, 63, 52, 11, 0, 52, 1023
+    return (struct.pack("<B3BI", (1 << 4) | 1, b0, sign, 0, size)
+            + struct.pack("<HHBBBBI", 0, size * 8, exploc, expsz, manloc, mansz, bias))
+
+
+def fill_value_v2() -> bytes:
+    # alloc time 2 (late), write time 0, undefined
+    return struct.pack("<BBBB", 2, 2, 0, 0)
+
+
+def layout_contiguous(addr: int, nbytes: int) -> bytes:
+    return struct.pack("<BBQQ", 3, 1, addr, nbytes)
+
+
+def layout_chunked(btree_addr: int, chunk_dims, elem_size: int) -> bytes:
+    dims = list(chunk_dims) + [elem_size]
+    return (struct.pack("<BBBQ", 3, 2, len(dims), btree_addr)
+            + b"".join(struct.pack("<I", d) for d in dims))
+
+
+def filter_pipeline(shuffle_elem: int) -> bytes:
+    # v1, two filters: shuffle (id 2, client value = element size) then
+    # deflate (id 1, client value = level)
+    body = struct.pack("<BB6x", 1, 2)
+    body += struct.pack("<HHHH", 2, 0, 0, 1) + struct.pack("<I", shuffle_elem) + b"\x00" * 4
+    body += struct.pack("<HHHH", 1, 0, 0, 1) + struct.pack("<I", 6) + b"\x00" * 4
+    return body
+
+
+def attribute(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
+    nm = name.encode() + b"\x00"
+    return (struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+            + pad8(nm) + pad8(dt) + pad8(ds) + data)
+
+
+def symbol_table_msg(btree: int, heap: int) -> bytes:
+    return struct.pack("<QQ", btree, heap)
+
+
+def object_header_v1(messages) -> bytes:
+    body = b"".join(msg(t, b) for t, b in messages)
+    # prefix: version 1, nmsgs, refcount 1, header size; messages start
+    # 8-byte aligned after a 12+4 byte prefix
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(body)) + body
+
+
+# ---- file assembler ---------------------------------------------------
+
+class H5:
+    """Append-only file image with address back-patching."""
+
+    def __init__(self):
+        self.buf = bytearray(b"\x00" * 2048)  # reserve generous front region
+        self.cursor = 2048  # front region holds superblock + root structures
+
+    def alloc(self, data: bytes) -> int:
+        addr = self.cursor
+        self.buf += data
+        self.cursor += len(data)
+        return addr
+
+    def place(self, addr: int, data: bytes):
+        self.buf[addr:addr + len(data)] = data
+
+
+def group_structures(f: H5, entries):
+    """v1 group plumbing: local heap with names, SNOD, leaf B-tree.
+    entries: [(name, objheader_addr)] sorted by name."""
+    heap_data = bytearray(b"\x00" * 8)  # offset 0 reserved
+    offs = []
+    for name, _ in entries:
+        offs.append(len(heap_data))
+        heap_data += name.encode() + b"\x00"
+        while len(heap_data) % 8:
+            heap_data += b"\x00"
+    heap_seg = f.alloc(bytes(heap_data))
+    heap = f.alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF, heap_seg))
+    snod_entries = b""
+    for (name, oh), off in zip(entries, offs):
+        snod_entries += struct.pack("<QQI4x16x", off, oh, 0)
+    # leaf-k = 4 → capacity 2K = 8 entries of 40 bytes
+    snod = f.alloc(b"SNOD" + struct.pack("<BxH", 1, len(entries))
+                   + snod_entries + b"\x00" * (8 * 40 - len(snod_entries)))
+    btree = f.alloc(b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
+                    + struct.pack("<QQQ", 0, snod, offs[-1]))
+    return btree, heap
+
+
+def superblock(f: H5, root_oh: int):
+    sb = (b"\x89HDF\r\n\x1a\n"
+          + struct.pack("<BBBxB", 0, 0, 0, 0)
+          + struct.pack("<BBx", 8, 8)
+          + struct.pack("<HH", 4, 16)
+          + struct.pack("<I", 0)
+          + struct.pack("<QQQQ", 0, UNDEF, len(f.buf), UNDEF)
+          # root symbol table entry: name offset 0, header addr,
+          # cache type 0, scratch zeroed
+          + struct.pack("<QQI4x16x", 0, root_oh, 0))
+    f.place(0, sb)
+
+
+# ---- vol.hdf5: contiguous int16 + attrs + subgroup -------------------
+
+def make_contiguous():
+    f = H5()
+    data = b"".join(struct.pack("<h", v) for v in vox())
+    data_addr = f.alloc(data)
+    ds_oh = f.alloc(object_header_v1([
+        (0x0001, dataspace([NZ, NY, NX])),
+        (0x0003, dt_fixed(2, signed=True)),
+        (0x0005, fill_value_v2()),
+        (0x0008, layout_contiguous(data_addr, len(data))),
+        (0x000C, attribute("scale", dt_float(8), dataspace([3]),
+                           struct.pack("<3d", 1.5, 2.5, 3.5))),
+        (0x000C, attribute("note", dt_fixed(4, signed=False), dataspace([]),
+                           struct.pack("<I", 42))),
+    ]))
+    # empty subgroup /meta (its own empty symbol table)
+    empty_heap_seg = f.alloc(b"\x00" * 8)
+    empty_heap = f.alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, 8, UNDEF, empty_heap_seg))
+    empty_btree = f.alloc(b"TREE" + struct.pack("<BBHQQ", 0, 0, 0, UNDEF, UNDEF))
+    meta_oh = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(empty_btree, empty_heap)),
+    ]))
+    btree, heap = group_structures(
+        f, sorted([("meta", meta_oh), ("volume", ds_oh)]))
+    root_oh_addr = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(btree, heap)),
+    ]))
+    superblock(f, root_oh_addr)
+    (OUT / "vol.hdf5").write_bytes(bytes(f.buf))
+
+
+# ---- volc.hdf5: chunked float32, shuffle + deflate -------------------
+
+def shuffle_bytes(raw: bytes, esize: int) -> bytes:
+    n = len(raw) // esize
+    out = bytearray(len(raw))
+    for i in range(n):
+        for b in range(esize):
+            out[b * n + i] = raw[i * esize + b]
+    return bytes(out)
+
+
+def make_chunked():
+    f = H5()
+    cz, cy, cx = 3, 2, 4  # chunk shape (z,y,x) — edge chunks are partial
+    vals = vox()
+
+    def at(z, y, x):
+        return float(vals[(z * NY + y) * NX + x]) if z < NZ and y < NY and x < NX else 0.0
+
+    chunk_records = []
+    for z0 in range(0, NZ, cz):
+        for y0 in range(0, NY, cy):
+            for x0 in range(0, NX, cx):
+                raw = b"".join(
+                    struct.pack("<f", at(z0 + i, y0 + j, x0 + k))
+                    for i in range(cz) for j in range(cy) for k in range(cx))
+                comp = zlib.compress(shuffle_bytes(raw, 4), 6)
+                addr = f.alloc(comp)
+                chunk_records.append(((z0, y0, x0), addr, len(comp)))
+    # chunked v1 B-tree (node type 1), single leaf: keys carry
+    # (chunk nbytes, filter mask, offsets..., 0) and a final bound key
+    nrec = len(chunk_records)
+    body = b"TREE" + struct.pack("<BBHQQ", 1, 0, nrec, UNDEF, UNDEF)
+    for (off, addr, nbytes) in chunk_records:
+        body += struct.pack("<II", nbytes, 0)
+        body += struct.pack("<QQQQ", off[0], off[1], off[2], 0)
+        body += struct.pack("<Q", addr)
+    body += struct.pack("<II", 0, 0) + struct.pack("<QQQQ", NZ, NY, NX, 0)
+    btree_addr = f.alloc(body)
+    ds_oh = f.alloc(object_header_v1([
+        (0x0001, dataspace([NZ, NY, NX])),
+        (0x0003, dt_float(4)),
+        (0x0005, fill_value_v2()),
+        (0x000B, filter_pipeline(4)),
+        (0x0008, layout_chunked(btree_addr, [cz, cy, cx], 4)),
+    ]))
+    btree, heap = group_structures(f, [("volume", ds_oh)])
+    root_oh = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(btree, heap)),
+    ]))
+    superblock(f, root_oh)
+    (OUT / "volc.hdf5").write_bytes(bytes(f.buf))
+
+
+# ---- vol.mnc2: MINC2 group layout ------------------------------------
+
+def make_minc2():
+    f = H5()
+    data = bytes(vox())
+    data_addr = f.alloc(data)
+    dimorder = b"zspace,yspace,xspace\x00"
+    image_oh = f.alloc(object_header_v1([
+        (0x0001, dataspace([NZ, NY, NX])),
+        (0x0003, dt_fixed(1, signed=False)),
+        (0x0005, fill_value_v2()),
+        (0x0008, layout_contiguous(data_addr, len(data))),
+        (0x000C, attribute("dimorder",
+                           dt_string(len(dimorder)), dataspace([]), dimorder)),
+        (0x000C, attribute("valid_range", dt_float(8), dataspace([2]),
+                           struct.pack("<2d", 0.0, 199.0))),
+    ]))
+    zero_oh = f.alloc(object_header_v1([
+        *group_msgs(f, [("image", image_oh)]),
+    ]))
+    image_grp_oh = f.alloc(object_header_v1([
+        *group_msgs(f, [("0", zero_oh)]),
+    ]))
+
+    def dimspace(name, step, start, length):
+        oh = f.alloc(object_header_v1([
+            (0x0001, dataspace([])),
+            (0x0003, dt_fixed(4, signed=True)),
+            (0x0005, fill_value_v2()),
+            (0x0008, layout_contiguous(UNDEF, 0)),
+            (0x000C, attribute("step", dt_float(8), dataspace([]),
+                               struct.pack("<d", step))),
+            (0x000C, attribute("start", dt_float(8), dataspace([]),
+                               struct.pack("<d", start))),
+            (0x000C, attribute("length", dt_fixed(4, signed=False), dataspace([]),
+                               struct.pack("<I", length))),
+        ]))
+        return (name, oh)
+
+    dims = sorted([
+        dimspace("xspace", 1.5, 10.0, NX),
+        dimspace("yspace", 2.5, 20.0, NY),
+        dimspace("zspace", -3.5, 30.0, NZ),
+    ])
+    dims_grp_oh = f.alloc(object_header_v1([*group_msgs(f, dims)]))
+    minc_oh = f.alloc(object_header_v1([
+        *group_msgs(f, sorted([("dimensions", dims_grp_oh), ("image", image_grp_oh)])),
+    ]))
+    root_oh = f.alloc(object_header_v1([*group_msgs(f, [("minc-2.0", minc_oh)])]))
+    superblock(f, root_oh)
+    (OUT / "vol.mnc2").write_bytes(bytes(f.buf))
+
+
+def dt_string(size: int) -> bytes:
+    # class 3 string, null-terminated, ASCII
+    return struct.pack("<B3BI", (1 << 4) | 3, 0, 0, 0, size)
+
+
+def group_msgs(f: H5, entries):
+    btree, heap = group_structures(f, entries)
+    return [(0x0011, symbol_table_msg(btree, heap))]
+
+
+make_contiguous()
+make_chunked()
+make_minc2()
+print("wrote hdf5 fixtures to", OUT)
