@@ -43,6 +43,8 @@ object Hdf5IO {
     val tree = Hdf5.parse(bytes)
     if (dataset.isEmpty && tree.groups.contains("minc-2.0"))
       return minc2Of(spark, path, hconf, bytes, tree, chunkShape)
+    if (dataset.isEmpty && tree.groups.contains("ITKImage"))
+      return itkImageOf(spark, path, hconf, bytes, tree, chunkShape)
     val ds = dataset match {
       case Some(name) => tree.dataset(name)
       case None =>
@@ -55,6 +57,42 @@ object Hdf5IO {
     readDataset(spark, path, hconf, bytes, ds,
       spacing = Seq.fill(ds.dims.length)(1.0),
       origin = Seq.fill(ds.dims.length)(0.0), chunkShape)
+  }
+
+  /** ITK HDF5ImageIO layout — what `itk.imwrite(img, "x.hdf5")`
+    * produces (itkHDF5ImageIO.cxx, public ITK): group `/ITKImage/0`
+    * with `VoxelData` (C-order, slowest dim first), plus small
+    * float64 datasets `Spacing`/`Origin` in ITK order (FASTEST axis
+    * first — the reverse of VoxelData's dim order).
+    */
+  private def itkImageOf(spark: SparkSession, path: String,
+      hconf: Option[SerializableHadoopConf], bytes: Array[Byte],
+      tree: Hdf5.Group, chunkShape: Option[Seq[Int]]): VolumeImage = {
+    val itk = tree.groups("ITKImage")
+    val zero = itk.groups.getOrElse("0",
+      throw new UnsupportedOperationException(s"$path: no /ITKImage/0 group"))
+    val vox = zero.datasets.getOrElse("VoxelData",
+      throw new UnsupportedOperationException(s"$path: no /ITKImage/0/VoxelData dataset"))
+    def smallVec(name: String): Seq[Double] = zero.datasets.get(name) match {
+      case Some(d) => d.layout match {
+        case Hdf5.Contiguous(addr, size) =>
+          graft.zarr.ZarrStore.decodeToDoubles(
+            java.util.Arrays.copyOfRange(bytes, addr.toInt, (addr + size).toInt),
+            d.dtype, d.bigEndian).toSeq
+        case Hdf5.Compact(data) =>
+          graft.zarr.ZarrStore.decodeToDoubles(data, d.dtype, d.bigEndian).toSeq
+        case _ => throw new UnsupportedOperationException(
+          s"$path: /ITKImage/0/$name is chunked — unexpected for a metadata vector")
+      }
+      case None => Seq.fill(vox.dims.length)(if (name == "Spacing") 1.0 else 0.0)
+    }
+    // ITK metadata vectors are fastest-first; VoxelData dims are
+    // slowest-first — reverse the vectors to match the file dim order
+    val spacing = smallVec("Spacing").reverse
+    val origin = smallVec("Origin").reverse
+    require(spacing.length == vox.dims.length && origin.length == vox.dims.length,
+      s"$path: Spacing/Origin rank != VoxelData rank ${vox.dims.length}")
+    readDataset(spark, path, hconf, bytes, vox, spacing, origin, chunkShape)
   }
 
   /** MINC2: dataset `/minc-2.0/image/0/image`, spacing |step| and

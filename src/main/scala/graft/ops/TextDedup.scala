@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.collection.mutable
 
 /** Document-deduplication operators for large-scale training-data
   * pipelines: exact (hash groupBy), word-shingle exact Jaccard,
@@ -1192,10 +1193,15 @@ object TextDedup {
     * gram hashes are kept — the position-robust sketch for overlap
     * detection that pure bag-of-shingles methods can't give.
     *
-    * Entirely codegen'd built-ins and per-document arrays — no
-    * shuffle, no UDF, no window function; cost is O(len·w) per doc
-    * and embarrassingly parallel, so the shape is corpus-size-proof.
-    * Hashes are md5-derived (40-bit) so an oracle replays selection
+    * A typed per-partition kernel — no shuffle, no window function;
+    * cost is O(len·w) per doc and embarrassingly parallel, so the
+    * shape is corpus-size-proof. (The first cut expressed this with
+    * array higher-order functions; Spark evaluates HOF lambdas
+    * INTERPRETED and re-evaluates the nested gram-hash array per
+    * window element, which turned O(len·w) into O(len²) interpreted
+    * md5 calls — ~45 CPU-minutes for one sf0.1 partition. The kernel
+    * computes the identical md5-derived keys in plain JVM.) Hashes
+    * are the top 40 bits of md5 so an oracle replays selection
     * bit-exactly; tie-breaks never fire because each gram's key packs
     * (hash, 2²⁰−1−pos) into one long — equal hashes at different
     * positions still order, and smaller key = larger pos = rightmost.
@@ -1206,23 +1212,56 @@ object TextDedup {
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val posRange = 1048576L // 2^20 positions; 40-bit hash above keeps keys < 2^60
-    val ng = (length(col(textCol)) - (k - 1)).cast("int")
-    val keys = transform(sequence(lit(0), ng - 1),
-      i => conv(substring(md5(col(textCol).substr(i + 1, lit(k))), 1, 10), 16, 10)
-        .cast("long") * posRange + (lit(posRange - 1).cast("long") - i))
-    // window starts 0..max(ng−w,0): ng−w+1 windows, or one clamped
-    // window when the doc is shorter than w grams
-    val sel = when(ng >= 1,
-        array_distinct(transform(sequence(lit(0), greatest(ng - w, lit(0))),
-          s => array_min(slice(keys, s + 1, lit(w))))))
-      .otherwise(array().cast("array<bigint>"))
-    docs.select(col(idCol).as("doc_id"), greatest(ng, lit(0)).as("n_grams"),
-        sel.as("sel"))
-      .select(col("doc_id"), col("n_grams"), size(col("sel")).as("n_fp"),
-        md5(array_join(array_sort(expr(
-          s"transform(sel, key -> concat(lpad(cast(${posRange - 1} - key % $posRange as string), 7, '0'), " +
-            s"':', cast(key div $posRange as string)))")), ",")).as("fp_hash"))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          // code points, matching SQL substr/length character semantics
+          val cps = text.codePoints().toArray
+          val ng = math.max(cps.length - (k - 1), 0)
+          val keys = new Array[Long](ng)
+          var i = 0
+          while (i < ng) {
+            val gram = new String(cps, i, k)
+            val d = md.digest(gram.getBytes("UTF-8"))
+            md.reset()
+            // top 40 bits of the digest = first 10 hex chars of md5()
+            val h = ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+              ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+            keys(i) = h * posRange + (posRange - 1 - i)
+            i += 1
+          }
+          val sel = mutable.LinkedHashSet.empty[Long]
+          if (ng >= 1) {
+            var s = 0
+            val lastStart = math.max(ng - w, 0)
+            while (s <= lastStart) {
+              var m = Long.MaxValue
+              var j = s
+              val end = math.min(s + w, ng)
+              while (j < end) { if (keys(j) < m) m = keys(j); j += 1 }
+              sel += m
+              s += 1
+            }
+          }
+          val parts = sel.toArray.map { key =>
+            val pos = posRange - 1 - java.lang.Math.floorMod(key, posRange)
+            val hash = java.lang.Math.floorDiv(key, posRange)
+            f"$pos%07d:$hash%d"
+          }
+          java.util.Arrays.sort(parts.asInstanceOf[Array[Object]])
+          val joined = parts.mkString(",")
+          val fpHash = md.digest(joined.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          md.reset()
+          (id, ng, sel.size, fpHash)
+        }
+      }
+      .toDF("doc_id", "n_grams", "n_fp", "fp_hash")
   }
 
   /** Prefix-filtered exact similarity join over distinct word

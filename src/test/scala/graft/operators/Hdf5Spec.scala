@@ -68,6 +68,15 @@ class Hdf5Spec extends SparkSpec {
     assert(values(img) == expected)
   }
 
+  test("ITK HDF5ImageIO layout: VoxelData + fastest-first Spacing/Origin") {
+    val img = Hdf5IO.read(spark, s"$fx/vol_itk.hdf5")
+    assert(img.meta.dims == Seq("x", "y", "z"))
+    assert(img.meta.dtype == "uint16")
+    assert(img.meta.scale == Map("x" -> 1.5, "y" -> 2.5, "z" -> 3.5))
+    assert(img.meta.translation == Map("x" -> 10.0, "y" -> 20.0, "z" -> 30.0))
+    assert(values(img) == expected)
+  }
+
   test("encodeMinc2Uint8 round-trips through the full HDF5 read path") {
     val (nz, ny, nx) = (3, 4, 5)
     val vals = Array.tabulate(nz * ny * nx) { f => // C order over (z,y,x)

@@ -320,7 +320,45 @@ def group_msgs(f: H5, entries):
     return [(0x0011, symbol_table_msg(btree, heap))]
 
 
+# ---- vol_itk.hdf5: ITK HDF5ImageIO layout -----------------------------
+
+def make_itk():
+    f = H5()
+    data = b"".join(struct.pack("<H", v) for v in vox())
+    data_addr = f.alloc(data)
+    vox_oh = f.alloc(object_header_v1([
+        (0x0001, dataspace([NZ, NY, NX])),
+        (0x0003, dt_fixed(2, signed=False)),
+        (0x0005, fill_value_v2()),
+        (0x0008, layout_contiguous(data_addr, len(data))),
+    ]))
+    # Spacing/Origin: small float64 datasets in ITK (fastest-first) order
+    sp_addr = f.alloc(struct.pack("<3d", 1.5, 2.5, 3.5))   # x,y,z
+    or_addr = f.alloc(struct.pack("<3d", 10.0, 20.0, 30.0))
+    sp_oh = f.alloc(object_header_v1([
+        (0x0001, dataspace([3])),
+        (0x0003, dt_float(8)),
+        (0x0005, fill_value_v2()),
+        (0x0008, layout_contiguous(sp_addr, 24)),
+    ]))
+    or_oh = f.alloc(object_header_v1([
+        (0x0001, dataspace([3])),
+        (0x0003, dt_float(8)),
+        (0x0005, fill_value_v2()),
+        (0x0008, layout_contiguous(or_addr, 24)),
+    ]))
+    zero_oh = f.alloc(object_header_v1([
+        *group_msgs(f, sorted([("Origin", or_oh), ("Spacing", sp_oh),
+                               ("VoxelData", vox_oh)])),
+    ]))
+    itk_oh = f.alloc(object_header_v1([*group_msgs(f, [("0", zero_oh)])]))
+    root_oh = f.alloc(object_header_v1([*group_msgs(f, [("ITKImage", itk_oh)])]))
+    superblock(f, root_oh)
+    (OUT / "vol_itk.hdf5").write_bytes(bytes(f.buf))
+
+
 make_contiguous()
 make_chunked()
 make_minc2()
+make_itk()
 print("wrote hdf5 fixtures to", OUT)
