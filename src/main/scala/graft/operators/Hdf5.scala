@@ -102,25 +102,41 @@ object Hdf5 {
     val magic = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
     require(bytes.length >= 48 && bytes.take(8).sameElements(magic),
       "hdf5: bad signature (not an HDF5 file)")
-    val sb = bb(bytes, 8, 48)
-    val sbVersion = sb.get() & 0xff
-    if (sbVersion != 0) fail(s"superblock version $sbVersion (only v0 supported)")
-    sb.get(); sb.get(); sb.get() // freespace, root-STE, reserved
-    sb.get() // shared header msg version
-    val sizeOfOffsets = sb.get() & 0xff
-    val sizeOfLengths = sb.get() & 0xff
-    require(sizeOfOffsets == 8 && sizeOfLengths == 8,
-      s"hdf5: offset/length sizes $sizeOfOffsets/$sizeOfLengths (only 8/8 supported)")
-    sb.get() // reserved
-    sb.getShort(); sb.getShort() // group leaf/internal k
-    sb.getInt() // consistency flags
-    val base = sb.getLong()
-    require(base == 0, s"hdf5: nonzero base address $base unsupported")
-    sb.getLong(); sb.getLong(); sb.getLong() // freespace, eof, driver info
-    // root group symbol table entry: name offset, object header addr
-    val ste = bb(bytes, 8 + 48, 24)
-    ste.getLong()
-    val rootOh = ste.getLong()
+    val sbVersion = bytes(8) & 0xff
+    val rootOh = sbVersion match {
+      case 0 =>
+        val sb = bb(bytes, 8, 48)
+        sb.get() // version
+        sb.get(); sb.get(); sb.get() // freespace, root-STE, reserved
+        sb.get() // shared header msg version
+        val sizeOfOffsets = sb.get() & 0xff
+        val sizeOfLengths = sb.get() & 0xff
+        require(sizeOfOffsets == 8 && sizeOfLengths == 8,
+          s"hdf5: offset/length sizes $sizeOfOffsets/$sizeOfLengths (only 8/8 supported)")
+        sb.get() // reserved
+        sb.getShort(); sb.getShort() // group leaf/internal k
+        sb.getInt() // consistency flags
+        val base = sb.getLong()
+        require(base == 0, s"hdf5: nonzero base address $base unsupported")
+        sb.getLong(); sb.getLong(); sb.getLong() // freespace, eof, driver info
+        // root group symbol table entry: name offset, object header addr
+        val ste = bb(bytes, 8 + 48, 24)
+        ste.getLong()
+        ste.getLong()
+      case 2 | 3 =>
+        // v2/v3: sizes, flags, base, extension, eof, root OH address
+        val sb = bb(bytes, 8, 40)
+        sb.get() // version
+        val so = sb.get() & 0xff; val sl = sb.get() & 0xff
+        require(so == 8 && sl == 8,
+          s"hdf5: offset/length sizes $so/$sl (only 8/8 supported)")
+        sb.get() // consistency flags
+        val base = sb.getLong()
+        require(base == 0, s"hdf5: nonzero base address $base unsupported")
+        sb.getLong(); sb.getLong() // extension, eof
+        sb.getLong()
+      case v => fail(s"superblock version $v (v0/v2/v3 supported)")
+    }
     readGroup(bytes, rootOh, "/")
   }
 
@@ -130,9 +146,13 @@ object Hdf5 {
     * continuation messages.
     */
   private def messages(bytes: Array[Byte], addr: Long): Seq[(Int, Array[Byte])] = {
+    if (bytes.length >= addr + 4 &&
+        bytes(addr.toInt) == 'O' && bytes(addr.toInt + 1) == 'H' &&
+        bytes(addr.toInt + 2) == 'D' && bytes(addr.toInt + 3) == 'R')
+      return messagesV2(bytes, addr)
     val head = bb(bytes, addr, 16)
     val version = head.get() & 0xff
-    if (version != 1) fail(s"object header version $version at $addr (only v1 supported)")
+    if (version != 1) fail(s"object header version $version at $addr (only v1/v2 supported)")
     head.get()
     val nmsgs = head.getShort() & 0xffff
     head.getInt() // ref count
@@ -164,17 +184,86 @@ object Hdf5 {
     out.toSeq
   }
 
+  /** v2 ("OHDR") object headers — the libver=latest profile. Flags
+    * bits 0-1 size the chunk-0 length field; optional times (bit 5)
+    * and phase-change limits (bit 4) are skipped; per-message
+    * creation order (2 bytes) present when bit 2 is set.
+    * Continuations are "OCHK" blocks. Checksums are trusted, not
+    * verified (corruption surfaces as a loud structural error).
+    */
+  private def messagesV2(bytes: Array[Byte], addr: Long): Seq[(Int, Array[Byte])] = {
+    val head = bb(bytes, addr, 16)
+    head.getInt() // "OHDR"
+    val version = head.get() & 0xff
+    require(version == 2, s"hdf5: OHDR version $version at $addr")
+    val flags = head.get() & 0xff
+    if ((flags & 0x20) != 0) { head.getInt(); head.getInt(); head.getInt(); head.getInt() }
+    if ((flags & 0x10) != 0) { head.getShort(); head.getShort() }
+    val sizeBytes = 1 << (flags & 3)
+    val chunk0 = sizeBytes match {
+      case 1 => bb(bytes, addr + head.position(), 1).get() & 0xffL
+      case 2 => bb(bytes, addr + head.position(), 2).getShort() & 0xffffL
+      case 4 => bb(bytes, addr + head.position(), 4).getInt() & 0xffffffffL
+      case _ => bb(bytes, addr + head.position(), 8).getLong()
+    }
+    val msgStart = addr + head.position() + sizeBytes
+    val withOrder = (flags & 4) != 0
+    val out = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var blocks = List((msgStart, chunk0))
+    val headerLen = if (withOrder) 6 else 4
+    while (blocks.nonEmpty) {
+      val (bstart, bsize) = blocks.head
+      blocks = blocks.tail
+      var p = bstart
+      val bend = bstart + bsize
+      while (p + headerLen <= bend) {
+        val mh = bb(bytes, p, headerLen)
+        val mtype = mh.get() & 0xff
+        val msize = mh.getShort() & 0xffff
+        mh.get() // flags
+        if (withOrder) mh.getShort()
+        val body = new Array[Byte](msize)
+        System.arraycopy(bytes, (p + headerLen).toInt, body, 0, msize)
+        if (mtype == 0x0010) {
+          // v2 continuation points at an "OCHK" block: sig + messages + checksum
+          val c = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          val coff = c.getLong(); val clen = c.getLong()
+          val sig = new String(bytes, coff.toInt, 4, "US-ASCII")
+          require(sig == "OCHK", s"hdf5: bad continuation signature '$sig'")
+          blocks = (coff + 4, clen - 8) :: blocks // minus sig and checksum
+        } else if (mtype != 0x0000) {
+          out += ((mtype, body))
+        }
+        p += headerLen + msize
+      }
+    }
+    out.toSeq
+  }
+
   private def readGroup(bytes: Array[Byte], ohAddr: Long, path: String): Group = {
     val msgs = messages(bytes, ohAddr)
-    if (msgs.exists(m => m._1 == 0x0002 || m._1 == 0x0006))
-      fail(s"group at $path uses new-style (link-message/fractal-heap) storage — only v1 symbol-table groups supported")
-    val st = msgs.find(_._1 == 0x0011).getOrElse(
-      fail(s"object at $path has no symbol table message and no dataspace — unsupported object type"))._2
-    val stb = ByteBuffer.wrap(st).order(ByteOrder.LITTLE_ENDIAN)
-    val btreeAddr = stb.getLong()
-    val heapAddr = stb.getLong()
     val attrs = parseAttrs(msgs)
-    val children = groupEntries(bytes, btreeAddr, heapAddr)
+    val children: Seq[(String, Long)] =
+      if (msgs.exists(_._1 == 0x0011)) {
+        val st = msgs.find(_._1 == 0x0011).get._2
+        val stb = ByteBuffer.wrap(st).order(ByteOrder.LITTLE_ENDIAN)
+        groupEntries(bytes, stb.getLong(), stb.getLong())
+      } else if (msgs.exists(m => m._1 == 0x0002 || m._1 == 0x0006)) {
+        // new-style group: compact storage keeps links inline as
+        // 0x0006 messages; a defined fractal heap means dense
+        // storage, which refuses
+        msgs.find(_._1 == 0x0002).foreach { li =>
+          val b = ByteBuffer.wrap(li._2).order(ByteOrder.LITTLE_ENDIAN)
+          require((b.get() & 0xff) == 0, s"hdf5: link info version != 0 at $path")
+          val flags = b.get() & 0xff
+          if ((flags & 1) != 0) b.getLong() // max creation index
+          val fheap = b.getLong()
+          require(fheap == Undef,
+            s"hdf5: group at $path uses dense (fractal-heap) link storage — unsupported")
+        }
+        msgs.filter(_._1 == 0x0006).map(m => parseLink(m._2, path))
+      } else
+        fail(s"object at $path has neither a symbol table nor link messages — unsupported object type")
     val groups = mutable.LinkedHashMap.empty[String, Group]
     val datasets = mutable.LinkedHashMap.empty[String, Dataset]
     children.foreach { case (name, childOh) =>
@@ -185,6 +274,26 @@ object Hdf5 {
         groups(name) = readGroup(bytes, childOh, s"$path$name/")
     }
     Group(path, attrs, groups.toMap, datasets.toMap)
+  }
+
+  /** Link message (0x0006) v1: hard links only. */
+  private def parseLink(body: Array[Byte], path: String): (String, Long) = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    require((b.get() & 0xff) == 1, s"hdf5: link message version != 1 at $path")
+    val flags = b.get() & 0xff
+    val ltype = if ((flags & 8) != 0) b.get() & 0xff else 0
+    require(ltype == 0, s"hdf5: non-hard link type $ltype at $path unsupported")
+    if ((flags & 4) != 0) b.getLong() // creation order
+    if ((flags & 16) != 0) b.get()    // charset
+    val nameLen = (flags & 3) match {
+      case 0 => b.get() & 0xffL
+      case 1 => b.getShort() & 0xffffL
+      case 2 => b.getInt() & 0xffffffffL
+      case _ => b.getLong()
+    }
+    val nm = new Array[Byte](nameLen.toInt)
+    b.get(nm)
+    (new String(nm, "UTF-8"), b.getLong())
   }
 
   /** (name, object header address) pairs from a v1 group B-tree. */
@@ -276,7 +385,8 @@ object Hdf5 {
     val cv = b.get() & 0xff
     val cls = cv & 0x0f
     val version = cv >> 4
-    require(version == 1, s"hdf5: datatype version $version at $path (only v1)")
+    require(version >= 1 && version <= 3,
+      s"hdf5: datatype version $version at $path (v1-v3 supported)")
     val bf0 = b.get() & 0xff
     b.get(); b.get()
     val size = b.getInt()

@@ -68,6 +68,18 @@ class Hdf5Spec extends SparkSpec {
     assert(values(img) == expected)
   }
 
+  test("libver=latest profile: superblock v2, OHDR v2, compact link groups") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/vol_v2.hdf5"))
+    val tree = Hdf5.parse(bytes)
+    assert(tree.groups.keySet == Set("grp"))
+    val ds = tree.dataset("grp/volume")
+    assert(ds.dtype == "int32")
+    assert(ds.attrs("scale") == Hdf5.ANums(Seq(0.5, 0.6, 0.7)))
+    val img = Hdf5IO.read(spark, s"$fx/vol_v2.hdf5")
+    assert(img.meta.dtype == "int32")
+    assert(values(img) == expected)
+  }
+
   test("ITK HDF5ImageIO layout: VoxelData + fastest-first Spacing/Origin") {
     val img = Hdf5IO.read(spark, s"$fx/vol_itk.hdf5")
     assert(img.meta.dims == Seq("x", "y", "z"))

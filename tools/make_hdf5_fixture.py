@@ -357,8 +357,101 @@ def make_itk():
     (OUT / "vol_itk.hdf5").write_bytes(bytes(f.buf))
 
 
+# ---- vol_v2.hdf5: libver=latest profile -------------------------------
+# superblock v2, v2 object headers (OHDR), compact link-message groups
+
+def jenkins_lookup3(data: bytes, initval: int = 0) -> int:
+    """The hash libhdf5 uses for metadata checksums (Bob Jenkins
+    lookup3, hashlittle variant)."""
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & 0xFFFFFFFF
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i+4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[i+4:i+8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[i+8:i+12], "little")) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= rot(c, 4);  c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= rot(a, 6);  a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= rot(b, 8);  b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= rot(b, 4);  b = (b + a) & 0xFFFFFFFF
+        i += 12
+        length -= 12
+    tail = data[i:] + b"\x00" * (12 - length)
+    if length > 8:
+        c = (c + int.from_bytes(tail[8:12], "little")) & 0xFFFFFFFF
+    if length > 4:
+        b = (b + int.from_bytes(tail[4:8], "little")) & 0xFFFFFFFF
+    if length > 0:
+        a = (a + int.from_bytes(tail[0:4], "little")) & 0xFFFFFFFF
+        c ^= b; c = (c - rot(b, 14)) & 0xFFFFFFFF
+        a ^= c; a = (a - rot(c, 11)) & 0xFFFFFFFF
+        b ^= a; b = (b - rot(a, 25)) & 0xFFFFFFFF
+        c ^= b; c = (c - rot(b, 16)) & 0xFFFFFFFF
+        a ^= c; a = (a - rot(c, 4)) & 0xFFFFFFFF
+        b ^= a; b = (b - rot(a, 14)) & 0xFFFFFFFF
+        c ^= b; c = (c - rot(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+def oh_v2(messages):
+    # OHDR v2: signature, version, flags(size-of-chunk0 = 4 bytes),
+    # chunk0 size, messages (type 1B, size 2B, flags 1B), gapless,
+    # trailing lookup3 checksum over everything before it
+    body = b""
+    for t, m in messages:
+        body += struct.pack("<BHB", t, len(m), 0) + m
+    head = b"OHDR" + struct.pack("<BB", 2, 0x02) + struct.pack("<I", len(body))
+    block = head + body
+    return block + struct.pack("<I", jenkins_lookup3(block))
+
+
+def link_msg(name: str, target: int) -> bytes:
+    nm = name.encode()
+    # version 1, flags: 0 (name length 1 byte, no extras, hard link)
+    return struct.pack("<BBB", 1, 0, len(nm)) + nm + struct.pack("<Q", target)
+
+
+def make_v2():
+    f = H5()
+    data = b"".join(struct.pack("<i", v) for v in vox())
+    data_addr = f.alloc(data)
+    ds_oh = f.alloc(oh_v2([
+        (0x0001, dataspace([NZ, NY, NX])),
+        (0x0003, dt_fixed(4, signed=True)),
+        (0x0005, fill_value_v2()),
+        (0x0008, layout_contiguous(data_addr, len(data))),
+        (0x000C, attribute("scale", dt_float(8), dataspace([3]),
+                           struct.pack("<3d", 0.5, 0.6, 0.7))),
+    ]))
+    # link info v0, flags 0: fractal heap + name-index btree both UNDEF
+    # (compact storage — links live inline as 0x0006 messages)
+    link_info = struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)
+    grp_oh = f.alloc(oh_v2([
+        (0x0002, link_info),
+        (0x0006, link_msg("volume", ds_oh)),
+    ]))
+    root_oh = f.alloc(oh_v2([
+        (0x0002, link_info),
+        (0x0006, link_msg("grp", grp_oh)),
+    ]))
+    # superblock v2: sig, version, offset size, length size, flags,
+    # base, extension(UNDEF), eof, root OH address, checksum
+    sb = (b"\x89HDF\r\n\x1a\n"
+          + struct.pack("<BBBB", 2, 8, 8, 0)
+          + struct.pack("<QQQQ", 0, UNDEF, len(f.buf), root_oh))
+    sb += struct.pack("<I", jenkins_lookup3(sb))
+    f.place(0, sb)
+    (OUT / "vol_v2.hdf5").write_bytes(bytes(f.buf))
+
+
 make_contiguous()
 make_chunked()
 make_minc2()
 make_itk()
+make_v2()
 print("wrote hdf5 fixtures to", OUT)
