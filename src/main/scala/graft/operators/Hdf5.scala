@@ -104,9 +104,9 @@ object Hdf5 {
       "hdf5: bad signature (not an HDF5 file)")
     val sbVersion = bytes(8) & 0xff
     val rootOh = sbVersion match {
-      case 0 =>
-        val sb = bb(bytes, 8, 48)
-        sb.get() // version
+      case 0 | 1 =>
+        val sb = bb(bytes, 8, 50)
+        val v = sb.get() & 0xff // version
         sb.get(); sb.get(); sb.get() // freespace, root-STE, reserved
         sb.get() // shared header msg version
         val sizeOfOffsets = sb.get() & 0xff
@@ -115,12 +115,13 @@ object Hdf5 {
           s"hdf5: offset/length sizes $sizeOfOffsets/$sizeOfLengths (only 8/8 supported)")
         sb.get() // reserved
         sb.getShort(); sb.getShort() // group leaf/internal k
+        if (v == 1) sb.getShort() // v1: indexed-storage k + reserved
         sb.getInt() // consistency flags
         val base = sb.getLong()
         require(base == 0, s"hdf5: nonzero base address $base unsupported")
         sb.getLong(); sb.getLong(); sb.getLong() // freespace, eof, driver info
         // root group symbol table entry: name offset, object header addr
-        val ste = bb(bytes, 8 + 48, 24)
+        val ste = bb(bytes, 8 + (if (v == 1) 50 else 48), 24)
         ste.getLong()
         ste.getLong()
       case 2 | 3 =>
@@ -318,7 +319,6 @@ object Hdf5 {
     val nodeType = th.get() & 0xff
     val level = th.get() & 0xff
     require(nodeType == 0, s"hdf5: group B-tree node type $nodeType != 0")
-    if (level != 0) fail(s"multi-level group B-tree (level $level) — group larger than one leaf unsupported")
     val used = th.getShort() & 0xffff
     th.getLong(); th.getLong() // siblings
     val out = mutable.ArrayBuffer.empty[(String, Long)]
@@ -327,20 +327,25 @@ object Hdf5 {
     while (i < used) {
       p += 8 // key i (heap offset) — names come from the SNOD entries
       val child = bb(bytes, p, 8).getLong(); p += 8
-      // SNOD: signature, version, reserved, nsymbols, entries
-      val sh = bb(bytes, child, 8)
-      val ssig = new Array[Byte](4); sh.get(ssig)
-      require(new String(ssig, "US-ASCII") == "SNOD", s"hdf5: bad SNOD signature at $child")
-      sh.get()
-      sh.get()
-      val nsym = sh.getShort() & 0xffff
-      var j = 0
-      while (j < nsym) {
-        val se = bb(bytes, child + 8 + j * 40, 40)
-        val nameOff = se.getLong()
-        val oh = se.getLong()
-        out += ((heapName(nameOff), oh))
-        j += 1
+      if (level > 0) {
+        // internal node: children are lower B-tree nodes — recurse
+        out ++= groupEntries(bytes, child, heapAddr)
+      } else {
+        // SNOD: signature, version, reserved, nsymbols, entries
+        val sh = bb(bytes, child, 8)
+        val ssig = new Array[Byte](4); sh.get(ssig)
+        require(new String(ssig, "US-ASCII") == "SNOD", s"hdf5: bad SNOD signature at $child")
+        sh.get()
+        sh.get()
+        val nsym = sh.getShort() & 0xffff
+        var j = 0
+        while (j < nsym) {
+          val se = bb(bytes, child + 8 + j * 40, 40)
+          val nameOff = se.getLong()
+          val oh = se.getLong()
+          out += ((heapName(nameOff), oh))
+          j += 1
+        }
       }
       i += 1
     }
@@ -509,12 +514,11 @@ object Hdf5 {
     require(new String(sig, "US-ASCII") == "TREE", s"hdf5: bad chunk B-tree signature at $btreeAddr")
     require((th.get() & 0xff) == 1, "hdf5: chunk B-tree node type != 1")
     val level = th.get() & 0xff
-    if (level != 0) fail(s"multi-level chunk B-tree (level $level) unsupported — re-write with larger chunks")
     val used = th.getShort() & 0xffff
     th.getLong(); th.getLong()
     val keySize = 8 + (rank + 1) * 8
     var p = btreeAddr + 24
-    (0 until used).map { _ =>
+    (0 until used).flatMap { _ =>
       val k = bb(bytes, p, keySize)
       val nbytes = k.getInt()
       val mask = k.getInt()
@@ -523,7 +527,8 @@ object Hdf5 {
       p += keySize
       val addr = bb(bytes, p, 8).getLong()
       p += 8
-      ChunkRecord(offs, addr, nbytes, mask)
+      if (level > 0) chunkRecords(bytes, addr, rank) // internal: recurse
+      else Seq(ChunkRecord(offs, addr, nbytes, mask))
     }
   }
 

@@ -68,6 +68,13 @@ class Hdf5Spec extends SparkSpec {
     assert(values(img) == expected)
   }
 
+  test("level-1 chunk B-tree: internal nodes recurse to both leaves") {
+    val img = Hdf5IO.read(spark, s"$fx/vold.hdf5")
+    assert(img.meta.dtype == "int16")
+    assert(img.meta.chunks == Seq(6, 5, 1)) // one z-slab per chunk, reversed
+    assert(values(img) == expected)
+  }
+
   test("libver=latest profile: superblock v2, OHDR v2, compact link groups") {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/vol_v2.hdf5"))
     val tree = Hdf5.parse(bytes)

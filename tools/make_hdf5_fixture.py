@@ -449,9 +449,55 @@ def make_v2():
     (OUT / "vol_v2.hdf5").write_bytes(bytes(f.buf))
 
 
+# ---- vold.hdf5: level-1 chunk B-tree (two leaves) ----------------------
+
+def make_chunked_deep():
+    f = H5()
+    cz, cy, cx = 1, 5, 6  # one z-slab per chunk → 4 chunks, no filters
+    vals = vox()
+    records = []
+    for z0 in range(0, NZ, cz):
+        raw = b"".join(
+            struct.pack("<h", vals[(z0 * NY + j) * NX + k])
+            for j in range(NY) for k in range(NX))
+        records.append(((z0, 0, 0), f.alloc(raw), len(raw)))
+
+    def leaf(recs, bound):
+        body = b"TREE" + struct.pack("<BBHQQ", 1, 0, len(recs), UNDEF, UNDEF)
+        for (off, addr, nbytes) in recs:
+            body += struct.pack("<II", nbytes, 0)
+            body += struct.pack("<QQQQ", off[0], off[1], off[2], 0)
+            body += struct.pack("<Q", addr)
+        body += struct.pack("<II", 0, 0) + struct.pack("<QQQQ", *bound, 0)
+        return f.alloc(body)
+
+    leaf_a = leaf(records[:2], (2, 0, 0))
+    leaf_b = leaf(records[2:], (NZ, 0, 0))
+    root = b"TREE" + struct.pack("<BBHQQ", 1, 1, 2, UNDEF, UNDEF)
+    root += struct.pack("<II", 0, 0) + struct.pack("<QQQQ", 0, 0, 0, 0)
+    root += struct.pack("<Q", leaf_a)
+    root += struct.pack("<II", 0, 0) + struct.pack("<QQQQ", 2, 0, 0, 0)
+    root += struct.pack("<Q", leaf_b)
+    root += struct.pack("<II", 0, 0) + struct.pack("<QQQQ", NZ, 0, 0, 0)
+    btree_addr = f.alloc(root)
+    ds_oh = f.alloc(object_header_v1([
+        (0x0001, dataspace([NZ, NY, NX])),
+        (0x0003, dt_fixed(2, signed=True)),
+        (0x0005, fill_value_v2()),
+        (0x0008, layout_chunked(btree_addr, [cz, cy, cx], 2)),
+    ]))
+    btree, heap = group_structures(f, [("volume", ds_oh)])
+    root_oh = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(btree, heap)),
+    ]))
+    superblock(f, root_oh)
+    (OUT / "vold.hdf5").write_bytes(bytes(f.buf))
+
+
 make_contiguous()
 make_chunked()
 make_minc2()
 make_itk()
 make_v2()
+make_chunked_deep()
 print("wrote hdf5 fixtures to", OUT)
