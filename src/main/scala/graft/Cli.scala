@@ -91,6 +91,14 @@ object Cli {
         val img = graft.operators.TiffIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
+          if input.toLowerCase.endsWith(".lsm") =>
+        // Zeiss LSM is a TIFF with the CZ_LSMINFO private tag —
+        // TiffIO handles the thumbnail-IFD skip and voxel sizes
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: LSM inputs are single-scale (only 0 is valid)")
+        val img = graft.operators.TiffIO.read(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if input.toLowerCase.endsWith(".dcm") =>
         require(opts.get("output-scale").forall(_.toInt == 0),
           "--output-scale: DICOM inputs are single-scale (only 0 is valid)")
@@ -116,7 +124,7 @@ object Cli {
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if Seq(".nrrd", ".nhdr", ".mha", ".mhd", ".mgh", ".mgz", ".vtk",
-            ".gipl", ".gipl.gz", ".mrc", ".mnc", ".mnc.gz")
+            ".gipl", ".gipl.gz", ".mrc", ".mnc", ".mnc.gz", ".pic", ".isq", ".fdf")
             .exists(input.toLowerCase.endsWith) =>
         // the itkwasm-routed formats with public header+raw layouts
         // read natively (VolumeFormats); the rest still refuse below

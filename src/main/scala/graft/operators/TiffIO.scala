@@ -39,12 +39,42 @@ object TiffIO {
       offsets: Seq[Long], byteCounts: Seq[Long],
       // tag 347: shared quantization/Huffman tables for abbreviated
       // JPEG (compression 7) regions
-      jpegTables: Option[Array[Byte]] = None)
+      jpegTables: Option[Array[Byte]] = None,
+      // tag 254: bit 0 marks a reduced-resolution page (LSM writes a
+      // thumbnail IFD after every image IFD — those are skipped)
+      newSubfileType: Long = 0L,
+      // tag 262, checked at read time over the pages actually used
+      photometric: Int = 1)
 
   final case class TiffInfo(littleEndian: Boolean, pages: Seq[TiffPage],
       // first page's ImageDescription (tag 270) — OME-TIFFs carry
       // their OME-XML here
-      description: Option[String] = None)
+      description: Option[String] = None,
+      // tag 34412 on IFD 0 — Zeiss LSM dimensions and voxel sizes
+      lsmInfo: Option[LsmInfo] = None)
+
+  /** The axes-bearing head of the Zeiss CZ_LSMINFO struct (private
+    * TIFF tag 34412, always little-endian): dimensions at byte
+    * offsets 8..27, the intensity data type at 28, and the voxel
+    * sizes as float64 METERS at 40/48/56 — kept in meters here
+    * because ITK's LSMImageIO (the reference's `.lsm` route,
+    * `py/ngff_zarr/detect_cli_io_backend.py:36-68`) adopts the raw
+    * values as spacing without unit conversion.
+    */
+  final case class LsmInfo(dimX: Int, dimY: Int, dimZ: Int,
+      channels: Int, time: Int, dataType: Int,
+      voxelX: Double, voxelY: Double, voxelZ: Double)
+
+  private[operators] def parseLsmInfo(b: Array[Byte]): LsmInfo = {
+    require(b.length >= 64, s"CZ_LSMINFO too short (${b.length} bytes)")
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt(0)
+    require(magic == 0x0300494c || magic == 0x0400494c,
+      f"CZ_LSMINFO magic 0x$magic%08x unrecognized")
+    LsmInfo(bb.getInt(8), bb.getInt(12), bb.getInt(16), bb.getInt(20),
+      bb.getInt(24), bb.getInt(28),
+      bb.getDouble(40), bb.getDouble(48), bb.getDouble(56))
+  }
 
   /** The axes-bearing subset of an OME-XML `Pixels` element
     * (DimensionOrder, Size*, PhysicalSize* normalized to µm). The
@@ -214,6 +244,7 @@ object TiffIO {
 
     val pages = Seq.newBuilder[TiffPage]
     var firstDescription: Option[String] = None
+    var lsm: Option[LsmInfo] = None
     var ifdOff = if (big) r.u64(8) else r.u32(4)
     var guard = 0
     while (ifdOff != 0 && guard < 65536) {
@@ -230,6 +261,7 @@ object TiffIO {
       var tileOff: Seq[Long] = Nil; var tileCnt: Seq[Long] = Nil
       var photometric = 1
       var jpegTables: Option[Array[Byte]] = None
+      var nsft = 0L
 
       var e = 0
       while (e < nEntries) {
@@ -261,6 +293,7 @@ object TiffIO {
         }
         def values: Seq[Long] = (0L until count).map(valueAt)
         tag match {
+          case 254 => nsft = valueAt(0)
           case 256 => width = valueAt(0).toInt
           case 257 => height = valueAt(0).toInt
           case 258 => bits = valueAt(0).toInt
@@ -283,11 +316,12 @@ object TiffIO {
           case 325 => tileCnt = values
           case 339 => fmt = valueAt(0).toInt
           case 347 => jpegTables = Some(src.get(dataOff, count.toInt))
+          case 34412 if guard == 0 =>
+            lsm = Some(parseLsmInfo(src.get(dataOff, math.min(count, 88L).toInt)))
           case _ => () // resolution, description, etc. — not structural
         }
         e += 1
       }
-      require(photometric != 3, "palette-color TIFF unsupported (expand upstream)")
       require(width > 0 && height > 0, s"TIFF page missing dimensions")
       val tiled = tw > 0
       if (tiled) require(tl > 0 && tileOff.nonEmpty, "malformed tiled TIFF")
@@ -307,14 +341,14 @@ object TiffIO {
         s"TIFF page has ${offs.length} ${if (tiled) "tiles" else "strips"} " +
           s"but ${cnts.length} byte counts")
       pages += TiffPage(width, height, spp, bits, fmt, comp, pred,
-        effRps, tw, tl, offs, cnts, jpegTables)
+        effRps, tw, tl, offs, cnts, jpegTables, nsft, photometric)
       ifdOff = if (big) r.u64(base + nEntries.toLong * entrySize)
         else r.u32(base + nEntries.toLong * entrySize)
       guard += 1
     }
     val ps = pages.result()
     require(ps.nonEmpty, "TIFF has no pages")
-    TiffInfo(le, ps, firstDescription)
+    TiffInfo(le, ps, firstDescription, lsm)
   }
 
   // ---- region codecs ----
@@ -521,15 +555,24 @@ object TiffIO {
     val info =
       if (totalLen <= (16 << 20)) parseInfo(store.readBytes(""))
       else parseInfo(new PagedSource(store, totalLen))
-    val p0 = info.pages.head
-    require(info.pages.forall(p => p.width == p0.width && p.height == p0.height &&
+    // LSM interleaves a reduced-resolution thumbnail IFD after every
+    // image IFD (NewSubfileType bit 0); only full-resolution pages
+    // carry voxels. Plain TIFFs keep every page.
+    val keptPages =
+      if (info.lsmInfo.isDefined) info.pages.filter(p => (p.newSubfileType & 1L) == 0L)
+      else info.pages
+    require(keptPages.nonEmpty, "TIFF has no full-resolution pages")
+    keptPages.foreach(p => require(p.photometric != 3,
+      "palette-color TIFF unsupported (expand upstream)"))
+    val p0 = keptPages.head
+    require(keptPages.forall(p => p.width == p0.width && p.height == p0.height &&
       p.samplesPerPixel == p0.samplesPerPixel && p.bitsPerSample == p0.bitsPerSample &&
       p.sampleFormat == p0.sampleFormat && p.rowsPerStrip == p0.rowsPerStrip &&
       p.tileWidth == p0.tileWidth && p.tileLength == p0.tileLength),
       "multi-page TIFF with heterogeneous page shapes or strip/tile layouts unsupported")
-    require(info.pages.forall(_.samplesPerPixel >= 1), "bad samplesPerPixel")
+    require(keptPages.forall(_.samplesPerPixel >= 1), "bad samplesPerPixel")
 
-    val nPages = info.pages.length
+    val nPages = keptPages.length
     val dtype = dtypeFor(p0.bitsPerSample, p0.sampleFormat)
     val spp = p0.samplesPerPixel
     val tiled = p0.tileWidth > 0
@@ -552,8 +595,27 @@ object TiffIO {
     // plane dims as (name, size, pageStride), slowest-varying first —
     // a page's coordinate on dim i is (page / stride_i) % size_i. Bare
     // multipage keeps the historical pages→z mapping.
-    val planeDims: Seq[(String, Int, Int)] = omeOpt match {
-      case Some(ome) =>
+    // LSM: CZ_LSMINFO names the stack layout (pages run z fastest,
+    // then time) and the voxel sizes. Channels must be interleaved
+    // samples — planar per-channel strips are a different stride
+    // regime and refuse loudly rather than mis-read.
+    info.lsmInfo.foreach { l =>
+      require(l.dimX == p0.width && l.dimY == p0.height,
+        s"CZ_LSMINFO ${l.dimX}x${l.dimY} != TIFF page ${p0.width}x${p0.height}")
+      require(l.channels <= 1 || l.channels == spp,
+        s"LSM with ${l.channels} planar channels unsupported (interleaved only)")
+      require(l.dimZ.toLong * math.max(l.time, 1) == nPages,
+        s"CZ_LSMINFO declares ${l.dimZ}x${math.max(l.time, 1)} planes " +
+          s"but the TIFF has $nPages full-resolution pages")
+    }
+    val planeDims: Seq[(String, Int, Int)] = (omeOpt, info.lsmInfo) match {
+      case (_, Some(l)) =>
+        val fastestFirst = Seq(("z", l.dimZ), ("t", math.max(l.time, 1)))
+        val strides = fastestFirst.map(_._2).scanLeft(1)(_ * _).init
+        fastestFirst.zip(strides).collect {
+          case ((name, size), stride) if size > 1 => (name, size, stride)
+        }.reverse
+      case (Some(ome), None) =>
         val effC =
           if (spp > 1) {
             // interleaved samples carry the channels (RGB): SizeC must
@@ -576,10 +638,16 @@ object TiffIO {
         fastestFirst.zip(strides).collect {
           case ((name, size), stride) if size > 1 => (name, size, stride)
         }.reverse
-      case None =>
+      case (None, None) =>
         if (nPages > 1) Seq(("z", nPages, 1)) else Nil
     }
-    val omeScale = omeOpt.map(_.physicalScale).getOrElse(Map.empty)
+    val omeScale = info.lsmInfo match {
+      case Some(l) =>
+        // raw CZ_LSMINFO voxel sizes (meters) — the LSMImageIO rule
+        Map("x" -> l.voxelX, "y" -> l.voxelY, "z" -> l.voxelZ)
+          .filter(_._2 > 0.0)
+      case None => omeOpt.map(_.physicalScale).getOrElse(Map.empty)
+    }
 
     val dims = planeDims.map(_._1) ++ Seq("y", "x") ++
       (if (spp > 1) Seq("c") else Nil)
@@ -596,11 +664,11 @@ object TiffIO {
     // work list: one row per (page, region index)
     val work = for {
       z <- 0 until nPages
-      p = info.pages(z)
+      p = keptPages(z)
       r <- p.offsets.indices
     } yield (z, r)
     val le = info.littleEndian
-    val pages = info.pages.toArray
+    val pages = keptPages.toArray
     val bytesPerSample = p0.bitsPerSample / 8
     val tilesAcross = if (tiled) (p0.width + p0.tileWidth - 1) / p0.tileWidth else 1
     // (size, stride) pairs for the executor closure — small and

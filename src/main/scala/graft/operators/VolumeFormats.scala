@@ -44,7 +44,7 @@ object VolumeFormats {
       origin: Seq[Double],
       units: Seq[String] = Nil) // per-axis when the header declares them
 
-  private val itemSizes = Map(
+  private[operators] val itemSizes = Map(
     "int8" -> 1, "uint8" -> 1, "int16" -> 2, "uint16" -> 2,
     "int32" -> 4, "uint32" -> 4, "int64" -> 8, "float32" -> 4, "float64" -> 8)
 
@@ -447,8 +447,11 @@ object VolumeFormats {
     else if (lower.endsWith(".mrc")) readMrc(spark, path, chunkShape)
     else if (lower.endsWith(".mnc") || lower.endsWith(".mnc.gz"))
       MincIO.read(spark, path, chunkShape)
+    else if (lower.endsWith(".pic")) ScannerFormats.readPic(spark, path, chunkShape)
+    else if (lower.endsWith(".isq")) ScannerFormats.readIsq(spark, path, chunkShape)
+    else if (lower.endsWith(".fdf")) ScannerFormats.readFdf(spark, path, chunkShape)
     else throw new UnsupportedOperationException(
-      s"$path: not an NRRD/MetaImage/MGH/VTK/GIPL/MRC/MINC volume")
+      s"$path: not an NRRD/MetaImage/MGH/VTK/GIPL/MRC/MINC/PIC/ISQ/FDF volume")
   }
 
   def readNrrd(spark: SparkSession, path: String,
@@ -490,14 +493,14 @@ object VolumeFormats {
   /** First bytes of the object, capped at its length (headers are
     * small; raw payloads are NOT pulled here).
     */
-  private def probeHeader(spark: SparkSession, path: String): Array[Byte] = {
+  private[operators] def probeHeader(spark: SparkSession, path: String): Array[Byte] = {
     val store = new ZarrStore(path, Some(SerializableHadoopConf.fromActiveSession()))
     val size = store.objectSize("")
     val n = math.min(size, 64 * 1024L).toInt
     store.readRange("", 0L, n)
   }
 
-  private def metaFor(h: RawHeader, chunkShape: Option[Seq[Int]]): ImageMeta =
+  private[operators] def metaFor(h: RawHeader, chunkShape: Option[Seq[Int]]): ImageMeta =
     metaForDims(h, dimNames(h.spatial), chunkShape)
 
   /** One definition of the chunk-default rule (64 per spatial dim,
@@ -517,7 +520,7 @@ object VolumeFormats {
       }.toMap)
   }
 
-  private def readParsed(spark: SparkSession, headerPath: String, h: RawHeader,
+  private[operators] def readParsed(spark: SparkSession, headerPath: String, h: RawHeader,
       chunkShape: Option[Seq[Int]]): VolumeImage = {
     val hconf = Some(SerializableHadoopConf.fromActiveSession())
     val meta = metaFor(h, chunkShape)

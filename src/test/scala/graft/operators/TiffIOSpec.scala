@@ -140,6 +140,37 @@ class TiffIOSpec extends SparkSpec {
       assert(bgot(y * 10 + x) == ((5 * x + y) % 256).toDouble)
   }
 
+  test("Zeiss LSM: thumbnail IFDs skip, CZ_LSMINFO dims + voxel sizes land") {
+    val img = TiffIO.read(spark, s"$fx/vol/vol.lsm")
+    assert(img.meta.dims == Seq("z", "y", "x"))
+    assert(img.meta.shape == Seq(2L, 6L, 8L))
+    assert(img.meta.dtype == "uint8")
+    // raw CZ_LSMINFO voxel sizes (meters), the LSMImageIO rule
+    assert(img.meta.scale("x") == 0.5e-6 && img.meta.scale("y") == 0.7e-6 &&
+      img.meta.scale("z") == 2.0e-6)
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (z <- 0 until 2; y <- 0 until 6; x <- 0 until 8)
+      assert(got((z * 6 + y) * 8 + x) == ((x * 7 + y * 11 + z * 13) % 200).toDouble,
+        s"($x,$y,$z)")
+    // the 0xEE thumbnail bytes must not appear anywhere in the stack
+    assert(!got.contains(0xEE.toDouble))
+  }
+
+  test("LSM refuses a plane-count mismatch against CZ_LSMINFO") {
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/vol/vol.lsm"))
+    // flip DimensionZ (LE int32 at struct offset 16) to 3; the struct
+    // sits right after the 4 IFDs
+    val info = TiffIO.parseInfo(raw)
+    assert(info.lsmInfo.exists(_.dimZ == 2))
+    val structOff = raw.length - (2 * 48 + 2 * 12) - 88 // planes+thumbs+struct from EOF
+    raw(structOff + 16) = 3
+    val p = java.nio.file.Files.createTempFile("bad", ".lsm")
+    java.nio.file.Files.write(p, raw)
+    val e = intercept[IllegalArgumentException](TiffIO.read(spark, p.toString))
+    assert(e.getMessage.contains("full-resolution pages"))
+  }
+
   test("OME-TIFF: OME-XML axes drive t/z/c dims, interleaving and physical scale") {
     val img = TiffIO.read(spark, s"$fx/interleaved.ome.tif")
     // DimensionOrder XYCZT reversed (minus XY) -> t, z, c slowest-first
