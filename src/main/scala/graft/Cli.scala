@@ -91,6 +91,21 @@ object Cli {
         val img = graft.operators.TiffIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
+          if input.toLowerCase.endsWith(".hdr") =>
+        // Analyze 7.5 / NIfTI-1 dual-file pairs (.hdr + .img)
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: Analyze inputs are single-scale (only 0 is valid)")
+        val img = graft.operators.NiftiIO.read(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
+          if Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif")
+            .exists(input.toLowerCase.endsWith) =>
+        // 2-D bitmaps decode through the multimodal image stack
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: bitmap inputs are single-scale (only 0 is valid)")
+        val img = graft.operators.Image2dIO.read(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if input.toLowerCase.endsWith(".lsm") =>
         // Zeiss LSM is a TIFF with the CZ_LSMINFO private tag —
         // TiffIO handles the thumbnail-IFD skip and voxel sizes

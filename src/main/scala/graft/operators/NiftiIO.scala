@@ -99,7 +99,7 @@ object NiftiIO {
     * dims and double pixdim/scl/cal/affine (the public nifti2.h
     * layout); both parse into the one widened [[NiftiHeader]].
     */
-  def parseHeader(raw: Array[Byte]): NiftiHeader = {
+  def parseHeader(raw: Array[Byte], allowAnalyze: Boolean = false): NiftiHeader = {
     val size = headerSize(raw)
     require(raw.length >= size, s"NIfTI header needs $size bytes, got ${raw.length}")
     val le = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getInt(0) == size
@@ -107,7 +107,31 @@ object NiftiIO {
       if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     if (size == 348) {
       val magic = new String(raw.slice(344, 347), "US-ASCII")
-      require(magic == "n+1" || magic == "ni1", s"bad NIfTI magic '$magic'")
+      // a 348-byte header without the NIfTI magic is Analyze 7.5 (the
+      // historical .hdr/.img pair layout NIfTI-1 extended): dims,
+      // datatype/bitpix, pixdim and cal_min/max sit at the same
+      // offsets, but the qform/sform/scl fields do NOT exist there —
+      // they must read as absent, not as whatever bytes overlap them
+      val analyze = magic != "n+1" && magic != "ni1"
+      require(!analyze || allowAnalyze,
+        s"bad NIfTI magic '$magic' (Analyze 7.5 accepted only via .hdr/.img)")
+      if (analyze) {
+        val ndim = bb.getShort(40).toInt
+        require(ndim >= 1 && ndim <= 7, s"Analyze dim[0] out of range: $ndim")
+        val dims = (1 to ndim).map(i => bb.getShort(40 + 2 * i).toInt)
+        return NiftiHeader(
+          dims = dims,
+          datatype = bb.getShort(70).toInt,
+          bitpix = bb.getShort(72).toInt,
+          pixdim = (0 to 7).map(i => bb.getFloat(76 + 4 * i).toDouble),
+          voxOffset = 0L,
+          sclSlope = 1.0, sclInter = 0.0,
+          calMin = bb.getFloat(128).toDouble, calMax = bb.getFloat(124).toDouble,
+          qformCode = 0, sformCode = 0,
+          quatern = (0.0, 0.0, 0.0), qoffset = (0.0, 0.0, 0.0),
+          srow = Array.fill(3, 4)(0.0),
+          littleEndian = le)
+      }
       val ndim = bb.getShort(40).toInt
       require(ndim >= 1 && ndim <= 7, s"NIfTI dim[0] out of range: $ndim")
       val dims = (1 to ndim).map(i => bb.getShort(40 + 2 * i).toInt)
@@ -198,6 +222,10 @@ object NiftiIO {
       chunkShape: Option[Seq[Int]] = None): NiftiImage = {
     import spark.implicits._
     val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    // .hdr/.img dual-file pair (NIfTI-1 "ni1" magic or Analyze 7.5):
+    // header in .hdr, payload in a sibling .img (or .img.gz)
+    val isPair = path.toLowerCase.endsWith(".hdr")
+    if (isPair) return readPair(spark, path, chunkShape)
     val store = new ZarrStore(path, hconf)
     val gz = path.toLowerCase.endsWith(".gz")
 
@@ -227,7 +255,33 @@ object NiftiIO {
         store.readRange("", 0L, headerSize(probe))
       }
     val h = parseHeader(headerBytes)
+    finishRead(spark, h, path, gz, hconf, chunkShape)
+  }
 
+  /** Resolve a `.hdr` header to its sibling `.img`/`.img.gz` payload
+    * and read the pair; Analyze 7.5 headers (no NIfTI magic) parse
+    * with the qform/sform/scl fields absent — pixdim-diagonal affine
+    * only, the nibabel AnalyzeImage contract.
+    */
+  private def readPair(spark: SparkSession, path: String,
+      chunkShape: Option[Seq[Int]]): NiftiImage = {
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    val store = new ZarrStore(path, hconf)
+    val probe = store.readRange("", 0L, 4)
+    val h = parseHeader(store.readRange("", 0L, headerSize(probe)), allowAnalyze = true)
+    val base = path.substring(0, path.length - 4)
+    val (dataPath, dataGz) =
+      if (new ZarrStore(base + ".img", hconf).exists("")) (base + ".img", false)
+      else if (new ZarrStore(base + ".img.gz", hconf).exists("")) (base + ".img.gz", true)
+      else throw new IllegalArgumentException(
+        s"$path: no sibling .img or .img.gz payload file")
+    finishRead(spark, h, dataPath, dataGz, hconf, chunkShape)
+  }
+
+  private def finishRead(spark: SparkSession, h: NiftiHeader, path: String,
+      gz: Boolean, hconf: Option[SerializableHadoopConf],
+      chunkShape: Option[Seq[Int]]): NiftiImage = {
+    val store = new ZarrStore(path, hconf)
     val dims = dimNames(h.dims.length)
     val srcDtype = dtypeName(h.datatype)
     val (slope, inter) = h.effectiveScaling

@@ -44,7 +44,61 @@ object Imaging extends QModule {
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
-    i70Minc2Volume)
+    i70Minc2Volume, i71ScannerVolume)
+
+  /** S10 — vendor scanner tier, oracle-gated: the SAME synthetic
+    * volume is encoded at runtime as a Scanco ISQ (int16, block data
+    * offset, µm dims) and a BioRad PIC (uint8, AXIS calibration
+    * notes), both read back through [[graft.operators.ScannerFormats]],
+    * and their per-z slab sums joined — so a stride slip in either
+    * reader, a block-offset miscount, a note-walk failure, or a
+    * spacing mix-up all hash-mismatch against the closed-form oracle.
+    */
+  val i71ScannerVolume = Q(
+    "i71_scanner_volume",
+    (s, _) => {
+      import graft.operators.ScannerFormats
+      val (nx, ny, nz) = (7, 6, 5)
+      val fvals = Array.tabulate(nx * ny * nz) { f => // Fortran order: x fastest
+        val x = f % nx; val y = (f / nx) % ny; val z = f / (nx * ny)
+        (x * 17 + y * 5 + z * 23) % 180
+      }
+      val dir = java.nio.file.Files.createTempDirectory("i71")
+      val isqPath = dir.resolve("vol.isq")
+      java.nio.file.Files.write(isqPath, ScannerFormats.encodeIsqInt16(
+        Seq(nx, ny, nz), Seq(10500, 15000, 17500), fvals)) // -> 1.5/2.5/3.5 mm
+      val picPath = dir.resolve("vol.pic")
+      java.nio.file.Files.write(picPath, ScannerFormats.encodePicUint8(
+        nx, ny, nz, Seq(0.5, 0.6, 0.7), Seq(1.0, 2.0, 3.0), fvals))
+      val isq = ScannerFormats.readIsq(s, isqPath.toString)
+      val pic = ScannerFormats.readPic(s, picPath.toString)
+      def slab(img: graft.operators.VolumeFormats.VolumeImage, pfx: String) =
+        ChunkOps.voxelView(s, img.chunks, img.meta)
+          .groupBy(col("z"))
+          .agg(sum(col("value")).cast("bigint").as(s"${pfx}_sum"),
+            sum(col("value") * (col("y") * 31 + col("x") * 13))
+              .cast("bigint").as(s"${pfx}_wsum"))
+      slab(isq, "isq").join(slab(pic, "pic"), "z")
+        .withColumn("isq_scale_x", lit(isq.meta.scale("x")))
+        .withColumn("isq_scale_z", lit(isq.meta.scale("z")))
+        .withColumn("pic_scale_y", lit(pic.meta.scale("y")))
+        .withColumn("pic_tx", lit(pic.meta.translation("x")))
+        .orderBy(col("z"))
+    },
+    Some("""WITH vox AS (
+              SELECT i % 7 AS x, (i // 7) % 6 AS y, i // 42 AS z,
+                     CAST(((i % 7) * 17 + ((i // 7) % 6) * 5 + (i // 42) * 23) % 180
+                       AS DOUBLE) AS v
+              FROM range(210) r(i))
+            SELECT z, CAST(sum(v) AS BIGINT) AS isq_sum,
+                   CAST(sum(v * (y * 31 + x * 13)) AS BIGINT) AS isq_wsum,
+                   CAST(sum(v) AS BIGINT) AS pic_sum,
+                   CAST(sum(v * (y * 31 + x * 13)) AS BIGINT) AS pic_wsum,
+                   CAST(1.5 AS DOUBLE) AS isq_scale_x,
+                   CAST(3.5 AS DOUBLE) AS isq_scale_z,
+                   CAST(0.6 AS DOUBLE) AS pic_scale_y,
+                   CAST(1.0 AS DOUBLE) AS pic_tx
+            FROM vox GROUP BY z ORDER BY z"""))
 
   /** S10 — MINC2 (HDF5) ingestion, oracle-gated: a runtime-encoded
     * MINC2 file (superblock v0, v1 symbol-table groups, contiguous

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** 2-D bitmap ingestion (Image2dIO) — BMP bytes built by hand per the
+  * public BITMAPINFOHEADER layout, PNG via `javax.imageio` encode;
+  * both must land as (y, x, c) uint8 chunks with the decoded pixel
+  * parity the multimodal specs already pin.
+  */
+class Image2dIOSpec extends SparkSpec {
+
+  test("BMP reads as (y, x, c) uint8 with bottom-up/BGR undone") {
+    val bb = java.nio.ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24).putInt(0)
+    bb.putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(Array[Byte](1, 2, 3, 4, 5, 6, 0, 0))
+    bb.put(Array[Byte](7, 8, 9, 10, 11, 12, 0, 0))
+    val p = java.nio.file.Files.createTempFile("img", ".bmp")
+    java.nio.file.Files.write(p, bb.array())
+    val img = Image2dIO.read(spark, p.toString)
+    assert(img.meta.dims == Seq("y", "x", "c"))
+    assert(img.meta.shape == Seq(2L, 2L, 3L))
+    assert(img.meta.dtype == "uint8")
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq ==
+      Seq[Double](9, 8, 7, 12, 11, 10, 3, 2, 1, 6, 5, 4))
+  }
+
+  test("PNG round-trips through the javax decode to exact pixels") {
+    val w = 9; val h = 7
+    val buf = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 29 + y * 13) % 256
+      val g = (x * 7 + y * 3) % 256
+      val b = (x + y * 31) % 256
+      buf.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val p = java.nio.file.Files.createTempFile("img", ".png")
+    val os = java.nio.file.Files.newOutputStream(p)
+    javax.imageio.ImageIO.write(buf, "png", os); os.close()
+    val img = Image2dIO.read(spark, p.toString)
+    assert(img.meta.shape == Seq(h.toLong, w.toLong, 3L))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      assert(got(base) == ((x * 29 + y * 13) % 256).toDouble, s"r($x,$y)")
+      assert(got(base + 1) == ((x * 7 + y * 3) % 256).toDouble, s"g($x,$y)")
+      assert(got(base + 2) == ((x + y * 31) % 256).toDouble, s"b($x,$y)")
+    }
+  }
+
+  test("unrecognized payload refuses loudly") {
+    val p = java.nio.file.Files.createTempFile("junk", ".bmp")
+    java.nio.file.Files.write(p, Array[Byte](1, 2, 3, 4))
+    intercept[UnsupportedOperationException](Image2dIO.read(spark, p.toString))
+  }
+}

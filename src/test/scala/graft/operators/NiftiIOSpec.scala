@@ -92,6 +92,47 @@ class NiftiIOSpec extends SparkSpec {
     }
   }
 
+  test("Analyze 7.5 .hdr/.img pair: blank magic, pixdim spacing, .img payload") {
+    val img = NiftiIO.read(spark, s"$fx/pair.hdr")
+    assert(img.meta.dims == Seq("x", "y", "z"))
+    assert(img.meta.shape == Seq(6L, 5L, 4L))
+    assert(img.meta.dtype == "int16")
+    assert(img.meta.scale == Map("x" -> 1.5, "y" -> 2.5, "z" -> 3.5))
+    assert(img.meta.translation == Map("x" -> 0.0, "y" -> 0.0, "z" -> 0.0))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (x <- 0 until 6; y <- 0 until 5; z <- 0 until 4)
+      assert(got((x * 5 + y) * 4 + z) == ((x * 7 + y * 11 + z * 13) % 200).toDouble,
+        s"($x,$y,$z)")
+  }
+
+  test("NIfTI-1 ni1 pair: sform affine from .hdr, gzipped .img.gz payload") {
+    val img = NiftiIO.read(spark, s"$fx/pair_n1.hdr")
+    assert(img.meta.dtype == "int16")
+    assert(img.meta.scale == Map("x" -> 2.0, "y" -> 3.0, "z" -> 4.0))
+    assert(img.meta.translation == Map("x" -> 10.0, "y" -> -5.0, "z" -> 2.5))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (x <- 0 until 6; y <- 0 until 5; z <- 0 until 4)
+      assert(got((x * 5 + y) * 4 + z) == ((x * 7 + y * 11 + z * 13) % 200).toDouble,
+        s"($x,$y,$z)")
+  }
+
+  test("a bare .nii with Analyze-blank magic still refuses") {
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/pair.hdr"))
+    val p = java.nio.file.Files.createTempFile("blank", ".nii")
+    java.nio.file.Files.write(p, raw ++ new Array[Byte](6 * 5 * 4 * 2))
+    val e = intercept[IllegalArgumentException](NiftiIO.read(spark, p.toString))
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test(".hdr without a sibling payload refuses with a precise error") {
+    val dir = java.nio.file.Files.createTempDirectory("lonehdr")
+    val p = dir.resolve("lone.hdr")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$fx/pair.hdr"), p)
+    val e = intercept[IllegalArgumentException](NiftiIO.read(spark, p.toString))
+    assert(e.getMessage.contains(".img"))
+  }
+
   test("NIfTI image feeds the pyramid + OME-Zarr write path end-to-end") {
     val img = NiftiIO.read(spark, s"$fx/ident.nii")
     val base = MultiscaleBuilder.Level(img.meta, img.chunks)
