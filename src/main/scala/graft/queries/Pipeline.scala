@@ -29,7 +29,8 @@ object Pipeline extends QModule {
     d54BloomScreen, t69FilterFunnel, s54EmbOutliers, t70HashSplit,
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
     d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
-    s56EmbCovariance, t75CharEntropy)
+    s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
+    d60UrlDedup)
 
   import QTables.{docs, emb}
 
@@ -1807,4 +1808,111 @@ object Pipeline extends QModule {
             SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
                    coalesce(r.clean_text, '') AS clean_text
             FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""))
+
+  /** Temperature-flattened mixture sampling
+    * ([[graft.ops.Mixture]], τ = 0.5, target 500‰): per-source
+    * acceptance rates from exact counts with the √n quantized to
+    * micro units before the cross-source sum (integer total —
+    * immune to double reduce order), membership by the md5
+    * milli-bucket. The oracle replays the identical rate formula and
+    * bucket; a count slip, a double-association difference, or a
+    * bucket mismatch all hash-mismatch.
+    */
+  val t76TemperatureSample = Q(
+    "t76_temperature_sample",
+    (s, dir) => {
+      import graft.ops.Mixture
+      val d = docs(s, dir)
+      val rates = Mixture.temperatureRates(d)
+      val sampled = Mixture.sampleAtRates(d, rates)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("target_total"), col("p_milli"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                    CAST(sum(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0)
+                      AS BIGINT)) AS BIGINT) AS s_micro FROM c),
+            r AS (SELECT source, n_docs,
+                    CAST(floor(total * 500 / 1000.0) AS BIGINT) AS target_total,
+                    least(1000, CAST(floor(1000.0
+                      * CAST(floor(total * 500 / 1000.0) AS BIGINT)
+                      * sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0
+                      / s_micro / n_docs) AS BIGINT)) AS p_milli
+                  FROM c, t),
+            smp AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+                    FROM documents d JOIN r USING (source)
+                    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                            AS BIGINT) % 1000 < p_milli
+                    GROUP BY d.source)
+            SELECT r.source, r.n_docs, r.target_total, r.p_milli,
+                   coalesce(smp.n_sampled, 0) AS n_sampled
+            FROM r LEFT JOIN smp ON r.source = smp.source
+            ORDER BY r.source"""))
+
+  // five deterministic crawl-variant spellings of page doc_id/5 —
+  // the synthetic URL corpus both URL gates share (DuckDB side)
+  private val urlSynthSql =
+    """CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://Example.COM/articles/'
+              || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&id='
+              || CAST(doc_id // 5 AS VARCHAR)
+            WHEN doc_id % 5 = 1 THEN 'https://www.example.com/articles/'
+              || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR)
+            WHEN doc_id % 5 = 2 THEN 'https://example.com:443/articles/'
+              || CAST(doc_id // 5 AS VARCHAR) || '#top'
+            WHEN doc_id % 5 = 3 THEN 'https://example.com/articles/'
+              || CAST(doc_id // 5 AS VARCHAR) || '/'
+            ELSE 'https://example.com/articles/' || CAST(doc_id // 5 AS VARCHAR)
+              || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&utm_campaign=x' END"""
+
+  private val urlCanonSql =
+    """lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
+       || regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+            '^www\.', ''), ':(443|80)$', '')
+       || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(url, '^[^:/?#]+://[^/?#]*', ''),
+            '#.*$', ''), '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+            '[?&]$', ''), '/$', '')"""
+
+  /** URL canonicalization ([[graft.ops.Urls.canonicalize]]): scheme/
+    * host lowercasing, `www.`/default-port strip, fragment drop,
+    * tracking-parameter removal, trailing-slash strip — as a pure
+    * codegen'd projection, oracle-replayed regexp-for-regexp.
+    */
+  val t77UrlCanonical = Q(
+    "t77_url_canonical",
+    (s, dir) => {
+      import graft.ops.Urls
+      Urls.syntheticUrls(docs(s, dir).filter(col("doc_id") < 50))
+        .select(col("doc_id"), col("url"),
+          Urls.canonicalize(col("url")).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url
+                        FROM documents WHERE doc_id < 50)
+             SELECT doc_id, url, $urlCanonSql AS canonical_url
+             FROM u ORDER BY doc_id"""))
+
+  /** Canonical-URL dedup ([[graft.ops.Urls.urlDedup]]): the CCNet/
+    * RefinedWeb first-pass dedup — group by canonical key, keep the
+    * minimum-id document, count the crawl variants. Each synthetic
+    * page collapses 5 spellings into exactly 2 canonical keys, so a
+    * canonicalization slip changes group counts and hash-mismatches.
+    */
+  val d60UrlDedup = Q(
+    "d60_url_dedup",
+    (s, dir) => {
+      import graft.ops.Urls
+      Urls.urlDedup(Urls.syntheticUrls(docs(s, dir)))
+        .orderBy(col("canonical_url"))
+    },
+    Some(s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
+             c AS (SELECT doc_id, $urlCanonSql AS canonical_url FROM u)
+             SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+                    CAST(min(doc_id) AS BIGINT) AS kept_id
+             FROM c GROUP BY canonical_url ORDER BY canonical_url"""))
 }
