@@ -26,17 +26,11 @@ object TextDedup {
     */
   def wordShingles(text: Column, k: Int = 3): Column = {
     val ws = words(text)
-    // let-bind the token array through a 1-element outer transform:
-    // HOF lambdas evaluate interpreted, and a captured EXPRESSION
-    // (here the lower+split+filter words()) would re-evaluate on
-    // every element access (the t72 lesson, BENCH_BASELINE.md); a
-    // lambda VARIABLE is bound once and read as a value.
-    element_at(transform(array(ws), w =>
-      array_distinct(
-        when(size(w) >= k,
-          transform(sequence(lit(0), size(w) - k),
-            i => concat_ws(" ", (0 until k).map(j => element_at(w, (i + j + 1).cast("int"))): _*)))
-          .otherwise(array().cast("array<string>")))), 1)
+    array_distinct(
+      when(size(ws) >= k,
+        transform(sequence(lit(0), size(ws) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ws, (i + j + 1).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Exact dedup: group identical texts by md5, keep the smallest id

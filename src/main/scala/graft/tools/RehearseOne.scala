@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone rehearsal runner for perf attribution: runs ONE bench
+  * rehearsal key in a fresh JVM/session (no 132-query suite ahead of
+  * it) so a tail-context reading can be separated from a real plan
+  * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
+  * with key ∈ dedup | dedup_skew | pyramid | pyramid_gauss.
+  */
+object RehearseOne {
+  def main(args: Array[String]): Unit = {
+    val key = if (args.nonEmpty) args(0) else "dedup_skew"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-rehearse-one")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val secs = key match {
+      case "dedup" =>
+        graft.ops.DedupRehearsal.run(spark,
+          if (args.length > 1) args(1).toLong else 200000L)
+      case "dedup_skew" =>
+        graft.ops.DedupRehearsal.run(spark,
+          if (args.length > 1) args(1).toLong else 200000L,
+          boilerplate = if (args.length > 2) args(2).toLong else 3000L)
+      case "pyramid" =>
+        graft.operators.PyramidRehearsal.run(spark)
+      case "pyramid_gauss" =>
+        graft.operators.PyramidRehearsal.run(spark,
+          method = graft.meta.Model.Method.ItkwasmGaussian)
+      case other => sys.error(s"unknown rehearsal key '$other'")
+    }
+    println(f"""{"rehearsal":"$key","sec":$secs%.3f}""")
+    spark.stop()
+  }
+}
