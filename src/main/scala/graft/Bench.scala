@@ -220,6 +220,29 @@ object Bench {
         t
       }
 
+    // Collapsed-pipeline twin of the skewed rehearsal (one shot):
+    // exact-collapse before LSH so the boilerplate clique never
+    // materializes its C(B,2) pairs — tracked as its own key so the
+    // direct-vs-collapsed ratio is a round-over-round number.
+    val dedupSkewCollapsedSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DEDUP").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.ops.DedupRehearsal.runCollapsed(s,
+            sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L),
+            boilerplate = sys.env.get("SPARK_GRAFT_BENCH_DEDUP_BOILER")
+              .map(_.toLong).getOrElse(3000L))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] t_dedup200k_skew_collapsed failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // millisecond precision keeps the line short: wrappers that
     // tail-capture stdout (the driver keeps only the last few KB)
     // must see the WHOLE line or their JSON parse fails
@@ -238,7 +261,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -250,7 +273,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -104,4 +104,47 @@ object DedupRehearsal {
     docs.unpersist()
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** The collapsed-pipeline twin of the skewed run
+    * ([[TextDedup.collapsedNearDupClusters]]): exact-collapse first,
+    * so the boilerplate clique becomes ONE representative and its
+    * C(B,2) pairs are never materialized — the production shape for
+    * template-heavy corpora. Asserts the IDENTICAL final structure
+    * the direct path recovers (same cluster count, the whole clique
+    * in one cluster labeled by its min id, near-dup plant at the
+    * same recall floor) at a fraction of the cost; bench key
+    * `t_dedup200k_skew_collapsed` tracks the ratio.
+    */
+  def runCollapsed(spark: SparkSession, n: Long = 200000L,
+      boilerplate: Long = 3000L): Double = {
+    val t0 = System.nanoTime()
+    val docs = synth(spark, n, boilerplate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearPlanted = n / 10
+
+    val cc = TextDedup.collapsedNearDupClusters(docs, minJaccard = 0.8,
+      hotBucketThreshold = -1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nClusters = cc.agg(countDistinct(col("cluster_id"))).head.getLong(0)
+    // every boilerplate doc (ids >= n) must land in ONE cluster,
+    // labeled by the clique's min id = n (reps are per-group min ids)
+    val boilerClusters = cc.filter(col("doc_id") >= n)
+      .agg(countDistinct(col("cluster_id")).as("c"),
+        min(col("cluster_id")).as("lbl"), count(lit(1)).as("rows")).head()
+    require(boilerClusters.getLong(2) == boilerplate,
+      s"boilerplate rows lost: ${boilerClusters.getLong(2)} of $boilerplate")
+    require(boilerClusters.getLong(0) == 1 && boilerClusters.getLong(1) == n,
+      s"boilerplate clique split: ${boilerClusters.getLong(0)} clusters, " +
+        s"label ${boilerClusters.getLong(1)} (expected 1 cluster labeled $n)")
+    // same global structure as the direct path: n + boilerplate docs,
+    // one (B−1)-merge clique, nearFound pair merges
+    val nearFound = (n + boilerplate) - (boilerplate - 1) - nClusters
+    require(nearFound <= nearPlanted,
+      s"false near-dup merges: $nearFound, planted only $nearPlanted")
+    require(nearFound >= nearPlanted - math.max(1L, nearPlanted / 1000),
+      s"LSH recall collapsed: $nearFound of $nearPlanted planted pairs")
+    cc.unpersist()
+    docs.unpersist()
+    (System.nanoTime() - t0) / 1e9
+  }
 }

@@ -545,6 +545,56 @@ object TextDedup {
     * cluster_id = min doc_id of the component (singletons map to
     * themselves).
     */
+  /** The production near-dup CLUSTERING pipeline for boilerplate-heavy
+    * corpora: exact-collapse FIRST, near-dup machinery on unique texts
+    * only, clusters expanded back through exact-group membership.
+    *
+    * A clique of B byte-identical documents (license headers, crawl
+    * templates) costs the direct LSH path C(B,2) candidate pairs
+    * through verify and CC — the skew pathology `t_dedup200k_skew`
+    * stresses. Collapsing by `md5(text)` first makes that clique ONE
+    * representative: its C(B,2) internal pairs are never materialized
+    * (membership in the exact group IS the edge set, implicitly), and
+    * the hot bucket disappears before banding. The result partition is
+    * provably identical to the direct path's: byte-identical docs have
+    * identical shingle sets, hence identical signatures, buckets and
+    * verified similarities, so collapsing them is quotienting the
+    * similarity graph by a clique — connectivity is preserved, and
+    * the component's min label is the min representative id, which is
+    * the min doc id of the expanded cluster (reps are per-group min).
+    *
+    * Output: (doc_id, rep_id, cluster_id) for every input doc —
+    * cluster_id = min doc id of its (exact ∪ near-dup) cluster.
+    * Shuffle shape: one groupBy + one join on the text hash (both on
+    * the 16-byte md5, never the text), then the rep-only LSH cascade.
+    */
+  def collapsedNearDupClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, numHashes: Int = 64,
+      numBands: Int = 16, minJaccard: Double = 0.5,
+      hotBucketThreshold: Int = 0): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hashed = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .withColumn("th", md5(col("text")))
+      .persist(lvl)
+    val reps = hashed.groupBy(col("th")).agg(min(col("doc_id")).as("rep_id"))
+    val mem = hashed.select(col("doc_id"), col("th"))
+      .join(reps, "th").select(col("doc_id"), col("rep_id"))
+      .localCheckpoint(eager = true)
+    val repDocs = hashed.join(reps, "th")
+      .where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val pairs = minHashNearDups(repDocs, "doc_id", "text", k, numHashes,
+      numBands, minJaccard, hotBucketThreshold)
+    // rep-count-sized label table; checkpoint before the text cache
+    // drops so the caller's action can't recompute the md5 scan
+    val cc = connectedComponents(pairs, repDocs.select(col("doc_id")))
+      .localCheckpoint(eager = true)
+    hashed.unpersist()
+    mem.join(cc.select(col("doc_id").as("rep_id"), col("cluster_id")), "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("cluster_id"))
+  }
+
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       maxRounds: Int = 60, localThreshold: Long = 5000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

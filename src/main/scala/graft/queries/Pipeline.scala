@@ -30,7 +30,7 @@ object Pipeline extends QModule {
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
     d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
-    d60UrlDedup)
+    d60UrlDedup, d61CollapsedClusters)
 
   import QTables.{docs, emb}
 
@@ -1808,6 +1808,84 @@ object Pipeline extends QModule {
             SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
                    coalesce(r.clean_text, '') AS clean_text
             FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""))
+
+  /** Collapsed near-dup clustering
+    * ([[graft.ops.TextDedup.collapsedNearDupClusters]]): exact-collapse
+    * by md5 BEFORE the MinHash cascade, clusters expanded back through
+    * exact-group membership — the production shape for boilerplate-
+    * heavy corpora (a B-doc identical clique never materializes its
+    * C(B,2) pairs; bench keys `t_dedup200k_skew` vs
+    * `t_dedup200k_skew_collapsed` track the ~6× ratio). The gate
+    * plants exact duplicates (+100000-id copies of the first 50 docs)
+    * and the oracle replays collapse → the d42 minhash family on
+    * representatives → recursive-CTE connected components → expansion,
+    * so a collapse slip, a family divergence, or a mislabeled
+    * expansion all hash-mismatch.
+    */
+  val d61CollapsedClusters = Q(
+    "d61_collapsed_clusters",
+    (s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val dups = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      TextDedup.collapsedNearDupClusters(base.union(dups), minJaccard = 0.2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 400
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+            reps AS (SELECT md5(text) AS th, CAST(min(doc_id) AS BIGINT) AS rep_id
+                     FROM corpus GROUP BY md5(text)),
+            mem AS (SELECT c.doc_id, r.rep_id
+                    FROM corpus c JOIN reps r ON md5(c.text) = r.th),
+            rd AS (SELECT c.doc_id, c.text
+                   FROM corpus c JOIN reps r ON c.doc_id = r.rep_id),
+            d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                  FROM rd),
+            sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+                     FROM d WHERE len(ws) >= 3),
+            sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+            h AS (SELECT doc_id,
+                    CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT)
+                      % 2147483647 AS x
+                  FROM sh),
+            consts AS (SELECT k,
+                    1 + CAST('0x' || substr(md5('mha:' || k), 1, 14) AS BIGINT)
+                      % 2147483646 AS a,
+                    CAST('0x' || substr(md5('mhb:' || k), 1, 14) AS BIGINT)
+                      % 2147483647 AS b
+                  FROM range(64) r(k)),
+            slots AS (SELECT doc_id, k, min((a * x + b) % 2147483647) AS slot
+                      FROM h, consts GROUP BY doc_id, k),
+            bands AS (SELECT doc_id, k // 4 AS band,
+                        string_agg(CAST(slot AS VARCHAR), ',' ORDER BY k) AS bucket
+                      FROM slots GROUP BY doc_id, k // 4),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            v AS (SELECT doc_a, doc_b,
+                    len(list_intersect(sa.sh, sb.sh)) AS inter,
+                    len(sa.sh) AS na, len(sb.sh) AS nb
+                  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                            JOIN sets sb ON cand.doc_b = sb.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM v
+                      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT u AS a, v AS b FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            ),
+            lab AS (SELECT a AS rep_id, least(a, min(b)) AS cluster_id
+                    FROM reach GROUP BY a)
+            SELECT m.doc_id, m.rep_id,
+                   COALESCE(l.cluster_id, m.rep_id) AS cluster_id
+            FROM mem m LEFT JOIN lab l ON m.rep_id = l.rep_id
+            ORDER BY m.doc_id"""))
 
   /** Temperature-flattened mixture sampling
     * ([[graft.ops.Mixture]], τ = 0.5, target 500‰): per-source

@@ -27,6 +27,10 @@ object RehearseOne {
         graft.ops.DedupRehearsal.run(spark,
           if (args.length > 1) args(1).toLong else 200000L,
           boilerplate = if (args.length > 2) args(2).toLong else 3000L)
+      case "dedup_skew_collapsed" =>
+        graft.ops.DedupRehearsal.runCollapsed(spark,
+          if (args.length > 1) args(1).toLong else 200000L,
+          boilerplate = if (args.length > 2) args(2).toLong else 3000L)
       case "pyramid" =>
         graft.operators.PyramidRehearsal.run(spark)
       case "pyramid_gauss" =>

@@ -14,6 +14,32 @@ class DedupScaleSpec extends SparkSpec {
     assert(secs > 0.0)
   }
 
+  test("collapsed pipeline recovers the identical partition as the direct path") {
+    import org.apache.spark.sql.functions._
+    // 600 docs + a 50-doc identical clique: big enough for real
+    // near-dup plants, small enough to run the direct path too
+    val docs = DedupRehearsal.synth(spark, 600L, boilerplate = 50L)
+      .persist()
+    val direct = {
+      val pairs = TextDedup.minHashNearDups(docs, minJaccard = 0.8)
+      TextDedup.connectedComponents(pairs.select("doc_a", "doc_b"),
+        docs.select("doc_id"))
+    }
+    val collapsed = TextDedup.collapsedNearDupClusters(docs, minJaccard = 0.8)
+    val a = direct.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = collapsed.select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 650 && a == b)
+    // the clique really is one cluster labeled by its min id (600)
+    assert((600L until 650L).forall(id => b(id) == 600L))
+    docs.unpersist()
+  }
+
+  test("collapsed rehearsal asserts structure at spec scale") {
+    val secs = DedupRehearsal.runCollapsed(spark, n = 2000L, boilerplate = 100L)
+    assert(secs > 0.0)
+  }
+
   test("synthetic corpus: distinct docs share no words, planted copies share 47") {
     import org.apache.spark.sql.functions._
     val docs = DedupRehearsal.synth(spark, 40L)
