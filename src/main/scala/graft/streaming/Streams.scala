@@ -44,6 +44,24 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming canonical-URL dedup — the ingest-time form of
+    * [[graft.ops.Urls.urlDedup]]: arriving crawl records keep only
+    * the FIRST sighting of each canonical URL
+    * ([[graft.ops.Urls.canonicalize]]: lowercase scheme/host, `www.`
+    * and default-port strip, fragment/tracking-param removal).
+    * `dropDuplicates` state is keyed by the canonical string and
+    * bounded by the event-time watermark, so re-crawls inside the
+    * window dedup exactly and the state store never grows past the
+    * window's distinct-URL count. Canonicalization itself is a pure
+    * codegen'd projection — batch and streaming share the one
+    * definition, so ingest-time and corpus-time dedup agree.
+    */
+  def urlDedup(records: DataFrame, watermark: String = "24 hours"): DataFrame =
+    records
+      .withColumn("canonical_url", graft.ops.Urls.canonicalize(col("url")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("canonical_url")
+
   /** Watermarked stream-stream interval join: match each event on
     * stream A to events on stream B for the same user within
     * `within` AFTER it. State on both sides is bounded by the

@@ -41,6 +41,33 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming canonical-URL dedup keeps the first sighting per canonical key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "url")
+    val q = Streams.urlDedup(df).writeStream
+      .outputMode("append").format("memory").queryName("urldedup").start()
+    // three crawl-variant spellings of ONE page across two batches,
+    // plus a genuinely different page
+    mem.addData(
+      (ts(0), 1L, "HTTPS://Example.COM/a?utm_source=feed&id=7"),
+      (ts(1), 2L, "https://www.example.com/a?id=7"))
+    q.processAllAvailable()
+    mem.addData(
+      (ts(2), 3L, "https://example.com:443/a?id=7#frag"),
+      (ts(3), 4L, "https://example.com/b"))
+    q.processAllAvailable()
+    val rows = spark.table("urldedup")
+      .select("doc_id", "canonical_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the first sighting (doc 1) survives; 2 and 3 dedup against it
+    // across batches; b is its own key
+    assert(rows == Map(1L -> "https://example.com/a?id=7",
+      4L -> "https://example.com/b"))
+    q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
