@@ -243,6 +243,28 @@ object Bench {
         t
       }
 
+    // ANN-at-scale rehearsal (one shot): 1M clustered vectors through
+    // the IVF cascade, recall-checked against distributed brute force
+    // on the same queries — the embedding analogue of the pyramid and
+    // dedup rehearsals. Opt out with SPARK_GRAFT_BENCH_ANN=0; size
+    // with SPARK_GRAFT_BENCH_ANN_N.
+    val annSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_ANN").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.ops.AnnRehearsal.run(s,
+            sys.env.get("SPARK_GRAFT_BENCH_ANN_N").map(_.toLong).getOrElse(1000000L))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] s_ann1m failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // millisecond precision keeps the line short: wrappers that
     // tail-capture stdout (the driver keeps only the last few KB)
     // must see the WHOLE line or their JSON parse fails
@@ -261,7 +283,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"s_ann1m":${fmt(annSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -273,7 +295,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"s_ann1m":${fmt(annSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * rehearsal key in a fresh JVM/session (no 132-query suite ahead of
   * it) so a tail-context reading can be separated from a real plan
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
-  * with key ∈ dedup | dedup_skew | pyramid | pyramid_gauss.
+  * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann | pyramid | pyramid_gauss.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -31,6 +31,9 @@ object RehearseOne {
         graft.ops.DedupRehearsal.runCollapsed(spark,
           if (args.length > 1) args(1).toLong else 200000L,
           boilerplate = if (args.length > 2) args(2).toLong else 3000L)
+      case "ann" =>
+        graft.ops.AnnRehearsal.run(spark,
+          if (args.length > 1) args(1).toLong else 1000000L)
       case "pyramid" =>
         graft.operators.PyramidRehearsal.run(spark)
       case "pyramid_gauss" =>
