@@ -13,7 +13,8 @@ object Plans {
     "d45_embedding_neardup", "d46_simhash_banded", "s46_cosine_topk",
     "s47_ann_lsh", "t52_redact_pii",
     "q39_asof_join", "t54_contamination", "d47_dup_clusters",
-    "q42_percentile_disc")
+    "q42_percentile_disc", "d60_url_dedup", "d61_collapsed_clusters",
+    "t76_temperature_sample", "i71_scanner_volume")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
