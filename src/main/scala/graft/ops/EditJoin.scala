@@ -128,9 +128,11 @@ object EditJoin {
     // Verify candidates only, with one prefix-projection join per side.
     val ka = keyed.select(col("id").as("a_id"), col("k").as("ka"))
     val kb = keyed.select(col("id").as("b_id"), col("k").as("kb"))
+    // thresholded built-in (Spark 3.5+): banded DP with early abort —
+    // O(d·len) per candidate instead of O(len²), returns -1 past d
     cands.join(ka, "a_id").join(kb, "b_id")
-      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
-      .where(col("dist") <= d)
+      .withColumn("dist", levenshtein(col("ka"), col("kb"), d).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
       .orderBy(col("a_id"), col("b_id"))
   }
