@@ -30,7 +30,7 @@ object Pipeline extends QModule {
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
     d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
-    d60UrlDedup, d61CollapsedClusters)
+    d60UrlDedup, d61CollapsedClusters, t78ShardPlan)
 
   import QTables.{docs, emb}
 
@@ -1808,6 +1808,27 @@ object Pipeline extends QModule {
             SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
                    coalesce(r.clean_text, '') AS clean_text
             FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""))
+
+  /** Deterministic training-shard layout ([[graft.ops.Shards]],
+    * 8 shards): shard = md5-bucket of the id, within-shard position =
+    * rank by (md5 hex, id) — the write-side permutation a training
+    * job replays. The oracle reproduces shard and position exactly;
+    * a bucket-family drift, a partition-order leak, or an unstable
+    * tiebreak all hash-mismatch.
+    */
+  val t78ShardPlan = Q(
+    "t78_shard_plan",
+    (s, dir) => graft.ops.Shards.shardPlan(docs(s, dir), nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                     AS BIGINT) % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                       AS BIGINT) % 8
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id"""))
 
   /** Collapsed near-dup clustering
     * ([[graft.ops.TextDedup.collapsedNearDupClusters]]): exact-collapse
