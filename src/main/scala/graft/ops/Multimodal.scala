@@ -403,6 +403,34 @@ object Multimodal {
     }).toDF("doc_id", "media")
   }
 
+  /** 36×32 P6 PPMs whose pixels are CONSTANT within each 4×4 cell of
+    * the 9×8 dHash grid, so [[ImageDedup.dHash]] is replayable in
+    * closed form: with group g = doc_id mod 40 and variant
+    * t = doc_id div 40, cell (row cr, col cc) holds gray value
+    * v = (g·31 + cc·7 + cr·13) mod 200, plus 50 on the single cell
+    * (cr,cc) = (t,t). Variants of a group differ in at most two cells
+    * (≤ 4 hash bits) — planted near-duplicates.
+    */
+  def syntheticPpmCells(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = 36; val h = 32
+      val g = id % 40; val t = id / 40
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val body = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val cc = (i % w) / 4; val cr = (i / w) / 4
+        val v = ((g * 31 + cc * 7 + cr * 13) % 200 +
+          (if (cc == t && cr == t) 50 else 0)).toByte
+        body(3 * i) = v; body(3 * i + 1) = v; body(3 * i + 2) = v
+        i += 1
+      }
+      (id, header ++ body)
+    }).toDF("doc_id", "media")
+  }
+
   /** A real PNG blob per doc, encoded by `javax.imageio` on the
     * executor: 6×4 RGB with the SAME closed-form pixels as
     * [[syntheticPpm]] (byte i = (doc_id·37 + i·11) mod 256). PNG is

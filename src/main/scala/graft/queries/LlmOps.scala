@@ -26,7 +26,7 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
-    m57FlacDecode, m58VideoFrames, m59Mp3Meta)
+    m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash)
 
   import QTables.{docs, emb}
 
@@ -774,4 +774,56 @@ object LlmOps extends QModule {
                    list_aggregate(brs, 'min') <> list_aggregate(brs, 'max') AS vbr,
                    doc_id % 5 = 0 AS has_crc
             FROM f ORDER BY doc_id"""))
+
+  /** Perceptual image near-dup: REAL PPM decode → [[graft.ops.ImageDedup.dHash]]
+    * (integer-exact 9×8 difference hash) → banded Hamming self-join
+    * (4×16-bit bands, popcount verify; recall exact for radius 3 by
+    * pigeonhole). The fixture's cell-constant 36×32 images make the
+    * whole pipeline — luma, area-average, comparisons, banding —
+    * replayable in closed form; the oracle recomputes every hash bit
+    * and the full Hamming-≤-3 pair set, so a resize-box slip, a luma
+    * weight error, or a band-recall gap all hash-mismatch.
+    */
+  val m60ImageDhash = Q(
+    "m60_image_dhash_neardup",
+    (s, dir) => {
+      import graft.ops.ImageDedup
+      val h = ImageDedup.hashes(s,
+        Multimodal.syntheticPpmCells(docs(s, dir).filter(col("doc_id") < 200)))
+      ImageDedup.nearDupPairs(h, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          ImageDedup.hashHex(col("hash_a")).as("hash_a"),
+          ImageDedup.hashHex(col("hash_b")).as("hash_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH cells AS (
+              SELECT doc_id, r.i // 9 AS cr, r.i % 9 AS cc,
+                     ((doc_id % 40) * 31 + (r.i % 9) * 7 + (r.i // 9) * 13) % 200
+                       + CASE WHEN r.i % 9 = doc_id // 40 AND r.i // 9 = doc_id // 40
+                              THEN 50 ELSE 0 END AS v
+              FROM documents, range(72) r(i) WHERE doc_id < 200),
+            bits AS (
+              SELECT a.doc_id, a.cr * 8 + a.cc AS bit_i,
+                     CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+              FROM cells a JOIN cells b
+                ON a.doc_id = b.doc_id AND a.cr = b.cr AND b.cc = a.cc + 1
+              WHERE a.cc < 8),
+            hex AS (
+              SELECT doc_id, printf('%08x%08x',
+                CAST(sum(CASE WHEN bit_i >= 32
+                  THEN CAST(bit AS BIGINT) << (bit_i - 32) ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN bit_i < 32
+                  THEN CAST(bit AS BIGINT) << bit_i ELSE 0 END) AS BIGINT)) AS hx
+              FROM bits GROUP BY doc_id),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+              FROM bits x JOIN bits y ON x.bit_i = y.bit_i AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+              HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3)
+            SELECT p.doc_a, p.doc_b, p.hamming, ha.hx AS hash_a, hb.hx AS hash_b
+            FROM pairs p
+            JOIN hex ha ON ha.doc_id = p.doc_a
+            JOIN hex hb ON hb.doc_id = p.doc_b
+            ORDER BY doc_a, doc_b"""))
 }

@@ -30,7 +30,7 @@ object Pipeline extends QModule {
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
     d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
-    d60UrlDedup, d61CollapsedClusters, t78ShardPlan)
+    d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest)
 
   import QTables.{docs, emb}
 
@@ -2014,4 +2014,67 @@ object Pipeline extends QModule {
              SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
                     CAST(min(doc_id) AS BIGINT) AS kept_id
              FROM c GROUP BY canonical_url ORDER BY canonical_url"""))
+
+  /** WARC/WET ingestion ([[graft.sources.Warc]]): the gate builds a
+    * real 4-archive mini-crawl — response records (HTTP head + HTML
+    * body) and conversion (WET) records, two archives per-record-
+    * gzipped, two plain — then runs the distributed file-per-task
+    * scan, the HTTP head/body split, and the WET text decode, joining
+    * both views per document. The oracle replays payload construction
+    * from the documents table (UTF-8 octet lengths + md5), so a
+    * framing slip, a member-boundary bug, or a head/body split error
+    * all hash-mismatch. Fixture I/O is driver-side; the scan under
+    * test is the executor path used at crawl scale.
+    */
+  val t79WarcIngest = Q(
+    "t79_warc_ingest",
+    (s, dir) => {
+      import graft.sources.Warc
+      val rows = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val tmp = java.nio.file.Files.createTempDirectory("t79")
+      val archives = (0 until 4).map { k =>
+        val recs = rows.filter(_._1 % 4 == k).sortBy(_._1).toSeq
+          .flatMap { case (id, text) =>
+            val uri = s"http://crawl.test/doc/$id"
+            val date = "2026-08-14T00:00:00Z"
+            val html = s"<html><body>$text</body></html>".getBytes("UTF-8")
+            val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+              .getBytes("US-ASCII") ++ html
+            val wet = text.getBytes("UTF-8")
+            Seq(
+              Warc.WarcRecord("", "response", s"<urn:uuid:resp-$id>", uri, date,
+                "application/http; msgtype=response", http.length.toLong, http),
+              Warc.WarcRecord("", "conversion", s"<urn:uuid:conv-$id>", uri, date,
+                "text/plain", wet.length.toLong, wet))
+          }
+        val ext = if (k % 2 == 0) "warc.gz" else "warc"
+        val path = tmp.resolve(s"crawl-$k.$ext").toString
+        Warc.writeArchive(path, recs)
+        path
+      }
+      val recs = Warc.read(s, archives)
+      val html = Warc.httpResponses(recs)
+        .select(col("target_uri"), col("http_status"),
+          length(col("body")).cast("bigint").as("html_len"),
+          md5(col("body")).as("html_md5"))
+      val wet = Warc.wetTexts(recs)
+        .select(col("target_uri"),
+          length(encode(col("text"), "UTF-8")).cast("bigint").as("wet_len"),
+          md5(encode(col("text"), "UTF-8")).as("wet_md5"))
+      html.join(wet, "target_uri")
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long"))
+        .select(col("doc_id"), col("http_status"), col("html_len"),
+          col("html_md5"), col("wet_len"), col("wet_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(200 AS INT) AS http_status,
+            CAST(strlen('<html><body>' || text || '</body></html>') AS BIGINT)
+              AS html_len,
+            md5('<html><body>' || text || '</body></html>') AS html_md5,
+            CAST(strlen(text) AS BIGINT) AS wet_len,
+            md5(text) AS wet_md5
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
 }

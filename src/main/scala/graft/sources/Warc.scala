@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.zarr.SerializableHadoopConf
+
+/** WARC / WET web-archive ingestion (ISO 28500 — the Common Crawl
+  * container), pure JVM.
+  *
+  * The 100 TB posture: a crawl is tens of thousands of ~1 GiB
+  * `.warc.gz` files; per-record gzip members make the files
+  * non-splittable, so the unit of parallelism is the FILE — each task
+  * streams one archive end to end (constant memory: records decode
+  * one at a time off the stream, never the whole file). The path list
+  * arrives as a Dataset (a manifest table at scale, a listing
+  * helper locally); `spark.hadoopConfiguration` serializes into the
+  * executor-side `FileSystem` handles, so local dirs, s3a://, gs://
+  * and abfs:// all read through the same code path.
+  *
+  * Parsing is strict and loud (the engine's no-silently-wrong
+  * posture): a record must open with `WARC/1.0` or `WARC/1.1`, carry
+  * a `Content-Length`, and close with CRLF CRLF — anything else
+  * raises with the file and byte offset. Multi-member gzip is
+  * handled by `GZIPInputStream`'s native member concatenation.
+  */
+object Warc {
+
+  final case class WarcRecord(
+      file: String,
+      record_type: String, // warcinfo | request | response | conversion | ...
+      record_id: String,
+      target_uri: String, // "" when absent (e.g. warcinfo)
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte])
+
+  // ---- record stream parser ----
+
+  /** Read one CRLF-terminated ASCII header line; None at clean EOF. */
+  private def readLine(in: InputStream): Option[String] = {
+    val buf = new ByteArrayOutputStream(96)
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    if (b < 0) throw new EOFException("EOF inside a WARC header line")
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+            else bytes.length
+    Some(new String(bytes, 0, n, US_ASCII))
+  }
+
+  private def readFully(in: InputStream, n: Long, file: String): Array[Byte] = {
+    require(n <= Int.MaxValue, s"$file: record payload $n exceeds 2 GiB")
+    val out = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < out.length) {
+      val r = in.read(out, off, out.length - off)
+      if (r < 0) throw new EOFException(
+        s"$file: EOF at $off of ${out.length} payload bytes")
+      off += r
+    }
+    out
+  }
+
+  /** Parse every record in one (already-decompressed) WARC stream. */
+  def parseStream(in: InputStream, file: String): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var done = false
+      private def advance(): Unit = {
+        // skip blank lines between records (some writers pad)
+        var first: Option[String] = readLine(in)
+        while (first.exists(_.isEmpty)) first = readLine(in)
+        first match {
+          case None => done = true
+          case Some(v) =>
+            require(v == "WARC/1.0" || v == "WARC/1.1",
+              s"$file: expected WARC/1.0|1.1 version line, got '$v'")
+            var headers = Map.empty[String, String]
+            var line = readLine(in).getOrElse(
+              throw new EOFException(s"$file: EOF inside WARC headers"))
+            while (line.nonEmpty) {
+              val i = line.indexOf(':')
+              require(i > 0, s"$file: malformed WARC header '$line'")
+              headers += line.substring(0, i).trim.toLowerCase ->
+                line.substring(i + 1).trim
+              line = readLine(in).getOrElse(
+                throw new EOFException(s"$file: EOF inside WARC headers"))
+            }
+            val len = headers.getOrElse("content-length",
+              throw new IllegalArgumentException(
+                s"$file: record missing Content-Length")).toLong
+            val payload = readFully(in, len, file)
+            // the two record-terminating CRLFs
+            (0 until 2).foreach { _ =>
+              val t = readLine(in).getOrElse(
+                throw new EOFException(s"$file: EOF at record terminator"))
+              require(t.isEmpty, s"$file: expected blank record terminator, got '$t'")
+            }
+            nextRec = WarcRecord(
+              file = file,
+              record_type = headers.getOrElse("warc-type", ""),
+              record_id = headers.getOrElse("warc-record-id", ""),
+              target_uri = headers.getOrElse("warc-target-uri", ""),
+              warc_date = headers.getOrElse("warc-date", ""),
+              content_type = headers.getOrElse("content-type", ""),
+              content_length = len,
+              payload = payload)
+        }
+      }
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): WarcRecord = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  private def openMaybeGz(path: String, hconf: SerializableHadoopConf): InputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val raw = new BufferedInputStream(p.getFileSystem(hconf.value).open(p), 1 << 16)
+    if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+  }
+
+  /** Distributed WARC scan: one task per archive file. */
+  def read(spark: SparkSession, paths: Seq[String]): Dataset[WarcRecord] = {
+    import spark.implicits._
+    require(paths.nonEmpty, "empty WARC path list")
+    val hconf = SerializableHadoopConf.fromActiveSession()
+    spark.createDataset(paths)
+      .repartition(paths.length) // file = split (gz members aren't splittable)
+      .flatMap(p => parseStream(openMaybeGz(p, hconf), p))
+  }
+
+  /** List `*.warc` / `*.warc.gz` under a directory (Hadoop FS). */
+  def listArchives(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".warc") ||
+        s.getPath.getName.endsWith(".warc.gz")))
+      .map(_.getPath.toString).sorted
+  }
+
+  // ---- HTTP payload split (response records) ----
+
+  /** Split an `application/http` response payload into (head, body):
+    * scan for the first CRLFCRLF. Returns None when the payload is
+    * not an HTTP response head.
+    */
+  def httpSplit(payload: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (payload.length < 5 || !new String(payload, 0, 5, US_ASCII).startsWith("HTTP/"))
+      return None
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') {
+        val head = new String(payload, 0, i, US_ASCII)
+        return Some((head, payload.slice(i + 4, payload.length)))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `response` records → (target_uri, http_status, http_content_type,
+    * body). Non-HTTP response payloads refuse loudly.
+    */
+  def httpResponses(records: Dataset[WarcRecord]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.filter(_.record_type == "response").map { r =>
+      val (head, body) = httpSplit(r.payload).getOrElse(
+        throw new IllegalArgumentException(
+          s"${r.file}: response record ${r.record_id} payload is not HTTP"))
+      val lines = head.split("\r\n")
+      val status = lines.head.split(" ")(1).toInt
+      val ctype = lines.tail.collectFirst {
+        case l if l.toLowerCase.startsWith("content-type:") =>
+          l.substring(13).trim
+      }.getOrElse("")
+      (r.target_uri, status, ctype, body)
+    }.toDF("target_uri", "http_status", "http_content_type", "body")
+  }
+
+  /** `conversion` (WET) records → (target_uri, text). */
+  def wetTexts(records: Dataset[WarcRecord]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.filter(_.record_type == "conversion")
+      .map(r => (r.target_uri, new String(r.payload, UTF_8)))
+      .toDF("target_uri", "text")
+  }
+
+  // ---- writer (fixtures, round-trips, re-sharding jobs) ----
+
+  /** Encode one record, CRLF framing per ISO 28500. */
+  def encodeRecord(r: WarcRecord): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: ${r.record_type}\r\n")
+    sb.append(s"WARC-Record-ID: ${r.record_id}\r\n")
+    sb.append(s"WARC-Date: ${r.warc_date}\r\n")
+    if (r.target_uri.nonEmpty) sb.append(s"WARC-Target-URI: ${r.target_uri}\r\n")
+    sb.append(s"Content-Type: ${r.content_type}\r\n")
+    sb.append(s"Content-Length: ${r.payload.length}\r\n\r\n")
+    sb.toString.getBytes(US_ASCII) ++ r.payload ++ "\r\n\r\n".getBytes(US_ASCII)
+  }
+
+  /** Write records to one archive; `.gz` path → one gzip MEMBER per
+    * record (the Common Crawl layout, so readers can skip records by
+    * offset).
+    */
+  def writeArchive(path: String, records: Seq[WarcRecord],
+      hconf: Option[SerializableHadoopConf] = None): Unit = {
+    val conf = hconf.map(_.value).getOrElse(
+      SerializableHadoopConf.fromActiveSession().value)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(conf).create(p, true)
+    try {
+      records.foreach { r =>
+        val bytes = encodeRecord(r)
+        if (path.endsWith(".gz")) {
+          val g = new GZIPOutputStream(out, 1 << 14)
+          g.write(bytes); g.finish(); g.flush()
+        } else out.write(bytes)
+      }
+    } finally out.close()
+  }
+}
