@@ -76,4 +76,76 @@ object LangModel {
         round(sum(col("logp")) / count(lit(1)), 6).as("avg_logp"),
         round(exp(-sum(col("logp")) / count(lit(1))), 6).as("ppl"))
   }
+
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 18) — the smoothing production LM
+    * filters actually use (KenLM's default), replacing add-one's
+    * vocabulary-sized flattening with absolute discounting plus a
+    * continuation-probability backoff:
+    *
+    *   p(b|a) = (max(c(a,b)−D, 0) + D·N1+(a·)·pc(b)) / c(a·)
+    *   pc(b)  = N1+(·b) / T      (distinct left-contexts of b over
+    *                              total distinct bigram types)
+    *
+    * with D = 0.75 (exact in binary, so the discount adds no float
+    * noise), pc(b) floored at 1/(V+1) for words never seen as a
+    * bigram right (the unknown-continuation mass), and an unseen left
+    * context backing off to pc(b) alone.
+    *
+    * Scale shape mirrors [[perplexity]]: ALL count tables (c1, N1+
+    * left and right, T) derive from the one c2 aggregation — one
+    * bigram-key shuffle for training, then map-side-joinable lookups;
+    * T and V are collected scalars (metadata-sized, loud refusal on
+    * an empty slice). Corpus scoring is the same three LEFT joins.
+    */
+  def knPerplexity(docs: DataFrame, trainMaxId: Long, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val d = docs
+      .select(col(idCol).cast("long").as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bg = d.select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("a"),
+          element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
+    // one training aggregation; every model table derives from it
+    val c2 = bg.filter(col("doc_id") < trainMaxId)
+      .groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val left = c2.groupBy("a").agg(
+      sum(col("c2")).as("c1"), count(lit(1)).as("n1a"))
+    val right = c2.groupBy("b").agg(count(lit(1)).as("nb"))
+    val t: Long = c2.count()
+    require(t > 0, s"empty KN training slice (no docs below id $trainMaxId " +
+      "have bigrams) — every score would be meaningless")
+    val v: Long = docs
+      .select(col(idCol).cast("long").as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(col("doc_id") < trainMaxId)
+      .select(explode(col("ws")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+      .head().getLong(0)
+
+    val pcb = when(col("nb").isNotNull, col("nb").cast("double") / t)
+      .otherwise(lit(1.0) / (v + 1))
+    val seenLeft = col("c1").isNotNull
+    val disc = lit(discount)
+    val logp = when(seenLeft,
+        log((greatest(coalesce(col("c2"), lit(0L)).cast("double") - disc, lit(0.0))
+          + disc * col("n1a") * col("pcb")) / col("c1")))
+      .otherwise(log(col("pcb")))
+
+    bg.join(c2, Seq("a", "b"), "left")
+      .join(left, Seq("a"), "left")
+      .join(right, Seq("b"), "left")
+      .withColumn("pcb", pcb)
+      .withColumn("logp", logp)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        sum(when(col("c2").isNull, 1).otherwise(0)).cast("int").as("n_unseen"),
+        sum(when(col("c1").isNull, 1).otherwise(0)).cast("int").as("n_backoff"),
+        round(sum(col("logp")) / count(lit(1)), 6).as("avg_logp"),
+        round(exp(-sum(col("logp")) / count(lit(1))), 6).as("ppl"))
+  }
 }

@@ -26,7 +26,7 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
-    m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash)
+    m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif)
 
   import QTables.{docs, emb}
 
@@ -826,4 +826,53 @@ object LlmOps extends QModule {
             JOIN hex ha ON ha.doc_id = p.doc_a
             JOIN hex hb ON hb.doc_id = p.doc_b
             ORDER BY doc_a, doc_b"""))
+
+  /** JPEG EXIF metadata walk ([[graft.ops.Exif]]): real imageio-
+    * encoded JPEGs are stamped with an Exif APP1 (TIFF IFD0 + Exif
+    * sub-IFD; even ids little-endian, odd big-endian, ASCII values
+    * both inline and heap-offset, RATIONAL/SHORT/LONG types all on
+    * the path) and re-parsed by the segment walker — which stops at
+    * SOS, never touching entropy-coded data. Every output is a
+    * closed-form fact the oracle replays, so an endianness slip, an
+    * offset-vs-inline confusion, or a sub-IFD pointer bug all
+    * hash-mismatch.
+    */
+  val m61JpegExif = Q(
+    "m61_jpeg_exif_meta",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Exif
+      val stamped = Multimodal.syntheticJpeg(docs(s, dir).filter(col("doc_id") < 200))
+        .as[(Long, Array[Byte])]
+        .map { case (id, jpeg) =>
+          val m = Exif.ExifMeta(
+            make = "Cam" + (id % 5), model = "Mod" + (id % 3),
+            orientation = (id % 8 + 1).toInt,
+            date_time = f"2026:08:${id % 28 + 1}%02d 12:00:00",
+            exposure_num = 1, exposure_den = 50 + id % 200,
+            fnumber_num = 28 + id % 50, fnumber_den = 10,
+            iso = (100 + (id % 8) * 50).toInt,
+            focal_num = 50 * (1 + id % 4), focal_den = 1,
+            pixel_x = 16, pixel_y = 16)
+          (id, Exif.stampJpeg(jpeg, m, littleEndian = id % 2 == 0))
+        }.toDF("doc_id", "media")
+      Exif.extract(s, stamped)
+        .map { case (id, m) => (id, m.make, m.model, m.orientation, m.date_time,
+          m.exposure_den, m.fnumber_num, m.iso, m.focal_num, m.pixel_x, m.pixel_y) }
+        .toDF("doc_id", "make", "model", "orientation", "date_time",
+          "exposure_den", "fnumber_x10", "iso", "focal_mm", "pixel_x", "pixel_y")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+            'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+            'Mod' || CAST(doc_id % 3 AS VARCHAR) AS model,
+            CAST(doc_id % 8 + 1 AS INT) AS orientation,
+            '2026:08:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+              || ' 12:00:00' AS date_time,
+            CAST(50 + doc_id % 200 AS BIGINT) AS exposure_den,
+            CAST(28 + doc_id % 50 AS BIGINT) AS fnumber_x10,
+            CAST(100 + (doc_id % 8) * 50 AS INT) AS iso,
+            CAST(50 * (1 + doc_id % 4) AS BIGINT) AS focal_mm,
+            CAST(16 AS BIGINT) AS pixel_x, CAST(16 AS BIGINT) AS pixel_y
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
 }

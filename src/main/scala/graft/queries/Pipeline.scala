@@ -30,7 +30,8 @@ object Pipeline extends QModule {
     s55MmrRerank, d55IncrementalScreen, t71HeavyHitters, d56EditJoin,
     d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
-    d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest)
+    d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest,
+    t80HtmlExtract, t81KnPerplexity)
 
   import QTables.{docs, emb}
 
@@ -2077,4 +2078,101 @@ object Pipeline extends QModule {
             CAST(strlen(text) AS BIGINT) AS wet_len,
             md5(text) AS wet_md5
             FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+
+  /** HTML → text extraction ([[graft.ops.Html]]): each doc renders
+    * into a full page (title, style + script elements with markup-
+    * looking code inside, heading, escaped body text, a comment
+    * hiding markup, a footer with named/decimal/hex entities); the
+    * single-pass state machine must drop script/style/comments/tags,
+    * decode entities, collapse ASCII whitespace, and emit block
+    * boundaries as lines. The oracle replays the expected extract in
+    * closed form — title and h1 lines, the body text (whitespace-
+    * collapse replayed as the RE2 class the kernel mirrors), and the
+    * decoded footer — so any state-machine slip hash-mismatches.
+    */
+  val t80HtmlExtract = Q(
+    "t80_html_extract",
+    (s, dir) => {
+      import s.implicits._
+      val pages = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val html = s"<html><head><title>Doc $id</title>" +
+            "<style>p > span { color: #333; }</style>" +
+            "<script>if (a < b && c > d) { run('<div>'); }</script></head>" +
+            s"""<body><h1 class="t">Doc $id</h1><p>$esc</p>""" +
+            "<!-- <p>not text</p> --><div>footer &amp; caf&#233;&#x21;</div>" +
+            "</body></html>"
+          (id, html)
+        }.toDF("doc_id", "html")
+      graft.ops.Html.extract(s, pages)
+        .select(col("doc_id"),
+          md5(col("text")).as("extract_md5"),
+          length(encode(col("text"), "UTF-8")).cast("bigint").as("extract_bytes"),
+          size(split(col("text"), "\n", -1)).as("n_lines"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH x AS (
+              SELECT doc_id,
+                'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) ||
+                trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) || chr(10) ||
+                'footer & café!' AS ext
+              FROM documents WHERE doc_id < 300)
+            SELECT doc_id, md5(ext) AS extract_md5,
+                   CAST(strlen(ext) AS BIGINT) AS extract_bytes,
+                   CAST(length(string_split(ext, chr(10))) AS INT) AS n_lines
+            FROM x ORDER BY doc_id"""))
+
+  /** Interpolated Kneser–Ney bigram perplexity
+    * ([[graft.ops.LangModel.knPerplexity]]): the KenLM-default
+    * smoothing production perplexity filters rank on — absolute
+    * discount D=0.75 plus continuation-probability backoff — trained
+    * on the doc_id<50 slice like t64's add-one twin so the two
+    * smoothers are directly comparable on the same corpus. The oracle
+    * replays every count table (all derived from the one bigram
+    * aggregation), the continuation floor 1/(V+1), and the exact
+    * IEEE expression shape; scores round to 6dp per house rules.
+    */
+  val t81KnPerplexity = Q(
+    "t81_kn_perplexity",
+    (s, dir) => graft.ops.LangModel.knPerplexity(docs(s, dir), trainMaxId = 50)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                     unnest(list_transform(range(len(ws) - 1),
+                       i -> struct_pack(a := ws[CAST(i + 1 AS INT)],
+                                        b := ws[CAST(i + 2 AS INT)]))) AS p
+                   FROM d WHERE len(ws) >= 2),
+            g AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+            c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2n
+                   FROM g WHERE doc_id < 50 GROUP BY a, b),
+            lft AS (SELECT a, CAST(sum(c2n) AS BIGINT) AS c1n,
+                           CAST(count(*) AS BIGINT) AS n1a
+                    FROM c2 GROUP BY a),
+            rgt AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM c2 GROUP BY b),
+            tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2),
+            v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                  FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id < 50)),
+            sc AS (SELECT g.doc_id, c2.c2n, lft.c1n, lft.n1a,
+                     CASE WHEN rgt.nb IS NOT NULL THEN CAST(rgt.nb AS DOUBLE) / tt.t
+                          ELSE 1.0 / (v.v + 1) END AS pcb
+                   FROM g LEFT JOIN c2 ON g.a = c2.a AND g.b = c2.b
+                          LEFT JOIN lft ON g.a = lft.a
+                          LEFT JOIN rgt ON g.b = rgt.b
+                          CROSS JOIN tt CROSS JOIN v),
+            lp AS (SELECT doc_id, c2n, c1n,
+                     CASE WHEN c1n IS NOT NULL THEN
+                       ln((greatest(CAST(COALESCE(c2n, 0) AS DOUBLE) - 0.75, 0.0)
+                           + 0.75 * n1a * pcb) / c1n)
+                     ELSE ln(pcb) END AS logp
+                   FROM sc)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c2n IS NULL THEN 1 ELSE 0 END) AS INT) AS n_unseen,
+                   CAST(sum(CASE WHEN c1n IS NULL THEN 1 ELSE 0 END) AS INT) AS n_backoff,
+                   round(sum(logp) / count(*), 6) AS avg_logp,
+                   round(exp(-sum(logp) / count(*)), 6) AS ppl
+            FROM lp GROUP BY doc_id ORDER BY doc_id"""))
 }
