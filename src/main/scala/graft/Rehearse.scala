@@ -45,6 +45,10 @@ object Rehearse {
         ops.DedupRehearsal.run(spark,
           args.lift(1).map(_.toLong).getOrElse(200000L),
           boilerplate = args.lift(2).map(_.toLong).getOrElse(3000L))
+      case "crawl" =>
+        sources.CrawlRehearsal.run(spark,
+          args.lift(1).map(_.toLong).getOrElse(200000L),
+          args.lift(2).map(_.toInt).getOrElse(64))
       case other => throw new IllegalArgumentException(s"unknown rehearsal: $other")
     }
     println(s"""{"rehearsal":"${args(0)}","sec":${BigDecimal(sec)

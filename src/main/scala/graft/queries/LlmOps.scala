@@ -26,7 +26,8 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
-    m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif)
+    m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
+    m62ImageDupClusters)
 
   import QTables.{docs, emb}
 
@@ -875,4 +876,62 @@ object LlmOps extends QModule {
             CAST(50 * (1 + doc_id % 4) AS BIGINT) AS focal_mm,
             CAST(16 AS BIGINT) AS pixel_x, CAST(16 AS BIGINT) AS pixel_y
             FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+
+  /** Image duplicate clusters: m60's banded-Hamming pair graph fed
+    * through the SAME two-stage union-find every text dedup cluster
+    * uses ([[graft.ops.TextDedup.connectedComponents]]) — one CC
+    * implementation serves text and image modalities. The fixture
+    * graph is dense (planted variants plus cross-group hash
+    * coincidences), so this also exercises CC well away from the
+    * sparse text regime. Oracle: the m60 bit replay chained into a
+    * recursive-CTE transitive closure with min-label components.
+    */
+  val m62ImageDupClusters = Q(
+    "m62_image_dup_clusters",
+    (s, dir) => {
+      import graft.ops.ImageDedup
+      val h = ImageDedup.hashes(s,
+        Multimodal.syntheticPpmCells(docs(s, dir).filter(col("doc_id") < 200)))
+      val pairs = ImageDedup.nearDupPairs(h, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"))
+      TextDedup.connectedComponents(pairs, h.select(col("doc_id")))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id")))
+          .cast("bigint"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+            cells AS (
+              SELECT doc_id, r.i // 9 AS cr, r.i % 9 AS cc,
+                     ((doc_id % 40) * 31 + (r.i % 9) * 7 + (r.i // 9) * 13) % 200
+                       + CASE WHEN r.i % 9 = doc_id // 40 AND r.i // 9 = doc_id // 40
+                              THEN 50 ELSE 0 END AS v
+              FROM documents, range(72) r(i) WHERE doc_id < 200),
+            bits AS (
+              SELECT a.doc_id, a.cr * 8 + a.cc AS bit_i,
+                     CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+              FROM cells a JOIN cells b
+                ON a.doc_id = b.doc_id AND a.cr = b.cr AND b.cc = a.cc + 1
+              WHERE a.cc < 8),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bits x JOIN bits y ON x.bit_i = y.bit_i AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+              HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT u AS a, v AS b FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            ),
+            lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                    FROM reach GROUP BY a)
+            SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+                   CAST(count(*) OVER (
+                     PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS BIGINT)
+                     AS cluster_size
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+            LEFT JOIN lab l ON d.doc_id = l.doc_id
+            ORDER BY d.doc_id"""))
 }

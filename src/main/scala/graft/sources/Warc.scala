@@ -214,10 +214,13 @@ object Warc {
 
   /** Write records to one archive; `.gz` path → one gzip MEMBER per
     * record (the Common Crawl layout, so readers can skip records by
-    * offset).
+    * offset). `level` is the deflate effort (1 = fastest, 9 = best,
+    * -1 = zlib default): re-shard jobs that only re-bucket records
+    * can drop to 1 — each member pays a fresh Deflater, so level
+    * dominates writer CPU.
     */
   def writeArchive(path: String, records: Seq[WarcRecord],
-      hconf: Option[SerializableHadoopConf] = None): Unit = {
+      hconf: Option[SerializableHadoopConf] = None, level: Int = -1): Unit = {
     val conf = hconf.map(_.value).getOrElse(
       SerializableHadoopConf.fromActiveSession().value)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -226,7 +229,9 @@ object Warc {
       records.foreach { r =>
         val bytes = encodeRecord(r)
         if (path.endsWith(".gz")) {
-          val g = new GZIPOutputStream(out, 1 << 14)
+          val g = new GZIPOutputStream(out, 1 << 14) {
+            if (level >= 0) `def`.setLevel(level)
+          }
           g.write(bytes); g.finish(); g.flush()
         } else out.write(bytes)
       }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * rehearsal key in a fresh JVM/session (no 132-query suite ahead of
   * it) so a tail-context reading can be separated from a real plan
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
-  * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann | pyramid | pyramid_gauss.
+  * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann | pyramid | pyramid_gauss | crawl.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -39,6 +39,10 @@ object RehearseOne {
       case "pyramid_gauss" =>
         graft.operators.PyramidRehearsal.run(spark,
           method = graft.meta.Model.Method.ItkwasmGaussian)
+      case "crawl" =>
+        graft.sources.CrawlRehearsal.run(spark,
+          if (args.length > 1) args(1).toLong else 200000L,
+          if (args.length > 2) args(2).toInt else 64)
       case other => sys.error(s"unknown rehearsal key '$other'")
     }
     println(f"""{"rehearsal":"$key","sec":$secs%.3f}""")
