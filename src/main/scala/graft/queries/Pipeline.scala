@@ -31,7 +31,7 @@ object Pipeline extends QModule {
     d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
     d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest,
-    t80HtmlExtract, t81KnPerplexity)
+    t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff)
 
   import QTables.{docs, emb}
 
@@ -2175,4 +2175,111 @@ object Pipeline extends QModule {
                    round(sum(logp) / count(*), 6) AS avg_logp,
                    round(exp(-sum(logp) / count(*)), 6) AS ppl
             FROM lp GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** robots.txt crawl-compliance filter ([[graft.ops.Robots]], RFC
+    * 9309): six URL classes run the full decision surface — directory
+    * disallow, deeper allow override, `*`/`$` wildcard disallow,
+    * allow-over-shorter-disallow, longer-disallow-over-allow, and the
+    * no-match default — against a fixed two-group policy (the agent
+    * falls to the `*` group, so the wildcard rules are live). The
+    * oracle pins each class's decision and winning rule, so a
+    * matcher slip, a precedence inversion, or a group-selection bug
+    * flips a class and hash-mismatches.
+    */
+  val t82RobotsFilter = Q(
+    "t82_robots_filter",
+    (s, dir) => {
+      import graft.ops.Robots
+      val robots =
+        """User-agent: *
+          |Disallow: /private/
+          |Allow: /private/public/
+          |Disallow: /*.pdf$
+          |Allow: /articles/
+          |Disallow: /articles/draft
+          |
+          |User-agent: graftbot
+          |Disallow: /
+          |""".stripMargin
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 6 === 0, concat(lit("/private/x"), col("doc_id")))
+            .when(col("doc_id") % 6 === 1, concat(lit("/private/public/y"), col("doc_id")))
+            .when(col("doc_id") % 6 === 2, concat(lit("/doc"), col("doc_id"), lit(".pdf")))
+            .when(col("doc_id") % 6 === 3, concat(lit("/articles/"), col("doc_id")))
+            .when(col("doc_id") % 6 === 4, concat(lit("/articles/draft"), col("doc_id")))
+            .otherwise(concat(lit("/other/"), col("doc_id")))).as("path"))
+      Robots.allowFilter(s, urls, robots, "otherbot")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+            CASE doc_id % 6
+              WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/private/public/y' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+              WHEN 3 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+              WHEN 4 THEN '/articles/draft' || CAST(doc_id AS VARCHAR)
+              ELSE '/other/' || CAST(doc_id AS VARCHAR) END AS path,
+            CASE doc_id % 6
+              WHEN 1 THEN true WHEN 3 THEN true WHEN 5 THEN true
+              ELSE false END AS allowed,
+            CASE doc_id % 6
+              WHEN 0 THEN '/private/'
+              WHEN 1 THEN '/private/public/'
+              WHEN 2 THEN '/*.pdf$'
+              WHEN 3 THEN '/articles/'
+              WHEN 4 THEN '/articles/draft'
+              ELSE '' END AS rule
+            FROM documents ORDER BY doc_id"""))
+
+  /** Charset sniff + transcode ([[graft.ops.Charsets]]): six payload
+    * classes run the whole WHATWG-core detection ladder — the three
+    * BOMs (consumed, never decoded into text), a `<meta charset>`
+    * Latin-1 page, a `charset=`-in-content-type Windows-1252 page
+    * with curly quotes (bytes 0x93/0x94 — the cp1252-vs-Latin-1
+    * distinguisher), and undeclared valid UTF-8. The oracle rebuilds
+    * each decoded text and pins the canonical charset name, so a BOM
+    * slip, a registry-alias miss, or a validation bug all
+    * hash-mismatch.
+    */
+  val t83CharsetSniff = Q(
+    "t83_charset_sniff",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Charsets
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val u = s"Grade $id αβγ café"
+        val payload: Array[Byte] = (id % 6) match {
+          case 0 => Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+            u.getBytes("UTF-8")
+          case 1 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++ u.getBytes("UTF-16LE")
+          case 2 => Array[Byte](0xFE.toByte, 0xFF.toByte) ++ u.getBytes("UTF-16BE")
+          case 3 => (s"""<meta charset="iso-8859-1">Grade $id caf""" + "é ±")
+            .getBytes("ISO-8859-1")
+          case 4 => (s"""<meta content="text/html; charset=windows-1252">Grade $id """ +
+            "“café”").getBytes("windows-1252")
+          case _ => u.getBytes("UTF-8")
+        }
+        (id, payload)
+      }.toDF("doc_id", "media")
+      Charsets.transcode(s, media)
+        .select(col("doc_id"), col("charset"), md5(col("text")).as("text_md5"),
+          length(col("text")).cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH x AS (SELECT doc_id,
+              CASE doc_id % 6
+                WHEN 3 THEN '<meta charset="iso-8859-1">Grade '
+                  || CAST(doc_id AS VARCHAR) || ' café ±'
+                WHEN 4 THEN '<meta content="text/html; charset=windows-1252">Grade '
+                  || CAST(doc_id AS VARCHAR) || ' “café”'
+                ELSE 'Grade ' || CAST(doc_id AS VARCHAR) || ' αβγ café' END AS text,
+              CASE doc_id % 6
+                WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE' WHEN 2 THEN 'UTF-16BE'
+                WHEN 3 THEN 'ISO-8859-1' WHEN 4 THEN 'windows-1252'
+                ELSE 'UTF-8' END AS charset
+              FROM documents)
+            SELECT doc_id, charset, md5(text) AS text_md5,
+                   CAST(length(text) AS INT) AS n_chars
+            FROM x ORDER BY doc_id"""))
 }

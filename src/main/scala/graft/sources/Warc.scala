@@ -121,7 +121,8 @@ object Warc {
       }
     }
 
-  private def openMaybeGz(path: String, hconf: SerializableHadoopConf): InputStream = {
+  /** Open one archive for streaming parse (gz-transparent). */
+  def openMaybeGz(path: String, hconf: SerializableHadoopConf): InputStream = {
     val p = new org.apache.hadoop.fs.Path(path)
     val raw = new BufferedInputStream(p.getFileSystem(hconf.value).open(p), 1 << 16)
     if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw

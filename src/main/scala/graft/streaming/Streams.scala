@@ -62,6 +62,45 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates("canonical_url")
 
+  /** Streaming WARC crawl ingest: archive PATHS arrive on a stream (a
+    * manifest topic/directory — exactly how crawls announce new
+    * segments; the archives themselves are non-splittable gz, so the
+    * path is the unit of streaming work like it is the unit of batch
+    * parallelism). Each micro-batch statelessly parses its archives
+    * ([[graft.sources.Warc.parseStream]]), splits HTTP responses, and
+    * keeps the FIRST sighting per canonical URL with WARC-Date as
+    * event time — so a re-crawl of the same page inside the watermark
+    * dedups at ingest, with state bounded by the window's distinct-URL
+    * count. Batch and streaming share the canonicalize projection and
+    * the WARC parser, so corpus-time and ingest-time results agree.
+    *
+    * Output: (url, canonical_url, ts, http_status, html).
+    */
+  def crawlIngest(spark: SparkSession, paths: Dataset[String],
+      watermark: String = "24 hours"): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Warc
+    val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+    paths.flatMap { p =>
+      Warc.parseStream(Warc.openMaybeGz(p, hconf), p)
+        .filter(_.record_type == "response")
+        .map { r =>
+          val (head, body) = Warc.httpSplit(r.payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"$p: response record ${r.record_id} payload is not HTTP"))
+          val status = head.split("\r\n").head.split(" ")(1).toInt
+          (r.target_uri, r.warc_date, status,
+            new String(body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }.toDF("url", "warc_date", "http_status", "html")
+      .withColumn("ts", to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"))
+      .withColumn("canonical_url", graft.ops.Urls.canonicalize(col("url")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("canonical_url")
+      .select(col("url"), col("canonical_url"), col("ts"),
+        col("http_status"), col("html"))
+  }
+
   /** Watermarked stream-stream interval join: match each event on
     * stream A to events on stream B for the same user within
     * `within` AFTER it. State on both sides is bounded by the

@@ -417,4 +417,41 @@ class StreamsSpec extends SparkSpec {
     assert(got(3L) == (("srcB", 3L, 3L)))
     assert(got(5L) == (("srcA", 4L, 10L))) // cross-batch cumulative
   }
+
+  test("streaming crawl ingest first-sights canonical URLs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Warc
+    val tmp = java.nio.file.Files.createTempDirectory("crawlstream")
+    def rec(id: Long, url: String, date: String, body: String) = {
+      val html = body.getBytes("UTF-8")
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        .getBytes("US-ASCII") ++ html
+      Warc.WarcRecord("", "response", s"<urn:uuid:$id>", url, date,
+        "application/http; msgtype=response", http.length.toLong, http)
+    }
+    val a1 = tmp.resolve("a1.warc.gz").toString
+    Warc.writeArchive(a1, Seq(
+      rec(1, "https://www.example.com/page", "2026-08-14T00:00:00Z", "<p>first</p>"),
+      rec(2, "https://example.com/other", "2026-08-14T00:01:00Z", "<p>other</p>")))
+    val a2 = tmp.resolve("a2.warc.gz").toString
+    Warc.writeArchive(a2, Seq(
+      // same canonical as rec 1: www + fragment differences
+      rec(3, "https://example.com/page#frag", "2026-08-14T01:00:00Z", "<p>recrawl</p>"),
+      rec(4, "https://example.com/new", "2026-08-14T01:01:00Z", "<p>new</p>")))
+    val mem = MemoryStream[String]
+    val q = Streams.crawlIngest(spark, mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("crawl_ingest").start()
+    mem.addData(a1)
+    q.processAllAvailable()
+    mem.addData(a2)
+    q.processAllAvailable()
+    val got = spark.table("crawl_ingest").collect()
+      .map(r => r.getString(1) -> r.getString(4)).toMap
+    q.stop()
+    assert(got.size == 3) // the re-crawl of /page is dropped
+    assert(got("https://example.com/page") == "<p>first</p>") // first sighting wins
+    assert(got.keySet == Set("https://example.com/page",
+      "https://example.com/other", "https://example.com/new"))
+  }
 }
