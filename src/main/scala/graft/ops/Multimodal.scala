@@ -564,6 +564,41 @@ object Multimodal {
     }).toDF("doc_id", "media")
   }
 
+  /** 650-sample WAVs (65 windows of exactly 10) with planted audio
+    * near-dups for [[AudioFp]]: effective id e = id−1 when
+    * id mod 4 = 3 (else id), sample s(i) = ((e·7919 + i·104729 + p)
+    * mod 65536) − 32768 — the 104729 stride wraps ~0.6× per sample,
+    * so window energies scatter per (e, window) and distinct ids get
+    * DIVERSE fingerprints (a slow stride makes every id's energy
+    * profile identical and the pair graph degenerate-complete). The
+    * perturbation p = 9999 applies only to the variant's window
+    * ⌊i/10⌋ = e mod 60, so a variant differs from its base in ONE
+    * window's energy — at most the two adjacent comparison bits.
+    */
+  def syntheticWavPlanted(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val n = 650
+      val rate = 8000
+      val e = if (id % 4 == 3) id - 1 else id
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0
+      while (i < n) {
+        val p = if (id % 4 == 3 && i / 10 == e % 60) 9999L else 0L
+        bb.putShort((((e * 7919 + i * 104729L + p) % 65536) - 32768).toShort)
+        i += 1
+      }
+      (id, bb.array())
+    }).toDF("doc_id", "media")
+  }
+
   def syntheticWav(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

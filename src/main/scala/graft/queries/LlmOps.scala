@@ -27,7 +27,7 @@ object LlmOps extends QModule {
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
-    m62ImageDupClusters)
+    m62ImageDupClusters, m63AudioFpDedup)
 
   import QTables.{docs, emb}
 
@@ -934,4 +934,58 @@ object LlmOps extends QModule {
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
             LEFT JOIN lab l ON d.doc_id = l.doc_id
             ORDER BY d.doc_id"""))
+
+  /** Audio near-dup via the energy-difference fingerprint
+    * ([[graft.ops.AudioFp]]): REAL WAV decode → 65-window exact
+    * integer energies → 64-bit difference hash → the SAME banded
+    * Hamming join images use. Planted variants perturb ONE window's
+    * samples (≤ 2 bits), and the oracle replays every sample, window
+    * energy, hash bit, and the full Hamming-≤-3 pair set — a window-
+    * boundary slip, an energy overflow, or a band-recall gap all
+    * hash-mismatch.
+    */
+  val m63AudioFpDedup = Q(
+    "m63_audio_fp_neardup",
+    (s, dir) => {
+      import graft.ops.{AudioFp, ImageDedup}
+      val h = AudioFp.hashes(s,
+        Multimodal.syntheticWavPlanted(docs(s, dir).filter(col("doc_id") < 200)))
+      ImageDedup.nearDupPairs(h, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          ImageDedup.hashHex(col("hash_a")).as("fp_a"),
+          ImageDedup.hashHex(col("hash_b")).as("fp_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 3 THEN doc_id - 1 ELSE doc_id END AS e
+                 FROM documents WHERE doc_id < 200),
+            s AS (SELECT d.doc_id, i.i AS i,
+                    (d.e * 7919 + i.i * 104729 +
+                     CASE WHEN d.doc_id % 4 = 3 AND i.i // 10 = d.e % 60
+                          THEN 9999 ELSE 0 END) % 65536 - 32768 AS v
+                  FROM d, range(650) i(i)),
+            en AS (SELECT doc_id, i // 10 AS w, CAST(sum(v * v) AS BIGINT) AS nrg
+                   FROM s GROUP BY doc_id, i // 10),
+            bits AS (SELECT a.doc_id, CAST(a.w AS INT) AS bit_i,
+                       CASE WHEN a.nrg < b.nrg THEN 1 ELSE 0 END AS bit
+                     FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                     WHERE a.w < 64),
+            hex AS (SELECT doc_id, printf('%08x%08x',
+                      CAST(sum(CASE WHEN bit_i >= 32
+                        THEN CAST(bit AS BIGINT) << (bit_i - 32) ELSE 0 END) AS BIGINT),
+                      CAST(sum(CASE WHEN bit_i < 32
+                        THEN CAST(bit AS BIGINT) << bit_i ELSE 0 END) AS BIGINT)) AS hx
+                    FROM bits GROUP BY doc_id),
+            pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT)
+                          AS hamming
+                      FROM bits x JOIN bits y
+                        ON x.bit_i = y.bit_i AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2
+                      HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3)
+            SELECT p.doc_a, p.doc_b, p.hamming, ha.hx AS fp_a, hb.hx AS fp_b
+            FROM pairs p
+            JOIN hex ha ON ha.doc_id = p.doc_a
+            JOIN hex hb ON hb.doc_id = p.doc_b
+            ORDER BY doc_a, doc_b"""))
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AudioFpSpec extends SparkSpec {
+
+  /** Independent reference: window mean energies as exact rationals. */
+  private def refHash(samples: Array[Short]): Long = {
+    val n = samples.length
+    def win(w: Int): (BigInt, BigInt) = {
+      val i0 = w * n / 65
+      val i1 = math.max(i0 + 1, (w + 1) * n / 65)
+      val s = (i0 until i1).map(i => BigInt(samples(i).toLong) * samples(i)).sum
+      (s, BigInt(i1 - i0))
+    }
+    var h = 0L
+    for (b <- 0 until 64) {
+      val (sl, nl) = win(b); val (sr, nr) = win(b + 1)
+      if (sl * nr < sr * nl) h |= 1L << b
+    }
+    h
+  }
+
+  test("hash matches the exact-rational reference, divisible and ragged sizes") {
+    for (n <- Seq(650, 137, 65, 1000)) {
+      val s = Array.tabulate[Short](n)(i => (((i * 7919 + n * 13) % 65536) - 32768).toShort)
+      assert(AudioFp.energyDiffHash(s) === refHash(s), s"n=$n")
+    }
+    intercept[IllegalArgumentException] {
+      AudioFp.energyDiffHash(new Array[Short](64)) // below one sample/window
+    }
+  }
+
+  test("a one-window perturbation flips at most two bits") {
+    val base = Array.tabulate[Short](650)(i => (((i * 7) % 65536) - 32768).toShort)
+    val variant = base.clone()
+    for (i <- 300 until 310) // exactly window 30
+      variant(i) = (((i * 7 + 9999) % 65536) - 32768).toShort
+    val d = java.lang.Long.bitCount(
+      AudioFp.energyDiffHash(base) ^ AudioFp.energyDiffHash(variant))
+    assert(d <= 2 && d >= 0)
+  }
+
+  test("end-to-end: WAV decode -> fingerprint -> banded pairs = brute force") {
+    import spark.implicits._
+    val docs = (0L until 80L).toDF("doc_id")
+    val h = AudioFp.hashes(spark, Multimodal.syntheticWavPlanted(docs))
+    val hs = h.as[(Long, Long)].collect().toMap
+    assert(hs.size === 80)
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b)).toSet
+    val got = ImageDedup.nearDupPairs(h, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    // every planted (base, variant) pair is within radius
+    for (v <- 3L until 80L by 4L) assert(brute.contains((v - 1, v)), s"pair ${v - 1},$v")
+  }
+}
