@@ -14,7 +14,9 @@ object Plans {
     "s47_ann_lsh", "t52_redact_pii",
     "q39_asof_join", "t54_contamination", "d47_dup_clusters",
     "q42_percentile_disc", "d60_url_dedup", "d61_collapsed_clusters",
-    "t76_temperature_sample", "i71_scanner_volume")
+    "t76_temperature_sample", "i71_scanner_volume",
+    "m60_image_dhash_neardup", "t79_warc_ingest", "t81_kn_perplexity",
+    "t80_html_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

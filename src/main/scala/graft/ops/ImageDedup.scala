@@ -145,4 +145,32 @@ object ImageDedup {
   def hashHex(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     format_string("%08x%08x", shiftrightunsigned(h, 32),
       h.bitwiseAND(0xFFFFFFFFL))
+
+  /** Image duplicate clusters with EXACT-COLLAPSE first — the
+    * [[TextDedup.collapsedNearDupClusters]] lesson applied to images:
+    * byte-identical images (and distinct images with equal hashes —
+    * logos, letterboxes, thumbnails repeated millions of times in a
+    * crawl) form a zero-XOR clique whose C(B,2) pairs must never
+    * materialize. One representative (min doc id) per DISTINCT hash
+    * enters the banded join; components computed on reps; every doc
+    * inherits its representative's cluster.
+    *
+    * The partition is provably identical to the direct path: equal
+    * hashes ⇒ equal band words and equal Hamming distances to every
+    * other hash, so quotienting by the zero-distance clique preserves
+    * connectivity, and the component's min rep id IS the expanded
+    * cluster's min doc id (reps are per-hash minima).
+    *
+    * Output: (doc_id, rep_id, cluster_id).
+    */
+  def dupClusters(hashes: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val reps = hashes.groupBy(col("dhash")).agg(min(col("doc_id")).as("rep_id"))
+    val mem = hashes.join(reps, "dhash").select(col("doc_id"), col("rep_id"))
+    val repHashes = reps.select(col("rep_id").as("doc_id"), col("dhash"))
+    val pairs = nearDupPairs(repHashes, maxHamming, bands)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = TextDedup.connectedComponents(pairs, repHashes.select(col("doc_id")))
+    mem.join(cc.select(col("doc_id").as("rep_id"), col("cluster_id")), "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("cluster_id"))
+  }
 }

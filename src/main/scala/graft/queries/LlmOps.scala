@@ -892,9 +892,11 @@ object LlmOps extends QModule {
       import graft.ops.ImageDedup
       val h = ImageDedup.hashes(s,
         Multimodal.syntheticPpmCells(docs(s, dir).filter(col("doc_id") < 200)))
-      val pairs = ImageDedup.nearDupPairs(h, maxHamming = 3)
-        .select(col("doc_a"), col("doc_b"))
-      TextDedup.connectedComponents(pairs, h.select(col("doc_id")))
+      // the production path: exact-collapse identical hashes first —
+      // provably the same partition as the direct pair graph (spec-
+      // pinned in ImageDedupSpec), so the direct-CC oracle still holds
+      ImageDedup.dupClusters(h, maxHamming = 3)
+        .select(col("doc_id"), col("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id")))
           .cast("bigint"))

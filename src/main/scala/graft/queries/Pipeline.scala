@@ -31,7 +31,8 @@ object Pipeline extends QModule {
     d57ScreenAuto, t72Winnow, d58PrefixJoin, d59LineDedup, t73ChunkWindows,
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
     d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest,
-    t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff)
+    t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
+    t84SpanCorrupt)
 
   import QTables.{docs, emb}
 
@@ -2282,4 +2283,56 @@ object Pipeline extends QModule {
             SELECT doc_id, charset, md5(text) AS text_md5,
                    CAST(length(text) AS INT) AS n_chars
             FROM x ORDER BY doc_id"""))
+
+  /** Span-corruption sample generation ([[graft.ops.SpanCorrupt]]):
+    * the T5 pretraining objective as a pure Column program — md5-
+    * keyed deterministic masking (reproducible on any cluster or
+    * partitioning), consecutive masked tokens merged into numbered
+    * sentinels, target listing each sentinel's replaced tokens. The
+    * oracle replays every mask decision, the span numbering window,
+    * and both order-preserving reassemblies, so an off-by-one in
+    * position keys, a span-merge slip, or a reassembly ordering bug
+    * all hash-mismatch.
+    */
+  val t84SpanCorrupt = Q(
+    "t84_span_corrupt",
+    (s, dir) => graft.ops.SpanCorrupt.corrupt(
+        docs(s, dir).filter(col("doc_id") < 300))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                 FROM documents WHERE doc_id < 300),
+            toks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+                SELECT doc_id, unnest(list_transform(range(len(ws)), i ->
+                  struct_pack(pos := CAST(i AS INT),
+                              tok := ws[CAST(i + 1 AS INT)]))) AS u
+                FROM d) x),
+            m AS (SELECT doc_id, pos, tok,
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(pos AS VARCHAR)), 1, 2) < '26' AS masked
+                  FROM toks),
+            st AS (SELECT doc_id, pos, tok, masked,
+                     masked AND NOT COALESCE(lag(masked) OVER
+                       (PARTITION BY doc_id ORDER BY pos), false) AS is_start
+                   FROM m),
+            sp AS (SELECT doc_id, pos, tok, masked, is_start,
+                     sum(CASE WHEN is_start THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS span_id
+                   FROM st),
+            p AS (SELECT doc_id, pos, masked, span_id,
+                    CASE WHEN NOT masked THEN tok
+                         WHEN is_start THEN '<extra_id_'
+                           || CAST(span_id - 1 AS VARCHAR) || '>'
+                         ELSE NULL END AS in_piece,
+                    CASE WHEN masked AND is_start THEN '<extra_id_'
+                           || CAST(span_id - 1 AS VARCHAR) || '> ' || tok
+                         WHEN masked THEN tok ELSE NULL END AS tgt_piece
+                  FROM sp)
+            SELECT doc_id,
+                   COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS masked_text,
+                   COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
+                   CAST(count(*) AS INT) AS n_tokens,
+                   CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS INT) AS n_masked,
+                   CAST(max(span_id) AS INT) AS n_spans
+            FROM p GROUP BY doc_id ORDER BY doc_id"""))
 }

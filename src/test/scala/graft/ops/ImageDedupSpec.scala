@@ -89,6 +89,28 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("collapsed dupClusters partitions identically to the direct path") {
+    import spark.implicits._
+    // 60 hashes with planted zero-XOR cliques: ids 0-9 share hash A,
+    // 10-14 share hash B (1 bit from A), the rest scatter
+    val rnd = new scala.util.Random(7)
+    val a = rnd.nextLong()
+    val rows = (0L until 10L).map(i => (i, a)) ++
+      (10L until 15L).map(i => (i, a ^ 1L)) ++
+      (15L until 60L).map(i => (i, rnd.nextLong()))
+    val df = rows.toDF("doc_id", "dhash")
+    val collapsed = ImageDedup.dupClusters(df, maxHamming = 3)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    // direct path: full pair graph -> CC
+    val direct = TextDedup.connectedComponents(
+        ImageDedup.nearDupPairs(df, maxHamming = 3).select("doc_a", "doc_b"),
+        df.select("doc_id"))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(collapsed === direct)
+    // the two cliques are 1 bit apart -> one merged cluster labeled 0
+    assert((0L until 15L).forall(collapsed(_) == 0L))
+  }
+
   test("end-to-end: decode -> hash -> pairs on the PPM-cells fixture") {
     import spark.implicits._
     val docs = (0L until 120L).toDF("doc_id")
