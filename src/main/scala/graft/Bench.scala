@@ -266,6 +266,28 @@ object Bench {
         t
       }
 
+    // Image-dedup-at-scale rehearsal (one shot): 1M perceptual hashes
+    // through the collapsed dupClusters path — 100k planted 5-variant
+    // families recovered exactly, a 10k identical-hash clique that
+    // must collapse to ONE banded representative. Key `m_imgdedup1m`;
+    // opt out with SPARK_GRAFT_BENCH_IMGDEDUP=0.
+    val imgDedupSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_IMGDEDUP").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.ops.ImgDedupRehearsal.run(s,
+            sys.env.get("SPARK_GRAFT_BENCH_IMGDEDUP_N").map(_.toLong).getOrElse(1000000L))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] m_imgdedup1m failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // ANN-at-scale rehearsal (one shot): 1M clustered vectors through
     // the IVF cascade, recall-checked against distributed brute force
     // on the same queries — the embedding analogue of the pyramid and
@@ -306,7 +328,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"s_ann1m":${fmt(annSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -318,7 +340,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"s_ann1m":${fmt(annSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

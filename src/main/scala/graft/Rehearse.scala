@@ -49,6 +49,10 @@ object Rehearse {
         sources.CrawlRehearsal.run(spark,
           args.lift(1).map(_.toLong).getOrElse(200000L),
           args.lift(2).map(_.toInt).getOrElse(64))
+      case "imgdedup" =>
+        ops.ImgDedupRehearsal.run(spark,
+          args.lift(1).map(_.toLong).getOrElse(1000000L),
+          args.lift(2).map(_.toLong).getOrElse(10000L))
       case other => throw new IllegalArgumentException(s"unknown rehearsal: $other")
     }
     println(s"""{"rehearsal":"${args(0)}","sec":${BigDecimal(sec)

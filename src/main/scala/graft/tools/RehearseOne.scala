@@ -43,6 +43,10 @@ object RehearseOne {
         graft.sources.CrawlRehearsal.run(spark,
           if (args.length > 1) args(1).toLong else 200000L,
           if (args.length > 2) args(2).toInt else 64)
+      case "imgdedup" =>
+        graft.ops.ImgDedupRehearsal.run(spark,
+          if (args.length > 1) args(1).toLong else 1000000L,
+          if (args.length > 2) args(2).toLong else 10000L)
       case other => sys.error(s"unknown rehearsal key '$other'")
     }
     println(f"""{"rehearsal":"$key","sec":$secs%.3f}""")
