@@ -94,29 +94,33 @@ object Exif {
       case 1 | 2 | 7 => 1; case 3 => 2; case 4 | 9 => 4; case 5 | 10 => 8
       case x => throw new IllegalArgumentException(s"unsupported EXIF type $x")
     }
-    def dataOff(e: Entry): Int = {
+    def dataOff(e: Entry, need: Long): Int = {
       val bytes = typeSize(e.typ) * e.count
-      if (bytes <= 4) e.valOff else u32(e.valOff).toInt
+      val off = if (bytes <= 4) e.valOff.toLong else u32(e.valOff)
+      // a >= 2^31 offset would wrap negative in toInt and walk the
+      // String/ByteBuffer reads out of bounds UNCONTROLLED — bound it
+      // as a Long first (refuse-loudly contract, CrawlFuzzSpec)
+      require(off >= 0 && off + need <= t.length,
+        s"tag 0x${e.tag.toHexString}: value offset $off (+$need) outside EXIF payload")
+      off.toInt
     }
     def ascii(e: Entry): String = {
       require(e.typ == 2, s"tag 0x${e.tag.toHexString} not ASCII (type ${e.typ})")
-      val off = dataOff(e)
       val len = e.count.toInt
-      require(off + len <= t.length, s"ASCII value of 0x${e.tag.toHexString} truncated")
+      val off = dataOff(e, len.toLong)
       val raw = new String(t, off, len, "US-ASCII")
       if (raw.nonEmpty && raw.last == '\u0000') raw.init else raw
     }
-    def short(e: Entry): Int = { require(e.typ == 3); u16(dataOff(e)) }
+    def short(e: Entry): Int = { require(e.typ == 3); u16(dataOff(e, 2)) }
     def long32(e: Entry): Long = e.typ match {
       case 3 => short(e).toLong
-      case 4 => u32(dataOff(e))
+      case 4 => u32(dataOff(e, 4))
       case x => throw new IllegalArgumentException(
         s"tag 0x${e.tag.toHexString}: expected SHORT/LONG, got type $x")
     }
     def rational(e: Entry): (Long, Long) = {
       require(e.typ == 5, s"tag 0x${e.tag.toHexString} not RATIONAL (type ${e.typ})")
-      val off = dataOff(e)
-      require(off + 8 <= t.length, s"RATIONAL value of 0x${e.tag.toHexString} truncated")
+      val off = dataOff(e, 8)
       (u32(off), u32(off + 4))
     }
 

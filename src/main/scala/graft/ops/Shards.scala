@@ -48,4 +48,127 @@ object Shards {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+
+  // ---- WebDataset export (tar shards) ----
+
+  /** One deterministic ustar header block: mode 0644, uid/gid/mtime
+    * zero (same input ⇒ byte-identical shards — reproducible-build
+    * discipline for training data), standard checksum.
+    */
+  private[ops] def tarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.getBytes("US-ASCII").length <= 100, s"tar member name too long: $name")
+    val b = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val bytes = s.getBytes("US-ASCII")
+      System.arraycopy(bytes, 0, b, off, bytes.length)
+    }
+    put(0, name)
+    put(100, "0000644") // mode, NUL-terminated by the zero fill
+    put(108, "0000000") // uid
+    put(116, "0000000") // gid
+    put(124, f"$size%011o") // size, 11 octal digits
+    put(136, "00000000000") // mtime 0
+    java.util.Arrays.fill(b, 148, 156, ' '.toByte) // chksum as spaces
+    b(156) = '0' // typeflag: regular file
+    put(257, "ustar")
+    b(262) = 0; put(263, "00") // POSIX version
+    val sum = b.map(_ & 0xff).sum
+    put(148, f"$sum%06o")
+    b(154) = 0; b(155) = ' '
+    b
+  }
+
+  /** Write the corpus as WebDataset-style tar shards
+    * (`shard-NNNNN.tar`, one member `<pos>.<id>.txt` per document in
+    * shard order). The plan is [[shardPlan]]'s — same one-shuffle
+    * shape — and each task streams its shard(s) to the Hadoop FS
+    * (local dirs, s3a://, gs:// alike); hash-partitioning may land
+    * two shard ids in one task, so the writer rolls files on the
+    * sorted shard boundary.
+    */
+  def writeTarShards(docs: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text", nShards: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+    shardPlan(docs, idCol, nShards)
+      .select(col("shard"), col("pos"), col(idCol).cast("long").as("id"),
+        col(textCol).as("text"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .as[(Int, Long, Long, String)]
+      .foreachPartition { (it: Iterator[(Int, Long, Long, String)]) =>
+        var out: java.io.OutputStream = null
+        var current = -1
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero end-blocks
+          out.close(); out = null
+        }
+        it.foreach { case (shard, pos, id, text) =>
+          if (shard != current) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(f"$dir/shard-$shard%05d.tar")
+            out = p.getFileSystem(hconf.value).create(p, true)
+            current = shard
+          }
+          val payload = text.getBytes("UTF-8")
+          out.write(tarHeader(f"$pos%09d.$id.txt", payload.length.toLong))
+          out.write(payload)
+          val pad = (512 - payload.length % 512) % 512
+          if (pad > 0) out.write(new Array[Byte](pad))
+        }
+        close()
+      }
+  }
+
+  /** Read every member of one tar shard: (name, bytes). Strict ustar
+    * walk — bad magic, truncated member, or missing end blocks refuse
+    * loudly.
+    */
+  def readTarShard(path: String,
+      hconf: graft.zarr.SerializableHadoopConf): Iterator[(String, Array[Byte])] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = new java.io.BufferedInputStream(p.getFileSystem(hconf.value).open(p), 1 << 16)
+    def block(): Array[Byte] = {
+      val b = new Array[Byte](512)
+      var off = 0
+      while (off < 512) {
+        val r = in.read(b, off, 512 - off)
+        require(r >= 0, s"$path: truncated tar block")
+        off += r
+      }
+      b
+    }
+    new Iterator[(String, Array[Byte])] {
+      private var nextMember: (String, Array[Byte]) = _
+      private var done = false
+      private def advance(): Unit = {
+        val h = block()
+        if (h.forall(_ == 0)) { done = true; in.close() }
+        else {
+          val magic = new String(h, 257, 5, "US-ASCII")
+          require(magic == "ustar", s"$path: bad tar magic '$magic'")
+          val name = new String(h.take(100).takeWhile(_ != 0), "US-ASCII")
+          val size = java.lang.Long.parseLong(
+            new String(h, 124, 11, "US-ASCII").trim, 8)
+          require(size >= 0 && size <= Int.MaxValue, s"$path: bad member size $size")
+          val data = new Array[Byte](size.toInt)
+          var off = 0
+          while (off < size) {
+            val r = in.read(data, off, size.toInt - off)
+            require(r >= 0, s"$path: truncated member $name")
+            off += r
+          }
+          val pad = ((512 - size % 512) % 512).toInt
+          if (pad > 0) { var s = 0L; while (s < pad) s += in.skip(pad - s) }
+          nextMember = (name, data)
+        }
+      }
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): (String, Array[Byte]) = {
+        val m = nextMember; advance(); m
+      }
+    }
+  }
 }

@@ -32,7 +32,7 @@ object Pipeline extends QModule {
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
     d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest,
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
-    t84SpanCorrupt)
+    t84SpanCorrupt, t85WebdatasetShards)
 
   import QTables.{docs, emb}
 
@@ -2335,4 +2335,51 @@ object Pipeline extends QModule {
                    CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS INT) AS n_masked,
                    CAST(max(span_id) AS INT) AS n_spans
             FROM p GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** WebDataset tar-shard export ([[graft.ops.Shards.writeTarShards]]):
+    * the t78 layout materialized in the format multimodal training
+    * loaders actually stream — one `shard-NNNNN.tar` per shard,
+    * member `<pos>.<id>.txt` per document, deterministic ustar
+    * headers (zero uid/gid/mtime) so identical input yields
+    * byte-identical shards. The gate writes distributed, reads every
+    * member back through the strict tar walker (one task per shard
+    * file), and re-derives (shard, pos) from member names; the
+    * oracle replays the shard hash, the within-shard order, and each
+    * member's byte length + md5 from the documents table.
+    */
+  val t85WebdatasetShards = Q(
+    "t85_webdataset_shards",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Shards
+      val tmp = java.nio.file.Files.createTempDirectory("t85").toString
+      Shards.writeTarShards(docs(s, dir), tmp, nShards = 8)
+      val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val files = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(p).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".tar")).sorted
+      s.createDataset(files).repartition(files.length)
+        .flatMap { f =>
+          val shard = f.split("shard-")(1).take(5).toInt
+          Shards.readTarShard(f, hconf).map { case (name, bytes) =>
+            val parts = name.split("\\.")
+            (parts(1).toLong, shard, parts(0).toLong, bytes)
+          }
+        }.toDF("doc_id", "shard", "pos", "content")
+        .select(col("doc_id"), col("shard"), col("pos"),
+          length(col("content")).cast("bigint").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                     AS BIGINT) % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                       AS BIGINT) % 8
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents ORDER BY doc_id"""))
 }

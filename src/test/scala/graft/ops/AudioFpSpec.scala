@@ -41,6 +41,21 @@ class AudioFpSpec extends SparkSpec {
     assert(d <= 2 && d >= 0)
   }
 
+  test("fingerprint is container-invariant: FLAC of the same samples matches WAV") {
+    import spark.implicits._
+    // same PCM through the WAV fixture and the pure-JVM FLAC encoder
+    val docs = (0L until 8L).toDF("doc_id")
+    val wavFp = AudioFp.hashes(spark, Multimodal.syntheticWavPlanted(docs))
+      .as[(Long, Long)].collect().toMap
+    val flacMedia = Multimodal.syntheticWavPlanted(docs).as[(Long, Array[Byte])]
+      .map { case (id, wav) =>
+        val samples = Multimodal.decodeWav(wav).samples
+        (id, Flac.encodeVerbatim(samples, 1, 8000))
+      }.toDF("doc_id", "media")
+    val flacFp = AudioFp.hashes(spark, flacMedia).as[(Long, Long)].collect().toMap
+    assert(flacFp === wavFp)
+  }
+
   test("end-to-end: WAV decode -> fingerprint -> banded pairs = brute force") {
     import spark.implicits._
     val docs = (0L until 80L).toDF("doc_id")

@@ -49,4 +49,45 @@ class ShardsSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("shard=")).sorted
     assert(dirs.toSeq == (0 until 4).map(i => s"shard=$i"))
   }
+
+  test("tar shards round-trip in plan order, byte-deterministically") {
+    import spark.implicits._
+    val df = (0L until 120L).map(i => (i, s"document number $i " + "x" * (i % 40).toInt))
+      .toDF("doc_id", "text")
+    val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+    val dirA = java.nio.file.Files.createTempDirectory("tarA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("tarB").toString
+    Shards.writeTarShards(df, dirA, nShards = 4)
+    Shards.writeTarShards(df, dirB, nShards = 4)
+    val plan = Shards.shardPlan(df, nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byShard = plan.groupBy(_._2)
+    (0 until 4).foreach { k =>
+      val pa = f"$dirA/shard-$k%05d.tar"
+      // reproducible-build: both writes byte-identical
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pa))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$dirB/shard-$k%05d.tar"))
+      assert(java.util.Arrays.equals(a, b), s"shard $k not deterministic")
+      assert(a.length % 512 == 0)
+      // members stream in plan order with plan names and exact text
+      val members = Shards.readTarShard(pa, hconf).toList
+      val expect = byShard(k).sortBy(_._3)
+      assert(members.map(_._1) ===
+        expect.map { case (id, _, pos) => f"$pos%09d.$id.txt" }.toList)
+      members.zip(expect).foreach { case ((_, bytes), (id, _, _)) =>
+        assert(new String(bytes, "UTF-8").startsWith(s"document number $id "))
+      }
+    }
+    // the archives also open with a reference tar implementation: the
+    // JDK has none, so verify the ustar checksum invariant directly
+    val first = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dirA/shard-${0}%05d.tar")).take(512)
+    val stored = Integer.parseInt(new String(first, 148, 6, "US-ASCII"), 8)
+    val recomputed = first.zipWithIndex.map { case (b, i) =>
+      if (i >= 148 && i < 156) ' '.toInt else b & 0xff
+    }.sum
+    assert(stored === recomputed, "ustar checksum mismatch")
+  }
 }
