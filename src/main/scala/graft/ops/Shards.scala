@@ -121,6 +121,55 @@ object Shards {
       }
   }
 
+  /** WebDataset MULTIMODAL samples: several members per document
+    * sharing the `<pos>.<id>` key prefix (the WebDataset grouping
+    * convention — a loader reassembles a sample from adjacent members
+    * with one key), e.g. `.txt` caption + `.ppm` image. `memberCols`
+    * maps extension → binary/string column. Same deterministic ustar
+    * discipline and shard rolling as [[writeTarShards]].
+    */
+  def writeTarSampleShards(docs: DataFrame, dir: String,
+      memberCols: Seq[(String, String)], idCol: String = "doc_id",
+      nShards: Int = 16): Unit = {
+    require(memberCols.nonEmpty, "need at least one member column")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+    val binCols = memberCols.map { case (_, c) =>
+      // strings encode as UTF-8; binaries pass through
+      when(lit(true), col(c).cast("binary")).as(c)
+    }
+    shardPlan(docs, idCol, nShards)
+      .select(Seq(col("shard"), col("pos"), col(idCol).cast("long").as("__id")) ++
+        binCols: _*)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var out: java.io.OutputStream = null
+        var current = -1
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)); out.close(); out = null
+        }
+        it.foreach { row =>
+          val shard = row.getInt(0); val pos = row.getLong(1); val id = row.getLong(2)
+          if (shard != current) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(f"$dir/shard-$shard%05d.tar")
+            out = p.getFileSystem(hconf.value).create(p, true)
+            current = shard
+          }
+          memberCols.zipWithIndex.foreach { case ((ext, _), k) =>
+            val payload = row.getAs[Array[Byte]](3 + k)
+            out.write(tarHeader(f"$pos%09d.$id.$ext", payload.length.toLong))
+            out.write(payload)
+            val pad = (512 - payload.length % 512) % 512
+            if (pad > 0) out.write(new Array[Byte](pad))
+          }
+        }
+        close()
+      }
+  }
+
   /** Read every member of one tar shard: (name, bytes). Strict ustar
     * walk — bad magic, truncated member, or missing end blocks refuse
     * loudly.

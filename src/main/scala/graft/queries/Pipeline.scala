@@ -32,7 +32,7 @@ object Pipeline extends QModule {
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
     d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest,
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
-    t84SpanCorrupt, t85WebdatasetShards)
+    t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal)
 
   import QTables.{docs, emb}
 
@@ -2382,4 +2382,64 @@ object Pipeline extends QModule {
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal WebDataset samples
+    * ([[graft.ops.Shards.writeTarSampleShards]]): each document ships
+    * as TWO adjacent tar members sharing the `<pos>.<id>` key — a
+    * `.txt` caption and a `.ppm` image — the grouping convention
+    * multimodal loaders reassemble samples from. The gate writes
+    * paired shards, reads every member back, and verifies key
+    * adjacency (both members under one pos), caption md5, image byte
+    * length, and binary image round-trip fidelity (read-back md5
+    * equals the source blob's — computed Spark-side since the oracle
+    * cannot build raw binary, then pinned as a boolean the oracle
+    * asserts). Placement replays the t78 hash layout.
+    */
+  val t86WebdatasetMultimodal = Q(
+    "t86_webdataset_multimodal",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{Multimodal, Shards}
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+      val media = Multimodal.syntheticPpm(d)
+      val paired = d.select(col("doc_id"), col("text")).join(media, "doc_id")
+      val tmp = java.nio.file.Files.createTempDirectory("t86").toString
+      Shards.writeTarSampleShards(paired, tmp,
+        Seq("txt" -> "text", "ppm" -> "media"), nShards = 4)
+      val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val files = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(p).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".tar")).sorted
+      val members = s.createDataset(files).repartition(files.length)
+        .flatMap { f =>
+          Shards.readTarShard(f, hconf).map { case (name, bytes) =>
+            val parts = name.split("\\.")
+            (parts(1).toLong, parts(0).toLong, parts(2), bytes)
+          }
+        }.toDF("doc_id", "pos", "ext", "content")
+      val txt = members.filter(col("ext") === "txt")
+        .select(col("doc_id"), col("pos"), md5(col("content")).as("txt_md5"))
+      val img = members.filter(col("ext") === "ppm")
+        .select(col("doc_id"), col("pos").as("img_pos"),
+          length(col("content")).cast("bigint").as("img_bytes"),
+          md5(col("content")).as("img_md5_rb"))
+      val src = media.select(col("doc_id"), md5(col("media")).as("img_md5_src"))
+      txt.join(img, "doc_id").join(src, "doc_id")
+        .select(col("doc_id"), col("pos"),
+          (col("pos") === col("img_pos")).as("same_key"),
+          col("txt_md5"), col("img_bytes"),
+          (col("img_md5_rb") === col("img_md5_src")).as("img_roundtrip"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                       AS BIGINT) % 4
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
+                   true AS same_key,
+                   md5(text) AS txt_md5,
+                   CAST(83 AS BIGINT) AS img_bytes,
+                   true AS img_roundtrip
+            FROM documents WHERE doc_id < 300 ORDER BY doc_id"""))
 }
