@@ -124,4 +124,82 @@ class PropertySpec extends SparkSpec {
     assert(got == expected,
       s"missing ${(expected -- got).take(5)}; extra ${(got -- expected).take(5)}")
   }
+
+  test("HTML escape -> wrap -> extract inverts to whitespace-collapsed text") {
+    // For ANY text: escaping &<>, wrapping in <p>, and extracting must
+    // return the ASCII-ws-collapsed trim of the original — the
+    // algebraic contract the t80 oracle leans on.
+    def collapse(s: String): String =
+      s.replaceAll("[ \t\n\r\f]+", " ").replaceAll("^ | $", "")
+    val noisy = for {
+      base <- textGen
+      inject <- Gen.listOfN(3, Gen.oneOf("&", "<", ">", "&amp;-looking", "\t", "\n"))
+    } yield base + inject.mkString(" ")
+    samples(noisy, 400).foreach { t =>
+      val esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      assert(Html.extractText(s"<p>$esc</p>") === collapse(t), s"text '$t'")
+    }
+  }
+
+  test("robots decisions are always witnessed by a matching rule") {
+    // For random rule sets and paths: an (allow, rule) verdict must
+    // cite a rule that actually matches, with no LONGER matching rule
+    // of the opposite polarity — the precedence contract stated
+    // operationally.
+    val pathGen = for {
+      segs <- Gen.listOfN(3, Gen.oneOf("a", "b", "ab", "x1"))
+      tail <- Gen.oneOf("", ".pdf", "/")
+    } yield "/" + segs.mkString("/") + tail
+    val ruleGen = for {
+      allow <- Gen.oneOf(true, false)
+      p <- Gen.oneOf("/a/", "/a/b", "/*.pdf$", "/b", "/x1*", "/a/*/ab")
+    } yield Robots.Rule(allow, p)
+    val cases = samples(Gen.zip(Gen.listOfN(4, ruleGen), pathGen), 400)
+    cases.foreach { case (rules, path) =>
+      val (allowed, rule) = Robots.decide(rules, path)
+      if (rule.isEmpty) {
+        assert(allowed, s"default must allow: $rules $path")
+        assert(!rules.exists(r => Robots.pathMatches(r.path, path)))
+      } else {
+        val winner = rules.find(r => r.path == rule && r.allow == allowed)
+        assert(winner.isDefined, s"verdict cites no rule: $rules $path")
+        assert(Robots.pathMatches(rule, path), s"winner doesn't match: $rule $path")
+        rules.filter(r => Robots.pathMatches(r.path, path)).foreach { r =>
+          assert(r.path.length < rule.length ||
+            (r.path.length == rule.length) || r.allow == allowed,
+            s"longer opposite-polarity rule ignored: $r vs $rule on $path")
+        }
+      }
+    }
+  }
+
+  test("span corruption is a bijection: splice(target into input) == text") {
+    val docGen = for {
+      n <- Gen.chooseNum(1, 80)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    import spark.implicits._
+    val docs = samples(docGen, 150).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val rows = SpanCorrupt.corrupt(docs.toDF("doc_id", "text"))
+      .as[(Long, String, String, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    docs.foreach { case (id, text) =>
+      val (_, in, tgt, _, _, _) = rows(id)
+      val spans = scala.collection.mutable.Map.empty[Int, List[String]]
+      var cur = -1
+      tgt.split(" ").filter(_.nonEmpty).foreach {
+        case s if s.startsWith("<extra_id_") =>
+          cur = s.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(cur) = Nil
+        case t => spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = in.split(" ").filter(_.nonEmpty).flatMap {
+        case s if s.startsWith("<extra_id_") && s.endsWith(">") &&
+          s.stripPrefix("<extra_id_").stripSuffix(">").forall(_.isDigit) =>
+          spans(s.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        case t => Seq(t)
+      }.mkString(" ")
+      assert(rebuilt === text, s"doc $id")
+    }
+  }
 }
