@@ -135,10 +135,8 @@ object Shards {
     val spark = docs.sparkSession
     import spark.implicits._
     val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
-    val binCols = memberCols.map { case (_, c) =>
-      // strings encode as UTF-8; binaries pass through
-      when(lit(true), col(c).cast("binary")).as(c)
-    }
+    // strings encode as UTF-8; binaries pass through
+    val binCols = memberCols.map { case (_, c) => col(c).cast("binary").as(c) }
     shardPlan(docs, idCol, nShards)
       .select(Seq(col("shard"), col("pos"), col(idCol).cast("long").as("__id")) ++
         binCols: _*)
