@@ -61,6 +61,38 @@ object Cli {
 
   /** The pipeline body, session-injected so tests can drive it. */
   def run(spark: SparkSession, args: Array[String]): Unit = {
+    // `corpus-build` subcommand: the crawl→training-shards pipeline
+    // (graft.ops.CorpusBuild) next to the reference-parity imaging
+    // path — Cli corpus-build <warcDirOrFiles> <outDir>
+    //   [--shards=N] [--quality=true|false] [--boilerplate-min-docs=N]
+    //   [--robots-file=path] [--user-agent=name]
+    if (args(0) == "corpus-build") {
+      require(args.length >= 3, "usage: Cli corpus-build <warcDir> <outDir> [--flags]")
+      val warcIn = args(1)
+      val outDir = args(2)
+      val opts = args.drop(3).flatMap { a =>
+        a.stripPrefix("--").split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      val archives =
+        if (warcIn.endsWith(".warc") || warcIn.endsWith(".warc.gz")) Seq(warcIn)
+        else graft.sources.Warc.listArchives(spark, warcIn)
+      val robots = opts.get("robots-file").map { p =>
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        (new String(bytes, "UTF-8"), opts.getOrElse("user-agent", "graftbot"))
+      }
+      val report = graft.ops.CorpusBuild.fromCrawl(spark, archives, outDir,
+        nShards = opts.get("shards").map(_.toInt).getOrElse(16),
+        boilerplateMinDocs = opts.get("boilerplate-min-docs").map(_.toInt).getOrElse(100),
+        robots = robots,
+        qualityGate = !opts.get("quality").contains("false"))
+      report.collect().foreach { r =>
+        println(s"[corpus-build] stage ${r.getInt(0)} ${r.getString(1)}: ${r.getLong(2)}")
+      }
+      return
+    }
     val input = args(0)
     val output = args(1)
     val opts = args.drop(2).flatMap { a =>

@@ -103,4 +103,20 @@ class CliSpec extends SparkSpec {
       yield ((x * 7 + y * 11 + z * 13) % 200).toDouble
     assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == want)
   }
+
+  test("corpus-build subcommand runs the crawl pipeline end to end") {
+    val crawl = java.nio.file.Files.createTempDirectory("cli_crawl").toString
+    graft.sources.CrawlRehearsal.writeCrawl(spark, crawl, 100L, nArchives = 2)
+    val out = java.nio.file.Files.createTempDirectory("cli_shards").toString
+    graft.Cli.run(spark, Array("corpus-build", crawl, out,
+      "--shards=2", "--quality=false", "--boilerplate-min-docs=50"))
+    val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+    val members = (0 until 2).flatMap { k =>
+      val p = f"$out/shard-$k%05d.tar"
+      if (new java.io.File(p).exists)
+        graft.ops.Shards.readTarShard(p, hconf).toList
+      else Nil
+    }
+    assert(members.size === 90) // 100 pages minus the 10 planted copies
+  }
 }
