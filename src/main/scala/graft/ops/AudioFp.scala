@@ -29,8 +29,10 @@ object AudioFp {
     val counts = new Array[Long](Windows)
     var w = 0
     while (w < Windows) {
-      val i0 = w * n / Windows
-      val i1 = math.max(i0 + 1, (w + 1) * n / Windows)
+      // Long arithmetic: w * n overflows Int past ~33.5M samples
+      // (a ~13-minute 44.1 kHz file) — the boundaries must not wrap
+      val i0 = (w.toLong * n / Windows).toInt
+      val i1 = math.max(i0 + 1, ((w + 1).toLong * n / Windows).toInt)
       var s = 0L
       var i = i0
       while (i < i1) {

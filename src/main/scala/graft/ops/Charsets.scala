@@ -75,6 +75,12 @@ object Charsets {
       (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_')) j += 1
     val name = head.substring(start, j)
     if (name.isEmpty) None
+    // WHATWG: a UTF-16 *declaration* found by an ASCII prescan proves
+    // the bytes are NOT UTF-16 (the prescan couldn't have read it
+    // otherwise) — honor it as UTF-8, the spec's mapping for exactly
+    // this common mislabeling, instead of producing mojibake
+    else if (name == "utf-16" || name == "utf-16le" || name == "utf-16be")
+      Some(Charset.forName("UTF-8"))
     else try Some(Charset.forName(name)) catch { case _: Exception => None }
   }
 

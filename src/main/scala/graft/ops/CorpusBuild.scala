@@ -23,6 +23,16 @@ import graft.sources.Warc
   */
 object CorpusBuild {
 
+  /** URL → robots-matchable path: scheme/authority strip is
+    * case-insensitive (schemes are case-insensitive per RFC 3986) and
+    * a path-less URL maps to "/" (RFC 9309: the empty path is the
+    * root — a `Disallow: /` must block `http://host`).
+    */
+  def urlPath(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stripped = regexp_replace(url, "(?i)^[a-z][a-z0-9+.-]*://[^/]*", "")
+    when(stripped === "", lit("/")).otherwise(stripped)
+  }
+
   /** Run the build; writes `shard-NNNNN.tar` under `outDir` and
     * returns the attrition report (stage_id, stage, n_docs).
     *
@@ -38,13 +48,15 @@ object CorpusBuild {
       qualityGate: Boolean = true): DataFrame = {
     import spark.implicits._
 
-    val recs = Warc.read(spark, archives)
-    val resp = Warc.httpResponses(recs)
+    // persist BEFORE the first count: the scan (decompress + parse of
+    // every archive) is the dominant stage and must run exactly once
+    val resp = Warc.httpResponses(Warc.read(spark, archives))
+      .select(col("target_uri").as("url"), col("http_status"), col("body"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFetched = resp.count()
 
     val ok = resp.filter(col("http_status") === 200)
-      .select(col("target_uri").as("url"), col("body"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("url"), col("body"))
     val nOk = ok.count()
 
     // stable ids from the canonical URL: dedups re-crawled spellings
@@ -54,9 +66,8 @@ object CorpusBuild {
       .withColumn("doc_id", xxhash64(col("canonical_url")))
     val robotsKept = robots match {
       case Some((txt, agent)) =>
-        val pathOf = regexp_replace(col("url"), "^[a-z]+://[^/]*", "")
         val decided = Robots.allowFilter(spark,
-          withId.select(col("doc_id"), pathOf.as("path")), txt, agent)
+          withId.select(col("doc_id"), urlPath(col("url")).as("path")), txt, agent)
         withId.join(decided.filter(col("allowed")).select("doc_id"), "doc_id")
       case None => withId
     }
@@ -105,7 +116,7 @@ object CorpusBuild {
 
     Shards.writeTarShards(finalDocs, outDir, nShards = nShards)
 
-    ok.unpersist(); extracted.unpersist(); cleaned.unpersist()
+    resp.unpersist(); extracted.unpersist(); cleaned.unpersist()
     Seq(
       (1, "fetched", nFetched),
       (2, "http_200", nOk),

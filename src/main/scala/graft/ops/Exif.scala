@@ -95,19 +95,22 @@ object Exif {
       case x => throw new IllegalArgumentException(s"unsupported EXIF type $x")
     }
     def dataOff(e: Entry, need: Long): Int = {
+      // a >= 2^31 offset or count would wrap negative in toInt and
+      // walk the String/ByteBuffer reads out of bounds UNCONTROLLED —
+      // bound BOTH as Longs first (refuse-loudly contract,
+      // CrawlFuzzSpec; `need` comes from the unsigned 32-bit count)
+      require(need >= 0 && need <= t.length,
+        s"tag 0x${e.tag.toHexString}: value size $need outside EXIF payload")
       val bytes = typeSize(e.typ) * e.count
       val off = if (bytes <= 4) e.valOff.toLong else u32(e.valOff)
-      // a >= 2^31 offset would wrap negative in toInt and walk the
-      // String/ByteBuffer reads out of bounds UNCONTROLLED — bound it
-      // as a Long first (refuse-loudly contract, CrawlFuzzSpec)
       require(off >= 0 && off + need <= t.length,
         s"tag 0x${e.tag.toHexString}: value offset $off (+$need) outside EXIF payload")
       off.toInt
     }
     def ascii(e: Entry): String = {
       require(e.typ == 2, s"tag 0x${e.tag.toHexString} not ASCII (type ${e.typ})")
+      val off = dataOff(e, e.count) // count stays Long until bounded
       val len = e.count.toInt
-      val off = dataOff(e, len.toLong)
       val raw = new String(t, off, len, "US-ASCII")
       if (raw.nonEmpty && raw.last == '\u0000') raw.init else raw
     }

@@ -136,7 +136,15 @@ object Html {
           val name = html.substring(nameStart, j).toLowerCase
           val close = tagEnd(html, j)
           if (name == "script" || name == "style") {
-            val endTag = indexOfIgnoreCase(html, "</" + name, close)
+            // HTML5: the element closes only at '</name' followed by
+            // whitespace, '/', or '>' — '</scripty>' inside a script
+            // must NOT end it (its text would leak into the corpus)
+            var endTag = indexOfIgnoreCase(html, "</" + name, close)
+            while (endTag >= 0 && {
+              val after = endTag + 2 + name.length
+              after < n && !isWs(html.charAt(after)) &&
+                html.charAt(after) != '/' && html.charAt(after) != '>'
+            }) endTag = indexOfIgnoreCase(html, "</" + name, endTag + 1)
             i = if (endTag < 0) n else tagEnd(html, endTag + 2 + name.length)
             pendingNl = true // script/style elements are block-level
           } else {

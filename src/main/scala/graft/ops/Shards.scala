@@ -206,8 +206,19 @@ object Shards {
             require(r >= 0, s"$path: truncated member $name")
             off += r
           }
+          // READ the padding rather than skip(): skip() returns 0 at
+          // EOF and would spin forever on a truncated tar — reads
+          // return -1 and refuse loudly like every other path here
           val pad = ((512 - size % 512) % 512).toInt
-          if (pad > 0) { var s = 0L; while (s < pad) s += in.skip(pad - s) }
+          if (pad > 0) {
+            val buf = new Array[Byte](pad)
+            var s = 0
+            while (s < pad) {
+              val r = in.read(buf, s, pad - s)
+              require(r >= 0, s"$path: truncated padding after member $name")
+              s += r
+            }
+          }
           nextMember = (name, data)
         }
       }

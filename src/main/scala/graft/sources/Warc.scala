@@ -169,6 +169,20 @@ object Warc {
     None
   }
 
+  private val statusRe = """HTTP/[0-9.]+\s+(\d{3})""".r
+
+  /** Status code from an HTTP head's first line; refuses with record
+    * context on the malformed heads real crawls contain (no space,
+    * double spaces, missing code) instead of an uncontrolled
+    * index/number error.
+    */
+  def httpStatus(head: String, context: String): Int =
+    statusRe.findPrefixMatchOf(head.split("\r\n").head) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalArgumentException(
+        s"$context: malformed HTTP status line '${head.split("\r\n").head.take(60)}'")
+    }
+
   /** `response` records → (target_uri, http_status, http_content_type,
     * body). Non-HTTP response payloads refuse loudly.
     */
@@ -179,9 +193,8 @@ object Warc {
       val (head, body) = httpSplit(r.payload).getOrElse(
         throw new IllegalArgumentException(
           s"${r.file}: response record ${r.record_id} payload is not HTTP"))
-      val lines = head.split("\r\n")
-      val status = lines.head.split(" ")(1).toInt
-      val ctype = lines.tail.collectFirst {
+      val status = httpStatus(head, s"${r.file} record ${r.record_id}")
+      val ctype = head.split("\r\n").tail.collectFirst {
         case l if l.toLowerCase.startsWith("content-type:") =>
           l.substring(13).trim
       }.getOrElse("")
@@ -226,14 +239,23 @@ object Warc {
       SerializableHadoopConf.fromActiveSession().value)
     val p = new org.apache.hadoop.fs.Path(path)
     val out = p.getFileSystem(conf).create(p, true)
+    // close-shielded view of the file stream, so each member's
+    // GZIPOutputStream can be close()'d — releasing its native
+    // Deflater immediately instead of leaking one per record until
+    // GC finalization (200k members = 200k zlib buffers otherwise)
+    val shield = new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len) // the default writes byte-at-a-time
+      override def close(): Unit = flush()
+    }
     try {
       records.foreach { r =>
         val bytes = encodeRecord(r)
         if (path.endsWith(".gz")) {
-          val g = new GZIPOutputStream(out, 1 << 14) {
+          val g = new GZIPOutputStream(shield, 1 << 14) {
             if (level >= 0) `def`.setLevel(level)
           }
-          g.write(bytes); g.finish(); g.flush()
+          g.write(bytes); g.close()
         } else out.write(bytes)
       }
     } finally out.close()

@@ -88,12 +88,15 @@ object Streams {
           val (head, body) = Warc.httpSplit(r.payload).getOrElse(
             throw new IllegalArgumentException(
               s"$p: response record ${r.record_id} payload is not HTTP"))
-          val status = head.split("\r\n").head.split(" ")(1).toInt
+          val status = Warc.httpStatus(head, s"$p record ${r.record_id}")
           (r.target_uri, r.warc_date, status,
             new String(body, java.nio.charset.StandardCharsets.UTF_8))
         }
     }.toDF("url", "warc_date", "http_status", "html")
-      .withColumn("ts", to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"))
+      // the ISO-8601 cast accepts BOTH WARC 1.0 seconds and WARC 1.1
+      // fractional seconds; a fixed ssX pattern nulls the latter and
+      // the watermark would silently drop whole 1.1 segments
+      .withColumn("ts", col("warc_date").cast("timestamp"))
       .withColumn("canonical_url", graft.ops.Urls.canonicalize(col("url")))
       .withWatermark("ts", watermark)
       .dropDuplicates("canonical_url")

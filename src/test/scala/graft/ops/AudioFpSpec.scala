@@ -31,6 +31,16 @@ class AudioFpSpec extends SparkSpec {
     }
   }
 
+  test("window boundaries survive >2^31/65 samples (no Int overflow)") {
+    // 34M samples: w*n would wrap negative in Int arithmetic
+    val n = 34000000
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) { s(i) = ((i * 31) % 65536 - 32768).toShort; i += 1 }
+    val h = AudioFp.energyDiffHash(s) // must not throw
+    assert(h == AudioFp.energyDiffHash(s)) // and be stable
+  }
+
   test("a one-window perturbation flips at most two bits") {
     val base = Array.tabulate[Short](650)(i => (((i * 7) % 65536) - 32768).toShort)
     val variant = base.clone()

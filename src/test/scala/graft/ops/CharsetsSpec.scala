@@ -22,6 +22,10 @@ class CharsetsSpec extends SparkSpec {
     // alias resolves to the canonical name
     val ali = "<meta charset=latin1>café"
     assert(Charsets.decode(ali.getBytes("ISO-8859-1"))._1 === "ISO-8859-1")
+    // WHATWG: a UTF-16 declaration readable by an ASCII prescan proves
+    // the bytes aren't UTF-16 — decode as UTF-8, not mojibake
+    val lie = "<meta charset=\"utf-16\">plain ascii body"
+    assert(Charsets.decode(lie.getBytes("US-ASCII")) === (("UTF-8", lie)))
   }
 
   test("strict UTF-8 validation") {

@@ -41,6 +41,17 @@ class CorpusBuildSpec extends SparkSpec {
     assert(members.size === (n - n / 10))
   }
 
+  test("robots path extraction: root URLs map to '/', schemes are case-insensitive") {
+    import spark.implicits._
+    val got = Seq(
+      "http://example.com", // no path: Disallow:/ must still see "/"
+      "HTTP://EXAMPLE.COM/x", // uppercase scheme must still strip
+      "https://h.test/a/b?q=1")
+      .toDF("url").select(CorpusBuild.urlPath(col("url")).as("p"))
+      .as[String].collect().toSeq
+    assert(got === Seq("/", "/x", "/a/b?q=1"))
+  }
+
   test("the quality gate drops stopword-free synthetic text; robots can veto all") {
     val n = 100L
     val dir = writeCrawl(n)

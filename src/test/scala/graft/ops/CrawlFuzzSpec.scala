@@ -75,6 +75,17 @@ class CrawlFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("outside EXIF payload"))
   }
 
+  test("a 2^31 ASCII count refuses controlled instead of wrapping negative") {
+    val bb = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(1)
+    bb.putShort(0x010F.toShort).putShort(2).putInt(0x80000000).putInt(8)
+    bb.putInt(0)
+    val e = intercept[IllegalArgumentException] { Exif.parseTiff(bb.array()) }
+    assert(e.getMessage.contains("outside EXIF payload"))
+  }
+
   test("Exif.parseTiff fails controlled on garbage") {
     (0 until 200).foreach { i =>
       val b = bytes(i, 8 + i % 300)

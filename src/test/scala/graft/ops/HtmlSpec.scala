@@ -20,6 +20,12 @@ class HtmlSpec extends SparkSpec {
     // case-insensitive close tag, attributes on the open tag
     assert(extractText("<p>a</p><SCRIPT type=\"text/javascript\">var x;</ScRiPt><p>b</p>")
       === "a\nb")
+    // HTML5 boundary: '</scripty>' does NOT close a script element
+    assert(extractText("""<p>a</p><script>x("</scripty>")</script><p>b</p>""")
+      === "a\nb")
+    assert(extractText("<p>a</p><style>s {}</styleX</style><p>b</p>") === "a\nb")
+    // whitespace/slash after the name DO close it
+    assert(extractText("<p>a</p><script>x</script ><p>b</p>") === "a\nb")
   }
 
   test("comments drop, including markup inside them") {

@@ -90,4 +90,17 @@ class ShardsSpec extends SparkSpec {
     }.sum
     assert(stored === recomputed, "ustar checksum mismatch")
   }
+
+  test("a tar truncated inside member padding refuses instead of hanging") {
+    val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
+    val payload = "short".getBytes("UTF-8")
+    val full = Shards.tarHeader("000000001.1.txt", payload.length.toLong) ++ payload
+    // cut BEFORE the 512-padding completes (and before end blocks)
+    val tmp = java.nio.file.Files.createTempFile("trunc", ".tar")
+    java.nio.file.Files.write(tmp, full ++ new Array[Byte](100))
+    val e = intercept[IllegalArgumentException] {
+      Shards.readTarShard(tmp.toString, hconf).toList
+    }
+    assert(e.getMessage.contains("truncated padding"))
+  }
 }

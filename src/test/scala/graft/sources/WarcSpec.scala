@@ -77,6 +77,28 @@ class WarcSpec extends SparkSpec {
     assert(wet === "wet text")
   }
 
+  test("malformed HTTP status lines refuse with record context") {
+    val tmp = java.nio.file.Files.createTempDirectory("warc")
+    def respRec(id: Long, head: String) = {
+      val payload = (head + "\r\n\r\nbody").getBytes("US-ASCII")
+      Warc.WarcRecord("", "response", s"<urn:uuid:$id>", s"http://t/$id",
+        "2026-08-14T00:00:00Z", "application/http; msgtype=response",
+        payload.length.toLong, payload)
+    }
+    // double-space status (real crawl artifact) parses; no-status refuses
+    assert(Warc.httpStatus("HTTP/1.1  200 OK", "t") === 200)
+    assert(Warc.httpStatus("HTTP/1.0 404", "t") === 404)
+    val e = intercept[IllegalArgumentException] {
+      Warc.httpStatus("HTTP/1.1", "rec-9")
+    }
+    assert(e.getMessage.contains("rec-9"))
+    val p = tmp.resolve("bad.warc").toString
+    Warc.writeArchive(p, Seq(respRec(1, "HTTP/1.1")))
+    intercept[org.apache.spark.SparkException] { // wrapped executor-side
+      Warc.httpResponses(Warc.read(spark, Seq(p))).collect()
+    }
+  }
+
   test("malformed streams refuse loudly with the offending detail") {
     def parseAll(s: String) =
       Warc.parseStream(new ByteArrayInputStream(s.getBytes(US_ASCII)), "f").toList

@@ -438,7 +438,9 @@ class StreamsSpec extends SparkSpec {
     Warc.writeArchive(a2, Seq(
       // same canonical as rec 1: www + fragment differences
       rec(3, "https://example.com/page#frag", "2026-08-14T01:00:00Z", "<p>recrawl</p>"),
-      rec(4, "https://example.com/new", "2026-08-14T01:01:00Z", "<p>new</p>")))
+      // WARC 1.1 fractional-second date: must parse, not null out at
+      // the watermark
+      rec(4, "https://example.com/new", "2026-08-14T01:01:00.123456Z", "<p>new</p>")))
     val mem = MemoryStream[String]
     val q = Streams.crawlIngest(spark, mem.toDS()).writeStream
       .outputMode("append").format("memory").queryName("crawl_ingest").start()
