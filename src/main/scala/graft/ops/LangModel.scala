@@ -148,4 +148,40 @@ object LangModel {
         round(sum(col("logp")) / count(lit(1)), 6).as("avg_logp"),
         round(exp(-sum(col("logp")) / count(lit(1))), 6).as("ppl"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    * every doc with the add-one bigram LM, split the corpus into
+    * head / middle / tail thirds by perplexity, keep head+middle —
+    * the standard quality cut that drops the most-surprising third.
+    *
+    * Thresholds are the exact discrete tertiles of the 6dp-quantized
+    * perplexity (micro units), computed by the two-phase percentile
+    * machinery ([[Percentiles.twoPhaseDiscrete]]) — never a global
+    * sort or a single-task window — then collected (exactly 2 rows)
+    * and compared map-side. At 100 TB the scoring joins are the
+    * [[perplexity]] shapes (one bigram-key shuffle for training,
+    * broadcast-able count tables) and the cut itself is a projection.
+    *
+    * Output: (doc_id, ppl, bucket, keep), bucket ∈ head|middle|tail,
+    * keep = bucket ≠ tail. Boundary docs tie into the LOWER bucket
+    * (ppl ≤ threshold), deterministic on any engine.
+    */
+  def perplexityBuckets(docs: DataFrame, trainMaxId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = perplexity(docs, trainMaxId, idCol, textCol)
+      .select(col("doc_id"), col("ppl"),
+        expr("CAST(round(ppl * 1e6) AS BIGINT)").as("ppl_micro"))
+    val th = Percentiles.twoPhaseDiscrete(
+        scored.withColumn("g", lit(1)), "g", "ppl_micro",
+        qs = Seq(0.333333, 0.666667))
+      .collect().map(r => (r.getAs[Double]("q"), r.getAs[Long]("value"))).toMap
+    val (t1, t2) = (th(0.333333), th(0.666667))
+    scored
+      .withColumn("bucket",
+        when(col("ppl_micro") <= t1, "head")
+          .when(col("ppl_micro") <= t2, "middle")
+          .otherwise("tail"))
+      .withColumn("keep", col("bucket") =!= "tail")
+      .select("doc_id", "ppl", "bucket", "keep")
+  }
 }

@@ -149,6 +149,78 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Scalar-quantized (SQ8) approximate top-k — the int8 compression
+    * tier every production vector store ships (FAISS SQ8, Milvus,
+    * pgvector int8): each vector L2-normalizes, every component
+    * quantizes symmetrically to round(127·x̂) ∈ [−127, 127], and
+    * candidate generation ranks by the EXACT-integer quantized dot
+    * product (≈ 127²·cosine; SIMD-cheap at scale, 4× less memory
+    * traffic than float32). Only the oversampled shortlist
+    * (oversample·k per query) pays an exact float cosine rerank.
+    *
+    * Scale shape: quantized queries broadcast; the corpus scan emits
+    * |queries| integer scores per candidate with NO pair enumeration
+    * beyond the broadcast loop; the rerank joins the tiny shortlist
+    * (broadcast) back to the vector table, so exact float math
+    * touches oversample·k·|queries| rows only. Shortlist selection
+    * tie-breaks on (iscore desc, neighbor_id asc) in exact integer
+    * arithmetic — candidate sets are bit-reproducible on any engine,
+    * which is what lets a SQL oracle replay the whole pipeline.
+    *
+    * Output: (query_id, rank, neighbor_id, cos) — top-k by
+    * 6dp-rounded exact cosine over the SQ8 shortlist.
+    */
+  def sqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      oversample: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // q_i = round(127 · x_i / ‖x‖) HALF_UP (away from zero, matching
+    // SQL round on doubles) — the exact IEEE shape an oracle replays:
+    // one norm, one multiply, one divide per component. Zero vectors
+    // quantize to all-zero (iscore 0 against everything).
+    def quant(v: Array[Double]): Array[Int] = {
+      var ss = 0.0
+      var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      val norm = math.sqrt(ss)
+      Array.tabulate(v.length) { j =>
+        if (norm == 0.0) 0
+        else new java.math.BigDecimal(127.0 * v(j) / norm)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValueExact()
+      }
+    }
+    val bcQ = spark.sparkContext.broadcast(
+      collectVecs(queries).map { case (id, v) => (id, quant(v)) })
+    val shortlist = candidates.select("id", "vec").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (cid, cv) =>
+          val qc = quant(cv)
+          bcQ.value.iterator.collect { case (qid, qq) if qid != cid =>
+            var s = 0L
+            var i = 0
+            while (i < qc.length) { s += qq(i).toLong * qc(i); i += 1 }
+            (qid, cid, s)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "iscore")
+    val wSl = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("neighbor_id").asc)
+    val cand = shortlist.withColumn("r", row_number().over(wSl))
+      .filter(col("r") <= oversample * k)
+      .select("query_id", "neighbor_id")
+    // exact rerank, candidate-only: the shortlist (oversample·k rows
+    // per query) broadcasts against the vector table
+    val bqv = spark.sparkContext.broadcast(collectVecs(queries).toMap)
+    val scored = broadcast(cand)
+      .join(candidates.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("vec"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (qid, cid, cv) => (qid, cid, round6(cosineJvm(bqv.value(qid), cv))) }
+      }.toDF("query_id", "neighbor_id", "cos")
+    rankTopK(scored, k)
+  }
+
   /** k-NN classification over the embedding table: predict each query
     * vector's label as the majority label of its k nearest neighbors
     * (the [[bruteForceTopK]] ranking — 6dp-rounded cosine desc,

@@ -1336,6 +1336,75 @@ object TextDedup {
     * Output: (doc_a, doc_b, inter, size_a, size_b, jaccard) with
     * doc_a < doc_b, shingle-set Jaccard ≥ τ.
     */
+  /** Asymmetric CONTAINMENT near-dup join: emit (small, big) document
+    * pairs where the smaller shingle set is ≥ τ contained in the
+    * larger — |A∩B| / |A| with |A| = min(|A|,|B|). Jaccard misses
+    * these by construction (a page quoted inside a 100× longer page
+    * has J ≈ 0.01 at containment 1.0), yet quote/wrapper/aggregator
+    * duplication is exactly what a crawl corpus is full of — the
+    * reference's near-dup surface (ngff-zarr has none; this is the
+    * training-pipeline tier the brief adds) needs the asymmetric
+    * variant alongside d41/d42.
+    *
+    * Shape: the prefix-filter containment join. Only the PROBE side
+    * (each doc in its potential small-side role) emits join keys — its
+    * |A| − ⌈τ·|A|⌉ + 1 rarest shingles by the global (df asc, shingle
+    * asc) total order; the index side emits every shingle. Recall is
+    * exact by pigeonhole: containment ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so
+    * ANY |A| − ⌈τ·|A|⌉ + 1 shingles of A hit the intersection at least
+    * once. Candidates verify exactly via array_intersect — never an
+    * all-pairs product, and rarest-first prefixes keep per-key join
+    * fanout minimal (boilerplate shingles live outside most prefixes;
+    * residual hot index keys are AQE skew-join territory).
+    *
+    * The size-side rule (a.sz < b.sz, ties by id) halves the candidate
+    * space and fixes each pair's denominator deterministically.
+    * Thresholds compare in exact micro-integer arithmetic.
+    *
+    * Output: (doc_small, doc_big, inter, size_small, size_big,
+    * containment) with containment rounded 6dp, ≥ τ.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    require((minContainment * 1e6).isWhole,
+      s"minContainment must be exact in micro units, got $minContainment")
+    val tauMicro = math.round(minContainment * 1e6)
+    val sets = shingleSets(docs, idCol, textCol, k) // (doc_id, sh): distinct shingles
+    val tok = sets.select(col("doc_id"), explode(col("sh")).as("w"))
+    val dfTab = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // per-doc shingles in global rarest-first order, prefix length
+    // |A| − ⌈τ·|A|⌉ + 1 (exact integer ceil; see prefixJaccardPairs)
+    val sorted = tok.join(dfTab, "w")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .withColumn("plen",
+        col("sz") - expr(s"(cast($tauMicro as bigint) * sz + 999999) div 1000000") + 1)
+    val probe = sorted.select(col("doc_id"), col("sz"),
+      explode(slice(col("toks").getField("w"), lit(1), col("plen").cast("int"))).as("w"))
+    val full = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
+      explode(col("sh")).as("w"))
+    val cand = probe.as("a")
+      .join(full.as("b"),
+        col("a.w") === col("b.w") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_small"), col("sh").as("sh_a")), "doc_small")
+      .join(sets.select(col("doc_id").as("doc_big"), col("sh").as("sh_b")), "doc_big")
+      .select(col("doc_small"), col("doc_big"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("size_small"),
+        size(col("sh_b")).cast("long").as("size_big"))
+      .filter(col("inter") * 1000000L >= lit(tauMicro) * col("size_small"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("size_small").cast("double"), 6))
+  }
+
   def prefixJaccardPairs(docs: DataFrame, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,

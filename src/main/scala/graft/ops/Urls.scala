@@ -43,6 +43,36 @@ object Urls {
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("kept_id"))
 
+  /** Host-level corpus quality aggregation — the RefinedWeb/C4
+    * domain-filter precursor: per canonical host, how many pages, how
+    * many UNIQUE page texts (md5 identity), the duplicate ratio, and
+    * the total character mass. Hosts with extreme dup_ratio are
+    * boilerplate farms; hosts with tiny total mass are navigation
+    * shells — both are cut at host granularity before any per-doc
+    * scoring spends compute on them.
+    *
+    * Shape: canonical-host extraction is a codegen'd projection; the
+    * aggregation is ONE shuffle on the host key with map-side
+    * combine (count_distinct goes through Spark's two-level partial
+    * distinct aggregation — never a per-host row collection). Hosts
+    * are web-scale-many, so the group key is high-cardinality and
+    * skew lands on AQE's split-skewed-partitions path.
+    *
+    * Output: (host, n_docs, n_unique_texts, total_chars, dup_ratio)
+    * with dup_ratio = 1 − unique/docs rounded 6dp.
+    */
+  def hostStats(df: DataFrame, urlCol: String = "url",
+      textCol: String = "text"): DataFrame = {
+    val host = regexp_extract(canonicalize(col(urlCol)), "^[a-z]+://([^/:?#]+)", 1)
+    df.select(host.as("host"), col(textCol).as("_t"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("_t"))).as("n_unique_texts"),
+        sum(length(col("_t"))).cast("bigint").as("total_chars"))
+      .withColumn("dup_ratio", round(
+        lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
   /** Deterministic per-doc URL synthesis for the gates (the corpus
     * tables carry no URL column): five crawl-variant spellings of the
     * page `doc_id / 5`, so every page collapses to exactly two

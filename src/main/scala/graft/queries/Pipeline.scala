@@ -32,7 +32,8 @@ object Pipeline extends QModule {
     s56EmbCovariance, t75CharEntropy, t76TemperatureSample, t77UrlCanonical,
     d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest,
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
-    t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal)
+    t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
+    d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn)
 
   import QTables.{docs, emb}
 
@@ -2442,4 +2443,181 @@ object Pipeline extends QModule {
                    CAST(83 AS BIGINT) AS img_bytes,
                    true AS img_roundtrip
             FROM documents WHERE doc_id < 300 ORDER BY doc_id"""))
+
+  /** Asymmetric containment near-dup join
+    * ([[graft.ops.TextDedup.containmentPairs]]): pairs where the
+    * smaller shingle set is ≥ 25% contained in the larger — the
+    * quote/wrapper duplication Jaccard misses (a doc quoted inside a
+    * much longer one). The Spark side runs the prefix-filter
+    * containment join (probe side emits only its rarest
+    * |A|−⌈τ|A|⌉+1 shingles; exact recall by pigeonhole); the oracle
+    * replays the SEMANTICS — exact containment over every
+    * co-occurring pair — so a prefix-filter recall bug (not just a
+    * verify bug) hash-mismatches.
+    */
+  val d62ContainmentPairs = Q(
+    "d62_containment_neardup",
+    (s, dir) => graft.ops.TextDedup.containmentPairs(docs(s, dir),
+        minContainment = 0.25)
+      .orderBy(col("doc_small"), col("doc_big")),
+    Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+                     FROM d WHERE len(ws) >= 3),
+            sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            it AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            p AS (SELECT
+                    CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND da < db)
+                         THEN da ELSE db END AS doc_small,
+                    CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND da < db)
+                         THEN db ELSE da END AS doc_big,
+                    CAST(inter AS BIGINT) AS inter,
+                    CAST(least(sa.n, sb.n) AS BIGINT) AS size_small,
+                    CAST(greatest(sa.n, sb.n) AS BIGINT) AS size_big
+                  FROM it JOIN sz sa ON it.da = sa.doc_id
+                          JOIN sz sb ON it.db = sb.doc_id)
+            SELECT doc_small, doc_big, inter, size_small, size_big,
+                   round(CAST(inter AS DOUBLE) / size_small, 6) AS containment
+            FROM p WHERE inter * 1000000 >= 250000 * size_small
+            ORDER BY doc_small, doc_big"""))
+
+  /** CCNet-style perplexity bucket cut
+    * ([[graft.ops.LangModel.perplexityBuckets]]): add-one bigram
+    * perplexities (t64's exact scores) split into head/middle/tail
+    * thirds by the EXACT discrete tertiles of the 6dp-quantized
+    * perplexity — the two-phase-percentile threshold job, never a
+    * global sort — keeping head+middle. The oracle replays the LM,
+    * the micro-quantization, both integer-ceil tertile ranks, and the
+    * tie-into-lower-bucket rule, so a threshold off-by-one, a rank
+    * rounding slip, or a boundary-tie inversion all hash-mismatch.
+    */
+  val t87PplBuckets = Q(
+    "t87_ppl_bucket_cut",
+    (s, dir) => graft.ops.LangModel.perplexityBuckets(docs(s, dir), trainMaxId = 50)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                     unnest(list_transform(range(len(ws) - 1),
+                       i -> struct_pack(a := ws[CAST(i + 1 AS INT)],
+                                        b := ws[CAST(i + 2 AS INT)]))) AS p
+                   FROM d WHERE len(ws) >= 2),
+            g AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+            c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2n
+                   FROM g WHERE doc_id < 50 GROUP BY a, b),
+            c1 AS (SELECT a, CAST(count(*) AS BIGINT) AS c1n
+                   FROM g WHERE doc_id < 50 GROUP BY a),
+            v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                  FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id < 50)),
+            sc AS (SELECT g.doc_id,
+                          ln(CAST(COALESCE(c2.c2n, 0) + 1 AS DOUBLE)
+                             / (COALESCE(c1.c1n, 0) + v.v)) AS logp
+                   FROM g LEFT JOIN c2 ON g.a = c2.a AND g.b = c2.b
+                          LEFT JOIN c1 ON g.a = c1.a
+                          CROSS JOIN v),
+            o AS (SELECT doc_id, round(exp(-sum(logp) / count(*)), 6) AS ppl
+                  FROM sc GROUP BY doc_id),
+            om AS (SELECT doc_id, ppl, CAST(round(ppl * 1e6) AS BIGINT) AS pm FROM o),
+            cm AS (SELECT pm, count(*) AS c FROM om GROUP BY pm),
+            cc AS (SELECT pm, sum(c) OVER (ORDER BY pm) AS cum,
+                          sum(c) OVER () AS cnt FROM cm),
+            t1 AS (SELECT min(pm) AS v FROM cc
+                   WHERE cum >= (333333 * cnt + 999999) // 1000000),
+            t2 AS (SELECT min(pm) AS v FROM cc
+                   WHERE cum >= (666667 * cnt + 999999) // 1000000)
+            SELECT om.doc_id, om.ppl,
+                   CASE WHEN om.pm <= t1.v THEN 'head'
+                        WHEN om.pm <= t2.v THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   om.pm <= t2.v AS keep
+            FROM om CROSS JOIN t1 CROSS JOIN t2 ORDER BY om.doc_id"""))
+
+  /** Host-level quality stats ([[graft.ops.Urls.hostStats]]): the
+    * domain-filter aggregation. Seven synthetic hosts spelled three
+    * crawl-variant ways (uppercase+www, plain http, https:443) so the
+    * canonical-host extraction is live, then one host-key aggregate of
+    * page counts, unique-text counts (md5 identity — the planted
+    * exact dups depress uniqueness on their hosts), character mass,
+    * and dup ratio. The oracle replays host derivation in closed form
+    * plus the same aggregates, so a canonicalization slip, a distinct
+    * under/over-count, or a ratio rounding bug all hash-mismatch.
+    */
+  val t88HostStats = Q(
+    "t88_host_quality_stats",
+    (s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("https://WWW.h"))
+          .when(col("doc_id") % 3 === 1, lit("http://h"))
+          .otherwise(lit("https://h")),
+        (col("doc_id") % 7).cast("string"), lit(".Example.com"),
+        when(col("doc_id") % 3 === 2, lit(":443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"))
+      graft.ops.Urls.hostStats(docs(s, dir).withColumn("url", url))
+        .orderBy(col("host"))
+    },
+    Some("""WITH h AS (SELECT doc_id, text,
+                   'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+                 FROM documents)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+                     AS dup_ratio
+            FROM h GROUP BY host ORDER BY host"""))
+
+  /** SQ8 scalar-quantized ANN ([[graft.ops.Similarity.sqTopK]]):
+    * L2-normalize, quantize symmetrically to round(127·x̂),
+    * exact-integer quantized-dot candidate generation
+    * (bit-reproducible shortlists — no float ranking until the
+    * rerank), float cosine rerank of the 4k-oversampled shortlist
+    * only. The oracle replays the normalization, the quantization
+    * rounding, the integer dot, the shortlist tiebreak, and the final
+    * rerank, so a quantizer slip, an integer overflow, or a shortlist
+    * boundary tie bug all hash-mismatch.
+    */
+  val s57SqAnn = Q(
+    "s57_ann_sq8",
+    (s, dir) => {
+      val e = emb(s, dir)
+      graft.ops.Similarity.sqTopK(e.filter(col("id") < 10), e, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            nv AS (SELECT vec_id, e,
+                     sqrt(list_sum(list_transform(range(64), i -> e[i+1] * e[i+1]))) AS nrm
+                   FROM v),
+            q AS (SELECT vec_id, i AS pos,
+                    CASE WHEN nrm = 0 THEN 0
+                         ELSE CAST(round(127.0 * e[CAST(i + 1 AS INT)] / nrm) AS INT)
+                    END AS qv
+                  FROM nv CROSS JOIN range(64) t(i)),
+            isc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                      CAST(sum(a.qv * b.qv) AS BIGINT) AS iscore
+                    FROM q a JOIN q b ON a.pos = b.pos
+                      AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+                    GROUP BY 1, 2),
+            sl AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY iscore DESC, neighbor_id ASC) AS r
+                   FROM isc),
+            x AS (SELECT s.query_id, s.neighbor_id,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                      6) AS cos
+                  FROM sl s JOIN v q ON q.vec_id = s.query_id
+                       JOIN v c ON c.vec_id = s.neighbor_id
+                  WHERE s.r <= 20),
+            r AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM x)
+            SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+            FROM r WHERE rank <= 5
+            ORDER BY query_id, rank"""))
 }

@@ -265,4 +265,37 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(wcov((i, j)) - (if (i == j) 1.0 else 0.0)) < 1e-6,
         s"whitened cov($i,$j)=${wcov((i, j))}")
   }
+
+  test("SQ8 top-k: exact cosines on returned pairs, recall@5 above floor, " +
+      "deterministic across partitioning") {
+    val e = emb
+    val q = e.filter(col("id") < 10)
+    val sq = Similarity.sqTopK(q, e, k = 5).collect()
+    assert(sq.length == 10 * 5)
+    val bf = Similarity.bruteForceTopK(q, e, k = 5).collect()
+    val bfCos = bf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Double]("cos")).toMap
+    // exact-rerank contract: any (q, n) the SQ8 path returns that brute
+    // force also ranked must carry the identical 6dp cosine
+    val bfAll = Similarity.bruteForceTopK(q, e, k = 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos")).toMap
+    sq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bfAll.get(key).foreach(c => assert(c == r.getAs[Double]("cos"), s"cos mismatch at $key"))
+    }
+    // 8-bit quantization at 64 dims is nearly lossless: recall@5 vs
+    // exact should be high (the 4x oversampled rerank fixes ranking)
+    val sqSet = sq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bfSet = bfCos.keySet
+    val recall = sqSet.intersect(bfSet).size.toDouble / bfSet.size
+    assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
+    // partition-invariance: same result from a repartitioned corpus
+    val sq2 = Similarity.sqTopK(q, e.repartition(7), k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    val sq1 = sq.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    assert(sq1 == sq2)
+  }
 }
