@@ -33,7 +33,7 @@ object Pipeline extends QModule {
     d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest,
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
-    d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn)
+    d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece)
 
   import QTables.{docs, emb}
 
@@ -2620,4 +2620,77 @@ object Pipeline extends QModule {
             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
             FROM r WHERE rank <= 5
             ORDER BY query_id, rank"""))
+
+  /** The t89 WordPiece vocabulary — single source of truth for the
+    * Spark side and the generated oracle. Chosen so the corpus
+    * exercises every semantic branch: whole-word pieces (`batch`),
+    * multi-piece splits (`tab`+`##le`, `cust`+`##omer`), greedy
+    * longest-first preference (`scan` over `s`), single-char ladders
+    * (`h ##a ##s ##h`), and exactly one UNK word (`big` — `b ##i`
+    * then no `##g`, so the WHOLE word collapses to `[UNK]`).
+    */
+  private val wpVocab: Seq[String] = Seq(
+    "a", "b", "col", "cust", "d", "data", "f", "g", "h", "batch", "fast",
+    "join", "key", "line", "merge", "order", "part", "query", "row", "s",
+    "scan", "sort", "spark", "stream", "tab", "the", "val", "vec", "win",
+    "##a", "##all", "##dow", "##er", "##gg", "##h", "##i", "##l", "##le",
+    "##m", "##o", "##omer", "##ow", "##r", "##s", "##t", "##tor", "##ue",
+    "##umn", "##up")
+
+  /** Generated oracle: the greedy longest-match loop unrolled into 8
+    * chained CTE steps (corpus max word length, one consumed piece per
+    * step), each picking the longest matching piece via a
+    * length-descending CASE generated from [[wpVocab]]. Replays the
+    * ALGORITHM, not a word→tokens lookup table, so a greedy slip, a
+    * `##` prefix bug, or a partial-word-UNK bug all hash-mismatch.
+    */
+  private def wpOracleSql: String = {
+    val first = wpVocab.filterNot(_.startsWith("##"))
+    val cont = wpVocab.filter(_.startsWith("##")).map(_.stripPrefix("##"))
+    def matchSql(ps: Seq[String]) = ps.sortBy(p => (-p.length, p))
+      .map(p => s"WHEN substr(rem, 1, ${p.length}) = '$p' THEN '$p'").mkString(" ")
+    val steps = (1 to 8).map { n =>
+      s"""s$n AS (
+         |  SELECT w,
+         |    CASE WHEN rem = '' OR m IS NULL THEN '' ELSE substr(rem, len(m) + 1) END AS rem,
+         |    CASE WHEN rem = '' THEN toks
+         |         WHEN m IS NULL THEN ['[UNK]']
+         |         WHEN fst THEN list_append(toks, m)
+         |         ELSE list_append(toks, '##' || m) END AS toks,
+         |    CASE WHEN rem <> '' AND m IS NULL THEN true ELSE unk END AS unk,
+         |    false AS fst
+         |  FROM (SELECT w, rem, toks, unk, fst,
+         |          CASE WHEN rem = '' THEN NULL
+         |               WHEN fst THEN CASE ${matchSql(first)} ELSE NULL END
+         |               ELSE CASE ${matchSql(cont)} ELSE NULL END END AS m
+         |        FROM s${n - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |           FROM documents),
+       |occ AS (SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS w FROM d),
+       |dw AS (SELECT DISTINCT w FROM occ),
+       |s0 AS (SELECT w, w AS rem, CAST([] AS VARCHAR[]) AS toks,
+       |              false AS unk, true AS fst FROM dw),
+       |$steps,
+       |j AS (SELECT occ.doc_id, occ.pos, s8.toks, s8.unk
+       |      FROM occ JOIN s8 ON occ.w = s8.w)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS INT) AS n_unk,
+       |       string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos) AS token_str
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** WordPiece greedy subword encode ([[graft.ops.WordPiece]]): the
+    * BERT-family runtime tokenizer — greedy longest-match against a
+    * shipped vocabulary, `##` continuations, whole-word `[UNK]` —
+    * alongside t63's BPE (merge-order semantics). Distinct words
+    * encode once and join back to occurrences; the full in-order
+    * token string is the equality surface.
+    */
+  val t89Wordpiece = Q(
+    "t89_wordpiece_encode",
+    (s, dir) => graft.ops.WordPiece.tokenStats(docs(s, dir), wpVocab)
+      .orderBy(col("doc_id")),
+    Some(wpOracleSql))
 }
