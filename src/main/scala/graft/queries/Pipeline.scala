@@ -2446,19 +2446,21 @@ object Pipeline extends QModule {
 
   /** Asymmetric containment near-dup join
     * ([[graft.ops.TextDedup.containmentPairs]]): pairs where the
-    * smaller shingle set is ≥ 25% contained in the larger — the
+    * smaller shingle set is ≥ 75% contained in the larger — the
     * quote/wrapper duplication Jaccard misses (a doc quoted inside a
-    * much longer one). The Spark side runs the prefix-filter
-    * containment join (probe side emits only its rarest
-    * |A|−⌈τ|A|⌉+1 shingles; exact recall by pigeonhole); the oracle
-    * replays the SEMANTICS — exact containment over every
-    * co-occurring pair — so a prefix-filter recall bug (not just a
-    * verify bug) hash-mismatches.
+    * much longer one). τ = 0.75 is the operator's intended regime
+    * (the d58 lesson): the prefix filter emits |A|−⌈τ|A|⌉+1 rarest
+    * shingles per doc, so high τ IS the pruning — at τ→0 the prefix
+    * degenerates to the whole set and the join reverts to d41's full
+    * co-occurrence shape. The Spark side runs the prefix-filter join
+    * (exact recall by pigeonhole); the oracle replays the SEMANTICS —
+    * exact containment over every co-occurring pair — so a
+    * prefix-filter recall bug (not just a verify bug) hash-mismatches.
     */
   val d62ContainmentPairs = Q(
     "d62_containment_neardup",
     (s, dir) => graft.ops.TextDedup.containmentPairs(docs(s, dir),
-        minContainment = 0.25)
+        minContainment = 0.75)
       .orderBy(col("doc_small"), col("doc_big")),
     Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
                        FROM documents),
@@ -2482,7 +2484,7 @@ object Pipeline extends QModule {
                           JOIN sz sb ON it.db = sb.doc_id)
             SELECT doc_small, doc_big, inter, size_small, size_big,
                    round(CAST(inter AS DOUBLE) / size_small, 6) AS containment
-            FROM p WHERE inter * 1000000 >= 250000 * size_small
+            FROM p WHERE inter * 1000000 >= 750000 * size_small
             ORDER BY doc_small, doc_big"""))
 
   /** CCNet-style perplexity bucket cut
