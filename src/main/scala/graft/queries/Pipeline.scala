@@ -33,7 +33,8 @@ object Pipeline extends QModule {
     d60UrlDedup, d61CollapsedClusters, t78ShardPlan, t79WarcIngest,
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
-    d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece)
+    d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
+    t90UnigramLm)
 
   import QTables.{docs, emb}
 
@@ -2695,4 +2696,91 @@ object Pipeline extends QModule {
     (s, dir) => graft.ops.WordPiece.tokenStats(docs(s, dir), wpVocab)
       .orderBy(col("doc_id")),
     Some(wpOracleSql))
+
+  /** The t90 unigram-LM vocabulary: (piece, integer micro-nat cost).
+    * Single letters (no `j` — `join` is the planted whole-word UNK)
+    * plus multi-char pieces priced so Viterbi picks real
+    * segmentations, including two exact-cost TIES that exercise the
+    * deterministic tie-break: `data` = da+ta ≡ dat+a (1400, lex picks
+    * da+ta) and `window` = win+dow ≡ wind+ow (1500, lex picks
+    * win+dow).
+    */
+  private val ulVocab: Seq[(String, Long)] = {
+    val singles = "abcdefghiklmnopqrstuvwy".map(ch =>
+      ch.toString -> (if (ch == 'a') 500L else 1200L))
+    val multi = Seq(
+      "da" -> 700L, "ta" -> 700L, "dat" -> 900L, "tab" -> 900L, "le" -> 600L,
+      "able" -> 1000L, "batch" -> 800L, "big" -> 800L, "agg" -> 800L,
+      "dup" -> 800L, "fast" -> 800L, "the" -> 600L, "key" -> 800L,
+      "line" -> 800L, "row" -> 700L, "scan" -> 800L, "sort" -> 800L,
+      "part" -> 800L, "hash" -> 900L, "group" -> 900L, "merge" -> 900L,
+      "order" -> 900L, "spark" -> 900L, "slow" -> 900L, "small" -> 900L,
+      "stream" -> 900L, "filter" -> 1000L, "query" -> 800L, "qu" -> 700L,
+      "cust" -> 900L, "omer" -> 1000L, "col" -> 800L, "umn" -> 900L,
+      "val" -> 800L, "ue" -> 600L, "vec" -> 800L, "tor" -> 700L,
+      "win" -> 800L, "dow" -> 700L, "wind" -> 900L, "ow" -> 600L)
+    singles ++ multi
+  }
+
+  /** Generated oracle: the Viterbi DP unrolled position by position
+    * (8 = corpus max word length). Each position keeps ONE state —
+    * the minimum (cost, n_tokens, token_list) struct over all pieces
+    * ending there — exactly the operator's per-prefix tie-break, so
+    * the whole lattice, both planted ties, and the UNK rule replay
+    * in exact integer/string arithmetic.
+    */
+  private def ulOracleSql: String = {
+    val steps = (1 to 8).map { j =>
+      val cands = ulVocab.filter(_._1.length <= j).map { case (p, c) =>
+        val l = p.length
+        s"""CASE WHEN c${j - l} IS NOT NULL AND substr(w, ${j - l + 1}, $l) = '$p'
+           |     THEN struct_pack(c := c${j - l} + $c,
+           |                      n := CAST(len(t${j - l}) + 1 AS BIGINT),
+           |                      t := list_append(t${j - l}, '$p'))
+           |     ELSE NULL END""".stripMargin
+      }.mkString(",\n")
+      s"""u$j AS (SELECT * EXCLUDE (b$j), b$j.c AS c$j, b$j.t AS t$j FROM (
+         |  SELECT *, (list_sort(list_filter([
+         |$cands
+         |  ], x -> x IS NOT NULL)))[1] AS b$j
+         |  FROM u${j - 1}))""".stripMargin
+    }.mkString(",\n")
+    val byLenC = (1 to 8).map(j => s"WHEN $j THEN c$j").mkString(" ")
+    val byLenT = (1 to 8).map(j => s"WHEN $j THEN t$j").mkString(" ")
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |           FROM documents),
+       |occ AS (SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS w FROM d),
+       |dw AS (SELECT DISTINCT w FROM occ),
+       |u0 AS (SELECT w, CAST(0 AS BIGINT) AS c0, CAST([] AS VARCHAR[]) AS t0 FROM dw),
+       |$steps,
+       |res AS (SELECT w,
+       |          CASE len(w) $byLenC END AS bc,
+       |          CASE len(w) $byLenT END AS bt
+       |        FROM u8),
+       |fin AS (SELECT w,
+       |          CASE WHEN bc IS NULL THEN ['[UNK]'] ELSE bt END AS toks,
+       |          CASE WHEN bc IS NULL THEN 2000000 ELSE bc END AS cost,
+       |          bc IS NULL AS unk
+       |        FROM res),
+       |j AS (SELECT occ.doc_id, occ.pos, fin.toks, fin.cost, fin.unk
+       |      FROM occ JOIN fin ON occ.w = fin.w)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS INT) AS n_unk,
+       |       CAST(sum(cost) AS BIGINT) AS total_cost,
+       |       string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos) AS token_str
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unigram-LM Viterbi subword encode ([[graft.ops.UnigramLm]]):
+    * SentencePiece-default segmentation — minimum total piece cost in
+    * exact integer micro-nats, per-prefix deterministic tie-break,
+    * whole-word [UNK] — completing the tokenizer triple next to t63
+    * (BPE merge-order) and t89 (WordPiece greedy).
+    */
+  val t90UnigramLm = Q(
+    "t90_unigram_encode",
+    (s, dir) => graft.ops.UnigramLm.tokenStats(docs(s, dir), ulVocab)
+      .orderBy(col("doc_id")),
+    Some(ulOracleSql))
 }
