@@ -396,6 +396,54 @@ object Streams {
     h
   }
 
+  final case class ArrivingPage(url: String, text: String)
+  final case class HostAggState(hashes: Set[Long], nDocs: Long, totalChars: Long)
+  final case class HostRunning(host: String, n_docs: Long,
+      n_unique_texts: Long, total_chars: Long, dup_ratio: Double)
+
+  /** Streaming host-level quality stats — the ingest-time form of
+    * [[graft.ops.Urls.hostStats]]: arriving crawl pages fold into
+    * running per-host aggregates (page count, distinct-text count,
+    * char mass, dup ratio), so a boilerplate-farm host is visible —
+    * and cuttable — WHILE the crawl runs instead of after a corpus
+    * pass. The canonical-host projection is the SAME Column
+    * expression batch uses (applied before the typed state op), so
+    * ingest-time and corpus-time stats agree.
+    *
+    * State per host is the distinct-text hash set (64-bit FNV over
+    * the text — the identity proxy all streaming dedup state here
+    * uses; batch counts md5 distinct, identical until a 64-bit
+    * collision) plus three counters: state grows with a host's
+    * DISTINCT texts, never with its page count. Each micro-batch
+    * emits the updated running row per touched host (append mode,
+    * latest row per host = current stats).
+    */
+  def streamingHostStats(spark: SparkSession,
+      pages: Dataset[ArrivingPage]): Dataset[HostRunning] = {
+    import spark.implicits._
+    val hosts = pages.toDF()
+      .withColumn("host", regexp_extract(
+        graft.ops.Urls.canonicalize(col("url")), "^[a-z]+://([^/:?#]+)", 1))
+      .select(col("host"), col("text")).as[(String, String)]
+    hosts.groupByKey(_._1)
+      .flatMapGroupsWithState[HostAggState, HostRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[(String, String)], state: GroupState[HostAggState]) =>
+          val prev = state.getOption.getOrElse(HostAggState(Set.empty, 0L, 0L))
+          var hs = prev.hashes
+          var n = prev.nDocs
+          var chars = prev.totalChars
+          rows.foreach { case (_, text) =>
+            n += 1
+            chars += text.codePointCount(0, text.length)
+            hs += fnv64(text)
+          }
+          state.update(HostAggState(hs, n, chars))
+          Iterator(HostRunning(host, n, hs.size.toLong, chars,
+            graft.ops.Similarity.round6(1.0 - hs.size.toDouble / n)))
+      }
+  }
+
   /** Stream-static incremental screen — the streaming form of
     * [[graft.ops.TextDedup.crossCorpusNearDups]]: arriving documents
     * are checked against a STATIC reference corpus. The reference is

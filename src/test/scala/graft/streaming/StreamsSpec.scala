@@ -68,6 +68,40 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming host stats: running per-host aggregates match the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.ArrivingPage]
+    val q = Streams.streamingHostStats(spark, mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("hoststats").start()
+    val batch1 = Seq(
+      Streams.ArrivingPage("https://WWW.A.example.com/x", "same text"),
+      Streams.ArrivingPage("https://b.example.com/q", "solo"))
+    val batch2 = Seq(
+      // canonical-host dup of batch 1's page text, arriving later
+      Streams.ArrivingPage("https://a.example.com:443/y", "same text"),
+      Streams.ArrivingPage("http://a.example.com/z", "other text"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    // latest emitted row per host = the running stats
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("n_docs").desc)
+    val streamed = spark.table("hoststats")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("host", "n_docs", "n_unique_texts", "total_chars", "dup_ratio")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = graft.ops.Urls.hostStats(
+        (batch1 ++ batch2).map(p => (p.url, p.text)).toDF("url", "text"))
+      .select("host", "n_docs", "n_unique_texts", "total_chars", "dup_ratio")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
