@@ -93,6 +93,54 @@ object Cli {
       }
       return
     }
+    // `tokenize` subcommand: run a corpus through one of the three
+    // tokenizer families — Cli tokenize <docsParquet> <outParquet>
+    //   [--tokenizer=bpe|wordpiece|unigram]
+    //   [--merges=N]           (bpe: merges trained on the corpus itself)
+    //   [--vocab-file=path]    (wordpiece: piece per line;
+    //                           unigram: piece<TAB>micro-nat-cost per line)
+    // Output parquet: (doc_id, n_words, n_tokens, [n_unk, total_cost,]
+    // token_str) — the tokenStats contract of each family.
+    if (args(0) == "tokenize") {
+      require(args.length >= 3, "usage: Cli tokenize <docsParquet> <outParquet> [--flags]")
+      val opts = args.drop(3).flatMap { a =>
+        a.stripPrefix("--").split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      val docs = spark.read.parquet(args(1))
+      def vocabLines(): Seq[String] = {
+        val p = opts.getOrElse("vocab-file", throw new IllegalArgumentException(
+          s"--tokenizer=${opts("tokenizer")} needs --vocab-file"))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)))
+          .asScala.toSeq.filter(_.nonEmpty)
+      }
+      val out = opts.getOrElse("tokenizer", "bpe") match {
+        case "bpe" =>
+          val merges = graft.ops.Bpe.train(docs,
+            opts.get("merges").map(_.toInt).getOrElse(50))
+          graft.ops.Bpe.tokenStats(docs, merges)
+        case "wordpiece" =>
+          graft.ops.WordPiece.tokenStats(docs, vocabLines())
+        case "unigram" =>
+          val vocab = vocabLines().map { l =>
+            l.split("\t", 2) match {
+              case Array(p, c) => p -> c.trim.toLong
+              case _ => throw new IllegalArgumentException(
+                s"unigram vocab line needs piece<TAB>cost, got '$l'")
+            }
+          }
+          graft.ops.UnigramLm.tokenStats(docs, vocab)
+        case other => throw new IllegalArgumentException(
+          s"unknown tokenizer '$other' (bpe | wordpiece | unigram)")
+      }
+      out.write.mode("overwrite").parquet(args(2))
+      println(s"[tokenize] wrote ${spark.read.parquet(args(2)).count()} docs")
+      return
+    }
+
     val input = args(0)
     val output = args(1)
     val opts = args.drop(2).flatMap { a =>

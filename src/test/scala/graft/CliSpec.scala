@@ -119,4 +119,36 @@ class CliSpec extends SparkSpec {
     }
     assert(members.size === 90) // 100 pages minus the 10 planted copies
   }
+
+  test("tokenize subcommand routes all three tokenizer families") {
+    import spark.implicits._
+    val docsDir = java.nio.file.Files.createTempDirectory("cli_tok_in").toString
+    Seq((1L, "data window"), (2L, "xyz data"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    // wordpiece with a vocab file
+    val wpVocab = java.nio.file.Files.createTempFile("wp", ".vocab")
+    java.nio.file.Files.writeString(wpVocab,
+      Seq("data", "win", "##dow").mkString("\n"))
+    val wpOut = java.nio.file.Files.createTempDirectory("cli_tok_wp").toString
+    graft.Cli.run(spark, Array("tokenize", docsDir, wpOut,
+      "--tokenizer=wordpiece", s"--vocab-file=$wpVocab"))
+    val wp = spark.read.parquet(wpOut).orderBy("doc_id").collect()
+    assert(wp(0).getAs[String]("token_str") == "data win ##dow")
+    assert(wp(1).getAs[Int]("n_unk") == 1) // xyz
+    // unigram with piece<TAB>cost lines
+    val ulVocab = java.nio.file.Files.createTempFile("ul", ".vocab")
+    java.nio.file.Files.writeString(ulVocab,
+      Seq("data\t800", "win\t800", "dow\t700").mkString("\n"))
+    val ulOut = java.nio.file.Files.createTempDirectory("cli_tok_ul").toString
+    graft.Cli.run(spark, Array("tokenize", docsDir, ulOut,
+      "--tokenizer=unigram", s"--vocab-file=$ulVocab"))
+    val ul = spark.read.parquet(ulOut).orderBy("doc_id").collect()
+    assert(ul(0).getAs[String]("token_str") == "data win dow")
+    assert(ul(0).getAs[Long]("total_cost") == 800L + 1500L)
+    // bpe trains on the corpus itself
+    val bpeOut = java.nio.file.Files.createTempDirectory("cli_tok_bpe").toString
+    graft.Cli.run(spark, Array("tokenize", docsDir, bpeOut,
+      "--tokenizer=bpe", "--merges=3"))
+    assert(spark.read.parquet(bpeOut).count() == 2)
+  }
 }
