@@ -48,8 +48,9 @@ object AnnRehearsal {
     }).toDF("id", "vec")
   }
 
-  /** Run brute-force and IVF top-k for the same queries; require
-    * recall@k ≥ `minRecall`. Returns wall seconds.
+  /** Run brute-force, IVF, and SQ8 top-k for the same queries;
+    * require recall@k ≥ `minRecall` on both approximate paths.
+    * Returns wall seconds.
     */
   def run(spark: SparkSession, n: Long = 1000000L, nQueries: Int = 32,
       k: Int = 10, dim: Int = 64, clusters: Int = 64, nlist: Int = 64,
@@ -65,16 +66,22 @@ object AnnRehearsal {
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSet
         }
+    def checkRecall(name: String, exact: Map[Long, Set[Long]],
+        approx: Map[Long, Set[Long]]): Unit = {
+      require(exact.size == nQueries && approx.size == nQueries,
+        s"missing query results: exact ${exact.size}, $name ${approx.size} of $nQueries")
+      val hit = exact.map { case (q, ex) => (ex & approx(q)).size }.sum
+      val recall = hit.toDouble / (nQueries.toLong * k)
+      require(recall >= minRecall,
+        f"$name recall@$k collapsed: $recall%.3f < $minRecall%.2f " +
+          s"($hit of ${nQueries * k} exact neighbors recovered)")
+    }
     val exact = topSets(Similarity.bruteForceTopK(queries, vecs, k))
-    val approx = topSets(
-      Similarity.ivfTopK(queries, vecs, k, nlist, nprobe, lloydRounds = 2))
-    require(exact.size == nQueries && approx.size == nQueries,
-      s"missing query results: exact ${exact.size}, ivf ${approx.size} of $nQueries")
-    val hit = exact.map { case (q, ex) => (ex & approx(q)).size }.sum
-    val recall = hit.toDouble / (nQueries.toLong * k)
-    require(recall >= minRecall,
-      f"IVF recall@$k collapsed: $recall%.3f < $minRecall%.2f " +
-        s"($hit of ${nQueries * k} exact neighbors recovered)")
+    checkRecall("IVF", exact, topSets(
+      Similarity.ivfTopK(queries, vecs, k, nlist, nprobe, lloydRounds = 2)))
+    // the int8 compression tier at the same scale: integer-dot
+    // shortlists over the full million, float rerank on 4k only
+    checkRecall("SQ8", exact, topSets(Similarity.sqTopK(queries, vecs, k)))
     vecs.unpersist()
     (System.nanoTime() - t0) / 1e9
   }
