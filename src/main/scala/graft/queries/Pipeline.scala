@@ -34,7 +34,7 @@ object Pipeline extends QModule {
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
-    t90UnigramLm)
+    t90UnigramLm, t91CorpusReport)
 
   import QTables.{docs, emb}
 
@@ -2783,4 +2783,41 @@ object Pipeline extends QModule {
     (s, dir) => graft.ops.UnigramLm.tokenStats(docs(s, dir), ulVocab)
       .orderBy(col("doc_id")),
     Some(ulOracleSql))
+
+  /** Corpus data-card report ([[graft.ops.CorpusReport]]): one row
+    * per (source, lang) with counts, distinct-text counts, char/word
+    * mass, the EXACT discrete median doc length (two-phase percentile
+    * — never a per-group sort), and dup ratio. The oracle replays
+    * every aggregate plus the integer-ceil median rank, so a distinct
+    * undercount, a rank rounding slip, or a group-key aliasing bug
+    * all hash-mismatch.
+    */
+  val t91CorpusReport = Q(
+    "t91_corpus_report",
+    (s, dir) => graft.ops.CorpusReport.bySourceLang(docs(s, dir))
+      .orderBy(col("source"), col("lang")),
+    Some("""WITH b AS (SELECT source, lang, text,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS BIGINT) AS nw
+                 FROM documents),
+            a AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+                    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                    CAST(sum(nw) AS BIGINT) AS total_words,
+                    round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+                      AS dup_ratio
+                  FROM b GROUP BY source, lang),
+            c AS (SELECT source, lang, nw, count(*) AS cfreq
+                  FROM b GROUP BY source, lang, nw),
+            cc AS (SELECT source, lang, nw,
+                     sum(cfreq) OVER (PARTITION BY source, lang ORDER BY nw) AS cum,
+                     sum(cfreq) OVER (PARTITION BY source, lang) AS cnt
+                   FROM c),
+            m AS (SELECT source, lang, CAST(min(nw) AS BIGINT) AS median_words
+                  FROM cc WHERE cum >= (500000 * cnt + 999999) // 1000000
+                  GROUP BY source, lang)
+            SELECT a.source, a.lang, n_docs, n_unique_texts, total_chars,
+                   total_words, median_words, dup_ratio
+            FROM a JOIN m ON a.source = m.source AND a.lang = m.lang
+            ORDER BY a.source, a.lang"""))
 }
