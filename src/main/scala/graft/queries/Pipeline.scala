@@ -34,7 +34,7 @@ object Pipeline extends QModule {
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
-    t90UnigramLm, t91CorpusReport)
+    t90UnigramLm, t91CorpusReport, t92Fim)
 
   import QTables.{docs, emb}
 
@@ -2820,4 +2820,52 @@ object Pipeline extends QModule {
                    total_words, median_words, dup_ratio
             FROM a JOIN m ON a.source = m.source AND a.lang = m.lang
             ORDER BY a.source, a.lang"""))
+
+  /** Fill-in-the-middle transform ([[graft.ops.Fim]]): half the
+    * corpus (md5 rate gate) splits at two md5-derived word
+    * boundaries and reassembles under PSM or SPM sentinel order
+    * (alternating by hash); the rest passes through. The oracle
+    * replays the gate, both split points, the mode choice, and both
+    * reassemblies in closed form, so a boundary off-by-one, an
+    * empty-segment join bug, or a sentinel-order slip all
+    * hash-mismatch.
+    */
+  val t92Fim = Q(
+    "t92_fim_transform",
+    (s, dir) => graft.ops.Fim.transform(docs(s, dir))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                 FROM documents),
+            b AS (SELECT doc_id, text, ws, CAST(len(ws) AS INT) AS n,
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim0'), 1, 14)
+                      AS BIGINT) % 1000 AS gate,
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim1'), 1, 14)
+                      AS BIGINT) AS h1,
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim2'), 1, 14)
+                      AS BIGINT) AS h2,
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim3'), 1, 14)
+                      AS BIGINT) AS h3
+                  FROM d),
+            sp AS (SELECT *, (n >= 3 AND gate < 500) AS fim,
+                     CAST(h1 % (n - 1) + 1 AS INT) AS a
+                   FROM b),
+            sp2 AS (SELECT *, CAST(a + h2 % (n - a + 1) AS INT) AS bb FROM sp),
+            m AS (SELECT doc_id, n, fim, a, bb,
+                    CASE WHEN NOT fim THEN 'none'
+                         WHEN h3 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+                    COALESCE(array_to_string(ws[1:a], ' '), '') AS pre,
+                    COALESCE(array_to_string(ws[a+1:bb], ' '), '') AS mid,
+                    COALESCE(array_to_string(ws[bb+1:n], ' '), '') AS suf,
+                    text
+                  FROM sp2)
+            SELECT doc_id, mode, n AS n_words,
+                   CASE WHEN fim THEN a ELSE -1 END AS split_a,
+                   CASE WHEN fim THEN bb ELSE -1 END AS split_b,
+                   CASE WHEN mode = 'psm'
+                          THEN '<PRE> ' || pre || ' <SUF> ' || suf || ' <MID> ' || mid
+                        WHEN mode = 'spm'
+                          THEN '<SUF> ' || suf || ' <PRE> ' || pre || ' <MID> ' || mid
+                        ELSE text END AS fim_text
+            FROM m ORDER BY doc_id"""))
 }
