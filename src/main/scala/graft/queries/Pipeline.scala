@@ -34,7 +34,7 @@ object Pipeline extends QModule {
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
-    t90UnigramLm, t91CorpusReport, t92Fim)
+    t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate)
 
   import QTables.{docs, emb}
 
@@ -2868,4 +2868,56 @@ object Pipeline extends QModule {
                           THEN '<SUF> ' || suf || ' <PRE> ' || pre || ' <MID> ' || mid
                         ELSE text END AS fim_text
             FROM m ORDER BY doc_id"""))
+
+  /** Chat-template SFT rendering ([[graft.ops.ChatTemplate]]): each
+    * doc becomes a 5-turn conversation (system, user, assistant,
+    * user, assistant) flattened into one ChatML-shaped training
+    * string with loss-mask character spans over the two assistant
+    * contents. The oracle reconstructs the ENTIRE rendered string and
+    * every mask offset in closed form from the document length, so a
+    * sentinel slip, a turn-order bug, or a one-character mask
+    * off-by-one all hash-mismatch.
+    */
+  val t93ChatTemplate = Q(
+    "t93_chat_template",
+    (s, dir) => {
+      val turns = docs(s, dir).select(col("doc_id").as("conv_id"), explode(array(
+        struct(lit(0).as("turn"), lit("system").as("role"),
+          lit("You are helpful.").as("content")),
+        struct(lit(1).as("turn"), lit("user").as("role"),
+          col("text").as("content")),
+        struct(lit(2).as("turn"), lit("assistant").as("role"),
+          concat(lit("Echo: "), col("text")).as("content")),
+        struct(lit(3).as("turn"), lit("user").as("role"),
+          lit("More.").as("content")),
+        struct(lit(4).as("turn"), lit("assistant").as("role"),
+          concat(lit("Also: "), col("doc_id").cast("string")).as("content"))
+      )).as("t"))
+        .select(col("conv_id"), col("t.turn").as("turn"),
+          col("t.role").as("role"), col("t.content").as("content"))
+      graft.ops.ChatTemplate.render(turns)
+        .select(col("conv_id"), col("n_turns"), col("n_assistant_turns"),
+          col("text"),
+          array_join(col("mask_starts").cast("array<string>"), ",").as("mask_starts_csv"),
+          array_join(col("mask_ends").cast("array<string>"), ",").as("mask_ends_csv"),
+          col("mask_chars"))
+        .orderBy(col("conv_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS l,
+                   CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS dl
+                 FROM documents)
+            SELECT doc_id AS conv_id, CAST(5 AS INT) AS n_turns,
+                   CAST(2 AS INT) AS n_assistant_turns,
+                   '<|system|>' || chr(10) || 'You are helpful.<|end|>' || chr(10) ||
+                   '<|user|>' || chr(10) || text || '<|end|>' || chr(10) ||
+                   '<|assistant|>' || chr(10) || 'Echo: ' || text || '<|end|>' || chr(10) ||
+                   '<|user|>' || chr(10) || 'More.<|end|>' || chr(10) ||
+                   '<|assistant|>' || chr(10) || 'Also: ' || CAST(doc_id AS VARCHAR)
+                     || '<|end|>' || chr(10) AS text,
+                   CAST(66 + l AS VARCHAR) || ',' || CAST(116 + 2*l AS VARCHAR)
+                     AS mask_starts_csv,
+                   CAST(72 + 2*l AS VARCHAR) || ',' || CAST(122 + 2*l + dl AS VARCHAR)
+                     AS mask_ends_csv,
+                   CAST(12 + l + dl AS BIGINT) AS mask_chars
+            FROM d ORDER BY conv_id"""))
 }
