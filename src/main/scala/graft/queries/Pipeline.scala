@@ -34,7 +34,7 @@ object Pipeline extends QModule {
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
-    t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate)
+    t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs)
 
   import QTables.{docs, emb}
 
@@ -2920,4 +2920,44 @@ object Pipeline extends QModule {
                      AS mask_ends_csv,
                    CAST(12 + l + dl AS BIGINT) AS mask_chars
             FROM d ORDER BY conv_id"""))
+
+  /** DPO preference pairs ([[graft.ops.Preference.dpoPairs]]): four
+    * md5-scored synthetic responses per prompt reduce to one
+    * (chosen, rejected) pair via two struct aggregates — never a
+    * window — with exact integer milli-scores, id tie-breaks, and
+    * zero-margin pairs dropped. The oracle replays scores and both
+    * argmax/argmin rankings, so a tie-break inversion, a margin
+    * boundary slip, or an aggregation ordering bug all hash-mismatch.
+    */
+  val t94DpoPairs = Q(
+    "t94_dpo_pairs",
+    (s, dir) => {
+      val resp = docs(s, dir).select(col("doc_id"), explode(
+        array((0 until 4).map(lit): _*)).as("r"))
+        .select(col("doc_id").as("prompt_id"), col("r").as("resp_id"),
+          concat(lit("r"), col("r"), lit(" for "), col("doc_id")).as("text"),
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':dpo' || " +
+            "CAST(r AS STRING)), 1, 14), 16, 10) AS BIGINT) % 1000").as("score_milli"))
+      graft.ops.Preference.dpoPairs(resp).orderBy(col("prompt_id"))
+    },
+    Some("""WITH r AS (SELECT doc_id AS prompt_id, t.r AS resp_id,
+                   'r' || CAST(t.r AS VARCHAR) || ' for ' || CAST(doc_id AS VARCHAR) AS text,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dpo'
+                     || CAST(t.r AS VARCHAR)), 1, 14) AS BIGINT) % 1000 AS s
+                 FROM documents CROSS JOIN range(4) t(r)),
+            c AS (SELECT prompt_id, resp_id, text, s,
+                    row_number() OVER (PARTITION BY prompt_id
+                      ORDER BY s DESC, resp_id ASC) AS rn
+                  FROM r),
+            j AS (SELECT prompt_id, resp_id, text, s,
+                    row_number() OVER (PARTITION BY prompt_id
+                      ORDER BY s ASC, resp_id ASC) AS rn
+                  FROM r)
+            SELECT c.prompt_id, CAST(c.resp_id AS BIGINT) AS chosen_id,
+                   CAST(j.resp_id AS BIGINT) AS rejected_id,
+                   c.text AS chosen_text, j.text AS rejected_text,
+                   CAST(c.s - j.s AS BIGINT) AS margin_milli
+            FROM c JOIN j ON c.prompt_id = j.prompt_id
+            WHERE c.rn = 1 AND j.rn = 1 AND c.s - j.s > 0
+            ORDER BY c.prompt_id"""))
 }
