@@ -94,7 +94,30 @@ object Avi {
     * avih + vids/MJPG strl, then movi) so foreign AVI parsers accept
     * it too.
     */
-  def encodeSyntheticMjpeg(id: Long, nFrames: Int): Array[Byte] = {
+  /** [[encodeSyntheticMjpeg]] variant with a PLANTED scene cut for
+    * the m64 gate: quadrant b of frame f holds
+    * (id·37 + b·29) mod 64 + f·11 + (100 if f ≥ cut else 0),
+    * cut = id mod (nFrames−2) + 1. The base stays under 64 and the
+    * ramp is +11/frame, so values never wrap mod 256 (max 63 + 11·(n−1)
+    * + 100 = 207 at n=5): consecutive smooth frames differ by exactly
+    * 11 mean-luma levels and the cut by 111 — a detector threshold of
+    * 50 sits 4.9× the JPEG decode noise (±4/mean, ±8/diff) away from
+    * both sides, so the closed-form oracle verdict can't flip.
+    */
+  def encodeSyntheticMjpegCut(id: Long, nFrames: Int): Array[Byte] = {
+    require(nFrames >= 3, s"need >= 3 frames to plant an interior cut, got $nFrames")
+    val cut = (id % (nFrames - 2)).toInt + 1
+    encodeFrames(nFrames, (f, b) =>
+      ((id * 37 + b * 29) % 64 + f * 11 + (if (f >= cut) 100 else 0)).toInt)
+  }
+
+  def encodeSyntheticMjpeg(id: Long, nFrames: Int): Array[Byte] =
+    encodeFrames(nFrames, (f, b) => ((id * 37 + f * 11 + b * 29) % 256).toInt)
+
+  /** Shared MJPEG-AVI writer: 16×16 gray frames, quadrant b of frame
+    * f filled with `level(f, b)`.
+    */
+  private def encodeFrames(nFrames: Int, level: (Int, Int) => Int): Array[Byte] = {
     def jpegFrame(f: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(16, 16,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -104,7 +127,7 @@ object Avi {
         var x = 0
         while (x < 16) {
           val b = (y / 8) * 2 + (x / 8)
-          raster.setSample(x, y, 0, ((id * 37 + f * 11 + b * 29) % 256).toInt)
+          raster.setSample(x, y, 0, level(f, b))
           x += 1
         }
         y += 1

@@ -113,4 +113,43 @@ object Bpe {
           collect_list(struct(col("pos"), col("toks"))))
           .getField("toks")), " ").as("token_str"))
   }
+
+  /** Tokenizer-fit (fertility) report per corpus slice — the table a
+    * team reads when choosing a vocabulary: fertility (tokens/word)
+    * and compression (chars/token) per group, under a frozen merge
+    * list. High fertility on a language means the vocab fragments it
+    * (and its documents pay more sequence positions per word of
+    * content); chars/token is the effective compression ratio the
+    * context window sees.
+    *
+    * Same scale shape as [[tokenStats]]: each DISTINCT word is
+    * encoded once (with its token count and char length), then joined
+    * back to occurrences, so the merge scan never repeats per
+    * occurrence; the group aggregation is map-side combinable over
+    * (group, word) rows. Ratios stay exact integers in milli units
+    * (floor division) so an oracle replays them bit-for-bit.
+    *
+    * Output: (group, n_words, n_tokens, n_chars, fertility_milli,
+    * chars_per_token_milli) — one row per distinct `groupCol` value.
+    */
+  def fertility(docs: DataFrame, merges: Seq[(String, String)],
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergesB = spark.sparkContext.broadcast(merges)
+
+    val occ = docs.select(col(groupCol).as("grp"),
+      explode(words(docs, textCol)).as("w"))
+    val wordToks = occ.select(col("w")).distinct().as[String]
+      .map(w => (w, encodeWord(w, mergesB.value).size, w.length))
+      .toDF("w", "n_toks", "n_chars")
+    occ.join(wordToks, "w")
+      .groupBy(col("grp").as(groupCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_words"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"),
+        sum(col("n_chars")).cast("bigint").as("n_chars"))
+      .withColumn("fertility_milli", expr("(n_tokens * 1000) div n_words"))
+      .withColumn("chars_per_token_milli", expr("(n_chars * 1000) div n_tokens"))
+  }
 }

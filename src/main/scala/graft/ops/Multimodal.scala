@@ -374,6 +374,61 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** [[syntheticAvi]] with a planted scene cut ([[Avi.encodeSyntheticMjpegCut]])
+    * — the m64 gate input.
+    */
+  def syntheticAviCut(docs: DataFrame, nFrames: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, Avi.encodeSyntheticMjpegCut(id, nFrames))))
+      .toDF("doc_id", "media")
+  }
+
+  final case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Int,
+      first_cut: Int)
+
+  /** Scene-cut detection over MJPEG-in-AVI payloads — the keyframe /
+    * shot-segmentation pass a video-captioning pipeline runs before
+    * sampling frames to caption (one frame per SHOT beats one frame
+    * per N: a stride straddling a cut describes two scenes at once).
+    *
+    * Frame f is a cut iff the mean-luma jump from frame f−1 is at
+    * least `meanDiffThreshold` gray levels. The comparison stays in
+    * EXACT integers: per-frame luma SUMS (channel 0) against
+    * threshold·w·h — no float enters the decision, so the verdict is
+    * engine-reproducible (JPEG decode noise is bounded, ±4 levels on
+    * uniform blocks at q0.95, far under any sensible threshold).
+    *
+    * Same typed-mapPartitions batch kernel as every media path:
+    * partition-local, one video per row, frames decoded once in
+    * order. Output first_cut = −1 when no cut fires.
+    */
+  def sceneCuts(spark: SparkSession, media: DataFrame,
+      meanDiffThreshold: Int = 50): Dataset[SceneCuts] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (avi, frames) = Avi.sampleFrames(payload, stride = 1)
+        require(frames.nonEmpty, s"AVI $id has no decodable frames")
+        def lumaSum(img: DecodedImage): Long = {
+          var sum = 0L
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) { sum += img.pixels(i * img.channels) & 0xff; i += 1 }
+          sum
+        }
+        val sums = frames.map(lumaSum)
+        val pixels = frames.head.width.toLong * frames.head.height
+        val thr = meanDiffThreshold * pixels
+        val cuts = (1 until sums.length)
+          .filter(f => math.abs(sums(f) - sums(f - 1)) >= thr)
+        SceneCuts(id, frames.length, cuts.length,
+          if (cuts.isEmpty) -1 else cuts.head)
+      })
+  }
+
   /** "Resize"/re-chunk stub: demonstrates payload-transforming kernels
     * (sample every `stride`-th byte — the frame-sampling analogue).
     */

@@ -800,6 +800,41 @@ object TextDedup {
         (col("doc_id") === col("canonical_id")).as("keep"))
   }
 
+  /** Soft dedup (DataComp-LM / SlimPajama-style down-weighting):
+    * instead of DROPPING near-duplicates, give every member of a
+    * duplicate cluster sampling weight 1/|cluster| so the cluster's
+    * total expected contribution equals one document — the gentler
+    * alternative when duplicates carry slight variation worth keeping.
+    *
+    * Rides the SAME banded-SimHash pair graph + union-find as
+    * [[canonicalDocs]] (one extra aggregation over its output, no new
+    * shuffle class); weights stay EXACT integers in micro units
+    * (10⁶ // size) so an oracle replays them without float division.
+    * `weighted_tokens_micro` = n_tokens·10⁶ // size is the document's
+    * effective token mass — summed over the corpus it yields the
+    * effective (post-soft-dedup) training token count for the data
+    * card.
+    *
+    * Output: (doc_id, cluster_id, cluster_size, n_tokens,
+    * weight_micro, weighted_tokens_micro), one row per document —
+    * singletons get weight 10⁶ (kept whole).
+    */
+  def softDedupWeights(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = simHashNearDups(docs, maxDist = maxDist)
+    val cc = connectedComponents(pairs, docs.select(col(idCol).as("doc_id")))
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .join(docs.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).cast("long").as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"),
+        expr("1000000 div cluster_size").as("weight_micro"),
+        expr("(n_tokens * 1000000) div cluster_size")
+          .as("weighted_tokens_micro"))
+  }
+
   /** Sub-document (chunk-level) exact dedup: split each document into
     * consecutive `chunkWords`-word chunks, find chunks that recur in
     * two or more distinct documents, and report each document's
@@ -1232,6 +1267,70 @@ object TextDedup {
     else
       (benchmarkOverlap(corpus, benchmark, idCol, textCol, n)
         .withColumn("keep", col("contaminated_frac") <= maxFrac), false)
+  }
+
+  /** Longest-contaminated-RUN screen — the contiguous-span overlap
+    * metric decontamination actually keys on (GPT-3/GPT-4 report
+    * substring collisions of ≥ N tokens, Carlini et al. measure
+    * memorization by longest verbatim span): [[benchmarkOverlap]]'s
+    * bag-of-distinct-grams fraction cannot distinguish a document
+    * that QUOTES 50 consecutive benchmark tokens from one that shares
+    * 43 scattered stopword grams, but the quote is the leak.
+    *
+    * Per corpus doc: positional word n-grams, each tested for
+    * membership in the benchmark's distinct gram set; the longest run
+    * of CONSECUTIVE matching positions r converts to a longest
+    * overlapping token span of r+n−1. One gram-key join (8-byte
+    * xxhash64 keys, same collision envelope as the screens above);
+    * the run computation windows over MATCHING positions only —
+    * contamination is rare at corpus scale, so the windowed set is
+    * tiny even when the corpus is not. Runs are found with the
+    * classic gaps-and-islands trick (pos − row_number is constant
+    * within a consecutive run), never a per-token scan.
+    *
+    * Output: (doc_id, n_grams, n_hit_grams, max_run,
+    * max_overlap_tokens, flagged) for every corpus doc with ≥ 1 gram;
+    * `flagged` = max_overlap_tokens ≥ `flagTokens`.
+    */
+  def overlapRun(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
+      flagTokens: Int = 16): DataFrame = {
+    val ws = words(col(textCol))
+    // positional (not distinct) grams — runs need every position
+    val posGrams = corpus
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - n),
+          i => xxhash64(array_join(slice(col("ws"), (i + 1).cast("int"), lit(n)), " ")))))
+      .withColumnRenamed("col", "ngh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchGrams = distinctWordGrams(benchmark, idCol, textCol, n)
+      .select(xxhash64(col("ng")).as("ngh")).distinct()
+    val hits = posGrams.join(benchGrams, "ngh").select(col("doc_id"), col("pos"))
+    // gaps-and-islands over the (small) hit set only
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = hits
+      .withColumn("grp", col("pos") - row_number().over(wOrd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).cast("long").as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("max_run"),
+        sum(col("run")).cast("long").as("n_hit_grams"))
+    val totals = posGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    val out = totals.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        when(coalesce(col("max_run"), lit(0L)) > 0,
+          coalesce(col("max_run"), lit(0L)) + (n - 1)).otherwise(lit(0L))
+          .as("max_overlap_tokens"))
+      .withColumn("flagged", col("max_overlap_tokens") >= flagTokens)
+      .localCheckpoint(eager = true)
+    posGrams.unpersist()
+    out
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —

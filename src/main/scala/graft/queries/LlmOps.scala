@@ -27,7 +27,7 @@ object LlmOps extends QModule {
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
-    m62ImageDupClusters, m63AudioFpDedup)
+    m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts)
 
   import QTables.{docs, emb}
 
@@ -304,6 +304,61 @@ object LlmOps extends QModule {
             SELECT cl.doc_id, cl.cluster_id, rep.canonical_id,
                    cl.doc_id = rep.canonical_id AS keep
             FROM cl JOIN rep ON cl.cluster_id = rep.cluster_id
+            ORDER BY cl.doc_id"""))
+
+  /** Soft dedup ([[TextDedup.softDedupWeights]]): d47's clusters
+    * converted to per-doc 1/|cluster| sampling weights in exact micro
+    * units plus the document's effective (weighted) token mass — the
+    * DCLM-style down-weighting alternative to d50's hard drop. The
+    * oracle chains the same recursive-CTE components with both
+    * floor-division weight columns.
+    */
+  val d63SoftDedupWeights = Q(
+    "d63_softdedup_weights",
+    (s, dir) => TextDedup.softDedupWeights(docs(s, dir))
+      .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE
+            t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS w FROM documents),
+            h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM t),
+            bits AS (SELECT doc_id, k,
+                       sum(CASE WHEN (h // CAST(pow(2, k) AS BIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                     FROM h, range(60) r(k) GROUP BY doc_id, k),
+            f AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, k) AS BIGINT)
+                                  ELSE 0 END) AS BIGINT) AS simhash
+                  FROM bits GROUP BY doc_id),
+            banded AS (SELECT doc_id, simhash, b.b AS band,
+                         (simhash // CAST(pow(2, 15 * b.b) AS BIGINT)) % 32768 AS key
+                       FROM f, range(4) b(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+                      JOIN f fa ON c.doc_a = fa.doc_id
+                      JOIN f fb ON c.doc_b = fb.doc_id
+                      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT u AS a, v AS b FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            ),
+            lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                    FROM reach GROUP BY a),
+            cl AS (SELECT d.doc_id,
+                     COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+                     CAST(len(list_filter(string_split(d.text, ' '),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+                   FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+            sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM cl GROUP BY cluster_id)
+            SELECT cl.doc_id, cl.cluster_id, sz.cluster_size, cl.n_tokens,
+                   1000000 // sz.cluster_size AS weight_micro,
+                   (cl.n_tokens * 1000000) // sz.cluster_size AS weighted_tokens_micro
+            FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
             ORDER BY cl.doc_id"""))
 
   /** Embedding-cosine near-dup pairs via the SRP-bucketed scale path
@@ -708,6 +763,36 @@ object LlmOps extends QModule {
                + (doc_id * 37 + 58) % 256 + (doc_id * 37 + 87) % 256 AS DOUBLE) / 4
               AS exp_mean,
             true AS mean_ok
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  /** REAL scene-cut detection in the gate ([[Multimodal.sceneCuts]]):
+    * per-doc MJPEG AVIs with a PLANTED cut at frame id mod 3 + 1
+    * ([[graft.ops.Avi.encodeSyntheticMjpegCut]] — smooth +11/frame
+    * luma ramp, +100 jump at the cut, values never wrap), every frame
+    * decoded and the exact-integer luma-sum differencer applied at a
+    * 50-level threshold. JPEG decode noise (±8 on a frame diff) sits
+    * 4× under the smooth/cut margin on BOTH sides, so the detector
+    * must find exactly the planted cut — the oracle states it in
+    * closed form.
+    */
+  val m64SceneCuts = Q(
+    "m64_video_scene_cuts",
+    (s, dir) => {
+      val expCut = (col("doc_id") % 3 + 1).cast("int")
+      Multimodal.sceneCuts(s,
+          Multimodal.syntheticAviCut(docs(s, dir).filter(col("doc_id") < 200),
+            nFrames = 5))
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"), col("first_cut"),
+          expCut.as("exp_cut"),
+          (col("n_cuts") === 1 && col("first_cut") === expCut).as("cut_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(5 AS INT) AS n_frames, CAST(1 AS INT) AS n_cuts,
+            CAST(doc_id % 3 + 1 AS INT) AS first_cut,
+            CAST(doc_id % 3 + 1 AS INT) AS exp_cut,
+            true AS cut_ok
             FROM documents WHERE doc_id < 200
             ORDER BY doc_id"""))
 

@@ -34,7 +34,8 @@ object Pipeline extends QModule {
     t80HtmlExtract, t81KnPerplexity, t82RobotsFilter, t83CharsetSniff,
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
-    t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs)
+    t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
+    t95BestOfN, t96OverlapRun, t97TokenizerFertility)
 
   import QTables.{docs, emb}
 
@@ -2960,4 +2961,123 @@ object Pipeline extends QModule {
             FROM c JOIN j ON c.prompt_id = j.prompt_id
             WHERE c.rn = 1 AND j.rn = 1 AND c.s - j.s > 0
             ORDER BY c.prompt_id"""))
+
+  /** Best-of-n rejection sampling ([[graft.ops.Preference.bestOfN]]):
+    * per prompt, the single highest-scored of its 4 candidate
+    * responses, with the exact-integer selection margin
+    * n·best − Σscores. Same synthesized reward scores as t94; the
+    * oracle replays selection via row_number and the margin in closed
+    * form — a tie-break inversion or an off-by-one in the margin
+    * hash-mismatches.
+    */
+  val t95BestOfN = Q(
+    "t95_best_of_n",
+    (s, dir) => {
+      val resp = docs(s, dir).select(col("doc_id"), explode(
+        array((0 until 4).map(lit): _*)).as("r"))
+        .select(col("doc_id").as("prompt_id"), col("r").as("resp_id"),
+          concat(lit("r"), col("r"), lit(" for "), col("doc_id")).as("text"),
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':bon' || " +
+            "CAST(r AS STRING)), 1, 14), 16, 10) AS BIGINT) % 1000").as("score_milli"))
+      graft.ops.Preference.bestOfN(resp).orderBy(col("prompt_id"))
+    },
+    Some("""WITH r AS (SELECT doc_id AS prompt_id, t.r AS resp_id,
+                   'r' || CAST(t.r AS VARCHAR) || ' for ' || CAST(doc_id AS VARCHAR) AS text,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bon'
+                     || CAST(t.r AS VARCHAR)), 1, 14) AS BIGINT) % 1000 AS s
+                 FROM documents CROSS JOIN range(4) t(r)),
+            b AS (SELECT prompt_id, resp_id, text, s,
+                    row_number() OVER (PARTITION BY prompt_id
+                      ORDER BY s DESC, resp_id ASC) AS rn
+                  FROM r),
+            a AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(s) AS BIGINT) AS sum_milli
+                  FROM r GROUP BY prompt_id)
+            SELECT a.prompt_id, n, CAST(b.resp_id AS BIGINT) AS best_id,
+                   b.text AS best_text, CAST(b.s AS BIGINT) AS best_milli,
+                   sum_milli, CAST(n * b.s - sum_milli AS BIGINT) AS margin_x_n_milli
+            FROM a JOIN b ON a.prompt_id = b.prompt_id AND b.rn = 1
+            ORDER BY a.prompt_id"""))
+
+  /** Longest-contaminated-run screen ([[TextDedup.overlapRun]]): the
+    * contiguous-span overlap metric (GPT-3/4-style substring
+    * decontamination) over the same corpus/benchmark split as t54.
+    * The oracle replays positional grams, the hit join, and the
+    * gaps-and-islands run computation — a run merged across a gap or
+    * an off-by-one in the span conversion hash-mismatches.
+    */
+  val t96OverlapRun = Q(
+    "t96_overlap_run",
+    (s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.overlapRun(
+          d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            g AS (SELECT doc_id, source,
+                    unnest(list_transform(range(len(ws) - 7),
+                      i -> struct_pack(pos := i,
+                        ng := array_to_string(ws[i+1:i+8], ' ')))) AS p
+                  FROM d WHERE len(ws) >= 8),
+            pg AS (SELECT doc_id, source, CAST(p.pos AS BIGINT) AS pos, p.ng AS ng FROM g),
+            bench AS (SELECT DISTINCT ng FROM pg WHERE source = 'src0'),
+            hit AS (SELECT doc_id, pos FROM pg JOIN bench USING (ng)
+                    WHERE source <> 'src0'),
+            runs AS (SELECT doc_id, count(*) AS run
+                     FROM (SELECT doc_id,
+                             pos - row_number() OVER (PARTITION BY doc_id
+                               ORDER BY pos) AS grp
+                           FROM hit)
+                     GROUP BY doc_id, grp),
+            mx AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS max_run,
+                     CAST(sum(run) AS BIGINT) AS n_hit_grams
+                   FROM runs GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                    FROM pg WHERE source <> 'src0' GROUP BY doc_id)
+            SELECT t.doc_id, n_grams,
+                   COALESCE(n_hit_grams, 0) AS n_hit_grams,
+                   COALESCE(max_run, 0) AS max_run,
+                   CASE WHEN COALESCE(max_run, 0) > 0
+                        THEN COALESCE(max_run, 0) + 7 ELSE 0 END AS max_overlap_tokens,
+                   (CASE WHEN COALESCE(max_run, 0) > 0
+                         THEN COALESCE(max_run, 0) + 7 ELSE 0 END) >= 16 AS flagged
+            FROM tot t LEFT JOIN mx ON t.doc_id = mx.doc_id
+            ORDER BY t.doc_id"""))
+
+  /** Tokenizer-fit report ([[graft.ops.Bpe.fertility]]): per-source
+    * fertility (tokens/word) and compression (chars/token) under the
+    * frozen t63 merge list — the table vocabulary selection reads.
+    * The oracle replays the Sennrich apply-order encode per distinct
+    * word (t63's chained-replace representation) and both exact
+    * floor-division milli ratios.
+    */
+  val t97TokenizerFertility = Q(
+    "t97_tokenizer_fertility",
+    (s, dir) => graft.ops.Bpe.fertility(docs(s, dir), bpeMerges)
+      .orderBy(col("source")),
+    Some {
+      val repr = bpeMerges.foldLeft(
+        "'|' || array_to_string(list_transform(range(len(w)), " +
+          "i -> substr(w, CAST(i + 1 AS INT), 1)), '||') || '|'") {
+        case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH d AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                     FROM documents),
+          occ AS (SELECT source, unnest(ws) AS w FROM d),
+          enc AS (SELECT source, w, $repr AS repr FROM occ),
+          tok AS (SELECT source, len(string_split(repr, '||')) AS n_toks,
+                    len(w) AS n_chars
+                  FROM enc)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 (CAST(sum(n_toks) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+                   AS fertility_milli,
+                 (CAST(sum(n_chars) AS BIGINT) * 1000) // CAST(sum(n_toks) AS BIGINT)
+                   AS chars_per_token_milli
+          FROM tok GROUP BY source ORDER BY source"""
+    })
 }

@@ -70,6 +70,21 @@ class AviSpec extends AnyFunSuite {
     }
   }
 
+  test("planted-cut encoder: frame means ramp +11 then jump +100, never wrap") {
+    val id = 9L
+    val (avi, frames) = Avi.sampleFrames(Avi.encodeSyntheticMjpegCut(id, 5), stride = 1)
+    assert(avi.frames.length == 5 && frames.length == 5)
+    val cut = (id % 3).toInt + 1
+    val means = frames.map { img =>
+      img.pixels.grouped(img.channels).map(p => p(0) & 0xff).sum / 256.0
+    }
+    (1 until 5).foreach { f =>
+      val jump = math.abs(means(f) - means(f - 1))
+      if (f == cut) assert(jump > 100, s"frame $f: planted jump lost ($jump)")
+      else assert(jump < 20, s"frame $f: smooth ramp broke ($jump)")
+    }
+  }
+
   test("non-AVI and corrupt containers refuse precisely") {
     assertThrows[IllegalArgumentException](Avi.parseAvi("RIFFxxxxWAVE".getBytes))
     assertThrows[IllegalArgumentException](Avi.parseAvi("nope".getBytes))

@@ -74,4 +74,32 @@ class BpeSpec extends SparkSpec {
     assert(rows(0) == ((0L, 3, 4L, "low low est low")))
     assert(rows(1) == ((1L, 2, 4L, "w est w est")))
   }
+
+  test("fertility: exact per-group token/word/char ratios in milli units") {
+    import spark.implicits._
+    // srcA: "low lowest" → tokens [low], [low, est] = 3 tokens,
+    // 2 words, 9 chars → fertility 1500, chars/token 3000.
+    // srcB: "west" → [w, est] = 2 tokens, 1 word, 4 chars →
+    // fertility 2000, chars/token 2000.
+    val docs = Seq(("srcA", "low lowest"), ("srcB", "west"))
+      .toDF("source", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"))
+    val rows = Bpe.fertility(docs, merges).orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows(0) == (("srcA", 2L, 3L, 9L, 1500L, 3000L)))
+    assert(rows(1) == (("srcB", 1L, 2L, 4L, 2000L, 2000L)))
+  }
+
+  test("fertility: repeated words re-use one encode, occurrences still count") {
+    import spark.implicits._
+    // the same word 5 times in one group: n_words counts occurrences
+    // (5), tokens = 5 × per-word tokens — the distinct-encode + join
+    // shape must not collapse occurrence counts.
+    val docs = Seq(("s", "west west west west west")).toDF("source", "text")
+    val merges = Seq(("e", "s"), ("es", "t"))
+    val r = Bpe.fertility(docs, merges).head()
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_tokens") == 10L) // [w, est] × 5
+    assert(r.getAs[Long]("fertility_milli") == 2000L)
+  }
 }

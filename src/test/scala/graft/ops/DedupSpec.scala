@@ -257,6 +257,58 @@ class DedupSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("dup_tokens") == 0L)
   }
 
+  test("overlapRun: scattered hits vs one contiguous quote rank differently") {
+    import spark.implicits._
+    // bench holds two separate 8-gram phrases plus a long passage.
+    // docA quotes 12 consecutive benchmark tokens (5 consecutive gram
+    // hits → run 5 → overlap 12); docB contains the two SCATTERED
+    // 8-gram phrases (2 hits each in two runs of 1 → overlap 8).
+    // The bag-of-grams fraction would call docB more contaminated
+    // (2 distinct hits vs docA's 5 positional ones); the run metric
+    // must rank docA as the leak.
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val phraseA = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val phraseB = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val bench = Seq((100L, s"$passage filler1 $phraseA filler2 $phraseB"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"lead1 lead2 $passage tail1 tail2"),
+      (2L, s"x1 $phraseA mid1 mid2 $phraseB x2"),
+      (3L, "clean doc with no benchmark overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.overlapRun(corpus, bench, n = 8, flagTokens = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("max_run") == 5L)
+    assert(out(1L).getAs[Long]("max_overlap_tokens") == 12L)
+    assert(out(1L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[Long]("max_run") == 1L)
+    assert(out(2L).getAs[Long]("max_overlap_tokens") == 8L)
+    assert(!out(2L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[Long]("n_hit_grams") == 2L)
+    assert(out(3L).getAs[Long]("max_run") == 0L &&
+      out(3L).getAs[Long]("max_overlap_tokens") == 0L)
+  }
+
+  test("softDedupWeights: cluster mass sums to one doc, singletons keep 1e6") {
+    val out = TextDedup.softDedupWeights(docs).collect()
+    assert(out.length == docs.count())
+    val bySize = out.groupBy(_.getAs[Long]("cluster_size"))
+    assert(bySize.keySet.exists(_ > 1L), "corpus should contain near-dup clusters")
+    out.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val w = r.getAs[Long]("weight_micro")
+      assert(w == 1000000L / size, s"weight must be exact floor division for size $size")
+      val nt = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("weighted_tokens_micro") == nt * 1000000L / size)
+    }
+    // a cluster's total weight ≈ 10⁶ (one effective doc, floor slack < size)
+    out.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, rs) =>
+      val total = rs.map(_.getAs[Long]("weight_micro")).sum
+      assert(total <= 1000000L && total > 1000000L - rs.length,
+        s"cluster weight mass $total out of envelope for size ${rs.length}")
+    }
+  }
+
   test("dupSpans catches an intra-document repeat at every alignment") {
     import spark.implicits._
     // one doc, a 5-word phrase repeated twice with a separator: the

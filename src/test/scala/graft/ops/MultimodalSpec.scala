@@ -131,4 +131,30 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.mean_c0 - exp) <= 4.0, s"doc ${f.doc_id}: ${f.mean_c0} vs $exp")
     }
   }
+
+  test("sceneCuts finds exactly the planted cut across a fleet of clips") {
+    import spark.implicits._
+    val media = (0L until 24L).toDF("doc_id")
+    val out = Multimodal.sceneCuts(spark,
+        Multimodal.syntheticAviCut(media, nFrames = 6))
+      .collect().map(sc => sc.doc_id -> sc).toMap
+    assert(out.size == 24)
+    out.foreach { case (id, sc) =>
+      val expected = (id % 4).toInt + 1 // nFrames 6 → cut ∈ [1, 4]
+      assert(sc.n_frames == 6)
+      assert(sc.n_cuts == 1, s"doc $id: ${sc.n_cuts} cuts (smooth ramp misread?)")
+      assert(sc.first_cut == expected, s"doc $id: cut ${sc.first_cut} != $expected")
+    }
+  }
+
+  test("sceneCuts on a smooth (cut-free) clip reports no cut") {
+    import spark.implicits._
+    // the uniform generator ramps +11/frame mod 256; pick short clips
+    // and small ids so no quadrant wraps (id·37 + 2·11 + 3·29 < 256)
+    val media = Seq(0L, 1L, 2L).toDF("doc_id")
+    val out = Multimodal.sceneCuts(spark,
+        Multimodal.syntheticAvi(media, nFrames = 3)).collect()
+    out.foreach(sc => assert(sc.n_cuts == 0 && sc.first_cut == -1,
+      s"doc ${sc.doc_id} false cut"))
+  }
 }

@@ -43,4 +43,38 @@ class PreferenceSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("bestOfN: argmax with id tie-break, exact margin, every prompt emits") {
+    import spark.implicits._
+    val r = Seq(
+      // prompt 1: winner id 1 at 900; sum 1500, n 3 → margin 3·900−1500
+      (1L, 0L, "bad", 100L), (1L, 1L, "good", 900L), (1L, 2L, "mid", 500L),
+      // prompt 2: top tie (ids 1, 2 at 700) → smaller id wins
+      (2L, 2L, "hi-b", 700L), (2L, 1L, "hi-a", 700L), (2L, 0L, "low", 100L),
+      // prompt 3: all equal — still emits, margin 0
+      (3L, 0L, "x", 400L), (3L, 1L, "y", 400L),
+      // prompt 4: best-of-1 keeps its only response, margin 0
+      (4L, 0L, "solo", 500L)).toDF("prompt_id", "resp_id", "text", "score_milli")
+    val out = Preference.bestOfN(r).orderBy("prompt_id").collect()
+    assert(out.length == 4, "every prompt emits exactly one row")
+    val p1 = out(0)
+    assert(p1.getAs[Long]("best_id") == 1L && p1.getAs[String]("best_text") == "good")
+    assert(p1.getAs[Long]("margin_x_n_milli") == 3 * 900 - 1500)
+    assert(out(1).getAs[Long]("best_id") == 1L, "top tie must break to smaller id")
+    assert(out(2).getAs[Long]("margin_x_n_milli") == 0L)
+    assert(out(3).getAs[Long]("best_id") == 0L &&
+      out(3).getAs[Long]("margin_x_n_milli") == 0L)
+  }
+
+  test("bestOfN deterministic across partitioning") {
+    import spark.implicits._
+    val r = (0L until 40L).flatMap { p =>
+      (0L until 4L).map(i => (p, i, s"t$p-$i", (p * 7 + i * 13) % 1000))
+    }.toDF("prompt_id", "resp_id", "text", "score_milli")
+    val a = Preference.bestOfN(r).collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("best_id"))).toSet
+    val b = Preference.bestOfN(r.repartition(7)).collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("best_id"))).toSet
+    assert(a == b && a.size == 40)
+  }
 }
