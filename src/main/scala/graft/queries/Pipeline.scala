@@ -35,7 +35,7 @@ object Pipeline extends QModule {
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
-    t95BestOfN, t96OverlapRun, t97TokenizerFertility)
+    t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan)
 
   import QTables.{docs, emb}
 
@@ -3080,4 +3080,45 @@ object Pipeline extends QModule {
                    AS chars_per_token_milli
           FROM tok GROUP BY source ORDER BY source"""
     })
+
+  /** Data-constrained epoch allocation ([[graft.ops.Mixture.epochAllocate]]):
+    * a 27k-token budget at a 1.0-epoch repeat cap over the per-source
+    * token masses — parameters chosen so the gate exercises all three
+    * allocation states on this corpus (9 sources capped, 6 clipped
+    * during the spill round, 5 free). The oracle replays the weight
+    * quantization, both floor-division allocation rounds, and the
+    * epoch conversion exactly.
+    */
+  val t98EpochPlan = Q(
+    "t98_epoch_plan",
+    (s, dir) => graft.ops.Mixture.epochAllocate(docs(s, dir),
+        budgetTokens = 27000L, capMilliEpochs = 1000L)
+      .orderBy(col("source")),
+    Some("""WITH t AS (SELECT source,
+                  CAST(sum(len(list_filter(string_split(text, ' '),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+            w AS (SELECT source, n_tokens,
+                    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                      AS BIGINT) AS w_micro,
+                    (n_tokens * 1000) // 1000 AS cap_tokens
+                  FROM t),
+            tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM w),
+            r1 AS (SELECT w.source, w.n_tokens, w.w_micro, w.cap_tokens,
+                     (27000 * w_micro) // w_total AS ideal_tokens,
+                     (27000 * w_micro) // w_total > cap_tokens AS capped,
+                     least((27000 * w_micro) // w_total, cap_tokens) AS alloc1
+                   FROM w CROSS JOIN tot),
+            sp AS (SELECT 27000 - CAST(sum(alloc1) AS BIGINT) AS leftover,
+                     CAST(sum(CASE WHEN NOT capped THEN w_micro ELSE 0 END)
+                       AS BIGINT) AS w_uncapped
+                   FROM r1),
+            f AS (SELECT r1.*, CASE WHEN capped OR w_uncapped = 0 THEN alloc1
+                     ELSE least(cap_tokens,
+                       alloc1 + (leftover * w_micro) // w_uncapped) END
+                     AS alloc_tokens
+                  FROM r1 CROSS JOIN sp)
+            SELECT source, n_tokens, w_micro, ideal_tokens, cap_tokens, capped,
+                   alloc_tokens, (alloc_tokens * 1000) // n_tokens AS epochs_milli
+            FROM f ORDER BY source"""))
 }

@@ -42,6 +42,49 @@ class MixtureUrlsSpec extends SparkSpec {
     assert(capped("tiny") == 1000L && capped("big") < 500L)
   }
 
+  test("epochAllocate: caps bind, spill redistributes, budget is respected") {
+    // 'big' has 4000 tokens, 'small' 250: √-flattening gives small an
+    // ideal share far above a 2.0-epoch cap, so it caps at 500 tokens
+    // and the leftover spills to big.
+    val df = ((0 until 40).map(i => (s"b$i", "big", Seq.fill(100)("w").mkString(" "))) ++
+      (0 until 10).map(i => (s"s$i", "small", Seq.fill(25)("w").mkString(" "))))
+      .toDF("id", "source", "text")
+    val out = Mixture.epochAllocate(df, budgetTokens = 3000L,
+        capMilliEpochs = 2000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val big = out("big"); val small = out("small")
+    assert(big.getAs[Long]("n_tokens") == 4000L &&
+      small.getAs[Long]("n_tokens") == 250L)
+    // exact replay of the closed-form plan
+    val wBig = math.floor(math.sqrt(4000.0) * 1e6).toLong
+    val wSmall = math.floor(math.sqrt(250.0) * 1e6).toLong
+    val idealSmall = 3000L * wSmall / (wBig + wSmall)
+    assert(small.getAs[Long]("ideal_tokens") == idealSmall)
+    assert(idealSmall > 500L && small.getAs[Boolean]("capped"))
+    assert(small.getAs[Long]("alloc_tokens") == 500L) // 2.0 epochs × 250
+    assert(small.getAs[Long]("epochs_milli") == 2000L)
+    val idealBig = 3000L * wBig / (wBig + wSmall)
+    val leftover = 3000L - idealBig - 500L
+    assert(!big.getAs[Boolean]("capped"))
+    assert(big.getAs[Long]("alloc_tokens") == idealBig + leftover * wBig / wBig)
+    // allocation never exceeds the budget
+    val total = out.values.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(total <= 3000L && total > 2900L)
+  }
+
+  test("epochAllocate: infeasible budget caps everything, allocates cap mass") {
+    val df = (0 until 10).map(i => (s"d$i", s"src${i % 2}",
+      Seq.fill(50)("w").mkString(" "))).toDF("id", "source", "text")
+    // 500 tokens total; a 1.0-epoch cap cannot absorb a 5000 budget
+    val out = Mixture.epochAllocate(df, budgetTokens = 5000L,
+        capMilliEpochs = 1000L).collect()
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("capped"))
+      assert(r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Long]("epochs_milli") == 1000L)
+    }
+  }
+
   test("sampling is a pure function of the id (stable across reruns)") {
     val df = (0 until 500).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
     val a = Mixture.temperatureSample(df).select("doc_id").as[Long].collect().sorted
