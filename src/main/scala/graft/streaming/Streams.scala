@@ -444,6 +444,21 @@ object Streams {
       }
   }
 
+  /** An arriving multimodal payload: opaque encoded bytes keyed by id. */
+  final case class ArrivingMedia(doc_id: Long, media: Array[Byte])
+
+  /** Scene-cut detection at ingest — the streaming form of
+    * [[graft.ops.Multimodal.sceneCuts]]: each micro-batch runs the
+    * SAME typed decode kernel batch uses (decode is per-payload, so
+    * the operator is stateless — no watermark, no state store; a
+    * video column flows through readStream exactly like batch).
+    * Emits one append row per video: (doc_id, n_frames, n_cuts,
+    * first_cut).
+    */
+  def streamingSceneCuts(spark: SparkSession, media: Dataset[ArrivingMedia],
+      meanDiffThreshold: Int = 50): Dataset[graft.ops.Multimodal.SceneCuts] =
+    graft.ops.Multimodal.sceneCuts(spark, media.toDF(), meanDiffThreshold)
+
   /** Stream-static incremental screen — the streaming form of
     * [[graft.ops.TextDedup.crossCorpusNearDups]]: arriving documents
     * are checked against a STATIC reference corpus. The reference is

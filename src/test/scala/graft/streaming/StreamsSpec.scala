@@ -102,6 +102,32 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming scene cuts: per-batch decode matches the batch kernel, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.ArrivingMedia]
+    val q = Streams.streamingSceneCuts(spark, mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("scenecuts").start()
+    val clips = (0L until 8L).map(id =>
+      Streams.ArrivingMedia(id, graft.ops.Avi.encodeSyntheticMjpegCut(id, 5)))
+    mem.addData(clips.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(clips.drop(4): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("scenecuts").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_cuts"),
+        r.getAs[Int]("first_cut"))).toSet
+    // batch twin over the union — identical kernel, identical rows
+    val batch = graft.ops.Multimodal.sceneCuts(spark,
+        clips.map(m => (m.doc_id, m.media)).toDF("doc_id", "media"))
+      .collect().map(sc => (sc.doc_id, sc.n_cuts, sc.first_cut)).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    streamed.foreach { case (id, nCuts, cut) =>
+      assert(nCuts == 1 && cut == (id % 3).toInt + 1, s"doc $id planted cut lost")
+    }
+    q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
