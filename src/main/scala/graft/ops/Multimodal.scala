@@ -429,6 +429,28 @@ object Multimodal {
       })
   }
 
+  final case class ThumbPixel(doc_id: Long, ty: Int, tx: Int, c: Int, v: Int)
+
+  /** Distributed thumbnail resize with EVERY output pixel emitted —
+    * the resize kernel as an oracle-checkable surface: decode →
+    * exact-integer box filter ([[thumbnail]]: floor-division means
+    * over [x0,x1)×[y0,y1) boxes, no float resampling) → one row per
+    * (doc, ty, tx, channel). Typed mapPartitions like every media
+    * kernel; the payload never shuffles, only the (tiny) thumbnail
+    * rows do whatever the caller's next step needs.
+    */
+  def thumbnailPixels(spark: SparkSession, media: DataFrame,
+      tw: Int, th: Int): Dataset[ThumbPixel] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val t = thumbnail(decodeImage(payload), tw, th)
+        for (ty <- 0 until th; tx <- 0 until tw; c <- 0 until t.channels)
+          yield ThumbPixel(id, ty, tx, c,
+            t.pixels((ty * tw + tx) * t.channels + c) & 0xff)
+      })
+  }
+
   /** "Resize"/re-chunk stub: demonstrates payload-transforming kernels
     * (sample every `stride`-th byte — the frame-sampling analogue).
     */

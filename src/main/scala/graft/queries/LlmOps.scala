@@ -27,7 +27,8 @@ object LlmOps extends QModule {
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
-    m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts)
+    m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
+    m65ThumbnailPixels)
 
   import QTables.{docs, emb}
 
@@ -795,6 +796,30 @@ object LlmOps extends QModule {
             true AS cut_ok
             FROM documents WHERE doc_id < 200
             ORDER BY doc_id"""))
+
+  /** REAL resize in the gate ([[Multimodal.thumbnailPixels]]): 6×4
+    * RGB PPMs box-filtered to 3×2, EVERY output pixel emitted and
+    * pinned — the box filter is exact integer floor-division means
+    * (2×2 boxes here), so the oracle replays each of the 18 output
+    * bytes per image in closed form from the generator formula.
+    */
+  val m65ThumbnailPixels = Q(
+    "m65_thumbnail_pixels",
+    (s, dir) => Multimodal.thumbnailPixels(s,
+        Multimodal.syntheticPpm(docs(s, dir).filter(col("doc_id") < 200)),
+        tw = 3, th = 2)
+      .toDF().orderBy(col("doc_id"), col("ty"), col("tx"), col("c")),
+    Some("""SELECT doc_id, CAST(ty.ty AS INT) AS ty, CAST(tx.tx AS INT) AS tx,
+                   CAST(c.c AS INT) AS c,
+                   CAST((
+                     (doc_id*37 + (((2*ty.ty  )*6 + 2*tx.tx  )*3 + c.c)*11) % 256 +
+                     (doc_id*37 + (((2*ty.ty  )*6 + 2*tx.tx+1)*3 + c.c)*11) % 256 +
+                     (doc_id*37 + (((2*ty.ty+1)*6 + 2*tx.tx  )*3 + c.c)*11) % 256 +
+                     (doc_id*37 + (((2*ty.ty+1)*6 + 2*tx.tx+1)*3 + c.c)*11) % 256
+                   ) // 4 AS INT) AS v
+            FROM documents, range(2) ty(ty), range(3) tx(tx), range(3) c(c)
+            WHERE doc_id < 200
+            ORDER BY doc_id, ty, tx, c"""))
 
   /** REAL audio decode in the gate: per-doc PCM-16 WAV blobs decoded
     * by the actual RIFF/WAVE parser; sum-of-squares stays an exact

@@ -132,6 +132,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("thumbnailPixels emits every box-filtered pixel, exact vs direct call") {
+    import spark.implicits._
+    val media = Multimodal.syntheticPpm(Seq(5L, 9L).toDF("doc_id"))
+    val rows = Multimodal.thumbnailPixels(spark, media, tw = 3, th = 2)
+      .collect().map(p => (p.doc_id, p.ty, p.tx, p.c) -> p.v).toMap
+    assert(rows.size == 2 * 2 * 3 * 3, "2 docs x 2x3 pixels x 3 channels")
+    for (id <- Seq(5L, 9L)) {
+      val direct = Multimodal.thumbnail(
+        Multimodal.decodePpm(media.filter(col("doc_id") === id)
+          .head().getAs[Array[Byte]]("media")), 3, 2)
+      for (ty <- 0 until 2; tx <- 0 until 3; c <- 0 until 3)
+        assert(rows((id, ty, tx, c)) ==
+          (direct.pixels((ty * 3 + tx) * 3 + c) & 0xff))
+    }
+  }
+
   test("sceneCuts finds exactly the planted cut across a fleet of clips") {
     import spark.implicits._
     val media = (0L until 24L).toDF("doc_id")

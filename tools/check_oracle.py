@@ -39,7 +39,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracles.items()):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
@@ -64,10 +64,14 @@ def main(sf_dir: str, out_dir: str) -> int:
                 continue
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
+        except FileNotFoundError:
+            # Verify was run with SPARK_GRAFT_VERIFY_ONLY — queries it
+            # didn't dump are skips here, not failures
+            n_skip += 1
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             n_fail += 1
-    print(f"\n{n_pass} passed, {n_fail} failed, "
+    print(f"\n{n_pass} passed, {n_fail} failed, {n_skip} skipped (not dumped), "
           f"{len(oracles)} with oracle")
     return 1 if n_fail else 0
 
