@@ -46,7 +46,8 @@ object Events extends QModule {
   }
 
   override def queries: Seq[Q] =
-    Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel)
+    Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel,
+      q52CohortRetention)
 
   /** Tumbling 1-hour windows per event type. */
   val q33Tumbling = Q(
@@ -181,4 +182,45 @@ object Events extends QModule {
             SELECT (SELECT count(*) FROM tv) AS n_view,
                    (SELECT count(*) FROM tc) AS n_view_click,
                    (SELECT count(*) FROM tp) AS n_full_funnel"""))
+
+  /** Cohort retention matrix: users grouped by first-seen day, active
+    * counts per (cohort, day-offset) — the standard engagement
+    * deliverable. Scale shape: the event stream reduces to DISTINCT
+    * (user, day) rows immediately (one shuffle), first-seen is a
+    * user-key aggregation over those, and the matrix join is
+    * user-keyed on both sides — the raw event table is touched once;
+    * retention rates are exact integer milli (floor division).
+    */
+  val q52CohortRetention = Q(
+    "q52_cohort_retention",
+    (s, dir) => {
+      val active = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = active.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).cast("long").as("cohort_size"))
+      active.join(first, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).cast("long").as("n_active"))
+        .join(sizes, "cohort_day")
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_active"), col("cohort_size"),
+          expr("(n_active * 1000) div cohort_size").as("retention_milli"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),
+            s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+                  FROM f GROUP BY cohort_day),
+            m AS (SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+                    CAST(count(*) AS BIGINT) AS n_active
+                  FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+            SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(day_offset AS INT) AS day_offset, n_active, cohort_size,
+                   (n_active * 1000) // cohort_size AS retention_milli
+            FROM m JOIN s ON m.cohort_day = s.cohort_day
+            ORDER BY cohort_day, day_offset"""))
 }
