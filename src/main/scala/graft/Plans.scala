@@ -17,7 +17,8 @@ object Plans {
     "t76_temperature_sample", "i71_scanner_volume",
     "m60_image_dhash_neardup", "t79_warc_ingest", "t81_kn_perplexity",
     "t80_html_extract", "d62_containment_neardup", "s57_ann_sq8",
-    "t87_ppl_bucket_cut", "t90_unigram_encode")
+    "t87_ppl_bucket_cut", "t90_unigram_encode", "t96_overlap_run",
+    "t98_epoch_plan", "q52_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
