@@ -202,4 +202,71 @@ class PropertySpec extends SparkSpec {
       assert(rebuilt === text, s"doc $id")
     }
   }
+
+  test("overlapRun matches a local longest-run reference on random corpora") {
+    import spark.implicits._
+    // small vocabulary + n=2 grams so overlap is common and runs form
+    val smallWord = Gen.oneOf("a", "b", "c", "d", "e")
+    val shortText = Gen.chooseNum(2, 14)
+      .flatMap(n => Gen.listOfN(n, smallWord).map(_.mkString(" ")))
+    val bench = samples(shortText, 30).zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }
+    val corpus = samples(shortText, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val n = 2
+    val benchGrams = bench.flatMap { case (_, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      ws.sliding(n).filter(_.length == n).map(_.mkString(" "))
+    }.toSet
+    val expected = corpus.flatMap { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.length < n) None
+      else {
+        val hits = ws.sliding(n).map(g => benchGrams(g.mkString(" "))).toArray
+        var best = 0; var cur = 0
+        hits.foreach { h => if (h) { cur += 1; best = math.max(best, cur) } else cur = 0 }
+        Some(id -> (hits.length.toLong, hits.count(identity).toLong, best.toLong))
+      }
+    }.toMap
+    val got = TextDedup.overlapRun(corpus.toDF("doc_id", "text"),
+        bench.toDF("doc_id", "text"), n = n, flagTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit_grams"),
+          r.getAs[Long]("max_run"), r.getAs[Long]("max_overlap_tokens")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (ng, nh, run)) =>
+      val (gng, gnh, grun, gspan) = got(id)
+      assert((gng, gnh, grun) == ((ng, nh, run)), s"doc $id")
+      assert(gspan == (if (run > 0) run + n - 1 else 0L), s"doc $id span")
+    }
+  }
+
+  test("epochAllocate invariants: alloc ≤ cap, Σalloc ≤ budget, feasible budgets fill") {
+    import spark.implicits._
+    val corpora = Seq(
+      samples(Gen.chooseNum(5, 200), 12).zipWithIndex.map { case (n, i) =>
+        (s"s$i", Seq.fill(n)("w").mkString(" "))
+      })
+    for (docs <- corpora; budget <- Seq(100L, 500L, 2000L);
+         cap <- Seq(500L, 1000L, 3000L)) {
+      val total = docs.map(_._2.split(" ").length).sum.toLong
+      val out = Mixture.epochAllocate(docs.toDF("source", "text"),
+        budgetTokens = budget, capMilliEpochs = cap).collect()
+      var sumAlloc = 0L
+      out.foreach { r =>
+        val alloc = r.getAs[Long]("alloc_tokens")
+        val capT = r.getAs[Long]("cap_tokens")
+        val nt = r.getAs[Long]("n_tokens")
+        assert(alloc >= 0L && alloc <= capT, s"alloc $alloc vs cap $capT")
+        assert(r.getAs[Long]("epochs_milli") == alloc * 1000 / nt)
+        sumAlloc += alloc
+      }
+      assert(sumAlloc <= budget, s"Σalloc $sumAlloc > budget $budget")
+      // comfortably feasible budgets place ≥ (1 − 1/1000·|sources|) of
+      // the mass within the one spill round (floor slack only)
+      if (budget * 2 <= total * cap / 1000)
+        assert(sumAlloc > budget - 2L * out.length,
+          s"feasible budget $budget left ${budget - sumAlloc} unplaced (cap $cap)")
+    }
+  }
 }
