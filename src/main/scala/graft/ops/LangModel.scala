@@ -184,4 +184,33 @@ object LangModel {
       .withColumn("keep", col("bucket") =!= "tail")
       .select("doc_id", "ppl", "bucket", "keep")
   }
+
+  /** Good–Turing frequency-of-frequencies table (Gale & Sampson's
+    * input): for every observed word frequency r, how many distinct
+    * words occur exactly r times (N_r), plus the Turing-smoothed
+    * adjusted count r* = (r+1)·N_{r+1}/N_r — the table every
+    * discount-based smoother (and the unseen-mass estimate N_1/N)
+    * reads, and a standard corpus-health diagnostic (a Zipfian corpus
+    * shows N_r ∝ r^{-2}; dedup failures distort the head).
+    *
+    * Scale shape: the corpus pass is the word histogram (one
+    * map-side-combinable shuffle); count-of-counts is a second tiny
+    * aggregation ON the histogram, and the N_{r+1} lookup is a
+    * self-join of the (distinct-r)-row table — broadcast at runtime.
+    * r* stays an exact integer in milli units.
+    *
+    * Output: (r, n_r, n_r_plus_1, r_star_milli) for every observed r.
+    */
+  def goodTuring(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val hist = docs.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val coc = hist.groupBy(col("r")).agg(count(lit(1)).cast("long").as("n_r"))
+    coc.join(
+        coc.select((col("r") - 1).as("r"), col("n_r").as("n_r_plus_1")),
+        Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r_plus_1"), lit(0L)).as("n_r_plus_1"),
+        expr("((r + 1) * coalesce(n_r_plus_1, 0) * 1000) div n_r")
+          .as("r_star_milli"))
+  }
 }

@@ -35,7 +35,8 @@ object Pipeline extends QModule {
     t84SpanCorrupt, t85WebdatasetShards, t86WebdatasetMultimodal,
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
-    t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan)
+    t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
+    t99GoodTuring)
 
   import QTables.{docs, emb}
 
@@ -3121,4 +3122,24 @@ object Pipeline extends QModule {
             SELECT source, n_tokens, w_micro, ideal_tokens, cap_tokens, capped,
                    alloc_tokens, (alloc_tokens * 1000) // n_tokens AS epochs_milli
             FROM f ORDER BY source"""))
+
+  /** Good–Turing count-of-counts ([[graft.ops.LangModel.goodTuring]]):
+    * the frequency-of-frequencies table with Turing-smoothed adjusted
+    * counts in exact milli. The oracle replays the histogram, the
+    * second aggregation, the r+1 lookup, and the floor division.
+    */
+  val t99GoodTuring = Q(
+    "t99_good_turing",
+    (s, dir) => graft.ops.LangModel.goodTuring(docs(s, dir))
+      .orderBy(col("r")),
+    Some("""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS w
+                       FROM documents),
+            hist AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM t GROUP BY w),
+            coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+                    FROM hist GROUP BY r)
+            SELECT a.r, a.n_r, COALESCE(b.n_r, 0) AS n_r_plus_1,
+                   ((a.r + 1) * COALESCE(b.n_r, 0) * 1000) // a.n_r AS r_star_milli
+            FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+            ORDER BY a.r"""))
 }

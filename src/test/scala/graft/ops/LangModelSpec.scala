@@ -93,4 +93,23 @@ class LangModelSpec extends SparkSpec {
       assert(math.abs(total - 1.0) < 1e-5, s"context '$a' sums to $total")
     }
   }
+
+  test("goodTuring: count-of-counts and adjusted counts by hand") {
+    import spark.implicits._
+    // word frequencies: a×3, b×2, c×2, d×1, e×1, f×1
+    // → N_1=3, N_2=2, N_3=1; r*(1)=2·2·1000/3=1333, r*(2)=3·1·1000/2=1500,
+    //   r*(3)=0 (no N_4)
+    val docs = Seq((0L, "a b c d"), (1L, "a b c e"), (2L, "a f"))
+      .toDF("doc_id", "text")
+    val rows = LangModel.goodTuring(docs).collect()
+      .map(r => r.getAs[Long]("r") ->
+        ((r.getAs[Long]("n_r"), r.getAs[Long]("n_r_plus_1"),
+          r.getAs[Long]("r_star_milli")))).toMap
+    assert(rows == Map(
+      1L -> ((3L, 2L, 1333L)),
+      2L -> ((2L, 1L, 1500L)),
+      3L -> ((1L, 0L, 0L))))
+    // total mass identity: Σ r·N_r = corpus token count
+    assert(rows.map { case (r, (nr, _, _)) => r * nr }.sum == 10L)
+  }
 }
