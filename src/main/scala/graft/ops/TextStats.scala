@@ -98,6 +98,51 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
+  /** Leet/confusable fold used by [[blocklistScreen]]: the common
+    * digit/symbol substitutions collapse onto their letter (1→i,
+    * 3→e, 4→a, …) AFTER lowercasing, so `Sp4rk`/`j01n` match a
+    * canonical blocklist. A `translate` is one codegen'd pass; the
+    * char pairs are public knowledge (classic leetspeak table).
+    */
+  val LeetFrom = "013457@$!"
+  val LeetTo = "oieastasi"
+
+  /** Obfuscation-robust blocklist screen — the safety-filter pass a
+    * training pipeline runs with its unsafe-term lists: lowercase →
+    * leet fold → word-exact match against the blocklist. Word-exact
+    * (not substring) so "class" never matches "ass" — substring
+    * blocklists are the classic Scunthorpe failure.
+    *
+    * Scale shape: the blocklist joins BROADCAST (term lists are
+    * kilobytes even in production); per-doc counts are one
+    * map-side-combinable aggregation over the (tiny) hit rows. Docs
+    * without hits never shuffle — only matched tokens leave the scan.
+    *
+    * Output: (doc_id, n_tokens, n_hits, hit_terms, flagged) for every
+    * doc; `hit_terms` is the sorted distinct matched list.
+    */
+  def blocklistScreen(docs: DataFrame, blocklist: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocklist.toDF("term"))
+    val folded = docs.select(col(idCol).as("doc_id"),
+      words(translate(lower(col(textCol)), LeetFrom, LeetTo)).as("ws"))
+    val hits = folded
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .join(bl, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        array_join(array_sort(collect_set(col("term"))), ",").as("hit_terms"))
+    folded.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hit_terms"), lit("")).as("hit_terms"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("flagged"))
+  }
+
   /** Corpus word-frequency profile per document — the cheap
     * perplexity proxy: a doc made of corpus-common words scores high
     * median/mean token frequency, rare-gibberish docs score low.

@@ -36,7 +36,7 @@ object Pipeline extends QModule {
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
-    t99GoodTuring)
+    t99GoodTuring, t100Blocklist)
 
   import QTables.{docs, emb}
 
@@ -3142,4 +3142,45 @@ object Pipeline extends QModule {
                    ((a.r + 1) * COALESCE(b.n_r, 0) * 1000) // a.n_r AS r_star_milli
             FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
             ORDER BY a.r"""))
+
+  /** Obfuscation-robust blocklist screen
+    * ([[graft.ops.TextStats.blocklistScreen]]): every third doc gets
+    * planted leet obfuscations (`Sp4rk j01n`) that the lowercase +
+    * confusable fold must collapse onto the canonical blocklist; the
+    * other docs exercise natural word-exact hits. The oracle replays
+    * the fold as a replace chain plus the hit aggregation.
+    */
+  val t100Blocklist = Q(
+    "t100_blocklist_screen",
+    (s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" Sp4rk j01n"))).otherwise(col("text")))
+      graft.ops.TextStats.blocklistScreen(planted,
+          Seq("spark", "join", "window"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text || ' Sp4rk j01n'
+                       ELSE text END AS text
+                FROM documents),
+            f AS (SELECT doc_id, list_filter(string_split(
+                    replace(replace(replace(replace(replace(replace(replace(
+                      replace(replace(lower(text),
+                      '0','o'),'1','i'),'3','e'),'4','a'),'5','s'),'7','t'),
+                      '@','a'),'$','s'),'!','i'),
+                    ' '), x -> x <> '') AS ws
+                  FROM p),
+            t AS (SELECT doc_id, unnest(ws) AS term FROM f),
+            h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                    array_to_string(list_sort(list_distinct(list(term))), ',')
+                      AS hit_terms
+                  FROM t WHERE term IN ('spark', 'join', 'window')
+                  GROUP BY doc_id)
+            SELECT f.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                   COALESCE(n_hits, 0) AS n_hits,
+                   COALESCE(hit_terms, '') AS hit_terms,
+                   COALESCE(n_hits, 0) > 0 AS flagged
+            FROM f LEFT JOIN h ON f.doc_id = h.doc_id
+            ORDER BY f.doc_id"""))
 }

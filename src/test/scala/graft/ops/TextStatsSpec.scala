@@ -139,4 +139,28 @@ class TextStatsSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("n_distinct") == 8L)
     assert(out(4L).getAs[Long]("n_chars2") == 8L)
   }
+
+  test("blocklistScreen: leet fold catches obfuscations, word-exact never substrings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain spark mention"),             // natural hit
+      (2L, "obfuscated Sp4rk and j01n here"),  // folds to spark + join
+      (3L, "sparkle joining windowsill"),      // substrings must NOT match
+      (4L, "nothing to see"),                  // clean
+      (5L, "w1ndow w!ndow WINDOW"))            // 1→i, !→i, case fold: all 3 hit
+      .toDF("doc_id", "text")
+    val out = TextStats.blocklistScreen(docs, Seq("spark", "join", "window"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_hits") == 1L &&
+      out(1L).getAs[String]("hit_terms") == "spark")
+    assert(out(2L).getAs[Long]("n_hits") == 2L &&
+      out(2L).getAs[String]("hit_terms") == "join,spark")
+    assert(out(3L).getAs[Long]("n_hits") == 0L &&
+      !out(3L).getAs[Boolean]("flagged"),
+      "substring matches are the Scunthorpe bug — must be word-exact")
+    assert(out(4L).getAs[Long]("n_hits") == 0L &&
+      out(4L).getAs[String]("hit_terms") == "")
+    assert(out(5L).getAs[Long]("n_hits") == 3L &&
+      out(5L).getAs[String]("hit_terms") == "window")
+  }
 }
