@@ -146,6 +146,52 @@ object Streams {
       }
   }
 
+  final case class ArrivingResponse(prompt_id: Long, resp_id: Long,
+      text: String, score_milli: Long)
+  final case class BestRunning(prompt_id: Long, n: Long, best_id: Long,
+      best_text: String, best_milli: Long, sum_milli: Long,
+      margin_x_n_milli: Long)
+
+  /** Online best-of-n — the streaming twin of
+    * [[graft.ops.Preference.bestOfN]]: candidate responses arrive as
+    * they are scored, and each prompt's running selection updates per
+    * micro-batch. Per-prompt state is ONE (n, best, sum) triple —
+    * constant size regardless of candidate count, so the stream runs
+    * forever. Rows inside a micro-batch fold in (score desc, id asc)
+    * decision order via the same (score, −id) comparison as batch, so
+    * batch composition never changes the selection; after any prefix
+    * of arrivals the emitted row equals the batch operator on that
+    * prefix. Append mode: one updated row per (prompt, batch) — the
+    * consumer keeps the latest per prompt.
+    */
+  def streamingBestOfN(spark: SparkSession,
+      responses: Dataset[ArrivingResponse]): Dataset[BestRunning] = {
+    import spark.implicits._
+    responses.groupByKey(_.prompt_id)
+      .flatMapGroupsWithState[BestRunning, BestRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (prompt: Long, rows: Iterator[ArrivingResponse], state: GroupState[BestRunning]) =>
+          val prev = state.getOption
+          var n = prev.map(_.n).getOrElse(0L)
+          var sum = prev.map(_.sum_milli).getOrElse(0L)
+          var bestId = prev.map(_.best_id).getOrElse(Long.MaxValue)
+          var bestText = prev.map(_.best_text).getOrElse("")
+          var bestMilli = prev.map(_.best_milli).getOrElse(Long.MinValue)
+          rows.foreach { r =>
+            n += 1
+            sum += r.score_milli
+            if (r.score_milli > bestMilli ||
+              (r.score_milli == bestMilli && r.resp_id < bestId)) {
+              bestId = r.resp_id; bestText = r.text; bestMilli = r.score_milli
+            }
+          }
+          val next = BestRunning(prompt, n, bestId, bestText, bestMilli,
+            sum, n * bestMilli - sum)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
   final case class TypedEvent(user_id: Long, event_id: Long,
       event_type: String, ts_us: Long)
   final case class LastView(view_id: Long, ts_us: Long)

@@ -102,6 +102,41 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming best-of-n: running selection equals batch bestOfN after each prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.ArrivingResponse]
+    val q = Streams.streamingBestOfN(spark, mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("bestofn").start()
+    val all = (0L until 10L).flatMap { p =>
+      (0L until 4L).map(i =>
+        Streams.ArrivingResponse(p, i, s"t$p-$i", (p * 7 + i * 13) % 1000))
+    }
+    val (b1, b2) = all.splitAt(17) // ragged split: some prompts span batches
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    // latest emitted row per prompt = the running selection
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prompt_id")).orderBy(col("n").desc)
+    val streamed = spark.table("bestofn")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("prompt_id", "n", "best_id", "best_milli", "sum_milli",
+        "margin_x_n_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = graft.ops.Preference.bestOfN(
+        all.map(r => (r.prompt_id, r.resp_id, r.text, r.score_milli))
+          .toDF("prompt_id", "resp_id", "text", "score_milli"))
+      .select("prompt_id", "n", "best_id", "best_milli", "sum_milli",
+        "margin_x_n_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    q.stop()
+  }
+
   test("streaming scene cuts: per-batch decode matches the batch kernel, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
