@@ -141,6 +141,39 @@ object Cli {
       return
     }
 
+    // `decontaminate` subcommand: the benchmark screen in one pass —
+    // bag-of-grams overlap (exact/bloom plan auto-selected by the
+    // corpus/benchmark ratio) PLUS the longest-overlap-run metric —
+    //   Cli decontaminate <docsParquet> <benchParquet> <outParquet>
+    //     [--ngram=8] [--max-frac=0.05] [--flag-tokens=16]
+    // Output parquet: (doc_id, n_ngrams, n_contaminated,
+    // contaminated_frac, keep, max_run, max_overlap_tokens, flagged).
+    if (args(0) == "decontaminate") {
+      require(args.length >= 4,
+        "usage: Cli decontaminate <docsParquet> <benchParquet> <outParquet> [--flags]")
+      val opts = args.drop(4).flatMap { a =>
+        a.stripPrefix("--").split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      val docs = spark.read.parquet(args(1))
+      val bench = spark.read.parquet(args(2))
+      val n = opts.get("ngram").map(_.toInt).getOrElse(8)
+      val (screen, bloomArmed) = graft.ops.TextDedup.benchmarkOverlapAuto(
+        docs, bench, n = n,
+        maxFrac = opts.get("max-frac").map(_.toDouble).getOrElse(0.05))
+      val runs = graft.ops.TextDedup.overlapRun(docs, bench, n = n,
+        flagTokens = opts.get("flag-tokens").map(_.toInt).getOrElse(16))
+      screen
+        .join(runs.select("doc_id", "max_run", "max_overlap_tokens", "flagged"),
+          Seq("doc_id"), "left")
+        .write.mode("overwrite").parquet(args(3))
+      println(s"[decontaminate] wrote ${spark.read.parquet(args(3)).count()} docs " +
+        s"(bloom=$bloomArmed)")
+      return
+    }
+
     val input = args(0)
     val output = args(1)
     val opts = args.drop(2).flatMap { a =>

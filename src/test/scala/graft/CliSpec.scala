@@ -151,4 +151,28 @@ class CliSpec extends SparkSpec {
       "--tokenizer=bpe", "--merges=3"))
     assert(spark.read.parquet(bpeOut).count() == 2)
   }
+
+  test("decontaminate subcommand joins screen verdicts with overlap runs") {
+    import spark.implicits._
+    val passage = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val docsDir = java.nio.file.Files.createTempDirectory("cli_dec_docs").toString
+    Seq(
+      (1L, s"intro words $passage closing words here"), // quotes the benchmark
+      (2L, "totally clean text with no benchmark overlap at all in sight"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    val benchDir = java.nio.file.Files.createTempDirectory("cli_dec_bench").toString
+    Seq((100L, s"bench padding $passage more padding"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(benchDir)
+    val outDir = java.nio.file.Files.createTempDirectory("cli_dec_out").toString
+    graft.Cli.run(spark, Array("decontaminate", docsDir, benchDir, outDir,
+      "--ngram=8", "--max-frac=0.1", "--flag-tokens=10"))
+    val out = spark.read.parquet(outDir).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_contaminated") == 3L) // 10-token quote, n=8
+    assert(!out(0).getAs[Boolean]("keep"))
+    assert(out(0).getAs[Long]("max_overlap_tokens") == 10L)
+    assert(out(0).getAs[Boolean]("flagged"))
+    assert(out(1).getAs[Long]("n_contaminated") == 0L)
+    assert(out(1).getAs[Boolean]("keep") && !out(1).getAs[Boolean]("flagged"))
+  }
 }
