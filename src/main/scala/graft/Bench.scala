@@ -288,6 +288,28 @@ object Bench {
         t
       }
 
+    // Decontamination-at-scale rehearsal (one shot): 200k docs
+    // screened against a 1k benchmark — the ratio that ARMS the bloom
+    // semi-join plan (asserted), planted quotes recovered exactly by
+    // both the bag-of-grams screen and the overlap-run metric. Key
+    // `t_decon200k`; opt out with SPARK_GRAFT_BENCH_DECON=0.
+    val deconSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DECON").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.ops.DeconRehearsal.run(s,
+            sys.env.get("SPARK_GRAFT_BENCH_DECON_N").map(_.toLong).getOrElse(200000L))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] t_decon200k failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // ANN-at-scale rehearsal (one shot): 1M clustered vectors through
     // the IVF cascade, recall-checked against distributed brute force
     // on the same queries — the embedding analogue of the pyramid and
@@ -328,7 +350,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -340,7 +362,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * rehearsal key in a fresh JVM/session (no 132-query suite ahead of
   * it) so a tail-context reading can be separated from a real plan
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
-  * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann | pyramid | pyramid_gauss | crawl.
+  * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann |
+  * pyramid | pyramid_gauss | crawl | imgdedup | decon.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -47,6 +48,10 @@ object RehearseOne {
         graft.ops.ImgDedupRehearsal.run(spark,
           if (args.length > 1) args(1).toLong else 1000000L,
           if (args.length > 2) args(2).toLong else 10000L)
+      case "decon" =>
+        graft.ops.DeconRehearsal.run(spark,
+          if (args.length > 1) args(1).toLong else 200000L,
+          if (args.length > 2) args(2).toLong else 1000L)
       case other => sys.error(s"unknown rehearsal key '$other'")
     }
     println(f"""{"rehearsal":"$key","sec":$secs%.3f}""")

@@ -14,6 +14,13 @@ class DedupScaleSpec extends SparkSpec {
     assert(secs > 0.0)
   }
 
+  test("decon rehearsal recovers planted quotes at spec scale (exact plan)") {
+    // 2k docs / 100 bench: below the bloom floor, so run() also
+    // asserts the auto screen kept the exact single-join plan
+    val secs = DeconRehearsal.run(spark, n = 2000L, b = 100L)
+    assert(secs > 0.0)
+  }
+
   test("collapsed pipeline recovers the identical partition as the direct path") {
     import org.apache.spark.sql.functions._
     // 600 docs + a 50-doc identical clique: big enough for real
