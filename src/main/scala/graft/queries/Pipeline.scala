@@ -36,7 +36,7 @@ object Pipeline extends QModule {
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
-    t99GoodTuring, t100Blocklist)
+    t99GoodTuring, t100Blocklist, g01PageRank)
 
   import QTables.{docs, emb}
 
@@ -3183,4 +3183,47 @@ object Pipeline extends QModule {
                    COALESCE(n_hits, 0) > 0 AS flagged
             FROM f LEFT JOIN h ON f.doc_id = h.doc_id
             ORDER BY f.doc_id"""))
+
+  /** Integer PageRank ([[graft.ops.Graphs.pageRank]]) over a
+    * deterministic 2-out link graph on the document ids — the
+    * crawl-frontier importance score. Three message-passing rounds,
+    * every step exact floor-division integers; the oracle unrolls the
+    * identical three iterations in SQL, so a single rank bit off
+    * anywhere in the cascade hash-mismatches.
+    */
+  val g01PageRank = Q(
+    "g01_pagerank",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array((col("doc_id") * 17 + 7) % 500,
+          (col("doc_id") * 31 + 3) % 500)).as("dst"))
+      graft.ops.Graphs.pageRank(edges, d.select(col("doc_id").as("id")),
+          iters = 3)
+        .orderBy(col("id"))
+    },
+    Some("""WITH v AS (SELECT doc_id AS id FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, (doc_id*17+7) % 500 AS dst FROM documents
+                    UNION ALL
+                    SELECT doc_id, (doc_id*31+3) % 500 FROM documents)
+                  WHERE src <> dst),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v),
+            c1 AS (SELECT e.dst AS id, CAST(sum(r0.r // od.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r0 ON e.src = r0.id JOIN od ON e.src = od.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT v.id, 150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS r
+                   FROM v LEFT JOIN c1 ON v.id = c1.id),
+            c2 AS (SELECT e.dst AS id, CAST(sum(r1.r // od.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r1 ON e.src = r1.id JOIN od ON e.src = od.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT v.id, 150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS r
+                   FROM v LEFT JOIN c2 ON v.id = c2.id),
+            c3 AS (SELECT e.dst AS id, CAST(sum(r2.r // od.outdeg) AS BIGINT) AS s
+                   FROM e JOIN r2 ON e.src = r2.id JOIN od ON e.src = od.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT v.id, 150000 + (850 * COALESCE(c3.s, 0)) // 1000 AS r
+                   FROM v LEFT JOIN c3 ON v.id = c3.id)
+            SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id"""))
 }

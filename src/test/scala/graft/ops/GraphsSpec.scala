@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank semantics on hand-computable graphs. */
+class GraphsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("one iteration on a 3-cycle plus isolated node, by hand") {
+    // 1→2→3→1, node 4 isolated. outdeg 1 everywhere on the cycle:
+    // after one round every cycle node holds 150000 + 850·10⁶/1000
+    // = 1000000; node 4 keeps only the teleport mass 150000.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val r = Graphs.pageRank(edges, verts, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 1000000L && r(2L) == 1000000L && r(3L) == 1000000L)
+    assert(r(4L) == 150000L)
+  }
+
+  test("two iterations on a star: hub accumulates, leaves equalize") {
+    // leaves 1..4 each point at hub 5; hub points at leaf 1.
+    val edges = ((1L to 4L).map(_ -> 5L) :+ (5L -> 1L)).toDF("src", "dst")
+    val verts = (1L to 5L).toDF("id")
+    val r1 = Graphs.pageRank(edges, verts, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // hand: hub gets 4 × (10⁶ div 1) contributions → 150000 + 850·4·10⁶/1000
+    assert(r1(5L) == 150000L + 850L * 4000000L / 1000L)
+    assert(r1(1L) == 150000L + 850L * 1000000L / 1000L) // from the hub
+    assert(r1(2L) == 150000L && r1(3L) == 150000L && r1(4L) == 150000L)
+    val r2 = Graphs.pageRank(edges, verts, iters = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // iteration 2 replays the update on r1 exactly
+    assert(r2(5L) == 150000L +
+      850L * (r1(1L) + r1(2L) + r1(3L) + r1(4L)) / 1000L)
+    assert(r2(1L) == 150000L + 850L * r1(5L) / 1000L)
+  }
+
+  test("self-loops and parallel edges are dropped; determinism across partitioning") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 1L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L).toDF("id")
+    val a = Graphs.pageRank(edges, verts, iters = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val b = Graphs.pageRank(edges.repartition(7), verts.repartition(3), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(a == b)
+    // with self-loop/dup removal this is a 2-cycle: symmetric ranks
+    val m = a.toMap
+    assert(m(1L) == m(2L))
+  }
+}
