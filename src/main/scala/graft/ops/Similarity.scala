@@ -770,6 +770,74 @@ object Similarity {
     * regardless of row count. cov = E[xy] − E[x]E[y], evaluated
     * identically in any SQL replay.
     */
+  /** Margin-based match mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix bitext-mining criterion): a raw cosine threshold
+    * cannot separate a true match from a hub vector that is close to
+    * EVERYTHING, so each pair's cosine is normalized by the mean of
+    * both sides' k-NN cosines:
+    *   margin(q, c) = cos(q, c) / ((avgTopK_q + avgTopK_c) / 2),
+    * and each query keeps its best candidate by margin. Accepted
+    * matches clear `minMargin` — the knob mining pipelines actually
+    * tune.
+    *
+    * Determinism: cosines round to 6dp at the kernel (the s46
+    * contract); top-k means sum the k sorted values left-to-right and
+    * divide by k = 4 (a power of two — the division is exact in
+    * IEEE), so both engines produce bit-identical margins.
+    *
+    * Scale shape: queries broadcast (the ANN contract — query sets
+    * are small); the corpus side streams through one typed pass, and
+    * both k-NN-mean tables aggregate from the SAME scored pass (one
+    * persist, two map-side-combinable aggs). For corpus-scale BOTH
+    * sides, bucket first (SRP/IVF) and feed the shortlist here.
+    *
+    * Output: (query_id, best_id, cos, margin, accepted), one row per
+    * query.
+    */
+  def marginMining(queries: DataFrame, corpus: DataFrame,
+      minMargin: Double = 1.02): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val k = 4 // fixed: the /k division must be exact (power of two)
+    val bc = spark.sparkContext.broadcast(collectVecs(queries))
+    val scored = corpus.select("id", "vec").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (cid, cv) =>
+          qs.iterator.collect { case (qid, qv) if qid != cid =>
+            (qid, cid, round6(cosineJvm(qv, cv)))
+          }
+        }
+      }.toDF("query_id", "cand_id", "cos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topKMean(keyCol: String, out: String): DataFrame = {
+      val l = slice(reverse(array_sort(collect_list(col("cos")))), 1, k)
+      scored.groupBy(col(keyCol))
+        .agg(l.as("l"))
+        .select(col(keyCol),
+          ((element_at(col("l"), 1) + element_at(col("l"), 2) +
+            element_at(col("l"), 3) + element_at(col("l"), 4)) / k).as(out))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin").desc, col("cand_id").asc)
+    val out = scored
+      .join(topKMean("query_id", "qavg"), "query_id")
+      .join(topKMean("cand_id", "cavg"), "cand_id")
+      // an all-orthogonal pair has a zero normalizer — no signal on
+      // either side, so the pair carries no margin (never a ÷0)
+      .withColumn("margin",
+        when((col("qavg") + col("cavg")) / 2 > 0,
+          round(col("cos") / ((col("qavg") + col("cavg")) / 2), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id").as("best_id"), col("cos"),
+        col("margin"), (col("margin") >= minMargin).as("accepted"))
+      .localCheckpoint(eager = true)
+    scored.unpersist()
+    out
+  }
+
   def covarianceMatrix(vectors: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val e = asDouble(col(vecCol))

@@ -28,7 +28,7 @@ object LlmOps extends QModule {
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
-    m65ThumbnailPixels)
+    m65ThumbnailPixels, s58MarginMining)
 
   import QTables.{docs, emb}
 
@@ -410,6 +410,53 @@ object LlmOps extends QModule {
             FROM r WHERE rank <= 5
             ORDER BY query_id, rank"""),
     headline = true)
+
+  /** Margin-based match mining ([[Similarity.marginMining]]): the
+    * LASER/CCMatrix ratio criterion over a 40-query / 300-candidate
+    * split. The oracle replays the cosine matrix, both top-4 means
+    * (explicit left-to-right sums, exact /4), the margin division,
+    * and the per-query argmax — a hub-normalization slip anywhere
+    * hash-mismatches.
+    */
+  val s58MarginMining = Q(
+    "s58_margin_mining",
+    (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.marginMining(e.filter(col("id") < 40),
+          e.filter(col("id") >= 40 && col("id") < 340))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            x AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                      6) AS cos
+                  FROM v q JOIN v c ON q.vec_id < 40
+                       AND c.vec_id >= 40 AND c.vec_id < 340),
+            qa AS (SELECT query_id, (l[1] + l[2] + l[3] + l[4]) / 4 AS qavg
+                   FROM (SELECT query_id,
+                           list_reverse(list_sort(list(cos)))[1:4] AS l
+                         FROM x GROUP BY query_id)),
+            ca AS (SELECT cand_id, (l[1] + l[2] + l[3] + l[4]) / 4 AS cavg
+                   FROM (SELECT cand_id,
+                           list_reverse(list_sort(list(cos)))[1:4] AS l
+                         FROM x GROUP BY cand_id)),
+            m AS (SELECT x.query_id, x.cand_id, x.cos,
+                    CASE WHEN (qa.qavg + ca.cavg) / 2 > 0
+                         THEN round(x.cos / ((qa.qavg + ca.cavg) / 2), 6)
+                         ELSE 0.0 END AS margin
+                  FROM x JOIN qa ON x.query_id = qa.query_id
+                         JOIN ca ON x.cand_id = ca.cand_id),
+            r AS (SELECT query_id, cand_id, cos, margin,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY margin DESC, cand_id ASC) AS rn
+                  FROM m)
+            SELECT query_id, cand_id AS best_id, cos, margin,
+                   margin >= 1.02 AS accepted
+            FROM r WHERE rn = 1
+            ORDER BY query_id"""))
 
   /** SRP-LSH bucketed ANN. Hyperplane components derive from md5
     * digests, so the oracle regenerates the same planes, buckets, and

@@ -298,4 +298,37 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
     assert(sq1 == sq2)
   }
+
+  test("marginMining demotes the hub a raw-cosine argmax would pick") {
+    import spark.implicits._
+    def basis(i: Int, s: Double = 1.0): Array[Double] = {
+      val v = Array.fill(8)(0.0); v(i) = s; v
+    }
+    // queries: 5 orthogonal basis vectors (cand-side top-4 needs ≥ 4)
+    val queries = (0 until 5).map(i => (i.toLong, basis(i)))
+      .toDF("id", "vec")
+    // A: the true match for q0 — cos(q0, A) = 0.8, invisible to others.
+    // H: a hub — cos(q0, H) ≈ 0.866 BEATS A on raw cosine, but H is
+    // also close to q1..q3, so margin normalization must demote it.
+    val a = Array(0.8, 0, 0, 0, 0, 0.6, 0, 0)
+    val h = Array(0.9, 0.3, 0.3, 0.3, 0, 0, 0, 0)
+    val cands = Seq(100L -> a, 101L -> h,
+      102L -> basis(6), 103L -> basis(7)).toDF("id", "vec")
+    val out = Similarity.marginMining(queries, cands).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    val q0 = out(0L)
+    // raw-cosine sanity: the hub really is the naive winner
+    assert(Similarity.cosineJvm(basis(0), h) > Similarity.cosineJvm(basis(0), a))
+    assert(q0.getAs[Long]("best_id") == 100L,
+      s"margin must pick the true match, got ${q0.getAs[Long]("best_id")}")
+    assert(q0.getAs[Boolean]("accepted"))
+    assert(out.size == 5, "one row per query")
+    // determinism across partitioning
+    val again = Similarity.marginMining(queries.repartition(3),
+        cands.repartition(2)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("best_id"),
+        r.getAs[Double]("margin"))).toSet
+    assert(again == out.values.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("best_id"), r.getAs[Double]("margin"))).toSet)
+  }
 }
