@@ -36,7 +36,7 @@ object Pipeline extends QModule {
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
-    t99GoodTuring, t100Blocklist, g01PageRank)
+    t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip)
 
   import QTables.{docs, emb}
 
@@ -3183,6 +3183,33 @@ object Pipeline extends QModule {
                    COALESCE(n_hits, 0) > 0 AS flagged
             FROM f LEFT JOIN h ON f.doc_id = h.doc_id
             ORDER BY f.doc_id"""))
+
+  /** ORC sink + source round-trip: the documents table written as ORC
+    * by distributed tasks, read back through the ORC reader with a
+    * pushed predicate and pruned columns, and aggregated — source/
+    * sink breadth next to the parquet/csv/json/omezarr scans (q37,
+    * q38, §2.7). The oracle computes the same aggregate over the
+    * original parquet, so any ORC encode/decode corruption or
+    * pushdown-semantics drift hash-mismatches.
+    */
+  val q53OrcRoundtrip = Q(
+    "q53_orc_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q53_orc").toString
+      docs(s, dir).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("n_chars") >= 200)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).cast("long").as("min_doc"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc
+            FROM documents WHERE n_chars >= 200
+            GROUP BY source ORDER BY source"""))
 
   /** Integer PageRank ([[graft.ops.Graphs.pageRank]]) over a
     * deterministic 2-out link graph on the document ids — the
