@@ -36,7 +36,8 @@ object Pipeline extends QModule {
     d62ContainmentPairs, t87PplBuckets, t88HostStats, s57SqAnn, t89Wordpiece,
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
-    t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip)
+    t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
+    t101WeightedSample)
 
   import QTables.{docs, emb}
 
@@ -3183,6 +3184,29 @@ object Pipeline extends QModule {
                    COALESCE(n_hits, 0) > 0 AS flagged
             FROM f LEFT JOIN h ON f.doc_id = h.doc_id
             ORDER BY f.doc_id"""))
+
+  /** Weighted sampling without replacement
+    * ([[graft.ops.Splits.weightedSample]], Efraimidis–Spirakis A-ES):
+    * a 100-doc quality-weighted draw with w = n_chars. The oracle
+    * replays the md5-uniform, the ln(u)/w keys at 6dp, and the global
+    * top-k ranking with id tie-breaks.
+    */
+  val t101WeightedSample = Q(
+    "t101_weighted_sample",
+    (s, dir) => graft.ops.Splits.weightedSample(
+        docs(s, dir), k = 100, weightCol = "n_chars")
+      .orderBy(col("doc_id")),
+    Some("""WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+                  round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                      AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+                    / CAST(n_chars AS DOUBLE), 6) AS key6
+                FROM documents WHERE n_chars > 0),
+            r AS (SELECT doc_id, w, key6,
+                    row_number() OVER (ORDER BY key6 DESC, doc_id ASC) AS rank
+                  FROM s)
+            SELECT doc_id, w, key6, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 100
+            ORDER BY doc_id"""))
 
   /** ORC sink + source round-trip: the documents table written as ORC
     * by distributed tasks, read back through the ORC reader with a

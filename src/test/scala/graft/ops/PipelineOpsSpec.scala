@@ -380,4 +380,33 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("weightedSample: matches a local A-ES reference, favors heavy weights") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, if (i < 200) 10.0 else 1000.0))
+    val df = rows.toDF("doc_id", "w")
+    val got = Splits.weightedSample(df, k = 50, weightCol = "w").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toMap
+    // local reference: same md5 uniform, same key, same ranking
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Double): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(7).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16) % 1000000L
+      // Spark's round(_, 6) on doubles is BigDecimal HALF_UP
+      java.math.BigDecimal.valueOf(math.log((h + 0.5) / 1000000.0) / w)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val expect = rows.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k0) => (-k0, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    assert(got == expect)
+    // heavy-weight rows dominate the sample (ln(u)/1000 ≫ ln(u)/10)
+    val heavy = got.keys.count(_ >= 200L)
+    assert(heavy >= 45, s"only $heavy of 50 draws hit the heavy class")
+    // partitioning invariance
+    val again = Splits.weightedSample(df.repartition(7), k = 50, weightCol = "w")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toMap
+    assert(again == got)
+  }
 }
