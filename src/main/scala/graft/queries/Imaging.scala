@@ -44,7 +44,36 @@ object Imaging extends QModule {
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
-    i70Minc2Volume, i71ScannerVolume)
+    i70Minc2Volume, i71ScannerVolume, i72PatchStats)
+
+  /** Training-patch extraction ([[graft.operators.Patches]]): the
+    * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
+    * patches straddle chunk boundaries AND the bottom/right edge is
+    * ragged (24, 24, 16), so the gate exercises the re-block shuffle
+    * and short-patch handling. The oracle replays every patch's exact
+    * integer stats plus the position-weighted checksum from the
+    * closed-form grid; a transposed or misplaced block anywhere in
+    * the re-assembly hash-mismatches.
+    */
+  val i72PatchStats = Q(
+    "i72_patch_stats",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.Patches.patchStats2d(s, ds, meta, p = 24)
+        .orderBy(col("py"), col("px"))
+    },
+    Some(s"""WITH $gridSql
+            SELECT CAST(y // 24 AS BIGINT) AS py, CAST(x // 24 AS BIGINT) AS px,
+                   CAST(least(24, $H - (y // 24) * 24) AS INT) AS h,
+                   CAST(least(24, $W - (x // 24) * 24) AS INT) AS w,
+                   CAST(count(*) AS INT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum,
+                   CAST(min(v) AS BIGINT) AS vmin,
+                   CAST(max(v) AS BIGINT) AS vmax,
+                   CAST(sum(v * ((y % 24) * least(24, $W - (x // 24) * 24)
+                     + (x % 24) + 1)) AS BIGINT) AS checksum
+            FROM grid GROUP BY y // 24, x // 24
+            ORDER BY py, px"""))
 
   /** S10 — vendor scanner tier, oracle-gated: the SAME synthetic
     * volume is encoded at runtime as a Scanco ISQ (int16, block data
