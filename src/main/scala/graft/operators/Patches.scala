@@ -51,4 +51,58 @@ object Patches {
         c.shape(0), c.shape(1), vals.length, sum, mn, mx, cs)
     }.toDF()
   }
+
+  final case class AugmentedPatch(py: Long, px: Long, aug: Int,
+      h: Int, w: Int, checksum: Long)
+
+  /** Deterministic per-patch augmentation — the flip family every
+    * vision training pipeline applies, made REPRODUCIBLE: the
+    * augmentation choice is md5(py:px) mod 4 (identity / horizontal
+    * flip / vertical flip / rotate-180), a pure function of the patch
+    * coordinate, so the same patch augments identically on any
+    * cluster, any partitioning, any rerun — the [[graft.ops.Splits]]
+    * determinism discipline applied to pixels.
+    *
+    * The kernel MATERIALIZES the augmented patch (the array a writer
+    * would emit), then fingerprints it with the position-weighted
+    * checksum, so an oracle that replays the index remap catches a
+    * wrong or mirrored flip axis bit-exactly. Same scale shape as
+    * [[patchStats2d]]: one re-block shuffle, partition-local after.
+    */
+  def augmentStats2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, p: Int): DataFrame = {
+    require(meta.dims == Seq("y", "x"),
+      s"augmentStats2d expects a (y, x) image, got ${meta.dims}")
+    import spark.implicits._
+    val (m2, rds) = ChunkOps.rechunk(spark, ds, meta, Seq(p, p), force = true)
+    val dtype = m2.dtype
+    rds.map { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+      val py = c.origin(0) / p; val px = c.origin(1) / p
+      val h = c.shape(0); val w = c.shape(1)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$py:$px".getBytes("UTF-8"))
+      val aug = ((digest(0) & 0xff) % 4 + 4) % 4
+      val out = new Array[Double](vals.length)
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val (ty, tx) = aug match {
+            case 0 => (yy, xx)
+            case 1 => (yy, w - 1 - xx)
+            case 2 => (h - 1 - yy, xx)
+            case _ => (h - 1 - yy, w - 1 - xx)
+          }
+          out(ty * w + tx) = vals(yy * w + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      var cs = 0L
+      var i = 0
+      while (i < out.length) { cs += out(i).toLong * (i + 1); i += 1 }
+      AugmentedPatch(py, px, aug, h, w, cs)
+    }.toDF()
+  }
 }

@@ -44,7 +44,7 @@ object Imaging extends QModule {
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
-    i70Minc2Volume, i71ScannerVolume, i72PatchStats)
+    i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -73,6 +73,41 @@ object Imaging extends QModule {
                    CAST(sum(v * ((y % 24) * least(24, $W - (x // 24) * 24)
                      + (x % 24) + 1)) AS BIGINT) AS checksum
             FROM grid GROUP BY y // 24, x // 24
+            ORDER BY py, px"""))
+
+  /** Deterministic patch augmentation ([[graft.operators.Patches
+    * .augmentStats2d]]): md5-selected flip family per patch, the
+    * augmented array materialized and fingerprinted. The oracle
+    * replays the md5 choice and the index remap of all four flips —
+    * a mirrored axis or an off-by-one in the remap hash-mismatches.
+    */
+  val i73PatchAugment = Q(
+    "i73_patch_augment",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.Patches.augmentStats2d(s, ds, meta, p = 24)
+        .orderBy(col("py"), col("px"))
+    },
+    Some(s"""WITH $gridSql,
+            pp AS (SELECT y // 24 AS py, x // 24 AS px,
+                     y % 24 AS yy, x % 24 AS xx, v,
+                     least(24, $H - (y // 24) * 24) AS ph,
+                     least(24, $W - (x // 24) * 24) AS pw
+                   FROM grid),
+            a AS (SELECT pp.*,
+                    CAST('0x' || substr(md5(CAST(py AS VARCHAR) || ':'
+                      || CAST(px AS VARCHAR)), 1, 2) AS BIGINT) % 4 AS aug
+                  FROM pp)
+            SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+                   CAST(aug AS INT) AS aug,
+                   CAST(max(ph) AS INT) AS h, CAST(max(pw) AS INT) AS w,
+                   CAST(sum(v * (CASE aug
+                     WHEN 0 THEN yy * pw + xx
+                     WHEN 1 THEN yy * pw + (pw - 1 - xx)
+                     WHEN 2 THEN (ph - 1 - yy) * pw + xx
+                     ELSE (ph - 1 - yy) * pw + (pw - 1 - xx) END + 1))
+                     AS BIGINT) AS checksum
+            FROM a GROUP BY py, px, aug
             ORDER BY py, px"""))
 
   /** S10 — vendor scanner tier, oracle-gated: the SAME synthetic
