@@ -47,7 +47,7 @@ object Events extends QModule {
 
   override def queries: Seq[Q] =
     Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel,
-      q52CohortRetention)
+      q52CohortRetention, q54Scd2)
 
   /** Tumbling 1-hour windows per event type. */
   val q33Tumbling = Q(
@@ -223,4 +223,65 @@ object Events extends QModule {
                    (n_active * 1000) // cohort_size AS retention_milli
             FROM m JOIN s ON m.cohort_day = s.cohort_day
             ORDER BY cohort_day, day_offset"""))
+
+  /** SCD2 state history: each user's event-type stream collapsed into
+    * slowly-changing-dimension version rows — consecutive equal
+    * states merge into one validity interval [valid_from, valid_to),
+    * the last interval open (is_current). The warehouse versioning
+    * op: one user-key window pass (lag → change flag → running
+    * version id via gaps-and-islands), one aggregation per version —
+    * never a self-join on history. Ties at the same microsecond order
+    * by event_id so versioning is total.
+    */
+  val q54Scd2 = Q(
+    "q54_scd2_history",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), unix_micros(col("ts")).as("ts_us"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val versioned = e
+        .withColumn("chg",
+          when(lag(col("state"), 1).over(wOrd).isNull ||
+            lag(col("state"), 1).over(wOrd) =!= col("state"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(
+          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val perUserMax = versioned.groupBy(col("user_id"))
+        .agg(max(col("version")).as("n_versions"))
+      versioned.groupBy(col("user_id"), col("version"))
+        .agg(min(struct(col("ts_us"), col("event_id"), col("state"))).as("f"),
+          max(col("ts_us")).as("last_us"),
+          count(lit(1)).cast("long").as("n_events"))
+        .join(perUserMax, "user_id")
+        .select(col("user_id"), col("version"),
+          col("f.state").as("state"),
+          col("f.ts_us").as("valid_from_us"),
+          col("last_us").as("last_event_us"),
+          col("n_events"),
+          (col("version") === col("n_versions")).as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type AS state,
+                  epoch_us(ts) AS ts_us
+                FROM events),
+            v AS (SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                         OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+                  FROM v),
+            agg AS (SELECT user_id, version,
+                      min(struct_pack(a := ts_us, b := event_id, c := state)) AS f,
+                      CAST(max(ts_us) AS BIGINT) AS last_event_us,
+                      CAST(count(*) AS BIGINT) AS n_events
+                    FROM g GROUP BY user_id, version),
+            mx AS (SELECT user_id, max(version) AS n_versions
+                   FROM agg GROUP BY user_id)
+            SELECT agg.user_id, agg.version, agg.f.c AS state,
+                   CAST(agg.f.a AS BIGINT) AS valid_from_us, last_event_us,
+                   n_events, agg.version = mx.n_versions AS is_current
+            FROM agg JOIN mx ON agg.user_id = mx.user_id
+            ORDER BY agg.user_id, agg.version"""))
 }
