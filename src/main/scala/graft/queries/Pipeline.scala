@@ -37,7 +37,7 @@ object Pipeline extends QModule {
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
-    t101WeightedSample)
+    t101WeightedSample, t102SnapshotDiff)
 
   import QTables.{docs, emb}
 
@@ -3184,6 +3184,43 @@ object Pipeline extends QModule {
                    COALESCE(n_hits, 0) > 0 AS flagged
             FROM f LEFT JOIN h ON f.doc_id = h.doc_id
             ORDER BY f.doc_id"""))
+
+  /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): old = the full
+    * corpus; new = the corpus with every 7th doc removed, every 5th
+    * surviving doc edited, and fresh docs appended — all four
+    * statuses exercised with deterministic membership. The oracle
+    * replays the synthetic new snapshot and the content-hash
+    * classification.
+    */
+  val t102SnapshotDiff = Q(
+    "t102_snapshot_diff",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val neu = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"),
+            concat(lit("new doc "), col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.ops.SnapshotDiff.diff(d, neu).orderBy(col("doc_id"))
+    },
+    Some("""WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+            neu AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                               ELSE text END) AS new_hash
+                    FROM documents WHERE doc_id % 7 <> 0
+                    UNION ALL
+                    SELECT doc_id + 10000, md5('new doc ' || text)
+                    FROM documents WHERE doc_id % 11 = 0)
+            SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+                   old_hash, new_hash,
+                   CASE WHEN old_hash IS NULL THEN 'added'
+                        WHEN new_hash IS NULL THEN 'removed'
+                        WHEN old_hash = new_hash THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+            ORDER BY doc_id"""))
 
   /** Weighted sampling without replacement
     * ([[graft.ops.Splits.weightedSample]], Efraimidis–Spirakis A-ES):
