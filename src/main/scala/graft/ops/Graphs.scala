@@ -66,4 +66,46 @@ object Graphs {
     e.unpersist()
     rank
   }
+
+  /** Fixed-iteration integer HITS (Kleinberg 1999) — the hub/
+    * authority split PageRank's single score cannot express: a
+    * link-farm hub page points at many authorities but IS not one.
+    * Scores normalize by the round's MAXIMUM (top score = 10⁶) in
+    * exact floor division — max-normalization keeps everything
+    * integral, where the classical L2 norm would force floats.
+    *
+    * Per half-round: one score-onto-edges join + one key aggregation
+    * + one scalar max (broadcast back) — the same message-passing
+    * shuffle class as [[pageRank]]; lineage truncated per round.
+    *
+    * Output: (id, hub_micro, auth_micro) after `iters` rounds;
+    * vertices with no outgoing (resp. incoming) edges score 0.
+    */
+  def hits(edges: DataFrame, vertices: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters $iters out of [1, 50]")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices.select(col("id").cast("long").as("id"))
+    var auth = verts.select(col("id"), lit(1000000L).as("score"))
+    var hub = auth
+    def halfRound(scores: DataFrame, joinOn: String, outBy: String): DataFrame = {
+      val raw = e.join(scores, e(joinOn) === scores("id"))
+        .groupBy(col(outBy).as("id")).agg(sum(col("score")).as("raw"))
+      val mx = raw.agg(max(col("raw")).as("m"))
+      verts.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
+        .select(col("id"),
+          coalesce(expr("(raw * 1000000) div m"), lit(0L)).as("score"))
+        .localCheckpoint(eager = true)
+    }
+    for (_ <- 1 to iters) {
+      hub = halfRound(auth, joinOn = "dst", outBy = "src")
+      auth = halfRound(hub, joinOn = "src", outBy = "dst")
+    }
+    val out = hub.select(col("id"), col("score").as("hub_micro"))
+      .join(auth.select(col("id"), col("score").as("auth_micro")), "id")
+    e.unpersist()
+    out
+  }
 }

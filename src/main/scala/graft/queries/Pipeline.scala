@@ -37,7 +37,7 @@ object Pipeline extends QModule {
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
-    t101WeightedSample, t102SnapshotDiff)
+    t101WeightedSample, t102SnapshotDiff, g02Hits)
 
   import QTables.{docs, emb}
 
@@ -3244,6 +3244,52 @@ object Pipeline extends QModule {
             SELECT doc_id, w, key6, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 100
             ORDER BY doc_id"""))
+
+  /** Integer HITS ([[graft.ops.Graphs.hits]]) over the same 2-out
+    * graph as g01 — the hub/authority split with exact max
+    * normalization. The oracle unrolls both rounds (four half-rounds)
+    * in SQL; a normalization or join-direction slip hash-mismatches.
+    */
+  val g02Hits = Q(
+    "g02_hits",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array((col("doc_id") * 17 + 7) % 500,
+          (col("doc_id") * 31 + 3) % 500)).as("dst"))
+      graft.ops.Graphs.hits(edges, d.select(col("doc_id").as("id")), iters = 2)
+        .orderBy(col("id"))
+    },
+    Some("""WITH v AS (SELECT doc_id AS id FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, (doc_id*17+7) % 500 AS dst FROM documents
+                    UNION ALL
+                    SELECT doc_id, (doc_id*31+3) % 500 FROM documents)
+                  WHERE src <> dst),
+            a0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM v),
+            hr1 AS (SELECT e.src AS id, CAST(sum(a0.s) AS BIGINT) AS raw
+                    FROM e JOIN a0 ON e.dst = a0.id GROUP BY e.src),
+            h1 AS (SELECT v.id, CAST(COALESCE((raw * 1000000)
+                     // (SELECT max(raw) FROM hr1), 0) AS BIGINT) AS s
+                   FROM v LEFT JOIN hr1 ON v.id = hr1.id),
+            ar1 AS (SELECT e.dst AS id, CAST(sum(h1.s) AS BIGINT) AS raw
+                    FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+            a1 AS (SELECT v.id, CAST(COALESCE((raw * 1000000)
+                     // (SELECT max(raw) FROM ar1), 0) AS BIGINT) AS s
+                   FROM v LEFT JOIN ar1 ON v.id = ar1.id),
+            hr2 AS (SELECT e.src AS id, CAST(sum(a1.s) AS BIGINT) AS raw
+                    FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+            h2 AS (SELECT v.id, CAST(COALESCE((raw * 1000000)
+                     // (SELECT max(raw) FROM hr2), 0) AS BIGINT) AS s
+                   FROM v LEFT JOIN hr2 ON v.id = hr2.id),
+            ar2 AS (SELECT e.dst AS id, CAST(sum(h2.s) AS BIGINT) AS raw
+                    FROM e JOIN h2 ON e.src = h2.id GROUP BY e.dst),
+            a2 AS (SELECT v.id, CAST(COALESCE((raw * 1000000)
+                     // (SELECT max(raw) FROM ar2), 0) AS BIGINT) AS s
+                   FROM v LEFT JOIN ar2 ON v.id = ar2.id)
+            SELECT h2.id, h2.s AS hub_micro, a2.s AS auth_micro
+            FROM h2 JOIN a2 ON h2.id = a2.id
+            ORDER BY h2.id"""))
 
   /** ORC sink + source round-trip: the documents table written as ORC
     * by distributed tasks, read back through the ORC reader with a

@@ -38,6 +38,22 @@ class GraphsSpec extends SparkSpec {
     assert(r2(1L) == 150000L + 850L * r1(5L) / 1000L)
   }
 
+  test("HITS: star hub/authority split, max normalization by hand") {
+    // leaves 1..4 → hub 5; hub 5 → authority 6.
+    // round 1 hubs: raw(leaf) = a(5) = 10⁶; raw(5) = a(6) = 10⁶ — all
+    // equal → every linking node normalizes to 10⁶, nodes 6 has no
+    // out-edge → hub 0. round 1 auth: raw(5) = 4·10⁶ (from 4 leaves),
+    // raw(6) = 10⁶ → a(5) = 10⁶, a(6) = 250000, leaves 0.
+    val edges = ((1L to 4L).map(_ -> 5L) :+ (5L -> 6L)).toDF("src", "dst")
+    val verts = (1L to 6L).toDF("id")
+    val r = Graphs.hits(edges, verts, iters = 1).collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Long]("hub_micro"), x.getAs[Long]("auth_micro")))).toMap
+    assert(r(1L) == ((1000000L, 0L)) && r(4L) == ((1000000L, 0L)))
+    assert(r(5L) == ((1000000L, 1000000L)))
+    assert(r(6L) == ((0L, 250000L)))
+  }
+
   test("self-loops and parallel edges are dropped; determinism across partitioning") {
     val edges = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 1L)).toDF("src", "dst")
     val verts = Seq(1L, 2L).toDF("id")
