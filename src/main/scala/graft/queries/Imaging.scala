@@ -44,7 +44,8 @@ object Imaging extends QModule {
 
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
-    i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment)
+    i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
+    i74LabelComponents, i75LabelView)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -618,4 +619,73 @@ object Imaging extends QModule {
             (1, CAST(32 AS BIGINT), CAST(32 AS BIGINT), 2.0, 2.0, 0.5, 0.5))
             t(level, shape_y, shape_x, scale_y, scale_x, tr_y, tr_x)
             ORDER BY level"""))
+
+  /** Shared oracle CTE prefix for the CCL gates: foreground (v ≥ 128)
+    * of the deterministic grid, 4-adjacency edges via two equi-joins,
+    * and the component assignment as a recursive transitive-closure
+    * min — the relational definition of connectivity the distributed
+    * operator must reproduce. Closure size is Σ size² ≈ 440k pairs at
+    * this grid; fine for an oracle, and exactly the blow-up the
+    * distributed fragment-graph design avoids.
+    */
+  private val cclSql =
+    s"""$gridSql,
+       |fg AS (SELECT y, x, y * $W + x AS id, CAST(v AS BIGINT) AS v
+       |       FROM grid WHERE v >= 128),
+       |adj AS (SELECT a.id AS u, b.id AS w FROM fg a JOIN fg b
+       |          ON b.y = a.y AND b.x = a.x + 1
+       |        UNION ALL
+       |        SELECT a.id, b.id FROM fg a JOIN fg b
+       |          ON b.y = a.y + 1 AND b.x = a.x),
+       |e AS (SELECT u, w FROM adj UNION ALL SELECT w, u FROM adj),
+       |reach(id, lbl) AS (SELECT id, id FROM fg
+       |                   UNION
+       |                   SELECT e.u, r.lbl FROM e JOIN reach r ON r.id = e.w),
+       |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  /** Distributed connected-component labeling
+    * ([[graft.operators.LabelComponents.componentStats2d]]): per-chunk
+    * dense-array union-find → boundary-cell equi-joins → fragment
+    * graph through the dedup clustering machinery. The mask's 12
+    * diagonal-band components all span chunk boundaries on the 2×2
+    * grid, so every output row exercises the cross-chunk merge; the
+    * oracle derives the same components as a recursive SQL transitive
+    * closure. Downstream of the reference's label-image pyramids
+    * (`py/ngff_zarr/methods/_support.py` — nearest/mode routing exists
+    * to preserve exactly these objects).
+    */
+  val i74LabelComponents = Q(
+    "i74_label_components",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.LabelComponents.componentStats2d(s, ds, meta, threshold = 128.0)
+        .orderBy(col("comp"))
+    },
+    Some(s"""WITH RECURSIVE $cclSql
+            SELECT c.comp AS comp, CAST(count(*) AS BIGINT) AS size,
+                   CAST(min(f.y) AS BIGINT) AS ymin, CAST(max(f.y) AS BIGINT) AS ymax,
+                   CAST(min(f.x) AS BIGINT) AS xmin, CAST(max(f.x) AS BIGINT) AS xmax,
+                   CAST(sum(f.v) AS BIGINT) AS vsum
+            FROM comp c JOIN fg f ON f.id = c.id
+            GROUP BY c.comp ORDER BY comp"""))
+
+  /** Per-voxel component view ([[graft.operators.LabelComponents
+    * .componentLabels2d]]) on the rows straddling the y=32 chunk
+    * boundary: pins the per-voxel assignment (not just aggregate
+    * stats) exactly where local fragments hand over to merged global
+    * labels.
+    */
+  val i75LabelView = Q(
+    "i75_label_view",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.LabelComponents.componentLabels2d(s, ds, meta, threshold = 128.0)
+        .filter(col("y") >= 30 && col("y") <= 33)
+        .orderBy(col("y"), col("x"))
+    },
+    Some(s"""WITH RECURSIVE $cclSql
+            SELECT f.y AS y, f.x AS x, c.comp AS comp
+            FROM comp c JOIN fg f ON f.id = c.id
+            WHERE f.y BETWEEN 30 AND 33
+            ORDER BY y, x"""))
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.meta.Model.ImageMeta
+
+/** Distributed CCL invariants: chunking must be invisible (multi-chunk
+  * ≡ single-chunk on random masks), and the fragment/boundary design
+  * must survive the adversarial shapes — components threading through
+  * many chunks, interior-only fragments, empty masks.
+  */
+class LabelComponentsSpec extends SparkSpec {
+
+  private def meta(h: Int, w: Int, ch: Int, cw: Int) =
+    ImageMeta(Seq("y", "x"), Seq(h, w), Seq(ch, cw), "uint8",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+
+  /** Reference single-node BFS labeling over the mask. */
+  private def bfsStats(vals: Array[Double], h: Int, w: Int, thr: Double)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val lab = Array.fill(h * w)(-1)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    var c = 0
+    for (start <- 0 until h * w if vals(start) >= thr && lab(start) < 0) {
+      val q = scala.collection.mutable.Queue(start)
+      lab(start) = c
+      var size = 0L; var vsum = 0L
+      var ymin = Long.MaxValue; var ymax = Long.MinValue
+      var xmin = Long.MaxValue; var xmax = Long.MinValue
+      var minId = Long.MaxValue
+      while (q.nonEmpty) {
+        val i = q.dequeue()
+        val y = i / w; val x = i % w
+        size += 1; vsum += vals(i).toLong
+        minId = math.min(minId, i.toLong)
+        ymin = math.min(ymin, y.toLong); ymax = math.max(ymax, y.toLong)
+        xmin = math.min(xmin, x.toLong); xmax = math.max(xmax, x.toLong)
+        for ((ny, nx) <- Seq((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1))) {
+          if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
+            val j = ny * w + nx
+            if (vals(j) >= thr && lab(j) < 0) { lab(j) = c; q.enqueue(j) }
+          }
+        }
+      }
+      out += ((minId, size, ymin, ymax, xmin, xmax, vsum))
+      c += 1
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  private def run(vals: Array[Double], m: ImageMeta, thr: Double) = {
+    val ds = ChunkOps.fromArray(spark, vals, m)
+    LabelComponents.componentStats2d(spark, ds, m, thr)
+      .orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+  }
+
+  test("random masks: multi-chunk ≡ single-chunk ≡ BFS reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val h = 40; val w = 56
+      val vals = Array.fill(h * w)(if (rnd.nextDouble() < 0.55) 200.0 else 10.0)
+      val expected = bfsStats(vals, h, w, 128.0)
+      val multi = run(vals, meta(h, w, 16, 16), 128.0)
+      val single = run(vals, meta(h, w, 40, 56), 128.0)
+      assert(multi == expected, s"trial $trial multi-chunk diverged")
+      assert(single == expected, s"trial $trial single-chunk diverged")
+    }
+  }
+
+  test("a snake threading every chunk merges to one component") {
+    // boustrophedon path through a 4×4 chunk grid: one component whose
+    // fragments chain across 16 chunks — the worst merge depth
+    val h = 32; val w = 32
+    val vals = new Array[Double](h * w)
+    for (y <- 0 until h by 4) {
+      for (x <- 0 until w) vals(y * w + x) = 255.0
+      if (y + 4 < h) {
+        val x = if ((y / 4) % 2 == 0) w - 1 else 0
+        for (yy <- y until y + 4) vals(yy * w + x) = 255.0
+      }
+    }
+    val got = run(vals, meta(h, w, 8, 8), 128.0)
+    assert(got.size == 1)
+    assert(got.head._1 == 0L) // min voxel is (0,0)
+    assert(got == bfsStats(vals, h, w, 128.0))
+  }
+
+  test("interior-only fragments label correctly (no boundary cells)") {
+    // dots strictly inside each chunk: never touch a face
+    val h = 16; val w = 16
+    val vals = new Array[Double](h * w)
+    for (cy <- 0 until 2; cx <- 0 until 2)
+      vals((cy * 8 + 4) * w + (cx * 8 + 4)) = 255.0
+    val got = run(vals, meta(h, w, 8, 8), 128.0)
+    assert(got.size == 4)
+    assert(got.map(_._2).forall(_ == 1L))
+    assert(got == bfsStats(vals, h, w, 128.0))
+  }
+
+  test("empty mask yields zero components") {
+    val h = 16; val w = 16
+    assert(run(new Array[Double](h * w), meta(h, w, 8, 8), 128.0).isEmpty)
+  }
+
+  test("per-voxel labels agree with the stats pass on a random mask") {
+    val rnd = new scala.util.Random(7)
+    val h = 24; val w = 24
+    val vals = Array.fill(h * w)(if (rnd.nextDouble() < 0.5) 200.0 else 10.0)
+    val m = meta(h, w, 8, 8)
+    val ds = ChunkOps.fromArray(spark, vals, m)
+    val perVoxel = LabelComponents.componentLabels2d(spark, ds, m, 128.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // derive stats from the per-voxel view; must equal the stats pass
+    val derived = perVoxel.groupBy(_._3).map { case (compId, vs) =>
+      (compId, vs.length.toLong,
+        vs.map(_._1).min, vs.map(_._1).max, vs.map(_._2).min, vs.map(_._2).max,
+        vs.map { case (y, x, _) => vals((y * w + x).toInt).toLong }.sum)
+    }.toSeq.sortBy(_._1)
+    assert(derived == run(vals, m, 128.0))
+  }
+}
