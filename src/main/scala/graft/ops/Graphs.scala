@@ -108,4 +108,51 @@ object Graphs {
     e.unpersist()
     out
   }
+
+  /** Exact per-vertex triangle counts via degree-ordered orientation
+    * (Chiba–Nishizeki / the MapReduce "graph twiddling" form): every
+    * undirected edge points from its lower-(degree, id) endpoint to
+    * the higher, so each triangle {x < y < z} materializes exactly
+    * once — as the wedge (x→y, x→z) closed by the oriented edge y→z —
+    * and wedge fan-out per vertex is bounded by its OUT-degree under
+    * the orientation, which is O(√m) on any graph. Total work is the
+    * optimal O(m^1.5): two self-equi-joins of the oriented edge table
+    * (wedge build + closure probe), never an unoriented neighborhood
+    * product, which a skewed hub vertex would blow up quadratically.
+    *
+    * Ties cannot occur: the order key is degree·2³² + id and ids are
+    * distinct. Output: (id, triangles) for vertices in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(lvl)
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.select(col("id").as("u"), col("deg").as("degu")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("degv")), Seq("v"))
+      .select(col("u"), col("v"),
+        (col("degu") * lit(4294967296L) + col("u")).as("ku"),
+        (col("degv") * lit(4294967296L) + col("v")).as("kv"))
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"),
+        greatest(col("ku"), col("kv")).as("tk"))
+      .persist(lvl)
+    val tri = o.as("a").join(o.as("b"),
+        col("a.s") === col("b.s") && col("a.tk") < col("b.tk"))
+      .select(col("a.t").as("x0"), col("b.t").as("y0"), col("a.s").as("apex"))
+      .join(o.as("c"), col("c.s") === col("x0") && col("c.t") === col("y0"))
+      .select(col("apex"), col("x0"), col("y0"))
+    val counts = tri
+      .select(explode(array(col("apex"), col("x0"), col("y0"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+      .localCheckpoint(eager = true)
+    und.unpersist(); o.unpersist()
+    counts
+  }
 }

@@ -37,7 +37,7 @@ object Pipeline extends QModule {
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
-    t101WeightedSample, t102SnapshotDiff, g02Hits)
+    t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles)
 
   import QTables.{docs, emb}
 
@@ -3290,6 +3290,51 @@ object Pipeline extends QModule {
             SELECT h2.id, h2.s AS hub_micro, a2.s AS auth_micro
             FROM h2 JOIN a2 ON h2.id = a2.id
             ORDER BY h2.id"""))
+
+  /** Exact per-vertex triangle counts ([[graft.ops.Graphs
+    * .triangleCounts]]) over a cycle+chord+affine link graph — the
+    * link-farm / community-density signal (triangle density is what
+    * separates organic link neighborhoods from spam rings, and
+    * clustering-coefficient features build directly on it). The
+    * degree-ordered orientation means each triangle is found exactly
+    * once from its lowest-(deg, id) apex; the oracle replays the same
+    * orientation and both joins relationally, so an orientation tie
+    * break or double count anywhere hash-mismatches.
+    */
+  val g03Triangles = Q(
+    "g03_triangles",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array((col("doc_id") + 1) % 500, (col("doc_id") + 2) % 500,
+          (col("doc_id") * 17 + 7) % 500)).as("dst"))
+      graft.ops.Graphs.triangleCounts(edges)
+        .orderBy(col("id"))
+    },
+    Some("""WITH raw AS (SELECT doc_id AS a, (doc_id+1) % 500 AS b FROM documents
+                  UNION ALL SELECT doc_id, (doc_id+2) % 500 FROM documents
+                  UNION ALL SELECT doc_id, (doc_id*17+7) % 500 FROM documents),
+            und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                    FROM raw WHERE a <> b),
+            deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+                    GROUP BY id),
+            keyed AS (SELECT u, v,
+                        du.deg * 4294967296 + u AS ku,
+                        dv.deg * 4294967296 + v AS kv
+                      FROM und JOIN deg du ON du.id = u
+                               JOIN deg dv ON dv.id = v),
+            o AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS s,
+                         CASE WHEN ku < kv THEN v ELSE u END AS t,
+                         greatest(ku, kv) AS tk
+                  FROM keyed),
+            tri AS (SELECT a.s AS apex, a.t AS x0, b.t AS y0
+                    FROM o a JOIN o b ON a.s = b.s AND a.tk < b.tk
+                    JOIN o c ON c.s = a.t AND c.t = b.t)
+            SELECT id, CAST(count(*) AS BIGINT) AS triangles
+            FROM (SELECT apex AS id FROM tri UNION ALL
+                  SELECT x0 FROM tri UNION ALL SELECT y0 FROM tri)
+            GROUP BY id ORDER BY id"""))
 
   /** ORC sink + source round-trip: the documents table written as ORC
     * by distributed tasks, read back through the ORC reader with a

@@ -66,4 +66,31 @@ class GraphsSpec extends SparkSpec {
     val m = a.toMap
     assert(m(1L) == m(2L))
   }
+
+  test("triangles: K4 has 4 triangles, 3 per vertex; an appended tail has none") {
+    // complete graph on {1..4} + pendant edge 4–5
+    val edges = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toSeq.appended((4L, 5L)).toDF("src", "dst")
+    val r = Graphs.triangleCounts(edges).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: orientation-direction, duplicate and self-loop robustness") {
+    // one triangle given with mixed directions, duplicates, a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (3L, 2L))
+      .toDF("src", "dst")
+    val r = Graphs.triangleCounts(edges).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: skewed hub-star plus one closing edge — exactly the closed wedges count") {
+    // star center 0 with 30 leaves; only leaves 1–2 are connected to
+    // each other → exactly one triangle despite the hub's 30 wedge pairs
+    val edges = ((1L to 30L).map(l => (0L, l)) :+ (1L, 2L)).toDF("src", "dst")
+    val r = Graphs.triangleCounts(edges.repartition(5)).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
 }
