@@ -47,7 +47,7 @@ object Events extends QModule {
 
   override def queries: Seq[Q] =
     Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel,
-      q52CohortRetention, q54Scd2)
+      q52CohortRetention, q54Scd2, q57IntervalJoin)
 
   /** Tumbling 1-hour windows per event type. */
   val q33Tumbling = Q(
@@ -284,4 +284,34 @@ object Events extends QModule {
                    n_events, agg.version = mx.n_versions AS is_current
             FROM agg JOIN mx ON agg.user_id = mx.user_id
             ORDER BY agg.user_id, agg.version"""))
+
+  /** Batch contract of the stream-stream interval join
+    * ([[graft.streaming.Streams.intervalJoin]]): every purchase
+    * within 30 minutes AFTER a click by the same user — the
+    * all-matches attribution window, vs the as-of join's (q39)
+    * single latest match. The gate calls the SAME operator the
+    * streaming path uses (watermarks are no-ops on batch inputs), so
+    * the oracle pins the join-condition semantics that
+    * `StreamsSpec`'s cross-batch case then proves equal under
+    * micro-batch execution.
+    */
+  val q57IntervalJoin = Q(
+    "q57_interval_join",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.streaming.Streams.intervalJoin(clicks, purchases, "30 minutes", "1 hour")
+        .select(col("user_id"),
+          expr("unix_micros(ts_a)").as("click_us"),
+          expr("unix_micros(ts_b)").as("purchase_us"))
+        .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
+    },
+    Some("""SELECT a.user_id AS user_id,
+                   epoch_ns(a.ts) // 1000 AS click_us,
+                   epoch_ns(b.ts) // 1000 AS purchase_us
+            FROM events a JOIN events b ON a.user_id = b.user_id
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            ORDER BY user_id, click_us, purchase_us"""))
 }

@@ -30,7 +30,8 @@ object Relational extends QModule {
     q28StringFns, q29DateFns, q30MathFns, q31ArrayFns, q32Json,
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
     q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder,
-    q48ApproxPercentile, q49ZOrder3, q51MergeUpsert)
+    q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
+    q56KAnonymity)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1159,4 +1160,79 @@ object Relational extends QModule {
             FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
             WHERE COALESCE(c.op <> 'delete', true)
             ORDER BY c_custkey"""))
+
+  /** Parquet bloom-filter round-trip: lineitem written with a bloom
+    * filter on `l_partkey` (the data-skipping index for point/IN
+    * probes on non-sorted, non-partitioned columns — at 100 TB the
+    * difference between touching every row group and only the ones
+    * that might match), read back through an IN probe, aggregated.
+    * The oracle runs the same probe on the original table, so a
+    * filter-evaluation drift on the bloom-indexed path
+    * hash-mismatches; `ParquetBloomSpec` asserts the footer actually
+    * carries bloom offsets and the probe reaches PushedFilters.
+    */
+  val q55ParquetBloom = Q(
+    "q55_parquet_bloom",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_bloom_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+        // parquet-mr drops blooms on fully dictionary-encoded chunks;
+        // at 100 TB partkey cardinality overflows the dictionary
+        // anyway — pin that regime so the bloom is present at any sf
+        .option("parquet.enable.dictionary#l_partkey", "false")
+        .parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("l_partkey").isin(3L, 17L, 42L, 97L, 123L, 555L, 1024L, 1776L))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("CAST(round(sum(l_quantity)) AS BIGINT)").as("sum_qty"),
+          min(col("l_orderkey")).as("min_order"),
+          max(col("l_orderkey")).as("max_order"))
+        .orderBy(col("l_partkey"))
+    },
+    Some("""SELECT l_partkey, count(*) AS n_lines,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+                   min(l_orderkey) AS min_order, max(l_orderkey) AS max_order
+            FROM lineitem
+            WHERE l_partkey IN (3, 17, 42, 97, 123, 555, 1024, 1776)
+            GROUP BY l_partkey ORDER BY l_partkey"""))
+
+  /** k-anonymity release screen ([[graft.ops.Privacy.kAnonymize]]):
+    * customers whose (nation, segment) quasi-identifier combination
+    * is shared by fewer than 8 rows get both quasi-ids generalized to
+    * '*' before release — the column-combination privacy guarantee
+    * the in-text PII scrub (t52) cannot provide. The oracle replays
+    * the size join and generalization; a row suppressed on one side
+    * but released on the other hash-mismatches.
+    */
+  val q56KAnonymity = Q(
+    "q56_k_anonymity",
+    (s, dir) => {
+      val anon = graft.ops.Privacy.kAnonymize(
+        Tables.load(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")),
+        Seq("c_nationkey", "c_mktsegment"), k = 8L)
+      anon.groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)")
+            .as("sum_cents"))
+        .orderBy(col("nation"), col("segment"))
+    },
+    Some("""WITH sizes AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                           FROM customer GROUP BY 1, 2),
+            anon AS (SELECT CASE WHEN s.n >= 8 THEN CAST(c.c_nationkey AS VARCHAR)
+                                 ELSE '*' END AS nation,
+                            CASE WHEN s.n >= 8 THEN c.c_mktsegment
+                                 ELSE '*' END AS segment,
+                            c.c_acctbal
+                     FROM customer c JOIN sizes s
+                       ON c.c_nationkey = s.c_nationkey
+                      AND c.c_mktsegment = s.c_mktsegment)
+            SELECT nation, segment, count(*) AS n_rows,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM anon GROUP BY nation, segment ORDER BY nation, segment"""))
 }
