@@ -31,7 +31,7 @@ object Relational extends QModule {
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
     q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder,
     q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
-    q56KAnonymity)
+    q56KAnonymity, q58RegionalRevenue, q59MarketShare)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1235,4 +1235,116 @@ object Relational extends QModule {
             SELECT nation, segment, count(*) AS n_rows,
                    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM anon GROUP BY nation, segment ORDER BY nation, segment"""))
+
+  /** TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
+    * customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
+    * constraint (customer and supplier in the SAME nation) and a
+    * selective date+region filter. The plan audit this gate exists
+    * for: both dims broadcast, the date filter reaches the orders
+    * scan, and Catalyst orders the fact joins so the selective orders
+    * side prunes lineitem early. Revenue is exact integer
+    * cents×(100−disc) — no float summation order to drift.
+    */
+  val q58RegionalRevenue = Q(
+    "q58_regional_revenue",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .selectExpr("l_orderkey", "l_suppkey",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+          "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(expr("sum(price_c * (100 - disc_pct))").as("revenue_c2"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(desc("revenue_c2"), col("n_name"))
+    },
+    Some("""SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_c2 DESC, n_name"""))
+
+  /** TPC-H Q8 shape — market share: of one region's yearly order
+    * revenue, the milli-fraction supplied by one nation. Two
+    * aggregates over the same joined stream (conditional sum inside
+    * the group) and an exact integer division — the
+    * numerator/denominator never see floats, so the share is
+    * bit-stable under any partitioning.
+    */
+  val q59MarketShare = Q(
+    "q59_market_share",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .selectExpr("l_orderkey", "l_suppkey",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+          "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val c = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val r = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))
+      val sup = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg(
+          expr("sum(CASE WHEN supp_nation = 'GERMANY' THEN price_c * (100 - disc_pct) ELSE 0 END)")
+            .as("germany_c2"),
+          expr("sum(price_c * (100 - disc_pct))").as("total_c2"))
+        .select(col("o_year"), col("germany_c2"), col("total_c2"),
+          expr("(germany_c2 * 1000) div total_c2").as("share_milli"))
+        .orderBy(col("o_year"))
+    },
+    Some("""WITH j AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c2,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'EUROPE')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'GERMANY' THEN rev_c2 ELSE 0 END) AS BIGINT) AS germany_c2,
+                   CAST(sum(rev_c2) AS BIGINT) AS total_c2,
+                   CAST(sum(CASE WHEN supp_nation = 'GERMANY' THEN rev_c2 ELSE 0 END) * 1000
+                     // sum(rev_c2) AS BIGINT) AS share_milli
+            FROM j GROUP BY o_year ORDER BY o_year"""))
 }
