@@ -37,7 +37,8 @@ object Pipeline extends QModule {
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
-    t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles)
+    t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
+    t103MultiMatch)
 
   import QTables.{docs, emb}
 
@@ -3184,6 +3185,52 @@ object Pipeline extends QModule {
                    COALESCE(n_hits, 0) > 0 AS flagged
             FROM f LEFT JOIN h ON f.doc_id = h.doc_id
             ORDER BY f.doc_id"""))
+
+  /** Aho–Corasick blocklist scan ([[org.apache.spark.sql.graftext
+    * .MultiPatternMatch]]): ONE linear pass per document finds all 10
+    * phrases simultaneously (codegen'd native expression; the
+    * automaton ships to executors as a reference object) — the
+    * K-independent screen shape, vs K `contains` scans per row. The
+    * pattern list deliberately contains suffix-overlapping entries
+    * ("batch" / "merge batch", "scan" / "scan query"): those exercise
+    * the fail-link output merging that naive trie matching gets
+    * wrong. The oracle replays each pattern as an independent LIKE.
+    */
+  val t103MultiMatch = Q(
+    "t103_multi_match",
+    (s, dir) => {
+      val pats = Seq("batch", "merge batch", "slow filter", "customer query",
+        "vector", "scan", "scan query", "hash value", "spark", "window")
+      val arr = org.apache.spark.sql.graftext.MultiPatternMatch
+        .multiMatch(col("text"), pats)
+      docs(s, dir).select(col("doc_id"), arr.as("m"))
+        .select(col("doc_id"), size(col("m")).as("n_matched"),
+          concat_ws(",", expr("transform(m, x -> cast(x AS string))")).as("matched_csv"))
+        .filter(col("n_matched") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+              (text LIKE '%batch%')::INT AS h0,
+              (text LIKE '%merge batch%')::INT AS h1,
+              (text LIKE '%slow filter%')::INT AS h2,
+              (text LIKE '%customer query%')::INT AS h3,
+              (text LIKE '%vector%')::INT AS h4,
+              (text LIKE '%scan%')::INT AS h5,
+              (text LIKE '%scan query%')::INT AS h6,
+              (text LIKE '%hash value%')::INT AS h7,
+              (text LIKE '%spark%')::INT AS h8,
+              (text LIKE '%window%')::INT AS h9
+            FROM documents)
+            SELECT doc_id,
+                   h0 + h1 + h2 + h3 + h4 + h5 + h6 + h7 + h8 + h9 AS n_matched,
+                   concat_ws(',',
+                     CASE WHEN h0 = 1 THEN '0' END, CASE WHEN h1 = 1 THEN '1' END,
+                     CASE WHEN h2 = 1 THEN '2' END, CASE WHEN h3 = 1 THEN '3' END,
+                     CASE WHEN h4 = 1 THEN '4' END, CASE WHEN h5 = 1 THEN '5' END,
+                     CASE WHEN h6 = 1 THEN '6' END, CASE WHEN h7 = 1 THEN '7' END,
+                     CASE WHEN h8 = 1 THEN '8' END, CASE WHEN h9 = 1 THEN '9' END) AS matched_csv
+            FROM m WHERE h0 + h1 + h2 + h3 + h4 + h5 + h6 + h7 + h8 + h9 > 0
+            ORDER BY doc_id"""))
 
   /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): old = the full
     * corpus; new = the corpus with every 7th doc removed, every 5th
