@@ -10,21 +10,22 @@ import graft.zarr.ZarrStore
   * the segmentation-mask analysis step downstream of the reference's
   * label-image pyramids (`py/ngff_zarr/methods/_support.py` routes
   * label images to nearest/mode downsamplers; counting and measuring
-  * the labeled objects is what those pyramids exist FOR).
+  * the labeled objects is what those pyramids exist FOR). Supports
+  * 2D (y, x) and 3D (z, y, x) volumes with 4-/6-connectivity.
   *
   * Scale shape (the textbook block-partitioned CCL decomposition):
   *
-  *  1. Per chunk, ONE pass labels foreground voxels 4-connectively
-  *     with a dense array union-find (local linear indices — no
-  *     hashing, ~9 bytes/voxel peak). Each local fragment is named by
-  *     the GLOBAL linear index of its minimum voxel, so fragment ids
-  *     are unique across chunks without coordination.
+  *  1. Per chunk, ONE pass labels foreground voxels with a dense
+  *     array union-find (local linear indices — no hashing, ~9
+  *     bytes/voxel peak). Each local fragment is named by the GLOBAL
+  *     linear index of its minimum voxel, so fragment ids are unique
+  *     across chunks without coordination.
   *  2. Only two things leave the task: per-fragment partial stats
   *     (one row per fragment per chunk) and boundary cells — the
-  *     foreground voxels on chunk faces, O(perimeter) not O(volume).
-  *  3. Cross-chunk adjacency is TWO equi-joins of the boundary-cell
-  *     table with itself (right neighbor, down neighbor) — never a
-  *     voxel-level shuffle of chunk interiors.
+  *     foreground voxels on chunk faces, O(surface) not O(volume).
+  *  3. Cross-chunk adjacency is ONE equi-join of the boundary-cell
+  *     table with itself per axis — never a voxel-level shuffle of
+  *     chunk interiors.
   *  4. The fragment graph (edges ≪ voxels) runs through
   *     [[graft.ops.TextDedup.connectedComponents]] — the same
   *     two-stage union-find / min-label propagation machinery the
@@ -36,77 +37,127 @@ import graft.zarr.ZarrStore
   */
 object LabelComponents {
 
-  /** One local fragment's contribution: `kind` 0 = partial stats row,
-    * 1 = boundary cell (y/x carry the global voxel position).
+  /** One local fragment's contribution, fixed 3-axis schema (2D
+    * inputs use z = 0): `kind` 0 = partial stats row, 1 = boundary
+    * cell (z/y/x carry the global voxel position).
     */
-  final case class FragRow(kind: Int, plabel: Long, y: Long, x: Long,
-      size: Long, ymin: Long, ymax: Long, xmin: Long, xmax: Long, vsum: Long)
+  final case class FragRow(kind: Int, plabel: Long, z: Long, y: Long, x: Long,
+      size: Long, zmin: Long, zmax: Long, ymin: Long, ymax: Long,
+      xmin: Long, xmax: Long, vsum: Long)
 
-  /** Per-component exact stats for a 2D (y, x) image: voxels with
-    * `value >= threshold` are foreground, 4-connectivity. Output one
-    * row per component: (comp = min global linear index, size, ymin,
-    * ymax, xmin, xmax, vsum) — vsum is exact because imaging dtypes
-    * here are integral.
+  /** Per-voxel fragment assignment (2D inputs use z = 0). */
+  final case class VoxelFrag(z: Long, y: Long, x: Long, gid: Long, plabel: Long)
+
+  private def checkDims(meta: ImageMeta): Int = {
+    require(meta.dims == Seq("y", "x") || meta.dims == Seq("z", "y", "x"),
+      s"labeling expects a (y, x) or (z, y, x) image, got ${meta.dims}")
+    meta.dims.length
+  }
+
+  /** Chunk-local dense union-find over the decoded block; returns the
+    * parent array (-1 = background) with path-compressed roots plus
+    * a find function. Neighbors along each axis via local strides.
     */
-  def componentStats2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+  private def localLabel(vals: Array[Double], shape: Array[Int],
+      threshold: Double): (Array[Int], Int => Int) = {
+    val nd = shape.length
+    val strides = new Array[Int](nd)
+    strides(nd - 1) = 1
+    var d = nd - 2
+    while (d >= 0) { strides(d) = strides(d + 1) * shape(d + 1); d -= 1 }
+    val n = vals.length
+    val parent = new Array[Int](n)
+    var i = 0
+    while (i < n) { parent(i) = if (vals(i) >= threshold) i else -1; i += 1 }
+    def find(x0: Int): Int = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var c = x0
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    i = 0
+    while (i < n) {
+      if (parent(i) >= 0) {
+        var rem = i
+        d = 0
+        while (d < nd) {
+          val pos = rem / strides(d)
+          rem = rem % strides(d)
+          if (pos + 1 < shape(d) && parent(i + strides(d)) >= 0)
+            union(i, i + strides(d))
+          d += 1
+        }
+      }
+      i += 1
+    }
+    (parent, find)
+  }
+
+  /** Fragment stats + boundary cells for every chunk; the shared
+    * first pass of both public views.
+    */
+  private def fragRows(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
       meta: ImageMeta, threshold: Double): DataFrame = {
     import spark.implicits._
-    require(meta.dims == Seq("y", "x"),
-      s"componentStats2d expects a 2D (y, x) image, got ${meta.dims}")
-    val width = meta.shape(1)
+    val nd = checkDims(meta)
+    val gstrides: Array[Long] = {
+      val a = new Array[Long](nd)
+      a(nd - 1) = 1L
+      var d = nd - 2
+      while (d >= 0) { a(d) = a(d + 1) * meta.shape(d + 1); d -= 1 }
+      a
+    }
     val dtype = meta.dtype
 
-    val frags = ds.flatMap { c =>
+    ds.flatMap { c =>
       val vals = ZarrStore.decodeToDoubles(c.data, dtype)
-      val h = c.shape(0); val w = c.shape(1)
-      val oy = c.origin(0); val ox = c.origin(1)
-      val n = h * w
-      // dense local union-find: parent(i) over local linear indices,
-      // -1 = background; min-root union keeps roots canonical
-      val parent = new Array[Int](n)
-      var i = 0
-      while (i < n) { parent(i) = if (vals(i) >= threshold) i else -1; i += 1 }
-      def find(x0: Int): Int = {
-        var r = x0
-        while (parent(r) != r) r = parent(r)
-        var ccur = x0
-        while (parent(ccur) != r) { val nx = parent(ccur); parent(ccur) = r; ccur = nx }
-        r
+      val shape = c.shape.toArray
+      val origin = c.origin.toArray
+      val (parent, find) = localLabel(vals, shape, threshold)
+      val n = vals.length
+      val lstrides = new Array[Int](nd)
+      lstrides(nd - 1) = 1
+      var d = nd - 2
+      while (d >= 0) { lstrides(d) = lstrides(d + 1) * shape(d + 1); d -= 1 }
+
+      def gpos(i: Int, dim: Int): Long =
+        origin(dim) + (i / lstrides(dim)) % shape(dim)
+      def gid(i: Int): Long = {
+        var s = 0L; var dd = 0
+        while (dd < nd) { s += gpos(i, dd) * gstrides(dd); dd += 1 }
+        s
       }
-      def union(a: Int, b: Int): Unit = {
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      i = 0
-      while (i < n) {
-        if (parent(i) >= 0) {
-          val yy = i / w; val xx = i % w
-          if (xx + 1 < w && parent(i + 1) >= 0) union(i, i + 1)
-          if (yy + 1 < h && parent(i + w) >= 0) union(i, i + w)
-        }
-        i += 1
-      }
-      // per-root partials keyed by the fragment's GLOBAL min voxel id
+      // per-root partials keyed by the fragment's GLOBAL min voxel id;
+      // layout: 0 minGid, 1 size, [2+2d, 3+2d] per-dim min/max, last vsum
       val stats = new java.util.HashMap[Int, Array[Long]]()
-      i = 0
+      var i = 0
       while (i < n) {
         if (parent(i) >= 0) {
           val r = find(i)
-          val yy = oy + i / w; val xx = ox + i % w
           var s = stats.get(r)
           if (s == null) {
-            s = Array(Long.MaxValue, 0L, Long.MaxValue, Long.MinValue,
-              Long.MaxValue, Long.MinValue, 0L)
+            s = new Array[Long](3 + 2 * nd)
+            s(0) = Long.MaxValue
+            var dd = 0
+            while (dd < nd) { s(2 + 2 * dd) = Long.MaxValue; s(3 + 2 * dd) = Long.MinValue; dd += 1 }
             stats.put(r, s)
           }
-          val gid = yy * width + xx
-          if (gid < s(0)) s(0) = gid
+          val g = gid(i)
+          if (g < s(0)) s(0) = g
           s(1) += 1
-          if (yy < s(2)) s(2) = yy
-          if (yy > s(3)) s(3) = yy
-          if (xx < s(4)) s(4) = xx
-          if (xx > s(5)) s(5) = xx
-          s(6) += vals(i).toLong
+          var dd = 0
+          while (dd < nd) {
+            val p = gpos(i, dd)
+            if (p < s(2 + 2 * dd)) s(2 + 2 * dd) = p
+            if (p > s(3 + 2 * dd)) s(3 + 2 * dd) = p
+            dd += 1
+          }
+          s(2 + 2 * nd) += vals(i).toLong
         }
         i += 1
       }
@@ -114,127 +165,145 @@ object LabelComponents {
       val it = stats.values().iterator()
       while (it.hasNext) {
         val s = it.next()
-        out += FragRow(0, s(0), 0L, 0L, s(1), s(2), s(3), s(4), s(5), s(6))
+        if (nd == 2)
+          out += FragRow(0, s(0), 0, 0, 0, s(1), 0, 0, s(2), s(3), s(4), s(5), s(6))
+        else
+          out += FragRow(0, s(0), 0, 0, 0, s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8))
       }
-      // boundary cells: foreground voxels on any chunk face, labeled
-      // with their fragment id — O(perimeter) rows per chunk
+      // boundary cells: foreground voxels on any chunk face — the
+      // O(surface) handover set
       i = 0
       while (i < n) {
         if (parent(i) >= 0) {
-          val ly = i / w; val lx = i % w
-          if (ly == 0 || ly == h - 1 || lx == 0 || lx == w - 1) {
-            val r = find(i)
-            out += FragRow(1, stats.get(r)(0), oy + ly, ox + lx, 0, 0, 0, 0, 0, 0)
+          var onFace = false
+          var dd = 0
+          while (dd < nd && !onFace) {
+            val lp = (i / lstrides(dd)) % shape(dd)
+            onFace = lp == 0 || lp == shape(dd) - 1
+            dd += 1
+          }
+          if (onFace) {
+            val pl = stats.get(find(i))(0)
+            if (nd == 2)
+              out += FragRow(1, pl, 0, gpos(i, 0), gpos(i, 1), 0, 0, 0, 0, 0, 0, 0, 0)
+            else
+              out += FragRow(1, pl, gpos(i, 0), gpos(i, 1), gpos(i, 2), 0, 0, 0, 0, 0, 0, 0, 0)
           }
         }
         i += 1
       }
       out
     }.toDF()
-      // both splits below re-read this; fragment+boundary rows are
-      // surface-proportional, so the persist is small by construction
+  }
+
+  /** Axis-wise adjacency of boundary cells → fragment edges. Redundant
+    * within-chunk pairs (already unified locally) are harmless.
+    */
+  private def fragEdges(cells: DataFrame): DataFrame = {
+    def shifted(zo: Int, yo: Int, xo: Int): DataFrame =
+      cells.as("a").join(cells.as("b"),
+        col("a.z") + zo === col("b.z") && col("a.y") + yo === col("b.y") &&
+          col("a.x") + xo === col("b.x"))
+        .select(col("a.plabel").as("doc_a"), col("b.plabel").as("doc_b"))
+    shifted(0, 0, 1).union(shifted(0, 1, 0)).union(shifted(1, 0, 0))
+      .filter(col("doc_a") =!= col("doc_b"))
+  }
+
+  private def componentStats(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    val nd = checkDims(meta)
+    // both splits below re-read this; fragment+boundary rows are
+    // surface-proportional, so the persist is small by construction
+    val frags = fragRows(spark, ds, meta, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val partials = frags.filter(col("kind") === 0)
-      .select(col("plabel"), col("size"), col("ymin"), col("ymax"),
-        col("xmin"), col("xmax"), col("vsum"))
+    val partials = frags.filter(col("kind") === 0).drop("kind", "z", "y", "x")
     val cells = frags.filter(col("kind") === 1)
-      .select(col("plabel"), col("y"), col("x"))
-
-    // cross-chunk (and redundant within-chunk) adjacency on boundary
-    // cells: two equi-joins on shifted coordinates
-    val right = cells.as("a").join(cells.as("b"),
-      col("a.y") === col("b.y") && col("a.x") + 1 === col("b.x"))
-      .select(col("a.plabel").as("doc_a"), col("b.plabel").as("doc_b"))
-    val down = cells.as("a").join(cells.as("b"),
-      col("a.y") + 1 === col("b.y") && col("a.x") === col("b.x"))
-      .select(col("a.plabel").as("doc_a"), col("b.plabel").as("doc_b"))
-    val edges = right.union(down).filter(col("doc_a") =!= col("doc_b"))
-
+      .select(col("plabel"), col("z"), col("y"), col("x"))
     val verts = partials.select(col("plabel").as("doc_id")).distinct()
     // (plabel, cluster_id); roots follow the min-label convention, and
-    // the re-aggregation below takes min() anyway so the gate never
+    // the re-aggregation below takes min() anyway so the result never
     // depends on that convention
-    val labels = graft.ops.TextDedup.connectedComponents(edges, verts)
-
+    val labels = graft.ops.TextDedup.connectedComponents(fragEdges(cells), verts)
+    val dimCols =
+      if (nd == 2) Seq("ymin", "ymax", "xmin", "xmax")
+      else Seq("zmin", "zmax", "ymin", "ymax", "xmin", "xmax")
+    val aggs = Seq(min(col("plabel")).as("comp"), sum(col("size")).as("size")) ++
+      dimCols.map(c => if (c.endsWith("min")) min(col(c)).as(c) else max(col(c)).as(c)) :+
+      sum(col("vsum")).as("vsum")
     val out = partials
       .join(labels.select(col("doc_id").as("plabel"), col("cluster_id")), Seq("plabel"))
       .groupBy(col("cluster_id"))
-      .agg(min(col("plabel")).as("comp"), sum(col("size")).as("size"),
-        min(col("ymin")).as("ymin"), max(col("ymax")).as("ymax"),
-        min(col("xmin")).as("xmin"), max(col("xmax")).as("xmax"),
-        sum(col("vsum")).as("vsum"))
-      .select(col("comp"), col("size"), col("ymin"), col("ymax"),
-        col("xmin"), col("xmax"), col("vsum"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((Seq(col("comp"), col("size")) ++ dimCols.map(col) :+ col("vsum")): _*)
       .localCheckpoint(eager = true)
     frags.unpersist()
     out
   }
 
-  /** Per-voxel component labels (y, x, comp) — the relabeled mask as
-    * a relational view. Scale note: THIS one does explode voxels (its
-    * output is voxel-sized by definition); the component resolution it
-    * joins against is fragment-sized. Used by the gate on a row band
-    * to pin per-voxel assignment, not just aggregate stats.
+  /** Per-component exact stats for a 2D (y, x) image: voxels with
+    * `value >= threshold` are foreground, 4-connectivity. One row per
+    * component: (comp = min global linear index, size, ymin, ymax,
+    * xmin, xmax, vsum) — vsum exact because imaging dtypes are
+    * integral.
+    */
+  def componentStats2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    componentStats(spark, ds, meta, threshold)
+  }
+
+  /** 3D (z, y, x) form, 6-connectivity: (comp, size, zmin, zmax,
+    * ymin, ymax, xmin, xmax, vsum).
+    */
+  def componentStats3d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    require(meta.dims == Seq("z", "y", "x"), s"3D entry point, got ${meta.dims}")
+    componentStats(spark, ds, meta, threshold)
+  }
+
+  /** Per-voxel component labels (y, x, comp) for 2D images — the
+    * relabeled mask as a relational view. Scale note: THIS one does
+    * explode voxels (its output is voxel-sized by definition); the
+    * component resolution it joins against is fragment-sized and
+    * BROADCASTS, so voxels never shuffle — the one exchange is
+    * whatever the caller does next.
     */
   def componentLabels2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
       meta: ImageMeta, threshold: Double): DataFrame = {
     import spark.implicits._
-    require(meta.dims == Seq("y", "x"),
-      s"componentLabels2d expects a 2D (y, x) image, got ${meta.dims}")
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
     val width = meta.shape(1)
     val dtype = meta.dtype
 
-    // same local pass, but emitting (gid, plabel) per foreground voxel
+    // same local pass, emitting (y, x, gid, plabel) per foreground voxel
     val voxelFrag = ds.flatMap { c =>
       val vals = ZarrStore.decodeToDoubles(c.data, dtype)
-      val h = c.shape(0); val w = c.shape(1)
+      val shape = c.shape.toArray
+      val (parent, find) = localLabel(vals, shape, threshold)
+      val h = shape(0); val w = shape(1)
       val oy = c.origin(0); val ox = c.origin(1)
-      val n = h * w
-      val parent = new Array[Int](n)
-      var i = 0
-      while (i < n) { parent(i) = if (vals(i) >= threshold) i else -1; i += 1 }
-      def find(x0: Int): Int = {
-        var r = x0
-        while (parent(r) != r) r = parent(r)
-        var ccur = x0
-        while (parent(ccur) != r) { val nx = parent(ccur); parent(ccur) = r; ccur = nx }
-        r
-      }
-      def union(a: Int, b: Int): Unit = {
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      i = 0
-      while (i < n) {
-        if (parent(i) >= 0) {
-          val yy = i / w; val xx = i % w
-          if (xx + 1 < w && parent(i + 1) >= 0) union(i, i + 1)
-          if (yy + 1 < h && parent(i + w) >= 0) union(i, i + w)
-        }
-        i += 1
-      }
+      val n = vals.length
       val minGid = new java.util.HashMap[Int, Long]()
-      i = 0
+      var i = 0
       while (i < n) {
         if (parent(i) >= 0) {
           val r = find(i)
-          val gid = (oy + i / w) * width + (ox + i % w)
-          if (!minGid.containsKey(r) || gid < minGid.get(r)) minGid.put(r, gid)
+          val g = (oy + i / w) * width + (ox + i % w)
+          if (!minGid.containsKey(r) || g < minGid.get(r)) minGid.put(r, g)
         }
         i += 1
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[VoxelFrag]
       i = 0
       while (i < n) {
         if (parent(i) >= 0) {
           val yy = oy + i / w; val xx = ox + i % w
-          out += ((yy, xx, yy * width + xx, minGid.get(find(i)).longValue()))
+          out += VoxelFrag(0, yy, xx, yy * width + xx, minGid.get(find(i)).longValue())
         }
         i += 1
       }
       out
-    }.toDF("y", "x", "gid", "plabel")
+    }.toDF()
 
     // fragment → component resolution: boundary cells come straight
     // off the voxel view (face predicate on global coords), the
@@ -244,14 +313,8 @@ object LabelComponents {
       (col("y") % meta.chunks(0) === 0) || (col("y") % meta.chunks(0) === meta.chunks(0) - 1) ||
       (col("x") % meta.chunks(1) === 0) || (col("x") % meta.chunks(1) === meta.chunks(1) - 1) ||
       (col("y") === meta.shape(0) - 1) || (col("x") === meta.shape(1) - 1))
-      .select(col("plabel"), col("y"), col("x"))
-    val right = cells.as("a").join(cells.as("b"),
-      col("a.y") === col("b.y") && col("a.x") + 1 === col("b.x"))
-      .select(col("a.plabel").as("doc_a"), col("b.plabel").as("doc_b"))
-    val down = cells.as("a").join(cells.as("b"),
-      col("a.y") + 1 === col("b.y") && col("a.x") === col("b.x"))
-      .select(col("a.plabel").as("doc_a"), col("b.plabel").as("doc_b"))
-    val edges = right.union(down).filter(col("doc_a") =!= col("doc_b"))
+      .select(col("plabel"), col("z"), col("y"), col("x"))
+    val edges = fragEdges(cells)
     // vertex domain: boundary fragments only — interior fragments never
     // merge across chunks, so the left join below coalesces them to
     // themselves without a voxel-sized distinct()

@@ -45,7 +45,7 @@ object Imaging extends QModule {
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
-    i74LabelComponents, i75LabelView)
+    i74LabelComponents, i75LabelView, i76LabelComponents3d)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -688,4 +688,54 @@ object Imaging extends QModule {
             FROM comp c JOIN fg f ON f.id = c.id
             WHERE f.y BETWEEN 30 AND 33
             ORDER BY y, x"""))
+
+  /** 3D connected components ([[graft.operators.LabelComponents
+    * .componentStats3d]]), 6-connectivity over a 16³ volume on a 2×2×2
+    * chunk grid — every face-pair of chunks hands fragments over. The
+    * deterministic mask (29z+31y+17x mod 256 ≥ 128) yields 5
+    * components including a 790-voxel band threading all 8 chunks and
+    * a single-voxel corner; the oracle is the same recursive
+    * transitive-closure min in three dimensions.
+    */
+  val i76LabelComponents3d = Q(
+    "i76_label_components_3d",
+    (s, _) => {
+      val meta = ImageMeta(Seq("z", "y", "x"), Seq(16, 16, 16), Seq(8, 8, 8),
+        "uint8", Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+        Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+      val vals = Array.tabulate(16 * 16 * 16) { i =>
+        ((i / 256 * 29 + (i / 16 % 16) * 31 + (i % 16) * 17) % 256).toDouble
+      }
+      val ds = ChunkOps.fromArray(s, vals, meta)
+      graft.operators.LabelComponents.componentStats3d(s, ds, meta, threshold = 128.0)
+        .orderBy(col("comp"))
+    },
+    Some("""WITH RECURSIVE
+            grid3 AS (SELECT i // 256 AS z, (i // 16) % 16 AS y, i % 16 AS x,
+              CAST(((i // 256) * 29 + ((i // 16) % 16) * 31 + (i % 16) * 17) % 256
+                AS DOUBLE) AS v
+              FROM range(4096) r(i)),
+            fg AS (SELECT z, y, x, z * 256 + y * 16 + x AS id,
+                     CAST(v AS BIGINT) AS v
+                   FROM grid3 WHERE v >= 128),
+            adj AS (SELECT a.id AS u, b.id AS w FROM fg a JOIN fg b
+                      ON b.z = a.z AND b.y = a.y AND b.x = a.x + 1
+                    UNION ALL
+                    SELECT a.id, b.id FROM fg a JOIN fg b
+                      ON b.z = a.z AND b.y = a.y + 1 AND b.x = a.x
+                    UNION ALL
+                    SELECT a.id, b.id FROM fg a JOIN fg b
+                      ON b.z = a.z + 1 AND b.y = a.y AND b.x = a.x),
+            e AS (SELECT u, w FROM adj UNION ALL SELECT w, u FROM adj),
+            reach(id, lbl) AS (SELECT id, id FROM fg
+                               UNION
+                               SELECT e.u, r.lbl FROM e JOIN reach r ON r.id = e.w),
+            comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+            SELECT c.comp AS comp, CAST(count(*) AS BIGINT) AS size,
+                   CAST(min(f.z) AS BIGINT) AS zmin, CAST(max(f.z) AS BIGINT) AS zmax,
+                   CAST(min(f.y) AS BIGINT) AS ymin, CAST(max(f.y) AS BIGINT) AS ymax,
+                   CAST(min(f.x) AS BIGINT) AS xmin, CAST(max(f.x) AS BIGINT) AS xmax,
+                   CAST(sum(f.v) AS BIGINT) AS vsum
+            FROM comp c JOIN fg f ON f.id = c.id
+            GROUP BY c.comp ORDER BY comp"""))
 }

@@ -104,6 +104,54 @@ class LabelComponentsSpec extends SparkSpec {
     assert(run(new Array[Double](h * w), meta(h, w, 8, 8), 128.0).isEmpty)
   }
 
+  test("3D random masks: multi-chunk ≡ single-chunk ≡ BFS reference (6-conn)") {
+    val rnd = new scala.util.Random(13)
+    val dd = 12; val h = 10; val w = 14
+    def meta3(cz: Int, cy: Int, cx: Int) =
+      ImageMeta(Seq("z", "y", "x"), Seq(dd, h, w), Seq(cz, cy, cx), "uint8",
+        Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+        Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+    // 3D BFS reference over (size, zmin..xmax, vsum) keyed by min gid
+    def bfs3(vals: Array[Double], thr: Double): Seq[Seq[Long]] = {
+      val lab = Array.fill(dd * h * w)(false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      for (start <- 0 until dd * h * w if vals(start) >= thr && !lab(start)) {
+        val q = scala.collection.mutable.Queue(start); lab(start) = true
+        var size = 0L; var vsum = 0L; var minId = Long.MaxValue
+        val mins = Array.fill(3)(Long.MaxValue); val maxs = Array.fill(3)(Long.MinValue)
+        while (q.nonEmpty) {
+          val i = q.dequeue()
+          val z = i / (h * w); val y = i / w % h; val x = i % w
+          size += 1; vsum += vals(i).toLong; minId = math.min(minId, i.toLong)
+          for ((p, d) <- Seq(z, y, x).zipWithIndex) {
+            mins(d) = math.min(mins(d), p.toLong); maxs(d) = math.max(maxs(d), p.toLong)
+          }
+          for ((dz, dy, dx) <- Seq((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1))) {
+            val (nz, ny, nx) = (z + dz, y + dy, x + dx)
+            if (nz >= 0 && nz < dd && ny >= 0 && ny < h && nx >= 0 && nx < w) {
+              val j = (nz * h + ny) * w + nx
+              if (vals(j) >= thr && !lab(j)) { lab(j) = true; q.enqueue(j) }
+            }
+          }
+        }
+        out += Seq(minId, size, mins(0), maxs(0), mins(1), maxs(1), mins(2), maxs(2), vsum)
+      }
+      out.sortBy(_.head).toSeq
+    }
+    for (trial <- 0 until 3) {
+      val vals = Array.fill(dd * h * w)(if (rnd.nextDouble() < 0.4) 200.0 else 10.0)
+      val expected = bfs3(vals, 128.0)
+      def run3(m: ImageMeta) = {
+        val ds = ChunkOps.fromArray(spark, vals, m)
+        LabelComponents.componentStats3d(spark, ds, m, 128.0)
+          .orderBy("comp").collect()
+          .map(r => (0 until 9).map(r.getLong(_)).toSeq).toSeq
+      }
+      assert(run3(meta3(4, 4, 4)) == expected, s"trial $trial multi-chunk 3D diverged")
+      assert(run3(meta3(12, 10, 14)) == expected, s"trial $trial single-chunk 3D diverged")
+    }
+  }
+
   test("per-voxel labels agree with the stats pass on a random mask") {
     val rnd = new scala.util.Random(7)
     val h = 24; val w = 24
