@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.Model.ImageMeta
+import graft.zarr.ZarrStore
+
+/** Percentile intensity normalization — the contrast-limited rescale
+  * microscopy/radiology pipelines run before training-patch export
+  * (clip at exact p_lo/p_hi, stretch to a fixed integer range). The
+  * reference leaves intensity handling to downstream viewers (OMERO
+  * window metadata, `py/ngff_zarr/v04/zarr_metadata.py` Omero
+  * channels); a training pipeline has to bake it in.
+  *
+  * Exactness + scale shape: for integral dtypes the EXACT percentile
+  * is a value-domain histogram problem, not a sort — each task folds
+  * its chunks into a ≤ 65536-bin histogram, ONE map-side-combinable
+  * aggregation merges them, and the driver walks the cumulative bins
+  * (bounded by dtype width, never by volume size). The rescale pass
+  * is then embarrassingly chunk-local. Output milli-units in uint16.
+  */
+object IntensityNorm {
+
+  private val integralWidths: Map[String, Int] =
+    Map("uint8" -> 256, "int8" -> 256, "uint16" -> 65536, "int16" -> 65536)
+
+  /** Exact value at rank ceil(q·N/1000) (1-indexed over sorted voxel
+    * values) for each q in `qsMilli`. Histogram rows ≤ the dtype's
+    * value domain — the collect is bounded by construction.
+    */
+  def percentilesMilli(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, qsMilli: Seq[Long]): Seq[Long] = {
+    import spark.implicits._
+    require(integralWidths.contains(meta.dtype),
+      s"exact histogram percentiles need an integral dtype, got ${meta.dtype}")
+    require(qsMilli.forall(q => q >= 0 && q <= 1000), s"quantiles $qsMilli out of [0,1000]")
+    val dtype = meta.dtype
+    val hist = ds.mapPartitions { chunks =>
+      val m = new java.util.HashMap[Long, Long]()
+      chunks.foreach { c =>
+        ZarrStore.decodeToDoubles(c.data, dtype).foreach { v =>
+          m.merge(v.toLong, 1L, (a, b) => a + b)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e => (e.getKey.longValue(), e.getValue.longValue()))
+    }.toDF("v", "n").groupBy("v").agg(sum(col("n")).as("n"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    require(total > 0, "empty volume")
+    qsMilli.map { q =>
+      val rank = math.max(1L, (q * total + 999L) / 1000L)
+      var cum = 0L
+      var ans = hist.last._1
+      var i = 0
+      var done = false
+      while (i < hist.length && !done) {
+        cum += hist(i)._2
+        if (cum >= rank) { ans = hist(i)._1; done = true }
+        i += 1
+      }
+      ans
+    }
+  }
+
+  /** Clip to [p_loMilli, p_hiMilli] percentile values and rescale to
+    * exact integer milli-units (0..1000), stored as uint16 chunks.
+    * Returns (lo, hi, normalized chunk table, new meta). Degenerate
+    * flat volumes (hi == lo) normalize to all-zero.
+    */
+  def normalizeMilli(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, loQMilli: Long = 10L, hiQMilli: Long = 990L)
+      : (Long, Long, Dataset[ChunkOps.ChunkRow], ImageMeta) = {
+    import spark.implicits._
+    require(loQMilli < hiQMilli,
+      s"lo quantile $loQMilli must be below hi $hiQMilli")
+    val Seq(lo, hi) = percentilesMilli(spark, ds, meta, Seq(loQMilli, hiQMilli))
+    val dtype = meta.dtype
+    val outMeta = meta.copy(dtype = "uint16")
+    val out = ds.map { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+      val norm = new Array[Double](vals.length)
+      var i = 0
+      while (i < vals.length) {
+        val v = math.min(math.max(vals(i).toLong, lo), hi)
+        norm(i) = if (hi == lo) 0.0 else ((v - lo) * 1000L / (hi - lo)).toDouble
+        i += 1
+      }
+      ChunkOps.ChunkRow(c.chunkIdx, c.origin, c.shape,
+        ZarrStore.encodeFromDoubles(norm, "uint16"))
+    }
+    (lo, hi, out, outMeta)
+  }
+}

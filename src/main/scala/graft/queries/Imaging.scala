@@ -45,7 +45,8 @@ object Imaging extends QModule {
   override def queries: Seq[Q] = Seq(i60BinShrink, i61Nearest, i62Mode, i63Gaussian, i64Pyramid,
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
-    i74LabelComponents, i75LabelView, i76LabelComponents3d)
+    i74LabelComponents, i75LabelView, i76LabelComponents3d,
+    i77PercentileNorm)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -738,4 +739,40 @@ object Imaging extends QModule {
                    CAST(sum(f.v) AS BIGINT) AS vsum
             FROM comp c JOIN fg f ON f.id = c.id
             GROUP BY c.comp ORDER BY comp"""))
+
+  /** Percentile intensity normalization ([[graft.operators
+    * .IntensityNorm.normalizeMilli]]): exact p10/p990-milli clip +
+    * integer milli rescale via the value-domain histogram (never a
+    * volume sort). Gate output is the 11-bucket histogram of the
+    * normalized volume plus exact milli sums; the oracle replays the
+    * cumulative-histogram rank walk and the floor-division rescale,
+    * so an off-by-one in either percentile shifts bucket populations
+    * and hash-mismatches.
+    */
+  val i77PercentileNorm = Q(
+    "i77_percentile_norm",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      val (_, _, normed, outMeta) =
+        graft.operators.IntensityNorm.normalizeMilli(s, ds, meta, 10L, 990L)
+      ChunkOps.voxelView(s, normed, outMeta)
+        .select(expr("CAST(value AS BIGINT) AS m"))
+        .groupBy(expr("m div 100").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("sum_milli"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH $gridSql,
+            g AS (SELECT CAST(v AS BIGINT) AS v FROM grid),
+            hist AS (SELECT v, count(*) AS n FROM g GROUP BY v),
+            cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS c FROM hist),
+            params AS (SELECT
+              (SELECT min(v) FROM cum WHERE c >= (${H * W} * 10 + 999) // 1000) AS lo,
+              (SELECT min(v) FROM cum WHERE c >= (${H * W} * 990 + 999) // 1000) AS hi),
+            norm AS (SELECT CASE WHEN hi = lo THEN 0
+                            ELSE (least(greatest(v, lo), hi) - lo) * 1000 // (hi - lo)
+                            END AS m
+                     FROM g CROSS JOIN params)
+            SELECT m // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(m) AS BIGINT) AS sum_milli
+            FROM norm GROUP BY 1 ORDER BY 1"""))
 }

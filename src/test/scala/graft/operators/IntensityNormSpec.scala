@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.meta.Model.ImageMeta
+
+/** Histogram percentiles vs a sort-based reference, and the rescale
+  * invariants.
+  */
+class IntensityNormSpec extends SparkSpec {
+
+  private def meta(h: Int, w: Int, ch: Int, cw: Int, dtype: String = "uint8") =
+    ImageMeta(Seq("y", "x"), Seq(h, w), Seq(ch, cw), dtype,
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+
+  test("percentiles match the sorted-rank definition on random data") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 3) {
+      val h = 24; val w = 20
+      val vals = Array.fill(h * w)(rnd.nextInt(256).toDouble)
+      val sorted = vals.map(_.toLong).sorted
+      val m = meta(h, w, 8, 8)
+      val ds = ChunkOps.fromArray(spark, vals, m)
+      val qs = Seq(0L, 10L, 250L, 500L, 900L, 990L, 1000L)
+      val got = IntensityNorm.percentilesMilli(spark, ds, m, qs)
+      val want = qs.map { q =>
+        val rank = math.max(1L, (q * sorted.length + 999L) / 1000L)
+        sorted((rank - 1).toInt)
+      }
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("normalization: exact milli rescale, chunking-invariant, uint16 out") {
+    val h = 16; val w = 16
+    val vals = Array.tabulate(h * w)(i => (i % 200).toDouble)
+    def run(m: ImageMeta) = {
+      val ds = ChunkOps.fromArray(spark, vals, m)
+      val (lo, hi, out, om) = IntensityNorm.normalizeMilli(spark, ds, m, 100L, 900L)
+      assert(om.dtype == "uint16")
+      (lo, hi, ChunkOps.toArray(out, om).toSeq)
+    }
+    val (lo, hi, multi) = run(meta(h, w, 8, 8))
+    val (_, _, single) = run(meta(h, w, 16, 16))
+    assert(multi == single)
+    // rescale law holds voxel-wise against the driver-side formula
+    val expect = vals.map { v =>
+      val c = math.min(math.max(v.toLong, lo), hi)
+      ((c - lo) * 1000L / (hi - lo)).toDouble
+    }.toSeq
+    assert(multi == expect)
+    assert(multi.forall(v => v >= 0.0 && v <= 1000.0))
+  }
+
+  test("flat volume normalizes to zero; float dtype refuses") {
+    val h = 8; val w = 8
+    val m = meta(h, w, 8, 8)
+    val ds = ChunkOps.fromArray(spark, Array.fill(h * w)(7.0), m)
+    val (lo, hi, out, om) = IntensityNorm.normalizeMilli(spark, ds, m)
+    assert(lo == 7L && hi == 7L)
+    assert(ChunkOps.toArray(out, om).forall(_ == 0.0))
+    val fm = meta(h, w, 8, 8, dtype = "float32")
+    val fds = ChunkOps.fromArray(spark, Array.fill(h * w)(1.0), fm)
+    intercept[IllegalArgumentException](
+      IntensityNorm.percentilesMilli(spark, fds, fm, Seq(500L)))
+  }
+}
