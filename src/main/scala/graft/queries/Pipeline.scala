@@ -38,7 +38,7 @@ object Pipeline extends QModule {
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
-    t103MultiMatch)
+    t103MultiMatch, t104CmsEstimate)
 
   import QTables.{docs, emb}
 
@@ -3231,6 +3231,50 @@ object Pipeline extends QModule {
                      CASE WHEN h8 = 1 THEN '8' END, CASE WHEN h9 = 1 THEN '9' END) AS matched_csv
             FROM m WHERE h0 + h1 + h2 + h3 + h4 + h5 + h6 + h7 + h8 + h9 > 0
             ORDER BY doc_id"""))
+
+  /** Count-Min sketch frequency estimates ([[graft.ops.Cms]]): the
+    * depth-4 × width-512 sketch built in ONE capped aggregation, then
+    * point-queried for the exact top-20 words. Because the hash
+    * family is the portable md5 idiom, the oracle rebuilds the whole
+    * sketch relationally and the gate compares ESTIMATED VALUES
+    * bit-exactly (plus the never-undercount invariant via
+    * `overcount`), not just error bands.
+    */
+  val t104CmsEstimate = Q(
+    "t104_cms_estimate",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val sk = graft.ops.Cms.sketch(toks, "token", depth = 4, width = 512)
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), col("token")).limit(20)
+      val est = graft.ops.Cms.estimate(sk, exact.select("token"), depth = 4, width = 512)
+      exact.join(est, "token")
+        .select(col("token"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+        .orderBy(desc("exact_n"), col("token"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                          FROM documents),
+            t AS (SELECT token FROM toks WHERE length(token) > 0),
+            seeds AS (SELECT seed FROM range(4) s(seed)),
+            sk AS (SELECT seed,
+                     CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || token), 1, 14)
+                       AS BIGINT) % 512 AS bucket,
+                     count(*) AS n
+                   FROM t CROSS JOIN seeds GROUP BY 1, 2),
+            exact AS (SELECT token, count(*) AS exact_n FROM t GROUP BY token
+                      ORDER BY exact_n DESC, token LIMIT 20),
+            est AS (SELECT e.token, min(sk.n) AS est_n
+                    FROM exact e CROSS JOIN seeds s
+                    JOIN sk ON sk.seed = s.seed
+                     AND sk.bucket = CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR)
+                           || ':' || e.token), 1, 14) AS BIGINT) % 512
+                    GROUP BY e.token)
+            SELECT e.token, e.exact_n, est.est_n, est.est_n - e.exact_n AS overcount
+            FROM exact e JOIN est ON e.token = est.token
+            ORDER BY exact_n DESC, e.token"""))
 
   /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): old = the full
     * corpus; new = the corpus with every 7th doc removed, every 5th
