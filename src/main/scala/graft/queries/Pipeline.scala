@@ -38,7 +38,7 @@ object Pipeline extends QModule {
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
-    t103MultiMatch, t104CmsEstimate)
+    t103MultiMatch, t104CmsEstimate, t105TableProfile)
 
   import QTables.{docs, emb}
 
@@ -3275,6 +3275,60 @@ object Pipeline extends QModule {
             SELECT e.token, e.exact_n, est.est_n, est.est_n - e.exact_n AS overcount
             FROM exact e JOIN est ON e.token = est.token
             ORDER BY exact_n DESC, e.token"""))
+
+  /** Schema-generic column profiler ([[graft.ops.Profile.profile]]):
+    * the ANALYZE sweep over four orders columns — exactly two jobs
+    * for any column count (one no-groupBy typed aggregate + one
+    * melted (col, value) aggregation). min/max order on the NATIVE
+    * type before rendering; the dominant value breaks ties by value.
+    * The oracle rebuilds each column's stats independently, so a
+    * melt/typing mistake on any single column hash-mismatches.
+    */
+  val t105TableProfile = Q(
+    "t105_table_profile",
+    (s, dir) => {
+      graft.ops.Profile.profile(
+        graft.Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+        .orderBy(col("col_name"))
+    },
+    Some("""WITH vals AS (
+              SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v
+              FROM orders WHERE o_orderkey IS NOT NULL
+              UNION ALL SELECT 'o_orderstatus', o_orderstatus
+              FROM orders WHERE o_orderstatus IS NOT NULL
+              UNION ALL SELECT 'o_orderpriority', o_orderpriority
+              FROM orders WHERE o_orderpriority IS NOT NULL
+              UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR)
+              FROM orders WHERE o_orderdate IS NOT NULL),
+            byv AS (SELECT col_name, v, count(*) AS vn FROM vals GROUP BY 1, 2),
+            topv AS (SELECT col_name, v AS top_val, vn AS top_n,
+                       row_number() OVER (PARTITION BY col_name
+                                          ORDER BY vn DESC, v ASC) AS rk
+                     FROM byv),
+            dist AS (SELECT col_name, count(*) AS n_distinct FROM byv GROUP BY 1),
+            basic AS (
+              SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                     count(*) - count(o_orderkey) AS n_nulls,
+                     CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+                     CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+              UNION ALL SELECT 'o_orderstatus', count(*),
+                     count(*) - count(o_orderstatus),
+                     CAST(min(o_orderstatus) AS VARCHAR),
+                     CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+              UNION ALL SELECT 'o_orderpriority', count(*),
+                     count(*) - count(o_orderpriority),
+                     CAST(min(o_orderpriority) AS VARCHAR),
+                     CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+              UNION ALL SELECT 'o_orderdate', count(*),
+                     count(*) - count(o_orderdate),
+                     CAST(min(o_orderdate) AS VARCHAR),
+                     CAST(max(o_orderdate) AS VARCHAR) FROM orders)
+            SELECT b.col_name, b.n_rows, b.n_nulls, d.n_distinct,
+                   b.min_s, b.max_s, t.top_val, t.top_n
+            FROM basic b JOIN dist d ON b.col_name = d.col_name
+            JOIN topv t ON t.col_name = b.col_name AND t.rk = 1
+            ORDER BY b.col_name"""))
 
   /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): old = the full
     * corpus; new = the corpus with every 7th doc removed, every 5th
