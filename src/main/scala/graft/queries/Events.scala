@@ -47,7 +47,7 @@ object Events extends QModule {
 
   override def queries: Seq[Q] =
     Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel,
-      q52CohortRetention, q54Scd2, q57IntervalJoin)
+      q52CohortRetention, q54Scd2, q57IntervalJoin, q60RollingMad)
 
   /** Tumbling 1-hour windows per event type. */
   val q33Tumbling = Q(
@@ -314,4 +314,48 @@ object Events extends QModule {
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
               AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
             ORDER BY user_id, click_us, purchase_us"""))
+
+  /** Robust per-user anomaly flags: value deviates from the rolling
+    * 5-event median by more than 3× the rolling MAD — the
+    * outlier-resistant monitor (mean/stddev would let the anomaly
+    * poison its own threshold). Both medians are exact integers: the
+    * 5-row frame is materialized as a sorted array and indexed, so
+    * neither engine's median-interpolation convention is in play.
+    * One user-key exchange serves the window; flags are a projection.
+    */
+  val q60RollingMad = Q(
+    "q60_rolling_mad",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("arr", collect_list(col("cents")).over(w))
+        .filter(size(col("arr")) === 5)
+        .withColumn("med", expr("element_at(sort_array(arr), 3)"))
+        .withColumn("mad",
+          expr("element_at(sort_array(transform(arr, x -> abs(x - med))), 3)"))
+        .filter(expr("abs(cents - med) > 3 * mad"))
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("cents"), col("med"), col("mad"))
+        .orderBy(col("user_id"), col("ts_us"), col("cents"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            w AS (SELECT user_id, ts, cents,
+                    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS arr
+                  FROM e),
+            m AS (SELECT user_id, ts, cents, arr, list_sort(arr)[3] AS med
+                  FROM w WHERE len(arr) = 5),
+            d AS (SELECT user_id, ts, cents, med,
+                    list_sort(list_transform(arr, x -> abs(x - med)))[3] AS mad
+                  FROM m)
+            SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, cents, med, mad
+            FROM d WHERE abs(cents - med) > 3 * mad
+            ORDER BY user_id, ts_us, cents"""))
 }

@@ -38,7 +38,7 @@ object Pipeline extends QModule {
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
-    t103MultiMatch, t104CmsEstimate, t105TableProfile)
+    t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration)
 
   import QTables.{docs, emb}
 
@@ -1585,6 +1585,60 @@ object Pipeline extends QModule {
                  round(1.0 / (1.0 + exp(-(0.1 + dot / n_words))), 6) AS score,
                  round(1.0 / (1.0 + exp(-(0.1 + dot / n_words))), 6) >= 0.5 AS keep
           FROM z ORDER BY doc_id"""
+    })
+
+  /** Classifier calibration table (reliability diagram) over the t65
+    * scorer: score deciles vs the rate of a deterministic length
+    * label — the ML-ops check a quality-filter threshold decision is
+    * actually based on. All emitted values are exact integers (micro
+    * mean score, milli positive rate via floor division); the oracle
+    * replays the full scoring pipeline plus the bucketing, so a
+    * decile boundary drift anywhere hash-mismatches.
+    */
+  val t106ScoreCalibration = Q(
+    "t106_score_calibration",
+    (s, dir) => {
+      val scored = TextStats.qualityClassifier(docs(s, dir), clfWeights, bias = 0.1)
+      val lab = docs(s, dir).select(col("doc_id"), (col("n_chars") >= 300).as("label"))
+      scored.join(lab, "doc_id")
+        .select(expr("CAST(floor(score * 10) AS INT)").as("decile"),
+          col("score"), col("label"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("label").cast("long")).as("n_pos"),
+          expr("sum(CAST(round(score * 1000000) AS BIGINT))").as("sum_micro"))
+        .select(col("decile"), col("n"), col("n_pos"),
+          expr("sum_micro div n").as("mean_score_micro"),
+          expr("(n_pos * 1000) div n").as("pos_rate_milli"))
+        .orderBy(col("decile"))
+    },
+    Some {
+      val cases = clfWeights.zipWithIndex
+        .map { case (w, i) => s"WHEN $i THEN CAST($w AS DOUBLE)" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS w
+                     FROM documents),
+          b AS (SELECT doc_id,
+                  CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 16 AS INT) AS bucket
+                FROM d),
+          c AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY doc_id, bucket),
+          z AS (SELECT doc_id, CAST(sum(n) AS INT) AS n_words,
+                  sum(n * CASE bucket $cases END) AS dot
+                FROM c GROUP BY doc_id),
+          sc AS (SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(0.1 + dot / n_words))), 6) AS score
+                 FROM z),
+          j AS (SELECT sc.score, (doc.n_chars >= 300) AS label
+                FROM sc JOIN documents doc ON sc.doc_id = doc.doc_id)
+          SELECT CAST(floor(score * 10) AS INT) AS decile,
+                 count(*) AS n,
+                 CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(CAST(round(score * 1000000) AS BIGINT)) // count(*)
+                   AS BIGINT) AS mean_score_micro,
+                 CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1000 // count(*)
+                   AS BIGINT) AS pos_rate_milli
+          FROM j GROUP BY 1 ORDER BY 1"""
     })
 
   /** Exact bigram heavy hitters ([[graft.ops.HeavyHitters.heavyGrams]],
