@@ -64,6 +64,67 @@ object IntensityNorm {
     }
   }
 
+  /** Otsu threshold scoring table: for every candidate threshold t
+    * with both classes non-empty (background v < t, foreground
+    * v ≥ t), the between-class variance in exact milli units —
+    * score(t) = (s0·n1 − s1·n0)² · 1000 / (n0·n1·N²) normalized form
+    * is equivalent for the argmax to diff²·1000 div (n0·n1), which is
+    * what both this and the SQL oracle compute (floor division, ties
+    * to the SMALLEST t). The histogram is the same bounded
+    * distributed job as [[percentilesMilli]]; the per-threshold walk
+    * is value-domain-sized driver arithmetic over BigInt (overflow-
+    * safe at any N), emitted back as a DataFrame.
+    */
+  def otsuTable(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    require(integralWidths.contains(meta.dtype),
+      s"otsu needs an integral dtype, got ${meta.dtype}")
+    val dtype = meta.dtype
+    val hist = ds.mapPartitions { chunks =>
+      val m = new java.util.HashMap[Long, Long]()
+      chunks.foreach { c =>
+        ZarrStore.decodeToDoubles(c.data, dtype).foreach { v =>
+          m.merge(v.toLong, 1L, (a, b) => a + b)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e => (e.getKey.longValue(), e.getValue.longValue()))
+    }.toDF("v", "n").groupBy("v").agg(sum(col("n")).as("n"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    val totalSum = hist.map { case (v, n) => v * n }.sum
+    require(total > 0, "empty volume")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    var n0 = 0L
+    var s0 = 0L
+    // candidate thresholds: one past each occupied value — identical
+    // to scanning all gray levels, minus the empty-class degenerates
+    hist.foreach { case (v, n) =>
+      n0 += n; s0 += v * n
+      val t = v + 1
+      val n1 = total - n0
+      val s1 = totalSum - s0
+      if (n1 > 0) {
+        val diff = BigInt(s0) * n1 - BigInt(s1) * n0
+        val score = (diff * diff * 1000) / (BigInt(n0) * n1)
+        rows += ((t, n0, n1, s0, s1, score.toLong))
+      }
+    }
+    spark.createDataset(rows.toSeq)
+      .toDF("t", "n0", "n1", "s0", "s1", "score_milli")
+  }
+
+  /** The Otsu threshold: argmax of [[otsuTable]]'s score, smallest t
+    * on ties.
+    */
+  def otsuThreshold(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta): Long = {
+    val top = otsuTable(spark, ds, meta)
+      .orderBy(col("score_milli").desc, col("t").asc).limit(1).collect()
+    top.head.getLong(0)
+  }
+
   /** Clip to [p_loMilli, p_hiMilli] percentile values and rescale to
     * exact integer milli-units (0..1000), stored as uint16 chunks.
     * Returns (lo, hi, normalized chunk table, new meta). Degenerate

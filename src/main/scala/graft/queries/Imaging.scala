@@ -46,7 +46,7 @@ object Imaging extends QModule {
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
-    i77PercentileNorm)
+    i77PercentileNorm, i78OtsuThreshold)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -775,4 +775,38 @@ object Imaging extends QModule {
             SELECT m // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(m) AS BIGINT) AS sum_milli
             FROM norm GROUP BY 1 ORDER BY 1"""))
+
+  /** Otsu threshold selection ([[graft.operators.IntensityNorm
+    * .otsuTable]]): the auto-binarization step ahead of the CCL
+    * surface (i74–i76). Between-class variance scored in EXACT
+    * integer milli — diff²·1000 div (n0·n1) with BigInt/HUGEINT
+    * intermediates, ties to the smallest threshold — so the argmax is
+    * bit-identical on both engines, never a float variance race. The
+    * gate emits the top-5 scored thresholds; the oracle replays the
+    * cumulative-histogram candidate walk.
+    */
+  val i78OtsuThreshold = Q(
+    "i78_otsu_threshold",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.IntensityNorm.otsuTable(s, ds, meta)
+        .orderBy(col("score_milli").desc, col("t").asc).limit(5)
+    },
+    Some(s"""WITH $gridSql,
+            g AS (SELECT CAST(v AS BIGINT) AS v FROM grid),
+            tot AS (SELECT count(*) AS n, sum(v) AS s FROM g),
+            hist AS (SELECT v, count(*) AS n, sum(v) AS s FROM g GROUP BY v),
+            cum AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS n0,
+                           CAST(sum(s) OVER (ORDER BY v) AS BIGINT) AS s0
+                    FROM hist),
+            cand AS (SELECT v + 1 AS t, n0,
+                            CAST((SELECT n FROM tot) - n0 AS BIGINT) AS n1, s0,
+                            CAST((SELECT s FROM tot) - s0 AS BIGINT) AS s1
+                     FROM cum)
+            SELECT t, n0, n1, s0, s1,
+                   CAST(CAST(s0 * n1 - s1 * n0 AS HUGEINT)
+                        * (s0 * n1 - s1 * n0) * 1000 // (n0 * n1) AS BIGINT)
+                     AS score_milli
+            FROM cand WHERE n1 > 0
+            ORDER BY score_milli DESC, t LIMIT 5"""))
 }

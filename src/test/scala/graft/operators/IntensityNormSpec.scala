@@ -51,6 +51,49 @@ class IntensityNormSpec extends SparkSpec {
     assert(multi.forall(v => v >= 0.0 && v <= 1000.0))
   }
 
+  test("otsu separates a clean bimodal image at the valley; chunking-invariant") {
+    val h = 16; val w = 16
+    // left half ~20, right half ~200: any threshold in (21, 200] is
+    // perfect; the exact-integer argmax with smallest-t ties picks 22
+    val vals = Array.tabulate(h * w) { i =>
+      if (i % w < w / 2) (20 + (i % 2)).toDouble else (200 + (i % 3)).toDouble
+    }
+    val multi = IntensityNorm.otsuThreshold(spark,
+      ChunkOps.fromArray(spark, vals, meta(h, w, 8, 8)), meta(h, w, 8, 8))
+    val single = IntensityNorm.otsuThreshold(spark,
+      ChunkOps.fromArray(spark, vals, meta(h, w, 16, 16)), meta(h, w, 16, 16))
+    assert(multi == single)
+    // candidates are one-past-occupied values (gap-equivalent to the
+    // full gray-level scan), so the only perfect separator candidate
+    // is t = 22 — and it must win
+    assert(multi == 22L, s"threshold $multi fails to separate the modes")
+    val table = IntensityNorm.otsuTable(spark,
+      ChunkOps.fromArray(spark, vals, meta(h, w, 8, 8)), meta(h, w, 8, 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(table(22L) == table.values.max)
+  }
+
+  test("otsu scoring matches a direct BigInt reference on random data") {
+    val rnd = new scala.util.Random(3)
+    val h = 12; val w = 12
+    val vals = Array.fill(h * w)(rnd.nextInt(256).toDouble)
+    val got = IntensityNorm.otsuTable(spark,
+      ChunkOps.fromArray(spark, vals, meta(h, w, 6, 6)), meta(h, w, 6, 6))
+      .collect().map(r => (r.getLong(0), r.getLong(5))).toMap
+    val longs = vals.map(_.toLong)
+    val total = longs.length.toLong
+    val totalSum = longs.sum
+    val occupied = longs.distinct.sorted
+    occupied.dropRight(1).foreach { v =>
+      val t = v + 1
+      val n0 = longs.count(_ < t).toLong
+      val s0 = longs.filter(_ < t).sum
+      val diff = BigInt(s0) * (total - n0) - BigInt(totalSum - s0) * n0
+      val want = ((diff * diff * 1000) / (BigInt(n0) * (total - n0))).toLong
+      assert(got(t) == want, s"t=$t")
+    }
+  }
+
   test("flat volume normalizes to zero; float dtype refuses") {
     val h = 8; val w = 8
     val m = meta(h, w, 8, 8)
