@@ -31,7 +31,8 @@ object Relational extends QModule {
     q37CsvScan, q38JsonScan, q41Histogram, q42PercentileDisc,
     q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder,
     q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
-    q56KAnonymity, q58RegionalRevenue, q59MarketShare)
+    q56KAnonymity, q58RegionalRevenue, q59MarketShare, q61ExistsSubquery,
+    q63SetOpsAll, q64WindowDistribution)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1235,6 +1236,106 @@ object Relational extends QModule {
             SELECT nation, segment, count(*) AS n_rows,
                    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM anon GROUP BY nation, segment ORDER BY nation, segment"""))
+
+  /** Correlated EXISTS / NOT EXISTS subqueries — the Catalyst
+    * decorrelation surface (RewritePredicateSubquery turns both into
+    * semi/anti joins; the gate proves the rewritten plan keeps exact
+    * subquery semantics, including the NOT EXISTS null-safety that a
+    * naive anti-join gets wrong).
+    */
+  val q61ExistsSubquery = Q(
+    "q61_exists_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("q61_customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q61_orders")
+      s.sql("""SELECT c_nationkey, count(*) AS n_customers,
+                      min(c_custkey) AS first_cust
+               FROM q61_customer c
+               WHERE EXISTS (SELECT 1 FROM q61_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 350000)
+                 AND NOT EXISTS (SELECT 1 FROM q61_orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '1-URGENT')
+               GROUP BY c_nationkey ORDER BY c_nationkey""")
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_customers,
+                   min(c_custkey) AS first_cust
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 350000)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** EXCEPT ALL / INTERSECT ALL — bag semantics (per-key multiplicity
+    * max(0, mₐ−m_b) / min(mₐ, m_b)), which the DISTINCT set ops
+    * (q25–q27) cannot express and a wrong dedup silently flattens.
+    */
+  val q63SetOpsAll = Q(
+    "q63_set_ops_all",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("q63_lineitem")
+      s.sql("""WITH hi AS (SELECT l_suppkey AS k FROM q63_lineitem WHERE l_quantity >= 25),
+                    lo AS (SELECT l_suppkey AS k FROM q63_lineitem WHERE l_quantity < 10),
+                    ea AS (SELECT k FROM hi EXCEPT ALL SELECT k FROM lo),
+                    ia AS (SELECT k FROM hi INTERSECT ALL SELECT k FROM lo)
+               SELECT 'except_all' AS op, k, count(*) AS n FROM ea GROUP BY k
+               UNION ALL
+               SELECT 'intersect_all', k, count(*) FROM ia GROUP BY k
+               ORDER BY op, k""")
+    },
+    Some("""WITH hi AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25),
+                 lo AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10),
+                 ea AS (SELECT k FROM hi EXCEPT ALL SELECT k FROM lo),
+                 ia AS (SELECT k FROM hi INTERSECT ALL SELECT k FROM lo)
+            SELECT 'except_all' AS op, k, count(*) AS n FROM ea GROUP BY k
+            UNION ALL
+            SELECT 'intersect_all', k, count(*) FROM ia GROUP BY k
+            ORDER BY op, k"""))
+
+  /** Window distribution functions — ntile plus integer-milli
+    * percent-rank/cume-dist under an imposed total order (custkey
+    * tie-break makes rank ≡ row_number, so the milli ratios are exact
+    * floor divisions, no float ratio to drift).
+    */
+  val q64WindowDistribution = Q(
+    "q64_window_distribution",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("q64_customer")
+      s.sql("""WITH w AS (
+                 SELECT c_custkey, c_mktsegment,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                        ntile(4) OVER sw AS quartile,
+                        rank() OVER sw AS rk,
+                        count(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+                 FROM q64_customer
+                 WINDOW sw AS (PARTITION BY c_mktsegment
+                               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                                        c_custkey))
+               SELECT c_custkey, c_mktsegment, cents, quartile,
+                      (rk - 1) * 1000 div (n_seg - 1) AS pct_rank_milli,
+                      rk * 1000 div n_seg AS cume_milli
+               FROM w WHERE c_custkey % 10 = 0
+               ORDER BY c_mktsegment, cents DESC, c_custkey""")
+    },
+    Some("""WITH w AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                     ntile(4) OVER sw AS quartile,
+                     rank() OVER sw AS rk,
+                     count(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+              FROM customer
+              WINDOW sw AS (PARTITION BY c_mktsegment
+                            ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                                     c_custkey))
+            SELECT c_custkey, c_mktsegment, cents, quartile,
+                   (rk - 1) * 1000 // (n_seg - 1) AS pct_rank_milli,
+                   rk * 1000 // n_seg AS cume_milli
+            FROM w WHERE c_custkey % 10 = 0
+            ORDER BY c_mktsegment, cents DESC, c_custkey"""))
 
   /** TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
     * customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
