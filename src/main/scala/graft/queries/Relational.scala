@@ -32,7 +32,7 @@ object Relational extends QModule {
     q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder,
     q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
     q56KAnonymity, q58RegionalRevenue, q59MarketShare, q61ExistsSubquery,
-    q63SetOpsAll, q64WindowDistribution)
+    q62LateralJoin, q63SetOpsAll, q64WindowDistribution)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1269,6 +1269,34 @@ object Relational extends QModule {
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    * top-k-per-group shape as the planner-level join (Spark rewrites
+    * it through DomainJoin decorrelation), vs q24's window
+    * formulation of the same semantics.
+    */
+  val q62LateralJoin = Q(
+    "q62_lateral_join",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("q62_customer")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("q62_nation")
+      s.sql("""SELECT n.n_nationkey, t.c_custkey, t.cents
+               FROM q62_nation n,
+               LATERAL (SELECT c_custkey,
+                               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                        FROM q62_customer c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY cents DESC, c_custkey LIMIT 2) t
+               ORDER BY n_nationkey, cents DESC, c_custkey""")
+    },
+    Some("""SELECT n.n_nationkey, t.c_custkey, t.cents
+            FROM nation n,
+            LATERAL (SELECT c_custkey,
+                            CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                     FROM customer c
+                     WHERE c.c_nationkey = n.n_nationkey
+                     ORDER BY cents DESC, c_custkey LIMIT 2) t
+            ORDER BY n_nationkey, cents DESC, c_custkey"""))
 
   /** EXCEPT ALL / INTERSECT ALL — bag semantics (per-key multiplicity
     * max(0, mₐ−m_b) / min(mₐ, m_b)), which the DISTINCT set ops
