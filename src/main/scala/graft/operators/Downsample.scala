@@ -134,6 +134,38 @@ object Downsample {
   def isIntDtype(dtype: String): Boolean =
     !Set("float16", "float32", "float64", "complex64", "complex128")(Dtypes.normalize(dtype))
 
+  /** Morphological erosion (min) / dilation (max) over a ±radius box
+    * — the mask clean-up pass (opening = erode∘dilate) upstream of
+    * the CCL surface. Same scale shape as the gaussian path: ONE
+    * volume shuffle pins re-blocked chunks, then only halo strips
+    * move through the second exchange; factors are all 1 so shape,
+    * scale and translation are unchanged. Border rule is
+    * neighborhood∩image (ext-bounds clipping — interior chunk
+    * boundaries always carry a full-radius halo, so clipping only
+    * happens at true image borders).
+    */
+  def morphology(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+      radius: Array[Int], dilate: Boolean): (ImageMeta, Dataset[ChunkRow]) = {
+    require(radius.length == meta.dims.length,
+      s"radius arity ${radius.length} != dims ${meta.dims.length}")
+    require(radius.forall(_ >= 0), s"negative radius: ${radius.mkString(",")}")
+    val ones = Array.fill(meta.dims.length)(1)
+    val targetChunks = meta.dims.indices.map(d =>
+      planChunk(meta.shape(d), meta.chunks(d), 1, radius(d)))
+    val grid = ZarrStore.chunkGrid(meta.shape, targetChunks)
+    val totalChunks = grid.map(_.toLong).product
+    val numParts = math.max(1, math.min(totalChunks,
+      math.max(ds.rdd.getNumPartitions,
+        spark.sparkContext.defaultParallelism).toLong).toInt)
+    val part = new org.apache.spark.HashPartitioner(numParts)
+    val (m1, pinned) = ChunkOps.rechunkPinned(spark, ds, meta, targetChunks, part)
+    val out = haloExchange(spark, pinned, part, m1, ones, m1, radius) {
+      (ext, extShape, outBlockShape, centerOff) =>
+        NdKernels.minMaxFilter(ext, extShape, radius, outBlockShape, centerOff, dilate)
+    }
+    (m1, out)
+  }
+
   /** No-halo path: kernel maps each chunk independently. */
   private def perChunk(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
       factors: Array[Int], outMeta: ImageMeta)(

@@ -90,6 +90,51 @@ object NdKernels {
     }
   }
 
+  /** Morphological min (erosion) / max (dilation) filter over an
+    * axis-aligned box of ±radius per dim, evaluated on a halo-
+    * extended block: `centerOff` maps output position j to ext
+    * position centerOff + j. The window clips to the ext bounds —
+    * at TRUE image borders that equals neighborhood∩image (the
+    * standard border rule); at interior chunk boundaries the halo
+    * always spans the radius, so clipping never bites there.
+    */
+  def minMaxFilter(ext: Array[Double], extShape: Array[Int], radius: Array[Int],
+      outShape: Array[Int], centerOff: Array[Int], dilate: Boolean): Array[Double] = {
+    val nd = extShape.length
+    val st = strides(extShape)
+    val out = new Array[Double](size(outShape))
+    val lo = new Array[Int](nd)
+    val hi = new Array[Int](nd)
+    val cur = new Array[Int](nd)
+    foreachPos(outShape) { (flat, pos) =>
+      var d = 0
+      while (d < nd) {
+        lo(d) = math.max(0, centerOff(d) + pos(d) - radius(d))
+        hi(d) = math.min(extShape(d) - 1, centerOff(d) + pos(d) + radius(d))
+        cur(d) = lo(d)
+        d += 1
+      }
+      var best = if (dilate) Double.NegativeInfinity else Double.PositiveInfinity
+      var done = false
+      while (!done) {
+        var off = 0
+        d = 0
+        while (d < nd) { off += cur(d) * st(d); d += 1 }
+        val v = ext(off)
+        if (if (dilate) v > best else v < best) best = v
+        var dd = nd - 1
+        var carry = true
+        while (carry && dd >= 0) {
+          cur(dd) += 1
+          if (cur(dd) > hi(dd)) { cur(dd) = lo(dd); dd -= 1 } else carry = false
+        }
+        if (dd < 0) done = true
+      }
+      out(flat) = best
+    }
+    out
+  }
+
   /** Mean over aligned k-blocks. Output shape floor(in/k) per dim
     * (factors of 1 on non-spatial dims pass through).
     */

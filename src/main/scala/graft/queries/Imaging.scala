@@ -46,7 +46,7 @@ object Imaging extends QModule {
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
-    i77PercentileNorm, i78OtsuThreshold)
+    i77PercentileNorm, i78OtsuThreshold, i79Morphology)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -809,4 +809,51 @@ object Imaging extends QModule {
                      AS score_milli
             FROM cand WHERE n1 > 0
             ORDER BY score_milli DESC, t LIMIT 5"""))
+
+  /** Morphological erosion + dilation ([[graft.operators.Downsample
+    * .morphology]]), 3×3 box: the min/max stencils run through the
+    * SAME pinned halo-exchange as the gaussian cascade (one volume
+    * shuffle, halo strips only), with the neighborhood∩image border
+    * rule. Both transforms over the 2×2-chunk base image, pinned per
+    * row by value sum AND a position-weighted checksum; the oracle
+    * computes each neighborhood min/max relationally.
+    */
+  val i79Morphology = Q(
+    "i79_morphology",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      val (em, ero) = graft.operators.Downsample.morphology(s, ds, meta,
+        Array(1, 1), dilate = false)
+      val (dm, dil) = graft.operators.Downsample.morphology(s, ds, meta,
+        Array(1, 1), dilate = true)
+      val eAgg = ChunkOps.voxelView(s, ero, em)
+        .groupBy(col("y")).agg(
+          expr("CAST(sum(value) AS BIGINT)").as("ero_sum"),
+          expr("CAST(sum(value * (x + 1)) AS BIGINT)").as("ero_check"))
+      val dAgg = ChunkOps.voxelView(s, dil, dm)
+        .groupBy(col("y")).agg(
+          expr("CAST(sum(value) AS BIGINT)").as("dil_sum"),
+          expr("CAST(sum(value * (x + 1)) AS BIGINT)").as("dil_check"))
+      eAgg.join(dAgg, "y").orderBy(col("y"))
+    },
+    Some(s"""WITH $gridSql,
+            ero AS (SELECT g.y, g.x, min(n.v) AS v
+                    FROM grid g JOIN grid n
+                      ON n.y BETWEEN g.y - 1 AND g.y + 1
+                     AND n.x BETWEEN g.x - 1 AND g.x + 1
+                    GROUP BY g.y, g.x),
+            dil AS (SELECT g.y, g.x, max(n.v) AS v
+                    FROM grid g JOIN grid n
+                      ON n.y BETWEEN g.y - 1 AND g.y + 1
+                     AND n.x BETWEEN g.x - 1 AND g.x + 1
+                    GROUP BY g.y, g.x),
+            ea AS (SELECT y, CAST(sum(v) AS BIGINT) AS ero_sum,
+                          CAST(sum(v * (x + 1)) AS BIGINT) AS ero_check
+                   FROM ero GROUP BY y),
+            da AS (SELECT y, CAST(sum(v) AS BIGINT) AS dil_sum,
+                          CAST(sum(v * (x + 1)) AS BIGINT) AS dil_check
+                   FROM dil GROUP BY y)
+            SELECT ea.y AS y, ero_sum, ero_check, dil_sum, dil_check
+            FROM ea JOIN da ON ea.y = da.y
+            ORDER BY y"""))
 }
