@@ -38,7 +38,8 @@ object Pipeline extends QModule {
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
-    t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration)
+    t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
+    t107VocabCoverage)
 
   import QTables.{docs, emb}
 
@@ -3383,6 +3384,58 @@ object Pipeline extends QModule {
             FROM basic b JOIN dist d ON b.col_name = d.col_name
             JOIN topv t ON t.col_name = b.col_name AND t.rk = 1
             ORDER BY b.col_name"""))
+
+  /** Vocabulary coverage curve over word bigrams — the vocab-budget
+    * question tokenizer design actually answers: at candidate vocab
+    * size k (types ranked by frequency, ties by gram), what
+    * milli-fraction of corpus TOKENS is covered? One frequency agg +
+    * one ranked window + a tiny candidate-k join; coverage is exact
+    * floor division.
+    */
+  val t107VocabCoverage = Q(
+    "t107_vocab_coverage",
+    (s, dir) => {
+      import s.implicits._
+      val ks = Seq(10, 50, 100, 300, 600)
+      val ksDf = ks.toDF("k")
+      val grams = docs(s, dir)
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> " +
+            "concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("gram"))
+      val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("gram").asc)
+      val ranked = freq
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val total = freq.agg(sum(col("n")).as("total"))
+      ranked.crossJoin(broadcast(total))
+        .crossJoin(broadcast(ksDf))
+        .filter(col("rn") <= col("k"))
+        .groupBy(col("k"))
+        .agg(max(col("rn")).as("vocab_used"),
+          expr("(max(cum) * 1000) div max(total)").as("coverage_milli"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH d AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            g AS (SELECT ws[i+1] || ' ' || ws[i+2] AS gram
+                  FROM d, unnest(range(len(ws) - 1)) AS u(i)),
+            f AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram),
+            r AS (SELECT gram, n,
+                    row_number() OVER (ORDER BY n DESC, gram) AS rn,
+                    CAST(sum(n) OVER (ORDER BY n DESC, gram
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                  FROM f),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f),
+            ks AS (SELECT unnest([10, 50, 100, 300, 600]) AS k)
+            SELECT k, CAST(max(rn) AS BIGINT) AS vocab_used,
+                   CAST(max(cum) * 1000 // max(total) AS BIGINT) AS coverage_milli
+            FROM r CROSS JOIN tot CROSS JOIN ks
+            WHERE rn <= k
+            GROUP BY k ORDER BY k"""))
 
   /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): old = the full
     * corpus; new = the corpus with every 7th doc removed, every 5th
