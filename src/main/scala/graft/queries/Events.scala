@@ -47,7 +47,8 @@ object Events extends QModule {
 
   override def queries: Seq[Q] =
     Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel,
-      q52CohortRetention, q54Scd2, q57IntervalJoin, q60RollingMad)
+      q52CohortRetention, q54Scd2, q57IntervalJoin, q60RollingMad,
+      q65IntervalLeft)
 
   /** Tumbling 1-hour windows per event type. */
   val q33Tumbling = Q(
@@ -358,4 +359,32 @@ object Events extends QModule {
             SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, cents, med, mad
             FROM d WHERE abs(cents - med) > 3 * mad
             ORDER BY user_id, ts_us, cents"""))
+
+  /** Batch contract of the LEFT-OUTER interval join ([[graft
+    * .streaming.Streams.intervalJoinOuter]]): clicks with no purchase
+    * in-window appear once with −1 — the attribution table that
+    * also accounts for non-converting events. `StreamsSpec` proves
+    * the micro-batch execution of the SAME operator emits exactly
+    * these unmatched rows once the watermark expires them.
+    */
+  val q65IntervalLeft = Q(
+    "q65_interval_left",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.streaming.Streams.intervalJoinOuter(clicks, purchases, "30 minutes", "1 hour")
+        .select(col("user_id"),
+          expr("unix_micros(ts_a)").as("click_us"),
+          coalesce(expr("unix_micros(ts_b)"), lit(-1L)).as("purchase_us"))
+        .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
+    },
+    Some("""SELECT a.user_id AS user_id,
+                   epoch_ns(a.ts) // 1000 AS click_us,
+                   COALESCE(epoch_ns(b.ts) // 1000, -1) AS purchase_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            ORDER BY user_id, click_us, purchase_us"""))
 }

@@ -122,6 +122,26 @@ object Streams {
         col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
   }
 
+  /** Left-outer form of [[intervalJoin]]: stream-A events with NO
+    * within-window match emit once with null B columns — but only
+    * after the watermark proves no matching B row can still arrive
+    * (Spark holds the unmatched left row in state until the time
+    * bound expires). The attribution table that also accounts for
+    * the non-converting events.
+    */
+  def intervalJoinOuter(a: DataFrame, b: DataFrame, within: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val aw = a.withWatermark("ts", watermark).alias("a")
+    val bw = b.withWatermark("ts", watermark).alias("b")
+    aw.join(bw, expr(
+      s"""a.user_id = b.user_id AND
+          b.ts >= a.ts AND b.ts <= a.ts + interval $within"""), "left_outer")
+      .select(col("a.user_id").as("user_id"),
+        col("a.ts").as("ts_a"), col("b.ts").as("ts_b"),
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

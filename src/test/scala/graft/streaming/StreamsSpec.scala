@@ -297,6 +297,34 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows only after the watermark expires them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Timestamp, Long, String)]
+    val memB = MemoryStream[(Timestamp, Long, String)]
+    val a = memA.toDF().toDF("ts", "user_id", "event_type")
+    val b = memB.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.intervalJoinOuter(a, b, "30 minutes", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("ojoin").start()
+    memA.addData((ts(0), 1L, "click"), (ts(0), 2L, "click"))
+    memB.addData((ts(10), 1L, "buy"))
+    q.processAllAvailable()
+    def rows() = spark.table("ojoin").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        Option(r.getAs[String]("type_b")).getOrElse("NONE"))).toSet
+    // user 1 matched; user 2 unmatched but NOT yet emitted — the
+    // watermark hasn't proven its window empty
+    assert(rows() == Set((1L, "buy")))
+    // late traffic pushes event-time forward: watermark = 200−60 =
+    // +140min > user 2's window end (+30min) → its null row must emit
+    memA.addData((ts(200), 9L, "click"))
+    memB.addData((ts(200), 8L, "buy"))
+    q.processAllAvailable()
+    assert(rows().contains((2L, "NONE")), s"unmatched row missing: ${rows()}")
+    assert(!rows().exists(r => r._1 == 9L), "user 9 must still be held in state")
+    q.stop()
+  }
+
   test("file-source stream over the real events table matches batch counts") {
     import spark.implicits._
     // stream the driver's events parquet as files arrive (one batch),
