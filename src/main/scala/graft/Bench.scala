@@ -310,6 +310,28 @@ object Bench {
         t
       }
 
+    // CCL-at-scale rehearsal (one shot): 4096² supercritical mask —
+    // one giant component through all 256 chunks — labeled
+    // distributed and fingerprint-checked EXACTLY against a
+    // single-node union-find over the same hash. Key `i_ccl16m`;
+    // opt out with SPARK_GRAFT_BENCH_CCL=0.
+    val cclSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_CCL").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.operators.CclRehearsal.run(s,
+            sys.env.get("SPARK_GRAFT_BENCH_CCL_SIDE").map(_.toInt).getOrElse(4096))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] i_ccl16m failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // ANN-at-scale rehearsal (one shot): 1M clustered vectors through
     // the IVF cascade, recall-checked against distributed brute force
     // on the same queries — the embedding analogue of the pyramid and
@@ -350,7 +372,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -362,7 +384,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * it) so a tail-context reading can be separated from a real plan
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
   * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann |
-  * pyramid | pyramid_gauss | crawl | imgdedup | decon.
+  * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -52,6 +52,9 @@ object RehearseOne {
         graft.ops.DeconRehearsal.run(spark,
           if (args.length > 1) args(1).toLong else 200000L,
           if (args.length > 2) args(2).toLong else 1000L)
+      case "ccl" =>
+        graft.operators.CclRehearsal.run(spark,
+          if (args.length > 1) args(1).toInt else 4096)
       case other => sys.error(s"unknown rehearsal key '$other'")
     }
     println(f"""{"rehearsal":"$key","sec":$secs%.3f}""")
