@@ -174,6 +174,29 @@ object Cli {
       return
     }
 
+    // `profile` subcommand: ANALYZE-style column stats for any parquet
+    // table — Cli profile <tableParquet> <outParquet> [--columns=a,b]
+    // (default: every column). Output: one row per column (col_name,
+    // n_rows, n_nulls, n_distinct, min_s, max_s, top_val, top_n).
+    if (args(0) == "profile") {
+      require(args.length >= 3, "usage: Cli profile <tableParquet> <outParquet> [--columns=a,b]")
+      val opts = args.drop(3).flatMap { a =>
+        a.stripPrefix("--").split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      val df = spark.read.parquet(args(1))
+      val cols = opts.get("columns")
+        .map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(df.columns.toSeq)
+      graft.ops.Profile.profile(df, cols)
+        .orderBy(org.apache.spark.sql.functions.col("col_name"))
+        .write.mode("overwrite").parquet(args(2))
+      println(s"[profile] wrote ${cols.length} column profiles")
+      return
+    }
+
     val input = args(0)
     val output = args(1)
     val opts = args.drop(2).flatMap { a =>

@@ -175,4 +175,22 @@ class CliSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_contaminated") == 0L)
     assert(out(1).getAs[Boolean]("keep") && !out(1).getAs[Boolean]("flagged"))
   }
+
+  test("profile subcommand writes column stats; --columns restricts") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("cli_prof_in").toString
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "tag", "score").write.mode("overwrite").parquet(inDir)
+    val outDir = java.nio.file.Files.createTempDirectory("cli_prof_out").toString
+    graft.Cli.run(spark, Array("profile", inDir, outDir))
+    val all = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(all.keySet == Set("id", "tag", "score"))
+    assert(all("tag").getAs[Long]("n_distinct") == 2L)
+    assert(all("tag").getAs[String]("top_val") == "a")
+    assert(all("id").getAs[String]("max_s") == "3")
+    val outDir2 = java.nio.file.Files.createTempDirectory("cli_prof_out2").toString
+    graft.Cli.run(spark, Array("profile", inDir, outDir2, "--columns=tag"))
+    assert(spark.read.parquet(outDir2).collect().map(_.getString(0)).toSeq == Seq("tag"))
+  }
 }
