@@ -44,6 +44,19 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Bounded-state dedup: like [[dedup]] but keys are remembered only
+    * WITHIN the watermark delay (`dropDuplicatesWithinWatermark`) —
+    * state per key is evicted once the watermark passes it, so a key
+    * recurring after the window legitimately re-emits. The right
+    * contract for endless streams where exact forever-dedup would
+    * grow state with distinct keys forever; the plain form's state
+    * never shrinks.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Streaming canonical-URL dedup — the ingest-time form of
     * [[graft.ops.Urls.urlDedup]]: arriving crawl records keep only
     * the FIRST sighting of each canonical URL

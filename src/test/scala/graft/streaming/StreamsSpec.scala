@@ -325,6 +325,33 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedup-within-watermark drops near dups but re-admits keys after state expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.dedupWithinWatermark(df, Seq("user_id", "event_type"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("wmdedup").start()
+    mem.addData((ts(0), 1L, "click"))
+    q.processAllAvailable()
+    mem.addData((ts(5), 1L, "click")) // dup within the window: dropped
+    q.processAllAvailable()
+    def n() = spark.table("wmdedup").count()
+    assert(n() == 1L)
+    // push the watermark far past the first sighting (+300 − 60 = +240)
+    mem.addData((ts(300), 2L, "view"))
+    q.processAllAvailable()
+    // the key's state has been evicted — a recurrence re-emits,
+    // which plain dropDuplicates would (incorrectly for bounded
+    // state) still suppress
+    mem.addData((ts(310), 1L, "click"))
+    q.processAllAvailable()
+    val users = spark.table("wmdedup").collect().map(_.getAs[Long]("user_id")).toSeq
+    assert(n() == 3L, s"rows: ${users.mkString(",")}")
+    assert(users.count(_ == 1L) == 2)
+    q.stop()
+  }
+
   test("file-source stream over the real events table matches batch counts") {
     import spark.implicits._
     // stream the driver's events parquet as files arrive (one batch),
