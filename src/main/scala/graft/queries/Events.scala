@@ -48,7 +48,7 @@ object Events extends QModule {
   override def queries: Seq[Q] =
     Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel,
       q52CohortRetention, q54Scd2, q57IntervalJoin, q60RollingMad,
-      q65IntervalLeft)
+      q65IntervalLeft, q66TimeWeightedAvg)
 
   /** Tumbling 1-hour windows per event type. */
   val q33Tumbling = Q(
@@ -387,4 +387,48 @@ object Events extends QModule {
               ON a.user_id = b.user_id
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
             ORDER BY user_id, click_us, purchase_us"""))
+
+  /** Per-(user, day) time-weighted average value — the metric
+    * monitoring systems actually report for held-state signals (a
+    * plain mean overweights bursts; TWA weighs each reading by how
+    * long it was the current one). Segment durations come from
+    * lead() over the same (user, day) ordering; cents×micros products
+    * stay well inside Long, and the final division is exact floor —
+    * one window exchange, one aggregation.
+    */
+  val q66TimeWeightedAvg = Q(
+    "q66_time_weighted_avg",
+    (s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .withColumn("dt_us",
+          expr("unix_micros(lead(ts) over (partition by user_id, day order by ts, event_id)) - unix_micros(ts)"))
+        .filter(col("dt_us").isNotNull)
+        .groupBy(col("user_id"), col("day"))
+        .agg(expr("sum(cents * dt_us)").as("wsum"),
+          sum(col("dt_us")).as("tsum"),
+          count(lit(1)).as("n_segments"))
+        .filter(col("tsum") > 0)
+        .select(col("user_id"), col("day"),
+          expr("wsum div tsum").as("twa_cents"), col("n_segments"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents,
+                         strftime(ts, '%Y-%m-%d') AS day
+                       FROM events),
+            l AS (SELECT user_id, day, cents,
+                    epoch_ns(lead(ts) OVER (PARTITION BY user_id, day
+                                            ORDER BY ts, event_id)) // 1000
+                      - epoch_ns(ts) // 1000 AS dt_us
+                  FROM e)
+            SELECT user_id, day,
+                   CAST(sum(cents * dt_us) // sum(dt_us) AS BIGINT) AS twa_cents,
+                   count(*) AS n_segments
+            FROM l WHERE dt_us IS NOT NULL
+            GROUP BY user_id, day
+            HAVING sum(dt_us) > 0
+            ORDER BY user_id, day"""))
 }

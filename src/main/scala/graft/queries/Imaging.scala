@@ -46,7 +46,7 @@ object Imaging extends QModule {
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
-    i77PercentileNorm, i78OtsuThreshold, i79Morphology)
+    i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -856,4 +856,41 @@ object Imaging extends QModule {
             SELECT ea.y AS y, ero_sum, ero_check, dil_sum, dil_check
             FROM ea JOIN da ON ea.y = da.y
             ORDER BY y"""))
+
+  /** 3D erosion (3×3×3 box) over the same 16³ / 2×2×2-chunk volume as
+    * the CCL gate — the n-dimensional stencil path with halo strips
+    * crossing all three axis faces (plus edges/corners) at once.
+    * Per-slab aggregates pin every voxel positionally.
+    */
+  val i80Morphology3d = Q(
+    "i80_morphology_3d",
+    (s, _) => {
+      val meta = ImageMeta(Seq("z", "y", "x"), Seq(16, 16, 16), Seq(8, 8, 8),
+        "uint8", Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+        Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+      val vals = Array.tabulate(16 * 16 * 16) { i =>
+        ((i / 256 * 29 + (i / 16 % 16) * 31 + (i % 16) * 17) % 256).toDouble
+      }
+      val ds = ChunkOps.fromArray(s, vals, meta)
+      val (em, ero) = graft.operators.Downsample.morphology(s, ds, meta,
+        Array(1, 1, 1), dilate = false)
+      ChunkOps.voxelView(s, ero, em)
+        .groupBy(col("z")).agg(
+          expr("CAST(sum(value) AS BIGINT)").as("ero_sum"),
+          expr("CAST(sum(value * (y * 16 + x + 1)) AS BIGINT)").as("ero_check"))
+        .orderBy(col("z"))
+    },
+    Some("""WITH grid3 AS (SELECT i // 256 AS z, (i // 16) % 16 AS y, i % 16 AS x,
+              CAST(((i // 256) * 29 + ((i // 16) % 16) * 31 + (i % 16) * 17) % 256
+                AS DOUBLE) AS v
+              FROM range(4096) r(i)),
+            ero AS (SELECT g.z, g.y, g.x, min(n.v) AS v
+                    FROM grid3 g JOIN grid3 n
+                      ON n.z BETWEEN g.z - 1 AND g.z + 1
+                     AND n.y BETWEEN g.y - 1 AND g.y + 1
+                     AND n.x BETWEEN g.x - 1 AND g.x + 1
+                    GROUP BY g.z, g.y, g.x)
+            SELECT z, CAST(sum(v) AS BIGINT) AS ero_sum,
+                   CAST(sum(v * (y * 16 + x + 1)) AS BIGINT) AS ero_check
+            FROM ero GROUP BY z ORDER BY z"""))
 }
