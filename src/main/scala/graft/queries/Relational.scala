@@ -32,7 +32,8 @@ object Relational extends QModule {
     q43QuantityStats, q44Pivot, q45GapFill, q46KmvDistinct, q47ZOrder,
     q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
     q56KAnonymity, q58RegionalRevenue, q59MarketShare, q61ExistsSubquery,
-    q62LateralJoin, q63SetOpsAll, q64WindowDistribution)
+    q62LateralJoin, q63SetOpsAll, q64WindowDistribution, q67PartitionedScan,
+    q68DynamicOverwrite)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1364,6 +1365,73 @@ object Relational extends QModule {
                    rk * 1000 // n_seg AS cume_milli
             FROM w WHERE c_custkey % 10 = 0
             ORDER BY c_mktsegment, cents DESC, c_custkey"""))
+
+  /** Hive-style partitioned parquet sink + partition-pruned scan —
+    * THE layout tool for 100 TB tables (a predicate on the partition
+    * column prunes directories before any I/O; `PartitionedWriteSpec`
+    * asserts the filter lands in PartitionFilters and only the
+    * matching directory's files are read). The oracle computes the
+    * same aggregate over the unpartitioned original, so any
+    * write-path row loss or partition misrouting hash-mismatches.
+    */
+  val q67PartitionedScan = Q(
+    "q67_partitioned_scan",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_part_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   min(o_orderkey) AS min_key
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Dynamic partition overwrite — the idempotent-backfill write mode
+    * (re-running a day's job replaces ONLY that day's directory). The
+    * gate overwrites the 1-URGENT partition with doubled prices under
+    * `partitionOverwriteMode=dynamic` and re-aggregates everything:
+    * untouched partitions must survive byte-for-byte, the replaced
+    * one must show exactly the new arithmetic. A static-overwrite
+    * regression (whole-table wipe) zeroes four partitions and
+    * hash-mismatches immediately.
+    */
+  val q68DynamicOverwrite = Q(
+    "q68_dynamic_overwrite",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_dynpart_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val orders = Tables.load(s, dir, "orders")
+      orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      s.read.parquet(tmp)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice *
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END
+                     * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
     * customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
