@@ -46,7 +46,8 @@ object Imaging extends QModule {
     h65HcsWellLookup, i66OmeTiffAxes, i67NrrdVolume, i68DicomSeries, i69IwiCbor,
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
-    i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d)
+    i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
+    i81Pyramid3dMetadata)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -893,4 +894,37 @@ object Imaging extends QModule {
             SELECT z, CAST(sum(v) AS BIGINT) AS ero_sum,
                    CAST(sum(v * (y * 16 + x + 1)) AS BIGINT) AS ero_check
             FROM ero GROUP BY z ORDER BY z"""))
+
+  /** A1+A14 in THREE dimensions — the planner cascade over a 32³ /
+    * 8³-chunk volume: one bin-shrink level to 16³ (scale 2.0,
+    * translation 0.5 per axis), then the ≤ 2×chunk stop rule ends
+    * the cascade. Pins that the scale/translation arithmetic and the
+    * stop rule are per-dimension, not 2D-specialized.
+    */
+  val i81Pyramid3dMetadata = Q(
+    "i81_pyramid3d_metadata",
+    (s, _) => {
+      import s.implicits._
+      val meta = ImageMeta(Seq("z", "y", "x"), Seq(32, 32, 32), Seq(8, 8, 8),
+        "uint8", Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+        Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+      val vals = Array.tabulate(32 * 32 * 32)(i => ((i * 31) % 256).toDouble)
+      val ds = ChunkOps.fromArray(s, vals, meta)
+      val ms = MultiscaleBuilder.toMultiscales(s, MultiscaleBuilder.Level(meta, ds),
+        method = Method.ItkwasmBinShrink, cache = false)
+      ms.levels.zipWithIndex.map { case (lvl, i) =>
+        (i, lvl.meta.shape.head, lvl.meta.shape(1), lvl.meta.shape(2),
+          lvl.meta.scale("z"), lvl.meta.scale("y"), lvl.meta.scale("x"),
+          lvl.meta.translation("z"), lvl.meta.translation("x"))
+      }.toDF("level", "shape_z", "shape_y", "shape_x",
+          "scale_z", "scale_y", "scale_x", "tr_z", "tr_x")
+        .orderBy(col("level"))
+    },
+    Some("""SELECT * FROM (VALUES
+            (0, CAST(32 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT),
+             1.0, 1.0, 1.0, 0.0, 0.0),
+            (1, CAST(16 AS BIGINT), CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+             2.0, 2.0, 2.0, 0.5, 0.5))
+            t(level, shape_z, shape_y, shape_x, scale_z, scale_y, scale_x, tr_z, tr_x)
+            ORDER BY level"""))
 }

@@ -39,7 +39,7 @@ object Pipeline extends QModule {
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
-    t107VocabCoverage)
+    t107VocabCoverage, t108NgramNovelty)
 
   import QTables.{docs, emb}
 
@@ -3436,6 +3436,46 @@ object Pipeline extends QModule {
             FROM r CROSS JOIN tot CROSS JOIN ks
             WHERE rn <= k
             GROUP BY k ORDER BY k"""))
+
+  /** Per-document n-gram novelty — the corpus-staleness curve: what
+    * milli-fraction of a document's trigram TYPES had never appeared
+    * in any earlier (smaller-id) document? A crawl that keeps
+    * re-fetching the same content shows novelty collapsing toward
+    * zero. One gram-key window exchange serves the first-seen
+    * computation (no separate build+join), then a doc-key aggregate.
+    */
+  val t108NgramNovelty = Q(
+    "t108_ngram_novelty",
+    (s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 2), i -> concat(element_at(ws, i), ' ', " +
+            "element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("gram"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+      g.withColumn("first_doc", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(n_novel * 1000) div n_grams").as("novelty_milli"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                    ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+                  FROM d, unnest(range(len(ws) - 2)) AS u(i)),
+            fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+            SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                   CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                     * 1000 // count(*) AS BIGINT) AS novelty_milli
+            FROM g JOIN fs ON g.gram = fs.gram
+            GROUP BY g.doc_id ORDER BY doc_id"""))
 
   /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): old = the full
     * corpus; new = the corpus with every 7th doc removed, every 5th

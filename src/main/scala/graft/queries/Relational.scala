@@ -33,7 +33,7 @@ object Relational extends QModule {
     q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
     q56KAnonymity, q58RegionalRevenue, q59MarketShare, q61ExistsSubquery,
     q62LateralJoin, q63SetOpsAll, q64WindowDistribution, q67PartitionedScan,
-    q68DynamicOverwrite)
+    q68DynamicOverwrite, q69ScalarSubquery)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1432,6 +1432,37 @@ object Relational extends QModule {
                      CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END
                      * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Correlated SCALAR subqueries — the other decorrelation path
+    * (q61 covers predicate subqueries): a per-row correlated
+    * aggregate in SELECT becomes a left-outer aggregate join under
+    * Catalyst, preserving NULL for customers with no orders (here
+    * surfaced as -1 so both engines agree on a concrete value).
+    */
+  val q69ScalarSubquery = Q(
+    "q69_scalar_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("q69_customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q69_orders")
+      s.sql("""SELECT c_custkey,
+                      COALESCE((SELECT CAST(round(max(o_totalprice) * 100) AS BIGINT)
+                                FROM q69_orders o
+                                WHERE o.o_custkey = c.c_custkey), -1) AS max_cents,
+                      COALESCE((SELECT count(*) FROM q69_orders o
+                                WHERE o.o_custkey = c.c_custkey), 0) AS n_orders
+               FROM q69_customer c
+               WHERE c_custkey % 7 = 0
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey,
+                   COALESCE((SELECT CAST(round(max(o_totalprice) * 100) AS BIGINT)
+                             FROM orders o
+                             WHERE o.o_custkey = c.c_custkey), -1) AS max_cents,
+                   COALESCE((SELECT count(*) FROM orders o
+                             WHERE o.o_custkey = c.c_custkey), 0) AS n_orders
+            FROM customer c
+            WHERE c_custkey % 7 = 0
+            ORDER BY c_custkey"""))
 
   /** TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
     * customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
