@@ -33,7 +33,7 @@ object Relational extends QModule {
     q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
     q56KAnonymity, q58RegionalRevenue, q59MarketShare, q61ExistsSubquery,
     q62LateralJoin, q63SetOpsAll, q64WindowDistribution, q67PartitionedScan,
-    q68DynamicOverwrite, q69ScalarSubquery)
+    q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1463,6 +1463,37 @@ object Relational extends QModule {
             FROM customer c
             WHERE c_custkey % 7 = 0
             ORDER BY c_custkey"""))
+
+  /** Bucketed catalog tables (`bucketBy` + `sortBy` + saveAsTable):
+    * the pre-shuffled layout for REPEATED fact-fact joins — both
+    * sides bucket on the join key at write time, so every future join
+    * on that key skips its exchange (the no-shuffle plan itself is
+    * asserted in `BucketingSpec`; this gate pins the bucket-routing
+    * correctness of the write path — a misrouted or dropped row
+    * hash-mismatches the join result).
+    */
+  val q70BucketedJoin = Q(
+    "q70_bucketed_join",
+    (s, dir) => {
+      val sfx = s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val t1 = s"q70_orders_$sfx"
+      val t2 = s"q70_line_$sfx"
+      Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t1)
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("l_orderkey", "CAST(round(l_quantity) AS BIGINT) AS qty")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t2)
+      s.table(t1).join(s.table(t2), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(expr("o_custkey % 100").as("cust_bucket"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("cust_bucket"))
+    },
+    Some("""SELECT o_custkey % 100 AS cust_bucket, count(*) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1 ORDER BY cust_bucket"""))
 
   /** TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
     * customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
