@@ -158,6 +158,49 @@ object Streams {
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
+  /** Spark-4 `transformWithState` processor: per-user running totals
+    * in an explicit typed `ValueState` variable — the modern
+    * arbitrary-state API (successor to flatMapGroupsWithState):
+    * named state variables with per-variable TTL, RocksDB-backed,
+    * schema-evolvable. Emits the updated running row per key per
+    * micro-batch, same contract as [[runningTotals]].
+    */
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val out = UserRunning(key, n, total)
+      state.update(out)
+      Iterator.single(out)
+    }
+  }
+
+  /** [[runningTotals]] re-expressed on the transformWithState API.
+    * Requires the RocksDB state store provider (set on the session by
+    * the caller/spec — the HDFS-backed default does not support this
+    * operator).
+    */
+  def runningTotalsTws(spark: SparkSession,
+      events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom state: running per-user totals via flatMapGroupsWithState
     * (the KeyValueGroupedDataset path). State lives in the state
     * store across micro-batches; eviction policy belongs to the

@@ -179,6 +179,36 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState keeps typed ValueState across batches (RocksDB provider)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB provider; scope it to
+    // this query's session clone via the conf and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streams.UserEvent]
+      val q = Streams.runningTotalsTws(spark, mem.toDS()).writeStream
+        .outputMode("update").format("memory").queryName("running_tws").start()
+      mem.addData(Streams.UserEvent(1, "a", 10.0), Streams.UserEvent(1, "b", 5.0),
+        Streams.UserEvent(2, "a", 7.0))
+      q.processAllAvailable()
+      mem.addData(Streams.UserEvent(1, "c", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_tws").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+      assert(rows.contains((1L, 3L, 16.0)), rows.mkString(","))
+      assert(rows.contains((2L, 1L, 7.0)))
+      // same final state the legacy flatMapGroupsWithState form produces
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming as-of attribution matches the batch operator across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
