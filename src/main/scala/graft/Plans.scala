@@ -18,7 +18,10 @@ object Plans {
     "m60_image_dhash_neardup", "t79_warc_ingest", "t81_kn_perplexity",
     "t80_html_extract", "d62_containment_neardup", "s57_ann_sq8",
     "t87_ppl_bucket_cut", "t90_unigram_encode", "t96_overlap_run",
-    "t98_epoch_plan", "q52_cohort_retention")
+    "t98_epoch_plan", "q52_cohort_retention",
+    "q58_regional_revenue", "g03_triangles", "i74_label_components",
+    "t103_multi_match", "t104_cms_estimate", "q56_k_anonymity",
+    "q60_rolling_mad", "q67_partitioned_scan", "t108_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
