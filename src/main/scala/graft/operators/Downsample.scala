@@ -134,6 +134,43 @@ object Downsample {
   def isIntDtype(dtype: String): Boolean =
     !Set("float16", "float32", "float64", "complex64", "complex128")(Dtypes.normalize(dtype))
 
+  /** Nearest-neighbor UPSAMPLE by integer factors — the inverse
+    * direction of the pyramid: projecting a low-resolution label mask
+    * or score map back onto full resolution. Perfectly chunk-local
+    * (every output chunk derives from exactly its own input chunk —
+    * indices preserved, origins/shapes scaled), so the plan has ZERO
+    * shuffles at any volume. Metadata follows the pyramid convention
+    * in reverse: scale divides by k and translation shifts by
+    * −(k−1)/2·scale_out so the k children straddle their parent's
+    * physical center symmetrically.
+    */
+  def upsampleNearest(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+      dimFactors: Map[String, Int]): (ImageMeta, Dataset[ChunkRow]) = {
+    import spark.implicits._
+    val factors = meta.dims.map(d => dimFactors.getOrElse(d, 1)).toArray
+    require(factors.forall(_ >= 1), s"factors must be >= 1: ${factors.mkString(",")}")
+    val outMeta = meta.copy(
+      shape = meta.shape.zip(factors).map { case (n, k) => n * k },
+      chunks = meta.chunks.zip(factors).map { case (c, k) => c * k },
+      scale = meta.dims.zipWithIndex.map { case (d, i) =>
+        d -> meta.scale(d) / factors(i)
+      }.toMap,
+      translation = meta.dims.zipWithIndex.map { case (d, i) =>
+        val scaleOut = meta.scale(d) / factors(i)
+        d -> (meta.translation(d) - (factors(i) - 1) * scaleOut / 2.0)
+      }.toMap)
+    val dtype = meta.dtype
+    val out = ds.map { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+      val up = NdKernels.upsampleNearest(vals, c.shape.toArray, factors)
+      ChunkRow(c.chunkIdx,
+        c.origin.zip(factors).map { case (o, k) => o * k },
+        c.shape.zip(factors).map { case (s0, k) => s0 * k },
+        ZarrStore.encodeFromDoubles(up, dtype))
+    }
+    (outMeta, out)
+  }
+
   /** Morphological erosion (min) / dilation (max) over a ±radius box
     * — the mask clean-up pass (opening = erode∘dilate) upstream of
     * the CCL surface. Same scale shape as the gaussian path: ONE

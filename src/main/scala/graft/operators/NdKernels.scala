@@ -90,6 +90,26 @@ object NdKernels {
     }
   }
 
+  /** Nearest-neighbor upsample by integer factors: out[p] = in[p ÷ k]
+    * per dim — the label-mask zoom (projecting a low-res segmentation
+    * back onto full resolution). Pure per-block; no neighbor data
+    * needed.
+    */
+  def upsampleNearest(in: Array[Double], shape: Array[Int],
+      factors: Array[Int]): Array[Double] = {
+    val nd = shape.length
+    val outShape = Array.tabulate(nd)(d => shape(d) * factors(d))
+    val inStrides = strides(shape)
+    val out = new Array[Double](size(outShape))
+    foreachPos(outShape) { (flat, pos) =>
+      var src = 0
+      var d = 0
+      while (d < nd) { src += (pos(d) / factors(d)) * inStrides(d); d += 1 }
+      out(flat) = in(src)
+    }
+    out
+  }
+
   /** Morphological min (erosion) / max (dilation) filter over an
     * axis-aligned box of ±radius per dim, evaluated on a halo-
     * extended block: `centerOff` maps output position j to ext

@@ -47,7 +47,7 @@ object Imaging extends QModule {
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
-    i81Pyramid3dMetadata)
+    i81Pyramid3dMetadata, i82UpsampleNearest)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -927,4 +927,31 @@ object Imaging extends QModule {
              2.0, 2.0, 2.0, 0.5, 0.5))
             t(level, shape_z, shape_y, shape_x, scale_z, scale_y, scale_x, tr_z, tr_x)
             ORDER BY level"""))
+
+  /** Nearest-neighbor upsample ([[graft.operators.Downsample
+    * .upsampleNearest]]) ×2 — the low-res-mask-to-full-resolution
+    * projection, perfectly chunk-local (ZERO shuffles at any volume;
+    * the gate's only exchange is its ORDER BY). Per-row aggregates
+    * over the 128×128 result pin every voxel positionally against the
+    * closed form v(y÷2, x÷2).
+    */
+  val i82UpsampleNearest = Q(
+    "i82_upsample_nearest",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      val (om, up) = graft.operators.Downsample.upsampleNearest(s, ds, meta,
+        Map("y" -> 2, "x" -> 2))
+      ChunkOps.voxelView(s, up, om)
+        .groupBy(col("y")).agg(
+          expr("CAST(sum(value) AS BIGINT)").as("up_sum"),
+          expr("CAST(sum(value * (x + 1)) AS BIGINT)").as("up_check"))
+        .orderBy(col("y"))
+    },
+    Some(s"""WITH ups AS (SELECT i // ${2 * W} AS y, i % ${2 * W} AS x,
+              CAST((((i // ${2 * W}) // 2) * 31 + ((i % ${2 * W}) // 2) * 17) % 256
+                AS DOUBLE) AS v
+              FROM range(${4 * H * W}) r(i))
+            SELECT y, CAST(sum(v) AS BIGINT) AS up_sum,
+                   CAST(sum(v * (x + 1)) AS BIGINT) AS up_check
+            FROM ups GROUP BY y ORDER BY y"""))
 }

@@ -42,6 +42,28 @@ class MorphologySpec extends SparkSpec {
     }
   }
 
+  test("upsample: nearest ×k then nearest-downsample ×k is the identity; chunking-invariant") {
+    val rnd = new scala.util.Random(29)
+    val h = 24; val w = 16
+    val vals = Array.fill(h * w)(rnd.nextInt(256).toDouble)
+    for ((ch, cw) <- Seq((8, 8), (24, 16))) {
+      val m = meta(h, w, ch, cw)
+      val ds = ChunkOps.fromArray(spark, vals, m)
+      val (um, up) = Downsample.upsampleNearest(spark, ds, m, Map("y" -> 2, "x" -> 3))
+      assert(um.shape == Seq(48L, 48L) && um.chunks == Seq(ch * 2, cw * 3))
+      assert(um.scale("y") == 0.5 && um.scale("x") == 1.0 / 3.0)
+      val arr = ChunkOps.toArray(up, um)
+      // voxel law out[y][x] = in[y/2][x/3]
+      for (y <- 0 until 48; x <- 0 until 48)
+        assert(arr(y * 48 + x) == vals((y / 2) * w + (x / 3)), s"($y,$x)")
+      // nearest-downsample inverts it exactly
+      val (dm, down) = Downsample.step(spark, up, um,
+        Map("y" -> 2, "x" -> 3), graft.meta.Model.Method.DaskImageNearest)
+      assert(dm.shape == Seq(h.toLong, w.toLong))
+      assert(ChunkOps.toArray(down, dm).toSeq == vals.toSeq)
+    }
+  }
+
   test("pointwise ordering: erosion ≤ original ≤ dilation; radius 0 is identity") {
     val rnd = new scala.util.Random(23)
     val h = 16; val w = 16
