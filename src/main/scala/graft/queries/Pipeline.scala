@@ -39,7 +39,7 @@ object Pipeline extends QModule {
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
-    t107VocabCoverage, t108NgramNovelty)
+    t107VocabCoverage, t108NgramNovelty, t109SplitLeakage)
 
   import QTables.{docs, emb}
 
@@ -3476,6 +3476,59 @@ object Pipeline extends QModule {
                      * 1000 // count(*) AS BIGINT) AS novelty_milli
             FROM g JOIN fs ON g.gram = fs.gram
             GROUP BY g.doc_id ORDER BY doc_id"""))
+
+  /** Train/val/test split LEAKAGE audit — the eval bug dedup exists
+    * to prevent, checked directly: documents with identical content
+    * hashes landing in different hash splits ([[graft.ops.Splits
+    * .hashSplit]] ∘ exact dedup). One content-hash exchange; the
+    * output is the per-(splitA, splitB) leak matrix plus the leaked
+    * group count, so a single cross-split duplicate anywhere moves a
+    * hash-checked number.
+    */
+  val t109SplitLeakage = Q(
+    "t109_split_leakage",
+    (s, dir) => {
+      // the base corpus is duplicate-free, so plant the hazard the
+      // auditor exists for (t102's synthesis precedent): every 5th
+      // doc re-enters under a new id — exactly what a re-crawl that
+      // skipped dedup produces; the id-hash split then scatters the
+      // copies across train/val/test
+      val base = docs(s, dir)
+      val corpus = base.select(col("doc_id"), col("text"))
+        .union(base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val sp = graft.ops.Splits.hashSplit(corpus)
+        .select(col("doc_id"), md5(col("text")).as("th"), col("split"))
+      val pairs = sp.as("a").join(sp.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.th").as("th"),
+          least(col("a.split"), col("b.split")).as("split_lo"),
+          greatest(col("a.split"), col("b.split")).as("split_hi"))
+        .filter(col("split_lo") =!= col("split_hi"))
+      pairs.groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_leaky_pairs"),
+          countDistinct(col("th")).as("n_leaky_groups"))
+        .orderBy(col("split_lo"), col("split_hi"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0),
+            sp AS (SELECT doc_id, md5(text) AS th,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                          AS BIGINT) % 1000 < 800 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                          AS BIGINT) % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM corpus),
+            pairs AS (SELECT a.th,
+                        least(a.split, b.split) AS split_lo,
+                        greatest(a.split, b.split) AS split_hi
+                      FROM sp a JOIN sp b
+                        ON a.th = b.th AND a.doc_id < b.doc_id
+                      WHERE a.split <> b.split)
+            SELECT split_lo, split_hi, count(*) AS n_leaky_pairs,
+                   CAST(count(DISTINCT th) AS BIGINT) AS n_leaky_groups
+            FROM pairs GROUP BY 1, 2 ORDER BY split_lo, split_hi"""))
 
   /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): old = the full
     * corpus; new = the corpus with every 7th doc removed, every 5th
