@@ -33,7 +33,7 @@ object Relational extends QModule {
     q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
     q56KAnonymity, q58RegionalRevenue, q59MarketShare, q61ExistsSubquery,
     q62LateralJoin, q63SetOpsAll, q64WindowDistribution, q67PartitionedScan,
-    q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin)
+    q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin, q71GroupingId)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1494,6 +1494,44 @@ object Relational extends QModule {
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY 1 ORDER BY cust_bucket"""))
+
+  /** GROUPING() disambiguation in rollups — the semantics trap q14's
+    * 'ALL'-coalesce papers over: a NULL data key and a subtotal row
+    * both print NULL, and only the grouping bit tells them apart.
+    * The gate nulls out one real key value first, so a wrong
+    * grouping-bit implementation merges rows the oracle keeps apart.
+    */
+  val q71GroupingId = Q(
+    "q71_grouping_id",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .withColumn("flag",
+          when(col("l_returnflag") === "N", lit(null: String))
+            .otherwise(col("l_returnflag")))
+        .rollup(col("flag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(grouping(flag) AS INT)").as("g_flag"),
+          expr("CAST(grouping(l_linestatus) AS INT)").as("g_status"),
+          expr("CAST(grouping_id(flag, l_linestatus) AS INT)").as("gid"))
+        .select(coalesce(col("flag"), lit("<null>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<null>")).as("status"),
+          col("n"), col("g_flag"), col("g_status"), col("gid"))
+        .orderBy(col("gid"), col("flag"), col("status"))
+    },
+    Some("""SELECT coalesce(CASE WHEN l_returnflag = 'N' THEN NULL
+                                 ELSE l_returnflag END, '<null>') AS flag,
+                   coalesce(l_linestatus, '<null>') AS status,
+                   count(*) AS n,
+                   CAST(grouping(CASE WHEN l_returnflag = 'N' THEN NULL
+                                      ELSE l_returnflag END) AS INT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INT) AS g_status,
+                   CAST(grouping_id(CASE WHEN l_returnflag = 'N' THEN NULL
+                                         ELSE l_returnflag END,
+                                    l_linestatus) AS INT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP(CASE WHEN l_returnflag = 'N' THEN NULL
+                                 ELSE l_returnflag END, l_linestatus)
+            ORDER BY gid, flag, status"""))
 
   /** TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
     * customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
