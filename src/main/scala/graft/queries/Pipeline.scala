@@ -39,7 +39,7 @@ object Pipeline extends QModule {
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
-    t107VocabCoverage, t108NgramNovelty, t109SplitLeakage)
+    t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks)
 
   import QTables.{docs, emb}
 
@@ -3529,6 +3529,74 @@ object Pipeline extends QModule {
             SELECT split_lo, split_hi, count(*) AS n_leaky_pairs,
                    CAST(count(DISTINCT th) AS BIGINT) AS n_leaky_groups
             FROM pairs GROUP BY 1, 2 ORDER BY split_lo, split_hi"""))
+
+  /** Content-defined chunking dedup — the insertion-robust variant of
+    * the fixed-window chunk dedup (d48): boundaries fall where the
+    * word-trigram hash ≡ 0 (mod 8), so a one-word PREFIX insertion
+    * (planted here on every 5th doc) re-synchronizes after the first
+    * boundary and the shifted copy still shares almost all its chunks
+    * with the original — fixed windows lose every alignment. Output:
+    * corpus chunk mass vs distinct chunk mass and the duplicated
+    * fraction, exact integers. One (doc,pos) window + one chunk-hash
+    * aggregation.
+    */
+  val t110CdcChunks = Q(
+    "t110_cdc_chunks",
+    (s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = base.union(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"),
+            concat(lit("zzz "), col("text")).as("text")))
+      val words = corpus
+        .select(col("doc_id"), posexplode(expr("filter(split(text, ' '), x -> x <> '')"))
+          .as(Seq("pos", "w")))
+      val flagged = words.withColumn("boundary",
+        when(col("pos") >= 2 &&
+          expr("CAST(conv(substring(md5(concat(" +
+            "lag(w, 2) over (partition by doc_id order by pos), ' ', " +
+            "lag(w, 1) over (partition by doc_id order by pos), ' ', w)), 1, 14), 16, 10) " +
+            "AS BIGINT) % 8") === 0, 1L).otherwise(0L))
+      val seg = flagged.withColumn("seg",
+        expr("sum(boundary) over (partition by doc_id order by pos)"))
+      val chunks = seg.groupBy(col("doc_id"), col("seg"))
+        .agg(count(lit(1)).as("n_words"),
+          md5(expr("array_join(transform(array_sort(collect_list(struct(pos, w))), " +
+            "x -> x.w), ' ')")).as("ch"))
+      chunks.agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("ch")).as("n_distinct_chunks"),
+        sum(col("n_words")).as("total_words"))
+        .select(col("n_chunks"), col("n_distinct_chunks"), col("total_words"),
+          expr("((n_chunks - n_distinct_chunks) * 1000) div n_chunks").as("dup_chunk_milli"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 10000, 'zzz ' || text FROM documents
+                 WHERE doc_id % 5 = 0),
+            w AS (SELECT doc_id, ws[i+1] AS w, CAST(i AS BIGINT) + 1 AS pos
+                  FROM (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                        FROM corpus),
+                       unnest(range(len(ws))) AS u(i)),
+            f AS (SELECT doc_id, w, pos,
+                    CASE WHEN pos >= 3 AND
+                      CAST('0x' || substr(md5(
+                        lag(w, 2) OVER dw || ' ' || lag(w, 1) OVER dw || ' ' || w),
+                        1, 14) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS boundary
+                  FROM w
+                  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+            seg AS (SELECT doc_id, w, pos,
+                      sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+                    FROM f),
+            chunks AS (SELECT doc_id, seg, count(*) AS n_words,
+                         md5(string_agg(w, ' ' ORDER BY pos)) AS ch
+                       FROM seg GROUP BY doc_id, seg)
+            SELECT count(*) AS n_chunks,
+                   CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+                   CAST(sum(n_words) AS BIGINT) AS total_words,
+                   (count(*) - count(DISTINCT ch)) * 1000 // count(*) AS dup_chunk_milli
+            FROM chunks"""))
 
   /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): old = the full
     * corpus; new = the corpus with every 7th doc removed, every 5th
