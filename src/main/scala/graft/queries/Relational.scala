@@ -33,7 +33,8 @@ object Relational extends QModule {
     q48ApproxPercentile, q49ZOrder3, q51MergeUpsert, q55ParquetBloom,
     q56KAnonymity, q58RegionalRevenue, q59MarketShare, q61ExistsSubquery,
     q62LateralJoin, q63SetOpsAll, q64WindowDistribution, q67PartitionedScan,
-    q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin, q71GroupingId)
+    q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin, q71GroupingId,
+    q72NullSafeJoin)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1532,6 +1533,40 @@ object Relational extends QModule {
             GROUP BY ROLLUP(CASE WHEN l_returnflag = 'N' THEN NULL
                                  ELSE l_returnflag END, l_linestatus)
             ORDER BY gid, flag, status"""))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    * keys MATCH each other instead of silently dropping — the
+    * dimension-with-unknown-bucket join where plain equality loses
+    * whole partitions of data. Both sides plant NULLs (every 6th
+    * nation key), so a plain-equality regression loses the NULL✕NULL
+    * row block and hash-mismatches.
+    */
+  val q72NullSafeJoin = Q(
+    "q72_null_safe_join",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(when(col("c_nationkey") % 6 === 0, lit(null: Integer))
+          .otherwise(col("c_nationkey")).as("nk"), col("c_acctbal"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(when(col("s_nationkey") % 6 === 0, lit(null: Integer))
+          .otherwise(col("s_nationkey")).as("nk2"), col("s_suppkey"))
+      c.join(sup, col("nk") <=> col("nk2"))
+        .groupBy(coalesce(col("nk").cast("string"), lit("<null>")).as("nation"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("nation"))
+    },
+    Some("""WITH c AS (SELECT CASE WHEN c_nationkey % 6 = 0 THEN NULL
+                              ELSE c_nationkey END AS nk, c_acctbal
+                       FROM customer),
+                 sup AS (SELECT CASE WHEN s_nationkey % 6 = 0 THEN NULL
+                                ELSE s_nationkey END AS nk2, s_suppkey
+                         FROM supplier)
+            SELECT coalesce(CAST(nk AS VARCHAR), '<null>') AS nation,
+                   count(*) AS n_pairs,
+                   CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+            FROM c JOIN sup ON nk IS NOT DISTINCT FROM nk2
+            GROUP BY 1 ORDER BY nation"""))
 
   /** TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
     * customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
