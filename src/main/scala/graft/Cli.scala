@@ -197,6 +197,40 @@ object Cli {
       return
     }
 
+    // `label` subcommand: connected-component stats over a real
+    // OME-Zarr store — Cli label <in.ome.zarr> <outParquet>
+    //   [--threshold=N] [--scale=K]
+    // Routes by dimensionality: (y,x) → 4-connectivity,
+    // (z,y,x) → 6-connectivity. Output: one row per component
+    // (comp, size, bbox, vsum), the object-measurement table the
+    // label pyramids exist to feed.
+    if (args(0) == "label") {
+      require(args.length >= 3, "usage: Cli label <in.ome.zarr> <outParquet> [--threshold=N] [--scale=K]")
+      val opts = args.drop(3).flatMap { a =>
+        a.stripPrefix("--").split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      val levels = OmeZarrIO.readMultiscales(spark, args(1)).levels
+      val idx = opts.get("scale").map(_.toInt).getOrElse(0)
+      require(idx >= 0 && idx < levels.length,
+        s"--scale=$idx out of range (store has ${levels.length} scales)")
+      val lvl = levels(idx)
+      val thr = opts.get("threshold").map(_.toDouble).getOrElse(1.0)
+      val stats = lvl.meta.dims match {
+        case Seq("y", "x") =>
+          graft.operators.LabelComponents.componentStats2d(spark, lvl.chunks, lvl.meta, thr)
+        case Seq("z", "y", "x") =>
+          graft.operators.LabelComponents.componentStats3d(spark, lvl.chunks, lvl.meta, thr)
+        case other => sys.error(s"label: unsupported axes $other (need (y,x) or (z,y,x))")
+      }
+      stats.orderBy(org.apache.spark.sql.functions.col("comp"))
+        .write.mode("overwrite").parquet(args(2))
+      println(s"[label] wrote ${spark.read.parquet(args(2)).count()} components")
+      return
+    }
+
     val input = args(0)
     val output = args(1)
     val opts = args.drop(2).flatMap { a =>

@@ -176,6 +176,34 @@ class CliSpec extends SparkSpec {
     assert(out(1).getAs[Boolean]("keep") && !out(1).getAs[Boolean]("flagged"))
   }
 
+  test("label subcommand: CCL over a real OME-Zarr store matches local BFS") {
+    val (dir, vals) = writeInput()
+    val outDir = java.nio.file.Files.createTempDirectory("cli_label_out").toString
+    graft.Cli.run(spark, Array("label", dir, outDir, "--threshold=128"))
+    val got = spark.read.parquet(outDir).orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // single-node BFS over the same pixels
+    val h = 64; val w = 64
+    val lab = Array.fill(h * w)(false)
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (start <- 0 until h * w if vals(start) >= 128 && !lab(start)) {
+      val q = scala.collection.mutable.Queue(start); lab(start) = true
+      var size = 0L; var minId = Long.MaxValue
+      while (q.nonEmpty) {
+        val i = q.dequeue(); size += 1; minId = math.min(minId, i.toLong)
+        for ((dy, dx) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1))) {
+          val ny = i / w + dy; val nx = i % w + dx
+          if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
+            val j = ny * w + nx
+            if (vals(j) >= 128 && !lab(j)) { lab(j) = true; q.enqueue(j) }
+          }
+        }
+      }
+      want += ((minId, size))
+    }
+    assert(got == want.sortBy(_._1).toSeq)
+  }
+
   test("profile subcommand writes column stats; --columns restricts") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("cli_prof_in").toString
