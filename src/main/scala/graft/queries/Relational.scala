@@ -34,7 +34,8 @@ object Relational extends QModule {
     q56KAnonymity, q58RegionalRevenue, q59MarketShare, q61ExistsSubquery,
     q62LateralJoin, q63SetOpsAll, q64WindowDistribution, q67PartitionedScan,
     q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin, q71GroupingId,
-    q72NullSafeJoin)
+    q72NullSafeJoin, q73Unpivot, q74HigherOrderFns, q75PercentileCont,
+    q76RecursiveCte)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1567,6 +1568,157 @@ object Relational extends QModule {
                    CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
             FROM c JOIN sup ON nk IS NOT DISTINCT FROM nk2
             GROUP BY 1 ORDER BY nation"""))
+
+  /** UNPIVOT / melt (`Dataset.unpivot`): three lineitem measures fold
+    * into (measure, value) rows — Catalyst plans it as a zero-shuffle
+    * `Expand`, so wide→long restructuring costs one projection, not a
+    * join or a union of N scans. The downstream per-measure aggregate
+    * is the long-format summary a metrics pipeline reads. Values are
+    * exact integers (qty, cents, basis points) so the per-measure
+    * sums are engine-independent; the oracle runs DuckDB's native
+    * UNPIVOT over the same derived columns.
+    */
+  val q73Unpivot = Q(
+    "q73_unpivot",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "CAST(round(l_quantity) AS BIGINT) AS quantity",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+          "CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp")
+      base.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("quantity"), col("price_c"), col("disc_bp")),
+          "measure", "value")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(sum(col("value")).as("sum_v"), count(lit(1)).as("n"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+    Some("""WITH base AS (SELECT l_returnflag,
+                    CAST(round(l_quantity) AS BIGINT) AS quantity,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                    CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp
+                  FROM lineitem),
+            u AS (SELECT l_returnflag, measure, value FROM base
+                  UNPIVOT (value FOR measure IN (quantity, price_c, disc_bp)))
+            SELECT l_returnflag, measure,
+                   CAST(sum(value) AS BIGINT) AS sum_v,
+                   count(*) AS n,
+                   CAST(min(value) AS BIGINT) AS min_v,
+                   CAST(max(value) AS BIGINT) AS max_v
+            FROM u GROUP BY 1, 2
+            ORDER BY l_returnflag, measure"""))
+
+  /** Higher-order array functions (`transform`/`filter`/`aggregate`/
+    * `array_max` lambdas): per-order quantity sequences built with an
+    * ORDER-DETERMINISTIC aggregation (`array_sort(collect_list(
+    * struct(linenumber, qty)))` — never a bare collect_list, whose
+    * partition order is a run-to-run hash landmine), then folded
+    * entirely inside codegen'd lambda expressions — no UDF, no
+    * explode-regroup round trip. The oracle replays each lambda with
+    * DuckDB's list_transform / list_filter / list_sum over
+    * `list(qty ORDER BY linenumber)`.
+    */
+  val q74HigherOrderFns = Q(
+    "q74_higher_order_fns",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("l_orderkey", "l_linenumber",
+          "CAST(round(l_quantity) AS BIGINT) AS qty")
+        .groupBy(col("l_orderkey"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(l_linenumber, qty))), p -> p.qty)")
+          .as("qs"))
+        .select(col("l_orderkey"),
+          expr("CAST(size(qs) AS INT)").as("n"),
+          expr("aggregate(qs, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("sumsq"),
+          expr("CAST(size(filter(qs, x -> x % 2 = 0)) AS INT)").as("evens"),
+          expr("array_max(qs)").as("maxq"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""WITH a AS (SELECT l_orderkey,
+                    list(CAST(round(l_quantity) AS BIGINT)
+                         ORDER BY l_linenumber) AS qs
+                  FROM lineitem GROUP BY 1)
+            SELECT l_orderkey,
+                   CAST(len(qs) AS INT) AS n,
+                   CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sumsq,
+                   CAST(len(list_filter(qs, x -> x % 2 = 0)) AS INT) AS evens,
+                   CAST(list_max(qs) AS BIGINT) AS maxq
+            FROM a ORDER BY l_orderkey"""))
+
+  /** Exact interpolated percentiles (`percentile(col, array(...))` ↔
+    * DuckDB `quantile_cont`): completes the percentile family next to
+    * the discrete two-phase path (q42) and the sketch path (q48).
+    * Quartile fractions make the interpolation EXACT in binary
+    * ((n−1)·p has fractional part ∈ {0,¼,½,¾}, operands are integer
+    * cents), so both engines produce bit-identical doubles — no
+    * rounding slop hiding an off-by-one rank. Scale posture: exact
+    * interpolated percentiles materialize per-group sorted values —
+    * right for bounded group cardinality like this 6-group summary;
+    * corpus-wide percentile cuts use the value-domain histogram walk
+    * (q42 / i77) instead.
+    */
+  val q75PercentileCont = Q(
+    "q75_percentile_cont",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("l_returnflag", "l_linestatus",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("percentile(price_c, array(0.25D, 0.5D, 0.75D))").as("ps"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          expr("ps[0] / 100").as("p25"),
+          expr("ps[1] / 100").as("p50"),
+          expr("ps[2] / 100").as("p75"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""WITH f AS (SELECT l_returnflag, l_linestatus,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+                  FROM lineitem),
+            q AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+                    quantile_cont(price_c, [0.25, 0.5, 0.75]) AS qs
+                  FROM f GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus, n,
+                   qs[1] / 100 AS p25, qs[2] / 100 AS p50, qs[3] / 100 AS p75
+            FROM q ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Recursive CTE (`WITH RECURSIVE`, Spark 4's UnionLoop): every
+    * customer key walks its div-10 ancestor chain to the root — the
+    * hierarchy/reachability shape (org charts, BOM explosions,
+    * referral chains) that pre-4.x Spark needed driver-side loops
+    * for. Each iteration is a narrow projection + filter (no join, no
+    * shuffle inside the loop) and the frontier shrinks monotonically;
+    * depth grows with log₁₀(maxkey), so the loop count is scale-safe
+    * at any corpus size. One aggregate over all visited states pins
+    * every level's population and both checksums.
+    */
+  val q76RecursiveCte = Q(
+    "q76_recursive_cte",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("q76_customer")
+      s.sql("""WITH RECURSIVE walk(start, cur, depth) AS (
+            SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM q76_customer
+            UNION ALL
+            SELECT start, cur div 10, depth + 1 FROM walk WHERE cur >= 10)
+          SELECT depth, count(*) AS n,
+                 sum(start) AS sum_start, sum(cur) AS sum_cur
+          FROM walk GROUP BY depth ORDER BY depth""")
+    },
+    Some("""WITH RECURSIVE walk(start, cur, depth) AS (
+            SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT start, cur // 10, depth + 1 FROM walk WHERE cur >= 10)
+            SELECT depth, count(*) AS n,
+                   CAST(sum(start) AS BIGINT) AS sum_start,
+                   CAST(sum(cur) AS BIGINT) AS sum_cur
+            FROM walk GROUP BY depth ORDER BY depth"""))
 
   /** TPC-H Q5 shape — the 6-way snowflake join (lineitem ⋈ orders ⋈
     * customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
