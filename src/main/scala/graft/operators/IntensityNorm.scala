@@ -67,13 +67,16 @@ object IntensityNorm {
   /** Otsu threshold scoring table: for every candidate threshold t
     * with both classes non-empty (background v < t, foreground
     * v ≥ t), the between-class variance in exact milli units —
-    * score(t) = (s0·n1 − s1·n0)² · 1000 / (n0·n1·N²) normalized form
-    * is equivalent for the argmax to diff²·1000 div (n0·n1), which is
-    * what both this and the SQL oracle compute (floor division, ties
-    * to the SMALLEST t). The histogram is the same bounded
+    * score(t) = (s0·n1 − s1·n0)² · 1000 / (n0·n1·N²), the classical
+    * w0·w1·(μ0−μ1)² form (floor division, ties to the SMALLEST t),
+    * which the SQL oracle replays bit-identically. The N² normalizer
+    * bounds the score by 250·Vmax² — it fits a Long for every
+    * integral dtype at any volume size, unlike the un-normalized
+    * diff²/(n0·n1) which wraps past ~750k uint8 voxels; a require
+    * guards the narrowing anyway. The histogram is the same bounded
     * distributed job as [[percentilesMilli]]; the per-threshold walk
-    * is value-domain-sized driver arithmetic over BigInt (overflow-
-    * safe at any N), emitted back as a DataFrame.
+    * is value-domain-sized driver arithmetic over BigInt, emitted
+    * back as a DataFrame.
     */
   def otsuTable(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
       meta: ImageMeta): org.apache.spark.sql.DataFrame = {
@@ -107,7 +110,9 @@ object IntensityNorm {
       val s1 = totalSum - s0
       if (n1 > 0) {
         val diff = BigInt(s0) * n1 - BigInt(s1) * n0
-        val score = (diff * diff * 1000) / (BigInt(n0) * n1)
+        val score = (diff * diff * 1000) /
+          (BigInt(n0) * n1 * total * total)
+        require(score.isValidLong, s"otsu score overflow at t=$t")
         rows += ((t, n0, n1, s0, s1, score.toLong))
       }
     }

@@ -106,6 +106,8 @@ object Avi {
     */
   def encodeSyntheticMjpegCut(id: Long, nFrames: Int): Array[Byte] = {
     require(nFrames >= 3, s"need >= 3 frames to plant an interior cut, got $nFrames")
+    // the no-wrap invariant above (63 + 11·(n−1) + 100 ≤ 255) caps n
+    require(nFrames <= 9, s"luma ramp wraps past 9 frames, got $nFrames")
     val cut = (id % (nFrames - 2)).toInt + 1
     encodeFrames(nFrames, (f, b) =>
       ((id * 37 + b * 29) % 64 + f * 11 + (if (f >= cut) 100 else 0)).toInt)

@@ -23,8 +23,17 @@ object Privacy {
     * rows: every quasi-id column of such rows generalizes to `"*"`.
     * Non-key columns pass through untouched; output column order is
     * the input's, with quasi-ids cast to string (the generalized
-    * domain). The released table then satisfies k-anonymity on
-    * `keys` by construction.
+    * domain).
+    *
+    * Semantics of the `"*"` rows: `"*"` is the FULLY GENERALIZED
+    * value — it matches every value of that attribute, so a record
+    * suppressed to all-`"*"` is indistinguishable from any released
+    * record and the output satisfies k-anonymity under that standard
+    * generalization-lattice reading. Under the stricter literal
+    * reading where `"*"` only equals `"*"`, the suppressed rows form
+    * their own equivalence class which can itself hold fewer than k
+    * rows; callers who need that property should drop groups with
+    * `__group_n < k` instead of generalizing them.
     */
   def kAnonymize(df: DataFrame, keys: Seq[String], k: Long): DataFrame = {
     require(keys.nonEmpty, "kAnonymize needs at least one quasi-identifier")

@@ -66,8 +66,12 @@ object Profile {
       .select(col("col_name"), col("n_distinct"),
         col("v").as("top_val"), col("vn").as("top_n"))
 
-    basic.join(top, Seq("col_name"))
-      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
-        col("min_s"), col("max_s"), col("top_val"), col("top_n"))
+    // LEFT join: an all-NULL column has no pass-2 rows but must still
+    // report (n_nulls = n_rows, n_distinct = 0) rather than vanish
+    basic.join(top, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_s"), col("max_s"), col("top_val"),
+        coalesce(col("top_n"), lit(0L)).as("top_n"))
   }
 }

@@ -780,8 +780,10 @@ object Imaging extends QModule {
   /** Otsu threshold selection ([[graft.operators.IntensityNorm
     * .otsuTable]]): the auto-binarization step ahead of the CCL
     * surface (i74–i76). Between-class variance scored in EXACT
-    * integer milli — diff²·1000 div (n0·n1) with BigInt/HUGEINT
-    * intermediates, ties to the smallest threshold — so the argmax is
+    * integer milli — the classical diff²·1000 div (n0·n1·N²) form
+    * with BigInt/HUGEINT intermediates (the N² normalizer keeps the
+    * score Long-safe at any volume size), ties to the smallest
+    * threshold — so the argmax is
     * bit-identical on both engines, never a float variance race. The
     * gate emits the top-5 scored thresholds; the oracle replays the
     * cumulative-histogram candidate walk.
@@ -806,8 +808,10 @@ object Imaging extends QModule {
                      FROM cum)
             SELECT t, n0, n1, s0, s1,
                    CAST(CAST(s0 * n1 - s1 * n0 AS HUGEINT)
-                        * (s0 * n1 - s1 * n0) * 1000 // (n0 * n1) AS BIGINT)
-                     AS score_milli
+                        * (s0 * n1 - s1 * n0) * 1000
+                        // (CAST(n0 AS HUGEINT) * n1
+                            * (SELECT n FROM tot) * (SELECT n FROM tot))
+                     AS BIGINT) AS score_milli
             FROM cand WHERE n1 > 0
             ORDER BY score_milli DESC, t LIMIT 5"""))
 

@@ -3760,7 +3760,9 @@ object Pipeline extends QModule {
   val q53OrcRoundtrip = Q(
     "q53_orc_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("q53_orc").toString
+      // applicationId-keyed path (like q55/q67): repeated bench runs
+      // overwrite in place instead of accumulating /tmp ORC copies
+      val tmp = s"/tmp/graft_q53_orc_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       docs(s, dir).write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .filter(col("n_chars") >= 200)

@@ -89,7 +89,8 @@ class IntensityNormSpec extends SparkSpec {
       val n0 = longs.count(_ < t).toLong
       val s0 = longs.filter(_ < t).sum
       val diff = BigInt(s0) * (total - n0) - BigInt(totalSum - s0) * n0
-      val want = ((diff * diff * 1000) / (BigInt(n0) * (total - n0))).toLong
+      val want = ((diff * diff * 1000) /
+        (BigInt(n0) * (total - n0) * total * total)).toLong
       assert(got(t) == want, s"t=$t")
     }
   }

@@ -29,6 +29,18 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[String]("top_val") == "a" && r.getAs[Long]("top_n") == 2)
   }
 
+  test("all-NULL column still emits its row: n_nulls=n_rows, n_distinct=0") {
+    val df = Seq((1, None: Option[String]), (2, None), (3, None))
+      .toDF("a", "s")
+    val rows = Profile.profile(df, Seq("a", "s")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 2, "the all-NULL column must not vanish")
+    val s = rows("s")
+    assert(s.getAs[Long]("n_rows") == 3 && s.getAs[Long]("n_nulls") == 3)
+    assert(s.getAs[Long]("n_distinct") == 0 && s.getAs[Long]("top_n") == 0)
+    assert(s.getAs[String]("top_val") == null)
+  }
+
   test("multi-column profile keeps columns independent; unknown column refuses") {
     val df = Seq((1, "x"), (2, "x"), (3, "y")).toDF("a", "b")
     val rows = Profile.profile(df, Seq("a", "b")).collect()
