@@ -9,13 +9,21 @@ import org.apache.spark.sql.functions._
   * this LEARNS the vocabulary).
   *
   * Scale posture: the corpus-sized pass happens exactly once (word
-  * histogram). The merge loop iterates over the DISTINCT-WORD table
-  * only — at 100 TB that is ~10^8 rows against ~10^11 documents, a
-  * 1000x reduction — with one shuffle per merge (pair count + argmax)
-  * and a map-side merge application. Driver traffic per iteration is
-  * ONE row (the winning pair). Encoding reuses the same trick:
-  * distinct words are tokenized once, then joined back to occurrences,
-  * so the per-word merge scan never repeats per occurrence.
+  * histogram), and NOTHING else scales with the corpus. [[train]]
+  * caps the histogram to the `topWords` most frequent words (top-K is
+  * a TakeOrdered, no global sort) and runs the merge loop driver-side
+  * with incremental pair counts and a lazily-validated heap — the
+  * classic subword trainer shape, because a production vocabulary is
+  * 30k–50k merges and one Spark job per merge is not a runnable plan
+  * at that depth. 10^6 (word, count) rows is a few hundred MB of
+  * driver state; each merge touches only the words containing the
+  * winning pair. [[trainDistributed]] keeps the original
+  * one-aggregation-per-merge loop as the executable semantic spec —
+  * `BpeSpec` pins the two trainers merge-for-merge, and the
+  * [[BpeRehearsal]] re-pins the first merges at 200k docs every
+  * bench round. Encoding reuses the distinct-word trick: distinct
+  * words are tokenized once, then joined back to occurrences, so the
+  * per-word merge scan never repeats per occurrence.
   *
   * Merge-application semantics are Sennrich's reference `apply_bpe`
   * (arXiv:1508.07909): merges apply in training order; within one
@@ -30,13 +38,130 @@ object Bpe {
   private def words(docs: DataFrame, textCol: String) =
     filter(split(col(textCol), "\\s+"), w => length(w) > 0)
 
-  /** Learn `nMerges` merges. Deterministic: ties on pair count break
-    * to the lexicographically smallest (left, right). Each iteration
-    * is one aggregation job over the distinct-word histogram; the
-    * symbols table is localCheckpoint'ed every 8 merges so lineage
-    * (and recomputation) cannot grow with the merge count.
+  /** Learn `nMerges` merges — the production path. ONE distributed
+    * job builds the word histogram, capped to the `topWords` most
+    * frequent words (deterministic: count desc, word asc) above the
+    * `minCount` floor; the merge loop then runs driver-side over that
+    * bounded state via [[trainOnHistogram]]. Deterministic: ties on
+    * pair count break to the lexicographically smallest (left,
+    * right) — identical semantics to [[trainDistributed]], which
+    * `BpeSpec` proves merge-for-merge. The default cap (2^20 words,
+    * no count floor) leaves any gate-scale corpus uncapped; at 100 TB
+    * the cap is the point — rare-word mass contributes negligibly to
+    * pair statistics, exactly the trade production tokenizer trainers
+    * make.
     */
-  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      topWords: Int = 1 << 20, minCount: Long = 1L): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(topWords > 0, s"topWords must be positive, got $topWords")
+    val hist = docs
+      .select(explode(words(docs, textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(topWords)
+      .as[(String, Long)]
+      .collect()
+    trainOnHistogram(hist.toIndexedSeq, nMerges)
+  }
+
+  /** Driver-side incremental trainer over a (word, count) histogram:
+    * pair counts and a pair→words index update only for the words
+    * containing each winning pair (O(Σ affected word length) per
+    * merge), with a lazily-validated max-heap for the argmax — stale
+    * entries are discarded on pop by comparing against the live
+    * count. Stops early when no pair reaches count 2, like both
+    * Spark trainers.
+    */
+  private[graft] def trainOnHistogram(hist: IndexedSeq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val nW = hist.length
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      Array.tabulate(nW)(i => mutable.ArrayBuffer(hist(i)._1.map(_.toString): _*))
+    val freqs: Array[Long] = Array.tabulate(nW)(i => hist(i)._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def pairsOf(s: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
+
+    var i = 0
+    while (i < nW) {
+      pairsOf(syms(i)).foreach { p =>
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + freqs(i))
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(1, pairCounts.size),
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) c
+          else {
+            val ca = x._2.compareTo(y._2)
+            if (ca != 0) ca else x._3.compareTo(y._3)
+          }
+        }
+      })
+    pairCounts.foreach { case ((a, b), n) => heap.add((n, a, b)) }
+
+    val merges = Seq.newBuilder[(String, String)]
+    var made = 0
+    var done = false
+    while (made < nMerges && !done) {
+      var best: (Long, String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCounts.getOrElse((e._2, e._3), 0L) == e._1) best = e
+      }
+      if (best == null || best._1 < 2) done = true
+      else {
+        val (_, a, b) = best
+        merges += ((a, b))
+        val affected = pairWords.getOrElse((a, b), mutable.Set.empty).toArray
+        val changed = mutable.HashSet.empty[(String, String)]
+        affected.foreach { wi =>
+          val f = freqs(wi)
+          pairsOf(syms(wi)).foreach { p =>
+            val nn = pairCounts(p) - f
+            if (nn == 0L) pairCounts.remove(p) else pairCounts.update(p, nn)
+            changed += p
+            pairWords.get(p).foreach(_ -= wi)
+          }
+          val merged = mutable.ArrayBuffer(mergeOnce(syms(wi).toSeq, a, b): _*)
+          syms(wi) = merged
+          pairsOf(merged).foreach { p =>
+            pairCounts.update(p, pairCounts.getOrElse(p, 0L) + f)
+            changed += p
+            pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+          }
+        }
+        changed.foreach(p =>
+          pairCounts.get(p).foreach(n => heap.add((n, p._1, p._2))))
+        made += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The original one-Spark-job-per-merge trainer, kept as the
+    * EXECUTABLE SEMANTIC SPEC of [[train]] (BpeSpec pins them
+    * merge-for-merge; [[BpeRehearsal]] re-pins the head of the merge
+    * list at 200k docs). Fine for a handful of merges; at production
+    * vocabulary depth (30k–50k merges) use [[train]]. Deterministic:
+    * ties on pair count break to the lexicographically smallest
+    * (left, right). Each iteration is one aggregation job over the
+    * distinct-word histogram; the symbols table is
+    * localCheckpoint'ed every 8 merges so lineage (and recomputation)
+    * cannot grow with the merge count.
+    */
+  def trainDistributed(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     var syms: Dataset[(Seq[String], Long)] = docs

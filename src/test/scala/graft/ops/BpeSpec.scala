@@ -34,7 +34,7 @@ class BpeSpec extends SparkSpec {
     merges.result()
   }
 
-  test("distributed trainer matches the in-memory reference merge-for-merge") {
+  test("capped-histogram trainer matches the in-memory reference merge-for-merge") {
     val corpus = Seq(
       "low low low low low", "lower lower newest newest",
       "newest newest newest newest", "widest widest widest",
@@ -47,10 +47,38 @@ class BpeSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._1.nonEmpty)
   }
 
+  test("driver trainer == distributed spec trainer, incl. overlap pathologies") {
+    // 'aaaa'/'aaa' exercise position-multiplicity pair counts and the
+    // left-to-right non-overlapping merge; the mixed tail exercises
+    // count changes cascading through the incremental bookkeeping
+    val corpus = Seq(
+      "aaaa aaa aaaa aa", "abab abab ababab", "banana banana bandana",
+      "aaaa abab banana", "cccc cccc cc cc cc")
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val driver = Bpe.train(docs, nMerges = 15)
+    val dist = Bpe.trainDistributed(docs, nMerges = 15)
+    assert(driver == dist)
+    assert(driver == refTrain(corpus, nMerges = 15))
+  }
+
   test("trainer stops early when no pair repeats") {
     import spark.implicits._
     val docs = Seq((0L, "ab cd ef")).toDF("doc_id", "text")
     assert(Bpe.train(docs, nMerges = 5).isEmpty)
+    assert(Bpe.trainDistributed(docs, nMerges = 5).isEmpty)
+  }
+
+  test("topWords cap and minCount floor restrict which words feed pair counts") {
+    import spark.implicits._
+    // 'zz' x3 dominates; 'qy' x2 is next; 'pp' appears once
+    val docs = Seq((0L, "zz zz zz qy qy pp")).toDF("doc_id", "text")
+    // cap to the single most frequent word: only (z,z) is countable
+    assert(Bpe.train(docs, nMerges = 5, topWords = 1) == Seq(("z", "z")))
+    // count floor 3 drops 'qy' and 'pp' the same way
+    assert(Bpe.train(docs, nMerges = 5, minCount = 3L) == Seq(("z", "z")))
+    // uncapped learns both repeated pairs
+    assert(Bpe.train(docs, nMerges = 5) == Seq(("z", "z"), ("q", "y")))
   }
 
   test("encodeWord: concatenation invariant and merge-order semantics") {
