@@ -268,6 +268,19 @@ object Cli {
         val img = graft.operators.NiftiIO.read(spark, input)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
+          if (input.contains("*") || input.contains(",")) &&
+            input.split(",").forall(p => Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm")
+              .exists(p.trim.toLowerCase.endsWith)) =>
+        // a glob (`lung_series/*.png`) or comma list of 2-D slices is
+        // an image series: distributed file-per-slice stack to (z,y,x)
+        // (reference `cli_input_to_ngff_image.py:50-57`)
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: image-series inputs are single-scale (only 0 is valid)")
+        val parts =
+          if (input.contains(",")) input.split(",").toSeq.map(_.trim) else Seq(input)
+        val img = graft.operators.Image2dIO.readSeries(spark, parts)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif")
             .exists(input.toLowerCase.endsWith) =>
         // 2-D bitmaps decode through the multimodal image stack
@@ -325,6 +338,15 @@ object Cli {
         require(opts.get("output-scale").forall(_.toInt == 0),
           "--output-scale: DICOM inputs are single-scale (only 0 is valid)")
         val img = graft.operators.DicomIO.readSeriesDir(spark, input)
+        MultiscaleBuilder.Level(img.meta, img.chunks)
+      case _ if new java.io.File(input).isDirectory &&
+          Option(new java.io.File(input).list())
+            .exists(_.exists(n => Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm")
+              .exists(n.toLowerCase.endsWith))) =>
+        // a directory of bitmap slices stacks the same way a glob does
+        require(opts.get("output-scale").forall(_.toInt == 0),
+          "--output-scale: image-series inputs are single-scale (only 0 is valid)")
+        val img = graft.operators.Image2dIO.readSeries(spark, Seq(input))
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case other => throw new UnsupportedOperationException(
         s"backend $other needs native image codecs not present here; " +

@@ -47,7 +47,7 @@ object Imaging extends QModule {
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
-    i81Pyramid3dMetadata, i82UpsampleNearest)
+    i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -958,4 +958,61 @@ object Imaging extends QModule {
             SELECT y, CAST(sum(v) AS BIGINT) AS up_sum,
                    CAST(sum(v * (x + 1)) AS BIGINT) AS up_check
             FROM ups GROUP BY y ORDER BY y"""))
+
+  /** S10 — 2-D image-series glob ingestion ([[graft.operators
+    * .Image2dIO.readSeries]]): six PNG slices written at runtime,
+    * stacked to a (z, y, x) volume through the glob → sorted →
+    * distributed file-per-slice decode path — the reference's
+    * lung_series PNG-glob shape (`cli_input_to_ngff_image.py:50-57`,
+    * default dims `to_ngff_image.py:61-68`). Per-slice sums plus a
+    * position-weighted checksum, with the stack geometry as columns;
+    * a mis-sorted glob, a dropped slice, or a transposed axis
+    * hash-mismatches against the closed-form oracle.
+    */
+  val i83ImageSeries = Q(
+    "i83_image_series",
+    (s, _) => {
+      val (w, h, nz) = (12, 10, 6)
+      // applicationId-keyed path: bench re-runs overwrite in place
+      val dir = java.nio.file.Paths.get(
+        s"/tmp/graft_i83_${s.sparkContext.applicationId}")
+      java.nio.file.Files.createDirectories(dir)
+      (0 until nz).foreach { z =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (x * 3 + y * 7 + z * 31) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        val os = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", os)
+        java.nio.file.Files.write(dir.resolve(f"slice_$z%02d.png"), os.toByteArray)
+      }
+      val img = graft.operators.Image2dIO.readSeries(s, Seq(s"$dir/*.png"))
+      ChunkOps.voxelView(s, img.chunks, img.meta)
+        .groupBy(col("z"))
+        .agg(sum(col("value")).cast("bigint").as("slab_sum"),
+          sum(col("value") * (col("y") * 37 + col("x") * 11))
+            .cast("bigint").as("slab_wsum"))
+        .withColumn("n_z", lit(img.meta.shape(0)))
+        .withColumn("n_y", lit(img.meta.shape(1)))
+        .withColumn("n_x", lit(img.meta.shape(2)))
+        .orderBy(col("z"))
+    },
+    Some("""WITH vox AS (
+              SELECT i % 12 AS x, (i // 12) % 10 AS y, i // 120 AS z,
+                     CAST(((i % 12) * 3 + ((i // 12) % 10) * 7
+                           + (i // 120) * 31) % 256 AS DOUBLE) AS v
+              FROM range(720) r(i))
+            SELECT z, CAST(sum(v) AS BIGINT) AS slab_sum,
+                   CAST(sum(v * (y * 37 + x * 11)) AS BIGINT) AS slab_wsum,
+                   CAST(6 AS BIGINT) AS n_z, CAST(10 AS BIGINT) AS n_y,
+                   CAST(12 AS BIGINT) AS n_x
+            FROM vox GROUP BY z ORDER BY z"""))
 }

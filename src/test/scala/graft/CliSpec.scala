@@ -104,6 +104,30 @@ class CliSpec extends SparkSpec {
     assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == want)
   }
 
+  test("PNG series glob converts end-to-end to a (z, y, x) store") {
+    val w = 6; val h = 4; val nz = 3
+    val dir = Files.createTempDirectory("cli-series")
+    (0 until nz).foreach { z =>
+      val buf = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = buf.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        raster.setSample(x, y, 0, (x * 5 + y * 9 + z * 23) % 256)
+      val os = java.nio.file.Files.newOutputStream(dir.resolve(f"sl$z%02d.png"))
+      javax.imageio.ImageIO.write(buf, "png", os); os.close()
+    }
+    val out = Files.createTempDirectory("cli-out").toString + "/series.ome.zarr"
+    Cli.run(spark, Array(s"$dir/*.png", out))
+    val back = OmeZarrIO.readMultiscales(spark, out)
+    val l0 = back.levels.head
+    assert(l0.meta.dims == Seq("z", "y", "x"))
+    assert(l0.meta.shape == Seq(nz.toLong, h.toLong, w.toLong))
+    assert(l0.meta.scale == Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0))
+    val want = for (z <- 0 until nz; y <- 0 until h; x <- 0 until w)
+      yield ((x * 5 + y * 9 + z * 23) % 256).toDouble
+    assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == want)
+  }
+
   test("corpus-build subcommand runs the crawl pipeline end to end") {
     val crawl = java.nio.file.Files.createTempDirectory("cli_crawl").toString
     graft.sources.CrawlRehearsal.writeCrawl(spark, crawl, 100L, nArchives = 2)

@@ -55,4 +55,61 @@ class Image2dIOSpec extends SparkSpec {
     java.nio.file.Files.write(p, Array[Byte](1, 2, 3, 4))
     intercept[UnsupportedOperationException](Image2dIO.read(spark, p.toString))
   }
+
+  private def writeGrayPng(dir: java.nio.file.Path, name: String, w: Int, h: Int,
+      level: (Int, Int) => Int): Unit = {
+    val buf = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = buf.getRaster
+    for (y <- 0 until h; x <- 0 until w) raster.setSample(x, y, 0, level(x, y))
+    val os = java.nio.file.Files.newOutputStream(dir.resolve(name))
+    javax.imageio.ImageIO.write(buf, "png", os); os.close()
+  }
+
+  test("series glob stacks slices to (z, y, x) in sorted filename order") {
+    val w = 5; val h = 4
+    val dir = java.nio.file.Files.createTempDirectory("series")
+    // write out of order; the glob must stack sorted (s00, s01, s02)
+    Seq(2, 0, 1).foreach { z =>
+      writeGrayPng(dir, f"s$z%02d.png", w, h, (x, y) => (x * 3 + y * 7 + z * 31) % 256)
+    }
+    val img = Image2dIO.readSeries(spark, Seq(s"$dir/*.png"))
+    assert(img.meta.dims == Seq("z", "y", "x"))
+    assert(img.meta.shape == Seq(3L, h.toLong, w.toLong))
+    assert(img.meta.dtype == "uint8")
+    assert(img.meta.scale == Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (z <- 0 until 3; y <- 0 until h; x <- 0 until w)
+      assert(got((z * h + y) * w + x) == ((x * 3 + y * 7 + z * 31) % 256).toDouble,
+        s"($z,$y,$x)")
+  }
+
+  test("explicit slice list keeps the caller's order; directory input stacks sorted") {
+    val w = 3; val h = 2
+    val dir = java.nio.file.Files.createTempDirectory("series2")
+    Seq(0, 1).foreach { z =>
+      writeGrayPng(dir, s"a$z.png", w, h, (x, y) => z * 100 + y * w + x)
+    }
+    // reversed explicit list: slice a1 must land at z=0
+    val rev = Image2dIO.readSeries(spark,
+      Seq(s"$dir/a1.png", s"$dir/a0.png"))
+    val got = ChunkOps.toArray(rev.chunks, rev.meta)
+    assert(got(0) == 100.0 && got(h * w) == 0.0)
+    // directory form behaves like the glob
+    val fromDir = Image2dIO.readSeries(spark, Seq(dir.toString))
+    assert(ChunkOps.toArray(fromDir.chunks, fromDir.meta)(0) == 0.0)
+  }
+
+  test("ragged series and empty globs refuse loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("series3")
+    writeGrayPng(dir, "s0.png", 4, 3, (x, y) => x + y)
+    writeGrayPng(dir, "s1.png", 5, 3, (x, y) => x + y) // wrong width
+    val ragged = Image2dIO.readSeries(spark, Seq(s"$dir/*.png"))
+    intercept[org.apache.spark.SparkException] {
+      ChunkOps.toArray(ragged.chunks, ragged.meta)
+    }
+    intercept[IllegalArgumentException] {
+      Image2dIO.readSeries(spark, Seq(s"$dir/none_*.png"))
+    }
+  }
 }
