@@ -8,15 +8,20 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
 
 /** S10 — constrained pure-JVM DICOM reader (.dcm): the clinical
   * format the reference ingests through itkwasm/itk
-  * (`py/ngff_zarr/detect_cli_io_backend.py:38`). Scope is the
-  * UNCOMPRESSED transfer syntaxes, where pixel bytes are spec-exact
-  * on the JVM:
-  *   - 1.2.840.10008.1.2     Implicit VR Little Endian
-  *   - 1.2.840.10008.1.2.1   Explicit VR Little Endian
-  *   - 1.2.840.10008.1.2.2   Explicit VR Big Endian (retired but real)
-  * Compressed syntaxes (JPEG family, RLE) refuse loudly — same
-  * codec-scope posture as MP3/H.264 (COVERAGE.md): no silently-wrong
-  * pixels. MONOCHROME1/2, 8/16-bit, single-sample only; Rescale
+  * (`py/ngff_zarr/detect_cli_io_backend.py:38`). Decodable transfer
+  * syntaxes:
+  *   - 1.2.840.10008.1.2      Implicit VR Little Endian
+  *   - 1.2.840.10008.1.2.1    Explicit VR Little Endian
+  *   - 1.2.840.10008.1.2.2    Explicit VR Big Endian (retired but real)
+  *   - 1.2.840.10008.1.2.5    RLE Lossless (PS3.5 Annex G PackBits
+  *                            byte planes — spec-exact)
+  *   - 1.2.840.10008.1.2.4.50 JPEG Baseline, 8-bit, via the JDK
+  *                            codec (the common clinical-export
+  *                            syntax; lossy by nature)
+  * The remaining compressed syntaxes (JPEG-LS, JPEG 2000, 12-bit
+  * extended JPEG, deflate) refuse loudly — same codec-scope posture
+  * as MP3/H.264 (COVERAGE.md): no silently-wrong pixels.
+  * MONOCHROME1/2, 8/16-bit, single-sample only; Rescale
   * slope/intercept applies NIfTI-style (float32 output).
   *
   * Shapes: one multi-frame file → (x, y, z=frames); a SERIES directory
@@ -32,8 +37,14 @@ object DicomIO {
   private val ImplicitLE = "1.2.840.10008.1.2"
   private val ExplicitLE = "1.2.840.10008.1.2.1"
   private val ExplicitBE = "1.2.840.10008.1.2.2"
+  private val JpegBaseline = "1.2.840.10008.1.2.4.50"
+  private val RleLossless = "1.2.840.10008.1.2.5"
 
-  /** The per-file facts the reader extracts (header-only pass). */
+  /** The per-file facts the reader extracts (header-only pass).
+    * Encapsulated syntaxes (JPEG baseline, RLE) carry their per-frame
+    * fragment table; native syntaxes leave it empty and use
+    * `pixelDataOffset + frame·frameBytes` positioned reads.
+    */
   final case class SliceMeta(
       rows: Int, cols: Int, bitsAllocated: Int, signed: Boolean,
       samples: Int, photometric: String, nFrames: Int,
@@ -42,7 +53,8 @@ object DicomIO {
       instanceNumber: Int, ippZ: Double,
       slope: Double, inter: Double,
       transferSyntax: String, pixelDataOffset: Long, pixelDataLength: Long,
-      bigEndianData: Boolean)
+      bigEndianData: Boolean,
+      fragOffsets: Seq[Long] = Nil, fragLengths: Seq[Long] = Nil)
 
   // ------------------------------------------------------------ parsing
 
@@ -113,13 +125,17 @@ object DicomIO {
       pos = voff + vlen.toInt
     }
     require(transferSyntax.nonEmpty, "DICOM file meta without TransferSyntaxUID")
+    // encapsulated syntaxes use the default (explicit LE) dataset VR
+    val encapsulated =
+      transferSyntax == JpegBaseline || transferSyntax == RleLossless
     val (explicitVr, be) = transferSyntax match {
       case ImplicitLE => (false, false)
       case ExplicitLE => (true, false)
       case ExplicitBE => (true, true)
+      case JpegBaseline | RleLossless => (true, false)
       case other => throw new UnsupportedOperationException(
-        s"DICOM transfer syntax $other unsupported (compressed pixel data needs " +
-          "native codecs; supported: implicit/explicit LE, explicit BE)")
+        s"DICOM transfer syntax $other unsupported (decodable here: " +
+          "implicit/explicit LE, explicit BE, JPEG baseline, RLE lossless)")
     }
 
     var rows = -1; var cols = -1; var bits = -1; var signed = false
@@ -127,6 +143,8 @@ object DicomIO {
     var psRow = 1.0; var psCol = 1.0; var thick = 1.0; var between = 0.0
     var instance = 0; var ippZ = 0.0; var slope = 1.0; var inter = 0.0
     var pdOff = -1L; var pdLen = -1L
+    val fragOffs = Seq.newBuilder[Long]
+    val fragLens = Seq.newBuilder[Long]
 
     while (pdOff < 0 && pos + 8 <= bytes.length) {
       val (g, e, vr, voff, vlen) = element(bytes, pos, explicitVr, be)
@@ -148,9 +166,32 @@ object DicomIO {
         case (0x0028, 0x1053) => slope = str.toDouble
         case (0x0028, 0x1052) => inter = str.toDouble
         case (0x7fe0, 0x0010) =>
-          require(vlen != 0xffffffffL, "encapsulated (compressed) PixelData " +
-            "unsupported — transfer syntax lied or file malformed")
-          pdOff = voff.toLong; pdLen = vlen
+          if (encapsulated) {
+            require(vlen == 0xffffffffL,
+              s"$transferSyntax PixelData must be encapsulated (undefined length)")
+            // item walk: first item is the Basic Offset Table (maybe
+            // empty), every later item is one fragment
+            var p = voff
+            var sawBot = false
+            var open = true
+            while (open) {
+              require(p + 8 <= bytes.length, "unterminated encapsulated PixelData")
+              val (ig, ie, _, ivoff, ivlen) = element(bytes, p, explicitVr = false, be = false)
+              if (ig == 0xfffe && ie == 0xe0dd) open = false
+              else {
+                require(ig == 0xfffe && ie == 0xe000,
+                  f"expected fragment item, got ($ig%04x,$ie%04x)")
+                if (!sawBot) sawBot = true // Basic Offset Table: skip
+                else { fragOffs += ivoff.toLong; fragLens += ivlen }
+                p = ivoff + ivlen.toInt
+              }
+            }
+            pdOff = voff.toLong; pdLen = fragLens.result().sum
+          } else {
+            require(vlen != 0xffffffffL, "encapsulated (compressed) PixelData " +
+              "unsupported — transfer syntax lied or file malformed")
+            pdOff = voff.toLong; pdLen = vlen
+          }
         case _ => ()
       }
       pos =
@@ -166,11 +207,21 @@ object DicomIO {
     require(samples == 1, s"SamplesPerPixel $samples unsupported (grayscale only)")
     require(photometric == "MONOCHROME1" || photometric == "MONOCHROME2",
       s"PhotometricInterpretation '$photometric' unsupported")
-    require(pdLen >= rows.toLong * cols * nFrames * (bits / 8),
-      s"PixelData length $pdLen shorter than ${rows}x${cols}x$nFrames frames")
+    val frags = fragOffs.result()
+    if (encapsulated) {
+      require(frags.length == nFrames,
+        s"$transferSyntax: ${frags.length} fragments for $nFrames frames — " +
+          "multi-fragment frames unsupported")
+      require(transferSyntax != JpegBaseline || bits == 8,
+        "JPEG baseline is 8-bit; 12-bit extended JPEG unsupported")
+    } else {
+      require(pdLen >= rows.toLong * cols * nFrames * (bits / 8),
+        s"PixelData length $pdLen shorter than ${rows}x${cols}x$nFrames frames")
+    }
     SliceMeta(rows, cols, bits, signed, samples, photometric, nFrames,
       psRow, psCol, thick, between, instance, ippZ, slope, inter,
-      transferSyntax, pdOff, pdLen, bigEndianData = be)
+      transferSyntax, pdOff, pdLen, bigEndianData = be,
+      fragOffsets = frags, fragLengths = fragLens.result())
   }
 
   private def dtypeOf(m: SliceMeta): String = (m.bitsAllocated, m.signed) match {
@@ -257,18 +308,39 @@ object DicomIO {
     val itemSize = first.bitsAllocated / 8
     // pass 2 (distributed): every (file, z) positioned-reads ONLY its
     // own frame — pass 1 already collected each file's PixelData
-    // offset, so tasks ship it instead of re-reading whole files
-    val tasks: Seq[(String, Int, Int, Long)] = // (path, frame, zIndex, pdOffset)
+    // offset (or encapsulated fragment table), so tasks ship a
+    // (offset, length, decode-mode) instead of re-reading whole files
+    def mode(m: SliceMeta): Int = m.transferSyntax match {
+      case JpegBaseline => 1
+      case RleLossless => 2
+      case _ => 0
+    }
+    def frameRange(m: SliceMeta, frame: Int): (Long, Long) =
+      if (m.fragOffsets.nonEmpty) (m.fragOffsets(frame), m.fragLengths(frame))
+      else {
+        val frameBytes = rows.toLong * cols * itemSize
+        (m.pixelDataOffset + frame * frameBytes, frameBytes)
+      }
+    val tasks: Seq[(String, Int, Long, Long, Int)] = // (path, z, off, len, mode)
       if (metas.length == 1)
-        (0 until nz).map(z => (ordered.head._1, z, z, ordered.head._2.pixelDataOffset))
-      else ordered.zipWithIndex.map { case ((p, m), z) => (p, 0, z, m.pixelDataOffset) }
+        (0 until nz).map { z =>
+          val (off, len) = frameRange(ordered.head._2, z)
+          (ordered.head._1, z, off, len, mode(ordered.head._2))
+        }
+      else ordered.zipWithIndex.map { case ((p, m), z) =>
+        val (off, len) = frameRange(m, 0)
+        (p, z, off, len, mode(m))
+      }
     val chunkRows = spark.createDataset(tasks)
       .repartition(math.min(tasks.length, spark.sparkContext.defaultParallelism))
-      .map { case (path, frame, z, pdOffset) =>
+      .map { case (path, z, off, len, decodeMode) =>
         val st = new ZarrStore(path, hconf)
-        val frameBytes = rows * cols * itemSize
-        val raw = st.readRange("", pdOffset + frame.toLong * frameBytes, frameBytes)
-        val px = ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
+        val raw = st.readRange("", off, len.toInt)
+        val px = decodeMode match {
+          case 1 => decodeJpegGray(raw, rows, cols)
+          case 2 => decodeRleFrame(raw, rows * cols, itemSize, srcDtype)
+          case _ => ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
+        }
         // DICOM rows are y-major; chunk payload is C-order over (x,y,z=1)
         val out = new Array[Double](rows * cols)
         var y = 0
@@ -288,7 +360,127 @@ object DicomIO {
     DicomImage(meta, chunkRows)
   }
 
+  // ---- encapsulated-frame decoders (JPEG baseline, RLE) ----
+
+  /** Decode one JPEG-baseline fragment to grayscale doubles via the
+    * JDK codec — the same `javax.imageio` path the TIFF compression-7
+    * reader uses, so no native codec dependency.
+    */
+  private[operators] def decodeJpegGray(frag: Array[Byte], rows: Int, cols: Int): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frag))
+    require(img != null, "JPEG fragment failed to decode")
+    require(img.getHeight == rows && img.getWidth == cols,
+      s"JPEG frame is ${img.getHeight}x${img.getWidth}, header says ${rows}x$cols")
+    val raster = img.getRaster
+    val out = new Array[Double](rows * cols)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) { out(y * cols + x) = raster.getSample(x, y, 0).toDouble; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** PS3.5 Annex G PackBits: n in [0,127] → copy n+1 literals;
+    * n in [-127,-1] → repeat next byte 1−n times; −128 → no-op.
+    */
+  private def packBitsDecode(b: Array[Byte], start: Int, end: Int,
+      out: Array[Byte]): Unit = {
+    var i = start
+    var o = 0
+    while (i < end && o < out.length) {
+      val n = b(i)
+      if (n >= 0) {
+        val run = n + 1
+        System.arraycopy(b, i + 1, out, o, math.min(run, out.length - o))
+        o += run; i += 1 + run
+      } else if (n != -128) {
+        val run = 1 - n
+        val v = b(i + 1)
+        var k = 0
+        while (k < run && o < out.length) { out(o) = v; o += 1; k += 1 }
+        i += 2
+      } else i += 1
+    }
+    require(o >= out.length, s"RLE segment short: $o of ${out.length} bytes")
+  }
+
+  /** Decode one RLE Lossless frame (PS3.5 Annex G): 64-byte header of
+    * 16 little-endian uint32s (segment count + 15 offsets), then one
+    * PackBits segment per byte plane, most significant byte first —
+    * so the composed stream is big-endian regardless of the dataset
+    * encoding.
+    */
+  private[operators] def decodeRleFrame(frag: Array[Byte], nPix: Int,
+      itemSize: Int, dtype: String): Array[Double] = {
+    require(frag.length >= 64, "RLE frame shorter than its 64-byte header")
+    def u32le(off: Int): Long = u32(frag, off, be = false)
+    val nSeg = u32le(0).toInt
+    require(nSeg == itemSize,
+      s"RLE frame has $nSeg segments for $itemSize-byte grayscale samples")
+    val offsets = (0 until nSeg).map(i => u32le(4 + 4 * i).toInt)
+    val composed = new Array[Byte](nPix * itemSize)
+    val seg = new Array[Byte](nPix)
+    var s = 0
+    while (s < nSeg) {
+      val end = if (s + 1 < nSeg) offsets(s + 1) else frag.length
+      packBitsDecode(frag, offsets(s), end, seg)
+      var p = 0
+      while (p < nPix) { composed(p * itemSize + s) = seg(p); p += 1 }
+      s += 1
+    }
+    ZarrStore.decodeToDoubles(composed, dtype, bigEndian = true)
+  }
+
   // ---- minimal encoder (fixtures + synthetic gate payloads) ----
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def shortEl(g: Int, e: Int, vr: String, value: Array[Byte]): Array[Byte] = {
+    // odd values pad to even length: UIDs with NUL, text VRs with space
+    val pad: Byte = if (vr == "UI") 0 else ' '.toByte
+    val padded = if (value.length % 2 == 1) value :+ pad else value
+    le16(g) ++ le16(e) ++ vr.getBytes("US-ASCII") ++ le16(padded.length) ++ padded
+  }
+  private def usEl(g: Int, e: Int, v: Int) = shortEl(g, e, "US", le16(v))
+  private def asciiEl(g: Int, e: Int, vr: String, s: String) =
+    shortEl(g, e, vr, s.getBytes("US-ASCII"))
+
+  /** Part 10 wrapper + common dataset elements shared by the three
+    * slice encoders; `pixelData` is the fully formed (7FE0,0010)
+    * element in whichever form the transfer syntax requires.
+    */
+  private def buildSlice(ts: String, bits: Int, signed: Boolean,
+      rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixelData: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes("US-ASCII"))
+    val tsEl = asciiEl(0x0002, 0x0010, "UI", ts)
+    out.write(shortEl(0x0002, 0x0000, "UL", le32(tsEl.length)))
+    out.write(tsEl)
+
+    out.write(asciiEl(0x0008, 0x0060, "CS", "OT"))
+    out.write(asciiEl(0x0018, 0x0050, "DS", sliceThickness.toString))
+    out.write(asciiEl(0x0020, 0x0013, "IS", instanceNumber.toString))
+    out.write(asciiEl(0x0020, 0x0032, "DS", s"0\\0\\$ippZ"))
+    out.write(usEl(0x0028, 0x0002, 1))
+    out.write(asciiEl(0x0028, 0x0004, "CS", "MONOCHROME2"))
+    out.write(usEl(0x0028, 0x0010, rows))
+    out.write(usEl(0x0028, 0x0011, cols))
+    out.write(asciiEl(0x0028, 0x0030, "DS",
+      s"${pixelSpacingRowCol._1}\\${pixelSpacingRowCol._2}"))
+    out.write(usEl(0x0028, 0x0100, bits))
+    out.write(usEl(0x0028, 0x0101, bits))
+    out.write(usEl(0x0028, 0x0102, bits - 1))
+    out.write(usEl(0x0028, 0x0103, if (signed) 1 else 0))
+    out.write(pixelData)
+    out.toByteArray
+  }
 
   /** One Explicit-VR-LE Part 10 slice with int16 pixels — the layout
     * every DICOM parser must accept. Used by the i68 gate and specs.
@@ -297,46 +489,106 @@ object DicomIO {
       pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
       pixels: Array[Short]): Array[Byte] = {
     require(pixels.length == rows * cols, "pixels != rows*cols")
-    val out = new java.io.ByteArrayOutputStream()
-    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def le32(v: Long): Array[Byte] = Array(
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def short(g: Int, e: Int, vr: String, value: Array[Byte]): Array[Byte] = {
-      // odd values pad to even length: UIDs with NUL, text VRs with space
-      val pad: Byte = if (vr == "UI") 0 else ' '.toByte
-      val padded = if (value.length % 2 == 1) value :+ pad else value
-      le16(g) ++ le16(e) ++ vr.getBytes("US-ASCII") ++ le16(padded.length) ++ padded
-    }
-    def us(g: Int, e: Int, v: Int) = short(g, e, "US", le16(v))
-    def asciiEl(g: Int, e: Int, vr: String, s: String) =
-      short(g, e, vr, s.getBytes("US-ASCII"))
-
-    out.write(new Array[Byte](128))
-    out.write("DICM".getBytes("US-ASCII"))
-    val tsEl = asciiEl(0x0002, 0x0010, "UI", ExplicitLE)
-    out.write(short(0x0002, 0x0000, "UL", le32(tsEl.length)))
-    out.write(tsEl)
-
-    out.write(asciiEl(0x0008, 0x0060, "CS", "OT"))
-    out.write(asciiEl(0x0018, 0x0050, "DS", sliceThickness.toString))
-    out.write(asciiEl(0x0020, 0x0013, "IS", instanceNumber.toString))
-    out.write(asciiEl(0x0020, 0x0032, "DS", s"0\\0\\$ippZ"))
-    out.write(us(0x0028, 0x0002, 1))
-    out.write(asciiEl(0x0028, 0x0004, "CS", "MONOCHROME2"))
-    out.write(us(0x0028, 0x0010, rows))
-    out.write(us(0x0028, 0x0011, cols))
-    out.write(asciiEl(0x0028, 0x0030, "DS",
-      s"${pixelSpacingRowCol._1}\\${pixelSpacingRowCol._2}"))
-    out.write(us(0x0028, 0x0100, 16))
-    out.write(us(0x0028, 0x0101, 16))
-    out.write(us(0x0028, 0x0102, 15))
-    out.write(us(0x0028, 0x0103, 1)) // signed
     val bb = ByteBuffer.allocate(pixels.length * 2).order(ByteOrder.LITTLE_ENDIAN)
     pixels.foreach(bb.putShort)
-    out.write(le16(0x7fe0) ++ le16(0x0010) ++ "OW".getBytes("US-ASCII") ++
-      Array[Byte](0, 0) ++ le32(pixels.length * 2L))
-    out.write(bb.array())
+    val pd = le16(0x7fe0) ++ le16(0x0010) ++ "OW".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ le32(pixels.length * 2L) ++ bb.array()
+    buildSlice(ExplicitLE, bits = 16, signed = true, rows, cols,
+      instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness, pd)
+  }
+
+  /** Encapsulated (7FE0,0010): OB undefined length, empty Basic
+    * Offset Table item, one fragment item per frame (even-padded),
+    * sequence delimiter.
+    */
+  private def encapsulate(fragments: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(le16(0x7fe0) ++ le16(0x0010) ++ "OB".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ le32(0xffffffffL))
+    out.write(le16(0xfffe) ++ le16(0xe000) ++ le32(0)) // empty BOT
+    fragments.foreach { f =>
+      val padded = if (f.length % 2 == 1) f :+ 0.toByte else f
+      out.write(le16(0xfffe) ++ le16(0xe000) ++ le32(padded.length.toLong))
+      out.write(padded)
+    }
+    out.write(le16(0xfffe) ++ le16(0xe0dd) ++ le32(0))
     out.toByteArray
+  }
+
+  /** PS3.5 Annex G PackBits encoder: runs of ≥3 replicate, the rest
+    * copy as literals of ≤128.
+    */
+  private[operators] def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(1 - run); out.write(data(i)); i += run
+      } else {
+        var lit = 0
+        val start = i
+        // literals extend until a ≥3 run starts or 128 bytes accrue
+        while (i < data.length && lit < 128 &&
+            !(i + 2 < data.length && data(i) == data(i + 1) && data(i) == data(i + 2))) {
+          i += 1; lit += 1
+        }
+        out.write(lit - 1)
+        out.write(data, start, lit)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** One RLE Lossless Part 10 slice with int16 pixels: two PackBits
+    * byte planes (MSB segment first per Annex G), 64-byte offset
+    * header, encapsulated fragments. Lossless — decodes bit-identical
+    * to the explicit-LE form, which is exactly what the i68 gate
+    * exploits by mixing both syntaxes in one series.
+    */
+  def encodeSliceRleInt16(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Short]): Array[Byte] = {
+    require(pixels.length == rows * cols, "pixels != rows*cols")
+    val msb = pixels.map(p => ((p >> 8) & 0xff).toByte)
+    val lsb = pixels.map(p => (p & 0xff).toByte)
+    val segs = Seq(packBitsEncode(msb), packBitsEncode(lsb))
+      .map(s => if (s.length % 2 == 1) s :+ 0.toByte else s)
+    val frame = new java.io.ByteArrayOutputStream()
+    // 16-word header: segment count + 15 offsets (2 used, 13 zero)
+    frame.write(le32(2))
+    frame.write(le32(64))
+    frame.write(le32(64L + segs.head.length))
+    (0 until 13).foreach(_ => frame.write(le32(0)))
+    segs.foreach(s => frame.write(s))
+    buildSlice(RleLossless, bits = 16, signed = true, rows, cols,
+      instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
+      encapsulate(Seq(frame.toByteArray)))
+  }
+
+  /** One JPEG-baseline Part 10 slice: 8-bit grayscale frame through
+    * the JDK JPEG writer, encapsulated. Lossy — callers pin decoded
+    * values with a bounded-error check, like the multimodal JPEG
+    * surface (m53).
+    */
+  def encodeSliceJpegBaseline(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == rows * cols, "pixels != rows*cols")
+    val img = new java.awt.image.BufferedImage(cols, rows,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) { raster.setSample(x, y, 0, pixels(y * cols + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    buildSlice(JpegBaseline, bits = 8, signed = false, rows, cols,
+      instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
+      encapsulate(Seq(bos.toByteArray)))
   }
 }

@@ -7,8 +7,10 @@ import graft.SparkSpec
   * Python construction of the Part 10 layout, covering the explicit
   * LE series path (shuffled InstanceNumbers), implicit VR with a
   * nested undefined-length sequence + rescale, the retired explicit
-  * BE syntax, and the compressed-syntax refusal. Round-trips through
-  * the JVM encoder close the loop.
+  * BE syntax, RLE Lossless (fixture encoded by an independent Python
+  * PS3.5 Annex G implementation), JPEG baseline (bounded-error, the
+  * codec is lossy), and refusal of still-unsupported syntaxes.
+  * Round-trips through the JVM encoders close the loop.
   */
 class DicomIOSpec extends SparkSpec {
 
@@ -46,13 +48,81 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(1))
   }
 
-  test("compressed transfer syntax refuses loudly") {
+  private def messageChain(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messageChain(x.getCause))
+
+  test("unsupported compressed transfer syntax (JPEG 2000) refuses loudly") {
     // the header pass is distributed, so the precise refusal arrives
     // wrapped in the task failure — the message must survive verbatim
+    val e = intercept[Exception](DicomIO.read(spark, s"$fx/j2k.dcm"))
+    assert(messageChain(e).exists(_.contains("1.2.840.10008.1.2.4.90")))
+  }
+
+  test("RLE Lossless fixture (independent Python Annex G encoder) decodes exactly") {
+    val img = DicomIO.read(spark, s"$fx/rle.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L))
+    assert(img.meta.dtype == "int16")
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(1))
+  }
+
+  test("JPEG-baseline fixture without PixelData refuses on the element, not the syntax") {
     val e = intercept[Exception](DicomIO.read(spark, s"$fx/jpeg.dcm"))
-    def chain(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
-    assert(chain(e).exists(_.contains("1.2.840.10008.1.2.4.50")))
+    assert(messageChain(e).exists(_.contains("without PixelData")))
+  }
+
+  test("RLE series mixes with explicit-LE slices; JVM RLE encoder round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("dcm_rle")
+    for (z <- 0 until 3) {
+      val px = Array.tabulate[Short](NY * NX) { p =>
+        v(p % NX, p / NX, z).toShort
+      }
+      // alternate syntaxes within one series: values must be identical
+      val bytes =
+        if (z % 2 == 0) DicomIO.encodeSliceRleInt16(NY, NX, z + 1, z * 2.0,
+          (1.0, 1.0), 2.0, px)
+        else DicomIO.encodeSliceInt16(NY, NX, z + 1, z * 2.0, (1.0, 1.0), 2.0, px)
+      java.nio.file.Files.write(dir.resolve(s"s$z.dcm"), bytes)
+    }
+    val img = DicomIO.readSeriesDir(spark, dir.toString)
+    assert(img.meta.shape == Seq(NX.toLong, NY, 3L))
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(3))
+  }
+
+  test("RLE long-run and 16-bit plane split survive: a worst-case raster") {
+    // 128+ runs exercise the PackBits replicate cap; the v<<5 values
+    // make MSB and LSB planes disagree so a swapped segment order fails
+    val px = Array.tabulate[Short](NY * NX) { p =>
+      if (p < 12) 0x1234.toShort else ((p % 3) << 5).toShort
+    }
+    val bytes = DicomIO.encodeSliceRleInt16(NY, NX, 1, 0.0, (1.0, 1.0), 1.0, px)
+    val p = java.nio.file.Files.createTempFile("rle", ".dcm")
+    java.nio.file.Files.write(p, bytes)
+    val img = DicomIO.read(spark, p.toString)
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until NY; x <- 0 until NX)
+      assert(got(x * NY + y) == px(y * NX + x).toDouble, s"($x,$y)")
+  }
+
+  test("JPEG-baseline slice decodes within DC-quantization error on uniform blocks") {
+    // four uniform 8x8 blocks, like the m53 multimodal JPEG surface:
+    // aligned to the MCU grid, decode error is bounded by DC rounding
+    val rows = 16; val cols = 16
+    val px = Array.tabulate[Byte](rows * cols) { p =>
+      val b = (p / (cols * 8)) * 2 + ((p % cols) / 8)
+      (40 + b * 50).toByte
+    }
+    val bytes = DicomIO.encodeSliceJpegBaseline(rows, cols, 1, 0.0, (1.0, 1.0), 1.0, px)
+    val f = java.nio.file.Files.createTempFile("jb", ".dcm")
+    java.nio.file.Files.write(f, bytes)
+    val img = DicomIO.read(spark, f.toString)
+    assert(img.meta.dtype == "uint8")
+    assert(img.meta.shape == Seq(cols.toLong, rows.toLong, 1L))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until rows; x <- 0 until cols) {
+      val want = px(y * cols + x) & 0xff
+      val g = got(x * rows + y)
+      assert(math.abs(g - want) <= 3.0, s"($x,$y): $g vs $want")
+    }
   }
 
   test("JVM encoder round-trips through the reader (series of 3)") {

@@ -9,7 +9,14 @@ second implementation of the Part 10 layout:
                         undefined-length SQ before PixelData, and
                         RescaleSlope/Intercept 2/10
     be.dcm              explicit VR BIG endian, int16
-    jpeg.dcm            JPEG-baseline transfer syntax (must refuse)
+    rle.dcm             RLE Lossless (1.2.840.10008.1.2.5), int16,
+                        6x5, z=0 — header/segments/PackBits written
+                        from PS3.5 Annex G independently of the JVM
+                        decoder
+    j2k.dcm             JPEG 2000 transfer syntax (must refuse)
+    jpeg.dcm            JPEG-baseline transfer syntax header with no
+                        PixelData (must refuse on the missing element,
+                        not the syntax — baseline now decodes)
 
     v(x, y, z) = (3x + 7y + 11z) % 126
 """
@@ -112,7 +119,64 @@ ds = b"".join([
 ])
 (OUT / "be.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.2"), ds))
 
-# --- compressed transfer syntax: must refuse -----------------------------
+# --- RLE Lossless slice (PS3.5 Annex G, independent implementation) ------
+
+
+def packbits(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out.append((1 - run) & 0xFF)
+            out.append(data[i])
+            i += run
+        else:
+            start = i
+            lit = 0
+            while i < len(data) and lit < 128 and not (
+                i + 2 < len(data) and data[i] == data[i + 1] == data[i + 2]
+            ):
+                i += 1
+                lit += 1
+            out.append(lit - 1)
+            out += data[start:i]
+    return bytes(out)
+
+
+vals = vox(0)
+msb = bytes((v >> 8) & 0xFF for v in vals)
+lsb = bytes(v & 0xFF for v in vals)
+segs = [packbits(msb), packbits(lsb)]
+segs = [s + b"\x00" if len(s) % 2 else s for s in segs]
+rle_frame = struct.pack("<2I", 2, 64) + struct.pack("<I", 64 + len(segs[0])) \
+    + b"\x00" * 4 * 13 + segs[0] + segs[1]
+if len(rle_frame) % 2:
+    rle_frame += b"\x00"
+encap = (struct.pack("<HHI", 0xFFFE, 0xE000, 0)            # empty offset table
+         + struct.pack("<HHI", 0xFFFE, 0xE000, len(rle_frame)) + rle_frame
+         + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+    + struct.pack("<I", 0xFFFFFFFF) + encap
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+    el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+    el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+    el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+    el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 1)),
+    pixel_el,
+])
+(OUT / "rle.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.5"), ds))
+
+# --- still-unsupported syntax (JPEG 2000): must refuse --------------------
+(OUT / "j2k.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.4.90"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY))))
+
+# --- JPEG baseline header without PixelData: refuses on the element ------
 (OUT / "jpeg.dcm").write_bytes(part10(
     meta_group("1.2.840.10008.1.2.4.50"),
     el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY))))
