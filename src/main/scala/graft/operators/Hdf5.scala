@@ -11,16 +11,20 @@ import scala.collection.mutable
   *
   * In scope — exactly the structures the committed fixtures and real
   * default-layout files use, everything else refuses loudly with the
-  * structure name: superblock v0; v1 object headers (with
-  * continuation blocks); v1 symbol-table groups (TREE node type 0,
-  * level 0 / SNOD / local HEAP); dataspace v1/v2; datatype v1
+  * structure name: superblocks v0–v3; v1 object headers (with
+  * continuation blocks) and v2 "OHDR" headers (OCHK continuations);
+  * v1 symbol-table groups (TREE / SNOD / local HEAP, multi-level),
+  * new-style compact link-message groups AND dense (fractal-heap)
+  * groups — FRHP with a root direct block or one level of indirect
+  * rows, link-name-index v2 B-tree (BTHD/BTIN/BTLF) depth ≤ 1,
+  * managed unfiltered heap objects; dataspace v1/v2; datatype v1–v3
   * classes fixed-point, float (IEEE 32/64) and fixed-length string;
-  * data layouts v3 compact, contiguous and chunked (v1 chunk B-tree,
-  * level 0); filter pipeline v1/v2 with deflate and byte-shuffle;
-  * attribute message v1/v3 with scalar / small-array values. Out of
-  * scope (loud refusals): superblock v2/v3, v2 object headers,
-  * fractal-heap "new style" groups, v2 B-trees, szip/nbit/scaleoffset
-  * filters, vlen and compound datatypes, external/virtual layouts.
+  * data layouts v3 compact, contiguous and chunked (v1 chunk B-tree
+  * incl. internal nodes); filter pipeline v1/v2 with deflate and
+  * byte-shuffle; attribute message v1/v3 with scalar / small-array
+  * values. Out of scope (loud refusals): szip/nbit/scaleoffset
+  * filters, vlen and compound datatypes, external/virtual layouts,
+  * filtered/huge/tiny fractal-heap objects, B-tree depth ≥ 2.
   *
   * Scale posture: ALL parsing here touches metadata only — group
   * tables, object headers, the chunk B-tree — kilobytes read on the
@@ -251,18 +255,18 @@ object Hdf5 {
         groupEntries(bytes, stb.getLong(), stb.getLong())
       } else if (msgs.exists(m => m._1 == 0x0002 || m._1 == 0x0006)) {
         // new-style group: compact storage keeps links inline as
-        // 0x0006 messages; a defined fractal heap means dense
-        // storage, which refuses
-        msgs.find(_._1 == 0x0002).foreach { li =>
+        // 0x0006 messages; a defined fractal heap means DENSE storage
+        // (what libhdf5 switches to past 8 links) — enumerate it
+        val dense = msgs.find(_._1 == 0x0002).toSeq.flatMap { li =>
           val b = ByteBuffer.wrap(li._2).order(ByteOrder.LITTLE_ENDIAN)
           require((b.get() & 0xff) == 0, s"hdf5: link info version != 0 at $path")
           val flags = b.get() & 0xff
           if ((flags & 1) != 0) b.getLong() // max creation index
           val fheap = b.getLong()
-          require(fheap == Undef,
-            s"hdf5: group at $path uses dense (fractal-heap) link storage — unsupported")
+          val nameBtree = b.getLong()
+          if (fheap == Undef) Nil else denseLinks(bytes, fheap, nameBtree, path)
         }
-        msgs.filter(_._1 == 0x0006).map(m => parseLink(m._2, path))
+        dense ++ msgs.filter(_._1 == 0x0006).map(m => parseLink(m._2, path))
       } else
         fail(s"object at $path has neither a symbol table nor link messages — unsupported object type")
     val groups = mutable.LinkedHashMap.empty[String, Group]
@@ -275,6 +279,160 @@ object Hdf5 {
         groups(name) = readGroup(bytes, childOh, s"$path$name/")
     }
     Group(path, attrs, groups.toMap, datasets.toMap)
+  }
+
+  // ------------------------------------------------- dense link storage
+
+  private def sig4(bytes: Array[Byte], addr: Long): String =
+    new String(bytes, addr.toInt, 4, "US-ASCII")
+
+  /** Dense group links (File Format Spec III.A.2 + III.F + III.G):
+    * the Link Info message points at a fractal heap holding the link
+    * message bodies and a name-index v2 B-tree of heap IDs. The
+    * reader enumerates every B-tree record (name hashes are not
+    * re-verified — same trust posture as v2 object-header checksums),
+    * resolves each managed heap ID through the heap's doubling table,
+    * and parses the stored link message. Scope: managed objects (link
+    * bodies sit far below the huge/tiny regimes), unfiltered heaps,
+    * root direct block or one level of indirect rows of direct
+    * blocks, B-tree depth ≤ 1 — several thousand links; beyond that
+    * refuses loudly by structure name.
+    */
+  private def denseLinks(bytes: Array[Byte], fheapAddr: Long, btreeAddr: Long,
+      path: String): Seq[(String, Long)] = {
+    require(sig4(bytes, fheapAddr) == "FRHP",
+      s"hdf5: fractal heap at $fheapAddr has signature '${sig4(bytes, fheapAddr)}'")
+    val h = bb(bytes, fheapAddr + 4, 146)
+    require((h.get() & 0xff) == 0, s"hdf5: fractal heap version != 0 at $path")
+    val heapIdLen = h.getShort() & 0xffff
+    val filterLen = h.getShort() & 0xffff
+    require(filterLen == 0, s"hdf5: filtered fractal heap at $path unsupported")
+    h.get() // flags (checksummed direct blocks don't change addressing)
+    h.getInt() // max managed object size
+    (0 until 12).foreach(_ => h.getLong()) // huge/free/managed statistics
+    val tableWidth = h.getShort() & 0xffff
+    val startBlockSize = h.getLong()
+    val maxDirectSize = h.getLong()
+    val maxHeapBits = h.getShort() & 0xffff
+    h.getShort() // starting rows in root indirect block
+    val rootBlockAddr = h.getLong()
+    val curRowsRoot = h.getShort() & 0xffff
+    val offsetSize = (maxHeapBits + 7) / 8
+    val idLenSize = heapIdLen - 1 - offsetSize
+    require(idLenSize >= 1 && idLenSize <= 8,
+      s"hdf5: fractal heap ID layout $heapIdLen/$offsetSize at $path")
+
+    // (heap-space offset, size, file address) of every direct block
+    val blocks: Seq[(Long, Long, Long)] =
+      if (curRowsRoot == 0) Seq((0L, startBlockSize, rootBlockAddr))
+      else {
+        require(sig4(bytes, rootBlockAddr) == "FHIB",
+          s"hdf5: root indirect block at $rootBlockAddr missing FHIB")
+        val ib = bb(bytes, rootBlockAddr + 4, 1 + 8 + offsetSize +
+          curRowsRoot * tableWidth * 8 + 8)
+        require((ib.get() & 0xff) == 0, s"hdf5: indirect block version != 0 at $path")
+        ib.getLong() // heap header address
+        (0 until offsetSize).foreach(_ => ib.get()) // block offset (root: 0)
+        val out = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var heapOff = 0L
+        var row = 0
+        while (row < curRowsRoot) {
+          val rowSize =
+            if (row < 2) startBlockSize else startBlockSize << (row - 1)
+          require(rowSize <= maxDirectSize,
+            s"hdf5: indirect-of-indirect fractal heap rows at $path unsupported")
+          var col = 0
+          while (col < tableWidth) {
+            val a = ib.getLong()
+            if (a != Undef) out += ((heapOff, rowSize, a))
+            heapOff += rowSize
+            col += 1
+          }
+          row += 1
+        }
+        out.toSeq
+      }
+
+    def readManaged(id: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
+      val vt = b.get() & 0xff
+      require((vt & 0x30) == 0, s"hdf5: non-managed heap object type at $path")
+      var off = 0L
+      (0 until offsetSize).foreach(i => off |= (b.get() & 0xffL) << (8 * i))
+      var len = 0L
+      (0 until idLenSize).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
+      val blk = blocks.find(bl => off >= bl._1 && off < bl._1 + bl._2)
+        .getOrElse(fail(s"hdf5: heap offset $off outside direct blocks at $path"))
+      val fileAddr = blk._3 + (off - blk._1)
+      val out = new Array[Byte](len.toInt)
+      System.arraycopy(bytes, fileAddr.toInt, out, 0, len.toInt)
+      out
+    }
+
+    v2BtreeHeapIds(bytes, btreeAddr, heapIdLen, path)
+      .map(id => parseLink(readManaged(id), path))
+      .sortBy(_._1)
+  }
+
+  /** Heap IDs from every record of a link-name-index v2 B-tree
+    * (BTHD/BTIN/BTLF). Record type 5 = 4-byte name hash + heap ID;
+    * depth 0 (one leaf) and depth 1 (internal root over leaves) are
+    * read, deeper trees refuse.
+    */
+  private def v2BtreeHeapIds(bytes: Array[Byte], btreeAddr: Long,
+      heapIdLen: Int, path: String): Seq[Array[Byte]] = {
+    require(sig4(bytes, btreeAddr) == "BTHD",
+      s"hdf5: v2 B-tree at $btreeAddr has signature '${sig4(bytes, btreeAddr)}'")
+    val h = bb(bytes, btreeAddr + 4, 30)
+    require((h.get() & 0xff) == 0, s"hdf5: v2 B-tree version != 0 at $path")
+    val btype = h.get() & 0xff
+    require(btype == 5 || btype == 6, s"hdf5: v2 B-tree type $btype at $path")
+    val nodeSize = h.getInt()
+    val recordSize = h.getShort() & 0xffff
+    val depth = h.getShort() & 0xffff
+    h.get(); h.get() // split/merge percents
+    val rootAddr = h.getLong()
+    val nrecRoot = h.getShort() & 0xffff
+    require(recordSize >= 4 + heapIdLen,
+      s"hdf5: link record size $recordSize < ${4 + heapIdLen} at $path")
+
+    def idOf(recAddr: Long): Array[Byte] = {
+      val id = new Array[Byte](heapIdLen)
+      System.arraycopy(bytes, (recAddr + 4).toInt, id, 0, heapIdLen)
+      id
+    }
+    def leafIds(addr: Long, nrec: Int): Seq[Array[Byte]] = {
+      require(sig4(bytes, addr) == "BTLF",
+        s"hdf5: B-tree leaf at $addr has signature '${sig4(bytes, addr)}'")
+      (0 until nrec).map(i => idOf(addr + 6 + i.toLong * recordSize))
+    }
+
+    depth match {
+      case 0 => leafIds(rootAddr, nrecRoot)
+      case 1 =>
+        require(sig4(bytes, rootAddr) == "BTIN",
+          s"hdf5: B-tree internal node at $rootAddr missing BTIN")
+        // child pointer 'number of records' field width is sized for
+        // the maximum a leaf can hold (prefix 6 + checksum 4 overhead)
+        val maxLeafRecs = (nodeSize - 10) / recordSize
+        val nrecFieldSize =
+          if (maxLeafRecs < (1 << 8)) 1
+          else if (maxLeafRecs < (1 << 16)) 2
+          else if (maxLeafRecs < (1 << 24)) 3 else 4
+        val recsStart = rootAddr + 6
+        val internal = (0 until nrecRoot).map(i => idOf(recsStart + i.toLong * recordSize))
+        var p = recsStart + nrecRoot.toLong * recordSize
+        val fromLeaves = (0 to nrecRoot).flatMap { _ =>
+          val cb = bb(bytes, p, 8 + nrecFieldSize)
+          val childAddr = cb.getLong()
+          var nrec = 0L
+          (0 until nrecFieldSize).foreach(i => nrec |= (cb.get() & 0xffL) << (8 * i))
+          p += 8 + nrecFieldSize
+          leafIds(childAddr, nrec.toInt)
+        }
+        internal ++ fromLeaves
+      case d => fail(s"hdf5: v2 B-tree depth $d at $path unsupported (≤ 1)")
+    }
   }
 
   /** Link message (0x0006) v1: hard links only. */

@@ -118,6 +118,24 @@ class Hdf5Spec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("dense (fractal-heap) link storage: 12 links enumerate via FRHP + v2 B-tree") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/dense.hdf5"))
+    val tree = Hdf5.parse(bytes)
+    assert(tree.groups.keySet == Set("many"))
+    val many = tree.groups("many")
+    assert(many.datasets.keySet == (0 until 12).map(i => f"d$i%02d").toSet)
+    // every link resolved through a managed heap ID to the right
+    // object header: values pin the full hash→heap→link→dataset path
+    (0 until 12).foreach { i =>
+      val ds = many.datasets(f"d$i%02d")
+      assert(ds.dims == Seq(1L) && ds.dtype == "int16")
+      val addr = ds.layout.asInstanceOf[Hdf5.Contiguous].addr
+      val v = ((bytes(addr.toInt + 1) & 0xff) << 8) | (bytes(addr.toInt) & 0xff)
+      assert(v == 7 * i + 3, f"d$i%02d")
+    }
+  }
+
   test("refuse-loudly: bad signature, unsupported structures") {
     val e1 = intercept[IllegalArgumentException](Hdf5.parse("not hdf5 at all".getBytes))
     assert(e1.getMessage.contains("signature"))

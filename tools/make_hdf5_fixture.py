@@ -494,10 +494,97 @@ def make_chunked_deep():
     (OUT / "vold.hdf5").write_bytes(bytes(f.buf))
 
 
+# ---- dense.hdf5: dense (fractal-heap) link storage ---------------------
+
+def make_dense():
+    """Group 'many' with 12 links stored densely — the layout libhdf5
+    switches to past 8 links: Link Info message → fractal heap (FRHP +
+    one direct block) holding the link-message bodies, plus a
+    link-name-index v2 B-tree (BTHD + one BTLF leaf, record type 5 =
+    lookup3(name) hash + 7-byte managed heap ID, hash-sorted like
+    libhdf5 writes them). Structure checksums are real lookup3 values;
+    the reader trusts rather than re-verifies them.
+    """
+    f = H5()
+    entries = []
+    for i in range(12):
+        val_addr = f.alloc(struct.pack("<h", 7 * i + 3))
+        oh = f.alloc(object_header_v1([
+            (0x0001, dataspace([1])),
+            (0x0003, dt_fixed(2, signed=True)),
+            (0x0005, fill_value_v2()),
+            (0x0008, layout_contiguous(val_addr, 2)),
+        ]))
+        entries.append((f"d{i:02d}", oh))
+
+    # link-message bodies (v1, flags 0 → 1-byte name length, hard)
+    bodies = [
+        struct.pack("<BBB", 1, 0, len(name)) + name.encode()
+        + struct.pack("<Q", oh)
+        for name, oh in entries
+    ]
+    # fractal heap: one 512-byte direct block, unchecksummed (flags 0)
+    DB_SIZE, OFFSET_SIZE, LEN_SIZE = 512, 4, 2  # max heap 32 bits, max direct 64K
+    db_hdr_len = 4 + 1 + 8 + OFFSET_SIZE
+    block = bytearray(DB_SIZE)
+    heap_ids = []
+    pos = db_hdr_len
+    for body in bodies:
+        heap_ids.append(b"\x00" + struct.pack("<I", pos)
+                        + struct.pack("<H", len(body)))
+        block[pos:pos + len(body)] = body
+        pos += len(body)
+    db_addr = f.alloc(bytes(block))
+    frhp = (b"FRHP"
+            + struct.pack("<BHHB", 0, 1 + OFFSET_SIZE + LEN_SIZE, 0, 0)
+            + struct.pack("<I", 4096)            # max managed object size
+            + struct.pack("<Q", 0)               # next huge id
+            + struct.pack("<Q", UNDEF)           # huge-object v2 btree
+            + struct.pack("<Q", DB_SIZE - pos)   # free space
+            + struct.pack("<Q", UNDEF)           # free-space manager
+            + struct.pack("<QQ", DB_SIZE, DB_SIZE)  # managed / allocated
+            + struct.pack("<Q", pos)             # direct-block iterator
+            + struct.pack("<Q", len(bodies))     # managed objects
+            + struct.pack("<QQQQ", 0, 0, 0, 0)   # huge/tiny size+count
+            + struct.pack("<H", 4)               # table width
+            + struct.pack("<QQ", DB_SIZE, 65536)  # start / max direct size
+            + struct.pack("<H", 32)              # max heap size (bits)
+            + struct.pack("<H", 1)               # starting rows
+            + struct.pack("<Q", db_addr)         # root block address
+            + struct.pack("<H", 0))              # current rows → direct root
+    frhp_addr = f.alloc(frhp + struct.pack("<I", jenkins_lookup3(frhp)))
+    f.place(db_addr, b"FHDB" + struct.pack("<BQ", 0, frhp_addr)
+            + struct.pack("<I", 0))              # block offset 0
+
+    # name-index v2 B-tree: one leaf, records hash-sorted
+    recs = sorted(
+        (jenkins_lookup3(name.encode()), hid)
+        for (name, _), hid in zip(entries, heap_ids))
+    rec_bytes = b"".join(struct.pack("<I", h) + hid for h, hid in recs)
+    btlf = b"BTLF" + struct.pack("<BB", 0, 5) + rec_bytes
+    btlf_addr = f.alloc(btlf + struct.pack("<I", jenkins_lookup3(btlf)))
+    bthd = (b"BTHD" + struct.pack("<BB", 0, 5)
+            + struct.pack("<IHH", 512, 4 + len(heap_ids[0]), 0)
+            + struct.pack("<BB", 100, 40)
+            + struct.pack("<QH", btlf_addr, len(recs))
+            + struct.pack("<Q", len(recs)))
+    bthd_addr = f.alloc(bthd + struct.pack("<I", jenkins_lookup3(bthd)))
+
+    li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    many_oh = f.alloc(object_header_v1([(0x0002, li)]))
+    btree, heap = group_structures(f, [("many", many_oh)])
+    root_oh = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(btree, heap)),
+    ]))
+    superblock(f, root_oh)
+    (OUT / "dense.hdf5").write_bytes(bytes(f.buf))
+
+
 make_contiguous()
 make_chunked()
 make_minc2()
 make_itk()
 make_v2()
 make_chunked_deep()
+make_dense()
 print("wrote hdf5 fixtures to", OUT)
