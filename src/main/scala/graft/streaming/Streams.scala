@@ -692,7 +692,7 @@ object Streams {
             .select(col("wellPath"), col("imagePath"), col("height"), col("width"),
               col("acquisition"))
             .as[FieldDescriptor].collect()
-          descriptors.foreach { d =>
+          def upsert(d: FieldDescriptor): Unit = {
             val meta = d.meta
             val gridSize = graft.zarr.ZarrStore
               .chunkGrid(meta.shape, meta.chunks).map(_.toLong).product
@@ -705,6 +705,30 @@ object Streams {
               MultiscaleBuilder.Level(meta, chunkRows),
               Some(Seq.empty), Method.ItkwasmBinShrink, cache = false)
             Hcs.writeWellImage(spark, platePath, d.wellPath, d.imagePath, ms, d.acquisition)
+          }
+          // a 384-well plate lands hundreds of fields per batch:
+          // upserts run CONCURRENTLY across wells (Spark schedules
+          // jobs from many threads fine) but stay SEQUENTIAL within
+          // one well — the well-attrs merge is a read-modify-write
+          // on that well's .zattrs, so per-well ordering is the
+          // correctness boundary
+          val byWell = descriptors.groupBy(_.wellPath).toSeq.sortBy(_._1)
+          val poolSize = math.max(1, math.min(byWell.length,
+            spark.sparkContext.defaultParallelism))
+          if (poolSize <= 1) byWell.foreach(_._2.foreach(upsert))
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+            try {
+              val fs = byWell.map { case (_, ds) =>
+                pool.submit(new java.util.concurrent.Callable[Unit] {
+                  def call(): Unit = ds.foreach(upsert)
+                })
+              }
+              fs.foreach { f =>
+                try f.get()
+                catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+              }
+            } finally pool.shutdownNow()
           }
         } finally uniq.unpersist()
       }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * it) so a tail-context reading can be separated from a real plan
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
   * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann |
-  * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl | bpe.
+  * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl | bpe |
+  * hcs.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -59,6 +60,8 @@ object RehearseOne {
         graft.ops.BpeRehearsal.run(spark,
           if (args.length > 1) args(1).toLong else 200000L,
           if (args.length > 2) args(2).toInt else 1000)
+      case "hcs" =>
+        graft.hcs.HcsRehearsal.run(spark)
       case other => sys.error(s"unknown rehearsal key '$other'")
     }
     println(f"""{"rehearsal":"$key","sec":$secs%.3f}""")
