@@ -309,6 +309,45 @@ object TextStats {
         col("max_repeat"))
   }
 
+  /** Within-document duplicate-LINE profile (the Gopher §A1.1 line
+    * rules, next to [[repetitionStats]]'s n-gram family): per doc the
+    * line-occurrence count, the distinct-line count, the fraction of
+    * line occurrences that are duplicates, and the fraction of line
+    * CHARACTERS sitting in duplicated lines (every occurrence of a
+    * line that appears more than once) — the signal that catches
+    * templated headers/footers and chat-log boilerplate inside one
+    * document even when no other document shares it. Exact integer
+    * milli (floor division) so an oracle replays bit-for-bit; empty
+    * lines drop like whitespace words elsewhere.
+    *
+    * Shape: one explode + two map-side-combinable aggregations keyed
+    * by (doc_id, line) then doc_id — linear at any corpus size.
+    *
+    * Output: (doc_id, n_lines, n_distinct_lines, dup_line_frac_milli,
+    * dup_char_frac_milli).
+    */
+  def lineProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(filter(split(col(textCol), "\n"), l => length(l) > 0)).as("line"))
+    val perLine = lines.groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"), length(col("line")).as("len"))
+    perLine.groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum(col("n") * col("len")).as("total_chars"),
+        sum(when(col("n") > 1, col("n") * col("len")).otherwise(0L)).as("dup_chars"))
+      .select(col("doc_id"),
+        col("n_lines").cast("int").as("n_lines"),
+        col("n_distinct_lines").cast("int").as("n_distinct_lines"),
+        expr("(n_lines - n_distinct_lines) * 1000 div n_lines")
+          .as("dup_line_frac_milli"),
+        expr("CASE WHEN total_chars = 0 THEN 0 " +
+          "ELSE dup_chars * 1000 div total_chars END").as("dup_char_frac_milli"))
+  }
+
   /** Model-based quality scoring: a hashing-trick linear classifier
     * (the fastText-style quality filter production corpora run after
     * rule gates — GPT-3's quality classifier regime). Words hash into

@@ -28,7 +28,8 @@ object LlmOps extends QModule {
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
-    m65ThumbnailPixels, s58MarginMining)
+    m65ThumbnailPixels, s58MarginMining,
+    t111StratifiedSample, t112LineRepetition, t114Bm25Lite)
 
   import QTables.{docs, emb}
 
@@ -1147,4 +1148,108 @@ object LlmOps extends QModule {
             JOIN hex ha ON ha.doc_id = p.doc_a
             JOIN hex hb ON hb.doc_id = p.doc_b
             ORDER BY doc_a, doc_b"""))
+
+  /** Deterministic exact-quota stratified sampling
+    * ([[graft.ops.Sampling.stratified]]): 7 docs per source by salted
+    * hash-rank — reproducible independent of partition layout, the
+    * property `rand()`-based sampling cannot give a 100 TB mixture
+    * spec. The oracle replays the identical md5 ordering, so a
+    * drifted salt, tie-break, or quota hash-mismatches.
+    */
+  val t111StratifiedSample = Q(
+    "t111_stratified_sample",
+    (s, dir) => graft.ops.Sampling
+      .stratified(docs(s, dir), "source", "doc_id", quota = 7, salt = "s8")
+      .select(col("source"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank")),
+    Some("""WITH r AS (SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('s8|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM documents)
+            SELECT source, doc_id, CAST(rk AS INT) AS sample_rank
+            FROM r WHERE rk <= 7 ORDER BY source, sample_rank"""))
+
+  /** Within-document duplicate-line profile
+    * ([[TextStats.lineProfile]], the Gopher §A1.1 line-repetition
+    * family): documents re-lined into 8-word rows, with every fifth
+    * doc's first line REPLANTED at its end — the templated
+    * header/footer pathology. Exact integer milli fractions; the
+    * oracle rebuilds the identical line structure and replays both
+    * the occurrence and character dup fractions.
+    */
+  val t112LineRepetition = Q(
+    "t112_line_repetition",
+    (s, dir) => {
+      val lined = docs(s, dir)
+        .withColumn("ws", expr("filter(split(text, ' '), w -> length(w) > 0)"))
+        .withColumn("ls", expr(
+          "transform(sequence(0, int(ceil(size(ws) / 8.0)) - 1), " +
+            "i -> array_join(slice(ws, i * 8 + 1, 8), ' '))"))
+        .withColumn("ls", expr(
+          "CASE WHEN doc_id % 5 = 0 THEN concat(ls, slice(ls, 1, 1)) ELSE ls END"))
+        .select(col("doc_id"), array_join(col("ls"), "\n").as("text"))
+      TextStats.lineProfile(lined).orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+                FROM documents),
+            l0 AS (SELECT doc_id, list_transform(
+                     range(CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                     i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) AS ls
+                   FROM w),
+            l1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                     THEN list_concat(ls, list_slice(ls, 1, 1)) ELSE ls END AS ls
+                   FROM l0),
+            ln AS (SELECT doc_id, unnest(ls) AS line FROM l1),
+            pl AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS n,
+                          CAST(length(line) AS BIGINT) AS len
+                   FROM ln WHERE length(line) > 0 GROUP BY doc_id, line),
+            pr AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines,
+                          CAST(count(*) AS BIGINT) AS n_distinct,
+                          CAST(sum(n * len) AS BIGINT) AS total_chars,
+                          CAST(sum(CASE WHEN n > 1 THEN n * len ELSE 0 END)
+                            AS BIGINT) AS dup_chars
+                   FROM pl GROUP BY doc_id)
+            SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+                   CAST(n_distinct AS INT) AS n_distinct_lines,
+                   (n_lines - n_distinct) * 1000 // n_lines AS dup_line_frac_milli,
+                   CASE WHEN total_chars = 0 THEN CAST(0 AS BIGINT)
+                        ELSE dup_chars * 1000 // total_chars END AS dup_char_frac_milli
+            FROM pr ORDER BY doc_id"""))
+
+  /** Exact-integer BM25 retrieval ([[graft.ops.Retrieval.bm25Lite]]):
+    * top-20 docs for a 3-term query, Robertson tf/length
+    * normalization as one cleared-denominator integer expression and
+    * the rational idf surrogate — the whole ranking replayed
+    * bit-for-bit in SQL, so a drifted df, dl, or floor anywhere in
+    * the cascade reorders the cut and hash-mismatches.
+    */
+  val t114Bm25Lite = Q(
+    "t114_bm25_lite",
+    (s, dir) => graft.ops.Retrieval.bm25Lite(docs(s, dir),
+      Seq("table", "hash", "merge")),
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+                FROM documents),
+            dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(dl) AS BIGINT) AS w FROM dl),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+                   WHERE term IN ('table', 'hash', 'merge')
+                   GROUP BY doc_id, term),
+            idf AS (SELECT term,
+                      ((SELECT n FROM tot) - CAST(count(*) AS BIGINT) + 1) * 1000
+                        // (CAST(count(*) AS BIGINT) + 1) AS idf_milli
+                    FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                     idf.idf_milli * (tf.tf * 44 * (SELECT w FROM tot))
+                       // (20 * (SELECT w FROM tot) * tf.tf
+                           + 6 * (SELECT w FROM tot)
+                           + 18 * dl.dl * (SELECT n FROM tot)) AS s
+                   FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(sum(s) AS BIGINT) AS bm25_milli
+            FROM sc GROUP BY doc_id
+            ORDER BY bm25_milli DESC, doc_id LIMIT 20"""))
 }

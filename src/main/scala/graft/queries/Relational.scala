@@ -35,7 +35,7 @@ object Relational extends QModule {
     q62LateralJoin, q63SetOpsAll, q64WindowDistribution, q67PartitionedScan,
     q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin, q71GroupingId,
     q72NullSafeJoin, q73Unpivot, q74HigherOrderFns, q75PercentileCont,
-    q76RecursiveCte)
+    q76RecursiveCte, q77IntervalRangeFrame, q78AggFilterClause)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1831,4 +1831,56 @@ object Relational extends QModule {
                    CAST(sum(CASE WHEN supp_nation = 'GERMANY' THEN rev_c2 ELSE 0 END) * 1000
                      // sum(rev_c2) AS BIGINT) AS share_milli
             FROM j GROUP BY o_year ORDER BY o_year"""))
+
+  /** Interval-typed RANGE window frame: trailing 7-day order volume
+    * per order date — the time-windowed twin of q22's numeric RANGE
+    * frame, exercising date + CalendarInterval frame bounds (peers
+    * and gaps in the calendar handled by frame semantics, not row
+    * counting). Two exchanges: the per-date agg and the single-ordered
+    * window (which the ORDER BY then reuses).
+    */
+  val q77IntervalRangeFrame = Q(
+    "q77_interval_range_frame",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderdate"))
+      .agg(count(lit(1)).cast("long").as("n_day"))
+      .selectExpr("o_orderdate",
+        "n_day",
+        "CAST(sum(n_day) OVER (ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT) AS n_7d")
+      .orderBy(col("o_orderdate")),
+    Some("""WITH d AS (SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_day
+                FROM orders GROUP BY o_orderdate)
+            SELECT o_orderdate, n_day,
+                   CAST(sum(n_day) OVER (ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_7d
+            FROM d ORDER BY o_orderdate"""))
+
+  /** FILTER-clause aggregates: one scan producing differently-
+    * predicated sums/counts side by side (the SQL:2003 form of the
+    * CASE-WHEN pivot idiom — Catalyst plans it as conditional
+    * aggregation, still one exchange). Exact cents via round-to-int.
+    */
+  val q78AggFilterClause = Q(
+    "q78_agg_filter_clause",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("count(*) FILTER (WHERE l_returnflag = 'R')").as("n_returned"),
+        expr("count(*) FILTER (WHERE l_returnflag <> 'R')").as("n_kept"),
+        expr("CAST(round(sum(l_quantity) FILTER (WHERE l_discount > 0.05)) AS BIGINT)")
+          .as("qty_discounted"),
+        expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) " +
+          "FILTER (WHERE l_tax = 0.0) AS BIGINT)").as("untaxed_cents"))
+      .orderBy(col("l_linestatus")),
+    Some("""SELECT l_linestatus,
+                   CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+                   CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT) AS n_kept,
+                   CAST(round(sum(l_quantity) FILTER (WHERE l_discount > 0.05)) AS BIGINT)
+                     AS qty_discounted,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     FILTER (WHERE l_tax = 0.0) AS BIGINT) AS untaxed_cents
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
 }

@@ -119,6 +119,28 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("max_repeat") == 1L)
   }
 
+  test("lineProfile: dup-line and dup-char fractions exact; empty lines drop") {
+    import spark.implicits._
+    val df = Seq(
+      // 3 lines, "aa" twice: dup occurrences 1/3, dup chars 4/6
+      (1L, "aa\nbb\naa"),
+      // blank interior line drops: 2 lines, both dups
+      (2L, "xyz\n\nxyz"),
+      // single line: nothing duplicated
+      (3L, "solo line here")).toDF("doc_id", "text")
+    val out = TextStats.lineProfile(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_lines") == 3)
+    assert(out(1L).getAs[Int]("n_distinct_lines") == 2)
+    assert(out(1L).getAs[Long]("dup_line_frac_milli") == 333L)
+    assert(out(1L).getAs[Long]("dup_char_frac_milli") == 666L)
+    assert(out(2L).getAs[Int]("n_lines") == 2)
+    assert(out(2L).getAs[Long]("dup_line_frac_milli") == 500L)
+    assert(out(2L).getAs[Long]("dup_char_frac_milli") == 1000L)
+    assert(out(3L).getAs[Long]("dup_line_frac_milli") == 0L)
+    assert(out(3L).getAs[Long]("dup_char_frac_milli") == 0L)
+  }
+
   test("charEntropy: closed-form values and the integer-micro keep band") {
     import spark.implicits._
     val df = Seq(
