@@ -15,7 +15,10 @@ import ChunkOps.ChunkRow
   * arbitrarily large BigTIFFs with no driver transit.
   *
   * Supported: II/MM byte orders, classic (42) + BigTIFF (43) IFDs,
-  * strip and tile layouts, grayscale/RGB chunky pixels, 8/16/32-bit
+  * strip and tile layouts, grayscale/RGB pixels in BOTH chunky and
+  * planar configurations (tag 284 = 2: channel-major strip/tile runs
+  * land as c-depth-1 chunks — each region already has single-sample
+  * stride, so the decode path is unchanged), 8/16/32-bit
   * unsigned/signed/float samples (64-bit float too), compressions
   * none/Deflate(8,32946)/PackBits(32773)/LZW(5) with the horizontal-
   * differencing predictor (tag 317 = 2), new-style JPEG (7) via
@@ -25,8 +28,8 @@ import ChunkOps.ChunkRow
   * DimensionOrder/SizeZ/C/T page interleaving and PhysicalSizeX/Y/Z
   * spacing (normalized to µm), so a `.ome.tif` ingests with correct
   * t/c/z dims instead of pages→z. Rejected with precise errors:
-  * palette color, planar (non-chunky) configuration, old-style JPEG
-  * (6), movie codecs, multi-Image OME documents, unknown OME units.
+  * palette color, old-style JPEG (6), movie codecs, multi-Image OME
+  * documents, unknown OME units.
   */
 object TiffIO {
 
@@ -44,7 +47,10 @@ object TiffIO {
       // thumbnail IFD after every image IFD — those are skipped)
       newSubfileType: Long = 0L,
       // tag 262, checked at read time over the pages actually used
-      photometric: Int = 1)
+      photometric: Int = 1,
+      // tag 284: 1 = chunky (samples interleaved per pixel), 2 =
+      // planar (one strip/tile run per channel, channel-major)
+      planarConfig: Int = 1)
 
   final case class TiffInfo(littleEndian: Boolean, pages: Seq[TiffPage],
       // first page's ImageDescription (tag 270) — OME-TIFFs carry
@@ -255,7 +261,7 @@ object TiffIO {
       val base = ifdOff + (if (big) 8 else 2)
 
       var width = 0; var height = 0; var spp = 1; var bits = 8; var fmt = 1
-      var comp = 1; var pred = 1; var rps = Int.MaxValue
+      var comp = 1; var pred = 1; var rps = Int.MaxValue; var planar = 1
       var tw = 0; var tl = 0
       var stripOff: Seq[Long] = Nil; var stripCnt: Seq[Long] = Nil
       var tileOff: Seq[Long] = Nil; var tileCnt: Seq[Long] = Nil
@@ -309,6 +315,7 @@ object TiffIO {
           case 277 => spp = valueAt(0).toInt
           case 278 => rps = valueAt(0).toInt
           case 279 => stripCnt = values
+          case 284 => planar = valueAt(0).toInt
           case 317 => pred = valueAt(0).toInt
           case 322 => tw = valueAt(0).toInt
           case 323 => tl = valueAt(0).toInt
@@ -340,8 +347,10 @@ object TiffIO {
       require(cnts.length == offs.length,
         s"TIFF page has ${offs.length} ${if (tiled) "tiles" else "strips"} " +
           s"but ${cnts.length} byte counts")
+      require(planar == 1 || planar == 2,
+        s"TIFF PlanarConfiguration $planar invalid (1 chunky / 2 planar)")
       pages += TiffPage(width, height, spp, bits, fmt, comp, pred,
-        effRps, tw, tl, offs, cnts, jpegTables, nsft, photometric)
+        effRps, tw, tl, offs, cnts, jpegTables, nsft, photometric, planar)
       ifdOff = if (big) r.u64(base + nEntries.toLong * entrySize)
         else r.u32(base + nEntries.toLong * entrySize)
       guard += 1
@@ -568,7 +577,8 @@ object TiffIO {
     require(keptPages.forall(p => p.width == p0.width && p.height == p0.height &&
       p.samplesPerPixel == p0.samplesPerPixel && p.bitsPerSample == p0.bitsPerSample &&
       p.sampleFormat == p0.sampleFormat && p.rowsPerStrip == p0.rowsPerStrip &&
-      p.tileWidth == p0.tileWidth && p.tileLength == p0.tileLength),
+      p.tileWidth == p0.tileWidth && p.tileLength == p0.tileLength &&
+      p.planarConfig == p0.planarConfig),
       "multi-page TIFF with heterogeneous page shapes or strip/tile layouts unsupported")
     require(keptPages.forall(_.samplesPerPixel >= 1), "bad samplesPerPixel")
 
@@ -576,6 +586,16 @@ object TiffIO {
     val dtype = dtypeFor(p0.bitsPerSample, p0.sampleFormat)
     val spp = p0.samplesPerPixel
     val tiled = p0.tileWidth > 0
+    // planar (PlanarConfiguration 2): each strip/tile run carries ONE
+    // channel, channel-major — spp regions-per-channel runs per page.
+    // Regions then map 1:1 onto (y, x, c=channel) chunks of c-depth 1,
+    // which is WHY planar needs no special decode: the per-region
+    // stride is that of a single-sample image.
+    val planar = p0.planarConfig == 2 && spp > 1
+    if (planar) keptPages.foreach { p =>
+      require(p.offsets.length % spp == 0,
+        s"planar TIFF page has ${p.offsets.length} regions, not a multiple of $spp channels")
+    }
 
     // OME-TIFF: the OME-XML in ImageDescription names the plane axes
     // (DimensionOrder, SizeZ/C/T) and physical spacing — without it a
@@ -596,14 +616,14 @@ object TiffIO {
     // a page's coordinate on dim i is (page / stride_i) % size_i. Bare
     // multipage keeps the historical pages→z mapping.
     // LSM: CZ_LSMINFO names the stack layout (pages run z fastest,
-    // then time) and the voxel sizes. Channels must be interleaved
-    // samples — planar per-channel strips are a different stride
-    // regime and refuse loudly rather than mis-read.
+    // then time) and the voxel sizes. Channels ride samplesPerPixel
+    // in either configuration — interleaved (chunky) or per-channel
+    // strip runs (planar, the common Zeiss multichannel layout).
     info.lsmInfo.foreach { l =>
       require(l.dimX == p0.width && l.dimY == p0.height,
         s"CZ_LSMINFO ${l.dimX}x${l.dimY} != TIFF page ${p0.width}x${p0.height}")
       require(l.channels <= 1 || l.channels == spp,
-        s"LSM with ${l.channels} planar channels unsupported (interleaved only)")
+        s"LSM declares ${l.channels} channels but pages carry $spp samples")
       require(l.dimZ.toLong * math.max(l.time, 1) == nPages,
         s"CZ_LSMINFO declares ${l.dimZ}x${math.max(l.time, 1)} planes " +
           s"but the TIFF has $nPages full-resolution pages")
@@ -656,7 +676,7 @@ object TiffIO {
     val (chunkY, chunkX) =
       if (tiled) (p0.tileLength, p0.tileWidth) else (p0.rowsPerStrip, p0.width)
     val chunks = planeDims.map(_ => 1) ++ Seq(chunkY, chunkX) ++
-      (if (spp > 1) Seq(spp) else Nil)
+      (if (spp > 1) Seq(if (planar) 1 else spp) else Nil)
     val meta = ImageMeta(dims, shape, chunks, dtype,
       dims.map(d => d -> omeScale.getOrElse(d, 1.0)).toMap,
       dims.map(_ -> 0.0).toMap)
@@ -680,23 +700,31 @@ object TiffIO {
       .map { case (z, ri) =>
         val st = new ZarrStore(path, hconf)
         val p = pages(z)
+        // planar: regions run channel-major — peel the channel off
+        // and treat the region as single-sample from here on
+        val (chan, rr) =
+          if (planar) {
+            val rpc = p.offsets.length / p.samplesPerPixel
+            (ri / rpc, ri % rpc)
+          } else (0, ri)
+        val sppEff = if (planar) 1 else p.samplesPerPixel
         val raw = st.readRange("", p.offsets(ri), p.byteCounts(ri).toInt)
         // region pixel extent
         val (oy, ox, rh0, rw0) =
           if (p.tileWidth > 0) {
-            val ty = ri / tilesAcross; val tx = ri % tilesAcross
+            val ty = rr / tilesAcross; val tx = rr % tilesAcross
             (ty * p.tileLength, tx * p.tileWidth, p.tileLength, p.tileWidth)
           } else {
-            val y0 = ri * p.rowsPerStrip
+            val y0 = rr * p.rowsPerStrip
             (y0, 0, math.min(p.rowsPerStrip, p.height - y0), p.width)
           }
         // tiles are stored padded to full tile size; strips are exact
         val storedH = if (p.tileWidth > 0) p.tileLength else rh0
         val storedW = rw0
-        val expect = storedH * storedW * p.samplesPerPixel * bytesPerSample
+        val expect = storedH * storedW * sppEff * bytesPerSample
         val decoded = decodeRegion(p.compression, raw, expect, p.jpegTables)
         if (p.predictor == 2)
-          undoPredictor(decoded, storedW, storedH, p.samplesPerPixel, bytesPerSample, le)
+          undoPredictor(decoded, storedW, storedH, sppEff, bytesPerSample, le)
         // big-endian samples normalize to the engine's layout on decode
         val allVals = ZarrStore.decodeToDoubles(decoded, dtype, bigEndian = !le)
         // crop tile padding at the right/bottom edges
@@ -705,14 +733,14 @@ object TiffIO {
         val vals =
           if (rh == storedH && rw == storedW) allVals
           else ChunkOps.sliceBlock(allVals,
-            Array(storedH, storedW * p.samplesPerPixel), Array(0, 0),
-            Array(rh, rw * p.samplesPerPixel))
+            Array(storedH, storedW * sppEff), Array(0, 0),
+            Array(rh, rw * sppEff))
         val planePart = planeDimSS.map { case (size, stride) => (z / stride) % size }
-        val cPartI = if (p.samplesPerPixel > 1) Seq(0) else Nil
+        val cPartI = if (p.samplesPerPixel > 1) Seq(chan) else Nil
         val idx = planePart ++ Seq(oy / chunkY, ox / chunkX) ++ cPartI
         val origin = planePart.map(_.toLong) ++ Seq(oy.toLong, ox.toLong) ++ cPartI.map(_.toLong)
         val shp = planePart.map(_ => 1) ++ Seq(rh, rw) ++
-          (if (p.samplesPerPixel > 1) Seq(p.samplesPerPixel) else Nil)
+          (if (p.samplesPerPixel > 1) Seq(sppEff) else Nil)
         ChunkRow(idx, origin, shp, ZarrStore.encodeFromDoubles(vals, dtype))
       }
     TiffImage(meta, rows)

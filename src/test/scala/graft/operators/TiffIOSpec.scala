@@ -47,6 +47,32 @@ class TiffIOSpec extends SparkSpec {
     }
   }
 
+  test("RGB planar strips (PlanarConfiguration 2) equal the chunky twin pixel-wise") {
+    val img = TiffIO.read(spark, s"$fx/rgb_planar.tif")
+    assert(img.meta.dims == Seq("y", "x", "c"))
+    assert(img.meta.shape == Seq(7L, 9L, 3L))
+    // planar regions land as c-depth-1 chunks
+    assert(img.meta.chunks == Seq(3, 9, 1))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    val chunky = ChunkOps.toArray(
+      TiffIO.read(spark, s"$fx/rgb_packbits.tif").chunks,
+      TiffIO.read(spark, s"$fx/rgb_packbits.tif").meta)
+    assert(got.toSeq == chunky.toSeq,
+      "planar and chunky encodings of the same image must read identically")
+  }
+
+  test("planar multichannel LSM: per-channel strip runs land as (z,y,x,c)") {
+    val img = TiffIO.read(spark, s"$fx/vol/vol_planar.lsm")
+    assert(img.meta.dims == Seq("z", "y", "x", "c"))
+    assert(img.meta.shape == Seq(2L, 6L, 8L, 2L))
+    assert(img.meta.scale("x") == 0.5e-6 && img.meta.scale("z") == 2.0e-6)
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (z <- 0 until 2; y <- 0 until 6; x <- 0 until 8; c <- 0 until 2)
+      assert(got(((z * 6 + y) * 8 + x) * 2 + c) ==
+        ((x * 7 + y * 11 + z * 13 + c * 31) % 200).toDouble, s"($x,$y,$z,$c)")
+    assert(!got.contains(0xEE.toDouble)) // thumbnails skipped
+  }
+
   test("LZW strip decodes (early-change code widths)") {
     val img = TiffIO.read(spark, s"$fx/gray8_lzw.tif")
     assert(img.meta.shape == Seq(9L, 33L))

@@ -316,6 +316,21 @@ def main():
         pages.append(page)
     write_tiff(OUT / "interleaved.ome.tif", pages)
 
+    # 9. RGB PLANAR strips (PlanarConfiguration 2): same pixel formula
+    # as fixture 3, but each channel's rows stored as its own strip
+    # run, channel-major — the layout planar Zeiss/legacy writers emit
+    w, h, rps = 9, 7, 3
+    rgb = [[((x * 20) % 256, (y * 30) % 256, ((x + y) * 15) % 256)
+            for x in range(w)] for y in range(h)]
+    regions = []
+    for c in range(3):
+        for s in range((h + rps - 1) // rps):
+            chunk = [[px[c] for px in row] for row in rgb[s * rps:(s + 1) * rps]]
+            regions.append(pack_samples(chunk, "B", "<"))
+    write_tiff(OUT / "rgb_planar.tif", [dict(
+        width=w, height=h, spp=3, bits=8, rows_per_strip=rps,
+        regions=regions, tags={284: (3, [2])})])
+
     print("wrote", sorted(p.name for p in OUT.glob("*.tif")))
 
 
