@@ -29,7 +29,8 @@ object LlmOps extends QModule {
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
-    t111StratifiedSample, t112LineRepetition, t114Bm25Lite)
+    t111StratifiedSample, t112LineRepetition, t114Bm25Lite,
+    t115PassageWindows)
 
   import QTables.{docs, emb}
 
@@ -1252,4 +1253,33 @@ object LlmOps extends QModule {
                    CAST(sum(s) AS BIGINT) AS bm25_milli
             FROM sc GROUP BY doc_id
             ORDER BY bm25_milli DESC, doc_id LIMIT 20"""))
+
+  /** Overlapping passage windows ([[graft.ops.Passages.windows]], 24
+    * words advancing by 16): the retrieval/RAG chunking counterpart
+    * of the CDC chunker (t110) — ZERO-shuffle per-row window math,
+    * passage identity as an md5 the downstream exact-dedup joins on.
+    * The oracle replays start arithmetic, tail-window clamping, and
+    * the passage hashes.
+    */
+  val t115PassageWindows = Q(
+    "t115_passage_windows",
+    (s, dir) => graft.ops.Passages.windows(docs(s, dir), window = 24, stride = 16)
+      .orderBy(col("doc_id"), col("win_id")),
+    Some("""WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            b AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+            x AS (SELECT doc_id, ws,
+                    unnest(range(CAST(greatest(ceil((n - 24) / 16.0), 0)
+                      AS BIGINT) + 1)) AS win_id
+                  FROM b),
+            p AS (SELECT doc_id, CAST(win_id AS INT) AS win_id,
+                    CAST(win_id * 16 AS INT) AS start_word,
+                    list_slice(ws, win_id * 16 + 1, win_id * 16 + 24) AS pw
+                  FROM x)
+            SELECT doc_id, win_id, start_word,
+                   CAST(len(pw) AS INT) AS n_words,
+                   pw[1] AS head_word, pw[-1] AS tail_word,
+                   md5(array_to_string(pw, ' ')) AS passage_hash
+            FROM p ORDER BY doc_id, win_id"""))
 }

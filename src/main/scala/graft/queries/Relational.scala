@@ -35,7 +35,8 @@ object Relational extends QModule {
     q62LateralJoin, q63SetOpsAll, q64WindowDistribution, q67PartitionedScan,
     q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin, q71GroupingId,
     q72NullSafeJoin, q73Unpivot, q74HigherOrderFns, q75PercentileCont,
-    q76RecursiveCte, q77IntervalRangeFrame, q78AggFilterClause)
+    q76RecursiveCte, q77IntervalRangeFrame, q78AggFilterClause,
+    q79SchemaEvolution, q80LimitOffset)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1883,4 +1884,59 @@ object Relational extends QModule {
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                      FILTER (WHERE l_tax = 0.0) AS BIGINT) AS untaxed_cents
             FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Parquet schema evolution: two batches written with DIFFERENT
+    * schemas (the second adds a column — the append-only data-lake
+    * reality at 100 TB, where re-writing history for a new field is
+    * not a plan), read back in one scan with `mergeSchema`; rows from
+    * the old batch surface the new column as NULL. The oracle replays
+    * the same union-by-name logically over the source table.
+    */
+  val q79SchemaEvolution = Q(
+    "q79_schema_evolution",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_q79_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = QTables.docs(s, dir)
+      d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/b1")
+      d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+        .groupBy(coalesce(col("lang"), lit("_pre_evolution")).as("lang_g"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).cast("long").as("min_doc"))
+        .orderBy(col("lang_g"))
+    },
+    Some("""WITH b1 AS (SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+                FROM documents WHERE doc_id < 250),
+            b2 AS (SELECT doc_id, n_chars, lang
+                FROM documents WHERE doc_id >= 250),
+            u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+            SELECT coalesce(lang, '_pre_evolution') AS lang_g,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc
+            FROM u GROUP BY 1 ORDER BY lang_g"""))
+
+  /** LIMIT/OFFSET pagination under a total order — the API-page
+    * slice. Note the 100 TB posture: a deep OFFSET still sorts and
+    * skips (there is no index); production pagination keys on the
+    * last-seen sort key instead, which is exactly why the gate pins
+    * a SHALLOW page.
+    */
+  val q80LimitOffset = Q(
+    "q80_limit_offset",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .offset(100).limit(50),
+    Some("""SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders
+            ORDER BY price_cents DESC, o_orderkey
+            LIMIT 50 OFFSET 100"""))
 }
