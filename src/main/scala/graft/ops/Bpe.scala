@@ -67,6 +67,103 @@ object Bpe {
     trainOnHistogram(hist.toIndexedSeq, nMerges)
   }
 
+  // ---- byte-level (GPT-2 regime) ----
+
+  /** GPT-2's byte↔unicode table (the public `bytes_to_unicode`
+    * construction, re-derived): the 188 printable latin-1 bytes map
+    * to themselves; the other 68 shift to U+0100 + counter, so EVERY
+    * byte has a printable one-char symbol and byte-level BPE never
+    * needs an UNK. Space (0x20) lands on 'Ġ' (U+0120) — the
+    * leading-space marker visible in every GPT-2-family vocabulary.
+    */
+  private[graft] val byteToUnicode: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  /** One pretoken's byte symbols: the UTF-8 bytes of the word (with
+    * its leading space for every word but the document's first — the
+    * GPT-2 pretokenization convention) mapped through the table.
+    * Multi-byte characters become several symbols, which is the
+    * point: the base alphabet is bytes, so nothing is ever
+    * out-of-vocabulary.
+    */
+  private[graft] def byteSymbols(word: String, leadingSpace: Boolean): Seq[String] = {
+    val s = (if (leadingSpace) " " else "") + word
+    s.getBytes("UTF-8").toSeq.map(b => byteToUnicode(b & 0xff).toString)
+  }
+
+  /** Tokenize one pretoken's symbol sequence under an ordered merge
+    * list — [[encodeWord]] generalized past char symbols.
+    */
+  private[graft] def encodeSymbols(syms: Seq[String],
+      merges: Seq[(String, String)]): Seq[String] = {
+    var s = syms
+    merges.foreach { case (a, b) => if (s.length > 1) s = mergeOnce(s, a, b) }
+    s
+  }
+
+  /** Learn `nMerges` BYTE-level merges — [[train]]'s shape (one
+    * histogram pass, capped, driver-side incremental trainer) over
+    * GPT-2 pretokens: the histogram keys on (word, is-first-in-doc)
+    * because the leading-space marker makes " word" and "word"
+    * different byte sequences, exactly as GPT-2 counts them.
+    */
+  def trainBytes(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      topWords: Int = 1 << 20, minCount: Long = 1L): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(topWords > 0, s"topWords must be positive, got $topWords")
+    val hist = docs
+      .select(posexplode(words(docs, textCol)).as(Seq("pos", "w")))
+      .select((col("pos") === 0).as("first"), col("w"))
+      .groupBy("first", "w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("w").asc, col("first").asc)
+      .limit(topWords)
+      .as[(Boolean, String, Long)]
+      .collect()
+    trainOnSymbols(hist.toIndexedSeq.map { case (first, w, n) =>
+      (byteSymbols(w, leadingSpace = !first), n)
+    }, nMerges)
+  }
+
+  /** Per-doc byte-level tokenization stats under a frozen merge list
+    * — [[tokenStats]]'s distinct-pretoken encode trick with the
+    * (word, is-first) key. Output token_str joins token symbols in
+    * document order.
+    */
+  def byteTokenStats(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergesB = spark.sparkContext.broadcast(merges)
+    val occ = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(words(docs, textCol)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), (col("pos") === 0).as("first"), col("w"))
+    val uniq = occ.select(col("first"), col("w")).distinct()
+      .as[(Boolean, String)]
+      .map { case (first, w) =>
+        (first, w, encodeSymbols(byteSymbols(w, leadingSpace = !first), mergesB.value))
+      }
+      .toDF("first", "w", "toks")
+    occ.join(uniq, Seq("first", "w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_words"),
+        sum(size(col("toks"))).cast("bigint").as("n_tokens"),
+        array_join(flatten(array_sort(
+          collect_list(struct(col("pos"), col("toks"))))
+          .getField("toks")), " ").as("token_str"))
+  }
+
   /** Driver-side incremental trainer over a (word, count) histogram:
     * pair counts and a pair→words index update only for the words
     * containing each winning pair (O(Σ affected word length) per
@@ -76,11 +173,20 @@ object Bpe {
     * Spark trainers.
     */
   private[graft] def trainOnHistogram(hist: IndexedSeq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] =
+    trainOnSymbols(hist.map { case (w, n) =>
+      (w.map(_.toString): Seq[String], n)
+    }, nMerges)
+
+  /** The trainer core over pre-split symbol sequences — shared by the
+    * char-level [[train]] and byte-level [[trainBytes]] paths.
+    */
+  private[graft] def trainOnSymbols(hist: IndexedSeq[(Seq[String], Long)],
       nMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
     val nW = hist.length
     val syms: Array[mutable.ArrayBuffer[String]] =
-      Array.tabulate(nW)(i => mutable.ArrayBuffer(hist(i)._1.map(_.toString): _*))
+      Array.tabulate(nW)(i => mutable.ArrayBuffer(hist(i)._1: _*))
     val freqs: Array[Long] = Array.tabulate(nW)(i => hist(i)._2)
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]

@@ -29,8 +29,7 @@ object LlmOps extends QModule {
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
-    t111StratifiedSample, t112LineRepetition, t114Bm25Lite,
-    t115PassageWindows)
+    t111StratifiedSample, t112LineRepetition, t115PassageWindows)
 
   import QTables.{docs, emb}
 
@@ -1217,42 +1216,6 @@ object LlmOps extends QModule {
                    CASE WHEN total_chars = 0 THEN CAST(0 AS BIGINT)
                         ELSE dup_chars * 1000 // total_chars END AS dup_char_frac_milli
             FROM pr ORDER BY doc_id"""))
-
-  /** Exact-integer BM25 retrieval ([[graft.ops.Retrieval.bm25Lite]]):
-    * top-20 docs for a 3-term query, Robertson tf/length
-    * normalization as one cleared-denominator integer expression and
-    * the rational idf surrogate — the whole ranking replayed
-    * bit-for-bit in SQL, so a drifted df, dl, or floor anywhere in
-    * the cascade reorders the cut and hash-mismatches.
-    */
-  val t114Bm25Lite = Q(
-    "t114_bm25_lite",
-    (s, dir) => graft.ops.Retrieval.bm25Lite(docs(s, dir),
-      Seq("table", "hash", "merge")),
-    Some("""WITH d AS (SELECT doc_id,
-                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
-                FROM documents),
-            dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
-            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                           CAST(sum(dl) AS BIGINT) AS w FROM dl),
-            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                   FROM (SELECT doc_id, unnest(ws) AS term FROM d)
-                   WHERE term IN ('table', 'hash', 'merge')
-                   GROUP BY doc_id, term),
-            idf AS (SELECT term,
-                      ((SELECT n FROM tot) - CAST(count(*) AS BIGINT) + 1) * 1000
-                        // (CAST(count(*) AS BIGINT) + 1) AS idf_milli
-                    FROM tf GROUP BY term),
-            sc AS (SELECT tf.doc_id,
-                     idf.idf_milli * (tf.tf * 44 * (SELECT w FROM tot))
-                       // (20 * (SELECT w FROM tot) * tf.tf
-                           + 6 * (SELECT w FROM tot)
-                           + 18 * dl.dl * (SELECT n FROM tot)) AS s
-                   FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-                   CAST(sum(s) AS BIGINT) AS bm25_milli
-            FROM sc GROUP BY doc_id
-            ORDER BY bm25_milli DESC, doc_id LIMIT 20"""))
 
   /** Overlapping passage windows ([[graft.ops.Passages.windows]], 24
     * words advancing by 16): the retrieval/RAG chunking counterpart

@@ -39,7 +39,8 @@ object Pipeline extends QModule {
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
-    t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks)
+    t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
+    t116ByteBpeEncode)
 
   import QTables.{docs, emb}
 
@@ -1144,6 +1145,54 @@ object Pipeline extends QModule {
                     unnest(ws) AS w
                   FROM d),
           enc AS (SELECT doc_id, pos, $repr AS repr FROM occ),
+          tok AS (SELECT doc_id, pos,
+                    len(string_split(repr, '||')) AS n_toks,
+                    replace(substr(repr, 2, len(repr) - 2), '||', ' ') AS toks
+                  FROM enc)
+          SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 string_agg(toks, ' ' ORDER BY pos) AS token_str
+          FROM tok GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  /** The t116 BYTE-level merge list: the first 12 merges
+    * [[graft.ops.Bpe.trainBytes]] learns on the sf0.001 corpus —
+    * note the Ġ (U+0120, byte 0x20's symbol) pairs: the leading-space
+    * marker IS the byte-level signature, and ("Ġ","s") outranking
+    * every in-word pair is exactly what a whitespace corpus teaches a
+    * GPT-2-family tokenizer first.
+    */
+  private val byteBpeMerges: Seq[(String, String)] = Seq(
+    "Ġ" -> "s", "e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w",
+    "l" -> "u", "a" -> "r", "p" -> "ar", "Ġ" -> "a", "Ġ" -> "v",
+    "a" -> "s", "Ġ" -> "c")
+
+  /** Byte-level BPE tokenization ([[graft.ops.Bpe.byteTokenStats]])
+    * under the frozen merge list — the GPT-2 regime: pretokens carry
+    * their leading space as the Ġ symbol, the base alphabet is bytes
+    * (never an UNK), distinct (word, is-first) pretokens encode once.
+    * The corpus is ASCII, so the oracle replays the byte symbols as
+    * chr(288)-prefixed characters with t63's chained-replace apply.
+    */
+  val t116ByteBpeEncode = Q(
+    "t116_byte_bpe_encode",
+    (s, dir) => graft.ops.Bpe.byteTokenStats(docs(s, dir), byteBpeMerges)
+      .orderBy(col("doc_id")),
+    Some {
+      val repr = byteBpeMerges.foldLeft(
+        "'|' || array_to_string(list_transform(range(length(pw)), " +
+          "i -> substr(pw, CAST(i + 1 AS INT), 1)), '||') || '|'") {
+        case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                     FROM documents),
+          occ AS (SELECT doc_id, unnest(range(len(ws))) AS pos,
+                    unnest(ws) AS w
+                  FROM d),
+          pre AS (SELECT doc_id, pos,
+                    CASE WHEN pos = 0 THEN w ELSE chr(288) || w END AS pw
+                  FROM occ),
+          enc AS (SELECT doc_id, pos, $repr AS repr FROM pre),
           tok AS (SELECT doc_id, pos,
                     len(string_split(repr, '||')) AS n_toks,
                     replace(substr(repr, 2, len(repr) - 2), '||', ' ') AS toks

@@ -69,6 +69,36 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainDistributed(docs, nMerges = 5).isEmpty)
   }
 
+  test("byteToUnicode: printable identity, bijection, space -> Ġ") {
+    val t = Bpe.byteToUnicode
+    assert(t.distinct.length == 256, "byte->unicode must be a bijection")
+    assert(t('a'.toInt) == 'a' && t('~'.toInt) == '~' && t(0xFF) == 'ÿ')
+    assert(t(0x20) == 'Ġ', "space must map to the Ġ marker")
+    assert(t(0x0A) != '\n', "control bytes must shift to printables")
+  }
+
+  test("byteSymbols: leading-space marker, multi-byte chars split per byte") {
+    assert(Bpe.byteSymbols("ab", leadingSpace = false) == Seq("a", "b"))
+    assert(Bpe.byteSymbols("ab", leadingSpace = true) == Seq("Ġ", "a", "b"))
+    // 'é' is two UTF-8 bytes (0xC3 0xA9) -> two printable symbols;
+    // nothing is ever out-of-vocabulary at the byte level
+    val e = Bpe.byteSymbols("é", leadingSpace = false)
+    assert(e.length == 2 && e == Seq("Ã", "©"))
+    assert(Bpe.byteSymbols("a\nb", leadingSpace = false).length == 3)
+  }
+
+  test("byte-level train: the space marker participates in merges") {
+    import spark.implicits._
+    // pretokens: 'ab' x1 (first), 'Ġab' x2 -> pairs (a,b)=3, (Ġ,a)=2
+    val docs = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, nMerges = 5)
+    assert(merges == Seq(("a", "b"), ("Ġ", "ab")))
+    val stats = Bpe.byteTokenStats(docs, merges).collect().head
+    assert(stats.getAs[Int]("n_words") == 3)
+    assert(stats.getAs[Long]("n_tokens") == 3L)
+    assert(stats.getAs[String]("token_str") == "ab Ġab Ġab")
+  }
+
   test("topWords cap and minCount floor restrict which words feed pair counts") {
     import spark.implicits._
     // 'zz' x3 dominates; 'qy' x2 is next; 'pp' appears once
