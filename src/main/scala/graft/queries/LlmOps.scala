@@ -29,7 +29,8 @@ object LlmOps extends QModule {
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
-    t111StratifiedSample, t112LineRepetition, t115PassageWindows)
+    t111StratifiedSample, t112LineRepetition, t115PassageWindows,
+    d64JwLinkage)
 
   import QTables.{docs, emb}
 
@@ -1216,6 +1217,53 @@ object LlmOps extends QModule {
                    CASE WHEN total_chars = 0 THEN CAST(0 AS BIGINT)
                         ELSE dup_chars * 1000 // total_chars END AS dup_char_frac_milli
             FROM pr ORDER BY doc_id"""))
+
+  /** Record linkage with the native Jaro–Winkler expression
+    * ([[org.apache.spark.sql.graftext.JaroWinkler]], codegen'd): a
+    * dirty probe table (every fourth doc's two-word name with an
+    * interior character transposition — the classic data-entry typo)
+    * links back to the master under first-letter + length blocking,
+    * so the join is never all-pairs; matches keep jw ≥ 0.9. The
+    * oracle replays the same blocking and DuckDB's
+    * `jaro_winkler_similarity` — the two independent implementations
+    * must agree to 6dp on every surviving pair, which pins the match
+    * window, half-transposition, and boost-threshold semantics.
+    */
+  val d64JwLinkage = Q(
+    "d64_jw_linkage",
+    (s, dir) => {
+      val master = docs(s, dir).select(col("doc_id").as("m_id"),
+        expr("array_join(slice(filter(split(text, ' '), x -> x <> ''), 1, 2), ' ')")
+          .as("name"))
+      val dirty = master.filter(col("m_id") % 4 === 0)
+        .select((col("m_id") + 5000L).as("q_id"),
+          expr("concat(substring(name, 1, 1), substring(name, 3, 1), " +
+            "substring(name, 2, 1), substring(name, 4))").as("qname"))
+      master.join(dirty,
+          substring(col("name"), 1, 1) === substring(col("qname"), 1, 1) &&
+            abs(length(col("name")) - length(col("qname"))) <= 1)
+        .select(col("m_id"), col("q_id"),
+          round(org.apache.spark.sql.graftext.JaroWinkler
+            .jaroWinkler(col("name"), col("qname")), 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy(col("m_id"), col("q_id"))
+    },
+    Some("""WITH m AS (SELECT doc_id AS m_id,
+                  array_to_string(list_slice(
+                    list_filter(string_split(text, ' '), x -> x <> ''), 1, 2), ' ')
+                    AS name
+                FROM documents),
+            q AS (SELECT m_id + 5000 AS q_id,
+                    substr(name, 1, 1) || substr(name, 3, 1)
+                      || substr(name, 2, 1) || substr(name, 4) AS qname
+                  FROM m WHERE m_id % 4 = 0),
+            j AS (SELECT m_id, q_id,
+                    round(jaro_winkler_similarity(name, qname), 6) AS jw
+                  FROM m JOIN q
+                    ON substr(name, 1, 1) = substr(qname, 1, 1)
+                   AND abs(length(name) - length(qname)) <= 1)
+            SELECT m_id, q_id, jw FROM j WHERE jw >= 0.9
+            ORDER BY m_id, q_id"""))
 
   /** Overlapping passage windows ([[graft.ops.Passages.windows]], 24
     * words advancing by 16): the retrieval/RAG chunking counterpart
