@@ -47,7 +47,8 @@ object Imaging extends QModule {
     i70Minc2Volume, i71ScannerVolume, i72PatchStats, i73PatchAugment,
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
-    i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries)
+    i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
+    i84DistanceTransform)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1023,4 +1024,38 @@ object Imaging extends QModule {
                    CAST(6 AS BIGINT) AS n_z, CAST(10 AS BIGINT) AS n_y,
                    CAST(12 AS BIGINT) AS n_x
             FROM vox GROUP BY z ORDER BY z"""))
+
+  /** Exact squared Euclidean distance transform
+    * ([[graft.operators.DistanceTransform.squaredEdt]]) of the
+    * v > 250 mask — the separable Felzenszwalb two-phase transform:
+    * TWO exchanges (rows, then columns) and exact Long arithmetic at
+    * any image size, where an iterative chamfer/jump-flood stencil
+    * would need diameter-many halo rounds. The oracle is the
+    * brute-force min over all foreground pixels — bit-identical by
+    * construction, so a single wrong envelope breakpoint anywhere
+    * hash-mismatches through the positional checksum.
+    */
+  val i84DistanceTransform = Q(
+    "i84_distance_transform",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.DistanceTransform.squaredEdt(s, ds, meta, threshold = 250.0)
+        .groupBy(col("y"))
+        .agg(sum(col("fg")).cast("bigint").as("n_fg"),
+          sum(col("dist_sq")).cast("bigint").as("sum_dsq"),
+          max(col("dist_sq")).cast("bigint").as("max_dsq"),
+          sum(col("dist_sq") * (col("x") + 1)).cast("bigint").as("pos_check"))
+        .orderBy(col("y"))
+    },
+    Some(s"""WITH $gridSql,
+            fg AS (SELECT y, x FROM grid WHERE v > 250),
+            d AS (SELECT g.y, g.x, CAST(g.v > 250 AS INT) AS isfg,
+                    min((g.y - f.y) * (g.y - f.y)
+                        + (g.x - f.x) * (g.x - f.x)) AS dsq
+                  FROM grid g CROSS JOIN fg f GROUP BY g.y, g.x, g.v)
+            SELECT y, CAST(sum(isfg) AS BIGINT) AS n_fg,
+                   CAST(sum(dsq) AS BIGINT) AS sum_dsq,
+                   CAST(max(dsq) AS BIGINT) AS max_dsq,
+                   CAST(sum(dsq * (x + 1)) AS BIGINT) AS pos_check
+            FROM d GROUP BY y ORDER BY y"""))
 }
