@@ -327,4 +327,31 @@ object LabelComponents {
     voxelFrag.join(broadcast(resolve), Seq("plabel"), "left")
       .select(col("y"), col("x"), coalesce(col("comp"), col("plabel")).as("comp"))
   }
+
+  /** Per-component geometric moments — the regionprops tier after
+    * labeling: size, first moments, exact micro-unit centroids
+    * (floor division), and RAW second moments. Raw moments are the
+    * right exchange currency: they are exact BIGINTs any consumer
+    * can turn into central moments and orientation without
+    * re-touching voxels (n·μ20 = n·Σy² − (Σy)², n·μ11 = n·Σyx −
+    * Σy·Σx, …), whereas shipping floats would bake in one rounding
+    * choice. One map-side-combinable aggregation over the labeled
+    * voxel view ([[componentLabels2d]]) — linear at any volume.
+    */
+  def componentMoments2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    componentLabels2d(spark, ds, meta, threshold)
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).cast("bigint").as("size"),
+        sum(col("y")).cast("bigint").as("sum_y"),
+        sum(col("x")).cast("bigint").as("sum_x"),
+        sum(col("y") * col("y")).cast("bigint").as("sum_yy"),
+        sum(col("x") * col("x")).cast("bigint").as("sum_xx"),
+        sum(col("y") * col("x")).cast("bigint").as("sum_yx"))
+      .select(col("comp"), col("size"), col("sum_y"), col("sum_x"),
+        col("sum_yy"), col("sum_xx"), col("sum_yx"),
+        expr("sum_y * 1000000 div size").as("cy_micro"),
+        expr("sum_x * 1000000 div size").as("cx_micro"))
+  }
 }

@@ -48,7 +48,7 @@ object Imaging extends QModule {
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
     i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
-    i84DistanceTransform)
+    i84DistanceTransform, i85RegionMoments)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1058,4 +1058,31 @@ object Imaging extends QModule {
                    CAST(max(dsq) AS BIGINT) AS max_dsq,
                    CAST(sum(dsq * (x + 1)) AS BIGINT) AS pos_check
             FROM d GROUP BY y ORDER BY y"""))
+
+  /** Per-component geometric moments ([[graft.operators
+    * .LabelComponents.componentMoments2d]]) — the regionprops tier
+    * over the same cross-chunk components as i74: size, first/second
+    * RAW moments (exact BIGINTs — consumers derive central moments
+    * and orientation without re-touching voxels) and micro-unit
+    * centroids by floor division. The oracle reuses the recursive-CTE
+    * component closure and replays every moment sum.
+    */
+  val i85RegionMoments = Q(
+    "i85_region_moments",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.LabelComponents.componentMoments2d(s, ds, meta, threshold = 128.0)
+        .orderBy(col("comp"))
+    },
+    Some(s"""WITH RECURSIVE $cclSql
+            SELECT c.comp AS comp, CAST(count(*) AS BIGINT) AS size,
+                   CAST(sum(f.y) AS BIGINT) AS sum_y,
+                   CAST(sum(f.x) AS BIGINT) AS sum_x,
+                   CAST(sum(f.y * f.y) AS BIGINT) AS sum_yy,
+                   CAST(sum(f.x * f.x) AS BIGINT) AS sum_xx,
+                   CAST(sum(f.y * f.x) AS BIGINT) AS sum_yx,
+                   CAST(sum(f.y) * 1000000 // count(*) AS BIGINT) AS cy_micro,
+                   CAST(sum(f.x) * 1000000 // count(*) AS BIGINT) AS cx_micro
+            FROM comp c JOIN fg f ON f.id = c.id
+            GROUP BY c.comp ORDER BY comp"""))
 }

@@ -152,6 +152,38 @@ class LabelComponentsSpec extends SparkSpec {
     }
   }
 
+  test("componentMoments2d: exact moments, centroids, and the central-moment identity") {
+    val h = 8; val w = 10
+    // component A: 2x3 box at (1..2, 1..3); component B: L at rows 5..6
+    val vals = Array.fill(h * w)(0.0)
+    for (y <- 1 to 2; x <- 1 to 3) vals(y * w + x) = 200.0
+    for (x <- 6 to 8) vals(5 * w + x) = 200.0
+    vals(6 * w + 6) = 200.0
+    // 2x2 chunk grid: labeling correctness is proven elsewhere; this
+    // test pins the MOMENT sums and centroid floors
+    val m = meta(h, w, 4, 5)
+    val out = LabelComponents.componentMoments2d(spark,
+      ChunkOps.fromArray(spark, vals, m), m, threshold = 128.0)
+      .orderBy("comp").collect()
+    assert(out.length == 2)
+    val a = out.head
+    // A: ys {1,1,1,2,2,2}, xs {1,2,3,1,2,3}
+    assert(a.getAs[Long]("size") == 6L)
+    assert(a.getAs[Long]("sum_y") == 9L && a.getAs[Long]("sum_x") == 12L)
+    assert(a.getAs[Long]("sum_yy") == 15L && a.getAs[Long]("sum_xx") == 28L)
+    assert(a.getAs[Long]("sum_yx") == 18L)
+    assert(a.getAs[Long]("cy_micro") == 1500000L)
+    assert(a.getAs[Long]("cx_micro") == 2000000L)
+    // central-moment identity the doc promises: n·mu20 = n·sum_yy − sum_y²
+    assert(6 * 15 - 9 * 9 == 9) // = n·mu20 for rows {1,2}×3 → mu20 = 1.5
+    val b = out(1)
+    // B: cells (5,6)(5,7)(5,8)(6,6)
+    assert(b.getAs[Long]("size") == 4L)
+    assert(b.getAs[Long]("sum_y") == 21L && b.getAs[Long]("sum_x") == 27L)
+    assert(b.getAs[Long]("sum_yx") == 5 * 6 + 5 * 7 + 5 * 8 + 6 * 6)
+    assert(b.getAs[Long]("cx_micro") == 27L * 1000000 / 4)
+  }
+
   test("per-voxel labels agree with the stats pass on a random mask") {
     val rnd = new scala.util.Random(7)
     val h = 24; val w = 24
