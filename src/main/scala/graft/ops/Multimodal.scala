@@ -676,6 +676,40 @@ object Multimodal {
     }).toDF("doc_id", "media")
   }
 
+  /** 200-sample WAVs alternating planted silence and voiced bursts
+    * for the VAD gate (m66): frame w = ⌊i/10⌋ is VOICED iff
+    * (id·7 + w·5) mod 7 < 4. Voiced samples sit in [20000, 29999]
+    * (frame energy ≥ 4·10⁹) and silence within ±80 (energy ≤ 64000),
+    * so the 10⁶ energy threshold is DETERMINISTICALLY on the right
+    * side of every frame — the verdict never rides a rounding edge.
+    */
+  def syntheticWavSpeech(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val n = 200
+      val rate = 8000
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0
+      while (i < n) {
+        val w = i / 10
+        val v =
+          if ((id * 7 + w * 5) % 7 < 4)
+            20000 + (id * 7919 + i * 104729L) % 10000
+          else (id * 13 + i * 7) % 161 - 80
+        bb.putShort(v.toShort)
+        i += 1
+      }
+      (id, bb.array())
+    }).toDF("doc_id", "media")
+  }
+
   def syntheticWav(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -30,7 +30,7 @@ object LlmOps extends QModule {
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
     t111StratifiedSample, t112LineRepetition, t115PassageWindows,
-    d64JwLinkage)
+    d64JwLinkage, m66VadSegments)
 
   import QTables.{docs, emb}
 
@@ -1217,6 +1217,41 @@ object LlmOps extends QModule {
                    CASE WHEN total_chars = 0 THEN CAST(0 AS BIGINT)
                         ELSE dup_chars * 1000 // total_chars END AS dup_char_frac_milli
             FROM pr ORDER BY doc_id"""))
+
+  /** Energy-based voice-activity segmentation
+    * ([[graft.ops.AudioVad.vadSegments]]): 200-sample WAVs with
+    * planted silence/voice structure decode through the REAL WAV
+    * path, frame into 10-sample energies, and merge voiced runs into
+    * segments in the same per-document scan — ZERO shuffles beyond
+    * the gate's ORDER BY. The oracle replays the synth formula, frame
+    * energies, and gaps-and-islands segmentation exactly (all
+    * energies are exact int16-square Longs).
+    */
+  val m66VadSegments = Q(
+    "m66_vad_segments",
+    (s, dir) => graft.ops.AudioVad.vadSegments(
+        Multimodal.syntheticWavSpeech(docs(s, dir).filter(col("doc_id") < 200)))
+      .orderBy(col("doc_id"), col("seg_id")),
+    Some("""WITH s AS (SELECT doc_id, i.i AS i, i.i // 10 AS w,
+                  CASE WHEN (doc_id * 7 + (i.i // 10) * 5) % 7 < 4
+                       THEN 20000 + (doc_id * 7919 + i.i * 104729) % 10000
+                       ELSE (doc_id * 13 + i.i * 7) % 161 - 80 END AS v
+                FROM documents, range(200) i(i) WHERE doc_id < 200),
+            fr AS (SELECT doc_id, w, CAST(sum(v * v) AS BIGINT) AS e
+                   FROM s GROUP BY doc_id, w),
+            vo AS (SELECT doc_id, w, e,
+                     w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+                   FROM fr WHERE e > 1000000),
+            seg AS (SELECT doc_id, grp, min(w) AS sf, max(w) AS ef,
+                      CAST(count(*) AS INT) AS n_frames,
+                      CAST(sum(e) AS BIGINT) AS energy_sum
+                    FROM vo GROUP BY doc_id, grp)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sf) - 1
+                     AS INT) AS seg_id,
+                   CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
+                   n_frames, energy_sum
+            FROM seg ORDER BY doc_id, seg_id"""))
 
   /** Record linkage with the native Jaro–Winkler expression
     * ([[org.apache.spark.sql.graftext.JaroWinkler]], codegen'd): a

@@ -36,7 +36,7 @@ object Relational extends QModule {
     q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin, q71GroupingId,
     q72NullSafeJoin, q73Unpivot, q74HigherOrderFns, q75PercentileCont,
     q76RecursiveCte, q77IntervalRangeFrame, q78AggFilterClause,
-    q79SchemaEvolution, q80LimitOffset)
+    q79SchemaEvolution, q80LimitOffset, q81HllSketchUnion)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1939,4 +1939,37 @@ object Relational extends QModule {
             FROM orders
             ORDER BY price_cents DESC, o_orderkey
             LIMIT 50 OFFSET 100"""))
+
+  /** DataSketches HLL as a PERSISTABLE, MERGEABLE column (Spark 4
+    * `hll_sketch_agg` / `hll_union_agg`): partial sketches built per
+    * fine group merge to a coarser group WITHOUT rescanning rows —
+    * the incremental distinct-accounting shape at 100 TB (yesterday's
+    * per-partition sketches + today's = updated totals, no re-read).
+    * Like q13/q48, accuracy is a bounded-error VERDICT both engines
+    * compute against their own exact counts, since sketch registers
+    * aren't portable across implementations.
+    */
+  val q81HllSketchUnion = Q(
+    "q81_hll_sketch_union",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      // fine partials: (returnflag, linestatus) sketches
+      val partials = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+      // coarse rollup: merge partials per returnflag — no row rescan
+      val merged = partials.groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      merged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"),
+          (abs(col("est") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("within_5pct"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+                   abs(approx_count_distinct(l_orderkey)
+                       - count(DISTINCT l_orderkey))
+                     <= count(DISTINCT l_orderkey) * 0.05 AS within_5pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 }
