@@ -23,13 +23,18 @@ import ChunkOps.ChunkRow
   * none/Deflate(8,32946)/PackBits(32773)/LZW(5) with the horizontal-
   * differencing predictor (tag 317 = 2), new-style JPEG (7) via
   * `javax.imageio` including shared JPEGTables (tag 347), and
-  * multi-page stacks of equal shape as a z dimension, and OME-TIFF
+  * old-style JPEG (6) when the page carries a complete
+  * JPEGInterchangeFormat stream (tags 513/514 — the interchange
+  * profile every surviving writer produced; decoded as one
+  * full-page region), multi-page stacks of equal shape as a z
+  * dimension, and OME-TIFF
   * axes metadata: the OME-XML in ImageDescription (tag 270) supplies
   * DimensionOrder/SizeZ/C/T page interleaving and PhysicalSizeX/Y/Z
   * spacing (normalized to µm), so a `.ome.tif` ingests with correct
   * t/c/z dims instead of pages→z. Rejected with precise errors:
-  * palette color, old-style JPEG (6), movie codecs, multi-Image OME
-  * documents, unknown OME units.
+  * palette color, old-style JPEG without an interchange stream
+  * (the per-strip tables-in-tags profile), movie codecs,
+  * multi-Image OME documents, unknown OME units.
   */
 object TiffIO {
 
@@ -268,6 +273,7 @@ object TiffIO {
       var photometric = 1
       var jpegTables: Option[Array[Byte]] = None
       var nsft = 0L
+      var oldJpegOff = -1L; var oldJpegLen = -1L
 
       var e = 0
       while (e < nEntries) {
@@ -322,6 +328,8 @@ object TiffIO {
           case 324 => tileOff = values
           case 325 => tileCnt = values
           case 339 => fmt = valueAt(0).toInt
+          case 513 => oldJpegOff = valueAt(0)
+          case 514 => oldJpegLen = valueAt(0)
           case 347 => jpegTables = Some(src.get(dataOff, count.toInt))
           case 34412 if guard == 0 =>
             lsm = Some(parseLsmInfo(src.get(dataOff, math.min(count, 88L).toInt)))
@@ -330,6 +338,23 @@ object TiffIO {
         e += 1
       }
       require(width > 0 && height > 0, s"TIFF page missing dimensions")
+      if (comp == 6) {
+        // Old-style JPEG (TIFF 6.0 §22): the only profile with an
+        // unambiguous layout is the interchange one — tags 513/514
+        // point at ONE complete JPEG stream for the whole page (the
+        // shape every surviving writer produced; libtiff reads it the
+        // same way). Rewrite the page to a single full-height region
+        // over that stream; the per-strip tables-in-tags profile
+        // (515–521, no 513) stays a loud refusal.
+        require(oldJpegOff > 0 && oldJpegLen > 0,
+          "old-style JPEG (compression 6) without a JPEGInterchangeFormat " +
+            "stream unsupported — rewrite with compression 7")
+        require(oldJpegOff + oldJpegLen <= src.length,
+          s"JPEGInterchangeFormat stream [$oldJpegOff, +$oldJpegLen) " +
+            s"beyond file length ${src.length}")
+        stripOff = Seq(oldJpegOff); stripCnt = Seq(oldJpegLen)
+        rps = height; tw = 0; tl = 0; tileOff = Nil; tileCnt = Nil
+      }
       val tiled = tw > 0
       if (tiled) require(tl > 0 && tileOff.nonEmpty, "malformed tiled TIFF")
       else require(stripOff.nonEmpty, "TIFF page has neither strips nor tiles")
@@ -385,8 +410,10 @@ object TiffIO {
       case 32773 => unpackBits(data, expect)
       case 5 => lzwDecode(data, expect)
       case 7 => jpegDecodeRegion(data, jpegTables, expect) // new-style JPEG
-      case 6 => throw new UnsupportedOperationException(
-        "old-style JPEG (compression 6) unsupported — rewrite with compression 7")
+      case 6 =>
+        // parseInfo already collapsed the page to one region holding
+        // the complete JPEGInterchangeFormat stream — decode as-is
+        jpegDecodeRegion(data, None, expect)
       case other => throw new UnsupportedOperationException(
         s"TIFF compression $other unsupported (none/deflate/packbits/lzw/jpeg)")
     }

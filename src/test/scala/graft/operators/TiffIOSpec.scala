@@ -292,7 +292,32 @@ class TiffIOSpec extends SparkSpec {
     intercept[IllegalArgumentException](TiffIO.parseInfo("NOPE".getBytes ++ ok.drop(4)))
     assert(TiffIO.dtypeFor(16, 1) == "uint16")
     intercept[UnsupportedOperationException](TiffIO.dtypeFor(1, 1)) // bilevel
-    intercept[UnsupportedOperationException](TiffIO.decodeRegion(6, Array[Byte](1), 4))
+  }
+
+  test("old-style JPEG (compression 6): interchange stream decodes, " +
+      "tables-in-tags profile refuses") {
+    val full = jpegGray(16, 16, blockVal)
+    val path = java.nio.file.Files.createTempFile("oldjpeg", ".tif")
+    java.nio.file.Files.write(path, buildJpegTiff(16, 16, 16, Seq(full),
+      tiled = false, tables = None, oldStyle = true))
+    val img = TiffIO.read(spark, path.toString)
+    assert(img.meta.shape == Seq(16L, 16L) && img.meta.dtype == "uint8")
+    assertBlocks(ChunkOps.toArray(img.chunks, img.meta), 16, 16, tol = 4)
+    // compression 6 with no JPEGInterchangeFormat stream (tables
+    // spread over tags 515-521): loud refusal at parse time
+    val noStream = buildJpegTiff(16, 16, 16, Seq(full),
+      tiled = false, tables = None, oldStyle = true)
+    // surgically retag the 513 entry to 515 (walk the IFD, don't
+    // pattern-match bytes) so the stream pointer vanishes while
+    // everything else stays intact
+    def u16(o: Int) = (noStream(o) & 0xff) | ((noStream(o + 1) & 0xff) << 8)
+    def u32(o: Int) = u16(o).toLong | (u16(o + 2).toLong << 16)
+    val ifd = u32(4).toInt
+    val entry = (0 until u16(ifd)).map(e => ifd + 2 + 12 * e)
+      .find(o => u16(o) == 513).get
+    noStream(entry) = 0x03.toByte
+    val e = intercept[IllegalArgumentException](TiffIO.parseInfo(noStream))
+    assert(e.getMessage.contains("JPEGInterchangeFormat"))
   }
 
   // ---- JPEG compression (7) fixtures, assembled in-test ----
@@ -349,7 +374,8 @@ class TiffIOSpec extends SparkSpec {
     * layout, compression 7, optional JPEGTables.
     */
   private def buildJpegTiff(w: Int, h: Int, rps: Int, regions: Seq[Array[Byte]],
-      tiled: Boolean, tables: Option[Array[Byte]]): Array[Byte] = {
+      tiled: Boolean, tables: Option[Array[Byte]],
+      oldStyle: Boolean = false): Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     val regionOffs = regions.map { r => val o = 8 + body.size; body.write(r); o.toLong }
     val tablesOff = 8 + body.size
@@ -372,11 +398,17 @@ class TiffIOSpec extends SparkSpec {
     val ifdOff = extBase + ext.size
     case class E(tag: Int, typ: Int, count: Int, v: Long)
     val entries = (Seq(
-      E(256, 3, 1, w), E(257, 3, 1, h), E(258, 3, 1, 8), E(259, 3, 1, 7),
+      E(256, 3, 1, w), E(257, 3, 1, h), E(258, 3, 1, 8),
+      E(259, 3, 1, if (oldStyle) 6 else 7),
       E(262, 3, 1, 1), E(277, 3, 1, 1), E(339, 3, 1, 1)) ++
       (if (tiled) Seq(E(322, 3, 1, w), E(323, 3, 1, h),
         E(324, 4, n, offVal), E(325, 4, n, cntVal))
       else Seq(E(273, 4, n, offVal), E(278, 3, 1, rps), E(279, 4, n, cntVal))) ++
+      // old-style JPEG: the complete interchange stream via 513/514
+      // (strip entries stay, pointing at the same bytes — the real
+      // files carry both and readers must prefer the stream)
+      (if (oldStyle) Seq(E(513, 4, 1, regionOffs.head),
+        E(514, 4, 1, regions.head.length.toLong)) else Nil) ++
       tables.map(t => E(347, 7, t.length, tablesOff.toLong)).toSeq)
       .sortBy(_.tag)
     val bb = java.nio.ByteBuffer.allocate(
