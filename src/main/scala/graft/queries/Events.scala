@@ -48,7 +48,7 @@ object Events extends QModule {
   override def queries: Seq[Q] =
     Seq(q33Tumbling, q34Sliding, q35Session, q36DedupFirst, q50Funnel,
       q52CohortRetention, q54Scd2, q57IntervalJoin, q60RollingMad,
-      q65IntervalLeft, q66TimeWeightedAvg)
+      q65IntervalLeft, q66TimeWeightedAvg, q84EwmaDecay)
 
   /** Tumbling 1-hour windows per event type. */
   val q33Tumbling = Q(
@@ -431,4 +431,39 @@ object Events extends QModule {
             GROUP BY user_id, day
             HAVING sum(dt_us) > 0
             ORDER BY user_id, day"""))
+
+  /** Exponentially-decayed rolling value per user (half-life = one
+    * event): the recency-weighted activity score behind rate limiting
+    * and engagement decay. The infinite-tail EWMA is capped at 10
+    * lags (weight 2⁻¹⁰ ≈ 0.1% — below micro resolution for these
+    * values) and every weight is a power of two applied as a RIGHT
+    * SHIFT on non-negative micros, so each term is exact integer
+    * floor-division and the result hash-compares bit-for-bit. One
+    * window exchange; the 10 lags share a single sort.
+    */
+  val q84EwmaDecay = Q(
+    "q84_ewma_decay",
+    (s, dir) => {
+      val terms = (0 to 9).map(k =>
+        s"(coalesce(lag(v_micro, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0L) >> ${k + 1})")
+        .mkString(" + ")
+      // µs `ts` (not ts_ns) in the window order: DuckDB truncates
+      // ns→µs on read, so ns-resolution ordering could disagree
+      events(s, dir)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_micro"))
+        .selectExpr("user_id", "event_id", s"$terms AS decayed_micro")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some {
+      val terms = (0 to 9).map(k =>
+        s"(lag(v_micro, $k, 0) OVER (PARTITION BY user_id ORDER BY ts, event_id) >> ${k + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT user_id, event_id, ts,
+                CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+              FROM events WHERE user_id < 30)
+          SELECT user_id, event_id, $terms AS decayed_micro
+          FROM b ORDER BY user_id, event_id"""
+    })
 }

@@ -36,7 +36,8 @@ object Relational extends QModule {
     q68DynamicOverwrite, q69ScalarSubquery, q70BucketedJoin, q71GroupingId,
     q72NullSafeJoin, q73Unpivot, q74HigherOrderFns, q75PercentileCont,
     q76RecursiveCte, q77IntervalRangeFrame, q78AggFilterClause,
-    q79SchemaEvolution, q80LimitOffset, q81HllSketchUnion)
+    q79SchemaEvolution, q80LimitOffset, q81HllSketchUnion, q82Listagg,
+    q83RegrAgg)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -1972,4 +1973,97 @@ object Relational extends QModule {
                        - count(DISTINCT l_orderkey))
                      <= count(DISTINCT l_orderkey) * 0.05 AS within_5pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** SQL:2016 `LISTAGG ... WITHIN GROUP` (Spark 4's `listagg`):
+    * per-region DISTINCT market segments as one ordered delimited
+    * string. The ordered-set aggregate is a real reporting surface —
+    * and the WITHIN GROUP order makes the string deterministic, so it
+    * hash-compares exactly (DuckDB spells it `string_agg(DISTINCT
+    * ... ORDER BY)`). Dimensions broadcast; one shuffle for the agg.
+    */
+  val q82Listagg = Q(
+    "q82_listagg",
+    (s, dir) => {
+      val t = Tables.t(s, dir)
+      t("customer")
+        .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          expr("listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)")
+            .as("segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name,
+                   string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** Linear-regression aggregates (`regr_slope/intercept/r2`,
+    * SQL:2003): price-on-quantity fit per returnflag. Exact integer
+    * moment sums (BIGINT / DECIMAL(38)) hash-compare directly; the
+    * builtin regression aggregates are DOUBLE streaming forms whose
+    * bits differ across engines, so — q13/q81-style — each engine
+    * emits a VERDICT comparing its own builtin to the closed form
+    * computed from its own exact moments (1e-6 relative tolerance).
+    * One map-side-combinable aggregate; no second scan.
+    */
+  val q83RegrAgg = Q(
+    "q83_regr_aggregates",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.selectExpr("l_returnflag",
+          "CAST(round(l_quantity) AS BIGINT) AS x",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          expr("sum(x * x)").as("sxx"), expr("sum(x * y)").as("sxy"),
+          // y² sums overflow BIGINT at scale — exact DECIMAL(38)
+          expr("sum(CAST(y AS DECIMAL(19,0)) * y)").as("syy"),
+          expr("regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE))").as("rs"),
+          expr("regr_intercept(CAST(y AS DOUBLE), CAST(x AS DOUBLE))").as("ri"),
+          expr("regr_r2(CAST(y AS DOUBLE), CAST(x AS DOUBLE))").as("rr"))
+        .selectExpr("l_returnflag", "n", "sx", "sy", "rs", "ri", "rr",
+          "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS slope_e",
+          "(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS vx",
+          "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy) AS vy",
+          "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) AS cv")
+        .selectExpr("l_returnflag", "n AS n_rows", "sx AS sum_x", "sy AS sum_y",
+          "abs(rs - slope_e) <= abs(slope_e) * 1e-6 AS slope_ok",
+          "abs(ri - (CAST(sy AS DOUBLE) - slope_e * sx) / n) <= abs((CAST(sy AS DOUBLE) - slope_e * sx) / n) * 1e-6 + 1e-6 AS intercept_ok",
+          "abs(rr - cv * cv / (vx * vy)) <= 1e-6 AS r2_ok")
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH b AS (SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                 FROM lineitem),
+            a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x*x) AS BIGINT) AS sxx,
+                   CAST(sum(x*y) AS BIGINT) AS sxy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy,
+                   regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rs,
+                   regr_intercept(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS ri,
+                   regr_r2(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rr
+                 FROM b GROUP BY l_returnflag),
+            e AS (SELECT *,
+                   (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                     / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS slope_e,
+                   (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS vx,
+                   (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy) AS vy,
+                   (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) AS cv
+                  FROM a)
+            SELECT l_returnflag, n AS n_rows, sx AS sum_x, sy AS sum_y,
+                   abs(rs - slope_e) <= abs(slope_e) * 1e-6 AS slope_ok,
+                   abs(ri - (CAST(sy AS DOUBLE) - slope_e * sx) / n)
+                     <= abs((CAST(sy AS DOUBLE) - slope_e * sx) / n) * 1e-6 + 1e-6 AS intercept_ok,
+                   abs(rr - cv * cv / (vx * vy)) <= 1e-6 AS r2_ok
+            FROM e ORDER BY l_returnflag"""))
 }
