@@ -203,6 +203,38 @@ object Downsample {
     (m1, out)
   }
 
+  /** Squared Sobel gradient magnitude (edge strength) at full
+    * resolution — the classic feature pass upstream of thresholding
+    * / quality scoring. Same scale shape as morphology: one volume
+    * shuffle pins 1-halo-capable chunks, then only 1-pixel halo
+    * strips move; output dtype widens to int32 (gx²+gy² ≤ 2·(4·255)²
+    * for uint8 input — exact integers end-to-end). True image
+    * borders emit 0 (no 3×3 support); see
+    * [[NdKernels.sobelSq2d]].
+    */
+  def sobelSq(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta)
+      : (ImageMeta, Dataset[ChunkRow]) = {
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    require(isIntDtype(meta.dtype),
+      s"sobelSq keeps exact integer gradients — integral dtypes only, got ${meta.dtype}")
+    val radius = Array(1, 1)
+    val ones = Array(1, 1)
+    val targetChunks = meta.dims.indices.map(d =>
+      planChunk(meta.shape(d), meta.chunks(d), 1, radius(d)))
+    val grid = ZarrStore.chunkGrid(meta.shape, targetChunks)
+    val numParts = math.max(1, math.min(grid.map(_.toLong).product,
+      math.max(ds.rdd.getNumPartitions,
+        spark.sparkContext.defaultParallelism).toLong).toInt)
+    val part = new org.apache.spark.HashPartitioner(numParts)
+    val (m1, pinned) = ChunkOps.rechunkPinned(spark, ds, meta, targetChunks, part)
+    val outMeta = m1.copy(dtype = "int32")
+    val out = haloExchange(spark, pinned, part, m1, ones, outMeta, radius) {
+      (ext, extShape, outBlockShape, centerOff) =>
+        NdKernels.sobelSq2d(ext, extShape, outBlockShape, centerOff)
+    }
+    (outMeta, out)
+  }
+
   /** No-halo path: kernel maps each chunk independently. */
   private def perChunk(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
       factors: Array[Int], outMeta: ImageMeta)(
@@ -254,6 +286,7 @@ object Downsample {
       : Dataset[ChunkRow] = {
     import spark.implicits._
     val dtype = meta.dtype
+    val outDtype = outMeta.dtype
     val shape = meta.shape
     val chunks = meta.chunks
     val nd = shape.length
@@ -348,7 +381,9 @@ object Downsample {
             tIdx,
             tOrigin.zipWithIndex.map { case (o, d) => o / factors(d) },
             outCount.toSeq,
-            ZarrStore.encodeFromDoubles(block, dtype)))
+            // output dtype can widen (Sobel emits squared gradients
+            // far beyond a uint8 input's range)
+            ZarrStore.encodeFromDoubles(block, outDtype)))
         }
       }
     }

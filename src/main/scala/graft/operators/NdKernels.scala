@@ -155,6 +155,45 @@ object NdKernels {
     out
   }
 
+  /** Squared Sobel gradient magnitude over a 2-D extended block:
+    * gx = [[-1,0,1],[-2,0,2],[-1,0,1]], gy = gxᵀ, out = gx² + gy² —
+    * exact integers for integral inputs (≤ 2·(4·255)² for uint8, so
+    * int32 holds it). Pixels on the TRUE image border emit 0: the
+    * 3×3 support doesn't exist there, and a clamp/zero-pad rule
+    * would bake an arbitrary choice into the hash surface. Interior
+    * chunk faces always carry a 1-halo, so "no halo on a side" is
+    * exactly "image border on that side".
+    */
+  def sobelSq2d(ext: Array[Double], extShape: Array[Int],
+      outShape: Array[Int], centerOff: Array[Int]): Array[Double] = {
+    require(extShape.length == 2, "sobelSq2d is a 2-D kernel")
+    val w = extShape(1)
+    val out = new Array[Double](outShape(0) * outShape(1))
+    var yy = 0
+    while (yy < outShape(0)) {
+      var xx = 0
+      while (xx < outShape(1)) {
+        val ey = centerOff(0) + yy
+        val ex = centerOff(1) + xx
+        out(yy * outShape(1) + xx) =
+          if (ey < 1 || ey + 1 >= extShape(0) || ex < 1 || ex + 1 >= extShape(1)) 0.0
+          else {
+            val b = (ey - 1) * w + ex
+            val m = ey * w + ex
+            val t = (ey + 1) * w + ex
+            val gx = (ext(b + 1) + 2 * ext(m + 1) + ext(t + 1)) -
+              (ext(b - 1) + 2 * ext(m - 1) + ext(t - 1))
+            val gy = (ext(t - 1) + 2 * ext(t) + ext(t + 1)) -
+              (ext(b - 1) + 2 * ext(b) + ext(b + 1))
+            gx * gx + gy * gy
+          }
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
   /** Mean over aligned k-blocks. Output shape floor(in/k) per dim
     * (factors of 1 on non-spatial dims pass through).
     */

@@ -48,7 +48,7 @@ object Imaging extends QModule {
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
     i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
-    i84DistanceTransform, i85RegionMoments)
+    i84DistanceTransform, i85RegionMoments, i86SobelGradient)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1085,4 +1085,39 @@ object Imaging extends QModule {
                    CAST(sum(f.x) * 1000000 // count(*) AS BIGINT) AS cx_micro
             FROM comp c JOIN fg f ON f.id = c.id
             GROUP BY c.comp ORDER BY comp"""))
+
+  /** Squared Sobel gradient magnitude
+    * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge
+    * strength through the REAL halo-exchanged chunk path (1-pixel
+    * strips are the only bytes that cross chunk faces; output dtype
+    * widens to int32, exact integers end-to-end). True image borders
+    * emit 0 by rule. The oracle computes every 3×3 neighbor straight
+    * from the closed-form grid — a misplaced halo strip anywhere
+    * hash-mismatches.
+    */
+  val i86SobelGradient = Q(
+    "i86_sobel_gradient",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      val (om, ods) = graft.operators.Downsample.sobelSq(s, ds, meta)
+      ChunkOps.voxelView(s, ods, om)
+        .groupBy(col("y"))
+        .agg(sum(col("value")).cast("bigint").as("sum_gsq"),
+          max(col("value")).cast("bigint").as("max_gsq"),
+          sum(col("value") * (col("x") + 1)).cast("bigint").as("pos_check"))
+        .orderBy(col("y"))
+    },
+    Some(s"""WITH p AS (SELECT i // $W AS y, i % $W AS x FROM range(${H * W}) r(i)),
+            d AS (SELECT y, x,
+              CASE WHEN y = 0 OR y = ${H - 1} OR x = 0 OR x = ${W - 1} THEN 0 ELSE
+                ((31*(y-1)+17*(x+1))%256 + 2*((31*y+17*(x+1))%256) + ((31*(y+1)+17*(x+1))%256))
+                - ((31*(y-1)+17*(x-1))%256 + 2*((31*y+17*(x-1))%256) + ((31*(y+1)+17*(x-1))%256)) END AS gx,
+              CASE WHEN y = 0 OR y = ${H - 1} OR x = 0 OR x = ${W - 1} THEN 0 ELSE
+                ((31*(y+1)+17*(x-1))%256 + 2*((31*(y+1)+17*x)%256) + ((31*(y+1)+17*(x+1))%256))
+                - ((31*(y-1)+17*(x-1))%256 + 2*((31*(y-1)+17*x)%256) + ((31*(y-1)+17*(x+1))%256)) END AS gy
+              FROM p)
+            SELECT y, CAST(sum(gx*gx + gy*gy) AS BIGINT) AS sum_gsq,
+                   CAST(max(gx*gx + gy*gy) AS BIGINT) AS max_gsq,
+                   CAST(sum((gx*gx + gy*gy) * (x + 1)) AS BIGINT) AS pos_check
+            FROM d GROUP BY y ORDER BY y"""))
 }
