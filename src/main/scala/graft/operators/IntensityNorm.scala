@@ -130,6 +130,62 @@ object IntensityNorm {
     top.head.getLong(0)
   }
 
+  /** Global histogram equalization — the classic CDF remap (OpenCV
+    * `equalizeHist` semantics, generalized to any integral dtype):
+    * v → ⌊(cdf(v) − cdf_min) · (L−1) / (N − cdf_min)⌋ with cdf_min
+    * the count of the smallest occupied level and L the dtype's
+    * level count. Scale shape: ONE bounded histogram aggregation
+    * (the same ≤65536-bin job as [[percentilesMilli]]) builds the
+    * remap table driver-side; the remap pass is chunk-local with
+    * the table broadcast — no voxel ever shuffles. A flat volume
+    * (single occupied level) maps to all-zero. Output is the
+    * unsigned dtype of the same width (the remapped range is
+    * [0, L−1] by construction).
+    */
+  def histEqualize(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta): (Dataset[ChunkOps.ChunkRow], ImageMeta) = {
+    import spark.implicits._
+    require(integralWidths.contains(meta.dtype),
+      s"histogram equalization needs an integral dtype, got ${meta.dtype}")
+    val dtype = meta.dtype
+    val levels = integralWidths(dtype).toLong
+    val hist = ds.mapPartitions { chunks =>
+      val m = new java.util.HashMap[Long, Long]()
+      chunks.foreach { c =>
+        ZarrStore.decodeToDoubles(c.data, dtype).foreach { v =>
+          m.merge(v.toLong, 1L, (a, b) => a + b)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e => (e.getKey.longValue(), e.getValue.longValue()))
+    }.toDF("v", "n").groupBy("v").agg(sum(col("n")).as("n"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    require(total > 0, "empty volume")
+    val cdfMin = hist.head._2
+    val remap = new java.util.HashMap[Long, Double]()
+    var cum = 0L
+    hist.foreach { case (v, n) =>
+      cum += n
+      remap.put(v,
+        if (total == cdfMin) 0.0
+        else ((cum - cdfMin) * (levels - 1) / (total - cdfMin)).toDouble)
+    }
+    val bc = spark.sparkContext.broadcast(remap)
+    val outDtype = if (levels == 256L) "uint8" else "uint16"
+    val outMeta = meta.copy(dtype = outDtype)
+    val out = ds.map { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+      val eq = new Array[Double](vals.length)
+      val m = bc.value
+      var i = 0
+      while (i < vals.length) { eq(i) = m.get(vals(i).toLong); i += 1 }
+      ChunkOps.ChunkRow(c.chunkIdx, c.origin, c.shape,
+        ZarrStore.encodeFromDoubles(eq, outDtype))
+    }
+    (out, outMeta)
+  }
+
   /** Clip to [p_loMilli, p_hiMilli] percentile values and rescale to
     * exact integer milli-units (0..1000), stored as uint16 chunks.
     * Returns (lo, hi, normalized chunk table, new meta). Degenerate

@@ -338,6 +338,94 @@ object LabelComponents {
     * choice. One map-side-combinable aggregation over the labeled
     * voxel view ([[componentLabels2d]]) — linear at any volume.
     */
+  final case class PerimFrag(kind: Int, plabel: Long, y: Long, x: Long,
+      size: Long, adj: Long)
+
+  /** Per-component 4-connectivity perimeter (count of fg edges exposed
+    * to background or the image border) via the exact identity
+    * perimeter = 4·size − 2·adjacencies: every fg–fg neighbor pair
+    * hides one edge on each endpoint. Adjacent fg voxels are always
+    * the same component, so the pair count aggregates along the SAME
+    * fragment→component resolution as size — no voxel ever shuffles.
+    * Intra-chunk pairs count in the local union-find pass; cross-chunk
+    * pairs come from the O(surface) boundary cells (a face-coordinate
+    * equi-join, each pair counted once in its +1 direction).
+    */
+  def componentPerimeter2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    import spark.implicits._
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    val width = meta.shape(1)
+    val chY = meta.chunks(0); val chX = meta.chunks(1)
+    val dtype = meta.dtype
+    val frags = ds.flatMap { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+      val shape = c.shape.toArray
+      val (parent, find) = localLabel(vals, shape, threshold)
+      val h = shape(0); val w = shape(1)
+      val oy = c.origin(0); val ox = c.origin(1)
+      val n = vals.length
+      // per-root: [0] min global id, [1] size, [2] intra-chunk
+      // right/down fg–fg pairs (adjacent fg ⇒ same root by 4-conn)
+      val stats = new java.util.HashMap[Int, Array[Long]]()
+      var i = 0
+      while (i < n) {
+        if (parent(i) >= 0) {
+          val r = find(i)
+          var s = stats.get(r)
+          if (s == null) { s = Array(Long.MaxValue, 0L, 0L); stats.put(r, s) }
+          val g = (oy + i / w) * width + (ox + i % w)
+          if (g < s(0)) s(0) = g
+          s(1) += 1
+          if (i % w + 1 < w && parent(i + 1) >= 0) s(2) += 1
+          if (i + w < n && parent(i + w) >= 0) s(2) += 1
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[PerimFrag]
+      stats.values().forEach(s => out += PerimFrag(0, s(0), 0, 0, s(1), s(2)))
+      i = 0
+      while (i < n) {
+        if (parent(i) >= 0) {
+          val ly = i / w; val lx = i % w
+          if (ly == 0 || ly == h - 1 || lx == 0 || lx == w - 1)
+            out += PerimFrag(1, stats.get(find(i))(0), oy + ly, ox + lx, 0, 0)
+        }
+        i += 1
+      }
+      out
+    }.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val partials = frags.filter(col("kind") === 0).select("plabel", "size", "adj")
+    val cells = frags.filter(col("kind") === 1)
+      .select(col("plabel"), lit(0L).as("z"), col("y"), col("x"))
+    // cross-chunk fg–fg pairs, once each: the +1 neighbor lands in the
+    // next chunk exactly when the face coordinate is ≡ −1 (mod chunk)
+    def cross(yo: Int, xo: Int, crossing: org.apache.spark.sql.Column) =
+      cells.as("a").join(cells.as("b"),
+        col("a.y") + yo === col("b.y") && col("a.x") + xo === col("b.x") && crossing)
+        .select(col("a.plabel").as("plabel"))
+    val crossPairs = cross(0, 1, (col("a.x") + 1) % chX === 0)
+      .union(cross(1, 0, (col("a.y") + 1) % chY === 0))
+    val verts = partials.select(col("plabel").as("doc_id")).distinct()
+    val labels = graft.ops.TextDedup.connectedComponents(fragEdges(cells), verts)
+      .select(col("doc_id").as("plabel"), col("cluster_id"))
+    val crossAgg = crossPairs.join(labels, Seq("plabel"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cross_adj"))
+    val out = partials.join(labels, Seq("plabel"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("plabel")).as("comp"), sum(col("size")).as("size"),
+        sum(col("adj")).as("local_adj"))
+      .join(crossAgg, Seq("cluster_id"), "left")
+      .select(col("comp"), col("size").cast("bigint").as("size"),
+        (lit(4) * col("size") -
+          lit(2) * (col("local_adj") + coalesce(col("cross_adj"), lit(0L))))
+          .cast("bigint").as("perimeter"))
+      .localCheckpoint(eager = true)
+    frags.unpersist()
+    out
+  }
+
   def componentMoments2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
       meta: ImageMeta, threshold: Double): DataFrame = {
     componentLabels2d(spark, ds, meta, threshold)

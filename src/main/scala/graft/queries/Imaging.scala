@@ -48,7 +48,8 @@ object Imaging extends QModule {
     i74LabelComponents, i75LabelView, i76LabelComponents3d,
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
     i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
-    i84DistanceTransform, i85RegionMoments, i86SobelGradient)
+    i84DistanceTransform, i85RegionMoments, i86SobelGradient,
+    i87ComponentPerimeter, i88HistEqualize)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1085,6 +1086,69 @@ object Imaging extends QModule {
                    CAST(sum(f.x) * 1000000 // count(*) AS BIGINT) AS cx_micro
             FROM comp c JOIN fg f ON f.id = c.id
             GROUP BY c.comp ORDER BY comp"""))
+
+  /** Per-component 4-connectivity perimeter
+    * ([[graft.operators.LabelComponents.componentPerimeter2d]]) —
+    * regionprops' boundary measure via the exact identity
+    * perimeter = 4·size − 2·adjacencies, so the pair count rides the
+    * same fragment→component resolution as size and voxels never
+    * shuffle. The oracle replays the identity over the recursive-CTE
+    * closure's own adjacency list.
+    */
+  val i87ComponentPerimeter = Q(
+    "i87_component_perimeter",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.LabelComponents.componentPerimeter2d(s, ds, meta, threshold = 128.0)
+        .orderBy(col("comp"))
+    },
+    Some(s"""WITH RECURSIVE $cclSql,
+            sz AS (SELECT c.comp AS comp, CAST(count(*) AS BIGINT) AS size
+                   FROM comp c GROUP BY c.comp),
+            ac AS (SELECT c.comp AS comp, CAST(count(*) AS BIGINT) AS na
+                   FROM adj a JOIN comp c ON c.id = a.u GROUP BY c.comp)
+            SELECT s.comp, s.size,
+                   CAST(4 * s.size - 2 * coalesce(ac.na, 0) AS BIGINT) AS perimeter
+            FROM sz s LEFT JOIN ac ON ac.comp = s.comp ORDER BY s.comp"""))
+
+  /** Global histogram equalization
+    * ([[graft.operators.IntensityNorm.histEqualize]]) on a SKEWED
+    * image (v = ((31y+17x) mod 256)² / 256 — the base grid's uniform
+    * histogram would make equalization the identity): one bounded
+    * histogram aggregation builds the CDF remap driver-side, the
+    * remap pass is chunk-local broadcast. The oracle replays the
+    * histogram, running CDF and floor remap relationally.
+    */
+  val i88HistEqualize = Q(
+    "i88_hist_equalize",
+    (s, _) => {
+      val meta = ImageMeta(Seq("y", "x"), Seq(H, W), Seq(32, 32), "uint8",
+        Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+      val vals = Array.tabulate(H * W) { i =>
+        val v = (i / W * 31 + i % W * 17) % 256
+        (v * v / 256).toDouble
+      }
+      val ds = ChunkOps.fromArray(s, vals, meta)
+      val (eq, om) = graft.operators.IntensityNorm.histEqualize(s, ds, meta)
+      ChunkOps.voxelView(s, eq, om)
+        .groupBy(col("y"))
+        .agg(sum(col("value")).cast("bigint").as("sum_eq"),
+          max(col("value")).cast("bigint").as("max_eq"),
+          sum(col("value") * (col("x") + 1)).cast("bigint").as("pos_check"))
+        .orderBy(col("y"))
+    },
+    Some(s"""WITH p AS (SELECT i // $W AS y, i % $W AS x,
+                   (((31*(i//$W)+17*(i%$W))%256) * ((31*(i//$W)+17*(i%$W))%256)) // 256 AS v
+                 FROM range(${H * W}) r(i)),
+            h AS (SELECT v, count(*) AS n FROM p GROUP BY v),
+            c AS (SELECT v, sum(n) OVER (ORDER BY v) AS cdf FROM h),
+            m AS (SELECT v, (cdf - (SELECT min(cdf) FROM c)) * 255
+                     // (${H * W} - (SELECT min(cdf) FROM c)) AS eq
+                  FROM c)
+            SELECT y, CAST(sum(eq) AS BIGINT) AS sum_eq,
+                   CAST(max(eq) AS BIGINT) AS max_eq,
+                   CAST(sum(eq * (x + 1)) AS BIGINT) AS pos_check
+            FROM p JOIN m USING (v) GROUP BY y ORDER BY y"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge

@@ -107,4 +107,44 @@ class IntensityNormSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IntensityNorm.percentilesMilli(spark, fds, fm, Seq(500L)))
   }
+
+  test("histEqualize: CDF-remap reference, chunking-invariant, flat → 0") {
+    def reference(vals: Array[Double], levels: Long): Array[Double] = {
+      val hist = vals.map(_.toLong).groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      val total = vals.length.toLong
+      val cdfMin = hist.head._2
+      var cum = 0L
+      val remap = hist.map { case (v, n) =>
+        cum += n
+        v -> (if (total == cdfMin) 0.0
+          else ((cum - cdfMin) * (levels - 1) / (total - cdfMin)).toDouble)
+      }.toMap
+      vals.map(v => remap(v.toLong))
+    }
+    val rnd = new scala.util.Random(13)
+    val h = 24; val w = 20
+    // skewed values so the remap is a genuine stretch
+    val vals = Array.fill(h * w)((rnd.nextInt(16) * rnd.nextInt(16) / 16).toDouble)
+    val want = reference(vals, 256L).toSeq
+    for ((ch, cw) <- Seq((8, 8), (24, 20), (7, 5))) {
+      val m = meta(h, w, ch, cw)
+      val (eq, om) = IntensityNorm.histEqualize(spark,
+        ChunkOps.fromArray(spark, vals, m), m)
+      assert(om.dtype == "uint8")
+      assert(ChunkOps.toArray(eq, om).toSeq == want, s"chunks $ch x $cw")
+    }
+    // uint16 widens the level count
+    val m16 = meta(h, w, 8, 8, dtype = "uint16")
+    val v16 = Array.fill(h * w)((rnd.nextInt(100) * 7).toDouble)
+    val (eq16, om16) = IntensityNorm.histEqualize(spark,
+      ChunkOps.fromArray(spark, v16, m16), m16)
+    assert(om16.dtype == "uint16")
+    assert(ChunkOps.toArray(eq16, om16).toSeq == reference(v16, 65536L).toSeq)
+    // flat volume: single level → all zero
+    val mf = meta(8, 8, 8, 8)
+    val (eqf, omf) = IntensityNorm.histEqualize(spark,
+      ChunkOps.fromArray(spark, Array.fill(64)(9.0), mf), mf)
+    assert(ChunkOps.toArray(eqf, omf).forall(_ == 0.0))
+  }
 }

@@ -184,6 +184,33 @@ class LabelComponentsSpec extends SparkSpec {
     assert(b.getAs[Long]("cx_micro") == 27L * 1000000 / 4)
   }
 
+  test("componentPerimeter2d: hand shapes + random chunking invariance") {
+    def runPerim(vals: Array[Double], m: ImageMeta, thr: Double): Seq[(Long, Long, Long)] =
+      LabelComponents.componentPerimeter2d(spark,
+          ChunkOps.fromArray(spark, vals, m), m, thr)
+        .orderBy("comp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 2×2 square: perimeter 8; plus an isolated pixel: perimeter 4
+    val h = 6; val w = 8
+    val a = Array.fill(h * w)(0.0)
+    for (y <- 1 to 2; x <- 1 to 2) a(y * w + x) = 255.0
+    a(4 * w + 6) = 255.0
+    assert(runPerim(a, meta(h, w, h, w), 128.0) ==
+      Seq((1L * w + 1, 4L, 8L), (4L * w + 6, 1L, 4L)))
+    // L-shape touching the image border still counts border edges
+    val b = Array.fill(h * w)(0.0)
+    for (x <- 0 to 2) b(x) = 255.0       // top row run of 3
+    b(w) = 255.0                          // one below the first
+    // size 4, adjacencies 3 → perimeter 4*4-2*3 = 10
+    assert(runPerim(b, meta(h, w, h, w), 128.0) == Seq((0L, 4L, 10L)))
+    // random mask: multi-chunk ≡ single-chunk (incl. ragged grid)
+    val rnd = new scala.util.Random(7)
+    val big = Array.fill(24 * 20)(if (rnd.nextBoolean()) 255.0 else 0.0)
+    val single = runPerim(big, meta(24, 20, 24, 20), 128.0)
+    assert(runPerim(big, meta(24, 20, 8, 8), 128.0) == single)
+    assert(runPerim(big, meta(24, 20, 7, 5), 128.0) == single)
+  }
+
   test("per-voxel labels agree with the stats pass on a random mask") {
     val rnd = new scala.util.Random(7)
     val h = 24; val w = 24
