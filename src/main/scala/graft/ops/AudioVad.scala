@@ -26,6 +26,41 @@ object AudioVad {
   final case class VadSegment(doc_id: Long, seg_id: Int, start_frame: Int,
       end_frame: Int, n_frames: Int, energy_sum: Long)
 
+  final case class ZcrFrame(doc_id: Long, frame: Int, energy: Long,
+      zcr: Int, voiced: Boolean)
+
+  /** Per-frame zero-crossing rate next to frame energy — the classic
+    * voiced/unvoiced discriminator (voiced speech: high energy, low
+    * ZCR; fricatives/noise: high ZCR). A crossing is a strict sign
+    * change between CONSECUTIVE samples inside the frame
+    * (v(i−1)·v(i) < 0) — exact integer arithmetic, no boundary pair
+    * spans two frames. Same zero-shuffle per-document scan shape as
+    * [[vadSegments]].
+    */
+  def zcrFrames(media: DataFrame, frameLen: Int = 10,
+      energyThreshold: Long = 1000000L): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val s = Multimodal.decodeAudio(payload).samples
+        val nFrames = s.length / frameLen
+        (0 until nFrames).map { f =>
+          var e = 0L
+          var z = 0
+          var i = f * frameLen
+          val end = i + frameLen
+          while (i < end) {
+            e += s(i).toLong * s(i)
+            if (i > f * frameLen && s(i - 1).toInt * s(i) < 0) z += 1
+            i += 1
+          }
+          ZcrFrame(id, f, e, z, e > energyThreshold)
+        }
+      }.toDF()
+  }
+
   def vadSegments(media: DataFrame, frameLen: Int = 10,
       energyThreshold: Long = 1000000L): DataFrame = {
     require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")

@@ -30,7 +30,7 @@ object LlmOps extends QModule {
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
     t111StratifiedSample, t112LineRepetition, t115PassageWindows,
-    d64JwLinkage, m66VadSegments)
+    d64JwLinkage, m66VadSegments, m67ZcrFrames)
 
   import QTables.{docs, emb}
 
@@ -1252,6 +1252,36 @@ object LlmOps extends QModule {
                    CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
                    n_frames, energy_sum
             FROM seg ORDER BY doc_id, seg_id"""))
+
+  /** Frame-level zero-crossing rate + energy
+    * ([[graft.ops.AudioVad.zcrFrames]]): the voiced/unvoiced
+    * discriminator over the same planted WAVs as m66 — voiced bursts
+    * are all-positive (ZCR 0), silence oscillates around zero (high
+    * ZCR), so the gate pins BOTH features. Crossings are strict sign
+    * changes between consecutive in-frame samples; the oracle replays
+    * formula, energies and lag-based crossing counts exactly.
+    */
+  val m67ZcrFrames = Q(
+    "m67_zcr_frames",
+    (s, dir) => graft.ops.AudioVad.zcrFrames(
+        Multimodal.syntheticWavSpeech(docs(s, dir).filter(col("doc_id") < 200)))
+      .orderBy(col("doc_id"), col("frame")),
+    Some("""WITH s AS (SELECT doc_id, i.i AS i, i.i // 10 AS w,
+                  CASE WHEN (doc_id * 7 + (i.i // 10) * 5) % 7 < 4
+                       THEN 20000 + (doc_id * 7919 + i.i * 104729) % 10000
+                       ELSE (doc_id * 13 + i.i * 7) % 161 - 80 END AS v
+                FROM documents, range(200) i(i) WHERE doc_id < 200),
+            l AS (SELECT doc_id, w, v,
+                    lag(v) OVER (PARTITION BY doc_id, w ORDER BY i) AS pv
+                  FROM s),
+            z AS (SELECT doc_id, w,
+                    CAST(sum(v * v) AS BIGINT) AS energy,
+                    CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                             THEN 1 ELSE 0 END) AS INT) AS zcr
+                  FROM l GROUP BY doc_id, w)
+            SELECT doc_id, CAST(w AS INT) AS frame, energy, zcr,
+                   energy > 1000000 AS voiced
+            FROM z ORDER BY doc_id, frame"""))
 
   /** Record linkage with the native Jaro–Winkler expression
     * ([[org.apache.spark.sql.graftext.JaroWinkler]], codegen'd): a

@@ -44,4 +44,20 @@ class AudioVadSpec extends SparkSpec {
       (3L, 0, 0, 0, 1, 3000000L)))
     intercept[IllegalArgumentException](AudioVad.vadSegments(docs, frameLen = 0))
   }
+
+  test("zcrFrames: strict sign changes inside the frame only") {
+    // frame 0: +5 -5 +5 -5 → 3 crossings, energy 100
+    // frame 1: +5 +5 0 -5  → 0 crossings (0 kills both products)
+    // frame 2: -9 +9 -9 +9 → 3 crossings; boundary pair (-5, -9) is
+    //          NOT counted (different frames)
+    val samples = Seq[Short](5, -5, 5, -5, 5, 5, 0, -5, -9, 9, -9, 9)
+    val docs = Seq((7L, wav(samples))).toDF("doc_id", "media")
+    val got = AudioVad.zcrFrames(docs, frameLen = 4, energyThreshold = 200L)
+      .orderBy("frame").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (0, 100L, 3, false),
+      (1, 75L, 0, false),
+      (2, 324L, 3, true)))
+  }
 }
