@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.meta.Model.ImageMeta
+import graft.zarr.ZarrStore
 
 /** Exact Euclidean distance transform (squared) of a binary mask —
   * the classic post-segmentation measurement (how far is every voxel
@@ -38,7 +39,7 @@ import graft.meta.Model.ImageMeta
   */
 object DistanceTransform {
 
-  private val Inf = Long.MaxValue >> 2
+  private[operators] val Inf = Long.MaxValue >> 2
 
   /** 1-D squared distance to the nearest set position: two sweeps. */
   private[operators] def rowSqDist(fg: Array[Boolean]): Array[Long] = {
@@ -109,6 +110,15 @@ object DistanceTransform {
   /** Squared EDT of `mask > threshold` over a 2-D (y, x) chunk table.
     * Returns one row per pixel: (y, x, fg: 0/1, dist_sq). Two
     * exchanges (rows, then columns); each task scans its line once.
+    *
+    * Both exchanges move PACKED chunk bands (full-width row bands,
+    * then full-height column bands, ~8 MiB each) through the
+    * chunk-aligned rechunk — never per-pixel tuples, so the shuffle
+    * is the volume's own bytes, not 30-byte rows per pixel. Phase-1
+    * distances travel as float64 (row distances < W² ≤ 2⁵² stay
+    * exact; the no-foreground-in-row sentinel rides as +∞). A pixel
+    * is foreground iff its phase-1 distance is 0, so the mask never
+    * needs a second shuffle.
     */
   def squaredEdt(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
       meta: ImageMeta, threshold: Double): DataFrame = {
@@ -117,26 +127,55 @@ object DistanceTransform {
       s"squaredEdt expects a 2-D (y, x) image, got ${meta.dims}")
     val h = meta.shape(0).toInt
     val w = meta.shape(1).toInt
-    val px = ChunkOps.voxelView(spark, ds, meta)
-      .select(col("y").cast("int"), col("x").cast("int"),
-        (col("value") > threshold).as("fg"))
-      .as[(Int, Int, Boolean)]
+    require(w.toLong * w < Inf, s"width $w too large for exact row distances")
+    val bandH = math.max(1, math.min(h, (8 << 20) / (8 * math.max(1, w))))
+    val bandW = math.max(1, math.min(w, (8 << 20) / (8 * math.max(1, h))))
+    val dtype = meta.dtype
 
-    // phase 1: per-row nearest-in-row squared distance
-    val d1 = px.groupByKey(_._1).flatMapGroups { (y, it) =>
-      val fg = new Array[Boolean](w)
-      it.foreach { case (_, x, f) => fg(x) = f }
-      val d = rowSqDist(fg)
-      Iterator.tabulate(w)(x => (y, x, fg(x), d(x)))
+    // phase 1: full-width row bands, nearest-in-row per row
+    val (mRow, rows) = ChunkOps.rechunk(spark, ds, meta, Seq(bandH, w), force = true)
+    val d1meta = mRow.copy(dtype = "float64")
+    val d1 = rows.map { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+      val bh = c.shape(0); val bw = c.shape(1)
+      val out = new Array[Double](vals.length)
+      val fg = new Array[Boolean](bw)
+      var y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) { fg(x) = vals(y * bw + x) > threshold; x += 1 }
+        val d = rowSqDist(fg)
+        x = 0
+        while (x < bw) {
+          out(y * bw + x) =
+            if (d(x) >= Inf) Double.PositiveInfinity else d(x).toDouble
+          x += 1
+        }
+        y += 1
+      }
+      ChunkOps.ChunkRow(c.chunkIdx, c.origin, c.shape,
+        ZarrStore.encodeFromDoubles(out, "float64"))
     }
-    // phase 2: per-column lower envelope over y
-    d1.groupByKey(_._2).flatMapGroups { (x, it) =>
-      val f = new Array[Long](h)
-      val fg = new Array[Boolean](h)
-      it.foreach { case (y, _, isFg, v) => f(y) = v; fg(y) = isFg }
-      val d = envelope(f)
-      Iterator.tabulate(h)(y =>
-        (y, x, if (fg(y)) 1 else 0, if (d(y) >= Inf) -1L else d(y)))
+
+    // phase 2: full-height column bands, lower envelope per column
+    val (_, colBands) = ChunkOps.rechunk(spark, d1, d1meta, Seq(h, bandW), force = true)
+    colBands.flatMap { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, "float64")
+      val bh = c.shape(0); val bw = c.shape(1)
+      val ox = c.origin(1).toInt
+      (0 until bw).iterator.flatMap { lx =>
+        val f = new Array[Long](bh)
+        var y = 0
+        while (y < bh) {
+          val v = vals(y * bw + lx)
+          f(y) = if (v.isPosInfinity) Inf else v.toLong
+          y += 1
+        }
+        val d = envelope(f)
+        Iterator.tabulate(bh)(yy =>
+          (yy, ox + lx, if (f(yy) == 0L) 1 else 0,
+            if (d(yy) >= Inf) -1L else d(yy)))
+      }
     }.toDF("y", "x", "fg", "dist_sq")
   }
 }

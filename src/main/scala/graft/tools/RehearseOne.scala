@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   * it) so a tail-context reading can be separated from a real plan
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
   * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann |
-  * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl | bpe |
-  * hcs.
+  * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl | edt |
+  * bpe | hcs.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -55,6 +55,9 @@ object RehearseOne {
           if (args.length > 2) args(2).toLong else 1000L)
       case "ccl" =>
         graft.operators.CclRehearsal.run(spark,
+          if (args.length > 1) args(1).toInt else 4096)
+      case "edt" =>
+        graft.operators.EdtRehearsal.run(spark,
           if (args.length > 1) args(1).toInt else 4096)
       case "bpe" =>
         graft.ops.BpeRehearsal.run(spark,
