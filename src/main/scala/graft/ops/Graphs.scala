@@ -155,4 +155,45 @@ object Graphs {
     und.unpersist(); o.unpersist()
     counts
   }
+
+  /** Multi-source BFS shortest hop counts over a directed edge list —
+    * the reachability primitive under crawl-depth audits and
+    * link-distance features. Frontier expansion: each round joins the
+    * CURRENT frontier (only) onto the edges, anti-joins everything
+    * already settled, and truncates lineage — rounds = min(graph
+    * eccentricity, maxHops), each one join + one anti-join + one
+    * distinct, never a transitive closure. Unreached vertices are
+    * absent from the output (no sentinel row per vertex — at scale
+    * the unreached set is the big one).
+    *
+    * Output: (id, hops) — hops = length of the shortest directed path
+    * from any source (0 for the sources themselves).
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int = 20): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist(lvl)
+    var visited = sources.select(col("id").cast("long").as("id"))
+      .distinct().withColumn("hops", lit(0))
+      .localCheckpoint(eager = true)
+    var frontier = visited.select(col("id"))
+    var h = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+      if (next.isEmpty || h == maxHops) done = true
+      if (!next.isEmpty) {
+        visited = visited.unionByName(next.withColumn("hops", lit(h)))
+          .localCheckpoint(eager = true)
+        frontier = next
+        h += 1
+      }
+    }
+    e.unpersist()
+    visited
+  }
 }

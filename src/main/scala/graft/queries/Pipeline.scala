@@ -37,7 +37,7 @@ object Pipeline extends QModule {
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
-    t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles,
+    t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles, g04BfsHops,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
     t116ByteBpeEncode)
@@ -3752,6 +3752,39 @@ object Pipeline extends QModule {
             SELECT h2.id, h2.s AS hub_micro, a2.s AS auth_micro
             FROM h2 JOIN a2 ON h2.id = a2.id
             ORDER BY h2.id"""))
+
+  /** Multi-source BFS shortest hops ([[graft.ops.Graphs.bfsHops]])
+    * over the same 2-out affine link graph as g01/g02, from the five
+    * doc_id ≡ 0 (mod 100) seeds — frontier expansion, one
+    * join+anti-join round per level, lineage truncated each round.
+    * The oracle replays reachability as a depth-bounded recursive
+    * path enumeration and takes min(hops) per vertex.
+    */
+  val g04BfsHops = Q(
+    "g04_bfs_hops",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 17 + 7) % 500,
+            (col("doc_id") * 31 + 3) % 500)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.ops.Graphs.bfsHops(edges,
+          d.filter(col("doc_id") % 100 === 0).select(col("doc_id").as("id")),
+          maxHops = 10)
+        .orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, (doc_id*17+7) % 500 AS dst FROM documents
+                    UNION ALL
+                    SELECT doc_id, (doc_id*31+3) % 500 FROM documents)
+                  WHERE src <> dst),
+            walk(id, hops) AS (
+              SELECT doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+              UNION ALL
+              SELECT e.dst, w.hops + 1 FROM walk w
+              JOIN e ON e.src = w.id WHERE w.hops < 10)
+            SELECT id, CAST(min(hops) AS INT) AS hops
+            FROM walk GROUP BY id ORDER BY id"""))
 
   /** Exact per-vertex triangle counts ([[graft.ops.Graphs
     * .triangleCounts]]) over a cycle+chord+affine link graph — the

@@ -93,4 +93,21 @@ class GraphsSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("bfsHops: chain, diamond shortcut, maxHops cut, unreached absent") {
+    // 1→2→3→4→5 plus shortcut 1→4; 9 isolated; 6→7 not reachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (6L, 7L))
+      .toDF("src", "dst")
+    def run(maxHops: Int) =
+      Graphs.bfsHops(edges, Seq(1L).toDF("id"), maxHops).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortest paths: 4 via the shortcut (1 hop), 5 via it (2 hops)
+    assert(run(10) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+    assert(run(1) == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    assert(run(0) == Map(1L -> 0))
+    // multi-source: nearer source wins
+    val multi = Graphs.bfsHops(edges, Seq(1L, 3L).toDF("id"), 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 2))
+  }
 }
