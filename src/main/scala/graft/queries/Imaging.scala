@@ -49,7 +49,7 @@ object Imaging extends QModule {
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
     i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
     i84DistanceTransform, i85RegionMoments, i86SobelGradient,
-    i87ComponentPerimeter, i88HistEqualize)
+    i87ComponentPerimeter, i88HistEqualize, i89BboxIou)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1086,6 +1086,59 @@ object Imaging extends QModule {
                    CAST(sum(f.x) * 1000000 // count(*) AS BIGINT) AS cx_micro
             FROM comp c JOIN fg f ON f.id = c.id
             GROUP BY c.comp ORDER BY comp"""))
+
+  /** Grid-bucketed bounding-box IoU join
+    * ([[graft.operators.BboxJoin.iouPairs]]): components labeled at
+    * two thresholds (128 vs 200 — the strict mask nests inside the
+    * loose one) matched by box overlap with exact micro IoU. The
+    * equi-join on coarse grid cells replaces the nested-loop
+    * inequality join; the reference-point rule dedupes pairs without
+    * a distinct. The oracle runs BOTH recursive-CTE closures and
+    * replays the overlap join and IoU arithmetic directly.
+    */
+  val i89BboxIou = Q(
+    "i89_bbox_iou",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      def box(thr: Double) =
+        graft.operators.LabelComponents.componentStats2d(s, ds, meta, thr)
+          .select(col("comp"), col("ymin"), col("ymax"), col("xmin"), col("xmax"))
+      graft.operators.BboxJoin.iouPairs(box(128.0), box(200.0), cell = 16L)
+        .orderBy(col("comp_a"), col("comp_b"))
+    },
+    Some {
+      def ccl(p: String, thr: Int) =
+        s"""${p}fg AS (SELECT y, x, y * $W + x AS id FROM grid WHERE v >= $thr),
+           |${p}adj AS (SELECT a.id AS u, b.id AS w FROM ${p}fg a JOIN ${p}fg b
+           |              ON b.y = a.y AND b.x = a.x + 1
+           |            UNION ALL
+           |            SELECT a.id, b.id FROM ${p}fg a JOIN ${p}fg b
+           |              ON b.y = a.y + 1 AND b.x = a.x),
+           |${p}e AS (SELECT u, w FROM ${p}adj UNION ALL SELECT w, u FROM ${p}adj),
+           |${p}reach(id, lbl) AS (SELECT id, id FROM ${p}fg
+           |                       UNION
+           |                       SELECT e.u, r.lbl FROM ${p}e e JOIN ${p}reach r ON r.id = e.w),
+           |${p}comp AS (SELECT id, min(lbl) AS comp FROM ${p}reach GROUP BY id),
+           |${p}box AS (SELECT c.comp, min(f.y) AS ymin, max(f.y) AS ymax,
+           |              min(f.x) AS xmin, max(f.x) AS xmax
+           |            FROM ${p}comp c JOIN ${p}fg f ON f.id = c.id GROUP BY c.comp)"""
+          .stripMargin
+      s"""WITH RECURSIVE $gridSql,
+         |${ccl("a", 128)},
+         |${ccl("b", 200)},
+         |pairs AS (SELECT a.comp AS comp_a, b.comp AS comp_b,
+         |            (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin) + 1)
+         |              * (least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin) + 1) AS inter_area,
+         |            (a.ymax - a.ymin + 1) * (a.xmax - a.xmin + 1) AS area_a,
+         |            (b.ymax - b.ymin + 1) * (b.xmax - b.xmin + 1) AS area_b
+         |          FROM abox a JOIN bbox b
+         |            ON a.ymin <= b.ymax AND b.ymin <= a.ymax
+         |           AND a.xmin <= b.xmax AND b.xmin <= a.xmax)
+         |SELECT comp_a, comp_b, CAST(inter_area AS BIGINT) AS inter_area,
+         |       CAST(inter_area * 1000000 // (area_a + area_b - inter_area)
+         |         AS BIGINT) AS iou_micro
+         |FROM pairs ORDER BY comp_a, comp_b""".stripMargin
+    })
 
   /** Per-component 4-connectivity perimeter
     * ([[graft.operators.LabelComponents.componentPerimeter2d]]) —

@@ -37,7 +37,7 @@ object Relational extends QModule {
     q72NullSafeJoin, q73Unpivot, q74HigherOrderFns, q75PercentileCont,
     q76RecursiveCte, q77IntervalRangeFrame, q78AggFilterClause,
     q79SchemaEvolution, q80LimitOffset, q81HllSketchUnion, q82Listagg,
-    q83RegrAgg)
+    q83RegrAgg, q85ChiSquared)
 
   /** TPC-H Q1-shaped pricing summary: the flagship scan+agg.
     *
@@ -2012,6 +2012,50 @@ object Relational extends QModule {
     * computed from its own exact moments (1e-6 relative tolerance).
     * One map-side-combinable aggregate; no second scan.
     */
+  /** Chi-squared contingency analysis of returnflag × linestatus —
+    * the categorical-independence test behind feature selection and
+    * drift detection. Everything stays EXACT: observed counts, row /
+    * column totals, expected counts in milli (floor), and each cell's
+    * χ² contribution in micro units via the integer identity
+    * contrib = (O·N − R·C)²·10⁶ div (N·R·C) — the per-cell terms are
+    * DECIMAL(38) products (O·N squared can pass 2⁶³), floor-divided,
+    * so both engines hash-match bit-for-bit with no float summation
+    * order in sight. One map-side-combinable count aggregation; the
+    * marginals are window sums over the tiny cell table.
+    */
+  val q85ChiSquared = Q(
+    "q85_chi_squared",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("o"))
+        .withColumn("r", sum(col("o")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+        .withColumn("c", sum(col("o")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_linestatus"))))
+        .withColumn("n", sum(col("o")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .selectExpr("l_returnflag", "l_linestatus", "o AS observed",
+          "CAST(CAST(r AS DECIMAL(38,0)) * c * 1000 div n AS BIGINT) AS expected_milli",
+          "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) * 1000000 div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT) AS chi2_contrib_micro")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""WITH cell AS (SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS o
+                 FROM lineitem GROUP BY l_returnflag, l_linestatus),
+            m AS (SELECT *,
+                   CAST(sum(o) OVER (PARTITION BY l_returnflag) AS BIGINT) AS r,
+                   CAST(sum(o) OVER (PARTITION BY l_linestatus) AS BIGINT) AS c,
+                   CAST(sum(o) OVER () AS BIGINT) AS n
+                  FROM cell)
+            SELECT l_returnflag, l_linestatus, o AS observed,
+                   CAST(CAST(r AS HUGEINT) * c * 1000 // n AS BIGINT) AS expected_milli,
+                   CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                     * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                     * 1000000 // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+                     AS chi2_contrib_micro
+            FROM m ORDER BY l_returnflag, l_linestatus"""))
+
   val q83RegrAgg = Q(
     "q83_regr_aggregates",
     (s, dir) => {
