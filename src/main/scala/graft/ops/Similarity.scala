@@ -95,6 +95,44 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Diversity-capped retrieval: brute-force cosine scoring, then at
+    * most `perGroup` hits per candidate group (source / domain /
+    * shard) BEFORE the global top-k — the result-diversification
+    * contract behind federated search and RAG source balancing (a
+    * plain top-k lets one near-duplicate-rich source crowd out the
+    * rest). Same broadcast-queries candidate scan as
+    * [[bruteForceTopK]]; both caps are rank filters under the
+    * deterministic (6dp cosine desc, id asc) order, sharing ONE
+    * window sort per (query, group) pass.
+    */
+  def diversityTopK(queries: DataFrame, candidates: DataFrame,
+      groupCol: String, k: Int, perGroup: Int): DataFrame = {
+    require(k >= 1 && perGroup >= 1, s"k=$k perGroup=$perGroup must be >= 1")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectVecs(queries))
+    val scored = candidates
+      .select(col("id"), col("vec"), col(groupCol).cast("long").as("grp"))
+      .as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (cid, cv, grp) =>
+          qs.iterator.collect { case (qid, qv) if qid != cid =>
+            (qid, cid, grp, round6(cosineJvm(qv, cv)))
+          }
+        }
+      }.toDF("query_id", "doc_id", "grp", "cos")
+    val wg = Window.partitionBy(col("query_id"), col("grp"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    scored.withColumn("gr", row_number().over(wg))
+      .filter(col("gr") <= perGroup)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "grp", "cos")
+  }
+
   /** Deterministic SRP hyperplane matrix (numPlanes × dim) in
     * [-0.5, 0.5): every executor regenerates the same planes from the
     * md5 digest of "plane{j}:{i}" (no broadcast state needed), and an

@@ -30,7 +30,8 @@ object LlmOps extends QModule {
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
     t111StratifiedSample, t112LineRepetition, t115PassageWindows,
-    d64JwLinkage, m66VadSegments, m67ZcrFrames)
+    d64JwLinkage, m66VadSegments, m67ZcrFrames, s59DiversityTopK,
+    m68VadChunks)
 
   import QTables.{docs, emb}
 
@@ -412,6 +413,43 @@ object LlmOps extends QModule {
             FROM r WHERE rank <= 5
             ORDER BY query_id, rank"""),
     headline = true)
+
+  /** Diversity-capped retrieval ([[Similarity.diversityTopK]]): at
+    * most 2 hits per embedding label (the source/domain proxy) before
+    * the global top-8 — the SERP/RAG diversification contract. The
+    * oracle replays the cosine matrix and BOTH rank filters under the
+    * same (cos desc, id) order; a cap applied after instead of before
+    * the global top-k hash-mismatches.
+    */
+  val s59DiversityTopK = Q(
+    "s59_diversity_topk",
+    (s, dir) => {
+      val raw = graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("vec"), col("label"))
+      Similarity.diversityTopK(raw.filter(col("id") < 3),
+          raw.filter(col("id") >= 3), "label", k = 8, perGroup = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+            x AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                    CAST(c.label AS BIGINT) AS grp,
+                    round(list_sum(list_transform(range(64), i -> q.e[i+1] * c.e[i+1]))
+                      / (sqrt(list_sum(list_transform(range(64), i -> q.e[i+1] * q.e[i+1])))
+                       * sqrt(list_sum(list_transform(range(64), i -> c.e[i+1] * c.e[i+1])))),
+                      6) AS cos
+                  FROM v q JOIN v c ON q.vec_id < 3 AND c.vec_id >= 3),
+            g AS (SELECT *, row_number() OVER (PARTITION BY query_id, grp
+                    ORDER BY cos DESC, doc_id ASC) AS gr FROM x),
+            r AS (SELECT query_id, doc_id, grp, cos,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, doc_id ASC) AS rank
+                  FROM g WHERE gr <= 2)
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, grp, cos
+            FROM r WHERE rank <= 8
+            ORDER BY query_id, rank"""))
 
   /** Margin-based match mining ([[Similarity.marginMining]]): the
     * LASER/CCMatrix ratio criterion over a 40-query / 300-candidate
@@ -1282,6 +1320,57 @@ object LlmOps extends QModule {
             SELECT doc_id, CAST(w AS INT) AS frame, energy, zcr,
                    energy > 1000000 AS voiced
             FROM z ORDER BY doc_id, frame"""))
+
+  /** Greedy VAD-segment packing into bounded ASR decode windows
+    * ([[graft.ops.AudioVad.vadChunks]]): chunks span ≤ 6 frames
+    * including silence gaps, never split mid-segment, packed in one
+    * zero-shuffle pass with the segmentation itself. The oracle
+    * replays the m66 segmentation, then the greedy chunk-start state
+    * machine as a recursive walk over segment indices — an off-by-one
+    * in the span arithmetic or a cap applied to voiced frames instead
+    * of the window span hash-mismatches.
+    */
+  val m68VadChunks = Q(
+    "m68_vad_chunks",
+    (s, dir) => graft.ops.AudioVad.vadChunks(
+        Multimodal.syntheticWavSpeech(docs(s, dir).filter(col("doc_id") < 200)))
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH RECURSIVE s AS (SELECT doc_id, i.i AS i, i.i // 10 AS w,
+                  CASE WHEN (doc_id * 7 + (i.i // 10) * 5) % 7 < 4
+                       THEN 20000 + (doc_id * 7919 + i.i * 104729) % 10000
+                       ELSE (doc_id * 13 + i.i * 7) % 161 - 80 END AS v
+                FROM documents, range(200) i(i) WHERE doc_id < 200),
+            fr AS (SELECT doc_id, w, CAST(sum(v * v) AS BIGINT) AS e
+                   FROM s GROUP BY doc_id, w),
+            vo AS (SELECT doc_id, w, e,
+                     w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+                   FROM fr WHERE e > 1000000),
+            seg AS (SELECT doc_id, grp, min(w) AS sf, max(w) AS ef,
+                      CAST(sum(e) AS BIGINT) AS energy
+                    FROM vo GROUP BY doc_id, grp),
+            segi AS (SELECT doc_id, sf, ef, energy,
+                       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sf) - 1
+                         AS INT) AS sid
+                     FROM seg),
+            walk(doc_id, sid, cs) AS (
+              SELECT doc_id, sid, sf FROM segi WHERE sid = 0
+              UNION ALL
+              SELECT g.doc_id, g.sid,
+                     CASE WHEN g.ef - w.cs + 1 <= 6 THEN w.cs ELSE g.sf END
+              FROM segi g JOIN walk w
+                ON g.doc_id = w.doc_id AND g.sid = w.sid + 1),
+            ch AS (SELECT w.doc_id, w.cs, min(g.sf) AS start_frame,
+                     max(g.ef) AS end_frame, CAST(count(*) AS INT) AS n_segments,
+                     CAST(sum(g.energy) AS BIGINT) AS energy_sum
+                   FROM walk w JOIN segi g
+                     ON g.doc_id = w.doc_id AND g.sid = w.sid
+                   GROUP BY w.doc_id, w.cs)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cs) - 1
+                     AS INT) AS chunk_id,
+                   CAST(start_frame AS INT) AS start_frame,
+                   CAST(end_frame AS INT) AS end_frame, n_segments, energy_sum
+            FROM ch ORDER BY doc_id, chunk_id"""))
 
   /** Record linkage with the native Jaro–Winkler expression
     * ([[org.apache.spark.sql.graftext.JaroWinkler]], codegen'd): a

@@ -45,6 +45,28 @@ class AudioVadSpec extends SparkSpec {
     intercept[IllegalArgumentException](AudioVad.vadSegments(docs, frameLen = 0))
   }
 
+  test("vadChunks: span cap includes gaps, no mid-segment split, " +
+      "oversized segment keeps its own chunk") {
+    val loud = Seq.fill(3)(1000.toShort)
+    val quiet = Seq.fill(3)(10.toShort)
+    // frames: V V q V q q V V V V  (V = voiced)
+    // segments: [0,1] [3,3] [6,9]
+    // maxFrames=4: chunk0 = [0,3] (span 4, includes the gap at 2),
+    // chunk1 = [6,9] (span-4 segment alone — [3..9] would span 7)
+    val frames = Seq(loud, loud, quiet, loud, quiet, quiet,
+      loud, loud, loud, loud).flatten
+    val docs = Seq((5L, wav(frames))).toDF("doc_id", "media")
+    val got = AudioVad.vadChunks(docs, frameLen = 3, energyThreshold = 1000L,
+        maxFrames = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0, 0, 3, 2, 9000000L),
+      (1, 6, 9, 1, 12000000L)))
+    intercept[IllegalArgumentException](
+      AudioVad.vadChunks(docs, maxFrames = 0))
+  }
+
   test("zcrFrames: strict sign changes inside the frame only") {
     // frame 0: +5 -5 +5 -5 → 3 crossings, energy 100
     // frame 1: +5 +5 0 -5  → 0 crossings (0 kills both products)

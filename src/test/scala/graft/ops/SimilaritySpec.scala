@@ -331,4 +331,21 @@ class SimilaritySpec extends SparkSpec {
     assert(again == out.values.map(r => (r.getAs[Long]("query_id"),
       r.getAs[Long]("best_id"), r.getAs[Double]("margin"))).toSet)
   }
+
+  test("diversityTopK: per-group cap binds before the global top-k") {
+    import spark.implicits._
+    // query along e1; group 7 has THREE best-aligned candidates but
+    // only 2 may survive; group 8's worse candidate must take slot 3
+    val q = Seq((100L, Array(1.0, 0.0))).toDF("id", "vec")
+    val c = Seq(
+      (1L, Array(1.0, 0.01), 7L), (2L, Array(1.0, 0.02), 7L),
+      (3L, Array(1.0, 0.03), 7L), (4L, Array(1.0, 9.0), 8L))
+      .toDF("id", "vec", "label")
+    val got = Similarity.diversityTopK(q, c, "label", k = 3, perGroup = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 1L, 7L), (2, 2L, 7L), (3, 4L, 8L)))
+    intercept[IllegalArgumentException](
+      Similarity.diversityTopK(q, c, "label", k = 0, perGroup = 1))
+  }
 }
