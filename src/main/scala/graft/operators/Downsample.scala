@@ -235,6 +235,36 @@ object Downsample {
     (outMeta, out)
   }
 
+  /** 3×3 median denoise at full resolution — the standard
+    * salt-and-pepper cleanup upstream of thresholding / downsampling.
+    * Same scale shape as [[sobelSq]]: one volume shuffle pins
+    * 1-halo-capable chunks, then only 1-pixel halo strips move.
+    * Median of 9 integral values IS one of them, so the dtype is
+    * preserved and every output value exact; true image borders pass
+    * through unchanged (see [[NdKernels.medianFilter2d]]).
+    */
+  def medianFilter(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta)
+      : (ImageMeta, Dataset[ChunkRow]) = {
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    require(isIntDtype(meta.dtype),
+      s"medianFilter keeps exact integer medians — integral dtypes only, got ${meta.dtype}")
+    val radius = Array(1, 1)
+    val ones = Array(1, 1)
+    val targetChunks = meta.dims.indices.map(d =>
+      planChunk(meta.shape(d), meta.chunks(d), 1, radius(d)))
+    val grid = ZarrStore.chunkGrid(meta.shape, targetChunks)
+    val numParts = math.max(1, math.min(grid.map(_.toLong).product,
+      math.max(ds.rdd.getNumPartitions,
+        spark.sparkContext.defaultParallelism).toLong).toInt)
+    val part = new org.apache.spark.HashPartitioner(numParts)
+    val (m1, pinned) = ChunkOps.rechunkPinned(spark, ds, meta, targetChunks, part)
+    val out = haloExchange(spark, pinned, part, m1, ones, m1, radius) {
+      (ext, extShape, outBlockShape, centerOff) =>
+        NdKernels.medianFilter2d(ext, extShape, outBlockShape, centerOff)
+    }
+    (m1, out)
+  }
+
   /** No-halo path: kernel maps each chunk independently. */
   private def perChunk(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
       factors: Array[Int], outMeta: ImageMeta)(

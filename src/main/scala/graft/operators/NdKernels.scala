@@ -194,6 +194,52 @@ object NdKernels {
     out
   }
 
+  /** 3×3 median filter over a 2-D extended block — the classic
+    * salt-and-pepper denoise pass (scipy.ndimage.median_filter /
+    * ITK MedianImageFilter). Median of 9 integral values is one of
+    * the 9 values, so the output is exact and keeps the input dtype.
+    * Pixels on the TRUE image border (no full 3×3 support) pass
+    * through unchanged — median filtering's conventional edge
+    * policy, and unlike a clamp it adds nothing to the hash surface.
+    * Interior chunk faces always carry a 1-halo, so "no halo on a
+    * side" is exactly "image border on that side".
+    */
+  def medianFilter2d(ext: Array[Double], extShape: Array[Int],
+      outShape: Array[Int], centerOff: Array[Int]): Array[Double] = {
+    require(extShape.length == 2, "medianFilter2d is a 2-D kernel")
+    val w = extShape(1)
+    val out = new Array[Double](outShape(0) * outShape(1))
+    val win = new Array[Double](9)
+    var yy = 0
+    while (yy < outShape(0)) {
+      var xx = 0
+      while (xx < outShape(1)) {
+        val ey = centerOff(0) + yy
+        val ex = centerOff(1) + xx
+        out(yy * outShape(1) + xx) =
+          if (ey < 1 || ey + 1 >= extShape(0) || ex < 1 || ex + 1 >= extShape(1))
+            ext(ey * w + ex)
+          else {
+            var k = 0
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                win(k) = ext((ey + dy) * w + ex + dx); k += 1
+                dx += 1
+              }
+              dy += 1
+            }
+            java.util.Arrays.sort(win)
+            win(4)
+          }
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
   /** Mean over aligned k-blocks. Output shape floor(in/k) per dim
     * (factors of 1 on non-spatial dims pass through).
     */

@@ -49,7 +49,7 @@ object Imaging extends QModule {
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
     i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
     i84DistanceTransform, i85RegionMoments, i86SobelGradient,
-    i87ComponentPerimeter, i88HistEqualize, i89BboxIou)
+    i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1202,6 +1202,41 @@ object Imaging extends QModule {
                    CAST(max(eq) AS BIGINT) AS max_eq,
                    CAST(sum(eq * (x + 1)) AS BIGINT) AS pos_check
             FROM p JOIN m USING (v) GROUP BY y ORDER BY y"""))
+
+  /** 3×3 median denoise ([[graft.operators.Downsample.medianFilter]])
+    * through the REAL halo-exchanged chunk path — the mod-256 wrap
+    * lines in the base grid make every neighborhood near them
+    * non-monotone, so the median is a genuine order statistic there,
+    * not the center. True borders pass through unchanged. The oracle
+    * computes each pixel's 9-neighborhood median relationally (9
+    * values → DuckDB median is the exact middle element); a
+    * misplaced halo strip or a border-policy drift hash-mismatches.
+    */
+  val i90MedianFilter = Q(
+    "i90_median_filter",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      val (om, ods) = graft.operators.Downsample.medianFilter(s, ds, meta)
+      ChunkOps.voxelView(s, ods, om)
+        .groupBy(col("y"))
+        .agg(sum(col("value")).cast("bigint").as("sum_med"),
+          max(col("value")).cast("bigint").as("max_med"),
+          sum(col("value") * (col("x") + 1)).cast("bigint").as("pos_check"))
+        .orderBy(col("y"))
+    },
+    Some(s"""WITH $gridSql,
+            n AS (SELECT g.y AS y, g.x AS x, median(ng.v) AS mv
+                  FROM grid g JOIN grid ng
+                    ON ng.y BETWEEN g.y - 1 AND g.y + 1
+                   AND ng.x BETWEEN g.x - 1 AND g.x + 1
+                  WHERE g.y > 0 AND g.y < ${H - 1} AND g.x > 0 AND g.x < ${W - 1}
+                  GROUP BY g.y, g.x),
+            o AS (SELECT g.y, g.x, coalesce(n.mv, g.v) AS m
+                  FROM grid g LEFT JOIN n ON n.y = g.y AND n.x = g.x)
+            SELECT y, CAST(sum(m) AS BIGINT) AS sum_med,
+                   CAST(max(m) AS BIGINT) AS max_med,
+                   CAST(sum(m * (x + 1)) AS BIGINT) AS pos_check
+            FROM o GROUP BY y ORDER BY y"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge
