@@ -442,4 +442,67 @@ object LabelComponents {
         expr("sum_y * 1000000 div size").as("cy_micro"),
         expr("sum_x * 1000000 div size").as("cx_micro"))
   }
+
+  /** Binary hole filling (scipy.ndimage `binary_fill_holes`,
+    * 4-connectivity): a hole is a background component not connected
+    * to the image border. Output is the FILLED mask as a sparse
+    * relational view — one (y, x) row per set pixel, the same shape
+    * the foreground view has.
+    *
+    * Scale shape: the mask is inverted chunk-locally (one map), the
+    * complement runs through the SAME fragment-graph CCL twice —
+    * once for fragment-sized bbox stats (never explodes voxels),
+    * once for the voxel-view labels whose resolution map broadcasts.
+    * Hole components are those whose bbox touches no border: a
+    * component-count-sized table that broadcasts into a semi-join.
+    * Two scans of the chunk table, zero voxel shuffles; at 100 TB
+    * the moving bytes are still fragment rows + chunk faces.
+    */
+  def fillHoles2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    import spark.implicits._
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    val dtype = meta.dtype
+    val thr = threshold
+    val inv = ds.map { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+      val out = new Array[Double](vals.length)
+      var i = 0
+      while (i < vals.length) { out(i) = if (vals(i) >= thr) 0.0 else 1.0; i += 1 }
+      c.copy(data = ZarrStore.encodeFromDoubles(out, "uint8"))
+    }
+    val invMeta = meta.copy(dtype = "uint8")
+    val holes = componentStats2d(spark, inv, invMeta, threshold = 1.0)
+      .filter(col("ymin") > 0 && col("xmin") > 0 &&
+        col("ymax") < meta.shape(0) - 1 && col("xmax") < meta.shape(1) - 1)
+      .select(col("comp"))
+    val holeVox = componentLabels2d(spark, inv, invMeta, threshold = 1.0)
+      .join(broadcast(holes), Seq("comp"), "left_semi")
+      .select(col("y"), col("x"))
+    ChunkOps.voxelView(spark, ds, meta)
+      .filter(col("value") >= thr)
+      .select(col("y"), col("x"))
+      .union(holeVox)
+  }
+
+  /** Area opening (skimage.morphology `remove_small_objects`,
+    * 4-connectivity): drop foreground components smaller than
+    * `minSize` voxels — the standard despeckle between thresholding
+    * and measurement. Output is the surviving mask as the sparse
+    * (y, x, comp) view.
+    *
+    * Scale shape: component sizes come from the fragment-sized stats
+    * path (voxels never shuffle), survivors broadcast into a
+    * semi-join against the labeled voxel view.
+    */
+  def areaOpen2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double, minSize: Long): DataFrame = {
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    val keep = componentStats2d(spark, ds, meta, threshold)
+      .filter(col("size") >= minSize)
+      .select(col("comp"))
+    componentLabels2d(spark, ds, meta, threshold)
+      .join(broadcast(keep), Seq("comp"), "left_semi")
+      .select(col("y"), col("x"), col("comp"))
+  }
 }

@@ -37,6 +37,31 @@ object Imaging extends QModule {
       .orderBy(col("y"), col("x"))
   }
 
+  /** 3×3 grid of 12×12 square rings (10×10 interior holes), rings at
+    * (8+16i, 8+16j) so the middle ring straddles both 32-chunk
+    * boundaries — the hole-filling fixture. Binary 0/255.
+    */
+  private def ringOn(y: Int, x: Int): Boolean =
+    y >= 8 && y < 52 && x >= 8 && x < 52 &&
+      (y - 8) % 16 < 12 && (x - 8) % 16 < 12 &&
+      ((y - 8) % 16 == 0 || (y - 8) % 16 == 11 ||
+       (x - 8) % 16 == 0 || (x - 8) % 16 == 11)
+
+  private def ringImage(spark: SparkSession): (ImageMeta, org.apache.spark.sql.Dataset[ChunkOps.ChunkRow]) = {
+    val meta = ImageMeta(Seq("y", "x"), Seq(H, W), Seq(32, 32), "uint8",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val vals = Array.tabulate(H * W)(i =>
+      if (ringOn(i / W, i % W)) 255.0 else 0.0)
+    (meta, ChunkOps.fromArray(spark, vals, meta))
+  }
+
+  /** The same ring predicate as closed-form SQL over `i` of range(). */
+  private val ringVSql =
+    s"""CASE WHEN i // $W >= 8 AND i // $W < 52 AND i % $W >= 8 AND i % $W < 52
+       |  AND ((i // $W - 8) % 16) < 12 AND ((i % $W - 8) % 16) < 12
+       |  AND (((i // $W - 8) % 16) IN (0, 11) OR ((i % $W - 8) % 16) IN (0, 11))
+       |THEN 255.0 ELSE 0.0 END""".stripMargin
+
   private val gridSql =
     s"""grid AS (SELECT i // $W AS y, i % $W AS x,
        |  CAST(((i // $W) * 31 + (i % $W) * 17) % 256 AS DOUBLE) AS v
@@ -49,7 +74,8 @@ object Imaging extends QModule {
     i77PercentileNorm, i78OtsuThreshold, i79Morphology, i80Morphology3d,
     i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
     i84DistanceTransform, i85RegionMoments, i86SobelGradient,
-    i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter)
+    i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter,
+    i91FillHoles, i92AreaOpen)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1237,6 +1263,73 @@ object Imaging extends QModule {
                    CAST(max(m) AS BIGINT) AS max_med,
                    CAST(sum(m * (x + 1)) AS BIGINT) AS pos_check
             FROM o GROUP BY y ORDER BY y"""))
+
+  /** Binary hole filling ([[graft.operators.LabelComponents
+    * .fillHoles2d]]) on a 3×3 grid of square rings whose middle
+    * row/column straddles the chunk boundaries — each ring's 10×10
+    * hole is a background component the complement-CCL must keep
+    * separate from the border-connected outside across chunk faces.
+    * The oracle is the independent definition: a recursive flood
+    * fill seeded at the border background cells; fill = foreground ∪
+    * (background ∖ reached). A leaked hole, a filled outside, or a
+    * missed cross-chunk merge all change the per-row counts.
+    */
+  val i91FillHoles = Q(
+    "i91_fill_holes",
+    (s, _) => {
+      val (meta, ds) = ringImage(s)
+      graft.operators.LabelComponents.fillHoles2d(s, ds, meta, threshold = 128.0)
+        .groupBy(col("y"))
+        .agg(count(lit(1)).cast("bigint").as("n_fill"),
+          sum(col("x") + 1).cast("bigint").as("pos_check"))
+        .orderBy(col("y"))
+    },
+    Some(s"""WITH RECURSIVE
+            g AS (SELECT i // $W AS y, i % $W AS x, $ringVSql AS v
+                  FROM range(${H * W}) r(i)),
+            bg AS (SELECT y, x, y * $W + x AS id FROM g WHERE v < 128),
+            adj AS (SELECT a.id AS u, b.id AS w FROM bg a JOIN bg b
+                      ON b.y = a.y AND b.x = a.x + 1
+                    UNION ALL
+                    SELECT a.id, b.id FROM bg a JOIN bg b
+                      ON b.y = a.y + 1 AND b.x = a.x),
+            e AS (SELECT u, w FROM adj UNION ALL SELECT w, u FROM adj),
+            reach(id) AS (SELECT id FROM bg
+                          WHERE y = 0 OR y = ${H - 1} OR x = 0 OR x = ${W - 1}
+                          UNION
+                          SELECT e.w FROM e JOIN reach r ON r.id = e.u),
+            filled AS (SELECT y, x FROM g WHERE v >= 128
+                       UNION ALL
+                       SELECT b.y, b.x FROM bg b
+                       WHERE b.id NOT IN (SELECT id FROM reach))
+            SELECT y, CAST(count(*) AS BIGINT) AS n_fill,
+                   CAST(sum(x + 1) AS BIGINT) AS pos_check
+            FROM filled GROUP BY y ORDER BY y"""))
+
+  /** Area opening ([[graft.operators.LabelComponents.areaOpen2d]],
+    * `remove_small_objects` semantics): the base mask's 12 diagonal
+    * bands range 10–264 voxels, so minSize = 150 drops exactly the
+    * five small ones — the survivors' sizes AND per-voxel positional
+    * checksums must match the closure-derived components, proving
+    * the size filter keyed the RESOLVED labels (a fragment-level
+    * size would drop every band, since all 12 straddle chunks).
+    */
+  val i92AreaOpen = Q(
+    "i92_area_open",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      graft.operators.LabelComponents.areaOpen2d(s, ds, meta,
+          threshold = 128.0, minSize = 150L)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).cast("bigint").as("size"),
+          sum(col("y") * W + col("x")).cast("bigint").as("pos_check"))
+        .orderBy(col("comp"))
+    },
+    Some(s"""WITH RECURSIVE $cclSql
+            SELECT c.comp AS comp, CAST(count(*) AS BIGINT) AS size,
+                   CAST(sum(f.y * $W + f.x) AS BIGINT) AS pos_check
+            FROM comp c JOIN fg f ON f.id = c.id
+            GROUP BY c.comp HAVING count(*) >= 150 ORDER BY comp"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge
