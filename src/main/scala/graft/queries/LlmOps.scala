@@ -31,7 +31,7 @@ object LlmOps extends QModule {
     m65ThumbnailPixels, s58MarginMining,
     t111StratifiedSample, t112LineRepetition, t115PassageWindows,
     d64JwLinkage, m66VadSegments, m67ZcrFrames, s59DiversityTopK,
-    m68VadChunks)
+    m68VadChunks, d65KmvOverlap)
 
   import QTables.{docs, emb}
 
@@ -1418,6 +1418,72 @@ object LlmOps extends QModule {
                    AND abs(length(name) - length(qname)) <= 1)
             SELECT m_id, q_id, jw FROM j WHERE jw >= 0.9
             ORDER BY m_id, q_id"""))
+
+  /** KMV sketch intersection ([[graft.ops.KmvSketch.overlapEstimate]]):
+    * the SKETCH path for cross-source overlap — distinct-shingle
+    * union/intersection of two corpus halves estimated from two
+    * 256-value k-minimum sketches (one TakeOrdered pass per side,
+    * never a cross-side gram shuffle), beside the exact truth the
+    * gate computes for comparison. Both engines replay the
+    * md5-derived 56-bit hashes, the union re-sketch, and the
+    * ρ·union_est algebra bit-for-bit; a drifted tie-break or a
+    * short-circuited re-limit hash-mismatches the floats.
+    */
+  val d65KmvOverlap = Q(
+    "d65_kmv_overlap",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val isA = expr("CAST(substring(source, 4, 8) AS INT) % 2 = 0")
+      val a = d.filter(isA)
+      val b = d.filter(!isA)
+      val est = graft.ops.KmvSketch.overlapEstimate(a, b)
+      def hs(x: DataFrame) = TextDedup.shingleSets(x, "doc_id", "text", 3)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val ha = hs(a); val hb = hs(b)
+      val truth = ha.union(hb).distinct().agg(count(lit(1)).cast("bigint").as("true_union"))
+        .crossJoin(ha.join(hb, Seq("shingle"))
+          .agg(count(lit(1)).cast("bigint").as("true_inter")))
+      est.crossJoin(truth)
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            sh AS (SELECT doc_id, source,
+                     unnest(list_distinct(list_transform(range(len(ws) - 2),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS shingle
+                   FROM d WHERE len(ws) >= 3),
+            ha AS (SELECT DISTINCT shingle,
+                     CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h
+                   FROM sh WHERE CAST(substr(source, 4, 8) AS INT) % 2 = 0),
+            hb AS (SELECT DISTINCT shingle,
+                     CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h
+                   FROM sh WHERE CAST(substr(source, 4, 8) AS INT) % 2 = 1),
+            ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+            skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+            m AS (SELECT coalesce(a.h, b.h) AS h,
+                    CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                    CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+                  FROM ska a FULL JOIN skb b ON a.h = b.h),
+            u AS (SELECT * FROM m ORDER BY h LIMIT 256),
+            est AS (SELECT count(*) AS k_union, max(h) AS theta,
+                      sum(in_a * in_b) AS k_inter
+                    FROM u),
+            tu AS (SELECT count(*) AS true_union
+                   FROM (SELECT shingle FROM ha UNION SELECT shingle FROM hb)),
+            ti AS (SELECT count(*) AS true_inter
+                   FROM ha JOIN hb USING (shingle))
+            SELECT CAST(k_union AS BIGINT) AS k_union, theta,
+                   CAST(k_inter AS BIGINT) AS k_inter,
+                   CASE WHEN k_union < 256 THEN CAST(k_union AS DOUBLE)
+                        ELSE CAST(k_union - 1 AS DOUBLE) * 72057594037927936
+                             / theta END AS union_est,
+                   CAST(k_inter AS DOUBLE) / k_union *
+                     (CASE WHEN k_union < 256 THEN CAST(k_union AS DOUBLE)
+                           ELSE CAST(k_union - 1 AS DOUBLE) * 72057594037927936
+                                / theta END) AS inter_est,
+                   CAST(true_union AS BIGINT) AS true_union,
+                   CAST(true_inter AS BIGINT) AS true_inter
+            FROM est CROSS JOIN tu CROSS JOIN ti"""))
 
   /** Overlapping passage windows ([[graft.ops.Passages.windows]], 24
     * words advancing by 16): the retrieval/RAG chunking counterpart
