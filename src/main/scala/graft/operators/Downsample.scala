@@ -265,6 +265,39 @@ object Downsample {
     (m1, out)
   }
 
+  /** Adaptive (local-mean) threshold — Bradley/skimage
+    * `threshold_local(mean)` with partial-window renormalization at
+    * the image border: pixel (y,x) is foreground iff
+    * (v + c) · |W| > Σ_W v over its (2r+1)² window clipped to the
+    * image, all in exact integer arithmetic (the mean is never
+    * materialized as a float). Same scale shape as [[morphology]]:
+    * one volume shuffle pins r-halo-capable chunks, then only
+    * r-pixel halo strips move. Output is a uint8 0/1 mask.
+    */
+  def adaptiveThreshold(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
+      radius: Int, c: Long = 0L): (ImageMeta, Dataset[ChunkRow]) = {
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    require(isIntDtype(meta.dtype),
+      s"adaptiveThreshold compares exact integer window sums — integral dtypes only, got ${meta.dtype}")
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val rad = Array(radius, radius)
+    val ones = Array(1, 1)
+    val targetChunks = meta.dims.indices.map(d =>
+      planChunk(meta.shape(d), meta.chunks(d), 1, rad(d)))
+    val grid = ZarrStore.chunkGrid(meta.shape, targetChunks)
+    val numParts = math.max(1, math.min(grid.map(_.toLong).product,
+      math.max(ds.rdd.getNumPartitions,
+        spark.sparkContext.defaultParallelism).toLong).toInt)
+    val part = new org.apache.spark.HashPartitioner(numParts)
+    val (m1, pinned) = ChunkOps.rechunkPinned(spark, ds, meta, targetChunks, part)
+    val outMeta = m1.copy(dtype = "uint8")
+    val out = haloExchange(spark, pinned, part, m1, ones, outMeta, rad) {
+      (ext, extShape, outBlockShape, centerOff) =>
+        NdKernels.adaptiveThreshold2d(ext, extShape, outBlockShape, centerOff, radius, c)
+    }
+    (outMeta, out)
+  }
+
   /** No-halo path: kernel maps each chunk independently. */
   private def perChunk(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta,
       factors: Array[Int], outMeta: ImageMeta)(

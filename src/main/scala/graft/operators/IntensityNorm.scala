@@ -130,6 +130,27 @@ object IntensityNorm {
     top.head.getLong(0)
   }
 
+  /** ONE bounded value-domain histogram pass (≤65536 bins for the
+    * integral dtypes): per-partition open hash → one tiny groupBy →
+    * sorted (value, count) pairs on the driver. Shared by
+    * [[histEqualize]] and [[matchHistogram]].
+    */
+  private def valueHistogram(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      dtype: String): Array[(Long, Long)] = {
+    import spark.implicits._
+    ds.mapPartitions { chunks =>
+      val m = new java.util.HashMap[Long, Long]()
+      chunks.foreach { c =>
+        ZarrStore.decodeToDoubles(c.data, dtype).foreach { v =>
+          m.merge(v.toLong, 1L, (a, b) => a + b)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e => (e.getKey.longValue(), e.getValue.longValue()))
+    }.toDF("v", "n").groupBy("v").agg(sum(col("n")).as("n"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
   /** Global histogram equalization — the classic CDF remap (OpenCV
     * `equalizeHist` semantics, generalized to any integral dtype):
     * v → ⌊(cdf(v) − cdf_min) · (L−1) / (N − cdf_min)⌋ with cdf_min
@@ -149,17 +170,7 @@ object IntensityNorm {
       s"histogram equalization needs an integral dtype, got ${meta.dtype}")
     val dtype = meta.dtype
     val levels = integralWidths(dtype).toLong
-    val hist = ds.mapPartitions { chunks =>
-      val m = new java.util.HashMap[Long, Long]()
-      chunks.foreach { c =>
-        ZarrStore.decodeToDoubles(c.data, dtype).foreach { v =>
-          m.merge(v.toLong, 1L, (a, b) => a + b)
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      m.entrySet().iterator().asScala.map(e => (e.getKey.longValue(), e.getValue.longValue()))
-    }.toDF("v", "n").groupBy("v").agg(sum(col("n")).as("n"))
-      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hist = valueHistogram(spark, ds, dtype)
     val total = hist.map(_._2).sum
     require(total > 0, "empty volume")
     val cdfMin = hist.head._2
@@ -176,6 +187,60 @@ object IntensityNorm {
     val outMeta = meta.copy(dtype = outDtype)
     val out = ds.map { c =>
       val vals = ZarrStore.decodeToDoubles(c.data, dtype)
+      val eq = new Array[Double](vals.length)
+      val m = bc.value
+      var i = 0
+      while (i < vals.length) { eq(i) = m.get(vals(i).toLong); i += 1 }
+      ChunkOps.ChunkRow(c.chunkIdx, c.origin, c.shape,
+        ZarrStore.encodeFromDoubles(eq, outDtype))
+    }
+    (out, outMeta)
+  }
+
+  /** Histogram matching (skimage `match_histograms` semantics, exact
+    * integer quantile compare): each source value v maps to the
+    * SMALLEST reference value r whose CDF reaches v's quantile,
+    * F_ref(r) ≥ F_src(v), evaluated as the cross-multiplied integer
+    * inequality cum_ref(r)·N_src ≥ cum_src(v)·N_ref — in BigInt, so
+    * the compare is exact at ANY voxel count (a Long product
+    * overflows near 10⁹·10⁹; see the Otsu overflow lesson). The
+    * standard cross-scanner intensity harmonization step.
+    *
+    * Scale shape: one bounded ≤65536-bin histogram job per volume,
+    * the monotone mapping table built driver-side (bin-count-sized)
+    * and broadcast; the remap pass is chunk-local — no voxel ever
+    * shuffles, and the two histogram jobs are the only reads.
+    * Output dtype is the reference's.
+    */
+  def matchHistogram(spark: SparkSession,
+      src: Dataset[ChunkOps.ChunkRow], srcMeta: ImageMeta,
+      ref: Dataset[ChunkOps.ChunkRow], refMeta: ImageMeta)
+      : (Dataset[ChunkOps.ChunkRow], ImageMeta) = {
+    import spark.implicits._
+    require(integralWidths.contains(srcMeta.dtype) && integralWidths.contains(refMeta.dtype),
+      s"histogram matching needs integral dtypes, got ${srcMeta.dtype}/${refMeta.dtype}")
+    val srcHist = valueHistogram(spark, src, srcMeta.dtype)
+    val refHist = valueHistogram(spark, ref, refMeta.dtype)
+    require(srcHist.nonEmpty && refHist.nonEmpty, "empty volume")
+    val nSrc = BigInt(srcHist.map(_._2).sum)
+    val nRef = BigInt(refHist.map(_._2).sum)
+    // both CDFs are sorted by value: one merged monotone walk builds
+    // the whole mapping in O(bins)
+    val refCum = refHist.scanLeft(0L) { case (c, (_, n)) => c + n }.drop(1)
+    val remap = new java.util.HashMap[Long, Double]()
+    var cumS = 0L
+    var j = 0
+    srcHist.foreach { case (v, n) =>
+      cumS += n
+      while (j < refHist.length - 1 && BigInt(refCum(j)) * nSrc < BigInt(cumS) * nRef) j += 1
+      remap.put(v, refHist(j)._1.toDouble)
+    }
+    val bc = spark.sparkContext.broadcast(remap)
+    val srcDtype = srcMeta.dtype
+    val outDtype = refMeta.dtype
+    val outMeta = srcMeta.copy(dtype = outDtype)
+    val out = src.map { c =>
+      val vals = ZarrStore.decodeToDoubles(c.data, srcDtype)
       val eq = new Array[Double](vals.length)
       val m = bc.value
       var i = 0

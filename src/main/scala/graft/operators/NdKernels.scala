@@ -240,6 +240,58 @@ object NdKernels {
     out
   }
 
+  /** Adaptive local-mean threshold over a 2-D extended block: output
+    * is 1 iff (v + c) · n > s where (n, s) are the count and sum of
+    * the (2r+1)² window CLIPPED to the available extent — interior
+    * chunk faces always carry an r-halo, so clipping is exactly the
+    * true image border, where the window renormalizes to the pixels
+    * that exist (partial-window semantics). Exact integer compare;
+    * the local mean is never a float. Row-sliding window sums keep
+    * the kernel O(r) per pixel, not O(r²).
+    */
+  def adaptiveThreshold2d(ext: Array[Double], extShape: Array[Int],
+      outShape: Array[Int], centerOff: Array[Int], r: Int, c: Long): Array[Double] = {
+    require(extShape.length == 2, "adaptiveThreshold2d is a 2-D kernel")
+    val eh = extShape(0); val ew = extShape(1)
+    val out = new Array[Double](outShape(0) * outShape(1))
+    var yy = 0
+    while (yy < outShape(0)) {
+      val ey = centerOff(0) + yy
+      val y0 = math.max(0, ey - r); val y1 = math.min(eh - 1, ey + r)
+      // initialize the window sum/count at xx = 0, then slide
+      val ex0 = centerOff(1)
+      var s = 0L
+      var x0 = math.max(0, ex0 - r); var x1 = math.min(ew - 1, ex0 + r)
+      var yv = y0
+      while (yv <= y1) {
+        var xv = x0
+        while (xv <= x1) { s += ext(yv * ew + xv).toLong; xv += 1 }
+        yv += 1
+      }
+      var xx = 0
+      while (xx < outShape(1)) {
+        val ex = centerOff(1) + xx
+        val n = (y1 - y0 + 1).toLong * (x1 - x0 + 1).toLong
+        val v = ext(ey * ew + ex).toLong
+        out(yy * outShape(1) + xx) = if ((v + c) * n > s) 1.0 else 0.0
+        // slide the window one column right for the next xx
+        val nx0 = math.max(0, ex + 1 - r); val nx1 = math.min(ew - 1, ex + 1 + r)
+        if (xx + 1 < outShape(1)) {
+          var y2 = y0
+          while (y2 <= y1) {
+            if (nx1 > x1) s += ext(y2 * ew + nx1).toLong
+            if (nx0 > x0) s -= ext(y2 * ew + x0).toLong
+            y2 += 1
+          }
+          x0 = nx0; x1 = nx1
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
   /** Mean over aligned k-blocks. Output shape floor(in/k) per dim
     * (factors of 1 on non-spatial dims pass through).
     */

@@ -75,7 +75,7 @@ object Imaging extends QModule {
     i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
     i84DistanceTransform, i85RegionMoments, i86SobelGradient,
     i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter,
-    i91FillHoles, i92AreaOpen)
+    i91FillHoles, i92AreaOpen, i93AdaptiveThreshold, i94HistMatch)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1330,6 +1330,89 @@ object Imaging extends QModule {
                    CAST(sum(f.y * $W + f.x) AS BIGINT) AS pos_check
             FROM comp c JOIN fg f ON f.id = c.id
             GROUP BY c.comp HAVING count(*) >= 150 ORDER BY comp"""))
+
+  /** Adaptive local-mean threshold ([[graft.operators.Downsample
+    * .adaptiveThreshold]], 5×5 window) through the REAL 2-halo
+    * exchange — the wrap lines make foreground/background flip mid-
+    * image, so the mask is structured, and the r=2 halo exercises a
+    * wider strip than the 1-halo kernels. The oracle recomputes every
+    * pixel's clipped-window count and sum relationally and replays
+    * the exact (v+c)·n > s integer compare — a float mean, a wrong
+    * clip, or a misplaced halo strip all shift per-row counts.
+    */
+  val i93AdaptiveThreshold = Q(
+    "i93_adaptive_threshold",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      val (om, ods) = graft.operators.Downsample.adaptiveThreshold(s, ds, meta, radius = 2)
+      ChunkOps.voxelView(s, ods, om)
+        .groupBy(col("y"))
+        .agg(sum(col("value")).cast("bigint").as("n_fg"),
+          sum(col("value") * (col("x") + 1)).cast("bigint").as("pos_check"))
+        .orderBy(col("y"))
+    },
+    Some(s"""WITH $gridSql,
+            w AS (SELECT g.y AS y, g.x AS x, g.v AS v,
+                    count(*) AS n, CAST(sum(ng.v) AS BIGINT) AS s
+                  FROM grid g JOIN grid ng
+                    ON ng.y BETWEEN g.y - 2 AND g.y + 2
+                   AND ng.x BETWEEN g.x - 2 AND g.x + 2
+                  GROUP BY g.y, g.x, g.v),
+            m AS (SELECT y, x,
+                    CASE WHEN CAST(v AS BIGINT) * n > s THEN 1 ELSE 0 END AS fg
+                  FROM w)
+            SELECT y, CAST(sum(fg) AS BIGINT) AS n_fg,
+                   CAST(sum(fg * (x + 1)) AS BIGINT) AS pos_check
+            FROM m GROUP BY y ORDER BY y"""))
+
+  /** Histogram matching ([[graft.operators.IntensityNorm
+    * .matchHistogram]]): the base grid's intensities harmonized to a
+    * 48×48 reference volume with a genuinely skewed distribution
+    * (y²-driven), so the quantile mapping is far from identity. The
+    * oracle rebuilds both CDFs relationally and replays the exact
+    * cross-multiplied integer inequality (min r with
+    * cum_ref(r)·N_src ≥ cum_src(v)·N_ref) — a float quantile, an
+    * off-by-one in either CDF, or a ≥/> drift all move the mapped
+    * values.
+    */
+  val i94HistMatch = Q(
+    "i94_hist_match",
+    (s, _) => {
+      val (meta, ds) = baseImage(s)
+      val refMeta = ImageMeta(Seq("y", "x"), Seq(48, 48), Seq(24, 24), "uint8",
+        Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+      val refVals = Array.tabulate(48 * 48)(i =>
+        (((i / 48) * (i / 48) * 5 + (i % 48) * 11) % 256).toDouble)
+      val refDs = ChunkOps.fromArray(s, refVals, refMeta)
+      val (ods, om) = graft.operators.IntensityNorm.matchHistogram(
+        s, ds, meta, refDs, refMeta)
+      ChunkOps.voxelView(s, ods, om)
+        .groupBy(col("y"))
+        .agg(sum(col("value")).cast("bigint").as("sum_m"),
+          max(col("value")).cast("bigint").as("max_m"),
+          sum(col("value") * (col("x") + 1)).cast("bigint").as("pos_check"))
+        .orderBy(col("y"))
+    },
+    Some(s"""WITH $gridSql,
+            rg AS (SELECT CAST(((i // 48) * (i // 48) * 5 + (i % 48) * 11) % 256
+                     AS BIGINT) AS v
+                   FROM range(2304) r(i)),
+            hs AS (SELECT CAST(v AS BIGINT) AS v, count(*) AS n FROM grid GROUP BY 1),
+            hr AS (SELECT v, count(*) AS n FROM rg GROUP BY 1),
+            cs AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM hs),
+            cr AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM hr),
+            tot AS (SELECT (SELECT sum(cast(n AS BIGINT)) FROM hs) AS ns,
+                           (SELECT sum(cast(n AS BIGINT)) FROM hr) AS nr),
+            map AS (SELECT s.v AS sv, min(r.v) AS mv
+                    FROM cs s CROSS JOIN tot t JOIN cr r
+                      ON r.cum * t.ns >= s.cum * t.nr
+                    GROUP BY s.v),
+            o AS (SELECT g.y, g.x, m.mv FROM grid g
+                  JOIN map m ON m.sv = CAST(g.v AS BIGINT))
+            SELECT y, CAST(sum(mv) AS BIGINT) AS sum_m,
+                   CAST(max(mv) AS BIGINT) AS max_m,
+                   CAST(sum(mv * (x + 1)) AS BIGINT) AS pos_check
+            FROM o GROUP BY y ORDER BY y"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge

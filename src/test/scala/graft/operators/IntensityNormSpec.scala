@@ -147,4 +147,66 @@ class IntensityNormSpec extends SparkSpec {
       ChunkOps.fromArray(spark, Array.fill(64)(9.0), mf), mf)
     assert(ChunkOps.toArray(eqf, omf).forall(_ == 0.0))
   }
+
+  test("matchHistogram: reference parity, self-identity, chunking-invariant") {
+    val rnd = new scala.util.Random(23)
+    val h = 20; val w = 20
+    val src = Array.fill(h * w)(rnd.nextInt(200).toDouble)
+    val ref = Array.fill(12 * 12)((rnd.nextInt(16) * rnd.nextInt(16)).toDouble) // skewed
+    val rm = meta(12, 12, 12, 12)
+    // driver-side reference: smallest ref value whose CDF reaches v's quantile
+    val sHist = src.map(_.toLong).groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val rHist = ref.map(_.toLong).groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val nS = BigInt(src.length); val nR = BigInt(ref.length)
+    val rCum = rHist.scanLeft(0L) { case (c, (_, n)) => c + n }.drop(1)
+    var cum = 0L
+    val want = sHist.map { case (v, n) =>
+      cum += n
+      val j = rCum.indexWhere(rc => BigInt(rc) * nS >= BigInt(cum) * nR)
+      v -> rHist(if (j < 0) rHist.length - 1 else j)._1.toDouble
+    }.toMap
+    for (chunks <- Seq((20, 20), (8, 8), (7, 5))) {
+      val m = meta(h, w, chunks._1, chunks._2)
+      val (out, om) = IntensityNorm.matchHistogram(spark,
+        ChunkOps.fromArray(spark, src, m), m,
+        ChunkOps.fromArray(spark, ref, rm), rm)
+      assert(om.dtype == "uint8")
+      val got = ChunkOps.toArray(out, om)
+      assert(got.toSeq == src.map(v => want(v.toLong)).toSeq, s"chunks $chunks")
+    }
+    // matching a volume to itself is the identity
+    val m = meta(h, w, 8, 8)
+    val (self, omSelf) = IntensityNorm.matchHistogram(spark,
+      ChunkOps.fromArray(spark, src, m), m, ChunkOps.fromArray(spark, src, m), m)
+    assert(ChunkOps.toArray(self, omSelf).toSeq == src.toSeq)
+  }
+
+  test("adaptiveThreshold: partial-window reference parity, chunking-invariant") {
+    val rnd = new scala.util.Random(29)
+    val h = 20; val w = 24; val r = 2
+    val vals = Array.fill(h * w)(rnd.nextInt(256).toDouble)
+    val want = (0 until h * w).map { i =>
+      val y = i / w; val x = i % w
+      var s = 0L; var n = 0L
+      for (yy <- math.max(0, y - r) to math.min(h - 1, y + r);
+           xx <- math.max(0, x - r) to math.min(w - 1, x + r)) {
+        s += vals(yy * w + xx).toLong; n += 1
+      }
+      if (vals(i).toLong * n > s) 1.0 else 0.0
+    }
+    for (chunks <- Seq((20, 24), (8, 8), (7, 5))) {
+      val m = meta(h, w, chunks._1, chunks._2)
+      val (om, out) = Downsample.adaptiveThreshold(spark,
+        ChunkOps.fromArray(spark, vals, m), m, radius = r)
+      assert(om.dtype == "uint8")
+      assert(ChunkOps.toArray(out, om).toSeq == want, s"chunks $chunks")
+    }
+    // flat field: v*n > s is false everywhere (equality) → all zero
+    val mFlat = meta(8, 8, 4, 4)
+    val (omF, outF) = Downsample.adaptiveThreshold(spark,
+      ChunkOps.fromArray(spark, Array.fill(64)(7.0), mFlat), mFlat, radius = 1)
+    assert(ChunkOps.toArray(outF, omF).forall(_ == 0.0))
+  }
 }
