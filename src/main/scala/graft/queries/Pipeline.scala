@@ -37,7 +37,7 @@ object Pipeline extends QModule {
     t90UnigramLm, t91CorpusReport, t92Fim, t93ChatTemplate, t94DpoPairs,
     t95BestOfN, t96OverlapRun, t97TokenizerFertility, t98EpochPlan,
     t99GoodTuring, t100Blocklist, g01PageRank, q53OrcRoundtrip,
-    t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles, g04BfsHops,
+    t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles, g04BfsHops, g05Kcore,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
     t116ByteBpeEncode)
@@ -3785,6 +3785,62 @@ object Pipeline extends QModule {
               JOIN e ON e.src = w.id WHERE w.hops < 10)
             SELECT id, CAST(min(hops) AS INT) AS hops
             FROM walk GROUP BY id ORDER BY id"""))
+
+  /** k-core membership ([[graft.ops.Graphs.kCore]], k = 11) over the
+    * g01 link graph PLUS a planted 25-clique and a 10-node "house of
+    * cards" chain (each chain node: 7 clique edges + the next chain
+    * node): the chain nodes hold degree ≥ 11 only through their
+    * successors, so the peel cascades SIX rounds before the fixpoint
+    * — a one-shot degree filter (the classic wrong implementation)
+    * keeps all 35 nodes and hash-mismatches. The oracle unrolls
+    * eight relational peel rounds (two more than needed, idempotent
+    * at the fixpoint).
+    */
+  val g05Kcore = Q(
+    "g05_kcore",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val baseE = d.select(col("doc_id").as("src"),
+        explode(array((col("doc_id") + 1) % 500, (col("doc_id") + 2) % 500,
+          (col("doc_id") * 17 + 7) % 500)).as("dst"))
+      val ids = d.filter(col("doc_id") < 25).select(col("doc_id"))
+      val clique = ids.as("a").join(ids.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      val chainClique = s.range(10).select((col("id") + 25).as("src"))
+        .crossJoin(s.range(7).select(col("id").as("dst")))
+      val chainNext = s.range(9).select((col("id") + 25).as("src"),
+        (col("id") + 26).as("dst"))
+      graft.ops.Graphs.kCore(
+          baseE.union(clique).union(chainClique).union(chainNext), k = 11)
+        .orderBy(col("id"))
+    },
+    Some {
+      val peels = (1 to 8).map { r =>
+        // MATERIALIZED: default CTE inlining re-expands e(r-1) ~5× per
+        // round — exponential scans by round 8 (observed as an
+        // fd-exhaustion failure); materialization makes it 8 linear passes
+        s"""d$r AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+           |        SELECT u AS id FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+           |      GROUP BY id),
+           |e$r AS MATERIALIZED (SELECT p.u, p.v FROM e${r - 1} p
+           |        JOIN d$r du ON du.id = p.u JOIN d$r dv ON dv.id = p.v
+           |        WHERE du.deg >= 11 AND dv.deg >= 11)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (SELECT doc_id AS a, (doc_id+1) % 500 AS b FROM documents
+         |      UNION ALL SELECT doc_id, (doc_id+2) % 500 FROM documents
+         |      UNION ALL SELECT doc_id, (doc_id*17+7) % 500 FROM documents
+         |      UNION ALL SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+         |        ON a.doc_id < b.doc_id AND b.doc_id < 25
+         |      UNION ALL SELECT 25 + t, c FROM range(10) r(t) CROSS JOIN range(7) c(c)
+         |      UNION ALL SELECT 25 + t, 26 + t FROM range(9) r(t)),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         |       FROM raw WHERE a <> b),
+         |$peels
+         |SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT u AS id FROM e8 UNION ALL SELECT v FROM e8)
+         |GROUP BY id ORDER BY id""".stripMargin
+    })
 
   /** Exact per-vertex triangle counts ([[graft.ops.Graphs
     * .triangleCounts]]) over a cycle+chord+affine link graph — the

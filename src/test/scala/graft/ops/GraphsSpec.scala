@@ -110,4 +110,28 @@ class GraphsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(multi == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 2))
   }
+
+  test("kCore: cascade peel on a clique with a pendant chain; K4 fixpoints") {
+    import spark.implicits._
+    def core(es: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      Graphs.kCore(es.toDF("src", "dst"), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 (deg 3): the whole graph IS the 3-core; 4-core is empty
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(core(k4, 3) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(core(k4, 4).isEmpty)
+    // house of cards: K4 + chain 4-5-6, each chain node with 2 clique
+    // edges; at k=3 node 6 (deg 2+1=3... tail 6 has edges to 0,1 and 5)
+    // chain node degs: 4:(0,1,5)=3, 5:(0,1,4,6)=4, 6:(0,1,5)=3 — all
+    // survive k=3 as a unit; at k=4 the chain peels over 2+ rounds,
+    // dragging each other down, and K4 remains iff deg inside stays 3…
+    // K4 nodes lose chain edges → deg 3 < 4 → EVERYTHING peels.
+    val chain = k4 ++ Seq((4L, 0L), (4L, 1L), (5L, 0L), (5L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 0L), (6L, 1L))
+    assert(core(chain, 3).keySet == (0L to 6L).toSet) // one 3-core block
+    assert(core(chain, 4) == Map.empty[Long, Long])   // full cascade collapse
+    // directed duplicates + self loops canonicalize away
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 0L), (1L, 2L), (2L, 0L))
+    assert(core(messy, 2) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
 }
