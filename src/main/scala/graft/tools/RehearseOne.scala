@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
   * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann |
   * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl | edt |
-  * bpe | hcs.
+  * fill | bpe | hcs.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -58,6 +58,9 @@ object RehearseOne {
           if (args.length > 1) args(1).toInt else 4096)
       case "edt" =>
         graft.operators.EdtRehearsal.run(spark,
+          if (args.length > 1) args(1).toInt else 4096)
+      case "fill" =>
+        graft.operators.FillRehearsal.run(spark,
           if (args.length > 1) args(1).toInt else 4096)
       case "bpe" =>
         graft.ops.BpeRehearsal.run(spark,
