@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
   * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann |
   * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl | edt |
-  * fill | bpe | hcs.
+  * fill | kcore | bpe | hcs.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -62,6 +62,9 @@ object RehearseOne {
       case "fill" =>
         graft.operators.FillRehearsal.run(spark,
           if (args.length > 1) args(1).toInt else 4096)
+      case "kcore" =>
+        graft.ops.KcoreRehearsal.run(spark,
+          if (args.length > 1) args(1).toLong else 1000000L)
       case "bpe" =>
         graft.ops.BpeRehearsal.run(spark,
           if (args.length > 1) args(1).toLong else 200000L,
