@@ -88,6 +88,35 @@ object Bpe {
     out
   }
 
+  /** Inverse byte↔unicode table — decode is table lookup, never
+    * search.
+    */
+  private[graft] val unicodeToByte: Map[Char, Int] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** Decode a [[byteTokenStats]] `token_str` back to text: split the
+    * space-joined token symbols (no symbol char is ever 0x20 — the
+    * GPT-2 table maps every byte to a printable non-space char, space
+    * itself to Ġ), inverse-map each char to its byte, UTF-8 decode.
+    * decode ∘ encode is the identity on single-space-normalized text
+    * (the pretokenizer's whitespace canonicalization is the one
+    * lossy step, by design — same as GPT-2's).
+    */
+  def decodeByteTokenStr(tokenStr: String): String = {
+    if (tokenStr.isEmpty) return ""
+    val syms = tokenStr.split(' ')
+    val bytes = new Array[Byte](syms.iterator.map(_.length).sum)
+    var w = 0
+    syms.foreach { sym =>
+      var i = 0
+      while (i < sym.length) {
+        bytes(w) = unicodeToByte(sym.charAt(i)).toByte
+        w += 1; i += 1
+      }
+    }
+    new String(bytes, 0, w, "UTF-8")
+  }
+
   /** One pretoken's byte symbols: the UTF-8 bytes of the word (with
     * its leading space for every word but the document's first — the
     * GPT-2 pretokenization convention) mapped through the table.

@@ -40,7 +40,7 @@ object Pipeline extends QModule {
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles, g04BfsHops, g05Kcore,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
-    t116ByteBpeEncode)
+    t116ByteBpeEncode, t117BpeRoundtrip)
 
   import QTables.{docs, emb}
 
@@ -1203,6 +1203,35 @@ object Pipeline extends QModule {
           FROM tok GROUP BY doc_id ORDER BY doc_id"""
     })
 
+  /** Byte-level BPE round trip ([[graft.ops.Bpe.decodeByteTokenStr]]):
+    * decode ∘ encode must be the identity on single-space-normalized
+    * text — the tokenizer-loop closure property every serving stack
+    * depends on (a drifted byte↔unicode table or a lossy merge apply
+    * corrupts text silently; hashes catch one flipped byte anywhere
+    * in the corpus). The oracle hashes the normalized source text
+    * directly from parquet — a fully independent derivation of what
+    * the round trip must reproduce.
+    */
+  val t117BpeRoundtrip = Q(
+    "t117_bpe_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Bpe.byteTokenStats(docs(s, dir), byteBpeMerges)
+        .select(col("doc_id"), col("token_str")).as[(Long, String)]
+        .map { case (id, ts) => (id, graft.ops.Bpe.decodeByteTokenStr(ts)) }
+        .toDF("doc_id", "rt")
+        .select(col("doc_id"), md5(col("rt")).as("rt_md5"),
+          length(col("rt")).cast("int").as("rt_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                  array_to_string(list_filter(string_split(text, ' '),
+                    x -> x <> ''), ' ') AS norm
+                FROM documents)
+            SELECT doc_id, md5(norm) AS rt_md5,
+                   CAST(length(norm) AS INT) AS rt_len
+            FROM n ORDER BY doc_id"""))
+
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
     * counts train on the doc_id < 50 slice, every doc scores against
     * them (docs outside the slice exercise the unseen-bigram LEFT-join
@@ -2145,7 +2174,7 @@ object Pipeline extends QModule {
       val rows = docs(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id"), col("text")).collect()
         .map(r => (r.getLong(0), r.getString(1)))
-      val tmp = java.nio.file.Files.createTempDirectory("t79")
+      val tmp = QTables.gateTmp(s, "t79")
       val archives = (0 until 4).map { k =>
         val recs = rows.filter(_._1 % 4 == k).sortBy(_._1).toSeq
           .flatMap { case (id, text) =>
@@ -2462,7 +2491,7 @@ object Pipeline extends QModule {
     (s, dir) => {
       import s.implicits._
       import graft.ops.Shards
-      val tmp = java.nio.file.Files.createTempDirectory("t85").toString
+      val tmp = QTables.gateTmp(s, "t85").toString
       Shards.writeTarShards(docs(s, dir), tmp, nShards = 8)
       val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()
       val p = new org.apache.hadoop.fs.Path(tmp)
@@ -2513,7 +2542,7 @@ object Pipeline extends QModule {
       val d = docs(s, dir).filter(col("doc_id") < 300)
       val media = Multimodal.syntheticPpm(d)
       val paired = d.select(col("doc_id"), col("text")).join(media, "doc_id")
-      val tmp = java.nio.file.Files.createTempDirectory("t86").toString
+      val tmp = QTables.gateTmp(s, "t86").toString
       Shards.writeTarSampleShards(paired, tmp,
         Seq("txt" -> "text", "ppm" -> "media"), nShards = 4)
       val hconf = graft.zarr.SerializableHadoopConf.fromActiveSession()

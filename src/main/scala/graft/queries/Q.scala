@@ -36,4 +36,20 @@ private[queries] object QTables {
     graft.Tables.load(s, dir, "embeddings")
       .select(col("vec_id").as("id"),
         graft.ops.Similarity.asDouble(col("embedding")).as("vec"))
+
+  /** applicationId-keyed scratch dir for gates that write local
+    * fixtures (WARC archives, tar shards, …): deleted and recreated
+    * per call, so repeated bench executions reuse ONE path instead of
+    * leaking a fresh createTempDirectory per run (the q53 lesson).
+    */
+  def gateTmp(s: SparkSession, key: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      s"/tmp/graft_gate_${key}_${s.sparkContext.applicationId}")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(p)
+  }
 }

@@ -160,4 +160,26 @@ class BpeSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tokens") == 10L) // [w, est] × 5
     assert(r.getAs[Long]("fertility_milli") == 2000L)
   }
+
+  test("decodeByteTokenStr: round trip over merges, multi-byte UTF-8, empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // multi-byte chars and the space marker both survive the loop
+    val texts = Seq("the cat sat", "naïve café — über", "a", "ab  cd")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, nMerges = 20)
+    val rt = Bpe.byteTokenStats(docs, merges)
+      .select(col("doc_id"), col("token_str")).as[(Long, String)]
+      .collect().map { case (id, ts) => id -> Bpe.decodeByteTokenStr(ts) }
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val norm = t.split(' ').filter(_.nonEmpty).mkString(" ")
+      assert(rt(i.toLong) == norm, s"doc $i")
+    }
+    assert(Bpe.decodeByteTokenStr("") == "")
+    // decode is the exact inverse of byteSymbols on raw symbols
+    val syms = Bpe.byteSymbols("überß", leadingSpace = true)
+    assert(Bpe.decodeByteTokenStr(syms.mkString(" ")) == " überß")
+  }
 }
