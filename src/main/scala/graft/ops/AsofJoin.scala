@@ -25,7 +25,8 @@ object AsofJoin {
 
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightTie: String,
-      rightPrefix: String = "asof_"): DataFrame = {
+      rightPrefix: String = "asof_", tolerance: Long = Long.MaxValue): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
     val rightPayload = right.columns.filterNot(_ == key).toSeq
     val rStruct = struct(rightPayload.map(col): _*)
     val rType = right.select(rStruct.as("r")).schema("r").dataType
@@ -52,9 +53,19 @@ object AsofJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lNorm.unionByName(rNorm)
+    val matched0 = lNorm.unionByName(rNorm)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    // tolerance: a match older than `tolerance` time units is no
+    // match at all (sensor-join semantics — pandas merge_asof's
+    // `tolerance`); the stale payload nulls out, the left row stays.
+    // Times must be numeric (e.g. epoch micros) for the subtraction.
+    val matched =
+      if (tolerance == Long.MaxValue) matched0
+      else matched0.withColumn("__asof",
+        when(col("__asof").isNotNull &&
+          col("__t") - col("__asof").getField(rightTime) <= tolerance,
+          col("__asof")))
 
     val leftCols: Seq[Column] = left.columns.toIndexedSeq.map(c => col("__l").getField(c).as(c))
     val rightCols: Seq[Column] = rightPayload.map(c => col("__asof").getField(c).as(rightPrefix + c))

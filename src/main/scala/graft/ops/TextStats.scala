@@ -418,4 +418,33 @@ object TextStats {
           .as("entropy_micro"))
       .withColumn("keep", col("entropy_micro") >= lo && col("entropy_micro") <= hi)
   }
+
+  /** Heaps'-law vocabulary growth curve: at each checkpoint n,
+    * (n_tokens, vocab) = total tokens and distinct vocabulary over
+    * the first n documents in doc-id order — the corpus-planning
+    * curve behind "how much more data until the vocabulary
+    * saturates". V(n) rides the FIRST-OCCURRENCE trick: one
+    * word-keyed aggregation computes min(doc_id) per word, then
+    * every checkpoint is a conditional sum over that (vocab-sized)
+    * table — never a distinct-per-prefix re-scan, so the cost is one
+    * corpus pass + one vocab pass regardless of checkpoint count.
+    *
+    * Output: (n_docs, n_tokens, vocab), one row per checkpoint.
+    */
+  def vocabGrowth(docs: DataFrame, checkpoints: Seq[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    val w = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(filter(split(col(textCol), " "), x => x =!= "")).as("w"))
+    val tokAggs = checkpoints.map(cp =>
+      sum(when(col("doc_id") < cp, 1L).otherwise(0L)).as(s"t$cp"))
+    val tokRow = w.agg(tokAggs.head, tokAggs.tail: _*)
+    val firstOcc = w.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    val vocAggs = checkpoints.map(cp =>
+      sum(when(col("first_doc") < cp, 1L).otherwise(0L)).as(s"v$cp"))
+    val vocRow = firstOcc.agg(vocAggs.head, vocAggs.tail: _*)
+    val stack = checkpoints.map(cp => s"${cp}L, t$cp, v$cp").mkString(", ")
+    tokRow.crossJoin(vocRow)
+      .selectExpr(s"stack(${checkpoints.length}, $stack) AS (n_docs, n_tokens, vocab)")
+  }
 }

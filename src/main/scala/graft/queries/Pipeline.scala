@@ -20,7 +20,7 @@ import graft.ops.{AsofJoin, BudgetSample, Dsir, Search, Similarity, TextDedup, T
 object Pipeline extends QModule {
 
   override def queries: Seq[Q] = Seq(
-    q39AsofJoin, q40StratifiedSample, t53QualityRules, t54Contamination,
+    q39AsofJoin, q86AsofTolerance, q40StratifiedSample, t53QualityRules, t54Contamination,
     t55WordFreq, d48ChunkDedup, s49AnnIvf, d49SemanticDedup,
     t58Bm25, t59BudgetSample, t60Repetition, s50KnnClassify, t61Normalize,
     s51AnnPq, t62SequencePack, t63BpeEncode, t64LmPerplexity,
@@ -40,7 +40,7 @@ object Pipeline extends QModule {
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles, g04BfsHops, g05Kcore,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
-    t116ByteBpeEncode, t117BpeRoundtrip)
+    t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth)
 
   import QTables.{docs, emb}
 
@@ -79,6 +79,44 @@ object Pipeline extends QModule {
               ORDER BY view_ts_us DESC, view_id DESC LIMIT 1) l ON TRUE
             ORDER BY event_id"""),
     headline = true)
+
+  /** Tolerance-bounded as-of join ([[graft.ops.AsofJoin
+    * .asofBackward]] with `tolerance` — pandas merge_asof semantics):
+    * a purchase attributes to its latest preceding view ONLY within
+    * one hour; staler matches null out while the purchase row
+    * survives. Same one-shuffle union-window plan as q39 — the
+    * tolerance is a post-window predicate, not a second join. The
+    * oracle bounds the LATERAL probe identically; rows whose only
+    * candidates are stale pin the null-out path.
+    */
+  val q86AsofTolerance = Q(
+    "q86_asof_tolerance",
+    (s, dir) => {
+      val e = Events.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_us").as("view_ts_us"))
+      AsofJoin.asofBackward(purchases, views, key = "user_id",
+          leftTime = "ts_us", rightTime = "view_ts_us", rightTie = "view_id",
+          rightPrefix = "last_", tolerance = 3600000000L)
+        .select(col("event_id"), col("user_id"),
+          col("last_view_id"), col("last_view_ts_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts_us
+                  FROM events WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id,
+                   l.view_id AS last_view_id, l.view_ts_us AS last_view_ts_us
+            FROM p LEFT JOIN LATERAL (
+              SELECT view_id, view_ts_us FROM v
+              WHERE v.user_id = p.user_id AND v.view_ts_us <= p.ts_us
+                AND p.ts_us - v.view_ts_us <= 3600000000
+              ORDER BY view_ts_us DESC, view_id DESC LIMIT 1) l ON TRUE
+            ORDER BY event_id"""))
 
   /** Exact stratified sample: 10% per order-priority stratum, chosen
     * by deterministic md5 order so every engine draws the same rows.
@@ -1231,6 +1269,32 @@ object Pipeline extends QModule {
             SELECT doc_id, md5(norm) AS rt_md5,
                    CAST(length(norm) AS INT) AS rt_len
             FROM n ORDER BY doc_id"""))
+
+  /** Heaps'-law vocabulary growth ([[graft.ops.TextStats
+    * .vocabGrowth]]): cumulative tokens + distinct vocabulary at five
+    * doc-count checkpoints via the first-occurrence trick (one
+    * word-keyed min(doc_id) aggregation serves every checkpoint —
+    * never a distinct-per-prefix re-scan). The oracle recomputes
+    * first occurrences and both cumulative counts relationally; an
+    * off-by-one in the prefix boundary or a re-counted duplicate
+    * word shifts every row.
+    */
+  val t118VocabGrowth = Q(
+    "t118_vocab_growth",
+    (s, dir) => graft.ops.TextStats.vocabGrowth(docs(s, dir),
+        checkpoints = Seq(100L, 200L, 300L, 400L, 500L))
+      .orderBy(col("n_docs")),
+    Some("""WITH w AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                FROM documents),
+            fo AS (SELECT w, min(doc_id) AS first_doc FROM w GROUP BY w),
+            cp AS (SELECT unnest([100, 200, 300, 400, 500]) AS n_docs),
+            tok AS (SELECT cp.n_docs, CAST(count(*) AS BIGINT) AS n_tokens
+                    FROM cp JOIN w ON w.doc_id < cp.n_docs GROUP BY cp.n_docs),
+            voc AS (SELECT cp.n_docs, CAST(count(*) AS BIGINT) AS vocab
+                    FROM cp JOIN fo ON fo.first_doc < cp.n_docs GROUP BY cp.n_docs)
+            SELECT CAST(tok.n_docs AS BIGINT) AS n_docs, n_tokens, vocab
+            FROM tok JOIN voc USING (n_docs) ORDER BY n_docs"""))
 
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
     * counts train on the doc_id < 50 slice, every doc scores against

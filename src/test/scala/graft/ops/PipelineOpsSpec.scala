@@ -61,6 +61,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.contains((4L, -1L, -1L)))
   }
 
+  test("asofBackward tolerance: stale matches null out, fresh ones stay") {
+    val left = Seq(
+      (1L, 100L, 50L),  // nearest right at 45 → gap 5, within
+      (2L, 100L, 90L),  // nearest right at 45 → gap 45, stale
+      (3L, 200L, 10L))  // no right history at all
+      .toDF("l_id", "k", "t")
+    val right = Seq((11L, 100L, 40L), (12L, 100L, 45L))
+      .toDF("r_id", "k", "rt")
+    val got = AsofJoin.asofBackward(left, right, "k", "t", "rt", "r_id",
+        tolerance = 10L)
+      .select("l_id", "asof_r_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 12L, 2L -> -1L, 3L -> -1L))
+    // tolerance boundary is inclusive: gap == tolerance matches
+    val edge = AsofJoin.asofBackward(
+        Seq((1L, 5L, 55L)).toDF("l_id", "k", "t"),
+        Seq((9L, 5L, 45L)).toDF("r_id", "k", "rt"),
+        "k", "t", "rt", "r_id", tolerance = 10L)
+      .select("asof_r_id").head()
+    assert(edge.getLong(0) == 9L)
+    // stale-only history does NOT fall back to an even earlier row —
+    // the as-of pick happens first, the tolerance judges it
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, right, "k", "t", "rt", "r_id", tolerance = -1L)
+    }
+  }
+
   test("asofBackward equal-timestamp ties resolve to the greatest tie value") {
     val left = Seq((1L, 7L, 10L)).toDF("l_id", "k", "t")
     val right = Seq((21L, 7L, 10L), (22L, 7L, 10L), (20L, 7L, 9L))

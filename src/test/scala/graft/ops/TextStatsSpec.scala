@@ -185,4 +185,20 @@ class TextStatsSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n_hits") == 3L &&
       out(5L).getAs[String]("hit_terms") == "window")
   }
+
+  test("vocabGrowth: hand-checked prefix counts; repeats never re-count") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a"),        // tokens 3, vocab {a,b}
+      (1L, "b c"),          // +2 tokens, +{c}
+      (2L, "a  d"),         // +2 tokens (double space drops), +{d}
+      (3L, "d d d"))        // +3 tokens, vocab unchanged
+      .toDF("doc_id", "text")
+    val got = TextStats.vocabGrowth(docs, checkpoints = Seq(1L, 2L, 3L, 4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 2L), (2L, 5L, 3L), (3L, 7L, 4L), (4L, 10L, 4L)))
+    // monotone by construction; a checkpoint past the corpus is the total
+    val tail = TextStats.vocabGrowth(docs, checkpoints = Seq(100L)).head()
+    assert(tail.getLong(1) == 10L && tail.getLong(2) == 4L)
+  }
 }
