@@ -261,34 +261,54 @@ object LabelComponents {
     componentStats(spark, ds, meta, threshold)
   }
 
-  /** Per-voxel component labels (y, x, comp) for 2D images — the
-    * relabeled mask as a relational view. Scale note: THIS one does
-    * explode voxels (its output is voxel-sized by definition); the
-    * component resolution it joins against is fragment-sized and
-    * BROADCASTS, so voxels never shuffle — the one exchange is
-    * whatever the caller does next.
+  /** Axis column names for the voxel-view outputs (2D drops z). */
+  private def axisNames(nd: Int): Seq[String] =
+    if (nd == 3) Seq("z", "y", "x") else Seq("y", "x")
+
+  /** Per-voxel component labels — the relabeled mask as a relational
+    * view, shared 2D/3D core. Scale note: THIS one does explode
+    * voxels (its output is voxel-sized by definition); the component
+    * resolution it joins against is fragment-sized and BROADCASTS,
+    * so voxels never shuffle — the one exchange is whatever the
+    * caller does next.
     */
-  def componentLabels2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+  private def componentLabelsNd(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
       meta: ImageMeta, threshold: Double): DataFrame = {
     import spark.implicits._
-    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
-    val width = meta.shape(1)
+    val nd = checkDims(meta)
     val dtype = meta.dtype
+    val gstrides: Array[Long] = {
+      val a = new Array[Long](nd)
+      a(nd - 1) = 1L
+      var d = nd - 2
+      while (d >= 0) { a(d) = a(d + 1) * meta.shape(d + 1); d -= 1 }
+      a
+    }
 
-    // same local pass, emitting (y, x, gid, plabel) per foreground voxel
+    // same local pass as fragRows, emitting one row per fg voxel
     val voxelFrag = ds.flatMap { c =>
       val vals = ZarrStore.decodeToDoubles(c.data, dtype)
       val shape = c.shape.toArray
+      val origin = c.origin.toArray
       val (parent, find) = localLabel(vals, shape, threshold)
-      val h = shape(0); val w = shape(1)
-      val oy = c.origin(0); val ox = c.origin(1)
       val n = vals.length
+      val lstrides = new Array[Int](nd)
+      lstrides(nd - 1) = 1
+      var d = nd - 2
+      while (d >= 0) { lstrides(d) = lstrides(d + 1) * shape(d + 1); d -= 1 }
+      def gpos(i: Int, dim: Int): Long =
+        origin(dim) + (i / lstrides(dim)) % shape(dim)
+      def gid(i: Int): Long = {
+        var s = 0L; var dd = 0
+        while (dd < nd) { s += gpos(i, dd) * gstrides(dd); dd += 1 }
+        s
+      }
       val minGid = new java.util.HashMap[Int, Long]()
       var i = 0
       while (i < n) {
         if (parent(i) >= 0) {
           val r = find(i)
-          val g = (oy + i / w) * width + (ox + i % w)
+          val g = gid(i)
           if (!minGid.containsKey(r) || g < minGid.get(r)) minGid.put(r, g)
         }
         i += 1
@@ -297,8 +317,10 @@ object LabelComponents {
       i = 0
       while (i < n) {
         if (parent(i) >= 0) {
-          val yy = oy + i / w; val xx = ox + i % w
-          out += VoxelFrag(0, yy, xx, yy * width + xx, minGid.get(find(i)).longValue())
+          val (zz, yy, xx) =
+            if (nd == 3) (gpos(i, 0), gpos(i, 1), gpos(i, 2))
+            else (0L, gpos(i, 0), gpos(i, 1))
+          out += VoxelFrag(zz, yy, xx, gid(i), minGid.get(find(i)).longValue())
         }
         i += 1
       }
@@ -306,13 +328,18 @@ object LabelComponents {
     }.toDF()
 
     // fragment → component resolution: boundary cells come straight
-    // off the voxel view (face predicate on global coords), the
-    // fragment graph is fragment-count-sized, and the resolved map
-    // broadcasts — voxels join map-side, never shuffle
-    val cells = voxelFrag.filter(
-      (col("y") % meta.chunks(0) === 0) || (col("y") % meta.chunks(0) === meta.chunks(0) - 1) ||
-      (col("x") % meta.chunks(1) === 0) || (col("x") % meta.chunks(1) === meta.chunks(1) - 1) ||
-      (col("y") === meta.shape(0) - 1) || (col("x") === meta.shape(1) - 1))
+    // off the voxel view (face predicate on global coords — chunk
+    // origins sit at multiples of the chunk size, short last chunks
+    // caught by the shape-1 terms), the fragment graph is
+    // fragment-count-sized, and the resolved map broadcasts — voxels
+    // join map-side, never shuffle
+    val names = axisNames(nd)
+    val facePred = names.zipWithIndex.map { case (nm, d) =>
+      (col(nm) % meta.chunks(d) === 0) ||
+        (col(nm) % meta.chunks(d) === meta.chunks(d) - 1) ||
+        (col(nm) === meta.shape(d) - 1)
+    }.reduce(_ || _)
+    val cells = voxelFrag.filter(facePred)
       .select(col("plabel"), col("z"), col("y"), col("x"))
     val edges = fragEdges(cells)
     // vertex domain: boundary fragments only — interior fragments never
@@ -325,7 +352,22 @@ object LabelComponents {
       .join(labels, Seq("cluster_id"))
       .select(col("doc_id").as("plabel"), col("comp"))
     voxelFrag.join(broadcast(resolve), Seq("plabel"), "left")
-      .select(col("y"), col("x"), coalesce(col("comp"), col("plabel")).as("comp"))
+      .select(names.map(col) :+
+        coalesce(col("comp"), col("plabel")).as("comp"): _*)
+  }
+
+  /** Per-voxel component labels (y, x, comp) for 2D images. */
+  def componentLabels2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    componentLabelsNd(spark, ds, meta, threshold)
+  }
+
+  /** Per-voxel component labels (z, y, x, comp), 6-connectivity. */
+  def componentLabels3d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    require(meta.dims == Seq("z", "y", "x"), s"3D entry point, got ${meta.dims}")
+    componentLabelsNd(spark, ds, meta, threshold)
   }
 
   /** Per-component geometric moments — the regionprops tier after
@@ -458,10 +500,11 @@ object LabelComponents {
     * Two scans of the chunk table, zero voxel shuffles; at 100 TB
     * the moving bytes are still fragment rows + chunk faces.
     */
-  def fillHoles2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+  private def fillHolesNd(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
       meta: ImageMeta, threshold: Double): DataFrame = {
     import spark.implicits._
-    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    val nd = checkDims(meta)
+    val names = axisNames(nd)
     val dtype = meta.dtype
     val thr = threshold
     val inv = ds.map { c =>
@@ -472,17 +515,36 @@ object LabelComponents {
       c.copy(data = ZarrStore.encodeFromDoubles(out, "uint8"))
     }
     val invMeta = meta.copy(dtype = "uint8")
-    val holes = componentStats2d(spark, inv, invMeta, threshold = 1.0)
-      .filter(col("ymin") > 0 && col("xmin") > 0 &&
-        col("ymax") < meta.shape(0) - 1 && col("xmax") < meta.shape(1) - 1)
+    val borderFree = names.zipWithIndex.map { case (nm, d) =>
+      col(s"${nm}min") > 0 && col(s"${nm}max") < meta.shape(d) - 1
+    }.reduce(_ && _)
+    val holes = componentStats(spark, inv, invMeta, threshold = 1.0)
+      .filter(borderFree)
       .select(col("comp"))
-    val holeVox = componentLabels2d(spark, inv, invMeta, threshold = 1.0)
+    val holeVox = componentLabelsNd(spark, inv, invMeta, threshold = 1.0)
       .join(broadcast(holes), Seq("comp"), "left_semi")
-      .select(col("y"), col("x"))
+      .select(names.map(col): _*)
     ChunkOps.voxelView(spark, ds, meta)
       .filter(col("value") >= thr)
-      .select(col("y"), col("x"))
+      .select(names.map(col): _*)
       .union(holeVox)
+  }
+
+  def fillHoles2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    fillHolesNd(spark, ds, meta, threshold)
+  }
+
+  /** 3D (z, y, x) hole filling, 6-connectivity: a hole is a
+    * background component whose bbox touches NO face of the volume —
+    * the cavity-fill step of every µCT/MRI segmentation pipeline.
+    * Same two-scan, zero-voxel-shuffle shape as 2D.
+    */
+  def fillHoles3d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double): DataFrame = {
+    require(meta.dims == Seq("z", "y", "x"), s"3D entry point, got ${meta.dims}")
+    fillHolesNd(spark, ds, meta, threshold)
   }
 
   /** Area opening (skimage.morphology `remove_small_objects`,
@@ -498,11 +560,26 @@ object LabelComponents {
   def areaOpen2d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
       meta: ImageMeta, threshold: Double, minSize: Long): DataFrame = {
     require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
-    val keep = componentStats2d(spark, ds, meta, threshold)
+    areaOpenNd(spark, ds, meta, threshold, minSize)
+  }
+
+  /** 3D (z, y, x) volume opening, 6-connectivity — despeckle for
+    * volumetric masks; same broadcast-semi-join shape as 2D.
+    */
+  def areaOpen3d(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double, minSize: Long): DataFrame = {
+    require(meta.dims == Seq("z", "y", "x"), s"3D entry point, got ${meta.dims}")
+    areaOpenNd(spark, ds, meta, threshold, minSize)
+  }
+
+  private def areaOpenNd(spark: SparkSession, ds: Dataset[ChunkOps.ChunkRow],
+      meta: ImageMeta, threshold: Double, minSize: Long): DataFrame = {
+    val names = axisNames(checkDims(meta))
+    val keep = componentStats(spark, ds, meta, threshold)
       .filter(col("size") >= minSize)
       .select(col("comp"))
-    componentLabels2d(spark, ds, meta, threshold)
+    componentLabelsNd(spark, ds, meta, threshold)
       .join(broadcast(keep), Seq("comp"), "left_semi")
-      .select(col("y"), col("x"), col("comp"))
+      .select(names.map(col) :+ col("comp"): _*)
   }
 }

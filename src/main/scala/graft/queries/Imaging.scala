@@ -75,7 +75,8 @@ object Imaging extends QModule {
     i81Pyramid3dMetadata, i82UpsampleNearest, i83ImageSeries,
     i84DistanceTransform, i85RegionMoments, i86SobelGradient,
     i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter,
-    i91FillHoles, i92AreaOpen, i93AdaptiveThreshold, i94HistMatch)
+    i91FillHoles, i92AreaOpen, i93AdaptiveThreshold, i94HistMatch,
+    i95FillHoles3d)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1413,6 +1414,74 @@ object Imaging extends QModule {
                    CAST(max(mv) AS BIGINT) AS max_m,
                    CAST(sum(mv * (x + 1)) AS BIGINT) AS pos_check
             FROM o GROUP BY y ORDER BY y"""))
+
+  /** 3D hole filling ([[graft.operators.LabelComponents.fillHoles3d]],
+    * 6-connectivity) on a 24³ volume holding TWO cube shells that
+    * straddle the 8³ chunk grid: a closed one whose 6³ cavity must
+    * fill, and one with a single wall voxel punched out — its cavity
+    * leaks to the border through that voxel and must NOT fill (the
+    * case a 2D-slice-wise fill gets wrong when the leak is along z).
+    * The oracle is the independent 3D border flood fill as a seeded
+    * recursive CTE.
+    */
+  val i95FillHoles3d = Q(
+    "i95_fill_holes_3d",
+    (s, _) => {
+      val n = 24
+      val meta = ImageMeta(Seq("z", "y", "x"), Seq(n, n, n), Seq(8, 8, 8),
+        "uint8", Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+        Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+      def shell(z: Int, y: Int, x: Int, lo: Int, hi: Int): Boolean =
+        z >= lo && z <= hi && y >= lo && y <= hi && x >= lo && x <= hi &&
+          (z == lo || z == hi || y == lo || y == hi || x == lo || x == hi)
+      val vals = Array.tabulate(n * n * n) { i =>
+        val z = i / (n * n); val y = (i / n) % n; val x = i % n
+        val a = shell(z, y, x, 2, 9)
+        val b = shell(z, y, x, 12, 19) && !(z == 12 && y == 15 && x == 15)
+        if (a || b) 255.0 else 0.0
+      }
+      val ds = ChunkOps.fromArray(s, vals, meta)
+      graft.operators.LabelComponents.fillHoles3d(s, ds, meta, threshold = 128.0)
+        .groupBy(col("z"))
+        .agg(count(lit(1)).cast("bigint").as("n_fill"),
+          sum(col("y") * n + col("x")).cast("bigint").as("pos_check"))
+        .orderBy(col("z"))
+    },
+    Some("""WITH RECURSIVE
+            g AS (SELECT i // 576 AS z, (i // 24) % 24 AS y, i % 24 AS x,
+                    CASE WHEN ((i // 576 BETWEEN 2 AND 9)
+                           AND ((i // 24) % 24 BETWEEN 2 AND 9)
+                           AND (i % 24 BETWEEN 2 AND 9)
+                           AND (i // 576 IN (2, 9) OR (i // 24) % 24 IN (2, 9)
+                                OR i % 24 IN (2, 9)))
+                          OR ((i // 576 BETWEEN 12 AND 19)
+                           AND ((i // 24) % 24 BETWEEN 12 AND 19)
+                           AND (i % 24 BETWEEN 12 AND 19)
+                           AND (i // 576 IN (12, 19) OR (i // 24) % 24 IN (12, 19)
+                                OR i % 24 IN (12, 19))
+                           AND NOT (i // 576 = 12 AND (i // 24) % 24 = 15
+                                AND i % 24 = 15))
+                         THEN 255.0 ELSE 0.0 END AS v
+                  FROM range(13824) r(i)),
+            bg AS (SELECT z, y, x, z * 576 + y * 24 + x AS id FROM g WHERE v < 128),
+            adj AS (SELECT a.id AS u, b.id AS w FROM bg a JOIN bg b
+                      ON b.z = a.z AND b.y = a.y AND b.x = a.x + 1
+                    UNION ALL SELECT a.id, b.id FROM bg a JOIN bg b
+                      ON b.z = a.z AND b.y = a.y + 1 AND b.x = a.x
+                    UNION ALL SELECT a.id, b.id FROM bg a JOIN bg b
+                      ON b.z = a.z + 1 AND b.y = a.y AND b.x = a.x),
+            e AS (SELECT u, w FROM adj UNION ALL SELECT w, u FROM adj),
+            reach(id) AS (SELECT id FROM bg
+                          WHERE z IN (0, 23) OR y IN (0, 23) OR x IN (0, 23)
+                          UNION
+                          SELECT e.w FROM e JOIN reach r ON r.id = e.u),
+            filled AS (SELECT z, y, x FROM g WHERE v >= 128
+                       UNION ALL
+                       SELECT b.z, b.y, b.x FROM bg b
+                       WHERE b.id NOT IN (SELECT id FROM reach))
+            SELECT z, CAST(count(*) AS BIGINT) AS n_fill,
+                   CAST(sum(y * 24 + x) AS BIGINT) AS pos_check
+            FROM filled GROUP BY z ORDER BY z"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge

@@ -78,6 +78,32 @@ class FillHolesSpec extends SparkSpec {
     assert(runFill(Array.fill(h * w)(0.0), meta(h, w, 4, 4)).isEmpty)
   }
 
+  test("3D: closed shell cavity fills, punched shell leaks along z, any chunking") {
+    val n = 10
+    val m3 = ImageMeta(Seq("z", "y", "x"), Seq(n, n, n), Seq(4, 4, 4), "uint8",
+      Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+      Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+    def shellVals(hole: Boolean): Array[Double] = Array.tabulate(n * n * n) { i =>
+      val z = i / (n * n); val y = (i / n) % n; val x = i % n
+      val in = z >= 2 && z <= 7 && y >= 2 && y <= 7 && x >= 2 && x <= 7 &&
+        (z == 2 || z == 7 || y == 2 || y == 7 || x == 2 || x == 7)
+      if (in && !(hole && z == 2 && y == 4 && x == 4)) 255.0 else 0.0
+    }
+    val closed = LabelComponents.fillHoles3d(spark,
+      ChunkOps.fromArray(spark, shellVals(hole = false), m3), m3, 128.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cavity (3..6)^3 = 64 voxels all fill
+    for (z <- 3L to 6L; y <- 3L to 6L; x <- 3L to 6L)
+      assert(closed((z, y, x)), s"cavity ($z,$y,$x)")
+    val shellCount = shellVals(hole = false).count(_ > 0)
+    assert(closed.size == shellCount + 64)
+    // one punched wall voxel: the cavity leaks to the border, nothing fills
+    val leaky = LabelComponents.fillHoles3d(spark,
+      ChunkOps.fromArray(spark, shellVals(hole = true), m3), m3, 128.0)
+      .count()
+    assert(leaky == shellCount - 1)
+  }
+
   test("area opening drops small components, keeps large, any chunking") {
     val h = 16; val w = 16
     val vals = Array.fill(h * w)(0.0)
