@@ -76,7 +76,7 @@ object Imaging extends QModule {
     i84DistanceTransform, i85RegionMoments, i86SobelGradient,
     i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter,
     i91FillHoles, i92AreaOpen, i93AdaptiveThreshold, i94HistMatch,
-    i95FillHoles3d)
+    i95FillHoles3d, i96RegionAdjacency)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1482,6 +1482,45 @@ object Imaging extends QModule {
             SELECT z, CAST(count(*) AS BIGINT) AS n_fill,
                    CAST(sum(y * 24 + x) AS BIGINT) AS pos_check
             FROM filled GROUP BY z ORDER BY z"""))
+
+  /** Region adjacency graph ([[graft.operators.RegionGraph
+    * .adjacency2d]]) over a labeled 8×8-tile mosaic whose label
+    * pattern repeats mod 7 (so some neighboring tiles share a label
+    * — no edge) and drops every fifth tile to background (so the
+    * bg-exclusion rule is hot); tile borders at y,x = 32 cross the
+    * chunk grid, exercising the one-join-per-axis face handover. The
+    * oracle recounts every adjacent pixel pair relationally — a
+    * double-counted chunk-face pair or a missed crossing shifts
+    * n_faces.
+    */
+  val i96RegionAdjacency = Q(
+    "i96_region_adjacency",
+    (s, _) => {
+      val meta = ImageMeta(Seq("y", "x"), Seq(H, W), Seq(32, 32), "uint8",
+        Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+      val vals = Array.tabulate(H * W) { i =>
+        val ty = i / W / 8; val tx = i % W / 8
+        if ((ty + tx) % 5 == 0) 0.0 else ((ty * 3 + tx * 5) % 7 + 1).toDouble
+      }
+      val ds = ChunkOps.fromArray(s, vals, meta)
+      graft.operators.RegionGraph.adjacency2d(s, ds, meta)
+        .orderBy(col("va"), col("vb"))
+    },
+    Some(s"""WITH g AS (SELECT i // $W AS y, i % $W AS x,
+                  CASE WHEN ((i // $W // 8) + (i % $W // 8)) % 5 = 0 THEN 0
+                       ELSE ((i // $W // 8) * 3 + (i % $W // 8) * 5) % 7 + 1
+                  END AS v
+                FROM range(${H * W}) r(i)),
+            adj AS (SELECT least(a.v, b.v) AS va, greatest(a.v, b.v) AS vb
+                    FROM g a JOIN g b ON b.y = a.y AND b.x = a.x + 1
+                    WHERE a.v > 0 AND b.v > 0 AND a.v <> b.v
+                    UNION ALL
+                    SELECT least(a.v, b.v), greatest(a.v, b.v)
+                    FROM g a JOIN g b ON b.y = a.y + 1 AND b.x = a.x
+                    WHERE a.v > 0 AND b.v > 0 AND a.v <> b.v)
+            SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb,
+                   CAST(count(*) AS BIGINT) AS n_faces
+            FROM adj GROUP BY va, vb ORDER BY va, vb"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge

@@ -188,6 +188,69 @@ object Streams {
     }
   }
 
+  final case class ShardedTerm(shard: Int, term: String)
+  final case class MgCandidate(shard: Int, term: String, lo: Long)
+
+  /** Streaming Misra–Gries heavy hitters over an unbounded term
+    * stream — the telemetry primitive behind "which hosts/tokens/
+    * n-grams dominate the crawl RIGHT NOW" when the key domain is
+    * unbounded and exact per-key state would grow without limit.
+    * State is ONE capped k-counter summary per shard (a typed
+    * ValueState holding the counter map), so the state store size is
+    * shards × k whatever the stream length. The classic guarantee
+    * carries over batch boundaries because MG is a fold: every term
+    * with true shard-frequency > N/(k+1) is in the summary, and each
+    * reported `lo` undercounts by at most N/(k+1) (N = shard's total
+    * terms seen). Each micro-batch emits the shard's CURRENT
+    * candidates (Update mode — downstream reads the latest snapshot).
+    */
+  final class MisraGriesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, ShardedTerm, MgCandidate] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Map[String, Long]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[Map[String, Long]]("mg",
+        org.apache.spark.sql.Encoders.kryo[Map[String, Long]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[ShardedTerm],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[MgCandidate] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      if (state.exists()) m ++= state.get()
+      rows.foreach { r =>
+        val t = r.term
+        if (m.contains(t)) m(t) += 1L
+        else if (m.size < k) m(t) = 1L
+        else {
+          // the MG step: decrement all, evict zeros
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.keysIterator.foreach { kk =>
+            val nv = m(kk) - 1L
+            if (nv == 0L) dead += kk else m(kk) = nv
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      state.update(m.toMap)
+      m.iterator.map { case (t, c) => MgCandidate(key, t, c) }
+    }
+  }
+
+  /** Terms (already sharded by the caller — e.g. hash(term) %
+    * nShards) → streaming per-shard heavy-hitter snapshots.
+    * Requires the RocksDB state store provider, like every
+    * transformWithState operator here.
+    */
+  def streamingHeavyHitters(spark: SparkSession, terms: Dataset[ShardedTerm],
+      k: Int = 64): Dataset[MgCandidate] = {
+    import spark.implicits._
+    terms.groupByKey(_.shard)
+      .transformWithState(new MisraGriesProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** [[runningTotals]] re-expressed on the transformWithState API.
     * Requires the RocksDB state store provider (set on the session by
     * the caller/spec — the HDFS-backed default does not support this

@@ -209,6 +209,46 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming Misra-Gries: heavy terms survive batches, error bounded, state capped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streams.ShardedTerm]
+      val k = 8
+      val q = Streams.streamingHeavyHitters(spark, mem.toDS(), k = k).writeStream
+        .outputMode("update").format("memory").queryName("mg_stream").start()
+      // batch 1: "hot" × 30 + 20 distinct rare; batch 2: "hot" × 10,
+      // "warm" × 15, 10 more rare — totals: N = 85, hot 40, warm 15
+      def rare(lo: Int, n: Int) = (lo until lo + n).map(i => Streams.ShardedTerm(0, s"r$i"))
+      mem.addData(Seq.fill(30)(Streams.ShardedTerm(0, "hot")) ++ rare(0, 20): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(10)(Streams.ShardedTerm(0, "hot")) ++
+        Seq.fill(15)(Streams.ShardedTerm(0, "warm")) ++ rare(100, 10): _*)
+      q.processAllAvailable()
+      // Update-mode memory sink appends snapshots; the LAST batch's
+      // rows are the live summary
+      val all = spark.table("mg_stream").collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("lo")))
+      val last = all.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).last }
+      val n = 85L
+      // guarantee: true freq > N/(k+1) ≈ 9.4 ⇒ present; hot (40) and warm (15) qualify
+      assert(last.contains("hot") && last.contains("warm"), last.toString)
+      // undercount: lo ≤ true, true − lo ≤ N/(k+1)
+      assert(last("hot") <= 40L && 40L - last("hot") <= n / (k + 1))
+      assert(last("warm") <= 15L && 15L - last("warm") <= n / (k + 1))
+      // capped state: never more than k live counters per shard
+      assert(last.size <= k)
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming as-of attribution matches the batch operator across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
