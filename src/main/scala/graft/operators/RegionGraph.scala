@@ -123,4 +123,65 @@ object RegionGraph {
     rows.unpersist()
     out
   }
+
+  /** Per-region intensity statistics over TWO aligned volumes — the
+    * regionprops `intensity_image` tier: a label volume names the
+    * regions, a second volume carries the measurement channel, and
+    * the output is one exact row per region (n, sum, min, max of
+    * intensity; integral dtypes keep everything in Long). The
+    * two-volume join is the standard multi-channel pattern: ONE
+    * chunk-aligned equi-join on chunkIdx (the grids must match — no
+    * voxel ever moves to meet its partner), a local joint pass
+    * pre-aggregates per (chunk, label), and the only shuffle after
+    * the join is the label-keyed re-aggregation over
+    * region-count-sized partials.
+    */
+  def regionIntensityStats(spark: SparkSession,
+      labels: Dataset[ChunkOps.ChunkRow], labelMeta: ImageMeta,
+      intensity: Dataset[ChunkOps.ChunkRow], intensityMeta: ImageMeta): DataFrame = {
+    import spark.implicits._
+    require(labelMeta.dims == intensityMeta.dims &&
+      labelMeta.shape == intensityMeta.shape &&
+      labelMeta.chunks == intensityMeta.chunks,
+      s"volumes must share grid: ${labelMeta.dims}/${labelMeta.shape}/${labelMeta.chunks}" +
+        s" vs ${intensityMeta.dims}/${intensityMeta.shape}/${intensityMeta.chunks}")
+    val lDtype = labelMeta.dtype
+    val iDtype = intensityMeta.dtype
+    val joined = labels.toDF().select(col("chunkIdx"), col("data").as("ldata"))
+      .join(intensity.toDF().select(col("chunkIdx"), col("data").as("idata")),
+        Seq("chunkIdx"))
+      .select(col("ldata"), col("idata"))
+      .as[(Array[Byte], Array[Byte])]
+    joined.flatMap { case (ldata, idata) =>
+      val lv = ZarrStore.decodeToDoubles(ldata, lDtype)
+      val iv = ZarrStore.decodeToDoubles(idata, iDtype)
+      val m = new java.util.HashMap[Long, Array[Long]]()
+      var i = 0
+      while (i < lv.length) {
+        val lab = lv(i).toLong
+        if (lab > 0) {
+          val x = iv(i).toLong
+          var s = m.get(lab)
+          if (s == null) {
+            s = Array(0L, 0L, Long.MaxValue, Long.MinValue)
+            m.put(lab, s)
+          }
+          s(0) += 1; s(1) += x
+          if (x < s(2)) s(2) = x
+          if (x > s(3)) s(3) = x
+        }
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map { e =>
+        (e.getKey.longValue(), e.getValue()(0), e.getValue()(1),
+          e.getValue()(2), e.getValue()(3))
+      }
+    }.toDF("label", "n", "sum", "min", "max")
+      .groupBy(col("label"))
+      .agg(sum(col("n")).cast("bigint").as("n"),
+        sum(col("sum")).cast("bigint").as("sum_v"),
+        min(col("min")).cast("bigint").as("min_v"),
+        max(col("max")).cast("bigint").as("max_v"))
+  }
 }

@@ -76,7 +76,7 @@ object Imaging extends QModule {
     i84DistanceTransform, i85RegionMoments, i86SobelGradient,
     i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter,
     i91FillHoles, i92AreaOpen, i93AdaptiveThreshold, i94HistMatch,
-    i95FillHoles3d, i96RegionAdjacency)
+    i95FillHoles3d, i96RegionAdjacency, i97RegionIntensity)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1521,6 +1521,43 @@ object Imaging extends QModule {
             SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb,
                    CAST(count(*) AS BIGINT) AS n_faces
             FROM adj GROUP BY va, vb ORDER BY va, vb"""))
+
+  /** Per-region intensity statistics ([[graft.operators.RegionGraph
+    * .regionIntensityStats]]): the i96 label mosaic as regions, the
+    * base deterministic grid as the measurement channel — the
+    * regionprops `intensity_image` tier through the REAL two-volume
+    * chunk-aligned join (voxels never move to meet their partner).
+    * The oracle joins the two closed-form grids relationally; a
+    * misaligned chunk pairing corrupts every region's sum at once.
+    */
+  val i97RegionIntensity = Q(
+    "i97_region_intensity",
+    (s, _) => {
+      val lMeta = ImageMeta(Seq("y", "x"), Seq(H, W), Seq(32, 32), "uint8",
+        Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+      val lVals = Array.tabulate(H * W) { i =>
+        val ty = i / W / 8; val tx = i % W / 8
+        if ((ty + tx) % 5 == 0) 0.0 else ((ty * 3 + tx * 5) % 7 + 1).toDouble
+      }
+      val (iMeta, iDs) = baseImage(s)
+      graft.operators.RegionGraph.regionIntensityStats(s,
+          ChunkOps.fromArray(s, lVals, lMeta), lMeta, iDs, iMeta)
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH $gridSql,
+            l AS (SELECT i // $W AS y, i % $W AS x,
+                    CASE WHEN ((i // $W // 8) + (i % $W // 8)) % 5 = 0 THEN 0
+                         ELSE ((i // $W // 8) * 3 + (i % $W // 8) * 5) % 7 + 1
+                    END AS lab
+                  FROM range(${H * W}) r(i))
+            SELECT CAST(l.lab AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(g.v) AS BIGINT) AS sum_v,
+                   CAST(min(g.v) AS BIGINT) AS min_v,
+                   CAST(max(g.v) AS BIGINT) AS max_v
+            FROM l JOIN grid g ON g.y = l.y AND g.x = l.x
+            WHERE l.lab > 0
+            GROUP BY l.lab ORDER BY label"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge

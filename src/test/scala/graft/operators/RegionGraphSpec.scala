@@ -65,6 +65,33 @@ class RegionGraphSpec extends SparkSpec {
     assert(run2d(gap, meta2(h, w, 3, 3)).isEmpty)
   }
 
+  test("regionIntensityStats: brute-force parity, grid mismatch refuses") {
+    val rnd = new scala.util.Random(71)
+    val h = 16; val w = 16
+    val labels = Array.fill(h * w)(rnd.nextInt(4).toDouble) // 0 = bg
+    val intens = Array.fill(h * w)(rnd.nextInt(256).toDouble)
+    val want = labels.zip(intens).filter(_._1 > 0)
+      .groupBy(_._1.toLong)
+      .map { case (l, vs) =>
+        l -> (vs.length.toLong, vs.map(_._2.toLong).sum,
+          vs.map(_._2.toLong).min, vs.map(_._2.toLong).max)
+      }
+    for (chunks <- Seq((16, 16), (8, 8), (4, 8))) {
+      val m = meta2(h, w, chunks._1, chunks._2)
+      val got = RegionGraph.regionIntensityStats(spark,
+          ChunkOps.fromArray(spark, labels, m), m,
+          ChunkOps.fromArray(spark, intens, m), m)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == want, s"chunks $chunks")
+    }
+    intercept[IllegalArgumentException] {
+      RegionGraph.regionIntensityStats(spark,
+        ChunkOps.fromArray(spark, labels, meta2(h, w, 8, 8)), meta2(h, w, 8, 8),
+        ChunkOps.fromArray(spark, intens, meta2(h, w, 4, 4)), meta2(h, w, 4, 4))
+    }
+  }
+
   test("3D: two bricks meet on a full 4x4 face across the chunk boundary") {
     val n = 8
     val m3 = ImageMeta(Seq("z", "y", "x"), Seq(n, 4, 4), Seq(4, 4, 4), "uint8",
