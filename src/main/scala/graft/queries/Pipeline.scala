@@ -40,7 +40,7 @@ object Pipeline extends QModule {
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles, g04BfsHops, g05Kcore,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
-    t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth)
+    t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth, t119PassAtK)
 
   import QTables.{docs, emb}
 
@@ -1295,6 +1295,47 @@ object Pipeline extends QModule {
                     FROM cp JOIN fo ON fo.first_doc < cp.n_docs GROUP BY cp.n_docs)
             SELECT CAST(tok.n_docs AS BIGINT) AS n_docs, n_tokens, vocab
             FROM tok JOIN voc USING (n_docs) ORDER BY n_docs"""))
+
+  /** Unbiased pass@k ([[graft.ops.EvalMetrics.passAtK]], Chen et al.
+    * 2021): 50 synthetic tasks × 10 samples with md5-deterministic
+    * pass flags, k ∈ {1, 5, 10}. The operator computes the exact
+    * rational Π(n−c−i)/Π(n−i) in BigInt and floors to micro-units;
+    * the oracle replays the same products (gate-sized n keeps them
+    * double-exact in SQL) — the naive c/n-based estimate differs on
+    * most rows, so a biased implementation hash-mismatches.
+    */
+  val t119PassAtK = Q(
+    "t119_pass_at_k",
+    (s, dir) => {
+      val samples = docs(s, dir).select((col("doc_id") % 50).as("task_id"),
+        expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) BETWEEN '0' AND '7'")
+          .as("passed"))
+      graft.ops.EvalMetrics.passAtK(samples, Seq(1, 5, 10))
+        .orderBy(col("task_id"), col("k"))
+    },
+    Some("""WITH s AS (SELECT doc_id % 50 AS task_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    BETWEEN '0' AND '7' AS passed
+                FROM documents),
+            a AS (SELECT task_id, count(*) AS n,
+                    sum(CASE WHEN passed THEN 1 ELSE 0 END) AS c
+                  FROM s GROUP BY task_id),
+            kk AS (SELECT unnest([1, 5, 10]) AS k),
+            j AS (SELECT a.task_id, kk.k, a.n, a.c FROM a JOIN kk ON kk.k <= a.n),
+            f AS (SELECT task_id, k, n, c,
+                    CASE WHEN n - c < k THEN 1000000
+                         ELSE (CAST(list_product(list_transform(range(k),
+                                 i -> n - i)) AS BIGINT)
+                               - CAST(list_product(list_transform(range(k),
+                                 i -> n - c - i)) AS BIGINT)) * 1000000
+                              // CAST(list_product(list_transform(range(k),
+                                 i -> n - i)) AS BIGINT)
+                    END AS pass_micro
+                  FROM j)
+            SELECT CAST(task_id AS BIGINT) AS task_id, CAST(k AS INT) AS k,
+                   CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+                   CAST(pass_micro AS BIGINT) AS pass_micro
+            FROM f ORDER BY task_id, k"""))
 
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
     * counts train on the doc_id < 50 slice, every doc scores against

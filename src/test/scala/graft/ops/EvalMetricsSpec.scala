@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** pass@k invariants: hand combinatorics, the certain-pass and
+  * never-pass edges, k > n dropped, and the bias tripwire (the
+  * naive 1−(1−c/n)^k answer differs).
+  */
+class EvalMetricsSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, Boolean)], ks: Seq[Int]): Map[(Long, Int), Long] = {
+    import spark.implicits._
+    EvalMetrics.passAtK(rows.toDF("task_id", "passed"), ks)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+  }
+
+  test("hand values: n=4, c=2 → pass@2 = 1 − C(2,2)/C(4,2) = 5/6") {
+    val rows = Seq((1L, true), (1L, true), (1L, false), (1L, false))
+    val got = run(rows, Seq(1, 2, 3, 4, 5))
+    assert(got((1L, 1)) == 500000L)          // 1 − C(2,1)/C(4,1) = 1/2
+    assert(got((1L, 2)) == 833333L)          // 5/6 floored
+    assert(got((1L, 3)) == 1000000L)         // n−c=2 < 3 ⇒ certain
+    assert(got((1L, 4)) == 1000000L)
+    assert(!got.contains((1L, 5)))           // k > n dropped
+    // bias tripwire: naive 1−(1−c/n)^k at k=2 would be 750000
+    assert(got((1L, 2)) != 750000L)
+  }
+
+  test("edges: all-fail → 0 at every k; all-pass → 1e6; exact big-n") {
+    val fail = Seq.fill(6)((7L, false))
+    val ok = Seq.fill(6)((8L, true))
+    val got = run(fail ++ ok, Seq(1, 3, 6))
+    assert(Seq(1, 3, 6).forall(k => got((7L, k)) == 0L))
+    assert(Seq(1, 3, 6).forall(k => got((8L, k)) == 1000000L))
+    // n=200, c=1, k=100: exact rational 1 − Π(199−i)/Π(200−i) = 1 − 100/200
+    val big = (0 until 200).map(i => (9L, i == 0))
+    assert(run(big, Seq(100))((9L, 100)) == 500000L)
+  }
+}
