@@ -45,4 +45,52 @@ object EvalMetrics {
       }
     }.toDF("task_id", "k", "n", "c", "pass_micro")
   }
+
+  /** BLEU sufficient statistics (Papineni et al. 2002 / sacrebleu's
+    * per-segment stats): for each (candidate, reference) pair and
+    * each n ≤ maxN, the CLIPPED n-gram match count
+    * Σ_g min(count_cand(g), count_ref(g)), the candidate n-gram
+    * total, and both lengths — all exact integers. Corpus BLEU is a
+    * driver-side fold over these (sum the stats, then the one
+    * geometric mean + brevity penalty at the very end), which is
+    * exactly how distributed eval harnesses aggregate it; emitting
+    * the stats rather than a per-pair float keeps the surface
+    * bit-reproducible.
+    *
+    * Scale shape: one typed per-row kernel (two token maps per pair,
+    * no joins, no shuffles); output is pairs × maxN rows.
+    */
+  def bleuStats(pairs: DataFrame, maxN: Int = 4, idCol: String = "pair_id",
+      candCol: String = "candidate", refCol: String = "reference"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(idCol).cast("long"), col(candCol), col(refCol))
+      .as[(Long, String, String)]
+      .flatMap { case (id, cand, ref) =>
+        val cw = Option(cand).getOrElse("").split(' ').filter(_.nonEmpty)
+        val rw = Option(ref).getOrElse("").split(' ').filter(_.nonEmpty)
+        (1 to maxN).map { n =>
+          def grams(ws: Array[String]): java.util.HashMap[String, Long] = {
+            val m = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i + n <= ws.length) {
+              m.merge(ws.slice(i, i + n).mkString(" "), 1L, (a, b) => a + b)
+              i += 1
+            }
+            m
+          }
+          val cg = grams(cw); val rg = grams(rw)
+          var matches = 0L
+          val it = cg.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val rc = rg.get(e.getKey)
+            if (rc != null) matches += math.min(e.getValue, rc.longValue())
+          }
+          (id, n, matches, math.max(0, cw.length - n + 1).toLong,
+            cw.length.toLong, rw.length.toLong)
+        }
+      }.toDF("pair_id", "n", "matches", "total", "cand_len", "ref_len")
+  }
 }

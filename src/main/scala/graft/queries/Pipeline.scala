@@ -40,7 +40,8 @@ object Pipeline extends QModule {
     t101WeightedSample, t102SnapshotDiff, g02Hits, g03Triangles, g04BfsHops, g05Kcore,
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
-    t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth, t119PassAtK)
+    t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth, t119PassAtK,
+    t120BleuStats)
 
   import QTables.{docs, emb}
 
@@ -1336,6 +1337,63 @@ object Pipeline extends QModule {
                    CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
                    CAST(pass_micro AS BIGINT) AS pass_micro
             FROM f ORDER BY task_id, k"""))
+
+  /** BLEU sufficient statistics ([[graft.ops.EvalMetrics.bleuStats]]):
+    * candidate = the document text, reference = the same text with
+    * every 7th word replaced — so matches are dense but NOT total,
+    * and clipping is exercised wherever the original text repeats a
+    * word the substitution removed. The oracle recounts the clipped
+    * n-gram intersection per (doc, n) relationally; an unclipped
+    * count or an off-by-one n-gram window shifts rows.
+    */
+  val t120BleuStats = Q(
+    "t120_bleu_stats",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      val pairs = d.select(col("doc_id").as("pair_id"),
+        expr("array_join(ws, ' ')").as("candidate"),
+        expr("""array_join(transform(sequence(0, size(ws) - 1),
+                i -> CASE WHEN i % 7 = 3 THEN 'X'
+                          ELSE element_at(ws, CAST(i + 1 AS INT)) END), ' ')""")
+          .as("reference"))
+      graft.ops.EvalMetrics.bleuStats(pairs, maxN = 4)
+        .orderBy(col("pair_id"), col("n"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS cw
+                FROM documents),
+            p AS (SELECT doc_id, cw,
+                    list_transform(range(len(cw)),
+                      i -> CASE WHEN i % 7 = 3 THEN 'X'
+                                ELSE cw[CAST(i + 1 AS INT)] END) AS rw
+                  FROM d),
+            n4 AS (SELECT unnest([1, 2, 3, 4]) AS n),
+            cg AS (SELECT doc_id, n,
+                     unnest(list_transform(range(len(cw) - n + 1),
+                       i -> array_to_string(list_slice(cw,
+                         CAST(i + 1 AS INT), CAST(i + n AS INT)), ' '))) AS g
+                   FROM p JOIN n4 ON len(cw) >= n),
+            rg AS (SELECT doc_id, n,
+                     unnest(list_transform(range(len(rw) - n + 1),
+                       i -> array_to_string(list_slice(rw,
+                         CAST(i + 1 AS INT), CAST(i + n AS INT)), ' '))) AS g
+                   FROM p JOIN n4 ON len(rw) >= n),
+            cgc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY doc_id, n, g),
+            rgc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY doc_id, n, g),
+            m AS (SELECT cgc.doc_id, cgc.n,
+                    CAST(sum(least(cgc.c, rgc.c)) AS BIGINT) AS matches
+                  FROM cgc JOIN rgc
+                    ON rgc.doc_id = cgc.doc_id AND rgc.n = cgc.n AND rgc.g = cgc.g
+                  GROUP BY cgc.doc_id, cgc.n)
+            SELECT p.doc_id AS pair_id, CAST(n4.n AS INT) AS n,
+                   COALESCE(m.matches, 0) AS matches,
+                   CAST(greatest(len(p.cw) - n4.n + 1, 0) AS BIGINT) AS total,
+                   CAST(len(p.cw) AS BIGINT) AS cand_len,
+                   CAST(len(p.rw) AS BIGINT) AS ref_len
+            FROM p CROSS JOIN n4
+            LEFT JOIN m ON m.doc_id = p.doc_id AND m.n = n4.n
+            ORDER BY pair_id, n"""))
 
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
     * counts train on the doc_id < 50 slice, every doc scores against

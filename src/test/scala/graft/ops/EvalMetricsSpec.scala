@@ -37,4 +37,23 @@ class EvalMetricsSpec extends SparkSpec {
     val big = (0 until 200).map(i => (9L, i == 0))
     assert(run(big, Seq(100))((9L, 100)) == 500000L)
   }
+
+  test("bleuStats: identity pair saturates, clipping caps repeats, empty refuses nothing") {
+    import spark.implicits._
+    def stats(cand: String, ref: String): Map[Int, (Long, Long, Long, Long)] =
+      EvalMetrics.bleuStats(Seq((1L, cand, ref)).toDF("pair_id", "candidate", "reference"))
+        .collect().map(r => r.getInt(1) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // identical 5-word sentences: matches == totals at every n
+    val same = stats("a b c d e", "a b c d e")
+    assert((1 to 4).forall(n => same(n) == (6L - n, 6L - n, 5L, 5L)))
+    // the classic clipping case: "the the the" vs one "the" → 1, not 3
+    val clip = stats("the the the", "the cat")
+    assert(clip(1) == (1L, 3L, 3L, 2L))
+    assert(clip(2) == (0L, 2L, 3L, 2L)) // "the the" never occurs in ref
+    // disjoint: zero matches, totals still counted
+    assert(stats("x y z", "p q")(1) == (0L, 3L, 3L, 2L))
+    // empty candidate: all-zero row, no crash
+    assert(stats("", "p q")(1) == (0L, 0L, 0L, 2L))
+  }
 }
