@@ -93,4 +93,41 @@ object EvalMetrics {
         }
       }.toDF("pair_id", "n", "matches", "total", "cand_len", "ref_len")
   }
+
+  /** Cohen's kappa for two annotators over categorical labels — the
+    * agreement gate every preference/RLHF labeling pipeline runs
+    * before trusting its raters. κ = (p_o − p_e)/(1 − p_e) computed
+    * as the exact rational (agree·N − Σ_c n_a(c)·n_b(c)) /
+    * (N² − Σ_c n_a(c)·n_b(c)) in BigInt, FLOOR-divided to
+    * micro-units (floor, not truncate — κ can be negative and the
+    * two roundings differ there).
+    *
+    * Scale shape: one full-row agreement aggregate + two
+    * class-count aggregates joined on the (tiny) label domain.
+    * Output: ONE row (n, agree, pe_num, kappa_micro).
+    */
+  def cohensKappa(ratings: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val base = ratings.select(col(aCol).cast("string").as("a"),
+      col(bCol).cast("string").as("b"))
+    val top = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val na = base.groupBy(col("a").as("cls")).agg(count(lit(1)).as("na"))
+    val nb = base.groupBy(col("b").as("cls")).agg(count(lit(1)).as("nb"))
+    val pe = na.join(nb, Seq("cls"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    top.crossJoin(pe).as[(Long, Long, Long)].map { case (n, agree, peNum) =>
+      val num = BigInt(agree) * n - peNum
+      val den = BigInt(n) * n - peNum
+      def floorDiv(a: BigInt, b: BigInt): Long = {
+        val q = a / b
+        (if (a % b != 0 && (a.signum != b.signum)) q - 1 else q).toLong
+      }
+      val micro =
+        if (den == 0) 1000000L // every rating in one class and all agree
+        else floorDiv(num * 1000000, den)
+      (n, agree, peNum, micro)
+    }.toDF("n", "agree", "pe_num", "kappa_micro")
+  }
 }

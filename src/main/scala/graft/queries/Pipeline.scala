@@ -41,7 +41,7 @@ object Pipeline extends QModule {
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
     t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth, t119PassAtK,
-    t120BleuStats)
+    t120BleuStats, t121CohensKappa)
 
   import QTables.{docs, emb}
 
@@ -1394,6 +1394,46 @@ object Pipeline extends QModule {
             FROM p CROSS JOIN n4
             LEFT JOIN m ON m.doc_id = p.doc_id AND m.n = n4.n
             ORDER BY pair_id, n"""))
+
+  /** Cohen's kappa ([[graft.ops.EvalMetrics.cohensKappa]]): two
+    * md5-derived annotators over 4 classes, the second agreeing with
+    * the first ~70% of the time and drifting to a DIFFERENT class
+    * otherwise — so observed agreement is far from chance and κ is
+    * informative. The oracle replays both raters, the class-count
+    * join, and the exact floor-divided rational; a truncate-vs-floor
+    * drift or an unjoined class shifts the micro value.
+    */
+  val t121CohensKappa = Q(
+    "t121_cohens_kappa",
+    (s, dir) => {
+      val hx = (tag: String) =>
+        s"CAST(conv(substring(md5(concat('$tag:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val r = docs(s, dir).select(
+        expr(s"${hx("ra")} % 4").as("a"),
+        expr(s"""CASE WHEN ${hx("ag")} % 10 < 7 THEN ${hx("ra")} % 4
+                 ELSE (${hx("ra")} + 1 + ${hx("rb")} % 3) % 4 END""").as("b"))
+      graft.ops.EvalMetrics.cohensKappa(r)
+    },
+    Some("""WITH r AS (SELECT
+                  CAST('0x' || substr(md5('ra:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS a,
+                  CASE WHEN CAST('0x' || substr(md5('ag:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 7
+                       THEN CAST('0x' || substr(md5('ra:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4
+                       ELSE (CAST('0x' || substr(md5('ra:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             + 1 + CAST('0x' || substr(md5('rb:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 3) % 4
+                  END AS b
+                FROM documents),
+            top AS (SELECT count(*) AS n,
+                      sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+                    FROM r),
+            na AS (SELECT a AS cls, count(*) AS na FROM r GROUP BY a),
+            nb AS (SELECT b AS cls, count(*) AS nb FROM r GROUP BY b),
+            pe AS (SELECT COALESCE(sum(na.na * nb.nb), 0) AS pe_num
+                   FROM na JOIN nb USING (cls))
+            SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+                   CAST(pe_num AS BIGINT) AS pe_num,
+                   CAST((agree * n - pe_num) * 1000000 // (n * n - pe_num) AS BIGINT)
+                     AS kappa_micro
+            FROM top CROSS JOIN pe"""))
 
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
     * counts train on the doc_id < 50 slice, every doc scores against

@@ -56,4 +56,25 @@ class EvalMetricsSpec extends SparkSpec {
     // empty candidate: all-zero row, no crash
     assert(stats("", "p q")(1) == (0L, 0L, 0L, 2L))
   }
+
+  test("cohensKappa: hand values incl. a NEGATIVE kappa floor, perfect and chance") {
+    import spark.implicits._
+    def kappa(rows: Seq[(String, String)]): (Long, Long, Long, Long) = {
+      val r = EvalMetrics.cohensKappa(rows.toDF("a", "b")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // perfect agreement over two classes: κ = 1
+    assert(kappa(Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y")))
+      == (4L, 4L, 8L, 1000000L))
+    // systematic DISagreement: agree=0, pe_num=8, κ = (0−8)/(16−8) = −1
+    assert(kappa(Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")))
+      == (4L, 0L, 8L, -1000000L))
+    // textbook 2×2: n=4, agree=2, pe_num = 2·2+2·2 = 8 ⇒ κ = 0 at chance
+    assert(kappa(Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")))._4 == 0L)
+    // floor on a negative non-integer: n=3, agree=0, both raters
+    // uniform over 3 classes ⇒ pe_num=3, κ = −3/6 = −0.5 exactly;
+    // shift one count: a=(x,x,y), b=(y,y,x): agree 0, pe_num = 2·1+1·2 = 4,
+    // κ = (0−4)/(9−4) = −0.8 → floor −800000
+    assert(kappa(Seq(("x", "y"), ("x", "y"), ("y", "x")))._4 == -800000L)
+  }
 }
