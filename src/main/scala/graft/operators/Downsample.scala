@@ -245,11 +245,13 @@ object Downsample {
     */
   def medianFilter(spark: SparkSession, ds: Dataset[ChunkRow], meta: ImageMeta)
       : (ImageMeta, Dataset[ChunkRow]) = {
-    require(meta.dims == Seq("y", "x"), s"2D entry point, got ${meta.dims}")
+    require(meta.dims == Seq("y", "x") || meta.dims == Seq("z", "y", "x"),
+      s"2D/3D entry point, got ${meta.dims}")
     require(isIntDtype(meta.dtype),
       s"medianFilter keeps exact integer medians — integral dtypes only, got ${meta.dtype}")
-    val radius = Array(1, 1)
-    val ones = Array(1, 1)
+    val nd = meta.dims.length
+    val radius = Array.fill(nd)(1)
+    val ones = Array.fill(nd)(1)
     val targetChunks = meta.dims.indices.map(d =>
       planChunk(meta.shape(d), meta.chunks(d), 1, radius(d)))
     val grid = ZarrStore.chunkGrid(meta.shape, targetChunks)
@@ -260,7 +262,7 @@ object Downsample {
     val (m1, pinned) = ChunkOps.rechunkPinned(spark, ds, meta, targetChunks, part)
     val out = haloExchange(spark, pinned, part, m1, ones, m1, radius) {
       (ext, extShape, outBlockShape, centerOff) =>
-        NdKernels.medianFilter2d(ext, extShape, outBlockShape, centerOff)
+        NdKernels.medianFilterNd(ext, extShape, outBlockShape, centerOff)
     }
     (m1, out)
   }

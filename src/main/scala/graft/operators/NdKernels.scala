@@ -204,6 +204,60 @@ object NdKernels {
     * Interior chunk faces always carry a 1-halo, so "no halo on a
     * side" is exactly "image border on that side".
     */
+  /** [[medianFilter2d]] generalized over dimensionality: the 3^nd
+    * Chebyshev-1 neighborhood median (9 in 2D, 27 in 3D), border
+    * pass-through where the full window lacks support. Same
+    * exactness argument: an odd count of integral values has an
+    * integral median that IS one of them.
+    */
+  def medianFilterNd(ext: Array[Double], extShape: Array[Int],
+      outShape: Array[Int], centerOff: Array[Int]): Array[Double] = {
+    val nd = extShape.length
+    if (nd == 2) return medianFilter2d(ext, extShape, outShape, centerOff)
+    require(nd == 3, s"medianFilterNd supports 2D/3D, got $nd dims")
+    val ew = extShape(2); val eh = extShape(1); val ed = extShape(0)
+    val out = new Array[Double](outShape.product)
+    val win = new Array[Double](27)
+    var zz = 0
+    while (zz < outShape(0)) {
+      var yy = 0
+      while (yy < outShape(1)) {
+        var xx = 0
+        while (xx < outShape(2)) {
+          val ez = centerOff(0) + zz
+          val ey = centerOff(1) + yy
+          val ex = centerOff(2) + xx
+          out((zz * outShape(1) + yy) * outShape(2) + xx) =
+            if (ez < 1 || ez + 1 >= ed || ey < 1 || ey + 1 >= eh ||
+                ex < 1 || ex + 1 >= ew)
+              ext((ez * eh + ey) * ew + ex)
+            else {
+              var k = 0
+              var dz = -1
+              while (dz <= 1) {
+                var dy = -1
+                while (dy <= 1) {
+                  var dx = -1
+                  while (dx <= 1) {
+                    win(k) = ext(((ez + dz) * eh + ey + dy) * ew + ex + dx)
+                    k += 1; dx += 1
+                  }
+                  dy += 1
+                }
+                dz += 1
+              }
+              java.util.Arrays.sort(win)
+              win(13)
+            }
+          xx += 1
+        }
+        yy += 1
+      }
+      zz += 1
+    }
+    out
+  }
+
   def medianFilter2d(ext: Array[Double], extShape: Array[Int],
       outShape: Array[Int], centerOff: Array[Int]): Array[Double] = {
     require(extShape.length == 2, "medianFilter2d is a 2-D kernel")

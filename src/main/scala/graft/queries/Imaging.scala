@@ -76,7 +76,8 @@ object Imaging extends QModule {
     i84DistanceTransform, i85RegionMoments, i86SobelGradient,
     i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter,
     i91FillHoles, i92AreaOpen, i93AdaptiveThreshold, i94HistMatch,
-    i95FillHoles3d, i96RegionAdjacency, i97RegionIntensity)
+    i95FillHoles3d, i96RegionAdjacency, i97RegionIntensity,
+    i98MedianFilter3d)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1558,6 +1559,52 @@ object Imaging extends QModule {
             FROM l JOIN grid g ON g.y = l.y AND g.x = l.x
             WHERE l.lab > 0
             GROUP BY l.lab ORDER BY label"""))
+
+  /** 3D median denoise ([[graft.operators.Downsample.medianFilter]],
+    * 27-point window) over the 16³ deterministic volume on a 2×2×2
+    * chunk grid — every interior window near a chunk face pulls true
+    * neighbors through the 3-D halo exchange; faces of the VOLUME
+    * pass through unchanged. The oracle computes each voxel's
+    * 27-neighborhood median relationally (odd count → exact middle
+    * element).
+    */
+  val i98MedianFilter3d = Q(
+    "i98_median_filter_3d",
+    (s, _) => {
+      val meta = ImageMeta(Seq("z", "y", "x"), Seq(16, 16, 16), Seq(8, 8, 8),
+        "uint8", Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+        Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+      val vals = Array.tabulate(16 * 16 * 16) { i =>
+        ((i / 256 * 29 + (i / 16 % 16) * 31 + (i % 16) * 17) % 256).toDouble
+      }
+      val ds = ChunkOps.fromArray(s, vals, meta)
+      val (om, ods) = graft.operators.Downsample.medianFilter(s, ds, meta)
+      ChunkOps.voxelView(s, ods, om)
+        .groupBy(col("z"))
+        .agg(sum(col("value")).cast("bigint").as("sum_med"),
+          max(col("value")).cast("bigint").as("max_med"),
+          sum(col("value") * (col("y") * 16 + col("x") + 1)).cast("bigint")
+            .as("pos_check"))
+        .orderBy(col("z"))
+    },
+    Some("""WITH g AS (SELECT i // 256 AS z, (i // 16) % 16 AS y, i % 16 AS x,
+                  CAST(((i // 256) * 29 + ((i // 16) % 16) * 31 + (i % 16) * 17) % 256
+                    AS DOUBLE) AS v
+                FROM range(4096) r(i)),
+            m AS (SELECT g.z AS z, g.y AS y, g.x AS x, median(ng.v) AS mv
+                  FROM g JOIN g ng
+                    ON ng.z BETWEEN g.z - 1 AND g.z + 1
+                   AND ng.y BETWEEN g.y - 1 AND g.y + 1
+                   AND ng.x BETWEEN g.x - 1 AND g.x + 1
+                  WHERE g.z > 0 AND g.z < 15 AND g.y > 0 AND g.y < 15
+                    AND g.x > 0 AND g.x < 15
+                  GROUP BY g.z, g.y, g.x),
+            o AS (SELECT g.z, g.y, g.x, coalesce(m.mv, g.v) AS mv
+                  FROM g LEFT JOIN m ON m.z = g.z AND m.y = g.y AND m.x = g.x)
+            SELECT z, CAST(sum(mv) AS BIGINT) AS sum_med,
+                   CAST(max(mv) AS BIGINT) AS max_med,
+                   CAST(sum(mv * (y * 16 + x + 1)) AS BIGINT) AS pos_check
+            FROM o GROUP BY z ORDER BY z"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge

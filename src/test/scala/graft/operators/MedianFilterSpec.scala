@@ -42,6 +42,40 @@ class MedianFilterSpec extends SparkSpec {
     assert(run(vals, meta(h, w, 7, 5)) == want) // ragged grid
   }
 
+  test("3D: 27-point reference parity, chunking invariance, impulse removal") {
+    val rnd = new scala.util.Random(53)
+    val n = 12
+    def m3(cz: Int, cy: Int, cx: Int) =
+      ImageMeta(Seq("z", "y", "x"), Seq(n, n, n), Seq(cz, cy, cx), "uint8",
+        Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+        Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+    val vals = Array.fill(n * n * n)(rnd.nextInt(256).toDouble)
+    val want = (0 until n * n * n).map { i =>
+      val z = i / (n * n); val y = (i / n) % n; val x = i % n
+      if (z == 0 || z == n - 1 || y == 0 || y == n - 1 || x == 0 || x == n - 1)
+        vals(i)
+      else {
+        val win = for (dz <- -1 to 1; dy <- -1 to 1; dx <- -1 to 1)
+          yield vals(((z + dz) * n + y + dy) * n + x + dx)
+        win.sorted.apply(13)
+      }
+    }
+    for (chunks <- Seq((12, 12, 12), (6, 6, 6), (5, 7, 4))) {
+      val m = m3(chunks._1, chunks._2, chunks._3)
+      val (om, out) = Downsample.medianFilter(spark,
+        ChunkOps.fromArray(spark, vals, m), m)
+      assert(om.dtype == "uint8")
+      assert(ChunkOps.toArray(out, om).toSeq == want, s"chunks $chunks")
+    }
+    // an interior impulse in a flat volume vanishes
+    val flat = Array.fill(n * n * n)(50.0)
+    flat((5 * n + 5) * n + 5) = 255.0
+    val m = m3(6, 6, 6)
+    val (om, out) = Downsample.medianFilter(spark,
+      ChunkOps.fromArray(spark, flat, m), m)
+    assert(ChunkOps.toArray(out, om)((5 * n + 5) * n + 5) == 50.0)
+  }
+
   test("salt-and-pepper impulses vanish; flat field is a fixed point") {
     val h = 8; val w = 8
     val flat = Array.fill(h * w)(100.0)
