@@ -130,4 +130,43 @@ object EvalMetrics {
       (n, agree, peNum, micro)
     }.toDF("n", "agree", "pe_num", "kappa_micro")
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) statistic with exact
+    * mid-rank tie handling — the nonparametric A/B gate for quality
+    * scores (is pipeline variant B's score distribution
+    * stochastically larger?), complementing the chi-squared
+    * categorical gate. Mid-ranks are exact in MILLI units
+    * (rank_milli = 1000·cntBefore + 500·(cnt+1), integral always),
+    * so U carries no float anywhere; consumers apply the normal
+    * approximation driver-side if they want a p-value.
+    *
+    * Scale shape: ONE value-domain aggregation (scores are the
+    * domain, not rows) + one window over the value domain for the
+    * cumulative count — never a global row sort. Output one row:
+    * (n_a, n_b, r_a_milli, u_a_milli, u_b_milli), with
+    * U_a + U_b = 1000·n_a·n_b as the built-in invariant.
+    */
+  def mannWhitneyU(df: DataFrame, isACol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = df.select(col(isACol).cast("boolean").as("is_a"),
+        col(scoreCol).cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("rank_milli",
+        (col("cum") - col("cnt")) * 1000L + (col("cnt") + 1L) * 500L)
+    ranked.agg(
+        sum(col("cnt_a")).cast("bigint").as("n_a"),
+        sum(col("cnt") - col("cnt_a")).cast("bigint").as("n_b"),
+        sum(col("cnt_a") * col("rank_milli")).cast("bigint").as("r_a_milli"))
+      .select(col("n_a"), col("n_b"), col("r_a_milli"),
+        (col("r_a_milli") - col("n_a") * (col("n_a") + 1L) * 500L)
+          .as("u_a_milli"))
+      .withColumn("u_b_milli",
+        col("n_a") * col("n_b") * 1000L - col("u_a_milli"))
+  }
 }

@@ -41,7 +41,7 @@ object Pipeline extends QModule {
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
     t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth, t119PassAtK,
-    t120BleuStats, t121CohensKappa)
+    t120BleuStats, t121CohensKappa, t122MannWhitney)
 
   import QTables.{docs, emb}
 
@@ -1434,6 +1434,39 @@ object Pipeline extends QModule {
                    CAST((agree * n - pe_num) * 1000000 // (n * n - pe_num) AS BIGINT)
                      AS kappa_micro
             FROM top CROSS JOIN pe"""))
+
+  /** Mann–Whitney U ([[graft.ops.EvalMetrics.mannWhitneyU]]): doc
+    * length mod 100 as the score (dense ties — the mid-rank path is
+    * the whole test), odd/even doc ids as the A/B split. The oracle
+    * replays the value-domain mid-ranks in milli units and both U
+    * statistics; a sloppy tie rule (min- or max-rank instead of
+    * mid-rank) shifts r_a_milli immediately.
+    */
+  val t122MannWhitney = Q(
+    "t122_mann_whitney",
+    (s, dir) => {
+      val d = docs(s, dir).select((col("doc_id") % 2 === 0).as("is_a"),
+        (col("n_chars") % 100).as("score"))
+      graft.ops.EvalMetrics.mannWhitneyU(d, "is_a", "score")
+    },
+    Some("""WITH d AS (SELECT doc_id % 2 = 0 AS is_a, n_chars % 100 AS v
+                       FROM documents),
+            bv AS (SELECT v, count(*) AS cnt,
+                     sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a
+                   FROM d GROUP BY v),
+            rk AS (SELECT v, cnt, cnt_a,
+                     (sum(cnt) OVER (ORDER BY v) - cnt) * 1000
+                       + (cnt + 1) * 500 AS rank_milli
+                   FROM bv),
+            agg AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+                      CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+                      CAST(sum(cnt_a * rank_milli) AS BIGINT) AS r_a_milli
+                    FROM rk)
+            SELECT n_a, n_b, r_a_milli,
+                   CAST(r_a_milli - n_a * (n_a + 1) * 500 AS BIGINT) AS u_a_milli,
+                   CAST(n_a * n_b * 1000
+                     - (r_a_milli - n_a * (n_a + 1) * 500) AS BIGINT) AS u_b_milli
+            FROM agg"""))
 
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
     * counts train on the doc_id < 50 slice, every doc scores against

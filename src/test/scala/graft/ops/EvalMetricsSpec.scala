@@ -77,4 +77,25 @@ class EvalMetricsSpec extends SparkSpec {
     // κ = (0−4)/(9−4) = −0.8 → floor −800000
     assert(kappa(Seq(("x", "y"), ("x", "y"), ("y", "x")))._4 == -800000L)
   }
+
+  test("mannWhitneyU: textbook ranks, mid-rank ties, U_a + U_b invariant") {
+    import spark.implicits._
+    def u(rows: Seq[(Boolean, Long)]): (Long, Long, Long, Long, Long) = {
+      val r = EvalMetrics.mannWhitneyU(rows.toDF("is_a", "v"), "is_a", "v").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    // no ties: A = {1, 3}, B = {2, 4}; ranks 1,3 → R_a = 4, U_a = 4−3 = 1
+    assert(u(Seq((true, 1L), (false, 2L), (true, 3L), (false, 4L)))
+      == (2L, 2L, 4000L, 1000L, 3000L))
+    // all A below all B: U_a = 0 (stochastic dominance edge)
+    assert(u(Seq((true, 1L), (true, 2L), (false, 5L), (false, 6L)))._4 == 0L)
+    // ties: A = {5}, B = {5}; both get mid-rank 1.5 → R_a = 1500,
+    // U_a = 1500 − 1000·1·2/2 = 500 = half of n_a·n_b·1000
+    assert(u(Seq((true, 5L), (false, 5L))) == (1L, 1L, 1500L, 500L, 500L))
+    // invariant on a messy mix
+    val rnd = new scala.util.Random(3)
+    val mix = Seq.fill(40)((rnd.nextBoolean(), rnd.nextInt(6).toLong))
+    val (na, nb, _, ua, ub) = u(mix)
+    assert(ua + ub == na * nb * 1000L)
+  }
 }
