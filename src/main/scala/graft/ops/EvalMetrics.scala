@@ -94,6 +94,48 @@ object EvalMetrics {
       }.toDF("pair_id", "n", "matches", "total", "cand_len", "ref_len")
   }
 
+  /** chrF sufficient statistics (Popović 2015): per pair and per
+    * character-n-gram order n ≤ maxN, the clipped match count plus
+    * BOTH totals — chrF needs precision AND recall, so unlike BLEU
+    * the reference total ships too. Whitespace is removed before
+    * gramming (the chrF convention). Exact integers; the F-score
+    * fold happens driver-side after summation, same contract as
+    * [[bleuStats]]. Pure per-row kernel, zero shuffles.
+    */
+  def chrfStats(pairs: DataFrame, maxN: Int = 6, idCol: String = "pair_id",
+      candCol: String = "candidate", refCol: String = "reference"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(idCol).cast("long"), col(candCol), col(refCol))
+      .as[(Long, String, String)]
+      .flatMap { case (id, cand, ref) =>
+        val cs = Option(cand).getOrElse("").filterNot(_ == ' ')
+        val rs = Option(ref).getOrElse("").filterNot(_ == ' ')
+        (1 to maxN).map { n =>
+          def grams(s: String): java.util.HashMap[String, Long] = {
+            val m = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i + n <= s.length) {
+              m.merge(s.substring(i, i + n), 1L, (a, b) => a + b)
+              i += 1
+            }
+            m
+          }
+          val cg = grams(cs); val rg = grams(rs)
+          var matches = 0L
+          val it = cg.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val rc = rg.get(e.getKey)
+            if (rc != null) matches += math.min(e.getValue, rc.longValue())
+          }
+          (id, n, matches, math.max(0, cs.length - n + 1).toLong,
+            math.max(0, rs.length - n + 1).toLong)
+        }
+      }.toDF("pair_id", "n", "matches", "cand_total", "ref_total")
+  }
+
   /** Cohen's kappa for two annotators over categorical labels — the
     * agreement gate every preference/RLHF labeling pipeline runs
     * before trusting its raters. κ = (p_o − p_e)/(1 − p_e) computed

@@ -41,7 +41,7 @@ object Pipeline extends QModule {
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
     t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth, t119PassAtK,
-    t120BleuStats, t121CohensKappa, t122MannWhitney)
+    t120BleuStats, t121CohensKappa, t122MannWhitney, t123ChrfStats)
 
   import QTables.{docs, emb}
 
@@ -1467,6 +1467,61 @@ object Pipeline extends QModule {
                    CAST(n_a * n_b * 1000
                      - (r_a_milli - n_a * (n_a + 1) * 500) AS BIGINT) AS u_b_milli
             FROM agg"""))
+
+  /** chrF sufficient statistics ([[graft.ops.EvalMetrics.chrfStats]],
+    * n ≤ 3 at the gate to keep the oracle's char-gram tables small):
+    * same substituted-reference fixture as t120 but CHARACTER grams
+    * with whitespace removed, and both totals (chrF needs recall).
+    * The oracle regrams both sides via substr windows and recounts
+    * the clipped intersection.
+    */
+  val t123ChrfStats = Q(
+    "t123_chrf_stats",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      val pairs = d.select(col("doc_id").as("pair_id"),
+        expr("array_join(ws, ' ')").as("candidate"),
+        expr("""array_join(transform(sequence(0, size(ws) - 1),
+                i -> CASE WHEN i % 7 = 3 THEN 'X'
+                          ELSE element_at(ws, CAST(i + 1 AS INT)) END), ' ')""")
+          .as("reference"))
+      graft.ops.EvalMetrics.chrfStats(pairs, maxN = 3)
+        .orderBy(col("pair_id"), col("n"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents),
+            p AS (SELECT doc_id,
+                    replace(array_to_string(ws, ' '), ' ', '') AS cs,
+                    replace(array_to_string(list_transform(range(len(ws)),
+                      i -> CASE WHEN i % 7 = 3 THEN 'X'
+                                ELSE ws[CAST(i + 1 AS INT)] END), ' '),
+                      ' ', '') AS rs
+                  FROM d),
+            n3 AS (SELECT unnest([1, 2, 3]) AS n),
+            cg AS (SELECT doc_id, n,
+                     unnest(list_transform(range(length(cs) - n + 1),
+                       i -> substr(cs, CAST(i + 1 AS INT), CAST(n AS INT)))) AS g
+                   FROM p JOIN n3 ON length(cs) >= n),
+            rg AS (SELECT doc_id, n,
+                     unnest(list_transform(range(length(rs) - n + 1),
+                       i -> substr(rs, CAST(i + 1 AS INT), CAST(n AS INT)))) AS g
+                   FROM p JOIN n3 ON length(rs) >= n),
+            cgc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY doc_id, n, g),
+            rgc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY doc_id, n, g),
+            m AS (SELECT cgc.doc_id, cgc.n,
+                    CAST(sum(least(cgc.c, rgc.c)) AS BIGINT) AS matches
+                  FROM cgc JOIN rgc
+                    ON rgc.doc_id = cgc.doc_id AND rgc.n = cgc.n AND rgc.g = cgc.g
+                  GROUP BY cgc.doc_id, cgc.n)
+            SELECT p.doc_id AS pair_id, CAST(n3.n AS INT) AS n,
+                   COALESCE(m.matches, 0) AS matches,
+                   CAST(greatest(length(p.cs) - n3.n + 1, 0) AS BIGINT) AS cand_total,
+                   CAST(greatest(length(p.rs) - n3.n + 1, 0) AS BIGINT) AS ref_total
+            FROM p CROSS JOIN n3
+            LEFT JOIN m ON m.doc_id = p.doc_id AND m.n = n3.n
+            ORDER BY pair_id, n"""))
 
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
     * counts train on the doc_id < 50 slice, every doc scores against

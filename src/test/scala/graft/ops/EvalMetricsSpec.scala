@@ -57,6 +57,23 @@ class EvalMetricsSpec extends SparkSpec {
     assert(stats("", "p q")(1) == (0L, 0L, 0L, 2L))
   }
 
+  test("chrfStats: whitespace stripped, both totals, clipping, identity") {
+    import spark.implicits._
+    def stats(cand: String, ref: String): Map[Int, (Long, Long, Long)] =
+      EvalMetrics.chrfStats(Seq((1L, cand, ref)).toDF("pair_id", "candidate", "reference"),
+          maxN = 2)
+        .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // "a b" vs "ab": identical after whitespace removal → full match
+    val ws = stats("a b", "ab")
+    assert(ws(1) == (2L, 2L, 2L) && ws(2) == (1L, 1L, 1L))
+    // clipping on chars: "aaa" vs "ab" → unigram matches 1, not 3
+    val clip = stats("aaa", "ab")
+    assert(clip(1) == (1L, 3L, 2L))
+    assert(clip(2) == (0L, 2L, 1L)) // "aa" not in ref
+    // asymmetric totals: recall side sees the longer reference
+    assert(stats("ab", "abcd")(1) == (2L, 2L, 4L))
+  }
+
   test("cohensKappa: hand values incl. a NEGATIVE kappa floor, perfect and chance") {
     import spark.implicits._
     def kappa(rows: Seq[(String, String)]): (Long, Long, Long, Long) = {
