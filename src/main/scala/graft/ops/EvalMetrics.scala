@@ -136,6 +136,41 @@ object EvalMetrics {
       }.toDF("pair_id", "n", "matches", "cand_total", "ref_total")
   }
 
+  /** SQuAD-style token F1 + exact match per pair: overlap = clipped
+    * unigram intersection, F1 = 2·overlap/(len_c + len_r) floored to
+    * micro-units (exact — the denominator is an integer, no p/r
+    * float round trip), EM = whitespace-normalized token equality.
+    * Both-empty pairs score 1 (the SQuAD convention), one-empty 0.
+    * Pure per-row kernel, zero shuffles.
+    */
+  def tokenF1(pairs: DataFrame, idCol: String = "pair_id",
+      candCol: String = "candidate", refCol: String = "reference"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(idCol).cast("long"), col(candCol), col(refCol))
+      .as[(Long, String, String)]
+      .map { case (id, cand, ref) =>
+        val cw = Option(cand).getOrElse("").split(' ').filter(_.nonEmpty)
+        val rw = Option(ref).getOrElse("").split(' ').filter(_.nonEmpty)
+        val rc = new java.util.HashMap[String, Long]()
+        rw.foreach(w => rc.merge(w, 1L, (a, b) => a + b))
+        var overlap = 0L
+        val cc = new java.util.HashMap[String, Long]()
+        cw.foreach(w => cc.merge(w, 1L, (a, b) => a + b))
+        val it = cc.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val r = rc.get(e.getKey)
+          if (r != null) overlap += math.min(e.getValue, r.longValue())
+        }
+        val f1Micro =
+          if (cw.isEmpty && rw.isEmpty) 1000000L
+          else 2L * overlap * 1000000L / (cw.length + rw.length)
+        (id, overlap, cw.length.toLong, rw.length.toLong, f1Micro,
+          cw.sameElements(rw))
+      }.toDF("pair_id", "overlap", "cand_len", "ref_len", "f1_micro", "exact_match")
+  }
+
   /** Cohen's kappa for two annotators over categorical labels — the
     * agreement gate every preference/RLHF labeling pipeline runs
     * before trusting its raters. κ = (p_o − p_e)/(1 − p_e) computed

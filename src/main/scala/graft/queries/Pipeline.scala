@@ -41,7 +41,8 @@ object Pipeline extends QModule {
     t103MultiMatch, t104CmsEstimate, t105TableProfile, t106ScoreCalibration,
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
     t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth, t119PassAtK,
-    t120BleuStats, t121CohensKappa, t122MannWhitney, t123ChrfStats)
+    t120BleuStats, t121CohensKappa, t122MannWhitney, t123ChrfStats,
+    t124TokenF1)
 
   import QTables.{docs, emb}
 
@@ -1522,6 +1523,52 @@ object Pipeline extends QModule {
             FROM p CROSS JOIN n3
             LEFT JOIN m ON m.doc_id = p.doc_id AND m.n = n3.n
             ORDER BY pair_id, n"""))
+
+  /** SQuAD-style token F1 + EM ([[graft.ops.EvalMetrics.tokenF1]])
+    * over the t120 substituted-reference fixture: every doc with ≥ 4
+    * words differs from its reference (EM false, F1 < 1), shorter
+    * docs stay identical (EM true, F1 = 1e6) — both branches hot.
+    * The oracle recounts the clipped unigram overlap per doc and
+    * replays the exact integer F1 floor.
+    */
+  val t124TokenF1 = Q(
+    "t124_token_f1",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      val pairs = d.select(col("doc_id").as("pair_id"),
+        expr("array_join(ws, ' ')").as("candidate"),
+        expr("""array_join(transform(sequence(0, size(ws) - 1),
+                i -> CASE WHEN i % 7 = 3 THEN 'X'
+                          ELSE element_at(ws, CAST(i + 1 AS INT)) END), ' ')""")
+          .as("reference"))
+      graft.ops.EvalMetrics.tokenF1(pairs).orderBy(col("pair_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS cw
+                FROM documents),
+            p AS (SELECT doc_id, cw,
+                    list_transform(range(len(cw)),
+                      i -> CASE WHEN i % 7 = 3 THEN 'X'
+                                ELSE cw[CAST(i + 1 AS INT)] END) AS rw
+                  FROM d),
+            cu AS (SELECT doc_id, unnest(cw) AS w FROM p),
+            ru AS (SELECT doc_id, unnest(rw) AS w FROM p),
+            cc AS (SELECT doc_id, w, count(*) AS c FROM cu GROUP BY doc_id, w),
+            rc AS (SELECT doc_id, w, count(*) AS c FROM ru GROUP BY doc_id, w),
+            ov AS (SELECT cc.doc_id,
+                     CAST(sum(least(cc.c, rc.c)) AS BIGINT) AS overlap
+                   FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.w = cc.w
+                   GROUP BY cc.doc_id)
+            SELECT p.doc_id AS pair_id, COALESCE(ov.overlap, 0) AS overlap,
+                   CAST(len(p.cw) AS BIGINT) AS cand_len,
+                   CAST(len(p.rw) AS BIGINT) AS ref_len,
+                   CASE WHEN len(p.cw) = 0 AND len(p.rw) = 0 THEN 1000000
+                        ELSE 2 * COALESCE(ov.overlap, 0) * 1000000
+                             // (len(p.cw) + len(p.rw)) END AS f1_micro,
+                   p.cw = p.rw AS exact_match
+            FROM p LEFT JOIN ov ON ov.doc_id = p.doc_id
+            ORDER BY pair_id"""))
 
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):
     * counts train on the doc_id < 50 slice, every doc scores against

@@ -74,6 +74,25 @@ class EvalMetricsSpec extends SparkSpec {
     assert(stats("ab", "abcd")(1) == (2L, 2L, 4L))
   }
 
+  test("tokenF1: SQuAD conventions — identity, clipping, empty edges") {
+    import spark.implicits._
+    def f1(cand: String, ref: String): (Long, Long, Long, Long, Boolean) = {
+      val r = EvalMetrics.tokenF1(
+        Seq((1L, cand, ref)).toDF("pair_id", "candidate", "reference")).head()
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    }
+    assert(f1("a b c", "a b c") == (3L, 3L, 3L, 1000000L, true))
+    // half overlap: 2·2/(3+3) = 2/3 → 666666 floored, EM false
+    assert(f1("a b x", "a b y") == (2L, 3L, 3L, 666666L, false))
+    // clipping: "a a a" vs "a" overlaps once → 2·1/(3+1) = 1/2
+    assert(f1("a a a", "a") == (1L, 3L, 1L, 500000L, false))
+    // empty conventions: both empty = 1, one empty = 0
+    assert(f1("", "") == (0L, 0L, 0L, 1000000L, true))
+    assert(f1("", "a")._4 == 0L)
+    // word order does not change F1, but kills EM
+    assert(f1("b a", "a b") == (2L, 2L, 2L, 1000000L, false))
+  }
+
   test("cohensKappa: hand values incl. a NEGATIVE kappa floor, perfect and chance") {
     import spark.implicits._
     def kappa(rows: Seq[(String, String)]): (Long, Long, Long, Long) = {
