@@ -77,7 +77,7 @@ object Imaging extends QModule {
     i87ComponentPerimeter, i88HistEqualize, i89BboxIou, i90MedianFilter,
     i91FillHoles, i92AreaOpen, i93AdaptiveThreshold, i94HistMatch,
     i95FillHoles3d, i96RegionAdjacency, i97RegionIntensity,
-    i98MedianFilter3d)
+    i98MedianFilter3d, i99RegionAdjacency3d)
 
   /** Training-patch extraction ([[graft.operators.Patches]]): the
     * 64×64 / 32×32-chunk volume re-tiled onto a 24×24 patch grid —
@@ -1605,6 +1605,55 @@ object Imaging extends QModule {
                    CAST(max(mv) AS BIGINT) AS max_med,
                    CAST(sum(mv * (y * 16 + x + 1)) AS BIGINT) AS pos_check
             FROM o GROUP BY z ORDER BY z"""))
+
+  /** 3D region adjacency ([[graft.operators.RegionGraph
+    * .adjacency3d]], 6-connectivity) over a 16³ labeled brick mosaic
+    * (4³ bricks, labels mod 6 with every 7th brick background) on a
+    * 2×2×2 chunk grid — brick faces at z,y,x = 8 are exactly the
+    * chunk faces, so all three per-axis handover joins carry label
+    * pairs. The oracle recounts all three adjacency directions
+    * relationally.
+    */
+  val i99RegionAdjacency3d = Q(
+    "i99_region_adjacency_3d",
+    (s, _) => {
+      val n = 16
+      val meta = ImageMeta(Seq("z", "y", "x"), Seq(n, n, n), Seq(8, 8, 8),
+        "uint8", Map("z" -> 1.0, "y" -> 1.0, "x" -> 1.0),
+        Map("z" -> 0.0, "y" -> 0.0, "x" -> 0.0))
+      val vals = Array.tabulate(n * n * n) { i =>
+        val bz = i / (n * n) / 4; val by = (i / n) % n / 4; val bx = i % n / 4
+        if ((bz + by + bx) % 7 == 0) 0.0
+        else ((bz * 2 + by * 3 + bx * 5) % 6 + 1).toDouble
+      }
+      val ds = ChunkOps.fromArray(s, vals, meta)
+      graft.operators.RegionGraph.adjacency3d(s, ds, meta)
+        .orderBy(col("va"), col("vb"))
+    },
+    Some("""WITH g AS (SELECT i // 256 AS z, (i // 16) % 16 AS y, i % 16 AS x,
+                  CASE WHEN ((i // 256 // 4) + ((i // 16) % 16 // 4)
+                             + (i % 16 // 4)) % 7 = 0 THEN 0
+                       ELSE ((i // 256 // 4) * 2 + ((i // 16) % 16 // 4) * 3
+                             + (i % 16 // 4) * 5) % 6 + 1
+                  END AS v
+                FROM range(4096) r(i)),
+            adj AS (SELECT least(a.v, b.v) AS va, greatest(a.v, b.v) AS vb
+                    FROM g a JOIN g b
+                      ON b.z = a.z AND b.y = a.y AND b.x = a.x + 1
+                    WHERE a.v > 0 AND b.v > 0 AND a.v <> b.v
+                    UNION ALL
+                    SELECT least(a.v, b.v), greatest(a.v, b.v)
+                    FROM g a JOIN g b
+                      ON b.z = a.z AND b.y = a.y + 1 AND b.x = a.x
+                    WHERE a.v > 0 AND b.v > 0 AND a.v <> b.v
+                    UNION ALL
+                    SELECT least(a.v, b.v), greatest(a.v, b.v)
+                    FROM g a JOIN g b
+                      ON b.z = a.z + 1 AND b.y = a.y AND b.x = a.x
+                    WHERE a.v > 0 AND b.v > 0 AND a.v <> b.v)
+            SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb,
+                   CAST(count(*) AS BIGINT) AS n_faces
+            FROM adj GROUP BY va, vb ORDER BY va, vb"""))
 
   /** Squared Sobel gradient magnitude
     * ([[graft.operators.Downsample.sobelSq]]) — full-resolution edge
