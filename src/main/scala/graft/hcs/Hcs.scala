@@ -199,6 +199,54 @@ object Hcs {
     OmeZarrIO.writeMultiscales(spark, s"$path/$wellPath/$imagePath", ms)
   }
 
+  /** Batch well-metadata upsert: one driver pass covering every field
+    * of a micro-batch. Row-group and well group docs are written once
+    * each, sequentially — a multi-threaded truncate+write of the
+    * shared `<row>/.zgroup` is not guaranteed atomic on all stores —
+    * and each well's image list merges ALL of its arriving fields in
+    * one read-modify-write (per-well ordering held trivially: single
+    * thread). Chunk payloads are not touched; the caller writes them
+    * in one distributed job.
+    */
+  def upsertWellsMeta(path: String,
+      fields: Seq[(String, String, Option[Int])]): Unit = {
+    val store = openStore(path)
+    fields.map(_._1.split("/").head).distinct.sorted.foreach { rg =>
+      store.writeString(s"$rg/.zgroup", ZarrJson.groupDoc(2))
+    }
+    // wells are independent of each other (per-WELL ordering is the
+    // only merge constraint, and each well appears once here), so the
+    // read-modify-write merges run on a bounded pool — the driver's
+    // store round-trips are latency-bound, not CPU-bound
+    val byWell = fields.groupBy(_._1).toSeq.sortBy(_._1)
+    def mergeOne(wp: String, fs: Seq[(String, String, Option[Int])]): Unit = {
+      store.writeString(s"$wp/.zgroup", ZarrJson.groupDoc(2))
+      val existing = readWellMeta(store, wp).getOrElse(Well(Seq.empty))
+      val newPaths = fs.map(_._2).toSet
+      val merged = Well(
+        existing.images.filterNot(i => newPaths.contains(i.path)) ++
+          fs.sortBy(_._2).map { case (_, img, acq) => WellImage(img, acq) },
+        existing.version)
+      store.writeString(s"$wp/.zattrs", wellAttrs(merged))
+    }
+    if (byWell.length <= 1) byWell.foreach { case (wp, fs) => mergeOne(wp, fs) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(byWell.length, 32))
+      try {
+        val futs = byWell.map { case (wp, fs) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = mergeOne(wp, fs)
+          })
+        }
+        futs.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdownNow()
+    }
+  }
+
   /** Read a plate store (S12, `from_hcs_zarr`). */
   def fromHcsZarr(path: String): HCSPlate = {
     val store = openStore(path)

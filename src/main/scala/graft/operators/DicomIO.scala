@@ -393,10 +393,14 @@ object DicomIO {
       val n = b(i)
       if (n >= 0) {
         val run = n + 1
+        require(i + 1 + run <= end,
+          s"RLE literal run overruns its segment ($run bytes at $i, end $end)")
         System.arraycopy(b, i + 1, out, o, math.min(run, out.length - o))
         o += run; i += 1 + run
       } else if (n != -128) {
         val run = 1 - n
+        require(i + 1 < end,
+          s"RLE replicate run truncated at segment end ($i, end $end)")
         val v = b(i + 1)
         var k = 0
         while (k < run && o < out.length) { out(o) = v; o += 1; k += 1 }

@@ -99,8 +99,9 @@ object Image2dIO {
   def readSeries(spark: SparkSession, inputs: Seq[String]): VolumeFormats.VolumeImage = {
     import spark.implicits._
     val paths = expandSeries(spark, inputs)
-    require(paths.length > 1,
-      s"image series needs >1 slice, got ${paths.length} — use read() for a single bitmap")
+    // a glob/directory that legitimately matches one file is a single
+    // 2-D image, not an error — ingest it through the bitmap path
+    if (paths.length == 1) return read(spark, paths.head)
     val hconf = Some(SerializableHadoopConf.fromActiveSession())
     val first = Multimodal.decodeImage(
       new ZarrStore(paths.head, hconf).readBytes(""))

@@ -116,6 +116,46 @@ object OmeZarrIO {
     counts
   }
 
+  /** Driver-side metadata tree for a single-level zarr-v2 pyramid:
+    * every JSON document [[writeMultiscales]] would emit for one base
+    * level — root group + multiscales attrs, scale group, `.zarray`,
+    * `_ARRAY_DIMENSIONS`, consolidated `.zmetadata` — without touching
+    * chunk payloads. The HCS batch ingest writes ALL fields' chunk
+    * objects of a micro-batch in one distributed job and calls this
+    * per field for the (metadata-scale) JSON tree, instead of
+    * scheduling a filter+write Spark job per field. Executor-safe
+    * (pure function of `meta` + store puts; Jackson mappers are
+    * thread-safe), so the HCS ingest runs it INSIDE the chunk-write
+    * task — the driver never does per-field work. The consolidated
+    * doc composes from the in-memory strings, not a store readback.
+    */
+  private[graft] def writeSingleLevelMetaV2(store: ZarrStore, meta: ImageMeta,
+      method: Method, name: String = "image",
+      compressor: Option[String] = Some("zstd")): Unit = {
+    val msMeta0 = MultiscaleBuilder
+      .Multiscale(Seq(MultiscaleBuilder.Level(meta, null)), method)
+      .metadata(name, "0.4")
+    val msMeta = msMeta0.copy(axes = msMeta0.axes.map(_.copy(orientation = None)))
+    val docs = Seq(
+      ".zgroup" -> ZarrJson.groupDoc(2),
+      ".zattrs" -> ZarrJson.rootAttrs(msMeta),
+      "scale0/.zgroup" -> ZarrJson.groupDoc(2),
+      s"scale0/$name/.zarray" ->
+        ZarrJson.zarrayV2(meta.shape, meta.chunks, meta.dtype, compressor),
+      s"scale0/$name/.zattrs" ->
+        s"""{"_ARRAY_DIMENSIONS": [${meta.dims.map(d => "\"" + d + "\"").mkString(", ")}]}""")
+    docs.foreach { case (k, v) => store.writeString(k, v) }
+    val mapper = ZarrJson.mapper
+    val consolidated = mapper.createObjectNode()
+    consolidated.put("zarr_consolidated_format", 1)
+    val m = consolidated.putObject("metadata")
+    docs.foreach { case (k, v) =>
+      m.set[com.fasterxml.jackson.databind.JsonNode](k, mapper.readTree(v))
+    }
+    store.writeString(".zmetadata",
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(consolidated))
+  }
+
   /** Zarr stores edge chunks padded to the full chunk shape. */
   private[graft] def padToFull(c: ChunkRow, fullChunks: Seq[Int], dtype: String): Array[Byte] =
     if (c.shape == fullChunks) c.data

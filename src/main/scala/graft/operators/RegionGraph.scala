@@ -65,6 +65,11 @@ object RegionGraph {
       while (i < n) {
         val v = vals(i).toLong
         if (v > 0) {
+          // packed (min<<32|max) keys require labels < 2^31: beyond that the
+          // signed shift/sign-extend corrupts counts silently, while the
+          // cross-chunk path stays exact — refuse loudly instead.
+          require(v < (1L << 31),
+            s"adjacencyNd: label $v >= 2^31 exceeds the packed pair-key range")
           var dd = 0
           var onFace = false
           while (dd < nd) {
@@ -72,6 +77,8 @@ object RegionGraph {
             if (lp + 1 < shape(dd)) {
               val w = vals(i + lstrides(dd)).toLong
               if (w > 0 && w != v) {
+                require(w < (1L << 31),
+                  s"adjacencyNd: label $w >= 2^31 exceeds the packed pair-key range")
                 val key = (math.min(v, w) << 32) | math.max(v, w)
                 pairs.merge(key, 1L, (a, b) => a + b)
               }
@@ -91,7 +98,7 @@ object RegionGraph {
       val it = pairs.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        out += RagRow(0, 0, 0, 0, e.getKey >> 32, e.getKey & 0xffffffffL, e.getValue)
+        out += RagRow(0, 0, 0, 0, e.getKey >>> 32, e.getKey & 0xffffffffL, e.getValue)
       }
       out
     }.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -734,6 +734,16 @@ object Streams {
     * rewrite identical chunk objects, so at-least-once delivery is
     * safe (the reference's implicit semantics).
     *
+    * Scale shape: ONE distributed Spark job per micro-batch writes
+    * every arriving field's chunk objects (each executor task
+    * decomposes + compresses + puts the fields in its partition), and
+    * one sequential driver pass writes the metadata-scale JSON tree
+    * (group docs, well-attrs merges, per-image multiscale docs). At
+    * hundreds of plates the driver schedules O(batches) jobs, not
+    * O(fields) — the previous per-field filter+write loop rescanned
+    * the cached batch and queued one tiny job per field, a driver
+    * throughput ceiling at 345k fields.
+    *
     * Only (wellPath, imagePath, shape, acquisition) descriptors ever
     * reach the driver; pixel payloads stay distributed — each field's
     * chunk table is cut from the batch by an executor-side
@@ -747,52 +757,50 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[ArrivingField], _: Long) =>
-        // at-least-once: replays within a batch collapse to one upsert
+        // at-least-once: replays within a batch collapse to one upsert.
+        // dropDuplicates shuffles the batch by (well, image), which
+        // also spreads fields across executor tasks for the write job.
         val uniq = batch.dropDuplicates("wellPath", "imagePath")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val descriptors = uniq
-            .select(col("wellPath"), col("imagePath"), col("height"), col("width"),
-              col("acquisition"))
-            .as[FieldDescriptor].collect()
-          def upsert(d: FieldDescriptor): Unit = {
-            val meta = d.meta
-            val gridSize = graft.zarr.ZarrStore
-              .chunkGrid(meta.shape, meta.chunks).map(_.toLong).product
-            val chunkRows = uniq
-              .filter(col("wellPath") === d.wellPath && col("imagePath") === d.imagePath)
-              .flatMap(f => ChunkOps.decompose(f.values, f.descriptor.meta))
-              .repartition(math.max(1L, math.min(gridSize,
-                spark.sparkContext.defaultParallelism.toLong)).toInt)
-            val ms = MultiscaleBuilder.toMultiscales(spark,
-              MultiscaleBuilder.Level(meta, chunkRows),
-              Some(Seq.empty), Method.ItkwasmBinShrink, cache = false)
-            Hcs.writeWellImage(spark, platePath, d.wellPath, d.imagePath, ms, d.acquisition)
-          }
-          // a 384-well plate lands hundreds of fields per batch:
-          // upserts run CONCURRENTLY across wells (Spark schedules
-          // jobs from many threads fine) but stay SEQUENTIAL within
-          // one well — the well-attrs merge is a read-modify-write
-          // on that well's .zattrs, so per-well ordering is the
-          // correctness boundary
-          val byWell = descriptors.groupBy(_.wellPath).toSeq.sortBy(_._1)
-          val poolSize = math.max(1, math.min(byWell.length,
-            spark.sparkContext.defaultParallelism))
-          if (poolSize <= 1) byWell.foreach(_._2.foreach(upsert))
-          else {
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
-            try {
-              val fs = byWell.map { case (_, ds) =>
-                pool.submit(new java.util.concurrent.Callable[Unit] {
-                  def call(): Unit = ds.foreach(upsert)
-                })
+        val descriptors = uniq
+          .select(col("wellPath"), col("imagePath"), col("height"), col("width"),
+            col("acquisition"))
+          .as[FieldDescriptor].collect()
+        if (descriptors.nonEmpty) {
+          val tDesc = System.nanoTime()
+          // driver metadata pass: row/well group docs + well-attrs
+          // merges (sequential — the shared row-group doc write is
+          // not atomic under concurrency on all stores), then each
+          // image's single-level multiscale JSON tree
+          Hcs.upsertWellsMeta(platePath,
+            descriptors.toSeq.map(d => (d.wellPath, d.imagePath, d.acquisition)))
+          val tMeta = System.nanoTime()
+          // ONE distributed job: every field in the batch writes its
+          // (task-private) image metadata tree, then decomposes into
+          // padded+compressed chunk objects inside its task
+          val hconf = Some(graft.zarr.SerializableHadoopConf.fromActiveSession())
+          val pp = platePath
+          uniq.foreachPartition { (it: Iterator[ArrivingField]) =>
+            val st = new graft.zarr.ZarrStore(pp, hconf)
+            it.foreach { f =>
+              val meta = f.descriptor.meta
+              graft.operators.OmeZarrIO.writeSingleLevelMetaV2(
+                new graft.zarr.ZarrStore(s"$pp/${f.wellPath}/${f.imagePath}", hconf),
+                meta, Method.ItkwasmBinShrink)
+              val arrayPath = s"${f.wellPath}/${f.imagePath}/scale0/image"
+              ChunkOps.decompose(f.values, meta).foreach { c =>
+                val key = graft.zarr.ZarrStore.chunkKey(2, arrayPath, c.chunkIdx)
+                st.writeBytes(key, graft.zarr.Codecs.compress(Some("zstd"),
+                  graft.operators.OmeZarrIO.padToFull(c, meta.chunks, meta.dtype),
+                  typesize = graft.meta.Dtypes.itemSize(meta.dtype)))
               }
-              fs.foreach { f =>
-                try f.get()
-                catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-              }
-            } finally pool.shutdownNow()
+            }
           }
+          if (sys.env.contains("GRAFT_HCS_TIMING")) System.err.println(
+            f"[hcs] n=${descriptors.length} meta=${(tMeta - tDesc) / 1e9}%.2fs " +
+              f"chunks=${(System.nanoTime() - tMeta) / 1e9}%.2fs")
+        }
         } finally uniq.unpersist()
       }
       .start()
