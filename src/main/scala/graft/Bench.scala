@@ -128,6 +128,33 @@ object Bench {
           name -> median(times)
         }
       }
+    // High-variance rehearsal keys (s_ann1m's 12–104 s host envelope;
+    // the skew-dedup pair) repeat n=3 in FRESH sessions and report
+    // the in-run median, so the pinned window shrinks to something a
+    // regression can't hide inside. SPARK_GRAFT_BENCH_NVAR overrides
+    // (set 1 for quick iterations).
+    val nVar = sys.env.get("SPARK_GRAFT_BENCH_NVAR").map(_.toInt).getOrElse(3)
+    def medianRehearsal(key: String, optOut: String, n: Int)(
+        body: SparkSession => Double): Double =
+      if (only.nonEmpty || sys.env.get(optOut).contains("0")) -1.0
+      else {
+        val times = (1 to n).flatMap { _ =>
+          val s = newSession(cpus)
+          val t =
+            try Some(body(s))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $key failed: ${e.getMessage}")
+              None
+            }
+          s.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          System.gc()
+          t
+        }
+        median(times)
+      }
+
     // Imaging-at-scale rehearsal (one shot, not medianed — it runs
     // ~20 s): 512³ distributed gen → 3-level cascade → sharded write →
     // re-read → checksum parity, reported as its own key so rounds
@@ -201,46 +228,26 @@ object Bench {
     // so the salted skew path arms AT REHEARSAL SCALE (asserted inside
     // the run, along with exact clique recovery). Its own key
     // (`t_dedup200k_skew`); same opt-outs as the uniform rehearsal.
+    // High-variance → n=3 in-run median.
     val dedupSkewSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DEDUP").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.ops.DedupRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L),
-            boilerplate = sys.env.get("SPARK_GRAFT_BENCH_DEDUP_BOILER")
-              .map(_.toLong).getOrElse(3000L))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] t_dedup200k_skew failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
+      medianRehearsal("t_dedup200k_skew", "SPARK_GRAFT_BENCH_DEDUP", nVar) { s =>
+        graft.ops.DedupRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L),
+          boilerplate = sys.env.get("SPARK_GRAFT_BENCH_DEDUP_BOILER")
+            .map(_.toLong).getOrElse(3000L))
       }
 
     // Collapsed-pipeline twin of the skewed rehearsal (one shot):
     // exact-collapse before LSH so the boilerplate clique never
     // materializes its C(B,2) pairs — tracked as its own key so the
     // direct-vs-collapsed ratio is a round-over-round number.
+    // High-variance → n=3 in-run median.
     val dedupSkewCollapsedSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DEDUP").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.ops.DedupRehearsal.runCollapsed(s,
-            sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L),
-            boilerplate = sys.env.get("SPARK_GRAFT_BENCH_DEDUP_BOILER")
-              .map(_.toLong).getOrElse(3000L))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] t_dedup200k_skew_collapsed failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
+      medianRehearsal("t_dedup200k_skew_collapsed", "SPARK_GRAFT_BENCH_DEDUP", nVar) { s =>
+        graft.ops.DedupRehearsal.runCollapsed(s,
+          sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L),
+          boilerplate = sys.env.get("SPARK_GRAFT_BENCH_DEDUP_BOILER")
+            .map(_.toLong).getOrElse(3000L))
       }
 
     // Crawl-pipeline rehearsal (one shot): 200k pages written as 64
@@ -249,22 +256,28 @@ object Bench {
     // → exact dedup, every stage structurally asserted (byte-exact
     // extraction, chrome-only line cuts, planted copies recovered).
     // Its own key (`t_crawl200k`); opt out with SPARK_GRAFT_BENCH_CRAWL=0.
-    val crawlSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_CRAWL").contains("0")) -1.0
+    // Phase-split: the gzip fixture WRITE (19–44 s variance envelope,
+    // not the surface under test) and the read path report as
+    // `t_crawl200k_write` / `t_crawl200k_read` so read-path drift
+    // can't hide inside writer noise.
+    val (crawlWriteSec, crawlReadSec): (Double, Double) =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_CRAWL").contains("0")) (-1.0, -1.0)
       else {
         val s = newSession(cpus)
         val t =
-          try graft.sources.CrawlRehearsal.run(s,
+          try graft.sources.CrawlRehearsal.runPhases(s,
             sys.env.get("SPARK_GRAFT_BENCH_CRAWL_N").map(_.toLong).getOrElse(200000L))
           catch { case e: Throwable =>
             System.err.println(s"[bench] t_crawl200k failed: ${e.getMessage}")
-            -1.0
+            (-1.0, -1.0)
           }
         s.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         t
       }
+    val crawlSec: Double =
+      if (crawlWriteSec < 0 || crawlReadSec < 0) -1.0 else crawlWriteSec + crawlReadSec
 
     // Image-dedup-at-scale rehearsal (one shot): 1M perceptual hashes
     // through the collapsed dupClusters path — 100k planted 5-variant
@@ -399,22 +412,12 @@ object Bench {
     // the IVF cascade, recall-checked against distributed brute force
     // on the same queries — the embedding analogue of the pyramid and
     // dedup rehearsals. Opt out with SPARK_GRAFT_BENCH_ANN=0; size
-    // with SPARK_GRAFT_BENCH_ANN_N.
+    // with SPARK_GRAFT_BENCH_ANN_N. High-variance (12–104 s host
+    // envelope) → n=3 in-run median.
     val annSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_ANN").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.ops.AnnRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_ANN_N").map(_.toLong).getOrElse(1000000L))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] s_ann1m failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
+      medianRehearsal("s_ann1m", "SPARK_GRAFT_BENCH_ANN", nVar) { s =>
+        graft.ops.AnnRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_ANN_N").map(_.toLong).getOrElse(1000000L))
       }
 
     // BPE-training-at-scale rehearsal (one shot): 1000 merges over a
@@ -462,6 +465,30 @@ object Bench {
         t
       }
 
+    // Covariance-at-scale rehearsal (one shot): 1M vectors at d=256
+    // through the partition-local Gram accumulation + pcaWhiten —
+    // planted paired-dim correlations recovered at ±0.01, whitened
+    // output re-measured as identity. The regime the former
+    // explode-based plan could not finish. Key `s_cov1m`; opt out
+    // with SPARK_GRAFT_BENCH_COV=0.
+    val covSec: Double =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_COV").contains("0")) -1.0
+      else {
+        val s = newSession(cpus)
+        val t =
+          try graft.ops.CovRehearsal.run(s,
+            sys.env.get("SPARK_GRAFT_BENCH_COV_N").map(_.toLong).getOrElse(1000000L),
+            sys.env.get("SPARK_GRAFT_BENCH_COV_DIM").map(_.toInt).getOrElse(256))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] s_cov1m failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
+
     // millisecond precision keeps the line short: wrappers that
     // tail-capture stdout (the driver keeps only the last few KB)
     // must see the WHOLE line or their JSON parse fails
@@ -480,7 +507,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"n_var_runs":$nVar,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -492,7 +519,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"n_var_runs":$nVar,"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -246,4 +246,54 @@ object EvalMetrics {
       .withColumn("u_b_milli",
         col("n_a") * col("n_b") * 1000L - col("u_a_milli"))
   }
+
+  /** ROUGE-L sufficient statistics — the summarization-eval staple
+    * completing the family: per-pair word-level LCS length plus both
+    * token counts as exact integers, with the β=1 F-measure floored
+    * to micro-units (2·lcs·10⁶/(m+n) — an exact integer form, no
+    * P/R float round trip; both-empty pairs score 10⁶, one-empty 0,
+    * the tokenF1 conventions). Recall/precision reconstruct from
+    * (lcs, ref_len, cand_len) downstream at any β.
+    *
+    * Kernel: classic two-row DP, O(m·n) time / O(min(m,n)) space per
+    * pair, pure per-row inside `mapPartitions` — zero shuffles, and
+    * the quadratic term is per-DOCUMENT (summary-eval pairs are
+    * sentence/paragraph scale), never cross-row.
+    */
+  def rougeL(pairs: DataFrame, idCol: String = "pair_id",
+      candCol: String = "candidate", refCol: String = "reference"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(idCol).cast("long"), col(candCol), col(refCol))
+      .as[(Long, String, String)]
+      .map { case (id, cand, ref) =>
+        val cw = Option(cand).getOrElse("").split(' ').filter(_.nonEmpty)
+        val rw = Option(ref).getOrElse("").split(' ').filter(_.nonEmpty)
+        // keep the short side as the DP row
+        val (a, b) = if (cw.length <= rw.length) (rw, cw) else (cw, rw)
+        val n = b.length
+        var prev = new Array[Long](n + 1)
+        var cur = new Array[Long](n + 1)
+        var i = 1
+        while (i <= a.length) {
+          val ai = a(i - 1)
+          var j = 1
+          while (j <= n) {
+            cur(j) =
+              if (ai == b(j - 1)) prev(j - 1) + 1L
+              else math.max(prev(j), cur(j - 1))
+            j += 1
+          }
+          val t = prev; prev = cur; cur = t
+          java.util.Arrays.fill(cur, 0L)
+          i += 1
+        }
+        val lcs = prev(n)
+        val f1Micro =
+          if (cw.isEmpty && rw.isEmpty) 1000000L
+          else if (cw.isEmpty || rw.isEmpty) 0L
+          else 2L * lcs * 1000000L / (cw.length + rw.length)
+        (id, lcs, cw.length.toLong, rw.length.toLong, f1Micro)
+      }.toDF("pair_id", "lcs", "cand_len", "ref_len", "f1_micro")
+  }
 }

@@ -876,33 +876,99 @@ object Similarity {
     out
   }
 
+  /** Partition-local Gram/sum/count sufficient statistics for the
+    * covariance family: each task accumulates the upper-triangle
+    * Gram matrix (d(d+1)/2 primitive doubles), per-dim sums and a
+    * count over its vectors, then a `treeAggregate` merges d²-scale
+    * arrays — per PARTITION on the wire, never per vector. The
+    * naive alternative (explode d(d+1)/2 product structs per row
+    * into a hash aggregate) generates ~3·10¹¹ rows for 1M vectors
+    * at d=768 before partial aggregation can collapse anything — a
+    * scale-killer this shape avoids by construction.
+    */
+  private[ops] def gramStats(vectors: DataFrame, vecCol: String)
+      : (Array[Double], Array[Double], Long) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val parts = vectors.select(asDouble(col(vecCol))).as[Array[Double]]
+      .mapPartitions { it =>
+        var gram: Array[Double] = null
+        var sums: Array[Double] = null
+        var d = 0
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next()
+          if (gram == null) {
+            d = v.length
+            gram = new Array[Double](d * (d + 1) / 2)
+            sums = new Array[Double](d)
+          }
+          require(v.length == d,
+            s"covariance over ragged vectors: ${v.length} != $d")
+          var i = 0
+          var t = 0
+          while (i < d) {
+            val xi = v(i)
+            sums(i) += xi
+            var j = i
+            while (j < d) { gram(t) += xi * v(j); j += 1; t += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator.single((gram, sums, n))
+      }
+    def merge(a: (Array[Double], Array[Double], Long),
+        b: (Array[Double], Array[Double], Long)) = {
+      if (a._1 == null) b
+      else if (b._1 == null) a
+      else {
+        require(a._1.length == b._1.length,
+          s"covariance over ragged partitions: ${a._1.length} != ${b._1.length}")
+        var t = 0
+        while (t < a._1.length) { a._1(t) += b._1(t); t += 1 }
+        var i = 0
+        while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+        (a._1, a._2, a._3 + b._3)
+      }
+    }
+    parts.rdd.treeAggregate(
+      (null: Array[Double], null: Array[Double], 0L))(merge, merge)
+  }
+
   def covarianceMatrix(vectors: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val e = asDouble(col(vecCol))
-    val prods = flatten(transform(e, (xi, i) =>
-      transform(slice(e, i + 1, size(e) - i), (xj, jo) =>
-        struct(i.as("i"), (i + jo).as("j"), (xi * xj).as("p")))))
-    val cells = vectors.select(explode(prods).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
-    val means = vectors.select(posexplode(e))
-      .groupBy(col("pos")).agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
-    val mi = means.select(col("pos").as("i"), col("sx").as("sx_i"), col("n"))
-    val mj = means.select(col("pos").as("j"), col("sx").as("sx_j"))
-    cells.join(broadcast(mi), Seq("i")).join(broadcast(mj), Seq("j"))
-      .select(col("i"), col("j"),
-        (col("sp") / col("n") -
-          (col("sx_i") / col("n")) * (col("sx_j") / col("n"))).as("cov"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val (gram, sums, n) = gramStats(vectors, vecCol)
+    if (n == 0L)
+      return Seq.empty[(Int, Int, Double)].toDF("i", "j", "cov")
+    val d = sums.length
+    val rows = Seq.newBuilder[(Int, Int, Double)]
+    var i = 0
+    var t = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        rows += ((i, j, gram(t) / n - (sums(i) / n) * (sums(j) / n)))
+        j += 1
+        t += 1
+      }
+      i += 1
+    }
+    // d(d+1)/2 cells — metadata-scale; the heavy reduction already ran
+    rows.result().toDF("i", "j", "cov")
   }
 
   /** PCA whitening: project embeddings onto the top-`k` principal
     * components and rescale each to unit variance — the
     * decorrelation step SemDeDup-style semantic pipelines run before
     * cosine thresholds mean anything. The d×d covariance reduces via
-    * [[covarianceMatrix]]'s single-scan aggregation (d² doubles to
-    * the driver — metadata, not data), eigendecomposes on the driver
-    * with a deterministic cyclic Jacobi sweep, and the k×d projection
-    * broadcasts back; the projection itself is one codegen'd pass.
+    * [[gramStats]]'s single-scan partition-local accumulation (d²
+    * doubles to the driver — metadata, not data), eigendecomposes on
+    * the driver with a deterministic cyclic Jacobi sweep, and the k×d
+    * projection broadcasts back; the projection itself is one typed
+    * pass.
     *
     * Output: (id, whitened array[k]). Components are sign-fixed
     * (largest-|loading| coordinate positive) so results are
@@ -912,16 +978,25 @@ object Similarity {
       vecCol: String = "embedding", eps: Double = 1e-9): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val covRows = covarianceMatrix(vectors, idCol, vecCol)
-      .select(col("i"), col("j"), col("cov"))
-      .as[(Int, Int, Double)].collect() // d(d+1)/2 doubles — metadata-scale
-    val d = covRows.map(_._2).max + 1
+    val (gram, sums, n) = gramStats(vectors, vecCol) // ONE scan: cov + means
+    require(n > 0L, "pcaWhiten over an empty vector set")
+    val d = sums.length
     require(k >= 1 && k <= d, s"k=$k outside 1..$d")
+    val means = sums.map(_ / n)
     val cov = Array.ofDim[Double](d, d)
-    covRows.foreach { case (i, j, c) => cov(i)(j) = c; cov(j)(i) = c }
-    val means = vectors.select(posexplode(asDouble(col(vecCol))))
-      .groupBy(col("pos")).agg((sum(col("col")) / count(lit(1))).as("m"))
-      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    var ci = 0
+    var ct = 0
+    while (ci < d) {
+      var cj = ci
+      while (cj < d) {
+        val c = gram(ct) / n - means(ci) * means(cj)
+        cov(ci)(cj) = c
+        cov(cj)(ci) = c
+        cj += 1
+        ct += 1
+      }
+      ci += 1
+    }
     val (eigVals, eigVecs) = jacobiEigen(cov) // descending
     // rows of `proj`: component c scaled by 1/sqrt(lambda_c)
     val proj = Array.tabulate(k, d) { (c, i) =>

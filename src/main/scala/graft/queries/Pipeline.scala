@@ -42,7 +42,7 @@ object Pipeline extends QModule {
     t107VocabCoverage, t108NgramNovelty, t109SplitLeakage, t110CdcChunks,
     t116ByteBpeEncode, t117BpeRoundtrip, t118VocabGrowth, t119PassAtK,
     t120BleuStats, t121CohensKappa, t122MannWhitney, t123ChrfStats,
-    t124TokenF1)
+    t124TokenF1, t125RougeL)
 
   import QTables.{docs, emb}
 
@@ -1568,6 +1568,68 @@ object Pipeline extends QModule {
                              // (len(p.cw) + len(p.rw)) END AS f1_micro,
                    p.cw = p.rw AS exact_match
             FROM p LEFT JOIN ov ON ov.doc_id = p.doc_id
+            ORDER BY pair_id"""))
+
+  /** ROUGE-L sufficient statistics ([[graft.ops.EvalMetrics.rougeL]]):
+    * candidate = the doc's first 12 words, reference = the same words
+    * ROTATED by 3 — an order-sensitive fixture a bag-of-words overlap
+    * (which would report full overlap) or a positional match count
+    * (which would report near-zero) both fail; only a true LCS over
+    * the crossing alignment scores it. The oracle replays the full
+    * DP table per pair through a per-cell recursive CTE at fixture
+    * lengths (≤ 12×12 cells), then the exact integer F floor.
+    */
+  val t125RougeL = Q(
+    "t125_rouge_l",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        expr("slice(filter(split(text, ' '), x -> x != ''), 1, 12)").as("cw"))
+      val pairs = d.select(col("doc_id").as("pair_id"),
+        expr("array_join(cw, ' ')").as("candidate"),
+        expr("""array_join(concat(
+                  slice(cw, 4, greatest(size(cw) - 3, 0)),
+                  slice(cw, 1, least(size(cw), 3))), ' ')""").as("reference"))
+      graft.ops.EvalMetrics.rougeL(pairs).orderBy(col("pair_id"))
+    },
+    Some("""WITH RECURSIVE
+            d AS (SELECT doc_id,
+                    list_slice(list_filter(string_split(text, ' '), x -> x <> ''),
+                      1, 12) AS cw
+                  FROM documents),
+            p AS MATERIALIZED (SELECT doc_id, cw,
+                    list_concat(list_slice(cw, 4, len(cw)),
+                                list_slice(cw, 1, 3)) AS rw,
+                    len(cw) AS m,
+                    len(list_concat(list_slice(cw, 4, len(cw)),
+                                    list_slice(cw, 1, 3))) AS n
+                  FROM d),
+            dp AS (
+              SELECT doc_id, m, n, cw, rw, 0 AS k,
+                     list_transform(range((m + 1) * (n + 1)), x -> 0) AS t
+              FROM p
+              UNION ALL
+              SELECT doc_id, m, n, cw, rw, k + 1,
+                     list_transform(range((m + 1) * (n + 1)), x ->
+                       CASE WHEN x = (k // n + 1) * (n + 1) + (k % n + 1)
+                            THEN CASE WHEN cw[CAST(k // n + 1 AS INT)]
+                                           = rw[CAST(k % n + 1 AS INT)]
+                                      THEN t[(k // n) * (n + 1) + (k % n) + 1] + 1
+                                      ELSE greatest(
+                                        t[(k // n) * (n + 1) + (k % n + 1) + 1],
+                                        t[(k // n + 1) * (n + 1) + (k % n) + 1])
+                                 END
+                            ELSE t[x + 1]
+                       END) AS t
+              FROM dp WHERE k < m * n)
+            SELECT doc_id AS pair_id,
+                   CAST(t[m * (n + 1) + n + 1] AS BIGINT) AS lcs,
+                   CAST(m AS BIGINT) AS cand_len,
+                   CAST(n AS BIGINT) AS ref_len,
+                   CAST(CASE WHEN m = 0 AND n = 0 THEN 1000000
+                             WHEN m = 0 OR n = 0 THEN 0
+                             ELSE 2 * t[m * (n + 1) + n + 1] * 1000000 // (m + n)
+                        END AS BIGINT) AS f1_micro
+            FROM dp WHERE k = m * n
             ORDER BY pair_id"""))
 
   /** Bigram-LM perplexity quality scoring ([[graft.ops.LangModel]]):

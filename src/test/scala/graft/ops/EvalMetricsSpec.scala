@@ -93,6 +93,44 @@ class EvalMetricsSpec extends SparkSpec {
     assert(f1("b a", "a b") == (2L, 2L, 2L, 1000000L, false))
   }
 
+  test("rougeL: LCS hand values — identity, disjoint, order sensitivity, crossing") {
+    import spark.implicits._
+    def rl(cand: String, ref: String): (Long, Long, Long, Long) = {
+      val r = EvalMetrics.rougeL(
+        Seq((1L, cand, ref)).toDF("pair_id", "candidate", "reference")).head()
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    assert(rl("a b c", "a b c") == (3L, 3L, 3L, 1000000L))
+    assert(rl("a b c", "x y z") == (0L, 3L, 3L, 0L))
+    // order sensitivity: bag overlap is total, LCS is not
+    assert(rl("a b", "b a") == (1L, 2L, 2L, 500000L))
+    // crossing alignment (rotation): LCS picks the longer block
+    assert(rl("a b c d e", "d e a b c") == (3L, 5L, 5L, 600000L))
+    // repeats: LCS of "a b a b" vs "b a b a" is 3 ("a b a" / "b a b")
+    assert(rl("a b a b", "b a b a")._1 == 3L)
+    // classic textbook: LCS("A G C A T", "G A C") = 2
+    assert(rl("A G C A T", "G A C")._1 == 2L)
+    // subsequence (deletion-only): full short side
+    assert(rl("a b c d", "b d") == (2L, 4L, 2L, 666666L))
+    // empty conventions match tokenF1: both = 1e6, one = 0
+    assert(rl("", "") == (0L, 0L, 0L, 1000000L))
+    assert(rl("a", "") == (0L, 1L, 0L, 0L))
+    // brute-force cross-check on all 4-token strings over {a, b}
+    def bruteLcs(x: Seq[String], y: Seq[String]): Int =
+      if (x.isEmpty || y.isEmpty) 0
+      else if (x.head == y.head) 1 + bruteLcs(x.tail, y.tail)
+      else math.max(bruteLcs(x.tail, y), bruteLcs(x, y.tail))
+    val toks = Seq("a", "b")
+    val all = for (p <- toks; q <- toks; r <- toks; s <- toks) yield Seq(p, q, r, s)
+    val pairs = for ((x, i) <- all.zipWithIndex; (y, j) <- all.zipWithIndex)
+      yield ((i * all.size + j).toLong, x.mkString(" "), y.mkString(" "))
+    val got = EvalMetrics.rougeL(pairs.toDF("pair_id", "candidate", "reference"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((x, i) <- all.zipWithIndex; (y, j) <- all.zipWithIndex)
+      assert(got((i * all.size + j).toLong) == bruteLcs(x, y).toLong,
+        s"LCS mismatch on $x vs $y")
+  }
+
   test("cohensKappa: hand values incl. a NEGATIVE kappa floor, perfect and chance") {
     import spark.implicits._
     def kappa(rows: Seq[(String, String)]): (Long, Long, Long, Long) = {
