@@ -15,16 +15,17 @@ import scala.collection.mutable
   * continuation blocks) and v2 "OHDR" headers (OCHK continuations);
   * v1 symbol-table groups (TREE / SNOD / local HEAP, multi-level),
   * new-style compact link-message groups AND dense (fractal-heap)
-  * groups — FRHP with a root direct block or one level of indirect
-  * rows, link-name-index v2 B-tree (BTHD/BTIN/BTLF) depth ≤ 1,
-  * managed unfiltered heap objects; dataspace v1/v2; datatype v1–v3
+  * groups — FRHP with direct or indirect root, indirect blocks of
+  * ANY depth, FILTERED heaps (per-direct-block pipeline), managed +
+  * tiny heap objects, link-name-index v2 B-tree (BTHD/BTIN/BTLF)
+  * depth ≤ 1; dataspace v1/v2; datatype v1–v3
   * classes fixed-point, float (IEEE 32/64) and fixed-length string;
   * data layouts v3 compact, contiguous and chunked (v1 chunk B-tree
   * incl. internal nodes); filter pipeline v1/v2 with deflate and
   * byte-shuffle; attribute message v1/v3 with scalar / small-array
   * values. Out of scope (loud refusals): szip/nbit/scaleoffset
   * filters, vlen and compound datatypes, external/virtual layouts,
-  * filtered/huge/tiny fractal-heap objects, B-tree depth ≥ 2.
+  * huge fractal-heap objects, B-tree depth ≥ 2.
   *
   * Scale posture: ALL parsing here touches metadata only — group
   * tables, object headers, the chunk B-tree — kilobytes read on the
@@ -291,22 +292,23 @@ object Hdf5 {
     * message bodies and a name-index v2 B-tree of heap IDs. The
     * reader enumerates every B-tree record (name hashes are not
     * re-verified — same trust posture as v2 object-header checksums),
-    * resolves each managed heap ID through the heap's doubling table,
-    * and parses the stored link message. Scope: managed objects (link
-    * bodies sit far below the huge/tiny regimes), unfiltered heaps,
-    * root direct block or one level of indirect rows of direct
-    * blocks, B-tree depth ≤ 1 — several thousand links; beyond that
-    * refuses loudly by structure name.
+    * resolves managed heap IDs through the heap's doubling table, and
+    * parses the stored link message. Scope: managed + tiny objects;
+    * FILTERED heaps (the header's I/O-filter pipeline applied per
+    * direct block — libhdf5 emits these for large attribute-heavy
+    * groups); indirect blocks of ANY depth (child indirect-block row
+    * counts from the doubling-table identity nrows =
+    * log2(cover) − log2(start·width) + 1). Huge objects (their own
+    * v2 B-tree regime — link bodies never get there) refuse by name.
     */
   private def denseLinks(bytes: Array[Byte], fheapAddr: Long, btreeAddr: Long,
       path: String): Seq[(String, Long)] = {
     require(sig4(bytes, fheapAddr) == "FRHP",
       s"hdf5: fractal heap at $fheapAddr has signature '${sig4(bytes, fheapAddr)}'")
-    val h = bb(bytes, fheapAddr + 4, 146)
+    val h = bb(bytes, fheapAddr + 4, 138)
     require((h.get() & 0xff) == 0, s"hdf5: fractal heap version != 0 at $path")
     val heapIdLen = h.getShort() & 0xffff
     val filterLen = h.getShort() & 0xffff
-    require(filterLen == 0, s"hdf5: filtered fractal heap at $path unsupported")
     h.get() // flags (checksummed direct blocks don't change addressing)
     h.getInt() // max managed object size
     (0 until 12).foreach(_ => h.getLong()) // huge/free/managed statistics
@@ -321,56 +323,114 @@ object Hdf5 {
     val idLenSize = heapIdLen - 1 - offsetSize
     require(idLenSize >= 1 && idLenSize <= 8,
       s"hdf5: fractal heap ID layout $heapIdLen/$offsetSize at $path")
-
-    // (heap-space offset, size, file address) of every direct block
-    val blocks: Seq[(Long, Long, Long)] =
-      if (curRowsRoot == 0) Seq((0L, startBlockSize, rootBlockAddr))
+    // filtered heap: the fixed header continues with (only when the
+    // root is a DIRECT block) its stored size + filter mask, then the
+    // I/O filter pipeline message body
+    val (rootStoredSize, rootFilterMask, heapFilters) =
+      if (filterLen == 0) (startBlockSize, 0, Seq.empty[Filter])
       else {
-        require(sig4(bytes, rootBlockAddr) == "FHIB",
-          s"hdf5: root indirect block at $rootBlockAddr missing FHIB")
-        val ib = bb(bytes, rootBlockAddr + 4, 1 + 8 + offsetSize +
-          curRowsRoot * tableWidth * 8 + 8)
-        require((ib.get() & 0xff) == 0, s"hdf5: indirect block version != 0 at $path")
-        ib.getLong() // heap header address
-        (0 until offsetSize).foreach(_ => ib.get()) // block offset (root: 0)
-        val out = mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var heapOff = 0L
-        var row = 0
-        while (row < curRowsRoot) {
-          val rowSize =
-            if (row < 2) startBlockSize else startBlockSize << (row - 1)
-          require(rowSize <= maxDirectSize,
-            s"hdf5: indirect-of-indirect fractal heap rows at $path unsupported")
-          var col = 0
-          while (col < tableWidth) {
-            val a = ib.getLong()
-            if (a != Undef) out += ((heapOff, rowSize, a))
-            heapOff += rowSize
-            col += 1
-          }
-          row += 1
-        }
-        out.toSeq
+        val ext = bb(bytes, fheapAddr + 4 + 138,
+          (if (curRowsRoot == 0) 12 else 0) + filterLen)
+        val (sz, mk) =
+          if (curRowsRoot == 0) (ext.getLong(), ext.getInt())
+          else (0L, 0)
+        val info = new Array[Byte](filterLen)
+        ext.get(info)
+        (sz, mk, parseFilters((0x000B, info), path))
       }
 
-    def readManaged(id: Array[Byte]): Array[Byte] = {
+    def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
+    def rowSize(k: Int): Long =
+      if (k < 2) startBlockSize else startBlockSize << (k - 1)
+
+    // every direct block materialized (defiltered when the heap has a
+    // pipeline): (heap-space offset, cover size, block bytes) — link
+    // heaps are metadata-scale, copies are fine
+    val blocks = mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+    def addDirect(addr: Long, heapOff: Long, size: Long,
+        storedSize: Long, mask: Int): Unit = {
+      val data =
+        if (heapFilters.isEmpty)
+          java.util.Arrays.copyOfRange(bytes, addr.toInt, (addr + size).toInt)
+        else {
+          val raw = java.util.Arrays.copyOfRange(bytes, addr.toInt,
+            (addr + storedSize).toInt)
+          val d = defilter(raw, heapFilters, mask)
+          require(d.length == size.toInt,
+            s"hdf5: defiltered direct block is ${d.length} bytes, cover $size at $path")
+          d
+        }
+      require(new String(data, 0, 4, "US-ASCII") == "FHDB",
+        s"hdf5: direct block at $addr missing FHDB (after defilter) at $path")
+      blocks += ((heapOff, size, data))
+    }
+    def walkIndirect(addr: Long, baseOff: Long, nrows: Int): Unit = {
+      require(sig4(bytes, addr) == "FHIB",
+        s"hdf5: indirect block at $addr missing FHIB at $path")
+      val dirEntry = 8 + (if (heapFilters.nonEmpty) 12 else 0)
+      val nDir = math.min(nrows, maxDirectRows) * tableWidth
+      val nInd = math.max(0, nrows - maxDirectRows) * tableWidth
+      val ib = bb(bytes, addr + 4,
+        1 + 8 + offsetSize + nDir * dirEntry + nInd * 8 + 4)
+      require((ib.get() & 0xff) == 0,
+        s"hdf5: indirect block version != 0 at $path")
+      ib.getLong() // heap header address
+      (0 until offsetSize).foreach(_ => ib.get()) // block offset
+      var heapOff = baseOff
+      var row = 0
+      while (row < nrows) {
+        val rs = rowSize(row)
+        var col = 0
+        while (col < tableWidth) {
+          if (row < maxDirectRows) {
+            val a = ib.getLong()
+            val (ssz, mk) =
+              if (heapFilters.nonEmpty) (ib.getLong(), ib.getInt()) else (rs, 0)
+            if (a != Undef) addDirect(a, heapOff, rs, ssz, mk)
+          } else {
+            // child indirect block covering rs bytes of heap space
+            val a = ib.getLong()
+            if (a != Undef) {
+              val childRows = log2(rs) - log2(startBlockSize * tableWidth) + 1
+              walkIndirect(a, heapOff, childRows)
+            }
+          }
+          heapOff += rs
+          col += 1
+        }
+        row += 1
+      }
+    }
+    if (curRowsRoot == 0)
+      addDirect(rootBlockAddr, 0L, startBlockSize, rootStoredSize, rootFilterMask)
+    else walkIndirect(rootBlockAddr, 0L, curRowsRoot)
+
+    def readObject(id: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
       val vt = b.get() & 0xff
-      require((vt & 0x30) == 0, s"hdf5: non-managed heap object type at $path")
-      var off = 0L
-      (0 until offsetSize).foreach(i => off |= (b.get() & 0xffL) << (8 * i))
-      var len = 0L
-      (0 until idLenSize).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
-      val blk = blocks.find(bl => off >= bl._1 && off < bl._1 + bl._2)
-        .getOrElse(fail(s"hdf5: heap offset $off outside direct blocks at $path"))
-      val fileAddr = blk._3 + (off - blk._1)
-      val out = new Array[Byte](len.toInt)
-      System.arraycopy(bytes, fileAddr.toInt, out, 0, len.toInt)
-      out
+      (vt >> 4) & 0x3 match {
+        case 0 => // managed: heap-space offset + length into a direct block
+          var off = 0L
+          (0 until offsetSize).foreach(i => off |= (b.get() & 0xffL) << (8 * i))
+          var len = 0L
+          (0 until idLenSize).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
+          val blk = blocks.find(bl => off >= bl._1 && off < bl._1 + bl._2)
+            .getOrElse(fail(s"hdf5: heap offset $off outside direct blocks at $path"))
+          java.util.Arrays.copyOfRange(blk._3, (off - blk._1).toInt,
+            (off - blk._1 + len).toInt)
+        case 2 => // tiny: the object IS the ID payload, length in byte 0
+          val len = (vt & 0x0f) + 1
+          require(1 + len <= id.length,
+            s"hdf5: tiny heap object overruns its $heapIdLen-byte ID at $path")
+          java.util.Arrays.copyOfRange(id, 1, 1 + len)
+        case t =>
+          fail(s"hdf5: huge fractal-heap object (type $t) at $path unsupported")
+      }
     }
 
     v2BtreeHeapIds(bytes, btreeAddr, heapIdLen, path)
-      .map(id => parseLink(readManaged(id), path))
+      .map(id => parseLink(readObject(id), path))
       .sortBy(_._1)
   }
 

@@ -136,6 +136,38 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("FILTERED fractal heap: deflated root direct block defilters before ID resolution") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/dense_filtered.hdf5"))
+    val tree = Hdf5.parse(bytes)
+    assert(tree.groups.keySet == Set("packed"))
+    val g = tree.groups("packed")
+    assert(g.datasets.keySet == (0 until 12).map(i => f"c$i%02d").toSet)
+    (0 until 12).foreach { i =>
+      val ds = g.datasets(f"c$i%02d")
+      val addr = ds.layout.asInstanceOf[Hdf5.Contiguous].addr
+      val v = ((bytes(addr.toInt + 1) & 0xff) << 8) | (bytes(addr.toInt) & 0xff)
+      assert(v == 7 * i + 3, f"c$i%02d")
+    }
+  }
+
+  test("depth-2 fractal heap: child indirect block + filtered indirect entries") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/dense_deep.hdf5"))
+    val tree = Hdf5.parse(bytes)
+    assert(tree.groups.keySet == Set("deep"))
+    val g = tree.groups("deep")
+    // 80 links spill past the root's direct rows (1024 bytes of heap
+    // space) into a direct block reached ONLY through the child FHIB
+    assert(g.datasets.keySet == (0 until 80).map(i => f"e$i%02d").toSet)
+    (0 until 80).foreach { i =>
+      val ds = g.datasets(f"e$i%02d")
+      val addr = ds.layout.asInstanceOf[Hdf5.Contiguous].addr
+      val v = ((bytes(addr.toInt + 1) & 0xff) << 8) | (bytes(addr.toInt) & 0xff)
+      assert(v == 7 * i + 3, f"e$i%02d")
+    }
+  }
+
   test("refuse-loudly: bad signature, unsupported structures") {
     val e1 = intercept[IllegalArgumentException](Hdf5.parse("not hdf5 at all".getBytes))
     assert(e1.getMessage.contains("signature"))

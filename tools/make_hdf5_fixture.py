@@ -580,6 +580,215 @@ def make_dense():
     (OUT / "dense.hdf5").write_bytes(bytes(f.buf))
 
 
+
+
+# ---- dense_filtered.hdf5 / dense_deep.hdf5: filtered heaps + depth-2 ----
+
+def _deflate_pipeline_v2() -> bytes:
+    """Filter Pipeline message body, v2, one filter: deflate(level 6)."""
+    return (struct.pack("<BB", 2, 1)
+            + struct.pack("<HHH", 1, 0, 1)   # id=1, flags, 1 client value
+            + struct.pack("<I", 6))
+
+
+def _link_entries(f: H5, prefix: str, count: int):
+    entries = []
+    for i in range(count):
+        val_addr = f.alloc(struct.pack("<h", 7 * i + 3))
+        oh = f.alloc(object_header_v1([
+            (0x0001, dataspace([1])),
+            (0x0003, dt_fixed(2, signed=True)),
+            (0x0005, fill_value_v2()),
+            (0x0008, layout_contiguous(val_addr, 2)),
+        ]))
+        entries.append((f"{prefix}{i:02d}", oh))
+    return entries
+
+
+def _btree_and_group(f: H5, entries, heap_ids, frhp_addr, node_size, gname):
+    recs = sorted(
+        (jenkins_lookup3(name.encode()), hid)
+        for (name, _), hid in zip(entries, heap_ids))
+    rec_bytes = b"".join(struct.pack("<I", h) + hid for h, hid in recs)
+    btlf = b"BTLF" + struct.pack("<BB", 0, 5) + rec_bytes
+    btlf_addr = f.alloc(btlf + struct.pack("<I", jenkins_lookup3(btlf)))
+    bthd = (b"BTHD" + struct.pack("<BB", 0, 5)
+            + struct.pack("<IHH", node_size, 4 + len(heap_ids[0]), 0)
+            + struct.pack("<BB", 100, 40)
+            + struct.pack("<QH", btlf_addr, len(recs))
+            + struct.pack("<Q", len(recs)))
+    bthd_addr = f.alloc(bthd + struct.pack("<I", jenkins_lookup3(bthd)))
+    li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    g_oh = f.alloc(object_header_v1([(0x0002, li)]))
+    btree, heap = group_structures(f, [(gname, g_oh)])
+    root_oh = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(btree, heap)),
+    ]))
+    superblock(f, root_oh)
+
+
+def make_dense_filtered():
+    """Dense group whose fractal heap is DEFLATE-filtered: the FRHP
+    carries an I/O-filter pipeline, its root DIRECT block is stored
+    compressed (header gains stored-size + filter-mask fields), and
+    the reader must defilter before resolving managed heap IDs —
+    the layout libhdf5 emits for large attribute-heavy groups."""
+    import zlib
+    f = H5()
+    entries = _link_entries(f, "c", 12)
+    bodies = [
+        struct.pack("<BBB", 1, 0, len(name)) + name.encode()
+        + struct.pack("<Q", oh)
+        for name, oh in entries
+    ]
+    DB_SIZE, OFFSET_SIZE, LEN_SIZE = 512, 4, 2
+    db_hdr_len = 4 + 1 + 8 + OFFSET_SIZE
+    block = bytearray(DB_SIZE)
+    heap_ids = []
+    pos = db_hdr_len
+    for body in bodies:
+        heap_ids.append(b"\x00" + struct.pack("<I", pos)
+                        + struct.pack("<H", len(body)))
+        block[pos:pos + len(body)] = body
+        pos += len(body)
+    pipeline = _deflate_pipeline_v2()
+    # compress a placeholder first to learn the stored size; the FHDB
+    # header embeds frhp_addr, which depends on nothing downstream of
+    # the block, so patch then recompress deterministically
+    frhp_fixed = (b"FRHP"
+            + struct.pack("<BHHB", 0, 1 + OFFSET_SIZE + LEN_SIZE, len(pipeline), 0)
+            + struct.pack("<I", 4096)
+            + struct.pack("<Q", 0)
+            + struct.pack("<Q", UNDEF)
+            + struct.pack("<Q", DB_SIZE - pos)
+            + struct.pack("<Q", UNDEF)
+            + struct.pack("<QQ", DB_SIZE, DB_SIZE)
+            + struct.pack("<Q", pos)
+            + struct.pack("<Q", len(bodies))
+            + struct.pack("<QQQQ", 0, 0, 0, 0)
+            + struct.pack("<H", 4)
+            + struct.pack("<QQ", DB_SIZE, 65536)
+            + struct.pack("<H", 32)
+            + struct.pack("<H", 1))
+    # frhp_addr must be known to fill FHDB; alloc the heap header FIRST
+    # with a placeholder root address, then the compressed block
+    frhp_addr = f.cursor
+    block[0:db_hdr_len] = (b"FHDB" + struct.pack("<BQ", 0, frhp_addr)
+                           + struct.pack("<I", 0))
+    stored = zlib.compress(bytes(block), 6)
+    db_addr = frhp_addr + 4 + 138 + 12 + len(pipeline) + 4  # header+extras+cksum
+    frhp = (frhp_fixed
+            + struct.pack("<Q", db_addr)
+            + struct.pack("<H", 0)                    # rows=0: direct root
+            + struct.pack("<QI", len(stored), 0)      # stored size + mask
+            + pipeline)
+    assert f.alloc(frhp + struct.pack("<I", jenkins_lookup3(frhp))) == frhp_addr
+    assert f.alloc(stored) == db_addr
+    _btree_and_group(f, entries, heap_ids, frhp_addr, 512, "packed")
+    (OUT / "dense_filtered.hdf5").write_bytes(bytes(f.buf))
+
+
+def make_dense_deep():
+    """Dense group whose fractal heap needs a DEPTH-2 walk: the root
+    indirect block's third row holds CHILD indirect blocks (start =
+    max direct size = 256, width 2 => max_dblock_rows = 2), and the
+    whole heap is ALSO deflate-filtered, so indirect entries carry
+    (address, stored size, filter mask) triplets. 80 links spill past
+    the 1024 bytes covered by the root's direct rows into the child."""
+    import zlib
+    f = H5()
+    entries = _link_entries(f, "e", 80)
+    bodies = [
+        struct.pack("<BBB", 1, 0, len(name)) + name.encode()
+        + struct.pack("<Q", oh)
+        for name, oh in entries
+    ]
+    BLK, WIDTH, OFFSET_SIZE, LEN_SIZE = 256, 2, 4, 2
+    db_hdr_len = 4 + 1 + 8 + OFFSET_SIZE
+    pipeline = _deflate_pipeline_v2()
+    frhp_addr = f.cursor  # heap header allocated first (FHDB points back)
+
+    # pack bodies into 256-byte blocks at heap offsets 0,256,...
+    blocks, heap_ids = [], []
+    cur = bytearray(BLK)
+    cur_off, pos = 0, db_hdr_len
+    def flush():
+        nonlocal cur, pos
+        cur[0:db_hdr_len] = (b"FHDB" + struct.pack("<BQ", 0, frhp_addr)
+                             + struct.pack("<I", cur_off))
+        blocks.append((cur_off, zlib.compress(bytes(cur), 6)))
+        cur = bytearray(BLK)
+        pos = db_hdr_len
+    for body in bodies:
+        if pos + len(body) > BLK:
+            flush()
+            cur_off += BLK
+        heap_ids.append(b"\x00" + struct.pack("<I", cur_off + pos)
+                        + struct.pack("<H", len(body)))
+        cur[pos:pos + len(body)] = body
+        pos += len(body)
+    flush()
+    n_blocks = len(blocks)
+    assert n_blocks == 5, n_blocks  # rows 0-1 of root + 1 in the child
+
+    total_cover = 1024 + 2 * BLK  # root direct rows + one child indirect
+    frhp = (b"FRHP"
+            + struct.pack("<BHHB", 0, 1 + OFFSET_SIZE + LEN_SIZE, len(pipeline), 0)
+            + struct.pack("<I", 4096)
+            + struct.pack("<Q", 0)
+            + struct.pack("<Q", UNDEF)
+            + struct.pack("<Q", n_blocks * BLK - (blocks[-1][0] + 256))
+            + struct.pack("<Q", UNDEF)
+            + struct.pack("<QQ", total_cover, total_cover)
+            + struct.pack("<Q", blocks[-1][0] + 256)
+            + struct.pack("<Q", len(bodies))
+            + struct.pack("<QQQQ", 0, 0, 0, 0)
+            + struct.pack("<H", WIDTH)
+            + struct.pack("<QQ", BLK, BLK)      # start = max direct = 256
+            + struct.pack("<H", 32)
+            + struct.pack("<H", 3))             # starting rows
+    db_addrs = [f.cursor + 0]  # placeholder; allocate after header+root+child
+    # layout: FRHP | root FHIB | child FHIB | direct blocks (compressed)
+    frhp_len = len(frhp) + 8 + 2 + len(pipeline) + 4
+    # root FHIB: 3 rows x 2 cols; rows 0-1 direct (addr+size+mask each),
+    # row 2 indirect (addr only)
+    root_len = 4 + 1 + 8 + OFFSET_SIZE + 4 * (8 + 8 + 4) + 2 * 8 + 4
+    child_len = 4 + 1 + 8 + OFFSET_SIZE + 2 * (8 + 8 + 4) + 4
+    root_addr = frhp_addr + frhp_len
+    child_addr = root_addr + root_len
+    addr = child_addr + child_len
+    db_addrs = []
+    for _off, comp in blocks:
+        db_addrs.append(addr)
+        addr += len(comp)
+    frhp_full = (frhp + struct.pack("<Q", root_addr) + struct.pack("<H", 3)
+                 + pipeline)  # indirect root: no stored-size/mask extras
+    assert len(frhp_full) + 4 == frhp_len
+    assert f.alloc(frhp_full + struct.pack("<I", jenkins_lookup3(frhp_full))) == frhp_addr
+
+    def fhib(block_off, entries_bytes):
+        body = (b"FHIB" + struct.pack("<BQ", 0, frhp_addr)
+                + struct.pack("<I", block_off) + entries_bytes)
+        return body + struct.pack("<I", jenkins_lookup3(body))
+
+    root_entries = b""
+    for k in range(4):  # rows 0-1: direct blocks 0..3
+        root_entries += struct.pack("<QQI", db_addrs[k], len(blocks[k][1]), 0)
+    root_entries += struct.pack("<Q", child_addr)  # row 2 col 0: child FHIB
+    root_entries += struct.pack("<Q", UNDEF)       # row 2 col 1: absent
+    assert f.alloc(fhib(0, root_entries)) == root_addr
+
+    child_entries = (struct.pack("<QQI", db_addrs[4], len(blocks[4][1]), 0)
+                     + struct.pack("<QQI", UNDEF, 0, 0))
+    assert f.alloc(fhib(1024, child_entries)) == child_addr
+
+    for (i, (_off, comp)) in enumerate(blocks):
+        assert f.alloc(comp) == db_addrs[i]
+
+    _btree_and_group(f, entries, heap_ids, frhp_addr, 2048, "deep")
+    (OUT / "dense_deep.hdf5").write_bytes(bytes(f.buf))
+
+
 make_contiguous()
 make_chunked()
 make_minc2()
@@ -587,4 +796,6 @@ make_itk()
 make_v2()
 make_chunked_deep()
 make_dense()
+make_dense_filtered()
+make_dense_deep()
 print("wrote hdf5 fixtures to", OUT)
