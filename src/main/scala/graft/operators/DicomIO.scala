@@ -18,9 +18,12 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *   - 1.2.840.10008.1.2.4.50 JPEG Baseline, 8-bit, via the JDK
   *                            codec (the common clinical-export
   *                            syntax; lossy by nature)
-  * The remaining compressed syntaxes (JPEG-LS, JPEG 2000, 12-bit
-  * extended JPEG, deflate) refuse loudly — same codec-scope posture
-  * as MP3/H.264 (COVERAGE.md): no silently-wrong pixels.
+  *   - 1.2.840.10008.1.2.4.80 JPEG-LS Lossless and
+  *   - 1.2.840.10008.1.2.4.81 JPEG-LS Near-Lossless, via the pure-JVM
+  *                            ITU-T T.87 codec in [[JpegLs]]
+  * The remaining compressed syntaxes (JPEG 2000, 12-bit extended
+  * JPEG, deflate) refuse loudly — same codec-scope posture as
+  * MP3/H.264 (COVERAGE.md): no silently-wrong pixels.
   * MONOCHROME1/2, 8/16-bit, single-sample only; Rescale
   * slope/intercept applies NIfTI-style (float32 output).
   *
@@ -38,6 +41,8 @@ object DicomIO {
   private val ExplicitLE = "1.2.840.10008.1.2.1"
   private val ExplicitBE = "1.2.840.10008.1.2.2"
   private val JpegBaseline = "1.2.840.10008.1.2.4.50"
+  private val JpegLsLossless = "1.2.840.10008.1.2.4.80"
+  private val JpegLsNear = "1.2.840.10008.1.2.4.81"
   private val RleLossless = "1.2.840.10008.1.2.5"
 
   /** The per-file facts the reader extracts (header-only pass).
@@ -126,16 +131,19 @@ object DicomIO {
     }
     require(transferSyntax.nonEmpty, "DICOM file meta without TransferSyntaxUID")
     // encapsulated syntaxes use the default (explicit LE) dataset VR
-    val encapsulated =
-      transferSyntax == JpegBaseline || transferSyntax == RleLossless
+    val encapsulated = transferSyntax == JpegBaseline ||
+      transferSyntax == RleLossless ||
+      transferSyntax == JpegLsLossless || transferSyntax == JpegLsNear
     val (explicitVr, be) = transferSyntax match {
       case ImplicitLE => (false, false)
       case ExplicitLE => (true, false)
       case ExplicitBE => (true, true)
-      case JpegBaseline | RleLossless => (true, false)
+      case JpegBaseline | RleLossless | JpegLsLossless | JpegLsNear =>
+        (true, false)
       case other => throw new UnsupportedOperationException(
         s"DICOM transfer syntax $other unsupported (decodable here: " +
-          "implicit/explicit LE, explicit BE, JPEG baseline, RLE lossless)")
+          "implicit/explicit LE, explicit BE, JPEG baseline, JPEG-LS, " +
+          "RLE lossless)")
     }
 
     var rows = -1; var cols = -1; var bits = -1; var signed = false
@@ -313,6 +321,7 @@ object DicomIO {
     def mode(m: SliceMeta): Int = m.transferSyntax match {
       case JpegBaseline => 1
       case RleLossless => 2
+      case JpegLsLossless | JpegLsNear => 3
       case _ => 0
     }
     def frameRange(m: SliceMeta, frame: Int): (Long, Long) =
@@ -339,6 +348,7 @@ object DicomIO {
         val px = decodeMode match {
           case 1 => decodeJpegGray(raw, rows, cols)
           case 2 => decodeRleFrame(raw, rows * cols, itemSize, srcDtype)
+          case 3 => decodeJpegLsFrame(raw, rows, cols, srcDtype)
           case _ => ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
         }
         // DICOM rows are y-major; chunk payload is C-order over (x,y,z=1)
@@ -378,6 +388,29 @@ object DicomIO {
       var x = 0
       while (x < cols) { out(y * cols + x) = raster.getSample(x, y, 0).toDouble; x += 1 }
       y += 1
+    }
+    out
+  }
+
+  /** Decode one JPEG-LS fragment (transfer syntaxes .4.80/.4.81) via
+    * the pure-JVM T.87 codec. DICOM stores signed pixels in JPEG-LS
+    * as their two's-complement bit pattern (the codec itself is
+    * unsigned), so `int8`/`int16` reinterpret at the stored width.
+    */
+  private[operators] def decodeJpegLsFrame(frag: Array[Byte], rows: Int,
+      cols: Int, dtype: String): Array[Double] = {
+    val img = JpegLs.decode(frag)
+    require(img.height == rows && img.width == cols,
+      s"JPEG-LS frame is ${img.height}x${img.width}, header says ${rows}x$cols")
+    val out = new Array[Double](rows * cols)
+    var i = 0
+    dtype match {
+      case "int16" =>
+        while (i < out.length) { out(i) = img.samples(i).toShort.toDouble; i += 1 }
+      case "int8" =>
+        while (i < out.length) { out(i) = img.samples(i).toByte.toDouble; i += 1 }
+      case _ =>
+        while (i < out.length) { out(i) = img.samples(i).toDouble; i += 1 }
     }
     out
   }
@@ -569,6 +602,24 @@ object DicomIO {
     buildSlice(RleLossless, bits = 16, signed = true, rows, cols,
       instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
       encapsulate(Seq(frame.toByteArray)))
+  }
+
+  /** One JPEG-LS Lossless Part 10 slice with int16 pixels: the frame
+    * goes through [[JpegLs.encode]] at precision 16 with the signed
+    * values reinterpreted as their unsigned bit pattern (the DICOM
+    * convention for signed JPEG-LS data). Lossless — decodes
+    * bit-identical to the explicit-LE form, so the i68 gate can mix
+    * all three syntaxes under one closed-form oracle.
+    */
+  def encodeSliceJpegLsInt16(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Short]): Array[Byte] = {
+    require(pixels.length == rows * cols, "pixels != rows*cols")
+    val unsigned = pixels.map(_ & 0xffff)
+    val jls = JpegLs.encode(unsigned, cols, rows, precision = 16)
+    buildSlice(JpegLsLossless, bits = 16, signed = true, rows, cols,
+      instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
+      encapsulate(Seq(jls)))
   }
 
   /** One JPEG-baseline Part 10 slice: 8-bit grayscale frame through

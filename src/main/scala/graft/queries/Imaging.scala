@@ -317,16 +317,21 @@ object Imaging extends QModule {
         val px = Array.tabulate[Short](rows * cols) { p =>
           ((p % cols) * 3 + (p / cols) * 5 + z * 29).toShort
         }
-        // alternate explicit-LE and RLE-Lossless slices within the
-        // series: RLE is lossless, so the oracle's closed form holds
-        // for both — a compressed-decode drift hash-mismatches
-        val bytes =
-          if (i % 2 == 0)
+        // cycle explicit-LE / RLE-Lossless / JPEG-LS slices within the
+        // series: both compressed syntaxes are lossless, so the
+        // oracle's closed form holds for all three — a
+        // compressed-decode drift hash-mismatches
+        val bytes = i % 3 match {
+          case 0 =>
             DicomIO.encodeSliceInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
               pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
-          else
+          case 1 =>
             DicomIO.encodeSliceRleInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
               pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
+          case _ =>
+            DicomIO.encodeSliceJpegLsInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
+              pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
+        }
         java.nio.file.Files.write(dir.resolve(s"f$i.dcm"), bytes)
       }
       val img = DicomIO.readSeriesDir(s, dir.toString)

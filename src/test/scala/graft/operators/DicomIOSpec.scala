@@ -65,6 +65,34 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(1))
   }
 
+  test("JPEG-LS fixture (independent Python T.87 encoder) decodes exactly, negatives intact") {
+    val img = DicomIO.read(spark, s"$fx/jls.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L))
+    assert(img.meta.dtype == "int16")
+    // jls.dcm carries the z=2 pattern shifted down by 60: values span
+    // [-60, 65], so a dropped two's-complement reinterpretation fails
+    val want = for (x <- 0 until NX; y <- 0 until NY)
+      yield (v(x, y, 2) - 60).toDouble
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == want)
+  }
+
+  test("JPEG-LS series mixes with explicit-LE; JVM T.87 encoder round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("dcm_jls")
+    for (z <- 0 until 3) {
+      val px = Array.tabulate[Short](NY * NX) { p =>
+        (v(p % NX, p / NX, z) - 30).toShort // negatives again
+      }
+      val bytes =
+        if (z % 2 == 0) DicomIO.encodeSliceJpegLsInt16(NY, NX, z + 1, z * 2.0,
+          (1.0, 1.0), 2.0, px)
+        else DicomIO.encodeSliceInt16(NY, NX, z + 1, z * 2.0, (1.0, 1.0), 2.0, px)
+      java.nio.file.Files.write(dir.resolve(s"s$z.dcm"), bytes)
+    }
+    val img = DicomIO.readSeriesDir(spark, dir.toString)
+    assert(img.meta.shape == Seq(NX.toLong, NY, 3L))
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(3, _ - 30.0))
+  }
+
   test("JPEG-baseline fixture without PixelData refuses on the element, not the syntax") {
     val e = intercept[Exception](DicomIO.read(spark, s"$fx/jpeg.dcm"))
     assert(messageChain(e).exists(_.contains("without PixelData")))

@@ -13,6 +13,10 @@ second implementation of the Part 10 layout:
                         6x5, z=0 — header/segments/PackBits written
                         from PS3.5 Annex G independently of the JVM
                         decoder
+    jls.dcm             JPEG-LS Lossless (1.2.840.10008.1.2.4.80),
+                        int16 with negative values, z=2 pattern minus
+                        60 — encoded by the independent pure-Python
+                        T.87 implementation in make_jpegls_fixture.py
     j2k.dcm             JPEG 2000 transfer syntax (must refuse)
     jpeg.dcm            JPEG-baseline transfer syntax header with no
                         PixelData (must refuse on the missing element,
@@ -170,6 +174,33 @@ ds = b"".join([
     pixel_el,
 ])
 (OUT / "rle.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.5"), ds))
+
+# --- JPEG-LS Lossless slice (independent T.87 encoder) --------------------
+# signed int16 with NEGATIVE values: the stream stores the 16-bit
+# two's-complement pattern, pinning the reader's signed reinterpretation
+import sys
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from make_jpegls_fixture import encode as jls_encode  # noqa: E402
+
+vals_s = [v - 60 for v in vox(2)]  # range [-60, 65]
+jls, _ = jls_encode([v & 0xFFFF for v in vals_s], NX, NY, 16)
+if len(jls) % 2:
+    jls += b"\x00"
+encap = (struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+         + struct.pack("<HHI", 0xFFFE, 0xE000, len(jls)) + jls
+         + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+    + struct.pack("<I", 0xFFFFFFFF) + encap
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+    el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+    el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+    el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+    el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 1)),
+    pixel_el,
+])
+(OUT / "jls.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.4.80"), ds))
 
 # --- still-unsupported syntax (JPEG 2000): must refuse --------------------
 (OUT / "j2k.dcm").write_bytes(part10(
