@@ -59,17 +59,17 @@ object RegionGraph {
       lstrides(nd - 1) = 1
       var d = nd - 2
       while (d >= 0) { lstrides(d) = lstrides(d + 1) * shape(d + 1); d -= 1 }
-      val pairs = new java.util.HashMap[Long, Long]() // (min<<32|max) -> n
+      // full-Long pair keys: CCL labels are min-global-voxel-ids, so
+      // volumes past 2^31 voxels produce labels a packed (min<<32|max)
+      // key cannot carry — a two-level LongMap (min -> max -> n) keeps
+      // the keys primitive (no boxing on the hot path) at ANY label
+      val pairs = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.LongMap[Long]]
       val out = scala.collection.mutable.ArrayBuffer.empty[RagRow]
       var i = 0
       while (i < n) {
         val v = vals(i).toLong
         if (v > 0) {
-          // packed (min<<32|max) keys require labels < 2^31: beyond that the
-          // signed shift/sign-extend corrupts counts silently, while the
-          // cross-chunk path stays exact — refuse loudly instead.
-          require(v < (1L << 31),
-            s"adjacencyNd: label $v >= 2^31 exceeds the packed pair-key range")
           var dd = 0
           var onFace = false
           while (dd < nd) {
@@ -77,10 +77,10 @@ object RegionGraph {
             if (lp + 1 < shape(dd)) {
               val w = vals(i + lstrides(dd)).toLong
               if (w > 0 && w != v) {
-                require(w < (1L << 31),
-                  s"adjacencyNd: label $w >= 2^31 exceeds the packed pair-key range")
-                val key = (math.min(v, w) << 32) | math.max(v, w)
-                pairs.merge(key, 1L, (a, b) => a + b)
+                val inner = pairs.getOrElseUpdate(math.min(v, w),
+                  scala.collection.mutable.LongMap.empty[Long])
+                val hi = math.max(v, w)
+                inner(hi) = inner.getOrElse(hi, 0L) + 1L
               }
             }
             if (lp == 0 || lp == shape(dd) - 1) onFace = true
@@ -95,10 +95,8 @@ object RegionGraph {
         }
         i += 1
       }
-      val it = pairs.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        out += RagRow(0, 0, 0, 0, e.getKey >>> 32, e.getKey & 0xffffffffL, e.getValue)
+      pairs.foreach { case (va, inner) =>
+        inner.foreach { case (vb, cnt) => out += RagRow(0, 0, 0, 0, va, vb, cnt) }
       }
       out
     }.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -65,6 +65,23 @@ class RegionGraphSpec extends SparkSpec {
     assert(run2d(gap, meta2(h, w, 3, 3)).isEmpty)
   }
 
+  test("labels >= 2^31 count exactly (CCL ids past 2^31 voxels)") {
+    // offset-inject huge labels instead of building a giant volume:
+    // CCL labels are min global voxel ids, so any volume past 2^31
+    // voxels produces labels the old packed (min<<32|max) key
+    // corrupted — the pair maps must carry full Longs
+    val h = 12; val w = 12
+    val base = (3L << 31).toDouble // 6442450944
+    val vals = Array.tabulate(h * w) { i =>
+      val y = i / w
+      if (y < 4) base else if (y < 8) base + 1e9 else 0.0
+    }
+    val m = ImageMeta(Seq("y", "x"), Seq(h, w), Seq(5, 7), "float64",
+      Map("y" -> 1.0, "x" -> 1.0), Map("y" -> 0.0, "x" -> 0.0))
+    val got = run2d(vals, m)
+    assert(got == Map((base.toLong, base.toLong + 1000000000L) -> w.toLong))
+  }
+
   test("regionIntensityStats: brute-force parity, grid mismatch refuses") {
     val rnd = new scala.util.Random(71)
     val h = 16; val w = 16
