@@ -17,15 +17,15 @@ import scala.collection.mutable
   * new-style compact link-message groups AND dense (fractal-heap)
   * groups — FRHP with direct or indirect root, indirect blocks of
   * ANY depth, FILTERED heaps (per-direct-block pipeline), managed +
-  * tiny heap objects, link-name-index v2 B-tree (BTHD/BTIN/BTLF)
-  * depth ≤ 1; dataspace v1/v2; datatype v1–v3
+  * tiny (incl. extended-tiny) + huge heap objects (direct and
+  * huge-B-tree-indirect IDs), v2 B-trees (BTHD/BTIN/BTLF) of ANY
+  * depth; dataspace v1/v2; datatype v1–v3
   * classes fixed-point, float (IEEE 32/64) and fixed-length string;
   * data layouts v3 compact, contiguous and chunked (v1 chunk B-tree
   * incl. internal nodes); filter pipeline v1/v2 with deflate and
   * byte-shuffle; attribute message v1/v3 with scalar / small-array
   * values. Out of scope (loud refusals): szip/nbit/scaleoffset
-  * filters, vlen and compound datatypes, external/virtual layouts,
-  * huge fractal-heap objects, B-tree depth ≥ 2.
+  * filters, vlen and compound datatypes, external/virtual layouts.
   *
   * Scale posture: ALL parsing here touches metadata only — group
   * tables, object headers, the chunk B-tree — kilobytes read on the
@@ -293,13 +293,15 @@ object Hdf5 {
     * reader enumerates every B-tree record (name hashes are not
     * re-verified — same trust posture as v2 object-header checksums),
     * resolves managed heap IDs through the heap's doubling table, and
-    * parses the stored link message. Scope: managed + tiny objects;
-    * FILTERED heaps (the header's I/O-filter pipeline applied per
-    * direct block — libhdf5 emits these for large attribute-heavy
-    * groups); indirect blocks of ANY depth (child indirect-block row
+    * parses the stored link message. Scope: managed + tiny (normal
+    * AND extended-tiny) + huge objects (direct IDs, and indirect IDs
+    * resolved through the heap's huge-object v2 B-tree, record types
+    * 1/2 — libhdf5 emits these for link bodies past the max managed
+    * object size, e.g. very long names); FILTERED heaps (the header's
+    * I/O-filter pipeline applied per direct block and per huge
+    * object); indirect blocks of ANY depth (child indirect-block row
     * counts from the doubling-table identity nrows =
-    * log2(cover) − log2(start·width) + 1). Huge objects (their own
-    * v2 B-tree regime — link bodies never get there) refuse by name.
+    * log2(cover) − log2(start·width) + 1).
     */
   private def denseLinks(bytes: Array[Byte], fheapAddr: Long, btreeAddr: Long,
       path: String): Seq[(String, Long)] = {
@@ -311,7 +313,9 @@ object Hdf5 {
     val filterLen = h.getShort() & 0xffff
     h.get() // flags (checksummed direct blocks don't change addressing)
     h.getInt() // max managed object size
-    (0 until 12).foreach(_ => h.getLong()) // huge/free/managed statistics
+    h.getLong() // next huge object ID
+    val hugeBtreeAddr = h.getLong() // huge-object v2 B-tree (Undef if none)
+    (0 until 10).foreach(_ => h.getLong()) // free/managed/huge/tiny statistics
     val tableWidth = h.getShort() & 0xffff
     val startBlockSize = h.getLong()
     val maxDirectSize = h.getLong()
@@ -320,9 +324,10 @@ object Hdf5 {
     val rootBlockAddr = h.getLong()
     val curRowsRoot = h.getShort() & 0xffff
     val offsetSize = (maxHeapBits + 7) / 8
+    // managed-ID length field width; only meaningful when a managed ID
+    // is decoded (enforced there — an extended-tiny-only heap can have
+    // heapIdLen > 1 + offsetSize + 8 without ever using managed IDs)
     val idLenSize = heapIdLen - 1 - offsetSize
-    require(idLenSize >= 1 && idLenSize <= 8,
-      s"hdf5: fractal heap ID layout $heapIdLen/$offsetSize at $path")
     // filtered heap: the fixed header continues with (only when the
     // root is a DIRECT block) its stored size + filter mask, then the
     // I/O filter pipeline message body
@@ -350,10 +355,16 @@ object Hdf5 {
     val blocks = mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
     def addDirect(addr: Long, heapOff: Long, size: Long,
         storedSize: Long, mask: Int): Unit = {
+      // copyOfRange zero-pads past EOF — a truncated file must refuse
+      // loudly instead of yielding silently zeroed link bytes
       val data =
-        if (heapFilters.isEmpty)
+        if (heapFilters.isEmpty) {
+          require(addr + size <= bytes.length,
+            s"hdf5: direct block at $addr+$size overruns the file at $path")
           java.util.Arrays.copyOfRange(bytes, addr.toInt, (addr + size).toInt)
-        else {
+        } else {
+          require(addr + storedSize <= bytes.length,
+            s"hdf5: filtered direct block at $addr+$storedSize overruns the file at $path")
           val raw = java.util.Arrays.copyOfRange(bytes, addr.toInt,
             (addr + storedSize).toInt)
           val d = defilter(raw, heapFilters, mask)
@@ -402,30 +413,81 @@ object Hdf5 {
         row += 1
       }
     }
-    if (curRowsRoot == 0)
-      addDirect(rootBlockAddr, 0L, startBlockSize, rootStoredSize, rootFilterMask)
-    else walkIndirect(rootBlockAddr, 0L, curRowsRoot)
+    // an all-tiny (or all-huge) heap has no managed blocks at all
+    if (rootBlockAddr != Undef) {
+      if (curRowsRoot == 0)
+        addDirect(rootBlockAddr, 0L, startBlockSize, rootStoredSize, rootFilterMask)
+      else walkIndirect(rootBlockAddr, 0L, curRowsRoot)
+    }
 
+    // huge objects resolve through the heap's own v2 B-tree; parse it
+    // lazily so the common all-managed heap never touches the field
+    lazy val huge: Map[Long, (Long, Long, Int, Long)] = {
+      require(hugeBtreeAddr != Undef,
+        s"hdf5: huge heap ID with no huge-object B-tree at $path")
+      hugeObjects(bytes, hugeBtreeAddr, path)
+    }
+    def sliceHuge(addr: Long, storedLen: Long, mask: Int, memLen: Long): Array[Byte] = {
+      require(addr + storedLen <= bytes.length,
+        s"hdf5: huge object at $addr+$storedLen overruns the file at $path")
+      val raw = java.util.Arrays.copyOfRange(bytes, addr.toInt,
+        (addr + storedLen).toInt)
+      if (heapFilters.isEmpty) raw
+      else {
+        val d = defilter(raw, heapFilters, mask)
+        require(d.length == memLen.toInt,
+          s"hdf5: defiltered huge object is ${d.length} bytes, expected $memLen at $path")
+        d
+      }
+    }
     def readObject(id: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
       val vt = b.get() & 0xff
       (vt >> 4) & 0x3 match {
         case 0 => // managed: heap-space offset + length into a direct block
+          require(idLenSize >= 1 && idLenSize <= 8,
+            s"hdf5: fractal heap managed-ID layout $heapIdLen/$offsetSize at $path")
           var off = 0L
           (0 until offsetSize).foreach(i => off |= (b.get() & 0xffL) << (8 * i))
           var len = 0L
           (0 until idLenSize).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
           val blk = blocks.find(bl => off >= bl._1 && off < bl._1 + bl._2)
             .getOrElse(fail(s"hdf5: heap offset $off outside direct blocks at $path"))
+          // the object must sit inside its block's cover — copyOfRange
+          // past the end would fabricate zeroed link bytes
+          require(off - blk._1 + len <= blk._2 && off - blk._1 + len <= blk._3.length,
+            s"hdf5: managed object at $off+$len overruns its direct block at $path")
           java.util.Arrays.copyOfRange(blk._3, (off - blk._1).toInt,
             (off - blk._1 + len).toInt)
-        case 2 => // tiny: the object IS the ID payload, length in byte 0
-          val len = (vt & 0x0f) + 1
-          require(1 + len <= id.length,
+        case 1 => // huge: ID is large enough for direct addressing, or
+          // keys the heap's huge-object v2 B-tree
+          val directLen = 1 + 8 + 8 + (if (heapFilters.nonEmpty) 4 + 8 else 0)
+          if (heapIdLen >= directLen) {
+            val addr = b.getLong()
+            val storedLen = b.getLong()
+            val (mask, memLen) =
+              if (heapFilters.nonEmpty) (b.getInt(), b.getLong())
+              else (0, storedLen)
+            sliceHuge(addr, storedLen, mask, memLen)
+          } else {
+            var hid = 0L
+            (0 until math.min(8, heapIdLen - 1))
+              .foreach(i => hid |= (b.get() & 0xffL) << (8 * i))
+            val (addr, storedLen, mask, memLen) = huge.getOrElse(hid,
+              fail(s"hdf5: huge object id $hid not in the huge B-tree at $path"))
+            sliceHuge(addr, storedLen, mask, memLen)
+          }
+        case 2 => // tiny: the object IS the ID payload; normal IDs carry
+          // the length in byte 0's low nibble, extended-tiny IDs
+          // (heap ID length > 18) add a second length byte (12 bits)
+          val (len, start) =
+            if (heapIdLen <= 18) ((vt & 0x0f) + 1, 1)
+            else (((vt & 0x0f) | ((b.get() & 0xff) << 4)) + 1, 2)
+          require(start + len <= id.length,
             s"hdf5: tiny heap object overruns its $heapIdLen-byte ID at $path")
-          java.util.Arrays.copyOfRange(id, 1, 1 + len)
+          java.util.Arrays.copyOfRange(id, start, start + len)
         case t =>
-          fail(s"hdf5: huge fractal-heap object (type $t) at $path unsupported")
+          fail(s"hdf5: reserved fractal-heap ID type $t at $path")
       }
     }
 
@@ -434,65 +496,116 @@ object Hdf5 {
       .sortBy(_._1)
   }
 
-  /** Heap IDs from every record of a link-name-index v2 B-tree
-    * (BTHD/BTIN/BTLF). Record type 5 = 4-byte name hash + heap ID;
-    * depth 0 (one leaf) and depth 1 (internal root over leaves) are
-    * read, deeper trees refuse.
+  /** Raw records from every node of a v2 B-tree (BTHD/BTIN/BTLF), at
+    * ANY depth. Child-pointer field widths follow libhdf5's header
+    * math (H5B2hdr): the per-child record-count field is sized for
+    * the most records any node can hold (a leaf), and pointers to
+    * internal children additionally carry a total-subtree count sized
+    * from the cumulative per-depth capacity
+    *   maxRec(u)  = (nodeSize − 10 − ptr(u)) / (recordSize + ptr(u))
+    *   ptr(u)     = 8 + enc(maxLeafRec) + enc(cumMax(u−1)), leaf enc = 0
+    *   cumMax(u)  = (maxRec(u) + 1)·cumMax(u−1) + maxRec(u)
+    * Returns (record type, records).
     */
-  private def v2BtreeHeapIds(bytes: Array[Byte], btreeAddr: Long,
-      heapIdLen: Int, path: String): Seq[Array[Byte]] = {
+  private def v2BtreeRecords(bytes: Array[Byte], btreeAddr: Long,
+      path: String): (Int, Seq[Array[Byte]]) = {
     require(sig4(bytes, btreeAddr) == "BTHD",
       s"hdf5: v2 B-tree at $btreeAddr has signature '${sig4(bytes, btreeAddr)}'")
     val h = bb(bytes, btreeAddr + 4, 30)
     require((h.get() & 0xff) == 0, s"hdf5: v2 B-tree version != 0 at $path")
     val btype = h.get() & 0xff
-    require(btype == 5 || btype == 6, s"hdf5: v2 B-tree type $btype at $path")
     val nodeSize = h.getInt()
     val recordSize = h.getShort() & 0xffff
     val depth = h.getShort() & 0xffff
     h.get(); h.get() // split/merge percents
     val rootAddr = h.getLong()
     val nrecRoot = h.getShort() & 0xffff
-    require(recordSize >= 4 + heapIdLen,
-      s"hdf5: link record size $recordSize < ${4 + heapIdLen} at $path")
 
-    def idOf(recAddr: Long): Array[Byte] = {
-      val id = new Array[Byte](heapIdLen)
-      System.arraycopy(bytes, (recAddr + 4).toInt, id, 0, heapIdLen)
-      id
-    }
-    def leafIds(addr: Long, nrec: Int): Seq[Array[Byte]] = {
-      require(sig4(bytes, addr) == "BTLF",
-        s"hdf5: B-tree leaf at $addr has signature '${sig4(bytes, addr)}'")
-      (0 until nrec).map(i => idOf(addr + 6 + i.toLong * recordSize))
+    // bytes to encode values up to `limit` (H5VM_limit_enc_size)
+    def encSize(limit: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(limit, 1L))) / 8 + 1
+    val maxLeafRecs = (nodeSize - 10) / recordSize
+    val nrecFieldSize = encSize(maxLeafRecs.toLong)
+    // per-depth child-pointer widths: totNrec field is absent for
+    // pointers to leaves (enc of cumMax(0) is special-cased to 0)
+    val cumMax = new Array[Long](depth + 1)
+    val totFieldSize = new Array[Int](depth + 1)
+    cumMax(0) = maxLeafRecs.toLong
+    totFieldSize(0) = 0
+    var u = 1
+    while (u <= depth) {
+      val ptr = 8 + nrecFieldSize + totFieldSize(u - 1)
+      val maxRec = (nodeSize - 10 - ptr) / (recordSize + ptr)
+      cumMax(u) = (maxRec.toLong + 1) * cumMax(u - 1) + maxRec
+      totFieldSize(u) = encSize(cumMax(u))
+      u += 1
     }
 
-    depth match {
-      case 0 => leafIds(rootAddr, nrecRoot)
-      case 1 =>
-        require(sig4(bytes, rootAddr) == "BTIN",
-          s"hdf5: B-tree internal node at $rootAddr missing BTIN")
-        // child pointer 'number of records' field width is sized for
-        // the maximum a leaf can hold (prefix 6 + checksum 4 overhead)
-        val maxLeafRecs = (nodeSize - 10) / recordSize
-        val nrecFieldSize =
-          if (maxLeafRecs < (1 << 8)) 1
-          else if (maxLeafRecs < (1 << 16)) 2
-          else if (maxLeafRecs < (1 << 24)) 3 else 4
-        val recsStart = rootAddr + 6
-        val internal = (0 until nrecRoot).map(i => idOf(recsStart + i.toLong * recordSize))
-        var p = recsStart + nrecRoot.toLong * recordSize
-        val fromLeaves = (0 to nrecRoot).flatMap { _ =>
-          val cb = bb(bytes, p, 8 + nrecFieldSize)
+    def recOf(recAddr: Long): Array[Byte] = {
+      require(recAddr + recordSize <= bytes.length,
+        s"hdf5: v2 B-tree record at $recAddr overruns the file at $path")
+      java.util.Arrays.copyOfRange(bytes, recAddr.toInt,
+        recAddr.toInt + recordSize)
+    }
+    def walk(addr: Long, d: Int, nrec: Int): Seq[Array[Byte]] =
+      if (d == 0) {
+        require(sig4(bytes, addr) == "BTLF",
+          s"hdf5: B-tree leaf at $addr has signature '${sig4(bytes, addr)}'")
+        (0 until nrec).map(i => recOf(addr + 6 + i.toLong * recordSize))
+      } else {
+        require(sig4(bytes, addr) == "BTIN",
+          s"hdf5: B-tree internal node at $addr missing BTIN")
+        val recsStart = addr + 6
+        val own = (0 until nrec).map(i => recOf(recsStart + i.toLong * recordSize))
+        val ptrWidth = 8 + nrecFieldSize + totFieldSize(d - 1)
+        var p = recsStart + nrec.toLong * recordSize
+        val fromChildren = (0 to nrec).flatMap { _ =>
+          val cb = bb(bytes, p, ptrWidth)
           val childAddr = cb.getLong()
-          var nrec = 0L
-          (0 until nrecFieldSize).foreach(i => nrec |= (cb.get() & 0xffL) << (8 * i))
-          p += 8 + nrecFieldSize
-          leafIds(childAddr, nrec.toInt)
+          var cnrec = 0L
+          (0 until nrecFieldSize).foreach(i => cnrec |= (cb.get() & 0xffL) << (8 * i))
+          p += ptrWidth // totNrec (when present) is redundant for a full walk
+          walk(childAddr, d - 1, cnrec.toInt)
         }
-        internal ++ fromLeaves
-      case d => fail(s"hdf5: v2 B-tree depth $d at $path unsupported (≤ 1)")
+        own ++ fromChildren
+      }
+    (btype, walk(rootAddr, depth, nrecRoot))
+  }
+
+  /** Heap IDs from a link-name-index v2 B-tree: record type 5 =
+    * 4-byte lookup3 name hash + heap ID.
+    */
+  private def v2BtreeHeapIds(bytes: Array[Byte], btreeAddr: Long,
+      heapIdLen: Int, path: String): Seq[Array[Byte]] = {
+    val (btype, recs) = v2BtreeRecords(bytes, btreeAddr, path)
+    require(btype == 5 || btype == 6, s"hdf5: v2 B-tree type $btype at $path")
+    recs.map { r =>
+      require(r.length >= 4 + heapIdLen,
+        s"hdf5: link record size ${r.length} < ${4 + heapIdLen} at $path")
+      java.util.Arrays.copyOfRange(r, 4, 4 + heapIdLen)
     }
+  }
+
+  /** Huge-object records from a fractal heap's huge v2 B-tree, keyed
+    * by huge-object ID: type 1 = indirectly-accessed unfiltered
+    * {addr, len, id}, type 2 = indirectly-accessed filtered
+    * {addr, storedLen, mask, memLen, id}. (Directly-accessed huge
+    * objects — types 3/4 — never consult the B-tree on read.)
+    */
+  private def hugeObjects(bytes: Array[Byte], btreeAddr: Long,
+      path: String): Map[Long, (Long, Long, Int, Long)] = {
+    val (btype, recs) = v2BtreeRecords(bytes, btreeAddr, path)
+    require(btype == 1 || btype == 2,
+      s"hdf5: huge-object v2 B-tree type $btype at $path unsupported")
+    recs.map { r =>
+      val b = ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN)
+      val addr = b.getLong()
+      val len = b.getLong()
+      val (mask, memLen) =
+        if (btype == 2) (b.getInt(), b.getLong()) else (0, len)
+      val id = b.getLong()
+      id -> ((addr, len, mask, memLen))
+    }.toMap
   }
 
   /** Link message (0x0006) v1: hard links only. */

@@ -168,6 +168,59 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("depth-2 v2 B-tree: root BTIN over internal children over leaves") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/dense_btdeep.hdf5"))
+    val tree = Hdf5.parse(bytes)
+    assert(tree.groups.keySet == Set("btdeep"))
+    val g = tree.groups("btdeep")
+    // 53 links over a 128-byte node size: root (2 records, 10-byte
+    // child pointers with the total-subtree field) -> 3 internal
+    // nodes (2 records, 9-byte pointers) -> 9 leaves of 5
+    assert(g.datasets.keySet == (0 until 53).map(i => f"n$i%02d").toSet)
+    (0 until 53).foreach { i =>
+      val ds = g.datasets(f"n$i%02d")
+      val addr = ds.layout.asInstanceOf[Hdf5.Contiguous].addr
+      val v = ((bytes(addr.toInt + 1) & 0xff) << 8) | (bytes(addr.toInt) & 0xff)
+      assert(v == 7 * i + 3, f"n$i%02d")
+    }
+  }
+
+  test("huge heap ID resolves through the huge-object v2 B-tree") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/dense_huge.hdf5"))
+    val tree = Hdf5.parse(bytes)
+    val g = tree.groups("hugeg")
+    // the 199-char link name's body (210 bytes) exceeds the heap's max
+    // managed object size: type-1 heap ID -> huge B-tree record 1
+    val longName = "hugelink_" + "x" * 190
+    assert(g.datasets.keySet == (0 until 10).map(i => f"h$i%02d").toSet + longName)
+    val hd = g.datasets(longName)
+    val haddr = hd.layout.asInstanceOf[Hdf5.Contiguous].addr
+    val hv = ((bytes(haddr.toInt + 1) & 0xff) << 8) | (bytes(haddr.toInt) & 0xff)
+    assert(hv == 999)
+    (0 until 10).foreach { i =>
+      val addr = g.datasets(f"h$i%02d").layout.asInstanceOf[Hdf5.Contiguous].addr
+      val v = ((bytes(addr.toInt + 1) & 0xff) << 8) | (bytes(addr.toInt) & 0xff)
+      assert(v == 7 * i + 3, f"h$i%02d")
+    }
+  }
+
+  test("extended-tiny heap IDs (heap ID length > 18) carry the link body inline") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/dense_tinyext.hdf5"))
+    val tree = Hdf5.parse(bytes)
+    val g = tree.groups("tinyext")
+    // the heap has NO direct blocks at all: every link body lives in
+    // its 20-byte ID with the two-byte extended length form
+    assert(g.datasets.keySet == (0 until 9).map(i => f"t$i%02d").toSet)
+    (0 until 9).foreach { i =>
+      val addr = g.datasets(f"t$i%02d").layout.asInstanceOf[Hdf5.Contiguous].addr
+      val v = ((bytes(addr.toInt + 1) & 0xff) << 8) | (bytes(addr.toInt) & 0xff)
+      assert(v == 7 * i + 3, f"t$i%02d")
+    }
+  }
+
   test("refuse-loudly: bad signature, unsupported structures") {
     val e1 = intercept[IllegalArgumentException](Hdf5.parse("not hdf5 at all".getBytes))
     assert(e1.getMessage.contains("signature"))

@@ -789,6 +789,249 @@ def make_dense_deep():
     (OUT / "dense_deep.hdf5").write_bytes(bytes(f.buf))
 
 
+def make_dense_btdeep():
+    """Dense group whose link-name-index v2 B-tree has DEPTH 2: 53
+    links over a 128-byte node size force root -> internal -> leaf.
+    Child-pointer field widths follow the libhdf5 header math: per-
+    child nrec is sized from the leaf capacity (10 -> 1 byte), and
+    root pointers (to internal children) append a total-subtree count
+    sized from cumMax(1) = 65 -> 1 byte. Shape: root holds 2 records
+    + 3 internal children; each child holds 2 records + 3 leaves of 5.
+    """
+    f = H5()
+    entries = _link_entries(f, "n", 53)
+    bodies = [
+        struct.pack("<BBB", 1, 0, len(name)) + name.encode()
+        + struct.pack("<Q", oh)
+        for name, oh in entries
+    ]
+    DB_SIZE, OFFSET_SIZE, LEN_SIZE = 1024, 4, 2
+    db_hdr_len = 4 + 1 + 8 + OFFSET_SIZE
+    block = bytearray(DB_SIZE)
+    heap_ids = []
+    pos = db_hdr_len
+    for body in bodies:
+        heap_ids.append(b"\x00" + struct.pack("<I", pos)
+                        + struct.pack("<H", len(body)))
+        block[pos:pos + len(body)] = body
+        pos += len(body)
+    db_addr = f.alloc(bytes(block))
+    frhp = (b"FRHP"
+            + struct.pack("<BHHB", 0, 1 + OFFSET_SIZE + LEN_SIZE, 0, 0)
+            + struct.pack("<I", 4096)
+            + struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)
+            + struct.pack("<Q", DB_SIZE - pos) + struct.pack("<Q", UNDEF)
+            + struct.pack("<QQ", DB_SIZE, DB_SIZE)
+            + struct.pack("<Q", pos) + struct.pack("<Q", len(bodies))
+            + struct.pack("<QQQQ", 0, 0, 0, 0)
+            + struct.pack("<H", 4)
+            + struct.pack("<QQ", DB_SIZE, 65536)
+            + struct.pack("<H", 32) + struct.pack("<H", 1)
+            + struct.pack("<Q", db_addr) + struct.pack("<H", 0))
+    frhp_addr = f.alloc(frhp + struct.pack("<I", jenkins_lookup3(frhp)))
+    f.place(db_addr, b"FHDB" + struct.pack("<BQ", 0, frhp_addr)
+            + struct.pack("<I", 0))
+
+    recs = sorted(
+        (jenkins_lookup3(name.encode()), hid)
+        for (name, _), hid in zip(entries, heap_ids))
+    rec_bytes = [struct.pack("<I", h) + hid for h, hid in recs]
+    NODE = 128
+    REC = 4 + len(heap_ids[0])      # 11
+    assert REC == 11
+
+    def leaf(rs):
+        body = b"BTLF" + struct.pack("<BB", 0, 5) + b"".join(rs)
+        return f.alloc(body + struct.pack("<I", jenkins_lookup3(body)))
+
+    # in-order split: child subtree = leaf(5) r leaf(5) r leaf(5) = 17
+    def internal(rs17):
+        l0 = leaf(rs17[0:5]); l1 = leaf(rs17[6:11]); l2 = leaf(rs17[12:17])
+        body = (b"BTIN" + struct.pack("<BB", 0, 5)
+                + rs17[5] + rs17[11]
+                + struct.pack("<QB", l0, 5)      # ptr: addr + nrec(1)
+                + struct.pack("<QB", l1, 5)
+                + struct.pack("<QB", l2, 5))
+        return f.alloc(body + struct.pack("<I", jenkins_lookup3(body)))
+
+    c0 = internal(rec_bytes[0:17])
+    c1 = internal(rec_bytes[18:35])
+    c2 = internal(rec_bytes[36:53])
+    root_body = (b"BTIN" + struct.pack("<BB", 0, 5)
+                 + rec_bytes[17] + rec_bytes[35]
+                 + struct.pack("<QBB", c0, 2, 17)  # ptr: addr+nrec+totNrec
+                 + struct.pack("<QBB", c1, 2, 17)
+                 + struct.pack("<QBB", c2, 2, 17))
+    assert len(root_body) + 4 <= NODE
+    root_addr = f.alloc(root_body + struct.pack("<I", jenkins_lookup3(root_body)))
+    bthd = (b"BTHD" + struct.pack("<BB", 0, 5)
+            + struct.pack("<IHH", NODE, REC, 2)   # depth 2
+            + struct.pack("<BB", 100, 40)
+            + struct.pack("<QH", root_addr, 2)
+            + struct.pack("<Q", 53))
+    bthd_addr = f.alloc(bthd + struct.pack("<I", jenkins_lookup3(bthd)))
+    li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    g_oh = f.alloc(object_header_v1([(0x0002, li)]))
+    btree, heap = group_structures(f, [("btdeep", g_oh)])
+    root_oh = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(btree, heap)),
+    ]))
+    superblock(f, root_oh)
+    (OUT / "dense_btdeep.hdf5").write_bytes(bytes(f.buf))
+
+
+def make_dense_huge():
+    """Dense group with one HUGE link: a 199-char link name pushes its
+    body (210 bytes) past the heap's max managed object size (128), so
+    libhdf5 stores it outside the heap blocks and the name-index
+    record carries a type-1 heap ID keying the heap's huge-object v2
+    B-tree (record type 1: address, length, id). Ten short links stay
+    managed in the one direct block.
+    """
+    f = H5()
+    entries = _link_entries(f, "h", 10)
+    long_name = "hugelink_" + "x" * 190
+    val_addr = f.alloc(struct.pack("<h", 999))
+    huge_oh = f.alloc(object_header_v1([
+        (0x0001, dataspace([1])),
+        (0x0003, dt_fixed(2, signed=True)),
+        (0x0005, fill_value_v2()),
+        (0x0008, layout_contiguous(val_addr, 2)),
+    ]))
+    bodies = [
+        struct.pack("<BBB", 1, 0, len(name)) + name.encode()
+        + struct.pack("<Q", oh)
+        for name, oh in entries
+    ]
+    huge_body = (struct.pack("<BBB", 1, 0, len(long_name))
+                 + long_name.encode() + struct.pack("<Q", huge_oh))
+    assert len(huge_body) > 128  # past max managed object size
+    huge_addr = f.alloc(huge_body)
+
+    DB_SIZE, OFFSET_SIZE, LEN_SIZE = 512, 4, 2
+    db_hdr_len = 4 + 1 + 8 + OFFSET_SIZE
+    block = bytearray(DB_SIZE)
+    heap_ids = []
+    pos = db_hdr_len
+    for body in bodies:
+        heap_ids.append(b"\x00" + struct.pack("<I", pos)
+                        + struct.pack("<H", len(body)))
+        block[pos:pos + len(body)] = body
+        pos += len(body)
+    db_addr = f.alloc(bytes(block))
+
+    # huge-object v2 B-tree: type 1, one leaf, record {addr, len, id=1}
+    hrec = struct.pack("<QQQ", huge_addr, len(huge_body), 1)
+    hleaf = b"BTLF" + struct.pack("<BB", 0, 1) + hrec
+    hleaf_addr = f.alloc(hleaf + struct.pack("<I", jenkins_lookup3(hleaf)))
+    hbthd = (b"BTHD" + struct.pack("<BB", 0, 1)
+             + struct.pack("<IHH", 512, 24, 0)
+             + struct.pack("<BB", 100, 40)
+             + struct.pack("<QH", hleaf_addr, 1)
+             + struct.pack("<Q", 1))
+    hbthd_addr = f.alloc(hbthd + struct.pack("<I", jenkins_lookup3(hbthd)))
+
+    frhp = (b"FRHP"
+            + struct.pack("<BHHB", 0, 1 + OFFSET_SIZE + LEN_SIZE, 0, 0)
+            + struct.pack("<I", 128)             # max managed object size
+            + struct.pack("<Q", 2)               # next huge id
+            + struct.pack("<Q", hbthd_addr)      # huge-object v2 btree
+            + struct.pack("<Q", DB_SIZE - pos) + struct.pack("<Q", UNDEF)
+            + struct.pack("<QQ", DB_SIZE, DB_SIZE)
+            + struct.pack("<Q", pos) + struct.pack("<Q", len(bodies))
+            + struct.pack("<QQ", len(huge_body), 1)  # huge size + count
+            + struct.pack("<QQ", 0, 0)               # tiny size + count
+            + struct.pack("<H", 4)
+            + struct.pack("<QQ", DB_SIZE, 65536)
+            + struct.pack("<H", 32) + struct.pack("<H", 1)
+            + struct.pack("<Q", db_addr) + struct.pack("<H", 0))
+    frhp_addr = f.alloc(frhp + struct.pack("<I", jenkins_lookup3(frhp)))
+    f.place(db_addr, b"FHDB" + struct.pack("<BQ", 0, frhp_addr)
+            + struct.pack("<I", 0))
+
+    # type-1 huge heap ID: version/type byte 0x10, then id in 6 LE bytes
+    huge_hid = b"\x10" + struct.pack("<Q", 1)[:6]
+    all_named = list(zip([n for n, _ in entries], heap_ids)) \
+        + [(long_name, huge_hid)]
+    recs = sorted((jenkins_lookup3(n.encode()), hid) for n, hid in all_named)
+    rec_bytes = b"".join(struct.pack("<I", h) + hid for h, hid in recs)
+    btlf = b"BTLF" + struct.pack("<BB", 0, 5) + rec_bytes
+    btlf_addr = f.alloc(btlf + struct.pack("<I", jenkins_lookup3(btlf)))
+    bthd = (b"BTHD" + struct.pack("<BB", 0, 5)
+            + struct.pack("<IHH", 512, 4 + 7, 0)
+            + struct.pack("<BB", 100, 40)
+            + struct.pack("<QH", btlf_addr, len(recs))
+            + struct.pack("<Q", len(recs)))
+    bthd_addr = f.alloc(bthd + struct.pack("<I", jenkins_lookup3(bthd)))
+    li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    g_oh = f.alloc(object_header_v1([(0x0002, li)]))
+    btree, heap = group_structures(f, [("hugeg", g_oh)])
+    root_oh = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(btree, heap)),
+    ]))
+    superblock(f, root_oh)
+    (OUT / "dense_huge.hdf5").write_bytes(bytes(f.buf))
+
+
+def make_dense_tiny_ext():
+    """Dense group whose heap uses a 20-byte heap ID length, so every
+    short link body stores as an EXTENDED-tiny object: type-2 ID with
+    a 12-bit length split across byte 0's low nibble and a second
+    length byte (the form libhdf5 uses whenever heap ID length > 18).
+    No direct blocks exist at all (root block address undefined).
+    """
+    f = H5()
+    entries = _link_entries(f, "t", 9)
+    bodies = [
+        struct.pack("<BBB", 1, 0, len(name)) + name.encode()
+        + struct.pack("<Q", oh)
+        for name, oh in entries
+    ]
+    ID_LEN = 20
+    heap_ids = []
+    for body in bodies:
+        assert len(body) <= ID_LEN - 2
+        n = len(body) - 1
+        # extended tiny: low nibble of byte0 + one extra length byte
+        hid = (bytes([0x20 | (n & 0x0F), (n >> 4) & 0xFF]) + body
+               + b"\x00" * (ID_LEN - 2 - len(body)))
+        heap_ids.append(hid)
+    frhp = (b"FRHP"
+            + struct.pack("<BHHB", 0, ID_LEN, 0, 0)
+            + struct.pack("<I", 4096)
+            + struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)
+            + struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)
+            + struct.pack("<QQ", 0, 0)
+            + struct.pack("<Q", 0) + struct.pack("<Q", 0)
+            + struct.pack("<QQ", 0, 0)           # huge size + count
+            + struct.pack("<QQ", sum(len(b) for b in bodies), len(bodies))
+            + struct.pack("<H", 4)
+            + struct.pack("<QQ", 512, 65536)
+            + struct.pack("<H", 32) + struct.pack("<H", 0)
+            + struct.pack("<Q", UNDEF) + struct.pack("<H", 0))
+    frhp_addr = f.alloc(frhp + struct.pack("<I", jenkins_lookup3(frhp)))
+    recs = sorted(
+        (jenkins_lookup3(name.encode()), hid)
+        for (name, _), hid in zip(entries, heap_ids))
+    rec_bytes = b"".join(struct.pack("<I", h) + hid for h, hid in recs)
+    btlf = b"BTLF" + struct.pack("<BB", 0, 5) + rec_bytes
+    btlf_addr = f.alloc(btlf + struct.pack("<I", jenkins_lookup3(btlf)))
+    bthd = (b"BTHD" + struct.pack("<BB", 0, 5)
+            + struct.pack("<IHH", 512, 4 + ID_LEN, 0)
+            + struct.pack("<BB", 100, 40)
+            + struct.pack("<QH", btlf_addr, len(recs))
+            + struct.pack("<Q", len(recs)))
+    bthd_addr = f.alloc(bthd + struct.pack("<I", jenkins_lookup3(bthd)))
+    li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    g_oh = f.alloc(object_header_v1([(0x0002, li)]))
+    btree, heap = group_structures(f, [("tinyext", g_oh)])
+    root_oh = f.alloc(object_header_v1([
+        (0x0011, symbol_table_msg(btree, heap)),
+    ]))
+    superblock(f, root_oh)
+    (OUT / "dense_tinyext.hdf5").write_bytes(bytes(f.buf))
+
+
 make_contiguous()
 make_chunked()
 make_minc2()
@@ -798,4 +1041,7 @@ make_chunked_deep()
 make_dense()
 make_dense_filtered()
 make_dense_deep()
+make_dense_btdeep()
+make_dense_huge()
+make_dense_tiny_ext()
 print("wrote hdf5 fixtures to", OUT)
