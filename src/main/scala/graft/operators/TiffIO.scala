@@ -23,17 +23,20 @@ import ChunkOps.ChunkRow
   * none/Deflate(8,32946)/PackBits(32773)/LZW(5) with the horizontal-
   * differencing predictor (tag 317 = 2), new-style JPEG (7) via
   * `javax.imageio` including shared JPEGTables (tag 347), and
-  * old-style JPEG (6) when the page carries a complete
-  * JPEGInterchangeFormat stream (tags 513/514 — the interchange
-  * profile every surviving writer produced; decoded as one
-  * full-page region), multi-page stacks of equal shape as a z
+  * old-style JPEG (6) in BOTH surviving profiles — a complete
+  * JPEGInterchangeFormat stream (tags 513/514, decoded as one
+  * full-page region) and the per-strip tables-in-tags form (tags
+  * 519/520/521: each strip's entropy data re-headed into a complete
+  * baseline stream; 8-bit grayscale, the only unambiguously
+  * specified variant), multi-page stacks of equal shape as a z
   * dimension, and OME-TIFF
   * axes metadata: the OME-XML in ImageDescription (tag 270) supplies
   * DimensionOrder/SizeZ/C/T page interleaving and PhysicalSizeX/Y/Z
   * spacing (normalized to µm), so a `.ome.tif` ingests with correct
   * t/c/z dims instead of pages→z. Rejected with precise errors:
-  * palette color, old-style JPEG without an interchange stream
-  * (the per-strip tables-in-tags profile), movie codecs,
+  * palette color, old-style JPEG with neither an interchange stream
+  * nor table tags (and its color tables-in-tags variant, whose
+  * subsampling was never unambiguously specified), movie codecs,
   * multi-Image OME documents, unknown OME units.
   */
 object TiffIO {
@@ -55,7 +58,19 @@ object TiffIO {
       photometric: Int = 1,
       // tag 284: 1 = chunky (samples interleaved per pixel), 2 =
       // planar (one strip/tile run per channel, channel-major)
-      planarConfig: Int = 1)
+      planarConfig: Int = 1,
+      // old-style JPEG (compression 6) per-strip profile: raw tables
+      // from tags 519/520/521, each strip is entropy-coded scan data
+      // re-headed at decode time (None for the interchange profile,
+      // which collapses to one complete stream at parse time)
+      oldJpeg: Option[OldJpeg] = None)
+
+  /** TIFF 6.0 §22 tables-in-tags: one 64-byte quantization table
+    * (tag 519), raw DC/AC Huffman tables (16 counts + values, tags
+    * 520/521), optional restart interval (tag 515).
+    */
+  final case class OldJpeg(qTable: Array[Byte], dcTable: Array[Byte],
+      acTable: Array[Byte], restartInterval: Int)
 
   final case class TiffInfo(littleEndian: Boolean, pages: Seq[TiffPage],
       // first page's ImageDescription (tag 270) — OME-TIFFs carry
@@ -274,6 +289,9 @@ object TiffIO {
       var jpegTables: Option[Array[Byte]] = None
       var nsft = 0L
       var oldJpegOff = -1L; var oldJpegLen = -1L
+      var oldProc = 1; var oldRestart = 0
+      var qOffs: Seq[Long] = Nil; var dcOffs: Seq[Long] = Nil
+      var acOffs: Seq[Long] = Nil
 
       var e = 0
       while (e < nEntries) {
@@ -328,8 +346,13 @@ object TiffIO {
           case 324 => tileOff = values
           case 325 => tileCnt = values
           case 339 => fmt = valueAt(0).toInt
+          case 512 => oldProc = valueAt(0).toInt
           case 513 => oldJpegOff = valueAt(0)
           case 514 => oldJpegLen = valueAt(0)
+          case 515 => oldRestart = valueAt(0).toInt
+          case 519 => qOffs = values
+          case 520 => dcOffs = values
+          case 521 => acOffs = values
           case 347 => jpegTables = Some(src.get(dataOff, count.toInt))
           case 34412 if guard == 0 =>
             lsm = Some(parseLsmInfo(src.get(dataOff, math.min(count, 88L).toInt)))
@@ -338,22 +361,42 @@ object TiffIO {
         e += 1
       }
       require(width > 0 && height > 0, s"TIFF page missing dimensions")
+      var oldJpeg: Option[OldJpeg] = None
       if (comp == 6) {
-        // Old-style JPEG (TIFF 6.0 §22): the only profile with an
-        // unambiguous layout is the interchange one — tags 513/514
-        // point at ONE complete JPEG stream for the whole page (the
-        // shape every surviving writer produced; libtiff reads it the
-        // same way). Rewrite the page to a single full-height region
-        // over that stream; the per-strip tables-in-tags profile
-        // (515–521, no 513) stays a loud refusal.
-        require(oldJpegOff > 0 && oldJpegLen > 0,
-          "old-style JPEG (compression 6) without a JPEGInterchangeFormat " +
-            "stream unsupported — rewrite with compression 7")
-        require(oldJpegOff + oldJpegLen <= src.length,
-          s"JPEGInterchangeFormat stream [$oldJpegOff, +$oldJpegLen) " +
-            s"beyond file length ${src.length}")
-        stripOff = Seq(oldJpegOff); stripCnt = Seq(oldJpegLen)
-        rps = height; tw = 0; tl = 0; tileOff = Nil; tileCnt = Nil
+        // Old-style JPEG (TIFF 6.0 §22), two surviving profiles:
+        // (a) interchange — tags 513/514 point at ONE complete JPEG
+        //     stream for the whole page; rewrite the page to a single
+        //     full-height region over that stream (libtiff-compatible);
+        // (b) per-strip tables-in-tags — no 513; tags 519/520/521 hold
+        //     raw quantization + Huffman tables and every strip is
+        //     entropy-coded scan data, re-headed into a complete
+        //     stream at decode. Grayscale baseline only: the color
+        //     variant's subsampling/positioning was never specified
+        //     unambiguously (the reason §22 was deprecated) — refuse.
+        if (oldJpegOff > 0 && oldJpegLen > 0) {
+          require(oldJpegOff + oldJpegLen <= src.length,
+            s"JPEGInterchangeFormat stream [$oldJpegOff, +$oldJpegLen) " +
+              s"beyond file length ${src.length}")
+          stripOff = Seq(oldJpegOff); stripCnt = Seq(oldJpegLen)
+          rps = height; tw = 0; tl = 0; tileOff = Nil; tileCnt = Nil
+        } else {
+          require(qOffs.nonEmpty && dcOffs.nonEmpty && acOffs.nonEmpty,
+            "old-style JPEG (compression 6) without a JPEGInterchangeFormat " +
+              "stream or JPEGQTables/DCTables/ACTables unsupported — " +
+              "rewrite with compression 7")
+          require(spp == 1 && bits == 8,
+            s"old-style per-strip JPEG supports 8-bit grayscale only " +
+              s"(got $spp samples x $bits bits) — the color profile's " +
+              "subsampling was never unambiguously specified")
+          require(oldProc == 1,
+            s"old-style JPEG process $oldProc unsupported (1 = baseline)")
+          def huff(off: Long): Array[Byte] = {
+            val counts = src.get(off, 16)
+            src.get(off, 16 + counts.map(_ & 0xff).sum)
+          }
+          oldJpeg = Some(OldJpeg(src.get(qOffs.head, 64),
+            huff(dcOffs.head), huff(acOffs.head), oldRestart))
+        }
       }
       val tiled = tw > 0
       if (tiled) require(tl > 0 && tileOff.nonEmpty, "malformed tiled TIFF")
@@ -375,7 +418,8 @@ object TiffIO {
       require(planar == 1 || planar == 2,
         s"TIFF PlanarConfiguration $planar invalid (1 chunky / 2 planar)")
       pages += TiffPage(width, height, spp, bits, fmt, comp, pred,
-        effRps, tw, tl, offs, cnts, jpegTables, nsft, photometric, planar)
+        effRps, tw, tl, offs, cnts, jpegTables, nsft, photometric, planar,
+        oldJpeg)
       ifdOff = if (big) r.u64(base + nEntries.toLong * entrySize)
         else r.u32(base + nEntries.toLong * entrySize)
       guard += 1
@@ -387,9 +431,15 @@ object TiffIO {
 
   // ---- region codecs ----
 
-  /** Decompress one strip/tile to exactly `expect` bytes. */
+  /** Decompress one strip/tile to exactly `expect` bytes. For the
+    * old-style per-strip JPEG profile, `oldJpeg` carries the page's
+    * tables and (regionW, regionH) the strip geometry the synthesized
+    * frame header needs.
+    */
   private[operators] def decodeRegion(comp: Int, data: Array[Byte], expect: Int,
-      jpegTables: Option[Array[Byte]] = None): Array[Byte] =
+      jpegTables: Option[Array[Byte]] = None,
+      oldJpeg: Option[OldJpeg] = None, regionW: Int = 0,
+      regionH: Int = 0): Array[Byte] =
     comp match {
       case 1 =>
         require(data.length >= expect, s"short uncompressed region: ${data.length} < $expect")
@@ -411,12 +461,63 @@ object TiffIO {
       case 5 => lzwDecode(data, expect)
       case 7 => jpegDecodeRegion(data, jpegTables, expect) // new-style JPEG
       case 6 =>
-        // parseInfo already collapsed the page to one region holding
-        // the complete JPEGInterchangeFormat stream — decode as-is
-        jpegDecodeRegion(data, None, expect)
+        oldJpeg match {
+          case None =>
+            // parseInfo already collapsed the page to one region
+            // holding the complete JPEGInterchangeFormat stream
+            jpegDecodeRegion(data, None, expect)
+          case Some(oj) =>
+            // tables-in-tags: strips may be complete streams (SOI),
+            // SOS-prefixed scans, or bare entropy data
+            if (data.length >= 2 && (data(0) & 0xff) == 0xff &&
+                (data(1) & 0xff) == 0xd8)
+              jpegDecodeRegion(data, None, expect)
+            else
+              jpegDecodeRegion(
+                synthOldJpegStream(data, oj, regionW, regionH), None, expect)
+        }
       case other => throw new UnsupportedOperationException(
         s"TIFF compression $other unsupported (none/deflate/packbits/lzw/jpeg)")
     }
+
+  /** Re-head one tables-in-tags old-JPEG strip into a complete
+    * baseline stream: SOI + DQT/DHT built from the raw tag tables +
+    * optional DRI + a single-component SOF0/SOS for this strip's
+    * geometry + the entropy data (+ EOI when absent). Strips already
+    * starting at SOS keep their own scan header.
+    */
+  private[operators] def synthOldJpegStream(data: Array[Byte], oj: OldJpeg,
+      w: Int, h: Int): Array[Byte] = {
+    require(oj.qTable.length == 64, s"JPEGQTables entry is ${oj.qTable.length} bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xdb, 0.toByte +: oj.qTable) // DQT: Pq=0 (8-bit), Tq=0
+    m(0xc4, 0x00.toByte +: oj.dcTable) // DHT class 0 (DC), id 0
+    m(0xc4, 0x10.toByte +: oj.acTable) // DHT class 1 (AC), id 0
+    if (oj.restartInterval > 0)
+      m(0xdd, Array(((oj.restartInterval >> 8) & 0xff).toByte,
+        (oj.restartInterval & 0xff).toByte))
+    m(0xc0, Array[Byte](8, // SOF0: precision, h, w, 1 component 1x1/Tq0
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0))
+    val sosAlready = data.length >= 2 && (data(0) & 0xff) == 0xff &&
+      (data(1) & 0xff) == 0xda
+    if (!sosAlready)
+      m(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1 → DC0/AC0
+    out.write(data)
+    val n = data.length
+    if (n < 2 || (data(n - 2) & 0xff) != 0xff || (data(n - 1) & 0xff) != 0xd9) {
+      out.write(0xff); out.write(0xd9)
+    }
+    out.toByteArray
+  }
 
   /** New-style JPEG (compression 7) region decode via `javax.imageio`
     * (JDK-only). A region is either a complete JFIF stream, or an
@@ -749,7 +850,8 @@ object TiffIO {
         val storedH = if (p.tileWidth > 0) p.tileLength else rh0
         val storedW = rw0
         val expect = storedH * storedW * sppEff * bytesPerSample
-        val decoded = decodeRegion(p.compression, raw, expect, p.jpegTables)
+        val decoded = decodeRegion(p.compression, raw, expect, p.jpegTables,
+          p.oldJpeg, storedW, storedH)
         if (p.predictor == 2)
           undoPredictor(decoded, storedW, storedH, sppEff, bytesPerSample, le)
         // big-endian samples normalize to the engine's layout on decode

@@ -295,7 +295,7 @@ class TiffIOSpec extends SparkSpec {
   }
 
   test("old-style JPEG (compression 6): interchange stream decodes, " +
-      "tables-in-tags profile refuses") {
+      "neither-stream-nor-tables refuses") {
     val full = jpegGray(16, 16, blockVal)
     val path = java.nio.file.Files.createTempFile("oldjpeg", ".tif")
     java.nio.file.Files.write(path, buildJpegTiff(16, 16, 16, Seq(full),
@@ -303,8 +303,8 @@ class TiffIOSpec extends SparkSpec {
     val img = TiffIO.read(spark, path.toString)
     assert(img.meta.shape == Seq(16L, 16L) && img.meta.dtype == "uint8")
     assertBlocks(ChunkOps.toArray(img.chunks, img.meta), 16, 16, tol = 4)
-    // compression 6 with no JPEGInterchangeFormat stream (tables
-    // spread over tags 515-521): loud refusal at parse time
+    // compression 6 with neither a JPEGInterchangeFormat stream nor
+    // table tags (519-521): loud refusal at parse time
     val noStream = buildJpegTiff(16, 16, 16, Seq(full),
       tiled = false, tables = None, oldStyle = true)
     // surgically retag the 513 entry to 515 (walk the IFD, don't
@@ -375,11 +375,21 @@ class TiffIOSpec extends SparkSpec {
     */
   private def buildJpegTiff(w: Int, h: Int, rps: Int, regions: Seq[Array[Byte]],
       tiled: Boolean, tables: Option[Array[Byte]],
-      oldStyle: Boolean = false): Array[Byte] = {
+      oldStyle: Boolean = false,
+      oldTagTables: Option[(Array[Byte], Array[Byte], Array[Byte])] = None)
+      : Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     val regionOffs = regions.map { r => val o = 8 + body.size; body.write(r); o.toLong }
     val tablesOff = 8 + body.size
     tables.foreach(body.write)
+    // old-style tables-in-tags: raw q/dc/ac table bytes in the body,
+    // pointed at by LONG offsets in tags 519/520/521
+    val oldTagOffs = oldTagTables.map { case (q, dc, ac) =>
+      val qo = 8 + body.size; body.write(q)
+      val dco = 8 + body.size; body.write(dc)
+      val aco = 8 + body.size; body.write(ac)
+      (qo.toLong, dco.toLong, aco.toLong)
+    }
     // external value arrays (offsets/counts when count > 1)
     val ext = new java.io.ByteArrayOutputStream()
     val extBase = 8 + body.size
@@ -399,7 +409,7 @@ class TiffIOSpec extends SparkSpec {
     case class E(tag: Int, typ: Int, count: Int, v: Long)
     val entries = (Seq(
       E(256, 3, 1, w), E(257, 3, 1, h), E(258, 3, 1, 8),
-      E(259, 3, 1, if (oldStyle) 6 else 7),
+      E(259, 3, 1, if (oldStyle || oldTagTables.nonEmpty) 6 else 7),
       E(262, 3, 1, 1), E(277, 3, 1, 1), E(339, 3, 1, 1)) ++
       (if (tiled) Seq(E(322, 3, 1, w), E(323, 3, 1, h),
         E(324, 4, n, offVal), E(325, 4, n, cntVal))
@@ -409,6 +419,10 @@ class TiffIOSpec extends SparkSpec {
       // files carry both and readers must prefer the stream)
       (if (oldStyle) Seq(E(513, 4, 1, regionOffs.head),
         E(514, 4, 1, regions.head.length.toLong)) else Nil) ++
+      oldTagOffs.toSeq.flatMap { case (qo, dco, aco) =>
+        Seq(E(512, 3, 1, 1), E(519, 4, 1, qo), E(520, 4, 1, dco),
+          E(521, 4, 1, aco))
+      } ++
       tables.map(t => E(347, 7, t.length, tablesOff.toLong)).toSeq)
       .sortBy(_.tag)
     val bb = java.nio.ByteBuffer.allocate(
@@ -425,6 +439,73 @@ class TiffIOSpec extends SparkSpec {
     }
     bb.putInt(0) // no next IFD
     bb.array()
+  }
+
+  /** Dissect a complete baseline JPEG into (qTable 64B, dcTable,
+    * acTable, bare entropy data) — the raw forms TIFF 6.0 §22 spreads
+    * over tags 519/520/521 and the strip. EOI is dropped from the
+    * entropy so the reader's append-EOI path is exercised.
+    */
+  private def dissectJpeg(full: Array[Byte])
+      : (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    var q: Array[Byte] = null; var dc: Array[Byte] = null
+    var ac: Array[Byte] = null; var ent: Array[Byte] = null
+    var i = 2
+    while (i < full.length && ent == null) {
+      assert((full(i) & 0xff) == 0xff, s"lost sync at $i")
+      val marker = full(i + 1) & 0xff
+      val len = ((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff)
+      marker match {
+        case 0xdb => // DQT: (PqTq + 64 bytes)*
+          var p = i + 4
+          while (p < i + 2 + len) {
+            if ((full(p) & 0x0f) == 0 && q == null)
+              q = java.util.Arrays.copyOfRange(full, p + 1, p + 65)
+            p += 65
+          }
+        case 0xc4 => // DHT: (ClassId + 16 counts + values)*
+          var p = i + 4
+          while (p < i + 2 + len) {
+            val cl = full(p) & 0xff
+            val nv = (p + 1 until p + 17).map(full(_) & 0xff).sum
+            val tbl = java.util.Arrays.copyOfRange(full, p + 1, p + 17 + nv)
+            if (cl == 0x00) dc = tbl else if (cl == 0x10) ac = tbl
+            p += 17 + nv
+          }
+        case 0xda => // entropy runs from after the SOS header to EOI
+          ent = java.util.Arrays.copyOfRange(full, i + 2 + len, full.length - 2)
+        case _ => ()
+      }
+      i += 2 + len
+    }
+    assert(q != null && dc != null && ac != null && ent != null)
+    (q, dc, ac, ent)
+  }
+
+  test("old-style JPEG per-strip tables-in-tags profile decodes") {
+    // two independently encoded 16x8 strips share the encoder's
+    // tables; the tags carry the raw tables, each strip only its
+    // entropy data — the reader must re-head every strip. Parity
+    // oracle: decoding the COMPLETE per-strip streams directly (same
+    // entropy bytes, same tables → bit-identical samples).
+    val fulls = Seq(0, 8).map(y0 => jpegGray(16, 8, (x, y) => blockVal(x, y + y0)))
+    val parts = fulls.map(dissectJpeg)
+    val (q, dc, ac, _) = parts.head
+    val path = java.nio.file.Files.createTempFile("oldjpegstrips", ".tif")
+    java.nio.file.Files.write(path, buildJpegTiff(16, 16, 8,
+      parts.map(_._4), tiled = false, tables = None,
+      oldTagTables = Some((q, dc, ac))))
+    val img = TiffIO.read(spark, path.toString)
+    assert(img.meta.shape == Seq(16L, 16L) && img.meta.dtype == "uint8")
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    val want = fulls.flatMap(f => TiffIO.jpegDecodeRegion(f, None, 16 * 8))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(got(y * 16 + x) == (want(y * 16 + x) & 0xff).toDouble, s"($x,$y)")
+    // complete-stream strips (SOI-prefixed) pass through unchanged
+    java.nio.file.Files.write(path, buildJpegTiff(16, 16, 8,
+      fulls, tiled = false, tables = None, oldTagTables = Some((q, dc, ac))))
+    val img2 = TiffIO.read(spark, path.toString)
+    assert(ChunkOps.toArray(img2.chunks, img2.meta).toSeq == got.toSeq)
   }
 
   private def assertBlocks(got: Array[Double], w: Int, h: Int, tol: Int): Unit =
