@@ -18,6 +18,9 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *   - 1.2.840.10008.1.2.4.50 JPEG Baseline, 8-bit, via the JDK
   *                            codec (the common clinical-export
   *                            syntax; lossy by nature)
+  *   - 1.2.840.10008.1.2.4.57/.70 JPEG Lossless (ITU-T T.81
+  *                            process 14 / SV1), via the pure-JVM
+  *                            codec in [[JpegLossless]]
   *   - 1.2.840.10008.1.2.4.80 JPEG-LS Lossless and
   *   - 1.2.840.10008.1.2.4.81 JPEG-LS Near-Lossless, via the pure-JVM
   *                            ITU-T T.87 codec in [[JpegLs]]
@@ -41,6 +44,8 @@ object DicomIO {
   private val ExplicitLE = "1.2.840.10008.1.2.1"
   private val ExplicitBE = "1.2.840.10008.1.2.2"
   private val JpegBaseline = "1.2.840.10008.1.2.4.50"
+  private val JpegLossless14 = "1.2.840.10008.1.2.4.57"
+  private val JpegLosslessSv1 = "1.2.840.10008.1.2.4.70"
   private val JpegLsLossless = "1.2.840.10008.1.2.4.80"
   private val JpegLsNear = "1.2.840.10008.1.2.4.81"
   private val RleLossless = "1.2.840.10008.1.2.5"
@@ -133,17 +138,19 @@ object DicomIO {
     // encapsulated syntaxes use the default (explicit LE) dataset VR
     val encapsulated = transferSyntax == JpegBaseline ||
       transferSyntax == RleLossless ||
-      transferSyntax == JpegLsLossless || transferSyntax == JpegLsNear
+      transferSyntax == JpegLsLossless || transferSyntax == JpegLsNear ||
+      transferSyntax == JpegLossless14 || transferSyntax == JpegLosslessSv1
     val (explicitVr, be) = transferSyntax match {
       case ImplicitLE => (false, false)
       case ExplicitLE => (true, false)
       case ExplicitBE => (true, true)
-      case JpegBaseline | RleLossless | JpegLsLossless | JpegLsNear =>
+      case JpegBaseline | RleLossless | JpegLsLossless | JpegLsNear |
+          JpegLossless14 | JpegLosslessSv1 =>
         (true, false)
       case other => throw new UnsupportedOperationException(
         s"DICOM transfer syntax $other unsupported (decodable here: " +
-          "implicit/explicit LE, explicit BE, JPEG baseline, JPEG-LS, " +
-          "RLE lossless)")
+          "implicit/explicit LE, explicit BE, JPEG baseline, " +
+          "JPEG lossless, JPEG-LS, RLE lossless)")
     }
 
     var rows = -1; var cols = -1; var bits = -1; var signed = false
@@ -322,6 +329,7 @@ object DicomIO {
       case JpegBaseline => 1
       case RleLossless => 2
       case JpegLsLossless | JpegLsNear => 3
+      case JpegLossless14 | JpegLosslessSv1 => 4
       case _ => 0
     }
     def frameRange(m: SliceMeta, frame: Int): (Long, Long) =
@@ -349,6 +357,7 @@ object DicomIO {
           case 1 => decodeJpegGray(raw, rows, cols)
           case 2 => decodeRleFrame(raw, rows * cols, itemSize, srcDtype)
           case 3 => decodeJpegLsFrame(raw, rows, cols, srcDtype)
+          case 4 => decodeJpegLosslessFrame(raw, rows, cols, srcDtype)
           case _ => ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
         }
         // DICOM rows are y-major; chunk payload is C-order over (x,y,z=1)
@@ -402,6 +411,28 @@ object DicomIO {
     val img = JpegLs.decode(frag)
     require(img.height == rows && img.width == cols,
       s"JPEG-LS frame is ${img.height}x${img.width}, header says ${rows}x$cols")
+    val out = new Array[Double](rows * cols)
+    var i = 0
+    dtype match {
+      case "int16" =>
+        while (i < out.length) { out(i) = img.samples(i).toShort.toDouble; i += 1 }
+      case "int8" =>
+        while (i < out.length) { out(i) = img.samples(i).toByte.toDouble; i += 1 }
+      case _ =>
+        while (i < out.length) { out(i) = img.samples(i).toDouble; i += 1 }
+    }
+    out
+  }
+
+  /** Decode one JPEG Lossless fragment (transfer syntaxes .4.57/.4.70)
+    * via the pure-JVM T.81 process-14 codec — same signed
+    * reinterpretation convention as JPEG-LS.
+    */
+  private[operators] def decodeJpegLosslessFrame(frag: Array[Byte], rows: Int,
+      cols: Int, dtype: String): Array[Double] = {
+    val img = JpegLossless.decode(frag)
+    require(img.height == rows && img.width == cols,
+      s"JPEG-lossless frame is ${img.height}x${img.width}, header says ${rows}x$cols")
     val out = new Array[Double](rows * cols)
     var i = 0
     dtype match {
@@ -620,6 +651,21 @@ object DicomIO {
     buildSlice(JpegLsLossless, bits = 16, signed = true, rows, cols,
       instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
       encapsulate(Seq(jls)))
+  }
+
+  /** One JPEG Lossless (SV1, .4.70) Part 10 slice with int16 pixels —
+    * the fourth lossless syntax the i68 gate can mix under one oracle.
+    */
+  def encodeSliceJpegLosslessInt16(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Short]): Array[Byte] = {
+    require(pixels.length == rows * cols, "pixels != rows*cols")
+    val unsigned = pixels.map(_ & 0xffff)
+    val jlo = JpegLossless.encode(unsigned, cols, rows, precision = 16,
+      predictor = 1)
+    buildSlice(JpegLosslessSv1, bits = 16, signed = true, rows, cols,
+      instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
+      encapsulate(Seq(jlo)))
   }
 
   /** One JPEG-baseline Part 10 slice: 8-bit grayscale frame through

@@ -317,19 +317,22 @@ object Imaging extends QModule {
         val px = Array.tabulate[Short](rows * cols) { p =>
           ((p % cols) * 3 + (p / cols) * 5 + z * 29).toShort
         }
-        // cycle explicit-LE / RLE-Lossless / JPEG-LS slices within the
-        // series: both compressed syntaxes are lossless, so the
-        // oracle's closed form holds for all three — a
-        // compressed-decode drift hash-mismatches
-        val bytes = i % 3 match {
+        // one slice per syntax — explicit-LE / RLE-Lossless / JPEG-LS
+        // / JPEG-Lossless(SV1): all four are lossless, so the
+        // oracle's closed form holds for each — a compressed-decode
+        // drift in ANY codec hash-mismatches
+        val bytes = i match {
           case 0 =>
             DicomIO.encodeSliceInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
               pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
           case 1 =>
             DicomIO.encodeSliceRleInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
               pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
-          case _ =>
+          case 2 =>
             DicomIO.encodeSliceJpegLsInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
+              pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
+          case _ =>
+            DicomIO.encodeSliceJpegLosslessInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
               pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
         }
         java.nio.file.Files.write(dir.resolve(s"f$i.dcm"), bytes)

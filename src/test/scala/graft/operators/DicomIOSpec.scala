@@ -93,6 +93,31 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(3, _ - 30.0))
   }
 
+  test("JPEG Lossless fixture (independent Python T.81 p14 encoder) decodes exactly") {
+    val img = DicomIO.read(spark, s"$fx/jlo.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L))
+    assert(img.meta.dtype == "int16")
+    val want = for (x <- 0 until NX; y <- 0 until NY)
+      yield (v(x, y, 1) - 45).toDouble
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == want)
+  }
+
+  test("four lossless syntaxes mix in one series, bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("dcm_mix4")
+    val enc = Seq[(Int, Int, Array[Short]) => Array[Byte]](
+      (z, inst, px) => DicomIO.encodeSliceInt16(NY, NX, inst, z * 2.0, (1.0, 1.0), 2.0, px),
+      (z, inst, px) => DicomIO.encodeSliceRleInt16(NY, NX, inst, z * 2.0, (1.0, 1.0), 2.0, px),
+      (z, inst, px) => DicomIO.encodeSliceJpegLsInt16(NY, NX, inst, z * 2.0, (1.0, 1.0), 2.0, px),
+      (z, inst, px) => DicomIO.encodeSliceJpegLosslessInt16(NY, NX, inst, z * 2.0, (1.0, 1.0), 2.0, px))
+    for (z <- 0 until 4) {
+      val px = Array.tabulate[Short](NY * NX)(p => (v(p % NX, p / NX, z) - 50).toShort)
+      java.nio.file.Files.write(dir.resolve(s"s$z.dcm"), enc(z)(z, z + 1, px))
+    }
+    val img = DicomIO.readSeriesDir(spark, dir.toString)
+    assert(img.meta.shape == Seq(NX.toLong, NY, 4L))
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(4, _ - 50.0))
+  }
+
   test("JPEG-baseline fixture without PixelData refuses on the element, not the syntax") {
     val e = intercept[Exception](DicomIO.read(spark, s"$fx/jpeg.dcm"))
     assert(messageChain(e).exists(_.contains("without PixelData")))

@@ -13,6 +13,10 @@ second implementation of the Part 10 layout:
                         6x5, z=0 — header/segments/PackBits written
                         from PS3.5 Annex G independently of the JVM
                         decoder
+    jlo.dcm             JPEG Lossless SV1 (1.2.840.10008.1.2.4.70),
+                        int16 negatives, z=1 pattern minus 45 — from
+                        the independent pure-Python T.81 process-14
+                        encoder in make_jpeglossless_fixture.py
     jls.dcm             JPEG-LS Lossless (1.2.840.10008.1.2.4.80),
                         int16 with negative values, z=2 pattern minus
                         60 — encoded by the independent pure-Python
@@ -201,6 +205,29 @@ ds = b"".join([
     pixel_el,
 ])
 (OUT / "jls.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.4.80"), ds))
+
+# --- JPEG Lossless (T.81 process 14, SV1) slice ---------------------------
+from make_jpeglossless_fixture import encode as jlo_encode  # noqa: E402
+
+vals_l = [v - 45 for v in vox(1)]  # negatives again
+jlo, = (jlo_encode([v & 0xFFFF for v in vals_l], NX, NY, 16, 1),)
+if len(jlo) % 2:
+    jlo += b"\x00"
+encap = (struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+         + struct.pack("<HHI", 0xFFFE, 0xE000, len(jlo)) + jlo
+         + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+    + struct.pack("<I", 0xFFFFFFFF) + encap
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+    el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+    el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+    el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+    el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 1)),
+    pixel_el,
+])
+(OUT / "jlo.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.4.70"), ds))
 
 # --- still-unsupported syntax (JPEG 2000): must refuse --------------------
 (OUT / "j2k.dcm").write_bytes(part10(
