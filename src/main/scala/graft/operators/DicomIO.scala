@@ -51,9 +51,12 @@ object DicomIO {
   private val RleLossless = "1.2.840.10008.1.2.5"
 
   /** The per-file facts the reader extracts (header-only pass).
-    * Encapsulated syntaxes (JPEG baseline, RLE) carry their per-frame
-    * fragment table; native syntaxes leave it empty and use
-    * `pixelDataOffset + frame·frameBytes` positioned reads.
+    * Encapsulated syntaxes carry `frameFragments`: per frame, the
+    * (offset, length) byte ranges of its fragment payloads — one
+    * range in the common case, several when a large frame is split
+    * across fragments (delimited by the Basic Offset Table). Native
+    * syntaxes leave it empty and use `pixelDataOffset +
+    * frame·frameBytes` positioned reads.
     */
   final case class SliceMeta(
       rows: Int, cols: Int, bitsAllocated: Int, signed: Boolean,
@@ -64,7 +67,7 @@ object DicomIO {
       slope: Double, inter: Double,
       transferSyntax: String, pixelDataOffset: Long, pixelDataLength: Long,
       bigEndianData: Boolean,
-      fragOffsets: Seq[Long] = Nil, fragLengths: Seq[Long] = Nil)
+      frameFragments: Seq[Seq[(Long, Long)]] = Nil)
 
   // ------------------------------------------------------------ parsing
 
@@ -160,6 +163,8 @@ object DicomIO {
     var pdOff = -1L; var pdLen = -1L
     val fragOffs = Seq.newBuilder[Long]
     val fragLens = Seq.newBuilder[Long]
+    val fragHdrs = Seq.newBuilder[Long] // item-header pos relative to BOT end
+    val botOffs = Seq.newBuilder[Long]
 
     while (pdOff < 0 && pos + 8 <= bytes.length) {
       val (g, e, vr, voff, vlen) = element(bytes, pos, explicitVr, be)
@@ -185,10 +190,13 @@ object DicomIO {
             require(vlen == 0xffffffffL,
               s"$transferSyntax PixelData must be encapsulated (undefined length)")
             // item walk: first item is the Basic Offset Table (maybe
-            // empty), every later item is one fragment
+            // empty — uint32 LE offsets of each frame's first
+            // fragment ITEM, measured from the byte after the BOT),
+            // every later item is one fragment
             var p = voff
             var sawBot = false
             var open = true
+            var fragBase = -1L // first byte after the BOT item
             while (open) {
               require(p + 8 <= bytes.length, "unterminated encapsulated PixelData")
               val (ig, ie, _, ivoff, ivlen) = element(bytes, p, explicitVr = false, be = false)
@@ -196,8 +204,17 @@ object DicomIO {
               else {
                 require(ig == 0xfffe && ie == 0xe000,
                   f"expected fragment item, got ($ig%04x,$ie%04x)")
-                if (!sawBot) sawBot = true // Basic Offset Table: skip
-                else { fragOffs += ivoff.toLong; fragLens += ivlen }
+                if (!sawBot) {
+                  sawBot = true
+                  require(ivlen % 4 == 0, s"Basic Offset Table length $ivlen not 4-aligned")
+                  (0L until ivlen / 4).foreach(i =>
+                    botOffs += u32(bytes, ivoff + 4 * i.toInt, be = false))
+                  fragBase = ivoff + ivlen
+                } else {
+                  fragHdrs += p - fragBase // item-header pos, BOT origin
+                  fragOffs += ivoff.toLong
+                  fragLens += ivlen
+                }
                 p = ivoff + ivlen.toInt
               }
             }
@@ -222,13 +239,36 @@ object DicomIO {
     require(samples == 1, s"SamplesPerPixel $samples unsupported (grayscale only)")
     require(photometric == "MONOCHROME1" || photometric == "MONOCHROME2",
       s"PhotometricInterpretation '$photometric' unsupported")
-    val frags = fragOffs.result()
+    val frags = fragOffs.result().zip(fragLens.result())
+    val hdrs = fragHdrs.result()
+    val bot = botOffs.result()
+    var frameFrags: Seq[Seq[(Long, Long)]] = Nil
     if (encapsulated) {
-      require(frags.length == nFrames,
-        s"$transferSyntax: ${frags.length} fragments for $nFrames frames — " +
-          "multi-fragment frames unsupported")
       require(transferSyntax != JpegBaseline || bits == 8,
         "JPEG baseline is 8-bit; 12-bit extended JPEG unsupported")
+      frameFrags =
+        if (frags.length == nFrames) frags.map(Seq(_)) // 1:1, BOT unneeded
+        else if (nFrames == 1) Seq(frags) // one frame split across fragments
+        else {
+          // multi-frame with split frames: the BOT delimits — frame i
+          // owns the fragments whose item headers sit in
+          // [bot(i), bot(i+1))
+          require(bot.length == nFrames,
+            s"$transferSyntax: ${frags.length} fragments for $nFrames frames " +
+              s"and a ${bot.length}-entry Basic Offset Table — cannot delimit")
+          val grouped = (0 until nFrames).map { i =>
+            val lo = bot(i)
+            val hi = if (i + 1 < nFrames) bot(i + 1) else Long.MaxValue
+            frags.zip(hdrs).collect { case (f, h) if h >= lo && h < hi => f }
+          }
+          require(grouped.forall(_.nonEmpty) && grouped.map(_.length).sum == frags.length,
+            s"$transferSyntax: Basic Offset Table does not partition the " +
+              s"${frags.length} fragments over $nFrames frames")
+          grouped
+        }
+      require(transferSyntax != RleLossless ||
+        frameFrags.forall(_.length == 1),
+        "RLE Lossless requires one fragment per frame (PS3.5 Annex G)")
     } else {
       require(pdLen >= rows.toLong * cols * nFrames * (bits / 8),
         s"PixelData length $pdLen shorter than ${rows}x${cols}x$nFrames frames")
@@ -236,7 +276,7 @@ object DicomIO {
     SliceMeta(rows, cols, bits, signed, samples, photometric, nFrames,
       psRow, psCol, thick, between, instance, ippZ, slope, inter,
       transferSyntax, pdOff, pdLen, bigEndianData = be,
-      fragOffsets = frags, fragLengths = fragLens.result())
+      frameFragments = frameFrags)
   }
 
   private def dtypeOf(m: SliceMeta): String = (m.bitsAllocated, m.signed) match {
@@ -332,27 +372,41 @@ object DicomIO {
       case JpegLossless14 | JpegLosslessSv1 => 4
       case _ => 0
     }
-    def frameRange(m: SliceMeta, frame: Int): (Long, Long) =
-      if (m.fragOffsets.nonEmpty) (m.fragOffsets(frame), m.fragLengths(frame))
+    // a frame is one or more byte ranges: encapsulated frames may be
+    // split across fragments (multi-range); native frames are one
+    // contiguous range
+    def frameRanges(m: SliceMeta, frame: Int): Seq[(Long, Long)] =
+      if (m.frameFragments.nonEmpty) m.frameFragments(frame)
       else {
         val frameBytes = rows.toLong * cols * itemSize
-        (m.pixelDataOffset + frame * frameBytes, frameBytes)
+        Seq((m.pixelDataOffset + frame * frameBytes, frameBytes))
       }
-    val tasks: Seq[(String, Int, Long, Long, Int)] = // (path, z, off, len, mode)
+    val tasks: Seq[(String, Int, Seq[(Long, Long)], Int)] = // (path, z, ranges, mode)
       if (metas.length == 1)
         (0 until nz).map { z =>
-          val (off, len) = frameRange(ordered.head._2, z)
-          (ordered.head._1, z, off, len, mode(ordered.head._2))
+          (ordered.head._1, z, frameRanges(ordered.head._2, z), mode(ordered.head._2))
         }
       else ordered.zipWithIndex.map { case ((p, m), z) =>
-        val (off, len) = frameRange(m, 0)
-        (p, z, off, len, mode(m))
+        (p, z, frameRanges(m, 0), mode(m))
       }
     val chunkRows = spark.createDataset(tasks)
       .repartition(math.min(tasks.length, spark.sparkContext.defaultParallelism))
-      .map { case (path, z, off, len, decodeMode) =>
+      .map { case (path, z, ranges, decodeMode) =>
         val st = new ZarrStore(path, hconf)
-        val raw = st.readRange("", off, len.toInt)
+        val raw =
+          if (ranges.length == 1) st.readRange("", ranges.head._1, ranges.head._2.toInt)
+          else {
+            // split frame: concatenate fragment payloads — they form
+            // one compressed stream (decoders ignore trailing pad)
+            val total = ranges.map(_._2).sum.toInt
+            val buf = new Array[Byte](total)
+            var at = 0
+            ranges.foreach { case (off, len) =>
+              System.arraycopy(st.readRange("", off, len.toInt), 0, buf, at, len.toInt)
+              at += len.toInt
+            }
+            buf
+          }
         val px = decodeMode match {
           case 1 => decodeJpegGray(raw, rows, cols)
           case 2 => decodeRleFrame(raw, rows * cols, itemSize, srcDtype)

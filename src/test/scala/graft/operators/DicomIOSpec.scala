@@ -118,6 +118,18 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(4, _ - 50.0))
   }
 
+  test("one frame split across 3 fragments concatenates and decodes") {
+    val img = DicomIO.read(spark, s"$fx/jls_frag1.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L))
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(1))
+  }
+
+  test("two frames of 2 fragments each delimit via the Basic Offset Table") {
+    val img = DicomIO.read(spark, s"$fx/jls_frag2.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 2L))
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(2))
+  }
+
   test("JPEG-baseline fixture without PixelData refuses on the element, not the syntax") {
     val e = intercept[Exception](DicomIO.read(spark, s"$fx/jpeg.dcm"))
     assert(messageChain(e).exists(_.contains("without PixelData")))

@@ -21,6 +21,9 @@ second implementation of the Part 10 layout:
                         int16 with negative values, z=2 pattern minus
                         60 — encoded by the independent pure-Python
                         T.87 implementation in make_jpegls_fixture.py
+    jls_frag1.dcm       JPEG-LS, ONE frame split across 3 fragments
+    jls_frag2.dcm       JPEG-LS, TWO frames of 2 fragments each,
+                        delimited by a real Basic Offset Table
     j2k.dcm             JPEG 2000 transfer syntax (must refuse)
     jpeg.dcm            JPEG-baseline transfer syntax header with no
                         PixelData (must refuse on the missing element,
@@ -228,6 +231,69 @@ ds = b"".join([
     pixel_el,
 ])
 (OUT / "jlo.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.4.70"), ds))
+
+# --- multi-fragment encapsulation: split frames + Basic Offset Table ------
+# Large frames legally split across fragments; readers must both
+# concatenate single-frame splits and use the BOT to delimit frames
+# when counts disagree.
+
+
+def even_split(blob, n):
+    """n chunks, all but last at even boundaries."""
+    step = (len(blob) // n) & ~1
+    cuts = [step * i for i in range(n)] + [len(blob)]
+    return [blob[cuts[i]:cuts[i + 1]] for i in range(n)]
+
+
+def encap_multi(frames_frags):
+    frags = []
+    for frs in frames_frags:
+        frags.append([f + b"\x00" if len(f) % 2 else f for f in frs])
+    bot = bytearray()
+    pos = 0
+    for frs in frags:
+        bot += struct.pack("<I", pos)
+        for f in frs:
+            pos += 8 + len(f)
+    out = bytearray()
+    out += struct.pack("<HHI", 0xFFFE, 0xE000, len(bot)) + bot
+    for frs in frags:
+        for f in frs:
+            out += struct.pack("<HHI", 0xFFFE, 0xE000, len(f)) + f
+    out += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    return struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+        + struct.pack("<I", 0xFFFFFFFF) + bytes(out)
+
+
+def jls_ds(pixel_el, nframes=None):
+    els = [
+        el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+        el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+    ]
+    if nframes:
+        els.append(el_explicit(0x0028, 0x0008, "IS", str(nframes).encode()))
+    els += [
+        el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+        el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+        el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+        el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 1)),
+        pixel_el,
+    ]
+    return b"".join(els)
+
+
+# one frame (z=0 pattern) split into 3 fragments
+jls0, _ = jls_encode([v & 0xFFFF for v in vox(0)], NX, NY, 16)
+(OUT / "jls_frag1.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.4.80"),
+    jls_ds(encap_multi([even_split(jls0, 3)]))))
+
+# two frames (z=0, z=1), each split into 2 fragments, BOT delimits
+jls1, _ = jls_encode([v & 0xFFFF for v in vox(1)], NX, NY, 16)
+(OUT / "jls_frag2.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.4.80"),
+    jls_ds(encap_multi([even_split(jls0, 2), even_split(jls1, 2)]),
+           nframes=2)))
 
 # --- still-unsupported syntax (JPEG 2000): must refuse --------------------
 (OUT / "j2k.dcm").write_bytes(part10(
