@@ -18,15 +18,19 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *   - 1.2.840.10008.1.2.4.50 JPEG Baseline, 8-bit, via the JDK
   *                            codec (the common clinical-export
   *                            syntax; lossy by nature)
+  *   - 1.2.840.10008.1.2.4.51 JPEG Extended (8/12-bit sequential
+  *                            DCT, SOF1), via the pure-JVM decoder
+  *                            in [[JpegExtended]] — javax.imageio
+  *                            cannot decode 12-bit streams
   *   - 1.2.840.10008.1.2.4.57/.70 JPEG Lossless (ITU-T T.81
   *                            process 14 / SV1), via the pure-JVM
   *                            codec in [[JpegLossless]]
   *   - 1.2.840.10008.1.2.4.80 JPEG-LS Lossless and
   *   - 1.2.840.10008.1.2.4.81 JPEG-LS Near-Lossless, via the pure-JVM
   *                            ITU-T T.87 codec in [[JpegLs]]
-  * The remaining compressed syntaxes (JPEG 2000, 12-bit extended
-  * JPEG, deflate) refuse loudly — same codec-scope posture as
-  * MP3/H.264 (COVERAGE.md): no silently-wrong pixels.
+  * The remaining compressed syntaxes (JPEG 2000, deflate) refuse
+  * loudly — same codec-scope posture as MP3/H.264 (COVERAGE.md):
+  * no silently-wrong pixels.
   * MONOCHROME1/2, 8/16-bit, single-sample only; Rescale
   * slope/intercept applies NIfTI-style (float32 output).
   *
@@ -44,6 +48,7 @@ object DicomIO {
   private val ExplicitLE = "1.2.840.10008.1.2.1"
   private val ExplicitBE = "1.2.840.10008.1.2.2"
   private val JpegBaseline = "1.2.840.10008.1.2.4.50"
+  private val JpegExtended12 = "1.2.840.10008.1.2.4.51"
   private val JpegLossless14 = "1.2.840.10008.1.2.4.57"
   private val JpegLosslessSv1 = "1.2.840.10008.1.2.4.70"
   private val JpegLsLossless = "1.2.840.10008.1.2.4.80"
@@ -140,20 +145,20 @@ object DicomIO {
     require(transferSyntax.nonEmpty, "DICOM file meta without TransferSyntaxUID")
     // encapsulated syntaxes use the default (explicit LE) dataset VR
     val encapsulated = transferSyntax == JpegBaseline ||
-      transferSyntax == RleLossless ||
+      transferSyntax == JpegExtended12 || transferSyntax == RleLossless ||
       transferSyntax == JpegLsLossless || transferSyntax == JpegLsNear ||
       transferSyntax == JpegLossless14 || transferSyntax == JpegLosslessSv1
     val (explicitVr, be) = transferSyntax match {
       case ImplicitLE => (false, false)
       case ExplicitLE => (true, false)
       case ExplicitBE => (true, true)
-      case JpegBaseline | RleLossless | JpegLsLossless | JpegLsNear |
-          JpegLossless14 | JpegLosslessSv1 =>
+      case JpegBaseline | JpegExtended12 | RleLossless | JpegLsLossless |
+          JpegLsNear | JpegLossless14 | JpegLosslessSv1 =>
         (true, false)
       case other => throw new UnsupportedOperationException(
         s"DICOM transfer syntax $other unsupported (decodable here: " +
           "implicit/explicit LE, explicit BE, JPEG baseline, " +
-          "JPEG lossless, JPEG-LS, RLE lossless)")
+          "JPEG extended 12-bit, JPEG lossless, JPEG-LS, RLE lossless)")
     }
 
     var rows = -1; var cols = -1; var bits = -1; var signed = false
@@ -245,7 +250,7 @@ object DicomIO {
     var frameFrags: Seq[Seq[(Long, Long)]] = Nil
     if (encapsulated) {
       require(transferSyntax != JpegBaseline || bits == 8,
-        "JPEG baseline is 8-bit; 12-bit extended JPEG unsupported")
+        "JPEG baseline is 8-bit — 12-bit data uses JPEG Extended (.4.51)")
       frameFrags =
         if (frags.length == nFrames) frags.map(Seq(_)) // 1:1, BOT unneeded
         else if (nFrames == 1) Seq(frags) // one frame split across fragments
@@ -370,6 +375,7 @@ object DicomIO {
       case RleLossless => 2
       case JpegLsLossless | JpegLsNear => 3
       case JpegLossless14 | JpegLosslessSv1 => 4
+      case JpegExtended12 => 5
       case _ => 0
     }
     // a frame is one or more byte ranges: encapsulated frames may be
@@ -412,6 +418,7 @@ object DicomIO {
           case 2 => decodeRleFrame(raw, rows * cols, itemSize, srcDtype)
           case 3 => decodeJpegLsFrame(raw, rows, cols, srcDtype)
           case 4 => decodeJpegLosslessFrame(raw, rows, cols, srcDtype)
+          case 5 => decodeJpegExtFrame(raw, rows, cols, srcDtype)
           case _ => ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
         }
         // DICOM rows are y-major; chunk payload is C-order over (x,y,z=1)
@@ -487,6 +494,29 @@ object DicomIO {
     val img = JpegLossless.decode(frag)
     require(img.height == rows && img.width == cols,
       s"JPEG-lossless frame is ${img.height}x${img.width}, header says ${rows}x$cols")
+    val out = new Array[Double](rows * cols)
+    var i = 0
+    dtype match {
+      case "int16" =>
+        while (i < out.length) { out(i) = img.samples(i).toShort.toDouble; i += 1 }
+      case "int8" =>
+        while (i < out.length) { out(i) = img.samples(i).toByte.toDouble; i += 1 }
+      case _ =>
+        while (i < out.length) { out(i) = img.samples(i).toDouble; i += 1 }
+    }
+    out
+  }
+
+  /** Decode one 8/12-bit extended sequential JPEG fragment (transfer
+    * syntax .4.51) via the pure-JVM SOF0/SOF1 decoder. Lossy — same
+    * posture as JPEG baseline: callers pin values with bounded-error
+    * or reconstruction-parity checks.
+    */
+  private[operators] def decodeJpegExtFrame(frag: Array[Byte], rows: Int,
+      cols: Int, dtype: String): Array[Double] = {
+    val img = JpegExtended.decode(frag)
+    require(img.height == rows && img.width == cols,
+      s"JPEG-extended frame is ${img.height}x${img.width}, header says ${rows}x$cols")
     val out = new Array[Double](rows * cols)
     var i = 0
     dtype match {

@@ -118,6 +118,24 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(4, _ - 50.0))
   }
 
+  test("12-bit extended JPEG (.4.51) decodes to the encoder's exact reconstruction") {
+    val img = DicomIO.read(spark, s"$fx/jext.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L))
+    assert(img.meta.dtype == "uint16")
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/jext_recon.raw"))
+    val recon = raw.grouped(2).map(p => ((p(0) & 0xff) << 8) | (p(1) & 0xff)).toSeq
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until NY; x <- 0 until NX)
+      assert(got(x * NY + y) == recon(y * NX + x).toDouble, s"($x,$y)")
+    // and the lossy bound vs the ORIGINAL pixels: uniform-ish content,
+    // DC-dominated — error within a couple of quantization steps
+    for (y <- 0 until NY; x <- 0 until NX) {
+      val orig = ((v(x, y, 3) + 10) * 30).toDouble
+      assert(math.abs(got(x * NY + y) - orig) <= 40, s"orig ($x,$y)")
+    }
+  }
+
   test("one frame split across 3 fragments concatenates and decodes") {
     val img = DicomIO.read(spark, s"$fx/jls_frag1.dcm")
     assert(img.meta.shape == Seq(NX.toLong, NY, 1L))

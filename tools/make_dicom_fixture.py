@@ -24,6 +24,11 @@ second implementation of the Part 10 layout:
     jls_frag1.dcm       JPEG-LS, ONE frame split across 3 fragments
     jls_frag2.dcm       JPEG-LS, TWO frames of 2 fragments each,
                         delimited by a real Basic Offset Table
+    jext.dcm            JPEG Extended 12-bit (1.2.840.10008.1.2.4.51),
+                        uint16/BitsStored 12 — from the independent
+                        pure-Python T.81 process-2&4 encoder in
+                        make_jpegext_fixture.py; jext_recon.raw holds
+                        the encoder's reconstruction for exact parity
     j2k.dcm             JPEG 2000 transfer syntax (must refuse)
     jpeg.dcm            JPEG-baseline transfer syntax header with no
                         PixelData (must refuse on the missing element,
@@ -294,6 +299,37 @@ jls1, _ = jls_encode([v & 0xFFFF for v in vox(1)], NX, NY, 16)
     meta_group("1.2.840.10008.1.2.4.80"),
     jls_ds(encap_multi([even_split(jls0, 2), even_split(jls1, 2)]),
            nframes=2)))
+
+# --- 12-bit extended sequential JPEG slice (.4.51) -------------------------
+from make_jpegext_fixture import encode as jext_encode  # noqa: E402
+
+# four uniform NYxNX-ish quadrants scaled into 12-bit range: DC-only
+# blocks after edge padding, so the reconstruction error is bounded
+# by DC quantization rounding; the .raw expectation is the encoder's
+# own reconstruction (exact parity with the decoder)
+img12 = [((v + 10) * 30) for v in vox(3)]
+jext, recon12 = jext_encode(img12, NX, NY)
+if len(jext) % 2:
+    jext += b"\x00"
+with open(OUT / "jext_recon.raw", "wb") as f:
+    for v in recon12:
+        f.write(struct.pack(">H", v))
+encap = (struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+         + struct.pack("<HHI", 0xFFFE, 0xE000, len(jext)) + jext
+         + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+    + struct.pack("<I", 0xFFFFFFFF) + encap
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+    el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+    el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+    el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+    el_explicit(0x0028, 0x0101, "US", struct.pack("<H", 12)),
+    el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 0)),
+    pixel_el,
+])
+(OUT / "jext.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.4.51"), ds))
 
 # --- still-unsupported syntax (JPEG 2000): must refuse --------------------
 (OUT / "j2k.dcm").write_bytes(part10(
