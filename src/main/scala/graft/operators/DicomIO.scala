@@ -28,9 +28,12 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *   - 1.2.840.10008.1.2.4.80 JPEG-LS Lossless and
   *   - 1.2.840.10008.1.2.4.81 JPEG-LS Near-Lossless, via the pure-JVM
   *                            ITU-T T.87 codec in [[JpegLs]]
-  * The remaining compressed syntaxes (JPEG 2000, deflate) refuse
-  * loudly — same codec-scope posture as MP3/H.264 (COVERAGE.md):
-  * no silently-wrong pixels.
+  *   - 1.2.840.10008.1.2.1.99 Deflated Explicit VR LE (the whole
+  *                            post-meta dataset is one raw-deflate
+  *                            stream, re-inflated per decode task)
+  * The one remaining compressed syntax (JPEG 2000) refuses loudly —
+  * same codec-scope posture as MP3/H.264 (COVERAGE.md): no
+  * silently-wrong pixels.
   * MONOCHROME1/2, 8/16-bit, single-sample only; Rescale
   * slope/intercept applies NIfTI-style (float32 output).
   *
@@ -54,6 +57,7 @@ object DicomIO {
   private val JpegLsLossless = "1.2.840.10008.1.2.4.80"
   private val JpegLsNear = "1.2.840.10008.1.2.4.81"
   private val RleLossless = "1.2.840.10008.1.2.5"
+  private val DeflatedLE = "1.2.840.10008.1.2.1.99"
 
   /** The per-file facts the reader extracts (header-only pass).
     * Encapsulated syntaxes carry `frameFragments`: per frame, the
@@ -72,7 +76,11 @@ object DicomIO {
       slope: Double, inter: Double,
       transferSyntax: String, pixelDataOffset: Long, pixelDataLength: Long,
       bigEndianData: Boolean,
-      frameFragments: Seq[Seq[(Long, Long)]] = Nil)
+      frameFragments: Seq[Seq[(Long, Long)]] = Nil,
+      // >= 0 when the dataset is one raw-deflate stream starting at
+      // this FILE offset; all other offsets then index the inflated
+      // dataset, so decode tasks re-inflate before slicing
+      deflateFrom: Long = -1L)
 
   // ------------------------------------------------------------ parsing
 
@@ -143,6 +151,35 @@ object DicomIO {
       pos = voff + vlen.toInt
     }
     require(transferSyntax.nonEmpty, "DICOM file meta without TransferSyntaxUID")
+    if (transferSyntax == DeflatedLE) {
+      // Deflated Explicit VR LE: the WHOLE post-meta dataset is one
+      // raw-deflate stream — inflate, walk as explicit LE, and record
+      // the deflate origin so decode tasks can re-inflate; offsets in
+      // the returned meta index the INFLATED dataset
+      parseDataset(inflateRaw(bytes, pos), 0, ExplicitLE, deflateFrom = pos)
+        .copy(transferSyntax = DeflatedLE)
+    } else parseDataset(bytes, pos, transferSyntax, deflateFrom = -1L)
+  }
+
+  /** Inflate a raw (headerless) deflate stream starting at `from`. */
+  private[operators] def inflateRaw(bytes: Array[Byte], from: Long): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(bytes, from.toInt, bytes.length - from.toInt)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 2))
+    val buf = new Array[Byte](65536)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished(),
+        "DICOM deflated dataset: truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def parseDataset(bytes: Array[Byte], start: Int,
+      transferSyntax: String, deflateFrom: Long): SliceMeta = {
+    var pos = start
     // encapsulated syntaxes use the default (explicit LE) dataset VR
     val encapsulated = transferSyntax == JpegBaseline ||
       transferSyntax == JpegExtended12 || transferSyntax == RleLossless ||
@@ -281,7 +318,7 @@ object DicomIO {
     SliceMeta(rows, cols, bits, signed, samples, photometric, nFrames,
       psRow, psCol, thick, between, instance, ippZ, slope, inter,
       transferSyntax, pdOff, pdLen, bigEndianData = be,
-      frameFragments = frameFrags)
+      frameFragments = frameFrags, deflateFrom = deflateFrom)
   }
 
   private def dtypeOf(m: SliceMeta): String = (m.bitsAllocated, m.signed) match {
@@ -387,20 +424,29 @@ object DicomIO {
         val frameBytes = rows.toLong * cols * itemSize
         Seq((m.pixelDataOffset + frame * frameBytes, frameBytes))
       }
-    val tasks: Seq[(String, Int, Seq[(Long, Long)], Int)] = // (path, z, ranges, mode)
+    // (path, z, ranges, mode, deflateFrom)
+    val tasks: Seq[(String, Int, Seq[(Long, Long)], Int, Long)] =
       if (metas.length == 1)
         (0 until nz).map { z =>
-          (ordered.head._1, z, frameRanges(ordered.head._2, z), mode(ordered.head._2))
+          (ordered.head._1, z, frameRanges(ordered.head._2, z),
+            mode(ordered.head._2), ordered.head._2.deflateFrom)
         }
       else ordered.zipWithIndex.map { case ((p, m), z) =>
-        (p, z, frameRanges(m, 0), mode(m))
+        (p, z, frameRanges(m, 0), mode(m), m.deflateFrom)
       }
     val chunkRows = spark.createDataset(tasks)
       .repartition(math.min(tasks.length, spark.sparkContext.defaultParallelism))
-      .map { case (path, z, ranges, decodeMode) =>
+      .map { case (path, z, ranges, decodeMode, deflateFrom) =>
         val st = new ZarrStore(path, hconf)
+        // deflated datasets re-inflate in the task (ranges index the
+        // inflated stream); positioned file reads otherwise
+        def slice(off: Long, len: Int): Array[Byte] =
+          if (deflateFrom >= 0) {
+            val inflated = inflateRaw(st.readBytes(""), deflateFrom)
+            java.util.Arrays.copyOfRange(inflated, off.toInt, off.toInt + len)
+          } else st.readRange("", off, len)
         val raw =
-          if (ranges.length == 1) st.readRange("", ranges.head._1, ranges.head._2.toInt)
+          if (ranges.length == 1) slice(ranges.head._1, ranges.head._2.toInt)
           else {
             // split frame: concatenate fragment payloads — they form
             // one compressed stream (decoders ignore trailing pad)
@@ -408,7 +454,7 @@ object DicomIO {
             val buf = new Array[Byte](total)
             var at = 0
             ranges.foreach { case (off, len) =>
-              System.arraycopy(st.readRange("", off, len.toInt), 0, buf, at, len.toInt)
+              System.arraycopy(slice(off, len.toInt), 0, buf, at, len.toInt)
               at += len.toInt
             }
             buf

@@ -136,6 +136,15 @@ class DicomIOSpec extends SparkSpec {
     }
   }
 
+  test("Deflated Explicit VR LE (.1.99) inflates and decodes, negatives intact") {
+    val img = DicomIO.read(spark, s"$fx/defl.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L))
+    assert(img.meta.dtype == "int16")
+    val want = for (x <- 0 until NX; y <- 0 until NY)
+      yield (v(x, y, 2) - 20).toDouble
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == want)
+  }
+
   test("one frame split across 3 fragments concatenates and decodes") {
     val img = DicomIO.read(spark, s"$fx/jls_frag1.dcm")
     assert(img.meta.shape == Seq(NX.toLong, NY, 1L))

@@ -29,6 +29,9 @@ second implementation of the Part 10 layout:
                         pure-Python T.81 process-2&4 encoder in
                         make_jpegext_fixture.py; jext_recon.raw holds
                         the encoder's reconstruction for exact parity
+    defl.dcm            Deflated Explicit VR LE (1.2.840.10008.1.2
+                        .1.99): raw-deflate dataset, int16 negatives,
+                        z=2 pattern minus 20
     j2k.dcm             JPEG 2000 transfer syntax (must refuse)
     jpeg.dcm            JPEG-baseline transfer syntax header with no
                         PixelData (must refuse on the missing element,
@@ -330,6 +333,24 @@ ds = b"".join([
     pixel_el,
 ])
 (OUT / "jext.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.4.51"), ds))
+
+# --- Deflated Explicit VR LE: whole dataset is one raw-deflate stream -----
+import zlib  # noqa: E402
+
+px_d = b"".join(struct.pack("<h", v - 20) for v in vox(2))
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+    el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+    el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+    el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+    el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 1)),
+    el_explicit(0x7FE0, 0x0010, "OW", px_d),
+])
+comp = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate, no header
+(OUT / "defl.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.1.99"),
+    comp.compress(ds) + comp.flush()))
 
 # --- still-unsupported syntax (JPEG 2000): must refuse --------------------
 (OUT / "j2k.dcm").write_bytes(part10(
