@@ -34,8 +34,11 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   * The one remaining compressed syntax (JPEG 2000) refuses loudly —
   * same codec-scope posture as MP3/H.264 (COVERAGE.md): no
   * silently-wrong pixels.
-  * MONOCHROME1/2, 8/16-bit, single-sample only; Rescale
-  * slope/intercept applies NIfTI-style (float32 output).
+  * MONOCHROME1/2 8/16-bit grayscale, plus 8-bit RGB color
+  * (SamplesPerPixel 3: native interleaved or planar, RLE color
+  * planes, JPEG-baseline YBR/RGB — a `c` dimension appends to the
+  * volume); Rescale slope/intercept applies NIfTI-style (float32
+  * output).
   *
   * Shapes: one multi-frame file → (x, y, z=frames); a SERIES directory
   * (one slice per file) reads in two metadata-sized passes — executors
@@ -69,7 +72,7 @@ object DicomIO {
     */
   final case class SliceMeta(
       rows: Int, cols: Int, bitsAllocated: Int, signed: Boolean,
-      samples: Int, photometric: String, nFrames: Int,
+      samples: Int, photometric: String, planarConfig: Int, nFrames: Int,
       pixelSpacingRow: Double, pixelSpacingCol: Double,
       sliceThickness: Double, spacingBetween: Double,
       instanceNumber: Int, ippZ: Double,
@@ -199,7 +202,8 @@ object DicomIO {
     }
 
     var rows = -1; var cols = -1; var bits = -1; var signed = false
-    var samples = 1; var photometric = "MONOCHROME2"; var nFrames = 1
+    var samples = 1; var photometric = "MONOCHROME2"; var planar = 0
+    var nFrames = 1
     var psRow = 1.0; var psCol = 1.0; var thick = 1.0; var between = 0.0
     var instance = 0; var ippZ = 0.0; var slope = 1.0; var inter = 0.0
     var pdOff = -1L; var pdLen = -1L
@@ -219,6 +223,7 @@ object DicomIO {
         case (0x0028, 0x0103) => signed = u16(bytes, voff, be) == 1
         case (0x0028, 0x0002) => samples = u16(bytes, voff, be)
         case (0x0028, 0x0004) => photometric = str
+        case (0x0028, 0x0006) => planar = u16(bytes, voff, be)
         case (0x0028, 0x0008) => nFrames = str.toInt
         case (0x0028, 0x0030) => psRow = ds(0); psCol = ds(1)
         case (0x0018, 0x0050) => thick = str.toDouble
@@ -278,9 +283,27 @@ object DicomIO {
     require(pdOff >= 0, "DICOM dataset without PixelData")
     require(rows > 0 && cols > 0, "DICOM without Rows/Columns")
     require(bits == 8 || bits == 16, s"BitsAllocated $bits unsupported (8/16)")
-    require(samples == 1, s"SamplesPerPixel $samples unsupported (grayscale only)")
-    require(photometric == "MONOCHROME1" || photometric == "MONOCHROME2",
-      s"PhotometricInterpretation '$photometric' unsupported")
+    require(samples == 1 || samples == 3,
+      s"SamplesPerPixel $samples unsupported (1 grayscale / 3 color)")
+    if (samples == 1)
+      require(photometric == "MONOCHROME1" || photometric == "MONOCHROME2",
+        s"PhotometricInterpretation '$photometric' unsupported for 1 sample")
+    else {
+      // color: native/RLE carry RGB; JPEG baseline streams are YCbCr
+      // (YBR_FULL_422) or RGB — the JDK codec emits RGB either way
+      val okColor = photometric == "RGB" ||
+        (transferSyntax == JpegBaseline &&
+          (photometric == "YBR_FULL" || photometric == "YBR_FULL_422"))
+      require(okColor,
+        s"PhotometricInterpretation '$photometric' unsupported for 3 samples")
+      require(bits == 8, s"color DICOM supports 8-bit samples (got $bits)")
+      require(transferSyntax != JpegLsLossless && transferSyntax != JpegLsNear &&
+        transferSyntax != JpegLossless14 && transferSyntax != JpegLosslessSv1 &&
+        transferSyntax != JpegExtended12,
+        s"color via $transferSyntax unsupported (single-component codecs here)")
+      require(planar == 0 || planar == 1,
+        s"PlanarConfiguration $planar invalid")
+    }
     val frags = fragOffs.result().zip(fragLens.result())
     val hdrs = fragHdrs.result()
     val bot = botOffs.result()
@@ -312,10 +335,10 @@ object DicomIO {
         frameFrags.forall(_.length == 1),
         "RLE Lossless requires one fragment per frame (PS3.5 Annex G)")
     } else {
-      require(pdLen >= rows.toLong * cols * nFrames * (bits / 8),
+      require(pdLen >= rows.toLong * cols * samples * nFrames * (bits / 8),
         s"PixelData length $pdLen shorter than ${rows}x${cols}x$nFrames frames")
     }
-    SliceMeta(rows, cols, bits, signed, samples, photometric, nFrames,
+    SliceMeta(rows, cols, bits, signed, samples, photometric, planar, nFrames,
       psRow, psCol, thick, between, instance, ippZ, slope, inter,
       transferSyntax, pdOff, pdLen, bigEndianData = be,
       frameFragments = frameFrags, deflateFrom = deflateFrom)
@@ -369,7 +392,8 @@ object DicomIO {
         m.pixelSpacingCol == first.pixelSpacingCol &&
         m.sliceThickness == first.sliceThickness &&
         m.spacingBetween == first.spacingBetween &&
-        m.photometric == first.photometric,
+        m.photometric == first.photometric && m.samples == first.samples &&
+        m.planarConfig == first.planarConfig,
         s"series member $p disagrees with the first slice " +
           "(shape/dtype/rescale/spacing/photometric) — a mixed series would " +
           "get a silently wrong physical scale")
@@ -390,16 +414,22 @@ object DicomIO {
     val outDtype = if (rescale) "float32" else srcDtype
     val zSpacing =
       if (first.spacingBetween != 0.0) first.spacingBetween else first.sliceThickness
+    val nSamples = first.samples
+    val cDims = if (nSamples > 1) Seq("c") else Nil
     val meta = ImageMeta(
-      dims = Seq("x", "y", "z"),
-      shape = Seq(first.cols.toLong, first.rows.toLong, nz.toLong),
-      chunks = Seq(first.cols, first.rows, 1),
+      dims = Seq("x", "y", "z") ++ cDims,
+      shape = Seq(first.cols.toLong, first.rows.toLong, nz.toLong) ++
+        (if (nSamples > 1) Seq(nSamples.toLong) else Nil),
+      chunks = Seq(first.cols, first.rows, 1) ++
+        (if (nSamples > 1) Seq(nSamples) else Nil),
       dtype = outDtype,
       scale = Map("x" -> first.pixelSpacingCol, "y" -> first.pixelSpacingRow,
-        "z" -> zSpacing),
-      translation = Map("x" -> 0.0, "y" -> 0.0, "z" -> ordered.head._2.ippZ))
+        "z" -> zSpacing) ++ cDims.map(_ -> 1.0),
+      translation = Map("x" -> 0.0, "y" -> 0.0,
+        "z" -> ordered.head._2.ippZ) ++ cDims.map(_ -> 0.0))
 
     val rows = first.rows; val cols = first.cols
+    val planarCfg = first.planarConfig
     val slope = first.slope; val inter = first.inter
     val bigEndianData = first.bigEndianData
     val itemSize = first.bitsAllocated / 8
@@ -421,7 +451,7 @@ object DicomIO {
     def frameRanges(m: SliceMeta, frame: Int): Seq[(Long, Long)] =
       if (m.frameFragments.nonEmpty) m.frameFragments(frame)
       else {
-        val frameBytes = rows.toLong * cols * itemSize
+        val frameBytes = rows.toLong * cols * itemSize * m.samples
         Seq((m.pixelDataOffset + frame * frameBytes, frameBytes))
       }
     // (path, z, ranges, mode, deflateFrom)
@@ -459,28 +489,52 @@ object DicomIO {
             }
             buf
           }
+        // every decoder yields PIXEL-INTERLEAVED samples
+        // (y-major; planar native frames rearrange below)
         val px = decodeMode match {
-          case 1 => decodeJpegGray(raw, rows, cols)
-          case 2 => decodeRleFrame(raw, rows * cols, itemSize, srcDtype)
+          case 1 =>
+            if (nSamples == 1) decodeJpegGray(raw, rows, cols)
+            else decodeJpegBands(raw, rows, cols, nSamples)
+          case 2 => decodeRleFrame(raw, rows * cols, itemSize, srcDtype, nSamples)
           case 3 => decodeJpegLsFrame(raw, rows, cols, srcDtype)
           case 4 => decodeJpegLosslessFrame(raw, rows, cols, srcDtype)
           case 5 => decodeJpegExtFrame(raw, rows, cols, srcDtype)
-          case _ => ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
+          case _ =>
+            val vals = ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
+            if (planarCfg == 1 && nSamples > 1) {
+              // planar RRR..GGG..BBB → interleaved
+              val n = rows * cols
+              val inter2 = new Array[Double](vals.length)
+              var c = 0
+              while (c < nSamples) {
+                var i = 0
+                while (i < n) { inter2(i * nSamples + c) = vals(c * n + i); i += 1 }
+                c += 1
+              }
+              inter2
+            } else vals
         }
-        // DICOM rows are y-major; chunk payload is C-order over (x,y,z=1)
-        val out = new Array[Double](rows * cols)
+        // DICOM rows are y-major; chunk payload is C-order over
+        // (x,y,z=1[,c])
+        val out = new Array[Double](rows * cols * nSamples)
         var y = 0
         while (y < rows) {
           var x = 0
           while (x < cols) {
-            val v = px(y * cols + x)
-            out(x * rows + y) =
-              if (rescale) (v * slope + inter).toFloat.toDouble else v
+            var c = 0
+            while (c < nSamples) {
+              val v = px((y * cols + x) * nSamples + c)
+              out((x * rows + y) * nSamples + c) =
+                if (rescale) (v * slope + inter).toFloat.toDouble else v
+              c += 1
+            }
             x += 1
           }
           y += 1
         }
-        ChunkRow(Seq(0, 0, z), Seq(0L, 0L, z.toLong), Seq(cols, rows, 1),
+        val cIdx = if (nSamples > 1) Seq(0) else Nil
+        ChunkRow(Seq(0, 0, z) ++ cIdx, Seq(0L, 0L, z.toLong) ++ cIdx.map(_.toLong),
+          Seq(cols, rows, 1) ++ (if (nSamples > 1) Seq(nSamples) else Nil),
           ZarrStore.encodeFromDoubles(out, outDtype))
       }
     DicomImage(meta, chunkRows)
@@ -576,6 +630,36 @@ object DicomIO {
     out
   }
 
+  /** Decode one JPEG-baseline color fragment to pixel-interleaved
+    * band values via the JDK codec (which upsamples and converts the
+    * stream's YCbCr to RGB — the DICOM .50 color convention).
+    */
+  private[operators] def decodeJpegBands(frag: Array[Byte], rows: Int,
+      cols: Int, bands: Int): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frag))
+    require(img != null, "JPEG fragment failed to decode")
+    require(img.getHeight == rows && img.getWidth == cols,
+      s"JPEG frame is ${img.getHeight}x${img.getWidth}, header says ${rows}x$cols")
+    val raster = img.getRaster
+    require(raster.getNumBands == bands,
+      s"JPEG frame has ${raster.getNumBands} bands, header says $bands")
+    val out = new Array[Double](rows * cols * bands)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        var c = 0
+        while (c < bands) {
+          out((y * cols + x) * bands + c) = raster.getSample(x, y, c).toDouble
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** PS3.5 Annex G PackBits: n in [0,127] → copy n+1 literals;
     * n in [-127,-1] → repeat next byte 1−n times; −128 → no-op.
     */
@@ -606,26 +690,28 @@ object DicomIO {
 
   /** Decode one RLE Lossless frame (PS3.5 Annex G): 64-byte header of
     * 16 little-endian uint32s (segment count + 15 offsets), then one
-    * PackBits segment per byte plane, most significant byte first —
-    * so the composed stream is big-endian regardless of the dataset
-    * encoding.
+    * PackBits segment per composite-pixel-code byte plane — sample-
+    * major, most significant byte first (grayscale 16-bit: MSB, LSB;
+    * RGB 8-bit: R, G, B) — so the composed interleaved stream is
+    * big-endian regardless of the dataset encoding.
     */
   private[operators] def decodeRleFrame(frag: Array[Byte], nPix: Int,
-      itemSize: Int, dtype: String): Array[Double] = {
+      itemSize: Int, dtype: String, samples: Int = 1): Array[Double] = {
     require(frag.length >= 64, "RLE frame shorter than its 64-byte header")
     def u32le(off: Int): Long = u32(frag, off, be = false)
     val nSeg = u32le(0).toInt
-    require(nSeg == itemSize,
-      s"RLE frame has $nSeg segments for $itemSize-byte grayscale samples")
+    require(nSeg == itemSize * samples,
+      s"RLE frame has $nSeg segments for $samples x $itemSize-byte samples")
     val offsets = (0 until nSeg).map(i => u32le(4 + 4 * i).toInt)
-    val composed = new Array[Byte](nPix * itemSize)
+    val composed = new Array[Byte](nPix * itemSize * samples)
     val seg = new Array[Byte](nPix)
     var s = 0
     while (s < nSeg) {
       val end = if (s + 1 < nSeg) offsets(s + 1) else frag.length
       packBitsDecode(frag, offsets(s), end, seg)
+      // plane s belongs to sample s/itemSize, byte s%itemSize (MSB 1st)
       var p = 0
-      while (p < nPix) { composed(p * itemSize + s) = seg(p); p += 1 }
+      while (p < nPix) { composed(p * itemSize * samples + s) = seg(p); p += 1 }
       s += 1
     }
     ZarrStore.decodeToDoubles(composed, dtype, bigEndian = true)
@@ -654,7 +740,8 @@ object DicomIO {
   private def buildSlice(ts: String, bits: Int, signed: Boolean,
       rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
       pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
-      pixelData: Array[Byte]): Array[Byte] = {
+      pixelData: Array[Byte], samples: Int = 1,
+      photometric: String = "MONOCHROME2", planar: Int = -1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(new Array[Byte](128))
     out.write("DICM".getBytes("US-ASCII"))
@@ -666,8 +753,9 @@ object DicomIO {
     out.write(asciiEl(0x0018, 0x0050, "DS", sliceThickness.toString))
     out.write(asciiEl(0x0020, 0x0013, "IS", instanceNumber.toString))
     out.write(asciiEl(0x0020, 0x0032, "DS", s"0\\0\\$ippZ"))
-    out.write(usEl(0x0028, 0x0002, 1))
-    out.write(asciiEl(0x0028, 0x0004, "CS", "MONOCHROME2"))
+    out.write(usEl(0x0028, 0x0002, samples))
+    out.write(asciiEl(0x0028, 0x0004, "CS", photometric))
+    if (planar >= 0) out.write(usEl(0x0028, 0x0006, planar))
     out.write(usEl(0x0028, 0x0010, rows))
     out.write(usEl(0x0028, 0x0011, cols))
     out.write(asciiEl(0x0028, 0x0030, "DS",
@@ -678,6 +766,35 @@ object DicomIO {
     out.write(usEl(0x0028, 0x0103, if (signed) 1 else 0))
     out.write(pixelData)
     out.toByteArray
+  }
+
+  /** One Explicit-VR-LE Part 10 slice with uint8 RGB pixels —
+    * interleaved (planar 0) or channel-planar (planar 1). `pixels` is
+    * always given interleaved [r,g,b, r,g,b, ...] y-major.
+    */
+  def encodeSliceRgb8(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Byte], planar: Int = 0): Array[Byte] = {
+    require(pixels.length == rows * cols * 3, "pixels != rows*cols*3")
+    val body =
+      if (planar == 0) pixels
+      else {
+        val n = rows * cols
+        val out = new Array[Byte](pixels.length)
+        var c = 0
+        while (c < 3) {
+          var i = 0
+          while (i < n) { out(c * n + i) = pixels(i * 3 + c); i += 1 }
+          c += 1
+        }
+        out
+      }
+    val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+    val pd = le16(0x7fe0) ++ le16(0x0010) ++ "OB".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ le32(padded.length.toLong) ++ padded
+    buildSlice(ExplicitLE, bits = 8, signed = false, rows, cols,
+      instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness, pd,
+      samples = 3, photometric = "RGB", planar = planar)
   }
 
   /** One Explicit-VR-LE Part 10 slice with int16 pixels — the layout
@@ -796,6 +913,39 @@ object DicomIO {
     buildSlice(JpegLosslessSv1, bits = 16, signed = true, rows, cols,
       instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
       encapsulate(Seq(jlo)))
+  }
+
+  /** One JPEG-baseline COLOR Part 10 slice: interleaved RGB through
+    * the JDK JPEG writer (which emits the standard YCbCr stream —
+    * hence photometric YBR_FULL_422), encapsulated. Lossy — callers
+    * pin with bounded error on MCU-aligned uniform blocks.
+    */
+  def encodeSliceJpegRgb(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == rows * cols * 3, "pixels != rows*cols*3")
+    val img = new java.awt.image.BufferedImage(cols, rows,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        var c = 0
+        while (c < 3) {
+          raster.setSample(x, y, c, pixels((y * cols + x) * 3 + c) & 0xff)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    buildSlice(JpegBaseline, bits = 8, signed = false, rows, cols,
+      instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
+      encapsulate(Seq(bos.toByteArray)), samples = 3,
+      photometric = "YBR_FULL_422", planar = 0)
   }
 
   /** One JPEG-baseline Part 10 slice: 8-bit grayscale frame through

@@ -157,6 +157,64 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(2))
   }
 
+  private def rgbv(x: Int, y: Int, c: Int): Double = (3 * x + 7 * y + 41 * c) % 256
+
+  private def assertRgb(img: DicomIO.DicomImage): Unit = {
+    assert(img.meta.dims == Seq("x", "y", "z", "c"))
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L, 3L))
+    assert(img.meta.dtype == "uint8")
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (x <- 0 until NX; y <- 0 until NY; c <- 0 until 3)
+      assert(got(((x * NY + y) * 1 + 0) * 3 + c) == rgbv(x, y, c), s"($x,$y,$c)")
+  }
+
+  test("RGB color: interleaved, planar, and RLE color planes all decode") {
+    assertRgb(DicomIO.read(spark, s"$fx/rgb.dcm"))
+    assertRgb(DicomIO.read(spark, s"$fx/rgbp.dcm"))
+    assertRgb(DicomIO.read(spark, s"$fx/rgbrle.dcm"))
+  }
+
+  test("JVM RGB encoder round-trips both planar configurations") {
+    val dir = java.nio.file.Files.createTempDirectory("dcm_rgb")
+    val px = Array.tabulate[Byte](NY * NX * 3) { i =>
+      val c = i % 3; val p = i / 3
+      rgbv(p % NX, p / NX, c).toByte
+    }
+    for ((planar, name) <- Seq((0, "i.dcm"), (1, "p.dcm"))) {
+      java.nio.file.Files.write(dir.resolve(name),
+        DicomIO.encodeSliceRgb8(NY, NX, 1, 0.0, (1.0, 1.0), 1.0, px, planar))
+      assertRgb(DicomIO.read(spark, dir.resolve(name).toString))
+    }
+  }
+
+  test("JPEG-baseline color (YBR) decodes within quantization error on uniform blocks") {
+    // four uniform 8x8 color blocks (MCU-aligned at 4:2:0 -> 16x16
+    // luma MCUs; use 16-aligned regions so chroma subsampling is
+    // exact on uniform areas)
+    val rows = 32; val cols = 32
+    def blockRgb(x: Int, y: Int, c: Int): Int =
+      Seq(Seq(200, 60, 60), Seq(60, 200, 60), Seq(60, 60, 200),
+        Seq(180, 180, 40))((y / 16) * 2 + (x / 16))(c)
+    val px = Array.tabulate[Byte](rows * cols * 3) { i =>
+      val c = i % 3; val p = i / 3
+      blockRgb(p % cols, p / cols, c).toByte
+    }
+    val f = java.nio.file.Files.createTempFile("dcm_jpegrgb", ".dcm")
+    java.nio.file.Files.write(f,
+      DicomIO.encodeSliceJpegRgb(rows, cols, 1, 0.0, (1.0, 1.0), 1.0, px))
+    val img = DicomIO.read(spark, f.toString)
+    assert(img.meta.dims == Seq("x", "y", "z", "c"))
+    assert(img.meta.shape == Seq(cols.toLong, rows.toLong, 1L, 3L))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 2 until rows - 2; x <- 2 until cols - 2
+         if (x % 16) > 1 && (x % 16) < 14 && (y % 16) > 1 && (y % 16) < 14;
+         c <- 0 until 3) {
+      val want = blockRgb(x, y, c)
+      val g = got((x * rows + y) * 3 + c)
+      assert(math.abs(g - want) <= 6, s"($x,$y,$c): $g vs $want")
+    }
+  }
+
   test("JPEG-baseline fixture without PixelData refuses on the element, not the syntax") {
     val e = intercept[Exception](DicomIO.read(spark, s"$fx/jpeg.dcm"))
     assert(messageChain(e).exists(_.contains("without PixelData")))

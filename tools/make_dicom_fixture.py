@@ -32,6 +32,11 @@ second implementation of the Part 10 layout:
     defl.dcm            Deflated Explicit VR LE (1.2.840.10008.1.2
                         .1.99): raw-deflate dataset, int16 negatives,
                         z=2 pattern minus 20
+    rgb.dcm / rgbp.dcm / rgbrle.dcm
+                        8-bit RGB color: native interleaved (planar
+                        0), native channel-planar (planar 1), and RLE
+                        with R/G/B byte planes; rgbv(x,y,c) =
+                        (3x + 7y + 41c) % 256
     j2k.dcm             JPEG 2000 transfer syntax (must refuse)
     jpeg.dcm            JPEG-baseline transfer syntax header with no
                         PixelData (must refuse on the missing element,
@@ -351,6 +356,64 @@ comp = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate, no header
 (OUT / "defl.dcm").write_bytes(part10(
     meta_group("1.2.840.10008.1.2.1.99"),
     comp.compress(ds) + comp.flush()))
+
+# --- RGB color slices: interleaved, planar, RLE color planes --------------
+def rgbv(x, y, c):
+    return (3 * x + 7 * y + 41 * c) % 256
+
+
+rgb_inter = bytes(rgbv(x, y, c)
+                  for y in range(NY) for x in range(NX) for c in range(3))
+
+
+def color_ds(pixel_el, planar=None):
+    els = [
+        el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 3)),
+        el_explicit(0x0028, 0x0004, "CS", b"RGB"),
+    ]
+    if planar is not None:
+        els.append(el_explicit(0x0028, 0x0006, "US", struct.pack("<H", planar)))
+    els += [
+        el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+        el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+        el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 8)),
+        el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 0)),
+        pixel_el,
+    ]
+    return b"".join(els)
+
+
+(OUT / "rgb.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.1"),
+    color_ds(el_explicit(0x7FE0, 0x0010, "OB", rgb_inter), planar=0)))
+
+rgb_planar = bytes(rgbv(x, y, c)
+                   for c in range(3) for y in range(NY) for x in range(NX))
+(OUT / "rgbp.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.1"),
+    color_ds(el_explicit(0x7FE0, 0x0010, "OB", rgb_planar), planar=1)))
+
+# RLE color: three PackBits byte planes R, G, B (Annex G composite order)
+planes = [bytes(rgbv(x, y, c) for y in range(NY) for x in range(NX))
+          for c in range(3)]
+segs = [packbits(pl) for pl in planes]
+segs = [sg + b"\x00" if len(sg) % 2 else sg for sg in segs]
+hdr = struct.pack("<I", 3)
+off = 64
+for sg in segs:
+    hdr += struct.pack("<I", off)
+    off += len(sg)
+hdr += b"\x00" * (64 - len(hdr))
+rle_c = hdr + b"".join(segs)
+if len(rle_c) % 2:
+    rle_c += b"\x00"
+encap = (struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+         + struct.pack("<HHI", 0xFFFE, 0xE000, len(rle_c)) + rle_c
+         + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+    + struct.pack("<I", 0xFFFFFFFF) + encap
+(OUT / "rgbrle.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.5"), color_ds(pixel_el, planar=0)))
 
 # --- still-unsupported syntax (JPEG 2000): must refuse --------------------
 (OUT / "j2k.dcm").write_bytes(part10(
