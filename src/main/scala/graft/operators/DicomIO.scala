@@ -28,11 +28,16 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *   - 1.2.840.10008.1.2.4.80 JPEG-LS Lossless and
   *   - 1.2.840.10008.1.2.4.81 JPEG-LS Near-Lossless, via the pure-JVM
   *                            ITU-T T.87 codec in [[JpegLs]]
+  *   - 1.2.840.10008.1.2.4.90/.91 JPEG 2000 (lossless reversible-5/3
+  *                            profile via the pure-JVM T.800 decoder
+  *                            in [[Jpeg2k]]; irreversible 9/7 and
+  *                            exotic codestream options refuse
+  *                            inside the codec by name)
   *   - 1.2.840.10008.1.2.1.99 Deflated Explicit VR LE (the whole
   *                            post-meta dataset is one raw-deflate
   *                            stream, re-inflated per decode task)
-  * The one remaining compressed syntax (JPEG 2000) refuses loudly —
-  * same codec-scope posture as MP3/H.264 (COVERAGE.md): no
+  * Every remaining refusal (MPEG/HEVC video syntaxes, JPIP) is
+  * loud — same codec-scope posture as MP3/H.264 (COVERAGE.md): no
   * silently-wrong pixels.
   * MONOCHROME1/2 8/16-bit grayscale, plus 8-bit RGB color
   * (SamplesPerPixel 3: native interleaved or planar, RLE color
@@ -59,6 +64,8 @@ object DicomIO {
   private val JpegLosslessSv1 = "1.2.840.10008.1.2.4.70"
   private val JpegLsLossless = "1.2.840.10008.1.2.4.80"
   private val JpegLsNear = "1.2.840.10008.1.2.4.81"
+  private val Jpeg2000Lossless = "1.2.840.10008.1.2.4.90"
+  private val Jpeg2000 = "1.2.840.10008.1.2.4.91"
   private val RleLossless = "1.2.840.10008.1.2.5"
   private val DeflatedLE = "1.2.840.10008.1.2.1.99"
 
@@ -187,18 +194,21 @@ object DicomIO {
     val encapsulated = transferSyntax == JpegBaseline ||
       transferSyntax == JpegExtended12 || transferSyntax == RleLossless ||
       transferSyntax == JpegLsLossless || transferSyntax == JpegLsNear ||
-      transferSyntax == JpegLossless14 || transferSyntax == JpegLosslessSv1
+      transferSyntax == JpegLossless14 || transferSyntax == JpegLosslessSv1 ||
+      transferSyntax == Jpeg2000Lossless || transferSyntax == Jpeg2000
     val (explicitVr, be) = transferSyntax match {
       case ImplicitLE => (false, false)
       case ExplicitLE => (true, false)
       case ExplicitBE => (true, true)
       case JpegBaseline | JpegExtended12 | RleLossless | JpegLsLossless |
-          JpegLsNear | JpegLossless14 | JpegLosslessSv1 =>
+          JpegLsNear | JpegLossless14 | JpegLosslessSv1 |
+          Jpeg2000Lossless | Jpeg2000 =>
         (true, false)
       case other => throw new UnsupportedOperationException(
         s"DICOM transfer syntax $other unsupported (decodable here: " +
           "implicit/explicit LE, explicit BE, JPEG baseline, " +
-          "JPEG extended 12-bit, JPEG lossless, JPEG-LS, RLE lossless)")
+          "JPEG extended 12-bit, JPEG lossless, JPEG-LS, JPEG 2000, " +
+          "RLE lossless)")
     }
 
     var rows = -1; var cols = -1; var bits = -1; var signed = false
@@ -443,6 +453,7 @@ object DicomIO {
       case JpegLsLossless | JpegLsNear => 3
       case JpegLossless14 | JpegLosslessSv1 => 4
       case JpegExtended12 => 5
+      case Jpeg2000Lossless | Jpeg2000 => 6
       case _ => 0
     }
     // a frame is one or more byte ranges: encapsulated frames may be
@@ -499,6 +510,7 @@ object DicomIO {
           case 3 => decodeJpegLsFrame(raw, rows, cols, srcDtype)
           case 4 => decodeJpegLosslessFrame(raw, rows, cols, srcDtype)
           case 5 => decodeJpegExtFrame(raw, rows, cols, srcDtype)
+          case 6 => decodeJpeg2kFrame(raw, rows, cols, srcDtype)
           case _ =>
             val vals = ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
             if (planarCfg == 1 && nSamples > 1) {
@@ -656,6 +668,32 @@ object DicomIO {
         x += 1
       }
       y += 1
+    }
+    out
+  }
+
+  /** Decode one JPEG 2000 fragment (transfer syntaxes .4.90/.4.91)
+    * via the pure-JVM T.800 decoder (reversible 5/3 profile;
+    * irreversible 9/7 refuses inside [[Jpeg2k]]). Signed codestreams
+    * carry signed components natively; unsigned ones reinterpret per
+    * the dataset dtype like the other codecs.
+    */
+  private[operators] def decodeJpeg2kFrame(frag: Array[Byte], rows: Int,
+      cols: Int, dtype: String): Array[Double] = {
+    val img = Jpeg2k.decode(frag)
+    require(img.height == rows && img.width == cols,
+      s"JPEG 2000 frame is ${img.height}x${img.width}, header says ${rows}x$cols")
+    val out = new Array[Double](rows * cols)
+    var i = 0
+    if (img.signed) {
+      while (i < out.length) { out(i) = img.samples(i).toDouble; i += 1 }
+    } else dtype match {
+      case "int16" =>
+        while (i < out.length) { out(i) = img.samples(i).toShort.toDouble; i += 1 }
+      case "int8" =>
+        while (i < out.length) { out(i) = img.samples(i).toByte.toDouble; i += 1 }
+      case _ =>
+        while (i < out.length) { out(i) = img.samples(i).toDouble; i += 1 }
     }
     out
   }

@@ -51,11 +51,21 @@ class DicomIOSpec extends SparkSpec {
   private def messageChain(t: Throwable): Seq[String] =
     Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messageChain(x.getCause))
 
-  test("unsupported compressed transfer syntax (JPEG 2000) refuses loudly") {
+  test("unsupported transfer syntax (MPEG2 video) refuses loudly") {
     // the header pass is distributed, so the precise refusal arrives
     // wrapped in the task failure — the message must survive verbatim
-    val e = intercept[Exception](DicomIO.read(spark, s"$fx/j2k.dcm"))
-    assert(messageChain(e).exists(_.contains("1.2.840.10008.1.2.4.90")))
+    val e = intercept[Exception](DicomIO.read(spark, s"$fx/mpeg.dcm"))
+    assert(messageChain(e).exists(_.contains("1.2.840.10008.1.2.4.100")))
+  }
+
+  test("JPEG 2000 Lossless fixture (independent Python T.800 encoder) decodes exactly") {
+    val img = DicomIO.read(spark, s"$fx/j2k.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L))
+    assert(img.meta.dtype == "int16")
+    // signed 16-bit component: z=0 pattern minus 55 spans [-55, 70]
+    val want = for (x <- 0 until NX; y <- 0 until NY)
+      yield (v(x, y, 0) - 55).toDouble
+    assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == want)
   }
 
   test("RLE Lossless fixture (independent Python Annex G encoder) decodes exactly") {

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Jpeg2k against committed fixtures from `tools/make_j2k_fixture.py`
+  * — encodings by the independent pure-Python T.800 implementation
+  * (`tools/j2k.py`, itself roundtrip-self-tested), so bit-exact
+  * agreement is two separate readings of the published spec: MQ
+  * coder, EBCOT Tier-1, tag-tree packet headers, 5/3 lifting.
+  */
+class Jpeg2kSpec extends AnyFunSuite {
+
+  private val fx = "src/test/resources/fixtures/j2k"
+
+  private def bytes(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/$name"))
+
+  private def raw(name: String, prec: Int): Seq[Int] = {
+    val b = bytes(name)
+    if (prec > 8) b.grouped(2).map(p => ((p(0) & 0xff) << 8) | (p(1) & 0xff)).toSeq
+    else b.map(_ & 0xff).toSeq
+  }
+
+  private def check(name: String, w: Int, h: Int, prec: Int): Unit = {
+    val img = Jpeg2k.decode(bytes(s"$name.j2c"))
+    assert((img.width, img.height, img.precision) == ((w, h, prec)), name)
+    assert(img.samples.toSeq == raw(s"$name.raw", prec), name)
+  }
+
+  test("8-bit, 1 level, single code-blocks")(check("g8_l1", 19, 13, 8))
+  test("8-bit, 3 levels, 16x16 code-block grids")(check("g8_l3", 37, 29, 8))
+  test("12-bit, 2 levels")(check("g12_l2", 24, 16, 12))
+  test("16-bit full range, 2 levels")(check("g16_l2", 11, 9, 16))
+  test("constant image: empty-packet path")(check("flat_l2", 32, 32, 8))
+
+  test("refusals: 9/7 transform, multi-component, quantized, truncation") {
+    val good = bytes("g8_l1.j2c")
+    // COD transform byte: find the COD marker and flip the last byte
+    def findMarker(m: Int): Int =
+      good.indices.find(i => (good(i) & 0xff) == 0xff &&
+        (good(i + 1) & 0xff) == (m & 0xff)).get
+    val cod = findMarker(0x52)
+    val codLen = ((good(cod + 2) & 0xff) << 8) | (good(cod + 3) & 0xff)
+    val irr = good.clone()
+    irr(cod + 2 + codLen - 1) = 1 // SPcod transform: 9/7
+    val e1 = intercept[IllegalArgumentException](Jpeg2k.decode(irr))
+    assert(e1.getMessage.contains("9/7"))
+    val siz = findMarker(0x51)
+    val multi = good.clone()
+    multi(siz + 39) = 2 // Csiz low byte: marker(2)+len(2)+Rsiz(2)+8 u32s
+    assertThrows[IllegalArgumentException](Jpeg2k.decode(multi))
+    assertThrows[Exception](Jpeg2k.decode(good.take(good.length / 2)))
+  }
+}

@@ -37,7 +37,12 @@ second implementation of the Part 10 layout:
                         0), native channel-planar (planar 1), and RLE
                         with R/G/B byte planes; rgbv(x,y,c) =
                         (3x + 7y + 41c) % 256
-    j2k.dcm             JPEG 2000 transfer syntax (must refuse)
+    j2k.dcm             JPEG 2000 Lossless (1.2.840.10008.1.2.4.90):
+                        reversible 5/3, 2 levels, 4x4 code-blocks,
+                        SIGNED 16-bit component (z=0 pattern minus
+                        55) — from the independent pure-Python T.800
+                        implementation in j2k.py
+    mpeg.dcm            MPEG2 video transfer syntax (must refuse)
     jpeg.dcm            JPEG-baseline transfer syntax header with no
                         PixelData (must refuse on the missing element,
                         not the syntax — baseline now decodes)
@@ -415,9 +420,32 @@ pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
 (OUT / "rgbrle.dcm").write_bytes(part10(
     meta_group("1.2.840.10008.1.2.5"), color_ds(pixel_el, planar=0)))
 
-# --- still-unsupported syntax (JPEG 2000): must refuse --------------------
-(OUT / "j2k.dcm").write_bytes(part10(
-    meta_group("1.2.840.10008.1.2.4.90"),
+# --- JPEG 2000 Lossless slice (reversible 5/3, signed component) ----------
+from j2k import encode as j2k_encode  # noqa: E402
+
+vals_k = [v - 55 for v in vox(0)]  # negatives: signed J2K component
+j2c = j2k_encode(vals_k, NX, NY, 16, signed=True, levels=2, cbw=4, cbh=4)
+if len(j2c) % 2:
+    j2c += b"\x00"
+encap = (struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+         + struct.pack("<HHI", 0xFFFE, 0xE000, len(j2c)) + j2c
+         + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+    + struct.pack("<I", 0xFFFFFFFF) + encap
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+    el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+    el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+    el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+    el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 1)),
+    pixel_el,
+])
+(OUT / "j2k.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.4.90"), ds))
+
+# --- still-unsupported syntax (MPEG2 video): must refuse -------------------
+(OUT / "mpeg.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.4.100"),
     el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY))))
 
 # --- JPEG baseline header without PixelData: refuses on the element ------
