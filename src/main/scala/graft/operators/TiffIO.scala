@@ -476,8 +476,33 @@ object TiffIO {
               jpegDecodeRegion(
                 synthOldJpegStream(data, oj, regionW, regionH), None, expect)
         }
+      case 34712 | 33003 | 33005 =>
+        // JPEG 2000 codestream per region (34712 = standard TIFF JP2;
+        // 33003/33005 = the Aperio SVS pathology variants) via the
+        // pure-JVM T.800 decoder — grayscale reversible profile;
+        // color/irreversible codestreams refuse inside the codec.
+        // Strip an optional JP2 box wrapper down to the raw
+        // codestream (starts with the SOC marker FF4F).
+        val soc = {
+          var i = 0
+          while (i + 1 < data.length &&
+            !((data(i) & 0xff) == 0xff && (data(i + 1) & 0xff) == 0x4f)) i += 1
+          i
+        }
+        require(soc + 1 < data.length, "TIFF JPEG2000 region without SOC marker")
+        val img = Jpeg2k.decode(
+          if (soc == 0) data else java.util.Arrays.copyOfRange(data, soc, data.length))
+        require(img.precision <= 8,
+          s"TIFF JPEG2000 regions support 8-bit precision (got ${img.precision})")
+        require(img.width * img.height == expect,
+          s"JPEG2000 region is ${img.width}x${img.height}@${img.precision}, " +
+            s"layout expects $expect bytes")
+        val out = new Array[Byte](expect)
+        var i = 0
+        while (i < img.samples.length) { out(i) = img.samples(i).toByte; i += 1 }
+        out
       case other => throw new UnsupportedOperationException(
-        s"TIFF compression $other unsupported (none/deflate/packbits/lzw/jpeg)")
+        s"TIFF compression $other unsupported (none/deflate/packbits/lzw/jpeg/jp2)")
     }
 
   /** Re-head one tables-in-tags old-JPEG strip into a complete

@@ -376,7 +376,8 @@ class TiffIOSpec extends SparkSpec {
   private def buildJpegTiff(w: Int, h: Int, rps: Int, regions: Seq[Array[Byte]],
       tiled: Boolean, tables: Option[Array[Byte]],
       oldStyle: Boolean = false,
-      oldTagTables: Option[(Array[Byte], Array[Byte], Array[Byte])] = None)
+      oldTagTables: Option[(Array[Byte], Array[Byte], Array[Byte])] = None,
+      compOverride: Int = -1)
       : Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     val regionOffs = regions.map { r => val o = 8 + body.size; body.write(r); o.toLong }
@@ -409,7 +410,9 @@ class TiffIOSpec extends SparkSpec {
     case class E(tag: Int, typ: Int, count: Int, v: Long)
     val entries = (Seq(
       E(256, 3, 1, w), E(257, 3, 1, h), E(258, 3, 1, 8),
-      E(259, 3, 1, if (oldStyle || oldTagTables.nonEmpty) 6 else 7),
+      E(259, 3, 1,
+        if (compOverride > 0) compOverride
+        else if (oldStyle || oldTagTables.nonEmpty) 6 else 7),
       E(262, 3, 1, 1), E(277, 3, 1, 1), E(339, 3, 1, 1)) ++
       (if (tiled) Seq(E(322, 3, 1, w), E(323, 3, 1, h),
         E(324, 4, n, offVal), E(325, 4, n, cntVal))
@@ -506,6 +509,24 @@ class TiffIOSpec extends SparkSpec {
       fulls, tiled = false, tables = None, oldTagTables = Some((q, dc, ac))))
     val img2 = TiffIO.read(spark, path.toString)
     assert(ChunkOps.toArray(img2.chunks, img2.meta).toSeq == got.toSeq)
+  }
+
+  test("JPEG 2000 strips (compression 34712) decode via the T.800 codec") {
+    // the committed 19x13 codestream from the independent Python
+    // encoder is the strip payload; expectation is its .raw twin
+    val j2c = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/fixtures/j2k/g8_l1.j2c"))
+    val want = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/fixtures/j2k/g8_l1.raw"))
+      .map(_ & 0xff)
+    val path = java.nio.file.Files.createTempFile("j2ktiff", ".tif")
+    java.nio.file.Files.write(path, buildJpegTiff(19, 13, 13, Seq(j2c),
+      tiled = false, tables = None, compOverride = 34712))
+    val img = TiffIO.read(spark, path.toString)
+    assert(img.meta.shape == Seq(13L, 19L) && img.meta.dtype == "uint8")
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until 13; x <- 0 until 19)
+      assert(got(y * 19 + x) == want(y * 19 + x).toDouble, s"($x,$y)")
   }
 
   private def assertBlocks(got: Array[Double], w: Int, h: Int, tol: Int): Unit =
