@@ -303,7 +303,9 @@ object DicomIO {
       // (YBR_FULL_422) or RGB — the JDK codec emits RGB either way
       val okColor = photometric == "RGB" ||
         (transferSyntax == JpegBaseline &&
-          (photometric == "YBR_FULL" || photometric == "YBR_FULL_422"))
+          (photometric == "YBR_FULL" || photometric == "YBR_FULL_422")) ||
+        ((transferSyntax == Jpeg2000Lossless || transferSyntax == Jpeg2000) &&
+          (photometric == "YBR_RCT" || photometric == "YBR_ICT"))
       require(okColor,
         s"PhotometricInterpretation '$photometric' unsupported for 3 samples")
       require(bits == 8, s"color DICOM supports 8-bit samples (got $bits)")
@@ -311,6 +313,8 @@ object DicomIO {
         transferSyntax != JpegLossless14 && transferSyntax != JpegLosslessSv1 &&
         transferSyntax != JpegExtended12,
         s"color via $transferSyntax unsupported (single-component codecs here)")
+      require(photometric != "YBR_ICT",
+        "JPEG 2000 YBR_ICT is the irreversible 9/7 path — unsupported (RCT only)")
       require(planar == 0 || planar == 1,
         s"PlanarConfiguration $planar invalid")
     }
@@ -510,7 +514,7 @@ object DicomIO {
           case 3 => decodeJpegLsFrame(raw, rows, cols, srcDtype)
           case 4 => decodeJpegLosslessFrame(raw, rows, cols, srcDtype)
           case 5 => decodeJpegExtFrame(raw, rows, cols, srcDtype)
-          case 6 => decodeJpeg2kFrame(raw, rows, cols, srcDtype)
+          case 6 => decodeJpeg2kFrame(raw, rows, cols, srcDtype, nSamples)
           case _ =>
             val vals = ZarrStore.decodeToDoubles(raw, srcDtype, bigEndianData)
             if (planarCfg == 1 && nSamples > 1) {
@@ -679,11 +683,13 @@ object DicomIO {
     * the dataset dtype like the other codecs.
     */
   private[operators] def decodeJpeg2kFrame(frag: Array[Byte], rows: Int,
-      cols: Int, dtype: String): Array[Double] = {
+      cols: Int, dtype: String, bands: Int = 1): Array[Double] = {
     val img = Jpeg2k.decode(frag)
     require(img.height == rows && img.width == cols,
       s"JPEG 2000 frame is ${img.height}x${img.width}, header says ${rows}x$cols")
-    val out = new Array[Double](rows * cols)
+    require(img.components == bands,
+      s"JPEG 2000 frame has ${img.components} components, header says $bands")
+    val out = new Array[Double](rows * cols * bands)
     var i = 0
     if (img.signed) {
       while (i < out.length) { out(i) = img.samples(i).toDouble; i += 1 }

@@ -24,8 +24,12 @@ package graft.operators
   */
 object Jpeg2k {
 
+  /** `samples` is pixel-interleaved when components > 1 (r,g,b per
+    * pixel — after the inverse reversible color transform when the
+    * codestream used MCT).
+    */
   final case class J2kImage(width: Int, height: Int, precision: Int,
-      signed: Boolean, samples: Array[Int])
+      signed: Boolean, components: Int, samples: Array[Int])
 
   // ------------------------------------------------------------- MQ
 
@@ -475,6 +479,7 @@ object Jpeg2k {
     require(data.length > 4 && u16() == 0xff4f, "jpeg2000: missing SOC")
 
     var w = -1; var h = -1; var prec = -1; var signed = false
+    var ncomp = 1; var mct = false
     var levels = -1; var cbw = -1; var cbh = -1
     var mbList = Seq.empty[Int]
     var bodyAt = -1
@@ -490,14 +495,19 @@ object Jpeg2k {
           require(u32() == 0 && u32() == 0, "jpeg2000: image offset unsupported")
           require(u32() == w && u32() == h, "jpeg2000: tiling unsupported")
           u32(); u32()
-          val ncomp = u16()
-          require(ncomp == 1,
-            s"jpeg2000: $ncomp components unsupported (grayscale only)")
-          val ss = data(pos) & 0xff
-          prec = (ss & 0x7f) + 1
-          signed = (ss & 0x80) != 0
-          require((data(pos + 1) & 0xff) == 1 && (data(pos + 2) & 0xff) == 1,
-            "jpeg2000: component subsampling unsupported")
+          ncomp = u16()
+          require(ncomp == 1 || ncomp == 3,
+            s"jpeg2000: $ncomp components unsupported (1 gray / 3 color)")
+          val sss = (0 until ncomp).map { c =>
+            require((data(pos + 3 * c + 1) & 0xff) == 1 &&
+              (data(pos + 3 * c + 2) & 0xff) == 1,
+              "jpeg2000: component subsampling unsupported")
+            data(pos + 3 * c) & 0xff
+          }
+          require(sss.distinct.length == 1,
+            "jpeg2000: mixed component precisions unsupported")
+          prec = (sss.head & 0x7f) + 1
+          signed = (sss.head & 0x80) != 0
           pos = end
         case 0xff52 => // COD
           val len = u16()
@@ -507,7 +517,8 @@ object Jpeg2k {
           require((data(pos + 1) & 0xff) == 0, "jpeg2000: LRCP progression only")
           require((((data(pos + 2) & 0xff) << 8) | (data(pos + 3) & 0xff)) == 1,
             "jpeg2000: single-layer codestreams only")
-          require((data(pos + 4) & 0xff) == 0, "jpeg2000: MCT unsupported")
+          mct = (data(pos + 4) & 0xff) == 1
+          require((data(pos + 4) & 0xff) <= 1, "jpeg2000: unknown MCT value")
           levels = data(pos + 5) & 0xff
           cbw = 1 << ((data(pos + 6) & 0xff) + 2)
           cbh = 1 << ((data(pos + 7) & 0xff) + 2)
@@ -561,110 +572,137 @@ object Jpeg2k {
         }
     }
 
+    require(!mct || ncomp == 3, "jpeg2000: MCT requires 3 components")
     var br = new HdrReader(data, bodyAt)
-    // band coefficient planes keyed (resolution, band index within res)
-    val bandCoefs = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+    // band coefficient planes keyed (component, resolution, band index)
+    val bandCoefs = scala.collection.mutable.Map.empty[(Int, Int, Int), Array[Int]]
     var qcdI = 0
     for (r <- res.indices) {
       val bands = res(r)
-      val nonEmpty = br.bit() == 1
-      // (bandIdx, bw, bh, x0, y0, cw, ch, orient, nplanes, npasses, len)
-      val todo = Seq.newBuilder[(Int, Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)]
-      if (nonEmpty) {
-        for (bi <- bands.indices) {
-          val (orient, bw, bh) = bands(bi)
-          if (bw > 0 && bh > 0) {
-            val mb = mbList(qcdI + bi)
-            val nx = (bw + cbw - 1) / cbw
-            val ny = (bh + cbh - 1) / cbh
-            val incl = new TagTree(nx, ny)
-            val zbp = new TagTree(nx, ny)
-            var i = 0
-            while (i < nx * ny) {
-              val gx = i % nx
-              val gy = i / nx
-              val x0 = gx * cbw
-              val y0 = gy * cbh
-              val cw2 = math.min(cbw, bw - x0)
-              val ch2 = math.min(cbh, bh - y0)
-              if (!incl.decode(br, gx, gy, 1))
-                todo += ((bi, bw, bh, x0, y0, cw2, ch2, orient, 0, 0, 0))
-              else {
-                var t = 1
-                while (!zbp.decode(br, gx, gy, t)) t += 1
-                val z = t - 1
-                val npl = mb - z
-                require(npl >= 0, s"jpeg2000: $z zero bit-planes exceed Mb $mb")
-                val nps = readNPasses(br)
-                var lblock = 3
-                while (br.bit() == 1) lblock += 1
-                val nbits = lblock + (31 - Integer.numberOfLeadingZeros(nps))
-                val len = br.bits(nbits)
-                todo += ((bi, bw, bh, x0, y0, cw2, ch2, orient, npl, nps, len))
+      for (comp <- 0 until ncomp) {
+        val nonEmpty = br.bit() == 1
+        // (bandIdx, bw, bh, x0, y0, cw, ch, orient, nplanes, npasses, len)
+        val todo = Seq.newBuilder[(Int, Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)]
+        if (nonEmpty) {
+          for (bi <- bands.indices) {
+            val (orient, bw, bh) = bands(bi)
+            if (bw > 0 && bh > 0) {
+              val mb = mbList(qcdI + bi)
+              val nx = (bw + cbw - 1) / cbw
+              val ny = (bh + cbh - 1) / cbh
+              val incl = new TagTree(nx, ny)
+              val zbp = new TagTree(nx, ny)
+              var i = 0
+              while (i < nx * ny) {
+                val gx = i % nx
+                val gy = i / nx
+                val x0 = gx * cbw
+                val y0 = gy * cbh
+                val cw2 = math.min(cbw, bw - x0)
+                val ch2 = math.min(cbh, bh - y0)
+                if (!incl.decode(br, gx, gy, 1))
+                  todo += ((bi, bw, bh, x0, y0, cw2, ch2, orient, 0, 0, 0))
+                else {
+                  var t = 1
+                  while (!zbp.decode(br, gx, gy, t)) t += 1
+                  val z = t - 1
+                  val npl = mb - z
+                  require(npl >= 0, s"jpeg2000: $z zero bit-planes exceed Mb $mb")
+                  val nps = readNPasses(br)
+                  var lblock = 3
+                  while (br.bit() == 1) lblock += 1
+                  val nbits = lblock + (31 - Integer.numberOfLeadingZeros(nps))
+                  val len = br.bits(nbits)
+                  todo += ((bi, bw, bh, x0, y0, cw2, ch2, orient, npl, nps, len))
+                }
+                i += 1
               }
-              i += 1
+            }
+          }
+        } else {
+          for (bi <- bands.indices) {
+            val (orient, bw, bh) = bands(bi)
+            if (bw > 0 && bh > 0) {
+              val nx = (bw + cbw - 1) / cbw
+              val ny = (bh + cbh - 1) / cbh
+              var i = 0
+              while (i < nx * ny) {
+                val x0 = (i % nx) * cbw
+                val y0 = (i / nx) * cbh
+                todo += ((bi, bw, bh, x0, y0, math.min(cbw, bw - x0),
+                  math.min(cbh, bh - y0), orient, 0, 0, 0))
+                i += 1
+              }
             }
           }
         }
-      } else {
-        for (bi <- bands.indices) {
-          val (orient, bw, bh) = bands(bi)
-          if (bw > 0 && bh > 0) {
-            val nx = (bw + cbw - 1) / cbw
-            val ny = (bh + cbh - 1) / cbh
-            var i = 0
-            while (i < nx * ny) {
-              val x0 = (i % nx) * cbw
-              val y0 = (i / nx) * cbh
-              todo += ((bi, bw, bh, x0, y0, math.min(cbw, bw - x0),
-                math.min(cbh, bh - y0), orient, 0, 0, 0))
-              i += 1
+        br.align()
+        var at = br.pos
+        todo.result().foreach { case (bi, bw, bh, x0, y0, cw2, ch2, orient, npl, nps, len) =>
+          val key = (comp, r, bi)
+          val plane = bandCoefs.getOrElseUpdate(key, new Array[Int](bw * bh))
+          require(at + len <= data.length, "jpeg2000: code-block data overruns codestream")
+          val coefs = t1Decode(orient, data, at, at + len, cw2, ch2, npl, nps)
+          var yy = 0
+          while (yy < ch2) {
+            var xx = 0
+            while (xx < cw2) {
+              plane((y0 + yy) * bw + x0 + xx) = coefs(yy * cw2 + xx)
+              xx += 1
             }
+            yy += 1
           }
+          at += len
         }
+        br = new HdrReader(data, at)
       }
       qcdI += bands.length
-      br.align()
-      var at = br.pos
-      todo.result().foreach { case (bi, bw, bh, x0, y0, cw2, ch2, orient, npl, nps, len) =>
-        val key = (r, bi)
-        val plane = bandCoefs.getOrElseUpdate(key, new Array[Int](bw * bh))
-        require(at + len <= data.length, "jpeg2000: code-block data overruns codestream")
-        val coefs = t1Decode(orient, data, at, at + len, cw2, ch2, npl, nps)
-        var yy = 0
-        while (yy < ch2) {
-          var xx = 0
-          while (xx < cw2) {
-            plane((y0 + yy) * bw + x0 + xx) = coefs(yy * cw2 + xx)
-            xx += 1
-          }
-          yy += 1
-        }
-        at += len
-      }
-      br = new HdrReader(data, at)
     }
 
-    // inverse DWT from the LL up
-    var cur = bandCoefs.getOrElse((0, 0), new Array[Int](res(0).head._2 * res(0).head._3))
-    var cw3 = res(0).head._2
-    var ch3 = res(0).head._3
-    for (r <- 1 to levels) {
-      val hlW = res(r)(0)._2
-      val lhH = res(r)(1)._3
-      def band(bi: Int, bw: Int, bh: Int): Array[Int] =
-        bandCoefs.getOrElse((r, bi), new Array[Int](bw * bh))
-      cur = inv53_2d(cur,
-        band(0, hlW, ch3), band(1, cw3, lhH), band(2, hlW, lhH),
-        cw3, ch3, hlW, lhH)
-      cw3 += hlW
-      ch3 += lhH
+    // inverse DWT per component, then the inverse reversible color
+    // transform when the codestream used MCT
+    val planes = (0 until ncomp).map { comp =>
+      var cur = bandCoefs.getOrElse((comp, 0, 0),
+        new Array[Int](res(0).head._2 * res(0).head._3))
+      var cw3 = res(0).head._2
+      var ch3 = res(0).head._3
+      for (r <- 1 to levels) {
+        val hlW = res(r)(0)._2
+        val lhH = res(r)(1)._3
+        def band(bi: Int, bw: Int, bh: Int): Array[Int] =
+          bandCoefs.getOrElse((comp, r, bi), new Array[Int](bw * bh))
+        cur = inv53_2d(cur,
+          band(0, hlW, ch3), band(1, cw3, lhH), band(2, hlW, lhH),
+          cw3, ch3, hlW, lhH)
+        cw3 += hlW
+        ch3 += lhH
+      }
+      require(cw3 == w && ch3 == h,
+        s"jpeg2000: reconstructed ${cw3}x$ch3, header ${w}x$h")
+      cur
     }
-    require(cw3 == w && ch3 == h, s"jpeg2000: reconstructed ${cw3}x$ch3, header ${w}x$h")
+    if (mct) {
+      val (py, pu, pv) = (planes(0), planes(1), planes(2))
+      var i = 0
+      while (i < w * h) {
+        val g = py(i) - ((pu(i) + pv(i)) >> 2)
+        val rr = pv(i) + g
+        val bb = pu(i) + g
+        py(i) = rr; pu(i) = g; pv(i) = bb
+        i += 1
+      }
+    }
     val shift = if (signed) 0 else 1 << (prec - 1)
-    val out = new Array[Int](w * h)
+    val out = new Array[Int](w * h * ncomp)
     var i = 0
-    while (i < out.length) { out(i) = cur(i) + shift; i += 1 }
-    J2kImage(w, h, prec, signed, out)
+    while (i < w * h) {
+      var c = 0
+      while (c < ncomp) {
+        out(i * ncomp + c) = planes(c)(i) + shift
+        c += 1
+      }
+      i += 1
+    }
+    J2kImage(w, h, prec, signed, ncomp, out)
   }
 }

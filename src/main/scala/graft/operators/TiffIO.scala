@@ -479,8 +479,9 @@ object TiffIO {
       case 34712 | 33003 | 33005 =>
         // JPEG 2000 codestream per region (34712 = standard TIFF JP2;
         // 33003/33005 = the Aperio SVS pathology variants) via the
-        // pure-JVM T.800 decoder — grayscale reversible profile;
-        // color/irreversible codestreams refuse inside the codec.
+        // pure-JVM T.800 decoder — reversible profile, grayscale or
+        // RGB (samples pixel-interleaved, matching chunky layout);
+        // irreversible codestreams refuse inside the codec.
         // Strip an optional JP2 box wrapper down to the raw
         // codestream (starts with the SOC marker FF4F).
         val soc = {
@@ -494,9 +495,9 @@ object TiffIO {
           if (soc == 0) data else java.util.Arrays.copyOfRange(data, soc, data.length))
         require(img.precision <= 8,
           s"TIFF JPEG2000 regions support 8-bit precision (got ${img.precision})")
-        require(img.width * img.height == expect,
-          s"JPEG2000 region is ${img.width}x${img.height}@${img.precision}, " +
-            s"layout expects $expect bytes")
+        require(img.width * img.height * img.components == expect,
+          s"JPEG2000 region is ${img.width}x${img.height}@${img.precision}" +
+            s"x${img.components}, layout expects $expect bytes")
         val out = new Array[Byte](expect)
         var i = 0
         while (i < img.samples.length) { out(i) = img.samples(i).toByte; i += 1 }

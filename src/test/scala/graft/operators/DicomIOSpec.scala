@@ -68,6 +68,16 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == want)
   }
 
+  test("JPEG 2000 color (YBR_RCT) decodes exactly through the c-dim path") {
+    val img = DicomIO.read(spark, s"$fx/j2krgb.dcm")
+    assert(img.meta.dims == Seq("x", "y", "z", "c"))
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L, 3L))
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (x <- 0 until NX; y <- 0 until NY; c <- 0 until 3)
+      assert(got((x * NY + y) * 3 + c) == ((3 * x + 7 * y + 41 * c) % 256).toDouble,
+        s"($x,$y,$c)")
+  }
+
   test("RLE Lossless fixture (independent Python Annex G encoder) decodes exactly") {
     val img = DicomIO.read(spark, s"$fx/rle.dcm")
     assert(img.meta.shape == Seq(NX.toLong, NY, 1L))

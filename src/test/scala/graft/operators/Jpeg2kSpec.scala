@@ -33,7 +33,13 @@ class Jpeg2kSpec extends AnyFunSuite {
   test("16-bit full range, 2 levels")(check("g16_l2", 11, 9, 16))
   test("constant image: empty-packet path")(check("flat_l2", 32, 32, 8))
 
-  test("refusals: 9/7 transform, multi-component, quantized, truncation") {
+  test("RGB with the reversible color transform (MCT) decodes exactly") {
+    val img = Jpeg2k.decode(bytes("rgb_mct.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((21, 11, 8, 3)))
+    assert(img.samples.toSeq == bytes("rgb_mct.raw").map(_ & 0xff).toSeq)
+  }
+
+  test("refusals: 9/7 transform, quantized, truncation") {
     val good = bytes("g8_l1.j2c")
     // COD transform byte: find the COD marker and flip the last byte
     def findMarker(m: Int): Int =
@@ -47,7 +53,7 @@ class Jpeg2kSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("9/7"))
     val siz = findMarker(0x51)
     val multi = good.clone()
-    multi(siz + 39) = 2 // Csiz low byte: marker(2)+len(2)+Rsiz(2)+8 u32s
+    multi(siz + 39) = 2 // Csiz = 2: neither gray nor RGB — refused
     assertThrows[IllegalArgumentException](Jpeg2k.decode(multi))
     assertThrows[Exception](Jpeg2k.decode(good.take(good.length / 2)))
   }

@@ -823,44 +823,76 @@ GUARD = 2
 
 # ----------------------------------------------------------- encoder
 
-def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32):
+def rct_fwd(r, g, b):
+    y = (r + 2 * g + b) >> 2
+    return y, b - g, r - g
+
+
+def rct_inv(y, u, v):
+    g = y - ((u + v) >> 2)
+    return v + g, g, u + g
+
+
+def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
+           ncomp=1, mct=False):
+    """img: single plane (ncomp=1) or list of ncomp planes. mct=True
+    applies the reversible color transform (requires ncomp=3)."""
     assert 1 <= levels <= 6 and 4 <= cbw <= 64 and 4 <= cbh <= 64
     shift = 0 if signed else 1 << (prec - 1)
-    cur = [v - shift for v in img]
-    cw, ch = w, h
-    per_level = []
-    for _ in range(levels):
-        ll, hl, lh, hh, lo_w, lo_h, hi_w, hi_h = fwd53_2d(cur, cw, ch)
-        per_level.append({"HL": (hl, hi_w, lo_h), "LH": (lh, lo_w, hi_h),
-                          "HH": (hh, hi_w, hi_h)})
-        cur, cw, ch = ll, lo_w, lo_h
-    band_data = [{"LL": (cur, cw, ch)}]
-    for l in range(levels - 1, -1, -1):
-        band_data.append(per_level[l])
+    planes = [img] if ncomp == 1 else list(img)
+    assert len(planes) == ncomp
+    comps = [[v - shift for v in pl] for pl in planes]
+    if mct:
+        assert ncomp == 3
+        n = w * h
+        yy = [0] * n
+        uu = [0] * n
+        vv = [0] * n
+        for i in range(n):
+            yy[i], uu[i], vv[i] = rct_fwd(comps[0][i], comps[1][i], comps[2][i])
+        comps = [yy, uu, vv]
 
     res = resolutions(w, h, levels)
-    # Tier-1 all code-blocks; collect per-band max planes for QCD
-    coded = []   # per res: list of (band, cbs=[(data, nplanes, npasses)])
-    band_mb = [] # epsilon per band in QCD order (LL, then HL/LH/HH per res)
-    for r, bands in enumerate(res):
-        rb = []
-        for (name, bw_, bh_) in bands:
-            coefs, bw2, bh2 = band_data[r][name]
-            assert (bw2, bh2) == (bw_, bh_)
-            cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
-            lst = []
-            mx = 1
-            for (x0, y0, cw_, ch_) in cbs:
-                sub = [coefs[(y0 + yy) * bw_ + x0 + xx]
-                       for yy in range(ch_) for xx in range(cw_)]
-                data, npl, nps = t1_encode(name, sub, cw_, ch_)
-                lst.append((data, npl, nps))
-                mx = max(mx, npl)
-            rb.append((name, bw_, bh_, nx, ny, lst))
-            band_mb.append(mx)
-        coded.append(rb)
+    # per component: forward DWT -> band data per resolution
+    comp_band_data = []
+    for cur in comps:
+        cw, ch = w, h
+        per_level = []
+        for _ in range(levels):
+            ll, hl, lh, hh, lo_w, lo_h, hi_w, hi_h = fwd53_2d(cur, cw, ch)
+            per_level.append({"HL": (hl, hi_w, lo_h), "LH": (lh, lo_w, hi_h),
+                              "HH": (hh, hi_w, hi_h)})
+            cur, cw, ch = ll, lo_w, lo_h
+        bd = [{"LL": (cur, cw, ch)}]
+        for l in range(levels - 1, -1, -1):
+            bd.append(per_level[l])
+        comp_band_data.append(bd)
 
-    # markers
+    # Tier-1 every code-block; shared QCD -> Mb = max over components
+    # coded[r][c] = [(name, bw, bh, nx, ny, [(data,npl,nps)...])]
+    coded = []
+    band_mb = []
+    for r, bands in enumerate(res):
+        per_comp = []
+        mx_band = [1] * len(bands)
+        for c in range(ncomp):
+            rb = []
+            for bi, (name, bw_, bh_) in enumerate(bands):
+                coefs, bw2, bh2 = comp_band_data[c][r][name]
+                assert (bw2, bh2) == (bw_, bh_)
+                cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
+                lst = []
+                for (x0, y0, cw_, ch_) in cbs:
+                    sub = [coefs[(y0 + yy2) * bw_ + x0 + xx]
+                           for yy2 in range(ch_) for xx in range(cw_)]
+                    data, npl, nps = t1_encode(name, sub, cw_, ch_)
+                    lst.append((data, npl, nps))
+                    mx_band[bi] = max(mx_band[bi], npl)
+                rb.append((name, bw_, bh_, nx, ny, lst))
+            per_comp.append(rb)
+        coded.append(per_comp)
+        band_mb.extend(mx_band)
+
     out = bytearray()
 
     def m16(v):
@@ -868,7 +900,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32):
         out.append(v & 0xFF)
     m16(0xFF4F)                      # SOC
     m16(0xFF51)                      # SIZ
-    m16(38 + 3)
+    m16(38 + 3 * ncomp)
     m16(0)                           # Rsiz
     out.extend(w.to_bytes(4, "big"))
     out.extend(h.to_bytes(4, "big"))
@@ -878,16 +910,17 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32):
     out.extend(h.to_bytes(4, "big"))    # YTsiz
     out.extend((0).to_bytes(4, "big"))  # XTOsiz
     out.extend((0).to_bytes(4, "big"))  # YTOsiz
-    m16(1)                           # Csiz
-    out.append((prec - 1) | (0x80 if signed else 0))
-    out.append(1)                    # XRsiz
-    out.append(1)                    # YRsiz
+    m16(ncomp)                       # Csiz
+    for _ in range(ncomp):
+        out.append((prec - 1) | (0x80 if signed else 0))
+        out.append(1)                # XRsiz
+        out.append(1)                # YRsiz
     m16(0xFF52)                      # COD
     m16(12)
     out.append(0)                    # Scod: default precincts, no SOP/EPH
     out.append(0)                    # progression LRCP
     m16(1)                           # 1 layer
-    out.append(0)                    # no MCT
+    out.append(1 if mct else 0)      # MCT
     out.append(levels)
     out.append((cbw.bit_length() - 1) - 2)  # xcb exponent - 2
     out.append((cbh.bit_length() - 1) - 2)
@@ -901,52 +934,50 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32):
         assert 0 <= eps < 32, eps
         out.append((eps & 0x1F) << 3)
 
-    # tile part
+    # tile part: LRCP with one layer -> for each res, one packet per comp
     body = bytearray()
-    for r, rb in enumerate(coded):
-        hw = HdrWriter()
-        nonempty = any(npl > 0 for (_, _, _, _, _, lst) in rb
-                       for (_, npl, _) in lst)
-        hw.bit(1 if nonempty else 0)
-        cb_payloads = []
-        if nonempty:
-            for bi, (name, bw_, bh_, nx, ny, lst) in enumerate(rb):
-                if nx == 0 or ny == 0:
-                    continue
-                incl = TagTree(nx, ny)
-                zbp = TagTree(nx, ny)
-                mb = band_mb[sum(len(x) for x in coded[:r])
-                             + (0 if r == 0 else bi)] if False else None
-                # recompute this band's Mb (same order as QCD emission)
-                idx = 0 if r == 0 else 1 + 3 * (r - 1) + bi
-                mb = band_mb[idx]
-                incl.set_values(
-                    [0 if npl > 0 else 1 for (_, npl, _) in lst])
-                zbp.set_values([mb - npl if npl > 0 else 0
-                                for (_, npl, _) in lst])
-                bl = BitList(writer=hw)
-                for i, (data, npl, nps) in enumerate(lst):
-                    gx, gy = i % nx, i // nx
-                    included = incl.encode(bl, gx, gy, 1)
-                    if not included:
+    for r in range(len(res)):
+        for c in range(ncomp):
+            rb = coded[r][c]
+            hw = HdrWriter()
+            nonempty = any(npl > 0 for (_, _, _, _, _, lst) in rb
+                           for (_, npl, _) in lst)
+            hw.bit(1 if nonempty else 0)
+            cb_payloads = []
+            if nonempty:
+                for bi, (name, bw_, bh_, nx, ny, lst) in enumerate(rb):
+                    if nx == 0 or ny == 0:
                         continue
-                    # zero bit-planes: raise threshold until resolved
-                    t = 1
-                    while not zbp.encode(bl, gx, gy, t):
-                        t += 1
-                    write_npasses(hw, nps)
-                    lblock = 3
-                    nbits = lblock + (nps.bit_length() - 1)
-                    while len(data) >= (1 << nbits):
-                        hw.bit(1)
-                        lblock += 1
-                        nbits += 1
-                    hw.bit(0)
-                    hw.bits(len(data), nbits)
-                    cb_payloads.append(data)
-        body.extend(hw.finish())
-        for d in cb_payloads:
-            body.extend(d)
+                    incl = TagTree(nx, ny)
+                    zbp = TagTree(nx, ny)
+                    idx = 0 if r == 0 else 1 + 3 * (r - 1) + bi
+                    mb = band_mb[idx]
+                    incl.set_values(
+                        [0 if npl > 0 else 1 for (_, npl, _) in lst])
+                    zbp.set_values([mb - npl if npl > 0 else 0
+                                    for (_, npl, _) in lst])
+                    bl = BitList(writer=hw)
+                    for i, (data, npl, nps) in enumerate(lst):
+                        gx, gy = i % nx, i // nx
+                        included = incl.encode(bl, gx, gy, 1)
+                        if not included:
+                            continue
+                        t = 1
+                        while not zbp.encode(bl, gx, gy, t):
+                            t += 1
+                        write_npasses(hw, nps)
+                        lblock = 3
+                        nbits = lblock + (nps.bit_length() - 1)
+                        while len(data) >= (1 << nbits):
+                            hw.bit(1)
+                            lblock += 1
+                            nbits += 1
+                        hw.bit(0)
+                        hw.bits(len(data), nbits)
+                        cb_payloads.append(data)
+            body.extend(hw.finish())
+            for d in cb_payloads:
+                body.extend(d)
 
     psot = 12 + 2 + len(body)        # SOT(12) + SOD(2) + body
     m16(0xFF90)                      # SOT
@@ -981,6 +1012,8 @@ def decode(data):
     assert u16() == 0xFF4F, "missing SOC"
     w = h = prec = None
     signed = False
+    ncomp = 1
+    mct = False
     levels = cbw = cbh = None
     eps_list = []
     body_at = None
@@ -995,11 +1028,16 @@ def decode(data):
             assert u32() == 0 and u32() == 0, "image offset unsupported"
             assert u32() == w and u32() == h, "tiling unsupported"
             u32(); u32()
-            assert u16() == 1, "single component only"
-            ss = data[pos]; pos += 1
-            prec = (ss & 0x7F) + 1
-            signed = (ss & 0x80) != 0
-            assert data[pos] == 1 and data[pos + 1] == 1, "no subsampling"
+            ncomp = u16()
+            sss = []
+            for c in range(ncomp):
+                sss.append(data[pos])
+                assert data[pos + 1] == 1 and data[pos + 2] == 1, \
+                    "no subsampling"
+                pos += 3
+            assert len(set(sss)) == 1, "mixed component precisions"
+            prec = (sss[0] & 0x7F) + 1
+            signed = (sss[0] & 0x80) != 0
             pos = end
         elif mk == 0xFF52:  # COD
             ln = u16()
@@ -1007,7 +1045,7 @@ def decode(data):
             assert data[pos] == 0, "precincts/SOP/EPH unsupported"
             assert data[pos + 1] == 0, "LRCP only"
             assert ((data[pos + 2] << 8) | data[pos + 3]) == 1, "1 layer only"
-            assert data[pos + 4] == 0, "no MCT"
+            mct = data[pos + 4] == 1
             levels = data[pos + 5]
             cbw = 1 << (data[pos + 6] + 2)
             cbh = 1 << (data[pos + 7] + 2)
@@ -1032,73 +1070,89 @@ def decode(data):
             ln = u16()
             pos = pos + ln - 2
 
+    if mct:
+        assert ncomp == 3, "MCT needs 3 components"
     res = resolutions(w, h, levels)
     br = HdrReader(data, body_at)
-    band_coefs = {}
+    band_coefs = {}   # (comp, r, name) -> plane
     qcd_i = 0
     for r, bands in enumerate(res):
-        nonempty = br.bit()
-        todo = []  # (band, bw, bh, x0, y0, cw, ch, nplanes, npasses, len)
-        if nonempty:
-            bl = BitList(reader=br)
-            for (name, bw_, bh_) in bands:
-                mb = eps_list[qcd_i + (0 if r == 0 else bands.index((name, bw_, bh_)))]
-                cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
-                if nx == 0:
-                    continue
-                incl = TagTree(nx, ny)
-                zbp = TagTree(nx, ny)
-                for i, (x0, y0, cw_, ch_) in enumerate(cbs):
-                    gx, gy = i % nx, i // nx
-                    if not incl.decode(bl, gx, gy, 1):
-                        todo.append((name, bw_, bh_, x0, y0, cw_, ch_, 0, 0, 0))
+        for c in range(ncomp):
+            nonempty = br.bit()
+            todo = []
+            if nonempty:
+                bl = BitList(reader=br)
+                for bi, (name, bw_, bh_) in enumerate(bands):
+                    mb = eps_list[qcd_i + bi]
+                    cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
+                    if nx == 0:
                         continue
-                    t = 1
-                    while not zbp.decode(bl, gx, gy, t):
-                        t += 1
-                    z = t - 1
-                    npl = mb - z
-                    nps = read_npasses(br)
-                    lblock = 3
-                    while br.bit():
-                        lblock += 1
-                    nbits = lblock + (nps.bit_length() - 1)
-                    ln = br.bits(nbits)
-                    todo.append((name, bw_, bh_, x0, y0, cw_, ch_, npl, nps, ln))
-        else:
-            for (name, bw_, bh_) in bands:
-                cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
-                for (x0, y0, cw_, ch_) in cbs:
-                    todo.append((name, bw_, bh_, x0, y0, cw_, ch_, 0, 0, 0))
+                    incl = TagTree(nx, ny)
+                    zbp = TagTree(nx, ny)
+                    for i, (x0, y0, cw_, ch_) in enumerate(cbs):
+                        gx, gy = i % nx, i // nx
+                        if not incl.decode(bl, gx, gy, 1):
+                            todo.append((name, bw_, bh_, x0, y0, cw_, ch_, 0, 0, 0))
+                            continue
+                        t = 1
+                        while not zbp.decode(bl, gx, gy, t):
+                            t += 1
+                        z = t - 1
+                        npl = mb - z
+                        nps = read_npasses(br)
+                        lblock = 3
+                        while br.bit():
+                            lblock += 1
+                        nbits = lblock + (nps.bit_length() - 1)
+                        ln = br.bits(nbits)
+                        todo.append((name, bw_, bh_, x0, y0, cw_, ch_, npl, nps, ln))
+            else:
+                for (name, bw_, bh_) in bands:
+                    cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
+                    for (x0, y0, cw_, ch_) in cbs:
+                        todo.append((name, bw_, bh_, x0, y0, cw_, ch_, 0, 0, 0))
+            br.align()
+            at = br.pos
+            for (name, bw_, bh_, x0, y0, cw_, ch_, npl, nps, ln) in todo:
+                key = (c, r, name)
+                if key not in band_coefs:
+                    band_coefs[key] = [0] * (bw_ * bh_)
+                coefs = t1_decode(name, data[at:at + ln], cw_, ch_, npl, nps)
+                for yy in range(ch_):
+                    for xx in range(cw_):
+                        band_coefs[key][(y0 + yy) * bw_ + x0 + xx] = \
+                            coefs[yy * cw_ + xx]
+                at += ln
+            br = HdrReader(data, at)
         qcd_i += len(bands)
-        br.align()
-        at = br.pos
-        for (name, bw_, bh_, x0, y0, cw_, ch_, npl, nps, ln) in todo:
-            key = (r, name)
-            if key not in band_coefs:
-                band_coefs[key] = [0] * (bw_ * bh_)
-            coefs = t1_decode(name, data[at:at + ln], cw_, ch_, npl, nps)
-            for yy in range(ch_):
-                for xx in range(cw_):
-                    band_coefs[key][(y0 + yy) * bw_ + x0 + xx] = \
-                        coefs[yy * cw_ + xx]
-            at += ln
-        br = HdrReader(data, at)
 
-    # inverse DWT
-    cur = band_coefs[(0, "LL")]
-    cw = res[0][0][1]
-    ch = res[0][0][2]
-    for r in range(1, levels + 1):
-        hl_w, hl_h = res[r][0][1], res[r][0][2]
-        lh_w, lh_h = res[r][1][1], res[r][1][2]
-        cur = inv53_2d(cur, band_coefs[(r, "HL")], band_coefs[(r, "LH")],
-                       band_coefs[(r, "HH")], cw, ch, hl_w, lh_h)
-        cw = cw + hl_w
-        ch = ch + lh_h
-    assert (cw, ch) == (w, h)
+    # inverse DWT per component
     shift = 0 if signed else 1 << (prec - 1)
-    return w, h, prec, signed, [v + shift for v in cur]
+    comps = []
+    for c in range(ncomp):
+        cur = band_coefs.get((c, 0, "LL"), [0] * (res[0][0][1] * res[0][0][2]))
+        cw = res[0][0][1]
+        ch = res[0][0][2]
+        for r in range(1, levels + 1):
+            hl_w = res[r][0][1]
+            lh_h = res[r][1][2]
+            def b(name, bw_, bh_):
+                return band_coefs.get((c, r, name), [0] * (bw_ * bh_))
+            cur = inv53_2d(cur, b("HL", hl_w, ch), b("LH", cw, lh_h),
+                           b("HH", hl_w, lh_h), cw, ch, hl_w, lh_h)
+            cw = cw + hl_w
+            ch = ch + lh_h
+        assert (cw, ch) == (w, h)
+        comps.append(cur)
+    if mct:
+        n = w * h
+        for i in range(n):
+            r_, g_, b_ = rct_inv(comps[0][i], comps[1][i], comps[2][i])
+            comps[0][i], comps[1][i], comps[2][i] = r_, g_, b_
+    planes = [[v + shift for v in cur] for cur in comps]
+    if ncomp == 1:
+        return w, h, prec, signed, planes[0]
+    return w, h, prec, signed, planes
 
 
 # ---------------------------------------------------------- self-test
@@ -1132,6 +1186,17 @@ def _selftest():
                 str([(i, a, b) for i, (a, b)
                      in enumerate(zip(dec, img)) if a != b][:5])
         print(f"ok {w}x{h}@{prec} L{levels} cb{cbw}x{cbh}")
+    # color: 3 components, with and without the reversible color
+    # transform, odd sizes
+    for (w, h, mct) in [(13, 9, False), (16, 16, True), (21, 11, True)]:
+        planes = [[rnd.randrange(256) for _ in range(w * h)]
+                  for _ in range(3)]
+        enc = encode(planes, w, h, 8, levels=2, cbw=8, cbh=8,
+                     ncomp=3, mct=mct)
+        dw, dh, dp, _, dec = decode(enc)
+        assert (dw, dh, dp) == (w, h, 8)
+        assert dec == planes, f"color {w}x{h} mct={mct}"
+        print(f"ok color {w}x{h} mct={mct}")
     print("selftest passed")
 
 

@@ -42,6 +42,8 @@ second implementation of the Part 10 layout:
                         SIGNED 16-bit component (z=0 pattern minus
                         55) — from the independent pure-Python T.800
                         implementation in j2k.py
+    j2krgb.dcm          JPEG 2000 color (YBR_RCT): 3 components, the
+                        reversible color transform, rgbv pattern
     mpeg.dcm            MPEG2 video transfer syntax (must refuse)
     jpeg.dcm            JPEG-baseline transfer syntax header with no
                         PixelData (must refuse on the missing element,
@@ -442,6 +444,30 @@ ds = b"".join([
     pixel_el,
 ])
 (OUT / "j2k.dcm").write_bytes(part10(meta_group("1.2.840.10008.1.2.4.90"), ds))
+
+# --- JPEG 2000 color slice: 3 components with the reversible CT -----------
+rgb_planes = [[rgbv(x, y, c) for y in range(NY) for x in range(NX)]
+              for c in range(3)]
+j2c_rgb = j2k_encode(rgb_planes, NX, NY, 8, levels=1, cbw=4, cbh=4,
+                     ncomp=3, mct=True)
+if len(j2c_rgb) % 2:
+    j2c_rgb += b"\x00"
+encap = (struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+         + struct.pack("<HHI", 0xFFFE, 0xE000, len(j2c_rgb)) + j2c_rgb
+         + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+    + struct.pack("<I", 0xFFFFFFFF) + encap
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 3)),
+    el_explicit(0x0028, 0x0004, "CS", b"YBR_RCT"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+    el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+    el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 8)),
+    el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 0)),
+    pixel_el,
+])
+(OUT / "j2krgb.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.4.90"), ds))
 
 # --- still-unsupported syntax (MPEG2 video): must refuse -------------------
 (OUT / "mpeg.dcm").write_bytes(part10(

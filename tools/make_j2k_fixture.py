@@ -71,6 +71,24 @@ def main():
     w, h = 32, 32
     emit("flat_l2", [77] * (w * h), w, h, 8, 2, 16)
 
+    # color with the reversible color transform (MCT): raw holds the
+    # pixel-interleaved r,g,b expectation
+    r = lcg(71)
+    w, h = 21, 11
+    planes = [[(x * (5 + c) + y * (9 - c) + next(r) % 23) % 256
+               for y in range(h) for x in range(w)] for c in range(3)]
+    enc = encode(planes, w, h, 8, levels=2, cbw=8, cbh=8, ncomp=3, mct=True)
+    dw, dh, dp, _, dec = decode(enc)
+    assert dec == planes
+    with open(os.path.join(outdir, "rgb_mct.j2c"), "wb") as f:
+        f.write(enc)
+    raw = bytearray()
+    for i in range(w * h):
+        for c in range(3):
+            raw.append(planes[c][i])
+    with open(os.path.join(outdir, "rgb_mct.raw"), "wb") as f:
+        f.write(bytes(raw))
+
     print("wrote j2k fixtures to", outdir)
 
 
