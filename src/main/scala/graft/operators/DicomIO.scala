@@ -992,6 +992,57 @@ object DicomIO {
       photometric = "YBR_FULL_422", planar = 0)
   }
 
+  /** One JPEG 2000 Lossless (.4.90) Part 10 slice with int16 pixels:
+    * encoded as a SIGNED single component through [[Jpeg2kEncode]]
+    * (reversible 5/3, 1 level, 4x4 code-blocks at gate sizes) — the
+    * fifth lossless syntax the i68 gate mixes under one oracle.
+    */
+  def encodeSliceJpeg2kInt16(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Short]): Array[Byte] = {
+    require(pixels.length == rows * cols, "pixels != rows*cols")
+    val j2c = Jpeg2kEncode.encode(Seq(pixels.map(_.toInt)), cols, rows,
+      prec = 16, signed = true, levels = 1, cbw = 4, cbh = 4)
+    buildSlice(Jpeg2000Lossless, bits = 16, signed = true, rows, cols,
+      instanceNumber, ippZ, pixelSpacingRowCol, sliceThickness,
+      encapsulate(Seq(j2c)))
+  }
+
+  /** One Deflated-Explicit-VR-LE (.1.99) Part 10 slice with int16
+    * pixels: the explicit-LE dataset raw-deflated after the meta
+    * group — the sixth syntax in the i68 mix.
+    */
+  def encodeSliceDeflatedInt16(rows: Int, cols: Int, instanceNumber: Int, ippZ: Double,
+      pixelSpacingRowCol: (Double, Double), sliceThickness: Double,
+      pixels: Array[Short]): Array[Byte] = {
+    require(pixels.length == rows * cols, "pixels != rows*cols")
+    // build the plain explicit-LE file, then split after the meta
+    // group and deflate the dataset portion
+    val plain = encodeSliceInt16(rows, cols, instanceNumber, ippZ,
+      pixelSpacingRowCol, sliceThickness, pixels)
+    var pos = 132
+    while (pos + 8 <= plain.length && u16(plain, pos, be = false) == 0x0002) {
+      val (_, _, _, voff, vlen) = element(plain, pos, explicitVr = true, be = false)
+      pos = voff + vlen.toInt
+    }
+    val ds = java.util.Arrays.copyOfRange(plain, pos, plain.length)
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    defl.setInput(ds)
+    defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val bb = new Array[Byte](8192)
+    while (!defl.finished()) out.write(bb, 0, defl.deflate(bb))
+    defl.end()
+    val head = new java.io.ByteArrayOutputStream()
+    head.write(new Array[Byte](128))
+    head.write("DICM".getBytes("US-ASCII"))
+    val tsEl = asciiEl(0x0002, 0x0010, "UI", DeflatedLE)
+    head.write(shortEl(0x0002, 0x0000, "UL", le32(tsEl.length)))
+    head.write(tsEl)
+    head.write(out.toByteArray)
+    head.toByteArray
+  }
+
   /** One JPEG-baseline Part 10 slice: 8-bit grayscale frame through
     * the JDK JPEG writer, encapsulated. Lossy — callers pin decoded
     * values with a bounded-error check, like the multimodal JPEG

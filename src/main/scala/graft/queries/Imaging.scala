@@ -312,30 +312,31 @@ object Imaging extends QModule {
       import graft.operators.DicomIO
       val (cols, rows) = (10, 8)
       val dir = java.nio.file.Files.createTempDirectory("i68")
-      Seq(3, 1, 4, 2).zipWithIndex.foreach { case (inst, i) =>
+      // one slice per TRANSFER SYNTAX — explicit-LE / RLE-Lossless /
+      // JPEG-LS / JPEG-Lossless(SV1) / JPEG 2000 (signed reversible
+      // 5/3, MQ-coded) / Deflated-LE: every syntax is lossless, so
+      // the oracle's closed form holds for each — a compressed-decode
+      // drift in ANY codec hash-mismatches the whole series
+      val encoders = Seq[(Int, Int, Array[Short]) => Array[Byte]](
+        (inst, z, px) => DicomIO.encodeSliceInt16(rows, cols, inst, z * 4.0,
+          (2.5, 1.5), 4.0, px),
+        (inst, z, px) => DicomIO.encodeSliceRleInt16(rows, cols, inst, z * 4.0,
+          (2.5, 1.5), 4.0, px),
+        (inst, z, px) => DicomIO.encodeSliceJpegLsInt16(rows, cols, inst, z * 4.0,
+          (2.5, 1.5), 4.0, px),
+        (inst, z, px) => DicomIO.encodeSliceJpegLosslessInt16(rows, cols, inst, z * 4.0,
+          (2.5, 1.5), 4.0, px),
+        (inst, z, px) => DicomIO.encodeSliceJpeg2kInt16(rows, cols, inst, z * 4.0,
+          (2.5, 1.5), 4.0, px),
+        (inst, z, px) => DicomIO.encodeSliceDeflatedInt16(rows, cols, inst, z * 4.0,
+          (2.5, 1.5), 4.0, px))
+      Seq(3, 1, 6, 4, 2, 5).zipWithIndex.foreach { case (inst, i) =>
         val z = inst - 1
         val px = Array.tabulate[Short](rows * cols) { p =>
           ((p % cols) * 3 + (p / cols) * 5 + z * 29).toShort
         }
-        // one slice per syntax — explicit-LE / RLE-Lossless / JPEG-LS
-        // / JPEG-Lossless(SV1): all four are lossless, so the
-        // oracle's closed form holds for each — a compressed-decode
-        // drift in ANY codec hash-mismatches
-        val bytes = i match {
-          case 0 =>
-            DicomIO.encodeSliceInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
-              pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
-          case 1 =>
-            DicomIO.encodeSliceRleInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
-              pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
-          case 2 =>
-            DicomIO.encodeSliceJpegLsInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
-              pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
-          case _ =>
-            DicomIO.encodeSliceJpegLosslessInt16(rows, cols, instanceNumber = inst, ippZ = z * 4.0,
-              pixelSpacingRowCol = (2.5, 1.5), sliceThickness = 4.0, pixels = px)
-        }
-        java.nio.file.Files.write(dir.resolve(s"f$i.dcm"), bytes)
+        java.nio.file.Files.write(dir.resolve(s"f$i.dcm"),
+          encoders(i)(inst, z, px))
       }
       val img = DicomIO.readSeriesDir(s, dir.toString)
       ChunkOps.voxelView(s, img.chunks, img.meta)
@@ -351,7 +352,7 @@ object Imaging extends QModule {
               SELECT i % 10 AS x, (i // 10) % 8 AS y, i // 80 AS z,
                      CAST((i % 10) * 3 + ((i // 10) % 8) * 5 + (i // 80) * 29
                        AS DOUBLE) AS v
-              FROM range(320) r(i))
+              FROM range(480) r(i))
             SELECT z, CAST(sum(v) AS BIGINT) AS slab_sum,
                    CAST(sum(v * (y * 37 + x * 11)) AS BIGINT) AS slab_wsum,
                    CAST(1.5 AS DOUBLE) AS scale_x,

@@ -39,6 +39,38 @@ class Jpeg2kSpec extends AnyFunSuite {
     assert(img.samples.toSeq == bytes("rgb_mct.raw").map(_ & 0xff).toSeq)
   }
 
+  private def lcg(seed: Long): Iterator[Int] =
+    Iterator.iterate(seed)(s => (s * 1103515245L + 12345L) & 0x7fffffffL)
+      .drop(1).map(_.toInt)
+
+  test("Scala encoder roundtrips: sizes, precisions, levels, code-blocks") {
+    for ((w, h, prec, levels, cb, seed) <- Seq(
+        (8, 8, 8, 1, 4, 1L), (13, 9, 8, 2, 8, 2L), (32, 24, 12, 2, 16, 3L),
+        (21, 17, 16, 3, 8, 4L), (64, 48, 8, 2, 32, 5L), (1, 1, 8, 1, 4, 6L))) {
+      val r = lcg(seed)
+      val img = Array.tabulate(w * h)(_ => math.abs(r.next()) % (1 << prec))
+      val dec = Jpeg2k.decode(Jpeg2kEncode.encode(Seq(img), w, h, prec,
+        levels = levels, cbw = cb, cbh = cb))
+      assert(dec.samples.toSeq == img.toSeq, s"${w}x$h@$prec L$levels cb$cb")
+    }
+  }
+
+  test("Scala encoder roundtrips: signed component and RGB with/without MCT") {
+    val r = lcg(21L)
+    val simg = Array.tabulate(11 * 9)(_ => (math.abs(r.next()) % 256) - 128)
+    val sdec = Jpeg2k.decode(Jpeg2kEncode.encode(Seq(simg), 11, 9, 8,
+      signed = true, levels = 2, cbw = 8, cbh = 8))
+    assert(sdec.signed && sdec.samples.toSeq == simg.toSeq)
+    for (mct <- Seq(false, true)) {
+      val r2 = lcg(if (mct) 31L else 32L)
+      val planes = Seq.fill(3)(Array.tabulate(21 * 11)(_ => math.abs(r2.next()) % 256))
+      val dec = Jpeg2k.decode(Jpeg2kEncode.encode(planes, 21, 11, 8,
+        levels = 2, cbw = 8, cbh = 8, mct = mct))
+      val want = Array.tabulate(21 * 11 * 3)(i => planes(i % 3)(i / 3))
+      assert(dec.components == 3 && dec.samples.toSeq == want.toSeq, s"mct=$mct")
+    }
+  }
+
   test("refusals: 9/7 transform, quantized, truncation") {
     val good = bytes("g8_l1.j2c")
     // COD transform byte: find the COD marker and flip the last byte
