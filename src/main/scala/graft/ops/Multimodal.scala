@@ -273,7 +273,33 @@ object Multimodal {
       decodeJavax(payload) // PNG
     else if (payload.length >= 3 && new String(payload, 0, 3, "US-ASCII") == "GIF")
       decodeJavax(payload)
+    else if (payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0x4f && (payload(2) & 0xff) == 0xff &&
+      (payload(3) & 0xff) == 0x51)
+      decodeJ2k(payload) // raw JPEG 2000 codestream (SOC+SIZ)
+    else if (payload.length >= 12 && (payload(4) & 0xff) == 0x6a &&
+      (payload(5) & 0xff) == 0x50)
+      decodeJ2k(payload) // JP2 box container ("jP " signature box)
     else throw new UnsupportedOperationException("unrecognized image payload")
+  }
+
+  /** JPEG 2000 via the pure-JVM T.800 decoder (graylevel/RGB
+    * reversible profile; a JP2 box wrapper strips to the codestream).
+    */
+  private def decodeJ2k(payload: Array[Byte]): DecodedImage = {
+    var soc = 0
+    while (soc + 1 < payload.length &&
+      !((payload(soc) & 0xff) == 0xff && (payload(soc + 1) & 0xff) == 0x4f))
+      soc += 1
+    require(soc + 1 < payload.length, "JP2 container without a codestream")
+    val img = graft.operators.Jpeg2k.decode(
+      if (soc == 0) payload else java.util.Arrays.copyOfRange(payload, soc, payload.length))
+    require(img.precision <= 8,
+      s"JPEG 2000 image payloads support 8-bit (got ${img.precision})")
+    val out = new Array[Byte](img.samples.length)
+    var i = 0
+    while (i < out.length) { out(i) = img.samples(i).toByte; i += 1 }
+    DecodedImage(img.width, img.height, img.components, out)
   }
 
   /** Distributed image feature extraction over (doc_id, media). */

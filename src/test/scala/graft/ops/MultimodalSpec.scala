@@ -86,6 +86,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeImage(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)))
   }
 
+  test("JPEG 2000 payloads dispatch by SOC magic and decode exactly") {
+    val w = 19; val h = 13
+    val img = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val j2c = graft.operators.Jpeg2kEncode.encode(Seq(img), w, h, 8,
+      levels = 2, cbw = 8, cbh = 8)
+    val dec = Multimodal.decodeImage(j2c)
+    assert((dec.width, dec.height, dec.channels) == ((w, h, 1)))
+    assert(dec.pixels.map(_ & 0xff).toSeq == img.toSeq)
+    // RGB through the same entry point
+    val planes = Seq.tabulate(3)(c => Array.tabulate(w * h)(i => (i * (3 + c)) % 256))
+    val rgb = Multimodal.decodeImage(graft.operators.Jpeg2kEncode.encode(
+      planes, w, h, 8, levels = 1, cbw = 8, cbh = 8, mct = true))
+    assert(rgb.channels == 3)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert((rgb.pixels(i * 3 + c) & 0xff) == planes(c)(i), s"($i,$c)")
+  }
+
   test("PNG round-trip through javax.imageio reproduces closed-form pixels exactly") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 7L).toDF("doc_id")
