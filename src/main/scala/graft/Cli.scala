@@ -269,7 +269,7 @@ object Cli {
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if (input.contains("*") || input.contains(",")) &&
-            input.split(",").forall(p => Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm")
+            input.split(",").forall(p => Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm", ".jp2", ".j2c", ".j2k")
               .exists(p.trim.toLowerCase.endsWith)) =>
         // a glob (`lung_series/*.png`) or comma list of 2-D slices is
         // an image series: distributed file-per-slice stack to (z,y,x)
@@ -281,7 +281,7 @@ object Cli {
         val img = graft.operators.Image2dIO.readSeries(spark, parts)
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
-          if Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif")
+          if Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".jp2", ".j2c", ".j2k")
             .exists(input.toLowerCase.endsWith) =>
         // 2-D bitmaps decode through the multimodal image stack
         require(opts.get("output-scale").forall(_.toInt == 0),
@@ -341,7 +341,7 @@ object Cli {
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case _ if new java.io.File(input).isDirectory &&
           Option(new java.io.File(input).list())
-            .exists(_.exists(n => Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm")
+            .exists(_.exists(n => Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm", ".jp2", ".j2c", ".j2k")
               .exists(n.toLowerCase.endsWith))) =>
         // a directory of bitmap slices stacks the same way a glob does
         require(opts.get("output-scale").forall(_.toInt == 0),

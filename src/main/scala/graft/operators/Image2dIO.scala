@@ -5,7 +5,7 @@ import graft.meta.Model.ImageMeta
 import graft.ops.Multimodal
 import graft.zarr.{SerializableHadoopConf, ZarrStore}
 
-/** S10 — 2-D bitmap ingestion (.png/.jpg/.jpeg/.bmp/.gif): the
+/** S10 — 2-D bitmap ingestion (.png/.jpg/.jpeg/.bmp/.gif/.jp2): the
   * reference routes these through itkwasm/imageio
   * (`py/ngff_zarr/detect_cli_io_backend.py:36-68`); here they decode
   * through the same pure-JVM stack the multimodal operators use
@@ -44,7 +44,8 @@ object Image2dIO {
     VolumeFormats.VolumeImage(meta, ChunkOps.fromArray(spark, vals, meta))
   }
 
-  private val bitmapExts = Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm")
+  private val bitmapExts =
+    Seq(".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm", ".jp2", ".j2c", ".j2k")
 
   /** Expand a series input to its ordered slice list: a `*` glob
     * resolves through the Hadoop filesystem and sorts

@@ -9,6 +9,20 @@ import graft.SparkSpec
   */
 class Image2dIOSpec extends SparkSpec {
 
+  test(".j2c 2-D bitmaps read as (y,x) volumes through the J2K codec") {
+    val w = 14; val h = 10
+    val img = Array.tabulate(w * h)(i => (i * 29 + 3) % 256)
+    val f = java.nio.file.Files.createTempFile("img2d", ".j2c")
+    java.nio.file.Files.write(f,
+      Jpeg2kEncode.encode(Seq(img), w, h, 8, levels = 1, cbw = 8, cbh = 8))
+    val vol = Image2dIO.read(spark, f.toString)
+    assert(vol.meta.dims == Seq("y", "x"))
+    assert(vol.meta.shape == Seq(h.toLong, w.toLong))
+    val got = ChunkOps.toArray(vol.chunks, vol.meta)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y * w + x) == img(y * w + x).toDouble, s"($x,$y)")
+  }
+
   test("BMP reads as (y, x, c) uint8 with bottom-up/BGR undone") {
     val bb = java.nio.ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
