@@ -439,7 +439,7 @@ object TiffIO {
   private[operators] def decodeRegion(comp: Int, data: Array[Byte], expect: Int,
       jpegTables: Option[Array[Byte]] = None,
       oldJpeg: Option[OldJpeg] = None, regionW: Int = 0,
-      regionH: Int = 0): Array[Byte] =
+      regionH: Int = 0, littleEndian: Boolean = true): Array[Byte] =
     comp match {
       case 1 =>
         require(data.length >= expect, s"short uncompressed region: ${data.length} < $expect")
@@ -493,14 +493,28 @@ object TiffIO {
         require(soc + 1 < data.length, "TIFF JPEG2000 region without SOC marker")
         val img = Jpeg2k.decode(
           if (soc == 0) data else java.util.Arrays.copyOfRange(data, soc, data.length))
-        require(img.precision <= 8,
-          s"TIFF JPEG2000 regions support 8-bit precision (got ${img.precision})")
-        require(img.width * img.height * img.components == expect,
+        val bytesPer = if (img.precision <= 8) 1 else 2
+        require(img.width * img.height * img.components * bytesPer == expect,
           s"JPEG2000 region is ${img.width}x${img.height}@${img.precision}" +
             s"x${img.components}, layout expects $expect bytes")
         val out = new Array[Byte](expect)
         var i = 0
-        while (i < img.samples.length) { out(i) = img.samples(i).toByte; i += 1 }
+        if (bytesPer == 1)
+          while (i < img.samples.length) { out(i) = img.samples(i).toByte; i += 1 }
+        else
+          // emit in the CONTAINER's byte order — downstream decodes
+          // samples with the file's endianness
+          while (i < img.samples.length) {
+            val v = img.samples(i)
+            if (littleEndian) {
+              out(2 * i) = (v & 0xff).toByte
+              out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            } else {
+              out(2 * i) = ((v >> 8) & 0xff).toByte
+              out(2 * i + 1) = (v & 0xff).toByte
+            }
+            i += 1
+          }
         out
       case other => throw new UnsupportedOperationException(
         s"TIFF compression $other unsupported (none/deflate/packbits/lzw/jpeg/jp2)")
@@ -877,7 +891,7 @@ object TiffIO {
         val storedW = rw0
         val expect = storedH * storedW * sppEff * bytesPerSample
         val decoded = decodeRegion(p.compression, raw, expect, p.jpegTables,
-          p.oldJpeg, storedW, storedH)
+          p.oldJpeg, storedW, storedH, le)
         if (p.predictor == 2)
           undoPredictor(decoded, storedW, storedH, sppEff, bytesPerSample, le)
         // big-endian samples normalize to the engine's layout on decode

@@ -377,7 +377,7 @@ class TiffIOSpec extends SparkSpec {
       tiled: Boolean, tables: Option[Array[Byte]],
       oldStyle: Boolean = false,
       oldTagTables: Option[(Array[Byte], Array[Byte], Array[Byte])] = None,
-      compOverride: Int = -1)
+      compOverride: Int = -1, bits: Int = 8)
       : Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     val regionOffs = regions.map { r => val o = 8 + body.size; body.write(r); o.toLong }
@@ -409,7 +409,7 @@ class TiffIOSpec extends SparkSpec {
     val ifdOff = extBase + ext.size
     case class E(tag: Int, typ: Int, count: Int, v: Long)
     val entries = (Seq(
-      E(256, 3, 1, w), E(257, 3, 1, h), E(258, 3, 1, 8),
+      E(256, 3, 1, w), E(257, 3, 1, h), E(258, 3, 1, bits),
       E(259, 3, 1,
         if (compOverride > 0) compOverride
         else if (oldStyle || oldTagTables.nonEmpty) 6 else 7),
@@ -527,6 +527,22 @@ class TiffIOSpec extends SparkSpec {
     val got = ChunkOps.toArray(img.chunks, img.meta)
     for (y <- 0 until 13; x <- 0 until 19)
       assert(got(y * 19 + x) == want(y * 19 + x).toDouble, s"($x,$y)")
+  }
+
+  test("16-bit JPEG 2000 strips decode with the container's byte order") {
+    // 16-bit codestream as a strip in a little-endian TIFF: the
+    // region decoder must emit container-endian sample bytes
+    val w = 11; val h = 9
+    val img = Array.tabulate(w * h)(i => (i * 4099 + 17) % 65536)
+    val j2c = Jpeg2kEncode.encode(Seq(img), w, h, 16, levels = 2, cbw = 8, cbh = 8)
+    val path = java.nio.file.Files.createTempFile("j2k16tiff", ".tif")
+    java.nio.file.Files.write(path, buildJpegTiff(w, h, h, Seq(j2c),
+      tiled = false, tables = None, compOverride = 34712, bits = 16))
+    val tif = TiffIO.read(spark, path.toString)
+    assert(tif.meta.dtype == "uint16")
+    val got = ChunkOps.toArray(tif.chunks, tif.meta)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y * w + x) == img(y * w + x).toDouble, s"($x,$y)")
   }
 
   private def assertBlocks(got: Array[Double], w: Int, h: Int, tol: Int): Unit =
