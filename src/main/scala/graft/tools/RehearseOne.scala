@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
   * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann |
   * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl | edt |
-  * fill | kcore | bpe | hcs | cov.
+  * fill | kcore | bpe | hcs | cov | dicom.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -71,6 +71,9 @@ object RehearseOne {
           if (args.length > 2) args(2).toInt else 1000)
       case "hcs" =>
         graft.hcs.HcsRehearsal.run(spark)
+      case "dicom" =>
+        graft.operators.DicomRehearsal.run(spark,
+          if (args.length > 1) args(1).toInt else 256)
       case "cov" =>
         graft.ops.CovRehearsal.run(spark,
           if (args.length > 1) args(1).toLong else 1000000L,

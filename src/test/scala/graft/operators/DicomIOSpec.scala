@@ -308,6 +308,14 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(3))
   }
 
+  test("mixed-syntax ingest rehearsal self-checks at spec size") {
+    // the bench twin runs 256x256x256; the machinery (distributed
+    // 6-codec write, shuffled-order series read, closed-form
+    // checksum) is identical here and throws on any drift
+    val sec = DicomRehearsal.run(spark, nSlices = 12, side = 32)
+    assert(sec > 0.0)
+  }
+
   test("not-DICOM payloads refuse with the magic error") {
     assert(intercept[IllegalArgumentException](
       DicomIO.parse(new Array[Byte](200))).getMessage.contains("DICM"))
