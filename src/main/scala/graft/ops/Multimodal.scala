@@ -560,6 +560,22 @@ object Multimodal {
     }).toDF("doc_id", "media")
   }
 
+  /** A real JPEG 2000 blob per doc: 11×7 grayscale codestream,
+    * pixel i = (doc_id·37 + i·13) mod 256, through [[graft.operators
+    * .Jpeg2kEncode]] (reversible 5/3 + MQ-coded EBCOT — LOSSLESS, so
+    * unlike the JPEG gate the oracle is exact).
+    */
+  def syntheticJp2(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = 11; val h = 7
+      val img = Array.tabulate(w * h)(i => ((id * 37 + i * 13) % 256).toInt)
+      (id, graft.operators.Jpeg2kEncode.encode(Seq(img), w, h, 8,
+        levels = 1, cbw = 8, cbh = 8))
+    }).toDF("doc_id", "media")
+  }
+
   /** A real JPEG blob per doc: 16×16 GRAYSCALE of four uniform 8×8
     * blocks, block b = (doc_id·37 + b·29) mod 256, written at quality
     * 0.95. Uniform blocks aligned to the JPEG MCU grid decode to

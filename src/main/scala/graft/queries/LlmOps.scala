@@ -26,6 +26,7 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
+    m69Jp2Decode,
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
@@ -793,6 +794,28 @@ object LlmOps extends QModule {
               i -> (doc_id * 37 + (3 * i + 1) * 11) % 256)) AS DOUBLE) / 24 AS mean_c1,
             CAST(list_sum(list_transform(range(24),
               i -> (doc_id * 37 + (3 * i + 2) * 11) % 256)) AS DOUBLE) / 24 AS mean_c2
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  /** REAL JPEG 2000 decode in the gate: per-doc 11×7 grayscale
+    * codestreams (reversible 5/3 + MQ-coded EBCOT, encoded at
+    * runtime by the JVM T.800 encoder) feature-extract distributed,
+    * and — because the codec is LOSSLESS — the oracle replays the
+    * closed-form pixel mean EXACTLY, unlike m56's bounded JPEG
+    * verdict. Any drift in the MQ coder, Tier-1 passes, tag-tree
+    * headers or 5/3 lifting hash-mismatches.
+    */
+  val m69Jp2Decode = Q(
+    "m69_jp2_decode_features",
+    (s, dir) => Multimodal.extractImageFeatures(s,
+        Multimodal.syntheticJp2(docs(s, dir).filter(col("doc_id") < 200)))
+      .toDF().orderBy(col("doc_id")),
+    Some("""SELECT doc_id, CAST(11 AS INT) AS width, CAST(7 AS INT) AS height,
+            CAST(1 AS INT) AS channels,
+            CAST(list_sum(list_transform(range(77),
+              i -> (doc_id * 37 + i * 13) % 256)) AS DOUBLE) / 77 AS mean_c0,
+            CAST(-1.0 AS DOUBLE) AS mean_c1,
+            CAST(-1.0 AS DOUBLE) AS mean_c2
             FROM documents WHERE doc_id < 200
             ORDER BY doc_id"""))
 
