@@ -481,6 +481,7 @@ object Jpeg2k {
     var w = -1; var h = -1; var prec = -1; var signed = false
     var ncomp = 1; var mct = false
     var levels = -1; var cbw = -1; var cbh = -1
+    var useSop = false; var useEph = false
     var mbList = Seq.empty[Int]
     var bodyAt = -1
     while (bodyAt < 0) {
@@ -512,8 +513,11 @@ object Jpeg2k {
         case 0xff52 => // COD
           val len = u16()
           val end = pos + len - 2
-          require((data(pos) & 0xff) == 0,
-            "jpeg2000: precinct partitions / SOP / EPH unsupported")
+          val scod = data(pos) & 0xff
+          require((scod & 0x1) == 0,
+            "jpeg2000: precinct partitions unsupported")
+          useSop = (scod & 0x2) != 0
+          useEph = (scod & 0x4) != 0
           require((data(pos + 1) & 0xff) == 0, "jpeg2000: LRCP progression only")
           require((((data(pos + 2) & 0xff) << 8) | (data(pos + 3) & 0xff)) == 1,
             "jpeg2000: single-layer codestreams only")
@@ -536,6 +540,12 @@ object Jpeg2k {
           val guard = sq >> 5
           mbList = (pos + 1 until end).map(i => ((data(i) & 0xff) >> 3) + guard - 1)
           pos = end
+        case 0xff53 | 0xff5d | 0xff5e | 0xff5f | 0xff60 | 0xff61 =>
+          // COC / QCC / RGN / POC / PPM / PPT change coding semantics
+          // per-component or reorder packets — skipping them would
+          // decode silently-wrong pixels
+          throw new UnsupportedOperationException(
+            f"jpeg2000: marker 0xFF${mk & 0xff}%02X (COC/QCC/RGN/POC/PPM/PPT) unsupported")
         case 0xff90 => // SOT
           val len = u16()
           pos += len - 2
@@ -580,6 +590,13 @@ object Jpeg2k {
     for (r <- res.indices) {
       val bands = res(r)
       for (comp <- 0 until ncomp) {
+        if (useSop) {
+          // SOP: FF91, Lsop = 4, 2-byte packet sequence number
+          val at0 = br.pos
+          require((data(at0) & 0xff) == 0xff && (data(at0 + 1) & 0xff) == 0x91,
+            "jpeg2000: Scod declares SOP but the packet lacks it")
+          br = new HdrReader(data, at0 + 6)
+        }
         val nonEmpty = br.bit() == 1
         // (bandIdx, bw, bh, x0, y0, cw, ch, orient, nplanes, npasses, len)
         val todo = Seq.newBuilder[(Int, Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)]
@@ -637,6 +654,13 @@ object Jpeg2k {
           }
         }
         br.align()
+        if (useEph) {
+          // EPH: FF92 terminates the packet header
+          require((data(br.pos) & 0xff) == 0xff &&
+            (data(br.pos + 1) & 0xff) == 0x92,
+            "jpeg2000: Scod declares EPH but the packet header lacks it")
+          br = new HdrReader(data, br.pos + 2)
+        }
         var at = br.pos
         todo.result().foreach { case (bi, bw, bh, x0, y0, cw2, ch2, orient, npl, nps, len) =>
           val key = (comp, r, bi)

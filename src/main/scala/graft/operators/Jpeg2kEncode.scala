@@ -488,7 +488,8 @@ object Jpeg2kEncode {
     */
   def encode(planes: Seq[Array[Int]], w: Int, h: Int, prec: Int,
       signed: Boolean = false, levels: Int = 2, cbw: Int = 32,
-      cbh: Int = 32, mct: Boolean = false): Array[Byte] = {
+      cbh: Int = 32, mct: Boolean = false, sop: Boolean = false,
+      eph: Boolean = false): Array[Byte] = {
     val ncomp = planes.length
     require(ncomp == 1 || ncomp == 3, s"jpeg2000-enc: $ncomp components")
     require(!mct || ncomp == 3, "jpeg2000-enc: MCT needs 3 components")
@@ -577,7 +578,8 @@ object Jpeg2kEncode {
     }
     w16(0xff52) // COD
     w16(12)
-    w8(0); w8(0); w16(1); w8(if (mct) 1 else 0)
+    w8((if (sop) 2 else 0) | (if (eph) 4 else 0))
+    w8(0); w16(1); w8(if (mct) 1 else 0)
     w8(levels)
     w8((31 - Integer.numberOfLeadingZeros(cbw)) - 2)
     w8((31 - Integer.numberOfLeadingZeros(cbh)) - 2)
@@ -592,7 +594,14 @@ object Jpeg2kEncode {
     }
 
     val body = new java.io.ByteArrayOutputStream()
+    var packetSeq = 0
     for (r <- 0 until nres; c <- 0 until ncomp) {
+      if (sop) {
+        body.write(0xff); body.write(0x91)
+        body.write(0); body.write(4)
+        body.write((packetSeq >> 8) & 0xff); body.write(packetSeq & 0xff)
+        packetSeq = (packetSeq + 1) & 0xffff
+      }
       val rb = coded(r)(c)
       val hw = new HdrWriter
       val nonEmpty = rb.exists(_._3.exists(_._2 > 0))
@@ -629,6 +638,7 @@ object Jpeg2kEncode {
         }
       }
       body.write(hw.finish())
+      if (eph) { body.write(0xff); body.write(0x92) }
       payloads.result().foreach(body.write)
     }
 

@@ -71,6 +71,28 @@ class Jpeg2kSpec extends AnyFunSuite {
     }
   }
 
+  test("SOP and EPH marker segments roundtrip") {
+    val r = lcg(41L)
+    val img = Array.tabulate(23 * 15)(_ => math.abs(r.next()) % 256)
+    for ((sop, eph) <- Seq((true, false), (false, true), (true, true))) {
+      val dec = Jpeg2k.decode(Jpeg2kEncode.encode(Seq(img), 23, 15, 8,
+        levels = 2, cbw = 8, cbh = 8, sop = sop, eph = eph))
+      assert(dec.samples.toSeq == img.toSeq, s"sop=$sop eph=$eph")
+    }
+  }
+
+  test("semantics-changing markers refuse loudly (COC)") {
+    // splice a COC (FF53) segment before SOT: skipping it would decode
+    // silently-wrong pixels, so the decoder must refuse by name
+    val good = bytes("g8_l1.j2c")
+    val sot = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      (good(i + 1) & 0xff) == 0x90).get
+    val coc = Array[Byte](0xff.toByte, 0x53, 0, 4, 0, 0)
+    val spliced = good.take(sot) ++ coc ++ good.drop(sot)
+    val e = intercept[UnsupportedOperationException](Jpeg2k.decode(spliced))
+    assert(e.getMessage.contains("0xFF53"))
+  }
+
   test("refusals: 9/7 transform, quantized, truncation") {
     val good = bytes("g8_l1.j2c")
     // COD transform byte: find the COD marker and flip the last byte
