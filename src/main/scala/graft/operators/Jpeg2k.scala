@@ -548,6 +548,11 @@ object Jpeg2k {
             f"jpeg2000: marker 0xFF${mk & 0xff}%02X (COC/QCC/RGN/POC/PPM/PPT) unsupported")
         case 0xff90 => // SOT
           val len = u16()
+          // Isot(2) Psot(4) TPsot(1) TNsot(1): a second tile-part
+          // would interleave packets we'd misparse — refuse
+          require((data(pos + 6) & 0xff) == 0 &&
+            ((data(pos + 7) & 0xff) == 1 || (data(pos + 7) & 0xff) == 0),
+            "jpeg2000: multiple tile-parts unsupported")
           pos += len - 2
         case 0xff93 => // SOD
           bodyAt = pos
