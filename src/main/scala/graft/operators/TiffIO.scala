@@ -33,8 +33,10 @@ import ChunkOps.ChunkRow
   * axes metadata: the OME-XML in ImageDescription (tag 270) supplies
   * DimensionOrder/SizeZ/C/T page interleaving and PhysicalSizeX/Y/Z
   * spacing (normalized to µm), so a `.ome.tif` ingests with correct
-  * t/c/z dims instead of pages→z. Rejected with precise errors:
-  * palette color, old-style JPEG with neither an interchange stream
+  * t/c/z dims instead of pages→z. Palette color (photometric 3)
+  * expands its 16-bit ColorMap at decode to interleaved uint16 RGB
+  * (8-bit indices). Rejected with precise errors:
+  * old-style JPEG with neither an interchange stream
   * nor table tags (and its color tables-in-tags variant, whose
   * subsampling was never unambiguously specified), movie codecs,
   * multi-Image OME documents, unknown OME units.
@@ -63,7 +65,10 @@ object TiffIO {
       // from tags 519/520/521, each strip is entropy-coded scan data
       // re-headed at decode time (None for the interchange profile,
       // which collapses to one complete stream at parse time)
-      oldJpeg: Option[OldJpeg] = None)
+      oldJpeg: Option[OldJpeg] = None,
+      // tag 320 (palette-color, photometric 3): 3*2^bits u16 entries,
+      // all reds then greens then blues
+      colorMap: Option[Array[Int]] = None)
 
   /** TIFF 6.0 §22 tables-in-tags: one 64-byte quantization table
     * (tag 519), raw DC/AC Huffman tables (16 counts + values, tags
@@ -287,6 +292,7 @@ object TiffIO {
       var tileOff: Seq[Long] = Nil; var tileCnt: Seq[Long] = Nil
       var photometric = 1
       var jpegTables: Option[Array[Byte]] = None
+      var colorMap: Option[Array[Int]] = None
       var nsft = 0L
       var oldJpegOff = -1L; var oldJpegLen = -1L
       var oldProc = 1; var oldRestart = 0
@@ -353,6 +359,7 @@ object TiffIO {
           case 519 => qOffs = values
           case 520 => dcOffs = values
           case 521 => acOffs = values
+          case 320 => colorMap = Some(values.map(_.toInt).toArray)
           case 347 => jpegTables = Some(src.get(dataOff, count.toInt))
           case 34412 if guard == 0 =>
             lsm = Some(parseLsmInfo(src.get(dataOff, math.min(count, 88L).toInt)))
@@ -419,7 +426,7 @@ object TiffIO {
         s"TIFF PlanarConfiguration $planar invalid (1 chunky / 2 planar)")
       pages += TiffPage(width, height, spp, bits, fmt, comp, pred,
         effRps, tw, tl, offs, cnts, jpegTables, nsft, photometric, planar,
-        oldJpeg)
+        oldJpeg, colorMap)
       ifdOff = if (big) r.u64(base + nEntries.toLong * entrySize)
         else r.u32(base + nEntries.toLong * entrySize)
       guard += 1
@@ -739,8 +746,6 @@ object TiffIO {
       if (info.lsmInfo.isDefined) info.pages.filter(p => (p.newSubfileType & 1L) == 0L)
       else info.pages
     require(keptPages.nonEmpty, "TIFF has no full-resolution pages")
-    keptPages.foreach(p => require(p.photometric != 3,
-      "palette-color TIFF unsupported (expand upstream)"))
     val p0 = keptPages.head
     require(keptPages.forall(p => p.width == p0.width && p.height == p0.height &&
       p.samplesPerPixel == p0.samplesPerPixel && p.bitsPerSample == p0.bitsPerSample &&
@@ -751,8 +756,26 @@ object TiffIO {
     require(keptPages.forall(_.samplesPerPixel >= 1), "bad samplesPerPixel")
 
     val nPages = keptPages.length
-    val dtype = dtypeFor(p0.bitsPerSample, p0.sampleFormat)
-    val spp = p0.samplesPerPixel
+    // palette-color (photometric 3): regions carry 8-bit indices; the
+    // ColorMap's 16-bit RGB triples expand at decode, so the OUTPUT is
+    // 3-sample uint16 while the stored regions stay single-sample
+    val paletteMap: Array[Int] =
+      if (p0.photometric == 3) {
+        require(p0.samplesPerPixel == 1 && p0.bitsPerSample == 8,
+          "palette-color TIFF supports 8-bit single-sample indices " +
+            s"(got ${p0.samplesPerPixel} x ${p0.bitsPerSample})")
+        val cm = p0.colorMap.getOrElse(throw new IllegalArgumentException(
+          "palette-color TIFF without a ColorMap tag"))
+        require(cm.length == 3 * 256,
+          s"ColorMap has ${cm.length} entries, expected ${3 * 256}")
+        keptPages.foreach(p => require(p.colorMap.exists(_.sameElements(cm)),
+          "multi-page palette TIFF with differing ColorMaps unsupported"))
+        cm
+      } else null
+    val dtype =
+      if (paletteMap != null) "uint16"
+      else dtypeFor(p0.bitsPerSample, p0.sampleFormat)
+    val spp = if (paletteMap != null) 3 else p0.samplesPerPixel
     val tiled = p0.tileWidth > 0
     // planar (PlanarConfiguration 2): each strip/tile run carries ONE
     // channel, channel-major — spp regions-per-channel runs per page.
@@ -845,6 +868,9 @@ object TiffIO {
       if (tiled) (p0.tileLength, p0.tileWidth) else (p0.rowsPerStrip, p0.width)
     val chunks = planeDims.map(_ => 1) ++ Seq(chunkY, chunkX) ++
       (if (spp > 1) Seq(if (planar) 1 else spp) else Nil)
+    val srcDtype =
+      if (paletteMap != null) "uint8"
+      else dtype
     val meta = ImageMeta(dims, shape, chunks, dtype,
       dims.map(d => d -> omeScale.getOrElse(d, 1.0)).toMap,
       dims.map(_ -> 0.0).toMap)
@@ -895,21 +921,36 @@ object TiffIO {
         if (p.predictor == 2)
           undoPredictor(decoded, storedW, storedH, sppEff, bytesPerSample, le)
         // big-endian samples normalize to the engine's layout on decode
-        val allVals = ZarrStore.decodeToDoubles(decoded, dtype, bigEndian = !le)
+        val decodedVals = ZarrStore.decodeToDoubles(decoded, srcDtype, bigEndian = !le)
+        // palette indices expand to interleaved 16-bit RGB triples
+        val (allVals, sppPix) =
+          if (paletteMap != null) {
+            val out = new Array[Double](decodedVals.length * 3)
+            var i = 0
+            while (i < decodedVals.length) {
+              val ix = decodedVals(i).toInt
+              out(3 * i) = paletteMap(ix)
+              out(3 * i + 1) = paletteMap(256 + ix)
+              out(3 * i + 2) = paletteMap(512 + ix)
+              i += 1
+            }
+            (out, 3)
+          } else (decodedVals, sppEff)
         // crop tile padding at the right/bottom edges
         val rh = math.min(storedH, p.height - oy)
         val rw = math.min(storedW, p.width - ox)
         val vals =
           if (rh == storedH && rw == storedW) allVals
           else ChunkOps.sliceBlock(allVals,
-            Array(storedH, storedW * sppEff), Array(0, 0),
-            Array(rh, rw * sppEff))
+            Array(storedH, storedW * sppPix), Array(0, 0),
+            Array(rh, rw * sppPix))
         val planePart = planeDimSS.map { case (size, stride) => (z / stride) % size }
-        val cPartI = if (p.samplesPerPixel > 1) Seq(chan) else Nil
+        val hasC = paletteMap != null || p.samplesPerPixel > 1
+        val cPartI = if (hasC) Seq(chan) else Nil
         val idx = planePart ++ Seq(oy / chunkY, ox / chunkX) ++ cPartI
         val origin = planePart.map(_.toLong) ++ Seq(oy.toLong, ox.toLong) ++ cPartI.map(_.toLong)
         val shp = planePart.map(_ => 1) ++ Seq(rh, rw) ++
-          (if (p.samplesPerPixel > 1) Seq(sppEff) else Nil)
+          (if (hasC) Seq(sppPix) else Nil)
         ChunkRow(idx, origin, shp, ZarrStore.encodeFromDoubles(vals, dtype))
       }
     TiffImage(meta, rows)

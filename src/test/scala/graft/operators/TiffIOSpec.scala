@@ -73,6 +73,21 @@ class TiffIOSpec extends SparkSpec {
     assert(!got.contains(0xEE.toDouble)) // thumbnails skipped
   }
 
+  test("palette-color (photometric 3): 16-bit ColorMap expands to RGB") {
+    val img = TiffIO.read(spark, s"$fx/pal8.tif")
+    assert(img.meta.dims == Seq("y", "x", "c"))
+    assert(img.meta.shape == Seq(9L, 13L, 3L))
+    assert(img.meta.dtype == "uint16")
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until 9; x <- 0 until 13) {
+      val i = (x * 5 + y * 3) % 256
+      val base = (y * 13 + x) * 3
+      assert(got(base) == (i * 257).toDouble, s"R($x,$y)")
+      assert(got(base + 1) == ((255 - i) * 257).toDouble, s"G($x,$y)")
+      assert(got(base + 2) == (((i * 7) % 256) * 257).toDouble, s"B($x,$y)")
+    }
+  }
+
   test("LZW strip decodes (early-change code widths)") {
     val img = TiffIO.read(spark, s"$fx/gray8_lzw.tif")
     assert(img.meta.shape == Seq(9L, 33L))

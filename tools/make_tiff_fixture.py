@@ -330,6 +330,22 @@ def main():
     write_tiff(OUT / "rgb_planar.tif", [dict(
         width=w, height=h, spp=3, bits=8, rows_per_strip=rps,
         regions=regions, tags={284: (3, [2])})])
+    # palette-color (photometric 3): 8-bit indices + 16-bit ColorMap.
+    # index(x,y) = (x*5 + y*3) % 256; map: R=i*257, G=(255-i)*257,
+    # B=((i*7)%256)*257 (u16 full-scale convention)
+    w, h, rps = 13, 9, 4
+    idx_rows = [[(x * 5 + y * 3) % 256 for x in range(w)] for y in range(h)]
+    regions = []
+    for st in range((h + rps - 1) // rps):
+        chunk = idx_rows[st * rps:(st + 1) * rps]
+        regions.append(pack_samples(chunk, "B", "<"))
+    cmap = ([i * 257 for i in range(256)]
+            + [(255 - i) * 257 for i in range(256)]
+            + [((i * 7) % 256) * 257 for i in range(256)])
+    write_tiff(OUT / "pal8.tif", [dict(
+        width=w, height=h, spp=1, bits=8, rows_per_strip=rps,
+        regions=regions, tags={262: (3, [3]), 320: (3, cmap)})])
+
 
     print("wrote", sorted(p.name for p in OUT.glob("*.tif")))
 
