@@ -426,8 +426,22 @@ object DicomIO {
     val srcDtype = dtypeOf(first)
     val rescale = (first.slope, first.inter) != ((1.0, 0.0))
     val outDtype = if (rescale) "float32" else srcDtype
-    val zSpacing =
-      if (first.spacingBetween != 0.0) first.spacingBetween else first.sliceThickness
+    // z spacing follows the reference (ITK series readers): uniform
+    // ImagePositionPatient deltas over the sorted series win over the
+    // SpacingBetweenSlices/SliceThickness tags (which routinely
+    // disagree with the actual slice positions in gantry-tilted or
+    // gapped acquisitions); the tags are the fallback
+    val ippSpacing: Option[Double] =
+      if (ordered.length > 1) {
+        val zs = ordered.map(_._2.ippZ)
+        val deltas = zs.sliding(2).map(pr => pr(1) - pr(0)).toSeq
+        if (deltas.forall(d =>
+            math.abs(d - deltas.head) < 1e-6 * math.max(1.0, math.abs(deltas.head))) &&
+          math.abs(deltas.head) > 0) Some(math.abs(deltas.head))
+        else None
+      } else None
+    val zSpacing = ippSpacing.getOrElse(
+      if (first.spacingBetween != 0.0) first.spacingBetween else first.sliceThickness)
     val nSamples = first.samples
     val cDims = if (nSamples > 1) Seq("c") else Nil
     val meta = ImageMeta(

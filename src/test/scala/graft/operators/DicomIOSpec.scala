@@ -308,6 +308,26 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == expected(3))
   }
 
+  test("series z spacing: uniform IPP deltas beat the thickness tags (ITK rule)") {
+    val dir = java.nio.file.Files.createTempDirectory("dcm_ipp")
+    for (z <- 0 until 3) {
+      val px = Array.tabulate[Short](NY * NX)(p => v(p % NX, p / NX, z).toShort)
+      // SliceThickness says 2.0, but the slices actually sit 2.5 apart
+      java.nio.file.Files.write(dir.resolve(s"s$z.dcm"),
+        DicomIO.encodeSliceInt16(NY, NX, z + 1, z * 2.5, (1.0, 1.0), 2.0, px))
+    }
+    val img = DicomIO.readSeriesDir(spark, dir.toString)
+    assert(img.meta.scale("z") == 2.5)
+    // non-uniform IPP deltas fall back to the tags
+    val dir2 = java.nio.file.Files.createTempDirectory("dcm_ipp2")
+    for ((zp, i) <- Seq(0.0, 2.5, 6.0).zipWithIndex) {
+      val px = Array.tabulate[Short](NY * NX)(p => v(p % NX, p / NX, i).toShort)
+      java.nio.file.Files.write(dir2.resolve(s"s$i.dcm"),
+        DicomIO.encodeSliceInt16(NY, NX, i + 1, zp, (1.0, 1.0), 2.0, px))
+    }
+    assert(DicomIO.readSeriesDir(spark, dir2.toString).meta.scale("z") == 2.0)
+  }
+
   test("mixed-syntax ingest rehearsal self-checks at spec size") {
     // the bench twin runs 256x256x256; the machinery (distributed
     // 6-codec write, shuffled-order series read, closed-form
