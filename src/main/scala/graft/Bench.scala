@@ -532,8 +532,26 @@ object Bench {
       .mkString("{", ",", "}")
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Host-disposition controls (the r10 attribution protocol, made
+    // machine-checkable): the never-flagged ccl/edt/bpe keys double as
+    // controls. Each ratio is this run's bench-tail reading over its
+    // pinned healthy-host value (r9/r10 mid-round benches, identical
+    // code); `host_disposition` is their geometric mean. A reading
+    // >= ~2 means the HOST ran hot that day — rehearsal-key spikes in
+    // the same run attribute to disposition, not to plan regressions,
+    // without a separate standalone controls session.
+    val controlPins = Seq(("i_ccl16m", 4.6, cclSec), ("i_edt16m", 2.3, edtSec),
+      ("t_bpe200k", 4.4, bpeSec))
+    val controlRatios = controlPins.collect { case (k, pin, v) if v > 0 => (k, v / pin) }
+    val hostControlsJson = controlRatios.map { case (k, r) => "\"" + k + "\":" + fmt(r) }
+      .mkString("{", ",", "}")
+    val hostDisposition =
+      if (controlRatios.isEmpty) -1.0
+      else math.exp(controlRatios.map { case (_, r) => math.log(r) }.sum / controlRatios.size)
+    val hostJson =
+      s""""host_controls":$hostControlsJson,"host_disposition":${fmt(hostDisposition)}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,$hostJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -545,7 +563,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,$hostJson,"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -169,6 +169,10 @@ object Jpeg2k {
     val vis = new Array[Int](n)
     val ref = new Array[Int](n)
     if (npasses == 0 || nplanes == 0) return mags
+    // a pass count past 3*nplanes-2 would drive the bit-plane index
+    // negative and (with JVM shift-masking) OR in wrong high bits
+    require(nplanes >= 1 && npasses <= 3 * nplanes - 2,
+      s"jpeg2000: $npasses passes exceed $nplanes bit-planes")
     val mq = new MQDecoder(data, from, until)
 
     def sigAt(x: Int, y: Int): Int =

@@ -117,7 +117,7 @@ object JpegExtended {
     var quant = Map.empty[Int, Array[Int]] // natural order
     var dcTabs = Map.empty[Int, Huffman]
     var acTabs = Map.empty[Int, Huffman]
-    var dcId = -1; var acId = -1
+    var dcId = -1; var acId = -1; var tqId = 0
     var scanStart = -1
     while (scanStart < 0) {
       require(p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff,
@@ -132,6 +132,7 @@ object JpegExtended {
           val ncomp = bytes(p + 9) & 0xff
           require(ncomp == 1,
             s"jpeg-ext: $ncomp components unsupported (grayscale only)")
+          tqId = bytes(p + 12) & 0xff // component's quant-table selector
         case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
@@ -179,8 +180,8 @@ object JpegExtended {
     }
     require(width > 0 && height > 0 && (prec == 8 || prec == 12),
       s"jpeg-ext: bad frame header ${width}x$height @ $prec bits")
-    val qt = quant.getOrElse(0,
-      throw new IllegalArgumentException("jpeg-ext: missing quantization table 0"))
+    val qt = quant.getOrElse(tqId,
+      throw new IllegalArgumentException(s"jpeg-ext: missing quantization table $tqId"))
     val dc = dcTabs.getOrElse(dcId,
       throw new IllegalArgumentException(s"jpeg-ext: undefined DC table $dcId"))
     val ac = acTabs.getOrElse(acId,

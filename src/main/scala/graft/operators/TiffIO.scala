@@ -761,17 +761,24 @@ object TiffIO {
     // 3-sample uint16 while the stored regions stay single-sample
     val paletteMap: Array[Int] =
       if (p0.photometric == 3) {
-        require(p0.samplesPerPixel == 1 && p0.bitsPerSample == 8,
-          "palette-color TIFF supports 8-bit single-sample indices " +
+        require(p0.samplesPerPixel == 1 &&
+          (p0.bitsPerSample == 8 || p0.bitsPerSample == 4),
+          "palette-color TIFF supports 8-bit or 4-bit single-sample indices " +
             s"(got ${p0.samplesPerPixel} x ${p0.bitsPerSample})")
+        require(p0.predictor != 2,
+          "palette-color TIFF with horizontal differencing unsupported")
         val cm = p0.colorMap.getOrElse(throw new IllegalArgumentException(
           "palette-color TIFF without a ColorMap tag"))
-        require(cm.length == 3 * 256,
-          s"ColorMap has ${cm.length} entries, expected ${3 * 256}")
+        require(cm.length == 3 * (1 << p0.bitsPerSample),
+          s"ColorMap has ${cm.length} entries, expected ${3 * (1 << p0.bitsPerSample)}")
         keptPages.foreach(p => require(p.colorMap.exists(_.sameElements(cm)),
           "multi-page palette TIFF with differing ColorMaps unsupported"))
         cm
       } else null
+    // 4-bit palette indices pack two per byte (high nibble first),
+    // rows byte-aligned — unpacked to one index per byte at decode
+    val pack4 = paletteMap != null && p0.bitsPerSample == 4
+    val paletteN = if (paletteMap != null) paletteMap.length / 3 else 0
     val dtype =
       if (paletteMap != null) "uint16"
       else dtypeFor(p0.bitsPerSample, p0.sampleFormat)
@@ -915,9 +922,30 @@ object TiffIO {
         // tiles are stored padded to full tile size; strips are exact
         val storedH = if (p.tileWidth > 0) p.tileLength else rh0
         val storedW = rw0
-        val expect = storedH * storedW * sppEff * bytesPerSample
-        val decoded = decodeRegion(p.compression, raw, expect, p.jpegTables,
+        val expect =
+          if (pack4) storedH * ((storedW + 1) / 2)
+          else storedH * storedW * sppEff * bytesPerSample
+        val decoded0 = decodeRegion(p.compression, raw, expect, p.jpegTables,
           p.oldJpeg, storedW, storedH, le)
+        val decoded =
+          if (pack4) {
+            // two 4-bit indices per byte, high nibble first, rows
+            // byte-aligned (TIFF FillOrder 1)
+            val rowBytes = (storedW + 1) / 2
+            val out = new Array[Byte](storedH * storedW)
+            var y = 0
+            while (y < storedH) {
+              var x = 0
+              while (x < storedW) {
+                val b = decoded0(y * rowBytes + (x >> 1)) & 0xff
+                out(y * storedW + x) =
+                  (if ((x & 1) == 0) b >> 4 else b & 0x0f).toByte
+                x += 1
+              }
+              y += 1
+            }
+            out
+          } else decoded0
         if (p.predictor == 2)
           undoPredictor(decoded, storedW, storedH, sppEff, bytesPerSample, le)
         // big-endian samples normalize to the engine's layout on decode
@@ -930,8 +958,8 @@ object TiffIO {
             while (i < decodedVals.length) {
               val ix = decodedVals(i).toInt
               out(3 * i) = paletteMap(ix)
-              out(3 * i + 1) = paletteMap(256 + ix)
-              out(3 * i + 2) = paletteMap(512 + ix)
+              out(3 * i + 1) = paletteMap(paletteN + ix)
+              out(3 * i + 2) = paletteMap(2 * paletteN + ix)
               i += 1
             }
             (out, 3)

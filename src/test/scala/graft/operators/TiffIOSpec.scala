@@ -88,6 +88,21 @@ class TiffIOSpec extends SparkSpec {
     }
   }
 
+  test("palette-color 4-bit: packed nibble indices expand through a 16-entry ColorMap") {
+    val img = TiffIO.read(spark, s"$fx/pal4.tif")
+    assert(img.meta.dims == Seq("y", "x", "c"))
+    assert(img.meta.shape == Seq(5L, 11L, 3L))
+    assert(img.meta.dtype == "uint16")
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until 5; x <- 0 until 11) {
+      val i = (x * 3 + y) % 16
+      val base = (y * 11 + x) * 3
+      assert(got(base) == (i * 4369).toDouble, s"R($x,$y)")
+      assert(got(base + 1) == ((15 - i) * 4369).toDouble, s"G($x,$y)")
+      assert(got(base + 2) == (((i * 5) % 16) * 4369).toDouble, s"B($x,$y)")
+    }
+  }
+
   test("LZW strip decodes (early-change code widths)") {
     val img = TiffIO.read(spark, s"$fx/gray8_lzw.tif")
     assert(img.meta.shape == Seq(9L, 33L))

@@ -346,6 +346,27 @@ def main():
         width=w, height=h, spp=1, bits=8, rows_per_strip=rps,
         regions=regions, tags={262: (3, [3]), 320: (3, cmap)})])
 
+    # 4-bit packed palette: two indices per byte, high nibble first,
+    # rows byte-aligned. index(x,y) = (x*3 + y) % 16; ColorMap 3*16 u16
+    w, h, rps = 11, 5, 2
+    idx_rows = [[(x * 3 + y) % 16 for x in range(w)] for y in range(h)]
+    regions = []
+    for st in range((h + rps - 1) // rps):
+        chunk = idx_rows[st * rps:(st + 1) * rps]
+        raw = bytearray()
+        for row in chunk:
+            for i in range(0, len(row), 2):
+                hi = row[i]
+                lo = row[i + 1] if i + 1 < len(row) else 0
+                raw.append((hi << 4) | lo)
+        regions.append(bytes(raw))
+    cmap4 = ([i * 4369 for i in range(16)]
+             + [(15 - i) * 4369 for i in range(16)]
+             + [((i * 5) % 16) * 4369 for i in range(16)])
+    write_tiff(OUT / "pal4.tif", [dict(
+        width=w, height=h, spp=1, bits=4, rows_per_strip=rps,
+        regions=regions, tags={262: (3, [3]), 320: (3, cmap4)})])
+
 
     print("wrote", sorted(p.name for p in OUT.glob("*.tif")))
 
