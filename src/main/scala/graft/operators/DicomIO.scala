@@ -28,11 +28,15 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *   - 1.2.840.10008.1.2.4.80 JPEG-LS Lossless and
   *   - 1.2.840.10008.1.2.4.81 JPEG-LS Near-Lossless, via the pure-JVM
   *                            ITU-T T.87 codec in [[JpegLs]]
-  *   - 1.2.840.10008.1.2.4.90/.91 JPEG 2000 (lossless reversible-5/3
-  *                            profile via the pure-JVM T.800 decoder
-  *                            in [[Jpeg2k]]; irreversible 9/7 and
-  *                            exotic codestream options refuse
-  *                            inside the codec by name)
+  *   - 1.2.840.10008.1.2.4.90/.91 JPEG 2000: reversible 5/3 AND
+  *                            irreversible 9/7 with scalar
+  *                            quantization, tiles, precincts,
+  *                            tile-parts, quality layers and all
+  *                            five progression orders, via the
+  *                            pure-JVM T.800 decoder in [[Jpeg2k]]
+  *                            (residual exotica — non-default
+  *                            code-block styles, COC/QCC/POC —
+  *                            refuse there by name)
   *   - 1.2.840.10008.1.2.1.99 Deflated Explicit VR LE (the whole
   *                            post-meta dataset is one raw-deflate
   *                            stream, re-inflated per decode task)
@@ -691,10 +695,10 @@ object DicomIO {
   }
 
   /** Decode one JPEG 2000 fragment (transfer syntaxes .4.90/.4.91)
-    * via the pure-JVM T.800 decoder (reversible 5/3 profile;
-    * irreversible 9/7 refuses inside [[Jpeg2k]]). Signed codestreams
-    * carry signed components natively; unsigned ones reinterpret per
-    * the dataset dtype like the other codecs.
+    * via the pure-JVM T.800 decoder — reversible 5/3 or irreversible
+    * 9/7 with quantization (the .4.91 clinical-export shape). Signed
+    * codestreams carry signed components natively; unsigned ones
+    * reinterpret per the dataset dtype like the other codecs.
     */
   private[operators] def decodeJpeg2kFrame(frag: Array[Byte], rows: Int,
       cols: Int, dtype: String, bands: Int = 1): Array[Double] = {

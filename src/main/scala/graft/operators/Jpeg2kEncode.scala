@@ -1,14 +1,17 @@
 package graft.operators
 
-/** Pure-JVM JPEG 2000 ENCODER for the same constrained lossless
-  * profile [[Jpeg2k]] decodes — single tile, reversible 5/3, no
-  * quantization, 1 layer, LRCP, default precincts/styles; 1 or 3
-  * components, optional reversible color transform. A fixture/gate
-  * producer (the decoder is the product surface): the i68 gate uses
-  * it to put a runtime-encoded JPEG 2000 slice under the DuckDB
-  * oracle, and Jpeg2kSpec roundtrips random frames through
-  * encode→decode. Ported from the roundtrip-self-tested Python
-  * implementation in `tools/j2k.py` (same T.800 reading).
+/** Pure-JVM JPEG 2000 ENCODER (single tile, 1 layer, LRCP, default
+  * precincts/styles; 1 or 3 components): reversible 5/3 lossless, OR
+  * — with `transform = "97"` and a `quant = (e0, mu0)` pair — the
+  * irreversible 9/7 with scalar-expounded dead-zone quantization and
+  * the irreversible color transform, i.e. the DICOM .4.91 shape.
+  * A fixture/gate producer (the decoder [[Jpeg2k]] is the product
+  * surface): the i68 gate puts runtime-encoded lossless slices under
+  * the DuckDB oracle, the m70 gate feeds runtime lossy codestreams
+  * through the distributed extractor, and Jpeg2kSpec roundtrips
+  * random frames through encode→decode. Ported from the
+  * roundtrip-self-tested Python implementation in `tools/j2k.py`
+  * (same T.800 reading).
   */
 object Jpeg2kEncode {
 
@@ -382,6 +385,83 @@ object Jpeg2kEncode {
     (ll, hl, lh, hh, loW, loH, hiW, hiH)
   }
 
+  // irreversible 9/7 lifting constants (T.800 Table F.4) — identical
+  // literals to Jpeg2k's inverse and tools/j2k.py
+  private val K97 = 1.230174104914001
+  private val IK97 = 1.0 / K97
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val G97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+
+  /** Forward 9/7 on an origin-0 signal: lifting then the lo×(1/K) /
+    * hi×K normalization (low-pass DC gain 1, high-pass Nyquist 2).
+    */
+  private def fwd97(x: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    if (n == 1) return (x.clone(), Array.emptyDoubleArray)
+    val y = x.clone()
+    def ref(j0: Int): Int = {
+      val p = 2 * (n - 1)
+      var k = Math.floorMod(j0, p)
+      if (k >= n) k = p - k
+      k
+    }
+    var j = 1
+    while (j < n) { y(j) += A97 * (y(ref(j - 1)) + y(ref(j + 1))); j += 2 }
+    j = 0
+    while (j < n) { y(j) += B97 * (y(ref(j - 1)) + y(ref(j + 1))); j += 2 }
+    j = 1
+    while (j < n) { y(j) += G97 * (y(ref(j - 1)) + y(ref(j + 1))); j += 2 }
+    j = 0
+    while (j < n) { y(j) += D97 * (y(ref(j - 1)) + y(ref(j + 1))); j += 2 }
+    j = 0
+    while (j < n) { y(j) *= (if ((j & 1) == 0) IK97 else K97); j += 1 }
+    val lo = Array.tabulate((n + 1) / 2)(k => y(2 * k))
+    val hi = Array.tabulate(n / 2)(k => y(2 * k + 1))
+    (lo, hi)
+  }
+
+  private def fwd97_2d(img: Array[Double], w: Int, h: Int)
+      : (Array[Double], Array[Double], Array[Double], Array[Double], Int, Int, Int, Int) = {
+    val loW = (w + 1) / 2
+    val hiW = w / 2
+    val rl = Array.ofDim[Double](h, loW)
+    val rh = Array.ofDim[Double](h, hiW)
+    var y = 0
+    while (y < h) {
+      val (lo, hi) = fwd97(java.util.Arrays.copyOfRange(img, y * w, (y + 1) * w))
+      rl(y) = lo
+      rh(y) = hi
+      y += 1
+    }
+    val loH = (h + 1) / 2
+    val hiH = h / 2
+    val ll = new Array[Double](loW * loH)
+    val lh = new Array[Double](loW * hiH)
+    val hl = new Array[Double](hiW * loH)
+    val hh = new Array[Double](hiW * hiH)
+    var x = 0
+    while (x < loW) {
+      val (lo, hi) = fwd97(Array.tabulate(h)(rl(_)(x)))
+      var k = 0
+      while (k < loH) { ll(k * loW + x) = lo(k); k += 1 }
+      k = 0
+      while (k < hiH) { lh(k * loW + x) = hi(k); k += 1 }
+      x += 1
+    }
+    x = 0
+    while (x < hiW) {
+      val (lo, hi) = fwd97(Array.tabulate(h)(rh(_)(x)))
+      var k = 0
+      while (k < loH) { hl(k * hiW + x) = lo(k); k += 1 }
+      k = 0
+      while (k < hiH) { hh(k * hiW + x) = hi(k); k += 1 }
+      x += 1
+    }
+    (ll, hl, lh, hh, loW, loH, hiW, hiH)
+  }
+
   // ---------------------------------------------- header bit writer
 
   private final class HdrWriter {
@@ -489,44 +569,98 @@ object Jpeg2kEncode {
   def encode(planes: Seq[Array[Int]], w: Int, h: Int, prec: Int,
       signed: Boolean = false, levels: Int = 2, cbw: Int = 32,
       cbh: Int = 32, mct: Boolean = false, sop: Boolean = false,
-      eph: Boolean = false): Array[Byte] = {
+      eph: Boolean = false, transform: String = "53",
+      quant: Option[(Int, Int)] = None): Array[Byte] = {
     val ncomp = planes.length
     require(ncomp == 1 || ncomp == 3, s"jpeg2000-enc: $ncomp components")
     require(!mct || ncomp == 3, "jpeg2000-enc: MCT needs 3 components")
     require(levels >= 1 && levels <= 6 && cbw >= 4 && cbw <= 64 &&
       cbh >= 4 && cbh <= 64, "jpeg2000-enc: bad parameters")
+    require(transform == "53" || transform == "97",
+      s"jpeg2000-enc: transform $transform")
+    val lossy = transform == "97"
+    // irreversible 9/7 quantizes (scalar expounded, (e0, mu0) —
+    // uniform step 2^(prec-e0)*(1+mu0/2048)); reversible 5/3 must not
+    require(lossy == quant.nonEmpty, "jpeg2000-enc: quant iff 9/7")
     planes.foreach(p => require(p.length == w * h, "jpeg2000-enc: plane != w*h"))
     val shift = if (signed) 0 else 1 << (prec - 1)
-    var comps = planes.map(_.map(_ - shift)).toIndexedSeq
-    if (mct) {
-      val n = w * h
-      val yy = new Array[Int](n)
-      val uu = new Array[Int](n)
-      val vv = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        val r = comps(0)(i); val g = comps(1)(i); val b = comps(2)(i)
-        yy(i) = (r + 2 * g + b) >> 2
-        uu(i) = b - g
-        vv(i) = r - g
-        i += 1
-      }
-      comps = IndexedSeq(yy, uu, vv)
-    }
 
     // per-comp forward DWT; band data per resolution r: 0=LL, then
-    // (HL, LH, HH) per level from coarsest to finest
-    val compBands = comps.map { plane =>
-      var cur = plane
-      var cw = w
-      var ch = h
-      val stack = new scala.collection.mutable.ArrayBuffer[Seq[(Array[Int], Int, Int)]]
-      (0 until levels).foreach { _ =>
-        val (ll, hl, lh, hh, loW, loH, hiW, hiH) = fwd53_2d(cur, cw, ch)
-        stack += Seq((hl, hiW, loH), (lh, loW, hiH), (hh, hiW, hiH))
-        cur = ll; cw = loW; ch = loH
+    // (HL, LH, HH) per level from coarsest to finest. The lossy path
+    // runs double 9/7 (after ICT) and dead-zone-quantizes each band
+    // to the SAME integer structure the Tier-1 coder consumes.
+    val gainOf = (r: Int, bi: Int) => if (r == 0) 0 else if (bi == 2) 2 else 1
+    val deltaOf = (r: Int, bi: Int) => {
+      val (e0, mu0) = quant.get
+      val gain = gainOf(r, bi)
+      val eps = e0 + gain
+      math.pow(2.0, (prec + gain) - eps) * (1.0 + mu0 / 2048.0)
+    }
+    val compBands: IndexedSeq[Seq[Seq[(Array[Int], Int, Int)]]] = if (!lossy) {
+      var comps = planes.map(_.map(_ - shift)).toIndexedSeq
+      if (mct) {
+        val n = w * h
+        val yy = new Array[Int](n)
+        val uu = new Array[Int](n)
+        val vv = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val r = comps(0)(i); val g = comps(1)(i); val b = comps(2)(i)
+          yy(i) = (r + 2 * g + b) >> 2
+          uu(i) = b - g
+          vv(i) = r - g
+          i += 1
+        }
+        comps = IndexedSeq(yy, uu, vv)
       }
-      Seq(Seq((cur, cw, ch))) ++ stack.reverse
+      comps.map { plane =>
+        var cur = plane
+        var cw = w
+        var ch = h
+        val stack = new scala.collection.mutable.ArrayBuffer[Seq[(Array[Int], Int, Int)]]
+        (0 until levels).foreach { _ =>
+          val (ll, hl, lh, hh, loW, loH, hiW, hiH) = fwd53_2d(cur, cw, ch)
+          stack += Seq((hl, hiW, loH), (lh, loW, hiH), (hh, hiW, hiH))
+          cur = ll; cw = loW; ch = loH
+        }
+        Seq(Seq((cur, cw, ch))) ++ stack.reverse
+      }
+    } else {
+      var comps = planes.map(_.map(v => (v - shift).toDouble)).toIndexedSeq
+      if (mct) {
+        val n = w * h
+        val yy = new Array[Double](n)
+        val uu = new Array[Double](n)
+        val vv = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val r = comps(0)(i); val g = comps(1)(i); val b = comps(2)(i)
+          yy(i) = 0.299 * r + 0.587 * g + 0.114 * b
+          uu(i) = -0.168736 * r - 0.331264 * g + 0.5 * b
+          vv(i) = 0.5 * r - 0.418688 * g - 0.081312 * b
+          i += 1
+        }
+        comps = IndexedSeq(yy, uu, vv)
+      }
+      def q(coefs: Array[Double], r: Int, bi: Int): Array[Int] = {
+        val d = deltaOf(r, bi)
+        coefs.map(v => if (v >= 0) (v / d).toInt else -((-v / d).toInt))
+      }
+      comps.map { plane =>
+        var cur = plane
+        var cw = w
+        var ch = h
+        val stack = new scala.collection.mutable.ArrayBuffer[Seq[(Array[Int], Int, Int)]]
+        var r = levels
+        (0 until levels).foreach { _ =>
+          val (ll, hl, lh, hh, loW, loH, hiW, hiH) = fwd97_2d(cur, cw, ch)
+          stack += Seq((q(hl, r, 0), hiW, loH), (q(lh, r, 1), loW, hiH),
+            (q(hh, r, 2), hiW, hiH))
+          cur = ll; cw = loW; ch = loH
+          r -= 1
+        }
+        Seq(Seq((q(cur, 0, 0), cw, ch))) ++ stack.reverse
+      }
     }
 
     // Tier-1 everything; shared QCD Mb = max over comps per band slot
@@ -561,7 +695,21 @@ object Jpeg2kEncode {
       }
       mx.foreach(bandMb += _)
     }
-    val mbs = bandMb.result()
+    val mbs =
+      if (!lossy) bandMb.result()
+      else {
+        val (e0, _) = quant.get
+        // Mb = G + eps_b - 1 is FIXED by the signaled exponents; the
+        // quantized coefficient magnitudes must fit inside it
+        val fixed = (0 until nres).flatMap { r =>
+          val nB = if (r == 0) 1 else 3
+          (0 until nB).map(bi => Guard + (e0 + gainOf(r, bi)) - 1)
+        }
+        bandMb.result().zip(fixed).zipWithIndex.foreach { case ((got, mb), i) =>
+          require(got <= mb, s"jpeg2000-enc: band $i magnitude $got exceeds Mb $mb")
+        }
+        fixed
+      }
 
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -583,14 +731,32 @@ object Jpeg2kEncode {
     w8(levels)
     w8((31 - Integer.numberOfLeadingZeros(cbw)) - 2)
     w8((31 - Integer.numberOfLeadingZeros(cbh)) - 2)
-    w8(0); w8(0)
+    // code-block style 0; transform per T.800 Table A.20 (0 = the
+    // irreversible 9/7, 1 = reversible 5/3)
+    w8(0); w8(if (lossy) 0 else 1)
     w16(0xff5c) // QCD
-    w16(3 + mbs.length)
-    w8((Guard << 5) | 0)
-    mbs.foreach { mb =>
-      val eps = mb - Guard + 1
-      require(eps >= 0 && eps < 32, s"jpeg2000-enc: epsilon $eps")
-      w8((eps & 0x1f) << 3)
+    if (!lossy) {
+      w16(3 + mbs.length)
+      w8((Guard << 5) | 0)
+      mbs.foreach { mb =>
+        val eps = mb - Guard + 1
+        require(eps >= 0 && eps < 32, s"jpeg2000-enc: epsilon $eps")
+        w8((eps & 0x1f) << 3)
+      }
+    } else {
+      // scalar expounded: one 16-bit (eps, mu) pair per band
+      val (e0, mu0) = quant.get
+      w16(3 + 2 * mbs.length)
+      w8((Guard << 5) | 2)
+      (0 until nres).foreach { r =>
+        val nB = if (r == 0) 1 else 3
+        (0 until nB).foreach { bi =>
+          val eps = e0 + gainOf(r, bi)
+          require(eps >= 0 && eps < 32 && mu0 >= 0 && mu0 < 2048,
+            s"jpeg2000-enc: quant ($eps, $mu0)")
+          w16((eps << 11) | mu0)
+        }
+      }
     }
 
     val body = new java.io.ByteArrayOutputStream()

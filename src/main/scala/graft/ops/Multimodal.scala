@@ -576,6 +576,27 @@ object Multimodal {
     }).toDF("doc_id", "media")
   }
 
+  /** A real LOSSY JPEG 2000 blob per doc: 11×7 grayscale ramp
+    * base = (doc_id·37) mod 128 plus 3x+5y (no wrap cliffs), encoded
+    * through the irreversible 9/7 with step-1 scalar-expounded
+    * quantization — the DICOM .4.91 / Aperio SVS shape. Smooth
+    * content keeps the decode within a couple of levels of the
+    * original, so the gate takes m56's bounded-error verdict while
+    * exercising the REAL lossy path (dead-zone dequantization,
+    * double 9/7 synthesis, midpoint reconstruction, rounding).
+    */
+  def syntheticJp2Lossy(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = 11; val h = 7
+      val img = Array.tabulate(w * h)(i =>
+        ((id * 37) % 128 + (i % w) * 3 + (i / w) * 5).toInt)
+      (id, graft.operators.Jpeg2kEncode.encode(Seq(img), w, h, 8,
+        levels = 1, cbw = 8, cbh = 8, transform = "97", quant = Some((8, 0))))
+    }).toDF("doc_id", "media")
+  }
+
   /** A real JPEG blob per doc: 16×16 GRAYSCALE of four uniform 8×8
     * blocks, block b = (doc_id·37 + b·29) mod 256, written at quality
     * 0.95. Uniform blocks aligned to the JPEG MCU grid decode to

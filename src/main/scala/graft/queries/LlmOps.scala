@@ -26,7 +26,7 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
-    m69Jp2Decode,
+    m69Jp2Decode, m70J2kLossy,
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
@@ -816,6 +816,35 @@ object LlmOps extends QModule {
               i -> (doc_id * 37 + i * 13) % 256)) AS DOUBLE) / 77 AS mean_c0,
             CAST(-1.0 AS DOUBLE) AS mean_c1,
             CAST(-1.0 AS DOUBLE) AS mean_c2
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  /** REAL LOSSY JPEG 2000 decode in the gate: per-doc irreversible
+    * 9/7 codestreams (dead-zone quantized at step 1, encoded at
+    * runtime by the JVM T.800 encoder — the DICOM .4.91 shape)
+    * feature-extract distributed. Container facts are exact; the
+    * decoded mean takes m56's bounded-error verdict (smooth ramp
+    * content, step-1 quantizer → within ±2 levels of the closed-form
+    * mean). Exact bit-parity of the lossy path is pinned separately
+    * by Jpeg2kSpec against the independent Python decoder's
+    * committed reconstructions.
+    */
+  val m70J2kLossy = Q(
+    "m70_j2k_lossy_features",
+    (s, dir) => {
+      val exp = (col("doc_id") * 37 % 128 + 30).cast("double")
+      Multimodal.extractImageFeatures(s,
+          Multimodal.syntheticJp2Lossy(docs(s, dir).filter(col("doc_id") < 200)))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          exp.as("exp_mean"),
+          (abs(col("mean_c0") - exp) <= 2.0).as("mean_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(11 AS INT) AS width, CAST(7 AS INT) AS height,
+            CAST(1 AS INT) AS channels,
+            CAST((doc_id * 37) % 128 + 30 AS DOUBLE) AS exp_mean,
+            true AS mean_ok
             FROM documents WHERE doc_id < 200
             ORDER BY doc_id"""))
 

@@ -68,6 +68,23 @@ class DicomIOSpec extends SparkSpec {
     assert(ChunkOps.toArray(img.chunks, img.meta).toSeq == want)
   }
 
+  test("lossy JPEG 2000 (.4.91, irreversible 9/7) decodes to the pinned reconstruction") {
+    val img = DicomIO.read(spark, s"$fx/j2klossy.dcm")
+    assert(img.meta.shape == Seq(NX.toLong, NY, 1L))
+    assert(img.meta.dtype == "int16")
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/j2klossy_recon.raw"))
+    val recon = raw.grouped(2)
+      .map(p => (((p(0) & 0xff) << 8) | (p(1) & 0xff)).toShort.toInt).toSeq
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until NY; x <- 0 until NX)
+      assert(got(x * NY + y) == recon(y * NX + x).toDouble, s"($x,$y)")
+    // lossy bound vs the ORIGINAL pixels: expounded e0=15 on a 16-bit
+    // signed component is a ~2-step quantizer over a [-55, 70] ramp
+    for (y <- 0 until NY; x <- 0 until NX)
+      assert(math.abs(got(x * NY + y) - (v(x, y, 0) - 55)) <= 8, s"orig ($x,$y)")
+  }
+
   test("JPEG 2000 color (YBR_RCT) decodes exactly through the c-dim path") {
     val img = DicomIO.read(spark, s"$fx/j2krgb.dcm")
     assert(img.meta.dims == Seq("x", "y", "z", "c"))

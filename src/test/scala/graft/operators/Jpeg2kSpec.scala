@@ -33,6 +33,36 @@ class Jpeg2kSpec extends AnyFunSuite {
   test("16-bit full range, 2 levels")(check("g16_l2", 11, 9, 16))
   test("constant image: empty-packet path")(check("flat_l2", 32, 32, 8))
 
+  test("lossy 9/7 expounded quantization decodes bit-identically to the Python decoder")(
+    check("lossy97_exp", 33, 25, 8))
+  test("lossy 9/7 scalar-derived quantization, 12-bit")(
+    check("lossy97_der", 24, 16, 12))
+  test("multi-tile lossless with odd tile origins decodes exactly")(
+    check("tiles53", 45, 33, 8))
+  test("precinct partitions + SOP/EPH + three tile-parts decode exactly")(
+    check("prec_tp", 56, 40, 8))
+  test("16-bit lossy with tiles and per-resolution precincts")(
+    check("lossy16_tiles", 45, 33, 16))
+
+  test("three quality layers, RLCP progression (pass-granular layer cuts)")(
+    check("layers3_rlcp", 42, 31, 8))
+  test("RPCL progression + layers + tiles + precincts + SOP/EPH + tile-parts")(
+    check("rpcl_tiles", 42, 31, 8))
+  test("CPRL progression, four layers, lossy 9/7")(
+    check("cprl_lossy", 42, 31, 8))
+
+  test("PCRL progression, two layers, RGB/MCT decodes exactly") {
+    val img = Jpeg2k.decode(bytes("pcrl_rgb_layers.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((42, 31, 8, 3)))
+    assert(img.samples.toSeq == bytes("pcrl_rgb_layers.raw").map(_ & 0xff).toSeq)
+  }
+
+  test("lossy RGB through the irreversible color transform (ICT)") {
+    val img = Jpeg2k.decode(bytes("lossy_rgb_ict.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((37, 26, 8, 3)))
+    assert(img.samples.toSeq == bytes("lossy_rgb_ict.raw").map(_ & 0xff).toSeq)
+  }
+
   test("RGB with the reversible color transform (MCT) decodes exactly") {
     val img = Jpeg2k.decode(bytes("rgb_mct.j2c"))
     assert((img.width, img.height, img.precision, img.components) == ((21, 11, 8, 3)))
@@ -93,18 +123,67 @@ class Jpeg2kSpec extends AnyFunSuite {
     assert(e.getMessage.contains("0xFF53"))
   }
 
-  test("refusals: 9/7 transform, quantized, truncation") {
+  test("Scala lossy encoder (9/7 + expounded quant) roundtrips within quantizer error") {
+    for ((w, h, prec, e0, mu, tol, seed) <- Seq(
+        (32, 24, 8, 8, 0, 4, 31L),      // step 1: near-lossless
+        (21, 17, 8, 6, 1024, 16, 32L),  // step 6: visibly lossy
+        (24, 16, 12, 12, 512, 6, 33L),  // 12-bit
+        (19, 13, 16, 16, 0, 4, 34L))) { // 16-bit, step 1
+      val r = lcg(seed)
+      // smooth-ish content (ramps + small noise), the shape lossy
+      // codecs are specified over
+      val img = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        math.min((1 << prec) - 1, (x * 3 + y * 5) % (1 << prec) / 2 +
+          math.abs(r.next()) % 8)
+      }
+      val enc = Jpeg2kEncode.encode(Seq(img), w, h, prec, levels = 2,
+        cbw = 8, cbh = 8, transform = "97", quant = Some((e0, mu)))
+      val dec = Jpeg2k.decode(enc)
+      val err = img.indices.map(i => math.abs(dec.samples(i) - img(i))).max
+      assert(err <= tol, s"${w}x$h@$prec e0=$e0 mu=$mu: max err $err")
+      // decode is deterministic
+      assert(Jpeg2k.decode(enc).samples.toSeq == dec.samples.toSeq)
+    }
+  }
+
+  test("Scala lossy encoder: RGB through the irreversible color transform") {
+    val r = lcg(41L)
+    val w = 16; val h = 12
+    val planes = (0 until 3).map(c => Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.min(255, (x * (3 + c) + y * (5 - c)) % 128 + 64 + math.abs(r.next()) % 6)
+    })
+    val enc = Jpeg2kEncode.encode(planes, w, h, 8, levels = 2, cbw = 8,
+      cbh = 8, mct = true, transform = "97", quant = Some((8, 0)))
+    val dec = Jpeg2k.decode(enc)
+    assert(dec.components == 3)
+    val err = (for (i <- 0 until w * h; c <- 0 until 3)
+      yield math.abs(dec.samples(i * 3 + c) - planes(c)(i))).max
+    assert(err <= 6, s"ICT roundtrip max err $err")
+  }
+
+  test("refusals: transform/quant mismatch, bad progression, code-block style, truncation") {
     val good = bytes("g8_l1.j2c")
-    // COD transform byte: find the COD marker and flip the last byte
     def findMarker(m: Int): Int =
       good.indices.find(i => (good(i) & 0xff) == 0xff &&
         (good(i + 1) & 0xff) == (m & 0xff)).get
     val cod = findMarker(0x52)
     val codLen = ((good(cod + 2) & 0xff) << 8) | (good(cod + 3) & 0xff)
+    // declaring the 9/7 transform (byte 0, T.800 A.20) while QCD
+    // stays style 0 (no quantization) is contradictory — refused
     val irr = good.clone()
-    irr(cod + 2 + codLen - 1) = 1 // SPcod transform: 9/7
+    irr(cod + 2 + codLen - 1) = 0
     val e1 = intercept[IllegalArgumentException](Jpeg2k.decode(irr))
-    assert(e1.getMessage.contains("9/7"))
+    assert(e1.getMessage.contains("contradicts"))
+    val badProg = good.clone()
+    badProg(cod + 5) = 5 // not one of the five progression orders
+    val e2 = intercept[IllegalArgumentException](Jpeg2k.decode(badProg))
+    assert(e2.getMessage.contains("progression"))
+    val styled = good.clone()
+    styled(cod + 12) = 4 // code-block style TERMALL
+    val e3 = intercept[IllegalArgumentException](Jpeg2k.decode(styled))
+    assert(e3.getMessage.contains("code-block style"))
     val siz = findMarker(0x51)
     val multi = good.clone()
     multi(siz + 39) = 2 // Csiz = 2: neither gray nor RGB — refused

@@ -559,6 +559,25 @@ class TiffIOSpec extends SparkSpec {
       assert(got(y * 19 + x) == want(y * 19 + x).toDouble, s"($x,$y)")
   }
 
+  test("lossy 9/7 JPEG 2000 strips (Aperio 33003) decode to the pinned reconstruction") {
+    // Aperio SVS regions in the wild predominantly carry LOSSY 9/7
+    // codestreams; the committed lossy fixture's .raw twin is the
+    // Python decoder's reconstruction, matched bit-for-bit
+    val j2c = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/fixtures/j2k/lossy97_exp.j2c"))
+    val want = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/fixtures/j2k/lossy97_exp.raw"))
+      .map(_ & 0xff)
+    val path = java.nio.file.Files.createTempFile("j2klossytiff", ".tif")
+    java.nio.file.Files.write(path, buildJpegTiff(33, 25, 25, Seq(j2c),
+      tiled = false, tables = None, compOverride = 33003))
+    val img = TiffIO.read(spark, path.toString)
+    assert(img.meta.shape == Seq(25L, 33L) && img.meta.dtype == "uint8")
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until 25; x <- 0 until 33)
+      assert(got(y * 33 + x) == want(y * 33 + x).toDouble, s"($x,$y)")
+  }
+
   test("16-bit JPEG 2000 strips decode with the container's byte order") {
     // 16-bit codestream as a strip in a little-endian TIFF: the
     // region decoder must emit container-endian sample bytes

@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
-"""Independent pure-Python JPEG 2000 codec (ITU-T T.800) — constrained
-lossless profile: single tile, single component, reversible 5/3 DWT,
-no quantization, 1 layer, LRCP, default precincts, default code-block
-style, MQ-coded EBCOT Tier-1. Encoder AND decoder, written from the
-published spec; the self-test roundtrips both. `make_j2k_fixture.py`
-uses the encoder for graft's committed fixtures; the Scala decoder
-(`operators/Jpeg2k.scala`) is the product surface.
+"""Independent pure-Python JPEG 2000 codec (ITU-T T.800): MQ-coded
+EBCOT Tier-1, reversible 5/3 AND irreversible 9/7 wavelets, scalar
+quantization (derived + expounded), multiple tiles (arbitrary origins
+via the general-interval DWT), precinct partitions, multiple
+tile-parts, SOP/EPH, RCT/ICT color; 1 layer, LRCP. Encoder AND
+decoder, written from the published spec; the self-test roundtrips
+both (exact for 5/3, bounded-error + deterministic for 9/7).
+`make_j2k_fixture.py` uses the encoder for graft's committed
+fixtures; the Scala decoder (`operators/Jpeg2k.scala`) is the
+product surface and must match this decoder bit-for-bit (identical
+double arithmetic, same operation order).
 """
+
+import math
 
 # ---------------------------------------------------------------- MQ
 
@@ -275,16 +281,21 @@ class Block:
 
 
 def t1_encode(band, coefs, w, h):
-    """Encode one code-block; returns (data, nplanes, npasses).
+    """Encode one code-block; returns (data, nplanes, npasses,
+    pass_ends). pass_ends[k] is a byte offset after coding pass k —
+    a valid LAYER cut point: segments sliced there and concatenated
+    by the decoder reproduce the stream exactly (the MQ codeword is
+    continuous; only the cut positions are signaled).
     coefs: signed ints, row-major w x h."""
     mags = [abs(c) for c in coefs]
     maxmag = max(mags) if mags else 0
     nplanes = max(1, maxmag.bit_length()) if maxmag else 0
     if nplanes == 0:
-        return b"", 0, 0
+        return b"", 0, 0, []
     blk = Block(band, w, h)
     blk_sgn = [1 if c < 0 else 0 for c in coefs]
     mq = MQEncoder()
+    pass_ends = []
     npasses = 0
     for p in range(nplanes - 1, -1, -1):
         bit = lambda i: (mags[i] >> p) & 1
@@ -366,7 +377,11 @@ def t1_encode(band, coefs, w, h):
                 for i in range(w * h):
                     blk.vis[i] = 0
             npasses += 1
-    return mq.flush(), nplanes, npasses
+            pass_ends.append(len(mq.out) - 1)
+    data = mq.flush()
+    pass_ends = [min(p, len(data)) for p in pass_ends]
+    pass_ends[-1] = len(data)
+    return data, nplanes, npasses, pass_ends
 
 
 def t1_decode(band, data, w, h, nplanes, npasses):
@@ -821,7 +836,277 @@ def read_npasses(br):
 GUARD = 2
 
 
-# ----------------------------------------------------------- encoder
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def tile_grid(w, h, xt, yt):
+    """Tile rects (tx0, tx1, ty0, ty1) raster order (offsets all 0)."""
+    ntx = _cdiv(w, xt)
+    nty = _cdiv(h, yt)
+    tiles = []
+    for q in range(nty):
+        for p in range(ntx):
+            tiles.append((p * xt, min((p + 1) * xt, w),
+                          q * yt, min((q + 1) * yt, h)))
+    return tiles, ntx, nty
+
+
+def res_rect(tx0, tx1, ty0, ty1, levels, r):
+    """Resolution-r grid rect of a tile (T.800 B-14)."""
+    d = 1 << (levels - r)
+    return (_cdiv(tx0, d), _cdiv(tx1, d), _cdiv(ty0, d), _cdiv(ty1, d))
+
+
+def band_rect(tx0, tx1, ty0, ty1, levels, r, name):
+    """Subband coordinate rect (T.800 B-15): LL at r=0, else HL/LH/HH
+    of resolution r (decomposition level nb = levels - r + 1)."""
+    if r == 0:
+        return res_rect(tx0, tx1, ty0, ty1, levels, 0)
+    nb = levels - r + 1
+    d = 1 << nb
+    ho = 1 << (nb - 1)
+    xo = ho if name in ("HL", "HH") else 0
+    yo = ho if name in ("LH", "HH") else 0
+    return (_cdiv(tx0 - xo, d), _cdiv(tx1 - xo, d),
+            _cdiv(ty0 - yo, d), _cdiv(ty1 - yo, d))
+
+
+def band_list(levels):
+    """(r, name, nb, gain) in QCD signaling order: LL then per
+    resolution HL, LH, HH. gain is the log2 nominal range increase."""
+    out = [(0, "LL", levels, 0)]
+    for r in range(1, levels + 1):
+        nb = levels - r + 1
+        out.extend([(r, "HL", nb, 1), (r, "LH", nb, 1), (r, "HH", nb, 2)])
+    return out
+
+
+def prec_grid(rx0, rx1, ry0, ry1, ppx, ppy):
+    """Precinct indices (pi, pj) raster order over a resolution rect;
+    the partition is anchored at 0 with cells 2^ppx x 2^ppy."""
+    if rx1 <= rx0 or ry1 <= ry0:
+        return []
+    px0, px1 = rx0 >> ppx, _cdiv(rx1, 1 << ppx)
+    py0, py1 = ry0 >> ppy, _cdiv(ry1, 1 << ppy)
+    return [(pi, pj) for pj in range(py0, py1) for pi in range(px0, px1)]
+
+
+def prec_band_rect(pi, pj, ppx, ppy, shift, brect):
+    """A precinct's intersection with a band, in band coordinates.
+    shift=0 at r=0 (band coords == resolution coords), else 1."""
+    bx0, bx1, by0, by1 = brect
+    x0 = max(bx0, (pi << ppx) >> shift)
+    x1 = min(bx1, ((pi + 1) << ppx) >> shift)
+    y0 = max(by0, (pj << ppy) >> shift)
+    y1 = min(by1, ((pj + 1) << ppy) >> shift)
+    return (x0, max(x0, x1), y0, max(y0, y1))
+
+
+def cb_list_g(pb, lcbw, lcbh):
+    """Code-blocks of a precinct-band: the partition is anchored at 0
+    in band space with cells 2^lcbw x 2^lcbh; cells never straddle
+    precinct boundaries (cell size divides precinct size). Returns
+    (rects, nx, ny) with rects (x0, x1, y0, y1) in band coords,
+    raster order matching the tag-tree leaf layout."""
+    x0, x1, y0, y1 = pb
+    if x1 <= x0 or y1 <= y0:
+        return [], 0, 0
+    mx0, mx1 = x0 >> lcbw, _cdiv(x1, 1 << lcbw)
+    my0, my1 = y0 >> lcbh, _cdiv(y1, 1 << lcbh)
+    out = []
+    for my in range(my0, my1):
+        for mx in range(mx0, mx1):
+            out.append((max(x0, mx << lcbw), min(x1, (mx + 1) << lcbw),
+                        max(y0, my << lcbh), min(y1, (my + 1) << lcbh)))
+    return out, mx1 - mx0, my1 - my0
+
+
+# --------------------------------------- general-interval DWT kernels
+
+K97 = 1.230174104914001
+IK97 = 1.0 / K97
+A97 = -1.586134342059924
+B97 = -0.052980118572961
+G97 = 0.882911075530934
+D97 = 0.443506852043971
+
+
+def _ref(j, i0, i1):
+    """Whole-sample symmetric reflection into [i0, i1); reflection
+    about a boundary sample preserves parity (i0-k vs i0+k)."""
+    n = i1 - i0
+    p = 2 * (n - 1)
+    k = (j - i0) % p
+    if k >= n:
+        k = p - k
+    return i0 + k
+
+
+def fwd1d_g(x, i0, i1, kernel):
+    """Forward 1D DWT on samples at global positions [i0, i1). Returns
+    (lo, hi): lo = transformed even-position samples, hi = odd. The
+    interval origin's parity decides which subband each sample joins
+    (T.800 interleave convention)."""
+    n = i1 - i0
+    if n == 0:
+        return [], []
+    if n == 1:
+        if i0 % 2 == 0:
+            return list(x), []
+        # lone high-pass sample: Y = 2X (inverse halves it)
+        return [], [2 * x[0] if kernel == "53" else 2.0 * x[0]]
+
+    if kernel == "53":
+        Y = list(x)
+        for j in range(i0, i1):
+            if j % 2:  # reads even neighbours (still original values)
+                Y[j - i0] -= (Y[_ref(j - 1, i0, i1) - i0] +
+                              Y[_ref(j + 1, i0, i1) - i0]) >> 1
+        for j in range(i0, i1):
+            if j % 2 == 0:  # reads updated odd neighbours
+                Y[j - i0] += (Y[_ref(j - 1, i0, i1) - i0] +
+                              Y[_ref(j + 1, i0, i1) - i0] + 2) >> 2
+    else:
+        Y = [float(v) for v in x]
+        for j in range(i0, i1):
+            if j % 2:
+                Y[j - i0] += A97 * (Y[_ref(j - 1, i0, i1) - i0] +
+                                    Y[_ref(j + 1, i0, i1) - i0])
+        for j in range(i0, i1):
+            if j % 2 == 0:
+                Y[j - i0] += B97 * (Y[_ref(j - 1, i0, i1) - i0] +
+                                    Y[_ref(j + 1, i0, i1) - i0])
+        for j in range(i0, i1):
+            if j % 2:
+                Y[j - i0] += G97 * (Y[_ref(j - 1, i0, i1) - i0] +
+                                    Y[_ref(j + 1, i0, i1) - i0])
+        for j in range(i0, i1):
+            if j % 2 == 0:
+                Y[j - i0] += D97 * (Y[_ref(j - 1, i0, i1) - i0] +
+                                    Y[_ref(j + 1, i0, i1) - i0])
+        # normalization from T.800 Table F.4: low-pass DC gain 1
+        # (raw lifting gives K), high-pass Nyquist gain 2 (raw 2/K)
+        for j in range(i0, i1):
+            Y[j - i0] *= K97 if j % 2 else IK97
+    lo = [Y[j - i0] for j in range(i0, i1) if j % 2 == 0]
+    hi = [Y[j - i0] for j in range(i0, i1) if j % 2]
+    return lo, hi
+
+
+def inv1d_g(lo, hi, i0, i1, kernel):
+    """Inverse of fwd1d_g: subband samples back to [i0, i1)."""
+    n = i1 - i0
+    if n == 0:
+        return []
+    if n == 1:
+        if i0 % 2 == 0:
+            return list(lo)
+        return [hi[0] >> 1] if kernel == "53" else [hi[0] / 2.0]
+    Y = [0] * n
+    li = hi_i = 0
+    for j in range(i0, i1):
+        if j % 2 == 0:
+            Y[j - i0] = lo[li]
+            li += 1
+        else:
+            Y[j - i0] = hi[hi_i]
+            hi_i += 1
+    if kernel == "53":
+        for j in range(i0, i1):
+            if j % 2 == 0:
+                Y[j - i0] -= (Y[_ref(j - 1, i0, i1) - i0] +
+                              Y[_ref(j + 1, i0, i1) - i0] + 2) >> 2
+        for j in range(i0, i1):
+            if j % 2:
+                Y[j - i0] += (Y[_ref(j - 1, i0, i1) - i0] +
+                              Y[_ref(j + 1, i0, i1) - i0]) >> 1
+    else:
+        for j in range(i0, i1):
+            Y[j - i0] *= IK97 if j % 2 else K97
+        for j in range(i0, i1):
+            if j % 2 == 0:
+                Y[j - i0] -= D97 * (Y[_ref(j - 1, i0, i1) - i0] +
+                                    Y[_ref(j + 1, i0, i1) - i0])
+        for j in range(i0, i1):
+            if j % 2:
+                Y[j - i0] -= G97 * (Y[_ref(j - 1, i0, i1) - i0] +
+                                    Y[_ref(j + 1, i0, i1) - i0])
+        for j in range(i0, i1):
+            if j % 2 == 0:
+                Y[j - i0] -= B97 * (Y[_ref(j - 1, i0, i1) - i0] +
+                                    Y[_ref(j + 1, i0, i1) - i0])
+        for j in range(i0, i1):
+            if j % 2:
+                Y[j - i0] -= A97 * (Y[_ref(j - 1, i0, i1) - i0] +
+                                    Y[_ref(j + 1, i0, i1) - i0])
+    return Y
+
+
+def fwd2d_g(img, x0, x1, y0, y1, kernel):
+    """One 2D level over the rect (rows then columns). Returns
+    (ll, hl, lh, hh) row-major in their band rects."""
+    w, h = x1 - x0, y1 - y0
+    lx0, lx1 = _cdiv(x0, 2), _cdiv(x1, 2)
+    ly0, ly1 = _cdiv(y0, 2), _cdiv(y1, 2)
+    hy0, hy1 = y0 // 2, y1 // 2
+    lw = lx1 - lx0
+    hw = x1 // 2 - x0 // 2
+    rl, rh = [], []
+    for yy in range(h):
+        lo, hi = fwd1d_g(img[yy * w:(yy + 1) * w], x0, x1, kernel)
+        rl.append(lo)
+        rh.append(hi)
+    ll = [0] * (lw * (ly1 - ly0))
+    lh = [0] * (lw * (hy1 - hy0))
+    hl = [0] * (hw * (ly1 - ly0))
+    hh = [0] * (hw * (hy1 - hy0))
+    for cx in range(lw):
+        lo, hi = fwd1d_g([rl[yy][cx] for yy in range(h)], y0, y1, kernel)
+        for k, v in enumerate(lo):
+            ll[k * lw + cx] = v
+        for k, v in enumerate(hi):
+            lh[k * lw + cx] = v
+    for cx in range(hw):
+        lo, hi = fwd1d_g([rh[yy][cx] for yy in range(h)], y0, y1, kernel)
+        for k, v in enumerate(lo):
+            hl[k * hw + cx] = v
+        for k, v in enumerate(hi):
+            hh[k * hw + cx] = v
+    return ll, hl, lh, hh
+
+
+def inv2d_g(ll, hl, lh, hh, x0, x1, y0, y1, kernel):
+    """Inverse of fwd2d_g (columns then rows)."""
+    w, h = x1 - x0, y1 - y0
+    lx0, lx1 = _cdiv(x0, 2), _cdiv(x1, 2)
+    ly0, ly1 = _cdiv(y0, 2), _cdiv(y1, 2)
+    hy0, hy1 = y0 // 2, y1 // 2
+    lw = lx1 - lx0
+    hw = x1 // 2 - x0 // 2
+    rl = [[0] * lw for _ in range(h)]
+    rh = [[0] * hw for _ in range(h)]
+    for cx in range(lw):
+        col = inv1d_g([ll[k * lw + cx] for k in range(ly1 - ly0)],
+                      [lh[k * lw + cx] for k in range(hy1 - hy0)],
+                      y0, y1, kernel)
+        for yy in range(h):
+            rl[yy][cx] = col[yy]
+    for cx in range(hw):
+        col = inv1d_g([hl[k * hw + cx] for k in range(ly1 - ly0)],
+                      [hh[k * hw + cx] for k in range(hy1 - hy0)],
+                      y0, y1, kernel)
+        for yy in range(h):
+            rh[yy][cx] = col[yy]
+    out = [0] * (w * h)
+    for yy in range(h):
+        row = inv1d_g(rl[yy], rh[yy], x0, x1, kernel)
+        for xx in range(w):
+            out[yy * w + xx] = row[xx]
+    return out
+
+
+# -------------------------------------------- color transforms, quant
 
 def rct_fwd(r, g, b):
     y = (r + 2 * g + b) >> 2
@@ -833,65 +1118,174 @@ def rct_inv(y, u, v):
     return v + g, g, u + g
 
 
+def ict_fwd(r, g, b):
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def ict_inv(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+def quant_setup(levels, prec, style, e0, mu0):
+    """Per-band (eps, mu, delta, mb) in QCD signaling order.
+    derived: eps_b = e0 - levels + nb (one signaled pair);
+    expounded: eps_b = e0 + gain_b (uniform step; per-band pairs).
+    delta_b = 2^(Rb - eps_b) * (1 + mu_b / 2^11), Rb = prec + gain_b;
+    Mb = GUARD + eps_b - 1 (T.800 E.1)."""
+    out = []
+    for (_, _, nb, gain) in band_list(levels):
+        eb = (e0 - levels + nb) if style == "derived" else (e0 + gain)
+        assert 0 <= eb < 32, eb
+        delta = 2.0 ** ((prec + gain) - eb) * (1.0 + mu0 / 2048.0)
+        out.append((eb, mu0, delta, GUARD + eb - 1))
+    return out
+
+
+# ----------------------------------------------------------- encoder
+
+PROGRESSIONS = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
+
+
+def pkt_key(order, l, r, c, pi, pj, ppx, ppy, levels):
+    """Packet ordering key for the five T.800 progressions. Position
+    progressions (RPCL/PCRL/CPRL) order precincts by the tile-coord
+    projection of their origin (resolution coords x 2^(levels-r))."""
+    ty = (pj << ppy) << (levels - r)
+    tx = (pi << ppx) << (levels - r)
+    if order == 0:
+        return (l, r, c, pj, pi)
+    if order == 1:
+        return (r, l, c, pj, pi)
+    if order == 2:
+        return (r, ty, tx, c, l)
+    if order == 3:
+        return (ty, tx, c, r, l)
+    return (c, ty, tx, r, l)
+
+
+def layer_bounds(nps, layers):
+    """Pass-count cut points per layer: contiguous, as even as
+    possible, earliest layers first."""
+    return [nps * g // layers for g in range(layers + 1)]
+
+
 def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
-           ncomp=1, mct=False):
-    """img: single plane (ncomp=1) or list of ncomp planes. mct=True
-    applies the reversible color transform (requires ncomp=3)."""
+           ncomp=1, mct=False, transform="53", quant=None,
+           xtsiz=None, ytsiz=None, precincts=None, sop=False, eph=False,
+           tile_parts=1, layers=1, progression="LRCP"):
+    """img: single plane (ncomp=1) or list of ncomp planes, row-major
+    w x h. transform "53" (reversible, quant must be None) or "97"
+    (irreversible, quant = (style, e0, mu0), style "derived" or
+    "expounded"). xtsiz/ytsiz tile the image; precincts is a single
+    (ppx, ppy) or per-resolution list (Scod bit 0); tile_parts splits
+    every tile's packets across that many SOT segments; layers splits
+    every code-block's coding passes across quality layers;
+    progression picks the packet order (any of the five)."""
     assert 1 <= levels <= 6 and 4 <= cbw <= 64 and 4 <= cbh <= 64
+    assert transform in ("53", "97")
+    assert 1 <= layers <= 65535
+    prog = PROGRESSIONS[progression]
+    lossy = transform == "97"
+    assert lossy == (quant is not None), "quant iff 9/7"
+    xt = xtsiz if xtsiz else w
+    yt = ytsiz if ytsiz else h
+    assert 1 <= tile_parts <= 255
+    qinfo = (quant_setup(levels, prec, quant[0], quant[1], quant[2])
+             if lossy else None)
+
+    if precincts is None:
+        pps = [(15, 15)] * (levels + 1)
+        scod_prec = 0
+    else:
+        pps = ([tuple(precincts)] * (levels + 1)
+               if isinstance(precincts, tuple) else
+               [tuple(p) for p in precincts])
+        assert len(pps) == levels + 1
+        for r, (px, py) in enumerate(pps):
+            assert 0 <= px <= 15 and 0 <= py <= 15
+            assert r == 0 or (px >= 1 and py >= 1), \
+                "precinct exponent 0 only legal at resolution 0"
+        scod_prec = 1
+
     shift = 0 if signed else 1 << (prec - 1)
     planes = [img] if ncomp == 1 else list(img)
     assert len(planes) == ncomp
-    comps = [[v - shift for v in pl] for pl in planes]
-    if mct:
-        assert ncomp == 3
-        n = w * h
-        yy = [0] * n
-        uu = [0] * n
-        vv = [0] * n
-        for i in range(n):
-            yy[i], uu[i], vv[i] = rct_fwd(comps[0][i], comps[1][i], comps[2][i])
-        comps = [yy, uu, vv]
+    lcbw = cbw.bit_length() - 1
+    lcbh = cbh.bit_length() - 1
+    blist = band_list(levels)
+    tiles, _, _ = tile_grid(w, h, xt, yt)
 
-    res = resolutions(w, h, levels)
-    # per component: forward DWT -> band data per resolution
-    comp_band_data = []
-    for cur in comps:
-        cw, ch = w, h
-        per_level = []
-        for _ in range(levels):
-            ll, hl, lh, hh, lo_w, lo_h, hi_w, hi_h = fwd53_2d(cur, cw, ch)
-            per_level.append({"HL": (hl, hi_w, lo_h), "LH": (lh, lo_w, hi_h),
-                              "HH": (hh, hi_w, hi_h)})
-            cur, cw, ch = ll, lo_w, lo_h
-        bd = [{"LL": (cur, cw, ch)}]
-        for l in range(levels - 1, -1, -1):
-            bd.append(per_level[l])
-        comp_band_data.append(bd)
-
-    # Tier-1 every code-block; shared QCD -> Mb = max over components
-    # coded[r][c] = [(name, bw, bh, nx, ny, [(data,npl,nps)...])]
-    coded = []
-    band_mb = []
-    for r, bands in enumerate(res):
-        per_comp = []
-        mx_band = [1] * len(bands)
+    # phase 1: per tile/component DWT (+ quantization when lossy)
+    # tile_bands[t][c][(r, name)] = (coef ints, band rect)
+    tile_bands = []
+    max_mag = [0] * len(blist)
+    for (tx0, tx1, ty0, ty1) in tiles:
+        tw = tx1 - tx0
+        comps = []
         for c in range(ncomp):
-            rb = []
-            for bi, (name, bw_, bh_) in enumerate(bands):
-                coefs, bw2, bh2 = comp_band_data[c][r][name]
-                assert (bw2, bh2) == (bw_, bh_)
-                cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
-                lst = []
-                for (x0, y0, cw_, ch_) in cbs:
-                    sub = [coefs[(y0 + yy2) * bw_ + x0 + xx]
-                           for yy2 in range(ch_) for xx in range(cw_)]
-                    data, npl, nps = t1_encode(name, sub, cw_, ch_)
-                    lst.append((data, npl, nps))
-                    mx_band[bi] = max(mx_band[bi], npl)
-                rb.append((name, bw_, bh_, nx, ny, lst))
-            per_comp.append(rb)
-        coded.append(per_comp)
-        band_mb.extend(mx_band)
+            pl = planes[c]
+            sub = [pl[yy * w + xx] - shift
+                   for yy in range(ty0, ty1) for xx in range(tx0, tx1)]
+            comps.append(sub)
+        if mct:
+            assert ncomp == 3
+            n = len(comps[0])
+            if lossy:
+                for i in range(n):
+                    comps[0][i], comps[1][i], comps[2][i] = ict_fwd(
+                        float(comps[0][i]), float(comps[1][i]),
+                        float(comps[2][i]))
+            else:
+                for i in range(n):
+                    comps[0][i], comps[1][i], comps[2][i] = rct_fwd(
+                        comps[0][i], comps[1][i], comps[2][i])
+        per_comp = []
+        for c in range(ncomp):
+            cur = comps[c]
+            cx0, cx1, cy0, cy1 = tx0, tx1, ty0, ty1
+            bands = {}
+            for k in range(1, levels + 1):
+                r = levels - k + 1
+                ll, hl, lh, hh = fwd2d_g(cur, cx0, cx1, cy0, cy1,
+                                         transform)
+                bands[(r, "HL")] = (hl, band_rect(tx0, tx1, ty0, ty1,
+                                                  levels, r, "HL"))
+                bands[(r, "LH")] = (lh, band_rect(tx0, tx1, ty0, ty1,
+                                                  levels, r, "LH"))
+                bands[(r, "HH")] = (hh, band_rect(tx0, tx1, ty0, ty1,
+                                                  levels, r, "HH"))
+                cur = ll
+                cx0, cx1 = _cdiv(cx0, 2), _cdiv(cx1, 2)
+                cy0, cy1 = _cdiv(cy0, 2), _cdiv(cy1, 2)
+            bands[(0, "LL")] = (cur, (cx0, cx1, cy0, cy1))
+            # quantize (lossy) and track per-band max magnitude
+            for bi, (r, name, _, _) in enumerate(blist):
+                coefs, _ = bands[(r, name)]
+                if lossy:
+                    delta = qinfo[bi][2]
+                    for i, v in enumerate(coefs):
+                        coefs[i] = (int(v / delta) if v >= 0
+                                    else -int(-v / delta))
+                for v in coefs:
+                    if abs(v) > max_mag[bi]:
+                        max_mag[bi] = abs(v)
+            per_comp.append(bands)
+        tile_bands.append(per_comp)
+
+    # band Mb / QCD values
+    if lossy:
+        mbs = [q[3] for q in qinfo]
+        for bi in range(len(blist)):
+            assert max(1, max_mag[bi]).bit_length() <= mbs[bi], \
+                f"band {bi}: magnitude overflows Mb={mbs[bi]}"
+    else:
+        mbs = [max(1, max_mag[bi]).bit_length() for bi in range(len(blist))]
 
     out = bytearray()
 
@@ -904,90 +1298,188 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     m16(0)                           # Rsiz
     out.extend(w.to_bytes(4, "big"))
     out.extend(h.to_bytes(4, "big"))
-    out.extend((0).to_bytes(4, "big"))  # XOsiz
-    out.extend((0).to_bytes(4, "big"))  # YOsiz
-    out.extend(w.to_bytes(4, "big"))    # XTsiz
-    out.extend(h.to_bytes(4, "big"))    # YTsiz
-    out.extend((0).to_bytes(4, "big"))  # XTOsiz
-    out.extend((0).to_bytes(4, "big"))  # YTOsiz
+    out.extend((0).to_bytes(4, "big"))   # XOsiz
+    out.extend((0).to_bytes(4, "big"))   # YOsiz
+    out.extend(xt.to_bytes(4, "big"))    # XTsiz
+    out.extend(yt.to_bytes(4, "big"))    # YTsiz
+    out.extend((0).to_bytes(4, "big"))   # XTOsiz
+    out.extend((0).to_bytes(4, "big"))   # YTOsiz
     m16(ncomp)                       # Csiz
     for _ in range(ncomp):
         out.append((prec - 1) | (0x80 if signed else 0))
         out.append(1)                # XRsiz
         out.append(1)                # YRsiz
     m16(0xFF52)                      # COD
-    m16(12)
-    out.append(0)                    # Scod: default precincts, no SOP/EPH
-    out.append(0)                    # progression LRCP
-    m16(1)                           # 1 layer
+    m16(12 + (levels + 1 if scod_prec else 0))
+    out.append(scod_prec | (2 if sop else 0) | (4 if eph else 0))
+    out.append(prog)                 # progression order
+    m16(layers)
     out.append(1 if mct else 0)      # MCT
     out.append(levels)
-    out.append((cbw.bit_length() - 1) - 2)  # xcb exponent - 2
-    out.append((cbh.bit_length() - 1) - 2)
+    out.append(lcbw - 2)             # xcb exponent - 2
+    out.append(lcbh - 2)
     out.append(0)                    # code-block style: all defaults
-    out.append(0)                    # transform: 5/3 reversible
+    # T.800 Table A.20: 0 = 9/7 irreversible, 1 = 5/3 reversible
+    out.append(0 if lossy else 1)
+    if scod_prec:
+        for (px, py) in pps:
+            out.append(px | (py << 4))
     m16(0xFF5C)                      # QCD
-    m16(3 + len(band_mb))
-    out.append((GUARD << 5) | 0)     # Sqcd: reversible, guard bits
-    for mb in band_mb:
-        eps = mb - GUARD + 1
-        assert 0 <= eps < 32, eps
-        out.append((eps & 0x1F) << 3)
+    if not lossy:
+        m16(3 + len(mbs))
+        out.append((GUARD << 5) | 0)     # style 0: no quantization
+        for mb in mbs:
+            eps = mb - GUARD + 1
+            assert 0 <= eps < 32, eps
+            out.append((eps & 0x1F) << 3)
+    elif quant[0] == "derived":
+        m16(3 + 2)
+        out.append((GUARD << 5) | 1)
+        e0, mu0 = qinfo[0][0], qinfo[0][1]   # LL carries the base pair
+        m16((e0 << 11) | mu0)
+    else:
+        m16(3 + 2 * len(qinfo))
+        out.append((GUARD << 5) | 2)
+        for (eb, mu, _, _) in qinfo:
+            m16((eb << 11) | mu)
 
-    # tile part: LRCP with one layer -> for each res, one packet per comp
-    body = bytearray()
-    for r in range(len(res)):
-        for c in range(ncomp):
-            rb = coded[r][c]
+    # phase 2: per tile — T1 every code-block once, then packets in
+    # the progression order with per-layer contributions
+    for t, (tx0, tx1, ty0, ty1) in enumerate(tiles):
+        # cb_state[(r, ip, c, bpos)] = (nx, ny, incl, zbp, cbs) where
+        # cbs[i] = dict(data, npl, nps, ends, bounds, lblock, included)
+        cb_state = {}
+        res_precs = []
+        pkts_meta = []
+        for r in range(levels + 1):
+            rr = res_rect(tx0, tx1, ty0, ty1, levels, r)
+            ppx, ppy = pps[r]
+            precs = prec_grid(*rr, ppx, ppy)
+            res_precs.append(precs)
+            bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
+            pshift = 0 if r == 0 else 1
+            exw = min(lcbw, ppx - pshift)
+            exh = min(lcbh, ppy - pshift)
+            for ip, (pi, pj) in enumerate(precs):
+                for c in range(ncomp):
+                    for bpos, name in enumerate(bnames):
+                        coefs, brect = tile_bands[t][c][(r, name)]
+                        pb = prec_band_rect(pi, pj, ppx, ppy, pshift,
+                                            brect)
+                        cbs, nx, ny = cb_list_g(pb, exw, exh)
+                        bw_ = brect[1] - brect[0]
+                        st = []
+                        for (x0, x1_, y0, y1_) in cbs:
+                            cw_, ch_ = x1_ - x0, y1_ - y0
+                            sub = [coefs[(yy - brect[2]) * bw_ +
+                                         (xx - brect[0])]
+                                   for yy in range(y0, y1_)
+                                   for xx in range(x0, x1_)]
+                            data, npl, nps, ends = t1_encode(
+                                name, sub, cw_, ch_)
+                            st.append(dict(
+                                data=data, npl=npl, nps=nps, ends=ends,
+                                bounds=layer_bounds(nps, layers),
+                                lblock=3, included=False))
+                        cb_state[(r, ip, c, bpos)] =                             (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
+                for c in range(ncomp):
+                    for l in range(layers):
+                        pkts_meta.append((pkt_key(prog, l, r, c, pi, pj,
+                                                  ppx, ppy, levels),
+                                          l, r, c, ip, pi, pj))
+        pkts_meta.sort(key=lambda x: x[0])
+
+        packets = []
+        packet_seq = 0
+        for (_, l, r, c, ip, pi, pj) in pkts_meta:
+            bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
+            pkt = bytearray()
+            if sop:
+                pkt.extend(b"\xff\x91\x00\x04")
+                pkt.append((packet_seq >> 8) & 0xFF)
+                pkt.append(packet_seq & 0xFF)
+            packet_seq = (packet_seq + 1) & 0xFFFF
             hw = HdrWriter()
-            nonempty = any(npl > 0 for (_, _, _, _, _, lst) in rb
-                           for (_, npl, _) in lst)
+            payloads = []
+            nonempty = False
+            for bpos in range(len(bnames)):
+                _, _, _, _, st = cb_state[(r, ip, c, bpos)]
+                for cb in st:
+                    if cb["bounds"][l + 1] > cb["bounds"][l]:
+                        nonempty = True
             hw.bit(1 if nonempty else 0)
-            cb_payloads = []
             if nonempty:
-                for bi, (name, bw_, bh_, nx, ny, lst) in enumerate(rb):
+                for bpos in range(len(bnames)):
+                    nx, ny, incl, zbp, st = cb_state[(r, ip, c, bpos)]
                     if nx == 0 or ny == 0:
                         continue
-                    incl = TagTree(nx, ny)
-                    zbp = TagTree(nx, ny)
-                    idx = 0 if r == 0 else 1 + 3 * (r - 1) + bi
-                    mb = band_mb[idx]
-                    incl.set_values(
-                        [0 if npl > 0 else 1 for (_, npl, _) in lst])
-                    zbp.set_values([mb - npl if npl > 0 else 0
-                                    for (_, npl, _) in lst])
+                    bi = 0 if r == 0 else 1 + 3 * (r - 1) + bpos
+                    mb = mbs[bi]
                     bl = BitList(writer=hw)
-                    for i, (data, npl, nps) in enumerate(lst):
+                    # inclusion leaf values: first contributing layer
+                    # (set once, before the first packet touches them)
+                    if not getattr(incl, "_init", False):
+                        vals = []
+                        for cb in st:
+                            fl = layers
+                            for g in range(layers):
+                                if cb["bounds"][g + 1] > cb["bounds"][g]:
+                                    fl = g
+                                    break
+                            vals.append(fl)
+                        incl.set_values(vals)
+                        zbp.set_values([mb - cb["npl"] if cb["nps"] > 0
+                                        else 0 for cb in st])
+                        incl._init = True
+                    for i, cb in enumerate(st):
                         gx, gy = i % nx, i // nx
-                        included = incl.encode(bl, gx, gy, 1)
-                        if not included:
+                        contrib = cb["bounds"][l + 1] > cb["bounds"][l]
+                        if cb["included"]:
+                            hw.bit(1 if contrib else 0)
+                        else:
+                            got = incl.encode(bl, gx, gy, l + 1)
+                            assert got == contrib
+                        if not contrib:
                             continue
-                        t = 1
-                        while not zbp.encode(bl, gx, gy, t):
-                            t += 1
-                        write_npasses(hw, nps)
-                        lblock = 3
-                        nbits = lblock + (nps.bit_length() - 1)
-                        while len(data) >= (1 << nbits):
+                        if not cb["included"]:
+                            tt = 1
+                            while not zbp.encode(bl, gx, gy, tt):
+                                tt += 1
+                            cb["included"] = True
+                        np_new = cb["bounds"][l + 1] - cb["bounds"][l]
+                        write_npasses(hw, np_new)
+                        lo_cut = (cb["ends"][cb["bounds"][l] - 1]
+                                  if cb["bounds"][l] > 0 else 0)
+                        hi_cut = cb["ends"][cb["bounds"][l + 1] - 1]
+                        seg = cb["data"][lo_cut:hi_cut]
+                        nbits = cb["lblock"] + (np_new.bit_length() - 1)
+                        while len(seg) >= (1 << nbits):
                             hw.bit(1)
-                            lblock += 1
+                            cb["lblock"] += 1
                             nbits += 1
                         hw.bit(0)
-                        hw.bits(len(data), nbits)
-                        cb_payloads.append(data)
-            body.extend(hw.finish())
-            for d in cb_payloads:
-                body.extend(d)
-
-    psot = 12 + 2 + len(body)        # SOT(12) + SOD(2) + body
-    m16(0xFF90)                      # SOT
-    m16(10)
-    m16(0)                           # Isot
-    out.extend(psot.to_bytes(4, "big"))
-    out.append(0)                    # TPsot
-    out.append(1)                    # TNsot
-    m16(0xFF93)                      # SOD
-    out.extend(body)
+                        hw.bits(len(seg), nbits)
+                        payloads.append(seg)
+            pkt.extend(hw.finish())
+            if eph:
+                pkt.extend(b"\xff\x92")
+            for d in payloads:
+                pkt.extend(d)
+            packets.append(bytes(pkt))
+        # split packets into tile-parts (contiguous, near-even)
+        ntp = min(tile_parts, max(1, len(packets)))
+        bounds = [round(i * len(packets) / ntp) for i in range(ntp + 1)]
+        for k in range(ntp):
+            body = b"".join(packets[bounds[k]:bounds[k + 1]])
+            psot = 12 + 2 + len(body)
+            m16(0xFF90)              # SOT
+            m16(10)
+            m16(t)                   # Isot
+            out.extend(psot.to_bytes(4, "big"))
+            out.append(k)            # TPsot
+            out.append(ntp)          # TNsot
+            m16(0xFF93)              # SOD
+            out.extend(body)
     m16(0xFFD9)                      # EOC
     return bytes(out)
 
@@ -1014,10 +1506,19 @@ def decode(data):
     signed = False
     ncomp = 1
     mct = False
-    levels = cbw = cbh = None
-    eps_list = []
-    body_at = None
-    while body_at is None:
+    levels = lcbw = lcbh = None
+    xt = yt = None
+    prog = 0
+    layers = 1
+    lossy = False
+    qstyle = guard = None
+    qpairs = []      # signaled (eps, mu) pairs (one pair for derived)
+    use_sop = use_eph = False
+    pps = None
+    tp_bodies = {}   # Isot -> {TPsot: body bytes}
+    tp_counts = {}
+    saw_eoc = False
+    while not saw_eoc:
         mk = u16()
         if mk == 0xFF51:  # SIZ
             ln = u16()
@@ -1026,8 +1527,9 @@ def decode(data):
             w = u32()
             h = u32()
             assert u32() == 0 and u32() == 0, "image offset unsupported"
-            assert u32() == w and u32() == h, "tiling unsupported"
-            u32(); u32()
+            xt = u32()
+            yt = u32()
+            assert u32() == 0 and u32() == 0, "tile offset unsupported"
             ncomp = u16()
             sss = []
             for c in range(ncomp):
@@ -1042,117 +1544,242 @@ def decode(data):
         elif mk == 0xFF52:  # COD
             ln = u16()
             end = pos + ln - 2
-            assert data[pos] == 0, "precincts/SOP/EPH unsupported"
-            assert data[pos + 1] == 0, "LRCP only"
-            assert ((data[pos + 2] << 8) | data[pos + 3]) == 1, "1 layer only"
+            scod = data[pos]
+            use_sop = (scod & 2) != 0
+            use_eph = (scod & 4) != 0
+            prog = data[pos + 1]
+            assert prog <= 4, f"progression {prog}"
+            layers = (data[pos + 2] << 8) | data[pos + 3]
+            assert layers >= 1
             mct = data[pos + 4] == 1
             levels = data[pos + 5]
-            cbw = 1 << (data[pos + 6] + 2)
-            cbh = 1 << (data[pos + 7] + 2)
+            lcbw = data[pos + 6] + 2
+            lcbh = data[pos + 7] + 2
             assert data[pos + 8] == 0, "code-block style 0 only"
-            assert data[pos + 9] == 0, "5/3 reversible only"
+            lossy = data[pos + 9] == 0   # A.20: 0 = 9/7, 1 = 5/3
+            if scod & 1:
+                pps = [(data[pos + 10 + r] & 0x0F, data[pos + 10 + r] >> 4)
+                       for r in range(levels + 1)]
+            else:
+                pps = [(15, 15)] * (levels + 1)
             pos = end
         elif mk == 0xFF5C:  # QCD
             ln = u16()
             end = pos + ln - 2
             sq = data[pos]
-            assert (sq & 0x1F) == 0, "reversible (no quantization) only"
+            qstyle = sq & 0x1F
             guard = sq >> 5
-            for i in range(pos + 1, end):
-                eps_list.append((data[i] >> 3) + guard - 1)  # Mb per band
+            pos += 1
+            if qstyle == 0:
+                while pos < end:
+                    qpairs.append((data[pos] >> 3, 0))
+                    pos += 1
+            else:
+                assert qstyle in (1, 2), f"quant style {qstyle}"
+                while pos < end:
+                    v = (data[pos] << 8) | data[pos + 1]
+                    qpairs.append((v >> 11, v & 0x7FF))
+                    pos += 2
             pos = end
         elif mk == 0xFF90:  # SOT
+            sot_at = pos - 2
             ln = u16()
-            pos += ln - 2
-        elif mk == 0xFF93:  # SOD
-            body_at = pos
+            isot = u16()
+            psot = u32()
+            tpsot = data[pos]
+            tnsot = data[pos + 1]
+            pos += ln - 8
+            assert u16() == 0xFF93, "tile-part header markers unsupported"
+            end = sot_at + psot if psot else len(data) - 2
+            tp_bodies.setdefault(isot, {})[tpsot] = bytes(data[pos:end])
+            if tnsot:
+                tp_counts[isot] = tnsot
+            pos = end
+        elif mk == 0xFFD9:
+            saw_eoc = True
         else:
             ln = u16()
             pos = pos + ln - 2
 
+    assert (qstyle == 0) == (not lossy), "quant style must match transform"
+    kernel = "97" if lossy else "53"
+    blist = band_list(levels)
+    if qstyle == 1:
+        assert len(qpairs) == 1
+        e0, mu0 = qpairs[0]
+        qpairs = [(e0 - levels + nb, mu0) for (_, _, nb, _) in blist]
+    else:
+        assert len(qpairs) >= len(blist)
+    if lossy:
+        deltas = [2.0 ** ((prec + gain) - eb) * (1.0 + mu / 2048.0)
+                  for (eb, mu), (_, _, _, gain) in zip(qpairs, blist)]
+    mbs = [guard + eb - 1 for (eb, _) in qpairs[:len(blist)]]
+
+    tiles, _, _ = tile_grid(w, h, xt, yt)
+    assert set(tp_bodies.keys()) == set(range(len(tiles))), \
+        "missing tile-parts"
     if mct:
         assert ncomp == 3, "MCT needs 3 components"
-    res = resolutions(w, h, levels)
-    br = HdrReader(data, body_at)
-    band_coefs = {}   # (comp, r, name) -> plane
-    qcd_i = 0
-    for r, bands in enumerate(res):
-        for c in range(ncomp):
+
+    shift = 0 if signed else 1 << (prec - 1)
+    lo_cl = -(1 << (prec - 1)) if signed else 0
+    hi_cl = (1 << (prec - 1)) - 1 if signed else (1 << prec) - 1
+    out_planes = [[0] * (w * h) for _ in range(ncomp)]
+
+    for t, (tx0, tx1, ty0, ty1) in enumerate(tiles):
+        parts = tp_bodies[t]
+        n_parts = tp_counts.get(t, max(parts.keys()) + 1)
+        assert set(parts.keys()) == set(range(n_parts)), \
+            f"tile {t}: have parts {sorted(parts)} of {n_parts}"
+        body = b"".join(parts[k] for k in range(n_parts))
+        br = HdrReader(body, 0)
+        band_rects = {}
+        band_coefs = {}
+        for (r, name, _, _) in blist:
+            rect = band_rect(tx0, tx1, ty0, ty1, levels, r, name)
+            band_rects[(r, name)] = rect
+            for c in range(ncomp):
+                band_coefs[(c, r, name)] = \
+                    [0] * ((rect[1] - rect[0]) * (rect[3] - rect[2]))
+        # per-(r, precinct, comp, band) persistent packet state
+        cb_state = {}
+        pkts_meta = []
+        for r in range(levels + 1):
+            rr = res_rect(tx0, tx1, ty0, ty1, levels, r)
+            ppx, ppy = pps[r]
+            precs = prec_grid(*rr, ppx, ppy)
+            bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
+            pshift = 0 if r == 0 else 1
+            exw = min(lcbw, ppx - pshift)
+            exh = min(lcbh, ppy - pshift)
+            for ip, (pi, pj) in enumerate(precs):
+                for c in range(ncomp):
+                    for bpos, name in enumerate(bnames):
+                        brect = band_rects[(r, name)]
+                        pb = prec_band_rect(pi, pj, ppx, ppy, pshift,
+                                            brect)
+                        cbs, nx, ny = cb_list_g(pb, exw, exh)
+                        st = [dict(rect=rect, included=False, lblock=3,
+                                   npl=0, nps=0, segs=[])
+                              for rect in cbs]
+                        cb_state[(r, ip, c, bpos)] =                             (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
+                for c in range(ncomp):
+                    for l in range(layers):
+                        pkts_meta.append((pkt_key(prog, l, r, c, pi, pj,
+                                                  ppx, ppy, levels),
+                                          l, r, c, ip))
+        pkts_meta.sort(key=lambda x: x[0])
+
+        for (_, l, r, c, ip) in pkts_meta:
+            bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
+            if use_sop:
+                at0 = br.pos
+                assert body[at0] == 0xFF and body[at0 + 1] == 0x91
+                br = HdrReader(body, at0 + 6)
             nonempty = br.bit()
-            todo = []
+            contribs = []   # (cb dict, seg_len)
             if nonempty:
-                bl = BitList(reader=br)
-                for bi, (name, bw_, bh_) in enumerate(bands):
-                    mb = eps_list[qcd_i + bi]
-                    cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
-                    if nx == 0:
+                for bpos, name in enumerate(bnames):
+                    nx, ny, incl, zbp, st = cb_state[(r, ip, c, bpos)]
+                    if nx == 0 or ny == 0:
                         continue
-                    incl = TagTree(nx, ny)
-                    zbp = TagTree(nx, ny)
-                    for i, (x0, y0, cw_, ch_) in enumerate(cbs):
+                    bi = 0 if r == 0 else 1 + 3 * (r - 1) + bpos
+                    mb = mbs[bi]
+                    bl = BitList(reader=br)
+                    for i, cb in enumerate(st):
                         gx, gy = i % nx, i // nx
-                        if not incl.decode(bl, gx, gy, 1):
-                            todo.append((name, bw_, bh_, x0, y0, cw_, ch_, 0, 0, 0))
+                        if cb["included"]:
+                            contrib = br.bit() == 1
+                        else:
+                            contrib = incl.decode(bl, gx, gy, l + 1)
+                        if not contrib:
                             continue
-                        t = 1
-                        while not zbp.decode(bl, gx, gy, t):
-                            t += 1
-                        z = t - 1
-                        npl = mb - z
-                        nps = read_npasses(br)
-                        lblock = 3
+                        if not cb["included"]:
+                            tt = 1
+                            while not zbp.decode(bl, gx, gy, tt):
+                                tt += 1
+                            cb["npl"] = mb - (tt - 1)
+                            assert cb["npl"] >= 0, "zero planes exceed Mb"
+                            cb["included"] = True
+                        np_new = read_npasses(br)
                         while br.bit():
-                            lblock += 1
-                        nbits = lblock + (nps.bit_length() - 1)
+                            cb["lblock"] += 1
+                        nbits = cb["lblock"] + (np_new.bit_length() - 1)
                         ln = br.bits(nbits)
-                        todo.append((name, bw_, bh_, x0, y0, cw_, ch_, npl, nps, ln))
-            else:
-                for (name, bw_, bh_) in bands:
-                    cbs, nx, ny = cb_grid(bw_, bh_, cbw, cbh)
-                    for (x0, y0, cw_, ch_) in cbs:
-                        todo.append((name, bw_, bh_, x0, y0, cw_, ch_, 0, 0, 0))
+                        cb["nps"] += np_new
+                        contribs.append((cb, ln))
             br.align()
+            if use_eph:
+                assert body[br.pos] == 0xFF and                     body[br.pos + 1] == 0x92, "missing EPH"
+                br = HdrReader(body, br.pos + 2)
             at = br.pos
-            for (name, bw_, bh_, x0, y0, cw_, ch_, npl, nps, ln) in todo:
-                key = (c, r, name)
-                if key not in band_coefs:
-                    band_coefs[key] = [0] * (bw_ * bh_)
-                coefs = t1_decode(name, data[at:at + ln], cw_, ch_, npl, nps)
+            for (cb, ln) in contribs:
+                cb["segs"].append(body[at:at + ln])
+                at += ln
+            br = HdrReader(body, at)
+
+        # Tier-1 decode every code-block from its concatenated layer
+        # segments (the MQ codeword is continuous across layers)
+        for (r, ip, c, bpos), (nx, ny, _, _, st) in cb_state.items():
+            name = (["LL"] if r == 0 else ["HL", "LH", "HH"])[bpos]
+            brect = band_rects[(r, name)]
+            bw_ = brect[1] - brect[0]
+            for cb in st:
+                x0, x1_, y0, y1_ = cb["rect"]
+                cw_, ch_ = x1_ - x0, y1_ - y0
+                coefs = t1_decode(name, b"".join(cb["segs"]),
+                                  cw_, ch_, cb["npl"], cb["nps"])
+                plane = band_coefs[(c, r, name)]
                 for yy in range(ch_):
                     for xx in range(cw_):
-                        band_coefs[key][(y0 + yy) * bw_ + x0 + xx] = \
-                            coefs[yy * cw_ + xx]
-                at += ln
-            br = HdrReader(data, at)
-        qcd_i += len(bands)
+                        plane[(y0 + yy - brect[2]) * bw_ +
+                              (x0 + xx - brect[0])] =                             coefs[yy * cw_ + xx]
 
-    # inverse DWT per component
-    shift = 0 if signed else 1 << (prec - 1)
-    comps = []
-    for c in range(ncomp):
-        cur = band_coefs.get((c, 0, "LL"), [0] * (res[0][0][1] * res[0][0][2]))
-        cw = res[0][0][1]
-        ch = res[0][0][2]
-        for r in range(1, levels + 1):
-            hl_w = res[r][0][1]
-            lh_h = res[r][1][2]
-            def b(name, bw_, bh_):
-                return band_coefs.get((c, r, name), [0] * (bw_ * bh_))
-            cur = inv53_2d(cur, b("HL", hl_w, ch), b("LH", cw, lh_h),
-                           b("HH", hl_w, lh_h), cw, ch, hl_w, lh_h)
-            cw = cw + hl_w
-            ch = ch + lh_h
-        assert (cw, ch) == (w, h)
-        comps.append(cur)
-    if mct:
-        n = w * h
-        for i in range(n):
-            r_, g_, b_ = rct_inv(comps[0][i], comps[1][i], comps[2][i])
-            comps[0][i], comps[1][i], comps[2][i] = r_, g_, b_
-    planes = [[v + shift for v in cur] for cur in comps]
+        # dequantize, inverse DWT, inverse MCT, level shift
+        tw, th = tx1 - tx0, ty1 - ty0
+        comps = []
+        for c in range(ncomp):
+            if lossy:
+                for bi, (r, name, _, _) in enumerate(blist):
+                    d = deltas[bi]
+                    plane = band_coefs[(c, r, name)]
+                    for i, q in enumerate(plane):
+                        plane[i] = ((q + 0.5) * d if q > 0 else
+                                    (q - 0.5) * d if q < 0 else 0.0)
+            cur = band_coefs[(c, 0, "LL")]
+            for r in range(1, levels + 1):
+                x0, x1_, y0, y1_ = res_rect(tx0, tx1, ty0, ty1, levels, r)
+                cur = inv2d_g(cur, band_coefs[(c, r, "HL")],
+                              band_coefs[(c, r, "LH")],
+                              band_coefs[(c, r, "HH")],
+                              x0, x1_, y0, y1_, kernel)
+            comps.append(cur)
+        if mct:
+            n = tw * th
+            if lossy:
+                for i in range(n):
+                    comps[0][i], comps[1][i], comps[2][i] = ict_inv(
+                        comps[0][i], comps[1][i], comps[2][i])
+            else:
+                for i in range(n):
+                    comps[0][i], comps[1][i], comps[2][i] = rct_inv(
+                        comps[0][i], comps[1][i], comps[2][i])
+        for c in range(ncomp):
+            pl = out_planes[c]
+            cur = comps[c]
+            for yy in range(th):
+                for xx in range(tw):
+                    v = cur[yy * tw + xx]
+                    if lossy:
+                        v = math.floor(v + shift + 0.5)
+                        v = lo_cl if v < lo_cl else hi_cl if v > hi_cl else v
+                    else:
+                        v = v + shift
+                    pl[(ty0 + yy) * w + (tx0 + xx)] = v
+
     if ncomp == 1:
-        return w, h, prec, signed, planes[0]
-    return w, h, prec, signed, planes
+        return w, h, prec, signed, out_planes[0]
+    return w, h, prec, signed, out_planes
 
 
 # ---------------------------------------------------------- self-test
@@ -1197,6 +1824,101 @@ def _selftest():
         assert (dw, dh, dp) == (w, h, 8)
         assert dec == planes, f"color {w}x{h} mct={mct}"
         print(f"ok color {w}x{h} mct={mct}")
+
+    # multi-tile lossless: exact roundtrip, odd tile origins included
+    for (w, h, xt, yt, levels, cb) in [(45, 33, 19, 16, 2, 8),
+                                       (64, 48, 32, 32, 3, 16),
+                                       (30, 22, 7, 9, 1, 4)]:
+        img = [(x * 3 + y * 7 + rnd.randrange(29)) % 256
+               for y in range(h) for x in range(w)]
+        enc = encode(img, w, h, 8, levels=levels, cbw=cb, cbh=cb,
+                     xtsiz=xt, ytsiz=yt)
+        dw, dh, dp, _, dec = decode(enc)
+        assert dec == img, f"tiles {w}x{h} xt={xt} yt={yt}"
+        print(f"ok tiles {w}x{h} xt={xt}x{yt} L{levels}")
+
+    # precincts + SOP/EPH + multiple tile-parts, lossless
+    img = [(x * 5 + y * 3 + rnd.randrange(17)) % 256
+           for y in range(40) for x in range(56)]
+    enc = encode(img, 56, 40, 8, levels=2, cbw=8, cbh=8,
+                 precincts=(4, 4), sop=True, eph=True, tile_parts=3)
+    _, _, _, _, dec = decode(enc)
+    assert dec == img, "precincts"
+    print("ok precincts 56x40 pp16 sop/eph tp3")
+    enc = encode(img, 56, 40, 8, levels=3, cbw=16, cbh=16,
+                 xtsiz=23, ytsiz=17, precincts=[(5, 5), (4, 4), (3, 4),
+                                                (4, 3)], tile_parts=2)
+    _, _, _, _, dec = decode(enc)
+    assert dec == img, "tiles+precincts"
+    print("ok tiles+per-res precincts 56x40")
+
+    # lossy 9/7: bounded error, exact re-decode determinism
+    for (w, h, style, e0, mu0, tol) in [
+            (32, 24, "expounded", 8, 0, 2.5),
+            (45, 33, "expounded", 6, 1024, 12.0),
+            (29, 31, "derived", 9, 512, 4.0)]:
+        img = [(128 + int(100 * math.sin(x * 0.3) * math.cos(y * 0.2)))
+               for y in range(h) for x in range(w)]
+        enc = encode(img, w, h, 8, levels=2, cbw=8, cbh=8,
+                     transform="97", quant=(style, e0, mu0))
+        _, _, _, _, dec = decode(enc)
+        err = max(abs(a - b) for a, b in zip(dec, img))
+        assert err <= tol, f"lossy {style} e0={e0}: max err {err}"
+        dec2 = decode(enc)[4]
+        assert dec2 == dec, "lossy decode must be deterministic"
+        print(f"ok lossy {w}x{h} {style} e0={e0} mu={mu0} err<={err}")
+
+    # lossy + tiles + precincts + ICT color
+    w, h = 37, 26
+    planes = [[min(255, max(0, 128 + int(80 * math.sin((x + 7 * c) * 0.25)
+                                         * math.cos((y - 3 * c) * 0.2))))
+               for y in range(h) for x in range(w)] for c in range(3)]
+    enc = encode(planes, w, h, 8, levels=2, cbw=8, cbh=8, ncomp=3,
+                 mct=True, transform="97", quant=("expounded", 8, 256),
+                 xtsiz=20, ytsiz=14, precincts=(4, 4), tile_parts=2)
+    _, _, _, _, dec = decode(enc)
+    err = max(abs(a - b) for pa, pb in zip(dec, planes)
+              for a, b in zip(pa, pb))
+    assert err <= 4, f"lossy color: max err {err}"
+    print(f"ok lossy color tiles+precincts err<={err}")
+
+    # quality layers: pass-granular cuts, every progression order
+    img = [(x * 7 + y * 11 + rnd.randrange(23)) % 256
+           for y in range(31) for x in range(42)]
+    for prog in ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL"):
+        for nl in (2, 5):
+            enc = encode(img, 42, 31, 8, levels=2, cbw=8, cbh=8,
+                         layers=nl, progression=prog)
+            _, _, _, _, dec = decode(enc)
+            assert dec == img, f"layers={nl} {prog}"
+        print(f"ok {prog} layers 2/5 42x31")
+    # layers x tiles x precincts x sop/eph x tile-parts, and lossy
+    enc = encode(img, 42, 31, 8, levels=2, cbw=8, cbh=8, layers=3,
+                 progression="RPCL", xtsiz=17, ytsiz=13,
+                 precincts=(4, 4), sop=True, eph=True, tile_parts=2)
+    _, _, _, _, dec = decode(enc)
+    assert dec == img, "layers+tiles+precincts RPCL"
+    print("ok RPCL layers3 tiles+precincts sop/eph tp2")
+    enc = encode(img, 42, 31, 8, levels=2, cbw=8, cbh=8, layers=4,
+                 progression="PCRL", transform="97",
+                 quant=("expounded", 8, 0))
+    _, _, _, _, dec = decode(enc)
+    err = max(abs(a - b) for a, b in zip(dec, img))
+    assert err <= 6, f"lossy layered: max err {err}"
+    dec2 = decode(enc)[4]
+    assert dec2 == dec
+    print(f"ok PCRL layers4 lossy err<={err}")
+
+    # 16-bit lossy (the DICOM .4.91 shape)
+    w, h = 24, 18
+    img = [(x * 151 + y * 911) % 4096 + 500 for y in range(h)
+           for x in range(w)]
+    enc = encode(img, w, h, 16, levels=2, cbw=8, cbh=8,
+                 transform="97", quant=("expounded", 16, 0))
+    _, _, _, _, dec = decode(enc)
+    err = max(abs(a - b) for a, b in zip(dec, img))
+    assert err <= 2, f"16-bit lossy: max err {err}"
+    print(f"ok 16-bit lossy err<={err}")
     print("selftest passed")
 
 

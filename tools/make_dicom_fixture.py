@@ -469,6 +469,38 @@ ds = b"".join([
 (OUT / "j2krgb.dcm").write_bytes(part10(
     meta_group("1.2.840.10008.1.2.4.90"), ds))
 
+# --- JPEG 2000 lossy slice (.4.91): irreversible 9/7, quantized -----------
+# j2klossy_recon.raw commits the Python decoder's reconstruction
+# (big-endian int16); the Scala decode must match it bit-for-bit.
+from j2k import decode as j2k_decode  # noqa: E402
+
+vals_l = [v - 55 for v in vox(0)]
+j2c_l = j2k_encode(vals_l, NX, NY, 16, signed=True, levels=2, cbw=4, cbh=4,
+                   transform="97", quant=("expounded", 15, 512))
+recon_l = j2k_decode(j2c_l)[4]
+raw_l = bytearray()
+for vv in recon_l:
+    raw_l += struct.pack(">h", vv)
+(OUT / "j2klossy_recon.raw").write_bytes(bytes(raw_l))
+if len(j2c_l) % 2:
+    j2c_l += b"\x00"
+encap = (struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+         + struct.pack("<HHI", 0xFFFE, 0xE000, len(j2c_l)) + j2c_l
+         + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+pixel_el = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+    + struct.pack("<I", 0xFFFFFFFF) + encap
+ds = b"".join([
+    el_explicit(0x0028, 0x0002, "US", struct.pack("<H", 1)),
+    el_explicit(0x0028, 0x0004, "CS", b"MONOCHROME2"),
+    el_explicit(0x0028, 0x0010, "US", struct.pack("<H", NY)),
+    el_explicit(0x0028, 0x0011, "US", struct.pack("<H", NX)),
+    el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16)),
+    el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 1)),
+    pixel_el,
+])
+(OUT / "j2klossy.dcm").write_bytes(part10(
+    meta_group("1.2.840.10008.1.2.4.91"), ds))
+
 # --- still-unsupported syntax (MPEG2 video): must refuse -------------------
 (OUT / "mpeg.dcm").write_bytes(part10(
     meta_group("1.2.840.10008.1.2.4.100"),

@@ -89,6 +89,103 @@ def main():
     with open(os.path.join(outdir, "rgb_mct.raw"), "wb") as f:
         f.write(bytes(raw))
 
+    # ---- round-11 surface: lossy 9/7, tiles, precincts, tile-parts.
+    # For lossy fixtures the committed .raw is the PYTHON DECODER's
+    # reconstruction (midpoint dequant + double 9/7 + floor(v+0.5)),
+    # the exact-parity-for-lossy pattern: the Scala decoder must land
+    # on the same doubles bit-for-bit.
+    def emit2(name, img, w, h, prec, ncomp=1, **kw):
+        enc = encode(img, w, h, prec, ncomp=ncomp, **kw)
+        dw, dh, dp, _, dec = decode(enc)
+        assert (dw, dh, dp) == (w, h, prec), name
+        if kw.get("transform", "53") == "53":
+            assert dec == img, name
+        with open(os.path.join(outdir, name + ".j2c"), "wb") as f:
+            f.write(enc)
+        planes = [dec] if ncomp == 1 else dec
+        raw = bytearray()
+        for i in range(w * h):
+            for pl in planes:
+                v = pl[i]
+                if prec > 8:
+                    raw.append((v >> 8) & 0xFF)
+                raw.append(v & 0xFF)
+        with open(os.path.join(outdir, name + ".raw"), "wb") as f:
+            f.write(bytes(raw))
+
+    import math as _m
+    r = lcg(101)
+    w, h = 33, 25
+    img = [min(255, max(0, 128 + int(90 * _m.sin(x * 0.31) *
+                                     _m.cos(y * 0.23)) + next(r) % 7))
+           for y in range(h) for x in range(w)]
+    emit2("lossy97_exp", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          transform="97", quant=("expounded", 7, 512))
+
+    r = lcg(113)
+    w, h = 24, 16
+    img = [(x * 151 + y * 911 + next(r) % 257) % 4096
+           for y in range(h) for x in range(w)]
+    emit2("lossy97_der", img, w, h, 12, levels=2, cbw=8, cbh=8,
+          transform="97", quant=("derived", 12, 1024))
+
+    # lossless multi-tile with ODD tile origins (19 % 2 == 1) — the
+    # general-interval DWT's parity handling is load-bearing
+    r = lcg(131)
+    w, h = 45, 33
+    img = [(x * 3 + y * 7 + next(r) % 29) % 256
+           for y in range(h) for x in range(w)]
+    emit2("tiles53", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          xtsiz=19, ytsiz=16)
+
+    # lossless precincts + SOP/EPH + 3 tile-parts
+    r = lcg(149)
+    w, h = 56, 40
+    img = [(x * 5 + y * 3 + next(r) % 17) % 256
+           for y in range(h) for x in range(w)]
+    emit2("prec_tp", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          precincts=(3, 3), sop=True, eph=True, tile_parts=3)
+
+    # 16-bit lossy + tiles + per-resolution precincts (DICOM .4.91 CT
+    # shape at fixture scale)
+    r = lcg(163)
+    w, h = 45, 33
+    img = [((x * 37 + y * 101 + next(r) % 701) % 30000) + 1000
+           for y in range(h) for x in range(w)]
+    emit2("lossy16_tiles", img, w, h, 16, levels=2, cbw=8, cbh=8,
+          transform="97", quant=("expounded", 15, 256),
+          xtsiz=19, ytsiz=16, precincts=[(5, 5), (4, 4), (4, 4)])
+
+    # lossy RGB through the irreversible color transform (ICT)
+    r = lcg(179)
+    w, h = 37, 26
+    planes = [[min(255, max(0, 128 + int(80 * _m.sin((x + 7 * c) * 0.25) *
+                                         _m.cos((y - 3 * c) * 0.2)) +
+                            next(r) % 5))
+               for y in range(h) for x in range(w)] for c in range(3)]
+    emit2("lossy_rgb_ict", planes, w, h, 8, ncomp=3, mct=True,
+          levels=2, cbw=8, cbh=8, transform="97",
+          quant=("expounded", 8, 256), tile_parts=2)
+
+    # quality layers (pass-granular cuts) + non-LRCP progressions
+    r = lcg(191)
+    w, h = 42, 31
+    img = [(x * 7 + y * 11 + next(r) % 23) % 256
+           for y in range(h) for x in range(w)]
+    emit2("layers3_rlcp", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          layers=3, progression="RLCP")
+    emit2("rpcl_tiles", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          layers=2, progression="RPCL", xtsiz=17, ytsiz=13,
+          precincts=(4, 4), sop=True, eph=True, tile_parts=2)
+    emit2("cprl_lossy", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          layers=4, progression="CPRL", transform="97",
+          quant=("expounded", 8, 0))
+    r = lcg(197)
+    planes = [[(x * (5 + c) + y * (9 - c) + next(r) % 23) % 256
+               for y in range(h) for x in range(w)] for c in range(3)]
+    emit2("pcrl_rgb_layers", planes, w, h, 8, ncomp=3, mct=True,
+          levels=2, cbw=8, cbh=8, layers=2, progression="PCRL")
+
     print("wrote j2k fixtures to", outdir)
 
 
