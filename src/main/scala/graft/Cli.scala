@@ -258,7 +258,9 @@ object Cli {
       case Converters.ConversionBackend.Tifffile =>
         require(opts.get("output-scale").forall(_.toInt == 0),
           "--output-scale: TIFF inputs are single-scale (only 0 is valid)")
-        val img = graft.operators.TiffIO.read(spark, input)
+        // --ome-series selects one Image of a multi-series OME-TIFF
+        val img = graft.operators.TiffIO.read(spark, input,
+          omeSeries = opts.get("ome-series").map(_.toInt).getOrElse(0))
         MultiscaleBuilder.Level(img.meta, img.chunks)
       case Converters.ConversionBackend.Itkwasm | Converters.ConversionBackend.Itk
           if input.toLowerCase.endsWith(".hdr") =>

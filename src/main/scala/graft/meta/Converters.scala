@@ -56,7 +56,11 @@ object Converters {
       Itkwasm
     else if (itkwasmExts.contains(ext)) Itk
     else if (tiffExts.contains(ext)) Tifffile
-    else Imageio
+    else if (tiffExts.contains(name.substring(name.lastIndexOf('.').max(0)))) {
+      // multi-suffix names (`x.ome.tif`) still route on the LAST
+      // suffix like the reference's Path.suffix rule
+      Tifffile
+    } else Imageio
   }
 
   final case class AffineDecomposition(

@@ -33,13 +33,15 @@ import ChunkOps.ChunkRow
   * axes metadata: the OME-XML in ImageDescription (tag 270) supplies
   * DimensionOrder/SizeZ/C/T page interleaving and PhysicalSizeX/Y/Z
   * spacing (normalized to µm), so a `.ome.tif` ingests with correct
-  * t/c/z dims instead of pages→z. Palette color (photometric 3)
-  * expands its 16-bit ColorMap at decode to interleaved uint16 RGB
-  * (8-bit indices). Rejected with precise errors:
-  * old-style JPEG with neither an interchange stream
+  * t/c/z dims instead of pages→z; multi-Image (multi-series) OME
+  * documents read one series per call via their TiffData plane→IFD
+  * mappings (`read(..., omeSeries = n)`). Palette color (photometric
+  * 3) expands its 16-bit ColorMap at decode to interleaved uint16
+  * RGB (8-bit or packed 4-bit indices). Rejected with precise
+  * errors: old-style JPEG with neither an interchange stream
   * nor table tags (and its color tables-in-tags variant, whose
   * subsampling was never unambiguously specified), movie codecs,
-  * multi-Image OME documents, unknown OME units.
+  * scrambled/sparse OME TiffData mappings, unknown OME units.
   */
 object TiffIO {
 
@@ -147,18 +149,83 @@ object TiffIO {
     * (no DOCTYPE) — the description is untrusted file content.
     */
   def parseOmeXml(xml: String): OmePixels = {
+    val images = parseOmeImages(xml)
+    require(images.length == 1,
+      s"expected one OME Image element, found ${images.length}")
+    images.head._1
+  }
+
+  /** Parse ALL `Image` elements of a (possibly multi-series) OME-XML
+    * document: per image, its `Pixels` metadata plus the IFD index
+    * list its planes occupy, from the `TiffData` plane→IFD mappings
+    * (`IFD`/`PlaneCount`/`FirstZ`/`FirstC`/`FirstT`). Only in-order
+    * mappings are accepted — each block's starting plane coordinate
+    * must continue where the previous block ended (the layout every
+    * mainstream writer emits); scrambled or sparse TiffData refuses
+    * loudly rather than silently permuting planes. A single-Image
+    * document with no TiffData keeps the default one-to-one rule.
+    */
+  def parseOmeImages(xml: String): Seq[(OmePixels, Seq[Int])] = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
     dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     val doc = dbf.newDocumentBuilder().parse(
       new org.xml.sax.InputSource(new java.io.StringReader(xml)))
     val images = doc.getElementsByTagNameNS("*", "Image")
-    require(images.getLength <= 1,
-      s"multi-Image OME-TIFF unsupported (${images.getLength} Image elements)")
-    val pixelsList = doc.getElementsByTagNameNS("*", "Pixels")
-    require(pixelsList.getLength == 1,
-      s"OME-XML needs exactly one Pixels element, found ${pixelsList.getLength}")
-    val px = pixelsList.item(0).asInstanceOf[org.w3c.dom.Element]
+    require(images.getLength >= 1, "OME-XML has no Image element")
+    var nextIfd = 0 // default IFD when a TiffData block omits it
+    (0 until images.getLength).map { ii =>
+      val img = images.item(ii).asInstanceOf[org.w3c.dom.Element]
+      val pixelsList = img.getElementsByTagNameNS("*", "Pixels")
+      require(pixelsList.getLength == 1,
+        s"OME Image needs exactly one Pixels element, found ${pixelsList.getLength}")
+      val pxEl = pixelsList.item(0).asInstanceOf[org.w3c.dom.Element]
+      val px = parsePixels(pxEl)
+      val nPlanes = px.sizeZ * px.sizeC * px.sizeT
+      // plane index of a (z, c, t) coordinate under DimensionOrder
+      // (fastest-varying axis first after XY)
+      val strides: Map[Char, Int] = {
+        val sizes = px.dimensionOrder.drop(2).map {
+          case 'Z' => ('Z', px.sizeZ)
+          case 'C' => ('C', px.sizeC)
+          case 'T' => ('T', px.sizeT)
+        }
+        val st = sizes.map(_._2).scanLeft(1)(_ * _).init
+        sizes.map(_._1).zip(st).toMap
+      }
+      val tds = pxEl.getElementsByTagNameNS("*", "TiffData")
+      val ifds =
+        if (tds.getLength == 0) {
+          require(images.getLength == 1,
+            "multi-Image OME-TIFF without TiffData plane mappings is ambiguous")
+          (0 until nPlanes).toSeq
+        } else {
+          val out = Seq.newBuilder[Int]
+          var covered = 0
+          (0 until tds.getLength).foreach { ti =>
+            val td = tds.item(ti).asInstanceOf[org.w3c.dom.Element]
+            def ia(n: String, dflt: Int): Int =
+              Option(td.getAttribute(n)).filter(_.nonEmpty).map(_.toInt).getOrElse(dflt)
+            val first = ia("FirstZ", 0) * strides('Z') +
+              ia("FirstC", 0) * strides('C') + ia("FirstT", 0) * strides('T')
+            require(first == covered,
+              s"OME TiffData out of order: block starts at plane $first, expected $covered")
+            val ifd0 = ia("IFD", nextIfd)
+            val count = ia("PlaneCount", nPlanes - covered)
+            require(count >= 1, "OME TiffData with PlaneCount < 1")
+            out ++= (ifd0 until ifd0 + count)
+            covered += count
+            nextIfd = ifd0 + count
+          }
+          require(covered == nPlanes,
+            s"OME TiffData covers $covered of $nPlanes planes")
+          out.result()
+        }
+      (px, ifds)
+    }
+  }
+
+  private def parsePixels(px: org.w3c.dom.Element): OmePixels = {
     def attr(n: String): Option[String] =
       Option(px.getAttribute(n)).filter(_.nonEmpty)
     def intAttr(n: String, dflt: Int): Int = attr(n).map(_.toInt).getOrElse(dflt)
@@ -726,9 +793,11 @@ object TiffIO {
   /** Read a TIFF into a chunked image. Multi-page files of identical
     * shape stack as a leading z dimension; samplesPerPixel > 1 adds a
     * trailing c. Chunk grid == the file's own strip/tile grid, one
-    * Spark task per region.
+    * Spark task per region. Multi-Image (multi-series) OME-TIFF
+    * documents read ONE series per call — `omeSeries` selects it,
+    * and the series' `TiffData` mappings pick its IFDs.
     */
-  def read(spark: SparkSession, path: String): TiffImage = {
+  def read(spark: SparkSession, path: String, omeSeries: Int = 0): TiffImage = {
     import spark.implicits._
     val hconf = Some(SerializableHadoopConf.fromActiveSession())
     val store = new ZarrStore(path, hconf)
@@ -739,12 +808,26 @@ object TiffIO {
     val info =
       if (totalLen <= (16 << 20)) parseInfo(store.readBytes(""))
       else parseInfo(new PagedSource(store, totalLen))
+    val omeImages = info.description.filter(isOmeXml).map(parseOmeImages)
+    require(omeSeries == 0 || omeImages.exists(_.length > omeSeries),
+      s"series $omeSeries requested but the file has " +
+        s"${omeImages.map(_.length).getOrElse(1)} series")
     // LSM interleaves a reduced-resolution thumbnail IFD after every
     // image IFD (NewSubfileType bit 0); only full-resolution pages
-    // carry voxels. Plain TIFFs keep every page.
-    val keptPages =
-      if (info.lsmInfo.isDefined) info.pages.filter(p => (p.newSubfileType & 1L) == 0L)
-      else info.pages
+    // carry voxels. Multi-Image OME documents keep the selected
+    // series' TiffData-mapped IFDs; other plain TIFFs keep every page.
+    val keptPages = info.lsmInfo match {
+      case Some(_) => info.pages.filter(p => (p.newSubfileType & 1L) == 0L)
+      case None => omeImages match {
+        case Some(imgs) if imgs.length > 1 =>
+          imgs(omeSeries)._2.map { i =>
+            require(i >= 0 && i < info.pages.length,
+              s"OME TiffData IFD $i out of range (${info.pages.length} IFDs)")
+            info.pages(i)
+          }
+        case _ => info.pages
+      }
+    }
     require(keptPages.nonEmpty, "TIFF has no full-resolution pages")
     val p0 = keptPages.head
     require(keptPages.forall(p => p.width == p0.width && p.height == p0.height &&
@@ -799,7 +882,7 @@ object TiffIO {
     // (DimensionOrder, SizeZ/C/T) and physical spacing — without it a
     // t/c/z-interleaved stack would silently read as pages→z with
     // wrong dims and scale
-    val omeOpt = info.description.filter(isOmeXml).map(parseOmeXml)
+    val omeOpt = omeImages.map(_(omeSeries)._1)
     omeOpt.foreach { ome =>
       require(ome.sizeX == p0.width && ome.sizeY == p0.height,
         s"OME-XML SizeX/Y ${ome.sizeX}x${ome.sizeY} != TIFF page ${p0.width}x${p0.height}")

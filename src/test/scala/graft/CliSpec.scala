@@ -104,6 +104,19 @@ class CliSpec extends SparkSpec {
     assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == want)
   }
 
+  test("multi-series OME-TIFF converts the --ome-series-selected Image") {
+    val fx = "src/test/resources/fixtures/multiseries.ome.tif"
+    val out = Files.createTempDirectory("cli-out").toString + "/s1.ome.zarr"
+    Cli.run(spark, Array(fx, out, "--ome-series=1"))
+    val back = OmeZarrIO.readMultiscales(spark, out)
+    val l0 = back.levels.head
+    assert(l0.meta.dims == Seq("z", "y", "x"))
+    assert(l0.meta.shape == Seq(2L, 4L, 10L))
+    val want = for (z <- 0 until 2; y <- 0 until 4; x <- 0 until 10)
+      yield ((31 + z * 17 + y * 5 + x * 3) % 251).toDouble
+    assert(ChunkOps.toArray(l0.chunks, l0.meta).toSeq == want)
+  }
+
   test("PNG series glob converts end-to-end to a (z, y, x) store") {
     val w = 6; val h = 4; val nz = 3
     val dir = Files.createTempDirectory("cli-series")

@@ -88,6 +88,57 @@ class TiffIOSpec extends SparkSpec {
     }
   }
 
+  test("multi-Image OME-TIFF: each series reads via its TiffData IFD mapping") {
+    val s0 = TiffIO.read(spark, s"$fx/multiseries.ome.tif")
+    assert(s0.meta.dims == Seq("z", "y", "x"))
+    assert(s0.meta.shape == Seq(3L, 6L, 8L))
+    assert(s0.meta.scale("x") == 0.4 && s0.meta.scale("y") == 0.7)
+    val got0 = ChunkOps.toArray(s0.chunks, s0.meta)
+    for (z <- 0 until 3; y <- 0 until 6; x <- 0 until 8)
+      assert(got0((z * 6 + y) * 8 + x) == ((z * 17 + y * 5 + x * 3) % 251).toDouble,
+        s"s0($x,$y,$z)")
+    val s1 = TiffIO.read(spark, s"$fx/multiseries.ome.tif", omeSeries = 1)
+    assert(s1.meta.dims == Seq("z", "y", "x"))
+    assert(s1.meta.shape == Seq(2L, 4L, 10L))
+    val got1 = ChunkOps.toArray(s1.chunks, s1.meta)
+    for (z <- 0 until 2; y <- 0 until 4; x <- 0 until 10)
+      assert(got1((z * 4 + y) * 10 + x) == ((31 + z * 17 + y * 5 + x * 3) % 251).toDouble,
+        s"s1($x,$y,$z)")
+    val e = intercept[IllegalArgumentException](
+      TiffIO.read(spark, s"$fx/multiseries.ome.tif", omeSeries = 2))
+    assert(e.getMessage.contains("2 series"))
+  }
+
+  test("OME TiffData mappings: out-of-order and sparse blocks refuse loudly") {
+    def xmlFor(td0: String, td1: String): String =
+      """<?xml version="1.0"?>""" +
+        """<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">""" +
+        s"""<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYZCT"
+           | Type="uint8" SizeX="4" SizeY="4" SizeZ="2" SizeC="1" SizeT="1">
+           |$td0</Pixels></Image>
+           |<Image ID="Image:1"><Pixels ID="Pixels:1" DimensionOrder="XYZCT"
+           | Type="uint8" SizeX="4" SizeY="4" SizeZ="2" SizeC="1" SizeT="1">
+           |$td1</Pixels></Image></OME>""".stripMargin
+    // in-order blocks parse
+    val ok = TiffIO.parseOmeImages(xmlFor(
+      """<TiffData IFD="0" PlaneCount="2"/>""",
+      """<TiffData IFD="2" PlaneCount="2"/>"""))
+    assert(ok.map(_._2) == Seq(Seq(0, 1), Seq(2, 3)))
+    // out-of-order FirstZ
+    val e1 = intercept[IllegalArgumentException](TiffIO.parseOmeImages(xmlFor(
+      """<TiffData IFD="0" PlaneCount="1" FirstZ="1"/><TiffData IFD="1" PlaneCount="1"/>""",
+      """<TiffData IFD="2" PlaneCount="2"/>""")))
+    assert(e1.getMessage.contains("out of order"))
+    // sparse coverage
+    val e2 = intercept[IllegalArgumentException](TiffIO.parseOmeImages(xmlFor(
+      """<TiffData IFD="0" PlaneCount="1"/>""",
+      """<TiffData IFD="2" PlaneCount="2"/>""")))
+    assert(e2.getMessage.contains("covers 1 of 2"))
+    // multi-Image without TiffData is ambiguous
+    val e3 = intercept[IllegalArgumentException](TiffIO.parseOmeImages(xmlFor("", "")))
+    assert(e3.getMessage.contains("ambiguous"))
+  }
+
   test("palette-color 4-bit: packed nibble indices expand through a 16-entry ColorMap") {
     val img = TiffIO.read(spark, s"$fx/pal4.tif")
     assert(img.meta.dims == Seq("y", "x", "c"))

@@ -367,6 +367,35 @@ def main():
         width=w, height=h, spp=1, bits=4, rows_per_strip=rps,
         regions=regions, tags={262: (3, [3]), 320: (3, cmap4)})])
 
+    # 10. multi-Image (multi-series) OME-TIFF: two series of different
+    # shapes in one file; TiffData blocks map each series' planes to
+    # its IFD range. pixel(s, z, y, x) = (s*31 + z*17 + y*5 + x*3) % 251
+    ome_xml2 = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0" Name="series0">'
+        '<Pixels ID="Pixels:0" DimensionOrder="XYZCT" Type="uint8"'
+        ' SizeX="8" SizeY="6" SizeZ="3" SizeC="1" SizeT="1"'
+        ' PhysicalSizeX="0.4" PhysicalSizeY="0.7">'
+        '<TiffData IFD="0" PlaneCount="3"/></Pixels></Image>'
+        '<Image ID="Image:1" Name="series1">'
+        '<Pixels ID="Pixels:1" DimensionOrder="XYZCT" Type="uint8"'
+        ' SizeX="10" SizeY="4" SizeZ="2" SizeC="1" SizeT="1">'
+        '<TiffData IFD="3" PlaneCount="2"/></Pixels></Image></OME>')
+    pages = []
+    for z in range(3):
+        rows = pix_gray(8, 6, lambda x, y, z=z: (z * 17 + y * 5 + x * 3) % 251)
+        page = dict(width=8, height=6, spp=1, bits=8, rows_per_strip=6,
+                    regions=[pack_samples(rows, "B", "<")])
+        if z == 0:
+            page["tags"] = {270: (2, ome_xml2.encode("utf-8") + b"\x00")}
+        pages.append(page)
+    for z in range(2):
+        rows = pix_gray(10, 4, lambda x, y, z=z: (31 + z * 17 + y * 5 + x * 3) % 251)
+        pages.append(dict(width=10, height=4, spp=1, bits=8, rows_per_strip=4,
+                          regions=[pack_samples(rows, "B", "<")]))
+    write_tiff(OUT / "multiseries.ome.tif", pages)
+
 
     print("wrote", sorted(p.name for p in OUT.glob("*.tif")))
 
