@@ -814,10 +814,16 @@ object TiffIO {
         s"${omeImages.map(_.length).getOrElse(1)} series")
     // LSM interleaves a reduced-resolution thumbnail IFD after every
     // image IFD (NewSubfileType bit 0); only full-resolution pages
-    // carry voxels. Multi-Image OME documents keep the selected
+    // carry voxels. Aperio SVS pathology slides (ImageDescription
+    // starts "Aperio") are heterogeneous by design — page 0 is the
+    // baseline image and later pages hold the thumbnail, pyramid
+    // levels, label and macro — so only page 0 reads (the openslide
+    // level-0 rule). Multi-Image OME documents keep the selected
     // series' TiffData-mapped IFDs; other plain TIFFs keep every page.
+    val isAperio = info.description.exists(_.startsWith("Aperio"))
     val keptPages = info.lsmInfo match {
       case Some(_) => info.pages.filter(p => (p.newSubfileType & 1L) == 0L)
+      case None if isAperio => Seq(info.pages.head)
       case None => omeImages match {
         case Some(imgs) if imgs.length > 1 =>
           imgs(omeSeries)._2.map { i =>
@@ -947,6 +953,14 @@ object TiffIO {
         // raw CZ_LSMINFO voxel sizes (meters) — the LSMImageIO rule
         Map("x" -> l.voxelX, "y" -> l.voxelY, "z" -> l.voxelZ)
           .filter(_._2 > 0.0)
+      case None if isAperio =>
+        // Aperio's pipe-delimited description carries MPP (microns
+        // per pixel), the slide's level-0 resolution
+        info.description
+          .flatMap(d => "\\|MPP\\s*=\\s*([0-9.]+)".r.findFirstMatchIn(d))
+          .map(m => m.group(1).toDouble)
+          .map(mpp => Map("x" -> mpp, "y" -> mpp))
+          .getOrElse(Map.empty)
       case None => omeOpt.map(_.physicalScale).getOrElse(Map.empty)
     }
 

@@ -23,6 +23,24 @@ class Image2dIOSpec extends SparkSpec {
       assert(got(y * w + x) == img(y * w + x).toDouble, s"($x,$y)")
   }
 
+  test("tiled multi-layer RPCL .j2c bitmaps read through the extended codec surface") {
+    // the committed fixture exercises tiles + precincts + layers +
+    // SOP/EPH + tile-parts through the 2-D bitmap ingestion route
+    val src = java.nio.file.Paths.get("src/test/resources/fixtures/j2k/rpcl_tiles.j2c")
+    val want = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/fixtures/j2k/rpcl_tiles.raw"))
+      .map(_ & 0xff)
+    val f = java.nio.file.Files.createTempFile("img2d", ".j2c")
+    java.nio.file.Files.copy(src, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val vol = Image2dIO.read(spark, f.toString)
+    assert(vol.meta.dims == Seq("y", "x"))
+    assert(vol.meta.shape == Seq(31L, 42L))
+    val got = ChunkOps.toArray(vol.chunks, vol.meta)
+    for (y <- 0 until 31; x <- 0 until 42)
+      assert(got(y * 42 + x) == want(y * 42 + x).toDouble, s"($x,$y)")
+  }
+
   test("BMP reads as (y, x, c) uint8 with bottom-up/BGR undone") {
     val bb = java.nio.ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)

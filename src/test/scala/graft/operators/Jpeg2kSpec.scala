@@ -163,6 +163,19 @@ class Jpeg2kSpec extends AnyFunSuite {
     assert(err <= 6, s"ICT roundtrip max err $err")
   }
 
+  test("truncated codestreams throw at every quartile cut, never return garbage") {
+    // loud-refusal posture under damage: any prefix cut must surface
+    // an exception (require/EOF), not silently-wrong pixels
+    for (name <- Seq("g8_l3", "tiles53", "prec_tp", "lossy97_exp",
+        "layers3_rlcp", "rpcl_tiles")) {
+      val good = bytes(s"$name.j2c")
+      for (q <- Seq(1, 2, 3)) {
+        val cut = good.take(good.length * q / 4)
+        assertThrows[Exception](Jpeg2k.decode(cut))
+      }
+    }
+  }
+
   test("refusals: transform/quant mismatch, bad progression, code-block style, truncation") {
     val good = bytes("g8_l1.j2c")
     def findMarker(m: Int): Int =

@@ -88,6 +88,17 @@ class TiffIOSpec extends SparkSpec {
     }
   }
 
+  test("Aperio SVS: heterogeneous pages read as page-0 baseline, MPP drives scale") {
+    val img = TiffIO.read(spark, "src/test/resources/fixtures/aperio.svs")
+    assert(img.meta.dims == Seq("y", "x"))
+    assert(img.meta.shape == Seq(16L, 16L))
+    assert(img.meta.dtype == "uint8")
+    assert(img.meta.scale("x") == 0.4965 && img.meta.scale("y") == 0.4965)
+    val got = ChunkOps.toArray(img.chunks, img.meta)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(got(y * 16 + x) == ((x * 3 + y * 5 + 7) % 256).toDouble, s"($x,$y)")
+  }
+
   test("multi-Image OME-TIFF: each series reads via its TiffData IFD mapping") {
     val s0 = TiffIO.read(spark, s"$fx/multiseries.ome.tif")
     assert(s0.meta.dims == Seq("z", "y", "x"))

@@ -11,10 +11,14 @@ Fixtures:
   multipage.tif       3 pages 8x6 uint8 -> z stack
   big.tif             BigTIFF (version 43) 10x5 uint8 uncompressed
 """
+import os
 import struct
 import sys
 import zlib
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from j2k import encode as j2k_encode  # noqa: E402
 
 OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/fixtures")
 
@@ -395,6 +399,28 @@ def main():
         pages.append(dict(width=10, height=4, spp=1, bits=8, rows_per_strip=4,
                           regions=[pack_samples(rows, "B", "<")]))
     write_tiff(OUT / "multiseries.ome.tif", pages)
+
+    # 11. Aperio-SVS-shaped slide: heterogeneous pages by design —
+    # page 0 = baseline tiled J2K (compression 33003) with the Aperio
+    # ImageDescription (incl. MPP), page 1 = stripped thumbnail,
+    # page 2 = a smaller pyramid level. Only page 0 should read.
+    desc = ("Aperio Image Library v10.0.51\r\n"
+            "16x16 [0,0 16x16] (240x240) JPEG2000 Q=70"
+            "|AppMag = 20|MPP = 0.4965|Filename = fixture")
+    base = [(x * 3 + y * 5 + 7) % 256 for y in range(16) for x in range(16)]
+    j2c0 = j2k_encode(base, 16, 16, 8, levels=1, cbw=8, cbh=8)
+    thumb = pix_gray(8, 4, lambda x, y: (x + y) % 256)
+    lvl = [(x * 6 + y * 10 + 7) % 256 for y in range(8) for x in range(8)]
+    j2c2 = j2k_encode(lvl, 8, 8, 8, levels=1, cbw=8, cbh=8)
+    write_tiff(OUT / "aperio.svs", [
+        dict(width=16, height=16, spp=1, bits=8, compression=33003,
+             tile_w=16, tile_h=16, regions=[j2c0],
+             tags={270: (2, desc.encode("utf-8") + b"\x00")}),
+        dict(width=8, height=4, spp=1, bits=8, rows_per_strip=4,
+             regions=[pack_samples(thumb, "B", "<")]),
+        dict(width=8, height=8, spp=1, bits=8, compression=33003,
+             tile_w=8, tile_h=8, regions=[j2c2]),
+    ])
 
 
     print("wrote", sorted(p.name for p in OUT.glob("*.tif")))
