@@ -709,7 +709,41 @@ object Jpeg2k {
 
   // ----------------------------------------------------------- decode
 
-  def decode(data: Array[Byte]): J2kImage = {
+  /** Parsed main-header state: self-contained and serializable so a
+    * distributed reader ([[Jp2IO]]) can parse once on the driver and
+    * decode tiles in executor tasks.
+    */
+  private[operators] final case class MainHeader(
+      w: Int, h: Int, xt: Int, yt: Int, prec: Int, signed: Boolean,
+      ncomp: Int, mct: Boolean, levels: Int, lcbw: Int, lcbh: Int,
+      prog: Int, layers: Int, useSop: Boolean, useEph: Boolean,
+      lossy: Boolean, guard: Int, pairs: IndexedSeq[(Int, Int)],
+      pps: IndexedSeq[(Int, Int)]) {
+    def ntx: Int = cdiv(w, xt)
+    def nty: Int = cdiv(h, yt)
+    def nTiles: Int = ntx * nty
+  }
+
+  private def tileRect(mh: MainHeader, t: Int): Rect = {
+    val p = t % mh.ntx
+    val q = t / mh.ntx
+    Rect(p * mh.xt, math.min((p + 1) * mh.xt, mh.w),
+      q * mh.yt, math.min((q + 1) * mh.yt, mh.h))
+  }
+
+  /** Tile pixel bounds (x0, x1, y0, y1) for external callers. */
+  private[operators] def tileBounds(mh: MainHeader, t: Int): (Int, Int, Int, Int) = {
+    val r = tileRect(mh, t)
+    (r.x0, r.x1, r.y0, r.y1)
+  }
+
+  /** Parse the main header (SOC through the last marker before the
+    * first SOT). Returns the header and the byte offset of the first
+    * SOT. Throws rather than blocking when `data` is only a prefix
+    * that ends mid-header — callers reading from large files retry
+    * with a longer prefix.
+    */
+  private[operators] def parseMainHeader(data: Array[Byte]): (MainHeader, Int) = {
     var pos = 0
     def u16(): Int = { val v = ((data(pos) & 0xff) << 8) | (data(pos + 1) & 0xff); pos += 2; v }
     def u32(): Long = { (u16().toLong << 16) | u16() }
@@ -725,12 +759,8 @@ object Jpeg2k {
     var qStyle = -1; var guard = 0
     var qPairs = IndexedSeq.empty[(Int, Int)]
     var pps: Array[(Int, Int)] = null
-    // tile-part bodies: tile -> (tpsot -> (from, until)); TNsot of the
-    // first counted part wins (0 = unspecified)
-    val tpBodies = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Map[Int, (Int, Int)]]
-    val tpCounts = scala.collection.mutable.Map.empty[Int, Int]
-    var sawEoc = false
-    while (!sawEoc) {
+    var sotAt = -1
+    while (sotAt < 0) {
       val mk = u16()
       mk match {
         case 0xff51 => // SIZ
@@ -814,25 +844,10 @@ object Jpeg2k {
           // decode silently-wrong pixels
           throw new UnsupportedOperationException(
             f"jpeg2000: marker 0xFF${mk & 0xff}%02X (COC/QCC/RGN/POC/PPM/PPT) unsupported")
-        case 0xff90 => // SOT
-          val sotAt = pos - 2
-          val len = u16()
-          val isot = u16()
-          val psot = u32().toInt
-          val tpsot = data(pos) & 0xff
-          val tnsot = data(pos + 1) & 0xff
-          pos += len - 8
-          require(u16() == 0xff93,
-            "jpeg2000: tile-part header markers unsupported (SOD must follow SOT)")
-          val end = if (psot != 0) sotAt + psot else data.length - 2
-          require(end >= pos && end <= data.length,
-            "jpeg2000: Psot overruns the codestream")
-          tpBodies.getOrElseUpdate(isot, scala.collection.mutable.Map.empty)
-            .update(tpsot, (pos, end))
-          if (tnsot != 0) tpCounts(isot) = tnsot
-          pos = end
+        case 0xff90 =>
+          sotAt = pos - 2
         case 0xffd9 =>
-          sawEoc = true
+          require(false, "jpeg2000: EOC before tile data")
         case _ =>
           val len = u16()
           pos += len - 2
@@ -853,167 +868,217 @@ object Jpeg2k {
       } else {
         require(qPairs.length >= blist.length,
           s"jpeg2000: QCD signals ${qPairs.length} bands, need ${blist.length}")
-        qPairs
+        qPairs.take(blist.length)
       }
-    val mbs = Array.tabulate(blist.length)(i => guard + pairs(i)._1 - 1)
+    (MainHeader(w, h, xt, yt, prec, signed, ncomp, mct, levels, lcbw, lcbh,
+      prog, layers, useSop, useEph, lossy, guard, pairs,
+      pps.toIndexedSeq), sotAt)
+  }
+
+  /** Walk the SOT chain from the first SOT to EOC via positioned
+    * reads (14 bytes per tile-part header — no payload transits),
+    * returning each tile's body ranges in TPsot order. Offsets are
+    * relative to the codestream start; `csLen` is the codestream
+    * length including EOC.
+    */
+  private[operators] def tilePartChain(readAt: (Long, Int) => Array[Byte],
+      firstSot: Long, csLen: Long): Map[Int, IndexedSeq[(Long, Long)]] = {
+    val acc = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.Map[Int, (Long, Long)]]
+    val counts = scala.collection.mutable.Map.empty[Int, Int]
+    var off = firstSot
+    var done = false
+    while (!done) {
+      val mk0 = readAt(off, 2)
+      val mk = ((mk0(0) & 0xff) << 8) | (mk0(1) & 0xff)
+      if (mk == 0xffd9) done = true
+      else {
+        require(mk == 0xff90,
+          f"jpeg2000: marker 0xFF${mk & 0xff}%02X between tile-parts (expected SOT/EOC)")
+        val hdr = readAt(off, 14)
+        def u16(i: Int): Int = ((hdr(i) & 0xff) << 8) | (hdr(i + 1) & 0xff)
+        require(u16(2) == 10, s"jpeg2000: Lsot ${u16(2)} != 10")
+        val isot = u16(4)
+        val psot = (u16(6).toLong << 16) | u16(8)
+        val tpsot = hdr(10) & 0xff
+        val tnsot = hdr(11) & 0xff
+        require(u16(12) == 0xff93,
+          "jpeg2000: tile-part header markers unsupported (SOD must follow SOT)")
+        val end = if (psot != 0) off + psot else csLen - 2
+        require(end >= off + 14 && end <= csLen,
+          "jpeg2000: Psot overruns the codestream")
+        acc.getOrElseUpdate(isot, scala.collection.mutable.Map.empty)
+          .update(tpsot, (off + 14, end))
+        if (tnsot != 0) counts(isot) = tnsot
+        off = end
+      }
+    }
+    acc.iterator.map { case (t, parts) =>
+      val n = counts.getOrElse(t, parts.keys.max + 1)
+      require(parts.keySet == (0 until n).toSet,
+        s"jpeg2000: tile $t has tile-parts ${parts.keySet.toSeq.sorted} of $n")
+      t -> (0 until n).map(parts).toIndexedSeq
+    }.toMap
+  }
+
+  /** Decode ONE tile's concatenated tile-part body to final
+    * tile-local pixel planes (inverse DWT + color transform + level
+    * shift, rounded and clamped for lossy), one Array[Int] per
+    * component — the unit the distributed reader maps over.
+    */
+  private[operators] def decodeTile(mh: MainHeader, t: Int,
+      body: Array[Byte]): Array[Array[Int]] = {
+    val trect = tileRect(mh, t)
+    val levels = mh.levels
+    val ncomp = mh.ncomp
+    val lcbw = mh.lcbw
+    val lcbh = mh.lcbh
+    val prog = mh.prog
+    val layers = mh.layers
+    val useSop = mh.useSop
+    val useEph = mh.useEph
+    val lossy = mh.lossy
+    val pps = mh.pps
+    val blist = bandList(levels)
+    val mbs = Array.tabulate(blist.length)(i => mh.guard + mh.pairs(i)._1 - 1)
     val deltas: Array[Double] =
       if (!lossy) null
       else Array.tabulate(blist.length) { i =>
-        val (eb, mu) = pairs(i)
+        val (eb, mu) = mh.pairs(i)
         val gain = blist(i)._4
-        math.pow(2.0, (prec + gain) - eb) * (1.0 + mu / 2048.0)
+        math.pow(2.0, (mh.prec + gain) - eb) * (1.0 + mu / 2048.0)
       }
+    val shift = if (mh.signed) 0 else 1 << (mh.prec - 1)
+    val loCl = if (mh.signed) -(1 << (mh.prec - 1)) else 0
+    val hiCl = if (mh.signed) (1 << (mh.prec - 1)) - 1 else (1 << mh.prec) - 1
 
-    // tile grid (offsets are 0 by the SIZ requires above)
-    val ntx = cdiv(w, xt)
-    val nty = cdiv(h, yt)
-    val tiles = for (q <- 0 until nty; p <- 0 until ntx) yield Rect(
-      p * xt, math.min((p + 1) * xt, w), q * yt, math.min((q + 1) * yt, h))
-    require(tpBodies.keySet == tiles.indices.toSet,
-      s"jpeg2000: tile-parts cover tiles ${tpBodies.keySet.toSeq.sorted} of ${tiles.length}")
+    var br = new HdrReader(body, 0)
+    val bandRects = blist.map { case (r, bi, _, _, _) => bandRect(trect, levels, r, bi) }
+    // coefficient planes keyed (component, band index in QCD order)
+    val bandCoefs = Array.tabulate(ncomp, blist.length) { (_, i) =>
+      new Array[Int](math.max(0, bandRects(i).w) * math.max(0, bandRects(i).h))
+    }
 
-    val shift = if (signed) 0 else 1 << (prec - 1)
-    val loCl = if (signed) -(1 << (prec - 1)) else 0
-    val hiCl = if (signed) (1 << (prec - 1)) - 1 else (1 << prec) - 1
-    val outPlanes = Array.fill(ncomp)(new Array[Int](w * h))
-
-    for (t <- tiles.indices) {
-      val trect = tiles(t)
-      val parts = tpBodies(t)
-      val nParts = tpCounts.getOrElse(t, parts.keys.max + 1)
-      require(parts.keySet == (0 until nParts).toSet,
-        s"jpeg2000: tile $t has tile-parts ${parts.keySet.toSeq.sorted} of $nParts")
-      val body: Array[Byte] = {
-        val total = (0 until nParts).map(k => parts(k)._2 - parts(k)._1).sum
-        val b = new Array[Byte](total)
-        var at = 0
-        for (k <- 0 until nParts) {
-          val (f, u) = parts(k)
-          System.arraycopy(data, f, b, at, u - f)
-          at += u - f
+    // per-(resolution, precinct, component, band) packet state:
+    // inclusion/zero-bitplane tag trees and per-code-block
+    // accumulation persist across quality layers
+    final class CbSt(val rect: Rect) {
+      var included = false
+      var lblock = 3
+      var npl = 0
+      var nps = 0
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    }
+    val cbState = scala.collection.mutable.Map
+      .empty[(Int, Int, Int, Int), (Int, Int, TagTree, TagTree, Array[CbSt])]
+    val pkts = scala.collection.mutable.ArrayBuffer
+      .empty[((Long, Long, Long, Long, Long), Int, Int, Int, Int)]
+    for (r <- 0 to levels) {
+      val rr = resRect(trect, levels, r)
+      val (ppx, ppy) = pps(r)
+      val precs = precGrid(rr, ppx, ppy)
+      val pshift = if (r == 0) 0 else 1
+      val exw = math.min(lcbw, ppx - pshift)
+      val exh = math.min(lcbh, ppy - pshift)
+      val nBands = if (r == 0) 1 else 3
+      for (((pi, pj), ip) <- precs.zipWithIndex) {
+        for (comp <- 0 until ncomp; bpos <- 0 until nBands) {
+          val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
+          val pb = precBandRect(pi, pj, ppx, ppy, pshift, bandRects(bIdx))
+          val (cbs, nx, ny) = cbListG(pb, exw, exh)
+          cbState((r, ip, comp, bpos)) =
+            (nx, ny, new TagTree(nx, ny), new TagTree(nx, ny),
+              cbs.map(new CbSt(_)).toArray)
         }
-        b
+        for (comp <- 0 until ncomp; l <- 0 until layers)
+          pkts += ((pktKey(prog, l, r, comp, pi, pj, ppx, ppy, levels),
+            l, r, comp, ip))
       }
-      var br = new HdrReader(body, 0)
-      val bandRects = blist.map { case (r, bi, _, _, _) => bandRect(trect, levels, r, bi) }
-      // coefficient planes keyed (component, band index in QCD order)
-      val bandCoefs = Array.tabulate(ncomp, blist.length) { (_, i) =>
-        new Array[Int](math.max(0, bandRects(i).w) * math.max(0, bandRects(i).h))
+    }
+    val ordered = pkts.sortBy(_._1)
+    for ((_, l, r, comp, ip) <- ordered) {
+      val nBands = if (r == 0) 1 else 3
+      if (useSop) {
+        // SOP: FF91, Lsop = 4, 2-byte packet sequence number
+        val at0 = br.pos
+        require((body(at0) & 0xff) == 0xff && (body(at0 + 1) & 0xff) == 0x91,
+          "jpeg2000: Scod declares SOP but the packet lacks it")
+        br = new HdrReader(body, at0 + 6)
       }
-
-      // per-(resolution, precinct, component, band) packet state:
-      // inclusion/zero-bitplane tag trees and per-code-block
-      // accumulation persist across quality layers
-      final class CbSt(val rect: Rect) {
-        var included = false
-        var lblock = 3
-        var npl = 0
-        var nps = 0
-        val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      }
-      val cbState = scala.collection.mutable.Map
-        .empty[(Int, Int, Int, Int), (Int, Int, TagTree, TagTree, Array[CbSt])]
-      val pkts = scala.collection.mutable.ArrayBuffer
-        .empty[((Long, Long, Long, Long, Long), Int, Int, Int, Int)]
-      for (r <- 0 to levels) {
-        val rr = resRect(trect, levels, r)
-        val (ppx, ppy) = pps(r)
-        val precs = precGrid(rr, ppx, ppy)
-        val pshift = if (r == 0) 0 else 1
-        val exw = math.min(lcbw, ppx - pshift)
-        val exh = math.min(lcbh, ppy - pshift)
-        val nBands = if (r == 0) 1 else 3
-        for (((pi, pj), ip) <- precs.zipWithIndex) {
-          for (comp <- 0 until ncomp; bpos <- 0 until nBands) {
+      val nonEmpty = br.bit() == 1
+      val contribs = Seq.newBuilder[(CbSt, Int)]
+      if (nonEmpty) {
+        var bpos = 0
+        while (bpos < nBands) {
+          val (nx, ny, incl, zbp, st) = cbState((r, ip, comp, bpos))
+          if (nx > 0 && ny > 0) {
             val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
-            val pb = precBandRect(pi, pj, ppx, ppy, pshift, bandRects(bIdx))
-            val (cbs, nx, ny) = cbListG(pb, exw, exh)
-            cbState((r, ip, comp, bpos)) =
-              (nx, ny, new TagTree(nx, ny), new TagTree(nx, ny),
-                cbs.map(new CbSt(_)).toArray)
-          }
-          for (comp <- 0 until ncomp; l <- 0 until layers)
-            pkts += ((pktKey(prog, l, r, comp, pi, pj, ppx, ppy, levels),
-              l, r, comp, ip))
-        }
-      }
-      val ordered = pkts.sortBy(_._1)
-      for ((_, l, r, comp, ip) <- ordered) {
-        val nBands = if (r == 0) 1 else 3
-        if (useSop) {
-          // SOP: FF91, Lsop = 4, 2-byte packet sequence number
-          val at0 = br.pos
-          require((body(at0) & 0xff) == 0xff && (body(at0 + 1) & 0xff) == 0x91,
-            "jpeg2000: Scod declares SOP but the packet lacks it")
-          br = new HdrReader(body, at0 + 6)
-        }
-        val nonEmpty = br.bit() == 1
-        val contribs = Seq.newBuilder[(CbSt, Int)]
-        if (nonEmpty) {
-          var bpos = 0
-          while (bpos < nBands) {
-            val (nx, ny, incl, zbp, st) = cbState((r, ip, comp, bpos))
-            if (nx > 0 && ny > 0) {
-              val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
-              val mb = mbs(bIdx)
-              var i = 0
-              while (i < st.length) {
-                val cb = st(i)
-                val gx = i % nx
-                val gy = i / nx
-                val contrib =
-                  if (cb.included) br.bit() == 1
-                  else incl.decode(br, gx, gy, l + 1)
-                if (contrib) {
-                  if (!cb.included) {
-                    var tt = 1
-                    while (!zbp.decode(br, gx, gy, tt)) tt += 1
-                    val z = tt - 1
-                    cb.npl = mb - z
-                    require(cb.npl >= 0,
-                      s"jpeg2000: $z zero bit-planes exceed Mb $mb")
-                    cb.included = true
-                  }
-                  val npNew = readNPasses(br)
-                  while (br.bit() == 1) cb.lblock += 1
-                  val nbits = cb.lblock + (31 - Integer.numberOfLeadingZeros(npNew))
-                  val len = br.bits(nbits)
-                  cb.nps += npNew
-                  contribs += ((cb, len))
+            val mb = mbs(bIdx)
+            var i = 0
+            while (i < st.length) {
+              val cb = st(i)
+              val gx = i % nx
+              val gy = i / nx
+              val contrib =
+                if (cb.included) br.bit() == 1
+                else incl.decode(br, gx, gy, l + 1)
+              if (contrib) {
+                if (!cb.included) {
+                  var tt = 1
+                  while (!zbp.decode(br, gx, gy, tt)) tt += 1
+                  val z = tt - 1
+                  cb.npl = mb - z
+                  require(cb.npl >= 0,
+                    s"jpeg2000: $z zero bit-planes exceed Mb $mb")
+                  cb.included = true
                 }
-                i += 1
+                val npNew = readNPasses(br)
+                while (br.bit() == 1) cb.lblock += 1
+                val nbits = cb.lblock + (31 - Integer.numberOfLeadingZeros(npNew))
+                val len = br.bits(nbits)
+                cb.nps += npNew
+                contribs += ((cb, len))
               }
+              i += 1
             }
-            bpos += 1
           }
+          bpos += 1
         }
-        br.align()
-        if (useEph) {
-          // EPH: FF92 terminates the packet header
-          require((body(br.pos) & 0xff) == 0xff &&
-            (body(br.pos + 1) & 0xff) == 0x92,
-            "jpeg2000: Scod declares EPH but the packet header lacks it")
-          br = new HdrReader(body, br.pos + 2)
-        }
-        var at = br.pos
-        contribs.result().foreach { case (cb, len) =>
-          require(at + len <= body.length,
-            "jpeg2000: code-block data overruns the tile-part body")
-          cb.segs += ((at, at + len))
-          at += len
-        }
-        br = new HdrReader(body, at)
       }
-      require(br.pos == body.length,
-        s"jpeg2000: ${body.length - br.pos} trailing bytes after tile $t's last packet")
-      // Tier-1 decode each code-block from its concatenated layer
-      // segments (the MQ codeword is continuous across layers)
-      cbState.foreach { case ((r, _, comp, bpos), (_, _, _, _, st)) =>
-        val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
-        val brct = bandRects(bIdx)
-        val orient = blist(bIdx)._5
-        val plane = bandCoefs(comp)(bIdx)
-        st.foreach { cb =>
+      br.align()
+      if (useEph) {
+        // EPH: FF92 terminates the packet header
+        require((body(br.pos) & 0xff) == 0xff &&
+          (body(br.pos + 1) & 0xff) == 0x92,
+          "jpeg2000: Scod declares EPH but the packet header lacks it")
+        br = new HdrReader(body, br.pos + 2)
+      }
+      var at = br.pos
+      contribs.result().foreach { case (cb, len) =>
+        require(at + len <= body.length,
+          "jpeg2000: code-block data overruns the tile-part body")
+        cb.segs += ((at, at + len))
+        at += len
+      }
+      br = new HdrReader(body, at)
+    }
+    require(br.pos == body.length,
+      s"jpeg2000: ${body.length - br.pos} trailing bytes after tile $t's last packet")
+    // Tier-1 decode each code-block from its concatenated layer
+    // segments (the MQ codeword is continuous across layers)
+    cbState.foreach { case ((r, _, comp, bpos), (_, _, _, _, st)) =>
+      val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
+      val brct = bandRects(bIdx)
+      val orient = blist(bIdx)._5
+      val plane = bandCoefs(comp)(bIdx)
+      st.foreach { cb =>
+        // single-segment blocks (every 1-layer stream) decode
+        // in-place from the tile body; only multi-layer
+        // contributions concatenate
+        val coefs = if (cb.segs.length <= 1) {
+          val (f, u) = cb.segs.headOption.getOrElse((0, 0))
+          t1Decode(orient, body, f, u, cb.rect.w, cb.rect.h, cb.npl, cb.nps)
+        } else {
           val total = cb.segs.iterator.map(sg => sg._2 - sg._1).sum
           val buf = new Array[Byte](total)
           var o = 0
@@ -1021,114 +1086,148 @@ object Jpeg2k {
             System.arraycopy(body, f, buf, o, u - f)
             o += u - f
           }
-          val coefs = t1Decode(orient, buf, 0, total, cb.rect.w, cb.rect.h,
+          t1Decode(orient, buf, 0, total, cb.rect.w, cb.rect.h,
             cb.npl, cb.nps)
-          var yy = 0
-          while (yy < cb.rect.h) {
-            var xx = 0
-            while (xx < cb.rect.w) {
-              plane((cb.rect.y0 + yy - brct.y0) * brct.w +
-                (cb.rect.x0 + xx - brct.x0)) = coefs(yy * cb.rect.w + xx)
-              xx += 1
-            }
-            yy += 1
-          }
         }
-      }
-
-      // dequantize, inverse DWT, inverse MCT, level shift per tile
-      val tw = trect.w
-      val th = trect.h
-      if (lossy) {
-        val comps = Array.tabulate(ncomp) { comp =>
-          val dPlanes = Array.tabulate(blist.length) { bIdx =>
-            val d = deltas(bIdx)
-            val q = bandCoefs(comp)(bIdx)
-            val out = new Array[Double](q.length)
-            var i = 0
-            while (i < q.length) {
-              out(i) = if (q(i) > 0) (q(i) + 0.5) * d
-                else if (q(i) < 0) (q(i) - 0.5) * d
-                else 0.0
-              i += 1
-            }
-            out
+        var yy = 0
+        while (yy < cb.rect.h) {
+          var xx = 0
+          while (xx < cb.rect.w) {
+            plane((cb.rect.y0 + yy - brct.y0) * brct.w +
+              (cb.rect.x0 + xx - brct.x0)) = coefs(yy * cb.rect.w + xx)
+            xx += 1
           }
-          var cur = dPlanes(0)
-          for (r <- 1 to levels) {
-            val rrr = resRect(trect, levels, r)
-            val b0 = 1 + 3 * (r - 1)
-            cur = inv2dG97(cur, dPlanes(b0), dPlanes(b0 + 1), dPlanes(b0 + 2),
-              rrr.x0, rrr.x1, rrr.y0, rrr.y1)
-          }
-          cur
-        }
-        if (mct) {
-          val (cy, cb, cr) = (comps(0), comps(1), comps(2))
-          var i = 0
-          while (i < tw * th) {
-            // irreversible color transform inverse (T.800 G.3)
-            val rr2 = cy(i) + 1.402 * cr(i)
-            val gg = cy(i) - 0.344136 * cb(i) - 0.714136 * cr(i)
-            val bb = cy(i) + 1.772 * cb(i)
-            cy(i) = rr2; cb(i) = gg; cr(i) = bb
-            i += 1
-          }
-        }
-        for (comp <- 0 until ncomp) {
-          val pl = outPlanes(comp)
-          val cur = comps(comp)
-          var yy = 0
-          while (yy < th) {
-            var xx = 0
-            while (xx < tw) {
-              var v = math.floor(cur(yy * tw + xx) + shift + 0.5).toInt
-              if (v < loCl) v = loCl
-              if (v > hiCl) v = hiCl
-              pl((trect.y0 + yy) * w + (trect.x0 + xx)) = v
-              xx += 1
-            }
-            yy += 1
-          }
-        }
-      } else {
-        val comps = Array.tabulate(ncomp) { comp =>
-          var cur = bandCoefs(comp)(0)
-          for (r <- 1 to levels) {
-            val rrr = resRect(trect, levels, r)
-            val b0 = 1 + 3 * (r - 1)
-            cur = inv2dG53(cur, bandCoefs(comp)(b0), bandCoefs(comp)(b0 + 1),
-              bandCoefs(comp)(b0 + 2), rrr.x0, rrr.x1, rrr.y0, rrr.y1)
-          }
-          cur
-        }
-        if (mct) {
-          val (py, pu, pv) = (comps(0), comps(1), comps(2))
-          var i = 0
-          while (i < tw * th) {
-            val g = py(i) - ((pu(i) + pv(i)) >> 2)
-            val rr2 = pv(i) + g
-            val bb = pu(i) + g
-            py(i) = rr2; pu(i) = g; pv(i) = bb
-            i += 1
-          }
-        }
-        for (comp <- 0 until ncomp) {
-          val pl = outPlanes(comp)
-          val cur = comps(comp)
-          var yy = 0
-          while (yy < th) {
-            var xx = 0
-            while (xx < tw) {
-              pl((trect.y0 + yy) * w + (trect.x0 + xx)) = cur(yy * tw + xx) + shift
-              xx += 1
-            }
-            yy += 1
-          }
+          yy += 1
         }
       }
     }
 
+    // dequantize, inverse DWT, inverse MCT, level shift (tile-local)
+    val tw = trect.w
+    val th = trect.h
+    val res = Array.ofDim[Array[Int]](ncomp)
+    if (lossy) {
+      val comps = Array.tabulate(ncomp) { comp =>
+        val dPlanes = Array.tabulate(blist.length) { bIdx =>
+          val d = deltas(bIdx)
+          val q = bandCoefs(comp)(bIdx)
+          val out = new Array[Double](q.length)
+          var i = 0
+          while (i < q.length) {
+            out(i) = if (q(i) > 0) (q(i) + 0.5) * d
+              else if (q(i) < 0) (q(i) - 0.5) * d
+              else 0.0
+            i += 1
+          }
+          out
+        }
+        var cur = dPlanes(0)
+        for (r <- 1 to levels) {
+          val rrr = resRect(trect, levels, r)
+          val b0 = 1 + 3 * (r - 1)
+          cur = inv2dG97(cur, dPlanes(b0), dPlanes(b0 + 1), dPlanes(b0 + 2),
+            rrr.x0, rrr.x1, rrr.y0, rrr.y1)
+        }
+        cur
+      }
+      if (mh.mct) {
+        val (cy, cb, cr) = (comps(0), comps(1), comps(2))
+        var i = 0
+        while (i < tw * th) {
+          // irreversible color transform inverse (T.800 G.3)
+          val rr2 = cy(i) + 1.402 * cr(i)
+          val gg = cy(i) - 0.344136 * cb(i) - 0.714136 * cr(i)
+          val bb = cy(i) + 1.772 * cb(i)
+          cy(i) = rr2; cb(i) = gg; cr(i) = bb
+          i += 1
+        }
+      }
+      for (comp <- 0 until ncomp) {
+        val out = new Array[Int](tw * th)
+        val cur = comps(comp)
+        var i = 0
+        while (i < tw * th) {
+          var v = math.floor(cur(i) + shift + 0.5).toInt
+          if (v < loCl) v = loCl
+          if (v > hiCl) v = hiCl
+          out(i) = v
+          i += 1
+        }
+        res(comp) = out
+      }
+    } else {
+      val comps = Array.tabulate(ncomp) { comp =>
+        var cur = bandCoefs(comp)(0)
+        for (r <- 1 to levels) {
+          val rrr = resRect(trect, levels, r)
+          val b0 = 1 + 3 * (r - 1)
+          cur = inv2dG53(cur, bandCoefs(comp)(b0), bandCoefs(comp)(b0 + 1),
+            bandCoefs(comp)(b0 + 2), rrr.x0, rrr.x1, rrr.y0, rrr.y1)
+        }
+        cur
+      }
+      if (mh.mct) {
+        val (py, pu, pv) = (comps(0), comps(1), comps(2))
+        var i = 0
+        while (i < tw * th) {
+          val g = py(i) - ((pu(i) + pv(i)) >> 2)
+          val rr2 = pv(i) + g
+          val bb = pu(i) + g
+          py(i) = rr2; pu(i) = g; pv(i) = bb
+          i += 1
+        }
+      }
+      for (comp <- 0 until ncomp) {
+        val out = new Array[Int](tw * th)
+        val cur = comps(comp)
+        var i = 0
+        while (i < tw * th) { out(i) = cur(i) + shift; i += 1 }
+        res(comp) = out
+      }
+    }
+    res
+  }
+
+  def decode(data: Array[Byte]): J2kImage = {
+    val (mh, firstSot) = parseMainHeader(data)
+    val chain = tilePartChain({ (o, n) =>
+      require(o + n <= data.length, "jpeg2000: codestream truncated")
+      java.util.Arrays.copyOfRange(data, o.toInt, o.toInt + n)
+    }, firstSot.toLong, data.length.toLong)
+    require(chain.keySet == (0 until mh.nTiles).toSet,
+      s"jpeg2000: tile-parts cover tiles ${chain.keySet.toSeq.sorted} of ${mh.nTiles}")
+    val w = mh.w
+    val h = mh.h
+    val ncomp = mh.ncomp
+    val outPlanes = Array.fill(ncomp)(new Array[Int](w * h))
+    for (t <- 0 until mh.nTiles) {
+      val parts = chain(t)
+      val body: Array[Byte] = {
+        val total = parts.iterator.map(p => (p._2 - p._1).toInt).sum
+        val b = new Array[Byte](total)
+        var at = 0
+        parts.foreach { case (f, u) =>
+          System.arraycopy(data, f.toInt, b, at, (u - f).toInt)
+          at += (u - f).toInt
+        }
+        b
+      }
+      val comps = decodeTile(mh, t, body)
+      val trect = tileRect(mh, t)
+      for (comp <- 0 until ncomp) {
+        val pl = outPlanes(comp)
+        val cur = comps(comp)
+        var yy = 0
+        while (yy < trect.h) {
+          var xx = 0
+          while (xx < trect.w) {
+            pl((trect.y0 + yy) * w + (trect.x0 + xx)) = cur(yy * trect.w + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+    }
     val out = new Array[Int](w * h * ncomp)
     var i = 0
     while (i < w * h) {
@@ -1139,6 +1238,6 @@ object Jpeg2k {
       }
       i += 1
     }
-    J2kImage(w, h, prec, signed, ncomp, out)
+    J2kImage(w, h, mh.prec, mh.signed, ncomp, out)
   }
 }
