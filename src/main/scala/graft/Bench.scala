@@ -140,10 +140,19 @@ object Bench {
     // ok-of-n per run key, and any key with ok < n joins the failed
     // list in the JSON
     val nVarOk = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // Per-key wall-clock start stamps (epoch seconds), emitted as
+    // `rehearsal_t0` in the JSON: round 11's four-key IO spike cluster
+    // could not be located in time post hoc — with stamps, a hot host
+    // window shows up as a contiguous time band across whichever keys
+    // it hit, independent of source order.
+    val keyT0 = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def stamp(key: String): Unit =
+      keyT0.getOrElseUpdate(key, System.currentTimeMillis() / 1000L)
     def medianRehearsal(key: String, optOut: String, n: Int)(
         body: SparkSession => Double): Double =
       if (only.nonEmpty || sys.env.get(optOut).contains("0")) -1.0
       else {
+        stamp(key)
         val times = (1 to n).flatMap { _ =>
           val s = newSession(cpus)
           val t =
@@ -161,6 +170,24 @@ object Bench {
         nVarOk(key) = times.length
         median(times)
       }
+    // One-shot rehearsal in a fresh session (keys cheap/stable enough
+    // that n=3 would triple bench wall time for no attribution value).
+    def oneShot(key: String, optOut: String)(body: SparkSession => Double): Double =
+      if (only.nonEmpty || sys.env.get(optOut).contains("0")) -1.0
+      else {
+        stamp(key)
+        val s = newSession(cpus)
+        val t =
+          try body(s)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $key failed: ${e.getMessage}")
+            -1.0
+          }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        t
+      }
 
     // Imaging-at-scale rehearsal (one shot, not medianed — it runs
     // ~20 s): 512³ distributed gen → 3-level cascade → sharded write →
@@ -170,20 +197,8 @@ object Bench {
     // skipped automatically when SPARK_GRAFT_BENCH_ONLY filters the
     // suite (that's a query A/B session, not a round report).
     val pyramidSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_PYRAMID").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.operators.PyramidRehearsal.run(s)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] i_pyramid512 failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("i_pyramid512", "SPARK_GRAFT_BENCH_PYRAMID")(s =>
+        graft.operators.PyramidRehearsal.run(s))
 
     // Gaussian-at-volume rehearsal (one shot): same 512³ cascade but
     // through the halo-exchange gaussian path — the plan with a second
@@ -191,21 +206,9 @@ object Bench {
     // (`i_pyramid512_gauss`) so the heavy imaging plan has a tracked
     // wall time, not just a 256² spec. Same opt-outs as the pyramid.
     val pyramidGaussSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_PYRAMID").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.operators.PyramidRehearsal.run(s,
-            method = graft.meta.Model.Method.ItkwasmGaussian)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] i_pyramid512_gauss failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("i_pyramid512_gauss", "SPARK_GRAFT_BENCH_PYRAMID")(s =>
+        graft.operators.PyramidRehearsal.run(s,
+          method = graft.meta.Model.Method.ItkwasmGaussian))
 
     // Text-dedup-at-scale rehearsal (one shot): 200k synthetic docs
     // with planted near-dups through the full MinHash→LSH→verify→CC→
@@ -213,21 +216,9 @@ object Bench {
     // key (`t_dedup200k`) so rounds track dedup-at-scale wall time;
     // same opt-outs as the pyramid.
     val dedupSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DEDUP").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.ops.DedupRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] t_dedup200k failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("t_dedup200k", "SPARK_GRAFT_BENCH_DEDUP")(s =>
+        graft.ops.DedupRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_DEDUP_N").map(_.toLong).getOrElse(200000L)))
 
     // Skewed dedup rehearsal (one shot): same 200k corpus plus a
     // 3000-doc identical-boilerplate clique — sized past the AUTO
@@ -257,7 +248,21 @@ object Bench {
             .map(_.toLong).getOrElse(3000L))
       }
 
-    // Crawl-pipeline rehearsal (one shot): 200k pages written as 64
+    // IO/shuffle-bound host CONTROL (n=3 median): fixed-size shuffle
+    // + parquet write/read of deterministic synthetic rows with an
+    // exact content check — the complement of the CPU-bound
+    // ccl/edt/bpe controls, which r11's final bench proved blind to
+    // an IO episode that hit every shuffle/spill-heavy key 2.2–4.3×.
+    // Placed here, in the heart of the IO-heavy rehearsal window
+    // (skew pair above, crawl below), so a hot band hits it too.
+    // Key `x_ioshuffle4m`; opt out with SPARK_GRAFT_BENCH_IOCTL=0.
+    val ioCtlSec: Double =
+      medianRehearsal("x_ioshuffle4m", "SPARK_GRAFT_BENCH_IOCTL", nVar) { s =>
+        graft.tools.IoControlRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_IOCTL_N").map(_.toLong).getOrElse(4000000L))
+      }
+
+    // Crawl-pipeline rehearsal: 200k pages written as 64
     // per-record-gzip WARC archives by distributed tasks, then
     // WARC scan → HTTP split → HTML extract → boilerplate line-dedup
     // → exact dedup, every stage structurally asserted (byte-exact
@@ -266,25 +271,37 @@ object Bench {
     // Phase-split: the gzip fixture WRITE (19–44 s variance envelope,
     // not the surface under test) and the read path report as
     // `t_crawl200k_write` / `t_crawl200k_read` so read-path drift
-    // can't hide inside writer noise.
-    val (crawlWriteSec, crawlReadSec): (Double, Double) =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_CRAWL").contains("0")) (-1.0, -1.0)
+    // can't hide inside writer noise. n=3 in-run median per phase —
+    // r11's one-shot read-phase spike (22.7 s vs a 10 s pin) was
+    // unactionable without repeats.
+    val crawlPhases: Seq[(Double, Double)] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_CRAWL").contains("0")) Seq.empty
       else {
-        val s = newSession(cpus)
-        val t =
-          try graft.sources.CrawlRehearsal.runPhases(s,
-            sys.env.get("SPARK_GRAFT_BENCH_CRAWL_N").map(_.toLong).getOrElse(200000L))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] t_crawl200k failed: ${e.getMessage}")
-            (-1.0, -1.0)
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
+        stamp("t_crawl200k")
+        val runsDone = (1 to nVar).flatMap { _ =>
+          val s = newSession(cpus)
+          val t =
+            try Some(graft.sources.CrawlRehearsal.runPhases(s,
+              sys.env.get("SPARK_GRAFT_BENCH_CRAWL_N").map(_.toLong).getOrElse(200000L)))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] t_crawl200k failed: ${e.getMessage}")
+              None
+            }
+          s.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          System.gc()
+          t
+        }
+        nVarOk("t_crawl200k") = runsDone.length
+        runsDone
       }
+    val crawlWriteSec: Double =
+      if (crawlPhases.isEmpty) -1.0 else median(crawlPhases.map(_._1))
+    val crawlReadSec: Double =
+      if (crawlPhases.isEmpty) -1.0 else median(crawlPhases.map(_._2))
     val crawlSec: Double =
-      if (crawlWriteSec < 0 || crawlReadSec < 0) -1.0 else crawlWriteSec + crawlReadSec
+      if (crawlPhases.isEmpty) -1.0 else median(crawlPhases.map(p => p._1 + p._2))
 
     // Image-dedup-at-scale rehearsal: 1M perceptual hashes through
     // the collapsed dupClusters path — 100k planted 5-variant
@@ -305,21 +322,9 @@ object Bench {
     // both the bag-of-grams screen and the overlap-run metric. Key
     // `t_decon200k`; opt out with SPARK_GRAFT_BENCH_DECON=0.
     val deconSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DECON").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.ops.DeconRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_DECON_N").map(_.toLong).getOrElse(200000L))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] t_decon200k failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("t_decon200k", "SPARK_GRAFT_BENCH_DECON")(s =>
+        graft.ops.DeconRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_DECON_N").map(_.toLong).getOrElse(200000L)))
 
     // CCL-at-scale rehearsal (one shot): 4096² supercritical mask —
     // one giant component through all 256 chunks — labeled
@@ -327,84 +332,36 @@ object Bench {
     // single-node union-find over the same hash. Key `i_ccl16m`;
     // opt out with SPARK_GRAFT_BENCH_CCL=0.
     val cclSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_CCL").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.operators.CclRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_CCL_SIDE").map(_.toInt).getOrElse(4096))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] i_ccl16m failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("i_ccl16m", "SPARK_GRAFT_BENCH_CCL")(s =>
+        graft.operators.CclRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_CCL_SIDE").map(_.toInt).getOrElse(4096)))
 
     // EDT-at-scale rehearsal (one shot): 4096² hash mask through the
     // banded two-exchange separable EDT, fingerprint-checked EXACTLY
     // against a single-node run of the same kernels. Key `i_edt16m`;
     // opt out with SPARK_GRAFT_BENCH_EDT=0.
     val edtSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_EDT").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.operators.EdtRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_EDT_SIDE").map(_.toInt).getOrElse(4096))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] i_edt16m failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("i_edt16m", "SPARK_GRAFT_BENCH_EDT")(s =>
+        graft.operators.EdtRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_EDT_SIDE").map(_.toInt).getOrElse(4096)))
 
     // Hole-filling-at-scale rehearsal (one shot): the 4096² hash mask
     // through complement-CCL fill, checked EXACTLY against a
     // single-node border flood fill. Key `i_fill16m`; opt out with
     // SPARK_GRAFT_BENCH_FILL=0.
     val fillSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_FILL").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.operators.FillRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_FILL_SIDE").map(_.toInt).getOrElse(4096))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] i_fill16m failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("i_fill16m", "SPARK_GRAFT_BENCH_FILL")(s =>
+        graft.operators.FillRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_FILL_SIDE").map(_.toInt).getOrElse(4096)))
 
     // k-core-at-scale rehearsal (one shot): 1M-vertex hash graph +
     // planted 2000-node community peeled at k=12, checked EXACTLY
     // against a single-node sequential peel. Key `g_kcore1m`; opt out
     // with SPARK_GRAFT_BENCH_KCORE=0.
     val kcoreSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_KCORE").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.ops.KcoreRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_KCORE_N").map(_.toLong).getOrElse(1000000L))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] g_kcore1m failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("g_kcore1m", "SPARK_GRAFT_BENCH_KCORE")(s =>
+        graft.ops.KcoreRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_KCORE_N").map(_.toLong).getOrElse(1000000L)))
 
     // ANN-at-scale rehearsal (one shot): 1M clustered vectors through
     // the IVF cascade, recall-checked against distributed brute force
@@ -423,22 +380,10 @@ object Bench {
     // trainer, head-pinned against the distributed spec trainer.
     // Key `t_bpe200k`; opt out with SPARK_GRAFT_BENCH_BPE=0.
     val bpeSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_BPE").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.ops.BpeRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_BPE_N").map(_.toLong).getOrElse(200000L),
-            sys.env.get("SPARK_GRAFT_BENCH_BPE_MERGES").map(_.toInt).getOrElse(1000))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] t_bpe200k failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("t_bpe200k", "SPARK_GRAFT_BENCH_BPE")(s =>
+        graft.ops.BpeRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_BPE_N").map(_.toLong).getOrElse(200000L),
+          sys.env.get("SPARK_GRAFT_BENCH_BPE_MERGES").map(_.toInt).getOrElse(1000)))
 
     // HCS-at-scale rehearsal (one shot): 384 wells × 9 fields through
     // the streaming foreachBatch merge-upsert under a planted arrival
@@ -446,21 +391,11 @@ object Bench {
     // equality, per-well image lists, pixel parity sample). Wall time
     // is job-scheduling-bound (one write job per field) — the shape a
     // real cluster overlaps with execution. Key `h_plate384`; opt out
-    // with SPARK_GRAFT_BENCH_HCS=0.
+    // with SPARK_GRAFT_BENCH_HCS=0. IO-heavy and one-shot-spiky
+    // (r11: 62.2 s vs a 26.1 s pin, unactionable) → n=3 in-run median.
     val hcsSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_HCS").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.hcs.HcsRehearsal.run(s)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] h_plate384 failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
+      medianRehearsal("h_plate384", "SPARK_GRAFT_BENCH_HCS", nVar) { s =>
+        graft.hcs.HcsRehearsal.run(s)
       }
 
     // Covariance-at-scale rehearsal (one shot): 1M vectors at d=256
@@ -470,22 +405,10 @@ object Bench {
     // explode-based plan could not finish. Key `s_cov1m`; opt out
     // with SPARK_GRAFT_BENCH_COV=0.
     val covSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_COV").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.ops.CovRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_COV_N").map(_.toLong).getOrElse(1000000L),
-            sys.env.get("SPARK_GRAFT_BENCH_COV_DIM").map(_.toInt).getOrElse(256))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] s_cov1m failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("s_cov1m", "SPARK_GRAFT_BENCH_COV")(s =>
+        graft.ops.CovRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_COV_N").map(_.toLong).getOrElse(1000000L),
+          sys.env.get("SPARK_GRAFT_BENCH_COV_DIM").map(_.toInt).getOrElse(256)))
 
     // DICOM-ingest rehearsal (one shot): 256 slices x 256^2 int16
     // cycling ALL SIX lossless transfer syntaxes, written by one
@@ -494,21 +417,9 @@ object Bench {
     // fleet's decode throughput under task parallelism. Key
     // `i_dicom256`; opt out with SPARK_GRAFT_BENCH_DICOM=0.
     val dicomSec: Double =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_DICOM").contains("0")) -1.0
-      else {
-        val s = newSession(cpus)
-        val t =
-          try graft.operators.DicomRehearsal.run(s,
-            sys.env.get("SPARK_GRAFT_BENCH_DICOM_N").map(_.toInt).getOrElse(256))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] i_dicom256 failed: ${e.getMessage}")
-            -1.0
-          }
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        t
-      }
+      oneShot("i_dicom256", "SPARK_GRAFT_BENCH_DICOM")(s =>
+        graft.operators.DicomRehearsal.run(s,
+          sys.env.get("SPARK_GRAFT_BENCH_DICOM_N").map(_.toInt).getOrElse(256)))
 
     // millisecond precision keeps the line short: wrappers that
     // tail-capture stdout (the driver keeps only the last few KB)
@@ -534,24 +445,40 @@ object Bench {
       .mkString("{", ",", "}")
     // Host-disposition controls (the r10 attribution protocol, made
     // machine-checkable): the never-flagged ccl/edt/bpe keys double as
-    // controls. Each ratio is this run's bench-tail reading over its
-    // pinned healthy-host value (r9/r10 mid-round benches, identical
-    // code); `host_disposition` is their geometric mean. A reading
-    // >= ~2 means the HOST ran hot that day — rehearsal-key spikes in
-    // the same run attribute to disposition, not to plan regressions,
-    // without a separate standalone controls session.
+    // CPU-bound controls; `x_ioshuffle4m` is the dedicated IO/shuffle-
+    // bound control r11 proved necessary (all three CPU controls read
+    // healthy in the very run where four IO-heavy keys spiked
+    // 2.2–4.3×). Each ratio is this run's bench-tail reading over its
+    // pinned healthy-host value (identical code); `host_disposition`
+    // is the CPU controls' geometric mean and `host_disposition_io`
+    // is the IO control's ratio — reported SEPARATELY because they
+    // certify different key classes: compute-bound rehearsal spikes
+    // attribute against the CPU number, shuffle/spill/write-heavy
+    // spikes against the IO number. A reading >= ~2 on the matching
+    // class means the HOST ran hot — the spike attributes to
+    // disposition, not to a plan regression, without a separate
+    // standalone controls session.
     val controlPins = Seq(("i_ccl16m", 4.6, cclSec), ("i_edt16m", 2.3, edtSec),
       ("t_bpe200k", 4.4, bpeSec))
     val controlRatios = controlPins.collect { case (k, pin, v) if v > 0 => (k, v / pin) }
-    val hostControlsJson = controlRatios.map { case (k, r) => "\"" + k + "\":" + fmt(r) }
-      .mkString("{", ",", "}")
+    // IO control pin: r12 mid-round in-bench n=3 median (1.313 s;
+    // the ~6.6 s standalone reading is cold-JVM context, not the
+    // bench-tail context this ratio certifies — see BENCH_BASELINE.md)
+    val ioCtlPin = 1.3
+    val ioRatio = if (ioCtlSec > 0) ioCtlSec / ioCtlPin else -1.0
+    val hostControlsJson =
+      (controlRatios ++ (if (ioRatio > 0) Seq(("x_ioshuffle4m", ioRatio)) else Nil))
+        .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
+        .mkString("{", ",", "}")
     val hostDisposition =
       if (controlRatios.isEmpty) -1.0
       else math.exp(controlRatios.map { case (_, r) => math.log(r) }.sum / controlRatios.size)
+    val keyT0Json = keyT0.map { case (k, t) => "\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
     val hostJson =
-      s""""host_controls":$hostControlsJson,"host_disposition":${fmt(hostDisposition)}"""
+      s""""host_controls":$hostControlsJson,"host_disposition":${fmt(hostDisposition)},"host_disposition_io":${fmt(ioRatio)},"rehearsal_t0":$keyT0Json"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,$hostJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"x_ioshuffle4m":${fmt(ioCtlSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,$hostJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout; the full
     // 96-query line above overflows that window (r5's BENCH json was
@@ -563,7 +490,7 @@ object Bench {
     val slowJson = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,$hostJson,"slowest":$slowJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"x_ioshuffle4m":${fmt(ioCtlSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,$hostJson,"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

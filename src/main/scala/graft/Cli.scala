@@ -231,6 +231,18 @@ object Cli {
       return
     }
 
+    // `svs-assoc` subcommand: enumerate an Aperio SVS slide's
+    // associated images (thumbnail/label/macro) — metadata only,
+    // one "name WxH" line each; the openslide associated-images
+    // surface without decoding a pixel.
+    if (args(0) == "svs-assoc") {
+      require(args.length >= 2, "usage: Cli svs-assoc <slide.svs>")
+      graft.operators.TiffIO.svsAssociated(spark, args(1)).foreach { a =>
+        println(s"${a.name} ${a.width}x${a.height}")
+      }
+      return
+    }
+
     val input = args(0)
     val output = args(1)
     val opts = args.drop(2).flatMap { a =>

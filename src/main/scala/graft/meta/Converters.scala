@@ -35,7 +35,12 @@ object Converters {
     // native MGH reader instead of falling through to IMAGEIO
     ".mgz")
   private val tiffExts = Set(
-    ".tif", ".tiff", ".ptif", ".svs", ".qptiff", ".ndpi")
+    ".tif", ".tiff", ".ptif", ".svs", ".qptiff", ".ndpi",
+    // compound suffixes from tifffile's explicit FILE_EXTENSIONS list
+    // (the reference joins ALL of Path.suffixes and matches against
+    // it, so `x.ome.tif` routes to tifffile but `img.2024.01.tif`
+    // does NOT — only the listed compounds may carry extra dots)
+    ".ome.tif", ".ome.tiff", ".ome.tf2", ".ome.tf8", ".ome.btf")
 
   /** Extension/stat-based backend routing
     * (`detect_cli_io_backend.py:21-128`): zarr array dir → ZARR_ARRAY;
@@ -56,11 +61,7 @@ object Converters {
       Itkwasm
     else if (itkwasmExts.contains(ext)) Itk
     else if (tiffExts.contains(ext)) Tifffile
-    else if (tiffExts.contains(name.substring(name.lastIndexOf('.').max(0)))) {
-      // multi-suffix names (`x.ome.tif`) still route on the LAST
-      // suffix like the reference's Path.suffix rule
-      Tifffile
-    } else Imageio
+    else Imageio
   }
 
   final case class AffineDecomposition(

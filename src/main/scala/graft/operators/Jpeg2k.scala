@@ -10,7 +10,10 @@ package graft.operators
   * pass contributions accumulate across packets; the MQ codeword is
   * continuous, so layer segments concatenate before Tier-1), all
   * five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL via one shared
-  * packet-ordering key), SOP/EPH markers, 1 or 3 components with
+  * packet-ordering key with the B.12 tile-origin clamp for position
+  * progressions), image and tile-grid canvas offsets
+  * (XOsiz/YOsiz/XTOsiz/YTOsiz from cropped encodes, T.800 B.3),
+  * SOP/EPH markers, 1 or 3 components with
   * the reversible (RCT) or irreversible (ICT) color transform. This
   * covers DICOM's "JPEG 2000 Lossless Only" (.4.90) AND lossy
   * "JPEG 2000" (.4.91) transfer syntaxes plus tiled monolithic
@@ -18,8 +21,8 @@ package graft.operators
   * codecs (`py/ngff_zarr/detect_cli_io_backend.py:21`).
   *
   * Still refusing loudly by name: non-default code-block styles,
-  * component subsampling, image/tile offsets, and the
-  * semantics-changing markers COC/QCC/RGN/POC/PPM/PPT.
+  * component subsampling, and the semantics-changing markers
+  * COC/QCC/RGN/POC/PPM/PPT.
   *
   * Lossy exact-parity contract: dequantization reconstructs at the
   * interval midpoint ((q ± 0.5)·Δb with Δb = 2^(Rb−εb)·(1+μb/2^11)),
@@ -691,13 +694,19 @@ object Jpeg2k {
 
   /** Packet ordering key for the five T.800 progressions (B.12).
     * Position progressions (RPCL/PCRL/CPRL) order precincts by the
-    * tile-coordinate projection of their origin (resolution coords
-    * scaled by 2^(levels−r)). Identical to tools/j2k.py's pkt_key.
+    * reference-grid projection of their origin (resolution coords
+    * scaled by 2^(levels−r)) CLAMPED to the tile origin — B.12's
+    * position loops run over [ty0, ty1), so a tile's first partial
+    * precinct (grid anchored at 0, tile origin unaligned) is keyed
+    * at the tile origin, not at its projected grid origin. Without
+    * the clamp, non-first tiles with per-resolution precinct sizes
+    * order conformant packets wrong. Identical to tools/j2k.py's
+    * pkt_key.
     */
   private def pktKey(order: Int, l: Int, r: Int, c: Int, pi: Int, pj: Int,
-      ppx: Int, ppy: Int, levels: Int): (Long, Long, Long, Long, Long) = {
-    val ty = (pj.toLong << ppy) << (levels - r)
-    val tx = (pi.toLong << ppx) << (levels - r)
+      ppx: Int, ppy: Int, levels: Int, tx0: Long, ty0: Long): (Long, Long, Long, Long, Long) = {
+    val ty = math.max(ty0, (pj.toLong << ppy) << (levels - r))
+    val tx = math.max(tx0, (pi.toLong << ppx) << (levels - r))
     order match {
       case 0 => (l, r, c, pj, pi)
       case 1 => (r, l, c, pj, pi)
@@ -713,22 +722,32 @@ object Jpeg2k {
     * distributed reader ([[Jp2IO]]) can parse once on the driver and
     * decode tiles in executor tasks.
     */
+  /** `w`/`h` are the reference-grid extents (SIZ Xsiz/Ysiz); the
+    * image region is [xo, w) × [yo, h) and the tile grid anchors at
+    * (xto, yto) — T.800 B.3 canvas offsets from cropped encodes.
+    */
   private[operators] final case class MainHeader(
       w: Int, h: Int, xt: Int, yt: Int, prec: Int, signed: Boolean,
       ncomp: Int, mct: Boolean, levels: Int, lcbw: Int, lcbh: Int,
       prog: Int, layers: Int, useSop: Boolean, useEph: Boolean,
       lossy: Boolean, guard: Int, pairs: IndexedSeq[(Int, Int)],
-      pps: IndexedSeq[(Int, Int)]) {
-    def ntx: Int = cdiv(w, xt)
-    def nty: Int = cdiv(h, yt)
+      pps: IndexedSeq[(Int, Int)], xo: Int = 0, yo: Int = 0,
+      xto: Int = 0, yto: Int = 0) {
+    def ntx: Int = cdiv(w - xto, xt)
+    def nty: Int = cdiv(h - yto, yt)
     def nTiles: Int = ntx * nty
+    /** decoded image dims (the region, not the canvas) */
+    def ow: Int = w - xo
+    def oh: Int = h - yo
   }
 
   private def tileRect(mh: MainHeader, t: Int): Rect = {
     val p = t % mh.ntx
     val q = t / mh.ntx
-    Rect(p * mh.xt, math.min((p + 1) * mh.xt, mh.w),
-      q * mh.yt, math.min((q + 1) * mh.yt, mh.h))
+    Rect(math.max(mh.xto + p * mh.xt, mh.xo),
+      math.min(mh.xto + (p + 1) * mh.xt, mh.w),
+      math.max(mh.yto + q * mh.yt, mh.yo),
+      math.min(mh.yto + (q + 1) * mh.yt, mh.h))
   }
 
   /** Tile pixel bounds (x0, x1, y0, y1) for external callers. */
@@ -751,6 +770,7 @@ object Jpeg2k {
 
     var w = -1; var h = -1; var prec = -1; var signed = false
     var xt = -1; var yt = -1
+    var xo = 0; var yo = 0; var xto = 0; var yto = 0
     var ncomp = 1; var mct = false
     var levels = -1; var lcbw = -1; var lcbh = -1
     var prog = 0; var layers = 1
@@ -767,10 +787,26 @@ object Jpeg2k {
           val len = u16()
           val end = pos + len - 2
           u16() // Rsiz
-          w = u32().toInt; h = u32().toInt
-          require(u32() == 0 && u32() == 0, "jpeg2000: image offset unsupported")
-          xt = u32().toInt; yt = u32().toInt
-          require(u32() == 0 && u32() == 0, "jpeg2000: tile offset unsupported")
+          // SIZ geometry fields are u32 on the wire; anything that
+          // does not fit a positive Int is a malformed/hostile header
+          // and must refuse by name, not wrap negative into cdiv
+          def dim(what: String): Int = {
+            val v = u32()
+            require(v >= 1 && v <= Int.MaxValue,
+              s"jpeg2000: SIZ $what $v out of range")
+            v.toInt
+          }
+          def off(what: String, lim: Int): Int = {
+            val v = u32()
+            require(v >= 0 && v < lim, s"jpeg2000: SIZ $what $v out of range")
+            v.toInt
+          }
+          w = dim("Xsiz"); h = dim("Ysiz")
+          xo = off("XOsiz", w); yo = off("YOsiz", h)
+          xt = dim("XTsiz"); yt = dim("YTsiz")
+          xto = off("XTOsiz", w); yto = off("YTOsiz", h)
+          require(xto <= xo && yto <= yo && xto + xt > xo && yto + yt > yo,
+            "jpeg2000: tile grid does not anchor the image origin (B.3)")
           ncomp = u16()
           require(ncomp == 1 || ncomp == 3,
             s"jpeg2000: $ncomp components unsupported (1 gray / 3 color)")
@@ -872,7 +908,7 @@ object Jpeg2k {
       }
     (MainHeader(w, h, xt, yt, prec, signed, ncomp, mct, levels, lcbw, lcbh,
       prog, layers, useSop, useEph, lossy, guard, pairs,
-      pps.toIndexedSeq), sotAt)
+      pps.toIndexedSeq, xo, yo, xto, yto), sotAt)
   }
 
   /** Walk the SOT chain from the first SOT to EOC via positioned
@@ -991,8 +1027,8 @@ object Jpeg2k {
               cbs.map(new CbSt(_)).toArray)
         }
         for (comp <- 0 until ncomp; l <- 0 until layers)
-          pkts += ((pktKey(prog, l, r, comp, pi, pj, ppx, ppy, levels),
-            l, r, comp, ip))
+          pkts += ((pktKey(prog, l, r, comp, pi, pj, ppx, ppy, levels,
+            trect.x0, trect.y0), l, r, comp, ip))
       }
     }
     val ordered = pkts.sortBy(_._1)
@@ -1196,8 +1232,8 @@ object Jpeg2k {
     }, firstSot.toLong, data.length.toLong)
     require(chain.keySet == (0 until mh.nTiles).toSet,
       s"jpeg2000: tile-parts cover tiles ${chain.keySet.toSeq.sorted} of ${mh.nTiles}")
-    val w = mh.w
-    val h = mh.h
+    val w = mh.ow
+    val h = mh.oh
     val ncomp = mh.ncomp
     val outPlanes = Array.fill(ncomp)(new Array[Int](w * h))
     for (t <- 0 until mh.nTiles) {
@@ -1221,7 +1257,8 @@ object Jpeg2k {
         while (yy < trect.h) {
           var xx = 0
           while (xx < trect.w) {
-            pl((trect.y0 + yy) * w + (trect.x0 + xx)) = cur(yy * trect.w + xx)
+            pl((trect.y0 + yy - mh.yo) * w + (trect.x0 + xx - mh.xo)) =
+              cur(yy * trect.w + xx)
             xx += 1
           }
           yy += 1

@@ -70,7 +70,10 @@ object TiffIO {
       oldJpeg: Option[OldJpeg] = None,
       // tag 320 (palette-color, photometric 3): 3*2^bits u16 entries,
       // all reds then greens then blues
-      colorMap: Option[Array[Int]] = None)
+      colorMap: Option[Array[Int]] = None,
+      // tag 270 of THIS page — Aperio SVS names associated images
+      // (label/macro) in later pages' descriptions
+      description: Option[String] = None)
 
   /** TIFF 6.0 §22 tables-in-tags: one 64-byte quantization table
     * (tag 519), raw DC/AC Huffman tables (16 counts + values, tags
@@ -158,12 +161,15 @@ object TiffIO {
   /** Parse ALL `Image` elements of a (possibly multi-series) OME-XML
     * document: per image, its `Pixels` metadata plus the IFD index
     * list its planes occupy, from the `TiffData` plane→IFD mappings
-    * (`IFD`/`PlaneCount`/`FirstZ`/`FirstC`/`FirstT`). Only in-order
-    * mappings are accepted — each block's starting plane coordinate
-    * must continue where the previous block ended (the layout every
-    * mainstream writer emits); scrambled or sparse TiffData refuses
-    * loudly rather than silently permuting planes. A single-Image
-    * document with no TiffData keeps the default one-to-one rule.
+    * (`IFD`/`PlaneCount`/`FirstZ`/`FirstC`/`FirstT`). Blocks may
+    * arrive in ANY plane order (multi-position acquisitions commonly
+    * scramble plane→IFD mappings; tifffile accepts arbitrary
+    * permutations) — the result is always indexed by plane, IFDs
+    * permuted to match. Conflicting (twice-mapped) and SPARSE
+    * mappings refuse loudly by name: a plane with no IFD has no
+    * pixels, and zero-filling silently would corrupt downstream
+    * statistics. A single-Image document with no TiffData keeps the
+    * default one-to-one rule.
     */
   def parseOmeImages(xml: String): Seq[(OmePixels, Seq[Int])] = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -200,26 +206,33 @@ object TiffIO {
             "multi-Image OME-TIFF without TiffData plane mappings is ambiguous")
           (0 until nPlanes).toSeq
         } else {
-          val out = Seq.newBuilder[Int]
-          var covered = 0
+          val planeToIfd = Array.fill(nPlanes)(-1)
           (0 until tds.getLength).foreach { ti =>
             val td = tds.item(ti).asInstanceOf[org.w3c.dom.Element]
             def ia(n: String, dflt: Int): Int =
               Option(td.getAttribute(n)).filter(_.nonEmpty).map(_.toInt).getOrElse(dflt)
             val first = ia("FirstZ", 0) * strides('Z') +
               ia("FirstC", 0) * strides('C') + ia("FirstT", 0) * strides('T')
-            require(first == covered,
-              s"OME TiffData out of order: block starts at plane $first, expected $covered")
+            require(first >= 0 && first < nPlanes,
+              s"OME TiffData FirstZ/C/T addresses plane $first of $nPlanes")
             val ifd0 = ia("IFD", nextIfd)
-            val count = ia("PlaneCount", nPlanes - covered)
+            val count = ia("PlaneCount", nPlanes - first)
             require(count >= 1, "OME TiffData with PlaneCount < 1")
-            out ++= (ifd0 until ifd0 + count)
-            covered += count
+            require(first + count <= nPlanes,
+              s"OME TiffData block [$first, ${first + count}) exceeds $nPlanes planes")
+            var k = 0
+            while (k < count) {
+              require(planeToIfd(first + k) < 0,
+                s"OME TiffData maps plane ${first + k} twice")
+              planeToIfd(first + k) = ifd0 + k
+              k += 1
+            }
             nextIfd = ifd0 + count
           }
-          require(covered == nPlanes,
-            s"OME TiffData covers $covered of $nPlanes planes")
-          out.result()
+          val missing = planeToIfd.count(_ < 0)
+          require(missing == 0,
+            s"sparse OME TiffData: covers ${nPlanes - missing} of $nPlanes planes")
+          planeToIfd.toIndexedSeq
         }
       (px, ifds)
     }
@@ -361,6 +374,7 @@ object TiffIO {
       var jpegTables: Option[Array[Byte]] = None
       var colorMap: Option[Array[Int]] = None
       var nsft = 0L
+      var pageDesc: Option[String] = None
       var oldJpegOff = -1L; var oldJpegLen = -1L
       var oldProc = 1; var oldRestart = 0
       var qOffs: Seq[Long] = Nil; var dcOffs: Seq[Long] = Nil
@@ -403,11 +417,14 @@ object TiffIO {
             require(values.distinct.size == 1, "per-sample bit depths unsupported")
           case 259 => comp = valueAt(0).toInt
           case 262 => photometric = valueAt(0).toInt
-          case 270 if guard == 0 && firstDescription.isEmpty =>
-            // ImageDescription of IFD 0 — where OME-TIFF keeps its
-            // OME-XML; drop the ASCII NUL terminator(s)
-            firstDescription = Some(new String(src.get(dataOff, count.toInt),
+          case 270 =>
+            // ImageDescription — IFD 0's carries OME-XML / the Aperio
+            // header; later pages' descriptions name SVS associated
+            // images (label/macro). Drop the ASCII NUL terminator(s).
+            pageDesc = Some(new String(src.get(dataOff, count.toInt),
               "UTF-8").takeWhile(_ != '\u0000'))
+            if (guard == 0 && firstDescription.isEmpty)
+              firstDescription = pageDesc
           case 273 => stripOff = values
           case 277 => spp = valueAt(0).toInt
           case 278 => rps = valueAt(0).toInt
@@ -493,7 +510,7 @@ object TiffIO {
         s"TIFF PlanarConfiguration $planar invalid (1 chunky / 2 planar)")
       pages += TiffPage(width, height, spp, bits, fmt, comp, pred,
         effRps, tw, tl, offs, cnts, jpegTables, nsft, photometric, planar,
-        oldJpeg, colorMap)
+        oldJpeg, colorMap, pageDesc)
       ifdOff = if (big) r.u64(base + nEntries.toLong * entrySize)
         else r.u32(base + nEntries.toLong * entrySize)
       guard += 1
@@ -790,6 +807,38 @@ object TiffIO {
 
   final case class TiffImage(meta: ImageMeta, chunks: Dataset[ChunkRow])
 
+  /** An Aperio SVS associated image's name and pixel dims — metadata
+    * only, pixels never decode (the openslide associated-images
+    * contract: label/macro/thumbnail ride along with the slide but
+    * are not pyramid levels).
+    */
+  final case class SvsAssociated(name: String, width: Int, height: Int)
+
+  /** Enumerate an Aperio SVS file's associated images by walking its
+    * IFDs (driver-side metadata; no pixel reads): page 1 is the
+    * stripped thumbnail, and trailing pages whose Aperio description
+    * names "label" or "macro" classify by that name; tiled pyramid
+    * levels are not associated images. `read` is unaffected — it
+    * ingests page 0 (the openslide level-0 rule).
+    */
+  def svsAssociated(spark: SparkSession, path: String): Seq[SvsAssociated] = {
+    val hconf = Some(SerializableHadoopConf.fromActiveSession())
+    val store = new ZarrStore(path, hconf)
+    val totalLen = store.size("")
+    val info =
+      if (totalLen <= (16 << 20)) parseInfo(store.readBytes(""))
+      else parseInfo(new PagedSource(store, totalLen))
+    require(info.description.exists(_.startsWith("Aperio")),
+      s"$path is not an Aperio SVS file")
+    info.pages.zipWithIndex.drop(1).flatMap { case (p, i) =>
+      val d = p.description.getOrElse("")
+      if (d.contains("label")) Some(SvsAssociated("label", p.width, p.height))
+      else if (d.contains("macro")) Some(SvsAssociated("macro", p.width, p.height))
+      else if (i == 1) Some(SvsAssociated("thumbnail", p.width, p.height))
+      else None
+    }
+  }
+
   /** Read a TIFF into a chunked image. Multi-page files of identical
     * shape stack as a leading z dimension; samplesPerPixel > 1 adds a
     * trailing c. Chunk grid == the file's own strip/tile grid, one
@@ -809,7 +858,8 @@ object TiffIO {
       if (totalLen <= (16 << 20)) parseInfo(store.readBytes(""))
       else parseInfo(new PagedSource(store, totalLen))
     val omeImages = info.description.filter(isOmeXml).map(parseOmeImages)
-    require(omeSeries == 0 || omeImages.exists(_.length > omeSeries),
+    require(omeSeries >= 0 &&
+        (omeSeries == 0 || omeImages.exists(_.length > omeSeries)),
       s"series $omeSeries requested but the file has " +
         s"${omeImages.map(_.length).getOrElse(1)} series")
     // LSM interleaves a reduced-resolution thumbnail IFD after every

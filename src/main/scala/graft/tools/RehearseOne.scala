@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * regression. `runMain graft.tools.RehearseOne <key> [n] [boiler]`
   * with key ∈ dedup | dedup_skew | dedup_skew_collapsed | ann |
   * pyramid | pyramid_gauss | crawl | imgdedup | decon | ccl | edt |
-  * fill | kcore | bpe | hcs | cov | dicom.
+  * fill | kcore | bpe | hcs | cov | dicom | ioctl.
   */
 object RehearseOne {
   def main(args: Array[String]): Unit = {
@@ -78,6 +78,9 @@ object RehearseOne {
         graft.ops.CovRehearsal.run(spark,
           if (args.length > 1) args(1).toLong else 1000000L,
           if (args.length > 2) args(2).toInt else 256)
+      case "ioctl" =>
+        graft.tools.IoControlRehearsal.run(spark,
+          if (args.length > 1) args(1).toLong else 4000000L)
       case other => sys.error(s"unknown rehearsal key '$other'")
     }
     println(f"""{"rehearsal":"$key","sec":$secs%.3f}""")

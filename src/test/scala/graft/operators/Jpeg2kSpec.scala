@@ -51,6 +51,19 @@ class Jpeg2kSpec extends AnyFunSuite {
   test("CPRL progression, four layers, lossy 9/7")(
     check("cprl_lossy", 42, 31, 8))
 
+  test("multi-tile PCRL with unaligned tile origins: B.12 tile-origin clamp")(
+    check("pcrl_tiles", 42, 31, 8))
+  test("multi-tile CPRL RGB/MCT with unaligned tile origins (B.12 clamp)") {
+    val img = Jpeg2k.decode(bytes("cprl_tiles.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((42, 31, 8, 3)))
+    assert(img.samples.toSeq == bytes("cprl_tiles.raw").map(_ & 0xff).toSeq)
+  }
+
+  test("canvas offsets: image region at (5,3), tiles clipped (B.3)")(
+    check("offs53", 30, 22, 8))
+  test("canvas offsets + tile-grid anchor + RPCL + lossy 9/7 + layers")(
+    check("offs_rpcl_lossy", 30, 22, 8))
+
   test("PCRL progression, two layers, RGB/MCT decodes exactly") {
     val img = Jpeg2k.decode(bytes("pcrl_rgb_layers.j2c"))
     assert((img.width, img.height, img.precision, img.components) == ((42, 31, 8, 3)))

@@ -65,6 +65,12 @@ class RestructureSpec extends SparkSpec {
     assert(detectBackend(Seq("/a/b/img.png"), fileSize = _ => 1000) == Itkwasm)
     assert(detectBackend(Seq("/a/b/img.png"), fileSize = _ => 3e9.toLong) == Itk)
     assert(detectBackend(Seq("/a/b/slide.svs")) == Tifffile)
+    // compound suffixes route on tifffile's EXPLICIT list (the
+    // reference matches "".join(Path.suffixes) against it): .ome.tif
+    // is listed, arbitrary dotted names are not
+    assert(detectBackend(Seq("/a/b/stack.ome.tif")) == Tifffile)
+    assert(detectBackend(Seq("/a/b/stack.ome.tiff")) == Tifffile)
+    assert(detectBackend(Seq("/a/b/img.2024.01.tif")) == Imageio)
     assert(detectBackend(Seq("/a/b/photo.webp")) == Imageio)
     assert(detectBackend(Seq("/a/b/arr"), isZarrArrayDir = _ => true) == ZarrArray)
   }

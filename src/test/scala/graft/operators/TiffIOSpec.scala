@@ -99,6 +99,18 @@ class TiffIOSpec extends SparkSpec {
       assert(got(y * 16 + x) == ((x * 3 + y * 5 + 7) % 256).toDouble, s"($x,$y)")
   }
 
+  test("Aperio SVS associated images enumerate by name (metadata only)") {
+    val assoc = TiffIO.svsAssociated(spark, "src/test/resources/fixtures/aperio.svs")
+    assert(assoc == Seq(
+      TiffIO.SvsAssociated("thumbnail", 8, 4),
+      TiffIO.SvsAssociated("label", 6, 4),
+      TiffIO.SvsAssociated("macro", 7, 3)))
+    // a non-Aperio TIFF refuses by name
+    val e = intercept[IllegalArgumentException](
+      TiffIO.svsAssociated(spark, s"$fx/multipage.tif"))
+    assert(e.getMessage.contains("not an Aperio SVS"))
+  }
+
   test("multi-Image OME-TIFF: each series reads via its TiffData IFD mapping") {
     val s0 = TiffIO.read(spark, s"$fx/multiseries.ome.tif")
     assert(s0.meta.dims == Seq("z", "y", "x"))
@@ -118,9 +130,24 @@ class TiffIOSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       TiffIO.read(spark, s"$fx/multiseries.ome.tif", omeSeries = 2))
     assert(e.getMessage.contains("2 series"))
+    // a negative index must hit the same named refusal, not an
+    // IndexOutOfBoundsException from imgs(omeSeries)
+    val eNeg = intercept[IllegalArgumentException](
+      TiffIO.read(spark, s"$fx/multiseries.ome.tif", omeSeries = -1))
+    assert(eNeg.getMessage.contains("series -1"))
   }
 
-  test("OME TiffData mappings: out-of-order and sparse blocks refuse loudly") {
+  test("scrambled TiffData plane→IFD permutation reads equal to its in-order twin") {
+    for (series <- 0 to 1) {
+      val a = TiffIO.read(spark, s"$fx/multiseries.ome.tif", omeSeries = series)
+      val b = TiffIO.read(spark, s"$fx/multiseries_scrambled.ome.tif", omeSeries = series)
+      assert(b.meta == a.meta, s"series $series meta")
+      assert(ChunkOps.toArray(b.chunks, b.meta).toSeq ==
+        ChunkOps.toArray(a.chunks, a.meta).toSeq, s"series $series pixels")
+    }
+  }
+
+  test("OME TiffData mappings: permutations accepted, sparse/dup refuse loudly") {
     def xmlFor(td0: String, td1: String): String =
       """<?xml version="1.0"?>""" +
         """<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">""" +
@@ -135,11 +162,16 @@ class TiffIOSpec extends SparkSpec {
       """<TiffData IFD="0" PlaneCount="2"/>""",
       """<TiffData IFD="2" PlaneCount="2"/>"""))
     assert(ok.map(_._2) == Seq(Seq(0, 1), Seq(2, 3)))
-    // out-of-order FirstZ
-    val e1 = intercept[IllegalArgumentException](TiffIO.parseOmeImages(xmlFor(
+    // scrambled plane→IFD mapping: accepted, result indexed by plane
+    val perm = TiffIO.parseOmeImages(xmlFor(
       """<TiffData IFD="0" PlaneCount="1" FirstZ="1"/><TiffData IFD="1" PlaneCount="1"/>""",
+      """<TiffData IFD="2" PlaneCount="2"/>"""))
+    assert(perm.map(_._2) == Seq(Seq(1, 0), Seq(2, 3)))
+    // a twice-mapped plane refuses
+    val e1 = intercept[IllegalArgumentException](TiffIO.parseOmeImages(xmlFor(
+      """<TiffData IFD="0" PlaneCount="2"/><TiffData IFD="1" PlaneCount="1" FirstZ="1"/>""",
       """<TiffData IFD="2" PlaneCount="2"/>""")))
-    assert(e1.getMessage.contains("out of order"))
+    assert(e1.getMessage.contains("twice"))
     // sparse coverage
     val e2 = intercept[IllegalArgumentException](TiffIO.parseOmeImages(xmlFor(
       """<TiffData IFD="0" PlaneCount="1"/>""",

@@ -840,15 +840,22 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def tile_grid(w, h, xt, yt):
-    """Tile rects (tx0, tx1, ty0, ty1) raster order (offsets all 0)."""
-    ntx = _cdiv(w, xt)
-    nty = _cdiv(h, yt)
+def tile_grid(xsiz, ysiz, xt, yt, xo=0, yo=0, xto=0, yto=0):
+    """Tile rects (tx0, tx1, ty0, ty1) raster order on the reference
+    grid (T.800 B.3): the grid anchors at (XTOsiz, YTOsiz) and each
+    tile clips to the image region [XOsiz, Xsiz) x [YOsiz, Ysiz)."""
+    assert 0 <= xto <= xo and 0 <= yto <= yo, "tile offset > image offset"
+    assert xto + xt > xo and yto + yt > yo, \
+        "first tile misses the image origin"
+    ntx = _cdiv(xsiz - xto, xt)
+    nty = _cdiv(ysiz - yto, yt)
     tiles = []
     for q in range(nty):
         for p in range(ntx):
-            tiles.append((p * xt, min((p + 1) * xt, w),
-                          q * yt, min((q + 1) * yt, h)))
+            tiles.append((max(xto + p * xt, xo),
+                          min(xto + (p + 1) * xt, xsiz),
+                          max(yto + q * yt, yo),
+                          min(yto + (q + 1) * yt, ysiz)))
     return tiles, ntx, nty
 
 
@@ -1152,12 +1159,15 @@ def quant_setup(levels, prec, style, e0, mu0):
 PROGRESSIONS = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
 
 
-def pkt_key(order, l, r, c, pi, pj, ppx, ppy, levels):
-    """Packet ordering key for the five T.800 progressions. Position
-    progressions (RPCL/PCRL/CPRL) order precincts by the tile-coord
-    projection of their origin (resolution coords x 2^(levels-r))."""
-    ty = (pj << ppy) << (levels - r)
-    tx = (pi << ppx) << (levels - r)
+def pkt_key(order, l, r, c, pi, pj, ppx, ppy, levels, tx0, ty0):
+    """Packet ordering key for the five T.800 progressions (B.12).
+    Position progressions (RPCL/PCRL/CPRL) order precincts by the
+    reference-grid projection of their origin (resolution coords x
+    2^(levels-r)) CLAMPED to the tile origin: B.12's position loops
+    run over [ty0, ty1), so a tile's first partial precinct keys at
+    the tile origin, not its (grid-anchored-at-0) projected origin."""
+    ty = max(ty0, (pj << ppy) << (levels - r))
+    tx = max(tx0, (pi << ppx) << (levels - r))
     if order == 0:
         return (l, r, c, pj, pi)
     if order == 1:
@@ -1178,7 +1188,8 @@ def layer_bounds(nps, layers):
 def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
            ncomp=1, mct=False, transform="53", quant=None,
            xtsiz=None, ytsiz=None, precincts=None, sop=False, eph=False,
-           tile_parts=1, layers=1, progression="LRCP"):
+           tile_parts=1, layers=1, progression="LRCP",
+           xosiz=0, yosiz=0, xtosiz=0, ytosiz=0, coc=None, qcc=None):
     """img: single plane (ncomp=1) or list of ncomp planes, row-major
     w x h. transform "53" (reversible, quant must be None) or "97"
     (irreversible, quant = (style, e0, mu0), style "derived" or
@@ -1186,15 +1197,26 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     (ppx, ppy) or per-resolution list (Scod bit 0); tile_parts splits
     every tile's packets across that many SOT segments; layers splits
     every code-block's coding passes across quality layers;
-    progression picks the packet order (any of the five)."""
+    progression picks the packet order (any of the five);
+    xosiz/yosiz place the w x h image region at that reference-grid
+    origin (Xsiz = xosiz + w) and xtosiz/ytosiz anchor the tile grid
+    (cropped-encode canvas offsets, T.800 B.3); coc maps a component
+    index to dict(cbw=, cbh=, precincts=) per-component coding
+    overrides (emitted as COC markers); qcc maps a component index to
+    its quantization override (a (style, e0, mu0) tuple when lossy or
+    the string "auto" when lossless — per-component reversible
+    exponents from that component's own magnitudes), emitted as QCC
+    markers."""
     assert 1 <= levels <= 6 and 4 <= cbw <= 64 and 4 <= cbh <= 64
     assert transform in ("53", "97")
     assert 1 <= layers <= 65535
     prog = PROGRESSIONS[progression]
     lossy = transform == "97"
     assert lossy == (quant is not None), "quant iff 9/7"
-    xt = xtsiz if xtsiz else w
-    yt = ytsiz if ytsiz else h
+    xsiz = xosiz + w
+    ysiz = yosiz + h
+    xt = xtsiz if xtsiz else xsiz - xtosiz
+    yt = ytsiz if ytsiz else ysiz - ytosiz
     assert 1 <= tile_parts <= 255
     qinfo = (quant_setup(levels, prec, quant[0], quant[1], quant[2])
              if lossy else None)
@@ -1213,24 +1235,55 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                 "precinct exponent 0 only legal at resolution 0"
         scod_prec = 1
 
+    def pp_list(p):
+        ps = ([tuple(p)] * (levels + 1) if isinstance(p, tuple)
+              else [tuple(x) for x in p])
+        assert len(ps) == levels + 1
+        for r, (px, py) in enumerate(ps):
+            assert 0 <= px <= 15 and 0 <= py <= 15
+            assert r == 0 or (px >= 1 and py >= 1)
+        return ps
+
+    coc = dict(coc or {})
+    qcc = dict(qcc or {})
+    for cc in list(coc) + list(qcc):
+        assert 0 <= cc < ncomp, f"coc/qcc component {cc} out of range"
+    lcbw_c = [(coc[c]["cbw"].bit_length() - 1
+               if c in coc and "cbw" in coc[c] else cbw.bit_length() - 1)
+              for c in range(ncomp)]
+    lcbh_c = [(coc[c]["cbh"].bit_length() - 1
+               if c in coc and "cbh" in coc[c] else cbh.bit_length() - 1)
+              for c in range(ncomp)]
+    pps_c = [pp_list(coc[c]["precincts"])
+             if c in coc and coc[c].get("precincts") is not None
+             else None for c in range(ncomp)]
+    qinfo_c = [None] * ncomp
+    for c, q in qcc.items():
+        if lossy:
+            assert isinstance(q, tuple), "lossy QCC needs (style, e0, mu0)"
+            qinfo_c[c] = quant_setup(levels, prec, q[0], q[1], q[2])
+        else:
+            assert q == "auto", 'lossless QCC must be "auto"'
+
     shift = 0 if signed else 1 << (prec - 1)
     planes = [img] if ncomp == 1 else list(img)
     assert len(planes) == ncomp
     lcbw = cbw.bit_length() - 1
     lcbh = cbh.bit_length() - 1
     blist = band_list(levels)
-    tiles, _, _ = tile_grid(w, h, xt, yt)
+    tiles, _, _ = tile_grid(xsiz, ysiz, xt, yt,
+                            xosiz, yosiz, xtosiz, ytosiz)
 
     # phase 1: per tile/component DWT (+ quantization when lossy)
     # tile_bands[t][c][(r, name)] = (coef ints, band rect)
     tile_bands = []
-    max_mag = [0] * len(blist)
+    max_mag = [[0] * len(blist) for _ in range(ncomp)]
     for (tx0, tx1, ty0, ty1) in tiles:
         tw = tx1 - tx0
         comps = []
         for c in range(ncomp):
             pl = planes[c]
-            sub = [pl[yy * w + xx] - shift
+            sub = [pl[(yy - yosiz) * w + (xx - xosiz)] - shift
                    for yy in range(ty0, ty1) for xx in range(tx0, tx1)]
             comps.append(sub)
         if mct:
@@ -1265,27 +1318,41 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                 cy0, cy1 = _cdiv(cy0, 2), _cdiv(cy1, 2)
             bands[(0, "LL")] = (cur, (cx0, cx1, cy0, cy1))
             # quantize (lossy) and track per-band max magnitude
+            qi = qinfo_c[c] if qinfo_c[c] is not None else qinfo
             for bi, (r, name, _, _) in enumerate(blist):
                 coefs, _ = bands[(r, name)]
                 if lossy:
-                    delta = qinfo[bi][2]
+                    delta = qi[bi][2]
                     for i, v in enumerate(coefs):
                         coefs[i] = (int(v / delta) if v >= 0
                                     else -int(-v / delta))
                 for v in coefs:
-                    if abs(v) > max_mag[bi]:
-                        max_mag[bi] = abs(v)
+                    if abs(v) > max_mag[c][bi]:
+                        max_mag[c][bi] = abs(v)
             per_comp.append(bands)
         tile_bands.append(per_comp)
 
-    # band Mb / QCD values
+    # band Mb / QCD values, per component: QCD covers components
+    # without a QCC override; "auto" lossless QCC components carry
+    # their own exponents from their own magnitudes
+    shared = [c for c in range(ncomp) if c not in qcc]
     if lossy:
-        mbs = [q[3] for q in qinfo]
-        for bi in range(len(blist)):
-            assert max(1, max_mag[bi]).bit_length() <= mbs[bi], \
-                f"band {bi}: magnitude overflows Mb={mbs[bi]}"
+        mbs_c = [None] * ncomp
+        for c in range(ncomp):
+            qi = qinfo_c[c] if qinfo_c[c] is not None else qinfo
+            mbs_c[c] = [q[3] for q in qi]
+            for bi in range(len(blist)):
+                assert max(1, max_mag[c][bi]).bit_length() <= mbs_c[c][bi], \
+                    f"comp {c} band {bi}: magnitude overflows Mb"
+        qcd_mbs = mbs_c[shared[0]] if shared else [q[3] for q in qinfo]
     else:
-        mbs = [max(1, max_mag[bi]).bit_length() for bi in range(len(blist))]
+        qcd_mbs = [max(1, max(max_mag[c][bi] for c in shared)
+                       if shared else 1).bit_length()
+                   for bi in range(len(blist))]
+        mbs_c = [([max(1, max_mag[c][bi]).bit_length()
+                   for bi in range(len(blist))] if c in qcc else qcd_mbs)
+                 for c in range(ncomp)]
+    mbs = qcd_mbs
 
     out = bytearray()
 
@@ -1296,14 +1363,14 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     m16(0xFF51)                      # SIZ
     m16(38 + 3 * ncomp)
     m16(0)                           # Rsiz
-    out.extend(w.to_bytes(4, "big"))
-    out.extend(h.to_bytes(4, "big"))
-    out.extend((0).to_bytes(4, "big"))   # XOsiz
-    out.extend((0).to_bytes(4, "big"))   # YOsiz
+    out.extend(xsiz.to_bytes(4, "big"))
+    out.extend(ysiz.to_bytes(4, "big"))
+    out.extend(xosiz.to_bytes(4, "big"))
+    out.extend(yosiz.to_bytes(4, "big"))
     out.extend(xt.to_bytes(4, "big"))    # XTsiz
     out.extend(yt.to_bytes(4, "big"))    # YTsiz
-    out.extend((0).to_bytes(4, "big"))   # XTOsiz
-    out.extend((0).to_bytes(4, "big"))   # YTOsiz
+    out.extend(xtosiz.to_bytes(4, "big"))
+    out.extend(ytosiz.to_bytes(4, "big"))
     m16(ncomp)                       # Csiz
     for _ in range(ncomp):
         out.append((prec - 1) | (0x80 if signed else 0))
@@ -1324,6 +1391,20 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     if scod_prec:
         for (px, py) in pps:
             out.append(px | (py << 4))
+    for c in sorted(coc):            # COC: per-component coding style
+        has_pp = pps_c[c] is not None
+        m16(0xFF53)
+        m16(2 + 1 + 6 + (levels + 1 if has_pp else 0))
+        out.append(c)                # Ccoc (ncomp < 257)
+        out.append(1 if has_pp else 0)   # Scoc
+        out.append(levels)
+        out.append(lcbw_c[c] - 2)
+        out.append(lcbh_c[c] - 2)
+        out.append(0)                # code-block style: defaults
+        out.append(0 if lossy else 1)
+        if has_pp:
+            for (px, py) in pps_c[c]:
+                out.append(px | (py << 4))
     m16(0xFF5C)                      # QCD
     if not lossy:
         m16(3 + len(mbs))
@@ -1342,6 +1423,28 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
         out.append((GUARD << 5) | 2)
         for (eb, mu, _, _) in qinfo:
             m16((eb << 11) | mu)
+    for c in sorted(qcc):            # QCC: per-component quantization
+        m16(0xFF5D)
+        if not lossy:
+            m16(3 + 1 + len(mbs_c[c]))
+            out.append(c)
+            out.append((GUARD << 5) | 0)
+            for mb in mbs_c[c]:
+                eps = mb - GUARD + 1
+                assert 0 <= eps < 32, eps
+                out.append((eps & 0x1F) << 3)
+        elif qcc[c][0] == "derived":
+            m16(3 + 1 + 2)
+            out.append(c)
+            out.append((GUARD << 5) | 1)
+            e0, mu0 = qinfo_c[c][0][0], qinfo_c[c][0][1]
+            m16((e0 << 11) | mu0)
+        else:
+            m16(3 + 1 + 2 * len(qinfo_c[c]))
+            out.append(c)
+            out.append((GUARD << 5) | 2)
+            for (eb, mu, _, _) in qinfo_c[c]:
+                m16((eb << 11) | mu)
 
     # phase 2: per tile — T1 every code-block once, then packets in
     # the progression order with per-layer contributions
@@ -1349,19 +1452,17 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
         # cb_state[(r, ip, c, bpos)] = (nx, ny, incl, zbp, cbs) where
         # cbs[i] = dict(data, npl, nps, ends, bounds, lblock, included)
         cb_state = {}
-        res_precs = []
         pkts_meta = []
         for r in range(levels + 1):
             rr = res_rect(tx0, tx1, ty0, ty1, levels, r)
-            ppx, ppy = pps[r]
-            precs = prec_grid(*rr, ppx, ppy)
-            res_precs.append(precs)
             bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
             pshift = 0 if r == 0 else 1
-            exw = min(lcbw, ppx - pshift)
-            exh = min(lcbh, ppy - pshift)
-            for ip, (pi, pj) in enumerate(precs):
-                for c in range(ncomp):
+            for c in range(ncomp):
+                ppx, ppy = (pps_c[c] if pps_c[c] is not None else pps)[r]
+                precs = prec_grid(*rr, ppx, ppy)
+                exw = min(lcbw_c[c], ppx - pshift)
+                exh = min(lcbh_c[c], ppy - pshift)
+                for ip, (pi, pj) in enumerate(precs):
                     for bpos, name in enumerate(bnames):
                         coefs, brect = tile_bands[t][c][(r, name)]
                         pb = prec_band_rect(pi, pj, ppx, ppy, pshift,
@@ -1382,10 +1483,10 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                                 bounds=layer_bounds(nps, layers),
                                 lblock=3, included=False))
                         cb_state[(r, ip, c, bpos)] =                             (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
-                for c in range(ncomp):
                     for l in range(layers):
                         pkts_meta.append((pkt_key(prog, l, r, c, pi, pj,
-                                                  ppx, ppy, levels),
+                                                  ppx, ppy, levels,
+                                                  tx0, ty0),
                                           l, r, c, ip, pi, pj))
         pkts_meta.sort(key=lambda x: x[0])
 
@@ -1414,7 +1515,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                     if nx == 0 or ny == 0:
                         continue
                     bi = 0 if r == 0 else 1 + 3 * (r - 1) + bpos
-                    mb = mbs[bi]
+                    mb = mbs_c[c][bi]
                     bl = BitList(writer=hw)
                     # inclusion leaf values: first contributing layer
                     # (set once, before the first packet touches them)
@@ -1517,6 +1618,8 @@ def decode(data):
     pps = None
     tp_bodies = {}   # Isot -> {TPsot: body bytes}
     tp_counts = {}
+    coc_over = {}    # comp -> (levels, lcbw, lcbh, lossy, pps)
+    qcc_over = {}    # comp -> (qstyle, guard, pairs)
     saw_eoc = False
     while not saw_eoc:
         mk = u16()
@@ -1524,12 +1627,17 @@ def decode(data):
             ln = u16()
             end = pos + ln - 2
             u16()
-            w = u32()
-            h = u32()
-            assert u32() == 0 and u32() == 0, "image offset unsupported"
+            xsiz = u32()
+            ysiz = u32()
+            xosiz = u32()
+            yosiz = u32()
+            assert 0 <= xosiz < xsiz and 0 <= yosiz < ysiz, "image offset"
+            w = xsiz - xosiz
+            h = ysiz - yosiz
             xt = u32()
             yt = u32()
-            assert u32() == 0 and u32() == 0, "tile offset unsupported"
+            xtosiz = u32()
+            ytosiz = u32()
             ncomp = u16()
             sss = []
             for c in range(ncomp):
@@ -1562,6 +1670,48 @@ def decode(data):
                        for r in range(levels + 1)]
             else:
                 pps = [(15, 15)] * (levels + 1)
+            pos = end
+        elif mk == 0xFF53:  # COC (per-component coding style)
+            ln = u16()
+            end = pos + ln - 2
+            cc = data[pos] if ncomp < 257 else ((data[pos] << 8)
+                                                | data[pos + 1])
+            pos += 1 if ncomp < 257 else 2
+            scoc = data[pos]
+            lv2 = data[pos + 1]
+            w2 = data[pos + 2] + 2
+            h2 = data[pos + 3] + 2
+            assert data[pos + 4] == 0, "code-block style 0 only"
+            lossy2 = data[pos + 5] == 0
+            if scoc & 1:
+                pps2 = [(data[pos + 6 + r] & 0x0F, data[pos + 6 + r] >> 4)
+                        for r in range(lv2 + 1)]
+            else:
+                pps2 = [(15, 15)] * (lv2 + 1)
+            coc_over[cc] = (lv2, w2, h2, lossy2, pps2)
+            pos = end
+        elif mk == 0xFF5D:  # QCC (per-component quantization)
+            ln = u16()
+            end = pos + ln - 2
+            cc = data[pos] if ncomp < 257 else ((data[pos] << 8)
+                                                | data[pos + 1])
+            pos += 1 if ncomp < 257 else 2
+            sq = data[pos]
+            qs2 = sq & 0x1F
+            g2 = sq >> 5
+            pos += 1
+            prs = []
+            if qs2 == 0:
+                while pos < end:
+                    prs.append((data[pos] >> 3, 0))
+                    pos += 1
+            else:
+                assert qs2 in (1, 2), f"quant style {qs2}"
+                while pos < end:
+                    v = (data[pos] << 8) | data[pos + 1]
+                    prs.append((v >> 11, v & 0x7FF))
+                    pos += 2
+            qcc_over[cc] = (qs2, g2, prs)
             pos = end
         elif mk == 0xFF5C:  # QCD
             ln = u16()
@@ -1601,21 +1751,42 @@ def decode(data):
             ln = u16()
             pos = pos + ln - 2
 
-    assert (qstyle == 0) == (not lossy), "quant style must match transform"
+    # per-component coding/quantization: COD/QCD defaults overridden
+    # by COC/QCC. Decomposition levels and the transform must agree
+    # across components (per-component levels/transform are encoder
+    # exotica this decoder refuses by name).
+    for cc, (lv2, _, _, lossy2, _) in coc_over.items():
+        assert cc < ncomp, f"COC component {cc} out of range"
+        assert lv2 == levels, "per-component decomposition levels unsupported"
+        assert lossy2 == lossy, "per-component transform unsupported"
+    for cc in qcc_over:
+        assert cc < ncomp, f"QCC component {cc} out of range"
     kernel = "97" if lossy else "53"
     blist = band_list(levels)
-    if qstyle == 1:
-        assert len(qpairs) == 1
-        e0, mu0 = qpairs[0]
-        qpairs = [(e0 - levels + nb, mu0) for (_, _, nb, _) in blist]
-    else:
-        assert len(qpairs) >= len(blist)
-    if lossy:
-        deltas = [2.0 ** ((prec + gain) - eb) * (1.0 + mu / 2048.0)
-                  for (eb, mu), (_, _, _, gain) in zip(qpairs, blist)]
-    mbs = [guard + eb - 1 for (eb, _) in qpairs[:len(blist)]]
+    lcbw_c = [coc_over[c][1] if c in coc_over else lcbw
+              for c in range(ncomp)]
+    lcbh_c = [coc_over[c][2] if c in coc_over else lcbh
+              for c in range(ncomp)]
+    pps_c = [coc_over[c][4] if c in coc_over else pps
+             for c in range(ncomp)]
+    deltas_c = [None] * ncomp
+    mbs_c = [None] * ncomp
+    for c in range(ncomp):
+        qs, g, prs = qcc_over.get(c, (qstyle, guard, qpairs))
+        assert (qs == 0) == (not lossy), "quant style must match transform"
+        if qs == 1:
+            assert len(prs) == 1
+            e0, mu0 = prs[0]
+            prs = [(e0 - levels + nb, mu0) for (_, _, nb, _) in blist]
+        else:
+            assert len(prs) >= len(blist)
+        if lossy:
+            deltas_c[c] = [2.0 ** ((prec + gain) - eb) * (1.0 + mu / 2048.0)
+                           for (eb, mu), (_, _, _, gain) in zip(prs, blist)]
+        mbs_c[c] = [g + eb - 1 for (eb, _) in prs[:len(blist)]]
 
-    tiles, _, _ = tile_grid(w, h, xt, yt)
+    tiles, _, _ = tile_grid(xsiz, ysiz, xt, yt,
+                            xosiz, yosiz, xtosiz, ytosiz)
     assert set(tp_bodies.keys()) == set(range(len(tiles))), \
         "missing tile-parts"
     if mct:
@@ -1646,14 +1817,14 @@ def decode(data):
         pkts_meta = []
         for r in range(levels + 1):
             rr = res_rect(tx0, tx1, ty0, ty1, levels, r)
-            ppx, ppy = pps[r]
-            precs = prec_grid(*rr, ppx, ppy)
             bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
             pshift = 0 if r == 0 else 1
-            exw = min(lcbw, ppx - pshift)
-            exh = min(lcbh, ppy - pshift)
-            for ip, (pi, pj) in enumerate(precs):
-                for c in range(ncomp):
+            for c in range(ncomp):
+                ppx, ppy = pps_c[c][r]
+                precs = prec_grid(*rr, ppx, ppy)
+                exw = min(lcbw_c[c], ppx - pshift)
+                exh = min(lcbh_c[c], ppy - pshift)
+                for ip, (pi, pj) in enumerate(precs):
                     for bpos, name in enumerate(bnames):
                         brect = band_rects[(r, name)]
                         pb = prec_band_rect(pi, pj, ppx, ppy, pshift,
@@ -1662,11 +1833,12 @@ def decode(data):
                         st = [dict(rect=rect, included=False, lblock=3,
                                    npl=0, nps=0, segs=[])
                               for rect in cbs]
-                        cb_state[(r, ip, c, bpos)] =                             (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
-                for c in range(ncomp):
+                        cb_state[(r, ip, c, bpos)] = \
+                            (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
                     for l in range(layers):
                         pkts_meta.append((pkt_key(prog, l, r, c, pi, pj,
-                                                  ppx, ppy, levels),
+                                                  ppx, ppy, levels,
+                                                  tx0, ty0),
                                           l, r, c, ip))
         pkts_meta.sort(key=lambda x: x[0])
 
@@ -1684,7 +1856,7 @@ def decode(data):
                     if nx == 0 or ny == 0:
                         continue
                     bi = 0 if r == 0 else 1 + 3 * (r - 1) + bpos
-                    mb = mbs[bi]
+                    mb = mbs_c[c][bi]
                     bl = BitList(reader=br)
                     for i, cb in enumerate(st):
                         gx, gy = i % nx, i // nx
@@ -1741,7 +1913,7 @@ def decode(data):
         for c in range(ncomp):
             if lossy:
                 for bi, (r, name, _, _) in enumerate(blist):
-                    d = deltas[bi]
+                    d = deltas_c[c][bi]
                     plane = band_coefs[(c, r, name)]
                     for i, q in enumerate(plane):
                         plane[i] = ((q + 0.5) * d if q > 0 else
@@ -1775,7 +1947,7 @@ def decode(data):
                         v = lo_cl if v < lo_cl else hi_cl if v > hi_cl else v
                     else:
                         v = v + shift
-                    pl[(ty0 + yy) * w + (tx0 + xx)] = v
+                    pl[(ty0 + yy - yosiz) * w + (tx0 + xx - xosiz)] = v
 
     if ncomp == 1:
         return w, h, prec, signed, out_planes[0]
@@ -1919,6 +2091,32 @@ def _selftest():
     err = max(abs(a - b) for a, b in zip(dec, img))
     assert err <= 2, f"16-bit lossy: max err {err}"
     print(f"ok 16-bit lossy err<={err}")
+
+    # COC/QCC per-component styles: lossless exact with per-comp
+    # code-block sizes + precincts + "auto" exponents across tiles...
+    w, h = 33, 25
+    planes = [[(x * (3 + c) + y * (5 + c)) % 256
+               for y in range(h) for x in range(w)] for c in range(3)]
+    enc = encode(planes, w, h, 8, ncomp=3, mct=True, levels=2,
+                 cbw=16, cbh=16, xtsiz=17, ytsiz=13,
+                 coc={1: dict(cbw=8, cbh=8,
+                              precincts=[(5, 5), (3, 3), (4, 4)]),
+                      2: dict(cbw=4, cbh=8)},
+                 qcc={2: "auto"})
+    assert decode(enc)[4] == planes, "COC/QCC lossless"
+    print("ok COC/QCC lossless per-comp cb+precincts+auto")
+    # ...and lossy with per-component quantization through ICT
+    enc = encode(planes, w, h, 8, ncomp=3, mct=True, levels=2,
+                 cbw=8, cbh=8, transform="97",
+                 quant=("expounded", 9, 256), progression="RPCL",
+                 layers=2, coc={1: dict(cbw=4, cbh=4)},
+                 qcc={1: ("expounded", 10, 512),
+                      2: ("derived", 11, 128)})
+    dec = decode(enc)[4]
+    err = max(abs(a - b) for pa, pb in zip(dec, planes)
+              for a, b in zip(pa, pb))
+    assert err <= 2, f"COC/QCC lossy: max err {err}"
+    print(f"ok COC/QCC lossy per-comp quant err<={err}")
     print("selftest passed")
 
 

@@ -186,6 +186,44 @@ def main():
     emit2("pcrl_rgb_layers", planes, w, h, 8, ncomp=3, mct=True,
           levels=2, cbw=8, cbh=8, layers=2, progression="PCRL")
 
+    # multi-tile position progressions across the T.800 B.12 clamp
+    # case: precinct-unaligned tile origins (17, 13) and a small r=1
+    # precinct (2^2) make a non-first tile's first precinct index
+    # NON-zero, so its projected origin (8) falls strictly between 0
+    # and the tile origin — only the clamp to the tile origin orders
+    # these packets per B.12 (6 of the 9 tiles reorder; verified
+    # differentially when these fixtures were added).
+    r = lcg(211)
+    w, h = 42, 31
+    img = [(x * 13 + y * 5 + next(r) % 19) % 256
+           for y in range(h) for x in range(w)]
+    emit2("pcrl_tiles", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          layers=2, progression="PCRL", xtsiz=17, ytsiz=13,
+          precincts=[(5, 5), (2, 2), (4, 4)])
+    r = lcg(223)
+    planes = [[(x * (7 + c) + y * (3 + c) + next(r) % 23) % 256
+               for y in range(h) for x in range(w)] for c in range(3)]
+    emit2("cprl_tiles", planes, w, h, 8, ncomp=3, mct=True, levels=2,
+          cbw=8, cbh=8, progression="CPRL", xtsiz=17, ytsiz=13,
+          precincts=[(5, 5), (2, 2), (4, 4)])
+
+    # canvas offsets from cropped encodes (T.800 B.3): the image
+    # region sits at (XOsiz, YOsiz) on the reference grid and the
+    # tile grid anchors at (XTOsiz, YTOsiz) behind it. offs53 pins
+    # the lossless geometry (odd offsets, tiles clipped against the
+    # region); offs_rpcl_lossy adds a position progression (offset
+    # tile origins exercise the B.12 clamp) + 9/7 + layers.
+    r = lcg(227)
+    w, h = 30, 22
+    img = [(x * 3 + y * 7 + next(r) % 29) % 256
+           for y in range(h) for x in range(w)]
+    emit2("offs53", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          xtsiz=13, ytsiz=9, xosiz=5, yosiz=3)
+    emit2("offs_rpcl_lossy", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          xtsiz=16, ytsiz=16, xosiz=7, yosiz=11, xtosiz=4, ytosiz=8,
+          progression="RPCL", layers=2, transform="97",
+          quant=("expounded", 8, 256))
+
     print("wrote j2k fixtures to", outdir)
 
 

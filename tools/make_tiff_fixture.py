@@ -400,6 +400,43 @@ def main():
                           regions=[pack_samples(rows, "B", "<")]))
     write_tiff(OUT / "multiseries.ome.tif", pages)
 
+    # 10b. scrambled twin of the multi-series file: SAME pixels per
+    # (series, z), but the planes are physically stored at permuted
+    # IFDs (series0 z0,z1,z2 -> IFD 2,0,1; series1 z0,z1 -> IFD 4,3)
+    # with one TiffData block per plane declaring the permutation —
+    # the multi-position-acquisition layout tifffile accepts. A
+    # reader honoring the mappings decodes it identically to the
+    # in-order twin.
+    ome_scr = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0" Name="series0">'
+        '<Pixels ID="Pixels:0" DimensionOrder="XYZCT" Type="uint8"'
+        ' SizeX="8" SizeY="6" SizeZ="3" SizeC="1" SizeT="1"'
+        ' PhysicalSizeX="0.4" PhysicalSizeY="0.7">'
+        '<TiffData IFD="2" PlaneCount="1" FirstZ="0"/>'
+        '<TiffData IFD="0" PlaneCount="1" FirstZ="1"/>'
+        '<TiffData IFD="1" PlaneCount="1" FirstZ="2"/>'
+        '</Pixels></Image>'
+        '<Image ID="Image:1" Name="series1">'
+        '<Pixels ID="Pixels:1" DimensionOrder="XYZCT" Type="uint8"'
+        ' SizeX="10" SizeY="4" SizeZ="2" SizeC="1" SizeT="1">'
+        '<TiffData IFD="4" PlaneCount="1" FirstZ="0"/>'
+        '<TiffData IFD="3" PlaneCount="1" FirstZ="1"/>'
+        '</Pixels></Image></OME>')
+    ifd_plane = [(0, 1), (0, 2), (0, 0), (1, 1), (1, 0)]
+    pages = []
+    for i, (s, z) in enumerate(ifd_plane):
+        sw, sh = (8, 6) if s == 0 else (10, 4)
+        rows = pix_gray(sw, sh,
+                        lambda x, y, s=s, z=z: (s * 31 + z * 17 + y * 5 + x * 3) % 251)
+        page = dict(width=sw, height=sh, spp=1, bits=8, rows_per_strip=sh,
+                    regions=[pack_samples(rows, "B", "<")])
+        if i == 0:
+            page["tags"] = {270: (2, ome_scr.encode("utf-8") + b"\x00")}
+        pages.append(page)
+    write_tiff(OUT / "multiseries_scrambled.ome.tif", pages)
+
     # 11. Aperio-SVS-shaped slide: heterogeneous pages by design —
     # page 0 = baseline tiled J2K (compression 33003) with the Aperio
     # ImageDescription (incl. MPP), page 1 = stripped thumbnail,
@@ -412,6 +449,11 @@ def main():
     thumb = pix_gray(8, 4, lambda x, y: (x + y) % 256)
     lvl = [(x * 6 + y * 10 + 7) % 256 for y in range(8) for x in range(8)]
     j2c2 = j2k_encode(lvl, 8, 8, 8, levels=1, cbw=8, cbh=8)
+    # trailing label/macro pages (stripped, named in their Aperio
+    # descriptions) — openslide-style associated images; `read`
+    # still takes only page 0, svsAssociated enumerates these
+    label = pix_gray(6, 4, lambda x, y: (x * 2 + y) % 256)
+    macro = pix_gray(7, 3, lambda x, y: (x + y * 3) % 256)
     write_tiff(OUT / "aperio.svs", [
         dict(width=16, height=16, spp=1, bits=8, compression=33003,
              tile_w=16, tile_h=16, regions=[j2c0],
@@ -420,6 +462,12 @@ def main():
              regions=[pack_samples(thumb, "B", "<")]),
         dict(width=8, height=8, spp=1, bits=8, compression=33003,
              tile_w=8, tile_h=8, regions=[j2c2]),
+        dict(width=6, height=4, spp=1, bits=8, rows_per_strip=4,
+             regions=[pack_samples(label, "B", "<")],
+             tags={270: (2, b"Aperio Image Library v10.0.51\r\nlabel 6x4\x00")}),
+        dict(width=7, height=3, spp=1, bits=8, rows_per_strip=3,
+             regions=[pack_samples(macro, "B", "<")],
+             tags={270: (2, b"Aperio Image Library v10.0.51\r\nmacro 7x3\x00")}),
     ])
 
 
