@@ -34,8 +34,9 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *                            tile-parts, quality layers and all
   *                            five progression orders, via the
   *                            pure-JVM T.800 decoder in [[Jpeg2k]]
+  *                            incl. COC/QCC per-component styles
   *                            (residual exotica — non-default
-  *                            code-block styles, COC/QCC/POC —
+  *                            code-block styles, subsampling, POC —
   *                            refuse there by name)
   *   - 1.2.840.10008.1.2.1.99 Deflated Explicit VR LE (the whole
   *                            post-meta dataset is one raw-deflate

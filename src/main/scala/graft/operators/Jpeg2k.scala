@@ -20,9 +20,25 @@ package graft.operators
   * codestreams; the reference delegates all of it to ITK/GDCM native
   * codecs (`py/ngff_zarr/detect_cli_io_backend.py:21`).
   *
-  * Still refusing loudly by name: non-default code-block styles,
-  * component subsampling, and the semantics-changing markers
-  * COC/QCC/RGN/POC/PPM/PPT.
+  * Per-component coding and quantization styles (COC/QCC markers —
+  * what mainstream encoders emit on color images, e.g. different
+  * code-block or quantization parameters for chroma after the color
+  * transform) decode fully: code-block sizes, precinct partitions,
+  * and quantization (none/derived/expounded) may vary per component;
+  * per-component decomposition LEVELS or TRANSFORM (ragged
+  * resolution ladders, mixed kernels) are encoder exotica that
+  * refuse by name.
+  *
+  * Component subsampling (SIZ XRsiz/YRsiz lattices, T.800 B.2)
+  * decodes on each component's own coordinate grid — packets,
+  * precincts, code-blocks, and the DWT all run in component
+  * coordinates, and position progressions project packet positions
+  * back to the reference grid through the factors. The interleaved
+  * output replicates each subsampled sample across its footprint
+  * (the viewers' presentation expansion), documented as such.
+  *
+  * Still refusing loudly by name: non-default code-block styles and
+  * the semantics-changing markers RGN/POC/PPM/PPT.
   *
   * Lossy exact-parity contract: dequantization reconstructs at the
   * interval midpoint ((q ± 0.5)·Δb with Δb = 2^(Rb−εb)·(1+μb/2^11)),
@@ -704,9 +720,12 @@ object Jpeg2k {
     * pkt_key.
     */
   private def pktKey(order: Int, l: Int, r: Int, c: Int, pi: Int, pj: Int,
-      ppx: Int, ppy: Int, levels: Int, tx0: Long, ty0: Long): (Long, Long, Long, Long, Long) = {
-    val ty = math.max(ty0, (pj.toLong << ppy) << (levels - r))
-    val tx = math.max(tx0, (pi.toLong << ppx) << (levels - r))
+      ppx: Int, ppy: Int, levels: Int, tx0: Long, ty0: Long,
+      xr: Int = 1, yr: Int = 1): (Long, Long, Long, Long, Long) = {
+    // position projections are reference-grid positions: component
+    // coords scale back up by that component's subsampling factors
+    val ty = math.max(ty0, ((pj.toLong << ppy) << (levels - r)) * yr)
+    val tx = math.max(tx0, ((pi.toLong << ppx) << (levels - r)) * xr)
     order match {
       case 0 => (l, r, c, pj, pi)
       case 1 => (r, l, c, pj, pi)
@@ -732,13 +751,38 @@ object Jpeg2k {
       prog: Int, layers: Int, useSop: Boolean, useEph: Boolean,
       lossy: Boolean, guard: Int, pairs: IndexedSeq[(Int, Int)],
       pps: IndexedSeq[(Int, Int)], xo: Int = 0, yo: Int = 0,
-      xto: Int = 0, yto: Int = 0) {
+      xto: Int = 0, yto: Int = 0,
+      // COC per-component overrides of the COD coding parameters
+      // (decomposition levels and transform must MATCH the COD —
+      // validated at parse time; only cb size / precincts may vary)
+      cocLcb: Map[Int, (Int, Int)] = Map.empty,
+      cocPps: Map[Int, IndexedSeq[(Int, Int)]] = Map.empty,
+      // QCC per-component quantization: comp -> (guard, band pairs)
+      qcc: Map[Int, (Int, IndexedSeq[(Int, Int)])] = Map.empty,
+      // SIZ XRsiz/YRsiz per component (empty = all 1:1): component
+      // c's samples live on the reference-grid lattice of multiples
+      // of its factors (T.800 B.2)
+      subs: IndexedSeq[(Int, Int)] = IndexedSeq.empty) {
     def ntx: Int = cdiv(w - xto, xt)
     def nty: Int = cdiv(h - yto, yt)
     def nTiles: Int = ntx * nty
     /** decoded image dims (the region, not the canvas) */
     def ow: Int = w - xo
     def oh: Int = h - yo
+    def lcbwC(c: Int): Int = cocLcb.get(c).map(_._1).getOrElse(lcbw)
+    def lcbhC(c: Int): Int = cocLcb.get(c).map(_._2).getOrElse(lcbh)
+    def ppsC(c: Int): IndexedSeq[(Int, Int)] = cocPps.getOrElse(c, pps)
+    def guardC(c: Int): Int = qcc.get(c).map(_._1).getOrElse(guard)
+    def pairsC(c: Int): IndexedSeq[(Int, Int)] =
+      qcc.get(c).map(_._2).getOrElse(pairs)
+    def subC(c: Int): (Int, Int) =
+      if (subs.isEmpty) (1, 1) else subs(c)
+  }
+
+  /** tile rect in component c's coordinates (B.3: cdiv by factors) */
+  private def compRect(mh: MainHeader, tr: Rect, c: Int): Rect = {
+    val (xr, yr) = mh.subC(c)
+    Rect(cdiv(tr.x0, xr), cdiv(tr.x1, xr), cdiv(tr.y0, yr), cdiv(tr.y1, yr))
   }
 
   private def tileRect(mh: MainHeader, t: Int): Rect = {
@@ -771,6 +815,7 @@ object Jpeg2k {
     var w = -1; var h = -1; var prec = -1; var signed = false
     var xt = -1; var yt = -1
     var xo = 0; var yo = 0; var xto = 0; var yto = 0
+    var subs = IndexedSeq.empty[(Int, Int)]
     var ncomp = 1; var mct = false
     var levels = -1; var lcbw = -1; var lcbh = -1
     var prog = 0; var layers = 1
@@ -779,6 +824,12 @@ object Jpeg2k {
     var qStyle = -1; var guard = 0
     var qPairs = IndexedSeq.empty[(Int, Int)]
     var pps: Array[(Int, Int)] = null
+    // COC/QCC overrides, validated against COD/QCD after the loop
+    // (marker order in the main header is not fixed)
+    val cocRaw = scala.collection.mutable.Map
+      .empty[Int, (Int, Int, Int, Boolean, IndexedSeq[(Int, Int)])]
+    val qccRaw = scala.collection.mutable.Map
+      .empty[Int, (Int, Int, IndexedSeq[(Int, Int)])]
     var sotAt = -1
     while (sotAt < 0) {
       val mk = u16()
@@ -811,9 +862,10 @@ object Jpeg2k {
           require(ncomp == 1 || ncomp == 3,
             s"jpeg2000: $ncomp components unsupported (1 gray / 3 color)")
           val sss = (0 until ncomp).map { c =>
-            require((data(pos + 3 * c + 1) & 0xff) == 1 &&
-              (data(pos + 3 * c + 2) & 0xff) == 1,
-              "jpeg2000: component subsampling unsupported")
+            val xr = data(pos + 3 * c + 1) & 0xff
+            val yr = data(pos + 3 * c + 2) & 0xff
+            require(xr >= 1 && yr >= 1, s"jpeg2000: bad XRsiz/YRsiz $xr/$yr")
+            subs = subs :+ ((xr, yr))
             data(pos + 3 * c) & 0xff
           }
           require(sss.distinct.length == 1,
@@ -874,12 +926,58 @@ object Jpeg2k {
           }
           qPairs = b.result()
           pos = end
-        case 0xff53 | 0xff5d | 0xff5e | 0xff5f | 0xff60 | 0xff61 =>
-          // COC / QCC / RGN / POC / PPM / PPT change coding semantics
-          // per-component or reorder packets — skipping them would
-          // decode silently-wrong pixels
+        case 0xff53 => // COC: per-component coding style
+          val len = u16()
+          val end = pos + len - 2
+          // Ccoc is 1 byte when Csiz < 257 (always here: ncomp <= 3)
+          val cc = data(pos) & 0xff
+          val scoc = data(pos + 1) & 0xff
+          val lv2 = data(pos + 2) & 0xff
+          val w2 = (data(pos + 3) & 0xff) + 2
+          val h2 = (data(pos + 4) & 0xff) + 2
+          require((data(pos + 5) & 0xff) == 0,
+            "jpeg2000: non-default code-block styles unsupported")
+          val tr2 = data(pos + 6) & 0xff
+          require(tr2 <= 1, s"jpeg2000: unknown transform $tr2")
+          val pps2: IndexedSeq[(Int, Int)] =
+            if ((scoc & 0x1) != 0)
+              IndexedSeq.tabulate(lv2 + 1) { r =>
+                val b = data(pos + 7 + r) & 0xff
+                val p = (b & 0x0f, b >> 4)
+                require(r == 0 || (p._1 >= 1 && p._2 >= 1),
+                  "jpeg2000: precinct exponent 0 above resolution 0")
+                p
+              }
+            else IndexedSeq.fill(lv2 + 1)((15, 15))
+          cocRaw += cc -> ((lv2, w2, h2, tr2 == 0, pps2))
+          pos = end
+        case 0xff5d => // QCC: per-component quantization
+          val len = u16()
+          val end = pos + len - 2
+          val cc = data(pos) & 0xff
+          val sq = data(pos + 1) & 0xff
+          val qs2 = sq & 0x1f
+          val g2 = sq >> 5
+          require(qs2 <= 2, s"jpeg2000: quantization style $qs2 unsupported")
+          val b = IndexedSeq.newBuilder[(Int, Int)]
+          if (qs2 == 0) {
+            var i = pos + 2
+            while (i < end) { b += (((data(i) & 0xff) >> 3, 0)); i += 1 }
+          } else {
+            var i = pos + 2
+            while (i < end) {
+              val v = ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)
+              b += ((v >> 11, v & 0x7ff))
+              i += 2
+            }
+          }
+          qccRaw += cc -> ((qs2, g2, b.result()))
+          pos = end
+        case 0xff5e | 0xff5f | 0xff60 | 0xff61 =>
+          // RGN / POC / PPM / PPT change coding semantics or reorder
+          // packets — skipping them would decode silently-wrong pixels
           throw new UnsupportedOperationException(
-            f"jpeg2000: marker 0xFF${mk & 0xff}%02X (COC/QCC/RGN/POC/PPM/PPT) unsupported")
+            f"jpeg2000: marker 0xFF${mk & 0xff}%02X (RGN/POC/PPM/PPT) unsupported")
         case 0xff90 =>
           sotAt = pos - 2
         case 0xffd9 =>
@@ -896,19 +994,41 @@ object Jpeg2k {
     require(!mct || ncomp == 3, "jpeg2000: MCT requires 3 components")
 
     val blist = bandList(levels)
-    val pairs: IndexedSeq[(Int, Int)] =
-      if (qStyle == 1) {
-        require(qPairs.length == 1, "jpeg2000: scalar-derived QCD needs one pair")
-        val (e0, mu0) = qPairs.head
+    def expandPairs(qs: Int, raw: IndexedSeq[(Int, Int)],
+        what: String): IndexedSeq[(Int, Int)] =
+      if (qs == 1) {
+        require(raw.length == 1, s"jpeg2000: scalar-derived $what needs one pair")
+        val (e0, mu0) = raw.head
         blist.map { case (_, _, nb, _, _) => (e0 - levels + nb, mu0) }
       } else {
-        require(qPairs.length >= blist.length,
-          s"jpeg2000: QCD signals ${qPairs.length} bands, need ${blist.length}")
-        qPairs.take(blist.length)
+        require(raw.length >= blist.length,
+          s"jpeg2000: $what signals ${raw.length} bands, need ${blist.length}")
+        raw.take(blist.length)
       }
+    val pairs = expandPairs(qStyle, qPairs, "QCD")
+    // COC/QCC validation: only code-block size / precincts /
+    // quantization may vary per component — per-component levels or
+    // transform would need ragged resolution loops and mixed kernels
+    // no mainstream still-image encoder emits
+    val cocLcb = cocRaw.map { case (cc, (lv2, w2, h2, lossy2, _)) =>
+      require(cc >= 0 && cc < ncomp, s"jpeg2000: COC component $cc of $ncomp")
+      require(lv2 == levels,
+        "jpeg2000: per-component decomposition levels unsupported")
+      require(lossy2 == lossy, "jpeg2000: per-component transform unsupported")
+      cc -> ((w2, h2))
+    }.toMap
+    val cocPps = cocRaw.map { case (cc, (_, _, _, _, pps2)) => cc -> pps2 }.toMap
+    val qcc = qccRaw.map { case (cc, (qs2, g2, raw)) =>
+      require(cc >= 0 && cc < ncomp, s"jpeg2000: QCC component $cc of $ncomp")
+      require((qs2 == 0) == !lossy,
+        s"jpeg2000: QCC style $qs2 contradicts transform (lossy=$lossy)")
+      cc -> ((g2, expandPairs(qs2, raw, "QCC")))
+    }.toMap
+    require(!mct || subs.take(3).distinct.length == 1,
+      "jpeg2000: MCT requires equal component subsampling")
     (MainHeader(w, h, xt, yt, prec, signed, ncomp, mct, levels, lcbw, lcbh,
       prog, layers, useSop, useEph, lossy, guard, pairs,
-      pps.toIndexedSeq, xo, yo, xto, yto), sotAt)
+      pps.toIndexedSeq, xo, yo, xto, yto, cocLcb, cocPps, qcc, subs), sotAt)
   }
 
   /** Walk the SOT chain from the first SOT to EOC via positioned
@@ -974,13 +1094,15 @@ object Jpeg2k {
     val useSop = mh.useSop
     val useEph = mh.useEph
     val lossy = mh.lossy
-    val pps = mh.pps
     val blist = bandList(levels)
-    val mbs = Array.tabulate(blist.length)(i => mh.guard + mh.pairs(i)._1 - 1)
-    val deltas: Array[Double] =
+    // per-component Mb / quantization steps (QCD defaults overridden
+    // by that component's QCC)
+    val mbsC = Array.tabulate(ncomp, blist.length)((c, i) =>
+      mh.guardC(c) + mh.pairsC(c)(i)._1 - 1)
+    val deltasC: Array[Array[Double]] =
       if (!lossy) null
-      else Array.tabulate(blist.length) { i =>
-        val (eb, mu) = mh.pairs(i)
+      else Array.tabulate(ncomp, blist.length) { (c, i) =>
+        val (eb, mu) = mh.pairsC(c)(i)
         val gain = blist(i)._4
         math.pow(2.0, (mh.prec + gain) - eb) * (1.0 + mu / 2048.0)
       }
@@ -989,10 +1111,14 @@ object Jpeg2k {
     val hiCl = if (mh.signed) (1 << (mh.prec - 1)) - 1 else (1 << mh.prec) - 1
 
     var br = new HdrReader(body, 0)
-    val bandRects = blist.map { case (r, bi, _, _, _) => bandRect(trect, levels, r, bi) }
+    // per-component geometry: subsampled components live on their
+    // own coordinate lattice (tile rect cdiv'd by the factors)
+    val crects = Array.tabulate(ncomp)(c => compRect(mh, trect, c))
+    val bandRects = Array.tabulate(ncomp)(c =>
+      blist.map { case (r, bi, _, _, _) => bandRect(crects(c), levels, r, bi) })
     // coefficient planes keyed (component, band index in QCD order)
-    val bandCoefs = Array.tabulate(ncomp, blist.length) { (_, i) =>
-      new Array[Int](math.max(0, bandRects(i).w) * math.max(0, bandRects(i).h))
+    val bandCoefs = Array.tabulate(ncomp, blist.length) { (c, i) =>
+      new Array[Int](math.max(0, bandRects(c)(i).w) * math.max(0, bandRects(c)(i).h))
     }
 
     // per-(resolution, precinct, component, band) packet state:
@@ -1010,25 +1136,28 @@ object Jpeg2k {
     val pkts = scala.collection.mutable.ArrayBuffer
       .empty[((Long, Long, Long, Long, Long), Int, Int, Int, Int)]
     for (r <- 0 to levels) {
-      val rr = resRect(trect, levels, r)
-      val (ppx, ppy) = pps(r)
-      val precs = precGrid(rr, ppx, ppy)
       val pshift = if (r == 0) 0 else 1
-      val exw = math.min(lcbw, ppx - pshift)
-      val exh = math.min(lcbh, ppy - pshift)
       val nBands = if (r == 0) 1 else 3
-      for (((pi, pj), ip) <- precs.zipWithIndex) {
-        for (comp <- 0 until ncomp; bpos <- 0 until nBands) {
-          val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
-          val pb = precBandRect(pi, pj, ppx, ppy, pshift, bandRects(bIdx))
-          val (cbs, nx, ny) = cbListG(pb, exw, exh)
-          cbState((r, ip, comp, bpos)) =
-            (nx, ny, new TagTree(nx, ny), new TagTree(nx, ny),
-              cbs.map(new CbSt(_)).toArray)
+      for (comp <- 0 until ncomp) {
+        val rr = resRect(crects(comp), levels, r)
+        val (ppx, ppy) = mh.ppsC(comp)(r)
+        val precs = precGrid(rr, ppx, ppy)
+        val exw = math.min(mh.lcbwC(comp), ppx - pshift)
+        val exh = math.min(mh.lcbhC(comp), ppy - pshift)
+        val (sxr, syr) = mh.subC(comp)
+        for (((pi, pj), ip) <- precs.zipWithIndex) {
+          for (bpos <- 0 until nBands) {
+            val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
+            val pb = precBandRect(pi, pj, ppx, ppy, pshift, bandRects(comp)(bIdx))
+            val (cbs, nx, ny) = cbListG(pb, exw, exh)
+            cbState((r, ip, comp, bpos)) =
+              (nx, ny, new TagTree(nx, ny), new TagTree(nx, ny),
+                cbs.map(new CbSt(_)).toArray)
+          }
+          for (l <- 0 until layers)
+            pkts += ((pktKey(prog, l, r, comp, pi, pj, ppx, ppy, levels,
+              trect.x0, trect.y0, sxr, syr), l, r, comp, ip))
         }
-        for (comp <- 0 until ncomp; l <- 0 until layers)
-          pkts += ((pktKey(prog, l, r, comp, pi, pj, ppx, ppy, levels,
-            trect.x0, trect.y0), l, r, comp, ip))
       }
     }
     val ordered = pkts.sortBy(_._1)
@@ -1049,7 +1178,7 @@ object Jpeg2k {
           val (nx, ny, incl, zbp, st) = cbState((r, ip, comp, bpos))
           if (nx > 0 && ny > 0) {
             val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
-            val mb = mbs(bIdx)
+            val mb = mbsC(comp)(bIdx)
             var i = 0
             while (i < st.length) {
               val cb = st(i)
@@ -1104,7 +1233,7 @@ object Jpeg2k {
     // segments (the MQ codeword is continuous across layers)
     cbState.foreach { case ((r, _, comp, bpos), (_, _, _, _, st)) =>
       val bIdx = if (r == 0) 0 else 1 + 3 * (r - 1) + bpos
-      val brct = bandRects(bIdx)
+      val brct = bandRects(comp)(bIdx)
       val orient = blist(bIdx)._5
       val plane = bandCoefs(comp)(bIdx)
       st.foreach { cb =>
@@ -1138,14 +1267,15 @@ object Jpeg2k {
       }
     }
 
-    // dequantize, inverse DWT, inverse MCT, level shift (tile-local)
-    val tw = trect.w
-    val th = trect.h
+    // dequantize, inverse DWT, inverse MCT, level shift — all in
+    // component coordinates (equal to tile coords when 1:1; MCT
+    // requires equal factors, so its planes always share dims)
+    val n0 = crects(0).w * crects(0).h
     val res = Array.ofDim[Array[Int]](ncomp)
     if (lossy) {
       val comps = Array.tabulate(ncomp) { comp =>
         val dPlanes = Array.tabulate(blist.length) { bIdx =>
-          val d = deltas(bIdx)
+          val d = deltasC(comp)(bIdx)
           val q = bandCoefs(comp)(bIdx)
           val out = new Array[Double](q.length)
           var i = 0
@@ -1159,7 +1289,7 @@ object Jpeg2k {
         }
         var cur = dPlanes(0)
         for (r <- 1 to levels) {
-          val rrr = resRect(trect, levels, r)
+          val rrr = resRect(crects(comp), levels, r)
           val b0 = 1 + 3 * (r - 1)
           cur = inv2dG97(cur, dPlanes(b0), dPlanes(b0 + 1), dPlanes(b0 + 2),
             rrr.x0, rrr.x1, rrr.y0, rrr.y1)
@@ -1169,7 +1299,7 @@ object Jpeg2k {
       if (mh.mct) {
         val (cy, cb, cr) = (comps(0), comps(1), comps(2))
         var i = 0
-        while (i < tw * th) {
+        while (i < n0) {
           // irreversible color transform inverse (T.800 G.3)
           val rr2 = cy(i) + 1.402 * cr(i)
           val gg = cy(i) - 0.344136 * cb(i) - 0.714136 * cr(i)
@@ -1179,10 +1309,11 @@ object Jpeg2k {
         }
       }
       for (comp <- 0 until ncomp) {
-        val out = new Array[Int](tw * th)
+        val nC = crects(comp).w * crects(comp).h
+        val out = new Array[Int](nC)
         val cur = comps(comp)
         var i = 0
-        while (i < tw * th) {
+        while (i < nC) {
           var v = math.floor(cur(i) + shift + 0.5).toInt
           if (v < loCl) v = loCl
           if (v > hiCl) v = hiCl
@@ -1195,7 +1326,7 @@ object Jpeg2k {
       val comps = Array.tabulate(ncomp) { comp =>
         var cur = bandCoefs(comp)(0)
         for (r <- 1 to levels) {
-          val rrr = resRect(trect, levels, r)
+          val rrr = resRect(crects(comp), levels, r)
           val b0 = 1 + 3 * (r - 1)
           cur = inv2dG53(cur, bandCoefs(comp)(b0), bandCoefs(comp)(b0 + 1),
             bandCoefs(comp)(b0 + 2), rrr.x0, rrr.x1, rrr.y0, rrr.y1)
@@ -1205,7 +1336,7 @@ object Jpeg2k {
       if (mh.mct) {
         val (py, pu, pv) = (comps(0), comps(1), comps(2))
         var i = 0
-        while (i < tw * th) {
+        while (i < n0) {
           val g = py(i) - ((pu(i) + pv(i)) >> 2)
           val rr2 = pv(i) + g
           val bb = pu(i) + g
@@ -1214,10 +1345,11 @@ object Jpeg2k {
         }
       }
       for (comp <- 0 until ncomp) {
-        val out = new Array[Int](tw * th)
+        val nC = crects(comp).w * crects(comp).h
+        val out = new Array[Int](nC)
         val cur = comps(comp)
         var i = 0
-        while (i < tw * th) { out(i) = cur(i) + shift; i += 1 }
+        while (i < nC) { out(i) = cur(i) + shift; i += 1 }
         res(comp) = out
       }
     }
@@ -1235,7 +1367,14 @@ object Jpeg2k {
     val w = mh.ow
     val h = mh.oh
     val ncomp = mh.ncomp
-    val outPlanes = Array.fill(ncomp)(new Array[Int](w * h))
+    // each component's plane at its OWN subsampled dims (B.2:
+    // cdiv(Xsiz, xr) - cdiv(XOsiz, xr) columns); equal to w x h at 1:1
+    val compDims = Array.tabulate(ncomp) { c =>
+      val (xr, yr) = mh.subC(c)
+      (cdiv(mh.w, xr) - cdiv(mh.xo, xr), cdiv(mh.h, yr) - cdiv(mh.yo, yr))
+    }
+    val outPlanes = Array.tabulate(ncomp)(c =>
+      new Array[Int](compDims(c)._1 * compDims(c)._2))
     for (t <- 0 until mh.nTiles) {
       val parts = chain(t)
       val body: Array[Byte] = {
@@ -1253,27 +1392,53 @@ object Jpeg2k {
       for (comp <- 0 until ncomp) {
         val pl = outPlanes(comp)
         val cur = comps(comp)
+        val tc = compRect(mh, trect, comp)
+        val (xr, yr) = mh.subC(comp)
+        val ox = cdiv(mh.xo, xr)
+        val oy = cdiv(mh.yo, yr)
+        val cw = compDims(comp)._1
         var yy = 0
-        while (yy < trect.h) {
+        while (yy < tc.h) {
           var xx = 0
-          while (xx < trect.w) {
-            pl((trect.y0 + yy - mh.yo) * w + (trect.x0 + xx - mh.xo)) =
-              cur(yy * trect.w + xx)
+          while (xx < tc.w) {
+            pl((tc.y0 + yy - oy) * cw + (tc.x0 + xx - ox)) =
+              cur(yy * tc.w + xx)
             xx += 1
           }
           yy += 1
         }
       }
     }
+    // interleave on the full image grid; a subsampled component
+    // replicates each sample across its xr x yr footprint (nearest
+    // neighbor, clamped at the region edges) — the presentation
+    // expansion viewers apply; the per-component lattice itself is
+    // what the codestream carries
     val out = new Array[Int](w * h * ncomp)
-    var i = 0
-    while (i < w * h) {
-      var c = 0
-      while (c < ncomp) {
-        out(i * ncomp + c) = outPlanes(c)(i)
-        c += 1
+    var c = 0
+    while (c < ncomp) {
+      val (xr, yr) = mh.subC(c)
+      val pl = outPlanes(c)
+      val (cw, ch) = compDims(c)
+      if (xr == 1 && yr == 1) {
+        var i = 0
+        while (i < w * h) { out(i * ncomp + c) = pl(i); i += 1 }
+      } else {
+        val ox = cdiv(mh.xo, xr)
+        val oy = cdiv(mh.yo, yr)
+        var y = 0
+        while (y < h) {
+          val cy = math.max(0, math.min(ch - 1, (mh.yo + y) / yr - oy))
+          var x = 0
+          while (x < w) {
+            val cx = math.max(0, math.min(cw - 1, (mh.xo + x) / xr - ox))
+            out((y * w + x) * ncomp + c) = pl(cy * cw + cx)
+            x += 1
+          }
+          y += 1
+        }
       }
-      i += 1
+      c += 1
     }
     J2kImage(w, h, mh.prec, mh.signed, ncomp, out)
   }

@@ -64,6 +64,28 @@ class Jpeg2kSpec extends AnyFunSuite {
   test("canvas offsets + tile-grid anchor + RPCL + lossy 9/7 + layers")(
     check("offs_rpcl_lossy", 30, 22, 8))
 
+  test("COC per-component code-block sizes + precincts + auto QCC, lossless RCT, tiles") {
+    val img = Jpeg2k.decode(bytes("coc53.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((33, 25, 8, 3)))
+    assert(img.samples.toSeq == bytes("coc53.raw").map(_ & 0xff).toSeq)
+  }
+  test("QCC per-component quantization (expounded + derived) through ICT, RPCL") {
+    val img = Jpeg2k.decode(bytes("qcc97.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((33, 25, 8, 3)))
+    assert(img.samples.toSeq == bytes("qcc97.raw").map(_ & 0xff).toSeq)
+  }
+
+  test("component subsampling 4:2:0 with tiles + RPCL + layers (B.2 lattices)") {
+    val img = Jpeg2k.decode(bytes("sub420.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((32, 24, 8, 3)))
+    assert(img.samples.toSeq == bytes("sub420.raw").map(_ & 0xff).toSeq)
+  }
+  test("component subsampling 4:2:2, lossy 9/7 with per-component QCC") {
+    val img = Jpeg2k.decode(bytes("sub422_lossy.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((33, 25, 8, 3)))
+    assert(img.samples.toSeq == bytes("sub422_lossy.raw").map(_ & 0xff).toSeq)
+  }
+
   test("PCRL progression, two layers, RGB/MCT decodes exactly") {
     val img = Jpeg2k.decode(bytes("pcrl_rgb_layers.j2c"))
     assert((img.width, img.height, img.precision, img.components) == ((42, 31, 8, 3)))
@@ -124,16 +146,34 @@ class Jpeg2kSpec extends AnyFunSuite {
     }
   }
 
-  test("semantics-changing markers refuse loudly (COC)") {
-    // splice a COC (FF53) segment before SOT: skipping it would decode
+  test("semantics-changing markers refuse loudly (POC)") {
+    // splice a POC (FF5F) segment before SOT: skipping it would decode
     // silently-wrong pixels, so the decoder must refuse by name
     val good = bytes("g8_l1.j2c")
     val sot = good.indices.find(i => (good(i) & 0xff) == 0xff &&
       (good(i + 1) & 0xff) == 0x90).get
-    val coc = Array[Byte](0xff.toByte, 0x53, 0, 4, 0, 0)
-    val spliced = good.take(sot) ++ coc ++ good.drop(sot)
+    val poc = Array[Byte](0xff.toByte, 0x5f, 0, 9, 0, 0, 0, 1, 0, 1, 4)
+    val spliced = good.take(sot) ++ poc ++ good.drop(sot)
     val e = intercept[UnsupportedOperationException](Jpeg2k.decode(spliced))
-    assert(e.getMessage.contains("0xFF53"))
+    assert(e.getMessage.contains("0xFF5F"))
+  }
+
+  test("COC with per-component levels or transform refuses by name") {
+    // a COC whose levels differ from the COD is encoder exotica this
+    // decoder refuses rather than mis-decoding (ragged resolutions)
+    val good = bytes("g8_l1.j2c")   // 1 level, lossless
+    val sot = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      (good(i + 1) & 0xff) == 0x90).get
+    // Lcoc=9: Ccoc=0, Scoc=0, levels=3, xcb, ycb, style, transform=1
+    val cocLv = Array[Byte](0xff.toByte, 0x53, 0, 9, 0, 0, 3, 2, 2, 0, 1)
+    val e1 = intercept[IllegalArgumentException](
+      Jpeg2k.decode(good.take(sot) ++ cocLv ++ good.drop(sot)))
+    assert(e1.getMessage.contains("per-component decomposition levels"))
+    // transform=0 (9/7) against a 5/3 COD
+    val cocTr = Array[Byte](0xff.toByte, 0x53, 0, 9, 0, 0, 1, 2, 2, 0, 0)
+    val e2 = intercept[IllegalArgumentException](
+      Jpeg2k.decode(good.take(sot) ++ cocTr ++ good.drop(sot)))
+    assert(e2.getMessage.contains("per-component transform"))
   }
 
   test("Scala lossy encoder (9/7 + expounded quant) roundtrips within quantizer error") {

@@ -1159,15 +1159,16 @@ def quant_setup(levels, prec, style, e0, mu0):
 PROGRESSIONS = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
 
 
-def pkt_key(order, l, r, c, pi, pj, ppx, ppy, levels, tx0, ty0):
+def pkt_key(order, l, r, c, pi, pj, ppx, ppy, levels, tx0, ty0,
+            xr=1, yr=1):
     """Packet ordering key for the five T.800 progressions (B.12).
     Position progressions (RPCL/PCRL/CPRL) order precincts by the
     reference-grid projection of their origin (resolution coords x
     2^(levels-r)) CLAMPED to the tile origin: B.12's position loops
     run over [ty0, ty1), so a tile's first partial precinct keys at
     the tile origin, not its (grid-anchored-at-0) projected origin."""
-    ty = max(ty0, (pj << ppy) << (levels - r))
-    tx = max(tx0, (pi << ppx) << (levels - r))
+    ty = max(ty0, ((pj << ppy) << (levels - r)) * yr)
+    tx = max(tx0, ((pi << ppx) << (levels - r)) * xr)
     if order == 0:
         return (l, r, c, pj, pi)
     if order == 1:
@@ -1189,7 +1190,8 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
            ncomp=1, mct=False, transform="53", quant=None,
            xtsiz=None, ytsiz=None, precincts=None, sop=False, eph=False,
            tile_parts=1, layers=1, progression="LRCP",
-           xosiz=0, yosiz=0, xtosiz=0, ytosiz=0, coc=None, qcc=None):
+           xosiz=0, yosiz=0, xtosiz=0, ytosiz=0, coc=None, qcc=None,
+           subsampling=None):
     """img: single plane (ncomp=1) or list of ncomp planes, row-major
     w x h. transform "53" (reversible, quant must be None) or "97"
     (irreversible, quant = (style, e0, mu0), style "derived" or
@@ -1206,7 +1208,11 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     its quantization override (a (style, e0, mu0) tuple when lossy or
     the string "auto" when lossless — per-component reversible
     exponents from that component's own magnitudes), emitted as QCC
-    markers."""
+    markers. subsampling is a per-component (XRsiz, YRsiz) list:
+    component c's samples live on the reference-grid lattice of
+    multiples of its factors, so its plane has
+    cdiv(Xsiz, xr) - cdiv(XOsiz, xr) columns (T.800 B.2); pass each
+    plane at ITS OWN dims. MCT requires equal factors."""
     assert 1 <= levels <= 6 and 4 <= cbw <= 64 and 4 <= cbh <= 64
     assert transform in ("53", "97")
     assert 1 <= layers <= 65535
@@ -1265,9 +1271,23 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
         else:
             assert q == "auto", 'lossless QCC must be "auto"'
 
+    subs = ([(1, 1)] * ncomp if subsampling is None
+            else [tuple(s) for s in subsampling])
+    assert len(subs) == ncomp
+    for (xr, yr) in subs:
+        assert 1 <= xr <= 255 and 1 <= yr <= 255
+    assert not mct or len(set(subs[:3])) == 1, \
+        "MCT requires equal component subsampling"
+    # component plane dims (T.800 B.2: samples at factor multiples)
+    cw_dims = [(_cdiv(xsiz, xr) - _cdiv(xosiz, xr),
+                _cdiv(ysiz, yr) - _cdiv(yosiz, yr)) for (xr, yr) in subs]
+
     shift = 0 if signed else 1 << (prec - 1)
     planes = [img] if ncomp == 1 else list(img)
     assert len(planes) == ncomp
+    for c in range(ncomp):
+        assert len(planes[c]) == cw_dims[c][0] * cw_dims[c][1], \
+            f"comp {c}: plane size != its subsampled dims"
     lcbw = cbw.bit_length() - 1
     lcbh = cbh.bit_length() - 1
     blist = band_list(levels)
@@ -1279,12 +1299,19 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     tile_bands = []
     max_mag = [[0] * len(blist) for _ in range(ncomp)]
     for (tx0, tx1, ty0, ty1) in tiles:
-        tw = tx1 - tx0
+        # per-component tile rects in component coordinates (B.3:
+        # tcx = cdiv(tx, XRsiz)); equal to the tile rect when 1:1
+        crects = [(_cdiv(tx0, xr), _cdiv(tx1, xr),
+                   _cdiv(ty0, yr), _cdiv(ty1, yr)) for (xr, yr) in subs]
         comps = []
         for c in range(ncomp):
             pl = planes[c]
-            sub = [pl[(yy - yosiz) * w + (xx - xosiz)] - shift
-                   for yy in range(ty0, ty1) for xx in range(tx0, tx1)]
+            (cx0, cx1, cy0, cy1) = crects[c]
+            cwp = cw_dims[c][0]
+            ox = _cdiv(xosiz, subs[c][0])
+            oy = _cdiv(yosiz, subs[c][1])
+            sub = [pl[(yy - oy) * cwp + (xx - ox)] - shift
+                   for yy in range(cy0, cy1) for xx in range(cx0, cx1)]
             comps.append(sub)
         if mct:
             assert ncomp == 3
@@ -1301,17 +1328,18 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
         per_comp = []
         for c in range(ncomp):
             cur = comps[c]
-            cx0, cx1, cy0, cy1 = tx0, tx1, ty0, ty1
+            (tcx0, tcx1, tcy0, tcy1) = crects[c]
+            cx0, cx1, cy0, cy1 = tcx0, tcx1, tcy0, tcy1
             bands = {}
             for k in range(1, levels + 1):
                 r = levels - k + 1
                 ll, hl, lh, hh = fwd2d_g(cur, cx0, cx1, cy0, cy1,
                                          transform)
-                bands[(r, "HL")] = (hl, band_rect(tx0, tx1, ty0, ty1,
+                bands[(r, "HL")] = (hl, band_rect(tcx0, tcx1, tcy0, tcy1,
                                                   levels, r, "HL"))
-                bands[(r, "LH")] = (lh, band_rect(tx0, tx1, ty0, ty1,
+                bands[(r, "LH")] = (lh, band_rect(tcx0, tcx1, tcy0, tcy1,
                                                   levels, r, "LH"))
-                bands[(r, "HH")] = (hh, band_rect(tx0, tx1, ty0, ty1,
+                bands[(r, "HH")] = (hh, band_rect(tcx0, tcx1, tcy0, tcy1,
                                                   levels, r, "HH"))
                 cur = ll
                 cx0, cx1 = _cdiv(cx0, 2), _cdiv(cx1, 2)
@@ -1372,10 +1400,10 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     out.extend(xtosiz.to_bytes(4, "big"))
     out.extend(ytosiz.to_bytes(4, "big"))
     m16(ncomp)                       # Csiz
-    for _ in range(ncomp):
+    for c in range(ncomp):
         out.append((prec - 1) | (0x80 if signed else 0))
-        out.append(1)                # XRsiz
-        out.append(1)                # YRsiz
+        out.append(subs[c][0])       # XRsiz
+        out.append(subs[c][1])       # YRsiz
     m16(0xFF52)                      # COD
     m16(12 + (levels + 1 if scod_prec else 0))
     out.append(scod_prec | (2 if sop else 0) | (4 if eph else 0))
@@ -1453,11 +1481,13 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
         # cbs[i] = dict(data, npl, nps, ends, bounds, lblock, included)
         cb_state = {}
         pkts_meta = []
+        crects = [(_cdiv(tx0, xr), _cdiv(tx1, xr),
+                   _cdiv(ty0, yr), _cdiv(ty1, yr)) for (xr, yr) in subs]
         for r in range(levels + 1):
-            rr = res_rect(tx0, tx1, ty0, ty1, levels, r)
             bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
             pshift = 0 if r == 0 else 1
             for c in range(ncomp):
+                rr = res_rect(*crects[c], levels, r)
                 ppx, ppy = (pps_c[c] if pps_c[c] is not None else pps)[r]
                 precs = prec_grid(*rr, ppx, ppy)
                 exw = min(lcbw_c[c], ppx - pshift)
@@ -1486,7 +1516,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                     for l in range(layers):
                         pkts_meta.append((pkt_key(prog, l, r, c, pi, pj,
                                                   ppx, ppy, levels,
-                                                  tx0, ty0),
+                                                  tx0, ty0, *subs[c]),
                                           l, r, c, ip, pi, pj))
         pkts_meta.sort(key=lambda x: x[0])
 
@@ -1640,10 +1670,12 @@ def decode(data):
             ytosiz = u32()
             ncomp = u16()
             sss = []
+            subs = []
             for c in range(ncomp):
                 sss.append(data[pos])
-                assert data[pos + 1] == 1 and data[pos + 2] == 1, \
-                    "no subsampling"
+                assert 1 <= data[pos + 1] <= 255 and \
+                    1 <= data[pos + 2] <= 255, "bad XRsiz/YRsiz"
+                subs.append((data[pos + 1], data[pos + 2]))
                 pos += 3
             assert len(set(sss)) == 1, "mixed component precisions"
             prec = (sss[0] & 0x7F) + 1
@@ -1791,11 +1823,16 @@ def decode(data):
         "missing tile-parts"
     if mct:
         assert ncomp == 3, "MCT needs 3 components"
+        assert len(set(subs[:3])) == 1, \
+            "MCT requires equal component subsampling"
 
     shift = 0 if signed else 1 << (prec - 1)
     lo_cl = -(1 << (prec - 1)) if signed else 0
     hi_cl = (1 << (prec - 1)) - 1 if signed else (1 << prec) - 1
-    out_planes = [[0] * (w * h) for _ in range(ncomp)]
+    # each plane at ITS OWN subsampled dims (w x h when 1:1)
+    cw_dims = [(_cdiv(xsiz, xr) - _cdiv(xosiz, xr),
+                _cdiv(ysiz, yr) - _cdiv(yosiz, yr)) for (xr, yr) in subs]
+    out_planes = [[0] * (cw * ch) for (cw, ch) in cw_dims]
 
     for t, (tx0, tx1, ty0, ty1) in enumerate(tiles):
         parts = tp_bodies[t]
@@ -1804,29 +1841,31 @@ def decode(data):
             f"tile {t}: have parts {sorted(parts)} of {n_parts}"
         body = b"".join(parts[k] for k in range(n_parts))
         br = HdrReader(body, 0)
+        crects = [(_cdiv(tx0, xr), _cdiv(tx1, xr),
+                   _cdiv(ty0, yr), _cdiv(ty1, yr)) for (xr, yr) in subs]
         band_rects = {}
         band_coefs = {}
         for (r, name, _, _) in blist:
-            rect = band_rect(tx0, tx1, ty0, ty1, levels, r, name)
-            band_rects[(r, name)] = rect
             for c in range(ncomp):
+                rect = band_rect(*crects[c], levels, r, name)
+                band_rects[(c, r, name)] = rect
                 band_coefs[(c, r, name)] = \
                     [0] * ((rect[1] - rect[0]) * (rect[3] - rect[2]))
         # per-(r, precinct, comp, band) persistent packet state
         cb_state = {}
         pkts_meta = []
         for r in range(levels + 1):
-            rr = res_rect(tx0, tx1, ty0, ty1, levels, r)
             bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
             pshift = 0 if r == 0 else 1
             for c in range(ncomp):
+                rr = res_rect(*crects[c], levels, r)
                 ppx, ppy = pps_c[c][r]
                 precs = prec_grid(*rr, ppx, ppy)
                 exw = min(lcbw_c[c], ppx - pshift)
                 exh = min(lcbh_c[c], ppy - pshift)
                 for ip, (pi, pj) in enumerate(precs):
                     for bpos, name in enumerate(bnames):
-                        brect = band_rects[(r, name)]
+                        brect = band_rects[(c, r, name)]
                         pb = prec_band_rect(pi, pj, ppx, ppy, pshift,
                                             brect)
                         cbs, nx, ny = cb_list_g(pb, exw, exh)
@@ -1838,7 +1877,7 @@ def decode(data):
                     for l in range(layers):
                         pkts_meta.append((pkt_key(prog, l, r, c, pi, pj,
                                                   ppx, ppy, levels,
-                                                  tx0, ty0),
+                                                  tx0, ty0, *subs[c]),
                                           l, r, c, ip))
         pkts_meta.sort(key=lambda x: x[0])
 
@@ -1894,7 +1933,7 @@ def decode(data):
         # segments (the MQ codeword is continuous across layers)
         for (r, ip, c, bpos), (nx, ny, _, _, st) in cb_state.items():
             name = (["LL"] if r == 0 else ["HL", "LH", "HH"])[bpos]
-            brect = band_rects[(r, name)]
+            brect = band_rects[(c, r, name)]
             bw_ = brect[1] - brect[0]
             for cb in st:
                 x0, x1_, y0, y1_ = cb["rect"]
@@ -1907,8 +1946,8 @@ def decode(data):
                         plane[(y0 + yy - brect[2]) * bw_ +
                               (x0 + xx - brect[0])] =                             coefs[yy * cw_ + xx]
 
-        # dequantize, inverse DWT, inverse MCT, level shift
-        tw, th = tx1 - tx0, ty1 - ty0
+        # dequantize, inverse DWT, inverse MCT, level shift - all in
+        # component coordinates (the tile rect cdiv'd by the factors)
         comps = []
         for c in range(ncomp):
             if lossy:
@@ -1920,14 +1959,15 @@ def decode(data):
                                     (q - 0.5) * d if q < 0 else 0.0)
             cur = band_coefs[(c, 0, "LL")]
             for r in range(1, levels + 1):
-                x0, x1_, y0, y1_ = res_rect(tx0, tx1, ty0, ty1, levels, r)
+                x0, x1_, y0, y1_ = res_rect(*crects[c], levels, r)
                 cur = inv2d_g(cur, band_coefs[(c, r, "HL")],
                               band_coefs[(c, r, "LH")],
                               band_coefs[(c, r, "HH")],
                               x0, x1_, y0, y1_, kernel)
             comps.append(cur)
         if mct:
-            n = tw * th
+            n = ((crects[0][1] - crects[0][0])
+                 * (crects[0][3] - crects[0][2]))
             if lossy:
                 for i in range(n):
                     comps[0][i], comps[1][i], comps[2][i] = ict_inv(
@@ -1939,16 +1979,23 @@ def decode(data):
         for c in range(ncomp):
             pl = out_planes[c]
             cur = comps[c]
-            for yy in range(th):
-                for xx in range(tw):
-                    v = cur[yy * tw + xx]
+            (cx0, cx1, cy0, cy1) = crects[c]
+            ctw, cth = cx1 - cx0, cy1 - cy0
+            cwp = cw_dims[c][0]
+            ox = _cdiv(xosiz, subs[c][0])
+            oy = _cdiv(yosiz, subs[c][1])
+            for yy in range(cth):
+                for xx in range(ctw):
+                    v = cur[yy * ctw + xx]
                     if lossy:
                         v = math.floor(v + shift + 0.5)
                         v = lo_cl if v < lo_cl else hi_cl if v > hi_cl else v
                     else:
                         v = v + shift
-                    pl[(ty0 + yy - yosiz) * w + (tx0 + xx - xosiz)] = v
+                    pl[(cy0 + yy - oy) * cwp + (cx0 + xx - ox)] = v
 
+    # planes come back at each component's OWN subsampled dims
+    # (w x h when all factors are 1:1)
     if ncomp == 1:
         return w, h, prec, signed, out_planes[0]
     return w, h, prec, signed, out_planes
@@ -2117,6 +2164,20 @@ def _selftest():
               for a, b in zip(pa, pb))
     assert err <= 2, f"COC/QCC lossy: max err {err}"
     print(f"ok COC/QCC lossy per-comp quant err<={err}")
+
+    # component subsampling (B.2 lattices): 4:2:0-style planes at
+    # their own dims, across tiles and a position progression
+    w, h = 33, 25
+    subs = [(1, 1), (2, 2), (2, 2)]
+    dims = [(_cdiv(w, xr), _cdiv(h, yr)) for (xr, yr) in subs]
+    planes = [[(x * (3 + c) + y * (5 + c)) % 256
+               for y in range(dh) for x in range(dw)]
+              for c, (dw, dh) in enumerate(dims)]
+    enc = encode(planes, w, h, 8, ncomp=3, levels=2, cbw=8, cbh=8,
+                 subsampling=subs, xtsiz=17, ytsiz=13,
+                 progression="RPCL", layers=2)
+    assert decode(enc)[4] == planes, "4:2:0 tiled RPCL"
+    print("ok subsampling 4:2:0 tiled RPCL lossless")
     print("selftest passed")
 
 

@@ -224,6 +224,73 @@ def main():
           progression="RPCL", layers=2, transform="97",
           quant=("expounded", 8, 256))
 
+    # COC/QCC per-component coding/quantization styles — what
+    # mainstream encoders (OpenJPEG/Kakadu) routinely emit on color
+    # images (e.g. different code-block or quantization parameters
+    # for chroma after the color transform). coc53: lossless RCT
+    # with per-component code-block sizes + precincts + "auto"
+    # reversible exponents, across tiles; qcc97: lossy ICT with
+    # per-component quantization (expounded AND derived overrides)
+    # plus a chroma code-block override, RPCL.
+    r = lcg(233)
+    w, h = 33, 25
+    planes = [[(x * (3 + c) + y * (5 + c) + next(r) % 23) % 256
+               for y in range(h) for x in range(w)] for c in range(3)]
+    emit2("coc53", planes, w, h, 8, ncomp=3, mct=True, levels=2,
+          cbw=16, cbh=16, xtsiz=17, ytsiz=13,
+          coc={1: dict(cbw=8, cbh=8, precincts=[(5, 5), (3, 3), (4, 4)]),
+               2: dict(cbw=4, cbh=8)},
+          qcc={2: "auto"})
+    emit2("qcc97", planes, w, h, 8, ncomp=3, mct=True, levels=2,
+          cbw=8, cbh=8, transform="97", quant=("expounded", 9, 256),
+          progression="RPCL", layers=2, coc={1: dict(cbw=4, cbh=4)},
+          qcc={1: ("expounded", 10, 512), 2: ("derived", 11, 128)})
+
+    # component subsampling (SIZ XRsiz/YRsiz, T.800 B.2): planes live
+    # on per-component lattices. The committed .raw is the REPLICATED
+    # full-grid interleave (each subsampled sample across its xr x yr
+    # footprint, clamped at region edges) — the presentation rule the
+    # Scala decoder's interleaved output applies; the Python decoder
+    # returns natural-size planes, replicated here identically.
+    def cdiv(a, b):
+        return -(-a // b)
+
+    def emit_sub(name, w, h, prec, subs, seed, **kw):
+        r = lcg(seed)
+        dims = [(cdiv(w, xr), cdiv(h, yr)) for (xr, yr) in subs]
+        planes = [[(x * (3 + c) + y * (5 + c) + next(r) % 23) % 256
+                   for y in range(dh) for x in range(dw)]
+                  for c, (dw, dh) in enumerate(dims)]
+        enc = encode(planes, w, h, prec, ncomp=len(subs),
+                     subsampling=subs, **kw)
+        dw_, dh_, dp_, _, dec = decode(enc)
+        assert (dw_, dh_, dp_) == (w, h, prec), name
+        if kw.get("transform", "53") == "53":
+            assert dec == planes, name
+        with open(os.path.join(outdir, name + ".j2c"), "wb") as f:
+            f.write(enc)
+        raw = bytearray()
+        for y in range(h):
+            for x in range(w):
+                for c, (xr, yr) in enumerate(subs):
+                    cw, ch = dims[c]
+                    cx = max(0, min(cw - 1, x // xr))
+                    cy = max(0, min(ch - 1, y // yr))
+                    v = dec[c][cy * cw + cx]
+                    if prec > 8:
+                        raw.append((v >> 8) & 0xFF)
+                    raw.append(v & 0xFF)
+        with open(os.path.join(outdir, name + ".raw"), "wb") as f:
+            f.write(bytes(raw))
+
+    emit_sub("sub420", 32, 24, 8, [(1, 1), (2, 2), (2, 2)], 241,
+             levels=2, cbw=8, cbh=8, xtsiz=13, ytsiz=9,
+             progression="RPCL", layers=2)
+    emit_sub("sub422_lossy", 33, 25, 8, [(1, 1), (2, 1), (2, 1)], 251,
+             levels=2, cbw=8, cbh=8, transform="97",
+             quant=("expounded", 9, 256),
+             qcc={1: ("expounded", 10, 512), 2: ("expounded", 10, 512)})
+
     print("wrote j2k fixtures to", outdir)
 
 
