@@ -392,16 +392,57 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cands, armed) = lshCandidatesWithDecision(signaturesFromSets(sets, numHashes),
       numBands, numHashes / numBands, hotBucketThreshold, saltGroups)
-    val out = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // Exact-duplicate collapse for the VERIFY stage (r12, after the
+    // r11 skew rehearsal's IO sensitivity attributed to this join):
+    // docs with IDENTICAL shingle sets — boilerplate cliques, web
+    // corpora's dominant skew — share one representative (min doc_id
+    // over the set-equality class), so per-pair `array_intersect`
+    // ships arrays once per DISTINCT REPRESENTATIVE PAIR instead of
+    // once per doc pair. A B-doc identical clique costs O(B) narrow
+    // rows here instead of O(B²)·|set| shuffle bytes; at 100× corpus
+    // scale the latter is the plan-killer. Output is UNCHANGED:
+    // same-rep pairs have jaccard exactly 1.0 (identical nonempty
+    // sets), cross-rep pairs take their rep pair's verified jaccard
+    // (equal sets ⇒ equal jaccard), and pairs of empty sets drop in
+    // both shapes (0/0 was never >= a positive threshold).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val members = sets
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("rep"),
+        size(col("sh")).as("nsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repSets = sets.join(
+      members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    val candsR = cands
+      .join(members.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"),
+        col("nsh").as("nsh_a")), "doc_a")
+      .join(members.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")),
+        "doc_b")
+    val sameRep = candsR
+      .filter(col("rep_a") === col("rep_b") && col("nsh_a") > 0)
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val repPairs = candsR.filter(col("rep_a") =!= col("rep_b"))
+      .select(least(col("rep_a"), col("rep_b")).as("ra"),
+        greatest(col("rep_a"), col("rep_b")).as("rb"))
+      .distinct()
+    val repVerified = repPairs
+      .join(repSets.select(col("doc_id").as("ra"), col("sh").as("sh_a")), "ra")
+      .join(repSets.select(col("doc_id").as("rb"), col("sh").as("sh_b")), "rb")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
+      .select(col("ra"), col("rb"), col("jaccard"))
+    val crossRep = candsR.filter(col("rep_a") =!= col("rep_b"))
+      .select(col("doc_a"), col("doc_b"),
+        least(col("rep_a"), col("rep_b")).as("ra"),
+        greatest(col("rep_a"), col("rep_b")).as("rb"))
+      .join(repVerified, Seq("ra", "rb"))
       .select("doc_a", "doc_b", "jaccard")
+    val out = sameRep.union(crossRep)
       // verified pairs only — tiny next to the shingle cache it frees
       .localCheckpoint(eager = true)
+    members.unpersist()
     sets.unpersist()
     (out, armed)
   }
