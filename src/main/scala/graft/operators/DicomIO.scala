@@ -34,10 +34,10 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *                            tile-parts, quality layers and all
   *                            five progression orders, via the
   *                            pure-JVM T.800 decoder in [[Jpeg2k]]
-  *                            incl. COC/QCC per-component styles
-  *                            (residual exotica — non-default
-  *                            code-block styles, subsampling, POC —
-  *                            refuse there by name)
+  *                            incl. COC/QCC per-component styles,
+  *                            subsampling, and all Table-A.19
+  *                            code-block styles (residual exotica —
+  *                            RGN/POC/PPM/PPT — refuse there by name)
   *   - 1.2.840.10008.1.2.1.99 Deflated Explicit VR LE (the whole
   *                            post-meta dataset is one raw-deflate
   *                            stream, re-inflated per decode task)

@@ -37,8 +37,17 @@ package graft.operators
   * output replicates each subsampled sample across its footprint
   * (the viewers' presentation expansion), documented as such.
   *
-  * Still refusing loudly by name: non-default code-block styles and
-  * the semantics-changing markers RGN/POC/PPM/PPT.
+  * Code-block styles (Table A.19, Kakadu's "Cmodes") decode in any
+  * combination: selective arithmetic BYPASS (raw SPP/MRP from the
+  * fifth most significant bitplane, stuff-bit packing, terminated
+  * raw/MQ segment transitions with per-segment packet-header
+  * lengths, B.10.7.2), RESET (per-pass context reinit), RESTART
+  * (per-pass MQ termination), vertically stripe-CAUSAL contexts,
+  * predictable termination (flush-side — flag accepted), and
+  * SEGMENTATION SYMBOLS (1010 verified per cleanup pass).
+  *
+  * Still refusing loudly by name: the semantics-changing markers
+  * RGN/POC/PPM/PPT.
   *
   * Lossy exact-parity contract: dequantization reconstructs at the
   * interval midpoint ((q ± 0.5)·Δb with Δb = 2^(Rb−εb)·(1+μb/2^11)),
@@ -84,10 +93,23 @@ object Jpeg2k {
   private val CxRl = 17
   private val CxUni = 18
 
-  private final class MQDecoder(data: Array[Byte], from: Int, until: Int) {
-    private val stState = new Array[Int](19)
-    private val stMps = new Array[Int](19)
-    stState(0) = 4; stState(CxRl) = 3; stState(CxUni) = 46
+  /** Fresh MQ context states (D.2: ctx 0 at state 4, run-length at 3,
+    * uniform at 46, rest at 0/MPS 0) — shareable across terminated
+    * codeword segments (RESTART/BYPASS keep probabilities unless
+    * RESET asks otherwise).
+    */
+  private def freshCx(): (Array[Int], Array[Int]) = {
+    val st = new Array[Int](19)
+    st(0) = 4; st(CxRl) = 3; st(CxUni) = 46
+    (st, new Array[Int](19))
+  }
+
+  private final class MQDecoder(data: Array[Byte], from: Int, until: Int,
+      cx: (Array[Int], Array[Int])) {
+    def this(data: Array[Byte], from: Int, until: Int) =
+      this(data, from, until, Jpeg2k.freshCx())
+    private val stState = cx._1
+    private val stMps = cx._2
     private var bp = from
     private var c = 0L
     private var ct = 0
@@ -188,11 +210,69 @@ object Jpeg2k {
     case _ => throw new IllegalStateException("unreachable")
   }
 
-  /** Decode one code-block (band orientation, data segment, w x h,
-    * bit-planes, passes) to signed coefficients.
+  // Code-block styles (SPcod/SPcoc style byte, T.800 Table A.19):
+  // BYPASS 0x01 (raw SPP/MRP from the 5th MSB plane), RESET 0x02
+  // (contexts reset per pass), RESTART 0x04 (MQ terminated per pass),
+  // CAUSAL 0x08 (vertically stripe-causal contexts), ERTERM 0x10
+  // (a flush-side property — decodes identically, flag accepted),
+  // SEGSYM 0x20 (1010 segmentation symbol ends every cleanup pass).
+  private val StyBypass = 0x01
+  private val StyReset = 0x02
+  private val StyRestart = 0x04
+  private val StyCausal = 0x08
+  private val StySegsym = 0x20
+
+  /** (plane, passtype 0=SPP/1=MRP/2=cleanup) of coding pass k. */
+  private def passPlaneType(nplanes: Int, k: Int): (Int, Int) =
+    if (k == 0) (nplanes - 1, 2)
+    else (nplanes - 2 - (k - 1) / 3, (k - 1) % 3)
+
+  /** True when pass k is RAW under BYPASS (D.7): SPP/MRP from the
+    * fifth most significant bitplane onward.
     */
-  private def t1Decode(band: Int, data: Array[Byte], from: Int, until: Int,
-      w: Int, h: Int, nplanes: Int, npasses: Int): Array[Int] = {
+  private def passRaw(nplanes: Int, style: Int, k: Int): Boolean = {
+    val (p, pt) = passPlaneType(nplanes, k)
+    (style & StyBypass) != 0 && pt != 2 && p <= nplanes - 5
+  }
+
+  /** True when pass k STRUCTURALLY ends a terminated codeword segment
+    * (RESTART: every pass; BYPASS: raw/MQ transitions) — the rule the
+    * packet-header per-segment length signaling and segment assembly
+    * share; the stream's final flush additionally closes whatever
+    * segment the last pass leaves open.
+    */
+  private def segEndAfter(nplanes: Int, style: Int, k: Int): Boolean =
+    if ((style & StyRestart) != 0) true
+    else if ((style & StyBypass) != 0)
+      passRaw(nplanes, style, k) != passRaw(nplanes, style, k + 1)
+    else false
+
+  /** Bypass-mode raw bit reader (D.7.2): MSB-first; the byte after an
+    * 0xFF carries 7 bits (stuffed 0 MSB); reads 0 past the segment.
+    */
+  private final class RawDecoder(data: Array[Byte], from: Int, until: Int) {
+    private var pos = from
+    private var c = 0
+    private var nb = 0
+    private var prevFF = false
+    def bit(): Int = {
+      if (nb == 0) {
+        val b = if (pos < until) data(pos) & 0xff else 0
+        pos += 1
+        if (prevFF) { c = b & 0x7f; nb = 7 } else { c = b; nb = 8 }
+        prevFF = b == 0xff
+      }
+      nb -= 1
+      (c >> nb) & 1
+    }
+  }
+
+  /** Decode one code-block (band orientation, terminated codeword
+    * segments as (buffer, from, until) ranges, w x h, bit-planes,
+    * passes, code-block style) to signed coefficients.
+    */
+  private def t1Decode(band: Int, segs: IndexedSeq[(Array[Byte], Int, Int)],
+      w: Int, h: Int, nplanes: Int, npasses: Int, style: Int): Array[Int] = {
     val n = w * h
     val mags = new Array[Int](n)
     val sig = new Array[Int](n)
@@ -204,10 +284,23 @@ object Jpeg2k {
     // negative and (with JVM shift-masking) OR in wrong high bits
     require(nplanes >= 1 && npasses <= 3 * nplanes - 2,
       s"jpeg2000: $npasses passes exceed $nplanes bit-planes")
-    val mq = new MQDecoder(data, from, until)
+    val causal = (style & StyCausal) != 0
+    val cxPair = freshCx()
+    def resetCx(): Unit = {
+      java.util.Arrays.fill(cxPair._1, 0)
+      java.util.Arrays.fill(cxPair._2, 0)
+      cxPair._1(0) = 4; cxPair._1(CxRl) = 3; cxPair._1(CxUni) = 46
+    }
+    var mq: MQDecoder = null
+    var raw: RawDecoder = null
+    var segIdx = 0
+    // vertically stripe-causal limit: rows >= causalLim read as
+    // insignificant in context formation while a stripe is processed
+    var causalLim = Int.MaxValue
 
     def sigAt(x: Int, y: Int): Int =
-      if (x < 0 || y < 0 || x >= w || y >= h) 0 else sig(y * w + x)
+      if (x < 0 || y < 0 || x >= w || y >= h || y >= causalLim) 0
+      else sig(y * w + x)
     def sgnContrib(x: Int, y: Int): Int =
       if (sigAt(x, y) == 0) 0
       else if (sgn(y * w + x) == 1) -1 else 1
@@ -231,12 +324,21 @@ object Jpeg2k {
     }
 
     var done = 0
-    var p = nplanes - 1
-    var which = 2 // first pass of the first plane is cleanup
     while (done < npasses) {
+      val (p, which) = passPlaneType(nplanes, done)
+      val rawMode = passRaw(nplanes, style, done)
+      if (mq == null && raw == null) {
+        val (buf, f, u) =
+          if (segIdx < segs.length) segs(segIdx)
+          else (Array.emptyByteArray, 0, 0)
+        segIdx += 1
+        if (rawMode) raw = new RawDecoder(buf, f, u)
+        else mq = new MQDecoder(buf, f, u, cxPair)
+      }
       if (which == 0) { // significance propagation
         var y0 = 0
         while (y0 < h) {
+          causalLim = if (causal) y0 + 4 else Int.MaxValue
           var x = 0
           while (x < w) {
             var y = y0
@@ -247,8 +349,10 @@ object Jpeg2k {
                 val (hh, vv, dd) = hvd(x, y)
                 if (hh + vv + dd != 0) {
                   vis(i) = 1
-                  if (mq.decode(sigCtx(band, hh, vv, dd)) == 1) {
-                    val s = decodeSign(x, y)
+                  val b = if (rawMode) raw.bit()
+                    else mq.decode(sigCtx(band, hh, vv, dd))
+                  if (b == 1) {
+                    val s = if (rawMode) raw.bit() else decodeSign(x, y)
                     sig(i) = 1; sgn(i) = s
                     mags(i) |= 1 << p
                   }
@@ -263,6 +367,7 @@ object Jpeg2k {
       } else if (which == 1) { // magnitude refinement
         var y0 = 0
         while (y0 < h) {
+          causalLim = if (causal) y0 + 4 else Int.MaxValue
           var x = 0
           while (x < w) {
             var y = y0
@@ -270,7 +375,8 @@ object Jpeg2k {
             while (y < ylim) {
               val i = y * w + x
               if (sig(i) == 1 && vis(i) == 0) {
-                if (mq.decode(magCtx(x, y)) == 1) mags(i) |= 1 << p
+                val b = if (rawMode) raw.bit() else mq.decode(magCtx(x, y))
+                if (b == 1) mags(i) |= 1 << p
                 ref(i) = 1
               }
               y += 1
@@ -279,9 +385,10 @@ object Jpeg2k {
           }
           y0 += 4
         }
-      } else { // cleanup
+      } else { // cleanup (always MQ-coded)
         var y0 = 0
         while (y0 < h) {
+          causalLim = if (causal) y0 + 4 else Int.MaxValue
           var x = 0
           while (x < w) {
             var y = y0
@@ -330,10 +437,20 @@ object Jpeg2k {
           }
           y0 += 4
         }
+        if ((style & StySegsym) != 0) {
+          // 1010 segmentation symbol, UNI context (D.6)
+          val s = (mq.decode(CxUni) << 3) | (mq.decode(CxUni) << 2) |
+            (mq.decode(CxUni) << 1) | mq.decode(CxUni)
+          require(s == 0xa, s"jpeg2000: bad segmentation symbol $s")
+        }
         java.util.Arrays.fill(vis, 0)
       }
+      causalLim = Int.MaxValue
+      if (done == npasses - 1 || segEndAfter(nplanes, style, done)) {
+        mq = null; raw = null
+      }
+      if ((style & StyReset) != 0) resetCx()
       done += 1
-      if (which == 2) { p -= 1; which = 0 } else which += 1
     }
     val out = new Array[Int](n)
     var i = 0
@@ -762,7 +879,11 @@ object Jpeg2k {
       // SIZ XRsiz/YRsiz per component (empty = all 1:1): component
       // c's samples live on the reference-grid lattice of multiples
       // of its factors (T.800 B.2)
-      subs: IndexedSeq[(Int, Int)] = IndexedSeq.empty) {
+      subs: IndexedSeq[(Int, Int)] = IndexedSeq.empty,
+      // code-block style byte (Table A.19) + per-component COC
+      // overrides
+      cbsty: Int = 0,
+      cocSty: Map[Int, Int] = Map.empty) {
     def ntx: Int = cdiv(w - xto, xt)
     def nty: Int = cdiv(h - yto, yt)
     def nTiles: Int = ntx * nty
@@ -777,6 +898,7 @@ object Jpeg2k {
       qcc.get(c).map(_._2).getOrElse(pairs)
     def subC(c: Int): (Int, Int) =
       if (subs.isEmpty) (1, 1) else subs(c)
+    def cbstyC(c: Int): Int = cocSty.getOrElse(c, cbsty)
   }
 
   /** tile rect in component c's coordinates (B.3: cdiv by factors) */
@@ -817,7 +939,7 @@ object Jpeg2k {
     var xo = 0; var yo = 0; var xto = 0; var yto = 0
     var subs = IndexedSeq.empty[(Int, Int)]
     var ncomp = 1; var mct = false
-    var levels = -1; var lcbw = -1; var lcbh = -1
+    var levels = -1; var lcbw = -1; var lcbh = -1; var cbsty = 0
     var prog = 0; var layers = 1
     var useSop = false; var useEph = false
     var lossy = false
@@ -827,7 +949,7 @@ object Jpeg2k {
     // COC/QCC overrides, validated against COD/QCD after the loop
     // (marker order in the main header is not fixed)
     val cocRaw = scala.collection.mutable.Map
-      .empty[Int, (Int, Int, Int, Boolean, IndexedSeq[(Int, Int)])]
+      .empty[Int, (Int, Int, Int, Boolean, IndexedSeq[(Int, Int)], Int)]
     val qccRaw = scala.collection.mutable.Map
       .empty[Int, (Int, Int, IndexedSeq[(Int, Int)])]
     var sotAt = -1
@@ -888,8 +1010,9 @@ object Jpeg2k {
           levels = data(pos + 5) & 0xff
           lcbw = (data(pos + 6) & 0xff) + 2
           lcbh = (data(pos + 7) & 0xff) + 2
-          require((data(pos + 8) & 0xff) == 0,
-            "jpeg2000: non-default code-block styles unsupported")
+          cbsty = data(pos + 8) & 0xff
+          require((cbsty & ~0x3f) == 0,
+            f"jpeg2000: unknown code-block style bits 0x$cbsty%02X")
           // T.800 Table A.20: 0 = irreversible 9/7, 1 = reversible 5/3
           val transform = data(pos + 9) & 0xff
           require(transform <= 1, s"jpeg2000: unknown transform $transform")
@@ -935,8 +1058,9 @@ object Jpeg2k {
           val lv2 = data(pos + 2) & 0xff
           val w2 = (data(pos + 3) & 0xff) + 2
           val h2 = (data(pos + 4) & 0xff) + 2
-          require((data(pos + 5) & 0xff) == 0,
-            "jpeg2000: non-default code-block styles unsupported")
+          val cbsty2 = data(pos + 5) & 0xff
+          require((cbsty2 & ~0x3f) == 0,
+            f"jpeg2000: unknown code-block style bits 0x$cbsty2%02X")
           val tr2 = data(pos + 6) & 0xff
           require(tr2 <= 1, s"jpeg2000: unknown transform $tr2")
           val pps2: IndexedSeq[(Int, Int)] =
@@ -949,7 +1073,7 @@ object Jpeg2k {
                 p
               }
             else IndexedSeq.fill(lv2 + 1)((15, 15))
-          cocRaw += cc -> ((lv2, w2, h2, tr2 == 0, pps2))
+          cocRaw += cc -> ((lv2, w2, h2, tr2 == 0, pps2, cbsty2))
           pos = end
         case 0xff5d => // QCC: per-component quantization
           val len = u16()
@@ -1010,14 +1134,15 @@ object Jpeg2k {
     // quantization may vary per component — per-component levels or
     // transform would need ragged resolution loops and mixed kernels
     // no mainstream still-image encoder emits
-    val cocLcb = cocRaw.map { case (cc, (lv2, w2, h2, lossy2, _)) =>
+    val cocLcb = cocRaw.map { case (cc, (lv2, w2, h2, lossy2, _, _)) =>
       require(cc >= 0 && cc < ncomp, s"jpeg2000: COC component $cc of $ncomp")
       require(lv2 == levels,
         "jpeg2000: per-component decomposition levels unsupported")
       require(lossy2 == lossy, "jpeg2000: per-component transform unsupported")
       cc -> ((w2, h2))
     }.toMap
-    val cocPps = cocRaw.map { case (cc, (_, _, _, _, pps2)) => cc -> pps2 }.toMap
+    val cocPps = cocRaw.map { case (cc, (_, _, _, _, pps2, _)) => cc -> pps2 }.toMap
+    val cocSty = cocRaw.map { case (cc, (_, _, _, _, _, s2)) => cc -> s2 }.toMap
     val qcc = qccRaw.map { case (cc, (qs2, g2, raw)) =>
       require(cc >= 0 && cc < ncomp, s"jpeg2000: QCC component $cc of $ncomp")
       require((qs2 == 0) == !lossy,
@@ -1028,7 +1153,8 @@ object Jpeg2k {
       "jpeg2000: MCT requires equal component subsampling")
     (MainHeader(w, h, xt, yt, prec, signed, ncomp, mct, levels, lcbw, lcbh,
       prog, layers, useSop, useEph, lossy, guard, pairs,
-      pps.toIndexedSeq, xo, yo, xto, yto, cocLcb, cocPps, qcc, subs), sotAt)
+      pps.toIndexedSeq, xo, yo, xto, yto, cocLcb, cocPps, qcc, subs,
+      cbsty, cocSty), sotAt)
   }
 
   /** Walk the SOT chain from the first SOT to EOC via positioned
@@ -1129,7 +1255,9 @@ object Jpeg2k {
       var lblock = 3
       var npl = 0
       var nps = 0
-      val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      // contribution pieces (from, until, endsTerminatedSegment) —
+      // T1 reassembles the terminated codeword segments from these
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
     }
     val cbState = scala.collection.mutable.Map
       .empty[(Int, Int, Int, Int), (Int, Int, TagTree, TagTree, Array[CbSt])]
@@ -1171,7 +1299,8 @@ object Jpeg2k {
         br = new HdrReader(body, at0 + 6)
       }
       val nonEmpty = br.bit() == 1
-      val contribs = Seq.newBuilder[(CbSt, Int)]
+      val sty = mh.cbstyC(comp)
+      val contribs = Seq.newBuilder[(CbSt, Int, Boolean)]
       if (nonEmpty) {
         var bpos = 0
         while (bpos < nBands) {
@@ -1199,10 +1328,25 @@ object Jpeg2k {
                 }
                 val npNew = readNPasses(br)
                 while (br.bit() == 1) cb.lblock += 1
-                val nbits = cb.lblock + (31 - Integer.numberOfLeadingZeros(npNew))
-                val len = br.bits(nbits)
+                // one signaled length per piece: the contribution
+                // split at structural terminated-segment boundaries
+                // (B.10.7.2), each with Lblock + floor(log2(its
+                // passes)) bits; a single piece for default styles
+                val a = cb.nps
+                var pst = a
+                var kk = a
+                while (kk < a + npNew) {
+                  val endsSeg = segEndAfter(cb.npl, sty, kk)
+                  if (endsSeg || kk == a + npNew - 1) {
+                    val nbits = cb.lblock +
+                      (31 - Integer.numberOfLeadingZeros(kk + 1 - pst))
+                    val len = br.bits(nbits)
+                    contribs += ((cb, len, endsSeg))
+                    pst = kk + 1
+                  }
+                  kk += 1
+                }
                 cb.nps += npNew
-                contribs += ((cb, len))
               }
               i += 1
             }
@@ -1219,10 +1363,10 @@ object Jpeg2k {
         br = new HdrReader(body, br.pos + 2)
       }
       var at = br.pos
-      contribs.result().foreach { case (cb, len) =>
+      contribs.result().foreach { case (cb, len, endsSeg) =>
         require(at + len <= body.length,
           "jpeg2000: code-block data overruns the tile-part body")
-        cb.segs += ((at, at + len))
+        cb.segs += ((at, at + len, endsSeg))
         at += len
       }
       br = new HdrReader(body, at)
@@ -1236,24 +1380,39 @@ object Jpeg2k {
       val brct = bandRects(comp)(bIdx)
       val orient = blist(bIdx)._5
       val plane = bandCoefs(comp)(bIdx)
+      val sty = mh.cbstyC(comp)
       st.foreach { cb =>
-        // single-segment blocks (every 1-layer stream) decode
-        // in-place from the tile body; only multi-layer
-        // contributions concatenate
-        val coefs = if (cb.segs.length <= 1) {
-          val (f, u) = cb.segs.headOption.getOrElse((0, 0))
-          t1Decode(orient, body, f, u, cb.rect.w, cb.rect.h, cb.npl, cb.nps)
-        } else {
-          val total = cb.segs.iterator.map(sg => sg._2 - sg._1).sum
-          val buf = new Array[Byte](total)
-          var o = 0
-          cb.segs.foreach { case (f, u) =>
-            System.arraycopy(body, f, buf, o, u - f)
-            o += u - f
+        // reassemble terminated codeword segments from the flagged
+        // pieces; single-piece segments decode in place from the
+        // tile body, only genuinely-split ones concatenate
+        val segRanges = scala.collection.mutable.ArrayBuffer
+          .empty[IndexedSeq[(Int, Int)]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        cb.segs.foreach { case (f, u, ends) =>
+          cur += ((f, u))
+          if (ends) {
+            segRanges += cur.toIndexedSeq
+            cur = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
           }
-          t1Decode(orient, buf, 0, total, cb.rect.w, cb.rect.h,
-            cb.npl, cb.nps)
         }
+        if (cur.nonEmpty || segRanges.isEmpty) segRanges += cur.toIndexedSeq
+        val segBufs: IndexedSeq[(Array[Byte], Int, Int)] =
+          segRanges.iterator.map { rs =>
+            if (rs.isEmpty) (body, 0, 0)
+            else if (rs.length == 1) (body, rs.head._1, rs.head._2)
+            else {
+              val total = rs.iterator.map(r => r._2 - r._1).sum
+              val buf = new Array[Byte](total)
+              var o = 0
+              rs.foreach { case (f, u) =>
+                System.arraycopy(body, f, buf, o, u - f)
+                o += u - f
+              }
+              (buf, 0, total)
+            }
+          }.toIndexedSeq
+        val coefs = t1Decode(orient, segBufs, cb.rect.w, cb.rect.h,
+          cb.npl, cb.nps, sty)
         var yy = 0
         while (yy < cb.rect.h) {
           var xx = 0

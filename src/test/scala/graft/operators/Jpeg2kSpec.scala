@@ -86,6 +86,11 @@ class Jpeg2kSpec extends AnyFunSuite {
     assert(img.samples.toSeq == bytes("sub422_lossy.raw").map(_ & 0xff).toSeq)
   }
 
+  test("code-block style BYPASS+CAUSAL+SEGSYM: raw segments, layer cuts, tiles")(
+    check("cbsty_bypass", 37, 29, 12))
+  test("code-block style RESTART+RESET: per-pass terminated MQ, lossy RPCL")(
+    check("cbsty_restart", 37, 29, 12))
+
   test("PCRL progression, two layers, RGB/MCT decodes exactly") {
     val img = Jpeg2k.decode(bytes("pcrl_rgb_layers.j2c"))
     assert((img.width, img.height, img.precision, img.components) == ((42, 31, 8, 3)))
@@ -247,7 +252,7 @@ class Jpeg2kSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](Jpeg2k.decode(badProg))
     assert(e2.getMessage.contains("progression"))
     val styled = good.clone()
-    styled(cod + 12) = 4 // code-block style TERMALL
+    styled(cod + 12) = 0x40 // reserved style bit — not in Table A.19
     val e3 = intercept[IllegalArgumentException](Jpeg2k.decode(styled))
     assert(e3.getMessage.contains("code-block style"))
     val siz = findMarker(0x51)

@@ -50,12 +50,15 @@ def init_states():
 
 
 class MQEncoder:
-    def __init__(self):
+    def __init__(self, cx=None):
         self.out = bytearray([0])  # dummy first byte (never 0xFF)
         self.c = 0
         self.a = 0x8000
         self.ct = 12
-        self.cx = init_states()
+        # context states may be SHARED across terminated segments
+        # (code-block styles RESTART/BYPASS terminate the codeword but
+        # keep probabilities unless RESET asks otherwise)
+        self.cx = cx if cx is not None else init_states()
 
     def encode(self, cxi, d):
         st = self.cx[cxi]
@@ -133,10 +136,10 @@ class MQEncoder:
 
 
 class MQDecoder:
-    def __init__(self, data):
+    def __init__(self, data, cx=None):
         self.data = data
         self.bp = 0
-        self.cx = init_states()
+        self.cx = cx if cx is not None else init_states()
         b0 = data[0] if data else 0xFF
         self.c = b0 << 16
         self._bytein()
@@ -251,9 +254,14 @@ class Block:
         self.sgn = [0] * (w * h)     # sign (1 = negative)
         self.vis = [0] * (w * h)     # visited in current plane's sig-prop
         self.ref = [0] * (w * h)     # has been refined once
+        # vertically stripe-causal boundary (style 0x08): while set,
+        # rows >= ymax read as insignificant in context formation
+        self.ymax = None
 
     def _at(self, x, y, arr):
         if x < 0 or y < 0 or x >= self.w or y >= self.h:
+            return 0
+        if self.ymax is not None and y >= self.ymax:
             return 0
         return arr[y * self.w + x]
 
@@ -280,123 +288,149 @@ class Block:
         return 15 if h + v + d > 0 else 14
 
 
-def t1_encode(band, coefs, w, h):
+# Code-block styles (SPcod/SPcoc style byte, T.800 Table A.19):
+#   0x01 BYPASS  selective arithmetic bypass: SPP/MRP of the 5th most
+#                significant bitplane onward are RAW (bit-stuffed,
+#                uncoded); cleanup stays MQ. Raw runs and the MQ runs
+#                between them are separately terminated segments (D.7)
+#   0x02 RESET   context probabilities reset at every pass boundary
+#   0x04 RESTART the MQ coder terminates at every pass boundary (each
+#                pass its own codeword segment)
+#   0x08 CAUSAL  vertically stripe-causal contexts: coefficients below
+#                the current 4-row stripe read as insignificant
+#   0x10 ERTERM  predictable termination - a flush-side property; any
+#                conformant termination decodes identically, so the
+#                decoder accepts the flag with no behavior change
+#   0x20 SEGSYM  a 1010 segmentation symbol (UNI context) ends every
+#                cleanup pass; the decoder verifies it
+STY_BYPASS, STY_RESET, STY_RESTART = 0x01, 0x02, 0x04
+STY_CAUSAL, STY_ERTERM, STY_SEGSYM = 0x08, 0x10, 0x20
+
+
+def pass_plane_type(nplanes, k):
+    """(plane, passtype) of pass k: pass 0 is the MSB plane's cleanup,
+    then (SPP, MRP, cleanup) triplets per lower plane."""
+    if k == 0:
+        return nplanes - 1, 2
+    return nplanes - 2 - (k - 1) // 3, (k - 1) % 3
+
+
+def pass_raw(nplanes, style, k):
+    """True when pass k is RAW under BYPASS: SPP/MRP from the fifth
+    most significant bitplane onward (D.7)."""
+    p, pt = pass_plane_type(nplanes, k)
+    return bool(style & STY_BYPASS) and pt != 2 and p <= nplanes - 5
+
+
+def seg_end_after(nplanes, style, k):
+    """True when pass k STRUCTURALLY ends a terminated codeword
+    segment (RESTART: every pass; BYPASS: raw/MQ mode transitions) —
+    the rule both the packet-header length signaling and segment
+    assembly share. The stream's final flush additionally terminates
+    whatever segment is open at the last pass."""
+    if style & STY_RESTART:
+        return True
+    if style & STY_BYPASS:
+        return pass_raw(nplanes, style, k) != pass_raw(nplanes, style, k + 1)
+    return False
+
+
+def pass_schedule(nplanes, npasses, style):
+    """Per pass k: (plane, passtype, raw, term). term marks the END of
+    a terminated codeword segment after pass k (structural rule plus
+    the final flush)."""
+    out = []
+    for k in range(npasses):
+        p, pt = pass_plane_type(nplanes, k)
+        raw = pass_raw(nplanes, style, k)
+        term = k == npasses - 1 or seg_end_after(nplanes, style, k)
+        out.append((p, pt, raw, term))
+    return out
+
+
+class RawEncoder:
+    """Bypass-mode bit packer (D.7.2): MSB-first, and the byte after
+    an 0xFF carries only 7 bits (stuffed 0 in its MSB)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.c = 0
+        self.nb = 0
+        self.limit = 8
+
+    def bit(self, b):
+        self.c = (self.c << 1) | (b & 1)
+        self.nb += 1
+        if self.nb == self.limit:
+            self.out.append(self.c)
+            self.limit = 7 if self.c == 0xFF else 8
+            self.c = 0
+            self.nb = 0
+
+    def flush(self):
+        if self.nb:
+            self.out.append(self.c << (self.limit - self.nb))
+            self.c = 0
+            self.nb = 0
+        return bytes(self.out)
+
+
+class RawDecoder:
+    """Mirror of RawEncoder; reads 0 bits past the segment end."""
+
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.c = 0
+        self.nb = 0
+        self.prev_ff = False
+
+    def bit(self):
+        if self.nb == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            if self.prev_ff:
+                self.c = b & 0x7F
+                self.nb = 7
+            else:
+                self.c = b
+                self.nb = 8
+            self.prev_ff = b == 0xFF
+        self.nb -= 1
+        return (self.c >> self.nb) & 1
+
+
+def t1_encode(band, coefs, w, h, style=0):
     """Encode one code-block; returns (data, nplanes, npasses,
-    pass_ends). pass_ends[k] is a byte offset after coding pass k —
-    a valid LAYER cut point: segments sliced there and concatenated
-    by the decoder reproduce the stream exactly (the MQ codeword is
-    continuous; only the cut positions are signaled).
-    coefs: signed ints, row-major w x h."""
+    pass_ends, pass_terms). pass_ends[k] is a byte offset after coding
+    pass k - a valid LAYER cut point (exact at terminated boundaries,
+    mid-codeword otherwise; the decoder concatenates pieces of one
+    segment). pass_terms[k] marks terminated segment ends, which the
+    packet header signals as separate codeword-segment lengths
+    (B.10.7.2). coefs: signed ints, row-major w x h."""
     mags = [abs(c) for c in coefs]
     maxmag = max(mags) if mags else 0
     nplanes = max(1, maxmag.bit_length()) if maxmag else 0
     if nplanes == 0:
-        return b"", 0, 0, []
+        return b"", 0, 0, [], []
     blk = Block(band, w, h)
+    causal = bool(style & STY_CAUSAL)
     blk_sgn = [1 if c < 0 else 0 for c in coefs]
-    mq = MQEncoder()
-    pass_ends = []
-    npasses = 0
-    for p in range(nplanes - 1, -1, -1):
+    npasses = 1 + 3 * (nplanes - 1)
+    sched = pass_schedule(nplanes, npasses, style)
+    cx = init_states()
+    data = bytearray()
+    pass_ends, pass_terms = [], []
+    mq, raw = None, None
+    for k, (p, pt, raw_mode, term) in enumerate(sched):
         bit = lambda i: (mags[i] >> p) & 1
-        if p == nplanes - 1:
-            passes = (2,)          # first plane: cleanup only
-        else:
-            passes = (0, 1, 2)
-        for which in passes:
-            if which == 0:  # significance propagation
-                for y0 in range(0, h, 4):
-                    for x in range(w):
-                        for y in range(y0, min(y0 + 4, h)):
-                            i = y * w + x
-                            if blk.sig[i]:
-                                continue
-                            hh, vv, dd = blk.neighborhood(x, y)
-                            if hh + vv + dd == 0:
-                                continue
-                            cxi = sig_ctx(band, hh, vv, dd)
-                            b = bit(i)
-                            mq.encode(cxi, b)
-                            blk.vis[i] = 1
-                            if b:
-                                scx, sxor = blk.sign_ctx(x, y)
-                                mq.encode(scx, blk_sgn[i] ^ sxor)
-                                blk.sig[i] = 1
-                                blk.sgn[i] = blk_sgn[i]
-            elif which == 1:  # magnitude refinement
-                for y0 in range(0, h, 4):
-                    for x in range(w):
-                        for y in range(y0, min(y0 + 4, h)):
-                            i = y * w + x
-                            if not blk.sig[i] or blk.vis[i]:
-                                continue
-                            mq.encode(blk.mag_ctx(x, y), bit(i))
-                            blk.ref[i] = 1
-            else:  # cleanup
-                for y0 in range(0, h, 4):
-                    for x in range(w):
-                        y = y0
-                        ylim = min(y0 + 4, h)
-                        # run-length shortcut: full 4-strip, all four
-                        # insignificant+unvisited with zero context
-                        if ylim - y0 == 4 and all(
-                            blk.sig[(y0 + k) * w + x] == 0 and
-                            blk.vis[(y0 + k) * w + x] == 0 and
-                            sum(blk.neighborhood(x, y0 + k)) == 0
-                            for k in range(4)
-                        ):
-                            first = next(
-                                (k for k in range(4) if bit((y0 + k) * w + x)),
-                                None)
-                            if first is None:
-                                mq.encode(CX_RL, 0)
-                                continue
-                            mq.encode(CX_RL, 1)
-                            mq.encode(CX_UNI, (first >> 1) & 1)
-                            mq.encode(CX_UNI, first & 1)
-                            i = (y0 + first) * w + x
-                            scx, sxor = blk.sign_ctx(x, y0 + first)
-                            mq.encode(scx, blk_sgn[i] ^ sxor)
-                            blk.sig[i] = 1
-                            blk.sgn[i] = blk_sgn[i]
-                            y = y0 + first + 1
-                        for yy in range(y, ylim):
-                            i = yy * w + x
-                            if blk.sig[i] or blk.vis[i]:
-                                continue
-                            hh, vv, dd = blk.neighborhood(x, yy)
-                            cxi = sig_ctx(band, hh, vv, dd)
-                            b = bit(i)
-                            mq.encode(cxi, b)
-                            if b:
-                                scx, sxor = blk.sign_ctx(x, yy)
-                                mq.encode(scx, blk_sgn[i] ^ sxor)
-                                blk.sig[i] = 1
-                                blk.sgn[i] = blk_sgn[i]
-                # clear visited after finishing the plane
-                for i in range(w * h):
-                    blk.vis[i] = 0
-            npasses += 1
-            pass_ends.append(len(mq.out) - 1)
-    data = mq.flush()
-    pass_ends = [min(p, len(data)) for p in pass_ends]
-    pass_ends[-1] = len(data)
-    return data, nplanes, npasses, pass_ends
-
-
-def t1_decode(band, data, w, h, nplanes, npasses):
-    """Decode one code-block; returns signed coefficients."""
-    mags = [0] * (w * h)
-    blk = Block(band, w, h)
-    if npasses == 0 or nplanes == 0:
-        return mags
-    mq = MQDecoder(data)
-    done = 0
-    p = nplanes - 1
-    which = 2  # first pass of first plane is cleanup
-    while done < npasses:
-        if which == 0:
+        if raw_mode and raw is None:
+            raw = RawEncoder()
+        if not raw_mode and mq is None:
+            mq = MQEncoder(cx)
+        if pt == 0:  # significance propagation
             for y0 in range(0, h, 4):
+                blk.ymax = y0 + 4 if causal else None
                 for x in range(w):
                     for y in range(y0, min(y0 + 4, h)):
                         i = y * w + x
@@ -405,34 +439,163 @@ def t1_decode(band, data, w, h, nplanes, npasses):
                         hh, vv, dd = blk.neighborhood(x, y)
                         if hh + vv + dd == 0:
                             continue
-                        cxi = sig_ctx(band, hh, vv, dd)
+                        b = bit(i)
+                        if raw_mode:
+                            raw.bit(b)
+                        else:
+                            mq.encode(sig_ctx(band, hh, vv, dd), b)
                         blk.vis[i] = 1
-                        if mq.decode(cxi):
-                            scx, sxor = blk.sign_ctx(x, y)
-                            s = mq.decode(scx) ^ sxor
+                        if b:
+                            if raw_mode:
+                                raw.bit(blk_sgn[i])
+                            else:
+                                scx, sxor = blk.sign_ctx(x, y)
+                                mq.encode(scx, blk_sgn[i] ^ sxor)
                             blk.sig[i] = 1
-                            blk.sgn[i] = s
-                            mags[i] |= 1 << p
-        elif which == 1:
+                            blk.sgn[i] = blk_sgn[i]
+        elif pt == 1:  # magnitude refinement
             for y0 in range(0, h, 4):
+                blk.ymax = y0 + 4 if causal else None
                 for x in range(w):
                     for y in range(y0, min(y0 + 4, h)):
                         i = y * w + x
                         if not blk.sig[i] or blk.vis[i]:
                             continue
-                        if mq.decode(blk.mag_ctx(x, y)):
-                            mags[i] |= 1 << p
+                        if raw_mode:
+                            raw.bit(bit(i))
+                        else:
+                            mq.encode(blk.mag_ctx(x, y), bit(i))
                         blk.ref[i] = 1
-        else:
+        else:  # cleanup (always MQ)
             for y0 in range(0, h, 4):
+                blk.ymax = y0 + 4 if causal else None
                 for x in range(w):
                     y = y0
                     ylim = min(y0 + 4, h)
                     if ylim - y0 == 4 and all(
-                        blk.sig[(y0 + k) * w + x] == 0 and
-                        blk.vis[(y0 + k) * w + x] == 0 and
-                        sum(blk.neighborhood(x, y0 + k)) == 0
-                        for k in range(4)
+                        blk.sig[(y0 + j) * w + x] == 0 and
+                        blk.vis[(y0 + j) * w + x] == 0 and
+                        sum(blk.neighborhood(x, y0 + j)) == 0
+                        for j in range(4)
+                    ):
+                        first = next(
+                            (j for j in range(4) if bit((y0 + j) * w + x)),
+                            None)
+                        if first is None:
+                            mq.encode(CX_RL, 0)
+                            continue
+                        mq.encode(CX_RL, 1)
+                        mq.encode(CX_UNI, (first >> 1) & 1)
+                        mq.encode(CX_UNI, first & 1)
+                        i = (y0 + first) * w + x
+                        scx, sxor = blk.sign_ctx(x, y0 + first)
+                        mq.encode(scx, blk_sgn[i] ^ sxor)
+                        blk.sig[i] = 1
+                        blk.sgn[i] = blk_sgn[i]
+                        y = y0 + first + 1
+                    for yy in range(y, ylim):
+                        i = yy * w + x
+                        if blk.sig[i] or blk.vis[i]:
+                            continue
+                        hh, vv, dd = blk.neighborhood(x, yy)
+                        b = bit(i)
+                        mq.encode(sig_ctx(band, hh, vv, dd), b)
+                        if b:
+                            scx, sxor = blk.sign_ctx(x, yy)
+                            mq.encode(scx, blk_sgn[i] ^ sxor)
+                            blk.sig[i] = 1
+                            blk.sgn[i] = blk_sgn[i]
+            if style & STY_SEGSYM:
+                for sb in (1, 0, 1, 0):
+                    mq.encode(CX_UNI, sb)
+            for i in range(w * h):
+                blk.vis[i] = 0
+        blk.ymax = None
+        if term:
+            seg = mq.flush() if mq is not None else raw.flush()
+            data.extend(seg)
+            mq, raw = None, None
+            pass_ends.append(len(data))
+        else:
+            pend = len(mq.out) - 1 if mq is not None else len(raw.out)
+            pass_ends.append(len(data) + pend)
+        pass_terms.append(term)
+        if style & STY_RESET:
+            fresh = init_states()
+            for ci in range(len(cx)):
+                cx[ci][0] = fresh[ci][0]
+                cx[ci][1] = fresh[ci][1]
+    return bytes(data), nplanes, npasses, pass_ends, pass_terms
+
+
+def t1_decode(band, segments, w, h, nplanes, npasses, style=0):
+    """Decode one code-block from its TERMINATED codeword segments (a
+    single-element list for default-style streams); returns signed
+    coefficients."""
+    mags = [0] * (w * h)
+    blk = Block(band, w, h)
+    if npasses == 0 or nplanes == 0:
+        return mags
+    causal = bool(style & STY_CAUSAL)
+    sched = pass_schedule(nplanes, npasses, style)
+    cx = init_states()
+    mq, raw = None, None
+    segidx = 0
+    for k, (p, pt, raw_mode, term) in enumerate(sched):
+        if mq is None and raw is None:
+            seg = segments[segidx] if segidx < len(segments) else b""
+            segidx += 1
+            if raw_mode:
+                raw = RawDecoder(seg)
+            else:
+                mq = MQDecoder(seg, cx)
+        if pt == 0:
+            for y0 in range(0, h, 4):
+                blk.ymax = y0 + 4 if causal else None
+                for x in range(w):
+                    for y in range(y0, min(y0 + 4, h)):
+                        i = y * w + x
+                        if blk.sig[i]:
+                            continue
+                        hh, vv, dd = blk.neighborhood(x, y)
+                        if hh + vv + dd == 0:
+                            continue
+                        blk.vis[i] = 1
+                        b = raw.bit() if raw_mode else \
+                            mq.decode(sig_ctx(band, hh, vv, dd))
+                        if b:
+                            if raw_mode:
+                                s = raw.bit()
+                            else:
+                                scx, sxor = blk.sign_ctx(x, y)
+                                s = mq.decode(scx) ^ sxor
+                            blk.sig[i] = 1
+                            blk.sgn[i] = s
+                            mags[i] |= 1 << p
+        elif pt == 1:
+            for y0 in range(0, h, 4):
+                blk.ymax = y0 + 4 if causal else None
+                for x in range(w):
+                    for y in range(y0, min(y0 + 4, h)):
+                        i = y * w + x
+                        if not blk.sig[i] or blk.vis[i]:
+                            continue
+                        b = raw.bit() if raw_mode else \
+                            mq.decode(blk.mag_ctx(x, y))
+                        if b:
+                            mags[i] |= 1 << p
+                        blk.ref[i] = 1
+        else:
+            for y0 in range(0, h, 4):
+                blk.ymax = y0 + 4 if causal else None
+                for x in range(w):
+                    y = y0
+                    ylim = min(y0 + 4, h)
+                    if ylim - y0 == 4 and all(
+                        blk.sig[(y0 + j) * w + x] == 0 and
+                        blk.vis[(y0 + j) * w + x] == 0 and
+                        sum(blk.neighborhood(x, y0 + j)) == 0
+                        for j in range(4)
                     ):
                         if not mq.decode(CX_RL):
                             continue
@@ -449,21 +612,28 @@ def t1_decode(band, data, w, h, nplanes, npasses):
                         if blk.sig[i] or blk.vis[i]:
                             continue
                         hh, vv, dd = blk.neighborhood(x, yy)
-                        cxi = sig_ctx(band, hh, vv, dd)
-                        if mq.decode(cxi):
+                        if mq.decode(sig_ctx(band, hh, vv, dd)):
                             scx, sxor = blk.sign_ctx(x, yy)
                             s = mq.decode(scx) ^ sxor
                             blk.sig[i] = 1
                             blk.sgn[i] = s
                             mags[i] |= 1 << p
+            if style & STY_SEGSYM:
+                seg_sym = 0
+                for _ in range(4):
+                    seg_sym = (seg_sym << 1) | mq.decode(CX_UNI)
+                assert seg_sym == 0b1010, \
+                    f"bad segmentation symbol {seg_sym:04b}"
             for i in range(w * h):
                 blk.vis[i] = 0
-        done += 1
-        if which == 2:
-            p -= 1
-            which = 0
-        else:
-            which += 1
+        blk.ymax = None
+        if term:
+            mq, raw = None, None
+        if style & STY_RESET:
+            fresh = init_states()
+            for ci in range(len(cx)):
+                cx[ci][0] = fresh[ci][0]
+                cx[ci][1] = fresh[ci][1]
     return [(-m if blk.sgn[i] else m) for i, m in enumerate(mags)]
 
 
@@ -1191,7 +1361,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
            xtsiz=None, ytsiz=None, precincts=None, sop=False, eph=False,
            tile_parts=1, layers=1, progression="LRCP",
            xosiz=0, yosiz=0, xtosiz=0, ytosiz=0, coc=None, qcc=None,
-           subsampling=None):
+           subsampling=None, cbstyle=0):
     """img: single plane (ncomp=1) or list of ncomp planes, row-major
     w x h. transform "53" (reversible, quant must be None) or "97"
     (irreversible, quant = (style, e0, mu0), style "derived" or
@@ -1212,8 +1382,12 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     component c's samples live on the reference-grid lattice of
     multiples of its factors, so its plane has
     cdiv(Xsiz, xr) - cdiv(XOsiz, xr) columns (T.800 B.2); pass each
-    plane at ITS OWN dims. MCT requires equal factors."""
+    plane at ITS OWN dims. MCT requires equal factors. cbstyle is
+    the T.800 Table A.19 code-block style byte (BYPASS 0x01 |
+    RESET 0x02 | RESTART 0x04 | CAUSAL 0x08 | SEGSYM 0x20; ERTERM is
+    a flush-side property this encoder does not emit)."""
     assert 1 <= levels <= 6 and 4 <= cbw <= 64 and 4 <= cbh <= 64
+    assert cbstyle & ~0x2F == 0, "cbstyle: BYPASS/RESET/RESTART/CAUSAL/SEGSYM"
     assert transform in ("53", "97")
     assert 1 <= layers <= 65535
     prog = PROGRESSIONS[progression]
@@ -1413,7 +1587,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     out.append(levels)
     out.append(lcbw - 2)             # xcb exponent - 2
     out.append(lcbh - 2)
-    out.append(0)                    # code-block style: all defaults
+    out.append(cbstyle)              # code-block style (Table A.19)
     # T.800 Table A.20: 0 = 9/7 irreversible, 1 = 5/3 reversible
     out.append(0 if lossy else 1)
     if scod_prec:
@@ -1428,7 +1602,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
         out.append(levels)
         out.append(lcbw_c[c] - 2)
         out.append(lcbh_c[c] - 2)
-        out.append(0)                # code-block style: defaults
+        out.append(cbstyle)          # code-block style (Table A.19)
         out.append(0 if lossy else 1)
         if has_pp:
             for (px, py) in pps_c[c]:
@@ -1506,10 +1680,11 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                                          (xx - brect[0])]
                                    for yy in range(y0, y1_)
                                    for xx in range(x0, x1_)]
-                            data, npl, nps, ends = t1_encode(
-                                name, sub, cw_, ch_)
+                            data, npl, nps, ends, terms = t1_encode(
+                                name, sub, cw_, ch_, cbstyle)
                             st.append(dict(
                                 data=data, npl=npl, nps=nps, ends=ends,
+                                terms=terms,
                                 bounds=layer_bounds(nps, layers),
                                 lblock=3, included=False))
                         cb_state[(r, ip, c, bpos)] =                             (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
@@ -1579,18 +1754,34 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                             cb["included"] = True
                         np_new = cb["bounds"][l + 1] - cb["bounds"][l]
                         write_npasses(hw, np_new)
-                        lo_cut = (cb["ends"][cb["bounds"][l] - 1]
-                                  if cb["bounds"][l] > 0 else 0)
-                        hi_cut = cb["ends"][cb["bounds"][l + 1] - 1]
-                        seg = cb["data"][lo_cut:hi_cut]
-                        nbits = cb["lblock"] + (np_new.bit_length() - 1)
-                        while len(seg) >= (1 << nbits):
+                        a, bnd = cb["bounds"][l], cb["bounds"][l + 1]
+
+                        def cut(kk):
+                            return cb["ends"][kk - 1] if kk > 0 else 0
+                        # split the contribution at terminated-segment
+                        # boundaries: one signaled length per piece,
+                        # each with Lblock + floor(log2(its passes))
+                        # bits (B.10.7.2); a single piece when the
+                        # style terminates nothing inside it
+                        pieces = []
+                        pst = a
+                        for kk in range(a, bnd):
+                            if cb["terms"][kk] or kk == bnd - 1:
+                                pieces.append((cut(kk + 1) - cut(pst),
+                                               kk + 1 - pst))
+                                pst = kk + 1
+                        need = cb["lblock"]
+                        for (ln_, np_) in pieces:
+                            nb_ = np_.bit_length() - 1
+                            while ln_ >= (1 << (need + nb_)):
+                                need += 1
+                        while cb["lblock"] < need:
                             hw.bit(1)
                             cb["lblock"] += 1
-                            nbits += 1
                         hw.bit(0)
-                        hw.bits(len(seg), nbits)
-                        payloads.append(seg)
+                        for (ln_, np_) in pieces:
+                            hw.bits(ln_, cb["lblock"] + (np_.bit_length() - 1))
+                        payloads.append(cb["data"][cut(a):cut(bnd)])
             pkt.extend(hw.finish())
             if eph:
                 pkt.extend(b"\xff\x92")
@@ -1695,7 +1886,8 @@ def decode(data):
             levels = data[pos + 5]
             lcbw = data[pos + 6] + 2
             lcbh = data[pos + 7] + 2
-            assert data[pos + 8] == 0, "code-block style 0 only"
+            cbsty = data[pos + 8]
+            assert cbsty & ~0x3F == 0, f"code-block style {cbsty:#x}"
             lossy = data[pos + 9] == 0   # A.20: 0 = 9/7, 1 = 5/3
             if scod & 1:
                 pps = [(data[pos + 10 + r] & 0x0F, data[pos + 10 + r] >> 4)
@@ -1713,14 +1905,15 @@ def decode(data):
             lv2 = data[pos + 1]
             w2 = data[pos + 2] + 2
             h2 = data[pos + 3] + 2
-            assert data[pos + 4] == 0, "code-block style 0 only"
+            cbsty2 = data[pos + 4]
+            assert cbsty2 & ~0x3F == 0, f"code-block style {cbsty2:#x}"
             lossy2 = data[pos + 5] == 0
             if scoc & 1:
                 pps2 = [(data[pos + 6 + r] & 0x0F, data[pos + 6 + r] >> 4)
                         for r in range(lv2 + 1)]
             else:
                 pps2 = [(15, 15)] * (lv2 + 1)
-            coc_over[cc] = (lv2, w2, h2, lossy2, pps2)
+            coc_over[cc] = (lv2, w2, h2, lossy2, pps2, cbsty2)
             pos = end
         elif mk == 0xFF5D:  # QCC (per-component quantization)
             ln = u16()
@@ -1787,7 +1980,7 @@ def decode(data):
     # by COC/QCC. Decomposition levels and the transform must agree
     # across components (per-component levels/transform are encoder
     # exotica this decoder refuses by name).
-    for cc, (lv2, _, _, lossy2, _) in coc_over.items():
+    for cc, (lv2, _, _, lossy2, _, _) in coc_over.items():
         assert cc < ncomp, f"COC component {cc} out of range"
         assert lv2 == levels, "per-component decomposition levels unsupported"
         assert lossy2 == lossy, "per-component transform unsupported"
@@ -1801,6 +1994,8 @@ def decode(data):
               for c in range(ncomp)]
     pps_c = [coc_over[c][4] if c in coc_over else pps
              for c in range(ncomp)]
+    cbsty_c = [coc_over[c][5] if c in coc_over else cbsty
+               for c in range(ncomp)]
     deltas_c = [None] * ncomp
     mbs_c = [None] * ncomp
     for c in range(ncomp):
@@ -1915,17 +2110,28 @@ def decode(data):
                         np_new = read_npasses(br)
                         while br.bit():
                             cb["lblock"] += 1
-                        nbits = cb["lblock"] + (np_new.bit_length() - 1)
-                        ln = br.bits(nbits)
+                        a = cb["nps"]
+                        # one signaled length per piece: the
+                        # contribution split at structural terminated
+                        # boundaries (mirrors the encoder exactly)
+                        pst = a
+                        for kk in range(a, a + np_new):
+                            ends_seg = seg_end_after(cb["npl"],
+                                                     cbsty_c[c], kk)
+                            if ends_seg or kk == a + np_new - 1:
+                                nbits = cb["lblock"] + \
+                                    ((kk + 1 - pst).bit_length() - 1)
+                                ln = br.bits(nbits)
+                                contribs.append((cb, ln, ends_seg))
+                                pst = kk + 1
                         cb["nps"] += np_new
-                        contribs.append((cb, ln))
             br.align()
             if use_eph:
                 assert body[br.pos] == 0xFF and                     body[br.pos + 1] == 0x92, "missing EPH"
                 br = HdrReader(body, br.pos + 2)
             at = br.pos
-            for (cb, ln) in contribs:
-                cb["segs"].append(body[at:at + ln])
+            for (cb, ln, ends_seg) in contribs:
+                cb["segs"].append((body[at:at + ln], ends_seg))
                 at += ln
             br = HdrReader(body, at)
 
@@ -1938,8 +2144,17 @@ def decode(data):
             for cb in st:
                 x0, x1_, y0, y1_ = cb["rect"]
                 cw_, ch_ = x1_ - x0, y1_ - y0
-                coefs = t1_decode(name, b"".join(cb["segs"]),
-                                  cw_, ch_, cb["npl"], cb["nps"])
+                segs, curseg = [], b""
+                for (piece, ends_seg) in cb["segs"]:
+                    curseg += piece
+                    if ends_seg:
+                        segs.append(curseg)
+                        curseg = b""
+                if curseg or not segs:
+                    segs.append(curseg)   # final flush-terminated tail
+                coefs = t1_decode(name, segs,
+                                  cw_, ch_, cb["npl"], cb["nps"],
+                                  cbsty_c[c])
                 plane = band_coefs[(c, r, name)]
                 for yy in range(ch_):
                     for xx in range(cw_):
@@ -2178,6 +2393,26 @@ def _selftest():
                  progression="RPCL", layers=2)
     assert decode(enc)[4] == planes, "4:2:0 tiled RPCL"
     print("ok subsampling 4:2:0 tiled RPCL lossless")
+
+    # code-block styles: bypass/reset/restart/causal/segsym in
+    # realistic combinations, incl. layer cuts that land inside and
+    # across terminated codeword segments
+    w, h = 37, 29
+    img = [(x * 3 + y * 7 + (x * y) % 41) % 256
+           for y in range(h) for x in range(w)]
+    img12 = [(x * 151 + y * 911) % 4096 for y in range(h)
+             for x in range(w)]
+    for sty in (0x01, 0x04, 0x02, 0x08, 0x20, 0x05, 0x2B):
+        enc = encode(img, w, h, 8, levels=2, cbw=16, cbh=16,
+                     cbstyle=sty)
+        assert decode(enc)[4] == img, hex(sty)
+    for sty in (0x01, 0x05, 0x2B):
+        enc = encode(img12, w, h, 12, levels=2, cbw=8, cbh=8,
+                     cbstyle=sty, layers=4, xtsiz=17, ytsiz=13,
+                     precincts=(4, 4), progression="RPCL",
+                     sop=True, eph=True, tile_parts=2)
+        assert decode(enc)[4] == img12, hex(sty)
+    print("ok code-block styles (bypass/reset/restart/causal/segsym)")
     print("selftest passed")
 
 

@@ -291,6 +291,22 @@ def main():
              quant=("expounded", 9, 256),
              qcc={1: ("expounded", 10, 512), 2: ("expounded", 10, 512)})
 
+    # code-block styles (Table A.19, the Kakadu "Cmodes" surface):
+    # cbsty_bypass pins BYPASS+CAUSAL+SEGSYM on a 12-bit image (deep
+    # bitplanes force long raw SPP/MRP segments) with quality layers
+    # whose cuts land inside and across terminated segments, plus
+    # tiles; cbsty_restart pins RESTART+RESET per-pass termination
+    # under lossy 9/7 + RPCL.
+    r = lcg(263)
+    w, h = 37, 29
+    img12 = [(x * 151 + y * 911 + next(r) % 512) % 4096
+             for y in range(h) for x in range(w)]
+    emit2("cbsty_bypass", img12, w, h, 12, levels=2, cbw=8, cbh=8,
+          cbstyle=0x01 | 0x08 | 0x20, layers=4, xtsiz=19, ytsiz=16)
+    emit2("cbsty_restart", img12, w, h, 12, levels=2, cbw=8, cbh=8,
+          cbstyle=0x04 | 0x02, transform="97",
+          quant=("expounded", 12, 512), progression="RPCL", layers=2)
+
     print("wrote j2k fixtures to", outdir)
 
 
