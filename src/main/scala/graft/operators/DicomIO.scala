@@ -35,9 +35,10 @@ import graft.zarr.{SerializableHadoopConf, ZarrStore}
   *                            five progression orders, via the
   *                            pure-JVM T.800 decoder in [[Jpeg2k]]
   *                            incl. COC/QCC per-component styles,
-  *                            subsampling, and all Table-A.19
-  *                            code-block styles (residual exotica —
-  *                            RGN/POC/PPM/PPT — refuse there by name)
+  *                            subsampling, all Table-A.19 code-block
+  *                            styles, RGN ROI, POC progression
+  *                            changes, and PPM/PPT packed headers —
+  *                            the complete still-image marker surface
   *   - 1.2.840.10008.1.2.1.99 Deflated Explicit VR LE (the whole
   *                            post-meta dataset is one raw-deflate
   *                            stream, re-inflated per decode task)

@@ -46,8 +46,14 @@ package graft.operators
   * predictable termination (flush-side — flag accepted), and
   * SEGMENTATION SYMBOLS (1010 verified per cleanup pass).
   *
-  * Still refusing loudly by name: the semantics-changing markers
-  * RGN/POC/PPM/PPT.
+  * RGN maxshift ROI shifts (Annex H), POC progression order changes
+  * (packet space re-ordered segment by segment, B.12.1.7), and
+  * PPM/PPT packed packet headers (header bits in main-header Nppm
+  * chunks or tile-part PPT segments, bodies carrying only SOP
+  * markers and payloads, A.6.4/A.6.5) all decode — no still-image
+  * T.800 marker refuses anymore. The remaining loud refusals are
+  * structural: tile-part headers carrying tile-scope coding markers
+  * (COD/COC/QCD/QCC between SOT and SOD) and malformed geometry.
   *
   * Lossy exact-parity contract: dequantization reconstructs at the
   * interval midpoint ((q ± 0.5)·Δb with Δb = 2^(Rb−εb)·(1+μb/2^11)),
@@ -883,7 +889,14 @@ object Jpeg2k {
       // code-block style byte (Table A.19) + per-component COC
       // overrides
       cbsty: Int = 0,
-      cocSty: Map[Int, Int] = Map.empty) {
+      cocSty: Map[Int, Int] = Map.empty,
+      // RGN maxshift ROI shift per component (Annex H)
+      rgn: Map[Int, Int] = Map.empty,
+      // POC progression segments (RSpoc, CSpoc, LYEpoc, REpoc,
+      // CEpoc, Ppoc)
+      poc: IndexedSeq[(Int, Int, Int, Int, Int, Int)] = IndexedSeq.empty,
+      // PPM packed-packet-header segments in Zppm order (A.6.5)
+      ppm: IndexedSeq[Array[Byte]] = IndexedSeq.empty) {
     def ntx: Int = cdiv(w - xto, xt)
     def nty: Int = cdiv(h - yto, yt)
     def nTiles: Int = ntx * nty
@@ -952,6 +965,11 @@ object Jpeg2k {
       .empty[Int, (Int, Int, Int, Boolean, IndexedSeq[(Int, Int)], Int)]
     val qccRaw = scala.collection.mutable.Map
       .empty[Int, (Int, Int, IndexedSeq[(Int, Int)])]
+    val rgnRaw = scala.collection.mutable.Map.empty[Int, Int]
+    val pocRaw = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int, Int, Int)]
+    val ppmRaw = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Array[Byte])]
     var sotAt = -1
     while (sotAt < 0) {
       val mk = u16()
@@ -1097,11 +1115,35 @@ object Jpeg2k {
           }
           qccRaw += cc -> ((qs2, g2, b.result()))
           pos = end
-        case 0xff5e | 0xff5f | 0xff60 | 0xff61 =>
-          // RGN / POC / PPM / PPT change coding semantics or reorder
-          // packets — skipping them would decode silently-wrong pixels
+        case 0xff5e => // RGN: maxshift ROI (Annex H)
+          val len = u16()
+          val end = pos + len - 2
+          val cc = data(pos) & 0xff // Crgn (ncomp < 257)
+          require((data(pos + 1) & 0xff) == 0,
+            "jpeg2000: RGN style 0 (implicit/maxshift) only")
+          rgnRaw += cc -> (data(pos + 2) & 0xff)
+          pos = end
+        case 0xff5f => // POC: progression order changes
+          val len = u16()
+          val end = pos + len - 2
+          require((len - 2) % 7 == 0, "jpeg2000: bad Lpoc")
+          (0 until (len - 2) / 7).foreach { s =>
+            val o = pos + 7 * s
+            val pr = data(o + 6) & 0xff
+            require(pr <= 4, s"jpeg2000: POC progression $pr")
+            pocRaw += ((data(o) & 0xff, data(o + 1) & 0xff,
+              ((data(o + 2) & 0xff) << 8) | (data(o + 3) & 0xff),
+              data(o + 4) & 0xff, data(o + 5) & 0xff, pr))
+          }
+          pos = end
+        case 0xff60 => // PPM: packed packet headers (main header)
+          val len = u16()
+          ppmRaw += ((data(pos) & 0xff,
+            java.util.Arrays.copyOfRange(data, pos + 1, pos + len - 2)))
+          pos += len - 2
+        case 0xff61 =>
           throw new UnsupportedOperationException(
-            f"jpeg2000: marker 0xFF${mk & 0xff}%02X (RGN/POC/PPM/PPT) unsupported")
+            "jpeg2000: PPT marker outside a tile-part header")
         case 0xff90 =>
           sotAt = pos - 2
         case 0xffd9 =>
@@ -1154,7 +1196,8 @@ object Jpeg2k {
     (MainHeader(w, h, xt, yt, prec, signed, ncomp, mct, levels, lcbw, lcbh,
       prog, layers, useSop, useEph, lossy, guard, pairs,
       pps.toIndexedSeq, xo, yo, xto, yto, cocLcb, cocPps, qcc, subs,
-      cbsty, cocSty), sotAt)
+      cbsty, cocSty, rgnRaw.toMap, pocRaw.toIndexedSeq,
+      ppmRaw.sortBy(_._1).map(_._2).toIndexedSeq), sotAt)
   }
 
   /** Walk the SOT chain from the first SOT to EOC via positioned
@@ -1163,11 +1206,24 @@ object Jpeg2k {
     * relative to the codestream start; `csLen` is the codestream
     * length including EOC.
     */
+  /** Tile-part walk result: body byte ranges per tile, PPT packed
+    * packet headers per tile (concatenated in (TPsot, Zppt) order),
+    * and the tile-part codestream order (Isot sequence) PPM chunk
+    * assignment needs.
+    */
+  private[operators] final case class TilePartInfo(
+      chain: Map[Int, IndexedSeq[(Long, Long)]],
+      ppt: Map[Int, Array[Byte]],
+      order: IndexedSeq[Int])
+
   private[operators] def tilePartChain(readAt: (Long, Int) => Array[Byte],
-      firstSot: Long, csLen: Long): Map[Int, IndexedSeq[(Long, Long)]] = {
+      firstSot: Long, csLen: Long): TilePartInfo = {
     val acc = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.Map[Int, (Long, Long)]]
     val counts = scala.collection.mutable.Map.empty[Int, Int]
+    val pptSegs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Array[Byte])] // (isot, tpsot, zppt, bytes)
+    val order = IndexedSeq.newBuilder[Int]
     var off = firstSot
     var done = false
     while (!done) {
@@ -1184,23 +1240,52 @@ object Jpeg2k {
         val psot = (u16(6).toLong << 16) | u16(8)
         val tpsot = hdr(10) & 0xff
         val tnsot = hdr(11) & 0xff
-        require(u16(12) == 0xff93,
-          "jpeg2000: tile-part header markers unsupported (SOD must follow SOT)")
+        // tile-part header markers between SOT and SOD: PPT segments
+        // are collected (packed packet headers); anything else would
+        // change coding semantics and refuses by name
+        var at = off + 12
+        var sod = false
+        while (!sod) {
+          val m2 = readAt(at, 4)
+          val tmk = ((m2(0) & 0xff) << 8) | (m2(1) & 0xff)
+          if (tmk == 0xff93) { sod = true; at += 2 }
+          else if (tmk == 0xff61) {
+            val tln = ((m2(2) & 0xff) << 8) | (m2(3) & 0xff)
+            val seg = readAt(at + 4, tln - 2)
+            pptSegs += ((isot, tpsot, seg(0) & 0xff,
+              java.util.Arrays.copyOfRange(seg, 1, seg.length)))
+            at += 2 + tln
+          } else throw new UnsupportedOperationException(
+            f"jpeg2000: tile-part header marker 0xFF${tmk & 0xff}%02X unsupported")
+        }
         val end = if (psot != 0) off + psot else csLen - 2
-        require(end >= off + 14 && end <= csLen,
+        require(end >= at && end <= csLen,
           "jpeg2000: Psot overruns the codestream")
         acc.getOrElseUpdate(isot, scala.collection.mutable.Map.empty)
-          .update(tpsot, (off + 14, end))
+          .update(tpsot, (at, end))
         if (tnsot != 0) counts(isot) = tnsot
+        order += isot
         off = end
       }
     }
-    acc.iterator.map { case (t, parts) =>
+    val chain = acc.iterator.map { case (t, parts) =>
       val n = counts.getOrElse(t, parts.keys.max + 1)
       require(parts.keySet == (0 until n).toSet,
         s"jpeg2000: tile $t has tile-parts ${parts.keySet.toSeq.sorted} of $n")
       t -> (0 until n).map(parts).toIndexedSeq
     }.toMap
+    val ppt = pptSegs.groupBy(_._1).map { case (t, segs) =>
+      val sorted = segs.sortBy(s => (s._2, s._3))
+      val total = sorted.iterator.map(_._4.length).sum
+      val buf = new Array[Byte](total)
+      var o = 0
+      sorted.foreach { s =>
+        System.arraycopy(s._4, 0, buf, o, s._4.length)
+        o += s._4.length
+      }
+      t -> buf
+    }
+    TilePartInfo(chain, ppt, order.result())
   }
 
   /** Decode ONE tile's concatenated tile-part body to final
@@ -1209,7 +1294,8 @@ object Jpeg2k {
     * component — the unit the distributed reader maps over.
     */
   private[operators] def decodeTile(mh: MainHeader, t: Int,
-      body: Array[Byte]): Array[Array[Int]] = {
+      body: Array[Byte],
+      packedHdr: Option[Array[Byte]] = None): Array[Array[Int]] = {
     val trect = tileRect(mh, t)
     val levels = mh.levels
     val ncomp = mh.ncomp
@@ -1224,7 +1310,7 @@ object Jpeg2k {
     // per-component Mb / quantization steps (QCD defaults overridden
     // by that component's QCC)
     val mbsC = Array.tabulate(ncomp, blist.length)((c, i) =>
-      mh.guardC(c) + mh.pairsC(c)(i)._1 - 1)
+      mh.guardC(c) + mh.pairsC(c)(i)._1 - 1 + mh.rgn.getOrElse(c, 0))
     val deltasC: Array[Array[Double]] =
       if (!lossy) null
       else Array.tabulate(ncomp, blist.length) { (c, i) =>
@@ -1236,7 +1322,12 @@ object Jpeg2k {
     val loCl = if (mh.signed) -(1 << (mh.prec - 1)) else 0
     val hiCl = if (mh.signed) (1 << (mh.prec - 1)) - 1 else (1 << mh.prec) - 1
 
-    var br = new HdrReader(body, 0)
+    // packed packet headers (PPT/PPM): header bits come from the
+    // packed stream, the body carries only SOP markers + payloads
+    val hsrc = packedHdr.getOrElse(body)
+    val packed = packedHdr.isDefined
+    var br = new HdrReader(hsrc, 0)
+    var bodyAt = 0
     // per-component geometry: subsampled components live on their
     // own coordinate lattice (tile rect cdiv'd by the factors)
     val crects = Array.tabulate(ncomp)(c => compRect(mh, trect, c))
@@ -1261,8 +1352,9 @@ object Jpeg2k {
     }
     val cbState = scala.collection.mutable.Map
       .empty[(Int, Int, Int, Int), (Int, Int, TagTree, TagTree, Array[CbSt])]
+    // (l, r, comp, ip, pi, pj, ppx, ppy, xr, yr) per packet
     val pkts = scala.collection.mutable.ArrayBuffer
-      .empty[((Long, Long, Long, Long, Long), Int, Int, Int, Int)]
+      .empty[(Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)]
     for (r <- 0 to levels) {
       val pshift = if (r == 0) 0 else 1
       val nBands = if (r == 0) 1 else 3
@@ -1283,20 +1375,53 @@ object Jpeg2k {
                 cbs.map(new CbSt(_)).toArray)
           }
           for (l <- 0 until layers)
-            pkts += ((pktKey(prog, l, r, comp, pi, pj, ppx, ppy, levels,
-              trect.x0, trect.y0, sxr, syr), l, r, comp, ip))
+            pkts += ((l, r, comp, ip, pi, pj, ppx, ppy, sxr, syr))
         }
       }
     }
-    val ordered = pkts.sortBy(_._1)
-    for ((_, l, r, comp, ip) <- ordered) {
+    // packet order: the COD progression, or — with POC segments
+    // (A.6.6 / B.12.1.7) — segment by segment, each emitting in ITS
+    // progression order the not-yet-emitted packets of its
+    // resolution/component/layer volume
+    def keyOf(pr: Int, m: (Int, Int, Int, Int, Int, Int, Int, Int, Int, Int)) =
+      pktKey(pr, m._1, m._2, m._3, m._5, m._6, m._7, m._8, levels,
+        trect.x0, trect.y0, m._9, m._10)
+    val ordered: Seq[(Int, Int, Int, Int)] =
+      if (mh.poc.isEmpty)
+        pkts.sortBy(keyOf(prog, _)).map(m => (m._1, m._2, m._3, m._4)).toSeq
+      else {
+        val taken = new Array[Boolean](pkts.length)
+        val out = Seq.newBuilder[(Int, Int, Int, Int)]
+        mh.poc.foreach { case (rs, cs, lye, re, ce, pr) =>
+          val batch = pkts.zipWithIndex.filter { case (m, i) =>
+            !taken(i) && m._2 >= rs && m._2 < re &&
+              m._3 >= cs && m._3 < ce && m._1 < lye
+          }.sortBy { case (m, _) => keyOf(pr, m) }
+          batch.foreach { case (m, i) =>
+            taken(i) = true
+            out += ((m._1, m._2, m._3, m._4))
+          }
+        }
+        require(taken.forall(identity),
+          "jpeg2000: POC progression does not cover all packets")
+        out.result()
+      }
+    for ((l, r, comp, ip) <- ordered) {
       val nBands = if (r == 0) 1 else 3
       if (useSop) {
-        // SOP: FF91, Lsop = 4, 2-byte packet sequence number
-        val at0 = br.pos
-        require((body(at0) & 0xff) == 0xff && (body(at0 + 1) & 0xff) == 0x91,
-          "jpeg2000: Scod declares SOP but the packet lacks it")
-        br = new HdrReader(body, at0 + 6)
+        // SOP: FF91, Lsop = 4, 2-byte packet sequence number — in
+        // the BITSTREAM (with the payloads), not the packed headers
+        if (packed) {
+          require((body(bodyAt) & 0xff) == 0xff &&
+            (body(bodyAt + 1) & 0xff) == 0x91,
+            "jpeg2000: Scod declares SOP but the packet lacks it")
+          bodyAt += 6
+        } else {
+          val at0 = br.pos
+          require((body(at0) & 0xff) == 0xff && (body(at0 + 1) & 0xff) == 0x91,
+            "jpeg2000: Scod declares SOP but the packet lacks it")
+          br = new HdrReader(body, at0 + 6)
+        }
       }
       val nonEmpty = br.bit() == 1
       val sty = mh.cbstyC(comp)
@@ -1357,22 +1482,22 @@ object Jpeg2k {
       br.align()
       if (useEph) {
         // EPH: FF92 terminates the packet header
-        require((body(br.pos) & 0xff) == 0xff &&
-          (body(br.pos + 1) & 0xff) == 0x92,
+        require((hsrc(br.pos) & 0xff) == 0xff &&
+          (hsrc(br.pos + 1) & 0xff) == 0x92,
           "jpeg2000: Scod declares EPH but the packet header lacks it")
-        br = new HdrReader(body, br.pos + 2)
+        br = new HdrReader(hsrc, br.pos + 2)
       }
-      var at = br.pos
+      if (!packed) bodyAt = br.pos
       contribs.result().foreach { case (cb, len, endsSeg) =>
-        require(at + len <= body.length,
+        require(bodyAt + len <= body.length,
           "jpeg2000: code-block data overruns the tile-part body")
-        cb.segs += ((at, at + len, endsSeg))
-        at += len
+        cb.segs += ((bodyAt, bodyAt + len, endsSeg))
+        bodyAt += len
       }
-      br = new HdrReader(body, at)
+      if (!packed) br = new HdrReader(body, bodyAt)
     }
-    require(br.pos == body.length,
-      s"jpeg2000: ${body.length - br.pos} trailing bytes after tile $t's last packet")
+    require(bodyAt == body.length,
+      s"jpeg2000: ${body.length - bodyAt} trailing bytes after tile $t's last packet")
     // Tier-1 decode each code-block from its concatenated layer
     // segments (the MQ codeword is continuous across layers)
     cbState.foreach { case ((r, _, comp, bpos), (_, _, _, _, st)) =>
@@ -1413,6 +1538,19 @@ object Jpeg2k {
           }.toIndexedSeq
         val coefs = t1Decode(orient, segBufs, cb.rect.w, cb.rect.h,
           cb.npl, cb.nps, sty)
+        val roiShift = mh.rgn.getOrElse(comp, 0)
+        if (roiShift > 0) {
+          // maxshift ROI (H.2): magnitudes >= 2^shift are ROI
+          // coefficients, scaled back down; background is untouched
+          val thr = 1 << roiShift
+          var ci = 0
+          while (ci < coefs.length) {
+            val v = coefs(ci)
+            if (v >= thr) coefs(ci) = v >> roiShift
+            else if (v <= -thr) coefs(ci) = -((-v) >> roiShift)
+            ci += 1
+          }
+        }
         var yy = 0
         while (yy < cb.rect.h) {
           var xx = 0
@@ -1517,12 +1655,37 @@ object Jpeg2k {
 
   def decode(data: Array[Byte]): J2kImage = {
     val (mh, firstSot) = parseMainHeader(data)
-    val chain = tilePartChain({ (o, n) =>
+    val tpInfo = tilePartChain({ (o, n) =>
       require(o + n <= data.length, "jpeg2000: codestream truncated")
       java.util.Arrays.copyOfRange(data, o.toInt, o.toInt + n)
     }, firstSot.toLong, data.length.toLong)
+    val chain = tpInfo.chain
     require(chain.keySet == (0 until mh.nTiles).toSet,
       s"jpeg2000: tile-parts cover tiles ${chain.keySet.toSeq.sorted} of ${mh.nTiles}")
+    // per-tile packed packet headers: PPT segments (already tile-
+    // keyed) or the PPM stream split into per-tile-part chunks
+    // (4-byte Nppm prefixes) in codestream order (A.6.5)
+    val packedHdrs: Map[Int, Array[Byte]] =
+      if (mh.ppm.isEmpty) tpInfo.ppt
+      else {
+        require(tpInfo.ppt.isEmpty, "jpeg2000: PPM and PPT both present")
+        val stream = mh.ppm.flatten.toArray
+        val perTile = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.ArrayBuffer[Byte]]
+        var at = 0
+        tpInfo.order.foreach { isot =>
+          require(at + 4 <= stream.length, "jpeg2000: PPM stream truncated")
+          val n = ((stream(at) & 0xff) << 24) | ((stream(at + 1) & 0xff) << 16) |
+            ((stream(at + 2) & 0xff) << 8) | (stream(at + 3) & 0xff)
+          require(at + 4 + n <= stream.length, "jpeg2000: PPM chunk overruns")
+          perTile.getOrElseUpdate(isot,
+            scala.collection.mutable.ArrayBuffer.empty[Byte]) ++=
+            stream.slice(at + 4, at + 4 + n)
+          at += 4 + n
+        }
+        require(at == stream.length, "jpeg2000: PPM stream length mismatch")
+        perTile.map { case (k, v) => k -> v.toArray }.toMap
+      }
     val w = mh.ow
     val h = mh.oh
     val ncomp = mh.ncomp
@@ -1546,7 +1709,7 @@ object Jpeg2k {
         }
         b
       }
-      val comps = decodeTile(mh, t, body)
+      val comps = decodeTile(mh, t, body, packedHdrs.get(t))
       val trect = tileRect(mh, t)
       for (comp <- 0 until ncomp) {
         val pl = outPlanes(comp)

@@ -91,6 +91,19 @@ class Jpeg2kSpec extends AnyFunSuite {
   test("code-block style RESTART+RESET: per-pass terminated MQ, lossy RPCL")(
     check("cbsty_restart", 37, 29, 12))
 
+  test("RGN maxshift ROI: shifted coefficients scale back exactly (Annex H)")(
+    check("rgn_roi", 33, 25, 8))
+  test("POC progression order changes: three segments cover the packet space") {
+    val img = Jpeg2k.decode(bytes("poc_mixed.j2c"))
+    assert((img.width, img.height, img.precision, img.components) == ((33, 25, 8, 3)))
+    assert(img.samples.toSeq == bytes("poc_mixed.raw").map(_ & 0xff).toSeq)
+  }
+
+  test("PPT packed packet headers: tile-part segments + SOP/EPH split")(
+    check("ppt_hdrs", 33, 25, 8))
+  test("PPM packed packet headers: main-header Nppm chunks, RPCL, 3 tile-parts")(
+    check("ppm_hdrs", 33, 25, 8))
+
   test("PCRL progression, two layers, RGB/MCT decodes exactly") {
     val img = Jpeg2k.decode(bytes("pcrl_rgb_layers.j2c"))
     assert((img.width, img.height, img.precision, img.components) == ((42, 31, 8, 3)))
@@ -151,16 +164,26 @@ class Jpeg2kSpec extends AnyFunSuite {
     }
   }
 
-  test("semantics-changing markers refuse loudly (POC)") {
-    // splice a POC (FF5F) segment before SOT: skipping it would decode
-    // silently-wrong pixels, so the decoder must refuse by name
+  test("tile-scope coding markers refuse loudly (COD in a tile-part header)") {
+    // splice a COD between SOT and SOD: tile-scope coding overrides
+    // would change decode semantics for that tile — skipping them
+    // would decode silently-wrong pixels, so the walker refuses by
+    // name (PPT is the one tile-part header marker it accepts)
     val good = bytes("g8_l1.j2c")
     val sot = good.indices.find(i => (good(i) & 0xff) == 0xff &&
       (good(i + 1) & 0xff) == 0x90).get
-    val poc = Array[Byte](0xff.toByte, 0x5f, 0, 9, 0, 0, 0, 1, 0, 1, 4)
-    val spliced = good.take(sot) ++ poc ++ good.drop(sot)
+    val cod = Array[Byte](0xff.toByte, 0x52, 0, 12, 0, 0, 0, 1, 0, 1, 2, 2, 0, 1)
+    val spliced = good.take(sot + 12) ++ cod ++ good.drop(sot + 12)
+    // Psot grows by the spliced segment so the walker's bounds hold
+    val psot = ((good(sot + 6) & 0xff) << 24) | ((good(sot + 7) & 0xff) << 16) |
+      ((good(sot + 8) & 0xff) << 8) | (good(sot + 9) & 0xff)
+    val p2 = psot + cod.length
+    spliced(sot + 6) = ((p2 >> 24) & 0xff).toByte
+    spliced(sot + 7) = ((p2 >> 16) & 0xff).toByte
+    spliced(sot + 8) = ((p2 >> 8) & 0xff).toByte
+    spliced(sot + 9) = (p2 & 0xff).toByte
     val e = intercept[UnsupportedOperationException](Jpeg2k.decode(spliced))
-    assert(e.getMessage.contains("0xFF5F"))
+    assert(e.getMessage.contains("tile-part header marker 0xFF52"))
   }
 
   test("COC with per-component levels or transform refuses by name") {

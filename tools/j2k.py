@@ -1350,6 +1350,31 @@ def pkt_key(order, l, r, c, pi, pj, ppx, ppy, levels, tx0, ty0,
     return (c, ty, tx, r, l)
 
 
+def order_packets(metas, prog, poc, levels, tx0, ty0):
+    """Order packet metas (l, r, c, ip, pi, pj, ppx, ppy, xr, yr) for
+    one tile: by the COD progression, or — when POC segments are
+    present (A.6.6 / B.12.1.7) — segment by segment, each emitting in
+    ITS progression order the not-yet-emitted packets with
+    RSpoc <= r < REpoc, CSpoc <= c < CEpoc, layer < LYEpoc."""
+    def key(pr, m):
+        (l, r, c, ip, pi, pj, ppx, ppy, xr, yr) = m
+        return pkt_key(pr, l, r, c, pi, pj, ppx, ppy, levels,
+                       tx0, ty0, xr, yr)
+    if not poc:
+        return sorted(metas, key=lambda m: key(prog, m))
+    out = []
+    taken = [False] * len(metas)
+    for (rs, cs, lye, re_, ce, pr) in poc:
+        batch = [(key(pr, m), i) for i, m in enumerate(metas)
+                 if not taken[i] and rs <= m[1] < re_ and
+                 cs <= m[2] < ce and m[0] < lye]
+        for (_, i) in sorted(batch):
+            taken[i] = True
+            out.append(metas[i])
+    assert all(taken), "POC progression does not cover all packets"
+    return out
+
+
 def layer_bounds(nps, layers):
     """Pass-count cut points per layer: contiguous, as even as
     possible, earliest layers first."""
@@ -1361,7 +1386,8 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
            xtsiz=None, ytsiz=None, precincts=None, sop=False, eph=False,
            tile_parts=1, layers=1, progression="LRCP",
            xosiz=0, yosiz=0, xtosiz=0, ytosiz=0, coc=None, qcc=None,
-           subsampling=None, cbstyle=0):
+           subsampling=None, cbstyle=0, rgn=None, poc=None,
+           ppt=False, ppm=False):
     """img: single plane (ncomp=1) or list of ncomp planes, row-major
     w x h. transform "53" (reversible, quant must be None) or "97"
     (irreversible, quant = (style, e0, mu0), style "derived" or
@@ -1385,12 +1411,26 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     plane at ITS OWN dims. MCT requires equal factors. cbstyle is
     the T.800 Table A.19 code-block style byte (BYPASS 0x01 |
     RESET 0x02 | RESTART 0x04 | CAUSAL 0x08 | SEGSYM 0x20; ERTERM is
-    a flush-side property this encoder does not emit)."""
+    a flush-side property this encoder does not emit). rgn maps a
+    component to its maxshift ROI shift (Annex H): this encoder marks
+    the top-left quadrant of every band as the ROI, upshifts those
+    quantized coefficients by the shift, and asserts every background
+    magnitude stays below 2^shift (raising shift as needed is the
+    caller's concern — H.2 requires it). poc is a list of
+    progression-order-change segments (rs, cs, lye, re, ce,
+    progression_name) emitted as a POC marker; together they must
+    cover every packet. ppt moves every packet header into PPT
+    marker segments in the tile-part headers (A.6.4); ppm moves them
+    into a main-header PPM segment with per-tile-part Nppm length
+    prefixes in codestream order (A.6.5); either way the bitstream
+    bodies carry only SOP markers and payload bytes."""
     assert 1 <= levels <= 6 and 4 <= cbw <= 64 and 4 <= cbh <= 64
     assert cbstyle & ~0x2F == 0, "cbstyle: BYPASS/RESET/RESTART/CAUSAL/SEGSYM"
     assert transform in ("53", "97")
     assert 1 <= layers <= 65535
     prog = PROGRESSIONS[progression]
+    poc = [(rs, cs, lye, re_, ce, PROGRESSIONS[pn])
+           for (rs, cs, lye, re_, ce, pn) in (poc or [])]
     lossy = transform == "97"
     assert lossy == (quant is not None), "quant iff 9/7"
     xsiz = xosiz + w
@@ -1398,6 +1438,8 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     xt = xtsiz if xtsiz else xsiz - xtosiz
     yt = ytsiz if ytsiz else ysiz - ytosiz
     assert 1 <= tile_parts <= 255
+    assert not (ppt and ppm), "PPT and PPM are mutually exclusive"
+    packed = ppt or ppm
     qinfo = (quant_setup(levels, prec, quant[0], quant[1], quant[2])
              if lossy else None)
 
@@ -1521,13 +1563,27 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
             bands[(0, "LL")] = (cur, (cx0, cx1, cy0, cy1))
             # quantize (lossy) and track per-band max magnitude
             qi = qinfo_c[c] if qinfo_c[c] is not None else qinfo
+            rshift = (rgn or {}).get(c, 0)
             for bi, (r, name, _, _) in enumerate(blist):
-                coefs, _ = bands[(r, name)]
+                coefs, brc = bands[(r, name)]
                 if lossy:
                     delta = qi[bi][2]
                     for i, v in enumerate(coefs):
                         coefs[i] = (int(v / delta) if v >= 0
                                     else -int(-v / delta))
+                if rshift:
+                    # maxshift ROI: top-left quadrant of the band is
+                    # the ROI; everything else must fit under 2^shift
+                    bw_ = brc[1] - brc[0]
+                    bh_ = brc[3] - brc[2]
+                    for i, v in enumerate(coefs):
+                        if (i % bw_) < (bw_ + 1) // 2 and \
+                                (i // bw_) < (bh_ + 1) // 2:
+                            coefs[i] = v << rshift if v >= 0 \
+                                else -((-v) << rshift)
+                        else:
+                            assert abs(v) < (1 << rshift), \
+                                "rgn shift too small for background"
                 for v in coefs:
                     if abs(v) > max_mag[c][bi]:
                         max_mag[c][bi] = abs(v)
@@ -1538,11 +1594,20 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     # without a QCC override; "auto" lossless QCC components carry
     # their own exponents from their own magnitudes
     shared = [c for c in range(ncomp) if c not in qcc]
+    rgn = dict(rgn or {})
+    for cc, s_ in rgn.items():
+        assert 0 <= cc < ncomp and 1 <= s_ <= 37, "rgn comp/shift"
+    # comps signaling through the shared QCD must share one ROI shift
+    # (the decoder adds SPrgn per component to the SAME eps values)
+    shared_shifts = {rgn.get(c, 0) for c in shared}
+    assert len(shared_shifts) <= 1, \
+        "per-component RGN shifts need per-component QCC"
+    rs_qcd = shared_shifts.pop() if shared_shifts else 0
     if lossy:
         mbs_c = [None] * ncomp
         for c in range(ncomp):
             qi = qinfo_c[c] if qinfo_c[c] is not None else qinfo
-            mbs_c[c] = [q[3] for q in qi]
+            mbs_c[c] = [q[3] + rgn.get(c, 0) for q in qi]
             for bi in range(len(blist)):
                 assert max(1, max_mag[c][bi]).bit_length() <= mbs_c[c][bi], \
                     f"comp {c} band {bi}: magnitude overflows Mb"
@@ -1607,12 +1672,28 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
         if has_pp:
             for (px, py) in pps_c[c]:
                 out.append(px | (py << 4))
+    if poc:                          # POC: progression order changes
+        m16(0xFF5F)
+        m16(2 + 7 * len(poc))
+        for (rs, cs, lye, re_, ce, pr) in poc:
+            out.append(rs)
+            out.append(cs)           # CSpoc (ncomp < 257)
+            m16(lye)
+            out.append(re_)
+            out.append(ce)
+            out.append(pr)
+    for c in sorted(rgn):            # RGN: maxshift ROI (Annex H)
+        m16(0xFF5E)
+        m16(5)
+        out.append(c)                # Crgn (ncomp < 257)
+        out.append(0)                # Srgn 0 = implicit (maxshift)
+        out.append(rgn[c])           # SPrgn
     m16(0xFF5C)                      # QCD
     if not lossy:
         m16(3 + len(mbs))
         out.append((GUARD << 5) | 0)     # style 0: no quantization
         for mb in mbs:
-            eps = mb - GUARD + 1
+            eps = mb - GUARD + 1 - rs_qcd
             assert 0 <= eps < 32, eps
             out.append((eps & 0x1F) << 3)
     elif quant[0] == "derived":
@@ -1632,7 +1713,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
             out.append(c)
             out.append((GUARD << 5) | 0)
             for mb in mbs_c[c]:
-                eps = mb - GUARD + 1
+                eps = mb - GUARD + 1 - rgn.get(c, 0)
                 assert 0 <= eps < 32, eps
                 out.append((eps & 0x1F) << 3)
         elif qcc[c][0] == "derived":
@@ -1650,6 +1731,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
 
     # phase 2: per tile — T1 every code-block once, then packets in
     # the progression order with per-layer contributions
+    tile_emit = []   # (isot, tpsot, tnsot, hdr_chunk_or_None, body)
     for t, (tx0, tx1, ty0, ty1) in enumerate(tiles):
         # cb_state[(r, ip, c, bpos)] = (nx, ny, incl, zbp, cbs) where
         # cbs[i] = dict(data, npl, nps, ends, bounds, lblock, included)
@@ -1689,21 +1771,19 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                                 lblock=3, included=False))
                         cb_state[(r, ip, c, bpos)] =                             (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
                     for l in range(layers):
-                        pkts_meta.append((pkt_key(prog, l, r, c, pi, pj,
-                                                  ppx, ppy, levels,
-                                                  tx0, ty0, *subs[c]),
-                                          l, r, c, ip, pi, pj))
-        pkts_meta.sort(key=lambda x: x[0])
+                        pkts_meta.append((l, r, c, ip, pi, pj,
+                                          ppx, ppy, *subs[c]))
+        ordered = order_packets(pkts_meta, prog, poc, levels, tx0, ty0)
 
         packets = []
         packet_seq = 0
-        for (_, l, r, c, ip, pi, pj) in pkts_meta:
+        for (l, r, c, ip, pi, pj, _, _, _, _) in ordered:
             bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
-            pkt = bytearray()
+            sop_b = bytearray()
             if sop:
-                pkt.extend(b"\xff\x91\x00\x04")
-                pkt.append((packet_seq >> 8) & 0xFF)
-                pkt.append(packet_seq & 0xFF)
+                sop_b.extend(b"\xff\x91\x00\x04")
+                sop_b.append((packet_seq >> 8) & 0xFF)
+                sop_b.append(packet_seq & 0xFF)
             packet_seq = (packet_seq + 1) & 0xFFFF
             hw = HdrWriter()
             payloads = []
@@ -1782,27 +1862,55 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                         for (ln_, np_) in pieces:
                             hw.bits(ln_, cb["lblock"] + (np_.bit_length() - 1))
                         payloads.append(cb["data"][cut(a):cut(bnd)])
-            pkt.extend(hw.finish())
+            hdr_b = bytearray(hw.finish())
             if eph:
-                pkt.extend(b"\xff\x92")
+                hdr_b.extend(b"\xff\x92")
+            pay_b = bytearray()
             for d in payloads:
-                pkt.extend(d)
-            packets.append(bytes(pkt))
+                pay_b.extend(d)
+            if packed:
+                # header bits (+EPH) go to PPT/PPM; SOP markers stay
+                # in the bitstream with the payload bytes
+                packets.append((bytes(hdr_b), bytes(sop_b + pay_b)))
+            else:
+                packets.append(bytes(sop_b + hdr_b + pay_b))
         # split packets into tile-parts (contiguous, near-even)
         ntp = min(tile_parts, max(1, len(packets)))
         bounds = [round(i * len(packets) / ntp) for i in range(ntp + 1)]
         for k in range(ntp):
-            body = b"".join(packets[bounds[k]:bounds[k + 1]])
-            psot = 12 + 2 + len(body)
-            m16(0xFF90)              # SOT
-            m16(10)
-            m16(t)                   # Isot
-            out.extend(psot.to_bytes(4, "big"))
-            out.append(k)            # TPsot
-            out.append(ntp)          # TNsot
-            m16(0xFF93)              # SOD
-            out.extend(body)
-    m16(0xFFD9)                      # EOC
+            chunk = packets[bounds[k]:bounds[k + 1]]
+            if packed:
+                hdr_chunk = b"".join(h for (h, _) in chunk)
+                body = b"".join(b for (_, b) in chunk)
+            else:
+                hdr_chunk = None
+                body = b"".join(chunk)
+            tile_emit.append((t, k, ntp, hdr_chunk, body))
+
+    if ppm:
+        # one PPM segment (Zppm 0): per tile-part in codestream
+        # order, Nppm then that tile-part's packed packet headers
+        ppm_payload = b"".join(
+            len(h).to_bytes(4, "big") + h for (_, _, _, h, _) in tile_emit)
+        m16(0xFF60)
+        m16(3 + len(ppm_payload))
+        out.append(0)                # Zppm
+        out.extend(ppm_payload)
+    for (t, k, ntp, hdr_chunk, body) in tile_emit:
+        pptseg = b"" if not ppt else (
+            b"\xff\x61" + (3 + len(hdr_chunk)).to_bytes(2, "big") +
+            b"\x00" + hdr_chunk)  # Zppt 0
+        psot = 12 + len(pptseg) + 2 + len(body)
+        m16(0xFF90)              # SOT
+        m16(10)
+        m16(t)                   # Isot
+        out.extend(psot.to_bytes(4, "big"))
+        out.append(k)            # TPsot
+        out.append(ntp)          # TNsot
+        out.extend(pptseg)
+        m16(0xFF93)              # SOD
+        out.extend(body)
+    m16(0xFFD9)                  # EOC
     return bytes(out)
 
 
@@ -1841,6 +1949,11 @@ def decode(data):
     tp_counts = {}
     coc_over = {}    # comp -> (levels, lcbw, lcbh, lossy, pps)
     qcc_over = {}    # comp -> (qstyle, guard, pairs)
+    rgn_over = {}    # comp -> maxshift ROI shift (SPrgn)
+    poc_segs = []    # (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc)
+    ppm_chunks = []  # (Zppm, bytes) main-header packed headers
+    tp_ppt = {}      # isot -> [(tpsot, zppt, bytes)] tile-part headers
+    tp_order = []    # (isot, tpsot) in codestream order (PPM chunking)
     saw_eoc = False
     while not saw_eoc:
         mk = u16()
@@ -1938,6 +2051,38 @@ def decode(data):
                     pos += 2
             qcc_over[cc] = (qs2, g2, prs)
             pos = end
+        elif mk == 0xFF5F:  # POC (progression order changes)
+            ln = u16()
+            end = pos + ln - 2
+            step = 7 if ncomp < 257 else 9
+            assert (ln - 2) % step == 0, "bad Lpoc"
+            for _ in range((ln - 2) // step):
+                rs = data[pos]
+                cs = data[pos + 1]
+                lye = (data[pos + 2] << 8) | data[pos + 3]
+                re_ = data[pos + 4]
+                ce = data[pos + 5]
+                pr = data[pos + 6]
+                assert pr <= 4, f"POC progression {pr}"
+                poc_segs.append((rs, cs, lye, re_, ce, pr))
+                pos += step
+            pos = end
+        elif mk == 0xFF60:  # PPM: packed packet headers, main header
+            ln = u16()
+            zppm = data[pos]
+            ppm_chunks.append((zppm, bytes(data[pos + 1:pos + ln - 2])))
+            pos = pos + ln - 2
+        elif mk == 0xFF61:
+            raise AssertionError("PPT marker outside a tile-part header")
+        elif mk == 0xFF5E:  # RGN (maxshift ROI, Annex H)
+            ln = u16()
+            end = pos + ln - 2
+            cc = data[pos] if ncomp < 257 else ((data[pos] << 8)
+                                                | data[pos + 1])
+            pos += 1 if ncomp < 257 else 2
+            assert data[pos] == 0, "RGN style 0 (implicit) only"
+            rgn_over[cc] = data[pos + 1]
+            pos = end
         elif mk == 0xFF5C:  # QCD
             ln = u16()
             end = pos + ln - 2
@@ -1964,11 +2109,24 @@ def decode(data):
             tpsot = data[pos]
             tnsot = data[pos + 1]
             pos += ln - 8
-            assert u16() == 0xFF93, "tile-part header markers unsupported"
+            while True:
+                tmk = u16()
+                if tmk == 0xFF93:  # SOD
+                    break
+                if tmk == 0xFF61:  # PPT
+                    tln = u16()
+                    zppt = data[pos]
+                    tp_ppt.setdefault(isot, []).append(
+                        (tpsot, zppt, bytes(data[pos + 1:pos + tln - 2])))
+                    pos = pos + tln - 2
+                else:
+                    raise AssertionError(
+                        f"tile-part header marker {tmk:#06x} unsupported")
             end = sot_at + psot if psot else len(data) - 2
             tp_bodies.setdefault(isot, {})[tpsot] = bytes(data[pos:end])
             if tnsot:
                 tp_counts[isot] = tnsot
+            tp_order.append((isot, tpsot))
             pos = end
         elif mk == 0xFFD9:
             saw_eoc = True
@@ -2010,12 +2168,30 @@ def decode(data):
         if lossy:
             deltas_c[c] = [2.0 ** ((prec + gain) - eb) * (1.0 + mu / 2048.0)
                            for (eb, mu), (_, _, _, gain) in zip(prs, blist)]
-        mbs_c[c] = [g + eb - 1 for (eb, _) in prs[:len(blist)]]
+        mbs_c[c] = [g + eb - 1 + rgn_over.get(c, 0)
+                    for (eb, _) in prs[:len(blist)]]
 
     tiles, _, _ = tile_grid(xsiz, ysiz, xt, yt,
                             xosiz, yosiz, xtosiz, ytosiz)
     assert set(tp_bodies.keys()) == set(range(len(tiles))), \
         "missing tile-parts"
+    # packed packet headers: per tile, the PPT segments concatenate in
+    # (TPsot, Zppt) order; a PPM stream splits into per-tile-part
+    # chunks (4-byte Nppm prefixes) in codestream order (A.6.4/A.6.5)
+    per_tile_hdr = {}
+    for isot_, lst in tp_ppt.items():
+        per_tile_hdr[isot_] = b"".join(
+            seg for (_, _, seg) in sorted(lst, key=lambda e: (e[0], e[1])))
+    if ppm_chunks:
+        assert not per_tile_hdr, "PPM and PPT are mutually exclusive"
+        stream = b"".join(seg for (_, seg) in sorted(ppm_chunks))
+        at_ = 0
+        for (isot_, _) in tp_order:
+            n_ = int.from_bytes(stream[at_:at_ + 4], "big")
+            per_tile_hdr[isot_] = per_tile_hdr.get(isot_, b"") + \
+                stream[at_ + 4:at_ + 4 + n_]
+            at_ += 4 + n_
+        assert at_ == len(stream), "PPM stream length mismatch"
     if mct:
         assert ncomp == 3, "MCT needs 3 components"
         assert len(set(subs[:3])) == 1, \
@@ -2035,7 +2211,10 @@ def decode(data):
         assert set(parts.keys()) == set(range(n_parts)), \
             f"tile {t}: have parts {sorted(parts)} of {n_parts}"
         body = b"".join(parts[k] for k in range(n_parts))
-        br = HdrReader(body, 0)
+        hsrc = per_tile_hdr.get(t, body)
+        packed = t in per_tile_hdr
+        br = HdrReader(hsrc, 0)
+        body_at = 0
         crects = [(_cdiv(tx0, xr), _cdiv(tx1, xr),
                    _cdiv(ty0, yr), _cdiv(ty1, yr)) for (xr, yr) in subs]
         band_rects = {}
@@ -2070,18 +2249,24 @@ def decode(data):
                         cb_state[(r, ip, c, bpos)] = \
                             (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
                     for l in range(layers):
-                        pkts_meta.append((pkt_key(prog, l, r, c, pi, pj,
-                                                  ppx, ppy, levels,
-                                                  tx0, ty0, *subs[c]),
-                                          l, r, c, ip))
-        pkts_meta.sort(key=lambda x: x[0])
+                        pkts_meta.append((l, r, c, ip, pi, pj,
+                                          ppx, ppy, *subs[c]))
+        ordered = order_packets(pkts_meta, prog, poc_segs, levels,
+                                tx0, ty0)
 
-        for (_, l, r, c, ip) in pkts_meta:
+        for (l, r, c, ip, _, _, _, _, _, _) in ordered:
             bnames = ["LL"] if r == 0 else ["HL", "LH", "HH"]
             if use_sop:
-                at0 = br.pos
-                assert body[at0] == 0xFF and body[at0 + 1] == 0x91
-                br = HdrReader(body, at0 + 6)
+                if packed:
+                    # SOP markers live in the bitstream with the
+                    # payload bytes, not in the packed headers
+                    assert body[body_at] == 0xFF and \
+                        body[body_at + 1] == 0x91
+                    body_at += 6
+                else:
+                    at0 = br.pos
+                    assert body[at0] == 0xFF and body[at0 + 1] == 0x91
+                    br = HdrReader(body, at0 + 6)
             nonempty = br.bit()
             contribs = []   # (cb dict, seg_len)
             if nonempty:
@@ -2127,13 +2312,16 @@ def decode(data):
                         cb["nps"] += np_new
             br.align()
             if use_eph:
-                assert body[br.pos] == 0xFF and                     body[br.pos + 1] == 0x92, "missing EPH"
-                br = HdrReader(body, br.pos + 2)
-            at = br.pos
+                assert hsrc[br.pos] == 0xFF and \
+                    hsrc[br.pos + 1] == 0x92, "missing EPH"
+                br = HdrReader(hsrc, br.pos + 2)
+            if not packed:
+                body_at = br.pos
             for (cb, ln, ends_seg) in contribs:
-                cb["segs"].append((body[at:at + ln], ends_seg))
-                at += ln
-            br = HdrReader(body, at)
+                cb["segs"].append((body[body_at:body_at + ln], ends_seg))
+                body_at += ln
+            if not packed:
+                br = HdrReader(body, body_at)
 
         # Tier-1 decode every code-block from its concatenated layer
         # segments (the MQ codeword is continuous across layers)
@@ -2155,6 +2343,12 @@ def decode(data):
                 coefs = t1_decode(name, segs,
                                   cw_, ch_, cb["npl"], cb["nps"],
                                   cbsty_c[c])
+                rs_ = rgn_over.get(c, 0)
+                if rs_:
+                    thr = 1 << rs_
+                    coefs = [(v >> rs_ if v >= thr else
+                              -((-v) >> rs_) if v <= -thr else v)
+                             for v in coefs]
                 plane = band_coefs[(c, r, name)]
                 for yy in range(ch_):
                     for xx in range(cw_):
@@ -2413,6 +2607,28 @@ def _selftest():
                      sop=True, eph=True, tile_parts=2)
         assert decode(enc)[4] == img12, hex(sty)
     print("ok code-block styles (bypass/reset/restart/causal/segsym)")
+
+    # RGN maxshift ROI + POC progression order changes
+    img = [(x * 3 + y * 7 + (x ^ y) % 13) % 256
+           for y in range(25) for x in range(33)]
+    enc = encode(img, 33, 25, 8, levels=2, cbw=8, cbh=8, rgn={0: 9})
+    assert decode(enc)[4] == img, "rgn"
+    enc = encode(img, 33, 25, 8, levels=2, cbw=8, cbh=8, layers=3,
+                 xtsiz=17, ytsiz=13,
+                 poc=[(0, 0, 2, 2, 1, "LRCP"), (0, 0, 3, 3, 1, "RPCL")])
+    assert decode(enc)[4] == img, "poc"
+    print("ok RGN maxshift + POC progression changes")
+
+    # packed packet headers: PPT (tile-part) and PPM (main header)
+    enc = encode(img, 33, 25, 8, levels=2, cbw=8, cbh=8, ppt=True,
+                 layers=3, xtsiz=17, ytsiz=13, tile_parts=2,
+                 sop=True, eph=True)
+    assert decode(enc)[4] == img, "ppt"
+    enc = encode(img, 33, 25, 8, levels=2, cbw=8, cbh=8, ppm=True,
+                 layers=2, xtsiz=17, ytsiz=13, tile_parts=3,
+                 progression="RPCL", precincts=(4, 4))
+    assert decode(enc)[4] == img, "ppm"
+    print("ok PPT/PPM packed packet headers")
     print("selftest passed")
 
 

@@ -307,6 +307,40 @@ def main():
           cbstyle=0x04 | 0x02, transform="97",
           quant=("expounded", 12, 512), progression="RPCL", layers=2)
 
+    # RGN (maxshift ROI, Annex H) + POC (progression order changes):
+    # rgn_roi upshifts each band's top-left-quadrant coefficients by
+    # 9 planes and signals SPrgn; poc_mixed covers the packet space
+    # with three progression segments (low-res LRCP first, then the
+    # chroma tail PCRL, then everything LRCP) across tiles and layers.
+    r = lcg(271)
+    w, h = 33, 25
+    img = [(x * 3 + y * 7 + next(r) % 29) % 256
+           for y in range(h) for x in range(w)]
+    emit2("rgn_roi", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          rgn={0: 9}, xtsiz=17, ytsiz=13, layers=2)
+    r = lcg(277)
+    planes = [[(x * (3 + c) + y * (5 + c) + next(r) % 23) % 256
+               for y in range(h) for x in range(w)] for c in range(3)]
+    emit2("poc_mixed", planes, w, h, 8, ncomp=3, mct=True, levels=2,
+          cbw=8, cbh=8, layers=2, xtsiz=17, ytsiz=13,
+          poc=[(0, 0, 1, 2, 1, "LRCP"), (0, 1, 1, 3, 3, "PCRL"),
+               (0, 0, 2, 3, 3, "LRCP")])
+
+    # PPT/PPM packed packet headers (A.6.4/A.6.5): header bits move
+    # out of the bitstream into tile-part PPT segments (ppt_hdrs,
+    # with SOP/EPH so the header/body split is pinned) or one
+    # main-header PPM segment with per-tile-part Nppm chunks in
+    # codestream order (ppm_hdrs, RPCL + precincts + 3 tile-parts).
+    r = lcg(283)
+    w, h = 33, 25
+    img = [(x * 3 + y * 7 + next(r) % 29) % 256
+           for y in range(h) for x in range(w)]
+    emit2("ppt_hdrs", img, w, h, 8, levels=2, cbw=8, cbh=8, ppt=True,
+          layers=3, xtsiz=17, ytsiz=13, tile_parts=2, sop=True, eph=True)
+    emit2("ppm_hdrs", img, w, h, 8, levels=2, cbw=8, cbh=8, ppm=True,
+          layers=2, xtsiz=17, ytsiz=13, tile_parts=3,
+          progression="RPCL", precincts=(4, 4))
+
     print("wrote j2k fixtures to", outdir)
 
 
