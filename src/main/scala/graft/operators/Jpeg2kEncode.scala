@@ -159,7 +159,7 @@ object Jpeg2kEncode {
 
   /** Encode one code-block; returns (bytes, nplanes, npasses). */
   private def t1Encode(band: Int, coefs: Array[Int], w: Int,
-      h: Int): (Array[Byte], Int, Int) = {
+      h: Int, style: Int = 0): (Array[Byte], Int, Int) = {
     val n = w * h
     val mags = coefs.map(math.abs)
     val blkSgn = coefs.map(c => if (c < 0) 1 else 0)
@@ -172,8 +172,13 @@ object Jpeg2kEncode {
     val ref = new Array[Int](n)
     val mq = new MQEncoder
 
+    // vertically stripe-causal contexts (style 0x08): rows >=
+    // causalLim read as insignificant while a stripe is processed
+    val causal = (style & 0x08) != 0
+    var causalLim = Int.MaxValue
     def sigAt(x: Int, y: Int): Int =
-      if (x < 0 || y < 0 || x >= w || y >= h) 0 else sig(y * w + x)
+      if (x < 0 || y < 0 || x >= w || y >= h || y >= causalLim) 0
+      else sig(y * w + x)
     def sgnContrib(x: Int, y: Int): Int =
       if (sigAt(x, y) == 0) 0 else if (sgn(y * w + x) == 1) -1 else 1
     def hvd(x: Int, y: Int): (Int, Int, Int) = (
@@ -206,6 +211,7 @@ object Jpeg2kEncode {
         if (which == 0) {
           var y0 = 0
           while (y0 < h) {
+            causalLim = if (causal) y0 + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               var y = y0
@@ -229,6 +235,7 @@ object Jpeg2kEncode {
         } else if (which == 1) {
           var y0 = 0
           while (y0 < h) {
+            causalLim = if (causal) y0 + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               var y = y0
@@ -248,6 +255,7 @@ object Jpeg2kEncode {
         } else {
           var y0 = 0
           while (y0 < h) {
+            causalLim = if (causal) y0 + 4 else Int.MaxValue
             var x = 0
             while (x < w) {
               var y = y0
@@ -298,8 +306,15 @@ object Jpeg2kEncode {
             }
             y0 += 4
           }
+          if ((style & 0x20) != 0) {
+            // segmentation symbol: 1010 on the UNI context ends
+            // every cleanup pass (T.800 D.6)
+            mq.encode(CxUni, 1); mq.encode(CxUni, 0)
+            mq.encode(CxUni, 1); mq.encode(CxUni, 0)
+          }
           java.util.Arrays.fill(vis, 0)
         }
+        causalLim = Int.MaxValue
         npasses += 1
       }
       p -= 1
@@ -570,7 +585,7 @@ object Jpeg2kEncode {
       signed: Boolean = false, levels: Int = 2, cbw: Int = 32,
       cbh: Int = 32, mct: Boolean = false, sop: Boolean = false,
       eph: Boolean = false, transform: String = "53",
-      quant: Option[(Int, Int)] = None): Array[Byte] = {
+      quant: Option[(Int, Int)] = None, cbstyle: Int = 0): Array[Byte] = {
     val ncomp = planes.length
     require(ncomp == 1 || ncomp == 3, s"jpeg2000-enc: $ncomp components")
     require(!mct || ncomp == 3, "jpeg2000-enc: MCT needs 3 components")
@@ -578,6 +593,11 @@ object Jpeg2kEncode {
       cbh >= 4 && cbh <= 64, "jpeg2000-enc: bad parameters")
     require(transform == "53" || transform == "97",
       s"jpeg2000-enc: transform $transform")
+    // this encoder implements the CAUSAL (0x08) and SEGSYM (0x20)
+    // code-block styles; bypass/reset/restart are decode-only
+    // surfaces pinned by the independent Python encoder's fixtures
+    require((cbstyle & ~0x28) == 0,
+      f"jpeg2000-enc: code-block style 0x$cbstyle%02X unsupported (CAUSAL|SEGSYM only)")
     val lossy = transform == "97"
     // irreversible 9/7 quantizes (scalar expounded, (e0, mu0) —
     // uniform step 2^(prec-e0)*(1+mu0/2048)); reversible 5/3 must not
@@ -685,7 +705,7 @@ object Jpeg2kEncode {
             val sub = Array.tabulate(cw2 * ch2) { j =>
               coefs((y0 + j / cw2) * bw + x0 + j % cw2)
             }
-            val (bytes, npl, nps) = t1Encode(orient2, sub, cw2, ch2)
+            val (bytes, npl, nps) = t1Encode(orient2, sub, cw2, ch2, cbstyle)
             mx(bi) = math.max(mx(bi), npl)
             (bytes, npl, nps)
           }
@@ -731,9 +751,9 @@ object Jpeg2kEncode {
     w8(levels)
     w8((31 - Integer.numberOfLeadingZeros(cbw)) - 2)
     w8((31 - Integer.numberOfLeadingZeros(cbh)) - 2)
-    // code-block style 0; transform per T.800 Table A.20 (0 = the
-    // irreversible 9/7, 1 = reversible 5/3)
-    w8(0); w8(if (lossy) 0 else 1)
+    // code-block style (Table A.19); transform per T.800 Table A.20
+    // (0 = the irreversible 9/7, 1 = reversible 5/3)
+    w8(cbstyle); w8(if (lossy) 0 else 1)
     w16(0xff5c) // QCD
     if (!lossy) {
       w16(3 + mbs.length)

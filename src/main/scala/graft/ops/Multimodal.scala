@@ -576,6 +576,24 @@ object Multimodal {
     }).toDF("doc_id", "media")
   }
 
+  /** A real STYLED JPEG 2000 blob per doc: same closed-form 11×7
+    * pixels as [[syntheticJp2]], but encoded with the vertically
+    * stripe-CAUSAL context style and per-cleanup-pass SEGMENTATION
+    * SYMBOLS (Table A.19 bits 0x08 | 0x20) — the decode path where
+    * context formation must clip at stripe boundaries and verify the
+    * 1010 symbol. Lossless, so the oracle replay stays EXACT.
+    */
+  def syntheticJp2Styled(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = 11; val h = 7
+      val img = Array.tabulate(w * h)(i => ((id * 37 + i * 13) % 256).toInt)
+      (id, graft.operators.Jpeg2kEncode.encode(Seq(img), w, h, 8,
+        levels = 1, cbw = 8, cbh = 8, cbstyle = 0x28))
+    }).toDF("doc_id", "media")
+  }
+
   /** A real LOSSY JPEG 2000 blob per doc: 11×7 grayscale ramp
     * base = (doc_id·37) mod 128 plus 3x+5y (no wrap cliffs), encoded
     * through the irreversible 9/7 with step-1 scalar-expounded

@@ -26,7 +26,7 @@ object LlmOps extends QModule {
     t48TextStats, t49LangId, t50TokenCount, t51Fingerprint, t52Redact,
     t56TopTerms, t57CorpusMix,
     m52Multimodal, m53ImageDecode, m54AudioDecode, m55PngDecode, m56JpegDecode,
-    m69Jp2Decode, m70J2kLossy,
+    m69Jp2Decode, m70J2kLossy, m71J2kStyled,
     m57FlacDecode, m58VideoFrames, m59Mp3Meta, m60ImageDhash, m61JpegExif,
     m62ImageDupClusters, m63AudioFpDedup, d63SoftDedupWeights, m64SceneCuts,
     m65ThumbnailPixels, s58MarginMining,
@@ -809,6 +809,29 @@ object LlmOps extends QModule {
     "m69_jp2_decode_features",
     (s, dir) => Multimodal.extractImageFeatures(s,
         Multimodal.syntheticJp2(docs(s, dir).filter(col("doc_id") < 200)))
+      .toDF().orderBy(col("doc_id")),
+    Some("""SELECT doc_id, CAST(11 AS INT) AS width, CAST(7 AS INT) AS height,
+            CAST(1 AS INT) AS channels,
+            CAST(list_sum(list_transform(range(77),
+              i -> (doc_id * 37 + i * 13) % 256)) AS DOUBLE) / 77 AS mean_c0,
+            CAST(-1.0 AS DOUBLE) AS mean_c1,
+            CAST(-1.0 AS DOUBLE) AS mean_c2
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id"""))
+
+  /** REAL STYLED JPEG 2000 decode in the gate: the m69 codestreams
+    * re-encoded at runtime with the vertically stripe-CAUSAL context
+    * style plus per-cleanup-pass SEGMENTATION SYMBOLS (code-block
+    * style 0x28) — the decoder must clip context formation at stripe
+    * boundaries and verify every 1010 symbol, and because the codec
+    * stays LOSSLESS the oracle replays the closed-form mean exactly.
+    * Any drift in the causal neighborhood rule or the segsym
+    * check hash-mismatches against the m69 arithmetic.
+    */
+  val m71J2kStyled = Q(
+    "m71_j2k_styled_features",
+    (s, dir) => Multimodal.extractImageFeatures(s,
+        Multimodal.syntheticJp2Styled(docs(s, dir).filter(col("doc_id") < 200)))
       .toDF().orderBy(col("doc_id")),
     Some("""SELECT doc_id, CAST(11 AS INT) AS width, CAST(7 AS INT) AS height,
             CAST(1 AS INT) AS channels,

@@ -204,6 +204,24 @@ class Jpeg2kSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("per-component transform"))
   }
 
+  test("Scala encoder CAUSAL+SEGSYM styles roundtrip losslessly through the decoder") {
+    val r = lcg(41)
+    for ((w, h) <- Seq((11, 7), (19, 13), (32, 24))) {
+      val img = Array.tabulate(w * h)(i =>
+        ((i % w) * 3 + (i / w) * 7 + math.abs(r.next()) % 31) % 256)
+      for (sty <- Seq(0x08, 0x20, 0x28)) {
+        val enc = Jpeg2kEncode.encode(Seq(img), w, h, 8,
+          levels = 2, cbw = 8, cbh = 8, cbstyle = sty)
+        val dec = Jpeg2k.decode(enc)
+        assert(dec.samples.toSeq == img.toSeq, s"${w}x$h style 0x$sty%02X")
+      }
+    }
+    // unimplemented encode-side styles refuse by name
+    val e = intercept[IllegalArgumentException](
+      Jpeg2kEncode.encode(Seq(Array.fill(16)(7)), 4, 4, 8, cbstyle = 0x01))
+    assert(e.getMessage.contains("CAUSAL|SEGSYM"))
+  }
+
   test("Scala lossy encoder (9/7 + expounded quant) roundtrips within quantizer error") {
     for ((w, h, prec, e0, mu, tol, seed) <- Seq(
         (32, 24, 8, 8, 0, 4, 31L),      // step 1: near-lossless
@@ -248,7 +266,10 @@ class Jpeg2kSpec extends AnyFunSuite {
     // loud-refusal posture under damage: any prefix cut must surface
     // an exception (require/EOF), not silently-wrong pixels
     for (name <- Seq("g8_l3", "tiles53", "prec_tp", "lossy97_exp",
-        "layers3_rlcp", "rpcl_tiles")) {
+        "layers3_rlcp", "rpcl_tiles",
+        // the r12 marker/style surfaces keep the same posture
+        "cbsty_bypass", "coc53", "sub420", "offs53", "rgn_roi",
+        "poc_mixed", "ppt_hdrs", "ppm_hdrs")) {
       val good = bytes(s"$name.j2c")
       for (q <- Seq(1, 2, 3)) {
         val cut = good.take(good.length * q / 4)
