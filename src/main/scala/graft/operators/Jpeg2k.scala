@@ -50,10 +50,14 @@ package graft.operators
   * (packet space re-ordered segment by segment, B.12.1.7), and
   * PPM/PPT packed packet headers (header bits in main-header Nppm
   * chunks or tile-part PPT segments, bodies carrying only SOP
-  * markers and payloads, A.6.4/A.6.5) all decode — no still-image
-  * T.800 marker refuses anymore. The remaining loud refusals are
-  * structural: tile-part headers carrying tile-scope coding markers
-  * (COD/COC/QCD/QCC between SOT and SOD) and malformed geometry.
+  * markers and payloads, A.6.4/A.6.5) all decode, and tile-part-0
+  * headers may carry tile-scope COD/COC/QCD/QCC overrides applied
+  * with the A.6.1 precedence (tile COC > tile COD > main COC > main
+  * COD; likewise for quantization) — no still-image T.800 marker
+  * refuses anymore. The remaining loud refusals are parameter-level:
+  * per-tile or per-component decomposition LEVELS or TRANSFORM
+  * (ragged resolution ladders / mixed kernels) and malformed
+  * geometry.
   *
   * Lossy exact-parity contract: dequantization reconstructs at the
   * interval midpoint ((q ± 0.5)·Δb with Δb = 2^(Rb−εb)·(1+μb/2^11)),
@@ -1206,6 +1210,172 @@ object Jpeg2k {
     * relative to the codestream start; `csLen` is the codestream
     * length including EOC.
     */
+  /** Parsed COD fields (main- or tile-scope). */
+  private final case class CodFields(useSop: Boolean, useEph: Boolean,
+      prog: Int, layers: Int, mct: Boolean, levels: Int, lcbw: Int,
+      lcbh: Int, cbsty: Int, lossy: Boolean, pps: IndexedSeq[(Int, Int)])
+
+  private def parseCodSeg(b: Array[Byte]): CodFields = {
+    val scod = b(0) & 0xff
+    val prog = b(1) & 0xff
+    require(prog <= 4, s"jpeg2000: unknown progression order $prog")
+    val layers = ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+    require(layers >= 1, "jpeg2000: zero quality layers")
+    require((b(4) & 0xff) <= 1, "jpeg2000: unknown MCT value")
+    val levels = b(5) & 0xff
+    val cbsty = b(8) & 0xff
+    require((cbsty & ~0x3f) == 0,
+      f"jpeg2000: unknown code-block style bits 0x$cbsty%02X")
+    val transform = b(9) & 0xff
+    require(transform <= 1, s"jpeg2000: unknown transform $transform")
+    val pps =
+      if ((scod & 1) != 0)
+        IndexedSeq.tabulate(levels + 1) { r =>
+          val v = b(10 + r) & 0xff
+          val p = (v & 0x0f, v >> 4)
+          require(r == 0 || (p._1 >= 1 && p._2 >= 1),
+            "jpeg2000: precinct exponent 0 above resolution 0")
+          p
+        }
+      else IndexedSeq.fill(levels + 1)((15, 15))
+    CodFields((scod & 2) != 0, (scod & 4) != 0, prog, layers,
+      (b(4) & 0xff) == 1, levels, (b(6) & 0xff) + 2, (b(7) & 0xff) + 2,
+      cbsty, transform == 0, pps)
+  }
+
+  /** Parse a COC segment body (Ccoc is one byte: ncomp <= 3 here). */
+  private def parseCocSeg(b: Array[Byte])
+      : (Int, (Int, Int, Int, Boolean, IndexedSeq[(Int, Int)], Int)) = {
+    val cc = b(0) & 0xff
+    val scoc = b(1) & 0xff
+    val lv2 = b(2) & 0xff
+    val cbsty2 = b(5) & 0xff
+    require((cbsty2 & ~0x3f) == 0,
+      f"jpeg2000: unknown code-block style bits 0x$cbsty2%02X")
+    val tr2 = b(6) & 0xff
+    require(tr2 <= 1, s"jpeg2000: unknown transform $tr2")
+    val pps2 =
+      if ((scoc & 1) != 0)
+        IndexedSeq.tabulate(lv2 + 1) { r =>
+          val v = b(7 + r) & 0xff
+          val p = (v & 0x0f, v >> 4)
+          require(r == 0 || (p._1 >= 1 && p._2 >= 1),
+            "jpeg2000: precinct exponent 0 above resolution 0")
+          p
+        }
+      else IndexedSeq.fill(lv2 + 1)((15, 15))
+    (cc, (lv2, (b(3) & 0xff) + 2, (b(4) & 0xff) + 2, tr2 == 0, pps2, cbsty2))
+  }
+
+  /** Parse Sqcd/Sqcc + pairs from b(off...). */
+  private def parseQuantSeg(b: Array[Byte], off: Int)
+      : (Int, Int, IndexedSeq[(Int, Int)]) = {
+    val sq = b(off) & 0xff
+    val qs = sq & 0x1f
+    require(qs <= 2, s"jpeg2000: quantization style $qs unsupported")
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var i = off + 1
+    if (qs == 0) while (i < b.length) { out += (((b(i) & 0xff) >> 3, 0)); i += 1 }
+    else while (i < b.length) {
+      val v = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      out += ((v >> 11, v & 0x7ff))
+      i += 2
+    }
+    (qs, sq >> 5, out.result())
+  }
+
+  /** Expand signaled quant pairs to per-band pairs (derived style
+    * derives per-band exponents from the single signaled pair).
+    */
+  private def expandQuant(qs: Int, raw: IndexedSeq[(Int, Int)],
+      levels: Int, what: String): IndexedSeq[(Int, Int)] = {
+    val blist = bandList(levels)
+    if (qs == 1) {
+      require(raw.length == 1, s"jpeg2000: scalar-derived $what needs one pair")
+      val (e0, mu0) = raw.head
+      blist.map { case (_, _, nb, _, _) => (e0 - levels + nb, mu0) }
+    } else {
+      require(raw.length >= blist.length,
+        s"jpeg2000: $what signals ${raw.length} bands, need ${blist.length}")
+      raw.take(blist.length)
+    }
+  }
+
+  /** Apply a tile's first-tile-part COD/COC/QCD/QCC overrides to the
+    * main header, with the T.800 A.6.1 precedence (tile COC > tile
+    * COD > main COC > main COD; same shape for quantization).
+    * Per-tile decomposition levels or transform refuse by name —
+    * the same boundary the per-component COC machinery draws.
+    */
+  private def applyTileOverrides(mh: MainHeader,
+      segs: IndexedSeq[(Int, Array[Byte])]): MainHeader = {
+    var codOpt: Option[CodFields] = None
+    var qcdOpt: Option[(Int, Int, IndexedSeq[(Int, Int)])] = None
+    val cocs = scala.collection.mutable.Map
+      .empty[Int, (Int, Int, Int, Boolean, IndexedSeq[(Int, Int)], Int)]
+    val qccs = scala.collection.mutable.Map
+      .empty[Int, (Int, Int, IndexedSeq[(Int, Int)])]
+    segs.foreach { case (mk, b) =>
+      mk match {
+        case 0xff52 => codOpt = Some(parseCodSeg(b))
+        case 0xff53 =>
+          val (cc, v) = parseCocSeg(b)
+          cocs(cc) = v
+        case 0xff5c => qcdOpt = Some(parseQuantSeg(b, 0))
+        case 0xff5d => qccs(b(0) & 0xff) = parseQuantSeg(b, 1)
+        case other => throw new IllegalStateException(s"marker $other")
+      }
+    }
+    codOpt.foreach { cf =>
+      require(cf.levels == mh.levels,
+        "jpeg2000: per-tile decomposition levels unsupported")
+      require(cf.lossy == mh.lossy, "jpeg2000: per-tile transform unsupported")
+      require(!cf.mct || mh.ncomp == 3, "jpeg2000: MCT requires 3 components")
+    }
+    cocs.foreach { case (cc, (lv2, _, _, lossy2, _, _)) =>
+      require(cc >= 0 && cc < mh.ncomp, s"jpeg2000: COC component $cc")
+      require(lv2 == mh.levels,
+        "jpeg2000: per-component decomposition levels unsupported")
+      require(lossy2 == mh.lossy, "jpeg2000: per-component transform unsupported")
+    }
+    val cocLcb2 = (if (codOpt.isDefined) Map.empty[Int, (Int, Int)]
+      else mh.cocLcb) ++
+      cocs.map { case (cc, (_, w2, h2, _, _, _)) => cc -> ((w2, h2)) }
+    val cocPps2 = (if (codOpt.isDefined) Map.empty[Int, IndexedSeq[(Int, Int)]]
+      else mh.cocPps) ++
+      cocs.map { case (cc, (_, _, _, _, pps2, _)) => cc -> pps2 }
+    val cocSty2 = (if (codOpt.isDefined) Map.empty[Int, Int] else mh.cocSty) ++
+      cocs.map { case (cc, (_, _, _, _, _, s2)) => cc -> s2 }
+    val (guard2, pairs2) = qcdOpt match {
+      case Some((qs, g, raw)) =>
+        require((qs == 0) == !mh.lossy,
+          s"jpeg2000: quantization style $qs contradicts transform (lossy=${mh.lossy})")
+        (g, expandQuant(qs, raw, mh.levels, "tile QCD"))
+      case None => (mh.guard, mh.pairs)
+    }
+    val qcc2 = (if (qcdOpt.isDefined)
+        Map.empty[Int, (Int, IndexedSeq[(Int, Int)])]
+      else mh.qcc) ++
+      qccs.map { case (cc, (qs, g, raw)) =>
+        require(cc >= 0 && cc < mh.ncomp, s"jpeg2000: QCC component $cc")
+        require((qs == 0) == !mh.lossy,
+          s"jpeg2000: QCC style $qs contradicts transform (lossy=${mh.lossy})")
+        cc -> ((g, expandQuant(qs, raw, mh.levels, "tile QCC")))
+      }
+    mh.copy(
+      prog = codOpt.map(_.prog).getOrElse(mh.prog),
+      layers = codOpt.map(_.layers).getOrElse(mh.layers),
+      useSop = codOpt.map(_.useSop).getOrElse(mh.useSop),
+      useEph = codOpt.map(_.useEph).getOrElse(mh.useEph),
+      mct = codOpt.map(_.mct).getOrElse(mh.mct),
+      lcbw = codOpt.map(_.lcbw).getOrElse(mh.lcbw),
+      lcbh = codOpt.map(_.lcbh).getOrElse(mh.lcbh),
+      cbsty = codOpt.map(_.cbsty).getOrElse(mh.cbsty),
+      pps = codOpt.map(_.pps).getOrElse(mh.pps),
+      cocLcb = cocLcb2, cocPps = cocPps2, cocSty = cocSty2,
+      guard = guard2, pairs = pairs2, qcc = qcc2)
+  }
+
   /** Tile-part walk result: body byte ranges per tile, PPT packed
     * packet headers per tile (concatenated in (TPsot, Zppt) order),
     * and the tile-part codestream order (Isot sequence) PPM chunk
@@ -1214,7 +1384,10 @@ object Jpeg2k {
   private[operators] final case class TilePartInfo(
       chain: Map[Int, IndexedSeq[(Long, Long)]],
       ppt: Map[Int, Array[Byte]],
-      order: IndexedSeq[Int])
+      order: IndexedSeq[Int],
+      // raw tile-scope COD/COC/QCD/QCC segments from each tile's
+      // FIRST tile-part header: tile -> [(marker, body bytes)]
+      markers: Map[Int, IndexedSeq[(Int, Array[Byte])]] = Map.empty)
 
   private[operators] def tilePartChain(readAt: (Long, Int) => Array[Byte],
       firstSot: Long, csLen: Long): TilePartInfo = {
@@ -1223,6 +1396,8 @@ object Jpeg2k {
     val counts = scala.collection.mutable.Map.empty[Int, Int]
     val pptSegs = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Int, Array[Byte])] // (isot, tpsot, zppt, bytes)
+    val tileSegs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Array[Byte])] // (isot, marker, body bytes)
     val order = IndexedSeq.newBuilder[Int]
     var off = firstSot
     var done = false
@@ -1255,6 +1430,15 @@ object Jpeg2k {
             pptSegs += ((isot, tpsot, seg(0) & 0xff,
               java.util.Arrays.copyOfRange(seg, 1, seg.length)))
             at += 2 + tln
+          } else if (tmk == 0xff52 || tmk == 0xff53 ||
+              tmk == 0xff5c || tmk == 0xff5d) {
+            // tile-scope coding/quantization overrides: legal only in
+            // the tile's FIRST tile-part (A.6.1-2); parsed in decode()
+            require(tpsot == 0,
+              "jpeg2000: tile coding markers outside tile-part 0")
+            val tln = ((m2(2) & 0xff) << 8) | (m2(3) & 0xff)
+            tileSegs += ((isot, tmk, readAt(at + 4, tln - 2)))
+            at += 2 + tln
           } else throw new UnsupportedOperationException(
             f"jpeg2000: tile-part header marker 0xFF${tmk & 0xff}%02X unsupported")
         }
@@ -1285,7 +1469,10 @@ object Jpeg2k {
       }
       t -> buf
     }
-    TilePartInfo(chain, ppt, order.result())
+    val markers = tileSegs.groupBy(_._1).map { case (t, segs) =>
+      t -> segs.iterator.map(s => (s._2, s._3)).toIndexedSeq
+    }
+    TilePartInfo(chain, ppt, order.result(), markers)
   }
 
   /** Decode ONE tile's concatenated tile-part body to final
@@ -1709,7 +1896,9 @@ object Jpeg2k {
         }
         b
       }
-      val comps = decodeTile(mh, t, body, packedHdrs.get(t))
+      val mhEff = tpInfo.markers.get(t)
+        .map(applyTileOverrides(mh, _)).getOrElse(mh)
+      val comps = decodeTile(mhEff, t, body, packedHdrs.get(t))
       val trect = tileRect(mh, t)
       for (comp <- 0 until ncomp) {
         val pl = outPlanes(comp)

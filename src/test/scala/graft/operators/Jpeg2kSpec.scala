@@ -104,6 +104,11 @@ class Jpeg2kSpec extends AnyFunSuite {
   test("PPM packed packet headers: main-header Nppm chunks, RPCL, 3 tile-parts")(
     check("ppm_hdrs", 33, 25, 8))
 
+  test("tile-scope COD: per-tile cb size/precincts/progression/layers/styles")(
+    check("tilecod", 33, 25, 8))
+  test("tile-scope QCD: per-tile quantization overrides under lossy 9/7")(
+    check("tileqcd", 33, 25, 8))
+
   test("PCRL progression, two layers, RGB/MCT decodes exactly") {
     val img = Jpeg2k.decode(bytes("pcrl_rgb_layers.j2c"))
     assert((img.width, img.height, img.precision, img.components) == ((42, 31, 8, 3)))
@@ -164,26 +169,31 @@ class Jpeg2kSpec extends AnyFunSuite {
     }
   }
 
-  test("tile-scope coding markers refuse loudly (COD in a tile-part header)") {
-    // splice a COD between SOT and SOD: tile-scope coding overrides
-    // would change decode semantics for that tile — skipping them
-    // would decode silently-wrong pixels, so the walker refuses by
-    // name (PPT is the one tile-part header marker it accepts)
+  test("tile-part header refusals: unknown markers and per-tile levels") {
     val good = bytes("g8_l1.j2c")
     val sot = good.indices.find(i => (good(i) & 0xff) == 0xff &&
       (good(i + 1) & 0xff) == 0x90).get
-    val cod = Array[Byte](0xff.toByte, 0x52, 0, 12, 0, 0, 0, 1, 0, 1, 2, 2, 0, 1)
-    val spliced = good.take(sot + 12) ++ cod ++ good.drop(sot + 12)
-    // Psot grows by the spliced segment so the walker's bounds hold
-    val psot = ((good(sot + 6) & 0xff) << 24) | ((good(sot + 7) & 0xff) << 16) |
-      ((good(sot + 8) & 0xff) << 8) | (good(sot + 9) & 0xff)
-    val p2 = psot + cod.length
-    spliced(sot + 6) = ((p2 >> 24) & 0xff).toByte
-    spliced(sot + 7) = ((p2 >> 16) & 0xff).toByte
-    spliced(sot + 8) = ((p2 >> 8) & 0xff).toByte
-    spliced(sot + 9) = (p2 & 0xff).toByte
-    val e = intercept[UnsupportedOperationException](Jpeg2k.decode(spliced))
-    assert(e.getMessage.contains("tile-part header marker 0xFF52"))
+    def splice(seg: Array[Byte]): Array[Byte] = {
+      val out = good.take(sot + 12) ++ seg ++ good.drop(sot + 12)
+      val psot = ((good(sot + 6) & 0xff) << 24) | ((good(sot + 7) & 0xff) << 16) |
+        ((good(sot + 8) & 0xff) << 8) | (good(sot + 9) & 0xff)
+      val p2 = psot + seg.length
+      out(sot + 6) = ((p2 >> 24) & 0xff).toByte
+      out(sot + 7) = ((p2 >> 16) & 0xff).toByte
+      out(sot + 8) = ((p2 >> 8) & 0xff).toByte
+      out(sot + 9) = (p2 & 0xff).toByte
+      out
+    }
+    // a tile-header marker the walker does not know (RGN) refuses
+    val rgn = Array[Byte](0xff.toByte, 0x5e, 0, 5, 0, 0, 4)
+    val e1 = intercept[UnsupportedOperationException](
+      Jpeg2k.decode(splice(rgn)))
+    assert(e1.getMessage.contains("tile-part header marker 0xFF5E"))
+    // a tile COD changing the decomposition levels refuses by name
+    // (g8_l1 is 1 level; this tile COD declares 3)
+    val cod = Array[Byte](0xff.toByte, 0x52, 0, 12, 0, 0, 0, 1, 0, 3, 2, 2, 0, 1)
+    val e2 = intercept[IllegalArgumentException](Jpeg2k.decode(splice(cod)))
+    assert(e2.getMessage.contains("per-tile decomposition levels"))
   }
 
   test("COC with per-component levels or transform refuses by name") {
@@ -269,7 +279,7 @@ class Jpeg2kSpec extends AnyFunSuite {
         "layers3_rlcp", "rpcl_tiles",
         // the r12 marker/style surfaces keep the same posture
         "cbsty_bypass", "coc53", "sub420", "offs53", "rgn_roi",
-        "poc_mixed", "ppt_hdrs", "ppm_hdrs")) {
+        "poc_mixed", "ppt_hdrs", "ppm_hdrs", "tilecod", "tileqcd")) {
       val good = bytes(s"$name.j2c")
       for (q <- Seq(1, 2, 3)) {
         val cut = good.take(good.length * q / 4)

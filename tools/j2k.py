@@ -1350,6 +1350,64 @@ def pkt_key(order, l, r, c, pi, pj, ppx, ppy, levels, tx0, ty0,
     return (c, ty, tx, r, l)
 
 
+def _p_cod(b):
+    """Parse a COD segment body (after Lcod) to its field dict."""
+    scod = b[0]
+    prog = b[1]
+    assert prog <= 4, f"progression {prog}"
+    layers = (b[2] << 8) | b[3]
+    assert layers >= 1
+    levels = b[5]
+    cbsty = b[8]
+    assert cbsty & ~0x3F == 0, f"code-block style {cbsty:#x}"
+    if scod & 1:
+        pps = [(b[10 + r] & 0x0F, b[10 + r] >> 4)
+               for r in range(levels + 1)]
+    else:
+        pps = [(15, 15)] * (levels + 1)
+    return dict(scod=scod, prog=prog, layers=layers, mct=b[4] == 1,
+                levels=levels, lcbw=b[6] + 2, lcbh=b[7] + 2,
+                cbsty=cbsty, lossy=b[9] == 0, pps=pps)
+
+
+def _p_coc(b, ncomp):
+    """Parse a COC segment body; returns (comp, coc_over tuple)."""
+    cc = b[0] if ncomp < 257 else ((b[0] << 8) | b[1])
+    o = 1 if ncomp < 257 else 2
+    scoc = b[o]
+    lv2 = b[o + 1]
+    cbsty2 = b[o + 4]
+    assert cbsty2 & ~0x3F == 0, f"code-block style {cbsty2:#x}"
+    if scoc & 1:
+        pps2 = [(b[o + 6 + r] & 0x0F, b[o + 6 + r] >> 4)
+                for r in range(lv2 + 1)]
+    else:
+        pps2 = [(15, 15)] * (lv2 + 1)
+    return cc, (lv2, b[o + 2] + 2, b[o + 3] + 2, b[o + 5] == 0,
+                pps2, cbsty2)
+
+
+def _p_quant(b, o):
+    """Parse Sqcd/Sqcc + pairs from b[o:]; returns (style, guard,
+    pairs)."""
+    sq = b[o]
+    qs = sq & 0x1F
+    g = sq >> 5
+    assert qs <= 2, f"quant style {qs}"
+    prs = []
+    i = o + 1
+    if qs == 0:
+        while i < len(b):
+            prs.append((b[i] >> 3, 0))
+            i += 1
+    else:
+        while i < len(b):
+            prs.append(((b[i] << 8 | b[i + 1]) >> 11,
+                        (b[i] << 8 | b[i + 1]) & 0x7FF))
+            i += 2
+    return qs, g, prs
+
+
 def order_packets(metas, prog, poc, levels, tx0, ty0):
     """Order packet metas (l, r, c, ip, pi, pj, ppx, ppy, xr, yr) for
     one tile: by the COD progression, or — when POC segments are
@@ -1387,7 +1445,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
            tile_parts=1, layers=1, progression="LRCP",
            xosiz=0, yosiz=0, xtosiz=0, ytosiz=0, coc=None, qcc=None,
            subsampling=None, cbstyle=0, rgn=None, poc=None,
-           ppt=False, ppm=False):
+           ppt=False, ppm=False, tile_cod=None, tile_qcd=None):
     """img: single plane (ncomp=1) or list of ncomp planes, row-major
     w x h. transform "53" (reversible, quant must be None) or "97"
     (irreversible, quant = (style, e0, mu0), style "derived" or
@@ -1423,7 +1481,12 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     marker segments in the tile-part headers (A.6.4); ppm moves them
     into a main-header PPM segment with per-tile-part Nppm length
     prefixes in codestream order (A.6.5); either way the bitstream
-    bodies carry only SOP markers and payload bytes."""
+    bodies carry only SOP markers and payload bytes. tile_cod maps a
+    tile index to dict(cbw=, cbh=, precincts=, progression=, layers=,
+    cbstyle=) tile-scope coding overrides (a COD in that tile's first
+    tile-part header; levels/transform/MCT stay global); tile_qcd
+    maps a tile index to a (style, e0, mu0) quantization override
+    (lossy only, a QCD in the tile-part header)."""
     assert 1 <= levels <= 6 and 4 <= cbw <= 64 and 4 <= cbh <= 64
     assert cbstyle & ~0x2F == 0, "cbstyle: BYPASS/RESET/RESTART/CAUSAL/SEGSYM"
     assert transform in ("53", "97")
@@ -1440,6 +1503,40 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     assert 1 <= tile_parts <= 255
     assert not (ppt and ppm), "PPT and PPM are mutually exclusive"
     packed = ppt or ppm
+    tile_cod = dict(tile_cod or {})
+    tile_qcd = dict(tile_qcd or {})
+    _ntiles = _cdiv(xsiz - xtosiz, xt) * _cdiv(ysiz - ytosiz, yt)
+    for t_ in list(tile_cod) + list(tile_qcd):
+        assert 0 <= t_ < _ntiles, f"tile override {t_} of {_ntiles} tiles"
+    assert not tile_qcd or lossy, "tile_qcd needs the 9/7 transform"
+    assert not (tile_cod and (coc or {})), \
+        "tile COD with per-component COC: use one override axis"
+    assert not (tile_cod and (poc or [])) and not (tile_qcd and (poc or [])), \
+        "tile overrides with POC unsupported"
+    assert not (tile_qcd and (qcc or {})), \
+        "tile QCD with per-component QCC: use one override axis"
+    # per-tile effective coding parameters (tile COD semantics)
+    def t_prog(t):
+        return (PROGRESSIONS[tile_cod[t]["progression"]]
+                if t in tile_cod and "progression" in tile_cod[t] else prog)
+    def t_layers(t):
+        return tile_cod.get(t, {}).get("layers", layers)
+    def t_cbsty(t):
+        return tile_cod.get(t, {}).get("cbstyle", cbstyle)
+    def t_lcb(t, c):
+        ov = tile_cod.get(t, {})
+        return ((ov["cbw"].bit_length() - 1 if "cbw" in ov else lcbw_c[c]),
+                (ov["cbh"].bit_length() - 1 if "cbh" in ov else lcbh_c[c]))
+    def t_pps(t, c):
+        ov = tile_cod.get(t, {})
+        if ov.get("precincts") is not None:
+            return pp_list(ov["precincts"])
+        return pps_c[c] if pps_c[c] is not None else pps
+    def t_qinfo(t, c):
+        if t in tile_qcd:
+            q = tile_qcd[t]
+            return quant_setup(levels, prec, q[0], q[1], q[2])
+        return qinfo_c[c] if qinfo_c[c] is not None else qinfo
     qinfo = (quant_setup(levels, prec, quant[0], quant[1], quant[2])
              if lossy else None)
 
@@ -1514,7 +1611,10 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
     # tile_bands[t][c][(r, name)] = (coef ints, band rect)
     tile_bands = []
     max_mag = [[0] * len(blist) for _ in range(ncomp)]
-    for (tx0, tx1, ty0, ty1) in tiles:
+    max_mag_t = {}   # per-tile magnitudes for tile_qcd override tiles
+    for t, (tx0, tx1, ty0, ty1) in enumerate(tiles):
+        if t in tile_qcd:
+            max_mag_t[t] = [[0] * len(blist) for _ in range(ncomp)]
         # per-component tile rects in component coordinates (B.3:
         # tcx = cdiv(tx, XRsiz)); equal to the tile rect when 1:1
         crects = [(_cdiv(tx0, xr), _cdiv(tx1, xr),
@@ -1562,7 +1662,7 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                 cy0, cy1 = _cdiv(cy0, 2), _cdiv(cy1, 2)
             bands[(0, "LL")] = (cur, (cx0, cx1, cy0, cy1))
             # quantize (lossy) and track per-band max magnitude
-            qi = qinfo_c[c] if qinfo_c[c] is not None else qinfo
+            qi = t_qinfo(t, c) if lossy else None
             rshift = (rgn or {}).get(c, 0)
             for bi, (r, name, _, _) in enumerate(blist):
                 coefs, brc = bands[(r, name)]
@@ -1584,9 +1684,10 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                         else:
                             assert abs(v) < (1 << rshift), \
                                 "rgn shift too small for background"
+                mm = max_mag_t[t][c] if t in tile_qcd else max_mag[c]
                 for v in coefs:
-                    if abs(v) > max_mag[c][bi]:
-                        max_mag[c][bi] = abs(v)
+                    if abs(v) > mm[bi]:
+                        mm[bi] = abs(v)
             per_comp.append(bands)
         tile_bands.append(per_comp)
 
@@ -1620,6 +1721,16 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                    for bi in range(len(blist))] if c in qcc else qcd_mbs)
                  for c in range(ncomp)]
     mbs = qcd_mbs
+    assert not (tile_qcd and rgn), "tile QCD with RGN: use one override"
+    mbs_t = {}   # per-tile Mb tables for tile_qcd override tiles
+    for t_ in tile_qcd:
+        qi_ = t_qinfo(t_, 0)
+        row = [q[3] for q in qi_]
+        for c_ in range(ncomp):
+            for bi_ in range(len(blist)):
+                assert max(1, max_mag_t[t_][c_][bi_]).bit_length() <= \
+                    row[bi_], f"tile {t_}: magnitude overflows Mb"
+        mbs_t[t_] = row
 
     out = bytearray()
 
@@ -1744,10 +1855,11 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
             pshift = 0 if r == 0 else 1
             for c in range(ncomp):
                 rr = res_rect(*crects[c], levels, r)
-                ppx, ppy = (pps_c[c] if pps_c[c] is not None else pps)[r]
+                ppx, ppy = t_pps(t, c)[r]
                 precs = prec_grid(*rr, ppx, ppy)
-                exw = min(lcbw_c[c], ppx - pshift)
-                exh = min(lcbh_c[c], ppy - pshift)
+                lcw_, lch_ = t_lcb(t, c)
+                exw = min(lcw_, ppx - pshift)
+                exh = min(lch_, ppy - pshift)
                 for ip, (pi, pj) in enumerate(precs):
                     for bpos, name in enumerate(bnames):
                         coefs, brect = tile_bands[t][c][(r, name)]
@@ -1763,17 +1875,18 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                                    for yy in range(y0, y1_)
                                    for xx in range(x0, x1_)]
                             data, npl, nps, ends, terms = t1_encode(
-                                name, sub, cw_, ch_, cbstyle)
+                                name, sub, cw_, ch_, t_cbsty(t))
                             st.append(dict(
                                 data=data, npl=npl, nps=nps, ends=ends,
                                 terms=terms,
-                                bounds=layer_bounds(nps, layers),
+                                bounds=layer_bounds(nps, t_layers(t)),
                                 lblock=3, included=False))
                         cb_state[(r, ip, c, bpos)] =                             (nx, ny, TagTree(nx, ny), TagTree(nx, ny), st)
-                    for l in range(layers):
+                    for l in range(t_layers(t)):
                         pkts_meta.append((l, r, c, ip, pi, pj,
                                           ppx, ppy, *subs[c]))
-        ordered = order_packets(pkts_meta, prog, poc, levels, tx0, ty0)
+        ordered = order_packets(pkts_meta, t_prog(t), poc, levels,
+                                tx0, ty0)
 
         packets = []
         packet_seq = 0
@@ -1800,15 +1913,15 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
                     if nx == 0 or ny == 0:
                         continue
                     bi = 0 if r == 0 else 1 + 3 * (r - 1) + bpos
-                    mb = mbs_c[c][bi]
+                    mb = mbs_t[t][bi] if t in tile_qcd else mbs_c[c][bi]
                     bl = BitList(writer=hw)
                     # inclusion leaf values: first contributing layer
                     # (set once, before the first packet touches them)
                     if not getattr(incl, "_init", False):
                         vals = []
                         for cb in st:
-                            fl = layers
-                            for g in range(layers):
+                            fl = t_layers(t)
+                            for g in range(t_layers(t)):
                                 if cb["bounds"][g + 1] > cb["bounds"][g]:
                                     fl = g
                                     break
@@ -1897,16 +2010,55 @@ def encode(img, w, h, prec, signed=False, levels=2, cbw=32, cbh=32,
         out.append(0)                # Zppm
         out.extend(ppm_payload)
     for (t, k, ntp, hdr_chunk, body) in tile_emit:
+        tilehdr = b""
+        if k == 0 and (t in tile_cod or t in tile_qcd):
+            th = bytearray()
+            if t in tile_cod:
+                pp_t = (pp_list(tile_cod[t]["precincts"])
+                        if tile_cod[t].get("precincts") is not None
+                        else None)
+                th.extend(b"\xff\x52")
+                ln_ = 12 + (levels + 1 if pp_t is not None else 0)
+                th.extend(ln_.to_bytes(2, "big"))
+                th.append((1 if pp_t is not None else 0) |
+                          (2 if sop else 0) | (4 if eph else 0))
+                th.append(t_prog(t))
+                th.extend(t_layers(t).to_bytes(2, "big"))
+                th.append(1 if mct else 0)
+                th.append(levels)
+                lcw_, lch_ = t_lcb(t, 0)
+                th.append(lcw_ - 2)
+                th.append(lch_ - 2)
+                th.append(t_cbsty(t))
+                th.append(0 if lossy else 1)
+                if pp_t is not None:
+                    for (px_, py_) in pp_t:
+                        th.append(px_ | (py_ << 4))
+            if t in tile_qcd:
+                qi_ = t_qinfo(t, 0)
+                th.extend(b"\xff\x5c")
+                if tile_qcd[t][0] == "derived":
+                    th.extend((3 + 2).to_bytes(2, "big"))
+                    th.append((GUARD << 5) | 1)
+                    e0_, mu0_ = qi_[0][0], qi_[0][1]
+                    th.extend(((e0_ << 11) | mu0_).to_bytes(2, "big"))
+                else:
+                    th.extend((3 + 2 * len(qi_)).to_bytes(2, "big"))
+                    th.append((GUARD << 5) | 2)
+                    for (eb_, mu_, _, _) in qi_:
+                        th.extend(((eb_ << 11) | mu_).to_bytes(2, "big"))
+            tilehdr = bytes(th)
         pptseg = b"" if not ppt else (
             b"\xff\x61" + (3 + len(hdr_chunk)).to_bytes(2, "big") +
             b"\x00" + hdr_chunk)  # Zppt 0
-        psot = 12 + len(pptseg) + 2 + len(body)
+        psot = 12 + len(tilehdr) + len(pptseg) + 2 + len(body)
         m16(0xFF90)              # SOT
         m16(10)
         m16(t)                   # Isot
         out.extend(psot.to_bytes(4, "big"))
         out.append(k)            # TPsot
         out.append(ntp)          # TNsot
+        out.extend(tilehdr)
         out.extend(pptseg)
         m16(0xFF93)              # SOD
         out.extend(body)
@@ -1954,6 +2106,7 @@ def decode(data):
     ppm_chunks = []  # (Zppm, bytes) main-header packed headers
     tp_ppt = {}      # isot -> [(tpsot, zppt, bytes)] tile-part headers
     tp_order = []    # (isot, tpsot) in codestream order (PPM chunking)
+    tile_over = {}   # isot -> tile-scope COD/COC/QCD/QCC overrides
     saw_eoc = False
     while not saw_eoc:
         mk = u16()
@@ -2119,6 +2272,28 @@ def decode(data):
                     tp_ppt.setdefault(isot, []).append(
                         (tpsot, zppt, bytes(data[pos + 1:pos + tln - 2])))
                     pos = pos + tln - 2
+                elif tmk in (0xFF52, 0xFF53, 0xFF5C, 0xFF5D):
+                    # tile-scope coding/quantization overrides: legal
+                    # only in the tile's FIRST tile-part (A.6.1-2)
+                    assert tpsot == 0, \
+                        "tile coding markers outside tile-part 0"
+                    tln = u16()
+                    seg = bytes(data[pos:pos + tln - 2])
+                    ov = tile_over.setdefault(
+                        isot, dict(cod=None, cocs={}, qcd=None, qccs={}))
+                    if tmk == 0xFF52:
+                        ov["cod"] = _p_cod(seg)
+                    elif tmk == 0xFF53:
+                        cc, v = _p_coc(seg, ncomp)
+                        ov["cocs"][cc] = v
+                    elif tmk == 0xFF5C:
+                        ov["qcd"] = _p_quant(seg, 0)
+                    else:
+                        cc = seg[0] if ncomp < 257 else ((seg[0] << 8)
+                                                         | seg[1])
+                        ov["qccs"][cc] = _p_quant(
+                            seg, 1 if ncomp < 257 else 2)
+                    pos = pos + tln - 2
                 else:
                     raise AssertionError(
                         f"tile-part header marker {tmk:#06x} unsupported")
@@ -2134,42 +2309,75 @@ def decode(data):
             ln = u16()
             pos = pos + ln - 2
 
-    # per-component coding/quantization: COD/QCD defaults overridden
-    # by COC/QCC. Decomposition levels and the transform must agree
-    # across components (per-component levels/transform are encoder
-    # exotica this decoder refuses by name).
-    for cc, (lv2, _, _, lossy2, _, _) in coc_over.items():
-        assert cc < ncomp, f"COC component {cc} out of range"
-        assert lv2 == levels, "per-component decomposition levels unsupported"
-        assert lossy2 == lossy, "per-component transform unsupported"
-    for cc in qcc_over:
-        assert cc < ncomp, f"QCC component {cc} out of range"
+    # per-component, per-tile coding/quantization: main-header COD/QCD
+    # overridden by COC/QCC and by tile-scope COD/COC/QCD/QCC from the
+    # first tile-part header, with the T.800 A.6.1 precedence (tile
+    # COC > tile COD > main COC > main COD; same shape for quant).
+    # Decomposition levels and the transform must agree everywhere
+    # (per-component or per-tile levels/transform are encoder exotica
+    # this decoder refuses by name).
     kernel = "97" if lossy else "53"
     blist = band_list(levels)
-    lcbw_c = [coc_over[c][1] if c in coc_over else lcbw
-              for c in range(ncomp)]
-    lcbh_c = [coc_over[c][2] if c in coc_over else lcbh
-              for c in range(ncomp)]
-    pps_c = [coc_over[c][4] if c in coc_over else pps
-             for c in range(ncomp)]
-    cbsty_c = [coc_over[c][5] if c in coc_over else cbsty
-               for c in range(ncomp)]
-    deltas_c = [None] * ncomp
-    mbs_c = [None] * ncomp
-    for c in range(ncomp):
-        qs, g, prs = qcc_over.get(c, (qstyle, guard, qpairs))
-        assert (qs == 0) == (not lossy), "quant style must match transform"
-        if qs == 1:
-            assert len(prs) == 1
-            e0, mu0 = prs[0]
-            prs = [(e0 - levels + nb, mu0) for (_, _, nb, _) in blist]
-        else:
-            assert len(prs) >= len(blist)
-        if lossy:
-            deltas_c[c] = [2.0 ** ((prec + gain) - eb) * (1.0 + mu / 2048.0)
-                           for (eb, mu), (_, _, _, gain) in zip(prs, blist)]
-        mbs_c[c] = [g + eb - 1 + rgn_over.get(c, 0)
-                    for (eb, _) in prs[:len(blist)]]
+    main_cod = dict(scod=0, prog=prog, layers=layers, mct=mct,
+                    levels=levels, lcbw=lcbw, lcbh=lcbh, cbsty=cbsty,
+                    lossy=lossy, pps=pps, use_sop=use_sop,
+                    use_eph=use_eph)
+
+    def derive(codd, qcdd, cocs, qccs):
+        assert codd["levels"] == levels, \
+            "per-tile decomposition levels unsupported"
+        assert codd["lossy"] == lossy, "per-tile transform unsupported"
+        for cc, (lv2, _, _, lossy2, _, _) in cocs.items():
+            assert cc < ncomp, f"COC component {cc} out of range"
+            assert lv2 == levels, \
+                "per-component decomposition levels unsupported"
+            assert lossy2 == lossy, "per-component transform unsupported"
+        for cc in qccs:
+            assert cc < ncomp, f"QCC component {cc} out of range"
+        lcbw_c = [cocs[c][1] if c in cocs else codd["lcbw"]
+                  for c in range(ncomp)]
+        lcbh_c = [cocs[c][2] if c in cocs else codd["lcbh"]
+                  for c in range(ncomp)]
+        pps_c = [cocs[c][4] if c in cocs else codd["pps"]
+                 for c in range(ncomp)]
+        cbsty_c = [cocs[c][5] if c in cocs else codd["cbsty"]
+                   for c in range(ncomp)]
+        deltas_c = [None] * ncomp
+        mbs_c = [None] * ncomp
+        for c in range(ncomp):
+            qs, g, prs = qccs.get(c, qcdd)
+            assert (qs == 0) == (not lossy), \
+                "quant style must match transform"
+            if qs == 1:
+                assert len(prs) == 1
+                e0, mu0 = prs[0]
+                prs = [(e0 - levels + nb, mu0) for (_, _, nb, _) in blist]
+            else:
+                assert len(prs) >= len(blist)
+            if lossy:
+                deltas_c[c] = [
+                    2.0 ** ((prec + gain) - eb) * (1.0 + mu / 2048.0)
+                    for (eb, mu), (_, _, _, gain) in zip(prs, blist)]
+            mbs_c[c] = [g + eb - 1 + rgn_over.get(c, 0)
+                        for (eb, _) in prs[:len(blist)]]
+        return dict(prog=codd["prog"], layers=codd["layers"],
+                    mct=codd["mct"],
+                    use_sop=codd.get("use_sop", (codd["scod"] & 2) != 0),
+                    use_eph=codd.get("use_eph", (codd["scod"] & 4) != 0),
+                    lcbw_c=lcbw_c, lcbh_c=lcbh_c, pps_c=pps_c,
+                    cbsty_c=cbsty_c, deltas_c=deltas_c, mbs_c=mbs_c)
+
+    P0 = derive(main_cod, (qstyle, guard, qpairs), coc_over, qcc_over)
+    tile_params = {}
+    for t_, ov in tile_over.items():
+        codd = ov["cod"] if ov["cod"] is not None else main_cod
+        cocs = (dict(ov["cocs"]) if ov["cod"] is not None
+                else {**coc_over, **ov["cocs"]})
+        qcdd = ov["qcd"] if ov["qcd"] is not None else (qstyle, guard,
+                                                        qpairs)
+        qccs = (dict(ov["qccs"]) if ov["qcd"] is not None
+                else {**qcc_over, **ov["qccs"]})
+        tile_params[t_] = derive(codd, qcdd, cocs, qccs)
 
     tiles, _, _ = tile_grid(xsiz, ysiz, xt, yt,
                             xosiz, yosiz, xtosiz, ytosiz)
@@ -2211,6 +2419,18 @@ def decode(data):
         assert set(parts.keys()) == set(range(n_parts)), \
             f"tile {t}: have parts {sorted(parts)} of {n_parts}"
         body = b"".join(parts[k] for k in range(n_parts))
+        P = tile_params.get(t, P0)
+        prog = P["prog"]
+        layers = P["layers"]
+        mct = P["mct"]
+        use_sop = P["use_sop"]
+        use_eph = P["use_eph"]
+        lcbw_c = P["lcbw_c"]
+        lcbh_c = P["lcbh_c"]
+        pps_c = P["pps_c"]
+        cbsty_c = P["cbsty_c"]
+        deltas_c = P["deltas_c"]
+        mbs_c = P["mbs_c"]
         hsrc = per_tile_hdr.get(t, body)
         packed = t in per_tile_hdr
         br = HdrReader(hsrc, 0)
@@ -2629,6 +2849,24 @@ def _selftest():
                  progression="RPCL", precincts=(4, 4))
     assert decode(enc)[4] == img, "ppm"
     print("ok PPT/PPM packed packet headers")
+
+    # tile-scope coding/quantization overrides (tile-part-0 COD/QCD)
+    enc = encode(img, 33, 25, 8, levels=2, cbw=16, cbh=16,
+                 xtsiz=17, ytsiz=13, layers=2,
+                 tile_cod={1: dict(cbw=8, cbh=8,
+                                   precincts=[(5, 5), (3, 3), (4, 4)],
+                                   progression="RPCL", layers=3,
+                                   cbstyle=0x28)})
+    assert decode(enc)[4] == img, "tile_cod"
+    enc = encode(img, 33, 25, 8, levels=2, cbw=8, cbh=8,
+                 xtsiz=17, ytsiz=13, transform="97",
+                 quant=("expounded", 9, 256),
+                 tile_qcd={1: ("derived", 11, 128),
+                           2: ("expounded", 10, 512)})
+    dec = decode(enc)[4]
+    err = max(abs(a - b) for a, b in zip(dec, img))
+    assert err <= 2, f"tile_qcd: max err {err}"
+    print("ok tile-scope COD/QCD overrides")
     print("selftest passed")
 
 

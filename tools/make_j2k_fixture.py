@@ -341,6 +341,28 @@ def main():
           layers=2, xtsiz=17, ytsiz=13, tile_parts=3,
           progression="RPCL", precincts=(4, 4))
 
+    # tile-scope coding/quantization overrides (COD/QCD in a tile's
+    # first tile-part header, A.6.1 precedence): tilecod gives tile 1
+    # its own code-block size, per-resolution precincts, RPCL
+    # progression, 3 layers and CAUSAL+SEGSYM styles while its
+    # neighbors keep the main-header coding; tileqcd re-quantizes
+    # tiles 1 (derived) and 2 (expounded) under lossy 9/7.
+    r = lcg(307)
+    w, h = 33, 25
+    img = [(x * 3 + y * 7 + next(r) % 29) % 256
+           for y in range(h) for x in range(w)]
+    emit2("tilecod", img, w, h, 8, levels=2, cbw=16, cbh=16,
+          xtsiz=17, ytsiz=13, layers=2,
+          tile_cod={1: dict(cbw=8, cbh=8,
+                            precincts=[(5, 5), (3, 3), (4, 4)],
+                            progression="RPCL", layers=3,
+                            cbstyle=0x28)})
+    emit2("tileqcd", img, w, h, 8, levels=2, cbw=8, cbh=8,
+          xtsiz=17, ytsiz=13, transform="97",
+          quant=("expounded", 9, 256),
+          tile_qcd={1: ("derived", 11, 128),
+                    2: ("expounded", 10, 512)})
+
     print("wrote j2k fixtures to", outdir)
 
 
