@@ -461,10 +461,11 @@ object Bench {
     val controlPins = Seq(("i_ccl16m", 4.6, cclSec), ("i_edt16m", 2.3, edtSec),
       ("t_bpe200k", 4.4, bpeSec))
     val controlRatios = controlPins.collect { case (k, pin, v) if v > 0 => (k, v / pin) }
-    // IO control pin: r12 mid-round in-bench n=3 median (1.313 s;
-    // the ~6.6 s standalone reading is cold-JVM context, not the
-    // bench-tail context this ratio certifies — see BENCH_BASELINE.md)
-    val ioCtlPin = 1.3
+    // IO control pin: r12 in-bench n=3 medians read 1.31 (mid-round)
+    // and 1.48 (healthy-host final) — pin the midpoint; the ~6.6 s
+    // standalone reading is cold-JVM context, never comparable to
+    // the bench-tail ratio this certifies (see BENCH_BASELINE.md)
+    val ioCtlPin = 1.4
     val ioRatio = if (ioCtlSec > 0) ioCtlSec / ioCtlPin else -1.0
     val hostControlsJson =
       (controlRatios ++ (if (ioRatio > 0) Seq(("x_ioshuffle4m", ioRatio)) else Nil))
