@@ -282,18 +282,26 @@ object Jpeg2k {
     * passes, code-block style) to signed coefficients.
     */
   private def t1Decode(band: Int, segs: IndexedSeq[(Array[Byte], Int, Int)],
-      w: Int, h: Int, nplanes: Int, npasses: Int, style: Int): Array[Int] = {
+      w: Int, h: Int, nplanes: Int, npasses: Int, style: Int,
+      roiShift: Int = 0): Array[Int] = {
     val n = w * h
-    val mags = new Array[Int](n)
+    // magnitudes are LONG: an RGN maxshift of s adds s planes on top
+    // of the precision (Mb = G + eb - 1 + SPrgn), so 16-bit data with
+    // a large ROI shift legitimately codes > 31 bit-planes — Int
+    // magnitudes alias `1 << p` past plane 31 (JVM shifts mask to 5
+    // bits) and decode silently-wrong ROI pixels (caught by the r12
+    // combination fuzz corpus). The ROI downshift happens HERE, while
+    // the value is still wide, before narrowing to Int.
+    val mags = new Array[Long](n)
     val sig = new Array[Int](n)
     val sgn = new Array[Int](n)
     val vis = new Array[Int](n)
     val ref = new Array[Int](n)
-    if (npasses == 0 || nplanes == 0) return mags
+    if (npasses == 0 || nplanes == 0) return new Array[Int](n)
     // a pass count past 3*nplanes-2 would drive the bit-plane index
     // negative and (with JVM shift-masking) OR in wrong high bits
-    require(nplanes >= 1 && npasses <= 3 * nplanes - 2,
-      s"jpeg2000: $npasses passes exceed $nplanes bit-planes")
+    require(nplanes >= 1 && nplanes <= 62 && npasses <= 3 * nplanes - 2,
+      s"jpeg2000: $npasses passes / $nplanes bit-planes out of range")
     val causal = (style & StyCausal) != 0
     val cxPair = freshCx()
     def resetCx(): Unit = {
@@ -364,7 +372,7 @@ object Jpeg2k {
                   if (b == 1) {
                     val s = if (rawMode) raw.bit() else decodeSign(x, y)
                     sig(i) = 1; sgn(i) = s
-                    mags(i) |= 1 << p
+                    mags(i) |= 1L << p
                   }
                 }
               }
@@ -386,7 +394,7 @@ object Jpeg2k {
               val i = y * w + x
               if (sig(i) == 1 && vis(i) == 0) {
                 val b = if (rawMode) raw.bit() else mq.decode(magCtx(x, y))
-                if (b == 1) mags(i) |= 1 << p
+                if (b == 1) mags(i) |= 1L << p
                 ref(i) = 1
               }
               y += 1
@@ -424,7 +432,7 @@ object Jpeg2k {
                 val i = (y0 + first) * w + x
                 val s = decodeSign(x, y0 + first)
                 sig(i) = 1; sgn(i) = s
-                mags(i) |= 1 << p
+                mags(i) |= 1L << p
                 y = y0 + first + 1
               }
             }
@@ -437,7 +445,7 @@ object Jpeg2k {
                   if (mq.decode(sigCtx(band, hh, vv, dd)) == 1) {
                     val s = decodeSign(x, yy)
                     sig(i) = 1; sgn(i) = s
-                    mags(i) |= 1 << p
+                    mags(i) |= 1L << p
                   }
                 }
                 yy += 1
@@ -463,9 +471,13 @@ object Jpeg2k {
       done += 1
     }
     val out = new Array[Int](n)
+    val thr = 1L << roiShift
     var i = 0
     while (i < n) {
-      out(i) = if (sgn(i) == 1) -mags(i) else mags(i)
+      var m = mags(i)
+      if (roiShift > 0 && m >= thr) m >>= roiShift
+      require(m <= Int.MaxValue, "jpeg2000: coefficient magnitude overflow")
+      out(i) = if (sgn(i) == 1) -m.toInt else m.toInt
       i += 1
     }
     out
@@ -1723,21 +1735,11 @@ object Jpeg2k {
               (buf, 0, total)
             }
           }.toIndexedSeq
+        // maxshift ROI (H.2) applies inside T1 while magnitudes are
+        // still wide: values >= 2^shift are ROI coefficients, scaled
+        // back down; background is untouched
         val coefs = t1Decode(orient, segBufs, cb.rect.w, cb.rect.h,
-          cb.npl, cb.nps, sty)
-        val roiShift = mh.rgn.getOrElse(comp, 0)
-        if (roiShift > 0) {
-          // maxshift ROI (H.2): magnitudes >= 2^shift are ROI
-          // coefficients, scaled back down; background is untouched
-          val thr = 1 << roiShift
-          var ci = 0
-          while (ci < coefs.length) {
-            val v = coefs(ci)
-            if (v >= thr) coefs(ci) = v >> roiShift
-            else if (v <= -thr) coefs(ci) = -((-v) >> roiShift)
-            ci += 1
-          }
-        }
+          cb.npl, cb.nps, sty, mh.rgn.getOrElse(comp, 0))
         var yy = 0
         while (yy < cb.rect.h) {
           var xx = 0

@@ -363,6 +363,79 @@ def main():
           tile_qcd={1: ("derived", 11, 128),
                     2: ("expounded", 10, 512)})
 
+    # combination fuzz corpus: 16 seeded random parameter combinations
+    # (tiles x offsets x precincts x layers x progressions x styles x
+    # COC/QCC x RGN x POC x PPT/PPM x tile overrides x subsampling,
+    # lossless AND lossy) — targeted fixtures pin each feature alone;
+    # these pin their INTERACTIONS. Every stream roundtrips through
+    # the Python decoder before committing; Jpeg2kSpec then requires
+    # the Scala decode bit-exact.
+    import random as _rnd
+    rng = _rnd.Random(20260815)
+    combos = []
+    for fi in range(16):
+        w = rng.randrange(18, 42)
+        h = rng.randrange(14, 34)
+        prec = rng.choice([8, 8, 12, 16])
+        levels = rng.randrange(1, 4)
+        cb = rng.choice([8, 16])
+        kw = dict(levels=levels, cbw=cb, cbh=cb)
+        ncomp = rng.choice([1, 1, 3])
+        lossy = rng.random() < 0.4
+        if lossy:
+            kw["transform"] = "97"
+            kw["quant"] = (rng.choice(["expounded", "derived"]),
+                           prec + rng.randrange(-1, 2), rng.randrange(0, 1024))
+        if rng.random() < 0.6:
+            kw["xtsiz"] = rng.randrange(9, w + 1)
+            kw["ytsiz"] = rng.randrange(9, h + 1)
+        if rng.random() < 0.3:
+            kw["xosiz"] = rng.randrange(0, 6)
+            kw["yosiz"] = rng.randrange(0, 6)
+        if rng.random() < 0.4:
+            kw["precincts"] = (rng.randrange(3, 6), rng.randrange(3, 6))
+        if rng.random() < 0.5:
+            kw["layers"] = rng.randrange(2, 5)
+        kw["progression"] = rng.choice(
+            ["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"])
+        if rng.random() < 0.4:
+            kw["cbstyle"] = rng.choice([0x01, 0x04, 0x08, 0x20, 0x28, 0x05])
+        if rng.random() < 0.3:
+            kw["sop"] = True
+            kw["eph"] = True
+        if rng.random() < 0.3:
+            kw["tile_parts"] = rng.randrange(2, 4)
+        if ncomp == 3 and rng.random() < 0.5:
+            kw["mct"] = True
+        if ncomp == 3 and rng.random() < 0.3:
+            kw["coc"] = {1: dict(cbw=rng.choice([4, 8]),
+                                 cbh=rng.choice([4, 8]))}
+        if rng.random() < 0.25 and not lossy:
+            kw["rgn"] = {0: prec + 1}
+        if rng.random() < 0.25:
+            kw["ppt"] = True
+        elif rng.random() < 0.2:
+            kw["ppm"] = True
+        dims = [(w, h)] * ncomp
+        planes = [[(x * (3 + c) + y * (5 + c) + ((x * y + fi) % 17)) %
+                   (1 << prec)
+                   for y in range(dh) for x in range(dw)]
+                  for c, (dw, dh) in enumerate(dims)]
+        img = planes[0] if ncomp == 1 else planes
+        name = f"fuzz{fi:02d}"
+        try:
+            emit2(name, img, w, h, prec, ncomp=ncomp, **kw)
+        except AssertionError:
+            # a randomly-inconsistent combination (e.g. rgn shift too
+            # small) — re-draw deterministically without the extras
+            for k in ("rgn", "coc", "ppt", "ppm"):
+                kw.pop(k, None)
+            emit2(name, img, w, h, prec, ncomp=ncomp, **kw)
+        combos.append((name, w, h, prec, ncomp))
+    with open(os.path.join(outdir, "fuzz_manifest.txt"), "w") as f:
+        for (name, w, h, prec, ncomp) in combos:
+            f.write(f"{name} {w} {h} {prec} {ncomp}\n")
+
     print("wrote j2k fixtures to", outdir)
 
 
