@@ -109,14 +109,14 @@ class Jpeg2kSpec extends AnyFunSuite {
   test("tile-scope QCD: per-tile quantization overrides under lossy 9/7")(
     check("tileqcd", 33, 25, 8))
 
-  test("combination fuzz corpus: 16 random parameter interactions decode bit-exact") {
+  test("combination fuzz corpus: 20 random parameter interactions decode bit-exact") {
     // targeted fixtures pin each feature alone; these pin their
     // INTERACTIONS (tiles x offsets x precincts x layers x
     // progressions x styles x COC x RGN x PPT/PPM, lossless + lossy),
     // every stream Python-roundtripped before committing
     val manifest = new String(bytes("fuzz_manifest.txt"), "UTF-8")
     val rows = manifest.linesIterator.filter(_.nonEmpty).toSeq
-    assert(rows.length == 16)
+    assert(rows.length == 20)
     rows.foreach { row =>
       val Array(name, w, h, prec, _) = row.split(" ")
       check(name, w.toInt, h.toInt, prec.toInt)

@@ -432,6 +432,25 @@ def main():
                 kw.pop(k, None)
             emit2(name, img, w, h, prec, ncomp=ncomp, **kw)
         combos.append((name, w, h, prec, ncomp))
+    # four subsampled interaction cases ride the emit_sub replicated-
+    # interleave raw rule (factors x styles x progression x layers x
+    # tiles — combinations no targeted fixture pins together)
+    emit_sub("fuzz_sub0", 30, 22, 8, [(1, 1), (2, 2), (2, 2)], 311,
+             levels=2, cbw=8, cbh=8, cbstyle=0x28, layers=2,
+             xtsiz=13, ytsiz=9)
+    emit_sub("fuzz_sub1", 33, 25, 8, [(1, 1), (2, 1), (2, 1)], 313,
+             levels=2, cbw=8, cbh=8, progression="CPRL",
+             cbstyle=0x04, sop=True, eph=True)
+    emit_sub("fuzz_sub2", 28, 20, 12, [(1, 1), (2, 2), (2, 2)], 317,
+             levels=1, cbw=8, cbh=8, transform="97",
+             quant=("expounded", 12, 256), layers=3, tile_parts=2)
+    emit_sub("fuzz_sub3", 26, 18, 8, [(2, 2), (1, 1), (2, 1)], 331,
+             levels=2, cbw=16, cbh=16, progression="RPCL",
+             xtsiz=11, ytsiz=10)
+    for fi, (name, sw, sh, sprec) in enumerate([
+            ("fuzz_sub0", 30, 22, 8), ("fuzz_sub1", 33, 25, 8),
+            ("fuzz_sub2", 28, 20, 12), ("fuzz_sub3", 26, 18, 8)]):
+        combos.append((name, sw, sh, sprec, 3))
     with open(os.path.join(outdir, "fuzz_manifest.txt"), "w") as f:
         for (name, w, h, prec, ncomp) in combos:
             f.write(f"{name} {w} {h} {prec} {ncomp}\n")
