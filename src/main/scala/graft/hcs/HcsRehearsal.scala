@@ -34,6 +34,12 @@ object HcsRehearsal {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = System.nanoTime()
+    var tLast = t0
+    def stage(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[hcs-rehearsal] $name: ${(now - tLast) / 1e9}%.1f s")
+      tLast = now
+    }
 
     val rowNames = (0 until nRows).map(r => ('A' + r).toChar.toString)
     val colNames = (1 to nCols).map(_.toString)
@@ -72,6 +78,7 @@ object HcsRehearsal {
     mem.addData(shuffled.take(perBatch / 2).map(arriving))
     q.processAllAvailable()
     q.stop()
+    stage("ingest")
 
     // --- structural verification against the plant
     val back = Hcs.fromHcsZarr(dir)
@@ -88,8 +95,10 @@ object HcsRehearsal {
       require(well.images.forall(_.acquisition.contains(0)),
         s"well ${wi.path} lost acquisition ids in the merge")
     }
+    stage("verify-wells")
     require(back.imagesDf(spark).count() == wells.size.toLong * nFields,
       "plate image catalog count drifted from wells x fields")
+    stage("verify-catalog")
     // pixel parity on a deterministic sample, through the full read path
     Seq(0, wells.size / 3, wells.size - 1).foreach { w =>
       val f = w % nFields
@@ -99,6 +108,7 @@ object HcsRehearsal {
       require(got == fieldValues(w, f, side).toSeq,
         s"pixel drift in well ${wells(w).path} field $f")
     }
+    stage("verify-pixels")
     (System.nanoTime() - t0) / 1e9
   }
 }

@@ -42,6 +42,27 @@ object Cms {
       .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("n"))
   }
 
+  /** [[sketch]] over a pre-aggregated (token, weight) histogram:
+    * bucket counts are Σ weight instead of row counts — bit-identical
+    * to feeding the expanded token stream (a bucket's n is the sum of
+    * its tokens' multiplicities either way), but the md5 hash family
+    * runs once per DISTINCT token rather than once per occurrence
+    * (guide §1.2 step 2: for Zipfian text the vocabulary is a small
+    * fraction of the token stream, and the md5+conv chain is the
+    * dominant per-row cost of the sketch build).
+    */
+  def sketchWeighted(hist: DataFrame, tokenCol: String, weightCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth $depth out of [1,16]")
+    require(width >= 2, s"width $width too small")
+    hist.select(col(tokenCol).as("token"), col(weightCol).as("w"))
+      .select(col("token"), col("w"),
+        explode(array((0 until depth).map(lit): _*)).as("seed"))
+      .select(col("seed"), bucket(col("token"), col("seed"), width).as("bucket"),
+        col("w"))
+      .groupBy(col("seed"), col("bucket")).agg(sum(col("w")).as("n"))
+  }
+
   /** Point estimates for `keys` (a `token` column): min over the
     * depth rows of each key's bucket counts. The key set and the
     * sketch are both small — Catalyst broadcasts, nothing large

@@ -132,11 +132,14 @@ object ImageDedup {
       col("band"), col("word"))
     a.join(b, Seq("band", "word"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("hash_a"), col("hash_b"))
-      .distinct() // a pair may share several bands
+      // verify BEFORE the distinct: bit_count is codegen-cheap per
+      // duplicate row, so candidates failing the radius never enter
+      // the dedup shuffle (guide §2.3 — the distinct's exchange is
+      // the expensive half of this plan; the popcount is not)
       .withColumn("hamming", expr("bit_count(hash_a ^ hash_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("hash_a"), col("hash_b"))
+      .distinct() // a pair may share several bands
   }
 
   /** Unsigned hex rendering of a 64-bit hash column (sign-safe on both

@@ -168,9 +168,15 @@ object LangModel {
     */
   def perplexityBuckets(docs: DataFrame, trainMaxId: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the scored table feeds TWO actions (the percentile collect and
+    // the caller's final projection); without a cache the whole
+    // perplexity pipeline — bigram explode, two model joins, per-doc
+    // aggregation — executes twice (guide §5: reuse × recompute cost
+    // justifies the persist; rows are (doc_id, ppl, ppl_micro), narrow)
     val scored = perplexity(docs, trainMaxId, idCol, textCol)
       .select(col("doc_id"), col("ppl"),
         expr("CAST(round(ppl * 1e6) AS BIGINT)").as("ppl_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val th = Percentiles.twoPhaseDiscrete(
         scored.withColumn("g", lit(1)), "g", "ppl_micro",
         qs = Seq(0.333333, 0.666667))

@@ -61,15 +61,65 @@ object Similarity {
     df.select("id", "vec").as[(Long, Array[Double])].collect()
   }
 
+  /** Partition-local top-k pre-aggregation under the shared ANN order
+    * (score desc, neighbor id asc): per query, a bounded heap keeps the
+    * k best rows of the partition, so the global ranking window only
+    * shuffles ≤ partitions·queries·k rows instead of the full
+    * |candidates|·|queries| scored stream (guide §2.3: aggregate before
+    * you shuffle). Exact: the order is a strict total order (ids are
+    * unique per query; round6 never emits NaN or −0.0, so JVM
+    * Double.compare agrees with Spark's sort), and every global top-k
+    * row is by definition in its partition's top-k.
+    */
+  private def partialTopK(it: Iterator[(Long, Long, Double)],
+      k: Int): Iterator[(Long, Long, Double)] = {
+    // heap head = worst kept row: lowest score, then LARGEST id
+    val cmp = new java.util.Comparator[(Long, Double)] {
+      def compare(x: (Long, Double), y: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(x._2, y._2)
+        if (c != 0) c else java.lang.Long.compare(y._1, x._1)
+      }
+    }
+    val heaps = new java.util.HashMap[Long, java.util.PriorityQueue[(Long, Double)]]()
+    it.foreach { case (q, id, s) =>
+      var h = heaps.get(q)
+      if (h == null) {
+        h = new java.util.PriorityQueue[(Long, Double)](k + 1, cmp)
+        heaps.put(q, h)
+      }
+      if (h.size < k) h.add((id, s))
+      else {
+        val w = h.peek()
+        val c = java.lang.Double.compare(s, w._2)
+        if (c > 0 || (c == 0 && id < w._1)) { h.poll(); h.add((id, s)); () }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.entrySet().iterator().asScala.flatMap { e =>
+      val q = e.getKey.longValue()
+      e.getValue.iterator().asScala.map(v => (q, v._1, v._2))
+    }
+  }
+
   /** Shared deterministic top-k ranking over (query_id, neighbor_id,
     * cos) scores: 6dp-rounded cosine desc, neighbor id asc — the one
     * definition all ANN variants (brute force, SRP-LSH, IVF) must
-    * agree on for cross-engine parity.
+    * agree on for cross-engine parity. A [[partialTopK]] pass prunes
+    * each partition to its k best rows per query before the window
+    * shuffle.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val pruned = scored
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions(it => partialTopK(it, k))
+      .toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
@@ -116,10 +166,41 @@ object Similarity {
       .as[(Long, Array[Double], Long)]
       .mapPartitions { it =>
         val qs = bc.value
-        it.flatMap { case (cid, cv, grp) =>
+        val scoredIt = it.flatMap { case (cid, cv, grp) =>
           qs.iterator.collect { case (qid, qv) if qid != cid =>
             (qid, cid, grp, round6(cosineJvm(qv, cv)))
           }
+        }
+        // partition-local (query, group) cap: only the perGroup best
+        // rows of each (q, grp) in this partition can survive the
+        // global per-group rank filter, so prune before the shuffle
+        // (exact under the same strict total order as the window)
+        val cmp = new java.util.Comparator[(Long, Double)] {
+          def compare(x: (Long, Double), y: (Long, Double)): Int = {
+            val c = java.lang.Double.compare(x._2, y._2)
+            if (c != 0) c else java.lang.Long.compare(y._1, x._1)
+          }
+        }
+        val heaps =
+          new java.util.HashMap[(Long, Long), java.util.PriorityQueue[(Long, Double)]]()
+        scoredIt.foreach { case (q, id, grp, s) =>
+          val key = (q, grp)
+          var h = heaps.get(key)
+          if (h == null) {
+            h = new java.util.PriorityQueue[(Long, Double)](perGroup + 1, cmp)
+            heaps.put(key, h)
+          }
+          if (h.size < perGroup) h.add((id, s))
+          else {
+            val w = h.peek()
+            val c = java.lang.Double.compare(s, w._2)
+            if (c > 0 || (c == 0 && id < w._1)) { h.poll(); h.add((id, s)); () }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.entrySet().iterator().asScala.flatMap { e =>
+          val (q, grp) = e.getKey
+          e.getValue.iterator().asScala.map(v => (q, v._1, grp, v._2))
         }
       }.toDF("query_id", "doc_id", "grp", "cos")
     val wg = Window.partitionBy(col("query_id"), col("grp"))
@@ -240,7 +321,13 @@ object Similarity {
             (qid, cid, s)
           }
         }
-      }.toDF("query_id", "neighbor_id", "iscore")
+      }
+      // partition-local shortlist pruning (same exact order — integer
+      // scores are ≤ 127²·dim ≪ 2⁵³, so the double-keyed heap is exact)
+      .mapPartitions(it => partialTopK(
+        it.map { case (q, id, s) => (q, id, s.toDouble) }, oversample * k)
+        .map { case (q, id, s) => (q, id, s.toLong) })
+      .toDF("query_id", "neighbor_id", "iscore")
     val wSl = Window.partitionBy(col("query_id"))
       .orderBy(col("iscore").desc, col("neighbor_id").asc)
     val cand = shortlist.withColumn("r", row_number().over(wSl))
@@ -391,7 +478,23 @@ object Similarity {
     */
   private def nearestCentroids(cents: Array[(Long, Array[Double])],
       v: Array[Double], m: Int): Array[Long] =
-    cents
+    if (m == 1) {
+      // allocation-free argmax fast path — this call sits inside the
+      // per-row assignment loop of kmeans Lloyd rounds and the IVF
+      // candidate scan (per-row sort + tuple array measured as real
+      // task CPU at 1M rows); identical (cos desc, cid asc) ranking
+      var bestCid = Long.MaxValue
+      var bestCos = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val c = round6(cosineJvm(v, cents(i)._2))
+        if (c > bestCos || (c == bestCos && cents(i)._1 < bestCid)) {
+          bestCos = c; bestCid = cents(i)._1
+        }
+        i += 1
+      }
+      Array(bestCid)
+    } else cents
       .map { case (cid, cv) => (cid, round6(cosineJvm(v, cv))) }
       .sortBy { case (cid, c) => (-c, cid) }
       .take(m).map(_._1)
@@ -403,7 +506,25 @@ object Similarity {
     */
   private def nearestCentroidsL2(cents: Array[(Long, Array[Double])],
       v: Array[Double], m: Int): Array[Long] =
-    cents
+    if (m == 1) {
+      // same argmin fast path as [[nearestCentroids]] — hot in the PQ
+      // per-row encode loop; identical (d2 asc, cid asc) ranking
+      var bestCid = Long.MaxValue
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cents.length) {
+        val cv = cents(j)._2
+        var d2 = 0.0
+        var i = 0
+        while (i < v.length) { val d = v(i) - cv(i); d2 += d * d; i += 1 }
+        val r = round6(d2)
+        if (r < bestD || (r == bestD && cents(j)._1 < bestCid)) {
+          bestD = r; bestCid = cents(j)._1
+        }
+        j += 1
+      }
+      Array(bestCid)
+    } else cents
       .map { case (cid, cv) =>
         var d2 = 0.0
         var i = 0

@@ -405,13 +405,20 @@ object TextDedup {
     // sets), cross-rep pairs take their rep pair's verified jaccard
     // (equal sets ⇒ equal jaccard), and pairs of empty sets drop in
     // both shapes (0/0 was never >= a positive threshold).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    val members = sets
-      .select(col("doc_id"), min(col("doc_id")).over(w).as("rep"),
-        size(col("sh")).as("nsh"))
+    // r12 optimization-round shape: one groupBy on the shingle array
+    // replaces the former window-over-`sh` + doc_id re-join — the
+    // window buffered every hot set-equality class's ARRAY rows in
+    // WindowExec and the repSets join paid a second full array
+    // exchange (by doc_id); the aggregate form partial-aggregates
+    // map-side, carries (sh, rep) once per DISTINCT set, and repSets
+    // falls out of the same aggregate for free (guide §2.3/§2.4).
+    // Row-identical: rep = min doc_id over the set-equality class
+    // either way, and each distinct sh yields exactly one rep row.
+    val reps = sets.groupBy(col("sh")).agg(min(col("doc_id")).as("rep"))
+    val members = sets.join(reps, "sh")
+      .select(col("doc_id"), col("rep"), size(col("sh")).as("nsh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repSets = sets.join(
-      members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    val repSets = reps.select(col("rep").as("doc_id"), col("sh"))
     val candsR = cands
       .join(members.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"),
         col("nsh").as("nsh_a")), "doc_a")
@@ -1080,26 +1087,33 @@ object TextDedup {
     */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minDocs: Int = 2): DataFrame = {
+    // r12 optimization-round shape: the boilerplate decision needs only
+    // (doc_id, line_idx, xxhash64(line)) — shuffling the line TEXT
+    // through the anti-join and the per-doc rebuild moved the whole
+    // corpus twice for a decision its hashes carry in ~20 bytes/row
+    // (guide §2.3: shuffle keys and metadata instead of payloads).
+    // The kept line indices rejoin the original docs once (by doc_id,
+    // the join the final projection already paid) and clean_text
+    // rebuilds from the doc's own split — byte-identical output: each
+    // occurrence keeps/drops by the same lh, indices sort ascending
+    // exactly as the old (line_idx, line) struct sort did.
     val lines = docs
       .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")))
-      .withColumnRenamed("pos", "line_idx")
-      .withColumnRenamed("col", "line")
-      .withColumn("lh", xxhash64(col("line")))
+      .select(col("doc_id"), col("pos").as("line_idx"),
+        xxhash64(col("col")).as("lh"))
     val boiler = lines.select(col("lh"), col("doc_id")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("docs"))
       .filter(col("docs") >= minDocs)
       .select("lh")
-    val kept = lines.join(boiler, Seq("lh"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_kept"),
-        array_join(array_sort(collect_list(struct(col("line_idx"), col("line"))))
-          .getField("line"), "\n").as("clean_text"))
-    docs.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    val keptIdx = lines.join(boiler, Seq("lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("line_idx"))).as("kept"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("ls"))
+      .join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
+        coalesce(size(col("kept")).cast("long"), lit(0L)).as("n_kept"),
+        coalesce(array_join(transform(col("kept"),
+          i => element_at(col("ls"), i + 1)), "\n"), lit("")).as("clean_text"))
   }
 
   /** Cross-source duplication matrix: for every unordered pair of

@@ -3779,9 +3779,16 @@ object Pipeline extends QModule {
       val toks = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
-      val sk = graft.ops.Cms.sketch(toks, "token", depth = 4, width = 512)
-      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
-        .orderBy(desc("exact_n"), col("token")).limit(20)
+      // r12 optimization-round shape: aggregate the token stream to its
+      // histogram ONCE, then build the sketch from (token, count)
+      // weights — the md5 hash family runs per distinct token instead
+      // of per occurrence, and the exact top-20 reads the same
+      // histogram (its exchange is reused). Bucket counts are
+      // bit-identical (Σ multiplicities either way) — oracle unchanged.
+      val hist = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      val sk = graft.ops.Cms.sketchWeighted(hist, "token", "exact_n",
+        depth = 4, width = 512)
+      val exact = hist.orderBy(desc("exact_n"), col("token")).limit(20)
       val est = graft.ops.Cms.estimate(sk, exact.select("token"), depth = 4, width = 512)
       exact.join(est, "token")
         .select(col("token"), col("exact_n"), col("est_n"),
