@@ -22,6 +22,7 @@ object Rehearse {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-rehearse")
+      .config(graft.zarr.SparkSessions.tunedLocalFs._1, graft.zarr.SparkSessions.tunedLocalFs._2)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -132,24 +132,34 @@ object CrawlRehearsal {
 
       // boilerplate removal: nav+footer recur n times, content lines
       // at most twice (the exact copies) — minDocs=100 must remove
-      // EXACTLY the two chrome lines from every page
+      // EXACTLY the two chrome lines from every page. Persist: the
+      // line-cut check and the exact-dedup stage below both read it —
+      // without the cache the whole lineDedup plan re-executes per
+      // action (it ran 3× before this round's optimization pass).
       val deduped = graft.ops.TextDedup.lineDedup(extracted, minDocs = 100)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val badLineCuts = deduped
         .filter(col("n_lines") =!= 9 || col("n_kept") =!= 7).count()
       require(badLineCuts == 0,
         s"$badLineCuts pages lost content lines (or kept chrome) in line-dedup")
       stage("line-dedup")
 
-      // exact dedup on the cleaned text recovers the planted copies
+      // exact dedup on the cleaned text recovers the planted copies —
+      // both structure counts in ONE aggregation (two separate count()
+      // actions re-ran the dedup groupBy twice)
       val groups = graft.ops.TextDedup.exact(
         deduped.select(col("doc_id"), col("clean_text").as("text")))
-      val dupGroups = groups.filter(col("n_copies") === 2).count()
-      val loneDocs = groups.filter(col("n_copies") === 1).count()
+      val gstats = groups.agg(
+        sum(when(col("n_copies") === 2, 1L).otherwise(0L)).as("dups"),
+        sum(when(col("n_copies") === 1, 1L).otherwise(0L)).as("lone")).head()
+      val dupGroups = gstats.getLong(0)
+      val loneDocs = gstats.getLong(1)
       require(dupGroups == n / 10 && loneDocs == n - 2 * (n / 10),
         s"exact-dedup structure off: $dupGroups dup groups (want ${n / 10}), " +
           s"$loneDocs singles (want ${n - 2 * (n / 10)})")
       stage("exact-dedup")
 
+      deduped.unpersist()
       extracted.unpersist()
       (writeSec, (System.nanoTime() - tRead) / 1e9)
     } finally {

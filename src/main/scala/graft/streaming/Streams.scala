@@ -781,13 +781,20 @@ object Streams {
           // padded+compressed chunk objects inside its task
           val hconf = Some(graft.zarr.SerializableHadoopConf.fromActiveSession())
           val pp = platePath
+          val taskTiming = sys.env.contains("GRAFT_HCS_TIMING")
           uniq.foreachPartition { (it: Iterator[ArrivingField]) =>
             val st = new graft.zarr.ZarrStore(pp, hconf)
+            var nF = 0
+            var tMeta = 0L
+            var tChunk = 0L
+            val tTask0 = System.nanoTime()
             it.foreach { f =>
               val meta = f.descriptor.meta
+              val t0 = System.nanoTime()
               graft.operators.OmeZarrIO.writeSingleLevelMetaV2(
                 new graft.zarr.ZarrStore(s"$pp/${f.wellPath}/${f.imagePath}", hconf),
                 meta, Method.ItkwasmBinShrink)
+              val t1 = System.nanoTime()
               val arrayPath = s"${f.wellPath}/${f.imagePath}/scale0/image"
               ChunkOps.decompose(f.values, meta).foreach { c =>
                 val key = graft.zarr.ZarrStore.chunkKey(2, arrayPath, c.chunkIdx)
@@ -795,7 +802,12 @@ object Streams {
                   graft.operators.OmeZarrIO.padToFull(c, meta.chunks, meta.dtype),
                   typesize = graft.meta.Dtypes.itemSize(meta.dtype)))
               }
+              val t2 = System.nanoTime()
+              nF += 1; tMeta += t1 - t0; tChunk += t2 - t1
             }
+            if (taskTiming && nF > 0) System.err.println(
+              f"[hcs-task] fields=$nF meta=${tMeta / 1e9}%.2fs chunks=${tChunk / 1e9}%.2fs " +
+                f"wall=${(System.nanoTime() - tTask0) / 1e9}%.2fs")
           }
           if (sys.env.contains("GRAFT_HCS_TIMING")) System.err.println(
             f"[hcs] n=${descriptors.length} meta=${(tMeta - tDesc) / 1e9}%.2fs " +

@@ -17,6 +17,7 @@ object RehearseOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-rehearse-one")
+      .config(graft.zarr.SparkSessions.tunedLocalFs._1, graft.zarr.SparkSessions.tunedLocalFs._2)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

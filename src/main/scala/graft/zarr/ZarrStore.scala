@@ -43,7 +43,12 @@ final class ZarrStore(val root: String, hconf: Option[SerializableHadoopConf] = 
 
   @transient private lazy val fs: FileSystem = {
     val f = new Path(root).getFileSystem(
-      hconf.map(_.value).getOrElse(new Configuration()))
+      hconf.map(_.value).getOrElse {
+        // no session conf in hand — still skip the local-FS chmod fork
+        val c = new Configuration()
+        c.set(SparkSessions.localFsKey, SparkSessions.localFsImpl)
+        c
+      })
     // no .crc sidecars — they are not part of the Zarr layout
     f.setWriteChecksum(false)
     f.setVerifyChecksum(false)

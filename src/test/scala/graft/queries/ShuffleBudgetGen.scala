@@ -15,6 +15,7 @@ object ShuffleBudgetGen {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-shuffle-budget-gen")
+      .config(graft.zarr.SparkSessions.tunedLocalFs._1, graft.zarr.SparkSessions.tunedLocalFs._2)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
