@@ -35,7 +35,30 @@ object Similarity {
     */
   def round6(x: Double): Double =
     if (x.isNaN) 0.0
-    else new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    else {
+      // Fast path (r12 optimization round): the BigDecimal expansion is
+      // ~30× the cost of the whole cosine in the ANN hot loops (~130M
+      // calls per s_ann1m run). HALF_UP at 6dp is n = floor(|x|·10⁶ +
+      // 1/2) with the sign re-applied; computing t = |x|·1e6 + 0.5 in
+      // doubles perturbs the exact value by < 2⁻⁵² · 2²⁰ + one ulp
+      // (≈ 3e-10), so floor(t) equals the exact n whenever t is
+      // farther than 1e-9 from an integer — only boundary-straddling
+      // inputs fall back to the exact BigDecimal path. The final n/1e6
+      // is IEEE-correctly-rounded division of two exact values, which
+      // is the same double BigDecimal(n·10⁻⁶).doubleValue() returns.
+      val ax = math.abs(x)
+      val t = ax * 1e6 + 0.5
+      if (t < 4.503599627370496e15) { // 2⁵² — beyond it floor is ill-posed
+        val n = math.floor(t)
+        if (t - n > 1e-9 && (n + 1) - t > 1e-9)
+          (if (x < 0 && n > 0) -n else n) / 1e6 // n=0 stays +0.0, as BigDecimal returns
+        else
+          new java.math.BigDecimal(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      } else
+        new java.math.BigDecimal(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
 
   /** Sequential-order cosine of two equal-length arrays. */
   def cosineJvm(a: Array[Double], b: Array[Double]): Double = {
@@ -47,6 +70,76 @@ object Similarity {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Σaᵢ² accumulated in index order then √ — the exact `na`/`nb`
+    * factor of [[cosineJvm]], exposed so hot loops can hoist the
+    * norms of a reused side (queries, centroids, the candidate row)
+    * instead of re-accumulating them per pair. `dotJvm / (normJvm(a)
+    * · normJvm(b))` is bit-identical to `cosineJvm(a, b)`: the same
+    * additions in the same order, the same final expression.
+    */
+  private[ops] def normJvm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private[ops] def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  /** Index of the nearest centroid under the shared (round6 cosine
+    * desc, cid asc) ranking, with centroid norms hoisted by the caller
+    * (once per partition) and round6 deferred to NEAR-TIES only: if
+    * the raw-cosine winner leads every other candidate by more than
+    * 1e-6 (+ margin), rounding — which moves each value by at most
+    * 5e-7 + one ulp — cannot reorder them, so the BigDecimal-exact
+    * rounding runs only on the rare near-tie set. NaN cosines (zero
+    * vectors) substitute 0.0, exactly what round6(NaN) returns.
+    */
+  private[ops] def nearest1(cents: Array[(Long, Array[Double])],
+      cnorms: Array[Double], v: Array[Double]): Int = {
+    val vn = normJvm(v)
+    val n = cents.length
+    val cos = new Array[Double](n)
+    var bestRaw = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val c = dotJvm(v, cents(i)._2) / (vn * cnorms(i))
+      cos(i) = if (c.isNaN) 0.0 else c
+      if (cos(i) > bestRaw) bestRaw = cos(i)
+      i += 1
+    }
+    // near-tie set: candidates rounding could still promote
+    var tieCount = 0
+    var tieIdx = -1
+    i = 0
+    while (i < n) {
+      if (bestRaw - cos(i) <= 1.0001e-6) { tieCount += 1; tieIdx = i }
+      i += 1
+    }
+    if (tieCount == 1) tieIdx
+    else {
+      var bestI = -1
+      var bestR = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      i = 0
+      while (i < n) {
+        if (bestRaw - cos(i) <= 1.0001e-6) {
+          val r = round6(cos(i))
+          if (r > bestR || (r == bestR && cents(i)._1 < bestId)) {
+            bestR = r; bestId = cents(i)._1; bestI = i
+          }
+        }
+        i += 1
+      }
+      bestI
+    }
   }
 
   /** Column-expression cosine (kept for composability in plans). */
@@ -136,9 +229,11 @@ object Similarity {
     val scored = candidates.select("id", "vec").as[(Long, Array[Double])]
       .mapPartitions { it =>
         val qs = bc.value
+        val qn = qs.map(q => normJvm(q._2)) // hoisted once per task
         it.flatMap { case (cid, cv) =>
-          qs.iterator.collect { case (qid, qv) if qid != cid =>
-            (qid, cid, round6(cosineJvm(qv, cv)))
+          val cvn = normJvm(cv) // once per candidate, not once per query
+          qs.indices.iterator.collect { case j if qs(j)._1 != cid =>
+            (qs(j)._1, cid, round6(dotJvm(qs(j)._2, cv) / (qn(j) * cvn)))
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
@@ -166,9 +261,11 @@ object Similarity {
       .as[(Long, Array[Double], Long)]
       .mapPartitions { it =>
         val qs = bc.value
+        val qn = qs.map(q => normJvm(q._2)) // hoisted once per task
         val scoredIt = it.flatMap { case (cid, cv, grp) =>
-          qs.iterator.collect { case (qid, qv) if qid != cid =>
-            (qid, cid, grp, round6(cosineJvm(qv, cv)))
+          val cvn = normJvm(cv)
+          qs.indices.iterator.collect { case j if qs(j)._1 != cid =>
+            (qs(j)._1, cid, grp, round6(dotJvm(qs(j)._2, cv) / (qn(j) * cvn)))
           }
         }
         // partition-local (query, group) cap: only the perGroup best
@@ -258,10 +355,13 @@ object Similarity {
     val scored = candidates.select("id", "vec").as[(Long, Array[Double])]
       .mapPartitions { it =>
         val planesL = srpPlanes(dim, numPlanes)
+        val qsL = bc.value
+        val qn = qsL.map(q => normJvm(q._2)) // hoisted once per task
         it.flatMap { case (cid, cv) =>
           val cb = srpBucketJvm(cv, planesL)
-          bc.value.iterator.collect { case (qid, qv, qb) if qid != cid && qb == cb =>
-            (qid, cid, round6(cosineJvm(qv, cv)))
+          val cvn = normJvm(cv)
+          qsL.indices.iterator.collect { case j if qsL(j)._1 != cid && qsL(j)._3 == cb =>
+            (qsL(j)._1, cid, round6(dotJvm(qsL(j)._2, cv) / (qn(j) * cvn)))
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
@@ -410,11 +510,12 @@ object Similarity {
       val partials = vectors.select("id", "vec").as[(Long, Array[Double])]
         .mapPartitions { it =>
           val cs = bc.value
+          val cn = cs.map(c => normJvm(c._2)) // hoisted once per task
           val sums = scala.collection.mutable.LinkedHashMap.empty[Long, (Array[Long], Long)]
           it.foreach { case (_, v) =>
             val cid =
               if (metric == "l2") nearestCentroidsL2(cs, v, 1)(0)
-              else nearestCentroids(cs, v, 1)(0)
+              else cs(nearest1(cs, cn, v))._1
             val (acc, n) = sums.getOrElseUpdate(cid, (new Array[Long](v.length), 0L))
             var i = 0
             while (i < v.length) { acc(i) += Math.round(round6(v(i)) * 1e6); i += 1 }
@@ -461,11 +562,16 @@ object Similarity {
     val qsBc = spark.sparkContext.broadcast(qs)
     val scored = candidates.select("id", "vec").as[(Long, Array[Double])]
       .mapPartitions { it =>
+        val cs = centsBc.value
+        val cn = cs.map(c => normJvm(c._2)) // hoisted once per task
+        val qs = qsBc.value
+        val qn = qs.map(q => normJvm(q._2)) // hoisted once per task
         it.flatMap { case (cid, cv) =>
-          val list = nearestCentroids(centsBc.value, cv, 1)(0)
-          qsBc.value.iterator.collect {
-            case (qid, qv, probes) if qid != cid && probes(list) =>
-              (qid, cid, round6(cosineJvm(qv, cv)))
+          val list = cs(nearest1(cs, cn, cv))._1
+          val cvn = normJvm(cv) // once per candidate, not once per query
+          qs.indices.iterator.collect {
+            case j if qs(j)._1 != cid && qs(j)._3(list) =>
+              (qs(j)._1, cid, round6(dotJvm(qs(j)._2, cv) / (qn(j) * cvn)))
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
@@ -684,9 +790,11 @@ object Similarity {
     // both sides of the self-join read the assignment — persist so the
     // corpus is scanned and assigned once, not once per side
     val assigned = vectors.select("id", "vec").as[(Long, Array[Double])]
-      .mapPartitions(_.map { case (id, v) =>
-        (id, v, nearestCentroids(centsBc.value, v, 1)(0))
-      })
+      .mapPartitions { it =>
+        val cs = centsBc.value
+        val cn = cs.map(c => normJvm(c._2)) // hoisted once per task
+        it.map { case (id, v) => (id, v, cs(nearest1(cs, cn, v))._1) }
+      }
       .toDF("id", "vec", "cluster")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scorePairs(
@@ -723,18 +831,13 @@ object Similarity {
     val assigned = vectors.select("id", "vec").as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = centsBc.value
+        val cn = cs.map(c => normJvm(c._2)) // hoisted once per task
         it.map { case (id, v) =>
-          // nearestCentroids ranking (rounded cosine desc, cid asc),
-          // keeping the winning cosine alongside the id
-          var bestCid = Long.MaxValue
-          var bestCos = Double.NegativeInfinity
-          cs.foreach { case (cid, cv) =>
-            val c = round6(cosineJvm(v, cv))
-            if (c > bestCos || (c == bestCos && cid < bestCid)) {
-              bestCos = c; bestCid = cid
-            }
-          }
-          (id, bestCid, bestCos)
+          // nearest1 reproduces the (rounded cosine desc, cid asc)
+          // ranking; the winner's rounded cosine is computed once
+          val i = nearest1(cs, cn, v)
+          (id, cs(i)._1,
+            round6(dotJvm(v, cs(i)._2) / (normJvm(v) * cn(i))))
         }
       }
       .toDF("vec_id", "cluster", "cos")

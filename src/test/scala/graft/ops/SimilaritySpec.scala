@@ -8,6 +8,44 @@ class SimilaritySpec extends SparkSpec {
   private lazy val emb = Tables.load(spark, sfDir, "embeddings")
     .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
 
+  test("round6 fast path is bit-identical to the BigDecimal reference") {
+    def ref(x: Double): Double =
+      if (x.isNaN) 0.0
+      else new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // adversarial boundary values: exact/near half-micro multiples,
+    // signs, zeros, magnitudes around the fast-path guard
+    val adversarial = Seq(
+      0.0, -0.0, 1e-7, -1e-7, 4.9e-7, 5e-7, 5.1e-7, -4.9e-7, -5e-7, -5.1e-7,
+      0.9999995, -0.9999995, 0.49999949999, 0.4999995, 0.50000049999,
+      1.0000005, -1.0000005, 0.1234565, -0.1234565, 0.12345649999999,
+      123.4567895, -123.4567895, 4.5e9, -4.5e9, 4.6e9, 1e12, -1e12,
+      Double.MinPositiveValue, -Double.MinPositiveValue, Double.NaN,
+      1.0 / 3.0, -1.0 / 3.0, math.Pi, -math.Pi)
+    adversarial.foreach { x =>
+      val got = Similarity.round6(x)
+      val want = ref(x)
+      assert(java.lang.Double.doubleToRawLongBits(got) ==
+        java.lang.Double.doubleToRawLongBits(want),
+        s"round6($x) = $got != BigDecimal reference $want")
+    }
+    // randomized sweep over the cosine range and wider magnitudes
+    val rng = new scala.util.Random(12345)
+    (0 until 200000).foreach { _ =>
+      val x = rng.nextInt(4) match {
+        case 0 => rng.nextDouble() * 2 - 1                    // cosine range
+        case 1 => (rng.nextInt(4000001) - 2000000) / 2e6      // half-micro grid
+        case 2 => (rng.nextDouble() * 2 - 1) * 1e4            // larger scores
+        case _ => (rng.nextInt(2000001) - 1000000) / 1e6      // exact micro grid
+      }
+      val got = Similarity.round6(x)
+      val want = ref(x)
+      assert(java.lang.Double.doubleToRawLongBits(got) ==
+        java.lang.Double.doubleToRawLongBits(want),
+        s"round6($x) = $got != BigDecimal reference $want")
+    }
+  }
+
   test("cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "vec")
