@@ -121,11 +121,19 @@ object Warc {
       }
     }
 
-  /** Open one archive for streaming parse (gz-transparent). */
+  /** Open one archive for streaming parse (gz-transparent). The
+    * DECOMPRESSED side is buffered too (r12 optimization round):
+    * `parseStream`'s header reader consumes single bytes, and an
+    * unbuffered `GZIPInputStream.read()` crosses into a native
+    * `inflate` call per byte — ~200 header bytes × every record. The
+    * buffer turns that into block reads; the byte stream is identical.
+    */
   def openMaybeGz(path: String, hconf: SerializableHadoopConf): InputStream = {
     val p = new org.apache.hadoop.fs.Path(path)
     val raw = new BufferedInputStream(p.getFileSystem(hconf.value).open(p), 1 << 16)
-    if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+    if (path.endsWith(".gz"))
+      new BufferedInputStream(new GZIPInputStream(raw, 1 << 16), 1 << 16)
+    else raw
   }
 
   /** Distributed WARC scan: one task per archive file. */
