@@ -494,9 +494,25 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","headline_sec":${fmt(headlineTotal)},"runs_per_query":$runs,"stat":"median","n_queries":${results.size},"failed":$failedJson,"isolated":$isoJson,"i_pyramid512":${fmt(pyramidSec)},"i_pyramid512_gauss":${fmt(pyramidGaussSec)},"t_dedup200k":${fmt(dedupSec)},"t_dedup200k_skew":${fmt(dedupSkewSec)},"t_dedup200k_skew_collapsed":${fmt(dedupSkewCollapsedSec)},"t_crawl200k":${fmt(crawlSec)},"t_crawl200k_write":${fmt(crawlWriteSec)},"t_crawl200k_read":${fmt(crawlReadSec)},"t_decon200k":${fmt(deconSec)},"m_imgdedup1m":${fmt(imgDedupSec)},"s_ann1m":${fmt(annSec)},"i_ccl16m":${fmt(cclSec)},"i_edt16m":${fmt(edtSec)},"i_fill16m":${fmt(fillSec)},"g_kcore1m":${fmt(kcoreSec)},"t_bpe200k":${fmt(bpeSec)},"h_plate384":${fmt(hcsSec)},"s_cov1m":${fmt(covSec)},"i_dicom256":${fmt(dicomSec)},"x_ioshuffle4m":${fmt(ioCtlSec)},"n_var_runs":$nVar,"n_var_ok":$nVarOkJson,$hostJson,"slowest":$slowJson,"sf":"$sfDir"}"""
     println(compact)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+    // The driver's stdout tail keeps ~2000 chars, so the full
+    // per-query line above never reaches its comparator (PERF r11/r12
+    // had n_common=0). Always persist BOTH lines to a file — default
+    // bench_out.json in the working directory (the repo root under
+    // sbt) — so per-query round-over-round diffs are possible even
+    // when the wrapper doesn't set SPARK_GRAFT_BENCH_OUT. Reporting IO
+    // must never fail the bench itself: parents are created, and a
+    // write error is a loud stderr line, not a nonzero exit after 30
+    // minutes of green measurements.
+    try {
+      val outPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      if (outPath.getParent != null)
+        java.nio.file.Files.createDirectories(outPath.getParent)
+      java.nio.file.Files.write(outPath,
         (json + "\n" + compact + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write bench output file: $e")
     }
   }
 }

@@ -35,9 +35,13 @@ object HcsRehearsal {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = System.nanoTime()
     var tLast = t0
+    // stage timing gated behind the same env check as the per-task
+    // timing in Streams — silent in gate runs, opt-in when profiling
+    val timing = sys.env.contains("GRAFT_HCS_TIMING")
     def stage(name: String): Unit = {
       val now = System.nanoTime()
-      System.err.println(f"[hcs-rehearsal] $name: ${(now - tLast) / 1e9}%.1f s")
+      if (timing)
+        System.err.println(f"[hcs-rehearsal] $name: ${(now - tLast) / 1e9}%.1f s")
       tLast = now
     }
 

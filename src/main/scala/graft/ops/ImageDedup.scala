@@ -132,14 +132,18 @@ object ImageDedup {
       col("band"), col("word"))
     a.join(b, Seq("band", "word"))
       .filter(col("doc_a") < col("doc_b"))
-      // verify BEFORE the distinct: bit_count is codegen-cheap per
-      // duplicate row, so candidates failing the radius never enter
-      // the dedup shuffle (guide §2.3 — the distinct's exchange is
-      // the expensive half of this plan; the popcount is not)
-      .withColumn("hamming", expr("bit_count(hash_a ^ hash_b)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"), col("hash_a"), col("hash_b"))
+      // radius filter as a join-condition predicate (Catalyst pushes
+      // it into the join either way — r12's verdict showed the before
+      // plan already had it there) and, crucially, NOT as a distinct
+      // key: the r12 form carried `hamming` as a fifth distinct
+      // column, widening the dedup exchange for a value that is a
+      // pure function of (hash_a, hash_b). Dedup on the original four
+      // columns and recompute the popcount per DISTINCT pair after.
+      .filter(expr("bit_count(hash_a ^ hash_b)") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hash_a"), col("hash_b"))
       .distinct() // a pair may share several bands
+      .withColumn("hamming", expr("bit_count(hash_a ^ hash_b)"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("hash_a"), col("hash_b"))
   }
 
   /** Unsigned hex rendering of a 64-bit hash column (sign-safe on both

@@ -182,7 +182,13 @@ object LangModel {
         qs = Seq(0.333333, 0.666667))
       .collect().map(r => (r.getAs[Double]("q"), r.getAs[Long]("value"))).toMap
     val (t1, t2) = (th(0.333333), th(0.666667))
-    scored
+    // release the cache before returning (every other persist in ops/
+    // pairs with an unpersist): the caller's projection reads the
+    // narrow eager checkpoint — materialized straight from the cache,
+    // so the pipeline still executes exactly once
+    val scoredCp = scored.localCheckpoint(eager = true)
+    scored.unpersist()
+    scoredCp
       .withColumn("bucket",
         when(col("ppl_micro") <= t1, "head")
           .when(col("ppl_micro") <= t2, "middle")

@@ -40,17 +40,24 @@ object Similarity {
       // ~30× the cost of the whole cosine in the ANN hot loops (~130M
       // calls per s_ann1m run). HALF_UP at 6dp is n = floor(|x|·10⁶ +
       // 1/2) with the sign re-applied; computing t = |x|·1e6 + 0.5 in
-      // doubles perturbs the exact value by < 2⁻⁵² · 2²⁰ + one ulp
-      // (≈ 3e-10), so floor(t) equals the exact n whenever t is
-      // farther than 1e-9 from an integer — only boundary-straddling
-      // inputs fall back to the exact BigDecimal path. The final n/1e6
-      // is IEEE-correctly-rounded division of two exact values, which
-      // is the same double BigDecimal(n·10⁻⁶).doubleValue() returns.
+      // doubles perturbs the exact value by at most one rounding error
+      // of the multiply plus one of the add — < 2 ulp(t) — so floor(t)
+      // equals the exact n whenever t is farther than the guard band
+      // from an integer; only boundary-straddling inputs fall back to
+      // the exact BigDecimal path. The band scales with magnitude
+      // (r13, VERDICT item 4): a fixed 1e-9 only covers |x| ≲ 4.5 —
+      // round6 also rounds unbounded squared L2 distances
+      // (nearestCentroidsL2), where ulp(t) exceeds 1e-9 — so the band
+      // is max(1e-9, 4·ulp(t)), ≥ 2× the worst-case FP displacement at
+      // every magnitude. The final n/1e6 is IEEE-correctly-rounded
+      // division of two exact values, which is the same double
+      // BigDecimal(n·10⁻⁶).doubleValue() returns.
       val ax = math.abs(x)
       val t = ax * 1e6 + 0.5
       if (t < 4.503599627370496e15) { // 2⁵² — beyond it floor is ill-posed
         val n = math.floor(t)
-        if (t - n > 1e-9 && (n + 1) - t > 1e-9)
+        val band = math.max(1e-9, 4.0 * Math.ulp(t))
+        if (t - n > band && (n + 1) - t > band)
           (if (x < 0 && n > 0) -n else n) / 1e6 // n=0 stays +0.0, as BigDecimal returns
         else
           new java.math.BigDecimal(x)
@@ -441,7 +448,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("vec"))
       .as[(Long, Long, Array[Double])]
       .mapPartitions { it =>
-        it.map { case (qid, cid, cv) => (qid, cid, round6(cosineJvm(bqv.value(qid), cv))) }
+        val qv = bqv.value
+        val qn = qv.map { case (id, v) => (id, normJvm(v)) } // hoisted once per task
+        it.map { case (qid, cid, cv) =>
+          (qid, cid, round6(dotJvm(qv(qid), cv) / (qn(qid) * normJvm(cv))))
+        }
       }.toDF("query_id", "neighbor_id", "cos")
     rankTopK(scored, k)
   }
@@ -762,8 +773,9 @@ object Similarity {
       .as[(Long, Long, Array[Double])]
       .mapPartitions { it =>
         val queriesL = qsBc.value.toMap
+        val qn = queriesL.map { case (id, v) => (id, normJvm(v)) } // once per task
         it.map { case (qid, cid, cv) =>
-          (qid, cid, round6(cosineJvm(queriesL(qid), cv)))
+          (qid, cid, round6(dotJvm(queriesL(qid), cv) / (qn(qid) * normJvm(cv))))
         }
       }.toDF("query_id", "neighbor_id", "cos")
     rankTopK(exact, k)
@@ -1007,13 +1019,38 @@ object Similarity {
 
   /** Exact-cosine verification of (id_a, id_b, va, vb) pair rows in a
     * typed JVM kernel; keeps only pairs at or above the threshold.
+    * Precondition (all callers satisfy it — they join id → vec): a
+    * given id always carries the same vector, so norms memoize per id.
     */
   private def scorePairs(pairs: DataFrame, threshold: Double): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs.select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (a, b, va, vb) => (a, b, round6(cosineJvm(va, vb))) }
+      .mapPartitions { it =>
+        // Per-task norm memo: pair rows repeat each id once per
+        // partner (every cluster-mate in semanticDedupPairs, every
+        // colliding candidate in the bucketed path), so each distinct
+        // id's norm accumulates once instead of once per pair.
+        // dot/(na·nb) is bit-identical to cosineJvm — the same
+        // additions in the same order, the same final expression.
+        // Capacity-capped: a pathological partition clears the memo
+        // instead of growing it without bound (norms just recompute).
+        val norms = new java.util.HashMap[java.lang.Long, java.lang.Double](1 << 12)
+        def normOf(id: Long, v: Array[Double]): Double = {
+          val c = norms.get(id)
+          if (c != null) c.doubleValue()
+          else {
+            if (norms.size >= (1 << 20)) norms.clear()
+            val n = normJvm(v)
+            norms.put(id, n)
+            n
+          }
+        }
+        it.map { case (a, b, va, vb) =>
+          (a, b, round6(dotJvm(va, vb) / (normOf(a, va) * normOf(b, vb))))
+        }
+      }
       .toDF("id_a", "id_b", "cos")
       .filter(col("cos") >= threshold)
   }
@@ -1065,9 +1102,11 @@ object Similarity {
     val scored = corpus.select("id", "vec").as[(Long, Array[Double])]
       .mapPartitions { it =>
         val qs = bc.value
+        val qn = qs.map(q => normJvm(q._2)) // hoisted once per task
         it.flatMap { case (cid, cv) =>
-          qs.iterator.collect { case (qid, qv) if qid != cid =>
-            (qid, cid, round6(cosineJvm(qv, cv)))
+          val cvn = normJvm(cv) // once per candidate, not once per query
+          qs.indices.iterator.collect { case j if qs(j)._1 != cid =>
+            (qs(j)._1, cid, round6(dotJvm(qs(j)._2, cv) / (qn(j) * cvn)))
           }
         }
       }.toDF("query_id", "cand_id", "cos")

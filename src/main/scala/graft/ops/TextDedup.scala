@@ -322,19 +322,45 @@ object TextDedup {
             .select(col("band"), col("bucket"), lit(true).as("_hot")))
         val tagged = banded.join(hot, Seq("band", "bucket"), "left")
         val cold = pairJoin(tagged.filter(col("_hot").isNull).drop("_hot"))
-        val salted = tagged.filter(col("_hot") === true).drop("_hot")
+        val hotDocs = tagged.filter(col("_hot") === true).drop("_hot")
+        // Min-band ownership for hot pairs (r13, VERDICT item 2): a
+        // boilerplate clique's docs share identical signatures, so
+        // every band's bucket is the SAME hot group and each clique
+        // pair was enumerated AND emitted once per band — numBands×
+        // duplicate rows into the pair distinct's exchange, the
+        // largest remaining shuffle of the skew path. Each hot doc now
+        // carries its sorted hot (band, bucket) membership list
+        // (derived from the hot rows themselves — hot-membership
+        // sized, never a pass over the full banded table), and a hot
+        // pair is emitted ONLY from band b when NO earlier band j < b
+        // also shares a bucket. Exactness: the pair's earliest shared
+        // band always emits it — if that (j, bucket) group is hot,
+        // this join emits at j (nothing earlier is shared); if it is
+        // cold, the cold join emits at j — and the trailing distinct
+        // still collapses the residual hot+cold double emissions. The
+        // salted task routing (s, lo, hi) is untouched: the skew
+        // machinery still arms, replicates and schedules exactly as
+        // before; only duplicate EMISSIONS are suppressed.
+        val hotBkts = hotDocs.groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("band"), col("bucket")))).as("hb"))
+        val salted = hotDocs
+          .join(hotBkts, Seq("doc_id"))
           .withColumn("s", pmod(xxhash64(col("doc_id")), lit(g.toLong)).cast("int"))
           .withColumn("j", explode(sequence(lit(0), lit(g - 1))))
           .withColumn("lo", least(col("s"), col("j")))
           .withColumn("hi", greatest(col("s"), col("j")))
           .drop("j")
+        val sharedEarlierBand = arrays_overlap(
+          filter(col("x.hb"), e => e("band") < col("x.band")),
+          filter(col("y.hb"), e => e("band") < col("x.band")))
         val hotPairs = salted.as("x")
           .join(salted.as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
               col("x.lo") === col("y.lo") && col("x.hi") === col("y.hi") &&
               col("x.doc_id") < col("y.doc_id") &&
               least(col("x.s"), col("y.s")) === col("x.lo") &&
-              greatest(col("x.s"), col("y.s")) === col("x.hi"))
+              greatest(col("x.s"), col("y.s")) === col("x.hi") &&
+              !sharedEarlierBand)
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         cold.union(hotPairs)
     }

@@ -69,6 +69,20 @@ object StoreProbe {
     }
     println(f"F stock raw local FS:      ${(System.nanoTime() - t0) / 1e6 / n}%.2f ms/write")
 
+    // G: the engine's refined NoChmod FS (r13: skips only
+    // default-permission setPermission calls) — must land at E's
+    // cost, not F's; a raw (unmasked) default permission reaching
+    // setPermission here would silently reintroduce the fork
+    val tuned = new graft.zarr.NoChmodRawLocalFileSystem()
+    tuned.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    t0 = System.nanoTime()
+    (0 until n).foreach { i =>
+      val out = tuned.create(new org.apache.hadoop.fs.Path(s"$dir/g/sub$i/.zattrs"), true)
+      out.write("{\"k\":1}".getBytes("UTF-8")); out.close()
+    }
+    println(f"G refined no-chmod FS:     ${(System.nanoTime() - t0) / 1e6 / n}%.2f ms/write")
+
     val times2 = spark.range(4).as[Long].mapPartitions { it =>
       it.map { p =>
         val t = System.nanoTime()

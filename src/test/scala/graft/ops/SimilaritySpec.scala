@@ -29,14 +29,26 @@ class SimilaritySpec extends SparkSpec {
         java.lang.Double.doubleToRawLongBits(want),
         s"round6($x) = $got != BigDecimal reference $want")
     }
-    // randomized sweep over the cosine range and wider magnitudes
+    // randomized sweep over the cosine range and wider magnitudes,
+    // including the unbounded squared-L2 regime (round6(d2) in
+    // nearestCentroidsL2) where the guard band must scale with ulp:
+    // boundary-straddling large values are generated EXACTLY at the
+    // representable neighbors of half-micro multiples, the only
+    // places a magnitude-blind band could misround
     val rng = new scala.util.Random(12345)
-    (0 until 200000).foreach { _ =>
-      val x = rng.nextInt(4) match {
+    (0 until 300000).foreach { _ =>
+      val x = rng.nextInt(6) match {
         case 0 => rng.nextDouble() * 2 - 1                    // cosine range
         case 1 => (rng.nextInt(4000001) - 2000000) / 2e6      // half-micro grid
         case 2 => (rng.nextDouble() * 2 - 1) * 1e4            // larger scores
-        case _ => (rng.nextInt(2000001) - 1000000) / 1e6      // exact micro grid
+        case 3 => (rng.nextInt(2000001) - 1000000) / 1e6      // exact micro grid
+        case 4 =>                                             // d2 regime, smooth
+          rng.nextDouble() * math.pow(10, rng.nextInt(10))
+        case _ =>                                             // d2 boundary-straddle
+          val k = math.abs(rng.nextLong()) % 4503599627370496L // < 2⁵² micro units
+          val b = (k + 0.5) / 1e6
+          val s = if (rng.nextBoolean()) 1.0 else -1.0
+          s * (if (rng.nextBoolean()) Math.nextUp(b) else Math.nextDown(b))
       }
       val got = Similarity.round6(x)
       val want = ref(x)

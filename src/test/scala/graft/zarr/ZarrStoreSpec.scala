@@ -137,6 +137,35 @@ class ZarrStoreSpec extends AnyFunSuite {
     assert(!store.exists("a/0/0"))
   }
 
+  test("NoChmod local FS: default permissions skip the chmod, explicit ones apply") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.permission.FsPermission
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new NoChmodRawLocalFileSystem()
+    fs.initialize(new java.net.URI("file:///"), conf)
+    val dir = Files.createTempDirectory("nochmod").toString
+    // default-permission create: the skip path — on-disk mode must be
+    // the umask-applied default, exactly what stock Hadoop would chmod
+    // to (the umask delta was the ADVICE r12 gap this pins closed)
+    val f1 = new Path(s"$dir/default.bin")
+    val out = fs.create(f1, true)
+    out.write(1); out.close()
+    val umask = FsPermission.getUMask(conf)
+    assert(fs.getFileStatus(f1).getPermission ==
+      FsPermission.getFileDefault.applyUMask(umask))
+    // explicit non-default permission: must DELEGATE (the r12 version
+    // dropped it) — a private 0600 really lands on disk
+    val f2 = new Path(s"$dir/private.bin")
+    val out2 = fs.create(f2, true)
+    out2.write(1); out2.close()
+    fs.setPermission(f2, new FsPermission("600"))
+    assert(fs.getFileStatus(f2).getPermission == new FsPermission("600"))
+    // explicit non-default dir permission on mkdirs delegates too
+    val d1 = new Path(s"$dir/privdir")
+    fs.mkdirs(d1, new FsPermission("700"))
+    assert(fs.getFileStatus(d1).getPermission == new FsPermission("700"))
+  }
+
   test("complex dtype decode/encode round-trips interleaved (re, im)") {
     val vals = Array(1.5, -2.0, 3.25, 4.0) // (1.5-2i), (3.25+4i)
     for (dt <- Seq("complex64", "complex128")) {
