@@ -323,36 +323,47 @@ object TextDedup {
         val tagged = banded.join(hot, Seq("band", "bucket"), "left")
         val cold = pairJoin(tagged.filter(col("_hot").isNull).drop("_hot"))
         val hotDocs = tagged.filter(col("_hot") === true).drop("_hot")
-        // Min-band ownership for hot pairs (r13, VERDICT item 2): a
-        // boilerplate clique's docs share identical signatures, so
-        // every band's bucket is the SAME hot group and each clique
-        // pair was enumerated AND emitted once per band — numBands×
-        // duplicate rows into the pair distinct's exchange, the
-        // largest remaining shuffle of the skew path. Each hot doc now
-        // carries its sorted hot (band, bucket) membership list
-        // (derived from the hot rows themselves — hot-membership
-        // sized, never a pass over the full banded table), and a hot
-        // pair is emitted ONLY from band b when NO earlier band j < b
-        // also shares a bucket. Exactness: the pair's earliest shared
-        // band always emits it — if that (j, bucket) group is hot,
-        // this join emits at j (nothing earlier is shared); if it is
-        // cold, the cold join emits at j — and the trailing distinct
-        // still collapses the residual hot+cold double emissions. The
-        // salted task routing (s, lo, hi) is untouched: the skew
+        // First-band ownership for identical-membership hot pairs
+        // (r13, VERDICT item 2): a boilerplate clique's docs share
+        // identical signatures, so every band's bucket is the SAME hot
+        // group and each clique pair was enumerated AND emitted once
+        // per band — numBands× duplicate rows into the pair distinct's
+        // exchange, the largest remaining shuffle of the skew path.
+        // Each hot doc gets an EXACT group id: gid = min doc_id over
+        // its full hot (band, bucket) membership array (a groupBy on
+        // the array itself — no hashes, so gid equality ⟺ membership
+        // equality), plus mb = its first hot band. A hot pair whose
+        // two docs have the SAME gid (⟹ identical hot memberships,
+        // the clique case) is emitted ONLY from band mb; every other
+        // hot pair emits as before (once per shared hot band — rare
+        // for differing signatures) and the trailing distinct still
+        // collapses those. Exactness: same-gid docs share band mb by
+        // definition, and the join's residual `x.band === x.mb ||
+        // x.gid =!= y.gid` is true there (gid equality implies equal
+        // mb), so every suppressed pair still emits exactly once. The
+        // residual is two primitive comparisons — whole-stage-codegen,
+        // ~free at the 10⁷–10⁸ enumerations the salted join performs
+        // (a first cut with filter()/arrays_overlap() higher-order
+        // functions was interpreted per enumeration and REGRESSED the
+        // skew rehearsal 37→67 s; guide §"expressions and codegen").
+        // The salted task routing (s, lo, hi) is untouched: the skew
         // machinery still arms, replicates and schedules exactly as
-        // before; only duplicate EMISSIONS are suppressed.
-        val hotBkts = hotDocs.groupBy(col("doc_id"))
-          .agg(array_sort(collect_list(struct(col("band"), col("bucket")))).as("hb"))
+        // before; only duplicate EMISSIONS are suppressed. The gid
+        // derivation reads hot rows only (hot-membership sized), never
+        // the full banded table.
+        val perHotDoc = hotDocs.groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("band"), col("bucket")))).as("hb"),
+            min(col("band")).as("mb"))
+        val gids = perHotDoc.groupBy(col("hb")).agg(min(col("doc_id")).as("gid"))
+        val docGid = perHotDoc.join(gids, "hb")
+          .select(col("doc_id"), col("mb"), col("gid"))
         val salted = hotDocs
-          .join(hotBkts, Seq("doc_id"))
+          .join(docGid, Seq("doc_id"))
           .withColumn("s", pmod(xxhash64(col("doc_id")), lit(g.toLong)).cast("int"))
           .withColumn("j", explode(sequence(lit(0), lit(g - 1))))
           .withColumn("lo", least(col("s"), col("j")))
           .withColumn("hi", greatest(col("s"), col("j")))
           .drop("j")
-        val sharedEarlierBand = arrays_overlap(
-          filter(col("x.hb"), e => e("band") < col("x.band")),
-          filter(col("y.hb"), e => e("band") < col("x.band")))
         val hotPairs = salted.as("x")
           .join(salted.as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -360,7 +371,7 @@ object TextDedup {
               col("x.doc_id") < col("y.doc_id") &&
               least(col("x.s"), col("y.s")) === col("x.lo") &&
               greatest(col("x.s"), col("y.s")) === col("x.hi") &&
-              !sharedEarlierBand)
+              (col("x.band") === col("x.mb") || col("x.gid") =!= col("y.gid")))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         cold.union(hotPairs)
     }
@@ -379,6 +390,10 @@ object TextDedup {
         }
       }
     val out = pairs.distinct()
+    // opt-in pre-checkpoint plan dump (evidence/debugging): the eager
+    // localCheckpoint below truncates the plan to a LogicalRDD, so
+    // this is the only place the salted/plain shape is inspectable
+    if (sys.env.contains("GRAFT_LSH_EXPLAIN")) out.explain("formatted")
     val result = if (hotBucketThreshold != 0) {
       // candidate pairs are tiny next to the banded cache they free —
       // the minHashNearDups localCheckpoint-then-unpersist pattern
@@ -1131,15 +1146,29 @@ object TextDedup {
       .groupBy(col("lh")).agg(count(lit(1)).as("docs"))
       .filter(col("docs") >= minDocs)
       .select("lh")
-    val keptIdx = lines.join(boiler, Seq("lh"), "left_anti")
+    // r13: aggregate the DROPPED indices, not the kept ones — the
+    // boilerplate hits are the sparse side of the decision (2 of 9
+    // lines/doc on the crawl rehearsal), so the rebuild groupBy
+    // exchanges ~n_hits rows instead of ~n_lines, and the per-doc drop
+    // table is small enough for the final join to broadcast it onto
+    // the text scan in the common case — the full-text side then never
+    // exchanges at all. Output-identical: kept = lines whose index is
+    // not in `dropped`, in ascending position order (exactly the old
+    // sorted kept-index rebuild); a doc with EVERY line boilerplate
+    // filters to an empty array → n_kept 0, clean_text "" (the old
+    // missing-keptIdx-row case), and a doc with NO boilerplate line
+    // has no dropped row → the null guard keeps every line.
+    val droppedIdx = lines.join(boiler, Seq("lh"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("line_idx"))).as("kept"))
+      .agg(sort_array(collect_list(col("line_idx"))).as("dropped"))
     docs.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("ls"))
-      .join(keptIdx, Seq("doc_id"), "left")
+      .join(droppedIdx, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
-        coalesce(size(col("kept")).cast("long"), lit(0L)).as("n_kept"),
-        coalesce(array_join(transform(col("kept"),
-          i => element_at(col("ls"), i + 1)), "\n"), lit("")).as("clean_text"))
+        (size(col("ls")) - coalesce(size(col("dropped")), lit(0)))
+          .cast("long").as("n_kept"),
+        array_join(filter(col("ls"), (_, i) =>
+          coalesce(!array_contains(col("dropped"), i), lit(true))), "\n")
+          .as("clean_text"))
   }
 
   /** Cross-source duplication matrix: for every unordered pair of

@@ -63,6 +63,40 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("min-band hot-pair ownership keeps the pair set exact under mixed hot/cold sharing") {
+    import spark.implicits._
+    // r13 skew-path change: a hot pair is emitted only from its
+    // earliest shared band. This corpus makes pairs that collide in
+    // hot AND cold buckets at different band indices: the variants
+    // share their boilerplate prefix's shingles with the 120-doc
+    // clique (those bands' buckets are HOT) while each 10-doc variant
+    // group is internally identical (its own buckets stay COLD at
+    // threshold 20) — the suppression must neither lose a pair whose
+    // earliest shared band is cold nor double-count one shared both
+    // ways. The plain path is the ground truth.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0L until 240L).map { i =>
+      if (i < 120) (i, boiler)
+      else if (i < 160) (i, s"$boiler tail group ${i % 4} shared marker words here")
+      else (i, s"unique document $i with its own words ${i * 31} ${i * 17} ${i % 7}")
+    }.toDF("doc_id", "text")
+    val plain = TextDedup.minHashNearDups(docs, minJaccard = 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = TextDedup.minHashNearDups(docs, minJaccard = 0.3,
+        hotBucketThreshold = 20, saltGroups = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain, "min-band ownership changed the verified pair set")
+    // candidate level too, so the verify stage can't mask a drift
+    val sig = TextDedup.minHashSignatures(docs)
+    val salCands = TextDedup.lshCandidates(sig, hotBucketThreshold = 20, saltGroups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(salCands.length == salCands.toSet.size,
+      "duplicate candidate rows escaped the distinct")
+    assert(salCands.toSet == TextDedup.lshCandidates(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "salted candidate set diverged from the plain path")
+  }
+
   test("auto skew mode: arms on the skewed corpus, stays plain on the flat one") {
     import spark.implicits._
     val boiler = "the quick brown fox jumps over the lazy dog again and again"
